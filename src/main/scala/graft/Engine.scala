@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Session preparation + output canonicalization shared by every entry
+  * point (SparkEntry.queries, Verify, Bench, tests). */
+object Engine {
+
+  /** Idempotent runtime session config.
+    *  - ANSI off: the reference ran Spark 3.x ANSI-off; its cleaning
+    *    relies on junk→NULL casts (SURVEY.md quirk Q-j). Spark 4 flips
+    *    the default, so set it explicitly per session.
+    *  - UTC: emulator timestamps are TZ-less ISO strings (UPLOAD:91);
+    *    both Spark and the DuckDB oracle must parse them in one zone.
+    *  - AQE on: runtime coalescing + skew-join handling — the 100 TB
+    *    posture baked in even on local[32].
+    */
+  def prepare(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark
+  }
+
+  /** Deterministic total order over every output column (asc, NULLS
+    * FIRST — Spark's asc default). The driver hash-compares results
+    * against the DuckDB oracle, so ties left by a query's own ORDER BY
+    * must be broken identically on both sides; each oracle twin ends
+    * with the same explicit ORDER BY ... ASC NULLS FIRST list.
+    * Single extra exchange on an already-small result — negligible. */
+  def canonical(df: DataFrame): DataFrame =
+    df.orderBy(df.columns.map(c => col(c).asc_nulls_first).toIndexedSeq: _*)
+}
