@@ -20,6 +20,10 @@ object Engine {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects by
+    // default; read it as a long (ns since epoch) and convert explicitly
+    // where needed (exact integer arithmetic — oracle-parity safe).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark
   }
 

@@ -2,7 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Cleaning, PinOracle, PinQueries, RawDerive}
+import graft.analytics.{ExtOracle, ShapeQueries}
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.pipeline.{PinOracle, PinQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -59,7 +61,41 @@ object SparkEntry {
     "pin_q7" -> pinEntry((_, _, u) => PinQueries.q7(u)) _,
     "pin_q8" -> pinEntry((p, _, u) => PinQueries.q8(p, u)) _,
     "pin_q9" -> pinEntry((p, _, u) => PinQueries.q9(p, u)) _,
+    // ---- scale-shape queries over the big tables (oracle-checked) ----
+    "agg_pricing" -> prep((s, d) => Engine.canonical(ShapeQueries.aggPricing(s, d))),
+    "revenue_by_nation" -> prep((s, d) => Engine.canonical(ShapeQueries.revenueByNation(s, d))),
+    "top_customers" -> prep((s, d) => ShapeQueries.topCustomers(s, d)),
+    "events_hourly" -> prep((s, d) => Engine.canonical(ShapeQueries.eventsHourly(s, d))),
+    "user_top_events" -> prep((s, d) => Engine.canonical(ShapeQueries.userTopEvents(s, d))),
+    // ---- text analysis (oracle-checked where parity-safe) ------------
+    "text_stats" -> prep((s, d) => Engine.canonical(TextAnalysis.textStats(docs(s, d)))),
+    "token_freq_topk" -> prep((s, d) => TextAnalysis.tokenFreqTopK(docs(s, d))),
+    "quality_score" -> prep((s, d) => Engine.canonical(TextAnalysis.qualityScore(docs(s, d)))),
+    "lang_id" -> prep((s, d) => TextAnalysis.langId(docs(s, d))
+      .select("doc_id", "lang_pred", "lang_conf").orderBy("doc_id")),
+    "fingerprint_docs" -> prep((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
+    // ---- dedup tiers -------------------------------------------------
+    "dedup_exact" -> prep((s, d) => Engine.canonical(Dedup.exact(docs(s, d)))),
+    "ngram_jaccard" -> prep((s, d) => Engine.canonical(Dedup.ngramJaccardPairs(docs(s, d)))),
+    "minhash_pairs" -> prep((s, d) => Dedup.minhashLshPairs(docs(s, d))
+      .orderBy("a_id", "b_id")),
+    "simhash_pairs" -> prep((s, d) => Dedup.simhashPairs(docs(s, d))
+      .orderBy("a_id", "b_id")),
+    // ---- similarity search -------------------------------------------
+    "ann_cosine_topk" -> prep((s, d) => Engine.canonical(
+      Similarity.bruteForceTopK(emb(s, d), queryVecId = 0L, k = 10))),
+    "ann_lsh_topk" -> prep((s, d) => Similarity.lshTopK(emb(s, d),
+      emb(s, d).where(col("vec_id") % 100 === 0)).orderBy("probe_id", "rk")),
+    "neardup_embeddings" -> prep((s, d) => Engine.canonical(
+      Similarity.nearDupPairs(emb(s, d)))),
   )
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  private def prep(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, d) => { Engine.prepare(s); f(s, d) }
 
   /** DuckDB twins for the driver's correctness gate. */
   def oracleSql: Map[String, String] = Map(
@@ -75,5 +111,21 @@ object SparkEntry {
     "pin_q7" -> PinOracle.q7,
     "pin_q8" -> PinOracle.q8,
     "pin_q9" -> PinOracle.q9,
+    "agg_pricing" -> ExtOracle.aggPricing,
+    "revenue_by_nation" -> ExtOracle.revenueByNation,
+    "top_customers" -> ExtOracle.topCustomers,
+    "events_hourly" -> ExtOracle.eventsHourly,
+    "user_top_events" -> ExtOracle.userTopEvents,
+    "text_stats" -> ExtOracle.textStats,
+    "token_freq_topk" -> ExtOracle.tokenFreqTopK,
+    "quality_score" -> ExtOracle.qualityScore,
+    "dedup_exact" -> ExtOracle.dedupExact,
+    "ngram_jaccard" -> ExtOracle.ngramJaccard,
+    "ann_cosine_topk" -> ExtOracle.annCosineTopK,
+    "neardup_embeddings" -> ExtOracle.nearDupEmbeddings,
+    // lang_id / fingerprint_docs / minhash_pairs / simhash_pairs /
+    // ann_lsh_topk are engine-hash-specific (xxhash64 / custom
+    // PolyHash64) or model-heuristic ops with no SQL twin — the driver
+    // records rows-only checks; ScalaTest specs pin their semantics.
   )
 }

@@ -1,0 +1,168 @@
+package graft.analytics
+
+/** DuckDB oracle twins for the shape queries (ShapeQueries) and the
+  * oracle-expressible extension operators (TextAnalysis / Dedup /
+  * Similarity). Parity rules as in PinOracle plus:
+  *  - integer-cents quantization `round(x*100)` for money/measure
+  *    doubles (see ShapeQueries scaladoc for why this is
+  *    engine-deterministic);
+  *  - embedding math on `round(x*1000)` quantized values — integer-
+  *    exact dot products (< 2^53, so even double accumulation is
+  *    exact), cosine as the same a/(sqrt·sqrt) expression both sides.
+  */
+object ExtOracle {
+
+  private def ord(cols: String*): String =
+    cols.map(c => s"$c ASC NULLS FIRST").mkString("ORDER BY ", ", ", "")
+
+  val aggPricing: String = s"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100 AS sum_qty,
+  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100 AS sum_base_price,
+  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) *
+       (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000 AS sum_disc_price,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+${ord("l_returnflag", "l_linestatus")}""".trim
+
+  val revenueByNation: String = s"""
+SELECT n_name,
+  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) *
+       (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000 AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+${ord("n_name")}""".trim
+
+  val topCustomers: String = s"""
+SELECT o_custkey,
+  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 AS total_spent,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_custkey
+ORDER BY total_spent DESC, o_custkey ASC
+LIMIT 20""".trim
+
+  val eventsHourly: String = s"""
+SELECT CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour_bucket, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value,
+  CAST(SUM(TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY hour_bucket, event_type
+${ord("hour_bucket", "event_type")}""".trim
+
+  val userTopEvents: String = s"""
+SELECT user_id, rk, event_id, value FROM (
+  SELECT user_id, event_id, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+      ORDER BY value DESC NULLS LAST, event_id ASC) AS rk
+  FROM events WHERE event_type = 'purchase')
+WHERE rk <= 3
+${ord("user_id", "rk")}""".trim
+
+  // ---- text analysis -----------------------------------------------
+
+  val textStats: String = s"""
+SELECT doc_id,
+  CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+  CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS INT) AS n_uniq_tokens,
+  CAST(length(text) AS INT) AS n_chars_calc,
+  CAST(length(text) - length(replace(text, ' ', '')) AS INT) AS n_spaces,
+  CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) /
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS type_token_ratio,
+  CAST(length(text) - (length(text) - length(replace(text, ' ', ''))) AS DOUBLE) /
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS mean_token_len
+FROM documents
+${ord("doc_id")}""".trim
+
+  val tokenFreqTopK: String = s"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents)
+GROUP BY token
+ORDER BY freq DESC, token ASC
+LIMIT 25""".trim
+
+  val qualityScore: String = s"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+    CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) AS n_uniq,
+    CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents)
+SELECT doc_id,
+  round((n_uniq / n_tok) * 0.5
+    + least(n_tok / 64.0, 1.0) * 0.3
+    + (CASE WHEN ((n_chars - (n_tok - 1)) / n_tok) BETWEEN 3.0 AND 9.0
+            THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+FROM t
+${ord("doc_id")}""".trim
+
+  // ---- dedup -------------------------------------------------------
+
+  val dedupExact: String = s"""
+SELECT sha256(text) AS text_sha,
+  MIN(doc_id) AS keep_id,
+  CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY text_sha
+${ord("text_sha")}""".trim
+
+  val ngramJaccard: String = s"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+shl AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(w) - 2, 0)),
+    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+  FROM ws),
+sized AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM shl),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+    COUNT(*) AS inter, MIN(a.n_sh) AS a_n, MIN(b.n_sh) AS b_n
+  FROM sized a JOIN sized b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT a_id, b_id,
+  CAST(inter AS DOUBLE) / CAST(a_n + b_n - inter AS DOUBLE) AS jaccard
+FROM pairs
+WHERE CAST(inter AS DOUBLE) / CAST(a_n + b_n - inter AS DOUBLE) >= 0.5
+${ord("a_id", "b_id")}""".trim
+
+  // ---- similarity --------------------------------------------------
+
+  private val quantized =
+    "SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE)*1000)) AS q FROM embeddings"
+
+  val annCosineTopK: String = s"""
+WITH e AS ($quantized),
+qv AS (SELECT q AS qq FROM e WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+    list_dot_product(e.q, qv.qq) /
+      (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(qv.qq, qv.qq)))
+      AS cosine_sim
+  FROM e, qv
+  ORDER BY cosine_sim DESC, vec_id ASC
+  LIMIT 10)
+SELECT vec_id, cosine_sim FROM scored
+${ord("vec_id", "cosine_sim")}""".trim
+
+  val nearDupEmbeddings: String = s"""
+WITH e AS ($quantized),
+a AS (SELECT vec_id AS a_id, q AS qa FROM e WHERE vec_id % 10 = 0),
+b AS (SELECT vec_id AS b_id, q AS qb FROM e),
+scored AS (
+  SELECT a_id, b_id,
+    list_dot_product(qa, qb) /
+      (sqrt(list_dot_product(qa, qa)) * sqrt(list_dot_product(qb, qb)))
+      AS cosine_sim
+  FROM a, b WHERE a_id < b_id)
+SELECT a_id, b_id, cosine_sim FROM scored WHERE cosine_sim >= 0.4
+${ord("a_id", "b_id")}""".trim
+}

@@ -1,0 +1,106 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-shape queries over the driver's TPC-H-ish tables — the
+  * reference query shapes re-targeted at the 600k-row lineitem /
+  * 150k-row orders / 100k-row events (sf0.1) so the bench exercises
+  * real shuffle/join/window volume (the pin pipeline tops out at 150k
+  * rows). FIXTURES.md §B documents the role mapping.
+  *
+  * Oracle-parity arithmetic: money/measure doubles are quantized to
+  * integer cents with `round(x*100)` — the product x*100 is the same
+  * IEEE double in every engine and round-half-away-from-zero agrees
+  * between Java's BigDecimal HALF_UP (on shortest-repr) and C round(),
+  * so the resulting longs are bit-identical. Sums then accumulate
+  * exactly in integers (order-independent) and convert to double once
+  * at the end — fully deterministic across engines, unlike summing
+  * raw doubles (order-sensitive) or double→DECIMAL casts (engine-
+  * specific rounding paths).
+  *
+  * Scale posture per query is noted inline; `.explain` checked: scans
+  * carry PushedFilters + pruned ReadSchema, dimension joins broadcast,
+  * aggregates are partial+final hash aggregates.
+  */
+object ShapeQueries {
+
+  /** Integer-cents quantization (see class doc). */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+
+  def lineitem(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/lineitem.parquet")
+  def orders(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/orders.parquet")
+  def customer(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/customer.parquet")
+  def nation(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/nation.parquet")
+  def events(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/events.parquet")
+
+  /** Pricing-summary aggregate (TPC-H Q1 shape): filter → sums/counts
+    * per flag pair. One partial+final hash agg over the filtered scan;
+    * the shipdate filter reaches the parquet reader (PushedFilters). */
+  def aggPricing(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .where(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (sum(cents(col("l_quantity"))).cast("double") / 100).as("sum_qty"),
+        (sum(cents(col("l_extendedprice"))).cast("double") / 100).as("sum_base_price"),
+        // ep·(1−disc) in exact integer space: ep_cents · (100 − disc_cents) / 10000
+        (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .cast("double") / 10000).as("sum_disc_price"),
+        count("*").as("count_order"))
+
+  /** Revenue per nation (3-way join shape): lineitem ⋈ orders shuffles
+    * on orderkey; customer and nation are broadcast — no shuffle for
+    * the dimension side at any scale. */
+  def revenueByNation(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .cast("double") / 10000).as("revenue"),
+        count("*").as("n_items"))
+
+  /** Top-k customers by order value (sort+limit shape →
+    * TakeOrderedAndProject, never a global sort at scale). */
+  def topCustomers(s: SparkSession, dir: String, k: Int = 20): DataFrame =
+    orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg((sum(cents(col("o_totalprice"))).cast("double") / 100).as("total_spent"),
+        count("*").as("n_orders"))
+      .orderBy(col("total_spent").desc, col("o_custkey").asc)
+      .limit(k)
+
+  /** Event-stream hourly rollup (streaming-equivalent batch shape):
+    * epoch-hour bucketing + per-type counts + JSON field extraction
+    * (regexp, not a JSON UDF — stays in codegen). `ts` arrives as long
+    * nanos (Engine.prepare reads TIMESTAMP(NANOS) via nanosAsLong);
+    * integer `div` keeps the bucket exact. */
+  def eventsHourly(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .select(
+        expr("ts div 3600000000000").cast("long").as("hour_bucket"),
+        col("event_type"),
+        cents(col("value")).as("value_cents"),
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k_val"))
+      .groupBy(col("hour_bucket"), col("event_type"))
+      .agg(count("*").as("n_events"),
+        (sum(col("value_cents")).cast("double") / 100).as("sum_value"),
+        sum(col("k_val")).as("sum_k"))
+
+  /** Per-user top purchases: window shape over a high-cardinality key
+    * — shuffles once on user_id. `value` passes through unmodified
+    * (no arithmetic → raw-parquet parity). */
+  def userTopEvents(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc,
+      col("event_id").asc)
+    events(s, dir)
+      .where(col("event_type") === "purchase")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("user_id"), col("rk"), col("event_id"), col("value"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over the
+  * `embeddings` table (vec_id, embedding list<float>, label).
+  *
+  * Numeric-parity design: scores are computed on embeddings quantized
+  * to integers (`round(x*1000)` as long) so dot products and norms are
+  * EXACT integer arithmetic — bit-identical across Spark, DuckDB, or
+  * any engine, regardless of summation order. Cosine is then a
+  * deterministic double expression over those exact integers. With
+  * 64-dim unit-ish vectors the products stay ≪ 2^53, so even a
+  * double-based engine computes them exactly.
+  *
+  * Scale posture:
+  *  - brute force = broadcast the query vector(s), one scan, top-k via
+  *    TakeOrderedAndProject — the right baseline for one-off queries;
+  *  - `lshTopK` buckets vectors by sign-bit sketches of deterministic
+  *    pseudo-hyperplanes, so batch k-NN joins only within buckets —
+  *    the 100 TB shape (bucket join ≈ IVF cell probe).
+  */
+object Similarity {
+
+  /** Quantized integer copy of an embedding column. */
+  def quantize(emb: Column): Column =
+    transform(emb, x => round(x.cast("double") * 1000).cast("long"))
+
+  private def dotL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Exact cosine over quantized vectors (deterministic double). */
+  def cosineQ(a: Column, b: Column): Column =
+    dotL(a, b).cast("double") /
+      (sqrt(dotL(a, a).cast("double")) * sqrt(dotL(b, b).cast("double")))
+
+  /** Brute-force top-k by cosine against one stored query vector.
+    * Plan: broadcast 1-row query → scan → projection → top-k. */
+  def bruteForceTopK(emb: DataFrame, queryVecId: Long, k: Int = 10): DataFrame = {
+    val e = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val qv = e.where(col("vec_id") === queryVecId).select(col("q").as("qq"))
+    e.crossJoin(broadcast(qv))
+      .select(col("vec_id"), cosineQ(col("q"), col("qq")).as("cosine_sim"))
+      .orderBy(col("cosine_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-hyperplane component for (plane p, dim d):
+    * a fixed integer in [-1000, 1000] derived from xxhash64 — no RNG,
+    * reproducible across runs and engines. */
+  private def planeComponent(p: Int, d: Column): Column =
+    pmod(xxhash64(lit(p), d), lit(2001L)) - 1000L
+
+  /** Sign-bit LSH sketch: bit p = sign of ⟨v, plane_p⟩. */
+  def lshSketch(emb: Column, planes: Int = 8): Column = {
+    val q = quantize(emb)
+    (0 until planes).map { p =>
+      val proj = aggregate(zip_with(q, sequence(lit(0), size(q) - 1),
+        (x, i) => x * planeComponent(p, i)), lit(0L), (acc, v) => acc + v)
+      when(proj >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** Bucketed batch k-NN: probe vectors join candidates sharing an LSH
+    * bucket, then exact cosine + per-probe top-k window. Bucket-local
+    * join — no all-pairs blowup. Recall is tunable via `planes`
+    * (fewer planes → bigger buckets → higher recall, more compute). */
+  def lshTopK(emb: DataFrame, probes: DataFrame, k: Int = 5,
+      planes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = emb.select(col("vec_id"), quantize(col("embedding")).as("q"),
+      lshSketch(col("embedding"), planes).as("bucket"))
+    val prb = probes.select(col("vec_id").as("probe_id"),
+      quantize(col("embedding")).as("pq"),
+      lshSketch(col("embedding"), planes).as("bucket"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine_sim").desc, col("vec_id").asc)
+    prb.join(base, "bucket")
+      .where(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosineQ(col("pq"), col("q")).as("cosine_sim"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .drop("rk")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: probe subset × base with
+    * exact quantized cosine ≥ threshold. The probe predicate keeps the
+    * pair space linear for oracle verification; the LSH variant above
+    * is the full-corpus path. */
+  def nearDupPairs(emb: DataFrame, threshold: Double = 0.4,
+      probeMod: Int = 10): DataFrame = {
+    val e = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val a = e.where(col("vec_id") % probeMod === 0)
+      .select(col("vec_id").as("a_id"), col("q").as("qa"))
+    val b = e.select(col("vec_id").as("b_id"), col("q").as("qb"))
+    broadcast(a).crossJoin(b)
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        cosineQ(col("qa"), col("qb")).as("cosine_sim"))
+      .where(col("cosine_sim") >= threshold)
+  }
+}

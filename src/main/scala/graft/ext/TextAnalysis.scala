@@ -1,0 +1,98 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.PolyHash64.polyhash64
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * All hot-path math is built-in `functions._` (codegen'd, no UDFs);
+  * fingerprinting uses the native `PolyHash64` Catalyst expression.
+  * Every operator is a per-row projection or an explode+groupBy — at
+  * 100 TB the projections fuse into the scan and the token histogram is
+  * a classic partial-agg shuffle on the token key.
+  */
+object TextAnalysis {
+
+  private def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Per-document stats: token counts, distinct tokens, char counts,
+    * type-token ratio, mean token length. Deterministic int/double
+    * arithmetic (DuckDB-oracle parity safe). */
+  def textStats(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(t).cast("int").as("n_tokens"),
+      size(array_distinct(t)).cast("int").as("n_uniq_tokens"),
+      length(col("text")).cast("int").as("n_chars_calc"),
+      (length(col("text")) - length(regexp_replace(col("text"), " ", "")))
+        .cast("int").as("n_spaces"))
+      .withColumn("type_token_ratio",
+        col("n_uniq_tokens").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("mean_token_len",
+        (col("n_chars_calc") - col("n_spaces")).cast("double") /
+          col("n_tokens").cast("double"))
+  }
+
+  /** Global token frequency top-k: explode → hash-agg (partial+final)
+    * → TakeOrderedAndProject. The canonical "word count at scale". */
+  def tokenFreqTopK(docs: DataFrame, k: Int = 25): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count("*").as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+
+  /** Quality score in [0,1]: blend of type-token ratio, length band and
+    * mean token length — the cheap lexical heuristics a pretraining
+    * filter runs before anything model-based. Pure projection. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("double")
+    val nUniq = size(array_distinct(t)).cast("double")
+    val ttr = nUniq / nTok
+    val lenScore = least(nTok / lit(64.0), lit(1.0))
+    val meanLen = (length(col("text")).cast("double") -
+      (size(t) - 1).cast("double")) / nTok
+    val lenBand = when(meanLen.between(3.0, 9.0), 1.0).otherwise(0.5)
+    docs.select(col("doc_id"),
+      round((ttr * 0.5 + lenScore * 0.3 + lenBand * 0.2), 6).as("quality"))
+  }
+
+  /** Stopword-profile language ID (n-gram heuristic, SURVEY-mandated
+    * stand-in for a real model): per-language score = fraction of
+    * tokens found in that language's closed-class word list, plus a
+    * CJK-codepoint override for zh. Argmax via `greatest` over
+    * (score, lang) structs — all built-ins, no UDF. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "you", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "du", "ich", "nicht", "ein", "mit"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "je", "ne", "pas"))
+
+  def langScore(text: Column, lang: String): Column = {
+    val t = tokens(lower(text))
+    size(array_intersect(t, array(stopwords(lang).map(lit): _*)))
+      .cast("double") / size(t).cast("double")
+  }
+
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val cjk = length(regexp_replace(col(textCol), "[^\\u4e00-\\u9fff]", ""))
+    val candidates = stopwords.keys.toSeq.sorted.map(l =>
+      struct(langScore(col(textCol), l).as("score"), lit(l).as("lang")))
+    val best = greatest(candidates: _*)
+    docs.withColumn("lang_pred",
+      when(cjk > 0, "zh").otherwise(best.getField("lang")))
+      .withColumn("lang_conf",
+        when(cjk > 0, lit(1.0)).otherwise(round(best.getField("score"), 6)))
+  }
+
+  /** Whole-document fingerprint via the native PolyHash64 expression —
+    * order-sensitive 64-bit rolling hash of the normalized text. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      polyhash64(regexp_replace(lower(col("text")), "\\s+", " "))
+        .as("fingerprint"))
+}

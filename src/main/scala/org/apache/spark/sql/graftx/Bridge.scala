@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4 made `Column(expr)` and
+  * `col.expr` internal (`private[sql]` ExpressionUtils in the classic
+  * module); living in a subpackage of `org.apache.spark.sql` is the
+  * standard extension-library pattern for reaching them (same approach
+  * as spark-connector libraries in the wild). Only this file touches
+  * Spark internals. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
