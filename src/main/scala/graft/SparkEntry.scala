@@ -88,7 +88,38 @@ object SparkEntry {
       emb(s, d).where(col("vec_id") % 100 === 0)).orderBy("probe_id", "rk")),
     "neardup_embeddings" -> prep((s, d) => Engine.canonical(
       Similarity.nearDupPairs(emb(s, d)))),
+    // ---- source/sink surface: JSON landing scan + streaming path -----
+    // Same oracles as the batch *_clean entries: the JSON round-trip and
+    // the Structured Streaming pipeline must reproduce the batch
+    // cleaning bit-for-bit (reference contract: STREAM ≡ BATCH − sort).
+    "json_scan_clean" -> prep((s, d) => {
+      val base = tmpDir("graft_land")
+      graft.ingest.Fixtures.landBatch(s, d, base)
+      graft.pipeline.Cleaning.cleanPin(
+        graft.ingest.Fixtures.readTopic(s, base, "pin")).orderBy("ind")
+    }),
+    "stream_pin_clean" -> streamEntry("pin", df => df.orderBy("ind")),
+    "stream_geo_clean" -> streamEntry("geo", df => df.select(col("ind"),
+      col("country"), col("coordinates"),
+      col("timestamp").cast("string").as("timestamp_str")).orderBy("ind")),
+    "stream_user_clean" -> streamEntry("user", df => df.select(col("ind"),
+      col("user_name"), col("age"),
+      col("date_joined").cast("string").as("date_joined_str")).orderBy("ind")),
+    // ---- multimodal plumbing (stubbed codec, real Spark contract) ----
+    "multimodal_features" -> prep((s, d) =>
+      graft.ext.Multimodal.pipeline(s, docs(s, d)).orderBy("asset_id")),
   )
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def streamEntry(table: String, post: DataFrame => DataFrame):
+      (SparkSession, String) => DataFrame = prep { (s, d) =>
+    val base = tmpDir(s"graft_stream_$table")
+    graft.ingest.Fixtures.landStream(s, d, base)
+    graft.streaming.StreamJob.runOne(s, base, table, s"$base/out", s"$base/ckpt")
+    post(s.read.parquet(s"$base/out/$table"))
+  }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
@@ -123,6 +154,10 @@ object SparkEntry {
     "ngram_jaccard" -> ExtOracle.ngramJaccard,
     "ann_cosine_topk" -> ExtOracle.annCosineTopK,
     "neardup_embeddings" -> ExtOracle.nearDupEmbeddings,
+    "json_scan_clean" -> PinOracle.pinClean,
+    "stream_pin_clean" -> PinOracle.pinClean,
+    "stream_geo_clean" -> PinOracle.geoClean,
+    "stream_user_clean" -> PinOracle.userClean,
     // lang_id / fingerprint_docs / minhash_pairs / simhash_pairs /
     // ann_lsh_topk are engine-hash-specific (xxhash64 / custom
     // PolyHash64) or model-heuristic ops with no SQL twin — the driver

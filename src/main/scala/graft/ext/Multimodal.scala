@@ -1,0 +1,92 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: images/audio/video travel as opaque
+  * `binary` columns with typed metadata, and per-asset compute runs as
+  * batched partition-level functions (the Scala analog of PySpark's
+  * `mapInPandas`: one iterator per partition, library handles loaded
+  * once per partition, not per row).
+  *
+  * The actual codec is STUBBED — this container ships no image/audio
+  * libraries — behind `DecodeStub`, a deterministic fake that parses
+  * our own fixture header. The Spark-side contract (schema, encoder,
+  * partition batching, feature shape) is real and tested; swapping
+  * `DecodeStub.decode` for a JNI/javacv call is the only change needed
+  * for real media.
+  *
+  * Scale notes: binary payloads ride the normal columnar path (parquet
+  * binary); feature extraction is a narrow mapPartitions — no shuffle;
+  * downstream ANN over the produced embeddings reuses Similarity.
+  */
+object Multimodal {
+
+  /** Typed rows at the package boundary. */
+  case class MediaAsset(asset_id: Long, media: Array[Byte],
+      format: String, width: Int, height: Int)
+  case class MediaFeatures(asset_id: Long, format: String,
+      n_bytes: Int, mean_luma: Double, features: Array[Float])
+
+  /** Deterministic fake codec. A real deployment replaces `decode`
+    * with an actual image decode (??? marks the seam). */
+  object DecodeStub {
+    val FeatureDim = 16
+
+    /** "Decode" = interpret payload bytes as 8-bit samples. Real
+      * implementation would be e.g. javax.imageio / ffmpeg via JNI:
+      * `def decode(bytes: Array[Byte]): Raster = ???` */
+    def decode(bytes: Array[Byte]): Array[Int] = bytes.map(_ & 0xff)
+
+    /** Fixed-dim pooled features from decoded samples: per-bucket mean
+      * of a FeatureDim-way stripe — a stand-in for a CNN embedding,
+      * deterministic for tests. */
+    def features(samples: Array[Int]): Array[Float] = {
+      val acc = new Array[Double](FeatureDim)
+      val cnt = new Array[Int](FeatureDim)
+      var i = 0
+      while (i < samples.length) {
+        val b = i % FeatureDim
+        acc(b) += samples(i); cnt(b) += 1; i += 1
+      }
+      Array.tabulate(FeatureDim)(b =>
+        if (cnt(b) == 0) 0f else (acc(b) / cnt(b)).toFloat)
+    }
+  }
+
+  /** Build a binary media column from the documents table — fixture
+    * encoder: payload = UTF-8 text bytes, metadata derived
+    * deterministically. (Stands in for real image bytes.) */
+  def toAssets(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("asset_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      element_at(array(lit("png"), lit("jpeg"), lit("webp")),
+        (col("doc_id") % 3 + 1).cast("int")).as("format"),
+      (col("n_chars") % 640 + 16).cast("int").as("width"),
+      (col("n_chars") % 480 + 16).cast("int").as("height"))
+
+  /** Partition-batched decode + featurize (mapInPandas analog): the
+    * per-partition iterator amortizes codec setup; rows stream through
+    * without materializing the partition. */
+  def extractFeatures(spark: SparkSession, assets: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    assets.as[MediaAsset].mapPartitions { it =>
+      // per-partition one-time codec init would go here
+      it.map { a =>
+        val samples = DecodeStub.decode(a.media)
+        val f = DecodeStub.features(samples)
+        MediaFeatures(a.asset_id, a.format, a.media.length,
+          if (samples.isEmpty) 0.0 else samples.sum.toDouble / samples.length,
+          f)
+      }
+    }
+  }
+
+  /** End-to-end: documents → binary assets → decoded features, ready
+    * for Similarity.lshTopK over the `features` column. */
+  def pipeline(spark: SparkSession, docs: DataFrame): DataFrame =
+    extractFeatures(spark, toAssets(docs)).toDF()
+      .select(col("asset_id"), col("format"), col("n_bytes"),
+        round(col("mean_luma"), 6).as("mean_luma"))
+}

@@ -50,10 +50,12 @@ object Cleaning {
     }: _*)
 
   /** Clean the pin table (BATCH:76-103; streaming twin STREAM:114-143).
-    * @param sort batch applies a cosmetic global `orderBy("ind")`
-    *             (BATCH:100); streams must not sort (append mode). */
-  def cleanPin(raw: DataFrame, sort: Boolean = true): DataFrame = {
-    var df = raw.dropDuplicates() // C1
+    * @param sort  batch applies a cosmetic global `orderBy("ind")`
+    *              (BATCH:100); streams must not sort (append mode).
+    * @param dedup disable when an upstream watermarked dedup already
+    *              ran (StreamJob's bounded-state mode). */
+  def cleanPin(raw: DataFrame, sort: Boolean = true, dedup: Boolean = true): DataFrame = {
+    var df = if (dedup) raw.dropDuplicates() else raw // C1
     df = nullifyErroneous(df) // C2
     // C3-C5 regex normalizations (quirk Q-a semantics preserved).
     df = df.withColumn("save_location",
@@ -75,8 +77,8 @@ object Cleaning {
   }
 
   /** Clean the geo table (BATCH:112-130; STREAM:149-166). */
-  def cleanGeo(raw: DataFrame, sort: Boolean = true): DataFrame = {
-    var df = raw.dropDuplicates() // C1
+  def cleanGeo(raw: DataFrame, sort: Boolean = true, dedup: Boolean = true): DataFrame = {
+    var df = if (dedup) raw.dropDuplicates() else raw // C1
     // C10 array column from *string* lat/long (quirk Q-g).
     df = df.withColumn("coordinates", array(col("latitude"), col("longitude")))
     df = df.drop("latitude", "longitude")

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.functions.PolyHash64.polyhash64
+
+/** Specs for the training-data extension operators on crafted inputs
+  * with known answers. */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+    (2L, "completely different words about spark shuffles partitions and codegen stages"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (4L, "otra frase totalmente distinta en otro idioma con palabras diferentes aqui")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs).collect()
+    assert(out.length == 4) // 0&3 merge
+    val dup = out.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 0L)
+  }
+
+  test("ngram jaccard: exact dup = 1.0, near-dup high, distinct absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 3L)) == 1.0)
+    assert(pairs((0L, 1L)) > 0.7 && pairs((0L, 1L)) < 1.0)
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((2L, 4L)))
+  }
+
+  test("minhash LSH finds the exact-dup and near-dup candidate pairs") {
+    val pairs = Dedup.minhashLshPairs(docs, minEstJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((0L, 3L)) == 1.0) // identical signatures
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 2L)))
+  }
+
+  test("simhash: identical docs at hamming 0, unrelated docs far") {
+    val sh = Dedup.simhash64(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(3L))
+    assert(java.lang.Long.bitCount(sh(0L) ^ sh(2L)) > 10)
+  }
+
+  private val vecs = Seq(
+    (0L, Array(1f, 0f, 0f, 0f)),
+    (1L, Array(0.999f, 0.04f, 0f, 0f)), // nearly parallel to 0
+    (2L, Array(0f, 1f, 0f, 0f)),        // orthogonal
+    (3L, Array(-1f, 0f, 0f, 0f)),       // opposite
+    (4L, Array(0.7f, 0.7f, 0f, 0f))     // 45 degrees
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force cosine top-k ranks by true angle") {
+    val got = Similarity.bruteForceTopK(vecs, 0L, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq == Seq(0L, 1L, 4L, 2L, 3L))
+    assert(math.abs(got(2)._2 - math.sqrt(0.5)) < 1e-3) // 45deg ~ 0.707
+    assert(got(3)._2 == 0.0 && got(4)._2 == -1.0)
+  }
+
+  test("LSH top-k finds the near-parallel vector for probe 0") {
+    val got = Similarity.lshTopK(vecs, vecs.where($"vec_id" === 0), k = 2, planes = 4)
+      .collect().map(_.getLong(1))
+    assert(got.contains(1L)) // same half-spaces as the probe
+  }
+
+  test("polyhash64 matches the reference recurrence and discriminates") {
+    def ref(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 1000003L + (b & 0xffL))
+    val got = docs.select($"doc_id", polyhash64($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, t) => assert(got(id) == ref(t)) }
+    assert(got(0L) == got(3L) && got(0L) != got(1L))
+  }
+
+  test("langId picks the right stopword profile, CJK override works") {
+    val samples = Seq(
+      (1L, "the cat and the dog sat in the garden of a house"),
+      (2L, "el perro y el gato en la casa de un amigo que no es grande"),
+      (3L, "der Hund und die Katze ist nicht in das Haus mit dir"),
+      (4L, "le chien et le chat est dans la maison que je ne vois pas"),
+      (5L, "你好世界这是中文")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(samples)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(got == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "zh"))
+  }
+
+  test("text stats count tokens/uniques/chars correctly") {
+    val one = Seq((9L, "a bb a ccc")).toDF("doc_id", "text")
+    val r = TextAnalysis.textStats(one).head()
+    assert(r.getAs[Int]("n_tokens") == 4)
+    assert(r.getAs[Int]("n_uniq_tokens") == 3)
+    assert(r.getAs[Int]("n_chars_calc") == 10)
+    assert(r.getAs[Int]("n_spaces") == 3)
+    assert(r.getAs[Double]("type_token_ratio") == 0.75)
+  }
+
+  test("multimodal: stub decode is deterministic, features fixed-dim") {
+    val assets = Multimodal.toAssets(
+      Seq((1L, "abcd", "en", "s", 4L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val f = Multimodal.extractFeatures(spark, assets).collect().head
+    assert(f.features.length == Multimodal.DecodeStub.FeatureDim)
+    assert(f.n_bytes == 4)
+    // mean of 'a','b','c','d' byte values = (97+98+99+100)/4
+    assert(f.mean_luma == 98.5)
+    val again = Multimodal.extractFeatures(spark, assets).collect().head
+    assert(f.features.toSeq == again.features.toSeq)
+  }
+}
