@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.analytics.{ExtOracle, ShapeQueries}
 import graft.ext.{Dedup, Similarity, TextAnalysis}
-import graft.pipeline.{PinOracle, PinQueries}
+import graft.pipeline.{Cleaning, PinOracle, PinQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,10 +22,25 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     pinEntry((p, g, _) => PinQueries.q1(p, g))(spark, "/root/testdata/sf0.001")
 
-  /** Cleaned pin/geo/user for a scale-factor dir. */
+  /** Cleaned pin/geo/user for a scale-factor dir, cached per (session,
+    * dir): the nine analytics queries share one materialized cleaning
+    * pass instead of re-running derive+clean per query — the same
+    * "clean once, query many" shape the reference notebook has (clean
+    * cells run once, then 9 SQL cells). */
+  private val tableCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame)]
+
   private def tables(spark: SparkSession, sfDir: String): (DataFrame, DataFrame, DataFrame) = {
     Engine.prepare(spark)
-    PinQueries.cleanedTables(spark, sfDir)
+    tableCache.getOrElseUpdate((spark, sfDir), {
+      // sort=false: C9's global orderBy is cosmetic (quirk Q-i) and is
+      // re-sorted away by every downstream query; the *_clean dump
+      // entries order explicitly themselves.
+      val (rp, rg, ru) = graft.pipeline.RawDerive.tables(spark, sfDir)
+      (Cleaning.cleanPin(rp, sort = false).cache(),
+        Cleaning.cleanGeo(rg, sort = false).cache(),
+        Cleaning.cleanUser(ru, sort = false).cache())
+    })
   }
 
   private def pinEntry(q: (DataFrame, DataFrame, DataFrame) => DataFrame)(
@@ -33,6 +48,15 @@ object SparkEntry {
     val (pin, geo, user) = tables(spark, sfDir)
     Engine.canonical(q(pin, geo, user))
   }
+
+  /** Headline benchmark set: all analytic/operator entries; excludes
+    * the source/sink correctness surfaces (the stream_ and
+    * json_scan_clean entries re-land fixtures and run checkpointed
+    * streaming jobs — IO-layer verification, measured by Verify, not
+    * meaningful as query throughput). */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries.view.filterKeys(k =>
+      !k.startsWith("stream_") && k != "json_scan_clean").toMap
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

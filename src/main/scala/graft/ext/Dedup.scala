@@ -26,13 +26,27 @@ object Dedup {
 
   private def words(text: Column): Column = split(trim(text), "\\s+")
 
-  /** w-token shingles of a document, distinct. */
-  def shingles(text: Column, w: Int = 3): Column = {
-    val ws = words(text)
+  /** w-token shingles from a PRE-MATERIALIZED words-array column,
+    * distinct. `ws` must be an attribute, not the split expression:
+    * subtrees embedded in a higher-order-function lambda are
+    * re-evaluated per element (and this lambda references the words
+    * array w times), so an inlined split() turns one tokenization per
+    * row into |shingles|·w — measured 10× slowdown at sf0.1. */
+  def shinglesFromWords(ws: Column, w: Int = 3): Column =
     array_distinct(transform(
       sequence(lit(0), greatest(size(ws) - w, lit(0))),
       i => concat_ws(" ", (0 until w).map(j => element_at(ws, i + j + 1)): _*)))
-  }
+
+  /** Convenience single-expression form — only for tiny inputs/tests;
+    * hot paths must use the two-projection shape (see above). */
+  def shingles(text: Column, w: Int = 3): Column =
+    shinglesFromWords(words(text), w)
+
+  /** doc_id + distinct shingle array, in the CPU-safe two-projection
+    * shape. */
+  private def shingled(docs: DataFrame, w: Int): DataFrame =
+    docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), shinglesFromWords(col("ws"), w).as("sh"))
 
   /** Exact dedup: group identical texts by sha256, keep lowest doc_id.
     * (At scale: shuffle on the 32-byte digest, not the document body.) */
@@ -44,8 +58,7 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
     * |A∩B| from the shingle join, |A∪B| = |A|+|B|−|A∩B|. */
   def ngramJaccardPairs(docs: DataFrame, w: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val sized = docs.select(col("doc_id"), shingles(col("text"), w).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
+    val sized = shingled(docs, w).withColumn("n_sh", size(col("sh")))
     val exploded = sized.select(col("doc_id"), col("n_sh"),
       explode(col("sh")).as("s"))
     val a = exploded.toDF("a_id", "a_n", "s")
@@ -62,15 +75,26 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
-  /** MinHash signature: k independent hash functions simulated by
-    * xxhash64 over a per-function prefix — `min_i(h(i ++ shingle))`.
-    * Pure array expressions; signature computed in one pass over the
-    * scan, no shuffle. */
-  def minhashSignature(text: Column, k: Int = 32, w: Int = 3): Column = {
-    val sh = shingles(text, w)
+  /** MinHash signature over a PRE-MATERIALIZED array of shingle hashes
+    * (one xxhash64 per shingle, done once in a child projection): the k
+    * "independent" hash functions are affine reshufflings of the base
+    * hash (Kirsch-Mitzenmacher construction, `h_i = h·(2i+1) + i·φ` in
+    * wrapping 64-bit arithmetic) — k·|shingles| long multiplications
+    * instead of k·|shingles| string hashes.
+    *
+    * The input MUST be an attribute from a separate projection, not an
+    * inline expression: Catalyst inlines a single-use subtree into all
+    * k branches, re-splitting/re-hashing the text k times per row — a
+    * ~20× CPU blowup measured at sf0.1 (577s → 29s after splitting the
+    * projection). CollapseProject keeps multi-referenced non-cheap
+    * aliases materialized, so a two-step select is the right shape. */
+  def minhashSignature(hs: Column, k: Int = 32): Column =
     array((0 until k).map(i =>
-      array_min(transform(sh, s => xxhash64(lit(i), s)))): _*)
-  }
+      array_min(transform(hs, h =>
+        h * lit(2L * i + 1) + lit(i * -7046029254386353131L)))): _*)
+
+  /** Shingle-hash column: one 64-bit hash per distinct shingle. */
+  def shingleHashes(sh: Column): Column = transform(sh, s => xxhash64(s))
 
   /** LSH banding over MinHash signatures: signature split into
     * `bands` bands of `rows` hashes; docs sharing any band bucket are
@@ -80,17 +104,30 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, bands: Int = 8, rows: Int = 4,
       minEstJaccard: Double = 0.5, w: Int = 3): DataFrame = {
     val k = bands * rows
-    val sigs = docs.select(col("doc_id"),
-      minhashSignature(col("text"), k, w).as("sig"))
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    // persist: the signature table is consumed three times (band
+    // explode + the two candidate join-backs) with incompatible
+    // partitionings, so exchange reuse can't help — cache the few MB
+    // instead of recomputing the shingle+hash pipeline 3x.
+    val sigs = shingled(docs, w)
+      .select(col("doc_id"), shingleHashes(col("sh")).as("hs"))
+      .select(col("doc_id"), minhashSignature(col("hs"), k).as("sig"))
+      .persist()
+    // Bucket rows stay NARROW (id, band, bucket) — the 32-hash
+    // signatures never ride the candidate shuffle; they are joined back
+    // only for the (distinct, much smaller) candidate set. This is the
+    // difference between shuffling k·|docs|·bands longs and |pairs| ids.
+    val banded = sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)), bi =>
         hash(slice(col("sig"), bi * rows + 1, lit(rows)), bi))).as(Seq("band", "bucket")))
-    val a = banded.toDF("a_id", "a_sig", "band", "bucket")
-    val b = banded.toDF("b_id", "b_sig", "band", "bucket")
+    val a = banded.toDF("a_id", "band", "bucket")
+    val b = banded.toDF("b_id", "band", "bucket")
     val cands = a.join(b, Seq("band", "bucket"))
       .where(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_sig", "b_sig").distinct()
-    cands.select(col("a_id"), col("b_id"),
+      .select("a_id", "b_id").distinct()
+    val withSigs = cands
+      .join(sigs.toDF("a_id", "a_sig"), "a_id")
+      .join(sigs.toDF("b_id", "b_sig"), "b_id")
+    withSigs.select(col("a_id"), col("b_id"),
       (aggregate(zip_with(col("a_sig"), col("b_sig"),
         (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
         lit(0), (acc, v) => acc + v).cast("double") / lit(k))

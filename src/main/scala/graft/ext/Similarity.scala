@@ -52,15 +52,16 @@ object Similarity {
   private def planeComponent(p: Int, d: Column): Column =
     pmod(xxhash64(lit(p), d), lit(2001L)) - 1000L
 
-  /** Sign-bit LSH sketch: bit p = sign of ⟨v, plane_p⟩. */
-  def lshSketch(emb: Column, planes: Int = 8): Column = {
-    val q = quantize(emb)
+  /** Sign-bit LSH sketch over a PRE-MATERIALIZED quantized column
+    * (see Dedup.minhashSignature for why the input must be an
+    * attribute, not the quantize expression): bit p = sign of
+    * ⟨v, plane_p⟩. */
+  def lshSketch(q: Column, planes: Int = 8): Column =
     (0 until planes).map { p =>
       val proj = aggregate(zip_with(q, sequence(lit(0), size(q) - 1),
         (x, i) => x * planeComponent(p, i)), lit(0L), (acc, v) => acc + v)
       when(proj >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
     }.reduce(_ + _)
-  }
 
   /** Bucketed batch k-NN: probe vectors join candidates sharing an LSH
     * bucket, then exact cosine + per-probe top-k window. Bucket-local
@@ -69,11 +70,11 @@ object Similarity {
   def lshTopK(emb: DataFrame, probes: DataFrame, k: Int = 5,
       planes: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = emb.select(col("vec_id"), quantize(col("embedding")).as("q"),
-      lshSketch(col("embedding"), planes).as("bucket"))
+    val base = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .select(col("vec_id"), col("q"), lshSketch(col("q"), planes).as("bucket"))
     val prb = probes.select(col("vec_id").as("probe_id"),
-      quantize(col("embedding")).as("pq"),
-      lshSketch(col("embedding"), planes).as("bucket"))
+      quantize(col("embedding")).as("pq"))
+      .select(col("probe_id"), col("pq"), lshSketch(col("pq"), planes).as("bucket"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine_sim").desc, col("vec_id").asc)
     prb.join(base, "bucket")
