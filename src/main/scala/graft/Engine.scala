@@ -20,6 +20,17 @@ object Engine {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // InferFiltersFromGenerate turns explode(f(x)) into an inferred
+    // `size(f(x)) > 0` filter that PushDownPredicates then sinks below
+    // every exchange to the scan — re-evaluating the generator child
+    // (here: whole shingle/tokenize HOF pipelines, with their own
+    // children inlined per reference) once more per INPUT row, on the
+    // scan's parallelism. Measured 6s of single-task CPU per dedup
+    // query at sf0.1; at 100 TB it double-charges the most expensive
+    // projection of the pipeline. The rows it would drop (empty token
+    // arrays) are a negligible fraction, so exclude the rule.
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     // events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects by
     // default; read it as a long (ns since epoch) and convert explicitly
     // where needed (exact integer arithmetic — oracle-parity safe).

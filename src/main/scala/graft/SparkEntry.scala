@@ -145,10 +145,24 @@ object SparkEntry {
     post(s.read.parquet(s"$base/out/$table"))
   }
 
+  /** documents/embeddings, repartitioned to the session's parallelism
+    * and cached per (session, path). The testdata parquet is a single
+    * small file = ONE input split; without an explicit redistribution
+    * every expensive projection above it (shingling, minhash, simhash,
+    * token stats) runs on a single task no matter how many cores the
+    * session has. The cache() is the materialization boundary that pins
+    * the parallelism (and shares one scan across the many doc/emb
+    * entries). On a real cluster the input arrives in many splits and
+    * this collapses to a plain cached scan. */
+  private val readCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def sharedRead(s: SparkSession, path: String): DataFrame =
+    readCache.getOrElseUpdate((s, path),
+      s.read.parquet(path).repartition(s.sparkContext.defaultParallelism * 2).cache())
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    sharedRead(s, s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    sharedRead(s, s"$dir/embeddings.parquet")
   private def prep(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, d) => { Engine.prepare(s); f(s, d) }
 

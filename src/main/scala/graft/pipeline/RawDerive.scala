@@ -107,7 +107,12 @@ object RawDerive {
     * natural FK chain orders→customer→nation, so geo has the same
     * cardinality as pin and the `ind` equi-joins are total. */
   def tables(spark: SparkSession, sfDir: String): (DataFrame, DataFrame, DataFrame) = {
+    // The testdata orders.parquet is one file / one row group = one
+    // input split: without redistribution the ~20-expression derive
+    // projection runs on a single task. Round-robin to the session's
+    // parallelism first (cheap: rows are narrow pre-derive).
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .repartition(spark.sparkContext.defaultParallelism * 2)
     val customer = spark.read.parquet(s"$sfDir/customer.parquet")
     val nation = spark.read.parquet(s"$sfDir/nation.parquet")
     (rawPin(orders), rawGeo(orders, customer, nation), rawUser(orders))
