@@ -90,6 +90,7 @@ object SparkEntry {
     "revenue_by_nation" -> prep((s, d) => Engine.canonical(ShapeQueries.revenueByNation(s, d))),
     "top_customers" -> prep((s, d) => ShapeQueries.topCustomers(s, d)),
     "events_hourly" -> prep((s, d) => Engine.canonical(ShapeQueries.eventsHourly(s, d))),
+    "sessionize_batch" -> prep((s, d) => Engine.canonical(ShapeQueries.sessionizeBatch(s, d))),
     "user_top_events" -> prep((s, d) => Engine.canonical(ShapeQueries.userTopEvents(s, d))),
     // ---- text analysis (oracle-checked where parity-safe) ------------
     "text_stats" -> prep((s, d) => Engine.canonical(TextAnalysis.textStats(docs(s, d)))),
@@ -121,6 +122,24 @@ object SparkEntry {
       graft.ingest.Fixtures.landBatch(s, d, base)
       graft.pipeline.Cleaning.cleanPin(
         graft.ingest.Fixtures.readTopic(s, base, "pin")).orderBy("ind")
+    }),
+    // Watermarked tumbling-window rollup on a live stream (operator
+    // surface the reference lacks; oracle applies the same watermark
+    // cutoff — only windows the final watermark released are emitted).
+    "stream_events_hourly" -> prep((s, d) => {
+      val base = tmpDir("graft_evstream")
+      s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"),
+          expr("timestamp_micros(ts div 1000)").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .coalesce(1).write.mode("overwrite").json(s"$base/in")
+      graft.streaming.EventStream.runWindowed(
+        s, s"$base/in", s"$base/out", s"$base/ckpt").awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select(col("window_start").cast("string").as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("window_start").asc_nulls_first,
+          col("event_type").asc_nulls_first)
     }),
     "stream_pin_clean" -> streamEntry("pin", df => df.orderBy("ind")),
     "stream_geo_clean" -> streamEntry("geo", df => df.select(col("ind"),
@@ -184,6 +203,8 @@ object SparkEntry {
     "revenue_by_nation" -> ExtOracle.revenueByNation,
     "top_customers" -> ExtOracle.topCustomers,
     "events_hourly" -> ExtOracle.eventsHourly,
+    "sessionize_batch" -> ExtOracle.sessionizeBatch,
+    "stream_events_hourly" -> ExtOracle.streamEventsHourly,
     "user_top_events" -> ExtOracle.userTopEvents,
     "text_stats" -> ExtOracle.textStats,
     "token_freq_topk" -> ExtOracle.tokenFreqTopK,

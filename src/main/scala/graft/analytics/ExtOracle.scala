@@ -57,6 +57,40 @@ FROM events
 GROUP BY hour_bucket, event_type
 ${ord("hour_bucket", "event_type")}""".trim
 
+  val sessionizeBatch: String = s"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
+g AS (
+  SELECT *, CASE WHEN tus - lag(tus) OVER (
+      PARTITION BY user_id ORDER BY tus ASC, event_id ASC) > 1800000000
+    THEN 1 ELSE 0 END AS new_sess
+  FROM e),
+s AS (
+  SELECT *, SUM(new_sess) OVER (
+      PARTITION BY user_id ORDER BY tus ASC, event_id ASC
+      ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM g)
+SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+  MIN(tus) AS session_start_us, MAX(tus) AS session_end_us,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
+FROM s
+GROUP BY user_id, sess_no
+${ord("user_id", "sess_no")}""".trim
+
+  /** Twin of the streaming windowed rollup: append mode only releases
+    * a window once the watermark (max event time − 30 min lateness)
+    * passes its end, so the oracle applies the same cutoff. */
+  val streamEventsHourly: String = s"""
+WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events)
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
+FROM events, wm
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+GROUP BY 1, 2
+${ord("window_start", "event_type")}""".trim
+
   val userTopEvents: String = s"""
 SELECT user_id, rk, event_id, value FROM (
   SELECT user_id, event_id, value,

@@ -90,6 +90,36 @@ object ShapeQueries {
         (sum(col("value_cents")).cast("double") / 100).as("sum_value"),
         sum(col("k_val")).as("sum_k"))
 
+  /** Batch gap-sessionization (gaps-and-islands): a session = a run of
+    * one user's events with < 30 min between neighbours. lag() marks
+    * session starts, a running sum numbers them, groupBy folds each —
+    * two window passes and one aggregation over a single shuffle on
+    * user_id (the window partition key and the grouping key align, so
+    * AQE plans one exchange). This is the batch twin of
+    * streaming.EventStream.sessionize (which emits the same sessions
+    * incrementally from flatMapGroupsWithState); time rides as exact
+    * integer MICROseconds (`ts div 1000` — DuckDB truncates the
+    * parquet's nanosecond timestamps to µs on read, so µs is the
+    * highest precision both engines agree on). */
+  def sessionizeBatch(s: SparkSession, dir: String,
+      gapUs: Long = 1800L * 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus").asc, col("event_id").asc)
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        expr("ts div 1000").as("tus"))
+      .withColumn("new_sess",
+        when(col("tus") - lag(col("tus"), 1).over(byTime) > gapUs, 1).otherwise(0))
+      .withColumn("sess_no", sum(col("new_sess")).over(
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(min(col("tus")).as("session_start_us"),
+        max(col("tus")).as("session_end_us"),
+        count("*").as("n_events"),
+        (sum(cents(col("value"))).cast("double") / 100).as("sum_value"))
+  }
+
   /** Per-user top purchases: window shape over a high-cardinality key
     * — shuffles once on user_id. `value` passes through unmodified
     * (no arithmetic → raw-parquet parity). */

@@ -1,0 +1,153 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Event-stream operators beyond the reference surface (the reference
+  * has no watermark, no event-time window, no custom state anywhere —
+  * SURVEY.md §2.7): the standard large-scale stream-analytics kit over
+  * the `events` table, built the Structured-Streaming-native way.
+  *
+  *  - `windowedAgg`: watermark + tumbling event-time window + counts/
+  *    sums, append mode. State is bounded by the lateness horizon; at
+  *    any scale this shuffles once on (window, event_type).
+  *  - `sessionize`: typed `flatMapGroupsWithState` gap-sessionization —
+  *    one state entry per active user (the open session), closed
+  *    sessions emitted as soon as a later event proves the gap. This is
+  *    the custom-state shape (KeyValueGroupedDataset) that windowed
+  *    aggs can't express.
+  *
+  * Both run on the same file-source stand-in as StreamJob (no Kafka/
+  * Kinesis jars in this environment) and both are verified stream ≡
+  * batch in StreamingSpec.
+  */
+object EventStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** File-source events stream (JSON lines landed under `dir`). */
+  def source(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).json(dir)
+
+  /** Tumbling-window rollup with a watermark: the streaming twin of
+    * ShapeQueries.eventsHourly. Append mode emits a window only once
+    * the watermark passes its end — exactly-once, bounded state. */
+  def windowedAgg(events: DataFrame, windowLen: String = "1 hour",
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count("*").as("n_events"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100)
+          .as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  def runWindowed(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    windowedAgg(source(spark, inDir))
+      .writeStream
+      .format("parquet")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .option("path", outDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  // ---- gap sessionization (typed custom state) -----------------------
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** The open session carried between micro-batches. */
+  case class OpenSession(start_ms: Long, end_ms: Long, n_events: Int,
+      sum_value: Double)
+
+  case class UserSession(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Int, sum_value: Double)
+
+  /** Fold one user's new events (sorted by event time — the iterator
+    * carries no order guarantee) into the open session, emitting every
+    * session closed by a gap > `gapMs`. Pure function: unit-testable
+    * without a stream. */
+  def advance(userId: Long, sorted: Seq[Event], open: Option[OpenSession],
+      gapMs: Long): (Seq[UserSession], Option[OpenSession]) =
+    sorted.foldLeft((Vector.empty[UserSession], open)) {
+      case ((closed, None), e) =>
+        (closed, Some(OpenSession(e.ts.getTime, e.ts.getTime, 1, e.value)))
+      case ((closed, Some(s)), e) if e.ts.getTime - s.end_ms > gapMs =>
+        (closed :+ UserSession(userId, new Timestamp(s.start_ms),
+          new Timestamp(s.end_ms), s.n_events, s.sum_value),
+          Some(OpenSession(e.ts.getTime, e.ts.getTime, 1, e.value)))
+      case ((closed, Some(s)), e) =>
+        (closed, Some(s.copy(end_ms = math.max(s.end_ms, e.ts.getTime),
+          n_events = s.n_events + 1, sum_value = s.sum_value + e.value)))
+    }
+
+  /** flatMapGroupsWithState sessionizer. State per user = the open
+    * session only (constant size — the 100 TB-safe shape; the closed
+    * ones leave the state store the moment they're provable). Event-
+    * time timeout closes idle sessions once the watermark passes
+    * last-event + gap. */
+  def sessionize(spark: SparkSession, events: DataFrame,
+      gapMs: Long = 30L * 60 * 1000, lateness: String = "10 minutes"): Dataset[UserSession] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (it.isEmpty && state.hasTimedOut) {
+            // idle beyond gap: close and clear
+            val s = state.get
+            state.remove()
+            Iterator.single(UserSession(userId, new Timestamp(s.start_ms),
+              new Timestamp(s.end_ms), s.n_events, s.sum_value))
+          } else {
+            val (closed, open) = advance(userId,
+              it.toSeq.sortBy(_.ts.getTime), state.getOption, gapMs)
+            open match {
+              case Some(s) =>
+                state.update(s)
+                state.setTimeoutTimestamp(s.end_ms + gapMs)
+              case None => if (state.exists) state.remove()
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  def runSessionize(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    sessionize(spark, source(spark, inDir))
+      .toDF()
+      .writeStream
+      .format("parquet")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .option("path", outDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Batch twin of `windowedAgg` for stream≡batch verification: same
+    * bucketing arithmetic over a static frame (no watermark cutoff). */
+  def batchWindowedAgg(events: DataFrame, windowLen: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count("*").as("n_events"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100)
+          .as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+}

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Event, OpenSession, UserSession}
+
+/** Event-stream operator specs: watermarked windowed agg (stream ≡
+  * batch on emitted windows), the pure sessionization fold, and the
+  * end-to-end flatMapGroupsWithState pipeline incl. cross-micro-batch
+  * state carry-over via checkpoint restart. */
+class EventStreamSpec extends SparkSpec {
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  /** Land the sf events as JSON lines (the stream-dir stand-in). */
+  private def landEvents(dir: String): Unit =
+    spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), (col("ts") / 1e9).cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .coalesce(1).write.mode("overwrite").json(dir)
+
+  test("windowed agg with watermark: stream == batch on emitted windows") {
+    val base = tmp("ev_win")
+    landEvents(s"$base/in")
+    EventStream.runWindowed(spark, s"$base/in", s"$base/out", s"$base/ckpt")
+      .awaitTermination()
+    val streamed = spark.read.parquet(s"$base/out")
+    val batch = EventStream.batchWindowedAgg(
+      spark.read.schema(EventStream.eventSchema).json(s"$base/in"))
+    assert(streamed.count() > 0, "watermark must have released windows")
+    // every emitted window matches the batch result exactly
+    val b = batch.collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+      (r.getLong(2), r.getDouble(3))).toMap
+    streamed.collect().foreach { r =>
+      assert(b((r.getTimestamp(0), r.getString(1))) == (r.getLong(2), r.getDouble(3)))
+    }
+    // append mode may hold back only the tail beyond the last watermark
+    assert(streamed.count() >= batch.count() - 24,
+      "at most the trailing windows may be unemitted")
+  }
+
+  // minutes offset well past the epoch: an event at ts=0 ties the
+  // initial watermark and is dropped as late — an artifact of epoch-
+  // anchored fixtures, not of the operator.
+  private val T0 = 1700000000000L
+  private def ts(minute: Long) = new Timestamp(T0 + minute * 60000)
+  private def ev(id: Long, user: Long, minute: Long, value: Double = 1.0) =
+    Event(id, ts(minute), user, "click", value)
+
+  test("advance: pure sessionization fold splits on gaps") {
+    val gap = 30L * 60000
+    val events = Seq(ev(1, 7, 0), ev(2, 7, 10), ev(3, 7, 50), ev(4, 7, 200))
+    val (closed, open) = EventStream.advance(7, events, None, gap)
+    assert(closed == Seq(
+      UserSession(7, ts(0), ts(10), 2, 2.0),
+      UserSession(7, ts(50), ts(50), 1, 1.0)))
+    assert(open.contains(OpenSession(ts(200).getTime, ts(200).getTime, 1, 1.0)))
+    // continuation: a prior open session extends instead of splitting
+    val (c2, o2) = EventStream.advance(7, Seq(ev(5, 7, 205)), open, gap)
+    assert(c2.isEmpty && o2.contains(OpenSession(ts(200).getTime, ts(205).getTime, 2, 2.0)))
+  }
+
+  test("sessionize end-to-end: closed sessions emitted, state survives restart") {
+    val base = tmp("ev_sess")
+    import spark.implicits._
+    def land(rows: Seq[Event], part: String): Unit =
+      rows.toDF().coalesce(1).write.mode("append").json(s"$base/in")
+    // batch 1: user 1 has an early burst, then silence
+    land(Seq(ev(1, 1, 0), ev(2, 1, 5), ev(3, 2, 0)), "a")
+    EventStream.runSessionize(spark, s"$base/in", s"$base/out", s"$base/ckpt")
+      .awaitTermination()
+    // batch 2 (restart from checkpoint): user 1 reappears past the gap —
+    // the first session closes; user 2's open session carried over and
+    // extends without closing.
+    land(Seq(ev(4, 1, 120), ev(5, 2, 10)), "b")
+    EventStream.runSessionize(spark, s"$base/in", s"$base/out", s"$base/ckpt")
+      .awaitTermination()
+    val out = spark.read.parquet(s"$base/out").as[UserSession].collect()
+    val u1 = out.filter(_.user_id == 1)
+    assert(u1.toSeq == Seq(UserSession(1, ts(0), ts(5), 2, 2.0)),
+      s"user 1's first session must close on reappearance; got ${u1.toSeq}")
+    // user 2's state carried over the restart (min-0 event from batch 1
+    // + min-10 event from batch 2 in ONE session), then closed via the
+    // EventTimeTimeout path: the batch-2 watermark (min 110) proves the
+    // 30-min idle gap after min 10.
+    val u2 = out.filter(_.user_id == 2)
+    assert(u2.toSeq == Seq(UserSession(2, ts(0), ts(10), 2, 2.0)),
+      s"user 2's session must close by event-time timeout; got ${u2.toSeq}")
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.pipeline.{PinQueries, PinSql}
+
+/** Dual-surface parity: each of the reference's verbatim `%sql` texts
+  * (PinSql, run via temp views + spark.sql — the analyst surface) must
+  * return exactly the rows of its DataFrame-DSL counterpart
+  * (PinQueries). Row-order-insensitive compare: both surfaces leave
+  * ties unspecified, so results are compared as sorted multisets.
+  * Q4 is value-compared only (its LIMIT 1 over a rank tie is
+  * nondeterministic in the reference; the DSL adds a documented
+  * tie-break). */
+class SqlParitySpec extends SparkSpec {
+
+  private lazy val tables = {
+    val t = PinQueries.cleanedTables(spark, sf)
+    PinSql.registerViews(t._1, t._2, t._3)
+    t
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+
+  private val dsl: Map[String, ((DataFrame, DataFrame, DataFrame)) => DataFrame] = Map(
+    "q1" -> (t => PinQueries.q1(t._1, t._2)),
+    "q2" -> (t => PinQueries.q2(t._1, t._2)),
+    "q3" -> (t => PinQueries.q3(t._1, t._2)),
+    "q5" -> (t => PinQueries.q5(t._1, t._3)),
+    "q6" -> (t => PinQueries.q6(t._1, t._3)),
+    "q7" -> (t => PinQueries.q7(t._3)),
+    "q8" -> (t => PinQueries.q8(t._1, t._3)),
+    "q9" -> (t => PinQueries.q9(t._1, t._3)))
+
+  dsl.keys.toSeq.sorted.foreach { name =>
+    test(s"$name: verbatim SQL == DataFrame DSL") {
+      val t = tables // forces view registration before spark.sql
+      val sqlRows = rows(PinSql.run(spark, name))
+      val dslRows = rows(dsl(name)(t))
+      assert(sqlRows == dslRows)
+    }
+  }
+
+  test("q4: verbatim SQL == DSL on the value (tie-break documented)") {
+    val t = tables
+    val sqlRow = PinSql.run(spark, "q4").head()
+    val dslRow = PinQueries.q4(t._1, t._2).head()
+    assert(sqlRow.getInt(1) == dslRow.getInt(1))
+  }
+}
