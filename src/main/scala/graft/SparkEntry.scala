@@ -96,6 +96,7 @@ object SparkEntry {
     "text_stats" -> prep((s, d) => Engine.canonical(TextAnalysis.textStats(docs(s, d)))),
     "token_freq_topk" -> prep((s, d) => TextAnalysis.tokenFreqTopK(docs(s, d))),
     "quality_score" -> prep((s, d) => Engine.canonical(TextAnalysis.qualityScore(docs(s, d)))),
+    "bpe_token_count" -> prep((s, d) => TextAnalysis.bpeTokenCount(docs(s, d)).orderBy("doc_id")),
     "lang_id" -> prep((s, d) => TextAnalysis.langId(docs(s, d))
       .select("doc_id", "lang_pred", "lang_conf").orderBy("doc_id")),
     "fingerprint_docs" -> prep((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
@@ -209,6 +210,7 @@ object SparkEntry {
     "text_stats" -> ExtOracle.textStats,
     "token_freq_topk" -> ExtOracle.tokenFreqTopK,
     "quality_score" -> ExtOracle.qualityScore,
+    "bpe_token_count" -> ExtOracle.bpeTokenCount,
     "dedup_exact" -> ExtOracle.dedupExact,
     "ngram_jaccard" -> ExtOracle.ngramJaccard,
     "ann_cosine_topk" -> ExtOracle.annCosineTopK,

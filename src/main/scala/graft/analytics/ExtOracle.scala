@@ -115,6 +115,15 @@ SELECT doc_id,
 FROM documents
 ${ord("doc_id")}""".trim
 
+  val bpeTokenCount: String = s"""
+SELECT doc_id,
+  CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text,
+    '(''(?:[sdmt]|ll|ve|re))|( ?\\p{L}+)|( ?\\p{N}+)|( ?[^\\s\\p{L}\\p{N}]+)|(\\s+)'))
+    AS INT) AS n_bpe_tokens
+FROM documents
+${ord("doc_id")}""".trim
+
   val tokenFreqTopK: String = s"""
 SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM (
   SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents)

@@ -148,12 +148,21 @@ object Dedup {
     val hs = docs
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), transform(col("ws"), t => xxhash64(t)).as("hs"))
+    // One aggregate pass with a 64-slot count accumulator (nested
+    // zip_with), not 64 sibling aggregates: same arithmetic, ~64×
+    // smaller expression tree — analysis/codegen of the plan was the
+    // dominant cost of the 64-branch form.
+    val bitIdx = sequence(lit(0), lit(63))
     hs.select(col("doc_id"),
-      (0 until 64).map { b =>
-        val ones = aggregate(col("hs"), lit(0),
-          (acc, h) => acc + shiftright(h, b).bitwiseAND(1).cast("int"))
-        when(ones * 2 > size(col("hs")), shiftleft(lit(1L), b)).otherwise(lit(0L))
-      }.reduce(_.bitwiseOR(_)).as("simhash"))
+      aggregate(
+        zip_with(
+          aggregate(col("hs"), array_repeat(lit(0), 64),
+            (acc, h) => zip_with(acc, bitIdx,
+              (a, b) => a + call_function("shiftright", h, b).bitwiseAND(1).cast("int"))),
+          bitIdx,
+          (ones, b) => when(ones * 2 > size(col("hs")),
+            call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
+        lit(0L), (acc, v) => acc.bitwiseOR(v)).as("simhash"))
   }
 
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDist. Candidate

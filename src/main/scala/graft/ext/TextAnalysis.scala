@@ -36,6 +36,20 @@ object TextAnalysis {
           col("n_tokens").cast("double"))
   }
 
+  /** BPE-ish pre-tokenization count: the GPT-2-style split regex
+    * (contraction suffixes | space-prefixed letter runs | digit runs |
+    * punctuation runs | whitespace) minus the lookahead (kept RE2-safe
+    * so the DuckDB oracle can run the identical pattern). Counts the
+    * pre-merge tokens a byte-level BPE would start from — the standard
+    * cheap proxy for "model tokens" in a data pipeline. Pure
+    * regexp_count projection, fused into the scan. */
+  val bpeSplitPattern = "('(?:[sdmt]|ll|ve|re))|( ?\\p{L}+)|( ?\\p{N}+)|( ?[^\\s\\p{L}\\p{N}]+)|(\\s+)"
+
+  def bpeTokenCount(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("int").as("n_ws_tokens"),
+      regexp_count(col("text"), lit(bpeSplitPattern)).cast("int").as("n_bpe_tokens"))
+
   /** Global token frequency top-k: explode → hash-agg (partial+final)
     * → TakeOrderedAndProject. The canonical "word count at scale". */
   def tokenFreqTopK(docs: DataFrame, k: Int = 25): DataFrame =

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.analytics.ShapeQueries
+import graft.ext.Similarity
+
+/** Physical-plan shape assertions — the scale contract, pinned so a
+  * refactor that silently de-optimizes a plan (drops a pushdown, turns
+  * a broadcast into a shuffle, a top-k into a global sort, a bucket
+  * join into a cartesian product) fails CI rather than surfacing as a
+  * 100 TB incident. Each assertion mirrors a claim made in the
+  * operators' scaladocs. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("agg_pricing: shipdate filter reaches the parquet scan, schema pruned") {
+    val q = ShapeQueries.aggPricing(spark, sf)
+    val formatted = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter must be pushed to the scan:\n$formatted")
+    // projection pruning: only the 5 referenced columns are read
+    val readSchema = formatted.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_orderkey"),
+      s"scan must not read unused columns: $readSchema")
+    assert(formatted.contains("HashAggregate"), "partial+final hash agg expected")
+  }
+
+  test("revenue_by_nation: dimension joins broadcast, fact join shuffles") {
+    val p = plan(ShapeQueries.revenueByNation(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"dims must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), "no cartesian products")
+  }
+
+  test("top_customers: sort+limit plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(ShapeQueries.topCustomers(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
+  }
+
+  test("lshTopK: bucket join is an equi-join, never a cross join") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(Similarity.lshTopK(emb, emb.limit(5)))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bucketed ANN must stay equi-join:\n$p")
+  }
+
+  private def codegenExplain(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+
+  test("cleaning + analytics stay inside whole-stage codegen") {
+    // AQE finalizes (and codegens) stages only at execution: run first,
+    // then read the final adaptive plan.
+    val (pin, geo, _) = graft.pipeline.PinQueries.cleanedTables(spark, sf)
+    val q = graft.pipeline.PinQueries.q1(pin, geo)
+    q.collect()
+    val p = plan(q)
+    // the final adaptive plan renders WholeStageCodegen stages as the
+    // `*(id)` operator prefix
+    assert(p.contains("*("),
+      s"codegen must cover the hot path:\n${p.take(1200)}")
+  }
+
+  test("polyhash64 participates in codegen (no CodegenFallback fence)") {
+    val df = spark.range(4).select(
+      graft.functions.PolyHash64.polyhash64(col("id").cast("string")).as("h"))
+    // CollapseCodegenStages only keeps expressions with working doGenCode
+    // inside a WholeStageCodegen stage; a fallback would show `Project`
+    // outside any codegen node for this single-projection plan.
+    assert(!codegenExplain(df).contains("Found 0 WholeStage"), codegenExplain(df).take(800))
+    // and the generated value must equal the interpreted eval
+    val h = df.collect().map(_.getLong(0))
+    assert(h.toSeq == Seq("0", "1", "2", "3").map(s =>
+      s.getBytes("UTF-8").foldLeft(0L)((acc, b) => acc * 1000003L + (b & 0xffL))))
+  }
+}
