@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.analytics.{ExtOracle, ShapeQueries}
-import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Sampling, Similarity, SkewJoin, TextAnalysis}
 import graft.pipeline.{Cleaning, PinOracle, PinQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -100,6 +100,24 @@ object SparkEntry {
     "lang_id" -> prep((s, d) => TextAnalysis.langId(docs(s, d))
       .select("doc_id", "lang_pred", "lang_conf").orderBy("doc_id")),
     "fingerprint_docs" -> prep((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
+    // ---- deterministic sampling / splitting / skew handling ----------
+    "train_test_split" -> prep((s, d) =>
+      Sampling.assignSplit(docs(s, d)).select("doc_id", "split").orderBy("doc_id")),
+    "stratified_sample" -> prep((s, d) =>
+      Sampling.stratifiedSample(docs(s, d), "lang",
+        Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1))
+        .select("doc_id", "lang").orderBy("doc_id")),
+    "salted_join_revenue" -> prep((s, d) => Engine.canonical(
+      SkewJoin.saltedInner(
+        s.read.parquet(s"$d/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_extendedprice")),
+        s.read.parquet(s"$d/orders.parquet")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
+        "l_orderkey")
+        .groupBy(col("o_orderstatus"))
+        .agg(count("*").as("n_items"),
+          (sum(round(col("l_extendedprice") * 100).cast("long")).cast("double") / 100)
+            .as("revenue")))),
     // ---- dedup tiers -------------------------------------------------
     "dedup_exact" -> prep((s, d) => Engine.canonical(Dedup.exact(docs(s, d)))),
     "ngram_jaccard" -> prep((s, d) => Engine.canonical(Dedup.ngramJaccardPairs(docs(s, d)))),
@@ -211,6 +229,9 @@ object SparkEntry {
     "token_freq_topk" -> ExtOracle.tokenFreqTopK,
     "quality_score" -> ExtOracle.qualityScore,
     "bpe_token_count" -> ExtOracle.bpeTokenCount,
+    "train_test_split" -> ExtOracle.trainTestSplit,
+    "stratified_sample" -> ExtOracle.stratifiedSample,
+    "salted_join_revenue" -> ExtOracle.saltedJoinRevenue,
     "dedup_exact" -> ExtOracle.dedupExact,
     "ngram_jaccard" -> ExtOracle.ngramJaccard,
     "ann_cosine_topk" -> ExtOracle.annCosineTopK,

@@ -146,6 +146,38 @@ SELECT doc_id,
 FROM t
 ${ord("doc_id")}""".trim
 
+  // ---- sampling / splitting ---------------------------------------
+
+  /** Knuth multiplicative bucket — identical integer arithmetic to
+    * graft.ext.Sampling.bucket. */
+  private def bkt(m: Long): String = s"((doc_id % 1000003) * 2654435761) % $m"
+
+  val trainTestSplit: String = s"""
+SELECT doc_id,
+  CASE WHEN ${bkt(100)} < 80 THEN 'train'
+       WHEN ${bkt(100)} < 90 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+${ord("doc_id")}""".trim
+
+  val stratifiedSample: String = s"""
+SELECT doc_id, lang FROM documents
+WHERE CAST(${bkt(10000)} AS DOUBLE) <
+  CASE lang WHEN 'en' THEN 5000.0 WHEN 'de' THEN 2500.0
+            WHEN 'fr' THEN 1000.0 ELSE 0.0 END
+${ord("doc_id")}""".trim
+
+  /** Twin of the salted skew join: salts cancel out, so the oracle is
+    * the PLAIN join+aggregate — equality proves salting is
+    * result-invariant. */
+  val saltedJoinRevenue: String = s"""
+SELECT o_orderstatus,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100 AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+${ord("o_orderstatus")}""".trim
+
   // ---- dedup -------------------------------------------------------
 
   val dedupExact: String = s"""

@@ -1,0 +1,48 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/splitting for training-data pipelines.
+  *
+  * Everything is keyed on integer arithmetic over a row id — Knuth
+  * multiplicative hashing `((id mod p) · 2654435761) mod m` — rather
+  * than `rand()`: assignments are (a) reproducible run-to-run and
+  * engine-to-engine (the DuckDB oracle computes the identical buckets),
+  * (b) stable under repartitioning — a row's split never depends on
+  * which task sampled it, and (c) join-free — a pure projection/filter
+  * fused into the scan at any scale. The inner `mod p` (p prime >
+  * bucket count) bounds the product away from 64-bit overflow for
+  * arbitrarily large ids. */
+object Sampling {
+
+  private val P = 1000003L        // prime: id range compressor
+  private val A = 2654435761L     // Knuth's multiplicative constant
+
+  /** Pseudo-uniform bucket in [0, m) from a non-negative id. */
+  def bucket(id: Column, m: Int): Column =
+    pmod(pmod(id, lit(P)) * lit(A), lit(m.toLong))
+
+  /** Train/val/test assignment by percentage (e.g. 80/10/10). */
+  def assignSplit(df: DataFrame, idCol: String = "doc_id",
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val b = bucket(col(idCol), 100)
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Per-stratum deterministic sampling: keep a row iff its 1/10000
+    * bucket clears the stratum's fraction. Strata missing from
+    * `fractions` are dropped (fraction 0). One filter, no shuffle, no
+    * per-stratum pass — unlike `DataFrameStatFunctions.sampleBy`, the
+    * result is identical on every run and engine. */
+  def stratifiedSample(df: DataFrame, stratumCol: String,
+      fractions: Map[String, Double], idCol: String = "doc_id"): DataFrame = {
+    val threshold = fractions.foldLeft(lit(0.0)) { case (acc, (k, f)) =>
+      when(col(stratumCol) === k, lit(f * 10000)).otherwise(acc)
+    }
+    df.where(bucket(col(idCol), 10000).cast("double") < threshold)
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Sampling, SkewJoin}
+
+/** Sampling / splitting / skew-join invariants. */
+class SamplingSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("assignSplit: partitioning-invariant, exhaustive, ~80/10/10") {
+    val a = Sampling.assignSplit(docs).select("doc_id", "split")
+    val b = Sampling.assignSplit(docs.repartition(7)).select("doc_id", "split")
+    assert(a.collect().toSet == b.collect().toSet,
+      "split must not depend on physical layout")
+    val byPct = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(byPct.values.sum == n.toLong, "every row gets a split")
+    assert(math.abs(byPct("train") / n - 0.8) < 0.1, byPct.toString)
+    assert(byPct.keySet == Set("train", "val", "test"))
+  }
+
+  test("stratifiedSample: per-stratum fractions honored, others dropped") {
+    val out = Sampling.stratifiedSample(docs, "lang",
+      Map("en" -> 1.0, "de" -> 0.0))
+    val langs = out.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs == Set("en"), s"only en at fraction 1.0 survives: $langs")
+    assert(out.count() == docs.where(col("lang") === "en").count())
+  }
+
+  test("saltedInner == plain inner join (salting is result-invariant)") {
+    val l = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val r = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    val salted = SkewJoin.saltedInner(l, r, "l_orderkey", salts = 5)
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val plain = l.join(r, "l_orderkey")
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(salted == plain)
+  }
+}
