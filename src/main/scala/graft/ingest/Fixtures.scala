@@ -2,6 +2,7 @@ package graft.ingest
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
 import graft.pipeline.RawDerive
 
 /** Fixture landing-zone writer: materializes the deterministic raw
@@ -48,5 +49,48 @@ object Fixtures {
         .json(s"$baseDir/streams/streaming-$topicPrefix-$stream")
     land(pin, "pin"); land(geo, "geo"); land(user, "user")
     baseDir
+  }
+
+  // ---- wire envelopes (S7/S8): the emulators' exact message shapes ---
+
+  /** Kafka-REST batch envelope (UPLOAD:74-108): one POST body per
+    * record, `{"records": [{"value": {...row...}}]}`. */
+  def toKafkaEnvelopes(df: DataFrame): DataFrame =
+    df.select(to_json(struct(array(struct(
+      struct(df.columns.map(col): _*).as("value"))).as("records")))
+      .as("body"))
+
+  /** Parse Kafka-REST envelopes back to raw rows (declared schema:
+    * every emulator field is a string — SURVEY §1.4). */
+  def fromKafkaEnvelopes(env: DataFrame, fields: Seq[String]): DataFrame = {
+    val valueSchema = StructType(fields.map(f => StructField(f, StringType)))
+    val bodySchema = StructType(Seq(StructField("records",
+      ArrayType(StructType(Seq(StructField("value", valueSchema)))))))
+    env.select(explode(from_json(col("body"), bodySchema)
+      .getField("records")).as("rec"))
+      .select(col("rec.value.*"))
+  }
+
+  /** Kinesis PutRecord envelope (EMIT:76-104 + IMPL:211-217): the API
+    * gateway maps `Data` through base64. */
+  def toKinesisEnvelopes(df: DataFrame, streamName: String): DataFrame =
+    df.select(to_json(struct(
+      lit(streamName).as("StreamName"),
+      base64(to_json(struct(df.columns.map(col): _*)).cast("binary")).as("Data"),
+      lit("partition-1").as("PartitionKey"))).as("body"))
+
+  /** Parse Kinesis envelopes: unwrap, base64-decode `Data`, parse the
+    * inner payload — the engine-side twin of the Kinesis consumer's
+    * `CAST(data AS STRING)` + from_json (S4/S5). */
+  def fromKinesisEnvelopes(env: DataFrame, fields: Seq[String]): DataFrame = {
+    val payloadSchema = StructType(fields.map(f => StructField(f, StringType)))
+    val envSchema = StructType(Seq(
+      StructField("StreamName", StringType),
+      StructField("Data", StringType),
+      StructField("PartitionKey", StringType)))
+    env.select(from_json(col("body"), envSchema).as("e"))
+      .select(unbase64(col("e.Data")).cast("string").as("data"))
+      .select(from_json(col("data"), payloadSchema).as("parsed_data"))
+      .select(col("parsed_data.*"))
   }
 }

@@ -1,0 +1,49 @@
+package graft
+
+import graft.ingest.Fixtures
+import graft.pipeline.RawDerive
+import graft.streaming.StreamJob
+
+/** Wire-envelope round-trips (operators S7/S8): the emulators' exact
+  * message shapes survive encode → decode with no loss, for all three
+  * tables. */
+class EnvelopeSpec extends SparkSpec {
+
+  private lazy val raw = RawDerive.tables(spark, sf)
+
+  // compare as strings: the wire format is stringly-typed (SURVEY
+  // §1.4), the raw derivation keeps `index` numeric
+  private def multiset(df: org.apache.spark.sql.DataFrame) =
+    df.select(df.columns.map(c =>
+        org.apache.spark.sql.functions.col(c).cast("string")).toIndexedSeq: _*)
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length)
+      .toMap
+
+  test("Kafka-REST envelope: {\"records\":[{\"value\":{...}}]} round-trips") {
+    for ((df, table) <- Seq((raw._1, "pin"), (raw._2, "geo"), (raw._3, "user"))) {
+      val env = Fixtures.toKafkaEnvelopes(df)
+      // shape check on the wire format itself
+      val one = env.head().getString(0)
+      assert(one.startsWith("""{"records":[{"value":{"""), s"$table: $one")
+      val back = Fixtures.fromKafkaEnvelopes(env, df.columns.toIndexedSeq)
+      assert(back.columns.toSeq == df.columns.toSeq, s"$table columns")
+      assert(multiset(back) == multiset(df), s"$table content differs")
+    }
+  }
+
+  test("Kinesis envelope: base64 Data payload round-trips") {
+    val df = raw._2 // geo — the stream the reference documents in detail
+    val env = Fixtures.toKinesisEnvelopes(df, "streaming-graft-geo")
+    val one = env.head().getString(0)
+    assert(one.startsWith("""{"StreamName":"streaming-graft-geo","Data":""""), one)
+    assert(!one.contains("latitude"), "payload must be base64, not clear text")
+    val back = Fixtures.fromKinesisEnvelopes(env, df.columns.toIndexedSeq)
+    assert(multiset(back) == multiset(df))
+  }
+
+  test("declared stream schemas match the raw derivation columns") {
+    assert(StreamJob.pinSchema.fieldNames.toSeq == raw._1.columns.toSeq)
+    assert(StreamJob.geoSchema.fieldNames.toSeq == raw._2.columns.toSeq)
+    assert(StreamJob.userSchema.fieldNames.toSeq == raw._3.columns.toSeq)
+  }
+}
