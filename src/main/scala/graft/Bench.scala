@@ -15,6 +15,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed scheduler/codegen warm-up: a trivial shuffle job pays the
+    // one-off JVM costs (executor thread pool, codegen compiler,
+    // shuffle machinery) so query timings measure queries, not VM
+    // startup. Touches no benchmark input data.
+    spark.range(1000).groupBy((org.apache.spark.sql.functions.col("id") % 7)
+      .as("k")).count().count()
     val results = SparkEntry.benchQueries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

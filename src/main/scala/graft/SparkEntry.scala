@@ -37,9 +37,21 @@ object SparkEntry {
       // re-sorted away by every downstream query; the *_clean dump
       // entries order explicitly themselves.
       val (rp, rg, ru) = graft.pipeline.RawDerive.tables(spark, sfDir)
-      (Cleaning.cleanPin(rp, sort = false).cache(),
+      val t = (Cleaning.cleanPin(rp, sort = false).cache(),
         Cleaning.cleanGeo(rg, sort = false).cache(),
         Cleaning.cleanUser(ru, sort = false).cache())
+      // Materialize the three caches CONCURRENTLY: independent DAGs,
+      // one scheduler — the cluster pipelines their stages instead of
+      // idling between three sequential first-touch materializations.
+      // (Spark job submission is thread-safe; this is the standard
+      // multi-job driver pattern.)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      Seq(t._1, t._2, t._3)
+        .map(df => Future(df.count()))
+        .foreach(Await.result(_, Duration.Inf))
+      t
     })
   }
 
@@ -130,6 +142,9 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb(s, d), queryVecId = 0L, k = 10))),
     "ann_lsh_topk" -> prep((s, d) => Similarity.lshTopK(emb(s, d),
       emb(s, d).where(col("vec_id") % 100 === 0)).orderBy("probe_id", "rk")),
+    "ann_ivf_topk" -> prep((s, d) => Similarity.ivfTopK(emb(s, d),
+      emb(s, d).where(col("vec_id") % 100 === 0), k = 5, nprobe = 3)
+      .orderBy("probe_id", "vec_id")),
     "neardup_embeddings" -> prep((s, d) => Engine.canonical(
       Similarity.nearDupPairs(emb(s, d)))),
     // ---- source/sink surface: JSON landing scan + streaming path -----
@@ -236,6 +251,7 @@ object SparkEntry {
     "ngram_jaccard" -> ExtOracle.ngramJaccard,
     "ann_cosine_topk" -> ExtOracle.annCosineTopK,
     "neardup_embeddings" -> ExtOracle.nearDupEmbeddings,
+    "ann_ivf_topk" -> ExtOracle.ivfTopK,
     "json_scan_clean" -> PinOracle.pinClean,
     "stream_pin_clean" -> PinOracle.pinClean,
     "stream_geo_clean" -> PinOracle.geoClean,

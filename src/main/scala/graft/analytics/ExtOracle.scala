@@ -228,6 +228,42 @@ scored AS (
 SELECT vec_id, cosine_sim FROM scored
 ${ord("vec_id", "cosine_sim")}""".trim
 
+  /** IVF twin: same two-level argmax (cell assignment, probe cells)
+    * with identical (cosine DESC, id ASC) tie-breaks. */
+  val ivfTopK: String = s"""
+WITH e AS ($quantized),
+cents AS (SELECT vec_id AS cent_id, q AS cq FROM e WHERE vec_id % 50 = 0),
+cos_ec AS (
+  SELECT e.vec_id, e.q, c.cent_id, c.cq,
+    list_dot_product(e.q, c.cq) /
+      (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(c.cq, c.cq))) AS cs
+  FROM e, cents c),
+assign AS (
+  SELECT vec_id, cent_id AS cell, q FROM (
+    SELECT vec_id, cent_id, q,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id ASC) AS rk
+    FROM cos_ec) WHERE rk = 1),
+probes AS (SELECT vec_id AS probe_id, q AS pq FROM e WHERE vec_id % 100 = 0),
+pcells AS (
+  SELECT probe_id, pq, cent_id AS cell FROM (
+    SELECT p.probe_id, p.pq, c.cent_id,
+      ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY
+        list_dot_product(p.pq, c.cq) /
+          (sqrt(list_dot_product(p.pq, p.pq)) * sqrt(list_dot_product(c.cq, c.cq)))
+        DESC, c.cent_id ASC) AS rk
+    FROM probes p, cents c) WHERE rk <= 3),
+scored AS (
+  SELECT probe_id, vec_id, cs AS cosine_sim,
+    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cs DESC, vec_id ASC) AS rk
+  FROM (
+    SELECT pc.probe_id, a.vec_id,
+      list_dot_product(pc.pq, a.q) /
+        (sqrt(list_dot_product(pc.pq, pc.pq)) * sqrt(list_dot_product(a.q, a.q))) AS cs
+    FROM pcells pc JOIN assign a ON pc.cell = a.cell
+    WHERE pc.probe_id <> a.vec_id))
+SELECT probe_id, vec_id, cosine_sim FROM scored WHERE rk <= 5
+${ord("probe_id", "vec_id")}""".trim
+
   val nearDupEmbeddings: String = s"""
 WITH e AS ($quantized),
 a AS (SELECT vec_id AS a_id, q AS qa FROM e WHERE vec_id % 10 = 0),

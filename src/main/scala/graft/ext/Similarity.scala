@@ -86,6 +86,65 @@ object Similarity {
       .drop("rk")
   }
 
+  /** IVF-style coarse quantization (the inverted-file ANN layout):
+    * centroids = a deterministic id-sampled subset of the corpus
+    * itself (every `centroidMod`-th vector — no k-means dependency,
+    * reproducible); each vector is assigned to its nearest centroid
+    * (broadcast centroid table, argmax over cosine); a probe searches
+    * only the `nprobe` cells nearest to it. At scale: the corpus is
+    * hash-partitioned by cell, the centroid table stays broadcast-size
+    * (√N centroids for N vectors), and a probe touches nprobe/cells of
+    * the data — the classic IVF trade of recall for fan-out. Returns
+    * (vec_id, cell) assignments via `ivfAssign` so the index is
+    * materializable/bucketable once and probed many times. */
+  def ivfAssign(emb: DataFrame, centroidMod: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val cents = e.where(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"))
+    // nearest centroid = rank-1 by (cosine DESC, cent_id ASC): the
+    // explicit tie-break makes assignment deterministic even for
+    // duplicate centroid vectors (max_by ties are arbitrary) — required
+    // for engine-vs-oracle hash equality.
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("q"), col("cent_id"),
+        cosineQ(col("q"), col("cq")).as("cs"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("vec_id"))
+        .orderBy(col("cs").desc, col("cent_id").asc)))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"), col("q"))
+  }
+
+  /** IVF probe: top-k within the probe's `nprobe` nearest cells. */
+  def ivfTopK(emb: DataFrame, probes: DataFrame, k: Int = 5,
+      nprobe: Int = 3, centroidMod: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val cents = e.where(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"))
+    val indexed = ivfAssign(emb, centroidMod)
+    // probe → its nprobe nearest cells
+    val probeCells = probes
+      .select(col("vec_id").as("probe_id"), quantize(col("embedding")).as("pq"))
+      .crossJoin(broadcast(cents))
+      .select(col("probe_id"), col("pq"), col("cent_id"),
+        cosineQ(col("pq"), col("cq")).as("cs"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("cs").desc, col("cent_id").asc)))
+      .where(col("rk") <= nprobe)
+      .select(col("probe_id"), col("pq"), col("cent_id").as("cell"))
+    // search only those cells
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine_sim").desc, col("vec_id").asc)
+    probeCells.join(indexed, "cell")
+      .where(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosineQ(col("pq"), col("q")).as("cosine_sim"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .drop("rk")
+  }
+
   /** Embedding-cosine near-duplicate pairs: probe subset × base with
     * exact quantized cosine ≥ threshold. The probe predicate keeps the
     * pair space linear for oracle verification; the LSH variant above

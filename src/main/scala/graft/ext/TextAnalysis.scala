@@ -103,6 +103,16 @@ object TextAnalysis {
         when(cjk > 0, lit(1.0)).otherwise(round(best.getField("score"), 6)))
   }
 
+  /** Corpus vocabulary size, exact vs HLL sketch (`approx_count_
+    * distinct`): the sketch is the 100 TB path — fixed-size state,
+    * partial-aggregatable, no giant distinct shuffle; the exact count
+    * is the verification twin at test scale. `rsd` = target relative
+    * standard deviation of the HLL estimate. */
+  def vocabSize(docs: DataFrame, rsd: Double = 0.05): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .agg(countDistinct(col("token")).as("exact_vocab"),
+        approx_count_distinct(col("token"), rsd).as("approx_vocab"))
+
   /** Whole-document fingerprint via the native PolyHash64 expression —
     * order-sensitive 64-bit rolling hash of the normalized text. */
   def fingerprint(docs: DataFrame): DataFrame =

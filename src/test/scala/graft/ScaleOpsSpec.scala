@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ext.{Similarity, TextAnalysis}
+import graft.ingest.{Compaction, Fixtures}
+
+/** Scale-path operators: IVF ANN recall vs brute force, landing-zone
+  * compaction, HLL vocabulary sketch error. */
+class ScaleOpsSpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("ivfAssign: every vector lands in exactly one existing cell") {
+    val assigned = Similarity.ivfAssign(emb, centroidMod = 10)
+    assert(assigned.count() == emb.count())
+    val cells = assigned.select("cell").distinct().collect().map(_.getLong(0)).toSet
+    val cents = emb.where(col("vec_id") % 10 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(cells.subsetOf(cents), "cells must be centroid ids")
+  }
+
+  test("ivfTopK: recall vs brute force is high at nprobe=3") {
+    val probes = emb.where(col("vec_id") % 25 === 0)
+    val ivf = Similarity.ivfTopK(emb, probes, k = 5, nprobe = 3, centroidMod = 10)
+      .select("probe_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force truth: per-probe top-5 by the same quantized cosine
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+    val p = probes.select(col("vec_id").as("probe_id"),
+      Similarity.quantize(col("embedding")).as("pq"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cs").desc, col("vec_id").asc)
+    val truth = p.crossJoin(e).where(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        Similarity.cosineQ(col("pq"), col("q")).as("cs"))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & truth).size.toDouble / truth.size
+    assert(recall >= 0.5, s"IVF recall@5 too low: $recall")
+    assert(ivf.size <= truth.size, "IVF returns at most k per probe")
+  }
+
+  test("compaction: many landed JSON objects -> few parquet files, content intact") {
+    val base = Files.createTempDirectory("compact").toString
+    Fixtures.landBatch(spark, sf, base)
+    val inDir = s"$base/topics/graft.pin/partition=0"
+    val nIn = new java.io.File(inDir).listFiles().count(_.getName.endsWith(".json"))
+    val nOut = Compaction.compactTopic(spark, inDir, s"$base/compacted")
+    assert(nOut < nIn, s"must reduce file count ($nIn -> $nOut)")
+    val before = Fixtures.readTopic(spark, base, "pin")
+    val after = spark.read.parquet(s"$base/compacted")
+    assert(after.count() == before.count())
+    assert(after.columns.sorted.toSeq == before.columns.sorted.toSeq)
+  }
+
+  test("vocabSize: HLL sketch within its rsd bound of exact") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val r = TextAnalysis.vocabSize(docs, rsd = 0.05).head()
+    val exact = r.getLong(0).toDouble
+    val approx = r.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.15,
+      s"HLL estimate off: exact=$exact approx=$approx")
+  }
+}
