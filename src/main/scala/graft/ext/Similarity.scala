@@ -27,8 +27,12 @@ object Similarity {
   def quantize(emb: Column): Column =
     transform(emb, x => round(x.cast("double") * 1000).cast("long"))
 
+  /** Exact integer dot product — the native codegen expression
+    * (graft.functions.DotProduct64); the interpreted HOF formulation
+    * `aggregate(zip_with(a,b,_*_), 0, _+_)` computes the same value
+    * but falls out of WholeStageCodegen. */
   private def dotL(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.DotProduct64.dot64(a, b)
 
   /** Exact cosine over quantized vectors (deterministic double). */
   def cosineQ(a: Column, b: Column): Column =

@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftx.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Exact integer dot product of two `array<bigint>` columns — the ANN
+  * hot loop as a native Catalyst expression with `doGenCode`.
+  *
+  * The composable formulation `aggregate(zip_with(a, b, _*_), 0, _+_)`
+  * is correct but interpreted: higher-order functions are
+  * CodegenFallback, so every row pays lambda-variable boxing and two
+  * materialized intermediate arrays. This expression is one fused
+  * primitive loop inside WholeStageCodegen — no allocation, no boxing.
+  * Semantics (wrapping 64-bit arithmetic over quantized embeddings)
+  * are identical, so oracle parity is unaffected.
+  *
+  * Shorter of the two lengths bounds the loop (mirrors `zip_with`'s
+  * null-padding semantics only when lengths are equal — embeddings are
+  * fixed-dim, enforced upstream; unequal lengths would contribute null
+  * products in the HOF form, which `aggregate`'s `+` then nulls out —
+  * here we simply require equal lengths and return null otherwise,
+  * making length mismatch loud instead of silently null). */
+case class DotProduct64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot64"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<bigint>, array<bigint>), got " +
+            s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+  }
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else {
+      var acc = 0L
+      var i = 0
+      val n = x.numElements()
+      while (i < n) {
+        acc += x.getLong(i) * y.getLong(i)
+        i += 1
+      }
+      acc
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct64 =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct64 {
+  def dot64(a: Column, b: Column): Column =
+    Bridge.column(DotProduct64(Bridge.expression(a), Bridge.expression(b)))
+}

@@ -55,6 +55,19 @@ class ScaleOpsSpec extends SparkSpec {
     assert(after.columns.sorted.toSeq == before.columns.sorted.toSeq)
   }
 
+  test("dot64 native expression == HOF formulation, and codegens") {
+    val e = emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      .crossJoin(emb.limit(3).select(Similarity.quantize(col("embedding")).as("p")))
+    val native = e.select(graft.functions.DotProduct64.dot64(col("q"), col("p")).as("d"))
+    val hof = e.select(aggregate(zip_with(col("q"), col("p"), (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v).as("d"))
+    assert(native.collect().map(_.getLong(0)).sorted.toSeq ==
+      hof.collect().map(_.getLong(0)).sorted.toSeq)
+    val cg = native.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(!cg.contains("Found 0 WholeStage"), cg.take(400))
+  }
+
   test("vocabSize: HLL sketch within its rsd bound of exact") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val r = TextAnalysis.vocabSize(docs, rsd = 0.05).head()
