@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.analytics.{ExtOracle, ShapeQueries}
-import graft.ext.{Dedup, Sampling, Similarity, SkewJoin, TextAnalysis}
+import graft.ext.{Curation, Dedup, Sampling, Similarity, SkewJoin, TextAnalysis}
 import graft.pipeline.{Cleaning, PinOracle, PinQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -112,6 +112,7 @@ object SparkEntry {
     "lang_id" -> prep((s, d) => TextAnalysis.langId(docs(s, d))
       .select("doc_id", "lang_pred", "lang_conf").orderBy("doc_id")),
     "fingerprint_docs" -> prep((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
+    "curated_corpus" -> prep((s, d) => Curation.curated(docs(s, d)).orderBy("doc_id")),
     // ---- deterministic sampling / splitting / skew handling ----------
     "train_test_split" -> prep((s, d) =>
       Sampling.assignSplit(docs(s, d)).select("doc_id", "split").orderBy("doc_id")),
@@ -244,6 +245,8 @@ object SparkEntry {
     "token_freq_topk" -> ExtOracle.tokenFreqTopK,
     "quality_score" -> ExtOracle.qualityScore,
     "bpe_token_count" -> ExtOracle.bpeTokenCount,
+    "lang_id" -> ExtOracle.langId,
+    "curated_corpus" -> ExtOracle.curated,
     "train_test_split" -> ExtOracle.trainTestSplit,
     "stratified_sample" -> ExtOracle.stratifiedSample,
     "salted_join_revenue" -> ExtOracle.saltedJoinRevenue,
@@ -256,9 +259,9 @@ object SparkEntry {
     "stream_pin_clean" -> PinOracle.pinClean,
     "stream_geo_clean" -> PinOracle.geoClean,
     "stream_user_clean" -> PinOracle.userClean,
-    // lang_id / fingerprint_docs / minhash_pairs / simhash_pairs /
-    // ann_lsh_topk are engine-hash-specific (xxhash64 / custom
-    // PolyHash64) or model-heuristic ops with no SQL twin — the driver
-    // records rows-only checks; ScalaTest specs pin their semantics.
+    // fingerprint_docs / minhash_pairs / simhash_pairs / ann_lsh_topk
+    // are engine-hash-specific (xxhash64 / custom PolyHash64) with no
+    // SQL twin — the driver records rows-only checks; ScalaTest specs
+    // pin their semantics.
   )
 }

@@ -146,6 +146,74 @@ SELECT doc_id,
 FROM t
 ${ord("doc_id")}""".trim
 
+  // ---- language ID / curation --------------------------------------
+
+  /** Stopword-profile language ID. Spark's argmax is `greatest` over
+    * (score, lang) structs — max score, ties to the LARGER lang string;
+    * DuckDB lacks struct greatest, so the twin unions the four
+    * per-language scores and ranks (score DESC, lang DESC). */
+  private val langScores: String = {
+    val stops = Map(
+      "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "you", "that"),
+      "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+      "de" -> Seq("der", "die", "und", "das", "ist", "du", "ich", "nicht", "ein", "mit"),
+      "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "je", "ne", "pas"))
+    stops.toSeq.sortBy(_._1).map { case (l, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""SELECT doc_id, '$l' AS lang,
+  CAST(len(list_intersect(string_split_regex(trim(lower(text)), '\\s+'), $lst)) AS DOUBLE) /
+    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) AS score
+FROM documents"""
+    }.mkString("\nUNION ALL\n")
+  }
+
+  private val langIdCore: String = s"""
+scored AS ($langScores),
+best AS (
+  SELECT doc_id, lang, score FROM (
+    SELECT doc_id, lang, score,
+      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rk
+    FROM scored) WHERE rk = 1),
+lang_pred_t AS (
+  SELECT d.doc_id,
+    CASE WHEN length(regexp_replace(d.text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0
+         THEN 'zh' ELSE b.lang END AS lang_pred,
+    CASE WHEN length(regexp_replace(d.text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0
+         THEN 1.0 ELSE round(b.score, 6) END AS lang_conf
+  FROM documents d JOIN best b USING (doc_id))"""
+
+  val langId: String = s"""
+WITH $langIdCore
+SELECT doc_id, lang_pred, lang_conf FROM lang_pred_t
+${ord("doc_id")}""".trim
+
+  /** Composition twin of ext.Curation.curated (lang-ID ∘ quality ∘
+    * exact-dedup keep list ∘ split assignment). */
+  val curated: String = s"""
+WITH $langIdCore,
+q AS (
+  SELECT doc_id,
+    round((n_uniq / n_tok) * 0.5 + least(n_tok / 64.0, 1.0) * 0.3
+      + (CASE WHEN ((n_chars - (n_tok - 1)) / n_tok) BETWEEN 3.0 AND 9.0
+              THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+  FROM (
+    SELECT doc_id,
+      CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+      CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) AS n_uniq,
+      CAST(length(text) AS DOUBLE) AS n_chars
+    FROM documents)),
+keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text))
+SELECT l.doc_id, l.lang_pred, q.quality,
+  CASE WHEN ((l.doc_id % 1000003) * 2654435761) % 100 < 80 THEN 'train'
+       WHEN ((l.doc_id % 1000003) * 2654435761) % 100 < 90 THEN 'val'
+       ELSE 'test' END AS split
+FROM lang_pred_t l
+JOIN q USING (doc_id)
+JOIN keepers USING (doc_id)
+WHERE l.lang_pred <> 'zh' AND q.quality >= 0.5
+${ord("doc_id")}""".trim
+
   // ---- sampling / splitting ---------------------------------------
 
   /** Knuth multiplicative bucket — identical integer arithmetic to
