@@ -75,6 +75,55 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Prefix-filtered exact n-gram Jaccard (AllPairs/PPJoin candidate
+    * generation): identical output to `ngramJaccardPairs`, built for
+    * corpora where hot shingles make the naive shingle self-join
+    * quadratic.
+    *
+    * For J(A,B) ≥ t, any qualifying pair shares ≥ ⌈t·|A|⌉ shingles, so
+    * it must share at least one of A's first |A| − ⌈t·|A|⌉ + 1 shingles
+    * under ANY global total order. Ordering rarest-first (corpus
+    * document frequency ASC) keeps hot shingles out of almost every
+    * prefix — the posting list for "of the and" disappears instead of
+    * fanning out quadratically. Candidates are then verified with the
+    * exact intersection (`array_intersect` on the full shingle arrays),
+    * so the prefix filter can only prune, never change results.
+    *
+    * Scale shape: one extra aggregation (document frequencies) and a
+    * per-doc window sort, in exchange for posting lists bounded by
+    * prefix length and free of hot keys. */
+  def ngramJaccardPairsPrefix(docs: DataFrame, w: Int = 3,
+      minJaccard: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sized = shingled(docs, w).withColumn("n_sh", size(col("sh")))
+    val posting = sized.select(col("doc_id"), col("n_sh"),
+      explode(col("sh")).as("s"))
+    val freq = posting.groupBy(col("s")).agg(count("*").as("df"))
+    // rank each doc's shingles rarest-first; keep the prefix
+    val prefixLen = (col("n_sh") - ceil(lit(minJaccard) * col("n_sh")) + 1)
+    val ranked = posting.join(freq, "s")
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("df").asc, col("s").asc)))
+      .where(col("rn") <= prefixLen)
+      .select(col("doc_id"), col("s"))
+    val cands = ranked.toDF("a_id", "s")
+      .join(ranked.toDF("b_id", "s"), "s")
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    // exact verification on the full shingle arrays
+    val arrays = sized.select(col("doc_id"), col("sh"), col("n_sh"))
+    cands
+      .join(arrays.toDF("a_id", "a_sh", "a_n"), "a_id")
+      .join(arrays.toDF("b_id", "b_sh", "b_n"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_sh"), col("b_sh"))).as("inter"),
+        col("a_n"), col("b_n"))
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") /
+          (col("a_n") + col("b_n") - col("inter")).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
   /** MinHash signature over a PRE-MATERIALIZED array of shingle hashes
     * (one xxhash64 per shingle, done once in a child projection): the k
     * "independent" hash functions are affine reshufflings of the base

@@ -113,4 +113,14 @@ class ExtSpec extends SparkSpec {
     val again = Multimodal.extractFeatures(spark, assets).collect().head
     assert(f.features.toSeq == again.features.toSeq)
   }
+
+  test("prefix-filtered ngram Jaccard == naive shingle join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val naive = graft.ext.Dedup.ngramJaccardPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pruned = graft.ext.Dedup.ngramJaccardPairsPrefix(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pruned == naive)
+    assert(naive.nonEmpty, "fixture must contain near-duplicate docs")
+  }
 }
