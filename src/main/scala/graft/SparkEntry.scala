@@ -55,6 +55,10 @@ object SparkEntry {
     })
   }
 
+  /** Materialize the shared cleaning cache for a SF dir (Bench warm-up;
+    * see the clean-once-query-many note on `tables`). */
+  def warmTables(spark: SparkSession, sfDir: String): Unit = tables(spark, sfDir)
+
   private def pinEntry(q: (DataFrame, DataFrame, DataFrame) => DataFrame)(
       spark: SparkSession, sfDir: String): DataFrame = {
     val (pin, geo, user) = tables(spark, sfDir)

@@ -187,20 +187,23 @@ object Dedup {
   /** 64-bit SimHash from token-level xxhash64: bit b of the fingerprint
     * is the sign of Σ_tokens (±1 by the token hash's bit b), i.e. bit
     * set ⟺ 2·(#tokens with bit b) > #tokens. Computed entirely per-row
-    * with higher-order functions — no explode, no 64-column shuffle
-    * aggregate: at any scale this is a projection fused into the scan,
-    * where the explode+groupBy formulation shuffles |tokens| rows and
-    * hash-aggregates 64 partial sums per doc (measured 2× slower at
-    * sf0.1 even locally). Token hashes are materialized once in a child
-    * projection (multi-referenced by the 64 bit-count passes). */
-  def simhash64(docs: DataFrame): DataFrame = {
+    * by the native codegen `SimHash64` expression — a projection fused
+    * into the scan: no explode, no 64-column shuffle aggregate, no
+    * per-bit array churn (see graft.functions.SimHash64; equivalence
+    * with the HOF formulation below is property-tested). */
+  def simhash64(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.SimHash64.simhash64(words(col("text"))).as("simhash"))
+
+  /** Higher-order-function formulation of the same fingerprint (one
+    * aggregate pass with a 64-slot count accumulator). Kept as the
+    * pure-builtins reference implementation that the native expression
+    * is equivalence-tested against — ~6× slower at sf0.1, O(tokens×64)
+    * interpreted array arithmetic vs one primitive loop. */
+  def simhash64Hof(docs: DataFrame): DataFrame = {
     val hs = docs
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), transform(col("ws"), t => xxhash64(t)).as("hs"))
-    // One aggregate pass with a 64-slot count accumulator (nested
-    // zip_with), not 64 sibling aggregates: same arithmetic, ~64×
-    // smaller expression tree — analysis/codegen of the plan was the
-    // dominant cost of the 64-branch form.
     val bitIdx = sequence(lit(0), lit(63))
     hs.select(col("doc_id"),
       aggregate(

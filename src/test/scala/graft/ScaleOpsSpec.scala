@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import graft.ext.{Similarity, TextAnalysis}
+import graft.ext.{Dedup, Similarity, TextAnalysis}
 import graft.ingest.{Compaction, Fixtures}
 
 /** Scale-path operators: IVF ANN recall vs brute force, landing-zone
@@ -63,6 +63,23 @@ class ScaleOpsSpec extends SparkSpec {
       lit(0L), (acc, v) => acc + v).as("d"))
     assert(native.collect().map(_.getLong(0)).sorted.toSeq ==
       hof.collect().map(_.getLong(0)).sorted.toSeq)
+    val cg = native.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(!cg.contains("Found 0 WholeStage"), cg.take(400))
+  }
+
+  test("simhash64 native expression == HOF formulation, and codegens") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val native = Dedup.simhash64(docs)
+    val hof = Dedup.simhash64Hof(docs)
+    assert(native.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq ==
+      hof.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq)
+    // empty + whitespace-only text: split yields [""], both paths agree
+    val edge = spark.createDataFrame(Seq((1L, ""), (2L, "   "), (3L, "one")))
+      .toDF("doc_id", "text")
+    assert(Dedup.simhash64(edge).collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq ==
+      Dedup.simhash64Hof(edge).collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq)
     val cg = native.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
     assert(!cg.contains("Found 0 WholeStage"), cg.take(400))
