@@ -130,8 +130,12 @@ object SparkEntry {
       Sampling.stratifiedSample(docs(s, d), "lang",
         Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1))
         .select("doc_id", "lang").orderBy("doc_id")),
+    // Adaptive hot-key variant: on this uniform TPC-H data it detects
+    // zero hot keys and degenerates to a plain join + one narrow
+    // pre-pass — exactly the at-scale cost profile we want (blanket
+    // salting is the tested fallback, SkewJoin.saltedInner).
     "salted_join_revenue" -> prep((s, d) => Engine.canonical(
-      SkewJoin.saltedInner(
+      SkewJoin.saltedInnerHotKeys(
         s.read.parquet(s"$d/lineitem.parquet")
           .select(col("l_orderkey"), col("l_extendedprice")),
         s.read.parquet(s"$d/orders.parquet")
@@ -197,6 +201,22 @@ object SparkEntry {
     // ---- multimodal plumbing (stubbed codec, real Spark contract) ----
     "multimodal_features" -> prep((s, d) =>
       graft.ext.Multimodal.pipeline(s, docs(s, d)).orderBy("asset_id")),
+    // rows-only: resized payload content is codec-defined (box-filter
+    // over stub pixels); fingerprint keeps the dump deterministic.
+    "multimodal_resize" -> prep((s, d) =>
+      graft.ext.Multimodal.resize(s, graft.ext.Multimodal.toAssets(docs(s, d))).toDF()
+        .select(col("asset_id"), col("format"), col("width"), col("height"),
+          length(col("media")).as("n_bytes"),
+          xxhash64(col("media")).as("content_hash"))
+        .orderBy("asset_id")),
+    // oracle-checked: kept-frame count per asset is pure arithmetic on
+    // the payload length (frames of 64 bytes, every 4th kept).
+    "multimodal_frames" -> prep((s, d) =>
+      graft.ext.Multimodal.frameSample(s, graft.ext.Multimodal.toAssets(docs(s, d)))
+        .groupBy(col("asset_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame"))).as("frame_bytes"))
+        .orderBy("asset_id")),
   )
 
   private def tmpDir(prefix: String): String =
@@ -261,6 +281,7 @@ object SparkEntry {
     "train_test_split" -> ExtOracle.trainTestSplit,
     "stratified_sample" -> ExtOracle.stratifiedSample,
     "salted_join_revenue" -> ExtOracle.saltedJoinRevenue,
+    "multimodal_frames" -> ExtOracle.multimodalFrames,
     "dedup_exact" -> ExtOracle.dedupExact,
     "ngram_jaccard" -> ExtOracle.ngramJaccard,
     "ngram_jaccard_prefix" -> ExtOracle.ngramJaccard, // same output, pruned path

@@ -246,6 +246,17 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
 ${ord("o_orderstatus")}""".trim
 
+  /** Frame sampling over the fixture assets (media = UTF-8 text bytes,
+    * 64-byte frames, every 4th kept): kept = ceil(floor(bytes/64)/4),
+    * pure integer arithmetic on strlen (DuckDB strlen = byte length). */
+  val multimodalFrames: String = s"""
+SELECT doc_id AS asset_id,
+  CAST((strlen(text) // 64 + 3) // 4 AS BIGINT) AS n_frames,
+  CAST(((strlen(text) // 64 + 3) // 4) * 64 AS BIGINT) AS frame_bytes
+FROM documents
+WHERE strlen(text) >= 64
+${ord("asset_id")}""".trim
+
   // ---- dedup -------------------------------------------------------
 
   val dedupExact: String = s"""

@@ -89,4 +89,73 @@ object Multimodal {
     extractFeatures(spark, toAssets(docs)).toDF()
       .select(col("asset_id"), col("format"), col("n_bytes"),
         round(col("mean_luma"), 6).as("mean_luma"))
+
+  case class ResizedAsset(asset_id: Long, media: Array[Byte],
+      format: String, width: Int, height: Int)
+
+  /** Resize: decode → box-filter downsample to (outW × outH) → re-emit
+    * as a binary column. On the stub codec "pixels" are the payload
+    * bytes in row-major (width-strided) order; the box filter averages
+    * each source cell that maps to an output cell — the same pooling a
+    * real `java.awt.Image.getScaledInstance`/swscale call does, so only
+    * `DecodeStub.decode` and the byte re-encode swap out for real
+    * media. Narrow per-partition map, no shuffle; output payload is
+    * outW·outH bytes regardless of input size — the standard
+    * storage-shrink step before shipping training shards. */
+  def resize(spark: SparkSession, assets: DataFrame,
+      outW: Int = 8, outH: Int = 8): Dataset[ResizedAsset] = {
+    import spark.implicits._
+    assets.as[MediaAsset].map { a =>
+      val px = DecodeStub.decode(a.media)
+      val w = math.max(a.width, 1)
+      val h = math.max((px.length + w - 1) / w, 1)
+      val out = new Array[Byte](outW * outH)
+      var oy = 0
+      while (oy < outH) {
+        var ox = 0
+        while (ox < outW) {
+          // source box [x0,x1) × [y0,y1) feeding output cell (ox,oy)
+          val x0 = ox * w / outW; val x1 = math.max((ox + 1) * w / outW, x0 + 1)
+          val y0 = oy * h / outH; val y1 = math.max((oy + 1) * h / outH, y0 + 1)
+          var acc = 0L; var n = 0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val i = y * w + x
+              if (i < px.length) { acc += px(i); n += 1 }
+              x += 1
+            }
+            y += 1
+          }
+          out(oy * outW + ox) = (if (n == 0) 0 else (acc / n).toInt).toByte
+          ox += 1
+        }
+        oy += 1
+      }
+      ResizedAsset(a.asset_id, out, a.format, outW, outH)
+    }
+  }
+
+  /** Frame sampling: treat a video payload as a sequence of fixed-size
+    * frames and keep every `stride`-th one (uniform temporal
+    * subsampling — the standard video-to-training-frames step). Emits
+    * one row per kept frame `(asset_id, frame_no, frame)` via a
+    * per-partition iterator — rows stream out, the full frame list is
+    * never materialized; no shuffle. `frameBytes` is the decoded frame
+    * size (real media: width·height·channels from the container
+    * header). */
+  def frameSample(spark: SparkSession, assets: DataFrame,
+      frameBytes: Int = 64, stride: Int = 4): DataFrame = {
+    import spark.implicits._
+    assets.as[MediaAsset].mapPartitions { it =>
+      it.flatMap { a =>
+        val nFrames = a.media.length / frameBytes
+        (0 until nFrames).iterator
+          .filter(_ % stride == 0)
+          .map(f => (a.asset_id, f,
+            java.util.Arrays.copyOfRange(a.media, f * frameBytes, (f + 1) * frameBytes)))
+      }
+    }.toDF("asset_id", "frame_no", "frame")
+  }
 }

@@ -114,6 +114,33 @@ class ExtSpec extends SparkSpec {
     assert(f.features.toSeq == again.features.toSeq)
   }
 
+  test("multimodal resize: fixed output dims, box-filter means, deterministic") {
+    // 4×2 "image": payload bytes 0,4,8,12 / 16,20,24,28 → 2×1 resize
+    // averages each 2×2 box: (0+4+16+20)/4=10, (8+12+24+28)/4=18
+    val bytes = Array[Byte](0, 4, 8, 12, 16, 20, 24, 28)
+    val assets = Seq(Multimodal.MediaAsset(1L, bytes, "png", 4, 2)).toDS().toDF()
+    val r = Multimodal.resize(spark, assets, outW = 2, outH = 1).collect().head
+    assert(r.width == 2 && r.height == 1)
+    assert(r.media.toSeq == Seq[Byte](10, 18))
+    val again = Multimodal.resize(spark, assets, outW = 2, outH = 1).collect().head
+    assert(again.media.toSeq == r.media.toSeq)
+  }
+
+  test("multimodal frameSample: every stride-th fixed-size frame, streamed") {
+    // 300 bytes → 4 frames of 64 (tail 44 bytes dropped); stride 4 keeps frame 0
+    val media = Array.tabulate(300)(_.toByte)
+    val assets = Seq(Multimodal.MediaAsset(7L, media, "webm", 0, 0)).toDS().toDF()
+    val frames = Multimodal.frameSample(spark, assets, frameBytes = 64, stride = 4)
+      .collect()
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0))
+    assert(frames.head.getAs[Array[Byte]]("frame").toSeq == media.take(64).toSeq)
+    // stride 2 over 5 frames (320 bytes) keeps 0,2,4
+    val a2 = Seq(Multimodal.MediaAsset(8L, Array.tabulate(320)(_.toByte), "webm", 0, 0))
+      .toDS().toDF()
+    assert(Multimodal.frameSample(spark, a2, 64, 2).collect().map(_.getInt(1)).toSeq
+      == Seq(0, 2, 4))
+  }
+
   test("prefix-filtered ngram Jaccard == naive shingle join") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val naive = graft.ext.Dedup.ngramJaccardPairs(docs)

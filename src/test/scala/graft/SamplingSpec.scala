@@ -40,4 +40,19 @@ class SamplingSpec extends SparkSpec {
       .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
     assert(salted == plain)
   }
+
+  test("saltedInnerHotKeys == plain join on skewed data; salts only hot keys") {
+    import spark.implicits._
+    // key 1 holds 90% of the left rows (hot); keys 2..50 one row each
+    val l = ((1 to 450).map(i => (1L, i)) ++ (2 to 50).map(k => (k.toLong, k)))
+      .toDF("k", "payload")
+    val r = (1 to 50).map(k => (k.toLong, s"dim$k")).toDF("k", "name")
+    val salted = SkewJoin.saltedInnerHotKeys(l, r, "k", salts = 4)
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val plain = l.join(r, "k")
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(salted == plain)
+    // empty left must not blow up the mean computation
+    assert(SkewJoin.saltedInnerHotKeys(l.limit(0), r, "k").count() == 0)
+  }
 }
