@@ -59,8 +59,14 @@ object Dedup {
     * |A∩B| from the shingle join, |A∪B| = |A|+|B|−|A∩B|. */
   def ngramJaccardPairs(docs: DataFrame, w: Int = 3, minJaccard: Double = 0.5): DataFrame = {
     val sized = shingled(docs, w).withColumn("n_sh", size(col("sh")))
+    // Join on 64-bit shingle hashes, not shingle strings: identical
+    // intersection counts (shingles are per-doc distinct; a within-pair
+    // xxhash64 collision is ~|sh|²/2⁶⁴ — the same trade every
+    // shingle-hashing dedup pipeline makes) with ~3× narrower shuffle
+    // rows and fixed-width join keys instead of variable-length text.
     val exploded = sized.select(col("doc_id"), col("n_sh"),
-      explode(col("sh")).as("s"))
+      explode(col("sh")).as("s0"))
+      .select(col("doc_id"), col("n_sh"), xxhash64(col("s0")).as("s"))
     val a = exploded.toDF("a_id", "a_n", "s")
     val b = exploded.toDF("b_id", "b_n", "s")
     a.join(b, "s")
