@@ -191,6 +191,24 @@ object SparkEntry {
         .orderBy(col("window_start").asc_nulls_first,
           col("event_type").asc_nulls_first)
     }),
+    // Stream-static enrichment join (events stream ⋈ broadcast customer
+    // dim) feeding the watermarked rollup; same oracle cutoff rule.
+    "stream_events_enriched" -> prep((s, d) => {
+      val base = tmpDir("graft_evenrich")
+      s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"),
+          expr("timestamp_micros(ts div 1000)").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .coalesce(1).write.mode("overwrite").json(s"$base/in")
+      graft.streaming.EventStream.runEnriched(
+        s, s"$base/in", s.read.parquet(s"$d/customer.parquet"),
+        s"$base/out", s"$base/ckpt").awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select(col("window_start").cast("string").as("window_start"),
+          col("segment"), col("n_events"), col("sum_value"))
+        .orderBy(col("window_start").asc_nulls_first,
+          col("segment").asc_nulls_first)
+    }),
     "stream_pin_clean" -> streamEntry("pin", df => df.orderBy("ind")),
     "stream_geo_clean" -> streamEntry("geo", df => df.select(col("ind"),
       col("country"), col("coordinates"),
@@ -271,6 +289,7 @@ object SparkEntry {
     "events_hourly" -> ExtOracle.eventsHourly,
     "sessionize_batch" -> ExtOracle.sessionizeBatch,
     "stream_events_hourly" -> ExtOracle.streamEventsHourly,
+    "stream_events_enriched" -> ExtOracle.streamEventsEnriched,
     "user_top_events" -> ExtOracle.userTopEvents,
     "text_stats" -> ExtOracle.textStats,
     "token_freq_topk" -> ExtOracle.tokenFreqTopK,

@@ -91,6 +91,19 @@ WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
 GROUP BY 1, 2
 ${ord("window_start", "event_type")}""".trim
 
+  /** Stream-static enrichment rollup: watermark cutoff as in
+    * streamEventsHourly, events joined to the customer dim. */
+  val streamEventsEnriched: String = s"""
+WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events)
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+  c_mktsegment AS segment,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
+FROM events JOIN customer ON user_id = c_custkey, wm
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+GROUP BY 1, 2
+${ord("window_start", "segment")}""".trim
+
   val userTopEvents: String = s"""
 SELECT user_id, rk, event_id, value FROM (
   SELECT user_id, event_id, value,

@@ -52,6 +52,42 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-static enrichment join + windowed rollup — the canonical
+    * streaming-ETL shape (enrich each event with a dimension attribute,
+    * then aggregate by it). The static side is broadcast per
+    * micro-batch: stream-static inner joins are stateless in Structured
+    * Streaming (no watermark needed on the join itself; the dim is
+    * re-resolvable every batch, so slowly-changing dims pick up
+    * updates). At 100 TB the dim broadcast is the same
+    * small-side-broadcast posture as the batch star joins; a
+    * too-big-to-broadcast dim would switch to a shuffled stream-static
+    * join by dropping the hint. */
+  def enrichedWindowedAgg(events: DataFrame, dim: DataFrame,
+      dimKey: String = "c_custkey", dimAttr: String = "c_mktsegment",
+      windowLen: String = "1 hour", lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .join(broadcast(dim.select(col(dimKey), col(dimAttr))),
+        col("user_id") === col(dimKey))
+      .groupBy(window(col("ts"), windowLen).as("w"),
+        col(dimAttr).as("segment"))
+      .agg(count("*").as("n_events"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100)
+          .as("sum_value"))
+      .select(col("w.start").as("window_start"), col("segment"),
+        col("n_events"), col("sum_value"))
+
+  def runEnriched(spark: SparkSession, inDir: String, dim: DataFrame,
+      outDir: String, checkpointDir: String): StreamingQuery =
+    enrichedWindowedAgg(source(spark, inDir), dim)
+      .writeStream
+      .format("parquet")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .option("path", outDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def runWindowed(spark: SparkSession, inDir: String, outDir: String,
       checkpointDir: String): StreamingQuery =
     windowedAgg(source(spark, inDir))
