@@ -42,6 +42,31 @@ class EventStreamSpec extends SparkSpec {
       "at most the trailing windows may be unemitted")
   }
 
+  test("stream-static enrichment: every emitted row carries the dim attr, counts match") {
+    val base = tmp("ev_enrich")
+    landEvents(s"$base/in")
+    val dim = spark.read.parquet(s"$sf/customer.parquet")
+    EventStream.runEnriched(spark, s"$base/in", dim, s"$base/out", s"$base/ckpt")
+      .awaitTermination()
+    val streamed = spark.read.parquet(s"$base/out")
+    assert(streamed.count() > 0)
+    val segs = dim.select("c_mktsegment").distinct().collect().map(_.getString(0)).toSet
+    val outSegs = streamed.select("segment").distinct().collect().map(_.getString(0)).toSet
+    assert(outSegs.nonEmpty && outSegs.subsetOf(segs),
+      s"segments must come from the dim table: $outSegs vs $segs")
+    // enrichment preserves event counts on emitted windows: total events
+    // per window across segments == the plain windowed rollup (user_id
+    // joins the dim totally in the fixtures)
+    val plain = EventStream.batchWindowedAgg(
+      spark.read.schema(EventStream.eventSchema).json(s"$base/in"))
+      .groupBy(col("window_start")).agg(sum("n_events").as("n"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    streamed.groupBy(col("window_start")).agg(sum("n_events").as("n"))
+      .collect().foreach { r =>
+        assert(plain(r.getTimestamp(0)) == r.getLong(1))
+      }
+  }
+
   // minutes offset well past the epoch: an event at ts=0 ties the
   // initial watermark and is dropped as late — an artifact of epoch-
   // anchored fixtures, not of the operator.
