@@ -41,6 +41,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n$p")
   }
 
+  test("saltedInnerHotKeys on uniform keys: plain join, no replication explode") {
+    val l = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val r = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    val p = plan(graft.ext.SkewJoin.saltedInnerHotKeys(l, r, "l_orderkey"))
+    // uniform data ⇒ zero hot keys ⇒ the cold path must not pay the
+    // blanket-salting tax: no Generate (right-side explode), no salt
+    // column in the join keys
+    assert(!p.contains("Generate"), s"no replication explode on uniform data:\n$p")
+    assert(!p.contains("__salt"), s"no salt key on uniform data:\n$p")
+    assert(!p.contains("CartesianProduct"), "equi-join expected")
+  }
+
   test("lshTopK: bucket join is an equi-join, never a cross join") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = plan(Similarity.lshTopK(emb, emb.limit(5)))
