@@ -48,6 +48,16 @@ object Dedup {
     docs.select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), shinglesFromWords(col("ws"), w).as("sh"))
 
+  /** doc_id + distinct 64-bit shingle hashes via the native fused
+    * `HashedShingles` expression (tokenize → shingle → hash in one
+    * codegen'd pass; see graft.functions.Shingling). All pairwise
+    * dedup paths run on these hashes: fixed-width join keys, ~3×
+    * narrower shuffles than shingle strings, equivalence with the
+    * string path tested in ScaleOpsSpec. */
+  private def hashedShingled(docs: DataFrame, w: Int): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.HashedShingles.hashedShingles(words(col("text")), w).as("sh"))
+
   /** Exact dedup: group identical texts by sha256, keep lowest doc_id.
     * (At scale: shuffle on the 32-byte digest, not the document body.) */
   def exact(docs: DataFrame): DataFrame =
@@ -58,15 +68,9 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
     * |A∩B| from the shingle join, |A∪B| = |A|+|B|−|A∩B|. */
   def ngramJaccardPairs(docs: DataFrame, w: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val sized = shingled(docs, w).withColumn("n_sh", size(col("sh")))
-    // Join on 64-bit shingle hashes, not shingle strings: identical
-    // intersection counts (shingles are per-doc distinct; a within-pair
-    // xxhash64 collision is ~|sh|²/2⁶⁴ — the same trade every
-    // shingle-hashing dedup pipeline makes) with ~3× narrower shuffle
-    // rows and fixed-width join keys instead of variable-length text.
+    val sized = hashedShingled(docs, w).withColumn("n_sh", size(col("sh")))
     val exploded = sized.select(col("doc_id"), col("n_sh"),
-      explode(col("sh")).as("s0"))
-      .select(col("doc_id"), col("n_sh"), xxhash64(col("s0")).as("s"))
+      explode(col("sh")).as("s"))
     val a = exploded.toDF("a_id", "a_n", "s")
     val b = exploded.toDF("b_id", "b_n", "s")
     a.join(b, "s")
@@ -101,7 +105,7 @@ object Dedup {
   def ngramJaccardPairsPrefix(docs: DataFrame, w: Int = 3,
       minJaccard: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sized = shingled(docs, w).withColumn("n_sh", size(col("sh")))
+    val sized = hashedShingled(docs, w).withColumn("n_sh", size(col("sh")))
     val posting = sized.select(col("doc_id"), col("n_sh"),
       explode(col("sh")).as("s"))
     val freq = posting.groupBy(col("s")).agg(count("*").as("df"))
@@ -163,9 +167,9 @@ object Dedup {
     // explode + the two candidate join-backs) with incompatible
     // partitionings, so exchange reuse can't help — cache the few MB
     // instead of recomputing the shingle+hash pipeline 3x.
-    val sigs = shingled(docs, w)
-      .select(col("doc_id"), shingleHashes(col("sh")).as("hs"))
-      .select(col("doc_id"), minhashSignature(col("hs"), k).as("sig"))
+    val sigs = hashedShingled(docs, w)
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.minhashSig(col("sh"), k).as("sig"))
       .persist()
     // Bucket rows stay NARROW (id, band, bucket) — the 32-hash
     // signatures never ride the candidate shuffle; they are joined back

@@ -9,6 +9,8 @@ import graft.ingest.{Compaction, Fixtures}
   * compaction, HLL vocabulary sketch error. */
 class ScaleOpsSpec extends SparkSpec {
 
+  import spark.implicits._
+
   private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
 
   test("ivfAssign: every vector lands in exactly one existing cell") {
@@ -83,6 +85,46 @@ class ScaleOpsSpec extends SparkSpec {
     val cg = native.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
     assert(!cg.contains("Found 0 WholeStage"), cg.take(400))
+  }
+
+  test("hashedShingles native == xxhash64 over string shingles, and codegens") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      // edge cases: fewer tokens than w, single token, empty, whitespace
+      .union(Seq((900001L, "one two"), (900002L, "solo"), (900003L, ""),
+        (900004L, "   ")).toDF("doc_id", "text"))
+    val ws = docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+    val native = ws.select(col("doc_id"),
+      graft.functions.HashedShingles.hashedShingles(col("ws"), 3).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val viaStrings = ws
+      .select(col("doc_id"), Dedup.shinglesFromWords(col("ws"), 3).as("sh"))
+      .select(col("doc_id"), transform(col("sh"), s => xxhash64(s)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(native == viaStrings)
+    val cg = ws.select(graft.functions.HashedShingles.hashedShingles(col("ws"), 3))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(!cg.contains("Found 0 WholeStage"), cg.take(400))
+  }
+
+  test("minhashSig native == HOF Kirsch-Mitzenmacher formulation") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val hs = docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"), Dedup.shinglesFromWords(col("ws"), 3).as("sh"))
+      .select(col("doc_id"), Dedup.shingleHashes(col("sh")).as("hs"))
+    val native = hs.select(col("doc_id"),
+      graft.functions.MinHashSig.minhashSig(col("hs"), 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hof = hs.select(col("doc_id"),
+      Dedup.minhashSignature(col("hs"), 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native == hof)
+    // empty input -> all-null signature, matching array_min-of-empty
+    val empty = Seq((1L, Seq.empty[Long])).toDF("doc_id", "hs")
+    val row = empty.select(graft.functions.MinHashSig.minhashSig(col("hs"), 4)).head()
+    assert(row.getSeq[Any](0) == Seq(null, null, null, null))
   }
 
   test("vocabSize: HLL sketch within its rsd bound of exact") {
