@@ -17,12 +17,15 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   def curated(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
-    val lang = TextAnalysis.langId(docs)
-      .select(col("doc_id"), col("lang_pred"), col("lang_conf"))
-    val quality = TextAnalysis.qualityScore(docs)
+    // langId and quality are both pure per-row projections — compute
+    // them in ONE pass over the corpus (no join between them; Catalyst
+    // fuses the two withColumns into a single projection). The only
+    // joins left are against the dedup keep list, the only shuffles
+    // the dedup groupBy — the minimum this flow can do.
+    val perRow = TextAnalysis.withQuality(TextAnalysis.langId(docs))
+      .select(col("doc_id"), col("lang_pred"), col("lang_conf"), col("quality"))
     val keepers = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
-    val kept = lang
-      .join(quality, "doc_id")
+    val kept = perRow
       .join(keepers, "doc_id") // inner join = survives dedup
       .where(col("lang_pred") =!= "zh" && col("quality") >= minQuality)
     Sampling.assignSplit(kept, "doc_id")

@@ -62,7 +62,9 @@ object TextAnalysis {
   /** Quality score in [0,1]: blend of type-token ratio, length band and
     * mean token length — the cheap lexical heuristics a pretraining
     * filter runs before anything model-based. Pure projection. */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  /** Append a `quality` column (pure per-row projection — composable
+    * with other per-row derivations without a join; see Curation). */
+  def withQuality(docs: DataFrame): DataFrame = {
     val t = tokens(col("text"))
     val nTok = size(t).cast("double")
     val nUniq = size(array_distinct(t)).cast("double")
@@ -71,9 +73,12 @@ object TextAnalysis {
     val meanLen = (length(col("text")).cast("double") -
       (size(t) - 1).cast("double")) / nTok
     val lenBand = when(meanLen.between(3.0, 9.0), 1.0).otherwise(0.5)
-    docs.select(col("doc_id"),
-      round((ttr * 0.5 + lenScore * 0.3 + lenBand * 0.2), 6).as("quality"))
+    docs.withColumn("quality",
+      round((ttr * 0.5 + lenScore * 0.3 + lenBand * 0.2), 6))
   }
+
+  def qualityScore(docs: DataFrame): DataFrame =
+    withQuality(docs).select(col("doc_id"), col("quality"))
 
   /** Stopword-profile language ID (n-gram heuristic, SURVEY-mandated
     * stand-in for a real model): per-language score = fraction of
