@@ -59,4 +59,35 @@ class PropertySpec extends AnyFunSuite {
       .collect().map(_.getInt(0)).toSeq
     assert(got == sizes.map(n => math.max(n - 2, 1)))
   }
+
+  test("hashedShingles == xxhash64 over string shingles on arbitrary unicode text") {
+    import spark.implicits._
+    // arbitrary unicode incl. whitespace runs, empty strings, CJK
+    val gen = Gen.listOf(Gen.oneOf(
+      Gen.asciiPrintableStr, Gen.const("  "), Gen.const("\t"),
+      Gen.const("文字"), Gen.const("ё"))).map(_.mkString(" "))
+    val texts = samples(gen, 64).distinct
+    val df = texts.toDF("text")
+      .select(split(trim(col("text")), "\\s+").as("ws"))
+    val native = df
+      .select(graft.functions.HashedShingles.hashedShingles(col("ws"), 3))
+      .collect().map(_.getSeq[Long](0).toSet).toSeq
+    val viaStrings = df
+      .select(transform(graft.ext.Dedup.shinglesFromWords(col("ws"), 3),
+        s => xxhash64(s)))
+      .collect().map(_.getSeq[Long](0).toSet).toSeq
+    assert(native == viaStrings)
+  }
+
+  test("minhashSig == HOF formulation on arbitrary long arrays (incl. overflow)") {
+    import spark.implicits._
+    val gen = Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+    val arrays = samples(gen, 48).distinct.filter(_.nonEmpty)
+    val df = arrays.toDF("hs")
+    val native = df.select(graft.functions.MinHashSig.minhashSig(col("hs"), 16))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    val hof = df.select(graft.ext.Dedup.minhashSignature(col("hs"), 16))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    assert(native == hof)
+  }
 }
