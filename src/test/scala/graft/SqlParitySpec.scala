@@ -47,4 +47,24 @@ class SqlParitySpec extends SparkSpec {
     val dslRow = PinQueries.q4(t._1, t._2).head()
     assert(sqlRow.getInt(1) == dslRow.getInt(1))
   }
+
+  test("native expressions reachable from SQL == DSL surface") {
+    graft.functions.GraftFunctions.register(spark)
+    spark.read.parquet(s"$sf/documents.parquet")
+      .createOrReplaceTempView("documents_v")
+    val viaSql = rows(spark.sql(
+      """SELECT doc_id, polyhash64(text) AS ph,
+        |  simhash64(split(trim(text), '\\s+')) AS sh,
+        |  minhash_sig(hashed_shingles(split(trim(text), '\\s+'), 3), 8) AS sig
+        |FROM documents_v""".stripMargin))
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val viaDsl = rows(docs.select(col("doc_id"),
+      graft.functions.PolyHash64.polyhash64(col("text")).as("ph"),
+      graft.functions.SimHash64.simhash64(split(trim(col("text")), "\\s+")).as("sh"),
+      graft.functions.MinHashSig.minhashSig(
+        graft.functions.HashedShingles.hashedShingles(
+          split(trim(col("text")), "\\s+"), 3), 8).as("sig")))
+    assert(viaSql == viaDsl && viaSql.nonEmpty)
+  }
 }
