@@ -50,7 +50,8 @@ object GraftFunctions {
       "minhash_sig(array<long>[, k]) - k-position MinHash signature"))
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo("graft.functions", null, name, usage, "")
+    new ExpressionInfo("graft.functions", "", name, usage,
+      "", "", "", "", "1.0.0", "", "scala_udf")
 
   /** Register into an already-running session's function registry. */
   def register(spark: SparkSession): Unit =
@@ -65,7 +66,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
     GraftFunctions.all.foreach { case (name, builder, usage) =>
       ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo("graft.functions", null, name, usage, ""),
+        new ExpressionInfo("graft.functions", "", name, usage,
+          "", "", "", "", "1.0.0", "", "scala_udf"),
         builder))
     }
 }

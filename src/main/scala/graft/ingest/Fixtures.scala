@@ -44,7 +44,7 @@ object Fixtures {
   def landStream(spark: SparkSession, sfDir: String, baseDir: String): String = {
     val (pin, geo, user) = RawDerive.tables(spark, sfDir)
     def land(df: DataFrame, stream: String): Unit =
-      df.select(to_json(struct(df.columns.map(col): _*)).as("data"))
+      df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("data"))
         .repartition(2).write.mode(SaveMode.Overwrite)
         .json(s"$baseDir/streams/streaming-$topicPrefix-$stream")
     land(pin, "pin"); land(geo, "geo"); land(user, "user")
@@ -57,7 +57,7 @@ object Fixtures {
     * record, `{"records": [{"value": {...row...}}]}`. */
   def toKafkaEnvelopes(df: DataFrame): DataFrame =
     df.select(to_json(struct(array(struct(
-      struct(df.columns.map(col): _*).as("value"))).as("records")))
+      struct(df.columns.toIndexedSeq.map(col): _*).as("value"))).as("records")))
       .as("body"))
 
   /** Parse Kafka-REST envelopes back to raw rows (declared schema:
@@ -76,7 +76,7 @@ object Fixtures {
   def toKinesisEnvelopes(df: DataFrame, streamName: String): DataFrame =
     df.select(to_json(struct(
       lit(streamName).as("StreamName"),
-      base64(to_json(struct(df.columns.map(col): _*)).cast("binary")).as("Data"),
+      base64(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).cast("binary")).as("Data"),
       lit("partition-1").as("PartitionKey"))).as("body"))
 
   /** Parse Kinesis envelopes: unwrap, base64-decode `Data`, parse the

@@ -41,7 +41,7 @@ object Cleaning {
     * null out under ANSI-off casts and the op is a no-op, exactly as in
     * the reference (which loops over all 12 inferred columns). */
   def nullifyErroneous(df: DataFrame): DataFrame =
-    df.select(df.columns.map { c =>
+    df.select(df.columns.toIndexedSeq.map { c =>
       when(col(c) === "", lit(null))
         .when(col(c).isNull, lit(null))
         .when(col(c).isin(sentinels: _*), lit(null))
