@@ -130,6 +130,18 @@ object SparkEntry {
       Sampling.stratifiedSample(docs(s, d), "lang",
         Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1))
         .select("doc_id", "lang").orderBy("doc_id")),
+    // GPT-style token-budget shard packing (bucketed prefix sums)
+    "pack_shards" -> prep((s, d) =>
+      Sampling.packShards(
+        docs(s, d).select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).as("n_tokens")),
+        "n_tokens", budget = 2048)
+        .select("doc_id", "n_tokens", "pack_bucket", "shard_in_bucket")
+        .orderBy("doc_id")),
+    // pairs -> connected components -> one canonical keeper per cluster
+    "dedup_clusters" -> prep((s, d) =>
+      Dedup.dupClusters(Dedup.ngramJaccardPairs(docs(s, d)))
+        .orderBy("doc_id")),
     // Adaptive hot-key variant: on this uniform TPC-H data it detects
     // zero hot keys and degenerates to a plain join + one narrow
     // pre-pass — exactly the at-scale cost profile we want (blanket
@@ -299,6 +311,8 @@ object SparkEntry {
     "curated_corpus" -> ExtOracle.curated,
     "train_test_split" -> ExtOracle.trainTestSplit,
     "stratified_sample" -> ExtOracle.stratifiedSample,
+    "pack_shards" -> ExtOracle.packShards,
+    "dedup_clusters" -> ExtOracle.dedupClusters,
     "salted_join_revenue" -> ExtOracle.saltedJoinRevenue,
     "multimodal_frames" -> ExtOracle.multimodalFrames,
     "dedup_exact" -> ExtOracle.dedupExact,

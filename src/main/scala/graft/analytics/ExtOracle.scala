@@ -270,6 +270,55 @@ FROM documents
 WHERE strlen(text) >= 64
 ${ord("asset_id")}""".trim
 
+  /** Bucketed GPT-style shard packing: shard = exclusive prefix sum of
+    * tokens within the id-mod bucket, integer-divided by the budget. */
+  val packShards: String = s"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+    doc_id % 8 AS pack_bucket
+  FROM documents)
+SELECT doc_id, n_tokens, pack_bucket,
+  CAST((SUM(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048 AS BIGINT)
+    AS shard_in_bucket
+FROM t
+${ord("doc_id")}""".trim
+
+  /** Connected components over the ngram-Jaccard pair graph via a
+    * recursive closure (UNION-distinct fixpoint terminates on cycles);
+    * cluster label = min reachable doc_id. */
+  val dedupClusters: String = s"""
+WITH RECURSIVE
+ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+shl AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(w) - 2, 0)),
+    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+  FROM ws),
+sized AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM shl),
+pairs0 AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+    COUNT(*) AS inter, MIN(a.n_sh) AS a_n, MIN(b.n_sh) AS b_n
+  FROM sized a JOIN sized b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+pairs AS (
+  SELECT a_id, b_id FROM pairs0
+  WHERE CAST(inter AS DOUBLE) / CAST(a_n + b_n - inter AS DOUBLE) >= 0.5),
+edges AS (
+  SELECT a_id AS id, b_id AS nbr FROM pairs
+  UNION SELECT b_id, a_id FROM pairs),
+reach(id, r) AS (
+  SELECT DISTINCT id, id FROM edges
+  UNION
+  SELECT e.id, reach.r FROM edges e JOIN reach ON e.nbr = reach.id)
+SELECT id AS doc_id, MIN(r) AS cluster_id,
+  (id = MIN(r)) AS is_keeper
+FROM reach GROUP BY id
+${ord("doc_id")}""".trim
+
   // ---- dedup -------------------------------------------------------
 
   val dedupExact: String = s"""

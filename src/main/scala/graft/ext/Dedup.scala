@@ -227,6 +227,50 @@ object Dedup {
         lit(0L), (acc, v) => acc.bitwiseOR(v)).as("simhash"))
   }
 
+  /** Connected components over near-duplicate pairs → cluster label per
+    * document, label = min doc_id reachable through the pair graph.
+    * This is the step that turns pairwise similarity into an actual
+    * dedup decision: keep exactly the docs with `doc_id == cluster_id`
+    * (one canonical survivor per cluster) and drop the rest.
+    *
+    * Algorithm: iterative min-label propagation to fixpoint — per
+    * round, every node takes the min of its own and its neighbors'
+    * labels; converges in O(cluster diameter) rounds (near-dup clusters
+    * are near-cliques, so typically 2–3). Each round is one
+    * hash-partitioned join+groupBy on (id) — no driver-side graph, no
+    * assumption the component fits anywhere; the classic large-scale
+    * connected-components shape. Deterministic: labels are mins over
+    * an unordered set. */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("a_id"), col("b_id"))
+      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .distinct()
+      .toDF("id", "nbr").cache()
+    var labels = edges.select(col("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val next = edges
+        .join(labels.toDF("nbr", "nbr_label"), "nbr")
+        .groupBy(col("id")).agg(min(col("nbr_label")).as("nbr_min"))
+        .join(labels, "id")
+        .select(col("id"), least(col("label"), col("nbr_min")).as("label"))
+        .cache()
+      changed = next.join(labels.toDF("id", "old"), "id")
+        .where(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    val out = labels.select(col("id").as("doc_id"),
+      col("label").as("cluster_id"),
+      (col("id") === col("label")).as("is_keeper"))
+    out.count() // materialize before releasing the edge cache
+    edges.unpersist()
+    out
+  }
+
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDist. Candidate
     * generation blocks on 16-bit chunks (a Hamming-(≤3) pair must agree
     * on ≥1 of 4 chunks — pigeonhole), so the join is bucket-local. */

@@ -45,4 +45,29 @@ object Sampling {
     }
     df.where(bucket(col(idCol), 10000).cast("double") < threshold)
   }
+
+  /** GPT-style sequence packing: assign documents to fixed-token-budget
+    * training shards. Documents are packed concatenate-then-split — a
+    * doc's shard is `floor(exclusive-prefix-sum(tokens) / budget)`, so
+    * every shard holds ~budget tokens (straddlers spill into the next,
+    * the standard packing rule).
+    *
+    * Scale shape: a single global running sum would serialize on one
+    * reducer, so packing is bucketed — `nBuckets` independent streams
+    * keyed by `id mod nBuckets` (oracle-reproducible integer
+    * arithmetic, not a hash), each packed by a window partitioned on
+    * the bucket and ordered by id. Shards are identified by
+    * (pack_bucket, shard_in_bucket): deterministic, layout-invariant,
+    * and the window sort is per-bucket — parallelism = nBuckets, state
+    * = one running sum per bucket. */
+  def packShards(df: DataFrame, tokensCol: String, budget: Long,
+      idCol: String = "doc_id", nBuckets: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("pack_bucket")).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("pack_bucket", pmod(col(idCol), lit(nBuckets.toLong)))
+      .withColumn("__cum", sum(col(tokensCol)).over(w) - col(tokensCol))
+      .withColumn("shard_in_bucket", (col("__cum") / lit(budget)).cast("long"))
+      .drop("__cum")
+  }
 }

@@ -114,6 +114,15 @@ class ExtSpec extends SparkSpec {
     assert(f.features.toSeq == again.features.toSeq)
   }
 
+  test("dupClusters: transitive closure, min-id canonical keeper") {
+    // chain 1-2, 2-3 (1 and 3 never paired directly) + island 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val out = Dedup.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    assert(out == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false)))
+  }
+
   test("multimodal resize: fixed output dims, box-filter means, deterministic") {
     // 4×2 "image": payload bytes 0,4,8,12 / 16,20,24,28 → 2×1 resize
     // averages each 2×2 box: (0+4+16+20)/4=10, (8+12+24+28)/4=18

@@ -41,6 +41,25 @@ class SamplingSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("packShards: budget-bounded exclusive prefix sums per bucket") {
+    import spark.implicits._
+    // one bucket (ids ≡ 0 mod 8): docs of 1000 tokens each, budget 2048
+    // exclusive cumsum: 0,1000,2000,3000,4000 → shards 0,0,0,1,1
+    val docs = Seq(0L, 8L, 16L, 24L, 32L).map(id => (id, 1000))
+      .toDF("doc_id", "n_tokens")
+    val out = Sampling.packShards(docs, "n_tokens", budget = 2048)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((0L, 0L, 0L), (8L, 0L, 0L), (16L, 0L, 0L),
+      (24L, 0L, 1L), (32L, 0L, 1L)))
+    // buckets are independent: same ids shifted into bucket 1 restart at shard 0
+    val mixed = (Seq(0L, 8L) ++ Seq(1L, 9L)).map(id => (id, 2000))
+      .toDF("doc_id", "n_tokens")
+    val m = Sampling.packShards(mixed, "n_tokens", budget = 2048)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+    assert(m == Seq((0L, 0L, 0L), (1L, 1L, 0L), (8L, 0L, 0L), (9L, 1L, 0L)))
+  }
+
   test("saltedInnerHotKeys == plain join on skewed data; salts only hot keys") {
     import spark.implicits._
     // key 1 holds 90% of the left rows (hot); keys 2..50 one row each
