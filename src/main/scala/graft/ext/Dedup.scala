@@ -242,33 +242,53 @@ object Dedup {
     * connected-components shape. Deterministic: labels are mins over
     * an unordered set. */
   def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col("a_id"), col("b_id"))
+    // Self-loop edges fold "min of own and neighbors' labels" into the
+    // round's single join+groupBy (no second join against own labels).
+    val directed = pairs.select(col("a_id"), col("b_id"))
       .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .distinct()
+    val edges = directed
+      .union(directed.select(col("a_id"), col("a_id").as("b_id")).distinct())
       .toDF("id", "nbr").cache()
     var labels = edges.select(col("id")).distinct()
       .withColumn("label", col("id")).cache()
-    var changed = 1L
+    // Convergence via the exact label sum: per-node labels are
+    // monotonically non-increasing under min-propagation, so the sum
+    // strictly decreases until fixpoint. One aggregate per superstep
+    // instead of a join + count; decimal(38) keeps it exact at any
+    // id magnitude / row count.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+    def round(l: DataFrame): DataFrame = edges
+      .join(l.toDF("nbr", "label"), "nbr")
+      .groupBy(col("id")).agg(min(col("label")).as("label"))
+    // Supersteps: compose `roundsPerCheck` propagation rounds LAZILY
+    // (Catalyst fuses them into one query over the cached edges), then
+    // pay ONE action for materialization + convergence check. Per-round
+    // driver actions — each with its own job scheduling and codegen —
+    // were the dominant cost, not the joins themselves; a superstep
+    // amortizes that fixed cost over 4 rounds, and clusters of
+    // diameter ≤ 4 (the near-dup norm: near-cliques) converge in a
+    // single superstep plus the confirming one.
+    val roundsPerCheck = 4
+    var prevSum = labelSum(labels)
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val next = edges
-        .join(labels.toDF("nbr", "nbr_label"), "nbr")
-        .groupBy(col("id")).agg(min(col("nbr_label")).as("nbr_min"))
-        .join(labels, "id")
-        .select(col("id"), least(col("label"), col("nbr_min")).as("label"))
-        .cache()
-      changed = next.join(labels.toDF("id", "old"), "id")
-        .where(col("label") =!= col("old")).count()
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val next = (1 to roundsPerCheck).foldLeft(labels)((l, _) => round(l)).cache()
+      val s = labelSum(next)
       labels.unpersist()
       labels = next
-      iter += 1
+      converged = s == prevSum
+      prevSum = s
+      iter += roundsPerCheck
     }
-    val out = labels.select(col("id").as("doc_id"),
+    // labels is fully materialized by the last convergence sum, so the
+    // edge cache can be released without an extra action
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"),
       col("label").as("cluster_id"),
       (col("id") === col("label")).as("is_keeper"))
-    out.count() // materialize before releasing the edge cache
-    edges.unpersist()
-    out
   }
 
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDist. Candidate
