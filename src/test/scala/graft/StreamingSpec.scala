@@ -38,6 +38,26 @@ class StreamingSpec extends SparkSpec {
     assert(n1 == n2, "restart must be exactly-once (no re-ingestion)")
   }
 
+  test("malformed records parse PERMISSIVE to null rows; pipeline keeps flowing") {
+    val base = tmp("st_malformed")
+    val dir = s"$base/streams/streaming-graft-user"
+    new java.io.File(dir).mkdirs()
+    // two valid envelopes + one whose payload is not JSON (from_json
+    // PERMISSIVE -> null struct -> all-null flattened row, SURVEY §2.7)
+    val w = new java.io.PrintWriter(s"$dir/part-0.json")
+    w.println("""{"data":"{\"index\":\"7\",\"date_joined\":\"2020-01-02T03:04:05\",\"first_name\":\"A\",\"last_name\":\"B\",\"age\":\"30\"}"}""")
+    w.println("""{"data":"this is not json {"}""")
+    w.println("""{"data":"{\"index\":\"8\",\"date_joined\":\"2021-06-07T08:09:10\",\"first_name\":\"C\",\"last_name\":\"D\",\"age\":\"41\"}"}""")
+    w.close()
+    StreamJob.runOne(spark, base, "user", s"$base/out", s"$base/ckpt")
+    val out = spark.read.parquet(s"$base/out/user")
+    assert(out.count() == 3, "malformed record must not kill or drop the batch")
+    val good = out.where(org.apache.spark.sql.functions.col("ind").isNotNull)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).sortBy(_._1).toSeq
+    assert(good == Seq((7, "A B", 30), (8, "C D", 41)))
+    assert(out.where(org.apache.spark.sql.functions.col("ind").isNull).count() == 1)
+  }
+
   test("watermarked mode dedups pin with bounded state") {
     val base = tmp("st_wm")
     Fixtures.landStream(spark, sf, base)
