@@ -242,10 +242,14 @@ object Dedup {
     * connected-components shape. Deterministic: labels are mins over
     * an unordered set. */
   def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    // Cache the pair input: the union tree below references it four
+    // times (both directions + the self-loop branch), and each union
+    // branch re-evaluates its child — without the cache the whole
+    // upstream pair-generation pipeline runs 4×.
+    val p = pairs.select(col("a_id"), col("b_id")).cache()
     // Self-loop edges fold "min of own and neighbors' labels" into the
     // round's single join+groupBy (no second join against own labels).
-    val directed = pairs.select(col("a_id"), col("b_id"))
-      .union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    val directed = p.union(p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
     val edges = directed
       .union(directed.select(col("a_id"), col("a_id").as("b_id")).distinct())
       .toDF("id", "nbr").cache()
@@ -284,8 +288,9 @@ object Dedup {
       iter += roundsPerCheck
     }
     // labels is fully materialized by the last convergence sum, so the
-    // edge cache can be released without an extra action
+    // caches can be released without an extra action
     edges.unpersist()
+    p.unpersist()
     labels.select(col("id").as("doc_id"),
       col("label").as("cluster_id"),
       (col("id") === col("label")).as("is_keeper"))
