@@ -142,6 +142,11 @@ object SparkEntry {
     "dedup_clusters" -> prep((s, d) =>
       Dedup.dupClusters(Dedup.ngramJaccardPairs(docs(s, d)))
         .orderBy("doc_id")),
+    // train/test contamination: corpus shingle overlap vs a benchmark
+    // subset (doc_id % 97) — the pre-training decontamination check
+    "decontaminate" -> prep((s, d) => Engine.canonical(
+      Dedup.contamination(docs(s, d),
+        docs(s, d).where(col("doc_id") % 97 === 0)))),
     // Adaptive hot-key variant: on this uniform TPC-H data it detects
     // zero hot keys and degenerates to a plain join + one narrow
     // pre-pass — exactly the at-scale cost profile we want (blanket
@@ -313,6 +318,7 @@ object SparkEntry {
     "stratified_sample" -> ExtOracle.stratifiedSample,
     "pack_shards" -> ExtOracle.packShards,
     "dedup_clusters" -> ExtOracle.dedupClusters,
+    "decontaminate" -> ExtOracle.decontaminate,
     "salted_join_revenue" -> ExtOracle.saltedJoinRevenue,
     "multimodal_frames" -> ExtOracle.multimodalFrames,
     "dedup_exact" -> ExtOracle.dedupExact,

@@ -285,6 +285,30 @@ SELECT doc_id, n_tokens, pack_bucket,
 FROM t
 ${ord("doc_id")}""".trim
 
+  /** Contamination check: fraction of each doc's 8-token shingles that
+    * appear in the doc_id%97 benchmark subset's shingle set. */
+  val decontaminate: String = s"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+shl AS (
+  -- slice-based shingles: clamped at the end, so a doc with fewer than
+  -- 8 tokens yields ONE shingle of the available tokens — byte-for-byte
+  -- the engine's concat_ws/HashedShingles boundary semantics
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(w) - 7, 1)),
+    i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS sh
+  FROM ws),
+bench AS (
+  SELECT DISTINCT unnest(sh) AS s FROM shl WHERE doc_id % 97 = 0),
+sized AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM shl)
+SELECT sized.doc_id, CAST(MIN(sized.n_sh) AS INT) AS n_sh,
+  CAST(COUNT(*) AS BIGINT) AS n_contaminated,
+  CAST(COUNT(*) AS DOUBLE) / CAST(MIN(sized.n_sh) AS DOUBLE) AS contamination
+FROM sized JOIN bench ON sized.s = bench.s
+GROUP BY sized.doc_id
+${ord("doc_id", "n_sh", "n_contaminated", "contamination")}""".trim
+
   /** Connected components over the ngram-Jaccard pair graph via a
     * recursive closure (UNION-distinct fixpoint terminates on cycles);
     * cluster label = min reachable doc_id. */
@@ -294,8 +318,8 @@ ws AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
 shl AS (
   SELECT doc_id, list_distinct(list_transform(
-    generate_series(1, greatest(len(w) - 2, 0)),
-    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+    generate_series(1, greatest(len(w) - 2, 1)),
+    i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS sh
   FROM ws),
 sized AS (
   SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM shl),
@@ -334,8 +358,8 @@ WITH ws AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
 shl AS (
   SELECT doc_id, list_distinct(list_transform(
-    generate_series(1, greatest(len(w) - 2, 0)),
-    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+    generate_series(1, greatest(len(w) - 2, 1)),
+    i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS sh
   FROM ws),
 sized AS (
   SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM shl),

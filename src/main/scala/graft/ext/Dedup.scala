@@ -296,6 +296,32 @@ object Dedup {
       (col("id") === col("label")).as("is_keeper"))
   }
 
+  /** Benchmark decontamination: for every corpus document, the
+    * fraction of its w-token shingles that appear anywhere in the
+    * benchmark set — the standard train/test contamination check run
+    * before training. Returns (doc_id, n_sh, n_contaminated,
+    * contamination) for docs with ≥1 hit; filter `contamination >=
+    * threshold` to quarantine.
+    *
+    * Scale shape: the benchmark is the SMALL side (eval suites are
+    * thousands of docs, the corpus is the 100 TB side) — its distinct
+    * shingle-hash set builds once and broadcasts; the corpus side is a
+    * per-row projection + explode + broadcast semi-join, no corpus
+    * shuffle at all except the final per-doc count (map-side
+    * combinable on doc_id, the natural partitioning). */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, w: Int = 8): DataFrame = {
+    val bench = hashedShingled(benchmark, w)
+      .select(explode(col("sh")).as("s")).distinct()
+    val sized = hashedShingled(corpus, w).withColumn("n_sh", size(col("sh")))
+    sized.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+      .join(broadcast(bench), "s") // semi: bench shingles are distinct
+      .groupBy(col("doc_id")).agg(min(col("n_sh")).as("n_sh"),
+        count(lit(1)).as("n_contaminated"))
+      .select(col("doc_id"), col("n_sh"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") / col("n_sh").cast("double"))
+          .as("contamination"))
+  }
+
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDist. Candidate
     * generation blocks on 16-bit chunks (a Hamming-(≤3) pair must agree
     * on ≥1 of 4 chunks — pigeonhole), so the join is bucket-local. */

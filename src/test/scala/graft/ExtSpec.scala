@@ -114,6 +114,22 @@ class ExtSpec extends SparkSpec {
     assert(f.features.toSeq == again.features.toSeq)
   }
 
+  test("contamination: exact copy = 1.0, disjoint doc absent, partial in between") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"), // copy
+      (2L, "totally different words that never appeared anywhere at all"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta AND NOW new tail words here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.contamination(corpus, bench, w = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) == 1.0, s"exact copy fully contaminated: $out")
+    assert(!out.contains(2L), "disjoint doc must produce no row")
+    assert(out.contains(3L) && out(3L) > 0.0 && out(3L) < 1.0,
+      s"partial overlap strictly between 0 and 1: $out")
+  }
+
   test("dupClusters: transitive closure, min-id canonical keeper") {
     // chain 1-2, 2-3 (1 and 3 never paired directly) + island 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
