@@ -142,6 +142,11 @@ object SparkEntry {
     "dedup_clusters" -> prep((s, d) =>
       Dedup.dupClusters(Dedup.ngramJaccardPairs(docs(s, d)))
         .orderBy("doc_id")),
+    // overlapping token-window chunking (context-window prep; 32/8 so
+    // the fixture docs actually produce multi-chunk overlap)
+    "chunk_docs" -> prep((s, d) =>
+      graft.ext.TextAnalysis.chunk(docs(s, d), chunkTokens = 32, overlap = 8)
+        .orderBy("doc_id", "chunk_no")),
     // train/test contamination: corpus shingle overlap vs a benchmark
     // subset (doc_id % 97) — the pre-training decontamination check
     "decontaminate" -> prep((s, d) => Engine.canonical(
@@ -319,6 +324,7 @@ object SparkEntry {
     "pack_shards" -> ExtOracle.packShards,
     "dedup_clusters" -> ExtOracle.dedupClusters,
     "decontaminate" -> ExtOracle.decontaminate,
+    "chunk_docs" -> ExtOracle.chunkDocs,
     "salted_join_revenue" -> ExtOracle.saltedJoinRevenue,
     "multimodal_frames" -> ExtOracle.multimodalFrames,
     "dedup_exact" -> ExtOracle.dedupExact,

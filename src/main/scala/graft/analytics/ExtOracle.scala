@@ -285,6 +285,23 @@ SELECT doc_id, n_tokens, pack_bucket,
 FROM t
 ${ord("doc_id")}""".trim
 
+  /** Overlapping 32-token windows advancing by 24 (overlap 8);
+    * list_slice clamps the tail, short docs are one chunk. */
+  val chunkDocs: String = s"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+n AS (
+  SELECT doc_id, w,
+    greatest(1, CAST(ceil((len(w) - 8) / 24.0) AS BIGINT)) AS nch
+  FROM ws),
+x AS (
+  SELECT doc_id, w, unnest(generate_series(1, nch)) AS k FROM n)
+SELECT doc_id, CAST(k - 1 AS INT) AS chunk_no,
+  array_to_string(list_slice(w, (k-1)*24 + 1, (k-1)*24 + 32), ' ') AS chunk_text,
+  CAST(least(32, len(w) - (k-1)*24) AS INT) AS n_chunk_tokens
+FROM x
+${ord("doc_id", "chunk_no")}""".trim
+
   /** Contamination check: fraction of each doc's 8-token shingles that
     * appear in the doc_id%97 benchmark subset's shingle set. */
   val decontaminate: String = s"""

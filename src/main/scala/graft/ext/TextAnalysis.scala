@@ -108,6 +108,32 @@ object TextAnalysis {
         when(cjk > 0, lit(1.0)).otherwise(round(best.getField("score"), 6)))
   }
 
+  /** Overlapping token-window chunking — long documents split into
+    * `chunkTokens`-token windows advancing by `chunkTokens - overlap`
+    * (the context-window prep step of a training pipeline; overlap
+    * preserves cross-boundary context). A doc yields
+    * `max(1, ceil((n - overlap) / step))` chunks; the last window
+    * clamps at the end; short docs pass through as one chunk.
+    * Pure projection + generator — fused into the scan, no shuffle;
+    * the token array is materialized in a child projection (HOF-lambda
+    * re-evaluation rule, see Dedup.shinglesFromWords). */
+  def chunk(docs: DataFrame, chunkTokens: Int = 128, overlap: Int = 32): DataFrame = {
+    require(chunkTokens > overlap, "chunk must exceed overlap")
+    val step = chunkTokens - overlap
+    docs.select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"),
+        greatest(lit(1),
+          ceil((size(col("ws")) - lit(overlap)).cast("double") / step)
+            .cast("int")).as("nch"))
+      .select(col("doc_id"), col("ws"),
+        posexplode(transform(sequence(lit(0), col("nch") - 1),
+          k => concat_ws(" ", slice(col("ws"), k * step + 1, lit(chunkTokens)))))
+          .as(Seq("chunk_no", "chunk_text")))
+      .select(col("doc_id"), col("chunk_no"), col("chunk_text"),
+        least(lit(chunkTokens), size(col("ws")) - col("chunk_no") * step)
+          .cast("int").as("n_chunk_tokens"))
+  }
+
   /** Corpus vocabulary size, exact vs HLL sketch (`approx_count_
     * distinct`): the sketch is the 100 TB path — fixed-size state,
     * partial-aggregatable, no giant distinct shuffle; the exact count

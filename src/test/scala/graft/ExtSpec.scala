@@ -114,6 +114,19 @@ class ExtSpec extends SparkSpec {
     assert(f.features.toSeq == again.features.toSeq)
   }
 
+  test("chunk: overlapping windows, clamped tail, short doc passes whole") {
+    // 10 tokens, chunk 4, overlap 2 → step 2, nch = ceil(8/2) = 4
+    val doc = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "short doc")).toDF("doc_id", "text")
+    val out = graft.ext.TextAnalysis.chunk(doc, chunkTokens = 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    assert(out == Seq(
+      (1L, 0, "t1 t2 t3 t4", 4), (1L, 1, "t3 t4 t5 t6", 4),
+      (1L, 2, "t5 t6 t7 t8", 4), (1L, 3, "t7 t8 t9 t10", 4),
+      (2L, 0, "short doc", 2)))
+  }
+
   test("contamination: exact copy = 1.0, disjoint doc absent, partial in between") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta iota"))
       .toDF("doc_id", "text")
