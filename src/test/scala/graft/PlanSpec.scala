@@ -55,6 +55,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "equi-join expected")
   }
 
+  test("contamination: benchmark side broadcasts, corpus side never shuffles pre-agg") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ext.Dedup.contamination(
+      docs, docs.where(col("doc_id") % 97 === 0)))
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark shingle set must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-side shuffle join:\n$p")
+    // exactly two hash exchanges: the benchmark-side distinct (inside
+    // the broadcast build — small by nature) and the final per-doc
+    // aggregation; the corpus semi-join itself must be map-side
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(exchanges <= 2, s"corpus side must not shuffle before the agg:\n$p")
+  }
+
   test("lshTopK: bucket join is an equi-join, never a cross join") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = plan(Similarity.lshTopK(emb, emb.limit(5)))
