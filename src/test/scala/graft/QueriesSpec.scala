@@ -11,6 +11,14 @@ class QueriesSpec extends SparkSpec {
 
   private lazy val (pin, geo, user) = PinQueries.cleanedTables(spark, sf)
 
+  test("driver contract: every oracle key has a queries entry, none dangle") {
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracleSql keys without a queries entry: $dangling")
+    assert(SparkEntry.queries.nonEmpty && SparkEntry.oracleSql.nonEmpty)
+    // bench set is a subset of queries (excluded IO surfaces aside)
+    assert(SparkEntry.benchQueries.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("Q1 keeps exactly the rank-1 categories per country") {
     val out = PinQueries.q1(pin, geo)
     val top = out.groupBy("country").agg(max("category_count").as("m"),
