@@ -261,8 +261,8 @@ object Dedup {
     // instead of a join + count; decimal(38) keeps it exact at any
     // id magnitude / row count.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head()
-        .getDecimal(0)
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+        .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO) // empty → 0
     def round(l: DataFrame): DataFrame = edges
       .join(l.toDF("nbr", "label"), "nbr")
       .groupBy(col("id")).agg(min(col("label")).as("label"))
@@ -275,7 +275,9 @@ object Dedup {
     // diameter ≤ 4 (the near-dup norm: near-cliques) converge in a
     // single superstep plus the confirming one.
     val roundsPerCheck = 4
-    var prevSum = labelSum(labels)
+    // No initial-sum action: two consecutive superstep sums being equal
+    // is the fixpoint test (sums are strictly decreasing until then).
+    var prevSum: java.math.BigDecimal = null
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -283,7 +285,7 @@ object Dedup {
       val s = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = s == prevSum
+      converged = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s
       iter += roundsPerCheck
     }
