@@ -143,6 +143,19 @@ class ExtSpec extends SparkSpec {
       s"partial overlap strictly between 0 and 1: $out")
   }
 
+  test("dupClusters: layout-invariant (repartitioned pairs give same clusters)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), // diameter > 4
+      (10L, 11L), (11L, 12L)).toDF("a_id", "b_id")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.dupClusters(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val base = run(pairs)
+    assert(base == run(pairs.repartition(13)))
+    // chain 1-6 must fully collapse to label 1 (needs >1 superstep)
+    assert(base.filter(_._1 <= 6).forall(_._2 == 1L), s"$base")
+    assert(base.filter(_._1 >= 10).forall(_._2 == 10L), s"$base")
+  }
+
   test("dupClusters: transitive closure, min-id canonical keeper") {
     // chain 1-2, 2-3 (1 and 3 never paired directly) + island 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")

@@ -60,6 +60,16 @@ class SamplingSpec extends SparkSpec {
     assert(m == Seq((0L, 0L, 0L), (1L, 1L, 0L), (8L, 0L, 0L), (9L, 1L, 0L)))
   }
 
+  test("packShards: layout-invariant (repartition changes nothing)") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.packShards(df, "n_tokens", budget = 2048)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
+    assert(run(docs) == run(docs.repartition(17)))
+  }
+
   test("saltedInnerHotKeys == plain join on skewed data; salts only hot keys") {
     import spark.implicits._
     // key 1 holds 90% of the left rows (hot); keys 2..50 one row each
