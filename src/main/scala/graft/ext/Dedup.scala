@@ -263,9 +263,18 @@ object Dedup {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head()
         .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO) // empty → 0
-    def round(l: DataFrame): DataFrame = edges
-      .join(l.toDF("nbr", "label"), "nbr")
-      .groupBy(col("id")).agg(min(col("label")).as("label"))
+    // Adaptive build side: the label table has one row per node of the
+    // PAIR graph (dup-involved docs only — usually a sliver of the
+    // corpus). When it is broadcastable, each round's join goes
+    // map-side and only the groupBy shuffles; past the threshold the
+    // hint drops away and rounds run as plain shuffle joins. The count
+    // also materializes the edge cache before the loop.
+    val broadcastable = labels.count() <= 5000000L
+    def round(l: DataFrame): DataFrame = {
+      val build = l.toDF("nbr", "label")
+      edges.join(if (broadcastable) broadcast(build) else build, "nbr")
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+    }
     // Supersteps: compose `roundsPerCheck` propagation rounds LAZILY
     // (Catalyst fuses them into one query over the cached edges), then
     // pay ONE action for materialization + convergence check. Per-round
