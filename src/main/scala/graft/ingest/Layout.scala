@@ -53,4 +53,50 @@ object Layout {
   def bucketedJoin(spark: SparkSession, leftTable: String,
       rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Morton (Z-order) value of two non-negative integer dimensions:
+    * bit-interleaved so rows close in BOTH dimensions get close
+    * z-values. Pure bitwise built-ins — codegen'd, no UDF. `bits`
+    * bounds each dimension at 2^bits. */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      bits: Int = 21): org.apache.spark.sql.Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc.bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(1), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(1), 2 * i + 1))
+    }
+
+  /** Z-ordered write: normalize both dimensions to equal bit-width
+    * buckets (what makes interleaving meaningful when raw ranges
+    * differ by orders of magnitude — the same normalization Delta's
+    * OPTIMIZE ZORDER applies), then range-partition + sort by the
+    * interleaved z-value. Every output file covers a tight
+    * hyper-rectangle of (dimA, dimB), so parquet min/max footer stats
+    * let ANY reader skip files/row-groups for predicates on EITHER
+    * dimension; single-column sorting only helps its own column. One
+    * tiny min/max pre-pass; bucket math is exact integer division. The
+    * z column is dropped before write — the clustering survives in the
+    * file layout. */
+  def writeZOrdered(df: DataFrame, outDir: String, dimA: String,
+      dimB: String, files: Int = 8, bits: Int = 16): Unit = {
+    val r = df.agg(
+      min(col(dimA).cast("long")), max(col(dimA).cast("long")),
+      min(col(dimB).cast("long")), max(col(dimB).cast("long"))).head()
+    def bucket(c: org.apache.spark.sql.Column, lo: Long, hi: Long) = {
+      // Affine-map the dim's full range onto [0, 2^bits) — stretching
+      // narrow dims up as well as scaling wide dims down, so both
+      // contribute equally many effective bits to the interleave.
+      val factor = ((1L << bits) - 1).toDouble / math.max(hi - lo, 1L).toDouble
+      least(floor((c.cast("long") - lit(lo)) * lit(factor)).cast("long"),
+        lit((1L << bits) - 1))
+    }
+    val z = zValue(
+      bucket(col(dimA), r.getLong(0), r.getLong(1)),
+      bucket(col(dimB), r.getLong(2), r.getLong(3)), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(outDir)
+  }
 }

@@ -8,6 +8,33 @@ import graft.ingest.Layout
   * partitioned writes; exchange-free joins on co-bucketed tables. */
 class LayoutSpec extends SparkSpec {
 
+  test("z-ordered write: every file covers a tight rectangle of BOTH dims") {
+    val base = Files.createTempDirectory("layout_z").toString
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("hour_b", expr("ts div 3600000000000"))
+      .select("event_id", "user_id", "hour_b")
+    Layout.writeZOrdered(ev, s"$base/z", "user_id", "hour_b", files = 8)
+    val files = new java.io.File(s"$base/z").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length >= 4, s"expected several files, got ${files.length}")
+    // content survives the rewrite
+    assert(spark.read.parquet(s"$base/z").count() == ev.count())
+    val global = ev.agg(
+      max("user_id") - min("user_id"), max("hour_b") - min("hour_b")).head()
+    val (gu, gh) = (global.getLong(0).toDouble, global.getLong(1).toDouble)
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f).agg(
+        max("user_id") - min("user_id"), max("hour_b") - min("hour_b")).head()
+      (r.getLong(0).toDouble / gu, r.getLong(1).toDouble / gh)
+    }
+    val (avgU, avgH) = (spans.map(_._1).sum / spans.length,
+      spans.map(_._2).sum / spans.length)
+    // a single-column sort would give ~1.0 span on the other column;
+    // z-order must shrink BOTH well below the global range
+    assert(avgU < 0.8 && avgH < 0.8,
+      s"files must cluster both dims: avg user span=$avgU, hour span=$avgH")
+  }
+
   test("date-partitioned events: range filter prunes partitions at the scan") {
     val base = Files.createTempDirectory("layout_part").toString
     val events = spark.read.parquet(s"$sf/events.parquet")
