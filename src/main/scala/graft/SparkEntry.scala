@@ -87,9 +87,13 @@ object SparkEntry {
       val (pin, _, _) = tables(s, dir)
       pin.orderBy("ind")
     }),
+    // `coordinates` stays Array[String] inside the engine (C10); the gate
+    // dump serializes it with concat_ws so the driver's pandas-side sort
+    // never sees an unhashable ndarray column (round-1 oracle crash).
     "geo_clean" -> ((s, dir) => {
       val (_, geo, _) = tables(s, dir)
-      geo.select(col("ind"), col("country"), col("coordinates"),
+      geo.select(col("ind"), col("country"),
+        concat_ws("|", col("coordinates")).as("coordinates_str"),
         col("timestamp").cast("string").as("timestamp_str")).orderBy("ind")
     }),
     "user_clean" -> ((s, dir) => {
@@ -233,7 +237,7 @@ object SparkEntry {
     }),
     "stream_pin_clean" -> streamEntry("pin", df => df.orderBy("ind")),
     "stream_geo_clean" -> streamEntry("geo", df => df.select(col("ind"),
-      col("country"), col("coordinates"),
+      col("country"), concat_ws("|", col("coordinates")).as("coordinates_str"),
       col("timestamp").cast("string").as("timestamp_str")).orderBy("ind")),
     "stream_user_clean" -> streamEntry("user", df => df.select(col("ind"),
       col("user_name"), col("age"),

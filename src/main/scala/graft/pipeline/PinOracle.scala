@@ -141,8 +141,12 @@ user_df AS (
 SELECT * FROM pin_df
 ${ord(Seq("ind"))}"""
 
+  /** The dump serializes the C10 array as 'lat|long' (gate checker runs
+    * in pandas, which cannot sort/hash an array column); the engine-side
+    * twin applies the same concat_ws to its internal Array[String]. */
   val geoClean: String = s"""WITH $ctes
-SELECT ind, country, coordinates,
+SELECT ind, country,
+  array_to_string(coordinates, '|') AS coordinates_str,
   CAST("timestamp" AS VARCHAR) AS timestamp_str
 FROM geo_df
 ${ord(Seq("ind"))}"""
