@@ -183,7 +183,7 @@ object SparkEntry {
     "ann_cosine_topk" -> prep((s, d) => Engine.canonical(
       Similarity.bruteForceTopK(emb(s, d), queryVecId = 0L, k = 10))),
     "ann_lsh_topk" -> prep((s, d) => Similarity.lshTopK(emb(s, d),
-      emb(s, d).where(col("vec_id") % 100 === 0)).orderBy("probe_id", "rk")),
+      emb(s, d).where(col("vec_id") % 100 === 0)).orderBy("probe_id", "vec_id")),
     "ann_ivf_topk" -> prep((s, d) => Similarity.ivfTopK(emb(s, d),
       emb(s, d).where(col("vec_id") % 100 === 0), k = 5, nprobe = 3)
       .orderBy("probe_id", "vec_id")),
@@ -245,13 +245,10 @@ object SparkEntry {
     // ---- multimodal plumbing (stubbed codec, real Spark contract) ----
     "multimodal_features" -> prep((s, d) =>
       graft.ext.Multimodal.pipeline(s, docs(s, d)).orderBy("asset_id")),
-    // rows-only: resized payload content is codec-defined (box-filter
-    // over stub pixels); fingerprint keeps the dump deterministic.
+    // oracle-checked: resizeSummary's luma_sum depends on every output
+    // byte and DuckDB recomputes the full box filter in SQL.
     "multimodal_resize" -> prep((s, d) =>
-      graft.ext.Multimodal.resize(s, graft.ext.Multimodal.toAssets(docs(s, d))).toDF()
-        .select(col("asset_id"), col("format"), col("width"), col("height"),
-          length(col("media")).as("n_bytes"),
-          xxhash64(col("media")).as("content_hash"))
+      graft.ext.Multimodal.resizeSummary(s, graft.ext.Multimodal.toAssets(docs(s, d)))
         .orderBy("asset_id")),
     // oracle-checked: kept-frame count per asset is pure arithmetic on
     // the payload length (frames of 64 bytes, every 4th kept).
@@ -335,15 +332,19 @@ object SparkEntry {
     "ngram_jaccard" -> ExtOracle.ngramJaccard,
     "ngram_jaccard_prefix" -> ExtOracle.ngramJaccard, // same output, pruned path
     "ann_cosine_topk" -> ExtOracle.annCosineTopK,
+    "ann_lsh_topk" -> ExtOracle.annLshTopK,
     "neardup_embeddings" -> ExtOracle.nearDupEmbeddings,
     "ann_ivf_topk" -> ExtOracle.ivfTopK,
+    "multimodal_features" -> ExtOracle.multimodalFeatures,
+    "multimodal_resize" -> ExtOracle.multimodalResize,
     "json_scan_clean" -> PinOracle.pinClean,
     "stream_pin_clean" -> PinOracle.pinClean,
     "stream_geo_clean" -> PinOracle.geoClean,
     "stream_user_clean" -> PinOracle.userClean,
-    // fingerprint_docs / minhash_pairs / simhash_pairs / ann_lsh_topk
-    // are engine-hash-specific (xxhash64 / custom PolyHash64) with no
-    // SQL twin — the driver records rows-only checks; ScalaTest specs
-    // pin their semantics.
+    // fingerprint_docs / minhash_pairs / simhash_pairs are
+    // engine-hash-specific (xxhash64 / custom PolyHash64, 64-bit
+    // wraparound arithmetic DuckDB's overflow-checked BIGINT cannot
+    // express) with no SQL twin — the driver records rows-only checks;
+    // ScalaTest specs pin their semantics.
   )
 }

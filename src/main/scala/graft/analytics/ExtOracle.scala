@@ -270,6 +270,64 @@ FROM documents
 WHERE strlen(text) >= 64
 ${ord("asset_id")}""".trim
 
+  /** Twin of Multimodal.pipeline on the fixture assets (media = UTF-8
+    * text bytes, pure ASCII in the testdata, so ord(char) == byte):
+    * mean_luma = byte sum / byte count, one exact IEEE division both
+    * sides — bit-identical without rounding. */
+  val multimodalFeatures: String = s"""
+WITH a AS (
+  SELECT doc_id AS asset_id,
+    ['png','jpeg','webp'][CAST(doc_id % 3 + 1 AS INT)] AS format,
+    CAST(strlen(text) AS INT) AS n_bytes,
+    text, CAST(strlen(text) AS BIGINT) AS len
+  FROM documents),
+ix AS (SELECT asset_id, unnest(generate_series(1, len)) AS i FROM a),
+s AS (
+  SELECT ix.asset_id, SUM(ord(substring(a.text, CAST(ix.i AS INT), 1))) AS luma
+  FROM ix JOIN a USING (asset_id)
+  GROUP BY ix.asset_id)
+SELECT a.asset_id, a.format, a.n_bytes,
+  CASE WHEN a.len = 0 THEN 0.0
+       ELSE CAST(s.luma AS DOUBLE) / CAST(a.len AS DOUBLE) END AS mean_luma
+FROM a LEFT JOIN s USING (asset_id)
+${ord("asset_id")}""".trim
+
+  /** Twin of Multimodal.resizeSummary: recomputes the whole 8×8 box
+    * filter (source box [x0,x1)×[y0,y1) per output cell, floor-mean,
+    * boxes overlap when a source dim < 8) in SQL and checks the byte
+    * sum of the resized payload — content-pinning, engine-portable. */
+  val multimodalResize: String = s"""
+WITH a AS (
+  SELECT doc_id AS asset_id, text,
+    CAST(strlen(text) AS BIGINT) AS len,
+    ['png','jpeg','webp'][CAST(doc_id % 3 + 1 AS INT)] AS format,
+    CAST(n_chars % 640 + 16 AS BIGINT) AS w
+  FROM documents),
+d AS (SELECT *, greatest((len + w - 1) // w, 1) AS h FROM a),
+boxes AS (
+  SELECT asset_id, text, len, w, ox, oy,
+    ox * w // 8 AS x0, greatest((ox + 1) * w // 8, ox * w // 8 + 1) AS x1,
+    oy * h // 8 AS y0, greatest((oy + 1) * h // 8, oy * h // 8 + 1) AS y1
+  FROM (SELECT *, unnest(generate_series(0, 7)) AS ox FROM d),
+       (SELECT unnest(generate_series(0, 7)) AS oy)),
+pxy AS (
+  SELECT asset_id, text, len, w, ox, oy, x0, x1,
+    unnest(generate_series(y0, y1 - 1)) AS y
+  FROM boxes),
+pix AS (
+  SELECT asset_id, ox, oy,
+    ord(substring(text, CAST(y * w + unnest(generate_series(x0, x1 - 1)) + 1 AS INT), 1)) AS v,
+    y * w + unnest(generate_series(x0, x1 - 1)) AS i, len
+  FROM pxy),
+cellv AS (
+  SELECT asset_id, ox, oy, SUM(v) // COUNT(*) AS cv
+  FROM pix WHERE i < len GROUP BY asset_id, ox, oy),
+sums AS (SELECT asset_id, CAST(SUM(cv) AS BIGINT) AS luma_sum FROM cellv GROUP BY asset_id)
+SELECT a.asset_id, a.format, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+  CAST(64 AS INT) AS n_bytes, CAST(COALESCE(s.luma_sum, 0) AS BIGINT) AS luma_sum
+FROM a LEFT JOIN sums s USING (asset_id)
+${ord("asset_id")}""".trim
+
   /** Bucketed GPT-style shard packing: shard = exclusive prefix sum of
     * tokens within the id-mod bucket, integer-divided by the budget. */
   val packShards: String = s"""
@@ -444,6 +502,46 @@ scored AS (
     FROM pcells pc JOIN assign a ON pc.cell = a.cell
     WHERE pc.probe_id <> a.vec_id))
 SELECT probe_id, vec_id, cosine_sim FROM scored WHERE rk <= 5
+${ord("probe_id", "vec_id")}""".trim
+
+  /** End-to-end twin of Similarity.lshTopK: the Lehmer-LCG hyperplanes
+    * are portable integer arithmetic (every intermediate < 2^47, exact
+    * in doubles too), so DuckDB reproduces sketch bits, buckets, the
+    * bucket-local candidate join, exact cosine re-rank and the top-k
+    * window — full hash-match coverage for the LSH ANN path. */
+  val annLshTopK: String = s"""
+WITH e AS ($quantized),
+ed AS (SELECT vec_id, q, unnest(generate_series(1, len(q))) AS i FROM e),
+proj AS (
+  SELECT vec_id, p,
+    SUM(q[CAST(i AS INT)] *
+        ((((((p*131071 + (i-1)*524287 + 17) % 2147483647) * 48271)
+           % 2147483647 * 48271) % 2147483647) % 2001 - 1000)) AS proj
+  FROM (SELECT *, unnest(generate_series(0, 7)) AS p FROM ed)
+  GROUP BY vec_id, p),
+buckets AS (
+  SELECT vec_id,
+    SUM(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT))
+        ELSE 0 END) AS bucket
+  FROM proj GROUP BY vec_id),
+cand AS (
+  SELECT pb.vec_id AS probe_id, bb.vec_id
+  FROM buckets pb JOIN buckets bb ON pb.bucket = bb.bucket
+  WHERE pb.vec_id % 100 = 0 AND pb.vec_id <> bb.vec_id),
+scored AS (
+  SELECT c.probe_id, c.vec_id,
+    list_dot_product(pe.q, be.q) /
+      (sqrt(list_dot_product(pe.q, pe.q)) * sqrt(list_dot_product(be.q, be.q)))
+      AS cosine_sim
+  FROM cand c
+  JOIN e pe ON pe.vec_id = c.probe_id
+  JOIN e be ON be.vec_id = c.vec_id),
+topk AS (
+  SELECT probe_id, vec_id, cosine_sim,
+    ROW_NUMBER() OVER (PARTITION BY probe_id
+      ORDER BY cosine_sim DESC, vec_id ASC) AS rk
+  FROM scored)
+SELECT probe_id, vec_id, cosine_sim FROM topk WHERE rk <= 5
 ${ord("probe_id", "vec_id")}""".trim
 
   val nearDupEmbeddings: String = s"""

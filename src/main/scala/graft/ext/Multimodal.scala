@@ -84,11 +84,13 @@ object Multimodal {
   }
 
   /** End-to-end: documents → binary assets → decoded features, ready
-    * for Similarity.lshTopK over the `features` column. */
+    * for Similarity.lshTopK over the `features` column. `mean_luma` is
+    * emitted UNROUNDED: it is one IEEE division of two exact integers
+    * (byte sum / byte count), so any engine reproduces the double
+    * bit-for-bit — rounding would only add a boundary-case hazard. */
   def pipeline(spark: SparkSession, docs: DataFrame): DataFrame =
     extractFeatures(spark, toAssets(docs)).toDF()
-      .select(col("asset_id"), col("format"), col("n_bytes"),
-        round(col("mean_luma"), 6).as("mean_luma"))
+      .select(col("asset_id"), col("format"), col("n_bytes"), col("mean_luma"))
 
   case class ResizedAsset(asset_id: Long, media: Array[Byte],
       format: String, width: Int, height: Int)
@@ -135,6 +137,20 @@ object Multimodal {
       }
       ResizedAsset(a.asset_id, out, a.format, outW, outH)
     }
+  }
+
+  /** Oracle-checkable resize digest: metadata plus the byte sum of the
+    * resized payload (`luma_sum`), which depends on every output byte —
+    * pure integer arithmetic over the input bytes, so a SQL engine can
+    * recompute the whole box filter and verify the content (vs. an
+    * engine-specific content hash, which is rows-only checkable). */
+  def resizeSummary(spark: SparkSession, assets: DataFrame,
+      outW: Int = 8, outH: Int = 8): DataFrame = {
+    import spark.implicits._
+    resize(spark, assets, outW, outH)
+      .map(r => (r.asset_id, r.format, r.width, r.height,
+        r.media.length, r.media.map(_ & 0xff).sum.toLong))
+      .toDF("asset_id", "format", "width", "height", "n_bytes", "luma_sum")
   }
 
   /** Frame sampling: treat a video payload as a sequence of fixed-size

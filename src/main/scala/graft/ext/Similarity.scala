@@ -50,11 +50,18 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic pseudo-hyperplane component for (plane p, dim d):
-    * a fixed integer in [-1000, 1000] derived from xxhash64 — no RNG,
-    * reproducible across runs and engines. */
-  private def planeComponent(p: Int, d: Column): Column =
-    pmod(xxhash64(lit(p), d), lit(2001L)) - 1000L
+  /** Deterministic pseudo-hyperplane component for (plane p, dim d): a
+    * fixed integer in [-1000, 1000] from two Lehmer LCG steps (mod
+    * 2^31-1) over a (p,d)-mixed seed — no RNG, and PORTABLE integer
+    * arithmetic (every intermediate < 2^47): any engine reproduces the
+    * planes bit-for-bit, which is what makes `lshTopK` end-to-end
+    * oracle-checkable in DuckDB (unlike a seeded xxhash64 derivation). */
+  private def planeComponent(p: Int, d: Column): Column = {
+    val h0 = (lit(p.toLong * 131071L) + d * 524287L + 17L) % 2147483647L
+    val h1 = (h0 * 48271L) % 2147483647L
+    val h2 = (h1 * 48271L) % 2147483647L
+    h2 % 2001L - 1000L
+  }
 
   /** Sign-bit LSH sketch over a PRE-MATERIALIZED quantized column
     * (see Dedup.minhashSignature for why the input must be an
@@ -70,19 +77,31 @@ object Similarity {
   /** Bucketed batch k-NN: probe vectors join candidates sharing an LSH
     * bucket, then exact cosine + per-probe top-k window. Bucket-local
     * join — no all-pairs blowup. Recall is tunable via `planes`
-    * (fewer planes → bigger buckets → higher recall, more compute). */
+    * (fewer planes → bigger buckets → higher recall, more compute).
+    *
+    * Shuffle shape (the 100 TB path, same as Dedup.minhashLshPairs):
+    * the bucket join moves NARROW (id, bucket) rows only — vectors
+    * never ride the bucket shuffle. Candidate (probe_id, vec_id) pairs
+    * then fetch their vectors via two id equi-joins; with a small
+    * candidate set AQE turns those into broadcast joins, so the big
+    * vector table is scanned in place and never shuffled at all. */
   def lshTopK(emb: DataFrame, probes: DataFrame, k: Int = 5,
       planes: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
-      .select(col("vec_id"), col("q"), lshSketch(col("q"), planes).as("bucket"))
-    val prb = probes.select(col("vec_id").as("probe_id"),
+    val baseB = base.select(col("vec_id"), lshSketch(col("q"), planes).as("bucket"))
+    val prbQ = probes.select(col("vec_id").as("probe_id"),
       quantize(col("embedding")).as("pq"))
-      .select(col("probe_id"), col("pq"), lshSketch(col("pq"), planes).as("bucket"))
+    val prbB = prbQ.select(col("probe_id"), lshSketch(col("pq"), planes).as("bucket"))
+    // narrow candidate generation: (id,bucket) ⋈ (id,bucket)
+    val cands = prbB.join(baseB, "bucket")
+      .where(col("probe_id") =!= col("vec_id"))
+      .select("probe_id", "vec_id")
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine_sim").desc, col("vec_id").asc)
-    prb.join(base, "bucket")
-      .where(col("probe_id") =!= col("vec_id"))
+    cands
+      .join(base, "vec_id")   // vector fetch for candidates only
+      .join(prbQ, "probe_id")
       .select(col("probe_id"), col("vec_id"),
         cosineQ(col("pq"), col("q")).as("cosine_sim"))
       .withColumn("rk", row_number().over(w))

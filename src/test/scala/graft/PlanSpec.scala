@@ -77,6 +77,26 @@ class PlanSpec extends SparkSpec {
       s"bucketed ANN must stay equi-join:\n$p")
   }
 
+  test("lshTopK: vectors never ride the bucket join (narrow candidate rows)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val df = Similarity.lshTopK(emb, emb.limit(5))
+    // the join keyed on `bucket` must see only narrow (id, bucket) rows
+    // on BOTH inputs — whatever physical form it takes (shuffle or
+    // broadcast), the quantized vectors must not flow through it; they
+    // are fetched later by id joins on the (small) candidate set.
+    val bucketJoins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.references.exists(_.name == "bucket")) => j
+    }
+    assert(bucketJoins.nonEmpty, "expected a join keyed on bucket")
+    bucketJoins.foreach { j =>
+      val wide = (j.left.output ++ j.right.output)
+        .filter(_.dataType.typeName.startsWith("array"))
+      assert(wide.isEmpty,
+        s"bucket join inputs must be array-free, got: ${wide.map(a => s"${a.name}:${a.dataType.simpleString}")}")
+    }
+  }
+
   private def codegenExplain(df: DataFrame): String =
     df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
