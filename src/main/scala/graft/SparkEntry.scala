@@ -134,12 +134,15 @@ object SparkEntry {
       Sampling.stratifiedSample(docs(s, d), "lang",
         Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1))
         .select("doc_id", "lang").orderBy("doc_id")),
-    // GPT-style token-budget shard packing (bucketed prefix sums)
+    // GPT-style token-budget shard packing (bucketed prefix sums).
+    // nBuckets pinned: bucket ids feed the oracle twin, which must not
+    // depend on how many cores the verifying session happens to have
+    // (the operator default tracks session parallelism).
     "pack_shards" -> prep((s, d) =>
       Sampling.packShards(
         docs(s, d).select(col("doc_id"),
           size(split(trim(col("text")), "\\s+")).as("n_tokens")),
-        "n_tokens", budget = 2048)
+        "n_tokens", budget = 2048, nBuckets = 8)
         .select("doc_id", "n_tokens", "pack_bucket", "shard_in_bucket")
         .orderBy("doc_id")),
     // pairs -> connected components -> one canonical keeper per cluster

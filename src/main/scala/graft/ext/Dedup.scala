@@ -268,8 +268,11 @@ object Dedup {
     // corpus). When it is broadcastable, each round's join goes
     // map-side and only the groupBy shuffles; past the threshold the
     // hint drops away and rounds run as plain shuffle joins. The count
-    // also materializes the edge cache before the loop.
-    val broadcastable = labels.count() <= 5000000L
+    // also materializes the edge cache before the loop. Threshold: 1M
+    // (id, label) rows ≈ 16 MB of longs ≈ a few tens of MB as a hash
+    // relation — customary broadcast sizing; a row-count gate far above
+    // that would push a few hundred MB to every executor each round.
+    val broadcastable = labels.count() <= 1000000L
     def round(l: DataFrame): DataFrame = {
       val build = l.toDF("nbr", "label")
       edges.join(if (broadcastable) broadcast(build) else build, "nbr")
@@ -298,6 +301,16 @@ object Dedup {
       prevSum = s
       iter += roundsPerCheck
     }
+    // A high-diameter pair graph (chains, not the near-clique norm) can
+    // exhaust maxIters before fixpoint; silently returning would mean
+    // multiple is_keeper rows per true cluster (under-dedup) with no
+    // signal. Label propagation is label-correct only at fixpoint, so
+    // surface it loudly.
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dupClusters: label propagation did NOT converge within " +
+          s"$maxIters rounds (graph diameter > $maxIters); clusters may " +
+          s"be split — rerun with a larger maxIters")
     // labels is fully materialized by the last convergence sum, so the
     // caches can be released without an extra action
     edges.unpersist()

@@ -59,13 +59,23 @@ object Sampling {
     * the bucket and ordered by id. Shards are identified by
     * (pack_bucket, shard_in_bucket): deterministic, layout-invariant,
     * and the window sort is per-bucket — parallelism = nBuckets, state
-    * = one running sum per bucket. */
+    * = one running sum per bucket.
+    *
+    * `nBuckets <= 0` (the default) resolves to the session's
+    * `defaultParallelism`, so reducer fan-out tracks the cluster
+    * instead of a fixed constant (8 window reducers on a 1000-executor
+    * cluster would serialize the packing). Pass an explicit value when
+    * bucket ids must be stable across differently-sized sessions
+    * (e.g. a cross-engine verification run). */
   def packShards(df: DataFrame, tokensCol: String, budget: Long,
-      idCol: String = "doc_id", nBuckets: Int = 8): DataFrame = {
+      idCol: String = "doc_id", nBuckets: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val buckets =
+      if (nBuckets > 0) nBuckets
+      else df.sparkSession.sparkContext.defaultParallelism
     val w = Window.partitionBy(col("pack_bucket")).orderBy(col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("pack_bucket", pmod(col(idCol), lit(nBuckets.toLong)))
+    df.withColumn("pack_bucket", pmod(col(idCol), lit(buckets.toLong)))
       .withColumn("__cum", sum(col(tokensCol)).over(w) - col(tokensCol))
       .withColumn("shard_in_bucket", (col("__cum") / lit(budget)).cast("long"))
       .drop("__cum")

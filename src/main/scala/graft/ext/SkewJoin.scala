@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * AQE). A hot key that would pin one reducer is spread over `salts`
   * partitions:
   *
-  *   left  (large, skewed): + salt = pmod(xxhash64(id-ish), salts)
+  *   left  (large, skewed): + salt = per-row round-robin counter
   *   right (smaller):       × exploded to every salt value
   *   join on (key, salt)    — same rows out as the unsalted join.
   *
@@ -20,14 +20,19 @@ import org.apache.spark.sql.functions._
   * AQE's `skewJoin.enabled` first; this is the explicit-control path. */
 object SkewJoin {
 
+  /** Per-row round-robin salt (partition-local counter): spreads even
+    * IDENTICAL duplicate rows under a hot key across all salt buckets
+    * (a row-content hash sends them all to one bucket — defeating the
+    * salting exactly when skew comes from repeated rows) and never
+    * fails analysis on a column type a hash rejects (e.g. map). Salt
+    * values are routing-only: the join output is the same multiset for
+    * ANY salt assignment, so layout-dependence here is harmless. */
+  private def saltCol(salts: Int) =
+    pmod(monotonically_increasing_id(), lit(salts.toLong))
+
   def saltedInner(left: DataFrame, right: DataFrame, key: String,
       salts: Int = 8): DataFrame = {
-    // Salt from the whole left row (monotonic id is partitioning-
-    // dependent; hashing payload columns keeps the salt stable and
-    // spreads identical keys as long as other columns vary).
-    val saltCol = pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*),
-      lit(salts.toLong))
-    val l = left.withColumn("__salt", saltCol)
+    val l = left.withColumn("__salt", saltCol(salts))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts - 1L))))
     l.join(r, Seq(key, "__salt")).drop("__salt")
@@ -65,15 +70,37 @@ object SkewJoin {
     if (hotKeys.isEmpty) {
       // uniform data: zero overhead beyond the pre-pass
       left.join(right, Seq(key))
-    } else {
+    } else if (hotKeys.size <= inlineHotKeyLimit) {
+      // few hot keys: a compact IN-literal predicate, no extra join
       val isHot = col(key).isin(hotKeys: _*)
-      val saltCol = pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*),
-        lit(salts.toLong))
       val l = left.withColumn("__salt",
-        when(isHot, saltCol).otherwise(lit(0L)))
+        when(isHot, saltCol(salts)).otherwise(lit(0L)))
       val r = right.withColumn("__salt", explode(when(isHot,
         sequence(lit(0L), lit(salts - 1L))).otherwise(array(lit(0L)))))
       l.join(r, Seq(key, "__salt")).drop("__salt")
+    } else {
+      // many hot keys: a thousands-element IN literal bloats the plan
+      // and evaluates as a linear scan per row — mark hotness with a
+      // broadcast hash join against the (bounded) hot-key frame instead.
+      import scala.jdk.CollectionConverters._
+      val keyField = left.schema(key)
+      val hotDf = left.sparkSession.createDataFrame(
+        hotKeys.map(k => org.apache.spark.sql.Row(k)).asJava,
+        org.apache.spark.sql.types.StructType(Seq(keyField)))
+      val flag = broadcast(hotDf.withColumn("__hot", lit(true)))
+      val l = left.join(flag, Seq(key), "left")
+        .withColumn("__salt",
+          when(col("__hot").isNotNull, saltCol(salts)).otherwise(lit(0L)))
+        .drop("__hot")
+      val r = right.join(flag, Seq(key), "left")
+        .withColumn("__salt", explode(when(col("__hot").isNotNull,
+          sequence(lit(0L), lit(salts - 1L))).otherwise(array(lit(0L)))))
+        .drop("__hot")
+      l.join(r, Seq(key, "__salt")).drop("__salt")
     }
   }
+
+  /** Above this many hot keys the IN-literal plan is replaced by a
+    * broadcast join against the hot-key frame. */
+  private val inlineHotKeyLimit = 100
 }

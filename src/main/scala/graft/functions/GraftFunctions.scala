@@ -21,32 +21,63 @@ import org.apache.spark.sql.graftx.Bridge
   */
 object GraftFunctions {
 
-  private def intArg(e: Expression, fn: String, pos: Int): Int = e match {
-    case Literal(v: Int, _) => v
-    case other => throw new IllegalArgumentException(
-      s"$fn: argument $pos must be an integer literal, got $other")
+  /** Arity gate with an analysis-style message (surfaced at resolution
+    * time) instead of a bare head/apply IndexOutOfBounds. */
+  private def arity(fn: String, es: Seq[Expression], min: Int, max: Int): Unit =
+    if (es.size < min || es.size > max) {
+      val want = if (min == max) s"$min" else s"$min to $max"
+      throw new IllegalArgumentException(
+        s"$fn expects $want argument(s), got ${es.size}")
+    }
+
+  /** Positive-integer literal parameter: any foldable integral
+    * expression is accepted — builders run BEFORE constant folding, so
+    * a SQL `CAST(16 AS BIGINT)` arrives as a Cast over a literal, not a
+    * Literal; evaluating the foldable subtree covers every integral
+    * spelling. Non-positive values are rejected here rather than as a
+    * NegativeArraySizeException at runtime. */
+  private def posIntArg(e: Expression, fn: String, pos: Int): Int = {
+    val folded: Option[Long] =
+      if (!e.foldable) None
+      else try e.eval(null) match {
+        case i: Int   => Some(i.toLong)
+        case l: Long  => Some(l)
+        case s: Short => Some(s.toLong)
+        case b: Byte  => Some(b.toLong)
+        case _        => None
+      } catch { case _: Exception => None }
+    folded match {
+      case Some(v) if v >= 1 && v <= Int.MaxValue => v.toInt
+      case _ => throw new IllegalArgumentException(
+        s"$fn: argument $pos must be a positive integer literal, got $e")
+    }
   }
 
   /** name → (arity-checked builder, usage doc). */
   val all: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
     ("polyhash64",
-      { es: Seq[Expression] => PolyHash64(es.head) },
+      { es: Seq[Expression] =>
+        arity("polyhash64", es, 1, 1); PolyHash64(es.head) },
       "polyhash64(str) - order-sensitive 64-bit polynomial rolling hash"),
     ("dot64",
-      { es: Seq[Expression] => DotProduct64(es(0), es(1)) },
+      { es: Seq[Expression] =>
+        arity("dot64", es, 2, 2); DotProduct64(es(0), es(1)) },
       "dot64(array<long>, array<long>) - integer dot product"),
     ("simhash64",
-      { es: Seq[Expression] => SimHash64(es.head) },
+      { es: Seq[Expression] =>
+        arity("simhash64", es, 1, 1); SimHash64(es.head) },
       "simhash64(array<string>) - 64-bit SimHash of a token array"),
     ("hashed_shingles",
       { es: Seq[Expression] =>
+        arity("hashed_shingles", es, 1, 2)
         HashedShingles(es.head,
-          if (es.length > 1) intArg(es(1), "hashed_shingles", 2) else 3) },
+          if (es.length > 1) posIntArg(es(1), "hashed_shingles", 2) else 3) },
       "hashed_shingles(array<string>[, w]) - distinct xxhash64 of w-token shingles"),
     ("minhash_sig",
       { es: Seq[Expression] =>
+        arity("minhash_sig", es, 1, 2)
         MinHashSig(es.head,
-          if (es.length > 1) intArg(es(1), "minhash_sig", 2) else 32) },
+          if (es.length > 1) posIntArg(es(1), "minhash_sig", 2) else 32) },
       "minhash_sig(array<long>[, k]) - k-position MinHash signature"))
 
   private def info(name: String, usage: String) =

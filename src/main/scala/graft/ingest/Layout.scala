@@ -81,6 +81,13 @@ object Layout {
     val r = df.agg(
       min(col(dimA).cast("long")), max(col(dimA).cast("long")),
       min(col(dimB).cast("long")), max(col(dimB).cast("long"))).head()
+    if ((0 to 3).exists(r.isNullAt)) {
+      // empty input or an all-null dimension: there is no range to
+      // normalize — degrade to a plain (unclustered) write instead of
+      // NPE-ing on the null min/max
+      df.write.mode(SaveMode.Overwrite).parquet(outDir)
+      return
+    }
     def bucket(c: org.apache.spark.sql.Column, lo: Long, hi: Long) = {
       // Affine-map the dim's full range onto [0, 2^bits) — stretching
       // narrow dims up as well as scaling wide dims down, so both

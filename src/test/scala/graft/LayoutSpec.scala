@@ -35,6 +35,18 @@ class LayoutSpec extends SparkSpec {
       s"files must cluster both dims: avg user span=$avgU, hour span=$avgH")
   }
 
+  test("z-ordered write: empty and all-null-dim inputs degrade to a plain write") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("layout_zdegen").toString
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    Layout.writeZOrdered(empty, s"$base/empty", "a", "b")
+    assert(spark.read.parquet(s"$base/empty").count() == 0)
+    val nullDim = Seq((1L, Option.empty[Long]), (2L, Option.empty[Long]))
+      .toDF("a", "b")
+    Layout.writeZOrdered(nullDim, s"$base/nulldim", "a", "b")
+    assert(spark.read.parquet(s"$base/nulldim").count() == 2)
+  }
+
   test("date-partitioned events: range filter prunes partitions at the scan") {
     val base = Files.createTempDirectory("layout_part").toString
     val events = spark.read.parquet(s"$sf/events.parquet")

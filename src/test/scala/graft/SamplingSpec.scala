@@ -47,7 +47,7 @@ class SamplingSpec extends SparkSpec {
     // exclusive cumsum: 0,1000,2000,3000,4000 → shards 0,0,0,1,1
     val docs = Seq(0L, 8L, 16L, 24L, 32L).map(id => (id, 1000))
       .toDF("doc_id", "n_tokens")
-    val out = Sampling.packShards(docs, "n_tokens", budget = 2048)
+    val out = Sampling.packShards(docs, "n_tokens", budget = 2048, nBuckets = 8)
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
     assert(out == Seq((0L, 0L, 0L), (8L, 0L, 0L), (16L, 0L, 0L),
@@ -55,9 +55,19 @@ class SamplingSpec extends SparkSpec {
     // buckets are independent: same ids shifted into bucket 1 restart at shard 0
     val mixed = (Seq(0L, 8L) ++ Seq(1L, 9L)).map(id => (id, 2000))
       .toDF("doc_id", "n_tokens")
-    val m = Sampling.packShards(mixed, "n_tokens", budget = 2048)
+    val m = Sampling.packShards(mixed, "n_tokens", budget = 2048, nBuckets = 8)
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).sortBy(_._1).toSeq
     assert(m == Seq((0L, 0L, 0L), (1L, 1L, 0L), (8L, 0L, 0L), (9L, 1L, 0L)))
+  }
+
+  test("packShards: default bucket fan-out tracks session parallelism") {
+    import spark.implicits._
+    val par = spark.sparkContext.defaultParallelism
+    val docs = (0L until (par * 4L)).map(id => (id, 100)).toDF("doc_id", "n_tokens")
+    val nBuckets = Sampling.packShards(docs, "n_tokens", budget = 1000)
+      .select("pack_bucket").distinct().count()
+    assert(nBuckets == par.toLong,
+      s"default fan-out must equal defaultParallelism ($par), got $nBuckets")
   }
 
   test("packShards: layout-invariant (repartition changes nothing)") {
@@ -83,5 +93,25 @@ class SamplingSpec extends SparkSpec {
     assert(salted == plain)
     // empty left must not blow up the mean computation
     assert(SkewJoin.saltedInnerHotKeys(l.limit(0), r, "k").count() == 0)
+  }
+
+  test("saltedInnerHotKeys: >100 hot keys switch to a broadcast flag join") {
+    import spark.implicits._
+    // 120 hot keys of 50 IDENTICAL rows each (the worst case for a
+    // row-content-hash salt) over a one-row-per-key cold tail
+    val l = ((1 to 120).flatMap(k => Seq.fill(50)((k.toLong, "dup"))) ++
+      (121 to 3000).map(k => (k.toLong, "cold"))).toDF("k", "payload")
+    val r = (1 to 3000).map(k => (k.toLong, s"dim$k")).toDF("k", "name")
+    val df = SkewJoin.saltedInnerHotKeys(l, r, "k", salts = 4)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"hot-key flag must be a broadcast join, not an IN literal:\n${p.take(1500)}")
+    assert(!p.contains(" IN ("),
+      "no giant IN-literal predicate in the many-hot-keys plan")
+    val salted = df.collect().map(_.toSeq)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val plain = l.join(r, "k").collect().map(_.toSeq)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(salted == plain)
   }
 }

@@ -67,4 +67,32 @@ class SqlParitySpec extends SparkSpec {
           split(trim(col("text")), "\\s+"), 3), 8).as("sig")))
     assert(viaSql == viaDsl && viaSql.nonEmpty)
   }
+
+  test("SQL builders: arity/argument validation, BIGINT literals accepted") {
+    graft.functions.GraftFunctions.register(spark)
+    spark.read.parquet(s"$sf/documents.parquet")
+      .createOrReplaceTempView("documents_v")
+    // a BIGINT-typed k literal is as valid as an INT one
+    val bigintK = spark.sql(
+      "SELECT minhash_sig(hashed_shingles(split(trim(text), '\\s+'), CAST(3 AS BIGINT)), CAST(8 AS BIGINT)) AS sig FROM documents_v")
+      .head().getAs[scala.collection.Seq[Long]]("sig")
+    assert(bigintK.length == 8)
+    def failsWith(sql: String, frag: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains(frag)),
+        s"expected '$frag' in: ${msgs(e).mkString(" | ")}")
+    }
+    failsWith("SELECT polyhash64() FROM documents_v",
+      "polyhash64 expects 1 argument(s), got 0")
+    failsWith("SELECT dot64(array(1L)) FROM documents_v",
+      "dot64 expects 2 argument(s), got 1")
+    failsWith("SELECT minhash_sig(array(1L), 2, 3) FROM documents_v",
+      "minhash_sig expects 1 to 2 argument(s), got 3")
+    failsWith("SELECT minhash_sig(array(1L), -4) FROM documents_v",
+      "must be a positive integer literal")
+    failsWith("SELECT hashed_shingles(split(text, ' '), 0) FROM documents_v",
+      "must be a positive integer literal")
+  }
 }
