@@ -340,14 +340,15 @@ object SparkEntry {
     "ann_ivf_topk" -> ExtOracle.ivfTopK,
     "multimodal_features" -> ExtOracle.multimodalFeatures,
     "multimodal_resize" -> ExtOracle.multimodalResize,
+    "fingerprint_docs" -> ExtOracle.fingerprintDocs,
     "json_scan_clean" -> PinOracle.pinClean,
     "stream_pin_clean" -> PinOracle.pinClean,
     "stream_geo_clean" -> PinOracle.geoClean,
     "stream_user_clean" -> PinOracle.userClean,
-    // fingerprint_docs / minhash_pairs / simhash_pairs are
-    // engine-hash-specific (xxhash64 / custom PolyHash64, 64-bit
-    // wraparound arithmetic DuckDB's overflow-checked BIGINT cannot
-    // express) with no SQL twin — the driver records rows-only checks;
-    // ScalaTest specs pin their semantics.
+    // minhash_pairs / simhash_pairs are engine-hash-specific (seeded
+    // xxhash64 of shingles/tokens, which DuckDB does not provide) with
+    // no SQL twin — the driver records rows-only checks; ScalaTest
+    // specs pin their semantics (including equivalence of the native
+    // codegen expressions with HOF reference formulations).
   )
 }

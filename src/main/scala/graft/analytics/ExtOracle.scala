@@ -449,6 +449,38 @@ FROM pairs
 WHERE CAST(inter AS DOUBLE) / CAST(a_n + b_n - inter AS DOUBLE) >= 0.5
 ${ord("a_id", "b_id")}""".trim
 
+  /** Twin of TextAnalysis.fingerprint (native PolyHash64): the rolling
+    * hash h = h·1000003 + byte (mod 2^64) is composable — h(s) =
+    * Σ byte_i · B^(n-i) (mod 2^64) — so the twin sums per-char terms
+    * against a power table built by ONE bounded recursion (constant
+    * 4096 bound: a data-derived bound would re-evaluate the corpus
+    * scan on every recursion step; docs here are ≤ ~600 chars, and the
+    * bound is an oracle limitation only, not an engine one). HUGEINT
+    * arithmetic carries the mod-2^64 wraparound DuckDB's BIGINT would
+    * overflow-check, and the final CASE re-signs the value. */
+  val fingerprintDocs: String = s"""
+WITH RECURSIVE norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t FROM documents),
+pw(k, p) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT k + 1, (p * 1000003) % CAST('18446744073709551616' AS HUGEINT)
+  FROM pw WHERE k < 4095),
+pl AS MATERIALIZED (SELECT list(p ORDER BY k) AS ps FROM pw),
+sums AS (
+  SELECT n.doc_id,
+    list_sum(list_transform(string_split_regex(n.t, ''),
+      (c, i) -> ord(c) * pl.ps[strlen(n.t) - i + 1]))
+      % CAST('18446744073709551616' AS HUGEINT) AS h
+  FROM norm n, pl)
+SELECT doc_id,
+  CAST(CASE WHEN h IS NULL THEN 0
+            WHEN h >= CAST('9223372036854775808' AS HUGEINT)
+            THEN h - CAST('18446744073709551616' AS HUGEINT)
+            ELSE h END AS BIGINT) AS fingerprint
+FROM sums
+${ord("doc_id")}""".trim
+
   // ---- similarity --------------------------------------------------
 
   private val quantized =
