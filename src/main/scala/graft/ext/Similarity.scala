@@ -63,16 +63,28 @@ object Similarity {
     h2 % 2001L - 1000L
   }
 
-  /** Sign-bit LSH sketch over a PRE-MATERIALIZED quantized column
-    * (see Dedup.minhashSignature for why the input must be an
-    * attribute, not the quantize expression): bit p = sign of
-    * ⟨v, plane_p⟩. */
+  /** Sign-bit LSH sketch: bit p = sign of ⟨v, plane_p⟩. Computed by
+    * the native codegen expression (graft.functions.LshSketch64) — one
+    * fused primitive loop; the HOF formulation below computes the same
+    * value and is kept as the equivalence-test reference. */
   def lshSketch(q: Column, planes: Int = 8): Column =
-    (0 until planes).map { p =>
+    graft.functions.LshSketch64.lshSketch64(q, planes)
+
+  /** Higher-order-function reference formulation of the sketch, over a
+    * PRE-MATERIALIZED quantized column (see Dedup.minhashSignature for
+    * why the input must be an attribute, not the quantize expression).
+    * Interpreted (`aggregate`/`zip_with` are CodegenFallback with
+    * `planes` intermediate arrays per row) — test-surface only. */
+  def lshSketchHof(q: Column, planes: Int = 8): Column = {
+    val sum = (0 until planes).map { p =>
       val proj = aggregate(zip_with(q, sequence(lit(0), size(q) - 1),
         (x, i) => x * planeComponent(p, i)), lit(0L), (acc, v) => acc + v)
-      when(proj >= 0, shiftleft(lit(1), p)).otherwise(lit(0))
+      when(proj >= 0, shiftleft(lit(1), p).cast("long")).otherwise(lit(0L))
     }.reduce(_ + _)
+    // empty vector: every projection is 0 (>= 0) → all sign bits set;
+    // spelled out because sequence(0, -1) yields [0,-1], not []
+    when(size(q) === 0, lit((1L << planes) - 1)).otherwise(sum)
+  }
 
   /** Bucketed batch k-NN: probe vectors join candidates sharing an LSH
     * bucket, then exact cosine + per-probe top-k window. Bucket-local

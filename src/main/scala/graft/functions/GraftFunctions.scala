@@ -78,7 +78,13 @@ object GraftFunctions {
         arity("minhash_sig", es, 1, 2)
         MinHashSig(es.head,
           if (es.length > 1) posIntArg(es(1), "minhash_sig", 2) else 32) },
-      "minhash_sig(array<long>[, k]) - k-position MinHash signature"))
+      "minhash_sig(array<long>[, k]) - k-position MinHash signature"),
+    ("lsh_sketch64",
+      { es: Seq[Expression] =>
+        arity("lsh_sketch64", es, 1, 2)
+        LshSketch64(es.head,
+          if (es.length > 1) posIntArg(es(1), "lsh_sketch64", 2) else 8) },
+      "lsh_sketch64(array<long>[, planes]) - sign-random-projection LSH sketch"))
 
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft.functions", "", name, usage,

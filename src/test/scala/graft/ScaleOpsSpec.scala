@@ -87,6 +87,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!cg.contains("Found 0 WholeStage"), cg.take(400))
   }
 
+  test("lshSketch64 native expression == HOF formulation, and codegens") {
+    val q = emb.select(col("vec_id"),
+      Similarity.quantize(col("embedding")).as("q")).cache()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val native = q.select(col("vec_id"), Similarity.lshSketch(col("q"), 8).as("s"))
+    val hof = q.select(col("vec_id"), Similarity.lshSketchHof(col("q"), 8).as("s"))
+    assert(rows(native) == rows(hof))
+    // planes != default, empty vector edge (all projections 0 => all bits set)
+    val edge = Seq((1L, Seq.empty[Long]), (2L, Seq(5L, -3L)))
+      .toDF("vec_id", "q")
+    assert(rows(edge.select(col("vec_id"), Similarity.lshSketch(col("q"), 12).as("s"))) ==
+      rows(edge.select(col("vec_id"), Similarity.lshSketchHof(col("q"), 12).as("s"))))
+    assert(edge.where(col("vec_id") === 1L)
+      .select(Similarity.lshSketch(col("q"), 12)).head().getLong(0) == (1L << 12) - 1)
+    val cg = native.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert(!cg.contains("Found 0 WholeStage"), cg.take(400))
+    q.unpersist()
+  }
+
   test("hashedShingles native == xxhash64 over string shingles, and codegens") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text"))
