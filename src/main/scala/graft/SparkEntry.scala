@@ -117,6 +117,21 @@ object SparkEntry {
     "top_customers" -> prep((s, d) => ShapeQueries.topCustomers(s, d)),
     "events_hourly" -> prep((s, d) => Engine.canonical(ShapeQueries.eventsHourly(s, d))),
     "sessionize_batch" -> prep((s, d) => Engine.canonical(ShapeQueries.sessionizeBatch(s, d))),
+    // point-in-time self-enrichment: every event annotated with the
+    // user's most recent purchase at or before it (as-of join)
+    "asof_last_purchase" -> prep((s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+      graft.ext.AsofJoin.asofJoin(
+        ev.select("event_id", "ts", "user_id"),
+        ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+        Seq("user_id"), "ts",
+        Seq("event_id" -> "purchase_id", "value" -> "purchase_value"),
+        "event_id")
+        .select(col("event_id"), col("user_id"),
+          col("purchase_id"), col("purchase_value"))
+        .orderBy("event_id")
+    }),
     "user_top_events" -> prep((s, d) => Engine.canonical(ShapeQueries.userTopEvents(s, d))),
     // ---- text analysis (oracle-checked where parity-safe) ------------
     "text_stats" -> prep((s, d) => Engine.canonical(TextAnalysis.textStats(docs(s, d)))),
@@ -314,6 +329,7 @@ object SparkEntry {
     "top_customers" -> ExtOracle.topCustomers,
     "events_hourly" -> ExtOracle.eventsHourly,
     "sessionize_batch" -> ExtOracle.sessionizeBatch,
+    "asof_last_purchase" -> ExtOracle.asofLastPurchase,
     "stream_events_hourly" -> ExtOracle.streamEventsHourly,
     "stream_events_enriched" -> ExtOracle.streamEventsEnriched,
     "user_top_events" -> ExtOracle.userTopEvents,

@@ -104,6 +104,21 @@ WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
 GROUP BY 1, 2
 ${ord("window_start", "segment")}""".trim
 
+  /** Twin of AsofJoin on the purchase self-enrichment: DuckDB's native
+    * ASOF LEFT JOIN, with the right side pre-ranked to the max-event_id
+    * row per (user_id, ts) — DuckDB picks arbitrarily on exact ts ties,
+    * the engine deterministically keeps the greatest tie-break. */
+  val asofLastPurchase: String = s"""
+WITH r AS (
+  SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+          ORDER BY event_id DESC) AS rk
+        FROM events WHERE event_type = 'purchase') WHERE rk = 1)
+SELECT l.event_id, l.user_id, r.purchase_id, r.purchase_value
+FROM events l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+${ord("event_id")}""".trim
+
   val userTopEvents: String = s"""
 SELECT user_id, rk, event_id, value FROM (
   SELECT user_id, event_id, value,
