@@ -133,6 +133,26 @@ object SparkEntry {
         .orderBy("event_id")
     }),
     "user_top_events" -> prep((s, d) => Engine.canonical(ShapeQueries.userTopEvents(s, d))),
+    // bucketed interval-containment join: events ⋈ deterministic
+    // per-customer campaign windows, rolled up per campaign
+    "range_join_campaigns" -> prep((s, d) => {
+      val hourUs = 3600L * 1000000L
+      val baseUs = 1704067200000000L // 2024-01-01T00:00:00Z in µs
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"), expr("ts div 1000").as("ts_us"), col("value"))
+      val ivs = s.read.parquet(s"$d/customer.parquet")
+        .select(col("c_custkey").as("interval_id"),
+          (lit(baseUs) + (col("c_custkey") * 7919 % 720) * hourUs).as("start_us"),
+          (lit(baseUs) + (col("c_custkey") * 7919 % 720) * hourUs
+            + (col("c_custkey") % 12 + 1) * hourUs).as("end_us"))
+      Engine.canonical(
+        graft.ext.RangeJoin.intervalJoin(ev, "ts_us", ivs,
+          "start_us", "end_us", hourUs)
+          .groupBy(col("interval_id"))
+          .agg(count(lit(1)).as("n_events"),
+            (sum(round(col("value") * 100).cast("long")).cast("double") / 100)
+              .as("sum_value")))
+    }),
     // ---- text analysis (oracle-checked where parity-safe) ------------
     "text_stats" -> prep((s, d) => Engine.canonical(TextAnalysis.textStats(docs(s, d)))),
     "token_freq_topk" -> prep((s, d) => TextAnalysis.tokenFreqTopK(docs(s, d))),
@@ -330,6 +350,7 @@ object SparkEntry {
     "events_hourly" -> ExtOracle.eventsHourly,
     "sessionize_batch" -> ExtOracle.sessionizeBatch,
     "asof_last_purchase" -> ExtOracle.asofLastPurchase,
+    "range_join_campaigns" -> ExtOracle.rangeJoinCampaigns,
     "stream_events_hourly" -> ExtOracle.streamEventsHourly,
     "stream_events_enriched" -> ExtOracle.streamEventsEnriched,
     "user_top_events" -> ExtOracle.userTopEvents,

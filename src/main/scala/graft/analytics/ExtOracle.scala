@@ -119,6 +119,27 @@ FROM events l ASOF LEFT JOIN r
   ON l.user_id = r.user_id AND l.ts >= r.ts
 ${ord("event_id")}""".trim
 
+  /** Twin of RangeJoin.intervalJoin on the campaign rollup: the plain
+    * inequality join DuckDB handles natively (its IEJoin) — equality
+    * proves the bucket-explode+equi-join decomposition is containment-
+    * exact, including bucket-edge points (integer µs math both sides;
+    * the parquet nano timestamps arrive as BIGINT nanos in Spark and
+    * µs-truncated TIMESTAMPs here — same truncation). */
+  val rangeJoinCampaigns: String = s"""
+WITH iv AS (
+  SELECT c_custkey AS interval_id,
+    1704067200000000 + (c_custkey * 7919 % 720) * 3600000000 AS start_us,
+    1704067200000000 + (c_custkey * 7919 % 720) * 3600000000
+      + (c_custkey % 12 + 1) * 3600000000 AS end_us
+  FROM customer),
+e AS (SELECT event_id, epoch_us(ts) AS ts_us, value FROM events)
+SELECT iv.interval_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
+FROM e JOIN iv ON e.ts_us >= iv.start_us AND e.ts_us < iv.end_us
+GROUP BY iv.interval_id
+${ord("interval_id", "n_events", "sum_value")}""".trim
+
   val userTopEvents: String = s"""
 SELECT user_id, rk, event_id, value FROM (
   SELECT user_id, event_id, value,
