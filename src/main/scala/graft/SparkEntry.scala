@@ -133,6 +133,14 @@ object SparkEntry {
         .orderBy("event_id")
     }),
     "user_top_events" -> prep((s, d) => Engine.canonical(ShapeQueries.userTopEvents(s, d))),
+    // changelog compaction: current state per user = latest event
+    "latest_user_event" -> prep((s, d) => {
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("event_type"), col("value"))
+      graft.ext.Changelog.latestByKey(ev, Seq("user_id"), "ts_us", "event_id")
+        .orderBy("user_id")
+    }),
     // bucketed interval-containment join: events ⋈ deterministic
     // per-customer campaign windows, rolled up per campaign
     "range_join_campaigns" -> prep((s, d) => {
@@ -351,6 +359,7 @@ object SparkEntry {
     "sessionize_batch" -> ExtOracle.sessionizeBatch,
     "asof_last_purchase" -> ExtOracle.asofLastPurchase,
     "range_join_campaigns" -> ExtOracle.rangeJoinCampaigns,
+    "latest_user_event" -> ExtOracle.latestUserEvent,
     "stream_events_hourly" -> ExtOracle.streamEventsHourly,
     "stream_events_enriched" -> ExtOracle.streamEventsEnriched,
     "user_top_events" -> ExtOracle.userTopEvents,

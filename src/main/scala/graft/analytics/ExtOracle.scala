@@ -140,6 +140,17 @@ FROM e JOIN iv ON e.ts_us >= iv.start_us AND e.ts_us < iv.end_us
 GROUP BY iv.interval_id
 ${ord("interval_id", "n_events", "sum_value")}""".trim
 
+  /** Twin of Changelog.latestByKey: last event per user by
+    * (ts, event_id) — the oracle uses the window formulation the
+    * engine deliberately avoids (see Changelog scaladoc). */
+  val latestUserEvent: String = s"""
+SELECT user_id, ts_us, event_id, event_type, value FROM (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
+  FROM events) WHERE rk = 1
+${ord("user_id")}""".trim
+
   val userTopEvents: String = s"""
 SELECT user_id, rk, event_id, value FROM (
   SELECT user_id, event_id, value,
