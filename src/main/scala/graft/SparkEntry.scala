@@ -281,6 +281,27 @@ object SparkEntry {
         .orderBy(col("window_start").asc_nulls_first,
           col("segment").asc_nulls_first)
     }),
+    // Watermarked streaming exact-dedup: events re-landed with injected
+    // duplicates (id % 7 == 0 twice — an at-least-once source), one
+    // landing file so the single micro-batch dedups against an
+    // unadvanced watermark; oracle = the duplicate-free events table.
+    "stream_dedup_events" -> prep((s, d) => {
+      val base = tmpDir("graft_evdedup")
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"),
+          expr("timestamp_micros(ts div 1000)").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+      ev.union(ev.where(col("event_id") % 7 === 0))
+        .coalesce(1).write.mode("overwrite")
+        .option("timestampFormat", graft.streaming.EventStream.microTsFormat)
+        .json(s"$base/in")
+      graft.streaming.EventStream.runDedup(
+        s, s"$base/in", s"$base/out", s"$base/ckpt").awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    }),
     "stream_pin_clean" -> streamEntry("pin", df => df.orderBy("ind")),
     "stream_geo_clean" -> streamEntry("geo", df => df.select(col("ind"),
       col("country"), concat_ws("|", col("coordinates")).as("coordinates_str"),
@@ -361,6 +382,7 @@ object SparkEntry {
     "range_join_campaigns" -> ExtOracle.rangeJoinCampaigns,
     "latest_user_event" -> ExtOracle.latestUserEvent,
     "stream_events_hourly" -> ExtOracle.streamEventsHourly,
+    "stream_dedup_events" -> ExtOracle.streamDedupEvents,
     "stream_events_enriched" -> ExtOracle.streamEventsEnriched,
     "user_top_events" -> ExtOracle.userTopEvents,
     "text_stats" -> ExtOracle.textStats,

@@ -151,6 +151,13 @@ SELECT user_id, ts_us, event_id, event_type, value FROM (
   FROM events) WHERE rk = 1
 ${ord("user_id")}""".trim
 
+  /** Twin of the streaming exact-dedup entry: the injected duplicates
+    * collapse back to the duplicate-free events table. */
+  val streamDedupEvents: String = s"""
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+FROM events
+${ord("event_id")}""".trim
+
   val userTopEvents: String = s"""
 SELECT user_id, rk, event_id, value FROM (
   SELECT user_id, event_id, value,

@@ -35,8 +35,14 @@ object EventStream {
     StructField("value", DoubleType)))
 
   /** File-source events stream (JSON lines landed under `dir`). */
-  def source(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventSchema).json(dir)
+  def source(spark: SparkSession, dir: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    spark.readStream.schema(eventSchema).options(options).json(dir)
+
+  /** Spark's default JSON timestampFormat truncates to milliseconds;
+    * entries that must round-trip event times exactly (the dedup
+    * identity dump) land and read with explicit µs precision. */
+  val microTsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 
   /** Tumbling-window rollup with a watermark: the streaming twin of
     * ShapeQueries.eventsHourly. Append mode emits a window only once
@@ -91,6 +97,30 @@ object EventStream {
   def runWindowed(spark: SparkSession, inDir: String, outDir: String,
       checkpointDir: String): StreamingQuery =
     windowedAgg(source(spark, inDir))
+      .writeStream
+      .format("parquet")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .option("path", outDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Watermarked streaming exact-dedup — the streaming twin of
+    * `Dedup.exact` for at-least-once sources (Kafka replays, emulator
+    * re-posts): first occurrence of each key streams through, repeats
+    * within the watermark horizon are suppressed, and
+    * `dropDuplicatesWithinWatermark` evicts state once the watermark
+    * passes — state is bounded by keys-per-horizon, not stream
+    * lifetime (a plain streaming dropDuplicates would grow state
+    * forever at 100 TB). */
+  def dedup(events: DataFrame, lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  def runDedup(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    dedup(source(spark, inDir, Map("timestampFormat" -> microTsFormat)))
       .writeStream
       .format("parquet")
       .outputMode(OutputMode.Append)

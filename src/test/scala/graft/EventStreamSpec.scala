@@ -75,6 +75,20 @@ class EventStreamSpec extends SparkSpec {
   private def ev(id: Long, user: Long, minute: Long, value: Double = 1.0) =
     Event(id, ts(minute), user, "click", value)
 
+  test("streaming dedup: injected duplicates suppressed, firsts stream through") {
+    val base = tmp("ev_dedup")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), (col("ts") / 1e9).cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    ev.union(ev.where(col("event_id") % 3 === 0))
+      .coalesce(1).write.mode("overwrite").json(s"$base/in")
+    EventStream.runDedup(spark, s"$base/in", s"$base/out", s"$base/ckpt")
+      .awaitTermination()
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() == ev.count(), "each event exactly once")
+    assert(out.select("event_id").distinct().count() == ev.count())
+  }
+
   test("advance: pure sessionization fold splits on gaps") {
     val gap = 30L * 60000
     val events = Seq(ev(1, 7, 0), ev(2, 7, 10), ev(3, 7, 50), ev(4, 7, 200))
