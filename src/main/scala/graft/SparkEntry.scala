@@ -169,6 +169,24 @@ object SparkEntry {
     "lang_id" -> prep((s, d) => TextAnalysis.langId(docs(s, d))
       .select("doc_id", "lang_pred", "lang_conf").orderBy("doc_id")),
     "fingerprint_docs" -> prep((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
+    // PII redaction over docs with deterministically injected
+    // email/IP/phone strings (the clean fixtures carry no PII, so the
+    // injection is what makes the scrub observable end-to-end)
+    "pii_scrub" -> prep((s, d) => {
+      val k = col("doc_id")
+      val injected = docs(s, d).withColumn("text",
+        when(k % 5 === 0, concat(col("text"),
+          lit(" contact user"), k.cast("string"), lit("@example.com from 10."),
+          (k % 200).cast("string"), lit("."), (k % 250).cast("string"),
+          lit(".7 tel 555-"), lpad((k % 1000).cast("string"), 3, "0"),
+          lit("-"), lpad((k % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text")))
+      TextAnalysis.scrubPii(injected).orderBy("doc_id")
+    }),
+    "repetition_score" -> prep((s, d) =>
+      TextAnalysis.repetitionScore(docs(s, d)).orderBy("doc_id")),
+    "embedding_centroids" -> prep((s, d) =>
+      Similarity.labelCentroids(emb(s, d)).orderBy("label", "dim")),
     "curated_corpus" -> prep((s, d) => Curation.curated(docs(s, d)).orderBy("doc_id")),
     // ---- deterministic sampling / splitting / skew handling ----------
     "train_test_split" -> prep((s, d) =>
@@ -409,6 +427,9 @@ object SparkEntry {
     "multimodal_features" -> ExtOracle.multimodalFeatures,
     "multimodal_resize" -> ExtOracle.multimodalResize,
     "fingerprint_docs" -> ExtOracle.fingerprintDocs,
+    "pii_scrub" -> ExtOracle.piiScrub,
+    "repetition_score" -> ExtOracle.repetitionScore,
+    "embedding_centroids" -> ExtOracle.embeddingCentroids,
     "json_scan_clean" -> PinOracle.pinClean,
     "stream_pin_clean" -> PinOracle.pinClean,
     "stream_geo_clean" -> PinOracle.geoClean,

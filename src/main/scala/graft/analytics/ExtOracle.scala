@@ -213,6 +213,53 @@ SELECT doc_id,
 FROM t
 ${ord("doc_id")}""".trim
 
+  /** Twin of TextAnalysis.scrubPii over the injected-PII corpus. The
+    * regexes are spelled out independently (RE2 dialect; DuckDB
+    * regexp_replace needs the explicit 'g' flag Spark applies by
+    * default) with the same order: emails, dotted IPv4, strict
+    * phones. */
+  val piiScrub: String = s"""
+WITH inj AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN text
+      || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.'
+      || CAST(doc_id % 200 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR)
+      || '.7 tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+      || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+    ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+    '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS clean_text,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(text,
+    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ips,
+  CAST(len(regexp_extract_all(text,
+    '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS INT) AS n_phones
+FROM inj
+${ord("doc_id")}""".trim
+
+  /** Twin of TextAnalysis.repetitionScore: 1 − distinct/total word
+    * 3-grams, clamped shingle boundaries as in the dedup twins. */
+  val repetitionScore: String = s"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+shl AS (
+  SELECT doc_id, list_transform(
+    generate_series(1, greatest(len(w) - 2, 1)),
+    i -> array_to_string(list_slice(w, i, i + 2), ' ')) AS sh
+  FROM ws)
+SELECT doc_id,
+  CAST(len(sh) AS INT) AS n_grams,
+  CAST(len(list_distinct(sh)) AS INT) AS n_uniq_grams,
+  1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE)
+    AS repetition
+FROM shl
+${ord("doc_id")}""".trim
+
   // ---- language ID / curation --------------------------------------
 
   /** Stopword-profile language ID. Spark's argmax is `greatest` over
@@ -540,6 +587,9 @@ ${ord("doc_id")}""".trim
   private val quantized =
     "SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE)*1000)) AS q FROM embeddings"
 
+  private val quantized2 =
+    "SELECT vec_id, label, list_transform(embedding, x -> round(CAST(x AS DOUBLE)*1000)) AS q FROM embeddings"
+
   val annCosineTopK: String = s"""
 WITH e AS ($quantized),
 qv AS (SELECT q AS qq FROM e WHERE vec_id = 0),
@@ -629,6 +679,22 @@ topk AS (
   FROM scored)
 SELECT probe_id, vec_id, cosine_sim FROM topk WHERE rk <= 5
 ${ord("probe_id", "vec_id")}""".trim
+
+  /** Twin of Similarity.labelCentroids: per-(label, dim) exact integer
+    * sums over the quantized embeddings; the mean is the same single
+    * IEEE division both sides. */
+  val embeddingCentroids: String = s"""
+WITH e AS ($quantized2),
+x AS (
+  SELECT e2.label, e2.q, unnest(generate_series(1, len(e2.q))) AS i FROM e e2)
+SELECT label, CAST(i - 1 AS INT) AS dim,
+  CAST(SUM(CAST(q[CAST(i AS INT)] AS BIGINT)) AS BIGINT) AS sum_q,
+  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+  CAST(SUM(CAST(q[CAST(i AS INT)] AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+    AS mean_q
+FROM x
+GROUP BY label, dim
+${ord("label", "dim")}""".trim
 
   val nearDupEmbeddings: String = s"""
 WITH e AS ($quantized),

@@ -180,6 +180,21 @@ object Similarity {
       .drop("rk")
   }
 
+  /** Per-label centroid components over quantized embeddings — the
+    * "mean vector per class" primitive (label prototypes, class-aware
+    * IVF seeding, embedding-drift monitoring). posexplode to
+    * (label, dim, q) then ONE partial-aggregatable groupBy — narrow
+    * rows through the shuffle, no vector reassembly; emits the exact
+    * integer sum + count alongside the derived mean so the result is
+    * bit-reproducible on any engine. */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("label"),
+      posexplode(quantize(col("embedding"))).as(Seq("dim", "q")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("n_vecs"))
+      .withColumn("mean_q",
+        col("sum_q").cast("double") / col("n_vecs").cast("double"))
+
   /** Embedding-cosine near-duplicate pairs: probe subset × base with
     * exact quantized cosine ≥ threshold. The probe predicate keeps the
     * pair space linear for oracle verification; the LSH variant above

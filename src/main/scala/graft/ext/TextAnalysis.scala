@@ -134,6 +134,48 @@ object TextAnalysis {
           .cast("int").as("n_chunk_tokens"))
   }
 
+  // ---- PII scrubbing -------------------------------------------------
+
+  /** Redaction patterns — RE2-safe (no lookaround/backrefs) so the
+    * DuckDB oracle runs the IDENTICAL regexes; \b is the ASCII word
+    * boundary both engines support. Applied in order: emails first
+    * (their local parts may contain digits), then dotted IPv4 (removes
+    * the dots a phone pattern must not see), then strict NNN-NNN-NNNN
+    * phones. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII scrubbing — the redaction pass every pretraining pipeline
+    * runs before shipping text. Pure regexp projection (fused into the
+    * scan, no shuffle); counts are measured on the ORIGINAL text so
+    * downstream can quarantine high-PII sources. */
+  def scrubPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_replace(regexp_replace(regexp_replace(col(textCol),
+        lit(emailPattern), lit("<EMAIL>")),
+        lit(ipv4Pattern), lit("<IP>")),
+        lit(phonePattern), lit("<PHONE>")).as("clean_text"),
+      regexp_count(col(textCol), lit(emailPattern)).cast("int").as("n_emails"),
+      regexp_count(col(textCol), lit(ipv4Pattern)).cast("int").as("n_ips"),
+      regexp_count(col(textCol), lit(phonePattern)).cast("int").as("n_phones"))
+
+  /** Repetition ratio — the "looping text" quality signal: 1 −
+    * distinct/total over word 3-grams (clamped shingle boundary
+    * semantics shared with Dedup: a doc under 3 tokens is one shingle,
+    * ratio 0). Pure projection. */
+  def repetitionScore(docs: DataFrame, w: Int = 3): DataFrame = {
+    val t = tokens(col("text"))
+    val sh = transform(
+      sequence(lit(1), greatest(size(t) - (w - 1), lit(1))),
+      i => concat_ws(" ", slice(t, i, lit(w))))
+    docs.select(col("doc_id"),
+      size(sh).cast("int").as("n_grams"),
+      size(array_distinct(sh)).cast("int").as("n_uniq_grams"))
+      .withColumn("repetition",
+        lit(1.0) - col("n_uniq_grams").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** Corpus vocabulary size, exact vs HLL sketch (`approx_count_
     * distinct`): the sketch is the 100 TB path — fixed-size state,
     * partial-aggregatable, no giant distinct shuffle; the exact count

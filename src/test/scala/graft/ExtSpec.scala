@@ -114,6 +114,50 @@ class ExtSpec extends SparkSpec {
     assert(f.features.toSeq == again.features.toSeq)
   }
 
+  test("scrubPii: redacts emails/IPs/phones in order, counts on original") {
+    val docs = Seq(
+      (1L, "mail me at a.b+c@ex-ample.co.uk today"),
+      (2L, "server 192.168.0.1 and 10.0.0.255 up"),
+      (3L, "call 555-123-4567 now"),
+      (4L, "clean text with no pii at all"),
+      (5L, "x@y.io from 1.2.3.4 tel 555-000-1111")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.scrubPii(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(got(1L) == ("mail me at <EMAIL> today", 1, 0, 0))
+    assert(got(2L) == ("server <IP> and <IP> up", 0, 2, 0))
+    assert(got(3L) == ("call <PHONE> now", 0, 0, 1))
+    assert(got(4L) == ("clean text with no pii at all", 0, 0, 0))
+    assert(got(5L) == ("<EMAIL> from <IP> tel <PHONE>", 1, 1, 1))
+  }
+
+  test("repetitionScore: looping text scores high, varied text zero") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam"), // one distinct 3-gram
+      (2L, "all words here are fully distinct"),
+      (3L, "ab cd") // under w: single clamped shingle, ratio 0
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((4, 1, 0.75)))
+    assert(got(2L) == ((4, 4, 0.0)))
+    assert(got(3L) == ((1, 1, 0.0)))
+  }
+
+  test("labelCentroids: exact per-dim sums and counts per label") {
+    val e = Seq(
+      (1L, Array(1.0f, 2.0f), 7),
+      (2L, Array(3.0f, 4.0f), 7),
+      (3L, Array(10.0f, 20.0f), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelCentroids(e).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got((7, 0)) == ((4000L, 2L, 2000.0)))
+    assert(got((7, 1)) == ((6000L, 2L, 3000.0)))
+    assert(got((9, 0)) == ((10000L, 1L, 10000.0)))
+    assert(got((9, 1)) == ((20000L, 1L, 20000.0)))
+  }
+
   test("chunk: overlapping windows, clamped tail, short doc passes whole") {
     // 10 tokens, chunk 4, overlap 2 → step 2, nch = ceil(8/2) = 4
     val doc = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")),
