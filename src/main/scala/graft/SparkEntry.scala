@@ -185,6 +185,14 @@ object SparkEntry {
     }),
     "repetition_score" -> prep((s, d) =>
       TextAnalysis.repetitionScore(docs(s, d)).orderBy("doc_id")),
+    // distributed zipWithIndex: contiguous ids in doc_id order without
+    // a single-reducer global window (partitions pinned: partition
+    // boundaries are id-invariant but the pass count isn't worth
+    // re-deriving per verifying environment)
+    "stable_row_ids" -> prep((s, d) =>
+      graft.ext.Indexing.stableRowIds(
+        docs(s, d).select("doc_id", "lang"), Seq("doc_id"), partitions = 8)
+        .select("doc_id", "lang", "row_id").orderBy("doc_id")),
     "embedding_centroids" -> prep((s, d) =>
       Similarity.labelCentroids(emb(s, d)).orderBy("label", "dim")),
     "curated_corpus" -> prep((s, d) => Curation.curated(docs(s, d)).orderBy("doc_id")),
@@ -428,6 +436,7 @@ object SparkEntry {
     "multimodal_resize" -> ExtOracle.multimodalResize,
     "fingerprint_docs" -> ExtOracle.fingerprintDocs,
     "pii_scrub" -> ExtOracle.piiScrub,
+    "stable_row_ids" -> ExtOracle.stableRowIds,
     "repetition_score" -> ExtOracle.repetitionScore,
     "embedding_centroids" -> ExtOracle.embeddingCentroids,
     "json_scan_clean" -> PinOracle.pinClean,

@@ -260,6 +260,14 @@ SELECT doc_id,
 FROM shl
 ${ord("doc_id")}""".trim
 
+  /** Twin of Indexing.stableRowIds: the offsets-and-local-indices
+    * decomposition must equal a plain dense row numbering. */
+  val stableRowIds: String = s"""
+SELECT doc_id, lang,
+  CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id
+FROM documents
+${ord("doc_id")}""".trim
+
   // ---- language ID / curation --------------------------------------
 
   /** Stopword-profile language ID. Spark's argmax is `greatest` over
