@@ -90,4 +90,66 @@ class PropertySpec extends AnyFunSuite {
       .collect().map(_.getSeq[Long](0)).toSeq
     assert(native == hof)
   }
+
+  // --- relational operators vs brute-force references on random data ---
+
+  private val keyGen = Gen.chooseNum(0L, 4L)
+  private val tsGen = Gen.chooseNum(0L, 40L)
+
+  test("asofJoin == per-row argmax reference on random keyed event sets") {
+    import spark.implicits._
+    val rowGen = Gen.zip(keyGen, tsGen)
+    val lRows = samples(Gen.listOfN(30, rowGen), 4)
+    val rRows = samples(Gen.listOfN(20, rowGen), 4)
+    for (((ls, rs), round) <- lRows.zip(rRows).zipWithIndex) {
+      val l = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+        .toDF("lid", "k", "ts")
+      val r = rs.zipWithIndex.map { case ((k, t), i) => (1000L + i, k, t) }
+        .toDF("rid", "k", "ts")
+      val got = graft.ext.AsofJoin.asofJoin(l, r, Seq("k"), "ts",
+        Seq("rid" -> "m_rid"), "rid")
+        .collect().map(x => x.getLong(0) ->
+          (if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
+      // reference: for each left row, max-(ts, rid) right row with ts <= l.ts
+      val rSeq = rs.zipWithIndex.map { case ((k, t), i) => (1000L + i, k, t) }
+      ls.zipWithIndex.foreach { case ((k, t), i) =>
+        val want = rSeq.filter(x => x._2 == k && x._3 <= t)
+          .sortBy(x => (x._3, x._1)).lastOption.map(_._1).getOrElse(-1L)
+        assert(got(i.toLong) == want, s"round $round left=$i k=$k ts=$t")
+      }
+    }
+  }
+
+  test("intervalJoin == filtered cross product on random intervals") {
+    import spark.implicits._
+    val ptGen = Gen.listOfN(25, Gen.chooseNum(-50L, 50L))
+    val ivGen = Gen.listOfN(12, Gen.zip(Gen.chooseNum(-50L, 50L), Gen.chooseNum(0L, 30L)))
+    for ((pts, ivsRaw) <- samples(Gen.zip(ptGen, ivGen), 5)) {
+      val ivs = ivsRaw.zipWithIndex.map { case ((s, len), i) =>
+        (i.toLong, s, s + len) } // len 0 => empty interval
+      val pdf = pts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("pid", "ts")
+      val idf = ivs.toDF("iid", "s", "e")
+      val got = graft.ext.RangeJoin.intervalJoin(pdf, "ts", idf, "s", "e", 7L)
+        .select("pid", "iid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      val want = (for {
+        (t, i) <- pts.zipWithIndex
+        (iid, s, e) <- ivs if t >= s && t < e
+      } yield (i.toLong, iid)).toSet
+      assert(got == want)
+    }
+  }
+
+  test("latestByKey == groupwise max-(ts, seq) reference on random logs") {
+    import spark.implicits._
+    val rowGen = Gen.zip(keyGen, tsGen)
+    for (rows <- samples(Gen.listOfN(40, rowGen), 5)) {
+      val log = rows.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val got = graft.ext.Changelog.latestByKey(
+        log.toDF("k", "ts", "seq"), Seq("k"), "ts", "seq")
+        .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+      val want = log.groupBy(_._1).view.mapValues(g =>
+        g.map(x => (x._2, x._3)).max).toMap
+      assert(got == want)
+    }
+  }
 }

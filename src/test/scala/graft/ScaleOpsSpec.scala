@@ -87,6 +87,36 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!cg.contains("Found 0 WholeStage"), cg.take(400))
   }
 
+  test("count-min token frequencies: upper-biased within eps*N of exact") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val exact = docs.select(explode(split(trim(col("text")), "\\s+")).as("t"))
+      .groupBy("t").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val probes = exact.toSeq.sortBy(-_._2).take(5).map(_._1) :+ "zz_absent_token"
+    val est = graft.ext.Sketches.tokenCountMin(docs, probes, eps = 0.001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    probes.foreach { p =>
+      val truth = exact.getOrElse(p, 0L)
+      assert(est(p) >= truth, s"CMS must never undercount: $p")
+      assert(est(p) <= truth + (0.001 * n).ceil.toLong,
+        s"$p est=${est(p)} exact=$truth n=$n")
+    }
+  }
+
+  test("approx quantiles track exact percentiles at test scale") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val approx = graft.ext.Sketches.approxQuantiles(ev, col("value"),
+      Seq(0.5, 0.99)).head().getSeq[Double](0)
+    val exact = ev.agg(expr("percentile(value, array(0.5, 0.99))"))
+      .head().getSeq[Double](0)
+    // rank error <= n/accuracy = O(1) rows here; values are dense, so
+    // the returned cutoffs must be within a tight band of the exact ones
+    assert(math.abs(approx(0) - exact(0)) < 0.05 * math.abs(exact(0)) + 1.0,
+      s"p50 approx=${approx(0)} exact=${exact(0)}")
+    assert(math.abs(approx(1) - exact(1)) < 0.05 * math.abs(exact(1)) + 1.0,
+      s"p99 approx=${approx(1)} exact=${exact(1)}")
+  }
+
   test("lshSketch64 native expression == HOF formulation, and codegens") {
     val q = emb.select(col("vec_id"),
       Similarity.quantize(col("embedding")).as("q")).cache()
