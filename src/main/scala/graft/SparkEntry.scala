@@ -328,6 +328,25 @@ object SparkEntry {
           col("user_id"), col("event_type"), col("value"))
         .orderBy("event_id")
     }),
+    // Watermarked stream-stream interval join (purchase ⋈ prior views
+    // within 1h, both sides live streams); inner join emits on match so
+    // the AvailableNow run equals the batch interval join the oracle runs.
+    "stream_attribution" -> prep((s, d) => {
+      val base = tmpDir("graft_evattr")
+      s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"), expr("timestamp_micros(ts div 1000)").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .coalesce(1).write.mode("overwrite")
+        .option("timestampFormat", graft.streaming.EventStream.microTsFormat)
+        .json(s"$base/in")
+      graft.streaming.EventStream.runAttribution(
+        s, s"$base/in", s"$base/out", s"$base/ckpt").awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select(col("purchase_id"), col("view_id"), col("user_id"),
+          unix_micros(col("p_ts")).as("p_ts_us"),
+          unix_micros(col("v_ts")).as("v_ts_us"), col("value"))
+        .orderBy("purchase_id", "view_id")
+    }),
     "stream_pin_clean" -> streamEntry("pin", df => df.orderBy("ind")),
     "stream_geo_clean" -> streamEntry("geo", df => df.select(col("ind"),
       col("country"), concat_ws("|", col("coordinates")).as("coordinates_str"),
@@ -409,6 +428,7 @@ object SparkEntry {
     "latest_user_event" -> ExtOracle.latestUserEvent,
     "stream_events_hourly" -> ExtOracle.streamEventsHourly,
     "stream_dedup_events" -> ExtOracle.streamDedupEvents,
+    "stream_attribution" -> ExtOracle.streamAttribution,
     "stream_events_enriched" -> ExtOracle.streamEventsEnriched,
     "user_top_events" -> ExtOracle.userTopEvents,
     "text_stats" -> ExtOracle.textStats,

@@ -158,6 +158,18 @@ SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
 FROM events
 ${ord("event_id")}""".trim
 
+  /** Twin of the stream-stream attribution join: the batch interval
+    * join over the same events (purchases ⋈ same-user views within the
+    * preceding hour, boundaries inclusive as in the stream). */
+  val streamAttribution: String = s"""
+SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+  p.user_id, epoch_us(p.ts) AS p_ts_us, epoch_us(v.ts) AS v_ts_us, p.value
+FROM events p JOIN events v
+  ON p.user_id = v.user_id
+  AND v.ts <= p.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+${ord("purchase_id", "view_id")}""".trim
+
   val userTopEvents: String = s"""
 SELECT user_id, rk, event_id, value FROM (
   SELECT user_id, event_id, value,

@@ -129,6 +129,43 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Stream-stream interval join — purchase attribution: every
+    * purchase joined to the same user's views in the preceding
+    * `horizon`. BOTH sides are unbounded streams, so this is the
+    * watermarked stream-stream join (state on each side is evicted
+    * once the watermark passes the join horizon — bounded by
+    * rate × (lateness + horizon), never stream lifetime). The time
+    * bound in the join condition is what MAKES state evictable: an
+    * unconstrained stream-stream equi-join would buffer both streams
+    * forever. Inner joins emit on match, so an AvailableNow run
+    * produces the complete batch-equivalent result. */
+  def attribution(events: DataFrame, lateness: String = "30 minutes",
+      horizon: String = "1 hour"): DataFrame = {
+    val views = events.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", lateness)
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", lateness)
+    purchases.join(views, expr(
+      s"v_user = p_user AND v_ts <= p_ts AND p_ts <= v_ts + INTERVAL $horizon"))
+      .select(col("purchase_id"), col("view_id"),
+        col("p_user").as("user_id"), col("p_ts"), col("v_ts"), col("value"))
+  }
+
+  def runAttribution(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    attribution(source(spark, inDir, Map("timestampFormat" -> microTsFormat)))
+      .writeStream
+      .format("parquet")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .option("path", outDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   // ---- gap sessionization (typed custom state) -----------------------
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,

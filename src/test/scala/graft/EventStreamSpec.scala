@@ -89,6 +89,38 @@ class EventStreamSpec extends SparkSpec {
     assert(out.select("event_id").distinct().count() == ev.count())
   }
 
+  test("stream-stream attribution: cross-micro-batch matches == batch join") {
+    val base = tmp("ev_attr")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), expr("timestamp_micros(ts div 1000)").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    // two files split by time: (view in file 1, purchase in file 2)
+    // pairs can only match through buffered stream-stream join state
+    val cut = ev.agg(expr("percentile(unix_micros(ts), 0.5)")).head().getDouble(0)
+    val fmt = EventStream.microTsFormat
+    ev.where(unix_micros(col("ts")) <= cut).coalesce(1)
+      .write.option("timestampFormat", fmt).json(s"$base/in")
+    ev.where(unix_micros(col("ts")) > cut).coalesce(1)
+      .write.mode("append").option("timestampFormat", fmt).json(s"$base/in")
+    val q = EventStream.attribution(EventStream.source(spark, s"$base/in",
+      Map("timestampFormat" -> fmt, "maxFilesPerTrigger" -> "1")))
+      .writeStream.format("parquet")
+      .option("checkpointLocation", s"$base/ckpt").option("path", s"$base/out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(s"$base/out")
+      .select("purchase_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("u"), col("event_id").as("pid"), col("ts").as("pts"))
+      .join(ev.where(col("event_type") === "view")
+        .select(col("user_id").as("u"), col("event_id").as("vid"), col("ts").as("vts")), "u")
+      .where(col("vts") <= col("pts") &&
+        col("pts") <= col("vts") + expr("INTERVAL 1 HOUR"))
+      .select("pid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("advance: pure sessionization fold splits on gaps") {
     val gap = 30L * 60000
     val events = Seq(ev(1, 7, 0), ev(2, 7, 10), ev(3, 7, 50), ev(4, 7, 200))
