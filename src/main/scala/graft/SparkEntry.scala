@@ -249,6 +249,8 @@ object SparkEntry {
     "ngram_jaccard_prefix" -> prep((s, d) => Engine.canonical(Dedup.ngramJaccardPairsPrefix(docs(s, d)))),
     "minhash_pairs" -> prep((s, d) => Dedup.minhashLshPairs(docs(s, d))
       .orderBy("a_id", "b_id")),
+    "minhash_pairs_portable" -> prep((s, d) =>
+      Dedup.minhashLshPairsPortable(docs(s, d)).orderBy("a_id", "b_id")),
     "simhash_pairs" -> prep((s, d) => Dedup.simhashPairs(docs(s, d))
       .orderBy("a_id", "b_id")),
     // ---- similarity search -------------------------------------------
@@ -446,6 +448,7 @@ object SparkEntry {
     "salted_join_revenue" -> ExtOracle.saltedJoinRevenue,
     "multimodal_frames" -> ExtOracle.multimodalFrames,
     "dedup_exact" -> ExtOracle.dedupExact,
+    "minhash_pairs_portable" -> ExtOracle.minhashPairsPortable,
     "ngram_jaccard" -> ExtOracle.ngramJaccard,
     "ngram_jaccard_prefix" -> ExtOracle.ngramJaccard, // same output, pruned path
     "ann_cosine_topk" -> ExtOracle.annCosineTopK,

@@ -602,6 +602,63 @@ SELECT doc_id,
 FROM sums
 ${ord("doc_id")}""".trim
 
+  /** Twin of Dedup.minhashLshPairsPortable — the full MinHash+LSH
+    * pipeline recomputed in SQL: per-shingle polyhash64 via the
+    * power-sum decomposition (see fingerprintDocs), the
+    * Kirsch-Mitzenmacher affine signature family and the seeded band
+    * fold in HUGEINT mod-2^64 (re-signed for the MIN comparisons,
+    * since Spark mins SIGNED longs), band-bucket candidate join,
+    * signature-agreement estimate. */
+  val minhashPairsPortable: String = {
+    val pow64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val half = "CAST('9223372036854775808' AS HUGEINT)"
+    val gold = "CAST('11400714819323198485' AS HUGEINT)" // unsigned 2^64 + i-step constant
+    def step(acc: String, v: String) = s"(($acc) * 1000003 + $v) % $pow64"
+    val fold = List("vs[1]", "vs[2]", "vs[3]", "vs[4]")
+      .foldLeft("CAST(band AS HUGEINT)")(step)
+    s"""
+WITH RECURSIVE
+ws AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+shl AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 1)),
+  i -> array_to_string(list_slice(w, i, i+2), ' '))) AS sh FROM ws),
+srow AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+pw(kk, p) AS (SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL SELECT kk+1, (p*1000003) % $pow64 FROM pw WHERE kk < 255),
+pl AS MATERIALIZED (SELECT list(p ORDER BY kk) AS ps FROM pw),
+hashes AS (
+  SELECT srow.doc_id, srow.s,
+    COALESCE(list_sum(list_transform(string_split_regex(srow.s, ''),
+      (c, i) -> ord(c) * pl.ps[strlen(srow.s) - i + 1])), 0) % $pow64 AS hu
+  FROM srow, pl),
+aff AS (
+  SELECT h.doc_id, t.i,
+    (h.hu * (2*t.i + 1) + t.i * $gold) % $pow64 AS vu
+  FROM hashes h, generate_series(0, 31) t(i)),
+sigrows AS (
+  SELECT doc_id, i,
+    MIN(CAST(CASE WHEN vu >= $half THEN vu - $pow64 ELSE vu END AS BIGINT)) AS v
+  FROM aff GROUP BY doc_id, i),
+bandlists AS (
+  SELECT doc_id, i // 4 AS band,
+    list(CAST(v AS HUGEINT) + CASE WHEN v < 0 THEN $pow64 ELSE CAST(0 AS HUGEINT) END
+         ORDER BY i) AS vs
+  FROM sigrows GROUP BY doc_id, i // 4),
+bands AS (
+  SELECT doc_id, band, $fold AS bucket FROM bandlists),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+agree AS (
+  SELECT c.a_id, c.b_id, SUM(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS n_agree
+  FROM cand c
+  JOIN sigrows sa ON sa.doc_id = c.a_id
+  JOIN sigrows sb ON sb.doc_id = c.b_id AND sb.i = sa.i
+  GROUP BY c.a_id, c.b_id)
+SELECT a_id, b_id, CAST(n_agree AS DOUBLE) / 32 AS est_jaccard
+FROM agree WHERE CAST(n_agree AS DOUBLE) / 32 >= 0.5
+${ord("a_id", "b_id")}""".trim
+  }
+
   // ---- similarity --------------------------------------------------
 
   private val quantized =

@@ -194,6 +194,54 @@ object Dedup {
       .where(col("est_jaccard") >= minEstJaccard)
   }
 
+  /** Portable-hash MinHash+LSH: identical pipeline shape to
+    * `minhashLshPairs`, with every engine-specific hash swapped for
+    * portable wrapping-integer arithmetic so the WHOLE operator is
+    * recomputable in SQL (ExtOracle.minhashPairsPortable runs it in
+    * DuckDB via HUGEINT mod-2^64):
+    *
+    *  - shingle hash: `polyhash64` (rolling polynomial) instead of
+    *    seeded xxhash64;
+    *  - signatures: the same Kirsch-Mitzenmacher affine family
+    *    (wrapping 64-bit — already portable);
+    *  - band bucket: a seeded polynomial fold over the band's
+    *    signature slice instead of Murmur3 `hash()`.
+    *
+    * Same narrow (id, band, bucket) candidate shuffle and signature
+    * join-back as the xxhash64 variant. Trade-off: polyhash64 has
+    * weaker avalanche than xxhash64, which costs nothing here — MinHash
+    * only needs the affine family to behave uniformly on DISTINCT
+    * shingle hashes, and collisions stay astronomically unlikely at
+    * 64 bits. */
+  def minhashLshPairsPortable(docs: DataFrame, bands: Int = 8, rows: Int = 4,
+      minEstJaccard: Double = 0.5, w: Int = 3): DataFrame = {
+    val k = bands * rows
+    val sigs = shingled(docs, w)
+      .select(col("doc_id"),
+        transform(col("sh"), s => graft.functions.PolyHash64.polyhash64(s)).as("hs"))
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.minhashSig(col("hs"), k).as("sig"))
+      .persist()
+    val banded = sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0L), lit(bands - 1L)), bi =>
+        aggregate(slice(col("sig"), (bi * rows + 1).cast("int"), lit(rows)),
+          bi, (acc, v) => acc * 1000003L + v))).as(Seq("band", "bucket")))
+    val a = banded.toDF("a_id", "band", "bucket")
+    val b = banded.toDF("b_id", "band", "bucket")
+    val cands = a.join(b, Seq("band", "bucket"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cands
+      .join(sigs.toDF("a_id", "a_sig"), "a_id")
+      .join(sigs.toDF("b_id", "b_sig"), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (aggregate(zip_with(col("a_sig"), col("b_sig"),
+          (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(k))
+          .as("est_jaccard"))
+      .where(col("est_jaccard") >= minEstJaccard)
+  }
+
   /** 64-bit SimHash from token-level xxhash64: bit b of the fingerprint
     * is the sign of Σ_tokens (±1 by the token hash's bit b), i.e. bit
     * set ⟺ 2·(#tokens with bit b) > #tokens. Computed entirely per-row

@@ -114,6 +114,28 @@ class ExtSpec extends SparkSpec {
     assert(f.features.toSeq == again.features.toSeq)
   }
 
+  test("portable minhash: exact duplicates always collide, disjoint texts never pair") {
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val syn = Seq(
+      (1L, dup), (2L, dup), (4L, dup), // identical sigs -> every band collides
+      (3L, "totally different words that share no shingle at all whatsoever")
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.minhashLshPairsPortable(syn)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(p => (p._1, p._2)).toSet == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(got.forall(_._3 == 1.0))
+    // and on the real fixture it agrees with the xxhash variant's pairs
+    // on the strong (est = 1.0-ish) candidates
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+    def strong(df: org.apache.spark.sql.DataFrame) =
+      df.where(col("est_jaccard") >= 0.9).select("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p = strong(graft.ext.Dedup.minhashLshPairsPortable(real))
+    val x = strong(graft.ext.Dedup.minhashLshPairs(real))
+    assert(p.nonEmpty && (p intersect x).size * 10 >= p.size * 9,
+      s"portable and xxhash variants should agree on strong pairs: ${p.size} vs ${x.size}")
+  }
+
   test("scrubPii: redacts emails/IPs/phones in order, counts on original") {
     val docs = Seq(
       (1L, "mail me at a.b+c@ex-ample.co.uk today"),
