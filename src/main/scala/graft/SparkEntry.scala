@@ -253,6 +253,8 @@ object SparkEntry {
       Dedup.minhashLshPairsPortable(docs(s, d)).orderBy("a_id", "b_id")),
     "simhash_pairs" -> prep((s, d) => Dedup.simhashPairs(docs(s, d))
       .orderBy("a_id", "b_id")),
+    "simhash_pairs_portable" -> prep((s, d) =>
+      Dedup.simhashPairsPortable(docs(s, d)).orderBy("a_id", "b_id")),
     // ---- similarity search -------------------------------------------
     "ann_cosine_topk" -> prep((s, d) => Engine.canonical(
       Similarity.bruteForceTopK(emb(s, d), queryVecId = 0L, k = 10))),
@@ -449,6 +451,7 @@ object SparkEntry {
     "multimodal_frames" -> ExtOracle.multimodalFrames,
     "dedup_exact" -> ExtOracle.dedupExact,
     "minhash_pairs_portable" -> ExtOracle.minhashPairsPortable,
+    "simhash_pairs_portable" -> ExtOracle.simhashPairsPortable,
     "ngram_jaccard" -> ExtOracle.ngramJaccard,
     "ngram_jaccard_prefix" -> ExtOracle.ngramJaccard, // same output, pruned path
     "ann_cosine_topk" -> ExtOracle.annCosineTopK,

@@ -659,6 +659,58 @@ FROM agree WHERE CAST(n_agree AS DOUBLE) / 32 >= 0.5
 ${ord("a_id", "b_id")}""".trim
   }
 
+  /** Twin of Dedup.simhashPairsPortable — the full SimHash pipeline in
+    * SQL: per-token polyhash64 (power-sum), per-bit majority vote over
+    * every token instance, fingerprint assembly from a materialized
+    * powers-of-two list, 16-bit chunk blocking, Hamming verify via
+    * bit_count(xor). */
+  val simhashPairsPortable: String = {
+    val pow64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val half = "CAST('9223372036854775808' AS HUGEINT)"
+    s"""
+WITH RECURSIVE
+pw(kk, p) AS (SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL SELECT kk+1, (p*1000003) % $pow64 FROM pw WHERE kk < 255),
+pl AS MATERIALIZED (SELECT list(p ORDER BY kk) AS ps FROM pw),
+p2(b, v) AS (SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL SELECT b+1, v*2 FROM p2 WHERE b < 63),
+p2l AS MATERIALIZED (SELECT list(v ORDER BY b) AS twos FROM p2),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents),
+thash AS (
+  SELECT toks.doc_id,
+    COALESCE(list_sum(list_transform(string_split_regex(toks.t, ''),
+      (c, i) -> ord(c) * pl.ps[strlen(toks.t) - i + 1])), 0) % $pow64 AS hu
+  FROM toks, pl),
+ntok AS (SELECT doc_id, COUNT(*) AS n FROM thash GROUP BY doc_id),
+bits AS (
+  SELECT th.doc_id, t.b, SUM((th.hu // p2l.twos[t.b + 1]) % 2) AS cnt
+  FROM thash th, generate_series(0, 63) t(b), p2l
+  GROUP BY th.doc_id, t.b),
+fp AS (
+  SELECT bits.doc_id,
+    SUM(CASE WHEN bits.cnt * 2 > ntok.n THEN p2l.twos[bits.b + 1]
+        ELSE CAST(0 AS HUGEINT) END) AS fpu
+  FROM bits JOIN ntok USING (doc_id), p2l
+  GROUP BY bits.doc_id),
+sh AS (
+  SELECT doc_id, fpu,
+    CAST(CASE WHEN fpu >= $half THEN fpu - $pow64 ELSE fpu END AS BIGINT) AS simhash
+  FROM fp),
+chunked AS (
+  SELECT doc_id, simhash, t.c AS chunk_no,
+    CAST((fpu // p2l.twos[t.c * 16 + 1]) % 65536 AS BIGINT) AS chunk
+  FROM sh, generate_series(0, 3) t(c), p2l),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+    a.simhash AS sa, b.simhash AS sb
+  FROM chunked a JOIN chunked b
+    ON a.chunk_no = b.chunk_no AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+${ord("a_id", "b_id")}""".trim
+  }
+
   // ---- similarity --------------------------------------------------
 
   private val quantized =

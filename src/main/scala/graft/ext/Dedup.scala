@@ -397,8 +397,25 @@ object Dedup {
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDist. Candidate
     * generation blocks on 16-bit chunks (a Hamming-(≤3) pair must agree
     * on ≥1 of 4 chunks — pigeonhole), so the join is bucket-local. */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val sh = simhash64(docs)
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame =
+    simhashPairsFrom(simhash64(docs), maxDist)
+
+  /** Portable-hash SimHash pairs: token hashes come from polyhash64
+    * (the same native codegen expression, `poly` mode) instead of
+    * seeded xxhash64, so the whole fingerprint — per-token rolling
+    * hashes, bit-majority vote, 16-bit chunk blocking, Hamming
+    * distance — is recomputable in SQL (ExtOracle.simhashPairsPortable
+    * runs it in DuckDB via HUGEINT mod-2^64). Same plan shape and
+    * codegen cost as the xxhash64 variant. */
+  def simhashPairsPortable(docs: DataFrame, maxDist: Int = 3): DataFrame =
+    simhashPairsFrom(
+      docs.select(col("doc_id"),
+        graft.functions.SimHash64.simhash64Poly(words(col("text"))).as("simhash")),
+      maxDist)
+
+  /** Shared chunk-blocked candidate join + Hamming verify over a
+    * (doc_id, simhash) frame. */
+  private def simhashPairsFrom(sh: DataFrame, maxDist: Int): DataFrame = {
     val chunked = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), i * 16).bitwiseAND(0xffffL)): _*))

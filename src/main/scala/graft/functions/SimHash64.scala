@@ -24,11 +24,29 @@ import org.apache.spark.unsafe.types.UTF8String
   * (token arrays from `split` contain no nulls, so this is unreachable
   * on the dedup path).
   */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression, poly: Boolean = false)
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
-  override def prettyName: String = "simhash64"
+  override def prettyName: String = if (poly) "simhash64_poly" else "simhash64"
+
+  /** Token hash: seeded XXH64 by default; `poly` switches to the
+    * polyhash64 rolling hash — portable mod-2^64 arithmetic any SQL
+    * engine reproduces (the oracle-checkable variant), same majority
+    * vote on top. */
+  private def tokenHash(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    if (!poly) XXH64.hashUTF8String(s, 42L)
+    else {
+      val bytes = s.getBytes
+      var h = 0L
+      var i = 0
+      while (i < bytes.length) {
+        h = h * 1000003L + (bytes(i) & 0xffL)
+        i += 1
+      }
+      h
+    }
 
   protected override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -37,7 +55,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+        val h = tokenHash(arr.getUTF8String(i))
         var b = 0
         while (b < 64) {
           counts(b) += ((h >>> b) & 1L).toInt
@@ -63,13 +81,24 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       val i = ctx.freshName("i")
       val h = ctx.freshName("h")
       val b = ctx.freshName("b")
+      val j = ctx.freshName("j")
+      val bs = ctx.freshName("bs")
       val out = ctx.freshName("out")
+      val hashCode =
+        if (!poly) s"final long $h = $xxh.hashUTF8String($c.getUTF8String($i), 42L);"
+        else s"""
+           |byte[] $bs = $c.getUTF8String($i).getBytes();
+           |long $h = 0L;
+           |for (int $j = 0; $j < $bs.length; $j++) {
+           |  $h = $h * 1000003L + ($bs[$j] & 0xffL);
+           |}
+         """.stripMargin
       s"""
          |final int $n = $c.numElements();
          |final int[] $counts = new int[64];
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$c.isNullAt($i)) {
-         |    final long $h = $xxh.hashUTF8String($c.getUTF8String($i), 42L);
+         |    $hashCode
          |    for (int $b = 0; $b < 64; $b++) {
          |      $counts[$b] += (int) (($h >>> $b) & 1L);
          |    }
@@ -92,4 +121,8 @@ object SimHash64 {
     * `array<string>` column. */
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
+
+  /** Portable-hash variant (polyhash64 token hashes). */
+  def simhash64Poly(tokens: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokens), poly = true))
 }

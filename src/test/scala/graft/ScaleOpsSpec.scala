@@ -138,6 +138,29 @@ class ScaleOpsSpec extends SparkSpec {
     q.unpersist()
   }
 
+  test("simhash64 poly mode == driver-side reference fold") {
+    def polyRef(s: String): Long =
+      s.getBytes("UTF-8").foldLeft(0L)((h, b) => h * 1000003L + (b & 0xffL))
+    def simRef(tokens: Seq[String]): Long = {
+      val cnt = new Array[Int](64)
+      tokens.foreach { t =>
+        val h = polyRef(t)
+        (0 until 64).foreach(b => cnt(b) += ((h >>> b) & 1L).toInt)
+      }
+      (0 until 64).foldLeft(0L)((acc, b) =>
+        if (cnt(b) * 2 > tokens.size) acc | (1L << b) else acc)
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    val got = docs.select(col("doc_id"),
+      graft.functions.SimHash64.simhash64Poly(
+        split(trim(col("text")), "\\s+")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.select("doc_id", "text").collect().foreach { r =>
+      val want = simRef(r.getString(1).trim.split("\\s+").toSeq)
+      assert(got(r.getLong(0)) == want, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("hashedShingles native == xxhash64 over string shingles, and codegens") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text"))
