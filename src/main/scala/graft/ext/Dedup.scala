@@ -289,12 +289,47 @@ object Dedup {
     * assumption the component fits anywhere; the classic large-scale
     * connected-components shape. Deterministic: labels are mins over
     * an unordered set. */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIters: Int = 50,
+      driverThreshold: Long = 1000000L): DataFrame = {
     // Cache the pair input: the union tree below references it four
     // times (both directions + the self-loop branch), and each union
     // branch re-evaluates its child — without the cache the whole
     // upstream pair-generation pipeline runs 4×.
     val p = pairs.select(col("a_id"), col("b_id")).cache()
+    // Adaptive small-graph path: near-dup pair sets are usually a
+    // sliver of the corpus (thousands of edges from billions of docs).
+    // Below the bounded threshold, union-find on the driver answers in
+    // one collect instead of 2+ distributed supersteps whose cost is
+    // the per-stage scheduling floor, not data. Same output contract
+    // (label = min reachable id); equality with the distributed path is
+    // spec-tested. Above the threshold: the superstep loop below, which
+    // assumes nothing fits anywhere.
+    val nPairs = p.count()
+    if (nPairs <= driverThreshold) {
+      val edges = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra)
+          parent(hi) = lo }
+      }
+      val rows = parent.keys.toSeq.sorted.map { id =>
+        val root = find(id)
+        (id, root, id == root)
+      }
+      p.unpersist()
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return rows.toDF("doc_id", "cluster_id", "is_keeper")
+    }
     // Self-loop edges fold "min of own and neighbors' labels" into the
     // round's single join+groupBy (no second join against own labels).
     val directed = p.union(p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))

@@ -231,6 +231,22 @@ class ExtSpec extends SparkSpec {
       (10L, 10L, true), (11L, 10L, false)))
   }
 
+  test("dupClusters: driver union-find path == distributed superstep path") {
+    // high-diameter chain + islands + a cycle, run through BOTH paths
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 1L), (10L, 11L), (11L, 12L), (20L, 21L)).toDF("a_id", "b_id")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+    val small = norm(Dedup.dupClusters(pairs)) // under threshold: union-find
+    val dist = norm(Dedup.dupClusters(pairs, driverThreshold = -1L))
+    assert(small == dist, s"paths must agree:\n$small\n$dist")
+    // real-fixture pairs through both paths too
+    val real = Dedup.ngramJaccardPairs(docs)
+    assert(norm(Dedup.dupClusters(real)) ==
+      norm(Dedup.dupClusters(real, driverThreshold = -1L)))
+  }
+
   test("multimodal resize: fixed output dims, box-filter means, deterministic") {
     // 4×2 "image": payload bytes 0,4,8,12 / 16,20,24,28 → 2×1 resize
     // averages each 2×2 box: (0+4+16+20)/4=10, (8+12+24+28)/4=18
