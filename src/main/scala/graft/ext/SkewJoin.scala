@@ -50,14 +50,25 @@ object SkewJoin {
     * rows-per-key. Result-identical to a plain inner equi-join. */
   def saltedInnerHotKeys(left: DataFrame, right: DataFrame, key: String,
       salts: Int = 8, skewFactor: Double = 4.0,
-      maxHotKeys: Int = 10000): DataFrame = {
+      maxHotKeys: Int = 10000, sampleFraction: Double = 1.0): DataFrame = {
     // One aggregated pass over the key column; the counts frame is tiny
     // (|distinct keys| rows) and cached across its two actions. Hot
     // keys land on the driver as literals — by definition there are few
     // of them (capped at maxHotKeys, keeping the hottest), so the plan
     // carries a small IN-set instead of re-running the counts subquery
     // on both join inputs.
-    val counts = left.groupBy(col(key)).agg(count(lit(1)).as("__kn")).cache()
+    //
+    // `sampleFraction < 1` detects hot keys from a sample instead of a
+    // full scan — the 100 TB posture: a key hot enough to matter (many
+    // × the mean) is overwhelmingly likely to look hot in a 1-10%
+    // sample, and misclassification is harmless either way (salting is
+    // result-invariant; a missed borderline key just stays on the AQE
+    // fallback path). Mean-per-key scales out of the estimate, so the
+    // threshold needs no correction.
+    val probe =
+      if (sampleFraction >= 1.0) left
+      else left.sample(withReplacement = false, sampleFraction, seed = 42L)
+    val counts = probe.groupBy(col(key)).agg(count(lit(1)).as("__kn")).cache()
     val hotKeys =
       try {
         val meanPerKey = // null on an empty left → no hot keys

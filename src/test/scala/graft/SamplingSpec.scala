@@ -95,6 +95,19 @@ class SamplingSpec extends SparkSpec {
     assert(SkewJoin.saltedInnerHotKeys(l.limit(0), r, "k").count() == 0)
   }
 
+  test("saltedInnerHotKeys: sampled hot-key detection, result-invariant") {
+    import spark.implicits._
+    val l = ((1 to 2000).map(i => (1L, i)) ++ (2 to 400).map(k => (k.toLong, k)))
+      .toDF("k", "payload")
+    val r = (1 to 400).map(k => (k.toLong, s"dim$k")).toDF("k", "name")
+    val sampled = SkewJoin.saltedInnerHotKeys(l, r, "k", salts = 4,
+      sampleFraction = 0.1)
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val plain = l.join(r, "k")
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(sampled == plain)
+  }
+
   test("saltedInnerHotKeys: >100 hot keys switch to a broadcast flag join") {
     import spark.implicits._
     // 120 hot keys of 50 IDENTICAL rows each (the worst case for a
