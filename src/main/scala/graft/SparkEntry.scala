@@ -332,6 +332,27 @@ object SparkEntry {
           col("user_id"), col("event_type"), col("value"))
         .orderBy("event_id")
     }),
+    // flatMapGroupsWithState gap-sessionization as a live stream:
+    // closed-by-gap sessions emit when a later event proves the gap;
+    // each user's final session emits only if the final watermark
+    // (max ts − 10 min lateness) passed its event-time timeout
+    // (end + 30 min gap) — the oracle applies the same rule.
+    "stream_sessionize" -> prep((s, d) => {
+      val base = tmpDir("graft_evsess")
+      s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"), expr("timestamp_micros(ts div 1000)").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .coalesce(1).write.mode("overwrite")
+        .option("timestampFormat", graft.streaming.EventStream.microTsFormat)
+        .json(s"$base/in")
+      graft.streaming.EventStream.runSessionize(
+        s, s"$base/in", s"$base/out", s"$base/ckpt").awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select(col("user_id"), unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"), col("n_events"),
+          col("sum_value"))
+        .orderBy("user_id", "start_us")
+    }),
     // Watermarked stream-stream interval join (purchase ⋈ prior views
     // within 1h, both sides live streams); inner join emits on match so
     // the AvailableNow run equals the batch interval join the oracle runs.
@@ -433,6 +454,7 @@ object SparkEntry {
     "stream_events_hourly" -> ExtOracle.streamEventsHourly,
     "stream_dedup_events" -> ExtOracle.streamDedupEvents,
     "stream_attribution" -> ExtOracle.streamAttribution,
+    "stream_sessionize" -> ExtOracle.streamSessionize,
     "stream_events_enriched" -> ExtOracle.streamEventsEnriched,
     "user_top_events" -> ExtOracle.userTopEvents,
     "text_stats" -> ExtOracle.textStats,

@@ -158,6 +158,41 @@ SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
 FROM events
 ${ord("event_id")}""".trim
 
+  /** Twin of the flatMapGroupsWithState sessionizer: batch gaps-and-
+    * islands sessions (µs-exact, integer-cents sums — the stream state
+    * carries the identical arithmetic) plus the stream's emit rule: a
+    * non-last session is closed by a later event and always emits; a
+    * user's last session emits only if the final watermark (max event
+    * ms − 10 min lateness) strictly passed its event-time timeout
+    * (session end ms + 30 min gap). */
+  val streamSessionize: String = s"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus,
+    CAST(round(value*100) AS BIGINT) AS cents
+  FROM events),
+g AS (
+  SELECT *, CASE WHEN tus - lag(tus) OVER (
+      PARTITION BY user_id ORDER BY tus ASC, event_id ASC) > 1800000000
+    THEN 1 ELSE 0 END AS new_sess
+  FROM e),
+s AS (
+  SELECT *, SUM(new_sess) OVER (
+      PARTITION BY user_id ORDER BY tus ASC, event_id ASC
+      ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM g),
+sess AS (
+  SELECT user_id, sess_no, MIN(tus) AS start_us, MAX(tus) AS end_us,
+    CAST(COUNT(*) AS INT) AS n_events,
+    CAST(SUM(cents) AS DOUBLE)/100 AS sum_value
+  FROM s GROUP BY user_id, sess_no),
+wm AS (SELECT MAX(tus) // 1000 - 600000 AS w_ms FROM e),
+lastno AS (SELECT user_id, MAX(sess_no) AS last_no FROM sess GROUP BY user_id)
+SELECT sess.user_id, start_us, end_us, n_events, sum_value
+FROM sess JOIN lastno USING (user_id), wm
+WHERE sess.sess_no < lastno.last_no
+   OR end_us // 1000 + 1800000 < wm.w_ms
+${ord("user_id", "start_us")}""".trim
+
   /** Twin of the stream-stream attribution join: the batch interval
     * join over the same events (purchases ⋈ same-user views within the
     * preceding hour, boundaries inclusive as in the stream). */

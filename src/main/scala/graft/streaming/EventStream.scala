@@ -171,30 +171,51 @@ object EventStream {
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
-  /** The open session carried between micro-batches. */
-  case class OpenSession(start_ms: Long, end_ms: Long, n_events: Int,
-      sum_value: Double)
+  /** The open session carried between micro-batches. Times are
+    * MICROSECONDS (full event-time precision — ms truncation would
+    * sessionize differently than the µs-exact batch twin on sub-ms
+    * gaps) and the running sum is exact integer cents (double
+    * accumulation order would make the emitted sum engine- and
+    * arrival-order-dependent). */
+  case class OpenSession(start_us: Long, end_us: Long, n_events: Int,
+      sum_cents: Long)
 
   case class UserSession(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Int, sum_value: Double)
+
+  private def tsToUs(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def usToTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Spark's `round(x*100)` (HALF_UP cents), replicated exactly. */
+  private def cents(v: Double): Long =
+    java.math.BigDecimal.valueOf(v * 100)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
 
   /** Fold one user's new events (sorted by event time — the iterator
     * carries no order guarantee) into the open session, emitting every
     * session closed by a gap > `gapMs`. Pure function: unit-testable
     * without a stream. */
   def advance(userId: Long, sorted: Seq[Event], open: Option[OpenSession],
-      gapMs: Long): (Seq[UserSession], Option[OpenSession]) =
+      gapMs: Long): (Seq[UserSession], Option[OpenSession]) = {
+    val gapUs = gapMs * 1000L
     sorted.foldLeft((Vector.empty[UserSession], open)) {
       case ((closed, None), e) =>
-        (closed, Some(OpenSession(e.ts.getTime, e.ts.getTime, 1, e.value)))
-      case ((closed, Some(s)), e) if e.ts.getTime - s.end_ms > gapMs =>
-        (closed :+ UserSession(userId, new Timestamp(s.start_ms),
-          new Timestamp(s.end_ms), s.n_events, s.sum_value),
-          Some(OpenSession(e.ts.getTime, e.ts.getTime, 1, e.value)))
+        (closed, Some(OpenSession(tsToUs(e.ts), tsToUs(e.ts), 1, cents(e.value))))
+      case ((closed, Some(s)), e) if tsToUs(e.ts) - s.end_us > gapUs =>
+        (closed :+ UserSession(userId, usToTs(s.start_us),
+          usToTs(s.end_us), s.n_events, s.sum_cents / 100.0),
+          Some(OpenSession(tsToUs(e.ts), tsToUs(e.ts), 1, cents(e.value))))
       case ((closed, Some(s)), e) =>
-        (closed, Some(s.copy(end_ms = math.max(s.end_ms, e.ts.getTime),
-          n_events = s.n_events + 1, sum_value = s.sum_value + e.value)))
+        (closed, Some(s.copy(end_us = math.max(s.end_us, tsToUs(e.ts)),
+          n_events = s.n_events + 1, sum_cents = s.sum_cents + cents(e.value))))
     }
+  }
 
   /** flatMapGroupsWithState sessionizer. State per user = the open
     * session only (constant size — the 100 TB-safe shape; the closed
@@ -215,15 +236,16 @@ object EventStream {
             // idle beyond gap: close and clear
             val s = state.get
             state.remove()
-            Iterator.single(UserSession(userId, new Timestamp(s.start_ms),
-              new Timestamp(s.end_ms), s.n_events, s.sum_value))
+            Iterator.single(UserSession(userId, usToTs(s.start_us),
+              usToTs(s.end_us), s.n_events, s.sum_cents / 100.0))
           } else {
             val (closed, open) = advance(userId,
-              it.toSeq.sortBy(_.ts.getTime), state.getOption, gapMs)
+              it.toSeq.sortBy(e => tsToUs(e.ts)), state.getOption, gapMs)
             open match {
               case Some(s) =>
                 state.update(s)
-                state.setTimeoutTimestamp(s.end_ms + gapMs)
+                // the state API clock is milliseconds
+                state.setTimeoutTimestamp(s.end_us / 1000L + gapMs)
               case None => if (state.exists) state.remove()
             }
             closed.iterator

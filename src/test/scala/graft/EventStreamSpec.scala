@@ -128,10 +128,11 @@ class EventStreamSpec extends SparkSpec {
     assert(closed == Seq(
       UserSession(7, ts(0), ts(10), 2, 2.0),
       UserSession(7, ts(50), ts(50), 1, 1.0)))
-    assert(open.contains(OpenSession(ts(200).getTime, ts(200).getTime, 1, 1.0)))
+    def us(minute: Long) = ts(minute).getTime * 1000L
+    assert(open.contains(OpenSession(us(200), us(200), 1, 100L)))
     // continuation: a prior open session extends instead of splitting
     val (c2, o2) = EventStream.advance(7, Seq(ev(5, 7, 205)), open, gap)
-    assert(c2.isEmpty && o2.contains(OpenSession(ts(200).getTime, ts(205).getTime, 2, 2.0)))
+    assert(c2.isEmpty && o2.contains(OpenSession(us(200), us(205), 2, 200L)))
   }
 
   test("sessionize end-to-end: closed sessions emitted, state survives restart") {
