@@ -35,6 +35,12 @@ object Engine {
     // default; read it as a long (ns since epoch) and convert explicitly
     // where needed (exact integer arithmetic — oracle-parity safe).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // RocksDB state store: the production-grade provider (state spills
+    // to disk instead of living on the JVM heap — the 100 TB posture
+    // for large streaming state), and the only one supporting the
+    // multiple column families transformWithState needs.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     spark
   }
 

@@ -253,6 +253,84 @@ object EventStream {
       }
   }
 
+  // ---- transformWithState sessionization (Spark 4 state API) ---------
+
+  /** The same gap sessionizer on `transformWithState` — Spark 4's
+    * arbitrary-state API (SPARK-40434, the successor to
+    * flatMapGroupsWithState): explicit named `ValueState` plus
+    * event-time TIMERS instead of a single implicit state slot with
+    * one timeout. Semantics are identical to `sessionize` (shared
+    * `advance` fold, same µs/cents state), which the spec asserts by
+    * running both APIs over the same landed stream. Timer hygiene:
+    * each batch re-registers the open session's expiry and deletes
+    * stale timers; a fired timer closes the session only if it still
+    * proves the gap (a newer event may have extended the session past
+    * the old expiry). */
+  class SessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoders => Encs}
+    @transient private var open: org.apache.spark.sql.streaming.ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession]("open",
+        Encs.product[OpenSession], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[UserSession] = {
+      val prev = if (open.exists()) Some(open.get()) else None
+      val (closed, stillOpen) = advance(userId,
+        rows.toSeq.sortBy(e => tsToUs(e.ts)), prev, gapMs)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      stillOpen match {
+        case Some(s) =>
+          open.update(s)
+          getHandle.registerTimer(s.end_us / 1000L + gapMs)
+        case None => open.clear()
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[UserSession] = {
+      if (!open.exists()) Iterator.empty
+      else {
+        val s = open.get()
+        if (info.getExpiryTimeInMs >= s.end_us / 1000L + gapMs) {
+          open.clear()
+          Iterator.single(UserSession(userId, usToTs(s.start_us),
+            usToTs(s.end_us), s.n_events, s.sum_cents / 100.0))
+        } else Iterator.empty // stale timer: the session has grown past it
+      }
+    }
+  }
+
+  /** transformWithState twin of `sessionize`. */
+  def sessionizeTws(spark: SparkSession, events: DataFrame,
+      gapMs: Long = 30L * 60 * 1000, lateness: String = "10 minutes"): Dataset[UserSession] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  def runSessionizeTws(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    sessionizeTws(spark, source(spark, inDir,
+      Map("timestampFormat" -> microTsFormat)))
+      .toDF()
+      .writeStream
+      .format("parquet")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .option("path", outDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def runSessionize(spark: SparkSession, inDir: String, outDir: String,
       checkpointDir: String): StreamingQuery =
     sessionize(spark, source(spark, inDir))

@@ -121,6 +121,27 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("transformWithState sessionizer == flatMapGroupsWithState sessionizer") {
+    val base = tmp("ev_tws")
+    val fmt = EventStream.microTsFormat
+    spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), expr("timestamp_micros(ts div 1000)").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .coalesce(1).write.mode("overwrite")
+      .option("timestampFormat", fmt).json(s"$base/in")
+    EventStream.runSessionize(spark, s"$base/in", s"$base/out1", s"$base/ck1")
+      .awaitTermination()
+    EventStream.runSessionizeTws(spark, s"$base/in", s"$base/out2", s"$base/ck2")
+      .awaitTermination()
+    def rows(p: String) = spark.read.parquet(p)
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val a = rows(s"$base/out1")
+    val b = rows(s"$base/out2")
+    assert(a.nonEmpty && a == b,
+      s"state APIs must agree: fmgws=${a.size} tws=${b.size}")
+  }
+
   test("advance: pure sessionization fold splits on gaps") {
     val gap = 30L * 60000
     val events = Seq(ev(1, 7, 0), ev(2, 7, 10), ev(3, 7, 50), ev(4, 7, 200))
