@@ -218,6 +218,10 @@ object SparkEntry {
     "dedup_clusters" -> prep((s, d) =>
       Dedup.dupClusters(Dedup.ngramJaccardPairs(docs(s, d)))
         .orderBy("doc_id")),
+    // the end-to-end dedup call: corpus minus non-canonical members
+    "dedup_corpus" -> prep((s, d) =>
+      Dedup.dedupCorpus(docs(s, d))
+        .select("doc_id", "lang", "source").orderBy("doc_id")),
     // overlapping token-window chunking (context-window prep; 32/8 so
     // the fixture docs actually produce multi-chunk overlap)
     "chunk_docs" -> prep((s, d) =>
@@ -467,6 +471,7 @@ object SparkEntry {
     "stratified_sample" -> ExtOracle.stratifiedSample,
     "pack_shards" -> ExtOracle.packShards,
     "dedup_clusters" -> ExtOracle.dedupClusters,
+    "dedup_corpus" -> ExtOracle.dedupCorpus,
     "decontaminate" -> ExtOracle.decontaminate,
     "chunk_docs" -> ExtOracle.chunkDocs,
     "salted_join_revenue" -> ExtOracle.saltedJoinRevenue,

@@ -403,6 +403,19 @@ object Dedup {
       (col("id") === col("label")).as("is_keeper"))
   }
 
+  /** End-to-end corpus deduplication — the call a pipeline actually
+    * makes: pairs → connected components → drop every non-canonical
+    * member. Documents never involved in any near-dup pair pass
+    * through untouched (the overwhelming majority at any scale), so
+    * the join against the cluster table is a broadcast/anti-style
+    * lookup on the tiny dup sliver, not a corpus-wide shuffle. */
+  def dedupCorpus(docs: DataFrame, w: Int = 3,
+      minJaccard: Double = 0.5): DataFrame = {
+    val losers = dupClusters(ngramJaccardPairs(docs, w, minJaccard))
+      .where(!col("is_keeper")).select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Benchmark decontamination: for every corpus document, the
     * fraction of its w-token shingles that appear anywhere in the
     * benchmark set — the standard train/test contamination check run
