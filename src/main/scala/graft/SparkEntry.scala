@@ -269,6 +269,11 @@ object SparkEntry {
       .orderBy("probe_id", "vec_id")),
     "neardup_embeddings" -> prep((s, d) => Engine.canonical(
       Similarity.nearDupPairs(emb(s, d)))),
+    // SemDeDup-style embedding dedup: IVF cells → within-cell cosine
+    // pairs → connected components → one survivor per component
+    "semantic_dedup" -> prep((s, d) =>
+      Similarity.semanticDedup(emb(s, d))
+        .select("vec_id", "label").orderBy("vec_id")),
     // ---- source/sink surface: JSON landing scan + streaming path -----
     // Same oracles as the batch *_clean entries: the JSON round-trip and
     // the Structured Streaming pipeline must reproduce the batch
@@ -484,6 +489,7 @@ object SparkEntry {
     "ann_cosine_topk" -> ExtOracle.annCosineTopK,
     "ann_lsh_topk" -> ExtOracle.annLshTopK,
     "neardup_embeddings" -> ExtOracle.nearDupEmbeddings,
+    "semantic_dedup" -> ExtOracle.semanticDedup,
     "ann_ivf_topk" -> ExtOracle.ivfTopK,
     "multimodal_features" -> ExtOracle.multimodalFeatures,
     "multimodal_resize" -> ExtOracle.multimodalResize,

@@ -895,6 +895,43 @@ FROM x
 GROUP BY label, dim
 ${ord("label", "dim")}""".trim
 
+  /** Twin of Similarity.semanticDedup: identical IVF cell assignment
+    * (same argmax + tie-break as ivfTopK), within-cell ≥-threshold
+    * cosine pairs, transitive closure via the same recursive-CTE
+    * reachability as dedupClusters, anti-join of the non-canonical
+    * members. */
+  val semanticDedup: String = s"""
+WITH RECURSIVE
+e AS ($quantized),
+cents AS (SELECT vec_id AS cent_id, q AS cq FROM e WHERE vec_id % 50 = 0),
+cos_ec AS (
+  SELECT e.vec_id, e.q, c.cent_id,
+    list_dot_product(e.q, c.cq) /
+      (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(c.cq, c.cq))) AS cs
+  FROM e, cents c),
+assign AS (
+  SELECT vec_id, cent_id AS cell, q FROM (
+    SELECT vec_id, cent_id, q,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id ASC) AS rk
+    FROM cos_ec) WHERE rk = 1),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.q, b.q) /
+      (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q))) >= 0.4),
+edges AS (
+  SELECT a_id AS id, b_id AS nbr FROM pairs
+  UNION SELECT b_id, a_id FROM pairs),
+reach(id, r) AS (
+  SELECT DISTINCT id, id FROM edges
+  UNION
+  SELECT e2.id, reach.r FROM edges e2 JOIN reach ON e2.nbr = reach.id),
+losers AS (
+  SELECT id FROM reach GROUP BY id HAVING id <> MIN(r))
+SELECT vec_id, label FROM embeddings
+WHERE vec_id NOT IN (SELECT id FROM losers)
+${ord("vec_id")}""".trim
+
   val nearDupEmbeddings: String = s"""
 WITH e AS ($quantized),
 a AS (SELECT vec_id AS a_id, q AS qa FROM e WHERE vec_id % 10 = 0),

@@ -195,6 +195,40 @@ object Similarity {
       .withColumn("mean_q",
         col("sum_q").cast("double") / col("n_vecs").cast("double"))
 
+  /** SemDeDup-style semantic deduplication — the cluster-then-prune
+    * recipe for embedding-level dedup of web-scale corpora (prune
+    * near-identical *meanings*, not just near-identical bytes):
+    *
+    *   1. coarse-cluster the corpus into IVF cells (`ivfAssign`:
+    *      deterministic centroids, broadcast assignment);
+    *   2. exact quantized cosine WITHIN each cell only — pairs in
+    *      different cells are never compared, which is the step that
+    *      turns the N² pair space into Σ|cell|² (≈ N·√N worst-case
+    *      with √N-sized cells, near-linear for balanced cells);
+    *   3. connected components over ≥-threshold pairs
+    *      (`Dedup.dupClusters` — same superstep/min-label machinery
+    *      as the text-dedup path);
+    *   4. keep one canonical survivor (min vec_id) per component.
+    *
+    * Shuffle shape at 100 TB: the within-cell self-join hash-partitions
+    * both sides by `cell`, so each cell's pairing is partition-local;
+    * vectors ride that shuffle once per side and nothing else moves.
+    * Cell granularity (centroidMod) is the knob bounding per-partition
+    * pair work. Returns the surviving corpus rows unchanged. */
+  def semanticDedup(emb: DataFrame, threshold: Double = 0.4,
+      centroidMod: Int = 50): DataFrame = {
+    val assigned = ivfAssign(emb, centroidMod)
+    val a = assigned.select(col("cell"), col("vec_id").as("a_id"), col("q").as("qa"))
+    val b = assigned.select(col("cell"), col("vec_id").as("b_id"), col("q").as("qb"))
+    val pairs = a.join(b, "cell")
+      .where(col("a_id") < col("b_id") &&
+        cosineQ(col("qa"), col("qb")) >= threshold)
+      .select(col("a_id"), col("b_id"))
+    val losers = Dedup.dupClusters(pairs)
+      .where(!col("is_keeper")).select(col("doc_id").as("vec_id"))
+    emb.join(losers, Seq("vec_id"), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate pairs: probe subset × base with
     * exact quantized cosine ≥ threshold. The probe predicate keeps the
     * pair space linear for oracle verification; the LSH variant above

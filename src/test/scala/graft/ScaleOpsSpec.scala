@@ -22,6 +22,34 @@ class ScaleOpsSpec extends SparkSpec {
     assert(cells.subsetOf(cents), "cells must be centroid ids")
   }
 
+  test("semanticDedup: survivors = corpus minus non-min members of within-cell components") {
+    val kept = Similarity.semanticDedup(emb, threshold = 0.4, centroidMod = 10)
+    val keptIds = kept.select("vec_id").collect().map(_.getLong(0)).toSet
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.subsetOf(all))
+    assert(keptIds.size < all.size, "expected some semantic dedup on the fixtures")
+    // independently recompute the within-cell >=0.4 pairs and union-find
+    // them in the test; survivors must be exactly the component minima
+    // plus everything unpaired
+    val assigned = Similarity.ivfAssign(emb, centroidMod = 10)
+    val a = assigned.select(col("cell"), col("vec_id").as("a_id"), col("q").as("qa"))
+    val b = assigned.select(col("cell"), col("vec_id").as("b_id"), col("q").as("qb"))
+    val pairs = a.join(b, "cell")
+      .where(col("a_id") < col("b_id") &&
+        Similarity.cosineQ(col("qa"), col("qb")) >= 0.4)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture should produce near-dup pairs")
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+    pairs.foreach { case (x, y) =>
+      parent.getOrElseUpdate(x, x); parent.getOrElseUpdate(y, y)
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+    }
+    val losers = parent.keys.filter(id => find(id) != id).toSet
+    assert(keptIds == all -- losers)
+  }
+
   test("ivfTopK: recall vs brute force is high at nprobe=3") {
     val probes = emb.where(col("vec_id") % 25 === 0)
     val ivf = Similarity.ivfTopK(emb, probes, k = 5, nprobe = 3, centroidMod = 10)
