@@ -73,6 +73,9 @@ object SparkEntry {
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
     queries.view.filterKeys(k =>
       !k.startsWith("stream_") && k != "json_scan_clean" &&
+        // IO-layer verification (Derby / z-order write round-trips),
+        // not query throughput
+        k != "jdbc_scan_clean" && k != "zorder_scan" &&
         // same results as ngram_jaccard via the hot-key-free candidate
         // path; its freq-agg + prefix overhead only pays off on corpora
         // with skewed shingle frequencies — redundant as a throughput
@@ -185,6 +188,9 @@ object SparkEntry {
     }),
     "repetition_score" -> prep((s, d) =>
       TextAnalysis.repetitionScore(docs(s, d)).orderBy("doc_id")),
+    // corpus-unigram LM quality (perplexity-filter analog)
+    "lm_quality" -> prep((s, d) =>
+      TextAnalysis.lmQuality(docs(s, d)).orderBy("doc_id")),
     // distributed zipWithIndex: contiguous ids in doc_id order without
     // a single-reducer global window (partitions pinned: partition
     // boundaries are id-invariant but the pass count isn't worth
@@ -232,6 +238,11 @@ object SparkEntry {
     "decontaminate" -> prep((s, d) => Engine.canonical(
       Dedup.contamination(docs(s, d),
         docs(s, d).where(col("doc_id") % 97 === 0)))),
+    // same check through the broadcast-Bloom-prefilter path (map-side
+    // pruning + exact verify join); identical output, shared oracle
+    "decontaminate_bloom" -> prep((s, d) => Engine.canonical(
+      Dedup.contaminationBloom(docs(s, d),
+        docs(s, d).where(col("doc_id") % 97 === 0)))),
     // Adaptive hot-key variant: on this uniform TPC-H data it detects
     // zero hot keys and degenerates to a plain join + one narrow
     // pre-pass — exactly the at-scale cost profile we want (blanket
@@ -274,6 +285,25 @@ object SparkEntry {
     "semantic_dedup" -> prep((s, d) =>
       Similarity.semanticDedup(emb(s, d))
         .select("vec_id", "label").orderBy("vec_id")),
+    // Z-order layout round-trip: events written z-ordered on
+    // (user_id, second bucket), read back through a predicate on BOTH
+    // dimensions — the layout every file/row-group skips on — and
+    // rolled up. Oracle runs the same predicate on the source table,
+    // so the entry proves the clustered layout preserves the data
+    // bit-for-bit, not just that files got smaller.
+    "zorder_scan" -> prep((s, d) => {
+      val out = tmpDir("graft_zorder") + "/events_z"
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .withColumn("ts_s", expr("ts div 1000000000"))
+      graft.ingest.Layout.writeZOrdered(ev, out, "user_id", "ts_s")
+      Engine.canonical(s.read.parquet(out)
+        .where(col("user_id").between(3, 11) &&
+          col("ts_s").between(1704499200L, 1705103999L))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(round(col("value") * 100).cast("long")).cast("double") / 100)
+            .as("sum_value")))
+    }),
     // ---- source/sink surface: JSON landing scan + streaming path -----
     // Same oracles as the batch *_clean entries: the JSON round-trip and
     // the Structured Streaming pipeline must reproduce the batch
@@ -283,6 +313,22 @@ object SparkEntry {
       graft.ingest.Fixtures.landBatch(s, d, base)
       graft.pipeline.Cleaning.cleanPin(
         graft.ingest.Fixtures.readTopic(s, base, "pin")).orderBy("ind")
+    }),
+    // JDBC source surface (S6 letter-parity: the reference emulators
+    // read MySQL): raw pin rows round-trip through a real embedded
+    // Derby database, come back via the range-partitioned JDBC read,
+    // and must clean bit-identically to every other source — shares
+    // pin_clean's oracle.
+    "jdbc_scan_clean" -> prep((s, d) => {
+      val dbDir = tmpDir("graft_jdbc") + "/db"
+      val url = s"jdbc:derby:$dbDir;create=true"
+      val props = new java.util.Properties
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      val (rawPin, _, _) = graft.pipeline.RawDerive.tables(s, d)
+      rawPin.coalesce(2).write.mode("overwrite").jdbc(url, "pinterest_data", props)
+      graft.pipeline.Cleaning.cleanPin(
+        graft.ingest.JdbcSource.readTable(s, url, "pinterest_data", props = props))
+        .orderBy("ind")
     }),
     // Watermarked tumbling-window rollup on a live stream (operator
     // surface the reference lacks; oracle applies the same watermark
@@ -456,6 +502,7 @@ object SparkEntry {
     "revenue_by_nation" -> ExtOracle.revenueByNation,
     "top_customers" -> ExtOracle.topCustomers,
     "events_hourly" -> ExtOracle.eventsHourly,
+    "zorder_scan" -> ExtOracle.zorderScan,
     "sessionize_batch" -> ExtOracle.sessionizeBatch,
     "asof_last_purchase" -> ExtOracle.asofLastPurchase,
     "range_join_campaigns" -> ExtOracle.rangeJoinCampaigns,
@@ -478,6 +525,7 @@ object SparkEntry {
     "dedup_clusters" -> ExtOracle.dedupClusters,
     "dedup_corpus" -> ExtOracle.dedupCorpus,
     "decontaminate" -> ExtOracle.decontaminate,
+    "decontaminate_bloom" -> ExtOracle.decontaminate, // same result, bloom path
     "chunk_docs" -> ExtOracle.chunkDocs,
     "salted_join_revenue" -> ExtOracle.saltedJoinRevenue,
     "multimodal_frames" -> ExtOracle.multimodalFrames,
@@ -497,8 +545,10 @@ object SparkEntry {
     "pii_scrub" -> ExtOracle.piiScrub,
     "stable_row_ids" -> ExtOracle.stableRowIds,
     "repetition_score" -> ExtOracle.repetitionScore,
+    "lm_quality" -> ExtOracle.lmQuality,
     "embedding_centroids" -> ExtOracle.embeddingCentroids,
     "json_scan_clean" -> PinOracle.pinClean,
+    "jdbc_scan_clean" -> PinOracle.pinClean,
     "stream_pin_clean" -> PinOracle.pinClean,
     "stream_geo_clean" -> PinOracle.geoClean,
     "stream_user_clean" -> PinOracle.userClean,

@@ -48,6 +48,19 @@ GROUP BY o_custkey
 ORDER BY total_spent DESC, o_custkey ASC
 LIMIT 20""".trim
 
+  /** Twin of the zorder_scan entry: the same two-dimensional predicate
+    * + rollup straight off the source table — the z-ordered copy must
+    * answer it identically. */
+  val zorderScan: String = s"""
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
+FROM events
+WHERE user_id BETWEEN 3 AND 11
+  AND CAST(floor(epoch(ts)) AS BIGINT) BETWEEN 1704499200 AND 1705103999
+GROUP BY event_type
+${ord("event_type")}""".trim
+
   val eventsHourly: String = s"""
 SELECT CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour_bucket, event_type,
   CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -313,6 +326,25 @@ ${ord("doc_id")}""".trim
 SELECT doc_id, lang,
   CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id
 FROM documents
+${ord("doc_id")}""".trim
+
+  /** Twin of TextAnalysis.lmQuality: same corpus-unigram model, same
+    * integer quantization of per-token log-probs before the per-doc
+    * sum (exact addition — engine-order-independent). */
+  val lmQuality: String = s"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+freqs AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM freqs),
+scored AS (
+  SELECT t.doc_id,
+    CAST(round(ln(CAST(f.tf AS DOUBLE) / CAST(tot.total AS DOUBLE)) * 1000000) AS BIGINT) AS q
+  FROM toks t JOIN freqs f ON t.tok = f.tok, tot)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(q) AS BIGINT) AS sum_q_logprob,
+  CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000 AS mean_logprob
+FROM scored GROUP BY doc_id
 ${ord("doc_id")}""".trim
 
   // ---- language ID / curation --------------------------------------

@@ -442,6 +442,43 @@ object Dedup {
           .as("contamination"))
   }
 
+  /** Bloom-filtered decontamination — same result as `contamination`,
+    * different 100 TB cost model. `contamination` broadcasts the full
+    * distinct benchmark shingle set as a join hash relation; fine for
+    * eval-suite-sized benchmarks, but the broadcast grows linearly
+    * with the benchmark (8 B + hash-map overhead per shingle). Here
+    * the benchmark is collapsed into ONE driver-built Bloom filter
+    * (`fpp`-sized bit array — ~1.2 MB per million shingles at 1%,
+    * independent of hash-map overhead), broadcast into every task via
+    * a native codegen expression that prunes the exploded corpus
+    * shingles MAP-SIDE, before any join. Only the surviving sliver
+    * (true hits + fpp false positives) enters the exact verification
+    * semi-join, which AQE then sizes freely — the big side never
+    * shuffles more than its match candidates. False positives are
+    * removed by that exact join, so the output is bit-identical to
+    * `contamination` (equivalence is spec-tested; the gate entry
+    * shares its oracle).
+    *
+    * `expectedItems` sizes the filter without a driver-side count
+    * action — overshooting just wastes filter bits, undershooting
+    * raises fpp (never correctness). */
+  def contaminationBloom(corpus: DataFrame, benchmark: DataFrame,
+      w: Int = 8, expectedItems: Long = 1L << 20,
+      fpp: Double = 0.01): DataFrame = {
+    val bench = hashedShingled(benchmark, w)
+      .select(explode(col("sh")).as("s")).distinct()
+    val bloom = bench.stat.bloomFilter("s", expectedItems, fpp)
+    val sized = hashedShingled(corpus, w).withColumn("n_sh", size(col("sh")))
+    sized.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+      .where(graft.functions.BloomMightContainLong.mightContain(col("s"), bloom))
+      .join(bench, "s") // exact verify: scrub bloom false positives
+      .groupBy(col("doc_id")).agg(min(col("n_sh")).as("n_sh"),
+        count(lit(1)).as("n_contaminated"))
+      .select(col("doc_id"), col("n_sh"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") / col("n_sh").cast("double"))
+          .as("contamination"))
+  }
+
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDist. Candidate
     * generation blocks on 16-bit chunks (a Hamming-(≤3) pair must agree
     * on ≥1 of 4 chunks — pigeonhole), so the join is bucket-local. */

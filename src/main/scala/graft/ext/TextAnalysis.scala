@@ -181,6 +181,42 @@ object TextAnalysis {
     * partial-aggregatable, no giant distinct shuffle; the exact count
     * is the verification twin at test scale. `rsd` = target relative
     * standard deviation of the HLL estimate. */
+  /** CCNet-style language-model quality score — the perplexity-filter
+    * analog with the corpus itself as the model: per-document mean
+    * unigram log-probability under the corpus token distribution.
+    * Low (very negative) mean ⇒ rare-token-heavy / junk text; high ⇒
+    * common fluent tokens — the standard pre-training quality gate
+    * (CCNet buckets corpora by exactly this kind of LM score).
+    *
+    * Determinism: per-token log-probs are quantized to integers
+    * (`round(ln(tf/total)·10^6)` as long) BEFORE the per-doc sum, so
+    * the aggregate is exact integer addition — no float-summation
+    * order dependence between partitions or engines; the one double
+    * division at the end is a single IEEE op both sides.
+    *
+    * Scale shape: token frequencies are one map-side-combinable
+    * groupBy; the corpus total is a 1-row broadcast; the score join
+    * shuffles (tok, tf) against the exploded corpus on `tok` — the
+    * same key the frequency agg already partitioned by — then the
+    * per-doc rollup is map-side combinable on doc_id. No driver
+    * state, vocab never collected. */
+  def lmQuality(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val total = freqs.agg(sum(col("tf")).as("total"))
+    val scored = toks.join(freqs, "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(log(col("tf").cast("double") / col("total").cast("double"))
+          * 1000000).cast("long").as("q"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("q")).as("sum_q_logprob"))
+      .withColumn("mean_logprob",
+        col("sum_q_logprob").cast("double") / col("n_tokens").cast("double")
+          / 1000000)
+  }
+
   def vocabSize(docs: DataFrame, rsd: Double = 0.05): DataFrame =
     docs.select(explode(tokens(col("text"))).as("token"))
       .agg(countDistinct(col("token")).as("exact_vocab"),

@@ -209,6 +209,33 @@ class ExtSpec extends SparkSpec {
       s"partial overlap strictly between 0 and 1: $out")
   }
 
+  test("lmQuality: exact quantized unigram log-probs on a known distribution") {
+    // tf: a=3, b=1, c=1; total=5
+    // q(a) = round(ln(3/5)*1e6) = -510826; q(b) = q(c) = round(ln(1/5)*1e6) = -1609438
+    val d = Seq((0L, "a a a b"), (1L, "c")).toDF("doc_id", "text")
+    val out = TextAnalysis.lmQuality(d).orderBy("doc_id").collect()
+    assert(out(0).getLong(1) == 4 && out(0).getLong(2) == 3L * -510826 - 1609438)
+    assert(out(1).getLong(1) == 1 && out(1).getLong(2) == -1609438)
+    assert(out(1).getDouble(3) == -1.609438)
+  }
+
+  test("contaminationBloom == contamination, even with a saturated (high-fpp) filter") {
+    val sf = "/root/testdata/sf0.001"
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    val bench = corpus.where(col("doc_id") % 97 === 0)
+    val exact = Dedup.contamination(corpus, bench)
+      .orderBy("doc_id").collect().toSeq
+    val bloomed = Dedup.contaminationBloom(corpus, bench)
+      .orderBy("doc_id").collect().toSeq
+    assert(exact.nonEmpty && bloomed == exact)
+    // a deliberately undersized filter saturates (fpp -> high): more
+    // rows reach the verify join, but the output must not change
+    val saturated = Dedup.contaminationBloom(corpus, bench,
+      expectedItems = 8, fpp = 0.5)
+      .orderBy("doc_id").collect().toSeq
+    assert(saturated == exact)
+  }
+
   test("dupClusters: layout-invariant (repartitioned pairs give same clusters)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), // diameter > 4
       (10L, 11L), (11L, 12L)).toDF("a_id", "b_id")
