@@ -76,6 +76,7 @@ object SparkEntry {
         // IO-layer verification (Derby / z-order write round-trips),
         // not query throughput
         k != "jdbc_scan_clean" && k != "zorder_scan" &&
+        k != "compact_scan_clean" &&
         // same results as ngram_jaccard via the hot-key-free candidate
         // path; its freq-agg + prefix overhead only pays off on corpora
         // with skewed shingle frequencies — redundant as a throughput
@@ -314,6 +315,18 @@ object SparkEntry {
       graft.pipeline.Cleaning.cleanPin(
         graft.ingest.Fixtures.readTopic(s, base, "pin")).orderBy("ind")
     }),
+    // Landing-zone compaction round-trip (S9's operational fix): the
+    // many-small-JSON topic dir is compacted to size-targeted parquet,
+    // and cleaning the compacted copy must equal cleaning the landed
+    // originals — shares pin_clean's oracle.
+    "compact_scan_clean" -> prep((s, d) => {
+      val base = tmpDir("graft_compact")
+      graft.ingest.Fixtures.landBatch(s, d, base)
+      graft.ingest.Compaction.compactTopic(s,
+        s"$base/topics/graft.pin/partition=0", s"$base/compacted/pin")
+      graft.pipeline.Cleaning.cleanPin(
+        s.read.parquet(s"$base/compacted/pin")).orderBy("ind")
+    }),
     // JDBC source surface (S6 letter-parity: the reference emulators
     // read MySQL): raw pin rows round-trip through a real embedded
     // Derby database, come back via the range-partitioned JDBC read,
@@ -549,6 +562,7 @@ object SparkEntry {
     "embedding_centroids" -> ExtOracle.embeddingCentroids,
     "json_scan_clean" -> PinOracle.pinClean,
     "jdbc_scan_clean" -> PinOracle.pinClean,
+    "compact_scan_clean" -> PinOracle.pinClean,
     "stream_pin_clean" -> PinOracle.pinClean,
     "stream_geo_clean" -> PinOracle.geoClean,
     "stream_user_clean" -> PinOracle.userClean,

@@ -133,21 +133,27 @@ object Similarity {
     * (vec_id, cell) assignments via `ivfAssign` so the index is
     * materializable/bucketable once and probed many times. */
   def ivfAssign(emb: DataFrame, centroidMod: Int = 50): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
     val cents = e.where(col("vec_id") % centroidMod === 0)
       .select(col("vec_id").as("cent_id"), col("q").as("cq"))
-    // nearest centroid = rank-1 by (cosine DESC, cent_id ASC): the
+    // nearest centroid = argmax over (cosine DESC, cent_id ASC) — the
     // explicit tie-break makes assignment deterministic even for
-    // duplicate centroid vectors (max_by ties are arbitrary) — required
-    // for engine-vs-oracle hash equality.
+    // duplicate centroid vectors, as engine-vs-oracle hash equality
+    // requires. Spelled as ONE partial-aggregatable max_by over the
+    // broadcast cross join, not a rank-1 window: a window partitioned
+    // by vec_id would shuffle corpus × n_centroids rows and sort each
+    // group; max_by's map-side combine collapses the candidates to one
+    // row per vector per map partition BEFORE the exchange, so the
+    // shuffle carries ~|corpus| rows no matter how many centroids
+    // exist. Tie-break encoded in the ordering struct: maximizing
+    // (cs, -cent_id) picks highest cosine, then lowest centroid id.
     e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("q"), col("cent_id"),
         cosineQ(col("q"), col("cq")).as("cs"))
-      .withColumn("rk", row_number().over(Window.partitionBy(col("vec_id"))
-        .orderBy(col("cs").desc, col("cent_id").asc)))
-      .where(col("rk") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"), col("q"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cent_id"), col("q")),
+        struct(col("cs"), (-col("cent_id")).as("nc"))).as("m"))
+      .select(col("vec_id"), col("m.cent_id").as("cell"), col("m.q").as("q"))
   }
 
   /** IVF probe: top-k within the probe's `nprobe` nearest cells. */

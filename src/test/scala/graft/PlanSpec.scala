@@ -101,6 +101,38 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
 
+  test("ivfAssign: argmax is a partial-aggregatable max_by, not a per-vector window") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(Similarity.ivfAssign(emb, centroidMod = 10))
+    // a Window partitioned by vec_id would shuffle corpus×centroid rows;
+    // max_by must combine map-side so the exchange carries ~|corpus|
+    assert(!p.contains("Window"), s"assignment must not be a window:\n$p")
+    assert(p.contains("partial_max_by"),
+      s"map-side combine of the argmax expected:\n$p")
+  }
+
+  test("contaminationBloom: bloom prune sits map-side, below the verify join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ext.Dedup.contaminationBloom(
+      docs, docs.where(col("doc_id") % 97 === 0)))
+    val filterAt = p.indexOf("bloom_might_contain")
+    val joinAt = p.indexOf("Join")
+    assert(filterAt >= 0, s"bloom filter expression must appear:\n$p")
+    assert(joinAt >= 0 && filterAt > joinAt,
+      "bloom prune must be deeper in the plan (printed below) the verify join")
+  }
+
+  test("rank-filter top-k gets WindowGroupLimit map-side pruning (Partial before the exchange)") {
+    val p = plan(ShapeQueries.userTopEvents(spark, sf))
+    // Spark 4 inserts WindowGroupLimit Partial below the shuffle for
+    // row_number()<=k filters — each map task forwards at most k rows
+    // per key instead of its whole partition. Pin it: losing this (an
+    // expression rewrite that breaks the pattern match) silently turns
+    // per-key top-k back into a full shuffle of every row.
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"map-side window group limit expected:\n$p")
+  }
+
   test("cleaning + analytics stay inside whole-stage codegen") {
     // AQE finalizes (and codegens) stages only at execution: run first,
     // then read the final adaptive plan.
