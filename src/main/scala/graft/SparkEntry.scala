@@ -206,6 +206,11 @@ object SparkEntry {
     // ---- deterministic sampling / splitting / skew handling ----------
     "train_test_split" -> prep((s, d) =>
       Sampling.assignSplit(docs(s, d)).select("doc_id", "split").orderBy("doc_id")),
+    // split keyed on near-dup cluster ids: whole clusters move between
+    // splits atomically (no train/test leakage through near-copies)
+    "leakage_safe_split" -> prep((s, d) =>
+      Sampling.leakageSafeSplit(docs(s, d), Dedup.ngramJaccardPairs(docs(s, d)))
+        .select("doc_id", "split").orderBy("doc_id")),
     "stratified_sample" -> prep((s, d) =>
       Sampling.stratifiedSample(docs(s, d), "lang",
         Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1))
@@ -421,6 +426,27 @@ object SparkEntry {
           col("sum_value"))
         .orderBy("user_id", "start_us")
     }),
+    // The same sessionization through the Spark-4 transformWithState
+    // processor (named ValueState + event-time timers, RocksDB
+    // provider) — identical emit contract, so it shares
+    // stream_sessionize's oracle; the gate proves the two state APIs
+    // agree end-to-end, not just in specs.
+    "stream_sessionize_tws" -> prep((s, d) => {
+      val base = tmpDir("graft_evsesstws")
+      s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"), expr("timestamp_micros(ts div 1000)").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .coalesce(1).write.mode("overwrite")
+        .option("timestampFormat", graft.streaming.EventStream.microTsFormat)
+        .json(s"$base/in")
+      graft.streaming.EventStream.runSessionizeTws(
+        s, s"$base/in", s"$base/out", s"$base/ckpt").awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select(col("user_id"), unix_micros(col("session_start")).as("start_us"),
+          unix_micros(col("session_end")).as("end_us"), col("n_events"),
+          col("sum_value"))
+        .orderBy("user_id", "start_us")
+    }),
     // Watermarked stream-stream interval join (purchase ⋈ prior views
     // within 1h, both sides live streams); inner join emits on match so
     // the AvailableNow run equals the batch interval join the oracle runs.
@@ -524,6 +550,7 @@ object SparkEntry {
     "stream_dedup_events" -> ExtOracle.streamDedupEvents,
     "stream_attribution" -> ExtOracle.streamAttribution,
     "stream_sessionize" -> ExtOracle.streamSessionize,
+    "stream_sessionize_tws" -> ExtOracle.streamSessionize, // same contract, Spark-4 state API
     "stream_events_enriched" -> ExtOracle.streamEventsEnriched,
     "user_top_events" -> ExtOracle.userTopEvents,
     "text_stats" -> ExtOracle.textStats,
@@ -533,6 +560,7 @@ object SparkEntry {
     "lang_id" -> ExtOracle.langId,
     "curated_corpus" -> ExtOracle.curated,
     "train_test_split" -> ExtOracle.trainTestSplit,
+    "leakage_safe_split" -> ExtOracle.leakageSafeSplit,
     "stratified_sample" -> ExtOracle.stratifiedSample,
     "pack_shards" -> ExtOracle.packShards,
     "dedup_clusters" -> ExtOracle.dedupClusters,

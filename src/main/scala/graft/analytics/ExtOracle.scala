@@ -606,6 +606,48 @@ SELECT id AS doc_id, MIN(r) AS cluster_id,
 FROM reach GROUP BY id
 ${ord("doc_id")}""".trim
 
+  /** Twin of Sampling.leakageSafeSplit over ngramJaccardPairs: same
+    * recursive-closure clusters as dedupClusters, split bucket hashed
+    * on COALESCE(cluster_id, doc_id) so whole clusters split
+    * atomically. */
+  val leakageSafeSplit: String = s"""
+WITH RECURSIVE
+ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+shl AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(w) - 2, 1)),
+    i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS sh
+  FROM ws),
+sized AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM shl),
+pairs0 AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+    COUNT(*) AS inter, MIN(a.n_sh) AS a_n, MIN(b.n_sh) AS b_n
+  FROM sized a JOIN sized b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+pairs AS (
+  SELECT a_id, b_id FROM pairs0
+  WHERE CAST(inter AS DOUBLE) / CAST(a_n + b_n - inter AS DOUBLE) >= 0.5),
+edges AS (
+  SELECT a_id AS id, b_id AS nbr FROM pairs
+  UNION SELECT b_id, a_id FROM pairs),
+reach(id, r) AS (
+  SELECT DISTINCT id, id FROM edges
+  UNION
+  SELECT e.id, reach.r FROM edges e JOIN reach ON e.nbr = reach.id),
+clusters AS (
+  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+keyed AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS k
+  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id)
+SELECT doc_id,
+  CASE WHEN ((k % 1000003) * 2654435761) % 100 < 80 THEN 'train'
+       WHEN ((k % 1000003) * 2654435761) % 100 < 90 THEN 'val'
+       ELSE 'test' END AS split
+FROM keyed
+${ord("doc_id")}""".trim
+
   /** Twin of Dedup.dedupCorpus: documents minus the recursive-closure
     * clusters' non-canonical members (same CTEs as dedupClusters). */
   val dedupCorpus: String = s"""

@@ -33,6 +33,29 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Leakage-safe train/val/test split: near-duplicate documents must
+    * land in the SAME split — independent per-doc assignment puts
+    * near-copies of training rows into the held-out sets, and eval
+    * silently leaks. The split key is the near-dup cluster's canonical
+    * id (connected components over the caller-chosen pair graph — any
+    * dedup tier's pairs plug in) for clustered docs, the doc's own id
+    * otherwise; the same deterministic bucket hash then runs on that
+    * key, so each whole cluster moves between splits atomically and
+    * unpaired docs split exactly as `assignSplit` would.
+    *
+    * Scale shape: the cluster table covers only the dup sliver, so the
+    * left join is a broadcast lookup at any corpus size; everything
+    * else is the projection-only split arithmetic. */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val clusters = Dedup.dupClusters(pairs)
+      .select(col("doc_id"), col("cluster_id"))
+    val keyed = docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("__split_key", coalesce(col("cluster_id"), col("doc_id")))
+    assignSplit(keyed, "__split_key", trainPct, valPct)
+      .drop("__split_key", "cluster_id")
+  }
+
   /** Per-stratum deterministic sampling: keep a row iff its 1/10000
     * bucket clears the stratum's fraction. Strata missing from
     * `fractions` are dropped (fraction 0). One filter, no shuffle, no

@@ -21,6 +21,28 @@ class SamplingSpec extends SparkSpec {
     assert(byPct.keySet == Set("train", "val", "test"))
   }
 
+  test("leakageSafeSplit: clusters split atomically, unpaired docs match assignSplit") {
+    import spark.implicits._
+    val docs = (0L to 99L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // pair graph: {1,2,3} chained, {40,41} — clusters keyed at 1 and 40
+    val pairs = Seq((1L, 2L), (2L, 3L), (40L, 41L)).toDF("a_id", "b_id")
+    val out = Sampling.leakageSafeSplit(docs, pairs)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 100)
+    assert(out(1L) == out(2L) && out(2L) == out(3L), "cluster {1,2,3} splits together")
+    assert(out(40L) == out(41L), "cluster {40,41} splits together")
+    val plain = Sampling.assignSplit(docs)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clustered = Set(1L, 2L, 3L, 40L, 41L)
+    out.filterNot(kv => clustered(kv._1)).foreach { case (id, s) =>
+      assert(s == plain(id), s"unpaired doc $id must split as assignSplit")
+    }
+    // clustered docs take the CLUSTER key's split
+    assert(out(2L) == plain(1L) && out(41L) == plain(40L))
+  }
+
   test("stratifiedSample: per-stratum fractions honored, others dropped") {
     val out = Sampling.stratifiedSample(docs, "lang",
       Map("en" -> 1.0, "de" -> 0.0))
