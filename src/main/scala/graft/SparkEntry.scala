@@ -203,6 +203,11 @@ object SparkEntry {
     "embedding_centroids" -> prep((s, d) =>
       Similarity.labelCentroids(emb(s, d)).orderBy("label", "dim")),
     "curated_corpus" -> prep((s, d) => Curation.curated(docs(s, d)).orderBy("doc_id")),
+    // the flagship composition: every curation tier (lexical + LM
+    // quality, repetition, exact + semantic dedup, leakage-safe split)
+    // in one declarative plan, oracle-checked as a whole
+    "pretraining_corpus" -> prep((s, d) =>
+      Curation.pretrainingCorpus(docs(s, d), emb(s, d)).orderBy("doc_id")),
     // ---- deterministic sampling / splitting / skew handling ----------
     "train_test_split" -> prep((s, d) =>
       Sampling.assignSplit(docs(s, d)).select("doc_id", "split").orderBy("doc_id")),
@@ -559,6 +564,7 @@ object SparkEntry {
     "bpe_token_count" -> ExtOracle.bpeTokenCount,
     "lang_id" -> ExtOracle.langId,
     "curated_corpus" -> ExtOracle.curated,
+    "pretraining_corpus" -> ExtOracle.pretrainingCorpus,
     "train_test_split" -> ExtOracle.trainTestSplit,
     "leakage_safe_split" -> ExtOracle.leakageSafeSplit,
     "stratified_sample" -> ExtOracle.stratifiedSample,

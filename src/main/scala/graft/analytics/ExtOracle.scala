@@ -606,6 +606,118 @@ SELECT id AS doc_id, MIN(r) AS cluster_id,
 FROM reach GROUP BY id
 ${ord("doc_id")}""".trim
 
+  /** Composition twin of Curation.pretrainingCorpus — every curation
+    * tier in one statement: langIdCore + lexical quality + quantized
+    * corpus-LM score + repetition + sha-dedup keepers + the n-gram
+    * closure/split of leakageSafeSplit + the SemDeDup loser closure
+    * over embeddings (CTE names s-/lm_-prefixed to avoid collisions).
+    * Docs without an embedding row pass the semantic filter (NOT IN
+    * over vec-id losers). */
+  val pretrainingCorpus: String = s"""
+WITH RECURSIVE $langIdCore,
+q AS (
+  SELECT doc_id,
+    round((n_uniq / n_tok) * 0.5 + least(n_tok / 64.0, 1.0) * 0.3
+      + (CASE WHEN ((n_chars - (n_tok - 1)) / n_tok) BETWEEN 3.0 AND 9.0
+              THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+  FROM (
+    SELECT doc_id,
+      CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+      CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) AS n_uniq,
+      CAST(length(text) AS DOUBLE) AS n_chars
+    FROM documents)),
+lm_toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+lm_freqs AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf FROM lm_toks GROUP BY tok),
+lm_tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM lm_freqs),
+lm_scored AS (
+  SELECT t.doc_id,
+    CAST(round(ln(CAST(f.tf AS DOUBLE) / CAST(lm_tot.total AS DOUBLE)) * 1000000) AS BIGINT) AS lq
+  FROM lm_toks t JOIN lm_freqs f ON t.tok = f.tok, lm_tot),
+lm AS (
+  SELECT doc_id, CAST(SUM(lq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000 AS mean_logprob
+  FROM lm_scored GROUP BY doc_id),
+rep AS (
+  SELECT doc_id,
+    1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE) AS repetition
+  FROM (
+    SELECT doc_id, list_transform(
+      generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1)),
+      i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), i, i + 2), ' ')) AS sh
+    FROM documents)),
+keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+shl AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(w) - 2, 1)),
+    i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS sh
+  FROM ws),
+sized AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM shl),
+pairs0 AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+    COUNT(*) AS inter, MIN(a.n_sh) AS a_n, MIN(b.n_sh) AS b_n
+  FROM sized a JOIN sized b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+pairs AS (
+  SELECT a_id, b_id FROM pairs0
+  WHERE CAST(inter AS DOUBLE) / CAST(a_n + b_n - inter AS DOUBLE) >= 0.5),
+edges AS (
+  SELECT a_id AS id, b_id AS nbr FROM pairs
+  UNION SELECT b_id, a_id FROM pairs),
+reach(id, r) AS (
+  SELECT DISTINCT id, id FROM edges
+  UNION
+  SELECT e.id, reach.r FROM edges e JOIN reach ON e.nbr = reach.id),
+clusters AS (
+  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+keyed AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS k
+  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id),
+se AS (SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE)*1000)) AS sq FROM embeddings),
+scents AS (SELECT vec_id AS cent_id, sq AS cq FROM se WHERE vec_id % 50 = 0),
+scos AS (
+  SELECT se.vec_id, se.sq, c.cent_id,
+    list_dot_product(se.sq, c.cq) /
+      (sqrt(list_dot_product(se.sq, se.sq)) * sqrt(list_dot_product(c.cq, c.cq))) AS cs
+  FROM se, scents c),
+sassign AS (
+  SELECT vec_id, cent_id AS cell, sq FROM (
+    SELECT vec_id, cent_id, sq,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id ASC) AS rk
+    FROM scos) WHERE rk = 1),
+spairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM sassign a JOIN sassign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.sq, b.sq) /
+      (sqrt(list_dot_product(a.sq, a.sq)) * sqrt(list_dot_product(b.sq, b.sq))) >= 0.4),
+sedges AS (
+  SELECT a_id AS id, b_id AS nbr FROM spairs
+  UNION SELECT b_id, a_id FROM spairs),
+sreach(id, r) AS (
+  SELECT DISTINCT id, id FROM sedges
+  UNION
+  SELECT e2.id, sreach.r FROM sedges e2 JOIN sreach ON e2.nbr = sreach.id),
+slosers AS (
+  SELECT id FROM sreach GROUP BY id HAVING id <> MIN(r))
+SELECT d.doc_id, l.lang_pred, q.quality, lm.mean_logprob, rep.repetition,
+  CASE WHEN ((keyed.k % 1000003) * 2654435761) % 100 < 80 THEN 'train'
+       WHEN ((keyed.k % 1000003) * 2654435761) % 100 < 90 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents d
+JOIN lang_pred_t l USING (doc_id)
+JOIN q USING (doc_id)
+JOIN lm USING (doc_id)
+JOIN rep USING (doc_id)
+JOIN keyed USING (doc_id)
+WHERE d.doc_id IN (SELECT doc_id FROM keepers)
+  AND d.doc_id NOT IN (SELECT id FROM slosers)
+  AND q.quality >= 0.5 AND lm.mean_logprob >= -4.0 AND rep.repetition <= 0.5
+${ord("doc_id")}""".trim
+
   /** Twin of Sampling.leakageSafeSplit over ngramJaccardPairs: same
     * recursive-closure clusters as dedupClusters, split bucket hashed
     * on COALESCE(cluster_id, doc_id) so whole clusters split

@@ -31,4 +31,45 @@ object Curation {
     Sampling.assignSplit(kept, "doc_id")
       .select("doc_id", "lang_pred", "quality", "split")
   }
+
+  /** The FULL pretraining-corpus build — every curation tier this
+    * library implements, composed into one declarative plan:
+    *
+    *   per-row lang-ID + lexical quality (one fused projection) →
+    *   corpus-LM quality (`TextAnalysis.lmQuality`) →
+    *   repetition score → exact-dedup keep list →
+    *   SEMANTIC dedup over the embedding table (SemDeDup losers
+    *   anti-joined; docs without an embedding pass through) →
+    *   threshold filters → leakage-safe split (near-dup clusters
+    *   move between splits atomically).
+    *
+    * Cost anatomy at 100 TB: two corpus-wide shuffles from lmQuality
+    * (tok-freq agg + per-doc rollup), one from the exact-dedup
+    * groupBy, the shingle explode feeding the split's pair graph, and
+    * the cell-partitioned semantic self-join over the (much smaller)
+    * embedding table; every filter and score is otherwise fused into
+    * scan-side projections, and the loser/keeper join sides are dup
+    * slivers — broadcast lookups, never corpus-wide shuffles. */
+  def pretrainingCorpus(docs: DataFrame, emb: DataFrame,
+      minQuality: Double = 0.5, minMeanLogProb: Double = -4.0,
+      maxRepetition: Double = 0.5): DataFrame = {
+    val perRow = TextAnalysis.withQuality(TextAnalysis.langId(docs))
+      .select(col("doc_id"), col("lang_pred"), col("quality"))
+    val lm = TextAnalysis.lmQuality(docs).select(col("doc_id"), col("mean_logprob"))
+    val rep = TextAnalysis.repetitionScore(docs).select(col("doc_id"), col("repetition"))
+    val keepers = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+    val semLosers = Similarity.semanticDupLosers(emb)
+      .select(col("vec_id").as("doc_id"))
+    val split = Sampling.leakageSafeSplit(docs, Dedup.ngramJaccardPairs(docs))
+      .select(col("doc_id"), col("split"))
+    perRow
+      .join(lm, "doc_id").join(rep, "doc_id").join(split, "doc_id")
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .join(semLosers, Seq("doc_id"), "left_anti")
+      .where(col("quality") >= minQuality &&
+        col("mean_logprob") >= minMeanLogProb &&
+        col("repetition") <= maxRepetition)
+      .select("doc_id", "lang_pred", "quality", "mean_logprob",
+        "repetition", "split")
+  }
 }

@@ -222,6 +222,15 @@ object Similarity {
     * Cell granularity (centroidMod) is the knob bounding per-partition
     * pair work. Returns the surviving corpus rows unchanged. */
   def semanticDedup(emb: DataFrame, threshold: Double = 0.4,
+      centroidMod: Int = 50): DataFrame =
+    emb.join(semanticDupLosers(emb, threshold, centroidMod),
+      Seq("vec_id"), "left_anti")
+
+  /** The pruned side of `semanticDedup`: vec_ids that are non-canonical
+    * members of a within-cell near-dup component. Exposed separately so
+    * compositions (e.g. `Curation.pretrainingCorpus`) can anti-join the
+    * loser sliver against their own frame without re-deriving it. */
+  def semanticDupLosers(emb: DataFrame, threshold: Double = 0.4,
       centroidMod: Int = 50): DataFrame = {
     val assigned = ivfAssign(emb, centroidMod)
     val a = assigned.select(col("cell"), col("vec_id").as("a_id"), col("q").as("qa"))
@@ -230,9 +239,8 @@ object Similarity {
       .where(col("a_id") < col("b_id") &&
         cosineQ(col("qa"), col("qb")) >= threshold)
       .select(col("a_id"), col("b_id"))
-    val losers = Dedup.dupClusters(pairs)
+    Dedup.dupClusters(pairs)
       .where(!col("is_keeper")).select(col("doc_id").as("vec_id"))
-    emb.join(losers, Seq("vec_id"), "left_anti")
   }
 
   /** Embedding-cosine near-duplicate pairs: probe subset × base with
