@@ -65,6 +65,13 @@ object SparkEntry {
     Engine.canonical(q(pin, geo, user))
   }
 
+  private def pinSqlEntry(name: String): (SparkSession, String) => DataFrame =
+    (spark, sfDir) => {
+      val (pin, geo, user) = tables(spark, sfDir)
+      graft.pipeline.PinSql.registerViews(pin, geo, user)
+      Engine.canonical(graft.pipeline.PinSql.run(spark, name))
+    }
+
   /** Headline benchmark set: all analytic/operator entries; excludes
     * the source/sink correctness surfaces (the stream_ and
     * json_scan_clean entries re-land fixtures and run checkpointed
@@ -115,6 +122,29 @@ object SparkEntry {
     "pin_q7" -> pinEntry((_, _, u) => PinQueries.q7(u)) _,
     "pin_q8" -> pinEntry((p, _, u) => PinQueries.q8(p, u)) _,
     "pin_q9" -> pinEntry((p, _, u) => PinQueries.q9(p, u)) _,
+    // the verbatim-SQL analyst surface (S11) through the gate: the
+    // reference's own SQL text against the reference temp-view names
+    // must hash-match the same oracle as the DSL twin (q1 = the join/
+    // agg/rank flagship; q8 = the windowed-percentile shape)
+    "pin_q1_sql" -> pinSqlEntry("q1"),
+    "pin_q8_sql" -> pinSqlEntry("q8"),
+    // Kafka-REST / Kinesis envelope round-trips (S7/S8) through the
+    // gate: wrap raw rows in the exact wire envelope, unwrap via the
+    // engine's parser, clean — must equal pin_clean bit-for-bit.
+    "kafka_envelope_clean" -> prep((s, d) => {
+      val (rawPin, _, _) = graft.pipeline.RawDerive.tables(s, d)
+      graft.pipeline.Cleaning.cleanPin(
+        graft.ingest.Fixtures.fromKafkaEnvelopes(
+          graft.ingest.Fixtures.toKafkaEnvelopes(rawPin),
+          rawPin.columns.toSeq)).orderBy("ind")
+    }),
+    "kinesis_envelope_clean" -> prep((s, d) => {
+      val (rawPin, _, _) = graft.pipeline.RawDerive.tables(s, d)
+      graft.pipeline.Cleaning.cleanPin(
+        graft.ingest.Fixtures.fromKinesisEnvelopes(
+          graft.ingest.Fixtures.toKinesisEnvelopes(rawPin, "streaming-graft-pin"),
+          rawPin.columns.toSeq)).orderBy("ind")
+    }),
     // ---- scale-shape queries over the big tables (oracle-checked) ----
     "agg_pricing" -> prep((s, d) => Engine.canonical(ShapeQueries.aggPricing(s, d))),
     "revenue_by_nation" -> prep((s, d) => Engine.canonical(ShapeQueries.revenueByNation(s, d))),
@@ -542,6 +572,10 @@ object SparkEntry {
     "pin_q7" -> PinOracle.q7,
     "pin_q8" -> PinOracle.q8,
     "pin_q9" -> PinOracle.q9,
+    "pin_q1_sql" -> PinOracle.q1,   // verbatim-SQL surface, same oracle
+    "pin_q8_sql" -> PinOracle.q8,
+    "kafka_envelope_clean" -> PinOracle.pinClean,
+    "kinesis_envelope_clean" -> PinOracle.pinClean,
     "agg_pricing" -> ExtOracle.aggPricing,
     "revenue_by_nation" -> ExtOracle.revenueByNation,
     "top_customers" -> ExtOracle.topCustomers,
