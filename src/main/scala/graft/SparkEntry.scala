@@ -83,7 +83,8 @@ object SparkEntry {
         // IO-layer verification (Derby / z-order write round-trips),
         // not query throughput
         k != "jdbc_scan_clean" && k != "zorder_scan" &&
-        k != "compact_scan_clean" &&
+        k != "compact_scan_clean" && k != "bucketed_join_revenue" &&
+        k != "date_partition_scan" &&
         // same results as ngram_jaccard via the hot-key-free candidate
         // path; its freq-agg + prefix overhead only pays off on corpora
         // with skewed shingle frequencies — redundant as a throughput
@@ -326,6 +327,42 @@ object SparkEntry {
     "semantic_dedup" -> prep((s, d) =>
       Similarity.semanticDedup(emb(s, d))
         .select("vec_id", "label").orderBy("vec_id")),
+    // Bucketed-table co-located join (the exchange-free fact⋈fact
+    // strategy): both sides written bucketed+sorted on the join key,
+    // joined with zero shuffle (LayoutSpec pins the plan), rolled up —
+    // must equal the plain-join revenue rollup (salted_join_revenue's
+    // oracle, same result by construction).
+    "bucketed_join_revenue" -> prep((s, d) => {
+      graft.ingest.Layout.writeBucketed(
+        s.read.parquet(s"$d/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_extendedprice")),
+        "gate_li_bkt", "l_orderkey")
+      graft.ingest.Layout.writeBucketed(
+        s.read.parquet(s"$d/orders.parquet")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus")),
+        "gate_ord_bkt", "l_orderkey")
+      Engine.canonical(
+        graft.ingest.Layout.bucketedJoin(s, "gate_li_bkt", "gate_ord_bkt", "l_orderkey")
+          .groupBy(col("o_orderstatus"))
+          .agg(count("*").as("n_items"),
+            (sum(round(col("l_extendedprice") * 100).cast("long")).cast("double") / 100)
+              .as("revenue")))
+    }),
+    // Hive date-partitioned layout: events written under
+    // event_date=.../ dirs, read back through a partition predicate
+    // (pruned at planning time — LayoutSpec pins PartitionFilters),
+    // rolled up; oracle answers the same day off the source table.
+    "date_partition_scan" -> prep((s, d) => {
+      val out = tmpDir("graft_datepart") + "/events_by_day"
+      graft.ingest.Layout.writeDatePartitioned(
+        s.read.parquet(s"$d/events.parquet"), out)
+      Engine.canonical(s.read.parquet(out)
+        .where(col("event_date") === "2024-01-05")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(round(col("value") * 100).cast("long")).cast("double") / 100)
+            .as("sum_value")))
+    }),
     // Z-order layout round-trip: events written z-ordered on
     // (user_id, second bucket), read back through a predicate on BOTH
     // dimensions — the layout every file/row-group skips on — and
@@ -581,6 +618,8 @@ object SparkEntry {
     "top_customers" -> ExtOracle.topCustomers,
     "events_hourly" -> ExtOracle.eventsHourly,
     "zorder_scan" -> ExtOracle.zorderScan,
+    "bucketed_join_revenue" -> ExtOracle.saltedJoinRevenue, // same result, bucketed path
+    "date_partition_scan" -> ExtOracle.datePartitionScan,
     "sessionize_batch" -> ExtOracle.sessionizeBatch,
     "asof_last_purchase" -> ExtOracle.asofLastPurchase,
     "range_join_campaigns" -> ExtOracle.rangeJoinCampaigns,

@@ -61,6 +61,19 @@ WHERE user_id BETWEEN 3 AND 11
 GROUP BY event_type
 ${ord("event_type")}""".trim
 
+  /** Twin of the date_partition_scan entry: one calendar day's rollup
+    * straight off the source table (the partitioned copy must answer
+    * it identically; Spark derives event_date in UTC from ts nanos,
+    * DuckDB's naive timestamps are the same instants). */
+  val datePartitionScan: String = s"""
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
+FROM events
+WHERE strftime(ts, '%Y-%m-%d') = '2024-01-05'
+GROUP BY event_type
+${ord("event_type")}""".trim
+
   val eventsHourly: String = s"""
 SELECT CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour_bucket, event_type,
   CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -96,6 +96,52 @@ class PropertySpec extends AnyFunSuite {
   private val keyGen = Gen.chooseNum(0L, 4L)
   private val tsGen = Gen.chooseNum(0L, 40L)
 
+  test("bloom prefilter never drops a true member (random long sets, tight filters)") {
+    import org.apache.spark.util.sketch.BloomFilter
+    for (xs <- samples(Gen.listOfN(64, Gen.chooseNum(Long.MinValue, Long.MaxValue)), 50)) {
+      // deliberately undersized: fpp climbs, but membership must hold
+      val bf = BloomFilter.create(8, 0.5)
+      xs.foreach(bf.putLong)
+      xs.foreach(x => assert(bf.mightContainLong(x), s"false negative for $x"))
+    }
+    // and through the expression itself
+    import spark.implicits._
+    val xs = samples(Gen.chooseNum(Long.MinValue, Long.MaxValue), 64).distinct
+    val bf = BloomFilter.create(xs.size.toLong.max(1), 0.01)
+    xs.foreach(bf.putLong)
+    val kept = xs.toDF("v")
+      .where(graft.functions.BloomMightContainLong.mightContain(col("v"), bf))
+      .count()
+    assert(kept == xs.size, "expression must pass every inserted value")
+  }
+
+  test("leakageSafeSplit: atomic per component on random pair graphs") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 49L), Gen.chooseNum(0L, 49L)))
+    for (raw <- samples(edgeGen, 5)) {
+      val edges = raw.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.distinct
+      if (edges.nonEmpty) {
+        val docs = (0L to 49L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+        val out = graft.ext.Sampling
+          .leakageSafeSplit(docs, edges.toDF("a_id", "b_id"))
+          .select("doc_id", "split").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        // union-find the same edges; every component must be one split
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = { var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r }
+        edges.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        parent.keys.foreach { id =>
+          assert(out(id) == out(find(id)), s"doc $id split off its component")
+        }
+      }
+    }
+  }
+
   test("asofJoin == per-row argmax reference on random keyed event sets") {
     import spark.implicits._
     val rowGen = Gen.zip(keyGen, tsGen)
