@@ -467,7 +467,14 @@ object Dedup {
       fpp: Double = 0.01): DataFrame = {
     val bench = hashedShingled(benchmark, w)
       .select(explode(col("sh")).as("s")).distinct()
-    val bloom = bench.stat.bloomFilter("s", expectedItems, fpp)
+    // empty benchmark: Spark's stat.bloomFilter NPEs on zero rows
+    // (null aggregate buffer) — substitute an empty filter (rejects
+    // everything) so the operator degrades to "nothing contaminated"
+    // instead of crashing. The isEmpty probe is one limit-1 action on
+    // the SMALL side, paid once alongside the filter build itself.
+    val bloom =
+      if (bench.isEmpty) org.apache.spark.util.sketch.BloomFilter.create(1, fpp)
+      else bench.stat.bloomFilter("s", expectedItems, fpp)
     val sized = hashedShingled(corpus, w).withColumn("n_sh", size(col("sh")))
     sized.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
       .where(graft.functions.BloomMightContainLong.mightContain(col("s"), bloom))

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.functions.PolyHash64.polyhash64
 
 /** Specs for the training-data extension operators on crafted inputs
@@ -234,6 +234,25 @@ class ExtSpec extends SparkSpec {
       expectedItems = 8, fpp = 0.5)
       .orderBy("doc_id").collect().toSeq
     assert(saturated == exact)
+  }
+
+  test("round-3 operators degrade cleanly on empty/degenerate input") {
+    val sfDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sfEmb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // empty corpus/embeddings: empty out, no NPE/analysis error
+    assert(TextAnalysis.lmQuality(sfDocs.limit(0)).count() == 0)
+    assert(Similarity.semanticDedup(sfEmb.limit(0)).count() == 0)
+    // empty benchmark: nothing is contaminated
+    assert(Dedup.contaminationBloom(sfDocs, sfDocs.limit(0)).count() == 0)
+    // threshold above any cosine: nothing pruned
+    assert(Similarity.semanticDedup(sfEmb, threshold = 1.1).count() == sfEmb.count())
+    // empty pair graph: leakage-safe split == plain assignSplit
+    val noPairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    val ls = Sampling.leakageSafeSplit(sfDocs, noPairs)
+      .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val as = Sampling.assignSplit(sfDocs)
+      .select("doc_id", "split").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ls == as)
   }
 
   test("dupClusters: layout-invariant (repartitioned pairs give same clusters)") {
