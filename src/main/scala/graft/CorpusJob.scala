@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The training-data twin of `BatchJob`: one schedulable main that
+  * builds the full pretraining corpus and its packed training
+  * sequences — the complete curation DAG a data team would run
+  * nightly over new crawl drops:
+  *
+  *   1. `Curation.pretrainingCorpus`: lex + LM quality, repetition,
+  *      exact + semantic dedup, leakage-safe split — one plan;
+  *   2. keep-list join back to the raw text;
+  *   3. `Sampling.packShards` + `packSequences`: token-budget shard
+  *      assignment and the id-ordered concatenated sequences;
+  *   4. parquet out: the curated manifest and the per-split packed
+  *      sequences a tokenizer/loader consumes.
+  *
+  * Usage: `runMain graft.CorpusJob <sfDir> <outDir>`. Idempotent
+  * (overwrite mode). */
+object CorpusJob {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_corpus").toString)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = Engine.prepare(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+    val manifest = graft.ext.Curation.pretrainingCorpus(docs, emb)
+    manifest.write.mode("overwrite").parquet(s"$outDir/manifest")
+    val kept = spark.read.parquet(s"$outDir/manifest")
+    println(s"[corpus] manifest: ${kept.count()} docs -> $outDir/manifest")
+
+    // pack each split separately (a loader never mixes splits)
+    val withText = kept.select("doc_id", "split")
+      .join(docs.select("doc_id", "text"), "doc_id")
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+    Seq("train", "val", "test").foreach { s =>
+      val packed = graft.ext.Sampling.packSequences(
+        graft.ext.Sampling.packShards(
+          withText.where(col("split") === s), "n_tokens", budget = 2048))
+      packed.write.mode("overwrite").parquet(s"$outDir/sequences/split=$s")
+      println(s"[corpus] $s: ${packed.count()} packed shards")
+    }
+    println(s"[corpus] done -> $outDir")
+    spark.stop()
+  }
+}

@@ -262,6 +262,15 @@ object SparkEntry {
         "n_tokens", budget = 2048, nBuckets = 8)
         .select("doc_id", "n_tokens", "pack_bucket", "shard_in_bucket")
         .orderBy("doc_id")),
+    // the packed sequences themselves (what a loader consumes):
+    // id-ordered concatenation per (bucket, shard)
+    "pack_sequences" -> prep((s, d) => {
+      val withTok = docs(s, d).select(col("doc_id"), col("text"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+      Sampling.packSequences(
+        Sampling.packShards(withTok, "n_tokens", budget = 2048, nBuckets = 8))
+        .orderBy("pack_bucket", "shard_in_bucket")
+    }),
     // pairs -> connected components -> one canonical keeper per cluster
     "dedup_clusters" -> prep((s, d) =>
       Dedup.dupClusters(Dedup.ngramJaccardPairs(docs(s, d)))
@@ -642,6 +651,7 @@ object SparkEntry {
     "leakage_safe_split" -> ExtOracle.leakageSafeSplit,
     "stratified_sample" -> ExtOracle.stratifiedSample,
     "pack_shards" -> ExtOracle.packShards,
+    "pack_sequences" -> ExtOracle.packSequences,
     "dedup_clusters" -> ExtOracle.dedupClusters,
     "dedup_corpus" -> ExtOracle.dedupCorpus,
     "decontaminate" -> ExtOracle.decontaminate,

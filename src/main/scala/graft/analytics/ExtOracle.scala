@@ -808,6 +808,30 @@ FROM documents d LEFT JOIN losers l USING (doc_id)
 WHERE l.doc_id IS NULL
 ${ord("doc_id")}""".trim
 
+  /** Twin of Sampling.packSequences over packShards(budget=2048,
+    * nBuckets=8): same bucket/exclusive-prefix-sum/shard arithmetic,
+    * members concatenated with string_agg in doc_id order. */
+  val packSequences: String = s"""
+WITH t AS (
+  SELECT doc_id, text,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, text, n_tokens, doc_id % 8 AS pack_bucket,
+    SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+      ROWS UNBOUNDED PRECEDING) - n_tokens AS cum
+  FROM t),
+s AS (
+  SELECT doc_id, text, n_tokens, pack_bucket,
+    CAST(floor(cum / 2048) AS BIGINT) AS shard_in_bucket
+  FROM c)
+SELECT pack_bucket, shard_in_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+  string_agg(text, ' ' ORDER BY doc_id) AS sequence
+FROM s GROUP BY pack_bucket, shard_in_bucket
+${ord("pack_bucket", "shard_in_bucket")}""".trim
+
   // ---- dedup -------------------------------------------------------
 
   val dedupExact: String = s"""

@@ -103,4 +103,25 @@ object Sampling {
       .withColumn("shard_in_bucket", (col("__cum") / lit(budget)).cast("long"))
       .drop("__cum")
   }
+
+  /** Materialize the packed TRAINING SEQUENCES from a `packShards`
+    * assignment: one row per (bucket, shard) with the member documents
+    * concatenated in id order — the artifact a tokenizer/loader
+    * actually consumes. `collect_list` is order-nondeterministic under
+    * parallel aggregation, so members are gathered as (id, text)
+    * structs and `array_sort`ed before joining — byte-identical output
+    * on any layout or engine. Per-shard state is bounded by the pack
+    * budget (a shard holds ~budget tokens by construction), so the
+    * group aggregation never accumulates unbounded rows. */
+  def packSequences(packed: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", tokensCol: String = "n_tokens",
+      sep: String = " "): DataFrame =
+    packed.groupBy(col("pack_bucket"), col("shard_in_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensCol)).as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(idCol).as("i"), col(textCol).as("t")))),
+            x => x.getField("t")),
+          sep).as("sequence"))
 }
