@@ -223,6 +223,9 @@ object SparkEntry {
     // corpus-unigram LM quality (perplexity-filter analog)
     "lm_quality" -> prep((s, d) =>
       TextAnalysis.lmQuality(docs(s, d)).orderBy("doc_id")),
+    // cross-doc span duplication (shingle-level substring-dedup signal)
+    "span_dup_score" -> prep((s, d) =>
+      Dedup.spanDupScore(docs(s, d)).orderBy("doc_id")),
     // distributed zipWithIndex: contiguous ids in doc_id order without
     // a single-reducer global window (partitions pinned: partition
     // boundaries are id-invariant but the pass count isn't worth
@@ -676,6 +679,7 @@ object SparkEntry {
     "stable_row_ids" -> ExtOracle.stableRowIds,
     "repetition_score" -> ExtOracle.repetitionScore,
     "lm_quality" -> ExtOracle.lmQuality,
+    "span_dup_score" -> ExtOracle.spanDupScore,
     "embedding_centroids" -> ExtOracle.embeddingCentroids,
     "json_scan_clean" -> PinOracle.pinClean,
     "jdbc_scan_clean" -> PinOracle.pinClean,

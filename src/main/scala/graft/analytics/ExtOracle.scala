@@ -585,6 +585,31 @@ FROM sized JOIN bench ON sized.s = bench.s
 GROUP BY sized.doc_id
 ${ord("doc_id", "n_sh", "n_contaminated", "contamination")}""".trim
 
+  /** Twin of Dedup.spanDupScore: doc-frequency over the same
+    * clamped w=8 distinct shingles (computed on shingle STRINGS — the
+    * engine counts 64-bit shingle hashes, and counts agree as long as
+    * hashing is collision-free on the corpus, which the hash-match
+    * itself verifies). */
+  val spanDupScore: String = s"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+shl AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(w) - 7, 1)),
+    i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS sh
+  FROM ws),
+sized AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM shl),
+dfreq AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM sized GROUP BY s)
+SELECT sized.doc_id, CAST(MIN(sized.n_sh) AS INT) AS n_sh,
+  CAST(SUM(CASE WHEN dfreq.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+  CAST(SUM(CASE WHEN dfreq.df > 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+    CAST(MIN(sized.n_sh) AS DOUBLE) AS span_dup
+FROM sized JOIN dfreq ON sized.s = dfreq.s
+GROUP BY sized.doc_id
+${ord("doc_id")}""".trim
+
   /** Connected components over the ngram-Jaccard pair graph via a
     * recursive closure (UNION-distinct fixpoint terminates on cycles);
     * cluster label = min reachable doc_id. */

@@ -442,6 +442,33 @@ object Dedup {
           .as("contamination"))
   }
 
+  /** Cross-document span duplication — the shingle-granularity
+    * approximation of exact-substring dedup (flag documents dominated
+    * by text spans that also occur in OTHER documents, the signal
+    * behind span-level corpus dedup): per doc, the fraction of its
+    * distinct w-token shingles whose corpus document-frequency
+    * exceeds 1. Differs from `contamination` (overlap vs an external
+    * benchmark) and `repetitionScore` (WITHIN-doc looping) — this is
+    * corpus-internal cross-doc redundancy.
+    *
+    * Scale shape: shingles are per-doc distinct, so the doc-frequency
+    * groupBy is an exact map-side-combinable count on the 8-byte
+    * shingle hash; the join back is shingle-partitioned (the same key
+    * the count already shuffled on → exchange reuse), and the per-doc
+    * rollup combines map-side on doc_id. No driver state. */
+  def spanDupScore(corpus: DataFrame, w: Int = 8): DataFrame = {
+    val sized = hashedShingled(corpus, w).withColumn("n_sh", size(col("sh")))
+    val ex = sized.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+    val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    ex.join(dfreq, "s")
+      .groupBy(col("doc_id"))
+      .agg(min(col("n_sh")).as("n_sh"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_sh"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_sh").cast("double"))
+          .as("span_dup"))
+  }
+
   /** Bloom-filtered decontamination — same result as `contamination`,
     * different 100 TB cost model. `contamination` broadcasts the full
     * distinct benchmark shingle set as a join hash relation; fine for
@@ -508,6 +535,13 @@ object Dedup {
   /** Shared chunk-blocked candidate join + Hamming verify over a
     * (doc_id, simhash) frame. */
   private def simhashPairsFrom(sh: DataFrame, maxDist: Int): DataFrame = {
+    // 4-chunk blocking is SOUND only for maxDist <= 3: a pair within
+    // Hamming distance d must agree on >= 1 of d+1 chunks (pigeonhole),
+    // so 4 chunks cover d <= 3. A larger maxDist would silently MISS
+    // pairs whose differing bits spread across all four chunks — fail
+    // loudly instead of returning a wrong (incomplete) pair set.
+    require(maxDist >= 0 && maxDist <= 3,
+      s"simhashPairs: 16-bit-chunk blocking covers maxDist <= 3, got $maxDist")
     val chunked = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftright(col("simhash"), i * 16).bitwiseAND(0xffffL)): _*))

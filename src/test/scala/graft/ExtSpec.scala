@@ -236,6 +236,28 @@ class ExtSpec extends SparkSpec {
     assert(saturated == exact)
   }
 
+  test("spanDupScore: shared spans counted cross-doc, unique docs score zero") {
+    // w=3 for readable fixtures; docs 0 and 1 share their first 3-token
+    // span; doc 2 shares nothing
+    val d = Seq(
+      (0L, "alpha beta gamma one two"),
+      (1L, "alpha beta gamma nine ten"),
+      (2L, "totally different words entirely here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDupScore(d, w = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    // doc 0 shingles: [abc, bc1, c12] — only "alpha beta gamma" shared
+    assert(out(0L) == ((3, 1L)), s"doc0: $out")
+    assert(out(1L) == ((3, 1L)), s"doc1: $out")
+    assert(out(2L) == ((3, 0L)), s"doc2: $out")
+  }
+
+  test("simhashPairs rejects maxDist the chunk blocking cannot cover") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, maxDist = 4).collect()
+    }
+  }
+
   test("round-3 operators degrade cleanly on empty/degenerate input") {
     val sfDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val sfEmb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
