@@ -16,13 +16,19 @@ import org.apache.spark.sql.functions._
   *   4. parquet out: the curated manifest and the per-split packed
   *      sequences a tokenizer/loader consumes.
   *
-  * Usage: `runMain graft.CorpusJob <sfDir> <outDir>`. Idempotent
-  * (overwrite mode). */
+  * Usage: `runMain graft.CorpusJob <sfDir> <outDir> [nBuckets]`.
+  * Idempotent (overwrite mode) AND reproducible across machines:
+  * `nBuckets` is pinned (default 8) rather than left to
+  * `defaultParallelism`, because the bucket count determines shard
+  * membership — a CPU-count-dependent default would make the packed
+  * artifact differ between a laptop build and a cluster build of the
+  * same corpus. */
 object CorpusJob {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = args.lift(1).getOrElse(
       java.nio.file.Files.createTempDirectory("graft_corpus").toString)
+    val nBuckets = args.lift(2).map(_.toInt).getOrElse(8)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = Engine.prepare(SparkSession.builder()
@@ -48,7 +54,8 @@ object CorpusJob {
     Seq("train", "val", "test").foreach { s =>
       val packed = graft.ext.Sampling.packSequences(
         graft.ext.Sampling.packShards(
-          withText.where(col("split") === s), "n_tokens", budget = 2048))
+          withText.where(col("split") === s), "n_tokens", budget = 2048,
+          nBuckets = nBuckets))
       packed.write.mode("overwrite").parquet(s"$outDir/sequences/split=$s")
       println(s"[corpus] $s: ${packed.count()} packed shards")
     }

@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -9,18 +10,25 @@ import org.apache.spark.util.sketch.BloomFilter
 
 /** `bloom.mightContainLong(child)` as a native codegen expression — the
   * broadcast-runtime-filter primitive: a driver-built Bloom filter over
-  * the SMALL side of a semi-join rides into every task as one compact
-  * bit array (size = O(bits), independent of the key count's hash-map
-  * footprint) and prunes the LARGE side map-side, before any shuffle
-  * or join sees the row. False positives pass through (and must be
-  * removed by an exact verification join downstream); false negatives
-  * never occur, so the filter is result-transparent.
+  * the SMALL side of a semi-join is shipped as a proper Spark
+  * `Broadcast` (one torrent transfer per executor, cached in the block
+  * manager) and prunes the LARGE side map-side, before any shuffle or
+  * join sees the row. Holding the `Broadcast` handle — not the filter
+  * itself — in the expression tree matters at scale: a multi-MB filter
+  * embedded in the tree would be serialized into every task closure,
+  * paying the transfer once per TASK instead of once per EXECUTOR.
+  * False positives pass through (and must be removed by an exact
+  * verification join downstream); false negatives never occur, so the
+  * filter is result-transparent.
   *
-  * The filter object is attached via `ctx.addReferenceObj`, so
-  * whole-stage codegen calls straight into the sketch's primitive
-  * `mightContainLong` — no boxing, no UDF dispatch. */
-case class BloomMightContainLong(child: Expression, bloom: BloomFilter)
+  * Codegen dereferences the broadcast once per operator instance into a
+  * mutable member (`addMutableState` init), so the per-row call goes
+  * straight into the sketch's primitive `mightContainLong` — no boxing,
+  * no UDF dispatch, no per-row `Broadcast.value()` lookup. */
+case class BloomMightContainLong(child: Expression, bloom: Broadcast[BloomFilter])
     extends UnaryExpression {
+
+  @transient private lazy val filter: BloomFilter = bloom.value
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -32,12 +40,15 @@ case class BloomMightContainLong(child: Expression, bloom: BloomFilter)
   override def prettyName: String = "bloom_might_contain"
 
   override protected def nullSafeEval(v: Any): Any =
-    bloom.mightContainLong(v.asInstanceOf[Long])
+    filter.mightContainLong(v.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("graftBloom", bloom,
-      classOf[BloomFilter].getName)
-    defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+    val bfClass = classOf[BloomFilter].getName
+    val ref = ctx.addReferenceObj("graftBloomBc", bloom,
+      classOf[Broadcast[_]].getName)
+    val local = ctx.addMutableState(bfClass, "graftBloom",
+      v => s"$v = ($bfClass) $ref.value();")
+    defineCodeGen(ctx, ev, c => s"$local.mightContainLong($c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -46,6 +57,14 @@ case class BloomMightContainLong(child: Expression, bloom: BloomFilter)
 
 object BloomMightContainLong {
   import org.apache.spark.sql.graftx.Bridge
-  def mightContain(c: Column, bloom: BloomFilter): Column =
+
+  /** Wrap an already-broadcast filter (caller controls the broadcast
+    * lifecycle — destroy it when the query is done). */
+  def mightContain(c: Column, bloom: Broadcast[BloomFilter]): Column =
     Bridge.column(BloomMightContainLong(Bridge.expression(c), bloom))
+
+  /** Convenience: broadcasts `bloom` on the active session (one
+    * broadcast per call — instantiate once per operator, not per row). */
+  def mightContain(c: Column, bloom: BloomFilter): Column =
+    mightContain(c, SparkSession.active.sparkContext.broadcast(bloom))
 }

@@ -112,14 +112,25 @@ class PlanSpec extends SparkSpec {
   }
 
   test("contaminationBloom: bloom prune sits map-side, below the verify join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val p = plan(graft.ext.Dedup.contaminationBloom(
-      docs, docs.where(col("doc_id") % 97 === 0)))
-    val filterAt = p.indexOf("bloom_might_contain")
-    val joinAt = p.indexOf("Join")
-    assert(filterAt >= 0, s"bloom filter expression must appear:\n$p")
-    assert(joinAt >= 0 && filterAt > joinAt,
-      "bloom prune must be deeper in the plan (printed below) the verify join")
+    val df = graft.ext.Dedup.contaminationBloom(
+      docs, docs.where(col("doc_id") % 97 === 0))
+    // Assert on the optimized logical TREE, not explain-text positions:
+    // the Filter node carrying bloom_might_contain must be a descendant
+    // of the corpus (left) side of the exact-verify Join — i.e. the
+    // prune runs before the join ever sees a corpus row.
+    val optimized = df.queryExecution.optimizedPlan
+    def hasBloomFilter(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collect { case f: Filter if f.condition.exists(
+        _.isInstanceOf[graft.functions.BloomMightContainLong]) => f }.nonEmpty
+    val joinsWithPruneBelow = optimized.collect {
+      case j: Join if hasBloomFilter(j.left) || hasBloomFilter(j.right) => j
+    }
+    assert(hasBloomFilter(optimized),
+      s"bloom filter expression must survive optimization:\n$optimized")
+    assert(joinsWithPruneBelow.nonEmpty,
+      s"bloom prune must sit below (inside a child of) the verify join:\n$optimized")
   }
 
   test("rank-filter top-k gets WindowGroupLimit map-side pruning (Partial before the exchange)") {
