@@ -39,13 +39,35 @@ object Similarity {
     dotL(a, b).cast("double") /
       (sqrt(dotL(a, a).cast("double")) * sqrt(dotL(b, b).cast("double")))
 
+  /** Deterministic double norm of a quantized vector — computed ONCE
+    * per row in the scan projection and carried through joins, so the
+    * candidate-pair hot path pays 1 dot product instead of 3 (cosineQ
+    * inlined at a pair site re-derives both self-dots per pair: at
+    * 100 TB that is 3× the FLOPs of the whole operator). */
+  private def normQ(q: Column): Column = sqrt(dotL(q, q).cast("double"))
+
+  /** Cosine from a pair dot and two pre-computed norms. Bit-identical
+    * to cosineQ: same double operations in the same order — only the
+    * evaluation SITE of the norms moves (per row, not per pair). */
+  private def cosineN(ab: Column, na: Column, nb: Column): Column =
+    ab.cast("double") / (na * nb)
+
+  /** (vec_id, q, nq) scan projection: quantize in a child projection
+    * (HOF inputs must be attributes — see Dedup.minhashSignature), then
+    * the norm over the materialized attribute. */
+  private def quantizedWithNorm(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .select(col("vec_id"), col("q"), normQ(col("q")).as("nq"))
+
   /** Brute-force top-k by cosine against one stored query vector.
     * Plan: broadcast 1-row query → scan → projection → top-k. */
   def bruteForceTopK(emb: DataFrame, queryVecId: Long, k: Int = 10): DataFrame = {
-    val e = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
-    val qv = e.where(col("vec_id") === queryVecId).select(col("q").as("qq"))
+    val e = quantizedWithNorm(emb)
+    val qv = e.where(col("vec_id") === queryVecId)
+      .select(col("q").as("qq"), col("nq").as("nqq"))
     e.crossJoin(broadcast(qv))
-      .select(col("vec_id"), cosineQ(col("q"), col("qq")).as("cosine_sim"))
+      .select(col("vec_id"),
+        cosineN(dotL(col("q"), col("qq")), col("nq"), col("nqq")).as("cosine_sim"))
       .orderBy(col("cosine_sim").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -100,10 +122,10 @@ object Similarity {
   def lshTopK(emb: DataFrame, probes: DataFrame, k: Int = 5,
       planes: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val base = quantizedWithNorm(emb)
     val baseB = base.select(col("vec_id"), lshSketch(col("q"), planes).as("bucket"))
-    val prbQ = probes.select(col("vec_id").as("probe_id"),
-      quantize(col("embedding")).as("pq"))
+    val prbQ = quantizedWithNorm(probes).select(col("vec_id").as("probe_id"),
+      col("q").as("pq"), col("nq").as("npq"))
     val prbB = prbQ.select(col("probe_id"), lshSketch(col("pq"), planes).as("bucket"))
     // narrow candidate generation: (id,bucket) ⋈ (id,bucket)
     val cands = prbB.join(baseB, "bucket")
@@ -115,7 +137,7 @@ object Similarity {
       .join(base, "vec_id")   // vector fetch for candidates only
       .join(prbQ, "probe_id")
       .select(col("probe_id"), col("vec_id"),
-        cosineQ(col("pq"), col("q")).as("cosine_sim"))
+        cosineN(dotL(col("pq"), col("q")), col("npq"), col("nq")).as("cosine_sim"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .drop("rk")
@@ -133,9 +155,9 @@ object Similarity {
     * (vec_id, cell) assignments via `ivfAssign` so the index is
     * materializable/bucketable once and probed many times. */
   def ivfAssign(emb: DataFrame, centroidMod: Int = 50): DataFrame = {
-    val e = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val e = quantizedWithNorm(emb)
     val cents = e.where(col("vec_id") % centroidMod === 0)
-      .select(col("vec_id").as("cent_id"), col("q").as("cq"))
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nq").as("ncq"))
     // nearest centroid = argmax over (cosine DESC, cent_id ASC) — the
     // explicit tie-break makes assignment deterministic even for
     // duplicate centroid vectors, as engine-vs-oracle hash equality
@@ -148,39 +170,40 @@ object Similarity {
     // exist. Tie-break encoded in the ordering struct: maximizing
     // (cs, -cent_id) picks highest cosine, then lowest centroid id.
     e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("q"), col("cent_id"),
-        cosineQ(col("q"), col("cq")).as("cs"))
+      .select(col("vec_id"), col("q"), col("nq"), col("cent_id"),
+        cosineN(dotL(col("q"), col("cq")), col("nq"), col("ncq")).as("cs"))
       .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cent_id"), col("q")),
+      .agg(max_by(struct(col("cent_id"), col("q"), col("nq")),
         struct(col("cs"), (-col("cent_id")).as("nc"))).as("m"))
-      .select(col("vec_id"), col("m.cent_id").as("cell"), col("m.q").as("q"))
+      .select(col("vec_id"), col("m.cent_id").as("cell"),
+        col("m.q").as("q"), col("m.nq").as("nq"))
   }
 
   /** IVF probe: top-k within the probe's `nprobe` nearest cells. */
   def ivfTopK(emb: DataFrame, probes: DataFrame, k: Int = 5,
       nprobe: Int = 3, centroidMod: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val e = quantizedWithNorm(emb)
     val cents = e.where(col("vec_id") % centroidMod === 0)
-      .select(col("vec_id").as("cent_id"), col("q").as("cq"))
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nq").as("ncq"))
     val indexed = ivfAssign(emb, centroidMod)
     // probe → its nprobe nearest cells
-    val probeCells = probes
-      .select(col("vec_id").as("probe_id"), quantize(col("embedding")).as("pq"))
+    val probeCells = quantizedWithNorm(probes)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("nq").as("npq"))
       .crossJoin(broadcast(cents))
-      .select(col("probe_id"), col("pq"), col("cent_id"),
-        cosineQ(col("pq"), col("cq")).as("cs"))
+      .select(col("probe_id"), col("pq"), col("npq"), col("cent_id"),
+        cosineN(dotL(col("pq"), col("cq")), col("npq"), col("ncq")).as("cs"))
       .withColumn("rk", row_number().over(Window.partitionBy(col("probe_id"))
         .orderBy(col("cs").desc, col("cent_id").asc)))
       .where(col("rk") <= nprobe)
-      .select(col("probe_id"), col("pq"), col("cent_id").as("cell"))
+      .select(col("probe_id"), col("pq"), col("npq"), col("cent_id").as("cell"))
     // search only those cells
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine_sim").desc, col("vec_id").asc)
     probeCells.join(indexed, "cell")
       .where(col("probe_id") =!= col("vec_id"))
       .select(col("probe_id"), col("vec_id"),
-        cosineQ(col("pq"), col("q")).as("cosine_sim"))
+        cosineN(dotL(col("pq"), col("q")), col("npq"), col("nq")).as("cosine_sim"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .drop("rk")
@@ -233,11 +256,13 @@ object Similarity {
   def semanticDupLosers(emb: DataFrame, threshold: Double = 0.4,
       centroidMod: Int = 50): DataFrame = {
     val assigned = ivfAssign(emb, centroidMod)
-    val a = assigned.select(col("cell"), col("vec_id").as("a_id"), col("q").as("qa"))
-    val b = assigned.select(col("cell"), col("vec_id").as("b_id"), col("q").as("qb"))
+    val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
+      col("q").as("qa"), col("nq").as("na"))
+    val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
+      col("q").as("qb"), col("nq").as("nb"))
     val pairs = a.join(b, "cell")
       .where(col("a_id") < col("b_id") &&
-        cosineQ(col("qa"), col("qb")) >= threshold)
+        cosineN(dotL(col("qa"), col("qb")), col("na"), col("nb")) >= threshold)
       .select(col("a_id"), col("b_id"))
     Dedup.dupClusters(pairs)
       .where(!col("is_keeper")).select(col("doc_id").as("vec_id"))
@@ -249,14 +274,14 @@ object Similarity {
     * is the full-corpus path. */
   def nearDupPairs(emb: DataFrame, threshold: Double = 0.4,
       probeMod: Int = 10): DataFrame = {
-    val e = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val e = quantizedWithNorm(emb)
     val a = e.where(col("vec_id") % probeMod === 0)
-      .select(col("vec_id").as("a_id"), col("q").as("qa"))
-    val b = e.select(col("vec_id").as("b_id"), col("q").as("qb"))
+      .select(col("vec_id").as("a_id"), col("q").as("qa"), col("nq").as("na"))
+    val b = e.select(col("vec_id").as("b_id"), col("q").as("qb"), col("nq").as("nb"))
     broadcast(a).crossJoin(b)
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        cosineQ(col("qa"), col("qb")).as("cosine_sim"))
+        cosineN(dotL(col("qa"), col("qb")), col("na"), col("nb")).as("cosine_sim"))
       .where(col("cosine_sim") >= threshold)
   }
 }
