@@ -254,6 +254,13 @@ object SparkEntry {
       Sampling.stratifiedSample(docs(s, d), "lang",
         Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1))
         .select("doc_id", "lang").orderBy("doc_id")),
+    // domain-weighted mixture sampling: output proportions 5:3:2 over
+    // three sources at the largest no-upsampling size, pure-integer
+    // keep rule (see Sampling.mixtureSample determinism contract)
+    "mixture_sample" -> prep((s, d) =>
+      Sampling.mixtureSample(docs(s, d), "source",
+        Map("src0" -> 5, "src1" -> 3, "src2" -> 2))
+        .select("doc_id", "source").orderBy("doc_id")),
     // GPT-style token-budget shard packing (bucketed prefix sums).
     // nBuckets pinned: bucket ids feed the oracle twin, which must not
     // depend on how many cores the verifying session happens to have
@@ -653,6 +660,7 @@ object SparkEntry {
     "train_test_split" -> ExtOracle.trainTestSplit,
     "leakage_safe_split" -> ExtOracle.leakageSafeSplit,
     "stratified_sample" -> ExtOracle.stratifiedSample,
+    "mixture_sample" -> ExtOracle.mixtureSample,
     "pack_shards" -> ExtOracle.packShards,
     "pack_sequences" -> ExtOracle.packSequences,
     "dedup_clusters" -> ExtOracle.dedupClusters,

@@ -449,6 +449,26 @@ WHERE CAST(${bkt(10000)} AS DOUBLE) <
             WHEN 'fr' THEN 1000.0 ELSE 0.0 END
 ${ord("doc_id")}""".trim
 
+  /** Twin of Sampling.mixtureSample(source, 5:3:2): same per-group
+    * counts, same exact-integer n_out floor, same pure-int64 keep rule
+    * — no floating point on either side. */
+  val mixtureSample: String = s"""
+WITH w AS (
+  SELECT 'src0' AS source, 5 AS wt UNION ALL
+  SELECT 'src1', 3 UNION ALL
+  SELECT 'src2', 2),
+counts AS (
+  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(COALESCE(MIN(w.wt), 0) AS BIGINT) AS wt
+  FROM documents d LEFT JOIN w ON d.source = w.source
+  GROUP BY d.source),
+nout AS (SELECT MIN((n * 10) // wt) AS n_out FROM counts WHERE wt > 0)
+SELECT d.doc_id, d.source
+FROM documents d JOIN counts c ON d.source = c.source, nout
+WHERE c.wt > 0
+  AND ${bkt(10000)} * 10 * c.n < 10000 * c.wt * nout.n_out
+${ord("doc_id")}""".trim
+
   /** Twin of the salted skew join: salts cancel out, so the oracle is
     * the PLAIN join+aggregate — equality proves salting is
     * result-invariant. */

@@ -69,6 +69,45 @@ object Sampling {
     df.where(bucket(col(idCol), 10000).cast("double") < threshold)
   }
 
+  /** Mixture (domain-weighted) sampling — the "data mixing" step of a
+    * pretraining pipeline: given integer target proportions per group
+    * (e.g. web 6 : books 2 : code 2), downsample each group so the
+    * OUTPUT matches those proportions at the largest size achievable
+    * without upsampling any group. Groups with no weight are dropped.
+    *
+    * Determinism contract: the derived output size `n_out` =
+    * min over weighted groups of `(n_g · W) div w_g` (exact integer
+    * floor, W = Σw), and a row survives iff
+    * `bucket(id,10⁴) · W · n_g < 10⁴ · w_g · n_out` — a pure int64
+    * comparison (magnitudes < 2^60 for corpora to 10¹⁰ rows), no
+    * floating point anywhere, so any engine reproduces the sample
+    * bit-for-bit and the choice is repartition-invariant like every
+    * sampler here.
+    *
+    * Scale shape: one tiny per-group count aggregation (map-side
+    * combinable, |groups| rows), its 1-row min rollup, both broadcast
+    * back — the keep decision is then a map-side filter fused into the
+    * scan; the corpus itself never shuffles. */
+  def mixtureSample(df: DataFrame, groupCol: String,
+      weights: Map[String, Int], idCol: String = "doc_id"): DataFrame = {
+    val w = weights.filter(_._2 > 0)
+    require(w.nonEmpty, "at least one positive weight")
+    val wTot = w.values.map(_.toLong).sum
+    val wCol = w.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(col(groupCol) === k, lit(v.toLong)).otherwise(acc)
+    }
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n")).withColumn("__w", wCol)
+    val nOut = counts.where(col("__w") > 0)
+      .agg(min(expr(s"(__n * $wTot) div __w")).as("__n_out"))
+    df.join(broadcast(counts), groupCol)
+      .crossJoin(broadcast(nOut))
+      .where(col("__w") > 0 &&
+        bucket(col(idCol), 10000) * lit(wTot) * col("__n") <
+          lit(10000L) * col("__w") * col("__n_out"))
+      .drop("__n", "__w", "__n_out")
+  }
+
   /** GPT-style sequence packing: assign documents to fixed-token-budget
     * training shards. Documents are packed concatenate-then-split — a
     * doc's shard is `floor(exclusive-prefix-sum(tokens) / budget)`, so

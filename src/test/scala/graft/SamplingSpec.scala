@@ -51,6 +51,28 @@ class SamplingSpec extends SparkSpec {
     assert(out.count() == docs.where(col("lang") === "en").count())
   }
 
+  test("mixtureSample: output tracks target proportions, zero-weight groups dropped, layout-invariant") {
+    val weights = Map("src0" -> 5, "src1" -> 3, "src2" -> 2)
+    val out = Sampling.mixtureSample(docs, "source", weights)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.keySet == weights.keySet,
+      s"unweighted sources must be dropped: ${bySrc.keySet}")
+    // output proportions approximate 5:3:2 (hash granularity 1/10000,
+    // small-group noise allowed)
+    val total = bySrc.values.sum.toDouble
+    assert(math.abs(bySrc("src0") / total - 0.5) < 0.15, bySrc.toString)
+    assert(math.abs(bySrc("src1") / total - 0.3) < 0.15, bySrc.toString)
+    // no upsampling: each group's sample is a subset of its input
+    weights.keys.foreach { s =>
+      assert(bySrc(s) <= docs.where(col("source") === s).count())
+    }
+    // repartition-invariant (the keep rule is pure row arithmetic)
+    val b = Sampling.mixtureSample(docs.repartition(7), "source", weights)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      b.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("saltedInner == plain inner join (salting is result-invariant)") {
     val l = spark.read.parquet(s"$sf/lineitem.parquet")
       .select(col("l_orderkey"), col("l_quantity"))
