@@ -218,6 +218,9 @@ object SparkEntry {
           .otherwise(col("text")))
       TextAnalysis.scrubPii(injected).orderBy("doc_id")
     }),
+    // Gopher-style rule filter: every signal + the combined pass flag
+    "gopher_rules" -> prep((s, d) =>
+      TextAnalysis.gopherRules(docs(s, d)).orderBy("doc_id")),
     "repetition_score" -> prep((s, d) =>
       TextAnalysis.repetitionScore(docs(s, d)).orderBy("doc_id")),
     // corpus-unigram LM quality (perplexity-filter analog)
@@ -686,6 +689,7 @@ object SparkEntry {
     "pii_scrub" -> ExtOracle.piiScrub,
     "stable_row_ids" -> ExtOracle.stableRowIds,
     "repetition_score" -> ExtOracle.repetitionScore,
+    "gopher_rules" -> ExtOracle.gopherRules,
     "lm_quality" -> ExtOracle.lmQuality,
     "span_dup_score" -> ExtOracle.spanDupScore,
     "embedding_centroids" -> ExtOracle.embeddingCentroids,

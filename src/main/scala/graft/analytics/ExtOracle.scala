@@ -315,6 +315,43 @@ SELECT doc_id,
 FROM inj
 ${ord("doc_id")}""".trim
 
+  /** Twin of TextAnalysis.gopherRules: same token/line arrays, same
+    * single-division ratios, same rule thresholds. Bullet/ellipsis
+    * line predicates use LIKE ('.', '-', '*' are literal in LIKE) to
+    * mirror Spark's startsWith/endsWith. */
+  val gopherRules: String = s"""
+WITH d AS (
+  SELECT doc_id,
+    string_split_regex(trim(text), '\\s+') AS w,
+    string_split_regex(trim(lower(text)), '\\s+') AS tl,
+    string_split(text, chr(10)) AS lines,
+    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS INT) AS n_symbols
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    CAST(len(w) AS INT) AS n_words,
+    CAST(length(array_to_string(w, '')) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+      AS mean_word_len,
+    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) /
+      CAST(len(w) AS DOUBLE) AS frac_alpha_words,
+    CAST(n_symbols AS DOUBLE) / CAST(len(w) AS DOUBLE) AS symbol_ratio,
+    CAST(len(list_filter(lines, l -> trim(l) LIKE '-%' OR trim(l) LIKE '*%'
+      OR trim(l) LIKE '•%')) AS DOUBLE) / CAST(len(lines) AS DOUBLE)
+      AS frac_bullet_lines,
+    CAST(len(list_filter(lines, l -> trim(l) LIKE '%...')) AS DOUBLE) /
+      CAST(len(lines) AS DOUBLE) AS frac_ellipsis_lines,
+    CAST(len(list_intersect(tl,
+      ['the','be','to','of','and','that','have','with'])) AS INT)
+      AS n_required_hits
+  FROM d)
+SELECT *,
+  (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+    AND symbol_ratio <= 0.1 AND frac_bullet_lines <= 0.9
+    AND frac_ellipsis_lines <= 0.3 AND frac_alpha_words >= 0.8
+    AND n_required_hits >= 2 AS pass
+FROM s
+${ord("doc_id")}""".trim
+
   /** Twin of TextAnalysis.repetitionScore: 1 − distinct/total word
     * 3-grams, clamped shingle boundaries as in the dedup twins. */
   val repetitionScore: String = s"""

@@ -176,6 +176,57 @@ object TextAnalysis {
         lit(1.0) - col("n_uniq_grams").cast("double") / col("n_grams").cast("double"))
   }
 
+  /** Gopher-style document quality rules — the rule-based filter set
+    * (word-count band, mean word length band, symbol-to-word ratio,
+    * bullet/ellipsis line fractions, alphabetic-word fraction, required
+    * stop-words) that web-scale pretraining pipelines apply before any
+    * model-based scoring. Emits every signal plus the combined `pass`
+    * flag so callers can audit which rule fired (filtering on `pass`
+    * is one `where`).
+    *
+    * All signals are per-row projections over the token/line arrays —
+    * fused into the scan, no shuffle; ratios are single IEEE double
+    * divisions over exact integers (oracle-parity safe). Line rules
+    * split on newline; single-line documents simply score 0 on both
+    * line fractions (the rules still bind). */
+  val requiredWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherRules(docs: DataFrame, minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame = {
+    val d = docs.select(col("doc_id"),
+      tokens(col("text")).as("w"),
+      tokens(lower(col("text"))).as("tl"),
+      split(col("text"), "\n").as("lines"),
+      regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("int").as("n_symbols"))
+    val nW = size(col("w"))
+    val nLines = size(col("lines"))
+    val scored = d.select(
+      col("doc_id"),
+      nW.cast("int").as("n_words"),
+      (length(concat_ws("", col("w"))).cast("double") / nW.cast("double"))
+        .as("mean_word_len"),
+      (size(filter(col("w"), x => x.rlike("[A-Za-z]"))).cast("double") /
+        nW.cast("double")).as("frac_alpha_words"),
+      (col("n_symbols").cast("double") / nW.cast("double")).as("symbol_ratio"),
+      (size(filter(col("lines"), l =>
+        trim(l).startsWith("-") || trim(l).startsWith("*") ||
+          trim(l).startsWith("•"))).cast("double") /
+        nLines.cast("double")).as("frac_bullet_lines"),
+      (size(filter(col("lines"), l => trim(l).endsWith("...")))
+        .cast("double") / nLines.cast("double")).as("frac_ellipsis_lines"),
+      size(array_intersect(col("tl"),
+        array(requiredWords.map(lit): _*))).cast("int").as("n_required_hits"))
+    scored.withColumn("pass",
+      col("n_words").between(minWords, maxWords) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("symbol_ratio") <= 0.1 &&
+        col("frac_bullet_lines") <= 0.9 &&
+        col("frac_ellipsis_lines") <= 0.3 &&
+        col("frac_alpha_words") >= 0.8 &&
+        col("n_required_hits") >= 2)
+  }
+
   /** Corpus vocabulary size, exact vs HLL sketch (`approx_count_
     * distinct`): the sketch is the 100 TB path — fixed-size state,
     * partial-aggregatable, no giant distinct shuffle; the exact count

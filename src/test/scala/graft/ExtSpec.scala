@@ -166,6 +166,34 @@ class ExtSpec extends SparkSpec {
     assert(got(3L) == ((1, 1, 0.0)))
   }
 
+  test("gopherRules: each rule fires on the document built to trip it") {
+    val good = ("the quick brown fox jumps with energy and that verve " +
+      "which we have come to expect of good long prose text ") * 5
+    val docs = Seq(
+      (1L, good),                                   // passes everything
+      (2L, "too short to count"),                   // word-count floor
+      (3L, ("- bullet one\n- bullet two\n- bullet three\n") + good), // bullets < 90% → still passes bullets, sanity row
+      (4L, ("a\nb...\nc...\nd...\n") + "the of and that have with be to " * 10), // ellipsis lines > 30%
+      (5L, "### ## # " * 30 + good),                // symbol ratio > 0.1
+      (6L, "12 34 56 78 90 " * 30)                  // frac_alpha < 0.8, no required words
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs, minWords = 20).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Boolean]("pass"), got(1L).toString)
+    assert(!got(2L).getAs[Boolean]("pass"), "short doc must fail word floor")
+    assert(got(3L).getAs[Double]("frac_bullet_lines") > 0.0 &&
+      got(3L).getAs[Double]("frac_bullet_lines") < 0.9)
+    assert(got(4L).getAs[Double]("frac_ellipsis_lines") > 0.3 &&
+      !got(4L).getAs[Boolean]("pass"))
+    assert(got(5L).getAs[Double]("symbol_ratio") > 0.1 &&
+      !got(5L).getAs[Boolean]("pass"))
+    assert(got(6L).getAs[Double]("frac_alpha_words") < 0.8 &&
+      got(6L).getAs[Int]("n_required_hits") === 0 &&
+      !got(6L).getAs[Boolean]("pass"))
+    // required-word hits are DISTINCT matches
+    assert(got(1L).getAs[Int]("n_required_hits") >= 2)
+  }
+
   test("labelCentroids: exact per-dim sums and counts per label") {
     val e = Seq(
       (1L, Array(1.0f, 2.0f), 7),
