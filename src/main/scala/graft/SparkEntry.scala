@@ -288,6 +288,22 @@ object SparkEntry {
     "dedup_clusters" -> prep((s, d) =>
       Dedup.dupClusters(Dedup.ngramJaccardPairs(docs(s, d)))
         .orderBy("doc_id")),
+    // corpus-wide line-level exact dedup: first occurrence survives.
+    // The fixture is single-line, so the entry derives a multi-line
+    // corpus deterministically (10-token lines) — the oracle twin
+    // derives the identical corpus; ~5% of lines are real cross-doc
+    // duplicates at sf0.01, so the drop path is exercised.
+    "line_dedup" -> prep((s, d) => {
+      val multi = docs(s, d)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+        .select(col("doc_id"),
+          array_join(transform(
+            sequence(lit(1), greatest(
+              ceil(size(col("w")).cast("double") / 10.0).cast("int"), lit(1))),
+            i => concat_ws(" ", slice(col("w"), (i - 1) * 10 + 1, lit(10)))),
+            "\n").as("text"))
+      Dedup.lineDedup(multi).orderBy("doc_id")
+    }),
     // the end-to-end dedup call: corpus minus non-canonical members
     "dedup_corpus" -> prep((s, d) =>
       Dedup.dedupCorpus(docs(s, d))
@@ -668,6 +684,7 @@ object SparkEntry {
     "pack_sequences" -> ExtOracle.packSequences,
     "dedup_clusters" -> ExtOracle.dedupClusters,
     "dedup_corpus" -> ExtOracle.dedupCorpus,
+    "line_dedup" -> ExtOracle.lineDedup,
     "decontaminate" -> ExtOracle.decontaminate,
     "decontaminate_bloom" -> ExtOracle.decontaminate, // same result, bloom path
     "chunk_docs" -> ExtOracle.chunkDocs,

@@ -855,6 +855,35 @@ SELECT doc_id,
 FROM keyed
 ${ord("doc_id")}""".trim
 
+  /** Twin of Dedup.lineDedup over the derived 10-token-line corpus:
+    * same line derivation, first occurrence by (doc_id, ord) via a
+    * window (Spark's min(struct) argmin — same classes, grouping by
+    * the line string instead of its sha256), ordered reassembly. */
+  val lineDedup: String = s"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+ml AS (
+  SELECT doc_id,
+    array_to_string(list_transform(
+      generate_series(1, greatest(CAST(ceil(len(w)/10.0) AS INT), 1)),
+      i -> array_to_string(list_slice(w, (i-1)*10+1, (i-1)*10+10), ' ')),
+      chr(10)) AS text
+  FROM w),
+l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM ml),
+ex AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, ls FROM l),
+lines AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS ord, ls[CAST(i AS INT)] AS line FROM ex),
+marked AS (
+  SELECT doc_id, ord, line,
+    ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, ord) AS rn
+  FROM lines)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+  COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY ord), '')
+    AS text_dedup
+FROM marked GROUP BY doc_id
+${ord("doc_id")}""".trim
+
   /** Twin of Dedup.dedupCorpus: documents minus the recursive-closure
     * clusters' non-canonical members (same CTEs as dedupClusters). */
   val dedupCorpus: String = s"""

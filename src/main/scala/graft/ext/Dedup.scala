@@ -416,6 +416,44 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Corpus-wide LINE-level exact dedup — the sub-document dedup tier
+    * (boilerplate headers, navigation text, license blocks recur
+    * across millions of pages; document-level dedup never sees them).
+    * Every line keeps its FIRST occurrence corpus-wide — ordered by
+    * (doc_id, line position), so the survivor choice is deterministic
+    * on any layout — and later occurrences are dropped; documents are
+    * reassembled in original line order with per-doc keep counts.
+    *
+    * Scale shape: lines shuffle once on their sha256 digest (32-byte
+    * key, not the line text — same trick as `exact`) for the
+    * first-occurrence argmin (min(struct) — partial-aggregatable,
+    * map-side combined), once more back on doc_id for reassembly.
+    * Per-group state is one (doc_id, ord) pair per distinct line;
+    * reassembly state is bounded by document size. */
+  def lineDedup(docs: DataFrame, textCol: String = "text",
+      sep: String = "\n"): DataFrame = {
+    val ex = docs
+      .select(col("doc_id"), posexplode(split(col(textCol), sep)).as(Seq("ord", "line")))
+      .select(col("doc_id"), col("ord"), col("line"),
+        sha2(col("line"), 256).as("lh"))
+    val firsts = ex.groupBy(col("lh"))
+      .agg(min(struct(col("doc_id"), col("ord"))).as("first"))
+      .select(col("lh"), col("first.doc_id").as("f_doc"),
+        col("first.ord").as("f_ord"))
+    ex.join(firsts, "lh")
+      .withColumn("kept",
+        col("doc_id") === col("f_doc") && col("ord") === col("f_ord"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_lines_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("ord").as("i"), col("line").as("t"))))),
+            x => x.getField("t")),
+          sep).as("text_dedup"))
+  }
+
   /** Benchmark decontamination: for every corpus document, the
     * fraction of its w-token shingles that appear anywhere in the
     * benchmark set — the standard train/test contamination check run

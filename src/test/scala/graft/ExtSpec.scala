@@ -166,6 +166,27 @@ class ExtSpec extends SparkSpec {
     assert(got(3L) == ((1, 1, 0.0)))
   }
 
+  test("lineDedup: first corpus-wide occurrence survives, docs reassemble in order") {
+    val docs = Seq(
+      (1L, "alpha\nshared header\nbeta"),
+      (2L, "shared header\ngamma\nshared header"), // cross-doc dup + in-doc dup
+      (3L, "shared header\ndelta"),
+      (4L, "shared header")                        // nothing survives
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.lineDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    // doc 1 holds the first occurrence of "shared header" (doc 1, ord 1)
+    assert(got(1L) == ((3L, 3L, "alpha\nshared header\nbeta")))
+    // doc 2: both its copies are later occurrences
+    assert(got(2L) == ((3L, 1L, "gamma")))
+    assert(got(3L) == ((2L, 1L, "delta")))
+    assert(got(4L) == ((1L, 0L, "")))
+    // layout-invariant: survivor choice is (doc_id, ord) argmin, not task order
+    val rep = graft.ext.Dedup.lineDedup(docs.repartition(5)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(rep == got)
+  }
+
   test("gopherRules: each rule fires on the document built to trip it") {
     val good = ("the quick brown fox jumps with energy and that verve " +
       "which we have come to expect of good long prose text ") * 5
