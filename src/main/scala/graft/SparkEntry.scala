@@ -224,6 +224,10 @@ object SparkEntry {
     "repetition_score" -> prep((s, d) =>
       TextAnalysis.repetitionScore(docs(s, d)).orderBy("doc_id")),
     // corpus-unigram LM quality (perplexity-filter analog)
+    // DSIR-style importance weights vs the lang='en' target slice
+    "dsir_weights" -> prep((s, d) =>
+      TextAnalysis.dsirWeights(docs(s, d), col("lang") === "en")
+        .orderBy("doc_id")),
     "lm_quality" -> prep((s, d) =>
       TextAnalysis.lmQuality(docs(s, d)).orderBy("doc_id")),
     // cross-doc span duplication (shingle-level substring-dedup signal)
@@ -708,6 +712,7 @@ object SparkEntry {
     "repetition_score" -> ExtOracle.repetitionScore,
     "gopher_rules" -> ExtOracle.gopherRules,
     "lm_quality" -> ExtOracle.lmQuality,
+    "dsir_weights" -> ExtOracle.dsirWeights,
     "span_dup_score" -> ExtOracle.spanDupScore,
     "embedding_centroids" -> ExtOracle.embeddingCentroids,
     "json_scan_clean" -> PinOracle.pinClean,

@@ -397,6 +397,37 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
 FROM scored GROUP BY doc_id
 ${ord("doc_id")}""".trim
 
+  /** Twin of TextAnalysis.dsirWeights (target = lang 'en'): same
+    * single-groupBy dual frequency model, same add-one smoothing over
+    * the shared vocab, same ·10⁶ per-token quantization before the
+    * exact integer per-doc sum. */
+  val dsirWeights: String = s"""
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+    unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents),
+freqs AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf_raw,
+    CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tf_t
+  FROM toks GROUP BY tok),
+tot AS (
+  SELECT CAST(SUM(tf_raw) AS BIGINT) AS tot_raw,
+    CAST(SUM(tf_t) AS BIGINT) AS tot_t,
+    CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM freqs),
+scored AS (
+  SELECT t.doc_id,
+    CAST(round((ln(CAST(f.tf_t + 1 AS DOUBLE) /
+        CAST(tot.tot_t + tot.vocab AS DOUBLE))
+      - ln(CAST(f.tf_raw + 1 AS DOUBLE) /
+        CAST(tot.tot_raw + tot.vocab AS DOUBLE))) * 1000000) AS BIGINT) AS q
+  FROM toks t JOIN freqs f ON t.tok = f.tok, tot)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(q) AS BIGINT) AS sum_q_logratio,
+  CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000 AS mean_logratio
+FROM scored GROUP BY doc_id
+${ord("doc_id")}""".trim
+
   // ---- language ID / curation --------------------------------------
 
   /** Stopword-profile language ID. Spark's argmax is `greatest` over

@@ -268,6 +268,48 @@ object TextAnalysis {
           / 1000000)
   }
 
+  /** DSIR-style importance weighting — data selection via importance
+    * resampling: score every document by how much more likely its
+    * tokens are under a TARGET distribution (a trusted/high-quality
+    * subset, `targetPred`) than under the raw corpus distribution.
+    * log w(x) = Σ_tok [ln p_target(tok) − ln p_raw(tok)] with add-one
+    * smoothing over the shared corpus vocabulary (so target-OOV tokens
+    * are defined and penalized). Select by thresholding or top-k on
+    * `mean_logratio` — the cheap distribution-matching selector run
+    * before any model-based scoring.
+    *
+    * Determinism: per-token log-ratios are quantized to integers
+    * (·10⁶, rounded) BEFORE the per-doc sum — exact integer addition,
+    * no float-summation order dependence (same contract as lmQuality).
+    *
+    * Scale shape: ONE token-frequency shuffle builds both models
+    * (tf_raw and tf_t are two aggregates of the same groupBy); totals
+    * are a 1-row broadcast; scoring re-joins the exploded corpus on
+    * the token key the frequency agg already partitioned by; the
+    * per-doc rollup combines map-side on doc_id. */
+  def dsirWeights(docs: DataFrame, targetPred: Column): DataFrame = {
+    val toks = docs.select(col("doc_id"), targetPred.as("is_t"),
+      explode(tokens(col("text"))).as("tok"))
+    val freqs = toks.groupBy(col("tok"))
+      .agg(count(lit(1)).as("tf_raw"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("tf_t"))
+    val totals = freqs.agg(sum(col("tf_raw")).as("tot_raw"),
+      sum(col("tf_t")).as("tot_t"), count(lit(1)).as("vocab"))
+    val scored = toks.join(freqs, "tok")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        round((log((col("tf_t") + 1L).cast("double") /
+            (col("tot_t") + col("vocab")).cast("double")) -
+          log((col("tf_raw") + 1L).cast("double") /
+            (col("tot_raw") + col("vocab")).cast("double"))) * 1000000)
+          .cast("long").as("q"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("q")).as("sum_q_logratio"))
+      .withColumn("mean_logratio",
+        col("sum_q_logratio").cast("double") / col("n_tokens").cast("double")
+          / 1000000)
+  }
+
   def vocabSize(docs: DataFrame, rsd: Double = 0.05): DataFrame =
     docs.select(explode(tokens(col("text"))).as("token"))
       .agg(countDistinct(col("token")).as("exact_vocab"),

@@ -166,6 +166,28 @@ class ExtSpec extends SparkSpec {
     assert(got(3L) == ((1, 1, 0.0)))
   }
 
+  test("dsirWeights: target-like docs outscore raw-like docs, OOV-in-target penalized") {
+    // target = label 1 docs; "good" tokens dominate the target slice,
+    // "junk" tokens appear only outside it
+    val docs = Seq(
+      (1L, 1, "good fine nice good fine"),
+      (2L, 1, "good nice fine nice good"),
+      (3L, 0, "junk spam junk spam junk"),
+      (4L, 0, "good fine junk spam nice"),   // mixed
+      (5L, 0, "good fine nice fine good")    // target-like but raw-labeled
+    ).toDF("doc_id", "label", "text")
+    val got = graft.ext.TextAnalysis.dsirWeights(docs, col("label") === 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(3))).toMap
+    assert(got(1L)._1 == 5 && got(3L)._1 == 5)
+    // pure target-vocab docs score higher than pure junk docs
+    assert(got(1L)._2 > got(3L)._2)
+    assert(got(5L)._2 > got(4L)._2, "mixed doc sits below target-like doc")
+    assert(got(4L)._2 > got(3L)._2, "mixed doc sits above pure junk")
+    // junk tokens never occur in target ⇒ negative mean log-ratio
+    assert(got(3L)._2 < 0)
+  }
+
   test("lineDedup: first corpus-wide occurrence survives, docs reassemble in order") {
     val docs = Seq(
       (1L, "alpha\nshared header\nbeta"),
