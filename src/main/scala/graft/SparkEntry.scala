@@ -364,6 +364,11 @@ object SparkEntry {
       .orderBy("probe_id", "vec_id")),
     "neardup_embeddings" -> prep((s, d) => Engine.canonical(
       Similarity.nearDupPairs(emb(s, d)))),
+    // deterministic Lloyd k-means (k=8, 2 iterations): exact integer
+    // squared-L2 assignment, floor-mean centroid updates
+    "kmeans_assign" -> prep((s, d) =>
+      Similarity.kmeansAssign(emb(s, d), k = 8, iters = 2)
+        .orderBy("vec_id")),
     // SemDeDup-style embedding dedup: IVF cells → within-cell cosine
     // pairs → connected components → one survivor per component
     "semantic_dedup" -> prep((s, d) =>
@@ -703,6 +708,7 @@ object SparkEntry {
     "ann_lsh_topk" -> ExtOracle.annLshTopK,
     "neardup_embeddings" -> ExtOracle.nearDupEmbeddings,
     "semantic_dedup" -> ExtOracle.semanticDedup,
+    "kmeans_assign" -> ExtOracle.kmeansAssign,
     "ann_ivf_topk" -> ExtOracle.ivfTopK,
     "multimodal_features" -> ExtOracle.multimodalFeatures,
     "multimodal_resize" -> ExtOracle.multimodalResize,

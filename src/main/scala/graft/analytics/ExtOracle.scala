@@ -1154,6 +1154,45 @@ ${ord("a_id", "b_id")}""".trim
   private val quantized2 =
     "SELECT vec_id, label, list_transform(embedding, x -> round(CAST(x AS DOUBLE)*1000)) AS q FROM embeddings"
 
+  /** Twin of Similarity.kmeansAssign(k=8, iters=2): iterations unrolled
+    * as CTE chains — same integer sq-L2 (self-dots precomputed), same
+    * (d, cluster) argmin tie-break (window form of Spark's
+    * min(struct)), same floor(sum/count) centroid components
+    * reassembled by dim order. */
+  val kmeansAssign: String = {
+    val k = 8
+    def step(i: Int, cents: String) = s"""
+s$i AS (
+  SELECT e.vec_id, e.q, e.qq, c.cluster,
+    CAST(e.qq - 2*CAST(list_dot_product(e.q, c.cq) AS BIGINT) + c.cqq AS BIGINT) AS d
+  FROM ed e, $cents c),
+a$i AS (
+  SELECT vec_id, q, cluster, d FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cluster ASC) AS rk
+    FROM s$i) WHERE rk = 1)"""
+    def update(i: Int) = s"""
+x$i AS (SELECT cluster, unnest(generate_series(1, len(q))) AS dim, q FROM a$i),
+u$i AS (
+  SELECT cluster, dim,
+    CAST(floor(CAST(SUM(q[CAST(dim AS INT)]) AS DOUBLE) /
+      CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS c
+  FROM x$i GROUP BY cluster, dim),
+c$i AS (SELECT cluster, list(c ORDER BY dim) AS cq FROM u$i GROUP BY cluster),
+cd$i AS (SELECT cluster, cq,
+  CAST(list_dot_product(cq, cq) AS BIGINT) AS cqq FROM c$i)"""
+    s"""
+WITH e AS ($quantized),
+ed AS (SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS qq FROM e),
+c0 AS (SELECT vec_id AS cluster, q AS cq, qq AS cqq FROM ed ORDER BY vec_id LIMIT $k),
+${step(1, "c0")},
+${update(1)},
+${step(2, "cd1")},
+${update(2)},
+${step(3, "cd2")}
+SELECT vec_id, cluster, d AS dist FROM a3
+${ord("vec_id")}""".trim
+  }
+
   val annCosineTopK: String = s"""
 WITH e AS ($quantized),
 qv AS (SELECT q AS qq FROM e WHERE vec_id = 0),

@@ -209,6 +209,63 @@ object Similarity {
       .drop("rk")
   }
 
+  /** Distributed k-means (Lloyd's algorithm, FIXED iteration count) —
+    * the clustering primitive behind cluster-based curation (topic
+    * balancing, cluster-level dedup/pruning, importance-weighted
+    * mixes). Built for exact cross-engine determinism, unlike MLlib's
+    * sampled/seeded KMeans:
+    *
+    *  - init: the k lowest-vec_id vectors, cluster id = that vec_id;
+    *  - assignment: exact integer squared-L2 argmin over broadcast
+    *    centroids (d = qq − 2·q·c + cc from precomputed self-dots —
+    *    one dot per pair), partial-aggregatable min_by with (d,
+    *    cluster) tie-break;
+    *  - update: per-(cluster, dim) integer sums → floor(sum/count)
+    *    component (one IEEE double division + floor, identical on any
+    *    engine) → centroid arrays reassembled by sorted dim.
+    *
+    * Empty clusters (possible when duplicate init points tie) simply
+    * drop out, the standard Lloyd behavior. A fixed `iters` (not a
+    * convergence test) keeps the plan static and the result
+    * reproducible bit-for-bit.
+    *
+    * Scale shape per iteration: one broadcast-join assignment pass
+    * (corpus never shuffles; min_by combines map-side so the exchange
+    * carries ~|corpus| narrow rows) + one posexplode groupBy on
+    * (cluster, dim) — k·dim result rows, map-side combinable. The
+    * corpus is scanned 2·iters+1 times; cache the quantized input
+    * when iterating more deeply. */
+  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val e = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .select(col("vec_id"), col("q"), dotL(col("q"), col("q")).as("qq"))
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("q"),
+          col("cluster"),
+          (col("qq") - lit(2L) * dotL(col("q"), col("cq")) + col("cqq")).as("d"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d"), col("cluster"), col("q"))).as("m"))
+        .select(col("vec_id"), col("m.cluster").as("cluster"),
+          col("m.d").as("dist"), col("m.q").as("q"))
+    var cents = e.orderBy(col("vec_id").asc).limit(k)
+      .select(col("vec_id").as("cluster"), col("q").as("cq"),
+        col("qq").as("cqq"))
+    for (_ <- 1 to iters) {
+      cents = assign(cents)
+        .select(col("cluster"), posexplode(col("q")).as(Seq("dim", "v")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .withColumn("c",
+          floor(col("s").cast("double") / col("n").cast("double")).cast("long"))
+        .groupBy(col("cluster"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("c")))),
+          x => x.getField("c")).as("cq"))
+        .select(col("cluster"), col("cq"), dotL(col("cq"), col("cq")).as("cqq"))
+    }
+    assign(cents).select(col("vec_id"), col("cluster"), col("dist"))
+  }
+
   /** Per-label centroid components over quantized embeddings — the
     * "mean vector per class" primitive (label prototypes, class-aware
     * IVF seeding, embedding-drift monitoring). posexplode to

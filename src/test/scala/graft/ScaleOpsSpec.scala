@@ -22,6 +22,30 @@ class ScaleOpsSpec extends SparkSpec {
     assert(cells.subsetOf(cents), "cells must be centroid ids")
   }
 
+  test("kmeansAssign: separated blobs cluster together, exhaustive, layout-invariant") {
+    // two tight blobs far apart; init = 2 lowest ids, one in each blob
+    val blobA = (0L to 4L).map(i => (i, Seq(1.0f, 1.0f, 0.0f + i * 0.001f)))
+    val blobB = (5L to 9L).map(i => (i, Seq(-1.0f, -1.0f, 0.0f + i * 0.001f)))
+    // id 1 sits in blob B so init centroids {0, 1} straddle both blobs
+    val rows = (blobA.take(1) ++ Seq((1L, Seq(-1.0f, -1.0f, 0.1f))) ++
+      blobA.drop(2) ++ blobB).sortBy(_._1)
+    val docs = rows.toDF("vec_id", "embedding")
+    val got = Similarity.kmeansAssign(docs, k = 2, iters = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.size == rows.size, "every vector assigned")
+    val aCluster = got(0L)._1
+    val bCluster = got(1L)._1
+    assert(aCluster != bCluster, "two distinct clusters survive")
+    Seq(2L, 3L, 4L).foreach(i => assert(got(i)._1 == aCluster, s"vec $i in blob A"))
+    (5L to 9L).foreach(i => assert(got(i)._1 == bCluster, s"vec $i in blob B"))
+    // distances are exact integers ≥ 0
+    got.values.foreach { case (_, d) => assert(d >= 0) }
+    // deterministic under repartitioning
+    val rep = Similarity.kmeansAssign(docs.repartition(5), k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep == got)
+  }
+
   test("semanticDedup: survivors = corpus minus non-min members of within-cell components") {
     val kept = Similarity.semanticDedup(emb, threshold = 0.4, centroidMod = 10)
     val keptIds = kept.select("vec_id").collect().map(_.getLong(0)).toSet
