@@ -224,6 +224,10 @@ object SparkEntry {
     "repetition_score" -> prep((s, d) =>
       TextAnalysis.repetitionScore(docs(s, d)).orderBy("doc_id")),
     // corpus-unigram LM quality (perplexity-filter analog)
+    // TF-IDF distinctive terms per doc (integer-quantized idf, top-5)
+    "tfidf_top_terms" -> prep((s, d) =>
+      TextAnalysis.tfidfTopTerms(docs(s, d), k = 5)
+        .orderBy("doc_id", "tok")),
     // DSIR-style importance weights vs the lang='en' target slice
     "dsir_weights" -> prep((s, d) =>
       TextAnalysis.dsirWeights(docs(s, d), col("lang") === "en")
@@ -292,6 +296,29 @@ object SparkEntry {
     "dedup_clusters" -> prep((s, d) =>
       Dedup.dupClusters(Dedup.ngramJaccardPairs(docs(s, d)))
         .orderBy("doc_id")),
+    // C4-style line cleaning over a derived multi-line corpus with
+    // deterministic terminal punctuation (3 of 4 lines) and injected
+    // "javascript" / "lorem ipsum" lines — every rule path fires; the
+    // oracle twin derives the identical corpus
+    "c4_clean" -> prep((s, d) => {
+      val derived = docs(s, d)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+        .select(col("doc_id"),
+          concat(
+            array_join(transform(
+              sequence(lit(1), greatest(
+                ceil(size(col("w")).cast("double") / 10.0).cast("int"), lit(1))),
+              i => concat(
+                concat_ws(" ", slice(col("w"), (i - 1) * 10 + 1, lit(10))),
+                when((col("doc_id") + i) % 4 === 0, "").otherwise("."))),
+              "\n"),
+            when(col("doc_id") % 89 === 0,
+              "\nplease enable javascript to view this page.").otherwise(""),
+            when(col("doc_id") % 97 === 0,
+              "\nlorem ipsum dolor sit amet consectetur adipiscing elit.")
+              .otherwise("")).as("text"))
+      TextAnalysis.c4Clean(derived).orderBy("doc_id")
+    }),
     // corpus-wide line-level exact dedup: first occurrence survives.
     // The fixture is single-line, so the entry derives a multi-line
     // corpus deterministically (10-token lines) — the oracle twin
@@ -368,6 +395,10 @@ object SparkEntry {
     // squared-L2 assignment, floor-mean centroid updates
     "kmeans_assign" -> prep((s, d) =>
       Similarity.kmeansAssign(emb(s, d), k = 8, iters = 2)
+        .orderBy("vec_id")),
+    // k-means clusters + equal per-cluster cap (topic balancing)
+    "cluster_balanced_sample" -> prep((s, d) =>
+      Similarity.clusterBalancedSample(emb(s, d), k = 8, iters = 2, cap = 40)
         .orderBy("vec_id")),
     // SemDeDup-style embedding dedup: IVF cells → within-cell cosine
     // pairs → connected components → one survivor per component
@@ -694,6 +725,7 @@ object SparkEntry {
     "dedup_clusters" -> ExtOracle.dedupClusters,
     "dedup_corpus" -> ExtOracle.dedupCorpus,
     "line_dedup" -> ExtOracle.lineDedup,
+    "c4_clean" -> ExtOracle.c4Clean,
     "decontaminate" -> ExtOracle.decontaminate,
     "decontaminate_bloom" -> ExtOracle.decontaminate, // same result, bloom path
     "chunk_docs" -> ExtOracle.chunkDocs,
@@ -709,6 +741,8 @@ object SparkEntry {
     "neardup_embeddings" -> ExtOracle.nearDupEmbeddings,
     "semantic_dedup" -> ExtOracle.semanticDedup,
     "kmeans_assign" -> ExtOracle.kmeansAssign,
+    "cluster_balanced_sample" -> ExtOracle.clusterBalancedSample,
+    "tfidf_top_terms" -> ExtOracle.tfidfTopTerms,
     "ann_ivf_topk" -> ExtOracle.ivfTopK,
     "multimodal_features" -> ExtOracle.multimodalFeatures,
     "multimodal_resize" -> ExtOracle.multimodalResize,

@@ -886,6 +886,41 @@ SELECT doc_id,
 FROM keyed
 ${ord("doc_id")}""".trim
 
+  /** Twin of TextAnalysis.c4Clean over the same derived corpus the
+    * gate entry builds (10-token lines, (doc_id+i)%4 punctuation rule,
+    * injected javascript/lorem lines): same line predicates, same
+    * page-level drops. */
+  val c4Clean: String = s"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+ml AS (
+  SELECT doc_id,
+    array_to_string(list_transform(
+      generate_series(1, greatest(CAST(ceil(len(w)/10.0) AS INT), 1)),
+      i -> array_to_string(list_slice(w, (i-1)*10+1, (i-1)*10+10), ' ') ||
+           CASE WHEN (doc_id + i) % 4 = 0 THEN '' ELSE '.' END),
+      chr(10))
+    || CASE WHEN doc_id % 89 = 0
+         THEN chr(10) || 'please enable javascript to view this page.'
+         ELSE '' END
+    || CASE WHEN doc_id % 97 = 0
+         THEN chr(10) || 'lorem ipsum dolor sit amet consectetur adipiscing elit.'
+         ELSE '' END AS text
+  FROM w),
+l AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM ml),
+k AS (
+  SELECT doc_id, text, CAST(len(lines) AS INT) AS n_lines,
+    list_filter(lines, l -> regexp_matches(trim(l), '[.!?"'']$$')
+      AND len(string_split_regex(trim(l), '\\s+')) >= 5
+      AND NOT contains(lower(l), 'javascript')
+      AND NOT contains(l, '{') AND NOT contains(l, '}')) AS kept
+  FROM l)
+SELECT doc_id, n_lines, CAST(len(kept) AS INT) AS n_lines_kept,
+  array_to_string(kept, chr(10)) AS text_clean
+FROM k
+WHERE NOT contains(lower(text), 'lorem ipsum') AND len(kept) >= 3
+${ord("doc_id")}""".trim
+
   /** Twin of Dedup.lineDedup over the derived 10-token-line corpus:
     * same line derivation, first occurrence by (doc_id, ord) via a
     * window (Spark's min(struct) argmin — same classes, grouping by
@@ -1159,7 +1194,7 @@ ${ord("a_id", "b_id")}""".trim
     * (d, cluster) argmin tie-break (window form of Spark's
     * min(struct)), same floor(sum/count) centroid components
     * reassembled by dim order. */
-  val kmeansAssign: String = {
+  private val kmeansChain: String = {
     val k = 8
     def step(i: Int, cents: String) = s"""
 s$i AS (
@@ -1188,10 +1223,50 @@ ${step(1, "c0")},
 ${update(1)},
 ${step(2, "cd1")},
 ${update(2)},
-${step(3, "cd2")}
+${step(3, "cd2")}""".trim
+  }
+
+  val kmeansAssign: String = s"""
+$kmeansChain
 SELECT vec_id, cluster, d AS dist FROM a3
 ${ord("vec_id")}""".trim
-  }
+
+  /** Twin of Similarity.clusterBalancedSample: the kmeans chain + the
+    * per-cluster Knuth-bucket-ordered cap window. */
+  val clusterBalancedSample: String = s"""
+$kmeansChain,
+capped AS (
+  SELECT vec_id, cluster,
+    ROW_NUMBER() OVER (PARTITION BY cluster
+      ORDER BY ((vec_id % 1000003) * 2654435761) % 10000 ASC, vec_id ASC) AS rn
+  FROM a3)
+SELECT vec_id, cluster FROM capped WHERE rn <= 40
+${ord("vec_id")}""".trim
+
+  /** Twin of TextAnalysis.tfidfTopTerms: per-TERM integer-quantized
+    * idf, exact int64 scores, (score DESC, tok ASC) top-k window. */
+  val tfidfTopTerms: String = s"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents),
+tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, tok),
+dfq AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.tok, t.tf, d.df,
+    t.tf * CAST(round(ln(CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE))
+      * 1000000) AS BIGINT) AS q_tfidf
+  FROM tf t JOIN dfq d ON t.tok = d.tok, n),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+    ORDER BY q_tfidf DESC, tok ASC) AS rk
+  FROM scored)
+SELECT doc_id, tok, tf, df, q_tfidf FROM rk WHERE rk <= 5
+${ord("doc_id", "tok")}""".trim
 
   val annCosineTopK: String = s"""
 WITH e AS ($quantized),

@@ -266,6 +266,27 @@ object Similarity {
     assign(cents).select(col("vec_id"), col("cluster"), col("dist"))
   }
 
+  /** Cluster-balanced subsampling — k-means topic clusters, then an
+    * equal per-cluster cap: the "topic balancing" selector that stops
+    * one dominant mode (one crawl domain, one boilerplate family) from
+    * monopolizing a training mix. Members are capped in deterministic
+    * pseudo-random order (Knuth bucket of vec_id, then vec_id — not id
+    * prefix order, which would bias toward early ids).
+    *
+    * Scale shape: kmeansAssign's passes + one per-cluster top-k window
+    * — row_number ≤ cap gets WindowGroupLimit map-side pruning, so
+    * each map task forwards at most cap rows per cluster. */
+  def clusterBalancedSample(emb: DataFrame, k: Int = 8, iters: Int = 2,
+      cap: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(Sampling.bucket(col("vec_id"), 10000).asc, col("vec_id").asc)
+    kmeansAssign(emb, k, iters)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= cap)
+      .select(col("vec_id"), col("cluster"))
+  }
+
   /** Per-label centroid components over quantized embeddings — the
     * "mean vector per class" primitive (label prototypes, class-aware
     * IVF seeding, embedding-drift monitoring). posexplode to

@@ -268,6 +268,67 @@ object TextAnalysis {
           / 1000000)
   }
 
+  /** TF-IDF top terms per document — the classic distinctive-term
+    * extractor (topic tagging, keyword indexing, cluster labeling).
+    * Score = tf · round(ln(N/df)·10⁶): the idf factor is quantized to
+    * an integer per TERM before the per-doc ranking, so scores are
+    * exact int64 products and the top-k cut is engine-reproducible
+    * (ties broken by token text).
+    *
+    * Scale shape: one (doc, tok) count agg, one distinct+count agg for
+    * document frequencies (both map-side combinable, shuffled on the
+    * token key), a 1-row broadcast for N, and a per-doc top-k window —
+    * row_number ≤ k gets WindowGroupLimit map-side pruning. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("q_tfidf").desc, col("tok").asc)
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        (col("tf") * round(log(col("n_docs").cast("double") /
+          col("df").cast("double")) * 1000000).cast("long")).as("q_tfidf"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .drop("rk")
+  }
+
+  /** C4-style line-level cleaning — the rule set behind the C4 corpus,
+    * applied line-by-line then page-level: keep lines that end in a
+    * terminal punctuation mark, have at least `minLineWords` words,
+    * and contain neither "javascript" nor curly braces; drop the whole
+    * page if it mentions "lorem ipsum" anywhere or retains fewer than
+    * `minLines` lines. Returns surviving documents with the cleaned
+    * text and line counts.
+    *
+    * Pure per-row projection + filter (no shuffle, no explode — the
+    * line array is filtered in place and rejoined); fuses into the
+    * scan at any scale. */
+  def c4Clean(docs: DataFrame, textCol: String = "text",
+      minLineWords: Int = 5, minLines: Int = 3): DataFrame = {
+    val keepLine = (l: Column) =>
+      trim(l).rlike("[.!?\"']$") &&
+        size(split(trim(l), "\\s+")) >= minLineWords &&
+        !lower(l).contains("javascript") &&
+        !l.contains("{") && !l.contains("}")
+    val kept = docs
+      .select(col("doc_id"), col(textCol),
+        split(col(textCol), "\n").as("lines"))
+      .select(col("doc_id"), col(textCol),
+        size(col("lines")).cast("int").as("n_lines"),
+        filter(col("lines"), keepLine).as("kept"))
+    kept
+      .where(!lower(col(textCol)).contains("lorem ipsum") &&
+        size(col("kept")) >= minLines)
+      .select(col("doc_id"), col("n_lines"),
+        size(col("kept")).cast("int").as("n_lines_kept"),
+        array_join(col("kept"), "\n").as("text_clean"))
+  }
+
   /** DSIR-style importance weighting — data selection via importance
     * resampling: score every document by how much more likely its
     * tokens are under a TARGET distribution (a trusted/high-quality

@@ -166,6 +166,61 @@ class ExtSpec extends SparkSpec {
     assert(got(3L) == ((1, 1, 0.0)))
   }
 
+  test("tfidfTopTerms: rare distinctive terms outrank ubiquitous ones") {
+    val docs = Seq(
+      (1L, "common common common zebra"),
+      (2L, "common common quark quark"),
+      (3L, "common plain words here")
+    ).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.tfidfTopTerms(docs, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(4)))
+      .groupBy(_._1).view.mapValues(_.sortBy(-_._3).map(_._2).toSeq).toMap
+    // "common" is in every doc → idf 0 → never the top term
+    assert(got(1L).head == "zebra", got(1L).toString)
+    assert(got(2L).head == "quark", got(2L).toString)
+    assert(!got(3L).headOption.contains("common") || got(3L).size > 1)
+    // every q_tfidf for "common" is exactly 0 (ln(3/3) = 0)
+    val common = graft.ext.TextAnalysis.tfidfTopTerms(docs, k = 4)
+      .where(col("tok") === "common").select("q_tfidf")
+      .collect().map(_.getLong(0))
+    assert(common.nonEmpty && common.forall(_ == 0L))
+  }
+
+  test("clusterBalancedSample: per-cluster cap enforced, subset of assignment") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val sampled = graft.ext.Similarity.clusterBalancedSample(emb, k = 4,
+      iters = 1, cap = 10)
+    val per = sampled.groupBy("cluster").count().collect().map(_.getLong(1))
+    assert(per.forall(_ <= 10), s"cap violated: ${per.mkString(",")}")
+    val assigned = graft.ext.Similarity.kmeansAssign(emb, k = 4, iters = 1)
+      .select("vec_id", "cluster").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val samp = sampled.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(samp.subsetOf(assigned), "sample must be a subset of the assignment")
+  }
+
+  test("c4Clean: line rules and page rules fire as designed") {
+    val docs = Seq(
+      (1L, "this line ends with a period.\nthis one has a question mark?\nshort one.\nno terminal punct here at all\nanother good sentence right here."),
+      (2L, "uses javascript for the menu bar.\nfine sentence number one here.\nfine sentence number two here.\nfine sentence number three here."),
+      (3L, "config { key: value } in braces.\ngood line one stays in place.\ngood line two stays in place.\ngood line three stays in place."),
+      (4L, "lorem ipsum dolor sit amet today.\nperfect sentence number one here.\nperfect sentence number two here.\nperfect sentence number three here."),
+      (5L, "only one good sentence survives here.\nbad\nworse\nno punct")
+    ).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.c4Clean(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    // doc 1: 5 lines; "short one." fails min words, unpunctuated line fails
+    assert(got(1L)._1 == 5 && got(1L)._2 == 3)
+    assert(!got(1L)._3.contains("short one"))
+    // doc 2: javascript LINE dropped, page survives on the other three
+    assert(got(2L)._2 == 3 && !got(2L)._3.contains("javascript"))
+    // doc 3: braces line dropped
+    assert(got(3L)._2 == 3 && !got(3L)._3.contains("{"))
+    // doc 4: lorem ipsum anywhere kills the PAGE
+    assert(!got.contains(4L))
+    // doc 5: fewer than 3 surviving lines kills the page
+    assert(!got.contains(5L))
+  }
+
   test("dsirWeights: target-like docs outscore raw-like docs, OOV-in-target penalized") {
     // target = label 1 docs; "good" tokens dominate the target slice,
     // "junk" tokens appear only outside it
