@@ -339,6 +339,16 @@ object SparkEntry {
     "dedup_corpus" -> prep((s, d) =>
       Dedup.dedupCorpus(docs(s, d))
         .select("doc_id", "lang", "source").orderBy("doc_id")),
+    // incremental ingest dedup: the doc_id%5 slice is "today's batch",
+    // the rest is the standing corpus — batch docs near-dup against
+    // the corpus or an earlier batch doc are dropped
+    "incremental_dedup" -> prep((s, d) => {
+      val all = docs(s, d)
+      Dedup.incrementalDedup(
+        all.where(col("doc_id") % 5 =!= 0),
+        all.where(col("doc_id") % 5 === 0))
+        .select("doc_id", "lang", "source").orderBy("doc_id")
+    }),
     // overlapping token-window chunking (context-window prep; 32/8 so
     // the fixture docs actually produce multi-chunk overlap)
     "chunk_docs" -> prep((s, d) =>
@@ -726,6 +736,7 @@ object SparkEntry {
     "dedup_corpus" -> ExtOracle.dedupCorpus,
     "line_dedup" -> ExtOracle.lineDedup,
     "c4_clean" -> ExtOracle.c4Clean,
+    "incremental_dedup" -> ExtOracle.incrementalDedup,
     "decontaminate" -> ExtOracle.decontaminate,
     "decontaminate_bloom" -> ExtOracle.decontaminate, // same result, bloom path
     "chunk_docs" -> ExtOracle.chunkDocs,

@@ -1040,6 +1040,32 @@ FROM pairs
 WHERE CAST(inter AS DOUBLE) / CAST(a_n + b_n - inter AS DOUBLE) >= 0.5
 ${ord("a_id", "b_id")}""".trim
 
+  /** Twin of Dedup.incrementalDedup (batch = doc_id%5): same shingle
+    * join restricted to batch-left pairs, same Jaccard cut, batch
+    * survivors via anti-join. */
+  val incrementalDedup: String = s"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+shl AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(w) - 2, 1)),
+    i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS sh
+  FROM ws),
+sized AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM shl),
+pairs AS (
+  SELECT a.doc_id AS a_id, COUNT(*) AS inter,
+    MIN(a.n_sh) AS a_n, MIN(b.n_sh) AS b_n, b.doc_id AS b_id
+  FROM sized a JOIN sized b ON a.s = b.s
+  WHERE a.doc_id % 5 = 0 AND (b.doc_id % 5 <> 0 OR b.doc_id < a.doc_id)
+  GROUP BY a.doc_id, b.doc_id),
+losers AS (
+  SELECT DISTINCT a_id AS doc_id FROM pairs
+  WHERE CAST(inter AS DOUBLE) / CAST(a_n + b_n - inter AS DOUBLE) >= 0.5)
+SELECT d.doc_id, d.lang, d.source FROM documents d
+WHERE d.doc_id % 5 = 0 AND d.doc_id NOT IN (SELECT doc_id FROM losers)
+${ord("doc_id")}""".trim
+
   /** Twin of TextAnalysis.fingerprint (native PolyHash64): the rolling
     * hash h = h·1000003 + byte (mod 2^64) is composable — h(s) =
     * Σ byte_i · B^(n-i) (mod 2^64) — so the twin sums per-char terms

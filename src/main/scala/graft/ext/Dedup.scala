@@ -416,6 +416,43 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Incremental batch dedup — the daily-ingest shape: deduplicate a
+    * NEW batch against the existing corpus (and internally) without
+    * ever pairing corpus docs with each other. A batch doc is dropped
+    * iff it n-gram-Jaccard-near-duplicates any corpus doc or any
+    * lower-id batch doc (dropped or not — the conservative, order-free
+    * rule that needs no connected-components closure); survivors are
+    * returned unchanged, ready to append.
+    *
+    * Scale shape: this is `ngramJaccardPairs` with the LEFT side
+    * restricted to the batch — the shingle equi-join fans out as
+    * |batch shingles| × matches, so daily work scales with the batch,
+    * not the corpus; the corpus side contributes only posting-list
+    * rows that actually collide with a batch shingle. In production
+    * the corpus's (shingle-hash, doc_id, n_sh) posting list is the
+    * precomputed index this join probes. */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame, w: Int = 3,
+      minJaccard: Double = 0.5): DataFrame = {
+    val bSized = hashedShingled(batch, w).withColumn("n_sh", size(col("sh")))
+    val bEx = bSized.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"),
+      explode(col("sh")).as("s"))
+    val poolEx = hashedShingled(corpus, w).withColumn("n_sh", size(col("sh")))
+      .select(col("doc_id").as("b_id"), col("n_sh").as("b_n"),
+        lit(true).as("is_corpus"), explode(col("sh")).as("s"))
+      .unionByName(bSized.select(col("doc_id").as("b_id"),
+        col("n_sh").as("b_n"), lit(false).as("is_corpus"),
+        explode(col("sh")).as("s")))
+    val losers = bEx.join(poolEx, "s")
+      .where(col("is_corpus") || col("b_id") < col("a_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"),
+        min(col("a_n")).as("a_n"), min(col("b_n")).as("b_n"))
+      .where(col("inter").cast("double") /
+        (col("a_n") + col("b_n") - col("inter")).cast("double") >= minJaccard)
+      .select(col("a_id").as("doc_id")).distinct()
+    batch.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Corpus-wide LINE-level exact dedup — the sub-document dedup tier
     * (boilerplate headers, navigation text, license blocks recur
     * across millions of pages; document-level dedup never sees them).

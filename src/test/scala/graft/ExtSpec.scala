@@ -243,6 +243,32 @@ class ExtSpec extends SparkSpec {
     assert(got(3L)._2 < 0)
   }
 
+  test("incrementalDedup: batch deduped vs corpus and earlier batch docs only") {
+    val corpus = Seq(
+      (1L, "the standing corpus document about spark joins and shuffles"),
+      (2L, "a corpus document describing broadcast hash joins in detail")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the standing corpus document about spark joins and shuffles"), // dup of corpus 1
+      (11L, "a fresh batch document with genuinely novel content here"),
+      (12L, "a fresh batch document with genuinely novel content here"),    // dup of batch 11
+      (13L, "completely unrelated text that matches nothing else at all")
+    ).toDF("doc_id", "text")
+    val kept = graft.ext.Dedup.incrementalDedup(corpus, batch)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 13L), s"got $kept")
+    // corpus is never filtered — only the batch is returned
+    assert(!kept.contains(1L) && !kept.contains(2L))
+    // conservative rule: a doc duplicating a DROPPED lower batch doc
+    // still drops (10 dups corpus; 14 dups 10 → both gone)
+    val batch2 = batch.union(Seq(
+      (14L, "the standing corpus document about spark joins and shuffles"))
+      .toDF("doc_id", "text"))
+    val kept2 = graft.ext.Dedup.incrementalDedup(corpus, batch2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(11L, 13L), s"got $kept2")
+  }
+
   test("lineDedup: first corpus-wide occurrence survives, docs reassemble in order") {
     val docs = Seq(
       (1L, "alpha\nshared header\nbeta"),
