@@ -253,6 +253,11 @@ object SparkEntry {
     // in one declarative plan, oracle-checked as a whole
     "pretraining_corpus" -> prep((s, d) =>
       Curation.pretrainingCorpus(docs(s, d), emb(s, d)).orderBy("doc_id")),
+    // per-stage survivor counts (pipeline yield observability):
+    // raw → shape rules → exact dedup → greedy near dedup → decontam
+    "curation_funnel" -> prep((s, d) =>
+      Curation.curationFunnel(docs(s, d),
+        docs(s, d).where(col("doc_id") % 97 === 0)).orderBy("stage")),
     // ---- deterministic sampling / splitting / skew handling ----------
     "train_test_split" -> prep((s, d) =>
       Sampling.assignSplit(docs(s, d)).select("doc_id", "split").orderBy("doc_id")),
@@ -726,6 +731,7 @@ object SparkEntry {
     "lang_id" -> ExtOracle.langId,
     "curated_corpus" -> ExtOracle.curated,
     "pretraining_corpus" -> ExtOracle.pretrainingCorpus,
+    "curation_funnel" -> ExtOracle.curationFunnel,
     "train_test_split" -> ExtOracle.trainTestSplit,
     "leakage_safe_split" -> ExtOracle.leakageSafeSplit,
     "stratified_sample" -> ExtOracle.stratifiedSample,

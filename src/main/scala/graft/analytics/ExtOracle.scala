@@ -1040,6 +1040,74 @@ FROM pairs
 WHERE CAST(inter AS DOUBLE) / CAST(a_n + b_n - inter AS DOUBLE) >= 0.5
 ${ord("a_id", "b_id")}""".trim
 
+  /** Twin of Curation.curationFunnel: the same five-stage chain —
+    * shape-quality rules, exact dedup (min id per sha256), greedy
+    * first-wins near dedup (distinct b_id of ≥0.5 Jaccard pairs),
+    * w=8 decontamination vs the doc_id%97 benchmark slice. */
+  val curationFunnel: String = s"""
+WITH sig AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents),
+q AS (
+  SELECT doc_id FROM sig
+  WHERE len(w) BETWEEN 20 AND 100000
+    AND (CAST(length(array_to_string(w, '')) AS DOUBLE) /
+         CAST(len(w) AS DOUBLE)) BETWEEN 3.0 AND 10.0
+    AND (CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) /
+         CAST(len(w) AS DOUBLE)) <= 0.1
+    AND (CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) /
+         CAST(len(w) AS DOUBLE)) >= 0.8),
+s1 AS (SELECT d.doc_id, d.text FROM documents d JOIN q USING (doc_id)),
+e AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY sha256(text)) AS m FROM s1)
+  WHERE doc_id = m),
+s2 AS (SELECT s1.doc_id, s1.text FROM s1 JOIN e USING (doc_id)),
+ws2 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM s2),
+sh2 AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(w) - 2, 1)),
+    i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS sh
+  FROM ws2),
+sz2 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh2),
+pr AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter,
+    MIN(a.n_sh) AS a_n, MIN(b.n_sh) AS b_n
+  FROM sz2 a JOIN sz2 b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+nl AS (
+  SELECT DISTINCT b_id AS doc_id FROM pr
+  WHERE CAST(inter AS DOUBLE) / CAST(a_n + b_n - inter AS DOUBLE) >= 0.5),
+s3 AS (SELECT s2.doc_id, s2.text FROM s2
+  WHERE doc_id NOT IN (SELECT doc_id FROM nl)),
+bs AS (
+  SELECT DISTINCT unnest(sh) AS s FROM (
+    SELECT list_distinct(list_transform(
+      generate_series(1, greatest(len(w) - 7, 1)),
+      i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS sh
+    FROM (SELECT string_split_regex(trim(text), '\\s+') AS w
+      FROM documents WHERE doc_id % 97 = 0))),
+w3 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM s3),
+sh3 AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(w) - 7, 1)),
+    i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS sh
+  FROM w3),
+sz3 AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh3),
+cont AS (
+  SELECT doc_id FROM (
+    SELECT z.doc_id, MIN(z.n_sh) AS n_sh, COUNT(*) AS hits
+    FROM sz3 z JOIN bs ON z.s = bs.s GROUP BY z.doc_id)
+  WHERE CAST(hits AS DOUBLE) / CAST(n_sh AS DOUBLE) >= 0.2),
+s4 AS (SELECT doc_id FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM cont))
+SELECT 0 AS stage, 'raw' AS stage_name,
+  CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs
+UNION ALL SELECT 1, 'quality_rules', CAST((SELECT COUNT(*) FROM s1) AS BIGINT)
+UNION ALL SELECT 2, 'exact_dedup', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+UNION ALL SELECT 3, 'near_dedup', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+UNION ALL SELECT 4, 'decontaminated', CAST((SELECT COUNT(*) FROM s4) AS BIGINT)
+ORDER BY stage""".trim
+
   /** Twin of Dedup.incrementalDedup (batch = doc_id%5): same shingle
     * join restricted to batch-left pairs, same Jaccard cut, batch
     * survivors via anti-join. */

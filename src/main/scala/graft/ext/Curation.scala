@@ -72,4 +72,47 @@ object Curation {
       .select("doc_id", "lang_pred", "quality", "mean_logprob",
         "repetition", "split")
   }
+
+  /** Curation funnel report — per-stage survivor counts, the yield
+    * observability every production pipeline publishes (how many docs
+    * each tier removed, so a mis-tuned threshold shows up as a cliff
+    * in a dashboard rather than a silent corpus collapse):
+    *
+    *   raw → shape-quality rules (the gopherRules signals that bind on
+    *   any corpus: word-count band, mean word length, symbol ratio,
+    *   alphabetic fraction) → exact dedup (first id wins) → near
+    *   dedup (greedy first-wins: a doc drops on any Jaccard pair to a
+    *   lower id — deliberately closure-free, unlike dedupCorpus's
+    *   connected components) → benchmark decontamination.
+    *
+    * Returns (stage, stage_name, n_docs) — 5 rows. Each stage's count
+    * is an independent aggregate of the composed plan; Catalyst
+    * computes the shared prefixes per branch, and the counts
+    * themselves are 1-row aggregates (no data ever collects). */
+  def curationFunnel(docs: DataFrame, benchmark: DataFrame,
+      minWords: Int = 20, w: Int = 3, minJaccard: Double = 0.5,
+      maxContamination: Double = 0.2): DataFrame = {
+    val sig = TextAnalysis.gopherRules(docs, minWords)
+      .where(col("n_words").between(minWords, 100000) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("symbol_ratio") <= 0.1 &&
+        col("frac_alpha_words") >= 0.8)
+      .select("doc_id")
+    val s1 = docs.join(sig, "doc_id")
+    val keepExact = s1.groupBy(sha2(col("text"), 256))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val s2 = s1.join(keepExact, "doc_id")
+    val nearLosers = Dedup.ngramJaccardPairs(s2, w, minJaccard)
+      .select(col("b_id").as("doc_id")).distinct()
+    val s3 = s2.join(nearLosers, Seq("doc_id"), "left_anti")
+    val contaminated = Dedup.contamination(s3, benchmark)
+      .where(col("contamination") >= maxContamination).select("doc_id")
+    val s4 = s3.join(contaminated, Seq("doc_id"), "left_anti")
+    Seq((0, "raw", docs), (1, "quality_rules", s1), (2, "exact_dedup", s2),
+      (3, "near_dedup", s3), (4, "decontaminated", s4))
+      .map { case (i, name, df) =>
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(i).as("stage"), lit(name).as("stage_name"), col("n_docs"))
+      }.reduce(_ unionByName _)
+  }
 }

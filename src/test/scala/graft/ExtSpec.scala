@@ -243,6 +243,26 @@ class ExtSpec extends SparkSpec {
     assert(got(3L)._2 < 0)
   }
 
+  test("curationFunnel: counts are monotone non-increasing and stages attribute drops") {
+    val good = "plain sensible words forming a steady document body here " * 4
+    val docs = Seq(
+      (1L, good + "one"),
+      (2L, good + "one"),            // exact dup of 1 → drops at stage 2
+      (3L, good + "two extra"),      // near dup of 1 → drops at stage 3
+      (4L, "xx"),                    // fails word-count floor → stage 1
+      (5L, "a wholly different and completely unrelated piece of text about gardens flowers and long afternoons in the quiet sunshine today")
+    ).toDF("doc_id", "text")
+    val bench = docs.where(col("doc_id") === 5L)  // doc 5 contaminates itself
+    val got = graft.ext.Curation.curationFunnel(docs, bench).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got(0) == 5)
+    assert(got(1) == 4, s"stage1: $got")          // doc 4 gone
+    assert(got(2) == 3, s"stage2: $got")          // doc 2 gone
+    assert(got(3) == 2, s"stage3: $got")          // doc 3 gone
+    assert(got(4) == 1, s"stage4: $got")          // doc 5 contaminated
+    assert((0 to 3).forall(i => got(i) >= got(i + 1)), "monotone funnel")
+  }
+
   test("incrementalDedup: batch deduped vs corpus and earlier batch docs only") {
     val corpus = Seq(
       (1L, "the standing corpus document about spark joins and shuffles"),
