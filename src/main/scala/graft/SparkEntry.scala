@@ -224,6 +224,15 @@ object SparkEntry {
     "repetition_score" -> prep((s, d) =>
       TextAnalysis.repetitionScore(docs(s, d)).orderBy("doc_id")),
     // corpus-unigram LM quality (perplexity-filter analog)
+    // feature-hashed doc vectors (the text→vector bridge); the gate
+    // dump serializes the array column — like geo_clean — so the
+    // driver's pandas-side sort never sees an unhashable ndarray
+    "feature_hash_vectors" -> prep((s, d) =>
+      TextAnalysis.featureHashVectors(docs(s, d), dim = 64)
+        .select(col("doc_id"), col("n_tokens"),
+          concat_ws(",", transform(col("features"), _.cast("string")))
+            .as("features_str"))
+        .orderBy("doc_id")),
     // TF-IDF distinctive terms per doc (integer-quantized idf, top-5)
     "tfidf_top_terms" -> prep((s, d) =>
       TextAnalysis.tfidfTopTerms(docs(s, d), k = 5)
@@ -760,6 +769,7 @@ object SparkEntry {
     "kmeans_assign" -> ExtOracle.kmeansAssign,
     "cluster_balanced_sample" -> ExtOracle.clusterBalancedSample,
     "tfidf_top_terms" -> ExtOracle.tfidfTopTerms,
+    "feature_hash_vectors" -> ExtOracle.featureHashVectors,
     "ann_ivf_topk" -> ExtOracle.ivfTopK,
     "multimodal_features" -> ExtOracle.multimodalFeatures,
     "multimodal_resize" -> ExtOracle.multimodalResize,

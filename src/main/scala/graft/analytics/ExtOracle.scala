@@ -1040,6 +1040,41 @@ FROM pairs
 WHERE CAST(inter AS DOUBLE) / CAST(a_n + b_n - inter AS DOUBLE) >= 0.5
 ${ord("a_id", "b_id")}""".trim
 
+  /** Twin of TextAnalysis.featureHashVectors: the char-level Lehmer
+    * polynomial hash rebuilt from a 31^k power table (closed form of
+    * the engine's iterative mod — k bounded at 64, far above the
+    * fixture's 8-char max token; an oracle limitation only), same
+    * bucket histogram, dense assembly via a dims cross join. */
+  val featureHashVectors: String = s"""
+WITH RECURSIVE pw(k, v) AS (
+  SELECT 0, CAST(1 AS BIGINT)
+  UNION ALL SELECT k + 1, (v * 31) % 2147483647 FROM pw WHERE k < 64),
+pl AS (SELECT list(v ORDER BY k) AS pl FROM pw),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents),
+hashed AS (
+  SELECT doc_id,
+    CASE WHEN length(tok) = 0 THEN 7 ELSE
+      ((7 * pl.pl[length(tok) + 1]) % 2147483647 +
+       COALESCE(list_sum(list_transform(generate_series(1, length(tok)),
+         i -> (ord(tok[i]) * pl.pl[length(tok) - i + 1]) % 2147483647)), 0))
+      % 2147483647 END AS h
+  FROM toks, pl),
+agg AS (
+  SELECT doc_id, h % 64 AS b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM hashed GROUP BY doc_id, h % 64),
+docsn AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens FROM agg GROUP BY doc_id),
+dims AS (SELECT unnest(generate_series(0, 63)) AS b),
+dense AS (
+  SELECT d.doc_id, d.n_tokens, dm.b, COALESCE(a.c, 0) AS c
+  FROM docsn d CROSS JOIN dims dm
+  LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.b = dm.b)
+SELECT doc_id, MIN(n_tokens) AS n_tokens,
+  array_to_string(list(c ORDER BY b), ',') AS features_str
+FROM dense GROUP BY doc_id
+${ord("doc_id")}""".trim
+
   /** Twin of Curation.curationFunnel: the same five-stage chain —
     * shape-quality rules, exact dedup (min id per sha256), greedy
     * first-wins near dedup (distinct b_id of ≥0.5 Jaccard pairs),

@@ -376,6 +376,41 @@ object TextAnalysis {
       .agg(countDistinct(col("token")).as("exact_vocab"),
         approx_count_distinct(col("token"), rsd).as("approx_vocab"))
 
+  /** Feature-hashed document vectors (the hashing trick): every token
+    * hashes to one of `dim` buckets; a document's vector is its bucket
+    * histogram. The model-free text→vector bridge — its output feeds
+    * the vector operators (kmeansAssign, lshTopK, semanticDedup) when
+    * no learned embedding exists, closing the text→cluster/dedup loop
+    * entirely inside the engine.
+    *
+    * The token hash is a char-level polynomial Lehmer hash
+    * (acc·31 + codepoint, mod 2³¹−1, seed 7) — portable integer
+    * arithmetic any engine reproduces from a 31^k power table (unlike
+    * seeded xxhash64), which is what makes the whole pipeline
+    * oracle-checkable. The per-token char loop is an interpreted HOF;
+    * for a 100 TB hot path, fuse it as a native codegen Expression
+    * exactly like PolyHash64 (same recurrence, different modulus).
+    *
+    * Scale shape: explode → per-(doc, bucket) count (map-side
+    * combinable) → per-doc dense assembly from the ≤dim sparse rows.
+    * One shuffle on (doc_id, bucket), one on doc_id. */
+  def featureHashVectors(docs: DataFrame, dim: Int = 64): DataFrame = {
+    val P = 2147483647L
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val h = when(col("tok") === "", lit(7L)).otherwise(
+      aggregate(split(col("tok"), ""), lit(7L),
+        (acc, c) => (acc * 31L + ascii(c)) % P))
+    toks.select(col("doc_id"), pmod(h, lit(dim.toLong)).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        map_from_entries(collect_list(struct(col("b"), col("c")))).as("m"))
+      .select(col("doc_id"), col("n_tokens"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("m"), i.cast("long")), lit(0L)))
+          .as("features"))
+  }
+
   /** Whole-document fingerprint via the native PolyHash64 expression —
     * order-sensitive 64-bit rolling hash of the normalized text. */
   def fingerprint(docs: DataFrame): DataFrame =

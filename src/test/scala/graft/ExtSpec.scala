@@ -243,6 +243,27 @@ class ExtSpec extends SparkSpec {
     assert(got(3L)._2 < 0)
   }
 
+  test("featureHashVectors: bag-of-words histogram, order-invariant, feeds kmeans") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"),
+      (2L, "alpha alpha beta gamma"),  // permutation of 1 → same vector
+      (3L, "delta epsilon zeta eta theta")
+    ).toDF("doc_id", "text")
+    val v = graft.ext.TextAnalysis.featureHashVectors(docs, dim = 16).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+    assert(v(1L)._1 == 4 && v(1L)._2.sum == 4, "histogram sums to token count")
+    assert(v(1L)._2 == v(2L)._2, "bag-of-words: permutations share a vector")
+    assert(v(1L)._2 != v(3L)._2, "different vocab, different vector")
+    assert(v.values.forall(_._2.size == 16), "dense fixed dim")
+    // composition: the vectors drive kmeans directly
+    val emb = graft.ext.TextAnalysis.featureHashVectors(docs, dim = 16)
+      .select(col("doc_id").as("vec_id"),
+        transform(col("features"), _.cast("float")).as("embedding"))
+    val km = graft.ext.Similarity.kmeansAssign(emb, k = 2, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(km(1L) == km(2L), "identical vectors cluster together")
+  }
+
   test("curationFunnel: counts are monotone non-increasing and stages attribute drops") {
     val good = "plain sensible words forming a steady document body here " * 4
     val docs = Seq(
