@@ -246,6 +246,10 @@ object SparkEntry {
     // cross-doc span duplication (shingle-level substring-dedup signal)
     "span_dup_score" -> prep((s, d) =>
       Dedup.spanDupScore(docs(s, d)).orderBy("doc_id")),
+    // its dual: fraction of shingles FIRST seen in this doc (marginal
+    // information each new doc adds to the corpus)
+    "novelty_score" -> prep((s, d) =>
+      Dedup.noveltyScore(docs(s, d)).orderBy("doc_id")),
     // distributed zipWithIndex: contiguous ids in doc_id order without
     // a single-reducer global window (partitions pinned: partition
     // boundaries are id-invariant but the pass count isn't worth
@@ -781,6 +785,7 @@ object SparkEntry {
     "lm_quality" -> ExtOracle.lmQuality,
     "dsir_weights" -> ExtOracle.dsirWeights,
     "span_dup_score" -> ExtOracle.spanDupScore,
+    "novelty_score" -> ExtOracle.noveltyScore,
     "embedding_centroids" -> ExtOracle.embeddingCentroids,
     "json_scan_clean" -> PinOracle.pinClean,
     "jdbc_scan_clean" -> PinOracle.pinClean,

@@ -698,6 +698,29 @@ FROM sized JOIN dfreq ON sized.s = dfreq.s
 GROUP BY sized.doc_id
 ${ord("doc_id")}""".trim
 
+  /** Twin of Dedup.noveltyScore: first-occurrence (min doc_id) per
+    * distinct clamped w=8 shingle, per-doc novel fraction. */
+  val noveltyScore: String = s"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+shl AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(w) - 7, 1)),
+    i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS sh
+  FROM ws),
+sized AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM shl),
+firsts AS (
+  SELECT s, MIN(doc_id) AS first_doc FROM sized GROUP BY s)
+SELECT sized.doc_id, CAST(MIN(sized.n_sh) AS INT) AS n_sh,
+  CAST(SUM(CASE WHEN firsts.first_doc = sized.doc_id THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_novel,
+  CAST(SUM(CASE WHEN firsts.first_doc = sized.doc_id THEN 1 ELSE 0 END)
+    AS DOUBLE) / CAST(MIN(sized.n_sh) AS DOUBLE) AS novelty
+FROM sized JOIN firsts ON sized.s = firsts.s
+GROUP BY sized.doc_id
+${ord("doc_id")}""".trim
+
   /** Connected components over the ngram-Jaccard pair graph via a
     * recursive closure (UNION-distinct fixpoint terminates on cycles);
     * cluster label = min reachable doc_id. */

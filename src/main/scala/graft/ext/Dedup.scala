@@ -416,6 +416,31 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Per-document novelty — the dual of `spanDupScore`: the fraction
+    * of a doc's distinct w-token shingles whose FIRST corpus
+    * occurrence (min doc_id) is this doc. In a doc_id-ordered corpus
+    * this measures what each new document actually adds (marginal
+    * information for curriculum ordering / crawl-value estimation);
+    * a pure copy scores 0, a fully original doc 1.
+    *
+    * Scale shape: identical to spanDupScore — distinct per-doc shingle
+    * hashes, one map-side-combinable min groupBy on the 8-byte shingle
+    * key, the join back on the same key (exchange reuse), one doc_id
+    * rollup. */
+  def noveltyScore(corpus: DataFrame, w: Int = 8): DataFrame = {
+    val sized = hashedShingled(corpus, w).withColumn("n_sh", size(col("sh")))
+    val ex = sized.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
+    val firsts = ex.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+    ex.join(firsts, "s")
+      .groupBy(col("doc_id"))
+      .agg(min(col("n_sh")).as("n_sh"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_sh"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_sh").cast("double"))
+          .as("novelty"))
+  }
+
   /** Incremental batch dedup — the daily-ingest shape: deduplicate a
     * NEW batch against the existing corpus (and internally) without
     * ever pairing corpus docs with each other. A batch doc is dropped

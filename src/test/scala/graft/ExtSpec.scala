@@ -243,6 +243,20 @@ class ExtSpec extends SparkSpec {
     assert(got(3L)._2 < 0)
   }
 
+  test("noveltyScore: copies score zero, originals one, first doc owns shared spans") {
+    val a = "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq(
+      (1L, a),                                             // first: fully novel
+      (2L, a),                                             // exact copy: novelty 0
+      (3L, "totally fresh words appearing nowhere else in any other document here")
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.noveltyScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(1L) == 1.0, s"first occurrence owns its spans: $got")
+    assert(got(2L) == 0.0, s"pure copy adds nothing: $got")
+    assert(got(3L) == 1.0)
+  }
+
   test("featureHashVectors: bag-of-words histogram, order-invariant, feeds kmeans") {
     val docs = Seq(
       (1L, "alpha beta gamma alpha"),
