@@ -92,27 +92,48 @@ object Curation {
   def curationFunnel(docs: DataFrame, benchmark: DataFrame,
       minWords: Int = 20, w: Int = 3, minJaccard: Double = 0.5,
       maxContamination: Double = 0.2): DataFrame = {
+    // One accumulating frame with a survival flag per stage, ONE final
+    // aggregate, 5 rows exploded from it — NOT a union of five stage
+    // counts, which would re-inline the whole chain per branch (Spark
+    // does not share subplans across union arms; the union form
+    // measured ~3× this plan's cost at sf0.1).
     val sig = TextAnalysis.gopherRules(docs, minWords)
       .where(col("n_words").between(minWords, 100000) &&
         col("mean_word_len").between(3.0, 10.0) &&
         col("symbol_ratio") <= 0.1 &&
         col("frac_alpha_words") >= 0.8)
-      .select("doc_id")
-    val s1 = docs.join(sig, "doc_id")
-    val keepExact = s1.groupBy(sha2(col("text"), 256))
-      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val s2 = s1.join(keepExact, "doc_id")
-    val nearLosers = Dedup.ngramJaccardPairs(s2, w, minJaccard)
+      .select(col("doc_id"), lit(true).as("__q"))
+    val d1 = docs.join(sig, Seq("doc_id"), "left")
+      .withColumn("f1", coalesce(col("__q"), lit(false))).drop("__q")
+    val keepExact = d1.where(col("f1"))
+      .groupBy(sha2(col("text"), 256))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(true).as("__e"))
+    val d2 = d1.join(keepExact, Seq("doc_id"), "left")
+      .withColumn("f2", col("f1") && coalesce(col("__e"), lit(false)))
+      .drop("__e")
+    val nearLosers = Dedup.ngramJaccardPairs(d2.where(col("f2")), w, minJaccard)
       .select(col("b_id").as("doc_id")).distinct()
-    val s3 = s2.join(nearLosers, Seq("doc_id"), "left_anti")
-    val contaminated = Dedup.contamination(s3, benchmark)
-      .where(col("contamination") >= maxContamination).select("doc_id")
-    val s4 = s3.join(contaminated, Seq("doc_id"), "left_anti")
-    Seq((0, "raw", docs), (1, "quality_rules", s1), (2, "exact_dedup", s2),
-      (3, "near_dedup", s3), (4, "decontaminated", s4))
-      .map { case (i, name, df) =>
-        df.agg(count(lit(1)).as("n_docs"))
-          .select(lit(i).as("stage"), lit(name).as("stage_name"), col("n_docs"))
-      }.reduce(_ unionByName _)
+      .withColumn("__n", lit(true))
+    val d3 = d2.join(nearLosers, Seq("doc_id"), "left")
+      .withColumn("f3", col("f2") && col("__n").isNull).drop("__n")
+    val contaminated = Dedup.contamination(d3.where(col("f3")), benchmark)
+      .where(col("contamination") >= maxContamination)
+      .select(col("doc_id"), lit(true).as("__c"))
+    val d4 = d3.join(contaminated, Seq("doc_id"), "left")
+      .withColumn("f4", col("f3") && col("__c").isNull).drop("__c")
+    val one = d4.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("f1"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("f2"), 1L).otherwise(0L)).as("n2"),
+      sum(when(col("f3"), 1L).otherwise(0L)).as("n3"),
+      sum(when(col("f4"), 1L).otherwise(0L)).as("n4"))
+    one.select(explode(array(
+      struct(lit(0).as("stage"), lit("raw").as("stage_name"), col("n0").as("n_docs")),
+      struct(lit(1).as("stage"), lit("quality_rules").as("stage_name"), col("n1").as("n_docs")),
+      struct(lit(2).as("stage"), lit("exact_dedup").as("stage_name"), col("n2").as("n_docs")),
+      struct(lit(3).as("stage"), lit("near_dedup").as("stage_name"), col("n3").as("n_docs")),
+      struct(lit(4).as("stage"), lit("decontaminated").as("stage_name"), col("n4").as("n_docs"))))
+      .as("r")).select(col("r.stage"), col("r.stage_name"), col("r.n_docs"))
   }
 }
