@@ -148,6 +148,11 @@ object SparkEntry {
     }),
     // ---- scale-shape queries over the big tables (oracle-checked) ----
     "agg_pricing" -> prep((s, d) => Engine.canonical(ShapeQueries.aggPricing(s, d))),
+    // ordered conversion funnel + retention triangle (product analytics)
+    "event_funnel" -> prep((s, d) =>
+      ShapeQueries.eventFunnel(s, d).orderBy("stage")),
+    "retention_cohorts" -> prep((s, d) =>
+      ShapeQueries.retentionCohorts(s, d).orderBy("cohort_day", "day_offset")),
     "revenue_by_nation" -> prep((s, d) => Engine.canonical(ShapeQueries.revenueByNation(s, d))),
     "top_customers" -> prep((s, d) => ShapeQueries.topCustomers(s, d)),
     "events_hourly" -> prep((s, d) => Engine.canonical(ShapeQueries.eventsHourly(s, d))),
@@ -737,6 +742,8 @@ object SparkEntry {
     "stream_sessionize_tws" -> ExtOracle.streamSessionize, // same contract, Spark-4 state API
     "stream_events_enriched" -> ExtOracle.streamEventsEnriched,
     "user_top_events" -> ExtOracle.userTopEvents,
+    "event_funnel" -> ExtOracle.eventFunnel,
+    "retention_cohorts" -> ExtOracle.retentionCohorts,
     "text_stats" -> ExtOracle.textStats,
     "token_freq_topk" -> ExtOracle.tokenFreqTopK,
     "quality_score" -> ExtOracle.qualityScore,

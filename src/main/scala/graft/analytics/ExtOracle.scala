@@ -231,6 +231,46 @@ FROM events p JOIN events v
 WHERE p.event_type = 'purchase' AND v.event_type = 'view'
 ${ord("purchase_id", "view_id")}""".trim
 
+  /** Twin of ShapeQueries.eventFunnel (view→click→purchase): same
+    * earliest-previous-stage ordering rule, same left-join counts. */
+  val eventFunnel: String = s"""
+WITH f0 AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+f1 AS (
+  SELECT e.user_id, MIN(e.ts) AS t1 FROM events e JOIN f0 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= f0.t0 GROUP BY e.user_id),
+f2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN f1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= f1.t1 GROUP BY e.user_id),
+one AS (
+  SELECT COUNT(f0.t0) AS n0, COUNT(f1.t1) AS n1, COUNT(f2.t2) AS n2
+  FROM f0 LEFT JOIN f1 USING (user_id) LEFT JOIN f2 USING (user_id))
+SELECT 0 AS stage, 'view' AS stage_name, CAST(n0 AS BIGINT) AS n_users,
+  1.0 AS conversion FROM one
+UNION ALL SELECT 1, 'click', CAST(n1 AS BIGINT),
+  CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM one
+UNION ALL SELECT 2, 'purchase', CAST(n2 AS BIGINT),
+  CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM one
+ORDER BY stage""".trim
+
+  /** Twin of ShapeQueries.retentionCohorts: identical integer
+    * nano→day floor division (Spark reads the parquet timestamp[ns]
+    * column as bigint nanos; DuckDB as TIMESTAMP — epoch_ns recovers
+    * the same integer), distinct (user, day), offsets ≤ 7. */
+  val retentionCohorts: String = s"""
+WITH ev AS (
+  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+fd AS (SELECT user_id, MIN(day) AS cohort FROM ev GROUP BY user_id),
+ad AS (SELECT DISTINCT user_id, day FROM ev),
+j AS (
+  SELECT fd.cohort, ad.day - fd.cohort AS day_offset
+  FROM ad JOIN fd USING (user_id))
+SELECT CAST(DATE '1970-01-01' + CAST(cohort AS INT) AS VARCHAR) AS cohort_day,
+  day_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM j WHERE day_offset <= 7 GROUP BY cohort, day_offset
+${ord("cohort_day", "day_offset")}""".trim
+
   val userTopEvents: String = s"""
 SELECT user_id, rk, event_id, value FROM (
   SELECT user_id, event_id, value,

@@ -133,4 +133,76 @@ object ShapeQueries {
       .where(col("rk") <= 3)
       .select(col("user_id"), col("rk"), col("event_id"), col("value"))
   }
+
+  /** Ordered conversion funnel — users progressing stage₀ → stage₁ →
+    * … where each stage's event must occur AT OR AFTER the user's
+    * earliest previous-stage event (the time-ordering is what
+    * distinguishes a funnel from mere event-type membership). Emits
+    * one row per stage: users reaching it + conversion vs the prior
+    * stage.
+    *
+    * Scale shape: one type-filtered scan (filter pushed to parquet) +
+    * one user_id groupBy per stage, then a left-join chain over the
+    * shrinking per-stage user frames and ONE final aggregate (counts
+    * of non-null stage timestamps) exploded into the report rows — no
+    * union-of-counts, no window over all events. */
+  def eventFunnel(s: SparkSession, dir: String,
+      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.nonEmpty)
+    val ev = events(s, dir)
+    val frames = stages.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        ev.where(col("event_type") === st)
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      else null // filled below, needs the previous frame
+    }.toArray
+    for (i <- 1 until stages.length)
+      frames(i) = ev.where(col("event_type") === stages(i))
+        .join(frames(i - 1).select(col("user_id"), col(s"t${i - 1}")), "user_id")
+        .where(col("ts") >= col(s"t${i - 1}"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(s"t$i"))
+    val joined = frames.zipWithIndex.drop(1).foldLeft(frames(0)) {
+      case (acc, (f, _)) => acc.join(f, Seq("user_id"), "left")
+    }
+    val aggs = stages.indices.map(i => count(col(s"t$i")).as(s"n$i"))
+    val one = joined.agg(aggs.head, aggs.tail: _*)
+    one.select(explode(array(stages.zipWithIndex.map { case (st, i) =>
+      struct(lit(i).as("stage"), lit(st).as("stage_name"),
+        col(s"n$i").as("n_users"),
+        (if (i == 0) lit(1.0)
+         else col(s"n$i").cast("double") / col(s"n${i - 1}").cast("double"))
+          .as("conversion"))
+    }: _*)).as("r")).select(col("r.stage"), col("r.stage_name"),
+      col("r.n_users"), col("r.conversion"))
+  }
+
+  /** Retention cohort matrix — users grouped by first-activity day,
+    * counted on each later active day (offset in days): the standard
+    * product-analytics retention triangle. Distinct (user, day)
+    * activity first, so a user's many same-day events count once.
+    *
+    * Scale shape: one distinct on (user_id, day) — map-side
+    * combinable — one user_id groupBy for cohort days, a join back on
+    * user_id (the same key both aggregations partitioned by →
+    * exchange reuse), and a tiny (cohort, offset) rollup. */
+  def retentionCohorts(s: SparkSession, dir: String,
+      maxOffsetDays: Int = 7): DataFrame = {
+    // the fixture's ts is int64 NANOSECONDS (Spark reads parquet
+    // timestamp[ns] as bigint; see eventsHourly) — day buckets are
+    // exact integer floor-division, UTC-epoch-aligned on both engines
+    // (DuckDB twin: epoch_ns(ts) // 86400000000000)
+    val ev = events(s, dir)
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+    val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    val activeDays = ev.distinct()
+    activeDays.join(firstDay, "user_id")
+      .select(col("cohort"), (col("day") - col("cohort")).as("day_offset"))
+      .where(col("day_offset") <= maxOffsetDays)
+      .groupBy(col("cohort"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(
+        date_add(to_date(lit("1970-01-01")), col("cohort").cast("int"))
+          .cast("string").as("cohort_day"),
+        col("day_offset"), col("n_users"))
+  }
 }

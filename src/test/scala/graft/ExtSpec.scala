@@ -243,6 +243,38 @@ class ExtSpec extends SparkSpec {
     assert(got(3L)._2 < 0)
   }
 
+  test("eventFunnel/retentionCohorts: ordering rule and cohort offsets on synthetic events") {
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 11:00:00", 1L, "click"),
+      (3L, "2024-01-02 12:00:00", 1L, "purchase"),
+      (4L, "2024-01-01 10:00:00", 2L, "view"),
+      (5L, "2024-01-01 11:00:00", 2L, "click"),
+      (6L, "2024-01-01 09:00:00", 3L, "click"),     // no view: not in funnel
+      (7L, "2024-01-01 08:00:00", 4L, "purchase"),  // purchase before view
+      (8L, "2024-01-01 09:00:00", 4L, "view"),
+      (9L, "2024-01-03 09:00:00", 5L, "view"),
+      (10L, "2024-01-01 09:00:00", 5L, "click")     // click BEFORE view: no conversion
+    ).toDF("event_id", "ts_s", "user_id", "event_type")
+      .select(col("event_id"),
+        // fixture schema parity: ts is int64 NANOS (parquet timestamp[ns])
+        expr("unix_micros(to_timestamp(ts_s)) * 1000").as("ts"),
+        col("user_id"), col("event_type"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val f = graft.analytics.ShapeQueries.eventFunnel(spark, dir).collect()
+      .map(r => r.getInt(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(f(0) == ((4L, 1.0)), f.toString)   // users 1,2,4,5 viewed
+    assert(f(1) == ((2L, 0.5)), f.toString)   // 1,2 clicked after viewing
+    assert(f(2)._1 == 1L, f.toString)         // only user 1 completed
+    val r = graft.analytics.ShapeQueries.retentionCohorts(spark, dir).collect()
+      .map(x => (x.getString(0), x.getLong(1)) -> x.getLong(2)).toMap
+    // users 1,2,3,4,5 first active 2024-01-01 except user 5 (01-01 via click)
+    assert(r(("2024-01-01", 0L)) == 5L, r.toString)
+    assert(r(("2024-01-01", 1L)) == 1L, r.toString) // user 1 on 01-02
+    assert(r(("2024-01-01", 2L)) == 1L, r.toString) // user 5 on 01-03
+  }
+
   test("noveltyScore: copies score zero, originals one, first doc owns shared spans") {
     val a = "one two three four five six seven eight nine ten eleven twelve"
     val docs = Seq(
