@@ -128,6 +128,41 @@ class PlanSpec extends SparkSpec {
       s"map-side combine of the argmax expected:\n$p")
   }
 
+  test("kmeansAssign: centroids broadcast, assignment argmin combines map-side") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(Similarity.kmeansAssign(emb, k = 4, iters = 1))
+    // every centroid table (init + each update) must reach the corpus
+    // as a broadcast — a shuffled centroid join would move the corpus
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"centroids must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle to meet centroids:\n$p")
+    // the per-vector argmin is min(struct(...)): partial+final agg
+    assert(p.contains("partial_min"), s"map-side argmin combine expected:\n$p")
+  }
+
+  test("mixtureSample: keep rule is a scan-side filter fed by broadcasts") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ext.Sampling.mixtureSample(docs, "source",
+      Map("src0" -> 5, "src1" -> 3)))
+    // the corpus meets the per-group counts and the 1-row n_out only
+    // via broadcast joins; its own rows never shuffle
+    assert(p.contains("BroadcastHashJoin"), s"group counts must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle:\n$p")
+  }
+
+  test("incrementalDedup: the pair join's left side is batch-only (type-pushed filters)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val corpus = docs.where(col("doc_id") % 5 =!= 0)
+    val q = graft.ext.Dedup.incrementalDedup(corpus, batch)
+    val formatted = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the batch predicate must reach the parquet scans as a pushed
+    // filter — the shape that keeps daily work batch-proportional
+    assert(formatted.contains("(doc_id"), s"id-slice filters must push down:\n$formatted")
+    assert(!formatted.contains("CartesianProduct"), "equi-joins only")
+  }
+
   test("contaminationBloom: bloom prune sits map-side, below the verify join") {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
     val docs = spark.read.parquet(s"$sf/documents.parquet")
