@@ -148,6 +148,15 @@ object SparkEntry {
     }),
     // ---- scale-shape queries over the big tables (oracle-checked) ----
     "agg_pricing" -> prep((s, d) => Engine.canonical(ShapeQueries.aggPricing(s, d))),
+    // per-column profiling report over the events table; ts projected
+    // to µs first — DuckDB truncates parquet timestamp[ns] to µs on
+    // read, so ns-precision min/max can never agree cross-engine
+    "profile_events" -> prep((s, d) =>
+      graft.ext.Profiling.profile(
+        s.read.parquet(s"$d/events.parquet")
+          .withColumn("ts", expr("ts div 1000")),
+        Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+        .orderBy("col_name")),
     // ordered conversion funnel + retention triangle (product analytics)
     "event_funnel" -> prep((s, d) =>
       ShapeQueries.eventFunnel(s, d).orderBy("stage")),
@@ -743,6 +752,7 @@ object SparkEntry {
     "stream_events_enriched" -> ExtOracle.streamEventsEnriched,
     "user_top_events" -> ExtOracle.userTopEvents,
     "event_funnel" -> ExtOracle.eventFunnel,
+    "profile_events" -> ExtOracle.profileEvents,
     "retention_cohorts" -> ExtOracle.retentionCohorts,
     "text_stats" -> ExtOracle.textStats,
     "token_freq_topk" -> ExtOracle.tokenFreqTopK,

@@ -231,6 +231,27 @@ FROM events p JOIN events v
 WHERE p.event_type = 'purchase' AND v.event_type = 'view'
 ${ord("purchase_id", "view_id")}""".trim
 
+  /** Twin of ext.Profiling.profile over events: per-column stats
+    * unioned; ts renders as epoch nanos (Spark reads timestamp[ns] as
+    * bigint), value as integer cents — engine-neutral strings. */
+  val profileEvents: String = {
+    def row(c: String, minMax: String) = s"""
+SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+  CAST(MIN($minMax) AS VARCHAR) AS min_s,
+  CAST(MAX($minMax) AS VARCHAR) AS max_s
+FROM events"""
+    Seq(
+      row("event_id", "event_id"),
+      row("ts", "epoch_us(ts)"),
+      row("user_id", "user_id"),
+      row("event_type", "event_type"),
+      row("value", "CAST(round(value*100) AS BIGINT)"),
+      row("props", "props"))
+      .mkString("", "\nUNION ALL", s"\n${ord("col_name")}").trim
+  }
+
   /** Twin of ShapeQueries.eventFunnel (view→click→purchase): same
     * earliest-previous-stage ordering rule, same left-join counts. */
   val eventFunnel: String = s"""

@@ -1,0 +1,49 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Table profiling — the per-column data-quality report (row/null/
+  * distinct counts, min/max) every ingestion pipeline publishes before
+  * training jobs trust a new drop.
+  *
+  * Determinism contract: doubles are quantized to integer cents before
+  * min/max (round is monotone, so min∘round = round∘min — and the
+  * rendered string avoids engine-specific double formatting, e.g.
+  * Java's "1.0E-7" vs C's "1e-07"); everything else renders via the
+  * native type's string cast.
+  *
+  * Scale shape: ONE aggregate pass computes every column's stats
+  * (`exact = true` uses exact count-distinct — Spark plans multiple
+  * distinct aggregates via Expand, duplicating the scan once per
+  * distinct column, fine to ~10 columns; at 100 TB or wide schemas
+  * pass `exact = false` for HLL `approx_count_distinct` — fixed-size
+  * state, one scan, no Expand). The per-column report rows explode
+  * from the single 1-row aggregate — no union-of-aggregates. */
+object Profiling {
+
+  def profile(df: DataFrame, cols: Seq[String],
+      exact: Boolean = true): DataFrame = {
+    require(cols.nonEmpty)
+    val aggs = cols.flatMap { c =>
+      val dt = df.schema(c).dataType.typeName
+      val v = if (dt == "double") round(col(c) * 100).cast("long") else col(c)
+      Seq(
+        count(col(c)).as(s"__cnt_$c"),
+        (if (exact) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(s"__dst_$c"),
+        min(v).cast("string").as(s"__min_$c"),
+        max(v).cast("string").as(s"__max_$c"))
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    one.select(explode(array(cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__cnt_$c")).as("n_null"),
+        col(s"__dst_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_s"),
+        col(s"__max_$c").as("max_s"))
+    }: _*)).as("r")).select(col("r.col_name"), col("r.n_rows"),
+      col("r.n_null"), col("r.n_distinct"), col("r.min_s"), col("r.max_s"))
+  }
+}

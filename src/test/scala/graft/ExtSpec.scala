@@ -243,6 +243,27 @@ class ExtSpec extends SparkSpec {
     assert(got(3L)._2 < 0)
   }
 
+  test("profile: nulls/distincts/minmax per column, cents for doubles, approx path sane") {
+    val df = Seq(
+      (Some(1L), Some("a"), Some(1.25)),
+      (Some(2L), None, Some(-0.335)),
+      (Some(2L), Some("c"), None)
+    ).toDF("id", "s", "v")
+    val got = graft.ext.Profiling.profile(df, Seq("id", "s", "v")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))).toMap
+    assert(got("id") == ((3L, 0L, 2L, "1", "2")))
+    assert(got("s") == ((3L, 1L, 2L, "a", "c")))
+    // -0.335*100 rounds half-away-from-zero to -34? No: Spark round
+    // HALF_UP on -33.5 → -34; cents contract matches the engine-wide
+    // quantization rule
+    assert(got("v")._4 == "-34" && got("v")._5 == "125")
+    assert(got("v")._2 == 1L)
+    val approx = graft.ext.Profiling.profile(df, Seq("id"), exact = false)
+      .collect().head
+    assert(approx.getLong(3) >= 1L, "approx distinct in a sane range")
+  }
+
   test("eventFunnel/retentionCohorts: ordering rule and cohort offsets on synthetic events") {
     val dir = java.nio.file.Files.createTempDirectory("funnel").toString
     Seq(
