@@ -597,6 +597,23 @@ object SparkEntry {
           col("user_id"), col("event_type"), col("value"))
         .orderBy("event_id")
     }),
+    // Stream-static ingest dedup: the doc_id%5 slice streams in and is
+    // filtered against the standing corpus' sha256 fingerprint index —
+    // stateless streaming side, broadcast index (streaming twin of
+    // incremental_dedup's exact tier); oracle = batch text anti-join
+    "stream_dedup_vs_corpus" -> prep((s, d) => {
+      val base = tmpDir("graft_docdedup")
+      val all = docs(s, d)
+      all.where(col("doc_id") % 5 === 0)
+        .select("doc_id", "text", "lang", "source")
+        .coalesce(1).write.mode("overwrite").json(s"$base/in")
+      val index = all.where(col("doc_id") % 5 =!= 0)
+        .select(sha2(col("text"), 256).as("text_sha")).distinct()
+      graft.streaming.CorpusStream.runDedupVsIndex(
+        s, s"$base/in", index, s"$base/out", s"$base/ckpt").awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select("doc_id", "lang", "source").orderBy("doc_id")
+    }),
     // flatMapGroupsWithState gap-sessionization as a live stream:
     // closed-by-gap sessions emit when a later event proves the gap;
     // each user's final session emits only if the final watermark
@@ -746,6 +763,7 @@ object SparkEntry {
     "latest_user_event" -> ExtOracle.latestUserEvent,
     "stream_events_hourly" -> ExtOracle.streamEventsHourly,
     "stream_dedup_events" -> ExtOracle.streamDedupEvents,
+    "stream_dedup_vs_corpus" -> ExtOracle.streamDedupVsCorpus,
     "stream_attribution" -> ExtOracle.streamAttribution,
     "stream_sessionize" -> ExtOracle.streamSessionize,
     "stream_sessionize_tws" -> ExtOracle.streamSessionize, // same contract, Spark-4 state API

@@ -231,6 +231,14 @@ FROM events p JOIN events v
 WHERE p.event_type = 'purchase' AND v.event_type = 'view'
 ${ord("purchase_id", "view_id")}""".trim
 
+  /** Twin of streaming.CorpusStream.dedupVsIndex over the %5 slice:
+    * the streaming anti-join must equal the batch text anti-join. */
+  val streamDedupVsCorpus: String = s"""
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id % 5 = 0
+  AND text NOT IN (SELECT text FROM documents WHERE doc_id % 5 <> 0)
+${ord("doc_id")}""".trim
+
   /** Twin of ext.Profiling.profile over events: per-column stats
     * unioned; ts renders as epoch nanos (Spark reads timestamp[ns] as
     * bigint), value as integer cents — engine-neutral strings. */

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Streaming ingest dedup against a STANDING corpus — the streaming
+  * face of `Dedup.incrementalDedup`'s exact tier: documents arrive as
+  * an unbounded stream and pass through only if their content digest
+  * is absent from a static fingerprint index of everything already
+  * ingested.
+  *
+  * Scale posture: the join is stream-static and keyed on the 32-byte
+  * sha256 digest — STATELESS on the stream side (no watermark state at
+  * all; nothing accumulates), with the index broadcast per micro-batch
+  * when small or hash-joined in place when not. The index itself is
+  * maintained by the batch side (append today's survivors' digests
+  * after each ingest window) — the lambda-architecture split that
+  * keeps the streaming path a pure filter. */
+object CorpusStream {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType)))
+
+  def source(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(docSchema).json(dir)
+
+  /** Stream docs → drop rows whose sha256(text) is in `index`
+    * (a static frame with column `text_sha`). */
+  def dedupVsIndex(stream: DataFrame, index: DataFrame): DataFrame =
+    stream.withColumn("text_sha", sha2(col("text"), 256))
+      .join(broadcast(index), Seq("text_sha"), "left_anti")
+      .drop("text_sha")
+
+  def runDedupVsIndex(spark: SparkSession, inDir: String, index: DataFrame,
+      outDir: String, checkpointDir: String): StreamingQuery =
+    dedupVsIndex(source(spark, inDir), index)
+      .writeStream
+      .format("parquet")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .option("path", outDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

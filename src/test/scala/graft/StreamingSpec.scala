@@ -27,6 +27,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-static corpus dedup == batch anti-join; stateless (no state dirs)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = tmp("st_docdedup")
+    val stream = Seq(
+      (10L, "known corpus content", "en", "s0"),
+      (11L, "fresh never seen text", "en", "s0"),
+      (12L, "known corpus content", "de", "s1")   // same text, different meta: still dropped
+    ).toDF("doc_id", "text", "lang", "source")
+    stream.coalesce(1).write.mode("overwrite").json(s"$base/in")
+    val index = Seq("known corpus content").toDF("text")
+      .select(sha2(col("text"), 256).as("text_sha"))
+    graft.streaming.CorpusStream.runDedupVsIndex(
+      spark, s"$base/in", index, s"$base/out", s"$base/ckpt").awaitTermination()
+    val got = spark.read.parquet(s"$base/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(11L), s"only the unseen doc streams through: $got")
+    // stateless contract: the checkpoint has no state store directory
+    val stateDir = new java.io.File(s"$base/ckpt/state")
+    assert(!stateDir.exists || stateDir.listFiles.isEmpty,
+      "stream-static anti-join must keep no streaming state")
+  }
+
   test("checkpoint restart: rerun on same landing adds nothing") {
     val base = tmp("st_restart")
     Fixtures.landStream(spark, sf, base)
