@@ -433,6 +433,18 @@ object SparkEntry {
       .orderBy("probe_id", "vec_id")),
     "neardup_embeddings" -> prep((s, d) => Engine.canonical(
       Similarity.nearDupPairs(emb(s, d)))),
+    // corpus-relative quality cutoff (exact percentile, auto-tuned)
+    "quality_percentile_filter" -> prep((s, d) =>
+      TextAnalysis.qualityPercentileFilter(docs(s, d), pct = 0.25)
+        .orderBy("doc_id")),
+    // random-projection dim reduction onto the Lehmer planes (array
+    // serialized for the checker, like geo_clean / feature_hash)
+    "rp_project" -> prep((s, d) =>
+      Similarity.randomProjection(emb(s, d), k = 8)
+        .select(col("vec_id"),
+          concat_ws(",", transform(col("proj"), _.cast("string")))
+            .as("proj_str"))
+        .orderBy("vec_id")),
     // deterministic Lloyd k-means (k=8, 2 iterations): exact integer
     // squared-L2 assignment, floor-mean centroid updates
     "kmeans_assign" -> prep((s, d) =>
@@ -775,6 +787,8 @@ object SparkEntry {
     "text_stats" -> ExtOracle.textStats,
     "token_freq_topk" -> ExtOracle.tokenFreqTopK,
     "quality_score" -> ExtOracle.qualityScore,
+    "quality_percentile_filter" -> ExtOracle.qualityPercentileFilter,
+    "rp_project" -> ExtOracle.rpProject,
     "bpe_token_count" -> ExtOracle.bpeTokenCount,
     "lang_id" -> ExtOracle.langId,
     "curated_corpus" -> ExtOracle.curated,

@@ -1539,6 +1539,44 @@ scored AS (
 SELECT probe_id, vec_id, cosine_sim FROM scored WHERE rk <= 5
 ${ord("probe_id", "vec_id")}""".trim
 
+  /** Twin of TextAnalysis.qualityPercentileFilter: same quality
+    * expression as qualityScore, quantile_cont ≡ Spark percentile. */
+  val qualityPercentileFilter: String = s"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+    CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) AS n_uniq,
+    CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents),
+q AS (
+  SELECT doc_id,
+    round((n_uniq / n_tok) * 0.5
+      + least(n_tok / 64.0, 1.0) * 0.3
+      + (CASE WHEN ((n_chars - (n_tok - 1)) / n_tok) BETWEEN 3.0 AND 9.0
+              THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+  FROM t),
+c AS (SELECT quantile_cont(quality, 0.25) AS cut FROM q)
+SELECT doc_id, quality FROM q, c WHERE quality >= cut
+${ord("doc_id")}""".trim
+
+  /** Twin of Similarity.randomProjection: the annLshTopK plane/
+    * projection arithmetic, raw sums kept (no sign step), dims
+    * reassembled in plane order. */
+  val rpProject: String = s"""
+WITH e AS ($quantized),
+ed AS (SELECT vec_id, q, unnest(generate_series(1, len(q))) AS i FROM e),
+proj AS (
+  SELECT vec_id, p,
+    SUM(q[CAST(i AS INT)] *
+        ((((((p*131071 + (i-1)*524287 + 17) % 2147483647) * 48271)
+           % 2147483647 * 48271) % 2147483647) % 2001 - 1000)) AS proj
+  FROM (SELECT *, unnest(generate_series(0, 7)) AS p FROM ed)
+  GROUP BY vec_id, p)
+SELECT vec_id,
+  array_to_string(list(CAST(proj AS BIGINT) ORDER BY p), ',') AS proj_str
+FROM proj GROUP BY vec_id
+${ord("vec_id")}""".trim
+
   /** End-to-end twin of Similarity.lshTopK: the Lehmer-LCG hyperplanes
     * are portable integer arithmetic (every intermediate < 2^47, exact
     * in doubles too), so DuckDB reproduces sketch bits, buckets, the

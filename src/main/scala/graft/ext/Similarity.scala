@@ -108,6 +108,26 @@ object Similarity {
     when(size(q) === 0, lit((1L << planes) - 1)).otherwise(sum)
   }
 
+  /** Random-projection dimensionality reduction — project quantized
+    * vectors onto `k` deterministic pseudo-hyperplanes (the same
+    * Lehmer-LCG planes the LSH sketch signs; here the raw integer
+    * projections are kept). Johnson–Lindenstrauss-style reduction for
+    * cheaper downstream clustering/ANN when the native dimension is
+    * large; exact int64 arithmetic, so any engine reproduces the
+    * projections bit-for-bit. Interpreted HOF per plane — for a
+    * 100 TB hot path fuse as a native Expression like LshSketch64
+    * (identical loop, no sign step). Output rides a pure projection:
+    * no shuffle. */
+  def randomProjection(emb: DataFrame, k: Int = 8): DataFrame = {
+    val base = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val projs = (0 until k).map { p =>
+      when(size(col("q")) === 0, lit(0L)).otherwise(
+        aggregate(zip_with(col("q"), sequence(lit(0), size(col("q")) - 1),
+          (x, i) => x * planeComponent(p, i)), lit(0L), (acc, v) => acc + v))
+    }
+    base.select(col("vec_id"), array(projs: _*).as("proj"))
+  }
+
   /** Bucketed batch k-NN: probe vectors join candidates sharing an LSH
     * bucket, then exact cosine + per-probe top-k window. Bucket-local
     * join — no all-pairs blowup. Recall is tunable via `planes`

@@ -80,6 +80,20 @@ object TextAnalysis {
   def qualityScore(docs: DataFrame): DataFrame =
     withQuality(docs).select(col("doc_id"), col("quality"))
 
+  /** Percentile-thresholded quality filter — auto-tuned cutoffs: keep
+    * documents at or above the corpus' `pct` quality quantile instead
+    * of a hand-picked constant (the threshold tracks the corpus as it
+    * drifts). Exact `percentile` (linear interpolation, ≡ DuckDB
+    * quantile_cont — the pin_q6 parity rule), computed once as a
+    * 1-row broadcast; the filter itself stays scan-side. */
+  def qualityPercentileFilter(docs: DataFrame, pct: Double = 0.25): DataFrame = {
+    val scored = withQuality(docs)
+    val cutoff = scored.agg(expr(s"percentile(quality, $pct)").as("__cut"))
+    scored.crossJoin(broadcast(cutoff))
+      .where(col("quality") >= col("__cut"))
+      .select(col("doc_id"), col("quality"))
+  }
+
   /** Stopword-profile language ID (n-gram heuristic, SURVEY-mandated
     * stand-in for a real model): per-language score = fraction of
     * tokens found in that language's closed-class word list, plus a

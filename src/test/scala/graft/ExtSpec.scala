@@ -243,6 +243,37 @@ class ExtSpec extends SparkSpec {
     assert(got(3L)._2 < 0)
   }
 
+  test("qualityPercentileFilter: keeps exactly the >= pct-quantile slice") {
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+    val kept = TextAnalysis.qualityPercentileFilter(real, pct = 0.25)
+    val n = real.count()
+    // ~75% survive the p25 cutoff (ties can push the kept side higher)
+    assert(kept.count() >= n * 3 / 4 && kept.count() < n, s"${kept.count()} of $n")
+    // every kept quality clears every dropped quality
+    val minKept = kept.agg(min("quality")).head.getDouble(0)
+    val all = TextAnalysis.qualityScore(real)
+    val maxDropped = all.join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+      .agg(max("quality")).head.getDouble(0)
+    assert(maxDropped < minKept)
+  }
+
+  test("randomProjection: exact integer sums, sign bits agree with the LSH sketch") {
+    val got = Similarity.randomProjection(vecs, k = 4).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got.values.forall(_.size == 4), "k dims out")
+    // opposite vectors project to exact negations
+    assert(got(3L) == got(0L).map(-_), s"${got(0L)} vs ${got(3L)}")
+    // sign pattern matches LshSketch64's bucket bits
+    val sk = vecs.select(col("vec_id"),
+      Similarity.lshSketch(Similarity.quantize(col("embedding")), 4).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, proj) =>
+      val expected = proj.zipWithIndex.map { case (v, p) =>
+        if (v >= 0) 1L << p else 0L }.sum
+      assert(expected == sk(id), s"vec $id: proj signs $proj vs sketch ${sk(id)}")
+    }
+  }
+
   test("profile: nulls/distincts/minmax per column, cents for doubles, approx path sane") {
     val df = Seq(
       (Some(1L), Some("a"), Some(1.25)),
