@@ -401,19 +401,17 @@ object TextAnalysis {
     * (acc·31 + codepoint, mod 2³¹−1, seed 7) — portable integer
     * arithmetic any engine reproduces from a 31^k power table (unlike
     * seeded xxhash64), which is what makes the whole pipeline
-    * oracle-checkable. The per-token char loop is an interpreted HOF;
-    * for a 100 TB hot path, fuse it as a native codegen Expression
-    * exactly like PolyHash64 (same recurrence, different modulus).
+    * oracle-checkable. Computed by the native codegen expression
+    * `LehmerHash32` (the fused per-token loop stays inside
+    * WholeStageCodegen; the interpreted HOF spelling is kept in the
+    * spec as the equivalence reference).
     *
     * Scale shape: explode → per-(doc, bucket) count (map-side
     * combinable) → per-doc dense assembly from the ≤dim sparse rows.
     * One shuffle on (doc_id, bucket), one on doc_id. */
   def featureHashVectors(docs: DataFrame, dim: Int = 64): DataFrame = {
-    val P = 2147483647L
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val h = when(col("tok") === "", lit(7L)).otherwise(
-      aggregate(split(col("tok"), ""), lit(7L),
-        (acc, c) => (acc * 31L + ascii(c)) % P))
+    val h = graft.functions.LehmerHash32.lehmerHash32(col("tok"))
     toks.select(col("doc_id"), pmod(h, lit(dim.toLong)).as("b"))
       .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))

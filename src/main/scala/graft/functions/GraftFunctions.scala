@@ -79,6 +79,10 @@ object GraftFunctions {
         MinHashSig(es.head,
           if (es.length > 1) posIntArg(es(1), "minhash_sig", 2) else 32) },
       "minhash_sig(array<long>[, k]) - k-position MinHash signature"),
+    ("lehmer_hash32",
+      { es: Seq[Expression] =>
+        arity("lehmer_hash32", es, 1, 1); LehmerHash32(es.head) },
+      "lehmer_hash32(str) - portable char-level polynomial hash mod 2^31-1"),
     ("lsh_sketch64",
       { es: Seq[Expression] =>
         arity("lsh_sketch64", es, 1, 2)

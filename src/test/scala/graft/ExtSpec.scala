@@ -243,6 +243,27 @@ class ExtSpec extends SparkSpec {
     assert(got(3L)._2 < 0)
   }
 
+  test("lehmer_hash32 native == interpreted HOF reference, code-point semantics") {
+    val toks = Seq("alpha", "z", "", "value9", "中文字", "éclair").toDF("tok")
+    // reference: the portable recurrence spelled as interpreted HOFs
+    val ref = when(col("tok") === "", lit(7L)).otherwise(
+      aggregate(split(col("tok"), ""), lit(7L),
+        (acc, c) => (acc * 31L + ascii(c)) % 2147483647L))
+    val rows = toks.select(col("tok"),
+      graft.functions.LehmerHash32.lehmerHash32(col("tok")).as("native"),
+      ref.as("hof")).collect()
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"token '${r.getString(0)}': native ${r.getLong(1)} != hof ${r.getLong(2)}"))
+    // empty string hashes to the seed
+    assert(rows.find(_.getString(0) == "").get.getLong(1) == 7L)
+    // SQL registration reaches it
+    graft.functions.GraftFunctions.register(spark)
+    toks.createOrReplaceTempView("lh_toks")
+    val sql = spark.sql("SELECT lehmer_hash32(tok) FROM lh_toks WHERE tok = 'alpha'")
+      .head.getLong(0)
+    assert(sql == rows.find(_.getString(0) == "alpha").get.getLong(1))
+  }
+
   test("qualityPercentileFilter: keeps exactly the >= pct-quantile slice") {
     val real = spark.read.parquet(s"$sf/documents.parquet")
     val kept = TextAnalysis.qualityPercentileFilter(real, pct = 0.25)
