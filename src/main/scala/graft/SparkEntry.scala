@@ -626,6 +626,17 @@ object SparkEntry {
       s.read.parquet(s"$base/out")
         .select("doc_id", "lang", "source").orderBy("doc_id")
     }),
+    // The batch curation tier lifted to a stream unmodified:
+    // gopherRules is a pure projection, so the streaming quality gate
+    // is stateless and must equal the batch pass bit-for-bit
+    "stream_quality_filter" -> prep((s, d) => {
+      val base = tmpDir("graft_docquality")
+      docs(s, d).select("doc_id", "text", "lang", "source")
+        .coalesce(1).write.mode("overwrite").json(s"$base/in")
+      graft.streaming.CorpusStream.runShapeFilter(
+        s, s"$base/in", s"$base/out", s"$base/ckpt").awaitTermination()
+      s.read.parquet(s"$base/out").orderBy("doc_id")
+    }),
     // flatMapGroupsWithState gap-sessionization as a live stream:
     // closed-by-gap sessions emit when a later event proves the gap;
     // each user's final session emits only if the final watermark
@@ -776,6 +787,7 @@ object SparkEntry {
     "stream_events_hourly" -> ExtOracle.streamEventsHourly,
     "stream_dedup_events" -> ExtOracle.streamDedupEvents,
     "stream_dedup_vs_corpus" -> ExtOracle.streamDedupVsCorpus,
+    "stream_quality_filter" -> ExtOracle.streamQualityFilter,
     "stream_attribution" -> ExtOracle.streamAttribution,
     "stream_sessionize" -> ExtOracle.streamSessionize,
     "stream_sessionize_tws" -> ExtOracle.streamSessionize, // same contract, Spark-4 state API

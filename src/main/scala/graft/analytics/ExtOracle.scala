@@ -239,6 +239,28 @@ WHERE doc_id % 5 = 0
   AND text NOT IN (SELECT text FROM documents WHERE doc_id % 5 <> 0)
 ${ord("doc_id")}""".trim
 
+  /** Twin of streaming.CorpusStream.runShapeFilter: the gopherRules
+    * shape signals + filter, as the batch SQL. */
+  val streamQualityFilter: String = s"""
+WITH sig AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    CAST(len(w) AS INT) AS n_words,
+    CAST(length(array_to_string(w, '')) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+      AS mean_word_len,
+    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) /
+      CAST(len(w) AS DOUBLE) AS symbol_ratio,
+    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) /
+      CAST(len(w) AS DOUBLE) AS frac_alpha_words
+  FROM sig)
+SELECT doc_id, n_words, mean_word_len, frac_alpha_words FROM s
+WHERE n_words BETWEEN 20 AND 100000
+  AND mean_word_len BETWEEN 3.0 AND 10.0
+  AND symbol_ratio <= 0.1 AND frac_alpha_words >= 0.8
+${ord("doc_id")}""".trim
+
   /** Twin of ext.Profiling.profile over events: per-column stats
     * unioned; ts renders as epoch nanos (Spark reads timestamp[ns] as
     * bigint), value as integer cents — engine-neutral strings. */

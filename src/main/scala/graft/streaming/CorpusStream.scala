@@ -46,4 +46,30 @@ object CorpusStream {
       .option("path", outDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Streaming quality gate — the batch curation tier run UNMODIFIED
+    * on a document stream: `TextAnalysis.gopherRules` is a pure
+    * projection, so it lifts to Structured Streaming as a stateless
+    * per-row filter (no watermark, no state) and must produce exactly
+    * the rows the batch pass keeps. Filters on the corpus-shape rules
+    * (word-count band, mean word length, symbol ratio, alphabetic
+    * fraction — the signals that bind on any corpus). */
+  def runShapeFilter(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, minWords: Int = 20): StreamingQuery = {
+    import graft.ext.TextAnalysis
+    TextAnalysis.gopherRules(source(spark, inDir), minWords)
+      .where(col("n_words").between(minWords, 100000) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("symbol_ratio") <= 0.1 &&
+        col("frac_alpha_words") >= 0.8)
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("frac_alpha_words"))
+      .writeStream
+      .format("parquet")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .option("path", outDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

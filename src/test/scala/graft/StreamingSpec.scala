@@ -50,6 +50,27 @@ class StreamingSpec extends SparkSpec {
       "stream-static anti-join must keep no streaming state")
   }
 
+  test("streaming shape filter == batch gopher pass, stateless") {
+    import org.apache.spark.sql.functions._
+    val base = tmp("st_quality")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.select("doc_id", "text", "lang", "source")
+      .coalesce(1).write.mode("overwrite").json(s"$base/in")
+    graft.streaming.CorpusStream.runShapeFilter(
+      spark, s"$base/in", s"$base/out", s"$base/ckpt").awaitTermination()
+    val streamed = spark.read.parquet(s"$base/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = graft.ext.TextAnalysis.gopherRules(docs, 20)
+      .where(col("n_words").between(20, 100000) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("symbol_ratio") <= 0.1 && col("frac_alpha_words") >= 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch, "stream and batch passes must keep the same docs")
+    val stateDir = new java.io.File(s"$base/ckpt/state")
+    assert(!stateDir.exists || stateDir.listFiles.isEmpty,
+      "pure-projection filter must keep no streaming state")
+  }
+
   test("checkpoint restart: rerun on same landing adds nothing") {
     val base = tmp("st_restart")
     Fixtures.landStream(spark, sf, base)
