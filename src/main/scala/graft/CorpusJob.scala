@@ -47,6 +47,15 @@ object CorpusJob {
     val kept = spark.read.parquet(s"$outDir/manifest")
     println(s"[corpus] manifest: ${kept.count()} docs -> $outDir/manifest")
 
+    // yield observability: per-stage survivor counts alongside the
+    // artifact, so a mis-tuned threshold is a visible cliff in the
+    // build report rather than a silently collapsed corpus
+    val funnel = graft.ext.Curation.curationFunnel(
+      docs, docs.where(col("doc_id") % 97 === 0))
+    funnel.write.mode("overwrite").parquet(s"$outDir/funnel")
+    funnel.orderBy("stage").collect().foreach(r =>
+      println(s"[corpus] funnel ${r.getInt(0)} ${r.getString(1)}: ${r.getLong(2)}"))
+
     // pack each split separately (a loader never mixes splits)
     val withText = kept.select("doc_id", "split")
       .join(docs.select("doc_id", "text"), "doc_id")

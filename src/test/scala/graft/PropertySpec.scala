@@ -115,6 +115,53 @@ class PropertySpec extends AnyFunSuite {
     assert(kept == xs.size, "expression must pass every inserted value")
   }
 
+  test("lineDedup is idempotent and never invents text on random line corpora") {
+    import spark.implicits._
+    val lineGen = Gen.oneOf("alpha one", "beta two", "gamma three", "delta four",
+      "epsilon five", "zeta six")
+    val docGen = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, lineGen).map(_.mkString("\n")))
+    val texts = samples(docGen, 20)
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val once = graft.ext.Dedup.lineDedup(docs)
+    val onceRows = once.collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    // idempotence: deduping the deduped corpus changes nothing
+    val again = graft.ext.Dedup.lineDedup(
+      once.select(col("doc_id"), col("text_dedup").as("text")))
+    val againRows = again.collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(againRows == onceRows, "second pass must be a no-op")
+    // conservation: every surviving line existed in the source doc
+    onceRows.foreach { case (id, kept) =>
+      val src = texts(id.toInt).split("\n").toSet
+      kept.split("\n").filter(_.nonEmpty).foreach(l =>
+        assert(src.contains(l), s"doc $id invented line '$l'"))
+    }
+    // global uniqueness: each distinct line survives exactly once corpus-wide
+    val survivors = onceRows.values.flatMap(_.split("\n")).filter(_.nonEmpty).toSeq
+    assert(survivors.size == survivors.distinct.size,
+      "a line must survive at most once across the corpus")
+  }
+
+  test("mixtureSample: output proportions within hash granularity of targets") {
+    import spark.implicits._
+    // 3 groups with deliberately unequal sizes
+    val rows = (0L until 600L).map(i =>
+      (i, if (i % 6 < 3) "a" else if (i % 6 < 5) "b" else "c"))
+    val df = rows.toDF("doc_id", "source")
+    val weights = Map("a" -> 1, "b" -> 1, "c" -> 2)
+    val out = graft.ext.Sampling.mixtureSample(df, "source", weights)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // c is the scarcest per weight unit (100 rows, weight 2) → c keeps
+    // everything; a and b downsample toward 50 each (1:1:2 over n_out=200)
+    assert(out("c") == 100, out.toString)
+    assert(math.abs(out("a") - 50) <= 10 && math.abs(out("b") - 50) <= 10,
+      s"a/b should downsample to ~50: $out")
+    // never upsample
+    assert(out("a") <= 300 && out("b") <= 200 && out("c") <= 100)
+  }
+
   test("leakageSafeSplit: atomic per component on random pair graphs") {
     import spark.implicits._
     val edgeGen = Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 49L), Gen.chooseNum(0L, 49L)))
