@@ -264,6 +264,10 @@ object SparkEntry {
     // information each new doc adds to the corpus)
     "novelty_score" -> prep((s, d) =>
       Dedup.noveltyScore(docs(s, d)).orderBy("doc_id")),
+    // exact-substring dedup: later occurrences of duplicated 8-token
+    // spans excised, first occurrence kept
+    "substring_dedup" -> prep((s, d) =>
+      Dedup.substringDedup(docs(s, d)).orderBy("doc_id")),
     // distributed zipWithIndex: contiguous ids in doc_id order without
     // a single-reducer global window (partitions pinned: partition
     // boundaries are id-invariant but the pass count isn't worth
@@ -847,6 +851,7 @@ object SparkEntry {
     "dsir_weights" -> ExtOracle.dsirWeights,
     "span_dup_score" -> ExtOracle.spanDupScore,
     "novelty_score" -> ExtOracle.noveltyScore,
+    "substring_dedup" -> ExtOracle.substringDedup,
     "embedding_centroids" -> ExtOracle.embeddingCentroids,
     "json_scan_clean" -> PinOracle.pinClean,
     "jdbc_scan_clean" -> PinOracle.pinClean,

@@ -812,6 +812,45 @@ FROM sized JOIN firsts ON sized.s = firsts.s
 GROUP BY sized.doc_id
 ${ord("doc_id")}""".trim
 
+  /** Twin of Dedup.substringDedup (w=8): same per-start window
+    * strings (grouped by text — the engine groups by xxhash64, same
+    * classes), first-occurrence rule via a window, same w-token
+    * sliding coverage, position-ordered rebuild. */
+  val substringDedup: String = s"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+st AS (
+  SELECT doc_id, unnest(generate_series(0, greatest(len(w) - 8, 0))) AS p, w
+  FROM ws),
+sh AS (
+  SELECT doc_id, CAST(p AS INT) AS pos,
+    array_to_string(list_slice(w, CAST(p AS INT) + 1, CAST(p AS INT) + 8), ' ') AS s
+  FROM st),
+marked AS (
+  SELECT doc_id, pos,
+    (COUNT(*) OVER (PARTITION BY s) > 1 AND
+     ROW_NUMBER() OVER (PARTITION BY s ORDER BY doc_id, pos) > 1) AS dup
+  FROM sh),
+tok AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS i, w FROM ws),
+tok2 AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS pos, w[CAST(i AS INT)] AS tok FROM tok),
+fl AS (
+  SELECT t.doc_id, t.pos, t.tok, COALESCE(m.d, 0) AS dupf
+  FROM tok2 t LEFT JOIN
+    (SELECT doc_id, pos, 1 AS d FROM marked WHERE dup) m
+    ON t.doc_id = m.doc_id AND t.pos = m.pos),
+cov AS (
+  SELECT doc_id, pos, tok,
+    MAX(dupf) OVER (PARTITION BY doc_id ORDER BY pos
+      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cov
+  FROM fl)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN cov = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+  COALESCE(string_agg(CASE WHEN cov = 0 THEN tok END, ' ' ORDER BY pos), '')
+    AS text_dedup
+FROM cov GROUP BY doc_id
+${ord("doc_id")}""".trim
+
   /** Connected components over the ngram-Jaccard pair graph via a
     * recursive closure (UNION-distinct fixpoint terminates on cycles);
     * cluster label = min reachable doc_id. */

@@ -441,6 +441,58 @@ object Dedup {
           .as("novelty"))
   }
 
+  /** Exact-substring deduplication — remove every LATER occurrence of
+    * any duplicated w-token span, keeping the corpus-wide first
+    * occurrence (by (doc_id, position)): the span-granularity dedup
+    * that document- and line-level tiers can't see (a license block
+    * pasted mid-document, a quoted paragraph). For an exactly-shared
+    * span of L ≥ w tokens the duplicated window starts cover precisely
+    * its L tokens, so whole spans excise cleanly; tokens are rebuilt
+    * in position order.
+    *
+    * Mechanics: every w-token window start is hashed; a start is
+    * "duplicated" iff its hash occurs more than once corpus-wide and
+    * this occurrence is not the (doc_id, start)-minimal one; a token
+    * is removed iff some duplicated start covers it (a per-doc sliding
+    * `max` window over the start flags — positions s..s+w−1).
+    *
+    * Scale shape: one map-combinable groupBy on the 8-byte window
+    * hash (min(struct) + count), the join back on the same key, then
+    * one per-doc window + rollup (both partition on doc_id — one
+    * shuffle, reused). Window state is w flags. */
+  def substringDedup(docs: DataFrame, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), words(col("text")).as("ws"))
+    val starts = toks
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), greatest(size(col("ws")) - w, lit(0))),
+          s => xxhash64(concat_ws(" ", slice(col("ws"), s + 1, lit(w))))))
+          .as(Seq("pos", "sh")))
+    val firsts = starts.groupBy(col("sh"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"),
+        count(lit(1)).as("occ"))
+    val dupStarts = starts.join(firsts, "sh")
+      .where(col("occ") > 1 &&
+        !(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos")))
+      .select(col("doc_id"), col("pos"), lit(1).as("__dup"))
+    val tok = docs.select(col("doc_id"),
+      posexplode(words(col("text"))).as(Seq("pos", "tok")))
+    val cover = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), 0)
+    tok.join(dupStarts, Seq("doc_id", "pos"), "left")
+      .withColumn("cov", max(coalesce(col("__dup"), lit(0))).over(cover))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("cov") === 0, 1L).otherwise(0L)).as("n_tokens_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("cov") === 0, struct(col("pos").as("i"), col("tok").as("t"))))),
+            x => x.getField("t")),
+          " ").as("text_dedup"))
+  }
+
   /** Incremental batch dedup — the daily-ingest shape: deduplicate a
     * NEW batch against the existing corpus (and internally) without
     * ever pairing corpus docs with each other. A batch doc is dropped

@@ -348,6 +348,24 @@ class ExtSpec extends SparkSpec {
     assert(r(("2024-01-01", 2L)) == 1L, r.toString) // user 5 on 01-03
   }
 
+  test("substringDedup: later copies of a shared span excise cleanly, first stays whole") {
+    val span = (1 to 10).map(i => s"s$i").mkString(" ")       // 10-token shared span
+    val docs = Seq(
+      (1L, s"u1 u2 u3 $span u4 u5 u6"),                       // first occurrence
+      (2L, s"v1 v2 v3 v4 v5 v6 v7 v8 $span v9 v10 v11 v12 v13 v14 v15 v16"), // later copy
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12")          // untouched
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.substringDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L)._3 == docs.where(col("doc_id") === 1).head.getString(1),
+      "first occurrence keeps every token")
+    // doc 2 loses exactly the 10 span tokens
+    assert(got(2L)._1 == 26 && got(2L)._2 == 16, got(2L).toString)
+    assert(got(2L)._3 ==
+      "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 v11 v12 v13 v14 v15 v16")
+    assert(got(3L)._2 == 12, "unique doc untouched")
+  }
+
   test("noveltyScore: copies score zero, originals one, first doc owns shared spans") {
     val a = "one two three four five six seven eight nine ten eleven twelve"
     val docs = Seq(
