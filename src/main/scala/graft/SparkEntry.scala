@@ -375,6 +375,11 @@ object SparkEntry {
     "dedup_corpus" -> prep((s, d) =>
       Dedup.dedupCorpus(docs(s, d))
         .select("doc_id", "lang", "source").orderBy("doc_id")),
+    // same composition on the sketch tier (the 100 TB candidate path):
+    // portable MinHash pairs → components → anti-join, one oracle stmt
+    "dedup_corpus_minhash" -> prep((s, d) =>
+      Dedup.dedupCorpusMinhash(docs(s, d))
+        .select("doc_id", "lang", "source").orderBy("doc_id")),
     // incremental ingest dedup: the doc_id%5 slice is "today's batch",
     // the rest is the standing corpus — batch docs near-dup against
     // the corpus or an earlier batch doc are dropped
@@ -818,6 +823,7 @@ object SparkEntry {
     "pack_sequences" -> ExtOracle.packSequences,
     "dedup_clusters" -> ExtOracle.dedupClusters,
     "dedup_corpus" -> ExtOracle.dedupCorpus,
+    "dedup_corpus_minhash" -> ExtOracle.dedupCorpusMinhash,
     "line_dedup" -> ExtOracle.lineDedup,
     "c4_clean" -> ExtOracle.c4Clean,
     "incremental_dedup" -> ExtOracle.incrementalDedup,

@@ -1411,6 +1411,37 @@ FROM agree WHERE CAST(n_agree AS DOUBLE) / 32 >= 0.5
 ${ord("a_id", "b_id")}""".trim
   }
 
+  /** Twin of Dedup.dedupCorpusMinhash: the portable-minhash candidate
+    * pipeline (same CTE chain as minhashPairsPortable, est ≥ 0.9) +
+    * the recursive component closure + the survivor anti-join — the
+    * production-scale fuzzy-dedup path verified end-to-end as one
+    * statement. */
+  val dedupCorpusMinhash: String = {
+    // minhashPairsPortable's text, re-entered at its CTE chain: strip
+    // the leading WITH RECURSIVE and the trailing SELECT/ORDER, then
+    // extend the chain with the closure.
+    val chain = minhashPairsPortable
+      .stripPrefix("WITH RECURSIVE")
+      .split("\nSELECT a_id, b_id,").head
+    s"""
+WITH RECURSIVE $chain,
+mpairs AS (
+  SELECT a_id, b_id FROM agree
+  WHERE CAST(n_agree AS DOUBLE) / 32 >= 0.9),
+edges AS (
+  SELECT a_id AS id, b_id AS nbr FROM mpairs
+  UNION SELECT b_id, a_id FROM mpairs),
+reach(id, r) AS (
+  SELECT DISTINCT id, id FROM edges
+  UNION
+  SELECT e.id, reach.r FROM edges e JOIN reach ON e.nbr = reach.id),
+losers AS (
+  SELECT id AS doc_id FROM reach GROUP BY id HAVING id <> MIN(r))
+SELECT d.doc_id, d.lang, d.source FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+${ord("doc_id")}""".trim
+  }
+
   /** Twin of Dedup.simhashPairsPortable — the full SimHash pipeline in
     * SQL: per-token polyhash64 (power-sum), per-bit majority vote over
     * every token instance, fingerprint assembly from a materialized

@@ -568,6 +568,23 @@ object Dedup {
           sep).as("text_dedup"))
   }
 
+  /** MinHash-backed end-to-end corpus dedup — `dedupCorpus` with the
+    * sketch-based candidate tier instead of the exact shingle join:
+    * portable MinHash+LSH pairs (est. Jaccard ≥ `minEst`) → connected
+    * components → drop non-canonical members. At 100 TB this IS the
+    * production path: candidate generation touches band buckets (near-
+    * linear), never the full shingle posting lists, and the signature
+    * agreement check reads 32 longs per candidate instead of whole
+    * shingle sets. The exact-Jaccard variant remains the verification
+    * twin at test scale. */
+  def dedupCorpusMinhash(docs: DataFrame, minEst: Double = 0.9): DataFrame = {
+    val pairs = minhashLshPairsPortable(docs, minEstJaccard = minEst)
+      .select(col("a_id"), col("b_id"))
+    val losers = dupClusters(pairs)
+      .where(!col("is_keeper")).select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Benchmark decontamination: for every corpus document, the
     * fraction of its w-token shingles that appear anywhere in the
     * benchmark set — the standard train/test contamination check run

@@ -348,6 +348,15 @@ class ExtSpec extends SparkSpec {
     assert(r(("2024-01-01", 2L)) == 1L, r.toString) // user 5 on 01-03
   }
 
+  test("dedupCorpusMinhash: exact copies collapse to the min-id keeper") {
+    val kept = Dedup.dedupCorpusMinhash(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // docs 0 and 3 are byte-identical → identical signatures → est 1.0
+    assert(kept.contains(0L) && !kept.contains(3L), s"got $kept")
+    // non-duplicated docs all survive at the 0.9 estimate threshold
+    assert(Set(1L, 2L, 4L).subsetOf(kept), s"got $kept")
+  }
+
   test("substringDedup: later copies of a shared span excise cleanly, first stays whole") {
     val span = (1 to 10).map(i => s"s$i").mkString(" ")       // 10-token shared span
     val docs = Seq(
