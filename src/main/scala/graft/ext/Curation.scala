@@ -122,12 +122,14 @@ object Curation {
       .select(col("doc_id"), lit(true).as("__c"))
     val d4 = d3.join(contaminated, Seq("doc_id"), "left")
       .withColumn("f4", col("f3") && col("__c").isNull).drop("__c")
+    // coalesce: sum over an EMPTY corpus is NULL, and a null inside the
+    // non-nullable report struct is a runtime error — degrade to 0
     val one = d4.agg(
       count(lit(1)).as("n0"),
-      sum(when(col("f1"), 1L).otherwise(0L)).as("n1"),
-      sum(when(col("f2"), 1L).otherwise(0L)).as("n2"),
-      sum(when(col("f3"), 1L).otherwise(0L)).as("n3"),
-      sum(when(col("f4"), 1L).otherwise(0L)).as("n4"))
+      coalesce(sum(when(col("f1"), 1L).otherwise(0L)), lit(0L)).as("n1"),
+      coalesce(sum(when(col("f2"), 1L).otherwise(0L)), lit(0L)).as("n2"),
+      coalesce(sum(when(col("f3"), 1L).otherwise(0L)), lit(0L)).as("n3"),
+      coalesce(sum(when(col("f4"), 1L).otherwise(0L)), lit(0L)).as("n4"))
     one.select(explode(array(
       struct(lit(0).as("stage"), lit("raw").as("stage_name"), col("n0").as("n_docs")),
       struct(lit(1).as("stage"), lit("quality_rules").as("stage_name"), col("n1").as("n_docs")),

@@ -616,6 +616,41 @@ class ExtSpec extends SparkSpec {
     assert(ls == as)
   }
 
+  test("round-4 operators degrade cleanly on empty/degenerate input") {
+    val sfDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sfEmb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val none = sfDocs.limit(0)
+    val blank = Seq((1L, "", "en", "s0")).toDF("doc_id", "text", "lang", "source")
+    // empty corpus: empty output, no analysis/runtime error
+    assert(TextAnalysis.gopherRules(none).count() == 0)
+    assert(TextAnalysis.c4Clean(none).count() == 0)
+    assert(TextAnalysis.dsirWeights(none, col("lang") === "en").count() == 0)
+    assert(TextAnalysis.featureHashVectors(none).count() == 0)
+    assert(TextAnalysis.tfidfTopTerms(none).count() == 0)
+    assert(TextAnalysis.qualityPercentileFilter(none).count() == 0)
+    assert(Dedup.lineDedup(none).count() == 0)
+    assert(Dedup.substringDedup(none).count() == 0)
+    assert(Dedup.noveltyScore(none).count() == 0)
+    assert(Dedup.dedupCorpusMinhash(none).count() == 0)
+    assert(Sampling.mixtureSample(none, "source", Map("src0" -> 1)).count() == 0)
+    assert(Similarity.kmeansAssign(sfEmb.limit(0)).count() == 0)
+    assert(Similarity.clusterBalancedSample(sfEmb.limit(0)).count() == 0)
+    assert(Similarity.randomProjection(sfEmb.limit(0)).count() == 0)
+    // empty batch / empty corpus sides of incremental dedup
+    assert(Dedup.incrementalDedup(sfDocs, none).count() == 0)
+    assert(Dedup.incrementalDedup(none, blank).count() == 1,
+      "batch passes through an empty corpus (self-unique)")
+    // funnel on empty corpus: 5 stage rows, all zero
+    val f = graft.ext.Curation.curationFunnel(none, none).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(f.keySet == Set(0, 1, 2, 3, 4) && f.values.forall(_ == 0L))
+    // single empty-text document flows through every per-row op
+    assert(TextAnalysis.gopherRules(blank).count() == 1)
+    assert(TextAnalysis.featureHashVectors(blank).head.getLong(1) == 1L) // [''] token
+    assert(Dedup.lineDedup(blank).head.getString(3) == "")
+    assert(Dedup.substringDedup(blank).count() == 1)
+  }
+
   test("dupClusters: layout-invariant (repartitioned pairs give same clusters)") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), // diameter > 4
       (10L, 11L), (11L, 12L)).toDF("a_id", "b_id")
