@@ -157,6 +157,10 @@ object SparkEntry {
           .withColumn("ts", expr("ts div 1000")),
         Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
         .orderBy("col_name")),
+    // cross-table referential audit (documents ↔ embeddings coverage)
+    "referential_audit" -> prep((s, d) =>
+      graft.ext.Profiling.referentialAudit(
+        docs(s, d), "doc_id", emb(s, d), "vec_id")),
     // ordered conversion funnel + retention triangle (product analytics)
     "event_funnel" -> prep((s, d) =>
       ShapeQueries.eventFunnel(s, d).orderBy("stage")),
@@ -804,6 +808,7 @@ object SparkEntry {
     "user_top_events" -> ExtOracle.userTopEvents,
     "event_funnel" -> ExtOracle.eventFunnel,
     "profile_events" -> ExtOracle.profileEvents,
+    "referential_audit" -> ExtOracle.referentialAudit,
     "retention_cohorts" -> ExtOracle.retentionCohorts,
     "text_stats" -> ExtOracle.textStats,
     "token_freq_topk" -> ExtOracle.tokenFreqTopK,

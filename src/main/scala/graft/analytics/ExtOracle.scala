@@ -239,6 +239,22 @@ WHERE doc_id % 5 = 0
   AND text NOT IN (SELECT text FROM documents WHERE doc_id % 5 <> 0)
 ${ord("doc_id")}""".trim
 
+  /** Twin of ext.Profiling.referentialAudit(documents.doc_id ↔
+    * embeddings.vec_id): distinct keys each side, full-outer match. */
+  val referentialAudit: String = s"""
+WITH l AS (SELECT DISTINCT doc_id AS k FROM documents),
+r AS (SELECT DISTINCT vec_id AS k FROM embeddings),
+j AS (
+  SELECT l.k AS lk, r.k AS rk FROM l FULL OUTER JOIN r ON l.k = r.k)
+SELECT
+  CAST(COUNT(lk) AS BIGINT) AS n_left_keys,
+  CAST(COUNT(rk) AS BIGINT) AS n_right_keys,
+  CAST(SUM(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_matched,
+  CAST(SUM(CASE WHEN rk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_left_only,
+  CAST(SUM(CASE WHEN lk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_right_only
+FROM j""".trim
+
   /** Twin of streaming.CorpusStream.runShapeFilter: the gopherRules
     * shape signals + filter, as the batch SQL. */
   val streamQualityFilter: String = s"""

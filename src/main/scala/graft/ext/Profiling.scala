@@ -46,4 +46,32 @@ object Profiling {
     }: _*)).as("r")).select(col("r.col_name"), col("r.n_rows"),
       col("r.n_null"), col("r.n_distinct"), col("r.min_s"), col("r.max_s"))
   }
+
+  /** Cross-table referential audit — does every document have an
+    * embedding, and vice versa? One full-outer join on the key, one
+    * aggregate: distinct keys on each side, matched keys, and the
+    * orphan counts that signal a broken ingest (an embedding job that
+    * silently skipped a shard shows up as left_only > 0). Keys are
+    * compared DISTINCT (duplicates are a per-table profile concern,
+    * not a referential one).
+    *
+    * Scale shape: two distinct projections (map-side combinable) and
+    * one key-partitioned full-outer join, then a 1-row aggregate. */
+  def referentialAudit(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    val l = left.select(col(leftKey).as("__k")).distinct()
+      .withColumn("__l", lit(1))
+    val r = right.select(col(rightKey).as("__k")).distinct()
+      .withColumn("__r", lit(1))
+    l.join(r, Seq("__k"), "full_outer")
+      .agg(
+        coalesce(sum(col("__l")), lit(0L)).cast("long").as("n_left_keys"),
+        coalesce(sum(col("__r")), lit(0L)).cast("long").as("n_right_keys"),
+        coalesce(sum(when(col("__l").isNotNull && col("__r").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_matched"),
+        coalesce(sum(when(col("__r").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_left_only"),
+        coalesce(sum(when(col("__l").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_right_only"))
+  }
 }

@@ -295,6 +295,19 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("referentialAudit: orphans counted each side, duplicates don't inflate") {
+    val l = Seq(1L, 2L, 3L, 3L, 4L).toDF("id")       // dup key 3
+    val r = Seq(3L, 4L, 5L).toDF("k")
+    val a = graft.ext.Profiling.referentialAudit(l, "id", r, "k").head
+    assert(a.getLong(0) == 4, "distinct left keys")
+    assert(a.getLong(1) == 3, "distinct right keys")
+    assert(a.getLong(2) == 2 && a.getLong(3) == 2 && a.getLong(4) == 1,
+      a.toString)
+    // empty sides degrade to zeros
+    val e = graft.ext.Profiling.referentialAudit(l.limit(0), "id", r, "k").head
+    assert(e.getLong(0) == 0 && e.getLong(4) == 3)
+  }
+
   test("profile: nulls/distincts/minmax per column, cents for doubles, approx path sane") {
     val df = Seq(
       (Some(1L), Some("a"), Some(1.25)),
