@@ -216,6 +216,10 @@ object SparkEntry {
     }),
     // ---- text analysis (oracle-checked where parity-safe) ------------
     "text_stats" -> prep((s, d) => Engine.canonical(TextAnalysis.textStats(docs(s, d)))),
+    // the vocab sketch's exact anchor (the HLL estimate itself is
+    // spec-bounded, not oracle-matchable)
+    "vocab_size" -> prep((s, d) =>
+      TextAnalysis.vocabSize(docs(s, d)).select("exact_vocab")),
     "token_freq_topk" -> prep((s, d) => TextAnalysis.tokenFreqTopK(docs(s, d))),
     "quality_score" -> prep((s, d) => Engine.canonical(TextAnalysis.qualityScore(docs(s, d)))),
     "bpe_token_count" -> prep((s, d) => TextAnalysis.bpeTokenCount(docs(s, d)).orderBy("doc_id")),
@@ -811,6 +815,7 @@ object SparkEntry {
     "referential_audit" -> ExtOracle.referentialAudit,
     "retention_cohorts" -> ExtOracle.retentionCohorts,
     "text_stats" -> ExtOracle.textStats,
+    "vocab_size" -> ExtOracle.vocabSize,
     "token_freq_topk" -> ExtOracle.tokenFreqTopK,
     "quality_score" -> ExtOracle.qualityScore,
     "quality_percentile_filter" -> ExtOracle.qualityPercentileFilter,

@@ -371,6 +371,12 @@ SELECT doc_id,
 FROM documents
 ${ord("doc_id")}""".trim
 
+  /** Twin of TextAnalysis.vocabSize's exact column. */
+  val vocabSize: String = s"""
+SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS exact_vocab FROM (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents)""".trim
+
   val tokenFreqTopK: String = s"""
 SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM (
   SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents)
