@@ -157,6 +157,22 @@ object SparkEntry {
           .withColumn("ts", expr("ts div 1000")),
         Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
         .orderBy("col_name")),
+    // snapshot diff vs a derived next corpus version: %7 slice removed,
+    // %5-of-remaining changed, %11 re-added under new ids — all four
+    // statuses exercised; the oracle derives the identical version
+    "snapshot_diff" -> prep((s, d) => {
+      val old = docs(s, d).select("doc_id", "text")
+      val newer = old.where(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(old.where(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+      graft.ext.Profiling.snapshotDiff(old, newer).orderBy("doc_id")
+    }),
+    // quality quartile tiers (exact corpus quantiles, scan-side assign)
+    "quality_tiers" -> prep((s, d) =>
+      TextAnalysis.qualityTiers(docs(s, d)).orderBy("doc_id")),
     // cross-table referential audit (documents ↔ embeddings coverage)
     "referential_audit" -> prep((s, d) =>
       graft.ext.Profiling.referentialAudit(
@@ -813,6 +829,8 @@ object SparkEntry {
     "event_funnel" -> ExtOracle.eventFunnel,
     "profile_events" -> ExtOracle.profileEvents,
     "referential_audit" -> ExtOracle.referentialAudit,
+    "snapshot_diff" -> ExtOracle.snapshotDiff,
+    "quality_tiers" -> ExtOracle.qualityTiers,
     "retention_cohorts" -> ExtOracle.retentionCohorts,
     "text_stats" -> ExtOracle.textStats,
     "vocab_size" -> ExtOracle.vocabSize,

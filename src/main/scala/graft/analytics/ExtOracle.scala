@@ -239,6 +239,49 @@ WHERE doc_id % 5 = 0
   AND text NOT IN (SELECT text FROM documents WHERE doc_id % 5 <> 0)
 ${ord("doc_id")}""".trim
 
+  /** Twin of ext.Profiling.snapshotDiff over the derived next version
+    * (drop %7, change %5-of-remaining, re-add %11 under +100000 ids):
+    * same sha256 change rule, same full-outer statuses. */
+  val snapshotDiff: String = s"""
+WITH oldc AS (SELECT doc_id, sha256(text) AS oh FROM documents),
+newc AS (
+  SELECT doc_id,
+    sha256(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS nh
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 100000, sha256(text) FROM documents WHERE doc_id % 11 = 0)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+  CASE WHEN o.oh IS NULL THEN 'added'
+       WHEN n.nh IS NULL THEN 'removed'
+       WHEN o.oh <> n.nh THEN 'changed'
+       ELSE 'unchanged' END AS status
+FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id
+${ord("doc_id")}""".trim
+
+  /** Twin of TextAnalysis.qualityTiers: same quality expression,
+    * quantile_cont list cutoffs ≡ Spark percentile(array). */
+  val qualityTiers: String = s"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+    CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) AS n_uniq,
+    CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents),
+q AS (
+  SELECT doc_id,
+    round((n_uniq / n_tok) * 0.5
+      + least(n_tok / 64.0, 1.0) * 0.3
+      + (CASE WHEN ((n_chars - (n_tok - 1)) / n_tok) BETWEEN 3.0 AND 9.0
+              THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+  FROM t),
+c AS (SELECT quantile_cont(quality, [0.25, 0.5, 0.75]) AS cuts FROM q)
+SELECT doc_id, quality,
+  1 + (CASE WHEN quality >= cuts[1] THEN 1 ELSE 0 END)
+    + (CASE WHEN quality >= cuts[2] THEN 1 ELSE 0 END)
+    + (CASE WHEN quality >= cuts[3] THEN 1 ELSE 0 END) AS tier
+FROM q, c
+${ord("doc_id")}""".trim
+
   /** Twin of ext.Profiling.referentialAudit(documents.doc_id ↔
     * embeddings.vec_id): distinct keys each side, full-outer match. */
   val referentialAudit: String = s"""

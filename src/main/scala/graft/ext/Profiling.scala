@@ -47,6 +47,28 @@ object Profiling {
       col("r.n_null"), col("r.n_distinct"), col("r.min_s"), col("r.max_s"))
   }
 
+  /** Corpus snapshot diff — row-level change audit between two corpus
+    * versions: added / removed / changed / unchanged per key, with
+    * "changed" decided on the payload's sha256 (32-byte compare, not
+    * document bodies). The versioning primitive behind "what did
+    * yesterday's crawl replace?" reviews and incremental downstream
+    * invalidation.
+    *
+    * Scale shape: payloads hash in the scan projection; the diff is
+    * ONE full-outer join on the key carrying (key, digest) rows
+    * only. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      key: String = "doc_id", payload: String = "text"): DataFrame = {
+    val o = oldDf.select(col(key), sha2(col(payload), 256).as("__oh"))
+    val n = newDf.select(col(key), sha2(col(payload), 256).as("__nh"))
+    o.join(n, Seq(key), "full_outer")
+      .select(col(key),
+        when(col("__oh").isNull, "added")
+          .when(col("__nh").isNull, "removed")
+          .when(col("__oh") =!= col("__nh"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Cross-table referential audit — does every document have an
     * embedding, and vice versa? One full-outer join on the key, one
     * aggregate: distinct keys on each side, matched keys, and the

@@ -80,6 +80,25 @@ object TextAnalysis {
   def qualityScore(docs: DataFrame): DataFrame =
     withQuality(docs).select(col("doc_id"), col("quality"))
 
+  /** Quality quartile tiers — bucket every document by the corpus'
+    * own exact quality quantiles (RefinedWeb-style tiering: tier 4
+    * feeds the high-quality mix, tier 1 gets aggressive filtering or
+    * curriculum-late placement). One exact `percentile` over the
+    * scored corpus (three cutoffs in one aggregate, broadcast as a
+    * 1-row frame); the tier assignment is a scan-side projection. */
+  def qualityTiers(docs: DataFrame): DataFrame = {
+    val scored = withQuality(docs)
+    val cuts = scored.agg(
+      expr("percentile(quality, array(0.25, 0.5, 0.75))").as("__cuts"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("quality"),
+        (lit(1) +
+          when(col("quality") >= element_at(col("__cuts"), 1), 1).otherwise(0) +
+          when(col("quality") >= element_at(col("__cuts"), 2), 1).otherwise(0) +
+          when(col("quality") >= element_at(col("__cuts"), 3), 1).otherwise(0))
+          .as("tier"))
+  }
+
   /** Percentile-thresholded quality filter — auto-tuned cutoffs: keep
     * documents at or above the corpus' `pct` quality quantile instead
     * of a hand-picked constant (the threshold tracks the corpus as it

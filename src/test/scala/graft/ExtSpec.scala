@@ -295,6 +295,34 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("snapshotDiff: all four statuses from a crafted version pair") {
+    val old = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish"))
+      .toDF("doc_id", "text")
+    val newer = Seq((1L, "same"), (2L, "changed!"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = graft.ext.Profiling.snapshotDiff(old, newer).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"), got.toString)
+  }
+
+  test("qualityTiers: quartiles partition the corpus, tiers ordered by quality") {
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+    val tiers = TextAnalysis.qualityTiers(real).collect()
+      .map(r => (r.getDouble(1), r.getInt(2)))
+    assert(tiers.map(_._2).toSet.subsetOf(Set(1, 2, 3, 4)))
+    // monotone: any tier-t quality <= any tier-(t+1) quality boundary-wise
+    val byTier = tiers.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    byTier.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(byTier(a).max <= byTier(b).min ||
+        byTier(a).max == byTier(b).min, s"tier $a overlaps $b beyond ties")
+      case _ =>
+    }
+    // each quartile holds roughly a quarter (ties shift boundaries)
+    val n = tiers.length.toDouble
+    byTier.values.foreach(v => assert(v.length / n > 0.1 && v.length / n < 0.45))
+  }
+
   test("referentialAudit: orphans counted each side, duplicates don't inflate") {
     val l = Seq(1L, 2L, 3L, 3L, 4L).toDF("id")       // dup key 3
     val r = Seq(3L, 4L, 5L).toDF("k")
