@@ -603,6 +603,24 @@ object SparkEntry {
         .orderBy(col("window_start").asc_nulls_first,
           col("event_type").asc_nulls_first)
     }),
+    // Sliding-window rollup (1 h windows every 15 min): each event
+    // fans out to 4 windows; oracle reproduces the fan-out + the same
+    // watermark cutoff in integer µs arithmetic
+    "stream_events_sliding" -> prep((s, d) => {
+      val base = tmpDir("graft_evsliding")
+      s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"),
+          expr("timestamp_micros(ts div 1000)").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .coalesce(1).write.mode("overwrite").json(s"$base/in")
+      graft.streaming.EventStream.runSlidingWindowed(
+        s, s"$base/in", s"$base/out", s"$base/ckpt").awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select(col("window_start").cast("string").as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("window_start").asc_nulls_first,
+          col("event_type").asc_nulls_first)
+    }),
     // Stream-static enrichment join (events stream ⋈ broadcast customer
     // dim) feeding the watermarked rollup; same oracle cutoff rule.
     "stream_events_enriched" -> prep((s, d) => {
@@ -818,6 +836,7 @@ object SparkEntry {
     "range_join_campaigns" -> ExtOracle.rangeJoinCampaigns,
     "latest_user_event" -> ExtOracle.latestUserEvent,
     "stream_events_hourly" -> ExtOracle.streamEventsHourly,
+    "stream_events_sliding" -> ExtOracle.streamEventsSliding,
     "stream_dedup_events" -> ExtOracle.streamDedupEvents,
     "stream_dedup_vs_corpus" -> ExtOracle.streamDedupVsCorpus,
     "stream_quality_filter" -> ExtOracle.streamQualityFilter,

@@ -117,6 +117,24 @@ WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
 GROUP BY 1, 2
 ${ord("window_start", "event_type")}""".trim
 
+  /** Twin of EventStream.slidingWindowedAgg (1 h / 15 min): each event
+    * fans out to its 4 covering window starts (integer µs floor
+    * arithmetic — Spark's window() is epoch-aligned the same way);
+    * watermark cutoff on window END as in streamEventsHourly. */
+  val streamEventsSliding: String = s"""
+WITH wm AS (SELECT epoch_us(max(ts)) - 1800000000 AS wus FROM events),
+fan AS (
+  SELECT event_type, value,
+    (epoch_us(ts) // 900000000) * 900000000 - k.k * 900000000 AS sus
+  FROM events, (SELECT unnest(generate_series(0, 3)) AS k) k)
+SELECT CAST(make_timestamp(sus) AS VARCHAR) AS window_start, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
+FROM fan, wm
+WHERE sus + 3600000000 <= wm.wus
+GROUP BY 1, 2
+${ord("window_start", "event_type")}""".trim
+
   /** Stream-static enrichment rollup: watermark cutoff as in
     * streamEventsHourly, events joined to the customer dim. */
   val streamEventsEnriched: String = s"""

@@ -58,6 +58,35 @@ object EventStream {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Sliding (hopping) windowed aggregation — each event contributes
+    * to size/slide overlapping windows (1 h windows every 15 min
+    * here): the moving-average/trend shape tumbling windows can't
+    * express. Same watermark eviction as `windowedAgg`; state is
+    * bounded by (windows in the watermark horizon) × keys, i.e.
+    * size/slide × the tumbling equivalent — the fan-out factor is the
+    * knob. */
+  def slidingWindowedAgg(events: DataFrame, size: String = "1 hour",
+      slide: String = "15 minutes", lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), size, slide).as("w"), col("event_type"))
+      .agg(count("*").as("n_events"),
+        (sum(round(col("value") * 100).cast("long")).cast("double") / 100)
+          .as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  def runSlidingWindowed(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    slidingWindowedAgg(source(spark, inDir))
+      .writeStream
+      .format("parquet")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .option("path", outDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Stream-static enrichment join + windowed rollup — the canonical
     * streaming-ETL shape (enrich each event with a dimension attribute,
     * then aggregate by it). The static side is broadcast per

@@ -50,6 +50,27 @@ class StreamingSpec extends SparkSpec {
       "stream-static anti-join must keep no streaming state")
   }
 
+  test("sliding window: every event lands in exactly size/slide windows (batch semantics)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01 10:07:00", "view", 1.0),
+      (2L, "2024-01-01 10:59:59", "view", 2.0),
+      (3L, "2024-01-01 00:00:00", "click", 3.0)   // exactly on a boundary
+    ).toDF("event_id", "ts_s", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("event_type"), col("value"))
+    val out = ev.groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count("*").as("n"))
+    // 3 events × 4 covering windows each
+    assert(out.agg(sum("n")).head.getLong(0) == 12L)
+    // boundary event: its 4 windows start at 23:15, 23:30, 23:45, 00:00
+    val starts = out.where(col("event_type") === "click")
+      .select(col("window.start").cast("string")).collect().map(_.getString(0)).sorted
+    assert(starts.toSeq == Seq("2023-12-31 23:15:00", "2023-12-31 23:30:00",
+      "2023-12-31 23:45:00", "2024-01-01 00:00:00"), starts.mkString(","))
+  }
+
   test("streaming shape filter == batch gopher pass, stateless") {
     import org.apache.spark.sql.functions._
     val base = tmp("st_quality")
