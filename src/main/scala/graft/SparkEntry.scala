@@ -603,6 +603,27 @@ object SparkEntry {
         .orderBy(col("window_start").asc_nulls_first,
           col("event_type").asc_nulls_first)
     }),
+    // Streaming upsert-view maintenance (merge-on-read): 3 landing
+    // files → 3 micro-batches, each appends its per-key latest delta;
+    // the read-side compaction must equal the one-shot batch changelog
+    // — shares latest_user_event's oracle
+    "stream_upsert_latest" -> prep((s, d) => {
+      val base = tmpDir("graft_evupsert")
+      s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"),
+          expr("timestamp_micros(ts div 1000)").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .repartition(3).write.mode("overwrite")
+        .option("timestampFormat", graft.streaming.EventStream.microTsFormat)
+        .json(s"$base/in")
+      graft.streaming.EventStream.runUpsertLatest(
+        s, s"$base/in", s"$base/out", s"$base/ckpt").awaitTermination()
+      val compacted = graft.ext.Changelog.latestByKey(
+        s.read.parquet(s"$base/out"), Seq("user_id"), "ts", "event_id")
+      compacted.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+        .orderBy("user_id")
+    }),
     // Sliding-window rollup (1 h windows every 15 min): each event
     // fans out to 4 windows; oracle reproduces the fan-out + the same
     // watermark cutoff in integer µs arithmetic
@@ -835,6 +856,7 @@ object SparkEntry {
     "asof_last_purchase" -> ExtOracle.asofLastPurchase,
     "range_join_campaigns" -> ExtOracle.rangeJoinCampaigns,
     "latest_user_event" -> ExtOracle.latestUserEvent,
+    "stream_upsert_latest" -> ExtOracle.latestUserEvent, // same contract, stream-maintained
     "stream_events_hourly" -> ExtOracle.streamEventsHourly,
     "stream_events_sliding" -> ExtOracle.streamEventsSliding,
     "stream_dedup_events" -> ExtOracle.streamDedupEvents,

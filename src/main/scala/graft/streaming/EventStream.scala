@@ -87,6 +87,31 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming upsert-view maintenance (merge-on-read CDC pattern):
+    * each micro-batch compacts to latest-per-key via
+    * `Changelog.latestByKey` and APPENDS that delta; readers compact
+    * again at query time (same operator). This is the Delta/Hudi
+    * merge-on-read split expressible on a plain parquet sink:
+    * exactly-once per batch via the checkpoint, writes stay
+    * append-only (no read-modify-write race), and the read-side
+    * compaction is the already-verified changelog operator. State:
+    * none in the stream itself — compaction state lives in the data
+    * layout. */
+  def runUpsertLatest(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String, maxFilesPerTrigger: Int = 1): StreamingQuery =
+    source(spark, inDir,
+      Map("maxFilesPerTrigger" -> maxFilesPerTrigger.toString))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ext.Changelog
+          .latestByKey(batch, Seq("user_id"), "ts", "event_id")
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Stream-static enrichment join + windowed rollup — the canonical
     * streaming-ETL shape (enrich each event with a dimension attribute,
     * then aggregate by it). The static side is broadcast per
