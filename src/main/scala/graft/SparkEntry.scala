@@ -275,6 +275,9 @@ object SparkEntry {
     "tfidf_top_terms" -> prep((s, d) =>
       TextAnalysis.tfidfTopTerms(docs(s, d), k = 5)
         .orderBy("doc_id", "tok")),
+    // bigram LM quality (sequence-aware perplexity proxy)
+    "bigram_lm_quality" -> prep((s, d) =>
+      TextAnalysis.bigramLmQuality(docs(s, d)).orderBy("doc_id")),
     // DSIR-style importance weights vs the lang='en' target slice
     "dsir_weights" -> prep((s, d) =>
       TextAnalysis.dsirWeights(docs(s, d), col("lang") === "en")
@@ -924,6 +927,7 @@ object SparkEntry {
     "gopher_rules" -> ExtOracle.gopherRules,
     "lm_quality" -> ExtOracle.lmQuality,
     "dsir_weights" -> ExtOracle.dsirWeights,
+    "bigram_lm_quality" -> ExtOracle.bigramLmQuality,
     "span_dup_score" -> ExtOracle.spanDupScore,
     "novelty_score" -> ExtOracle.noveltyScore,
     "substring_dedup" -> ExtOracle.substringDedup,

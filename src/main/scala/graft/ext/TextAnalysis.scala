@@ -404,6 +404,39 @@ object TextAnalysis {
           / 1000000)
   }
 
+  /** Bigram LM quality — the sequence-aware upgrade of `lmQuality`:
+    * per-document mean conditional log-probability ln P(next|tok)
+    * under the corpus bigram model (MLE: bigram count / context
+    * count). Catches shuffled-word salad that a unigram model scores
+    * as fluent — tokens can all be common while their TRANSITIONS are
+    * rare. Same determinism contract as lmQuality: per-bigram
+    * log-probs are integer-quantized before the per-doc sum.
+    *
+    * Scale shape: one per-doc window (lead) to form bigram instances
+    * — partitions on doc_id; two map-side-combinable count aggs on
+    * the bigram/context keys; the score join re-uses the bigram key
+    * partitioning; the per-doc rollup combines map-side. Documents
+    * with fewer than 2 tokens have no bigrams and drop out. */
+  def bigramLmQuality(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = toks.withColumn("next", lead(col("tok"), 1).over(w))
+      .where(col("next").isNotNull)
+    val bf = bi.groupBy(col("tok"), col("next")).agg(count(lit(1)).as("bf"))
+    val cf = bi.groupBy(col("tok")).agg(count(lit(1)).as("cf"))
+    val scored = bi.join(bf, Seq("tok", "next")).join(cf, Seq("tok"))
+      .select(col("doc_id"),
+        round(log(col("bf").cast("double") / col("cf").cast("double"))
+          * 1000000).cast("long").as("q"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_q_logprob"))
+      .withColumn("mean_logprob",
+        col("sum_q_logprob").cast("double") / col("n_bigrams").cast("double")
+          / 1000000)
+  }
+
   def vocabSize(docs: DataFrame, rsd: Double = 0.05): DataFrame =
     docs.select(explode(tokens(col("text"))).as("token"))
       .agg(countDistinct(col("token")).as("exact_vocab"),

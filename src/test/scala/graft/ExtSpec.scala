@@ -221,6 +221,26 @@ class ExtSpec extends SparkSpec {
     assert(!got.contains(5L))
   }
 
+  test("bigramLmQuality: word salad scores below fluent text with identical unigrams") {
+    // transitions must BRANCH for probabilities below 1: context "a"
+    // is followed by "b" 4/5 of the time, by "c" 1/5 (the salad doc)
+    val fluent = "a b x"
+    val docs = Seq(
+      (1L, fluent), (2L, fluent), (3L, fluent), (4L, fluent),
+      (5L, "a c x"),          // salad: rare transition "a c"
+      (6L, "x y")             // isolated pair, P(y|x)=1 → logprob 0
+    ).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.bigramLmQuality(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(got(1L)._2 > got(5L)._2,
+      s"fluent must outscore salad: ${got(1L)} vs ${got(5L)}")
+    assert(got(6L)._2 == 0.0, "deterministic transitions score ln(1)=0")
+    assert(got(1L)._1 == 2 && got(5L)._1 == 2)
+    // single-token docs have no bigrams and drop out
+    val single = Seq((9L, "lonely")).toDF("doc_id", "text")
+    assert(graft.ext.TextAnalysis.bigramLmQuality(single).count() == 0)
+  }
+
   test("dsirWeights: target-like docs outscore raw-like docs, OOV-in-target penalized") {
     // target = label 1 docs; "good" tokens dominate the target slice,
     // "junk" tokens appear only outside it
