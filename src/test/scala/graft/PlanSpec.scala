@@ -150,6 +150,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle:\n$p")
   }
 
+  test("tfidfTopTerms: per-doc top-k gets WindowGroupLimit map-side pruning") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ext.TextAnalysis.tfidfTopTerms(docs, k = 5))
+    // row_number <= k must prune per map task, not ship every scored
+    // (doc, term) row through the window shuffle
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"map-side window group limit expected:\n$p")
+  }
+
+  test("lineDedup: first-occurrence argmin is a partial-aggregatable min, no window") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ext.Dedup.lineDedup(docs))
+    // min(struct(doc_id, ord)) grouped on the digest must combine
+    // map-side; a per-line window would sort every occurrence group
+    assert(p.contains("partial_min"), s"map-side argmin combine expected:\n$p")
+    assert(!p.contains("CartesianProduct"), "equi-joins only")
+  }
+
+  test("bigramLmQuality: model aggs combine map-side, no cartesian scoring join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ext.TextAnalysis.bigramLmQuality(docs))
+    assert(p.contains("partial_count"), s"map-side model counts expected:\n$p")
+    assert(!p.contains("CartesianProduct"), "score join must be keyed")
+  }
+
   test("incrementalDedup: the pair join's left side is batch-only (type-pushed filters)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val batch = docs.where(col("doc_id") % 5 === 0)
