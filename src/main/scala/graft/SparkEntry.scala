@@ -170,6 +170,9 @@ object SparkEntry {
           .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
       graft.ext.Profiling.snapshotDiff(old, newer).orderBy("doc_id")
     }),
+    // per-source quality scorecard (crawl-prioritization report)
+    "source_scorecard" -> prep((s, d) =>
+      TextAnalysis.sourceScorecard(docs(s, d)).orderBy("source")),
     // quality quartile tiers (exact corpus quantiles, scan-side assign)
     "quality_tiers" -> prep((s, d) =>
       TextAnalysis.qualityTiers(docs(s, d)).orderBy("doc_id")),
@@ -875,6 +878,7 @@ object SparkEntry {
     "referential_audit" -> ExtOracle.referentialAudit,
     "snapshot_diff" -> ExtOracle.snapshotDiff,
     "quality_tiers" -> ExtOracle.qualityTiers,
+    "source_scorecard" -> ExtOracle.sourceScorecard,
     "retention_cohorts" -> ExtOracle.retentionCohorts,
     "text_stats" -> ExtOracle.textStats,
     "vocab_size" -> ExtOracle.vocabSize,

@@ -257,6 +257,39 @@ WHERE doc_id % 5 = 0
   AND text NOT IN (SELECT text FROM documents WHERE doc_id % 5 <> 0)
 ${ord("doc_id")}""".trim
 
+  /** Twin of TextAnalysis.sourceScorecard: same quality expression
+    * (·10⁶ quantized per doc before the source sum), same shape-rule
+    * pass predicate as streamQualityFilter. */
+  val sourceScorecard: String = s"""
+WITH sig AS (
+  SELECT doc_id, source, text,
+    string_split_regex(trim(text), '\\s+') AS w,
+    string_split_regex(trim(text), '\\s+') AS wq
+  FROM documents),
+per AS (
+  SELECT doc_id, source,
+    CAST(round(round((CAST(len(list_distinct(wq)) AS DOUBLE) / CAST(len(wq) AS DOUBLE)) * 0.5
+      + least(CAST(len(wq) AS DOUBLE) / 64.0, 1.0) * 0.3
+      + (CASE WHEN ((CAST(length(text) AS DOUBLE) - (CAST(len(wq) AS DOUBLE) - 1))
+                    / CAST(len(wq) AS DOUBLE)) BETWEEN 3.0 AND 9.0
+              THEN 1.0 ELSE 0.5 END) * 0.2, 6) * 1000000) AS BIGINT) AS q6,
+    (len(w) BETWEEN 20 AND 100000
+      AND (CAST(length(array_to_string(w, '')) AS DOUBLE) /
+           CAST(len(w) AS DOUBLE)) BETWEEN 3.0 AND 10.0
+      AND (CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) /
+           CAST(len(w) AS DOUBLE)) <= 0.1
+      AND (CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) /
+           CAST(len(w) AS DOUBLE)) >= 0.8) AS shape_pass
+  FROM sig)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(q6) AS BIGINT) AS sum_q6,
+  CAST(SUM(CASE WHEN shape_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_shape_pass,
+  CAST(SUM(q6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000 AS mean_quality,
+  CAST(SUM(CASE WHEN shape_pass THEN 1 ELSE 0 END) AS DOUBLE) /
+    CAST(COUNT(*) AS DOUBLE) AS shape_pass_rate
+FROM per GROUP BY source
+${ord("source")}""".trim
+
   /** Twin of ext.Profiling.snapshotDiff over the derived next version
     * (drop %7, change %5-of-remaining, re-add %11 under +100000 ids):
     * same sha256 change rule, same full-outer statuses. */

@@ -80,6 +80,34 @@ object TextAnalysis {
   def qualityScore(docs: DataFrame): DataFrame =
     withQuality(docs).select(col("doc_id"), col("quality"))
 
+  /** Per-source quality scorecard — the crawl-prioritization report:
+    * for every source, document count, mean lexical quality, and the
+    * shape-rule pass rate. Sources whose scorecard degrades get
+    * down-weighted in the next mix (see `Sampling.mixtureSample`).
+    * Quality is integer-quantized (·10⁶) per doc before the per-source
+    * sum, so the aggregate is engine-order-independent; one map-side
+    * combinable groupBy. */
+  def sourceScorecard(docs: DataFrame, minWords: Int = 20): DataFrame = {
+    val g = gopherRules(docs, minWords)
+      .select(col("doc_id"),
+        (col("n_words").between(minWords, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") <= 0.1 &&
+          col("frac_alpha_words") >= 0.8).as("shape_pass"))
+    val q = withQuality(docs)
+      .select(col("doc_id"), col("source"),
+        round(col("quality") * 1000000).cast("long").as("q6"))
+    q.join(g, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("q6")).as("sum_q6"),
+        sum(when(col("shape_pass"), 1L).otherwise(0L)).as("n_shape_pass"))
+      .withColumn("mean_quality",
+        col("sum_q6").cast("double") / col("n_docs").cast("double") / 1000000)
+      .withColumn("shape_pass_rate",
+        col("n_shape_pass").cast("double") / col("n_docs").cast("double"))
+  }
+
   /** Quality quartile tiers — bucket every document by the corpus'
     * own exact quality quantiles (RefinedWeb-style tiering: tier 4
     * feeds the high-quality mix, tier 1 gets aggressive filtering or
