@@ -327,6 +327,10 @@ object SparkEntry {
     "leakage_safe_split" -> prep((s, d) =>
       Sampling.leakageSafeSplit(docs(s, d), Dedup.ngramJaccardPairs(docs(s, d)))
         .select("doc_id", "split").orderBy("doc_id")),
+    // leakage-safe k-fold CV assignment: near-dup clusters share folds
+    "kfold_split" -> prep((s, d) =>
+      Sampling.leakageSafeKfold(docs(s, d), Dedup.ngramJaccardPairs(docs(s, d)))
+        .select("doc_id", "fold").orderBy("doc_id")),
     "stratified_sample" -> prep((s, d) =>
       Sampling.stratifiedSample(docs(s, d), "lang",
         Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1))
@@ -893,6 +897,7 @@ object SparkEntry {
     "curation_funnel" -> ExtOracle.curationFunnel,
     "train_test_split" -> ExtOracle.trainTestSplit,
     "leakage_safe_split" -> ExtOracle.leakageSafeSplit,
+    "kfold_split" -> ExtOracle.kfoldSplit,
     "stratified_sample" -> ExtOracle.stratifiedSample,
     "mixture_sample" -> ExtOracle.mixtureSample,
     "pack_shards" -> ExtOracle.packShards,

@@ -1181,6 +1181,17 @@ SELECT doc_id,
 FROM keyed
 ${ord("doc_id")}""".trim
 
+  /** Twin of Sampling.leakageSafeKfold (k=5): the leakageSafeSplit
+    * closure/keying chain with the fold bucket as the final select. */
+  val kfoldSplit: String = {
+    val chain = leakageSafeSplit.split("\nSELECT doc_id,").head
+    s"""$chain
+SELECT doc_id,
+  CAST(((k % 1000003) * 2654435761) % 5 AS INT) AS fold
+FROM keyed
+${ord("doc_id")}""".trim
+  }
+
   /** Twin of TextAnalysis.c4Clean over the same derived corpus the
     * gate entry builds (10-token lines, (doc_id+i)%4 punctuation rule,
     * injected javascript/lorem lines): same line predicates, same

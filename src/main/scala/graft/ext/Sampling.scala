@@ -69,6 +69,27 @@ object Sampling {
     df.where(bucket(col(idCol), 10000).cast("double") < threshold)
   }
 
+  /** Deterministic k-fold assignment (cross-validation prep): fold =
+    * Knuth bucket of the id — layout- and engine-invariant like every
+    * sampler here. The leakage-safe variant keys the fold hash on the
+    * near-dup cluster id (same contract as `leakageSafeSplit`): near-
+    * duplicate documents land in the SAME fold, so no fold's held-out
+    * slice contains near-copies of another fold's training rows. */
+  def kfoldSplit(df: DataFrame, k: Int = 5,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 1, "need at least 2 folds")
+    df.withColumn("fold", bucket(col(idCol), k).cast("int"))
+  }
+
+  def leakageSafeKfold(docs: DataFrame, pairs: DataFrame,
+      k: Int = 5): DataFrame = {
+    val clusters = Dedup.dupClusters(pairs)
+      .select(col("doc_id"), col("cluster_id"))
+    val keyed = docs.join(clusters, Seq("doc_id"), "left")
+      .withColumn("__fold_key", coalesce(col("cluster_id"), col("doc_id")))
+    kfoldSplit(keyed, k, "__fold_key").drop("__fold_key", "cluster_id")
+  }
+
   /** Mixture (domain-weighted) sampling — the "data mixing" step of a
     * pretraining pipeline: given integer target proportions per group
     * (e.g. web 6 : books 2 : code 2), downsample each group so the

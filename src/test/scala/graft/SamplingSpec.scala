@@ -51,6 +51,22 @@ class SamplingSpec extends SparkSpec {
     assert(out.count() == docs.where(col("lang") === "en").count())
   }
 
+  test("kfold: exhaustive, roughly balanced, clusters share folds") {
+    import spark.implicits._
+    val d = (0L to 199L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (50L, 51L)).toDF("a_id", "b_id")
+    val out = Sampling.leakageSafeKfold(d, pairs, k = 5)
+      .select("doc_id", "fold").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.size == 200 && out.values.toSet.subsetOf((0 until 5).toSet))
+    // every fold populated, none dominant
+    val sizes = out.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.size == 5 && sizes.values.forall(s => s > 15 && s < 70))
+    // near-dup clusters land in one fold
+    assert(out(1L) == out(2L) && out(2L) == out(3L))
+    assert(out(50L) == out(51L))
+  }
+
   test("mixtureSample: output tracks target proportions, zero-weight groups dropped, layout-invariant") {
     val weights = Map("src0" -> 5, "src1" -> 3, "src2" -> 2)
     val out = Sampling.mixtureSample(docs, "source", weights)
