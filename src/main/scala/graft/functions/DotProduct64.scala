@@ -18,12 +18,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Semantics (wrapping 64-bit arithmetic over quantized embeddings)
   * are identical, so oracle parity is unaffected.
   *
-  * Shorter of the two lengths bounds the loop (mirrors `zip_with`'s
-  * null-padding semantics only when lengths are equal — embeddings are
-  * fixed-dim, enforced upstream; unequal lengths would contribute null
-  * products in the HOF form, which `aggregate`'s `+` then nulls out —
-  * here we simply require equal lengths and return null otherwise,
-  * making length mismatch loud instead of silently null). */
+  * Equal lengths are required — embeddings are fixed-dim, enforced
+  * upstream — and a mismatch THROWS rather than returning null. Two
+  * reasons: (a) it is genuinely loud (a null would flow silently into
+  * downstream aggregates); (b) it keeps `nullable` equal to the
+  * children's nullability, so over non-nullable inputs (the k-means
+  * centroid-update shape: `collect_list`→`array_sort`→`transform`)
+  * whole-stage codegen allocates no isNull slot at all. The earlier
+  * null-on-mismatch variant assigned `ev.isNull = true` while
+  * inheriting `nullable = false` from such children, producing
+  * uncompilable Java and a SILENT fall-back to interpreted eval —
+  * exactly the hot loop this expression exists to compile
+  * (round-4 verdict, "What's wrong" §1). */
 case class DotProduct64(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -45,17 +51,17 @@ case class DotProduct64(left: Expression, right: Expression)
   protected override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    if (x.numElements() != y.numElements()) null
-    else {
-      var acc = 0L
-      var i = 0
-      val n = x.numElements()
-      while (i < n) {
-        acc += x.getLong(i) * y.getLong(i)
-        i += 1
-      }
-      acc
+    val n = x.numElements()
+    if (n != y.numElements()) {
+      throw DotProduct64.lengthMismatch(n, y.numElements())
     }
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -63,17 +69,19 @@ case class DotProduct64(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      // Never assigns ev.isNull: with nullIntolerant semantics and no
+      // null-producing branch, nullable stays exactly the children's
+      // nullability and the generated code compiles for BOTH shapes.
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  long $acc = 0L;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $acc += $a.getLong($i) * $b.getLong($i);
-         |  }
-         |  ${ev.value} = $acc;
+         |  throw graft.functions.DotProduct64.lengthMismatch($n, $b.numElements());
          |}
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -85,4 +93,10 @@ case class DotProduct64(left: Expression, right: Expression)
 object DotProduct64 {
   def dot64(a: Column, b: Column): Column =
     Bridge.column(DotProduct64(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Shared by interpreted eval and generated code (called from janino-
+    * compiled Java, hence public + Java-friendly signature). */
+  def lengthMismatch(n: Int, m: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"dot64: embedding length mismatch ($n vs $m); inputs must be fixed-dim")
 }
