@@ -12,8 +12,22 @@ import org.apache.spark.sql.SparkSession
   * was scheduler/JIT noise of the kind the warm-up + min-of-2 below
   * exists to damp, not a missed exchange reuse (the q2 plan reuses the
   * cleaned-cache scan like every other pin query). Single-sample deltas
-  * under ~0.5 s on this box are not signal (±30% run-to-run). */
+  * under ~0.5 s on this box are not signal (±30% run-to-run).
+  *
+  * Load evidence (round-4 lesson): late round 4 a hypervisor noisy
+  * neighbor (host load ~10 with no local consumer) inflated unchanged
+  * queries 2-16x uniformly and the artifact carried no way to tell.
+  * The JSON line now stamps /proc/loadavg at start and end plus every
+  * raw per-query sample, so a contaminated window is machine-detectable
+  * from the artifact alone: high load_avg + uniform inflation of the
+  * max sample across entries = noise, not regression. */
 object Bench {
+
+  /** [1m, 5m, 15m] host load averages (Linux); empty elsewhere. */
+  private def loadAvg(): Seq[Double] =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+").take(3).map(_.toDouble).toSeq
+    catch { case _: Exception => Seq.empty }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -48,18 +62,29 @@ object Bench {
     // local[32] shares the host with whatever else runs, and a single
     // sample conflates query cost with scheduler noise — the min is the
     // reproducible execution time.
+    val loadStart = loadAvg()
     val results = SparkEntry.benchQueries.map { case (name, fn) =>
       val samples = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> samples.min
+      name -> samples
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val loadEnd = loadAvg()
+    def r4(v: Double): String = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r4(v.min) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val raw = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(r4).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    def arr(xs: Seq[Double]) = xs.map(r4).mkString("[", ",", "]")
+    val total = results.values.map(_.min).sum
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
+      s""""queries":$qs,"samples":$raw,""" +
+      s""""load_avg":{"start":${arr(loadStart)},"end":${arr(loadEnd)}},""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1139,11 +1139,13 @@ WHERE d.doc_id IN (SELECT doc_id FROM keepers)
   AND q.quality >= 0.5 AND lm.mean_logprob >= -4.0 AND rep.repetition <= 0.5
 ${ord("doc_id")}""".trim
 
-  /** Twin of Sampling.leakageSafeSplit over ngramJaccardPairs: same
-    * recursive-closure clusters as dedupClusters, split bucket hashed
-    * on COALESCE(cluster_id, doc_id) so whole clusters split
-    * atomically. */
-  val leakageSafeSplit: String = s"""
+  /** Shared CTE chain for the leakage-safe splits: ngram-Jaccard pair
+    * graph → recursive connected-component closure → per-doc split key
+    * `k` = COALESCE(cluster_id, doc_id) in CTE `keyed`. Both split
+    * oracles concatenate this explicitly (no re-parsing of finished
+    * query strings — a reformat there used to silently move a
+    * string-splice point). */
+  private val leakageKeyedChain: String = s"""
 WITH RECURSIVE
 ws AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
@@ -1173,7 +1175,13 @@ clusters AS (
   SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
 keyed AS (
   SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS k
-  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id)
+  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id)""".trim
+
+  /** Twin of Sampling.leakageSafeSplit over ngramJaccardPairs: same
+    * recursive-closure clusters as dedupClusters, split bucket hashed
+    * on COALESCE(cluster_id, doc_id) so whole clusters split
+    * atomically. */
+  val leakageSafeSplit: String = s"""$leakageKeyedChain
 SELECT doc_id,
   CASE WHEN ((k % 1000003) * 2654435761) % 100 < 80 THEN 'train'
        WHEN ((k % 1000003) * 2654435761) % 100 < 90 THEN 'val'
@@ -1183,14 +1191,11 @@ ${ord("doc_id")}""".trim
 
   /** Twin of Sampling.leakageSafeKfold (k=5): the leakageSafeSplit
     * closure/keying chain with the fold bucket as the final select. */
-  val kfoldSplit: String = {
-    val chain = leakageSafeSplit.split("\nSELECT doc_id,").head
-    s"""$chain
+  val kfoldSplit: String = s"""$leakageKeyedChain
 SELECT doc_id,
   CAST(((k % 1000003) * 2654435761) % 5 AS INT) AS fold
 FROM keyed
 ${ord("doc_id")}""".trim
-  }
 
   /** Twin of TextAnalysis.c4Clean over the same derived corpus the
     * gate entry builds (10-token lines, (doc_id+i)%4 punctuation rule,
@@ -1507,14 +1512,16 @@ SELECT doc_id,
 FROM sums
 ${ord("doc_id")}""".trim
 
-  /** Twin of Dedup.minhashLshPairsPortable — the full MinHash+LSH
-    * pipeline recomputed in SQL: per-shingle polyhash64 via the
-    * power-sum decomposition (see fingerprintDocs), the
+  /** Shared CTE chain for the portable-minhash oracles — the full
+    * MinHash+LSH pipeline recomputed in SQL: per-shingle polyhash64
+    * via the power-sum decomposition (see fingerprintDocs), the
     * Kirsch-Mitzenmacher affine signature family and the seeded band
     * fold in HUGEINT mod-2^64 (re-signed for the MIN comparisons,
     * since Spark mins SIGNED longs), band-bucket candidate join,
-    * signature-agreement estimate. */
-  val minhashPairsPortable: String = {
+    * per-pair signature agreement in CTE `agree`.
+    * `minhashPairsPortable` and `dedupCorpusMinhash` concatenate this
+    * explicitly (no re-parsing of finished query strings). */
+  private val minhashAgreeChain: String = {
     val pow64 = "CAST('18446744073709551616' AS HUGEINT)"
     val half = "CAST('9223372036854775808' AS HUGEINT)"
     val gold = "CAST('11400714819323198485' AS HUGEINT)" // unsigned 2^64 + i-step constant
@@ -1558,26 +1565,20 @@ agree AS (
   FROM cand c
   JOIN sigrows sa ON sa.doc_id = c.a_id
   JOIN sigrows sb ON sb.doc_id = c.b_id AND sb.i = sa.i
-  GROUP BY c.a_id, c.b_id)
+  GROUP BY c.a_id, c.b_id)""".trim
+  }
+
+  val minhashPairsPortable: String = s"""$minhashAgreeChain
 SELECT a_id, b_id, CAST(n_agree AS DOUBLE) / 32 AS est_jaccard
 FROM agree WHERE CAST(n_agree AS DOUBLE) / 32 >= 0.5
 ${ord("a_id", "b_id")}""".trim
-  }
 
   /** Twin of Dedup.dedupCorpusMinhash: the portable-minhash candidate
     * pipeline (same CTE chain as minhashPairsPortable, est ≥ 0.9) +
     * the recursive component closure + the survivor anti-join — the
     * production-scale fuzzy-dedup path verified end-to-end as one
     * statement. */
-  val dedupCorpusMinhash: String = {
-    // minhashPairsPortable's text, re-entered at its CTE chain: strip
-    // the leading WITH RECURSIVE and the trailing SELECT/ORDER, then
-    // extend the chain with the closure.
-    val chain = minhashPairsPortable
-      .stripPrefix("WITH RECURSIVE")
-      .split("\nSELECT a_id, b_id,").head
-    s"""
-WITH RECURSIVE $chain,
+  val dedupCorpusMinhash: String = s"""$minhashAgreeChain,
 mpairs AS (
   SELECT a_id, b_id FROM agree
   WHERE CAST(n_agree AS DOUBLE) / 32 >= 0.9),
@@ -1593,7 +1594,6 @@ losers AS (
 SELECT d.doc_id, d.lang, d.source FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
 ${ord("doc_id")}""".trim
-  }
 
   /** Twin of Dedup.simhashPairsPortable — the full SimHash pipeline in
     * SQL: per-token polyhash64 (power-sum), per-bit majority vote over
@@ -1806,7 +1806,11 @@ ${ord("doc_id")}""".trim
 
   /** Twin of Similarity.randomProjection: the annLshTopK plane/
     * projection arithmetic, raw sums kept (no sign step), dims
-    * reassembled in plane order. */
+    * reassembled in plane order. The final LEFT JOIN back onto `e`
+    * mirrors the engine's empty-embedding guard (all-zero projection
+    * row): unnest over generate_series(1, 0) yields no rows, so an
+    * empty vector would otherwise vanish from the oracle while the
+    * engine keeps it. */
   val rpProject: String = s"""
 WITH e AS ($quantized),
 ed AS (SELECT vec_id, q, unnest(generate_series(1, len(q))) AS i FROM e),
@@ -1816,10 +1820,13 @@ proj AS (
         ((((((p*131071 + (i-1)*524287 + 17) % 2147483647) * 48271)
            % 2147483647 * 48271) % 2147483647) % 2001 - 1000)) AS proj
   FROM (SELECT *, unnest(generate_series(0, 7)) AS p FROM ed)
-  GROUP BY vec_id, p)
-SELECT vec_id,
-  array_to_string(list(CAST(proj AS BIGINT) ORDER BY p), ',') AS proj_str
-FROM proj GROUP BY vec_id
+  GROUP BY vec_id, p),
+pl AS (
+  SELECT vec_id,
+    array_to_string(list(CAST(proj AS BIGINT) ORDER BY p), ',') AS proj_str
+  FROM proj GROUP BY vec_id)
+SELECT e.vec_id, COALESCE(pl.proj_str, '0,0,0,0,0,0,0,0') AS proj_str
+FROM e LEFT JOIN pl USING (vec_id)
 ${ord("vec_id")}""".trim
 
   /** End-to-end twin of Similarity.lshTopK: the Lehmer-LCG hyperplanes

@@ -459,7 +459,15 @@ object Dedup {
     * Scale shape: one map-combinable groupBy on the 8-byte window
     * hash (min(struct) + count), the join back on the same key, then
     * one per-doc window + rollup (both partition on doc_id — one
-    * shuffle, reused). Window state is w flags. */
+    * shuffle, reused). Window state is w flags.
+    *
+    * Whitespace contract: `text_dedup` is rebuilt by joining kept
+    * tokens with single spaces, so the original whitespace/newline
+    * layout is normalized for EVERY document — including ones that
+    * lost no tokens (n_tokens_kept == n_tokens but text_dedup != text
+    * for any multi-line doc). Same lossy convention as `lineDedup`'s
+    * `sep` rebuild; callers piping `text_dedup` back into a corpus
+    * where layout is signal should re-tokenize from `text` instead. */
   def substringDedup(docs: DataFrame, w: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"), words(col("text")).as("ws"))

@@ -26,8 +26,20 @@ object Profiling {
       exact: Boolean = true): DataFrame = {
     require(cols.nonEmpty)
     val aggs = cols.flatMap { c =>
-      val dt = df.schema(c).dataType.typeName
-      val v = if (dt == "double") round(col(c) * 100).cast("long") else col(c)
+      // Quantize EVERY fractional type (double, float, decimal), not
+      // just double: float/decimal min/max would otherwise render via
+      // engine-specific string formatting — exactly the cross-engine
+      // hazard the quantization exists to avoid. Floats widen to
+      // double first (exact), decimals are exact in cents by
+      // construction.
+      val fractional = df.schema(c).dataType match {
+        case org.apache.spark.sql.types.DoubleType => true
+        case org.apache.spark.sql.types.FloatType => true
+        case _: org.apache.spark.sql.types.DecimalType => true
+        case _ => false
+      }
+      val v = if (fractional) round(col(c).cast("double") * 100).cast("long")
+              else col(c)
       Seq(
         count(col(c)).as(s"__cnt_$c"),
         (if (exact) countDistinct(col(c))

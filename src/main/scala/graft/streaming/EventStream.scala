@@ -78,7 +78,8 @@ object EventStream {
 
   def runSlidingWindowed(spark: SparkSession, inDir: String, outDir: String,
       checkpointDir: String): StreamingQuery =
-    slidingWindowedAgg(source(spark, inDir))
+    slidingWindowedAgg(source(spark, inDir,
+      Map("timestampFormat" -> microTsFormat)))
       .writeStream
       .format("parquet")
       .outputMode(OutputMode.Append)
@@ -100,7 +101,8 @@ object EventStream {
   def runUpsertLatest(spark: SparkSession, inDir: String, outDir: String,
       checkpointDir: String, maxFilesPerTrigger: Int = 1): StreamingQuery =
     source(spark, inDir,
-      Map("maxFilesPerTrigger" -> maxFilesPerTrigger.toString))
+      Map("maxFilesPerTrigger" -> maxFilesPerTrigger.toString,
+        "timestampFormat" -> microTsFormat))
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.ext.Changelog

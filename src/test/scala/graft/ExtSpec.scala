@@ -658,6 +658,26 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("simhashPairs xxhash and portable variants agree on exact-dup pairs") {
+    // The xxhash64 variant has no DuckDB twin (and thus no gate entry);
+    // the portable twin carries the oracle proof. This pins the two
+    // variants to the same semantics where they must agree regardless
+    // of hash choice: identical texts hash to identical fingerprints
+    // (hamming 0) under ANY per-token hash, so the exact-dup pair
+    // (0,3) appears in both, and neither invents pairs between the
+    // disjoint-vocab docs 2 and 4.
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Number](2).longValue)
+        .toMap
+    val x = pairs(Dedup.simhashPairs(docs))
+    val p = pairs(Dedup.simhashPairsPortable(docs))
+    for ((name, m) <- Seq("xxhash" -> x, "portable" -> p)) {
+      assert(m.get((0L, 3L)).contains(0L), s"$name must pair the exact dup: $m")
+      assert(!m.contains((2L, 4L)), s"$name invented a disjoint-vocab pair: $m")
+    }
+  }
+
   test("round-3 operators degrade cleanly on empty/degenerate input") {
     val sfDocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val sfEmb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
