@@ -281,6 +281,11 @@ object SparkEntry {
     // bigram LM quality (sequence-aware perplexity proxy)
     "bigram_lm_quality" -> prep((s, d) =>
       TextAnalysis.bigramLmQuality(docs(s, d)).orderBy("doc_id")),
+    // frequency-floored bigram model (the 100 TB scale knob); at
+    // minCount=3 the pruned-vs-exact backoff is actually exercised
+    "bigram_lm_pruned" -> prep((s, d) =>
+      TextAnalysis.bigramLmQualityPruned(docs(s, d), minCount = 3)
+        .orderBy("doc_id")),
     // DSIR-style importance weights vs the lang='en' target slice
     "dsir_weights" -> prep((s, d) =>
       TextAnalysis.dsirWeights(docs(s, d), col("lang") === "en")
@@ -941,6 +946,7 @@ object SparkEntry {
     "lm_quality" -> ExtOracle.lmQuality,
     "dsir_weights" -> ExtOracle.dsirWeights,
     "bigram_lm_quality" -> ExtOracle.bigramLmQuality,
+    "bigram_lm_pruned" -> ExtOracle.bigramLmPruned,
     "span_dup_score" -> ExtOracle.spanDupScore,
     "novelty_score" -> ExtOracle.noveltyScore,
     "substring_dedup" -> ExtOracle.substringDedup,

@@ -661,6 +661,33 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
 FROM scored GROUP BY doc_id
 ${ord("doc_id")}""".trim
 
+  /** Twin of TextAnalysis.bigramLmQualityPruned(minCount=3): the
+    * bigram model frequency-floored at 3, pruned occurrences backed
+    * off to count 1 via LEFT JOIN + COALESCE. */
+  val bigramLmPruned: String = s"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+t AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS i, w FROM ws),
+bi AS (
+  SELECT doc_id, w[CAST(i AS INT)] AS tok, w[CAST(i + 1 AS INT)] AS next
+  FROM t WHERE i < len(w)),
+bf AS (
+  SELECT tok, next, CAST(COUNT(*) AS BIGINT) AS bf FROM bi
+  GROUP BY tok, next HAVING COUNT(*) >= 3),
+cf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf FROM bi GROUP BY tok),
+scored AS (
+  SELECT b.doc_id,
+    CAST(round(ln(CAST(COALESCE(f.bf, 1) AS DOUBLE) / CAST(c.cf AS DOUBLE))
+      * 1000000) AS BIGINT) AS q
+  FROM bi b
+  LEFT JOIN bf f ON b.tok = f.tok AND b.next = f.next
+  JOIN cf c ON b.tok = c.tok)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(SUM(q) AS BIGINT) AS sum_q_logprob,
+  CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000 AS mean_logprob
+FROM scored GROUP BY doc_id
+${ord("doc_id")}""".trim
+
   // ---- language ID / curation --------------------------------------
 
   /** Stopword-profile language ID. Spark's argmax is `greatest` over

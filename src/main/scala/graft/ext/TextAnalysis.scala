@@ -465,6 +465,47 @@ object TextAnalysis {
           / 1000000)
   }
 
+  /** `bigramLmQuality` with a frequency-floored bigram model — the
+    * 100 TB variant. The exact version joins the full token stream
+    * back against an UNPRUNED bigram-frequency model: up to vocab²
+    * keys, and by Zipf's law dominated by singletons — at corpus
+    * scale the model-side shuffle is the operator's bottleneck while
+    * contributing almost no information (a singleton bigram's MLE
+    * log-prob is just ln(1/cf)). This variant keeps only bigrams with
+    * count ≥ `minCount` in the model and backs every pruned
+    * occurrence off to count 1 (LEFT join + COALESCE): the model
+    * shrinks by the singleton mass (typically 10–100×, often to
+    * broadcast size), the token-stream side is untouched, and the
+    * unigram context model (vocab-sized, cheap) stays exact.
+    *
+    * Approximation contract: a pruned bigram has true count in
+    * [1, minCount), so its score error is bounded by ln(minCount−1);
+    * at `minCount = 2` ONLY singletons are pruned and backoff count 1
+    * equals their true count — the output is bit-for-bit identical to
+    * `bigramLmQuality` (the gate entry + TextSpec pin exactly this),
+    * so the scale knob costs nothing until it is actually turned. */
+  def bigramLmQualityPruned(docs: DataFrame, minCount: Long = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = toks.withColumn("next", lead(col("tok"), 1).over(w))
+      .where(col("next").isNotNull)
+    val bf = bi.groupBy(col("tok"), col("next")).agg(count(lit(1)).as("bf"))
+      .where(col("bf") >= minCount)
+    val cf = bi.groupBy(col("tok")).agg(count(lit(1)).as("cf"))
+    val scored = bi.join(bf, Seq("tok", "next"), "left").join(cf, Seq("tok"))
+      .select(col("doc_id"),
+        round(log(coalesce(col("bf"), lit(1L)).cast("double")
+            / col("cf").cast("double"))
+          * 1000000).cast("long").as("q"))
+    scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_q_logprob"))
+      .withColumn("mean_logprob",
+        col("sum_q_logprob").cast("double") / col("n_bigrams").cast("double")
+          / 1000000)
+  }
+
   def vocabSize(docs: DataFrame, rsd: Double = 0.05): DataFrame =
     docs.select(explode(tokens(col("text"))).as("token"))
       .agg(countDistinct(col("token")).as("exact_vocab"),

@@ -241,6 +241,23 @@ class ExtSpec extends SparkSpec {
     assert(graft.ext.TextAnalysis.bigramLmQuality(single).count() == 0)
   }
 
+  test("bigramLmQualityPruned: minCount=2 == exact; higher floors only touch pruned bigrams") {
+    val real = spark.read.parquet(s"$sf/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // floor 2 prunes only singletons, whose backoff count 1 IS their
+    // true count — bit-for-bit identical to the exact model
+    val exact = rows(graft.ext.TextAnalysis.bigramLmQuality(real))
+    assert(exact.nonEmpty)
+    assert(rows(graft.ext.TextAnalysis.bigramLmQualityPruned(real, 2)) == exact)
+    // floor 3 approximates: same docs, same bigram counts, and every
+    // per-doc score moves DOWN or not at all (backoff 1 <= true count)
+    val pruned = rows(graft.ext.TextAnalysis.bigramLmQualityPruned(real, 3))
+    assert(pruned.map(r => (r._1, r._2)) == exact.map(r => (r._1, r._2)))
+    assert(pruned.zip(exact).forall { case (p, e) => p._3 <= e._3 })
+  }
+
   test("dsirWeights: target-like docs outscore raw-like docs, OOV-in-target penalized") {
     // target = label 1 docs; "good" tokens dominate the target slice,
     // "junk" tokens appear only outside it
