@@ -53,17 +53,33 @@ object Curation {
   def pretrainingCorpus(docs: DataFrame, emb: DataFrame,
       minQuality: Double = 0.5, minMeanLogProb: Double = -4.0,
       maxRepetition: Double = 0.5): DataFrame = {
-    val perRow = TextAnalysis.withQuality(TextAnalysis.langId(docs))
-      .select(col("doc_id"), col("lang_pred"), col("quality"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // lang-ID, lexical quality, AND repetition are all pure per-row
+    // projections — ONE fused pass over the scan, not three frames
+    // joined back on doc_id (each such join is a corpus-wide shuffle
+    // that buys nothing: the signals live on the same row).
+    val perRow = TextAnalysis.withRepetition(
+        TextAnalysis.withQuality(TextAnalysis.langId(docs)))
+      .select(col("doc_id"), col("lang_pred"), col("quality"),
+        col("repetition"))
     val lm = TextAnalysis.lmQuality(docs).select(col("doc_id"), col("mean_logprob"))
-    val rep = TextAnalysis.repetitionScore(docs).select(col("doc_id"), col("repetition"))
     val keepers = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
-    val semLosers = Similarity.semanticDupLosers(emb)
-      .select(col("vec_id").as("doc_id"))
-    val split = Sampling.leakageSafeSplit(docs, Dedup.ngramJaccardPairs(docs))
-      .select(col("doc_id"), col("split"))
+    // The two candidate-pair graphs (shingle Jaccard over text, cosine
+    // over embeddings) are independent and both end in an eager
+    // connected-components materialization (Dedup.dupClusters); build
+    // them concurrently so their fixed per-stage scheduling floors
+    // overlap instead of serializing. Spark actions are thread-safe.
+    val semF = Future(Similarity.semanticDupLosers(emb)
+      .select(col("vec_id").as("doc_id")))
+    val splitF = Future(
+      Sampling.leakageSafeSplit(docs, Dedup.ngramJaccardPairs(docs))
+        .select(col("doc_id"), col("split")))
+    val semLosers = Await.result(semF, Duration.Inf)
+    val split = Await.result(splitF, Duration.Inf)
     perRow
-      .join(lm, "doc_id").join(rep, "doc_id").join(split, "doc_id")
+      .join(lm, "doc_id").join(split, "doc_id")
       .join(keepers, Seq("doc_id"), "left_semi")
       .join(semLosers, Seq("doc_id"), "left_anti")
       .where(col("quality") >= minQuality &&

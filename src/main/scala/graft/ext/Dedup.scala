@@ -71,8 +71,18 @@ object Dedup {
     val sized = hashedShingled(docs, w).withColumn("n_sh", size(col("sh")))
     val exploded = sized.select(col("doc_id"), col("n_sh"),
       explode(col("sh")).as("s"))
-    val a = exploded.toDF("a_id", "a_n", "s")
-    val b = exploded.toDF("b_id", "b_n", "s")
+    // Force the shuffle-merge join: Spark's size estimate for the
+    // exploded shingle stream reads "broadcastable" at fixture scale,
+    // but the stream is corpus-proportional — a broadcast side here is
+    // exactly the shape that dies first at 100 TB, and even at sf0.1
+    // building the hash relation costs ~3× the shuffle (measured).
+    // With both sides shuffled, the two sub-plans are identical, so
+    // the shingle projection + exchange materializes once and the
+    // second side reads the reused exchange; AQE's skew-join split
+    // also only applies to shuffle joins, which is what hot shingles
+    // need.
+    val a = exploded.toDF("a_id", "a_n", "s").hint("merge")
+    val b = exploded.toDF("b_id", "b_n", "s").hint("merge")
     a.join(b, "s")
       .where(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))

@@ -354,10 +354,16 @@ object Similarity {
   def semanticDupLosers(emb: DataFrame, threshold: Double = 0.4,
       centroidMod: Int = 50): DataFrame = {
     val assigned = ivfAssign(emb, centroidMod)
+    // Shuffle-merge, not the stats-suggested broadcast: the assigned
+    // frame is corpus-proportional (one row per vector, carrying the
+    // quantized embedding), so a broadcast side is a driver OOM at
+    // scale; with identical shuffled sides the whole ivfAssign
+    // pipeline (centroid dot products + argmax agg) materializes once
+    // into one exchange read by both sides instead of running twice.
     val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
-      col("q").as("qa"), col("nq").as("na"))
+      col("q").as("qa"), col("nq").as("na")).hint("merge")
     val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
-      col("q").as("qb"), col("nq").as("nb"))
+      col("q").as("qb"), col("nq").as("nb")).hint("merge")
     val pairs = a.join(b, "cell")
       .where(col("a_id") < col("b_id") &&
         cosineN(dotL(col("qa"), col("qb")), col("na"), col("nb")) >= threshold)

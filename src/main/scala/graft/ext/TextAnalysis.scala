@@ -225,14 +225,35 @@ object TextAnalysis {
     * distinct/total over word 3-grams (clamped shingle boundary
     * semantics shared with Dedup: a doc under 3 tokens is one shingle,
     * ratio 0). Pure projection. */
-  def repetitionScore(docs: DataFrame, w: Int = 3): DataFrame = {
+  def repetitionScore(docs: DataFrame, w: Int = 3): DataFrame =
+    withRepetition(docs, w).select(col("doc_id"), col("n_grams"),
+      col("n_uniq_grams"), col("repetition"))
+
+  /** Augmenting form of `repetitionScore` — adds the three repetition
+    * columns to the input frame instead of projecting them out, so
+    * compositions (`Curation.pretrainingCorpus`) can fuse the signal
+    * into the same scan-side projection as lang-ID and lexical quality
+    * rather than paying a corpus-wide join per per-row tier. */
+  def withRepetition(docs: DataFrame, w: Int = 3): DataFrame = {
     val t = tokens(col("text"))
-    val sh = transform(
-      sequence(lit(1), greatest(size(t) - (w - 1), lit(1))),
-      i => concat_ws(" ", slice(t, i, lit(w))))
-    docs.select(col("doc_id"),
-      size(sh).cast("int").as("n_grams"),
-      size(array_distinct(sh)).cast("int").as("n_uniq_grams"))
+    // n_grams is pure arithmetic on the token count (every window
+    // position yields a gram, duplicates included; under w tokens the
+    // clamp gives the single short shingle). n_uniq counts distinct
+    // shingles via the native fused HashedShingles expression — one
+    // codegen'd pass, no per-gram string building — which shares the
+    // string path's exact boundary semantics and the standard
+    // distinct-on-hash ≡ distinct-on-string trade (~|sh|²/2⁶⁴ per
+    // doc) that every shingle-keyed dedup operator here already
+    // makes (see Dedup.hashedShingled). ~10× cheaper than the
+    // concat_ws + array_distinct-on-strings formulation it replaces.
+    // when-clamp, not greatest: greatest SKIPS nulls, so a null text
+    // would clamp to 1 instead of propagating null like the string
+    // formulation (and every other signal here) does
+    docs.withColumn("n_grams",
+        when(size(t) - (w - 1) < 1, lit(1))
+          .otherwise(size(t) - (w - 1)).cast("int"))
+      .withColumn("n_uniq_grams",
+        size(graft.functions.HashedShingles.hashedShingles(t, w)).cast("int"))
       .withColumn("repetition",
         lit(1.0) - col("n_uniq_grams").cast("double") / col("n_grams").cast("double"))
   }
