@@ -181,22 +181,25 @@ object Similarity {
     // nearest centroid = argmax over (cosine DESC, cent_id ASC) — the
     // explicit tie-break makes assignment deterministic even for
     // duplicate centroid vectors, as engine-vs-oracle hash equality
-    // requires. Spelled as ONE partial-aggregatable max_by over the
-    // broadcast cross join, not a rank-1 window: a window partitioned
-    // by vec_id would shuffle corpus × n_centroids rows and sort each
-    // group; max_by's map-side combine collapses the candidates to one
-    // row per vector per map partition BEFORE the exchange, so the
-    // shuffle carries ~|corpus| rows no matter how many centroids
-    // exist. Tie-break encoded in the ordering struct: maximizing
-    // (cs, -cent_id) picks highest cosine, then lowest centroid id.
-    e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("q"), col("nq"), col("cent_id"),
-        cosineN(dotL(col("q"), col("cq")), col("nq"), col("ncq")).as("cs"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cent_id"), col("q"), col("nq")),
-        struct(col("cs"), (-col("cent_id")).as("nc"))).as("m"))
-      .select(col("vec_id"), col("m.cent_id").as("cell"),
-        col("m.q").as("q"), col("m.nq").as("nq"))
+    // requires. The centroid table is collected to ONE array row and
+    // broadcast; the argmax is then the native codegen'd
+    // NearestCentroidCosine over that array — a pure scan-side
+    // PROJECTION. The corpus never shuffles: the earlier
+    // crossJoin + max_by(groupBy(vec_id)) spelling was already
+    // map-side-collapsed after the broadcast join, but still paid a
+    // corpus-wide exchange (vectors aboard) to merge one-row groups.
+    // The single collect_list row is the same bytes the centroid
+    // broadcast always shipped; centroidMod stays the knob bounding
+    // it. Assignment order-independence: ties break inside the
+    // expression to the lowest cent_id, so the scheduling-dependent
+    // collect_list order can't leak into results.
+    val packed = cents.agg(collect_list(
+      struct(col("cent_id"), col("cq"), col("ncq"))).as("cs"))
+    e.crossJoin(broadcast(packed))
+      .select(col("vec_id"),
+        graft.functions.NearestCentroidCosine
+          .nearestCos(col("q"), col("nq"), col("cs")).as("cell"),
+        col("q"), col("nq"))
   }
 
   /** IVF probe: top-k within the probe's `nprobe` nearest cells. */
@@ -249,24 +252,31 @@ object Similarity {
     * convergence test) keeps the plan static and the result
     * reproducible bit-for-bit.
     *
-    * Scale shape per iteration: one broadcast-join assignment pass
-    * (corpus never shuffles; min_by combines map-side so the exchange
-    * carries ~|corpus| narrow rows) + one posexplode groupBy on
-    * (cluster, dim) — k·dim result rows, map-side combinable. The
-    * corpus is scanned 2·iters+1 times; cache the quantized input
-    * when iterating more deeply. */
+    * Scale shape per iteration: assignment is a broadcast-array
+    * PROJECTION (native NearestCentroidL2 over the collected centroid
+    * row — the corpus never shuffles at any point) + one posexplode
+    * groupBy on (cluster, dim) whose exchange carries only k·dim
+    * partial sums after map-side combine. The corpus is scanned
+    * iters+2 times (init + each pass); cache the quantized input when
+    * iterating more deeply. */
   def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
     val e = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
       .select(col("vec_id"), col("q"), dotL(col("q"), col("q")).as("qq"))
-    def assign(cents: DataFrame): DataFrame =
-      e.crossJoin(broadcast(cents))
+    // Assignment is a pure projection (see ivfAssign's comment): the
+    // k centroids collect into ONE broadcast array row and the native
+    // NearestCentroidL2 computes the (d, cluster)-argmin per vector
+    // inside WholeStageCodegen — the corpus is never exchanged; each
+    // Lloyd iteration's only shuffle is the k·dim partial-sum rollup.
+    def assign(cents: DataFrame): DataFrame = {
+      val packed = cents.agg(collect_list(
+        struct(col("cluster"), col("cq"), col("cqq"))).as("cs"))
+      e.crossJoin(broadcast(packed))
         .select(col("vec_id"), col("q"),
-          col("cluster"),
-          (col("qq") - lit(2L) * dotL(col("q"), col("cq")) + col("cqq")).as("d"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d"), col("cluster"), col("q"))).as("m"))
+          graft.functions.NearestCentroidL2
+            .nearestL2(col("q"), col("cs")).as("m"))
         .select(col("vec_id"), col("m.cluster").as("cluster"),
-          col("m.d").as("dist"), col("m.q").as("q"))
+          col("m.d").as("dist"), col("q"))
+    }
     var cents = e.orderBy(col("vec_id").asc).limit(k)
       .select(col("vec_id").as("cluster"), col("q").as("cq"),
         col("qq").as("cqq"))

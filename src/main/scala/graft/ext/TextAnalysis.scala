@@ -461,18 +461,15 @@ object TextAnalysis {
     * rare. Same determinism contract as lmQuality: per-bigram
     * log-probs are integer-quantized before the per-doc sum.
     *
-    * Scale shape: one per-doc window (lead) to form bigram instances
-    * — partitions on doc_id; two map-side-combinable count aggs on
-    * the bigram/context keys; the score join re-uses the bigram key
-    * partitioning; the per-doc rollup combines map-side. Documents
+    * Scale shape: bigram instances are a PURE PROJECTION — adjacent
+    * token slices zipped and exploded inside the scan stage (no
+    * corpus-wide shuffle+sort, which is what a per-doc window `lead`
+    * would cost just to pair each token with its neighbor); then two
+    * map-side-combinable count aggs on the bigram/context keys, the
+    * score join, and the map-side-combining per-doc rollup. Documents
     * with fewer than 2 tokens have no bigrams and drop out. */
   def bigramLmQuality(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col("doc_id"),
-      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bi = toks.withColumn("next", lead(col("tok"), 1).over(w))
-      .where(col("next").isNotNull)
+    val bi = bigramInstances(docs)
     val bf = bi.groupBy(col("tok"), col("next")).agg(count(lit(1)).as("bf"))
     val cf = bi.groupBy(col("tok")).agg(count(lit(1)).as("cf"))
     val scored = bi.join(bf, Seq("tok", "next")).join(cf, Seq("tok"))
@@ -506,12 +503,7 @@ object TextAnalysis {
     * `bigramLmQuality` (the gate entry + TextSpec pin exactly this),
     * so the scale knob costs nothing until it is actually turned. */
   def bigramLmQualityPruned(docs: DataFrame, minCount: Long = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col("doc_id"),
-      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bi = toks.withColumn("next", lead(col("tok"), 1).over(w))
-      .where(col("next").isNotNull)
+    val bi = bigramInstances(docs)
     val bf = bi.groupBy(col("tok"), col("next")).agg(count(lit(1)).as("bf"))
       .where(col("bf") >= minCount)
     val cf = bi.groupBy(col("tok")).agg(count(lit(1)).as("cf"))
@@ -526,6 +518,21 @@ object TextAnalysis {
         col("sum_q_logprob").cast("double") / col("n_bigrams").cast("double")
           / 1000000)
   }
+
+  /** (doc_id, tok, next) — one row per adjacent token pair, formed by
+    * zipping each document's token array against itself shifted by
+    * one and exploding. Pure scan-side projection: the window-`lead`
+    * formulation it replaces shuffled and sorted the ENTIRE exploded
+    * token stream on doc_id just to see each token's neighbor, which
+    * the token array already holds in order. Docs with <2 tokens
+    * yield no pairs (same as lead's null-next filter). */
+  private def bigramInstances(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 1).as("tok"),
+        slice(col("ws"), lit(2), size(col("ws")) - 1).as("next"))).as("p"))
+      .select(col("doc_id"), col("p.tok").as("tok"), col("p.next").as("next"))
 
   def vocabSize(docs: DataFrame, rsd: Double = 0.05): DataFrame =
     docs.select(explode(tokens(col("text"))).as("token"))

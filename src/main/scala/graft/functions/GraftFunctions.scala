@@ -88,7 +88,19 @@ object GraftFunctions {
         arity("lsh_sketch64", es, 1, 2)
         LshSketch64(es.head,
           if (es.length > 1) posIntArg(es(1), "lsh_sketch64", 2) else 8) },
-      "lsh_sketch64(array<long>[, planes]) - sign-random-projection LSH sketch"))
+      "lsh_sketch64(array<long>[, planes]) - sign-random-projection LSH sketch"),
+    ("nearest_centroid_l2",
+      { es: Seq[Expression] =>
+        arity("nearest_centroid_l2", es, 2, 2)
+        NearestCentroidL2(es(0), es(1)) },
+      "nearest_centroid_l2(array<long>, array<struct<long,array<long>,long>>)" +
+        " - struct(cluster, d) of the squared-L2-nearest centroid"),
+    ("nearest_centroid_cos",
+      { es: Seq[Expression] =>
+        arity("nearest_centroid_cos", es, 3, 3)
+        NearestCentroidCosine(es(0), es(1), es(2)) },
+      "nearest_centroid_cos(array<long>, double, array<struct<long,array<long>,double>>)" +
+        " - cent_id of the cosine-nearest centroid"))
 
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft.functions", "", name, usage,

@@ -14,7 +14,7 @@ object Scratch {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate())
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     val docs = spark.read.parquet(s"$d/documents.parquet")
     val emb = spark.read.parquet(s"$d/embeddings.parquet")
     docs.count(); emb.count()
@@ -29,38 +29,15 @@ object Scratch {
       println(f"[scratch] $name%-28s ${best / 1e9}%7.2f s  rows=$n")
     }
 
-    t("lmQuality")(TextAnalysis.lmQuality(docs).count())
-    // force real evaluation: filter on the signal so count can't prune
-    t("quality eval")(TextAnalysis.withQuality(docs)
-      .where(col("quality") >= -1).count())
-    t("repetition eval")(TextAnalysis.withRepetition(docs)
-      .where(col("repetition") >= -1).count())
-    t("langId eval")(TextAnalysis.langId(docs)
-      .where(col("lang_conf") >= -1).count())
-    t("exact keepers")(Dedup.exact(docs).count())
-    val stages = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onStageCompleted(
-          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-        val si = sc.stageInfo
-        val dur = si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)
-        stages.add((si.stageId, dur, si.name.take(60)))
-      }
-    }
-    for (i <- 1 to 3) {
-      val t0 = System.nanoTime()
-      val pc = Curation.pretrainingCorpus(docs, emb)
-      val t1 = System.nanoTime()
-      if (i == 3) spark.sparkContext.addSparkListener(listener)
-      val n = pc.orderBy("doc_id").count()
-      val t2 = System.nanoTime()
-      println(f"[scratch] pc construct ${(t1 - t0) / 1e9}%5.2f s  exec ${(t2 - t1) / 1e9}%5.2f s  rows=$n")
-    }
-    Thread.sleep(1000)
-    import scala.jdk.CollectionConverters._
-    stages.asScala.toSeq.sortBy(-_._2).take(15).foreach { case (id, dur, nm) =>
-      println(f"[scratch-stage] $id%4d ${dur / 1000.0}%6.2f s  $nm")
-    }
+    t("kmeansAssign")(Similarity.kmeansAssign(emb).count())
+    t("clusterBalancedSample")(Similarity.clusterBalancedSample(emb).count())
+    t("ivfAssign")(Similarity.ivfAssign(emb).count())
+    t("semanticDedup")(Similarity.semanticDedup(emb).count())
+    t("semanticDupLosers")(Similarity.semanticDupLosers(emb).count())
+    t("annIvfTopK")(Similarity.ivfTopK(emb, emb.where(col("vec_id") % 100 === 0)).count())
+    t("neardupEmbeddings")(Similarity.nearDupPairs(emb).count())
+    t("embeddingCentroids")(Similarity.labelCentroids(emb).count())
+    t("pretrainingCorpus")(Curation.pretrainingCorpus(docs, emb).orderBy("doc_id").count())
     spark.stop()
   }
 }

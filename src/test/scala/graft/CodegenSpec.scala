@@ -62,7 +62,22 @@ class CodegenSpec extends SparkSpec {
       mk(transform(sequence(lit(1L), lit(8L)),
         x => x * (col("id") + 1L) - 4L)).as("vec"),
       mk(transform(sequence(lit(1L), lit(8L)),
-        x => x + col("id"))).as("vec2"))
+        x => x + col("id"))).as("vec2"),
+      mk(array(
+        struct(lit(1L).as("cluster"),
+          transform(sequence(lit(1L), lit(8L)), x => x).as("cq"),
+          lit(204L).as("cqq")),
+        struct(lit(2L).as("cluster"),
+          transform(sequence(lit(1L), lit(8L)), x => x * 2L).as("cq"),
+          lit(816L).as("cqq")))).as("cents_l2"),
+      mk(lit(3.5) + col("id").cast("double")).as("nqd"),
+      mk(array(
+        struct(lit(1L).as("cent_id"),
+          transform(sequence(lit(1L), lit(8L)), x => x).as("cq"),
+          lit(math.sqrt(204.0)).as("ncq")),
+        struct(lit(2L).as("cent_id"),
+          transform(sequence(lit(1L), lit(8L)), x => x * 2L).as("cq"),
+          lit(math.sqrt(816.0)).as("ncq")))).as("cents_cos"))
   }
 
   /** name → projection (arrays stringified so Row equality is flat). */
@@ -73,7 +88,9 @@ class CodegenSpec extends SparkSpec {
     "hashed_shingles" -> "concat_ws(',', hashed_shingles(toks, 2))",
     "minhash_sig" -> "concat_ws(',', minhash_sig(hashed_shingles(toks, 2), 8))",
     "lsh_sketch64" -> "lsh_sketch64(vec, 8)",
-    "dot64" -> "dot64(vec, vec2)")
+    "dot64" -> "dot64(vec, vec2)",
+    "nearest_centroid_l2" -> "nearest_centroid_l2(vec, cents_l2)",
+    "nearest_centroid_cos" -> "nearest_centroid_cos(vec, nqd, cents_cos)")
 
   private def run(s: SparkSession, nullable: Boolean, e: String): Seq[String] =
     inputs(s, nullable).selectExpr("id", s"cast(($e) as string) as v")

@@ -118,17 +118,20 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
 
-  test("ivfAssign: argmax is a partial-aggregatable max_by, not a per-vector window") {
+  test("ivfAssign: assignment is a broadcast-array projection, corpus never shuffles") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = plan(Similarity.ivfAssign(emb, centroidMod = 10))
-    // a Window partitioned by vec_id would shuffle corpus×centroid rows;
-    // max_by must combine map-side so the exchange carries ~|corpus|
+    // the argmax runs inside the scan projection via the native
+    // nearest_centroid_cos over the one collected centroid row; any
+    // hash-partitioned exchange would mean the corpus moved
     assert(!p.contains("Window"), s"assignment must not be a window:\n$p")
-    assert(p.contains("partial_max_by"),
-      s"map-side combine of the argmax expected:\n$p")
+    assert(p.contains("nearest_centroid_cos"),
+      s"native centroid argmax expected in the projection:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"corpus must not shuffle for assignment:\n$p")
   }
 
-  test("kmeansAssign: centroids broadcast, assignment argmin combines map-side") {
+  test("kmeansAssign: centroids broadcast, assignment is a projection; only k·dim rollups shuffle") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = plan(Similarity.kmeansAssign(emb, k = 4, iters = 1))
     // every centroid table (init + each update) must reach the corpus
@@ -136,8 +139,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"centroids must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus must not shuffle to meet centroids:\n$p")
-    // the per-vector argmin is min(struct(...)): partial+final agg
-    assert(p.contains("partial_min"), s"map-side argmin combine expected:\n$p")
+    // the per-vector argmin is the native nearest_centroid_l2
+    // projection — no per-vector aggregation at all; the only hash
+    // exchanges carry (cluster, dim) partial sums
+    assert(p.contains("nearest_centroid_l2"),
+      s"native centroid argmin expected in the projection:\n$p")
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"no per-vector exchange — assignment must stay a projection:\n$p")
   }
 
   test("mixtureSample: keep rule is a scan-side filter fed by broadcasts") {

@@ -139,6 +139,60 @@ class ScaleOpsSpec extends SparkSpec {
     assert(!cg.contains("Found 0 WholeStage"), cg.take(400))
   }
 
+  test("ivfAssign projection form == crossJoin+max_by aggregation form") {
+    import graft.functions.DotProduct64.dot64
+    // the pre-round-5 formulation: broadcast cross join + per-vector
+    // max_by over (cs, -cent_id) — kept here as the semantic reference
+    // for the native nearest_centroid_cos projection that replaced it
+    val e = emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      .withColumn("nq", sqrt(dot64(col("q"), col("q")).cast("double")))
+    val cents = e.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nq").as("ncq"))
+    val ref = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"),
+        (dot64(col("q"), col("cq")).cast("double") / (col("nq") * col("ncq"))).as("cs"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(col("cs"), (-col("cent_id")).as("nc"))).as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val got = Similarity.ivfAssign(emb, centroidMod = 10)
+      .select("vec_id", "cell")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == ref)
+  }
+
+  test("kmeansAssign projection form == crossJoin+min(struct) aggregation form") {
+    import graft.functions.DotProduct64.dot64
+    val e = emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      .select(col("vec_id"), col("q"), dot64(col("q"), col("q")).as("qq"))
+    def assignRef(cents: org.apache.spark.sql.DataFrame) =
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("q"), col("cluster"),
+          (col("qq") - lit(2L) * dot64(col("q"), col("cq")) + col("cqq")).as("d"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d"), col("cluster"), col("q"))).as("m"))
+        .select(col("vec_id"), col("m.cluster").as("cluster"),
+          col("m.d").as("dist"), col("m.q").as("q"))
+    var cents = e.orderBy(col("vec_id").asc).limit(8)
+      .select(col("vec_id").as("cluster"), col("q").as("cq"), col("qq").as("cqq"))
+    for (_ <- 1 to 2) {
+      cents = assignRef(cents)
+        .select(col("cluster"), posexplode(col("q")).as(Seq("dim", "v")))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .withColumn("c",
+          floor(col("s").cast("double") / col("n").cast("double")).cast("long"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+          x => x.getField("c")).as("cq"))
+        .select(col("cluster"), col("cq"), dot64(col("cq"), col("cq")).as("cqq"))
+    }
+    val ref = assignRef(cents).select("vec_id", "cluster", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val got = Similarity.kmeansAssign(emb, k = 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(got == ref)
+  }
+
   test("count-min token frequencies: upper-biased within eps*N of exact") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val exact = docs.select(explode(split(trim(col("text")), "\\s+")).as("t"))
