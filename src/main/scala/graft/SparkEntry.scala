@@ -399,17 +399,16 @@ object SparkEntry {
     // corpus deterministically (10-token lines) — the oracle twin
     // derives the identical corpus; ~5% of lines are real cross-doc
     // duplicates at sf0.01, so the drop path is exercised.
-    "line_dedup" -> prep((s, d) => {
-      val multi = docs(s, d)
-        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
-        .select(col("doc_id"),
-          array_join(transform(
-            sequence(lit(1), greatest(
-              ceil(size(col("w")).cast("double") / 10.0).cast("int"), lit(1))),
-            i => concat_ws(" ", slice(col("w"), (i - 1) * 10 + 1, lit(10)))),
-            "\n").as("text"))
-      Dedup.lineDedup(multi).orderBy("doc_id")
-    }),
+    "line_dedup" -> prep((s, d) =>
+      Dedup.lineDedup(tenTokenLines(docs(s, d))).orderBy("doc_id")),
+    // corpus-frequency boilerplate removal: every occurrence of a
+    // high-doc-frequency line drops (the complement of line_dedup's
+    // first-occurrence-wins). maxDocFrac=0.003 puts the threshold at
+    // 1.5 docs on the 500-doc fixture, so the df>=2 line class (~120
+    // lines) actually drops while df=1 survives — both paths fire.
+    "boilerplate_strip" -> prep((s, d) =>
+      Dedup.boilerplateStrip(tenTokenLines(docs(s, d)), maxDocFrac = 0.003)
+        .orderBy("doc_id")),
     // the end-to-end dedup call: corpus minus non-canonical members
     "dedup_corpus" -> prep((s, d) =>
       Dedup.dedupCorpus(docs(s, d))
@@ -845,6 +844,17 @@ object SparkEntry {
     sharedRead(s, s"$dir/embeddings.parquet")
   private def prep(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, d) => { Engine.prepare(s); f(s, d) }
+  /** The fixture docs are single-line; line-level entries derive a
+    * deterministic multi-line corpus (10-token lines) that the oracle
+    * twins re-derive identically. */
+  private def tenTokenLines(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"),
+        array_join(transform(
+          sequence(lit(1), greatest(
+            ceil(size(col("w")).cast("double") / 10.0).cast("int"), lit(1))),
+          i => concat_ws(" ", slice(col("w"), (i - 1) * 10 + 1, lit(10)))),
+          "\n").as("text"))
 
   /** DuckDB twins for the driver's correctness gate. */
   def oracleSql: Map[String, String] = Map(
@@ -915,6 +925,7 @@ object SparkEntry {
     "dedup_corpus" -> ExtOracle.dedupCorpus,
     "dedup_corpus_minhash" -> ExtOracle.dedupCorpusMinhash,
     "line_dedup" -> ExtOracle.lineDedup,
+    "boilerplate_strip" -> ExtOracle.boilerplateStrip,
     "c4_clean" -> ExtOracle.c4Clean,
     "incremental_dedup" -> ExtOracle.incrementalDedup,
     "decontaminate" -> ExtOracle.decontaminate,

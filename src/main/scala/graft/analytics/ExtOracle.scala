@@ -1288,6 +1288,40 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
 FROM marked GROUP BY doc_id
 ${ord("doc_id")}""".trim
 
+  /** Twin of Dedup.boilerplateStrip(maxDocFrac=0.003) over the derived
+    * 10-token-line corpus: document frequency counts distinct docs per
+    * line (grouping by the line string — Spark groups by its sha256,
+    * identical modulo collisions as in lineDedup), keep rule one IEEE
+    * multiply + compare. */
+  val boilerplateStrip: String = s"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+ml AS (
+  SELECT doc_id,
+    array_to_string(list_transform(
+      generate_series(1, greatest(CAST(ceil(len(w)/10.0) AS INT), 1)),
+      i -> array_to_string(list_slice(w, (i-1)*10+1, (i-1)*10+10), ' ')),
+      chr(10)) AS text
+  FROM w),
+l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM ml),
+ex AS (SELECT doc_id, unnest(generate_series(1, len(ls))) AS i, ls FROM l),
+lines AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS ord, ls[CAST(i AS INT)] AS line FROM ex),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM documents),
+df AS (
+  SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM lines GROUP BY line),
+marked AS (
+  SELECT x.doc_id, x.ord, x.line,
+    (CAST(f.df AS DOUBLE) <= 0.003 * nd.n_total) AS kept
+  FROM lines x JOIN df f ON x.line = f.line CROSS JOIN nd)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_kept,
+  COALESCE(string_agg(CASE WHEN kept THEN line END, chr(10) ORDER BY ord), '')
+    AS text_clean
+FROM marked GROUP BY doc_id
+${ord("doc_id")}""".trim
+
   /** Twin of Dedup.dedupCorpus: documents minus the recursive-closure
     * clusters' non-canonical members (same CTEs as dedupClusters). */
   val dedupCorpus: String = s"""

@@ -586,6 +586,48 @@ object Dedup {
           sep).as("text_dedup"))
   }
 
+  /** Corpus-frequency boilerplate removal — drop EVERY occurrence of a
+    * line whose document frequency exceeds `maxDocFrac` of the corpus
+    * (navigation bars, cookie banners, license footers). The
+    * complement of `lineDedup`: there a recurring line SURVIVES once
+    * (its first occurrence is real content somewhere); boilerplate is
+    * noise in every copy, so the whole line class goes. Emits per-doc
+    * line counts and the reassembled text (original line order, like
+    * `lineDedup`'s whitespace contract: lines re-joined with `sep`).
+    *
+    * Document frequency counts each document ONCE per line (a footer
+    * repeated within one page is still one document), via a distinct
+    * (digest, doc) aggregation. Keep rule: `df ≤ maxDocFrac · n_docs`
+    * — one IEEE multiply + compare, engine-portable.
+    *
+    * Scale shape: lines shuffle once on the sha256 digest for the
+    * distinct-doc frequency model (map-side combinable after the
+    * distinct), the frequency model joins back on the digest, and
+    * reassembly shuffles once on doc_id — the same two-exchange
+    * profile as `lineDedup`; the 1-row corpus count broadcasts. */
+  def boilerplateStrip(docs: DataFrame, maxDocFrac: Double = 0.05,
+      textCol: String = "text", sep: String = "\n"): DataFrame = {
+    val ex = docs
+      .select(col("doc_id"), posexplode(split(col(textCol), sep)).as(Seq("ord", "line")))
+      .select(col("doc_id"), col("ord"), col("line"),
+        sha2(col("line"), 256).as("lh"))
+    val nDocs = docs.agg(count(lit(1)).as("n_total"))
+    val freq = ex.select(col("lh"), col("doc_id")).distinct()
+      .groupBy(col("lh")).agg(count(lit(1)).as("df"))
+    ex.join(freq, "lh").crossJoin(broadcast(nDocs))
+      .withColumn("kept",
+        col("df").cast("double") <= lit(maxDocFrac) * col("n_total").cast("double"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_lines_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("ord").as("i"), col("line").as("t"))))),
+            x => x.getField("t")),
+          sep).as("text_clean"))
+  }
+
   /** MinHash-backed end-to-end corpus dedup — `dedupCorpus` with the
     * sketch-based candidate tier instead of the exact shingle join:
     * portable MinHash+LSH pairs (est. Jaccard ≥ `minEst`) → connected

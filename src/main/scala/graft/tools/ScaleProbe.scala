@@ -1,0 +1,102 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft._
+import graft.ext._
+
+/** Scale-trajectory probe: replicate the sf0.1 corpus 1/4/16/64× (ids
+  * shifted per copy; every token tagged with the copy index and
+  * embeddings circularly shifted, so copies are cross-copy DISTINCT
+  * and the duplication rate stays constant as the corpus grows) and
+  * time the heavy operators at each multiple. The point is the
+  * EXPONENT, not the absolute seconds: an operator whose cost grows
+  * ~linearly in corpus size here has no hidden quadratic pair blowup,
+  * driver collect, or broadcast-of-corpus waiting at 100 TB.
+  * Knob-bearing operators hold their INTENT constant (IVF centroid
+  * count fixed via centroidMod ∝ copies), as a real deployment would.
+  *
+  * Writes nothing outside /tmp. Run: `sbt 'runMain graft.tools.ScaleProbe'`. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val d = "/root/testdata/sf0.1"
+    val out = "/tmp/scaleprobe"
+    val spark = Engine.prepare(SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    val copies = Seq(1, 4, 16, 64)
+    val docs0 = spark.read.parquet(s"$d/documents.parquet")
+    val emb0 = spark.read.parquet(s"$d/embeddings.parquet")
+
+    // keeps the __c copy-index column for the caller to fold into the
+    // payload before dropping
+    def replicate(base: DataFrame, idCol: String, n: Int): DataFrame =
+      base.crossJoin(spark.range(n).toDF("__c"))
+        .withColumn(idCol, col(idCol) + col("__c") * 10000000L)
+
+    // Cross-copy DISTINCT replication: a one-token salt would make
+    // every copy a near-duplicate of its siblings, growing the true
+    // pair count quadratically in the multiple — a workload shape real
+    // corpus growth doesn't have (the first probe design did exactly
+    // that, and the exact-Jaccard tier duly went quadratic: evidence
+    // for why the LSH tier exists, but not a scaling trajectory).
+    // Tagging EVERY token with the copy index gives copies zero
+    // shingle overlap; circularly shifting embeddings by the copy
+    // index de-correlates them in cosine space. Duplication RATE then
+    // stays constant as the corpus grows.
+    for (n <- copies) {
+      val dDir = s"$out/docs_$n"
+      val eDir = s"$out/emb_$n"
+      replicate(docs0, "doc_id", n)
+        .withColumn("text", regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("c"), col("__c").cast("string"), lit("_$1"))))
+        .drop("__c")
+        .repartition(32).write.mode("overwrite").parquet(dDir)
+      replicate(emb0, "vec_id", n)
+        .withColumn("__s",
+          pmod(col("__c"), size(col("embedding")).cast("long")).cast("int"))
+        .withColumn("embedding",
+          concat(
+            slice(col("embedding"), col("__s") + 1,
+              size(col("embedding")) - col("__s")),
+            slice(col("embedding"), lit(1), col("__s"))))
+        .drop("__c", "__s")
+        .repartition(32).write.mode("overwrite").parquet(eDir)
+    }
+
+    def t(name: String, n: Int)(f: => Long): Unit = {
+      var best = Long.MaxValue
+      var rows = 0L
+      for (_ <- 1 to 2) {
+        val t0 = System.nanoTime(); rows = f
+        best = math.min(best, System.nanoTime() - t0)
+      }
+      println(f"[probe] $name%-24s x$n%-3d ${best / 1e9}%8.2f s  rows=$rows")
+    }
+
+    for (n <- copies) {
+      val docs = spark.read.parquet(s"$out/docs_$n")
+      val emb = spark.read.parquet(s"$out/emb_$n")
+      val mod = 50 * n // hold centroid COUNT fixed as the corpus grows
+      t("lmQuality", n)(TextAnalysis.lmQuality(docs).count())
+      t("bigramLmPruned3", n)(TextAnalysis.bigramLmQualityPruned(docs, 3).count())
+      t("withQuality+langId+rep", n)(TextAnalysis.withRepetition(
+        TextAnalysis.withQuality(TextAnalysis.langId(docs)))
+        .where(col("quality") >= -1).count())
+      t("exactDedup", n)(Dedup.exact(docs).count())
+      t("ngramJaccardPairs", n)(Dedup.ngramJaccardPairs(docs).count())
+      t("minhashLshPairs", n)(Dedup.minhashLshPairs(docs).count())
+      t("dedupCorpusMinhash", n)(Dedup.dedupCorpusMinhash(docs).count())
+      t("lineDedup", n)(Dedup.lineDedup(docs).count())
+      t("ivfAssign", n)(Similarity.ivfAssign(emb, centroidMod = mod).count())
+      t("semanticDupLosers", n)(Similarity.semanticDupLosers(emb, centroidMod = mod).count())
+      t("kmeansAssign", n)(Similarity.kmeansAssign(emb).count())
+      t("tfidfTopTerms", n)(TextAnalysis.tfidfTopTerms(docs).count())
+      t("curated", n)(Curation.curated(docs).count())
+    }
+    spark.stop()
+  }
+}

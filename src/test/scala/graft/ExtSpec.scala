@@ -555,6 +555,33 @@ class ExtSpec extends SparkSpec {
     assert(rep == got)
   }
 
+  test("boilerplateStrip: high-df lines drop everywhere, df counts a doc once") {
+    val docs = Seq(
+      (1L, "alpha\ncookie banner\nbeta"),
+      (2L, "cookie banner\ngamma\ncookie banner"), // in-doc repeat = ONE doc
+      (3L, "cookie banner\ndelta"),
+      (4L, "epsilon\nzeta")
+    ).toDF("doc_id", "text")
+    // threshold 0.5*4 = 2 docs: "cookie banner" (df=3) drops everywhere,
+    // every df=1 line survives
+    val got = graft.ext.Dedup.boilerplateStrip(docs, maxDocFrac = 0.5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((3L, 2L, "alpha\nbeta")))
+    assert(got(2L) == ((3L, 1L, "gamma")))
+    assert(got(3L) == ((2L, 1L, "delta")))
+    assert(got(4L) == ((2L, 2L, "epsilon\nzeta")))
+    // df counted per document: were doc 2's repeat double-counted,
+    // a 0.8 threshold (3.2 docs) would still drop it — it must not
+    val loose = graft.ext.Dedup.boilerplateStrip(docs, maxDocFrac = 0.8).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(loose(2L) == "cookie banner\ngamma\ncookie banner")
+    // layout-invariant
+    val rep = graft.ext.Dedup.boilerplateStrip(docs.repartition(5), maxDocFrac = 0.5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(rep == got)
+  }
+
   test("gopherRules: each rule fires on the document built to trip it") {
     val good = ("the quick brown fox jumps with energy and that verve " +
       "which we have come to expect of good long prose text ") * 5
