@@ -14,13 +14,23 @@ import org.apache.spark.sql.SparkSession
   * cleaned-cache scan like every other pin query). Single-sample deltas
   * under ~0.5 s on this box are not signal (±30% run-to-run).
   *
-  * Load evidence (round-4 lesson): late round 4 a hypervisor noisy
-  * neighbor (host load ~10 with no local consumer) inflated unchanged
-  * queries 2-16x uniformly and the artifact carried no way to tell.
-  * The JSON line now stamps /proc/loadavg at start and end plus every
-  * raw per-query sample, so a contaminated window is machine-detectable
-  * from the artifact alone: high load_avg + uniform inflation of the
-  * max sample across entries = noise, not regression. */
+  * Load evidence (round-4 lesson, sharpened round 6): late round 4 a
+  * hypervisor noisy neighbor (host load ~10 with no local consumer)
+  * inflated unchanged queries 2-16x uniformly and the artifact carried
+  * no way to tell. The artifact now carries three independent noise
+  * detectors:
+  *  - `load_avg.pre_warmup`, stamped BEFORE the JVM warm-up touches
+  *    the 32 cores — the post-warm-up stamp alone reads ~9-10 from the
+  *    bench's own warm-up and can't separate self-load from external
+  *    load (round-5 verdict);
+  *  - per-query process-CPU seconds next to wall seconds: external
+  *    contention steals cores from this process, so wall ≫ cpu on a
+  *    parallel stage is the unambiguous noisy-neighbor signature
+  *    (self-inflicted cost shows cpu tracking ~cores×wall);
+  *  - every raw per-query sample (min-of-2 spread).
+  * The summary (total + load stamps) prints FIRST in the JSON line so
+  * artifact-capture truncation drops per-query detail, not the
+  * headline (BENCH_r05's tail lost both). */
 object Bench {
 
   /** [1m, 5m, 15m] host load averages (Linux); empty elsewhere. */
@@ -28,6 +38,16 @@ object Bench {
     try scala.io.Source.fromFile("/proc/loadavg").mkString
       .split("\\s+").take(3).map(_.toDouble).toSeq
     catch { case _: Exception => Seq.empty }
+
+  /** Cumulative CPU nanoseconds of THIS JVM process (all threads —
+    * executor pool included, which is the point: a query's cpu delta
+    * measures work actually scheduled, unaffected by other processes);
+    * -1 where the platform bean is unavailable. */
+  private def processCpuNs(): Long =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -39,6 +59,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
+    // Pre-warm-up stamp: the only load reading the bench itself cannot
+    // have inflated — a high 1-minute average HERE is external load.
+    val loadPre = loadAvg()
     // Untimed warm-up (standard benchmark methodology — JMH-style):
     // (1) a trivial shuffle job pays the one-off JVM costs (executor
     // thread pool, codegen compiler, shuffle machinery); (2) each bench
@@ -63,28 +86,40 @@ object Bench {
     // sample conflates query cost with scheduler noise — the min is the
     // reproducible execution time.
     val loadStart = loadAvg()
+    // Per sample: (wall, process-cpu delta). The reported pair is the
+    // min-WALL sample's two numbers — cpu of a different sample would
+    // pair a cold cpu with a warm wall and the ratio would lie.
     val results = SparkEntry.benchQueries.map { case (name, fn) =>
       val samples = (1 to 2).map { _ =>
+        val c0 = processCpuNs()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        val cpu = if (c0 < 0) -1.0 else (processCpuNs() - c0) / 1e9
+        (wall, cpu)
       }
       name -> samples
     }
     val loadEnd = loadAvg()
     def r4(v: Double): String = BigDecimal(v)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r4(v.min) }
+    val best = results.map { case (k, v) => k -> v.minBy(_._1) }
+    val qs = best.map { case (k, (w, _)) => "\"" + k + "\":" + r4(w) }
+      .mkString("{", ",", "}")
+    val cpu = best.map { case (k, (_, c)) => "\"" + k + "\":" + r4(c) }
       .mkString("{", ",", "}")
     val raw = results.map { case (k, v) =>
-      "\"" + k + "\":" + v.map(r4).mkString("[", ",", "]")
+      "\"" + k + "\":" + v.map(s => r4(s._1)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     def arr(xs: Seq[Double]) = xs.map(r4).mkString("[", ",", "]")
-    val total = results.values.map(_.min).sum
+    val total = best.values.map(_._1).sum
+    val totalCpu = best.values.map(_._2).sum
+    // Headline first (metric/value/load), detail last — see scaladoc.
     println(s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
-      s""""queries":$qs,"samples":$raw,""" +
-      s""""load_avg":{"start":${arr(loadStart)},"end":${arr(loadEnd)}},""" +
-      s""""sf":"$sfDir"}""")
+      s""""cpu_total":${r4(totalCpu)},""" +
+      s""""load_avg":{"pre_warmup":${arr(loadPre)},"start":${arr(loadStart)},"end":${arr(loadEnd)}},""" +
+      s""""sf":"$sfDir",""" +
+      s""""queries":$qs,"cpu":$cpu,"samples":$raw}""")
     spark.stop()
   }
 }

@@ -328,13 +328,20 @@ object SparkEntry {
     "train_test_split" -> prep((s, d) =>
       Sampling.assignSplit(docs(s, d)).select("doc_id", "split").orderBy("doc_id")),
     // split keyed on near-dup cluster ids: whole clusters move between
-    // splits atomically (no train/test leakage through near-copies)
+    // splits atomically (no train/test leakage through near-copies).
+    // Round 6: the pair graph comes from the MinHash/LSH sketch tier —
+    // ScaleProbe measures the exact shingle self-join as the one
+    // super-linear candidate path under growing duplication while the
+    // band-bucket join stays ~linear, so the sketch tier feeds every
+    // split/fold/cluster consumer; the exact tier remains gated via
+    // ngram_jaccard / ngram_jaccard_prefix / dedup_corpus.
     "leakage_safe_split" -> prep((s, d) =>
-      Sampling.leakageSafeSplit(docs(s, d), Dedup.ngramJaccardPairs(docs(s, d)))
+      Sampling.leakageSafeSplit(docs(s, d), Dedup.minhashLshPairsPortable(docs(s, d)))
         .select("doc_id", "split").orderBy("doc_id")),
     // leakage-safe k-fold CV assignment: near-dup clusters share folds
+    // (MinHash pair feeder, same rationale as leakage_safe_split)
     "kfold_split" -> prep((s, d) =>
-      Sampling.leakageSafeKfold(docs(s, d), Dedup.ngramJaccardPairs(docs(s, d)))
+      Sampling.leakageSafeKfold(docs(s, d), Dedup.minhashLshPairsPortable(docs(s, d)))
         .select("doc_id", "fold").orderBy("doc_id")),
     "stratified_sample" -> prep((s, d) =>
       Sampling.stratifiedSample(docs(s, d), "lang",
@@ -368,8 +375,9 @@ object SparkEntry {
         .orderBy("pack_bucket", "shard_in_bucket")
     }),
     // pairs -> connected components -> one canonical keeper per cluster
+    // (MinHash pair feeder, same rationale as leakage_safe_split)
     "dedup_clusters" -> prep((s, d) =>
-      Dedup.dupClusters(Dedup.ngramJaccardPairs(docs(s, d)))
+      Dedup.dupClusters(Dedup.minhashLshPairsPortable(docs(s, d)))
         .orderBy("doc_id")),
     // C4-style line cleaning over a derived multi-line corpus with
     // deterministic terminal punctuation (3 of 4 lines) and injected

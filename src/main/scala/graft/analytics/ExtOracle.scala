@@ -1020,49 +1020,28 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
 FROM cov GROUP BY doc_id
 ${ord("doc_id")}""".trim
 
-  /** Connected components over the ngram-Jaccard pair graph via a
+  /** Connected components over the portable-MinHash pair graph via a
     * recursive closure (UNION-distinct fixpoint terminates on cycles);
-    * cluster label = min reachable doc_id. */
-  val dedupClusters: String = s"""
-WITH RECURSIVE
-ws AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
-shl AS (
-  SELECT doc_id, list_distinct(list_transform(
-    generate_series(1, greatest(len(w) - 2, 1)),
-    i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS sh
-  FROM ws),
-sized AS (
-  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM shl),
-pairs0 AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-    COUNT(*) AS inter, MIN(a.n_sh) AS a_n, MIN(b.n_sh) AS b_n
-  FROM sized a JOIN sized b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id),
-pairs AS (
-  SELECT a_id, b_id FROM pairs0
-  WHERE CAST(inter AS DOUBLE) / CAST(a_n + b_n - inter AS DOUBLE) >= 0.5),
-edges AS (
-  SELECT a_id AS id, b_id AS nbr FROM pairs
-  UNION SELECT b_id, a_id FROM pairs),
-reach(id, r) AS (
-  SELECT DISTINCT id, id FROM edges
-  UNION
-  SELECT e.id, reach.r FROM edges e JOIN reach ON e.nbr = reach.id)
+    * cluster label = min reachable doc_id. Round 6: the cluster gate
+    * consumer rides the sketch tier (see minhashKeyedChain's rationale);
+    * the unused `keyed` CTE is harmless. */
+  val dedupClusters: String = s"""$minhashKeyedChain
 SELECT id AS doc_id, MIN(r) AS cluster_id,
   (id = MIN(r)) AS is_keeper
-FROM reach GROUP BY id
+FROM mh_reach GROUP BY id
 ${ord("doc_id")}""".trim
 
   /** Composition twin of Curation.pretrainingCorpus — every curation
-    * tier in one statement: langIdCore + lexical quality + quantized
-    * corpus-LM score + repetition + sha-dedup keepers + the n-gram
-    * closure/split of leakageSafeSplit + the SemDeDup loser closure
-    * over embeddings (CTE names s-/lm_-prefixed to avoid collisions).
-    * Docs without an embedding row pass the semantic filter (NOT IN
-    * over vec-id losers). */
-  val pretrainingCorpus: String = s"""
-WITH RECURSIVE $langIdCore,
+    * tier in one statement: the portable-MinHash closure/split chain of
+    * leakageSafeSplit (round 6: the split feeder rides the sketch tier,
+    * like the gate's other split/fold/cluster consumers) + langIdCore +
+    * lexical quality + quantized corpus-LM score + repetition +
+    * sha-dedup keepers + the SemDeDup loser closure over embeddings
+    * (CTE names s-/lm_-prefixed to avoid collisions). Docs without an
+    * embedding row pass the semantic filter (NOT IN over vec-id
+    * losers). */
+  val pretrainingCorpus: String = s"""$minhashKeyedChain,
+$langIdCore,
 q AS (
   SELECT doc_id,
     round((n_uniq / n_tok) * 0.5 + least(n_tok / 64.0, 1.0) * 0.3
@@ -1096,35 +1075,6 @@ rep AS (
     FROM documents)),
 keepers AS (
   SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
-ws AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
-shl AS (
-  SELECT doc_id, list_distinct(list_transform(
-    generate_series(1, greatest(len(w) - 2, 1)),
-    i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS sh
-  FROM ws),
-sized AS (
-  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM shl),
-pairs0 AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-    COUNT(*) AS inter, MIN(a.n_sh) AS a_n, MIN(b.n_sh) AS b_n
-  FROM sized a JOIN sized b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id),
-pairs AS (
-  SELECT a_id, b_id FROM pairs0
-  WHERE CAST(inter AS DOUBLE) / CAST(a_n + b_n - inter AS DOUBLE) >= 0.5),
-edges AS (
-  SELECT a_id AS id, b_id AS nbr FROM pairs
-  UNION SELECT b_id, a_id FROM pairs),
-reach(id, r) AS (
-  SELECT DISTINCT id, id FROM edges
-  UNION
-  SELECT e.id, reach.r FROM edges e JOIN reach ON e.nbr = reach.id),
-clusters AS (
-  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
-keyed AS (
-  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS k
-  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id),
 se AS (SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE)*1000)) AS sq FROM embeddings),
 scents AS (SELECT vec_id AS cent_id, sq AS cq FROM se WHERE vec_id % 50 = 0),
 scos AS (
@@ -1166,49 +1116,11 @@ WHERE d.doc_id IN (SELECT doc_id FROM keepers)
   AND q.quality >= 0.5 AND lm.mean_logprob >= -4.0 AND rep.repetition <= 0.5
 ${ord("doc_id")}""".trim
 
-  /** Shared CTE chain for the leakage-safe splits: ngram-Jaccard pair
-    * graph → recursive connected-component closure → per-doc split key
-    * `k` = COALESCE(cluster_id, doc_id) in CTE `keyed`. Both split
-    * oracles concatenate this explicitly (no re-parsing of finished
-    * query strings — a reformat there used to silently move a
-    * string-splice point). */
-  private val leakageKeyedChain: String = s"""
-WITH RECURSIVE
-ws AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
-shl AS (
-  SELECT doc_id, list_distinct(list_transform(
-    generate_series(1, greatest(len(w) - 2, 1)),
-    i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS sh
-  FROM ws),
-sized AS (
-  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM shl),
-pairs0 AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-    COUNT(*) AS inter, MIN(a.n_sh) AS a_n, MIN(b.n_sh) AS b_n
-  FROM sized a JOIN sized b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id),
-pairs AS (
-  SELECT a_id, b_id FROM pairs0
-  WHERE CAST(inter AS DOUBLE) / CAST(a_n + b_n - inter AS DOUBLE) >= 0.5),
-edges AS (
-  SELECT a_id AS id, b_id AS nbr FROM pairs
-  UNION SELECT b_id, a_id FROM pairs),
-reach(id, r) AS (
-  SELECT DISTINCT id, id FROM edges
-  UNION
-  SELECT e.id, reach.r FROM edges e JOIN reach ON e.nbr = reach.id),
-clusters AS (
-  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
-keyed AS (
-  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS k
-  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id)""".trim
-
-  /** Twin of Sampling.leakageSafeSplit over ngramJaccardPairs: same
-    * recursive-closure clusters as dedupClusters, split bucket hashed
-    * on COALESCE(cluster_id, doc_id) so whole clusters split
+  /** Twin of Sampling.leakageSafeSplit over minhashLshPairsPortable:
+    * same recursive-closure clusters as dedupClusters, split bucket
+    * hashed on COALESCE(cluster_id, doc_id) so whole clusters split
     * atomically. */
-  val leakageSafeSplit: String = s"""$leakageKeyedChain
+  val leakageSafeSplit: String = s"""$minhashKeyedChain
 SELECT doc_id,
   CASE WHEN ((k % 1000003) * 2654435761) % 100 < 80 THEN 'train'
        WHEN ((k % 1000003) * 2654435761) % 100 < 90 THEN 'val'
@@ -1218,7 +1130,7 @@ ${ord("doc_id")}""".trim
 
   /** Twin of Sampling.leakageSafeKfold (k=5): the leakageSafeSplit
     * closure/keying chain with the fold bucket as the final select. */
-  val kfoldSplit: String = s"""$leakageKeyedChain
+  val kfoldSplit: String = s"""$minhashKeyedChain
 SELECT doc_id,
   CAST(((k % 1000003) * 2654435761) % 5 AS INT) AS fold
 FROM keyed
@@ -1581,8 +1493,12 @@ ${ord("doc_id")}""".trim
     * since Spark mins SIGNED longs), band-bucket candidate join,
     * per-pair signature agreement in CTE `agree`.
     * `minhashPairsPortable` and `dedupCorpusMinhash` concatenate this
-    * explicitly (no re-parsing of finished query strings). */
-  private val minhashAgreeChain: String = {
+    * explicitly (no re-parsing of finished query strings).
+    *
+    * lazy: the split/fold/cluster oracles above this definition splice
+    * it in — a plain val would still be null during their
+    * initialization (object vals initialize in declaration order). */
+  private lazy val minhashAgreeChain: String = {
     val pow64 = "CAST('18446744073709551616' AS HUGEINT)"
     val half = "CAST('9223372036854775808' AS HUGEINT)"
     val gold = "CAST('11400714819323198485' AS HUGEINT)" // unsigned 2^64 + i-step constant
@@ -1633,6 +1549,31 @@ agree AS (
 SELECT a_id, b_id, CAST(n_agree AS DOUBLE) / 32 AS est_jaccard
 FROM agree WHERE CAST(n_agree AS DOUBLE) / 32 >= 0.5
 ${ord("a_id", "b_id")}""".trim
+
+  /** minhashAgreeChain + est ≥ 0.5 pairs + recursive component closure
+    * + per-doc split key `k` = COALESCE(cluster_id, doc_id) in CTE
+    * `keyed` — the MinHash analog of the exact-tier keyed chain. The
+    * split/fold/cluster gate consumers ride THIS tier (round-6
+    * re-point): ScaleProbe measures the exact shingle self-join as the
+    * one super-linear candidate path under growing duplication while
+    * MinHash band-buckets stay ~linear, so the sketch tier is the
+    * production feeder; the exact chain remains the verification twin
+    * via `ngram_jaccard` / `dedup_corpus`. */
+  private lazy val minhashKeyedChain: String = s"""$minhashAgreeChain,
+mh_pairs AS (
+  SELECT a_id, b_id FROM agree WHERE CAST(n_agree AS DOUBLE) / 32 >= 0.5),
+mh_edges AS (
+  SELECT a_id AS id, b_id AS nbr FROM mh_pairs
+  UNION SELECT b_id, a_id FROM mh_pairs),
+mh_reach(id, r) AS (
+  SELECT DISTINCT id, id FROM mh_edges
+  UNION
+  SELECT e.id, mh_reach.r FROM mh_edges e JOIN mh_reach ON e.nbr = mh_reach.id),
+mh_clusters AS (
+  SELECT id AS doc_id, MIN(r) AS cluster_id FROM mh_reach GROUP BY id),
+keyed AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS k
+  FROM documents d LEFT JOIN mh_clusters c ON d.doc_id = c.doc_id)""".trim
 
   /** Twin of Dedup.dedupCorpusMinhash: the portable-minhash candidate
     * pipeline (same CTE chain as minhashPairsPortable, est ≥ 0.9) +

@@ -43,13 +43,21 @@ object Curation {
     *   threshold filters → leakage-safe split (near-dup clusters
     *   move between splits atomically).
     *
+    * The split's pair graph rides the MinHash/LSH sketch tier
+    * (`minhashLshPairsPortable`), not the exact shingle self-join:
+    * ScaleProbe measures the exact tier as the one super-linear
+    * candidate path under growing duplication while band buckets stay
+    * ~linear — at 100 TB the sketch tier is the only viable feeder,
+    * and at sf0.1 it is ~0.5 s cheaper per consumer too.
+    *
     * Cost anatomy at 100 TB: two corpus-wide shuffles from lmQuality
     * (tok-freq agg + per-doc rollup), one from the exact-dedup
-    * groupBy, the shingle explode feeding the split's pair graph, and
-    * the cell-partitioned semantic self-join over the (much smaller)
-    * embedding table; every filter and score is otherwise fused into
-    * scan-side projections, and the loser/keeper join sides are dup
-    * slivers — broadcast lookups, never corpus-wide shuffles. */
+    * groupBy, the signature/band projections feeding the split's
+    * bucket join, and the cell-partitioned semantic self-join over the
+    * (much smaller) embedding table; every filter and score is
+    * otherwise fused into scan-side projections, and the loser/keeper
+    * join sides are dup slivers — broadcast lookups, never corpus-wide
+    * shuffles. */
   def pretrainingCorpus(docs: DataFrame, emb: DataFrame,
       minQuality: Double = 0.5, minMeanLogProb: Double = -4.0,
       maxRepetition: Double = 0.5): DataFrame = {
@@ -74,7 +82,7 @@ object Curation {
     val semF = Future(Similarity.semanticDupLosers(emb)
       .select(col("vec_id").as("doc_id")))
     val splitF = Future(
-      Sampling.leakageSafeSplit(docs, Dedup.ngramJaccardPairs(docs))
+      Sampling.leakageSafeSplit(docs, Dedup.minhashLshPairsPortable(docs))
         .select(col("doc_id"), col("split")))
     val semLosers = Await.result(semF, Duration.Inf)
     val split = Await.result(splitF, Duration.Inf)

@@ -561,11 +561,20 @@ object Dedup {
     * first-occurrence argmin (min(struct) — partial-aggregatable,
     * map-side combined), once more back on doc_id for reassembly.
     * Per-group state is one (doc_id, ord) pair per distinct line;
-    * reassembly state is bounded by document size. */
+    * reassembly state is bounded by document size.
+    *
+    * `sep` is treated as a LITERAL separator on both the split and the
+    * rebuild (the split side regex-quotes it, so a regex-special
+    * separator like "." or "|" splits on the literal character, exactly
+    * what array_join then rejoins with). Null-text rows vanish from the
+    * output entirely (posexplode of a null array emits no rows) —
+    * callers needing them must left-join the result back. */
   def lineDedup(docs: DataFrame, textCol: String = "text",
       sep: String = "\n"): DataFrame = {
     val ex = docs
-      .select(col("doc_id"), posexplode(split(col(textCol), sep)).as(Seq("ord", "line")))
+      .select(col("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("ord", "line")))
       .select(col("doc_id"), col("ord"), col("line"),
         sha2(col("line"), 256).as("lh"))
     val firsts = ex.groupBy(col("lh"))
@@ -604,11 +613,17 @@ object Dedup {
     * distinct-doc frequency model (map-side combinable after the
     * distinct), the frequency model joins back on the digest, and
     * reassembly shuffles once on doc_id — the same two-exchange
-    * profile as `lineDedup`; the 1-row corpus count broadcasts. */
+    * profile as `lineDedup`; the 1-row corpus count broadcasts.
+    *
+    * `sep` is a LITERAL separator (regex-quoted on the split side, see
+    * `lineDedup`); null-text rows vanish from the output (posexplode of
+    * a null array emits no rows). */
   def boilerplateStrip(docs: DataFrame, maxDocFrac: Double = 0.05,
       textCol: String = "text", sep: String = "\n"): DataFrame = {
     val ex = docs
-      .select(col("doc_id"), posexplode(split(col(textCol), sep)).as(Seq("ord", "line")))
+      .select(col("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("ord", "line")))
       .select(col("doc_id"), col("ord"), col("line"),
         sha2(col("line"), 256).as("lh"))
     val nDocs = docs.agg(count(lit(1)).as("n_total"))

@@ -30,16 +30,18 @@ object Profiling {
       // just double: float/decimal min/max would otherwise render via
       // engine-specific string formatting — exactly the cross-engine
       // hazard the quantization exists to avoid. Floats widen to
-      // double first (exact), decimals are exact in cents by
-      // construction.
-      val fractional = df.schema(c).dataType match {
-        case org.apache.spark.sql.types.DoubleType => true
-        case org.apache.spark.sql.types.FloatType => true
-        case _: org.apache.spark.sql.types.DecimalType => true
-        case _ => false
-      }
-      val v = if (fractional) round(col(c).cast("double") * 100).cast("long")
-              else col(c)
+      // double first (exact). Decimals scale in DECIMAL arithmetic —
+      // a cast("double") hop would lose exactness for scale > 2 or
+      // magnitudes past 2^53/100, re-opening the parity gap for wide
+      // decimals; round() on a decimal stays exact at scale 0.
+      val dt = df.schema(c).dataType
+      val isDecimal = dt.isInstanceOf[org.apache.spark.sql.types.DecimalType]
+      val isBinaryFloat = dt == org.apache.spark.sql.types.DoubleType ||
+        dt == org.apache.spark.sql.types.FloatType
+      val v =
+        if (isDecimal) round(col(c) * 100).cast("long")
+        else if (isBinaryFloat) round(col(c).cast("double") * 100).cast("long")
+        else col(c)
       Seq(
         count(col(c)).as(s"__cnt_$c"),
         (if (exact) countDistinct(col(c))

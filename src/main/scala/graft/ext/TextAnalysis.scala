@@ -246,14 +246,23 @@ object TextAnalysis {
     // doc) that every shingle-keyed dedup operator here already
     // makes (see Dedup.hashedShingled). ~10× cheaper than the
     // concat_ws + array_distinct-on-strings formulation it replaces.
-    // when-clamp, not greatest: greatest SKIPS nulls, so a null text
-    // would clamp to 1 instead of propagating null like the string
-    // formulation (and every other signal here) does
+    // Null text needs an EXPLICIT guard: the engine runs with
+    // spark.sql.ansi.enabled=false (Engine.prepare), where legacy
+    // sizeOfNull makes size(null) return -1 — without the guard a null
+    // text would score n_grams=1, n_uniq_grams=-1, repetition=2.0
+    // (outside [0,1], and silently failing any repetition<=max filter
+    // downstream) instead of propagating null like every other signal
+    // here. when-clamp, not greatest, for the same reason: greatest
+    // SKIPS nulls.
+    val nullText = col("text").isNull
     docs.withColumn("n_grams",
-        when(size(t) - (w - 1) < 1, lit(1))
+        when(nullText, lit(null))
+          .when(size(t) - (w - 1) < 1, lit(1))
           .otherwise(size(t) - (w - 1)).cast("int"))
       .withColumn("n_uniq_grams",
-        size(graft.functions.HashedShingles.hashedShingles(t, w)).cast("int"))
+        when(nullText, lit(null))
+          .otherwise(size(graft.functions.HashedShingles.hashedShingles(t, w)))
+          .cast("int"))
       .withColumn("repetition",
         lit(1.0) - col("n_uniq_grams").cast("double") / col("n_grams").cast("double"))
   }

@@ -29,14 +29,17 @@ object Scratch {
       println(f"[scratch] $name%-28s ${best / 1e9}%7.2f s  rows=$n")
     }
 
-    t("kmeansAssign")(Similarity.kmeansAssign(emb).count())
-    t("clusterBalancedSample")(Similarity.clusterBalancedSample(emb).count())
-    t("ivfAssign")(Similarity.ivfAssign(emb).count())
-    t("semanticDedup")(Similarity.semanticDedup(emb).count())
+    // pretraining_corpus phase anatomy (matches Curation.pretrainingCorpus)
     t("semanticDupLosers")(Similarity.semanticDupLosers(emb).count())
-    t("annIvfTopK")(Similarity.ivfTopK(emb, emb.where(col("vec_id") % 100 === 0)).count())
-    t("neardupEmbeddings")(Similarity.nearDupPairs(emb).count())
-    t("embeddingCentroids")(Similarity.labelCentroids(emb).count())
+    t("splitMinhash")(
+      Sampling.leakageSafeSplit(docs, Dedup.minhashLshPairsPortable(docs)).count())
+    t("perRow (lang+qual+rep)")(TextAnalysis.withRepetition(
+      TextAnalysis.withQuality(TextAnalysis.langId(docs)))
+      .select(col("doc_id"), col("lang_pred"), col("quality"), col("repetition"))
+      .where(col("quality") >= 0).count())
+    t("lmQuality")(TextAnalysis.lmQuality(docs)
+      .where(col("mean_logprob") <= 0).count())
+    t("exactKeepers")(Dedup.exact(docs).count())
     t("pretrainingCorpus")(Curation.pretrainingCorpus(docs, emb).orderBy("doc_id").count())
     spark.stop()
   }
