@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming throughput/state evidence (round-6 verdict item): replay a
+  * REPLICAS-fold copy of the fixture event stream through the library's
+  * streaming operators and report, per operator, sustained rows/sec and
+  * the state-store footprint from `StreamingQueryProgress` — the
+  * numbers a capacity plan actually needs (the gate proves the
+  * operators' SEMANTICS; this artifact measures their RATE).
+  *
+  * Replay realism:
+  *  - replicas get disjoint event_ids AND disjoint user_ids (more
+  *    concurrent users, not hotter users — state BREADTH scales with
+  *    the replay factor, the shape real traffic growth has) while
+  *    keeping the original event-time distribution (REPLICAS× the
+  *    event rate over the same clock span);
+  *  - the landing files are time-sliced and written oldest-slice-first
+  *    (the file source replays files in modification-time order), so
+  *    the watermark advances monotonically through the run exactly as
+  *    it would against a live queue, state is evicted continuously,
+  *    and late-drop behavior is the production one — a shuffled replay
+  *    would jump the watermark to max in batch 1 and drop nearly
+  *    everything after as late;
+  *  - `maxFilesPerTrigger` holds micro-batch size constant, so
+  *    rows/sec is a SUSTAINED multi-batch number, not one giant batch.
+  *
+  * Output: one JSON line to stdout (same summary-first, load-stamped
+  * hygiene as Bench) — redirect into STREAMBENCH.json for the repo
+  * artifact. Run: `sbt 'runMain graft.StreamBench'` (env:
+  * SPARK_GRAFT_SF_DIR, SPARK_GRAFT_REPLICAS). */
+object StreamBench {
+
+  private def loadAvg(): Seq[Double] =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+").take(3).map(_.toDouble).toSeq
+    catch { case _: Exception => Seq.empty }
+
+  private def r2(v: Double): String = BigDecimal(v)
+    .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_REPLICAS", "50").toInt
+    val slices = 40
+    val filesPerTrigger = 4
+    val base = s"/tmp/graft_streambench"
+    val spark = Engine.prepare(SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate())
+    spark.sparkContext.setLogLevel("WARN")
+    val loadPre = loadAvg()
+
+    // ---- stage the replay corpus ------------------------------------
+    val inDir = s"$base/in"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(base))
+    val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"),
+        expr("timestamp_micros(ts div 1000)").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val bounds = ev0.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    // replicate with disjoint ids, slice by event time; cache so the
+    // 40 slice writes share one materialization of the 5M-row frame
+    val replicated = ev0
+      .crossJoin(spark.range(replicas).toDF("__c"))
+      .select(
+        (col("event_id") + col("__c") * 1000000000000L).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("__c") * 1000000000L).as("user_id"),
+        col("event_type"), col("value"),
+        least(lit(slices - 1),
+          floor((unix_micros(col("ts")) - lit(lo)) * slices /
+            (lit(hi) - lit(lo) + 1L)).cast("int")).as("__slice"))
+      .persist()
+    val nStaged = replicated.count()
+    // oldest slice first: sequential appends give monotonically
+    // increasing file modification times, which is the file source's
+    // replay order
+    (0 until slices).foreach { s =>
+      replicated.where(col("__slice") === s)
+        .drop("__slice").coalesce(1)
+        .write.mode("append")
+        .option("timestampFormat", graft.streaming.EventStream.microTsFormat)
+        .json(inDir)
+    }
+    replicated.unpersist()
+
+    // ---- drive each operator, harvest progress ----------------------
+    def measure(name: String,
+        run: (String, String, String) => StreamingQuery): String = {
+      val out = s"$base/$name/out"
+      val ckpt = s"$base/$name/ckpt"
+      val t0 = System.nanoTime()
+      val q = run(inDir, out, ckpt)
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val progs = q.recentProgress.toSeq
+      val inputRows = progs.map(_.numInputRows).sum
+      val batches = progs.count(_.numInputRows > 0)
+      val trigMs = progs.flatMap(p =>
+        Option(p.durationMs.get("triggerExecution")).map(_.toLong)).sum
+      val stateRows = if (progs.isEmpty) 0L
+        else progs.map(_.stateOperators.map(_.numRowsTotal).sum).max
+      val stateBytes = if (progs.isEmpty) 0L
+        else progs.map(_.stateOperators.map(_.memoryUsedBytes).sum).max
+      val outRows = spark.read.parquet(out).count()
+      println(s"[streambench] $name: ${r2(inputRows / wall)} rows/s " +
+        s"($inputRows rows, $batches batches, wall ${r2(wall)}s, " +
+        s"state $stateRows rows / $stateBytes B, out $outRows)")
+      s""""$name":{"rows_per_sec":${r2(inputRows / wall)},""" +
+        s""""input_rows":$inputRows,"out_rows":$outRows,""" +
+        s""""n_batches":$batches,"wall_s":${r2(wall)},""" +
+        s""""trigger_ms":$trigMs,"state_rows_max":$stateRows,""" +
+        s""""state_bytes_max":$stateBytes}"""
+    }
+
+    import graft.streaming.EventStream
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    def fileSink(df: DataFrame, out: String, ckpt: String): StreamingQuery =
+      df.writeStream.format("parquet").outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt).option("path", out)
+        .trigger(Trigger.AvailableNow()).start()
+    def src(in: String) = EventStream.source(spark, in,
+      Map("timestampFormat" -> EventStream.microTsFormat,
+        "maxFilesPerTrigger" -> filesPerTrigger.toString))
+
+    val results = Seq(
+      measure("windowed_agg", (in, out, ckpt) =>
+        fileSink(EventStream.windowedAgg(src(in)), out, ckpt)),
+      measure("sliding_agg", (in, out, ckpt) =>
+        fileSink(EventStream.slidingWindowedAgg(src(in)), out, ckpt)),
+      measure("stream_dedup", (in, out, ckpt) =>
+        fileSink(EventStream.dedup(src(in)), out, ckpt)),
+      measure("attribution_join", (in, out, ckpt) =>
+        fileSink(EventStream.attribution(src(in)), out, ckpt)),
+      measure("sessionize_fmgws", (in, out, ckpt) =>
+        fileSink(EventStream.sessionize(spark, src(in)).toDF(), out, ckpt)))
+
+    val loadEnd = loadAvg()
+    def arr(xs: Seq[Double]) = xs.map(r2).mkString("[", ",", "]")
+    println(s"""{"metric":"stream_bench","replicas":$replicas,""" +
+      s""""staged_rows":$nStaged,"slices":$slices,""" +
+      s""""files_per_trigger":$filesPerTrigger,""" +
+      s""""load_avg":{"pre":${arr(loadPre)},"end":${arr(loadEnd)}},""" +
+      s""""sf":"$sfDir","ops":{${results.mkString(",")}}}""")
+    spark.stop()
+  }
+}

@@ -96,6 +96,29 @@ object ScaleProbe {
       t("kmeansAssign", n)(Similarity.kmeansAssign(emb).count())
       t("tfidfTopTerms", n)(TextAnalysis.tfidfTopTerms(docs).count())
       t("curated", n)(Curation.curated(docs).count())
+      // Closure/consumer tier (round-6): the operators that CONSUME a
+      // pair graph, timed end-to-end. dupClustersSuperstep forces the
+      // distributed union-find branch (driverThreshold = -1) so the
+      // superstep loop's exponent is measured rather than assumed —
+      // the driver fast path would otherwise absorb every fixture-
+      // scale graph. The probe feeds the sketch-tier pairs, matching
+      // the gate's round-6 feeder re-point.
+      t("dupClustersSuperstep", n)(Dedup.dupClusters(
+        Dedup.minhashLshPairs(docs), driverThreshold = -1L).count())
+      t("leakageSafeSplit", n)(Sampling.leakageSafeSplit(
+        docs, Dedup.minhashLshPairs(docs)).count())
+      // fixture docs are single-line; derive 10-token lines (the gate's
+      // own derivation) so the line explode/digest shuffle has real
+      // fan-out instead of one line per doc
+      val lined = docs.select(col("doc_id"),
+          split(trim(col("text")), "\\s+").as("w"))
+        .select(col("doc_id"),
+          array_join(transform(
+            sequence(lit(1), greatest(
+              ceil(size(col("w")).cast("double") / 10.0).cast("int"), lit(1))),
+            i => concat_ws(" ", slice(col("w"), (i - 1) * 10 + 1, lit(10)))),
+            "\n").as("text"))
+      t("boilerplateStrip", n)(Dedup.boilerplateStrip(lined).count())
     }
     spark.stop()
   }
