@@ -488,6 +488,17 @@ object SparkEntry {
     "ann_ivf_topk" -> prep((s, d) => Similarity.ivfTopK(emb(s, d),
       emb(s, d).where(col("vec_id") % 100 === 0), k = 5, nprobe = 3)
       .orderBy("probe_id", "vec_id")),
+    // PQ compression: every vector -> m=4 codebook indices (the ANN
+    // memory tier); codes serialized (arrays crash the gate checker)
+    "pq_encode" -> prep((s, d) =>
+      Similarity.pqEncode(emb(s, d))
+        .select(col("vec_id"), concat_ws(",", col("codes")).as("codes"))
+        .orderBy("vec_id")),
+    // ADC search over the compressed index: per-probe lookup tables,
+    // top-5 by exact-integer approximate distance
+    "ann_pq_topk" -> prep((s, d) => Similarity.pqTopK(emb(s, d),
+      emb(s, d).where(col("vec_id") % 100 === 0), k = 5)
+      .orderBy("probe_id", "vec_id")),
     "neardup_embeddings" -> prep((s, d) => Engine.canonical(
       Similarity.nearDupPairs(emb(s, d)))),
     // corpus-relative quality cutoff (exact percentile, auto-tuned)
@@ -955,6 +966,8 @@ object SparkEntry {
     "tfidf_top_terms" -> ExtOracle.tfidfTopTerms,
     "feature_hash_vectors" -> ExtOracle.featureHashVectors,
     "ann_ivf_topk" -> ExtOracle.ivfTopK,
+    "pq_encode" -> ExtOracle.pqEncode,
+    "ann_pq_topk" -> ExtOracle.pqTopK,
     "multimodal_features" -> ExtOracle.multimodalFeatures,
     "multimodal_resize" -> ExtOracle.multimodalResize,
     "fingerprint_docs" -> ExtOracle.fingerprintDocs,

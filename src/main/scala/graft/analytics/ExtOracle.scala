@@ -1786,6 +1786,68 @@ scored AS (
 SELECT probe_id, vec_id, cosine_sim FROM scored WHERE rk <= 5
 ${ord("probe_id", "vec_id")}""".trim
 
+  /** Shared CTE chain for the product-quantization twins: quantized
+    * vectors sliced into m=4 subspace blocks, codebook = the
+    * `vec_id % 50 == 0` seed vectors with dense code = position in
+    * vec_id-sorted seed order (the engine's array_sort-position
+    * contract), per-(vector, subspace) argmin squared-L2 code with the
+    * lowest-code tie-break — the same exact integer arithmetic
+    * (`q·q − 2·q·c + c·c` over round(x*1000) values, everything ≪ 2^53
+    * so DOUBLE is exact) as the engine's NearestCentroidL2. */
+  private val pqChain: String = s"""
+WITH e AS ($quantized),
+cents AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code, q AS cq
+  FROM e WHERE vec_id % 50 = 0),
+kb AS (
+  SELECT c.code, t.j,
+    list_slice(c.cq, t.j * (len(c.cq) // 4) + 1, (t.j + 1) * (len(c.cq) // 4)) AS kblk
+  FROM cents c, generate_series(0, 3) t(j)),
+cb AS (
+  SELECT e.vec_id, t.j,
+    list_slice(e.q, t.j * (len(e.q) // 4) + 1, (t.j + 1) * (len(e.q) // 4)) AS blk
+  FROM e, generate_series(0, 3) t(j)),
+codes AS (
+  SELECT vec_id, j, code FROM (
+    SELECT cb.vec_id, cb.j, kb.code,
+      ROW_NUMBER() OVER (PARTITION BY cb.vec_id, cb.j ORDER BY
+        list_dot_product(cb.blk, cb.blk) - 2 * list_dot_product(cb.blk, kb.kblk)
+          + list_dot_product(kb.kblk, kb.kblk) ASC, kb.code ASC) AS rk
+    FROM cb JOIN kb ON cb.j = kb.j) WHERE rk = 1)""".trim
+
+  /** Twin of Similarity.pqEncode(m=4, centroidMod=50): per-subspace
+    * argmin codes, serialized subspace-major like the gate entry's
+    * concat_ws. */
+  val pqEncode: String = s"""$pqChain
+SELECT vec_id, array_to_string(list(code ORDER BY j), ',') AS codes
+FROM codes GROUP BY vec_id
+${ord("vec_id")}""".trim
+
+  /** Twin of Similarity.pqTopK(k=5): per-probe per-subspace distance
+    * tables against every codebook entry, ADC distance = sum of the
+    * code-indexed entries, top-5 by (adist ASC, vec_id ASC). */
+  val pqTopK: String = s"""$pqChain,
+probes AS (SELECT vec_id AS probe_id, q AS pq FROM e WHERE vec_id % 100 = 0),
+pbl AS (
+  SELECT p.probe_id, t.j,
+    list_slice(p.pq, t.j * (len(p.pq) // 4) + 1, (t.j + 1) * (len(p.pq) // 4)) AS pblk
+  FROM probes p, generate_series(0, 3) t(j)),
+tab AS (
+  SELECT p.probe_id, p.j, k.code,
+    list_dot_product(p.pblk, p.pblk) - 2 * list_dot_product(p.pblk, k.kblk)
+      + list_dot_product(k.kblk, k.kblk) AS d
+  FROM pbl p JOIN kb k ON p.j = k.j),
+scored AS (
+  SELECT t.probe_id, c.vec_id, CAST(SUM(t.d) AS BIGINT) AS adist
+  FROM codes c JOIN tab t ON c.j = t.j AND c.code = t.code
+  WHERE t.probe_id <> c.vec_id
+  GROUP BY t.probe_id, c.vec_id)
+SELECT probe_id, vec_id, adist FROM (
+  SELECT probe_id, vec_id, adist,
+    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist ASC, vec_id ASC) AS rk
+  FROM scored) WHERE rk <= 5
+${ord("probe_id", "vec_id")}""".trim
+
   /** Twin of TextAnalysis.qualityPercentileFilter: same quality
     * expression as qualityScore, quantile_cont ≡ Spark percentile. */
   val qualityPercentileFilter: String = s"""

@@ -232,6 +232,113 @@ object Similarity {
       .drop("rk")
   }
 
+  // ---- product quantization (the ANN memory tier) --------------------
+
+  /** Packed per-subspace PQ codebooks — ONE row with columns
+    * `cs_0..cs_{m-1}`, each `array<struct<code, block, blockSelfDot>>`
+    * ordered however collect_list delivered it (consumers either argmin
+    * with an explicit code tie-break or array_sort by code first, so
+    * the scheduling-dependent order can't leak). Codebook entries are
+    * the SEED vectors (`vec_id % centroidMod == 0` — the ivfAssign
+    * convention: deterministic, engine-reproducible, no k-means
+    * dependency); dense code = POSITION in vec_id-sorted seed order
+    * (array_sort of the collected structs orders by the leading
+    * cent_id), so codes are 0..K−1 regardless of id spacing — the
+    * contract `PqAdc`'s table indexing relies on. Trailing dims beyond
+    * m·(dim/m) are ignored by every consumer symmetrically (dim
+    * divisible by m in practice; 64/4 here). */
+  private def pqCodebooks(e: DataFrame, m: Int, centroidMod: Int): DataFrame = {
+    val packed = e.where(col("vec_id") % centroidMod === 0)
+      .agg(array_sort(collect_list(struct(
+        col("vec_id").as("cent_id"), col("q").as("cq")))).as("cs"))
+    packed.select((0 until m).map { j =>
+      transform(col("cs"), (c, i) => {
+        val sub = (size(c.getField("cq")) / m).cast("int")
+        val blk = slice(c.getField("cq"), lit(j) * sub + 1, sub)
+        struct(i.cast("long").as("code"), blk.as("blk"),
+          graft.functions.DotProduct64.dot64(blk, blk).as("bb"))
+      }).as(s"cs_$j")
+    }: _*)
+  }
+
+  /** Product-quantization encoding: each vector compresses to `m`
+    * codebook indices (argmin squared-L2 per subspace, ties to the
+    * lowest code) — 64 quantized longs become 4 small ints. THIS is
+    * the ANN memory tier at 100 TB: the search structure the ADC scan
+    * reads is |corpus|·m codes (plus the broadcast codebooks), not
+    * |corpus|·dim floats — a ~100× smaller working set than the raw
+    * embedding table, which is what makes exhaustive re-ranking scans
+    * affordable after IVF pruning.
+    *
+    * Plan shape: codebooks collapse to ONE broadcast row; encoding is
+    * a pure scan projection (m native NearestCentroidL2 argmins over
+    * per-subspace slices, all inside WholeStageCodegen) — the corpus
+    * never shuffles. */
+  def pqEncode(emb: DataFrame, m: Int = 4, centroidMod: Int = 50): DataFrame = {
+    val e = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    e.crossJoin(broadcast(pqCodebooks(e, m, centroidMod)))
+      .select(col("vec_id"),
+        array((0 until m).map { j =>
+          val sub = (size(col("q")) / m).cast("int")
+          graft.functions.NearestCentroidL2.nearestL2(
+            slice(col("q"), lit(j) * sub + 1, sub), col(s"cs_$j"))
+            .getField("cluster")
+        }: _*).as("codes"))
+  }
+
+  /** PQ top-k by asymmetric distance computation (ADC): per probe and
+    * subspace, precompute the distance from the probe's block to EVERY
+    * codebook entry (an m×K lookup table — K·m longs per probe, built
+    * once and broadcast); a corpus vector's approximate distance is
+    * then m table lookups over its codes — no per-pair dot products at
+    * all. Exact integer arithmetic end-to-end (block distances are
+    * `bb − 2·dot + bb` over quantized ints), so the result is
+    * engine-reproducible and oracle-checkable.
+    *
+    * Scale shape: the corpus side reads only (vec_id, codes) — the
+    * compressed index — with the probe tables broadcast; the ADC sum
+    * is the native codegen'd `PqAdc` loop; per-probe top-k is the
+    * rank-window WindowGroupLimit prunes map-side. The full-precision
+    * re-rank of the survivors (standard IVF-PQ practice) is
+    * `bruteForceTopK` over k·|probes| rows — a sliver. */
+  def pqTopK(emb: DataFrame, probes: DataFrame, k: Int = 5, m: Int = 4,
+      centroidMod: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val books = pqCodebooks(e, m, centroidMod)
+    // per-probe ADC tables, subspace-major, entries ordered by dense
+    // code (array_sort on the struct array orders by its first field =
+    // code) so tables[j][code] is the lookup PqAdc performs
+    val tables = probes
+      .select(col("vec_id").as("probe_id"), quantize(col("embedding")).as("pq"))
+      .crossJoin(broadcast(books))
+      .select(col("probe_id"),
+        array((0 until m).map { j =>
+          val sub = (size(col("pq")) / m).cast("int")
+          val pblk = slice(col("pq"), lit(j) * sub + 1, sub)
+          transform(array_sort(col(s"cs_$j")), c =>
+            graft.functions.DotProduct64.dot64(pblk, pblk)
+              - lit(2L) * graft.functions.DotProduct64.dot64(pblk, c.getField("blk"))
+              + c.getField("bb"))
+        }: _*).as("tables"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    pqEncode(emb, m, centroidMod).crossJoin(broadcast(tables))
+      .where(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        graft.functions.PqAdc.pqAdc(col("codes"), col("tables")).as("adist"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .drop("rk")
+  }
+
+  /** HOF reference formulation of the ADC lookup-sum — interpreted
+    * (CodegenFallback); equivalence with the native `PqAdc` is
+    * spec-tested, the hot path uses the native loop. */
+  def pqAdcHof(codes: Column, tables: Column): Column =
+    aggregate(zip_with(codes, tables,
+      (c, t) => element_at(t, (c + 1).cast("int"))), lit(0L), (acc, v) => acc + v)
+
   /** Distributed k-means (Lloyd's algorithm, FIXED iteration count) —
     * the clustering primitive behind cluster-based curation (topic
     * balancing, cluster-level dedup/pruning, importance-weighted

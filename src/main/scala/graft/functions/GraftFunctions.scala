@@ -100,7 +100,12 @@ object GraftFunctions {
         arity("nearest_centroid_cos", es, 3, 3)
         NearestCentroidCosine(es(0), es(1), es(2)) },
       "nearest_centroid_cos(array<long>, double, array<struct<long,array<long>,double>>)" +
-        " - cent_id of the cosine-nearest centroid"))
+        " - cent_id of the cosine-nearest centroid"),
+    ("pq_adc",
+      { es: Seq[Expression] =>
+        arity("pq_adc", es, 2, 2); PqAdc(es(0), es(1)) },
+      "pq_adc(array<long>, array<array<long>>) - product-quantization" +
+        " asymmetric-distance lookup sum: sum_j tables[j][codes[j]]"))
 
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft.functions", "", name, usage,

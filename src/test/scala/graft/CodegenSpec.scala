@@ -77,7 +77,13 @@ class CodegenSpec extends SparkSpec {
           lit(math.sqrt(204.0)).as("ncq")),
         struct(lit(2L).as("cent_id"),
           transform(sequence(lit(1L), lit(8L)), x => x * 2L).as("cq"),
-          lit(math.sqrt(816.0)).as("ncq")))).as("cents_cos"))
+          lit(math.sqrt(816.0)).as("ncq")))).as("cents_cos"),
+      mk(array((col("id") % 3L).cast("long"), ((col("id") + 1L) % 3L).cast("long")))
+        .as("pq_codes"),
+      mk(array(
+        transform(sequence(lit(1L), lit(3L)), x => x * 10L + col("id")),
+        transform(sequence(lit(1L), lit(3L)), x => x * 100L - col("id"))))
+        .as("pq_tables"))
   }
 
   /** name → projection (arrays stringified so Row equality is flat). */
@@ -90,7 +96,8 @@ class CodegenSpec extends SparkSpec {
     "lsh_sketch64" -> "lsh_sketch64(vec, 8)",
     "dot64" -> "dot64(vec, vec2)",
     "nearest_centroid_l2" -> "nearest_centroid_l2(vec, cents_l2)",
-    "nearest_centroid_cos" -> "nearest_centroid_cos(vec, nqd, cents_cos)")
+    "nearest_centroid_cos" -> "nearest_centroid_cos(vec, nqd, cents_cos)",
+    "pq_adc" -> "pq_adc(pq_codes, pq_tables)")
 
   private def run(s: SparkSession, nullable: Boolean, e: String): Seq[String] =
     inputs(s, nullable).selectExpr("id", s"cast(($e) as string) as v")

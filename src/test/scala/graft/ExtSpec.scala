@@ -198,6 +198,57 @@ class ExtSpec extends SparkSpec {
     assert(samp.subsetOf(assigned), "sample must be a subset of the assignment")
   }
 
+  test("pqEncode/pqTopK: codes dense, ADC distances match a from-scratch recompute") {
+    // synthetic corpus: 120 vectors, dim 8, m=4 -> 2-dim blocks;
+    // codebook seeds vec_id % 50 == 0 -> ids {0, 50, 100} -> K=3
+    val emb = (0L until 120L).map(i =>
+      (i, Array.tabulate(8)(d => (((i * 7 + d * 3) % 11) - 5).toFloat / 10f)))
+      .toDF("vec_id", "embedding")
+    val m = 4
+    val enc = Similarity.pqEncode(emb, m = m).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(enc.size == 120 && enc.values.forall(cs =>
+      cs.length == m && cs.forall(c => c >= 0 && c < 3)))
+
+    // from-scratch reference: quantize, slice, argmin per block, ADC
+    def quant(i: Long): Array[Long] = Array.tabulate(8)(d =>
+      Math.round(((((i * 7 + d * 3) % 11) - 5).toFloat / 10f).toDouble * 1000))
+    def blk(v: Array[Long], j: Int): Array[Long] = v.slice(j * 2, j * 2 + 2)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val seeds = Seq(0L, 50L, 100L).map(quant)
+    def codeOf(v: Array[Long], j: Int): Long =
+      seeds.zipWithIndex.minBy { case (s, c) => (d2(blk(v, j), blk(s, j)), c) }._2
+    (0L until 120L).foreach { i =>
+      val expect = (0 until m).map(j => codeOf(quant(i), j))
+      assert(enc(i) == expect, s"codes for vec $i: ${enc(i)} vs $expect")
+    }
+
+    val probes = emb.where(col("vec_id") % 100 === 0) // {0, 100}
+    val got = Similarity.pqTopK(emb, probes, k = 5, m = m).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def adist(p: Long, v: Long): Long = (0 until m).map { j =>
+      d2(blk(quant(p), j), blk(seeds(codeOf(quant(v), j).toInt), j))
+    }.sum
+    val expectTop = Seq(0L, 100L).flatMap { p =>
+      (0L until 120L).filter(_ != p).map(v => (p, v, adist(p, v)))
+        .sortBy { case (_, v, d) => (d, v) }.take(5)
+    }.map { case (p, v, d) => (p, v) -> d }.toMap
+    assert(got == expectTop, s"pqTopK: $got vs $expectTop")
+  }
+
+  test("pqAdc: native expression equals the HOF formulation") {
+    val df = spark.range(50).select(
+      array((col("id") % 3).cast("long"), ((col("id") + 2) % 3).cast("long")).as("codes"),
+      array(
+        transform(sequence(lit(1L), lit(3L)), x => x * 10L + col("id")),
+        transform(sequence(lit(1L), lit(3L)), x => x * 100L - col("id"))).as("tables"))
+    val both = df.select(
+      graft.functions.PqAdc.pqAdc(col("codes"), col("tables")).as("native"),
+      Similarity.pqAdcHof(col("codes"), col("tables")).as("hof")).collect()
+    assert(both.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("c4Clean: line rules and page rules fire as designed") {
     val docs = Seq(
       (1L, "this line ends with a period.\nthis one has a question mark?\nshort one.\nno terminal punct here at all\nanother good sentence right here."),

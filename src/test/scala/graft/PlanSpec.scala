@@ -148,6 +148,28 @@ class PlanSpec extends SparkSpec {
       s"no per-vector exchange — assignment must stay a projection:\n$p")
   }
 
+  test("pqEncode: encoding is a broadcast-codebook projection, corpus never shuffles") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(Similarity.pqEncode(emb, centroidMod = 10))
+    // per-subspace argmins are native nearest_centroid_l2 over the one
+    // collected codebook row — any hash exchange means the corpus moved
+    assert(p.contains("nearest_centroid_l2"),
+      s"native per-subspace argmin expected in the projection:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"corpus must not shuffle to encode:\n$p")
+  }
+
+  test("pqTopK: ADC scan reads codes + broadcast tables; native lookup; top-k window-pruned") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val probes = emb.where(col("vec_id") % 100 === 0)
+    val p = plan(Similarity.pqTopK(emb, probes, k = 5, centroidMod = 10))
+    assert(p.contains("pq_adc"), s"native ADC lookup expected:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"probe tables must broadcast, corpus must not shuffle to meet them:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-probe top-k must prune map-side:\n$p")
+  }
+
   test("mixtureSample: keep rule is a scan-side filter fed by broadcasts") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(graft.ext.Sampling.mixtureSample(docs, "source",
