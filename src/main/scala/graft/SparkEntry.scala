@@ -499,6 +499,11 @@ object SparkEntry {
     "ann_pq_topk" -> prep((s, d) => Similarity.pqTopK(emb(s, d),
       emb(s, d).where(col("vec_id") % 100 === 0), k = 5)
       .orderBy("probe_id", "vec_id")),
+    // the production composition: IVF cell pruning bounds candidates,
+    // ADC over PQ codes scores them; index built in one scan
+    "ann_ivfpq_topk" -> prep((s, d) => Similarity.ivfPqTopK(emb(s, d),
+      emb(s, d).where(col("vec_id") % 100 === 0), k = 5, nprobe = 3)
+      .orderBy("probe_id", "vec_id")),
     "neardup_embeddings" -> prep((s, d) => Engine.canonical(
       Similarity.nearDupPairs(emb(s, d)))),
     // corpus-relative quality cutoff (exact percentile, auto-tuned)
@@ -968,6 +973,7 @@ object SparkEntry {
     "ann_ivf_topk" -> ExtOracle.ivfTopK,
     "pq_encode" -> ExtOracle.pqEncode,
     "ann_pq_topk" -> ExtOracle.pqTopK,
+    "ann_ivfpq_topk" -> ExtOracle.ivfPqTopK,
     "multimodal_features" -> ExtOracle.multimodalFeatures,
     "multimodal_resize" -> ExtOracle.multimodalResize,
     "fingerprint_docs" -> ExtOracle.fingerprintDocs,

@@ -1848,6 +1848,53 @@ SELECT probe_id, vec_id, adist FROM (
   FROM scored) WHERE rk <= 5
 ${ord("probe_id", "vec_id")}""".trim
 
+  /** Twin of Similarity.ivfPqTopK(k=5, nprobe=3): the pqChain codes +
+    * the ivfTopK cell-assignment arithmetic (cosine argmax over the
+    * full quantized vectors, cell ids = raw seed vec_ids — unlike the
+    * dense PQ codes) + candidate restriction to each probe's 3 nearest
+    * cells + the ADC sum + top-5. */
+  val ivfPqTopK: String = s"""$pqChain,
+icents AS (SELECT vec_id AS cent_id, q AS cq FROM e WHERE vec_id % 50 = 0),
+assign AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT e.vec_id, c.cent_id,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+        list_dot_product(e.q, c.cq) /
+          (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(c.cq, c.cq)))
+        DESC, c.cent_id ASC) AS rk
+    FROM e, icents c) WHERE rk = 1),
+probes AS (SELECT vec_id AS probe_id, q AS pq FROM e WHERE vec_id % 100 = 0),
+pcells AS (
+  SELECT probe_id, cent_id AS cell FROM (
+    SELECT p.probe_id, c.cent_id,
+      ROW_NUMBER() OVER (PARTITION BY p.probe_id ORDER BY
+        list_dot_product(p.pq, c.cq) /
+          (sqrt(list_dot_product(p.pq, p.pq)) * sqrt(list_dot_product(c.cq, c.cq)))
+        DESC, c.cent_id ASC) AS rk
+    FROM probes p, icents c) WHERE rk <= 3),
+pbl AS (
+  SELECT p.probe_id, t.j,
+    list_slice(p.pq, t.j * (len(p.pq) // 4) + 1, (t.j + 1) * (len(p.pq) // 4)) AS pblk
+  FROM probes p, generate_series(0, 3) t(j)),
+tab AS (
+  SELECT p.probe_id, p.j, k.code,
+    list_dot_product(p.pblk, p.pblk) - 2 * list_dot_product(p.pblk, k.kblk)
+      + list_dot_product(k.kblk, k.kblk) AS d
+  FROM pbl p JOIN kb k ON p.j = k.j),
+scored AS (
+  SELECT t.probe_id, c.vec_id, CAST(SUM(t.d) AS BIGINT) AS adist
+  FROM codes c
+  JOIN assign a ON a.vec_id = c.vec_id
+  JOIN pcells pc ON pc.cell = a.cell
+  JOIN tab t ON t.probe_id = pc.probe_id AND t.j = c.j AND t.code = c.code
+  WHERE t.probe_id <> c.vec_id
+  GROUP BY t.probe_id, c.vec_id)
+SELECT probe_id, vec_id, adist FROM (
+  SELECT probe_id, vec_id, adist,
+    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist ASC, vec_id ASC) AS rk
+  FROM scored) WHERE rk <= 5
+${ord("probe_id", "vec_id")}""".trim
+
   /** Twin of TextAnalysis.qualityPercentileFilter: same quality
     * expression as qualityScore, quantile_cont ≡ Spark percentile. */
   val qualityPercentileFilter: String = s"""

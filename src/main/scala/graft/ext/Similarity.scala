@@ -339,6 +339,68 @@ object Similarity {
     aggregate(zip_with(codes, tables,
       (c, t) => element_at(t, (c + 1).cast("int"))), lit(0L), (acc, v) => acc + v)
 
+  /** IVF-PQ — the production ANN composition at 100 TB: IVF cell
+    * pruning bounds the candidate set (a probe touches nprobe/cells of
+    * the corpus), ADC over the PQ codes scores it (m table lookups per
+    * candidate, no dot products). The index is built in ONE corpus
+    * scan — cell assignment (native cosine argmax) and the m code
+    * argmins are the same projection, so there is no corpus self-join
+    * to assemble (vec_id, cell, codes); the only corpus exchange in
+    * the whole search is the hash partition on `cell` that the
+    * candidate join needs — the same bucket-local shape as `ivfTopK`,
+    * but carrying m codes per row instead of dim quantized longs.
+    * Full-precision re-rank of the k·|probes| survivors (standard
+    * practice) is a separate `bruteForceTopK`-style sliver. */
+  def ivfPqTopK(emb: DataFrame, probes: DataFrame, k: Int = 5,
+      nprobe: Int = 3, m: Int = 4, centroidMod: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = quantizedWithNorm(emb)
+    val cents = e.where(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nq").as("ncq"))
+    val centPack = cents.agg(collect_list(
+      struct(col("cent_id"), col("cq"), col("ncq"))).as("ivf_cs"))
+    val books = pqCodebooks(
+      emb.select(col("vec_id"), quantize(col("embedding")).as("q")), m, centroidMod)
+    val indexed = e.crossJoin(broadcast(centPack)).crossJoin(broadcast(books))
+      .select(col("vec_id"),
+        graft.functions.NearestCentroidCosine
+          .nearestCos(col("q"), col("nq"), col("ivf_cs")).as("cell"),
+        array((0 until m).map { j =>
+          val sub = (size(col("q")) / m).cast("int")
+          graft.functions.NearestCentroidL2.nearestL2(
+            slice(col("q"), lit(j) * sub + 1, sub), col(s"cs_$j"))
+            .getField("cluster")
+        }: _*).as("codes"))
+    val pq0 = quantizedWithNorm(probes)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("nq").as("npq"))
+    val probeCells = pq0.crossJoin(broadcast(cents))
+      .select(col("probe_id"), col("cent_id"),
+        cosineN(dotL(col("pq"), col("cq")), col("npq"), col("ncq")).as("cs"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("cs").desc, col("cent_id").asc)))
+      .where(col("rk") <= nprobe)
+      .select(col("probe_id"), col("cent_id").as("cell"))
+    val probeTabs = pq0.crossJoin(broadcast(books))
+      .select(col("probe_id"),
+        array((0 until m).map { j =>
+          val sub = (size(col("pq")) / m).cast("int")
+          val pblk = slice(col("pq"), lit(j) * sub + 1, sub)
+          transform(array_sort(col(s"cs_$j")), c =>
+            dotL(pblk, pblk) - lit(2L) * dotL(pblk, c.getField("blk"))
+              + c.getField("bb"))
+        }: _*).as("tables"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    probeCells.join(probeTabs, "probe_id")
+      .join(indexed, "cell")
+      .where(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        graft.functions.PqAdc.pqAdc(col("codes"), col("tables")).as("adist"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .drop("rk")
+  }
+
   /** Distributed k-means (Lloyd's algorithm, FIXED iteration count) —
     * the clustering primitive behind cluster-based curation (topic
     * balancing, cluster-level dedup/pruning, importance-weighted

@@ -235,6 +235,29 @@ class ExtSpec extends SparkSpec {
         .sortBy { case (_, v, d) => (d, v) }.take(5)
     }.map { case (p, v, d) => (p, v) -> d }.toMap
     assert(got == expectTop, s"pqTopK: $got vs $expectTop")
+
+    // IVF-PQ: candidates restricted to the probe's nprobe=2 nearest
+    // cells (cosine argmax assignment, seed ids as cell ids), then the
+    // same ADC scoring — recomputed from scratch
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      def dot(x: Array[Long], y: Array[Long]): Long =
+        x.zip(y).map { case (p, q) => p * q }.sum
+      dot(a, b).toDouble / (math.sqrt(dot(a, a).toDouble) * math.sqrt(dot(b, b).toDouble))
+    }
+    val seedIds = Seq(0L, 50L, 100L)
+    def cellOf(v: Array[Long]): Long =
+      seedIds.minBy(s => (-cos(v, quant(s)), s))
+    def probeCells(p: Array[Long], nprobe: Int): Set[Long] =
+      seedIds.sortBy(s => (-cos(p, quant(s)), s)).take(nprobe).toSet
+    val gotIvfPq = Similarity.ivfPqTopK(emb, probes, k = 5, nprobe = 2, m = m)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expectIvfPq = Seq(0L, 100L).flatMap { p =>
+      val cells = probeCells(quant(p), 2)
+      (0L until 120L).filter(v => v != p && cells.contains(cellOf(quant(v))))
+        .map(v => (p, v, adist(p, v)))
+        .sortBy { case (_, v, d) => (d, v) }.take(5)
+    }.map { case (p, v, d) => (p, v) -> d }.toMap
+    assert(gotIvfPq == expectIvfPq, s"ivfPqTopK: $gotIvfPq vs $expectIvfPq")
   }
 
   test("pqAdc: native expression equals the HOF formulation") {
