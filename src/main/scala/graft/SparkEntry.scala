@@ -242,6 +242,11 @@ object SparkEntry {
     "token_freq_topk" -> prep((s, d) => TextAnalysis.tokenFreqTopK(docs(s, d))),
     "quality_score" -> prep((s, d) => Engine.canonical(TextAnalysis.qualityScore(docs(s, d)))),
     "bpe_token_count" -> prep((s, d) => TextAnalysis.bpeTokenCount(docs(s, d)).orderBy("doc_id")),
+    // tokenizer-vocabulary induction: top-8 BPE merge rules from the
+    // corpus word-frequency table (the corpus is scanned ONCE; merge
+    // iterations rewrite only the vocab)
+    "bpe_merges" -> prep((s, d) =>
+      TextAnalysis.bpeLearnMerges(docs(s, d)).orderBy("merge_rank")),
     "lang_id" -> prep((s, d) => TextAnalysis.langId(docs(s, d))
       .select("doc_id", "lang_pred", "lang_conf").orderBy("doc_id")),
     "fingerprint_docs" -> prep((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
@@ -934,6 +939,7 @@ object SparkEntry {
     "quality_percentile_filter" -> ExtOracle.qualityPercentileFilter,
     "rp_project" -> ExtOracle.rpProject,
     "bpe_token_count" -> ExtOracle.bpeTokenCount,
+    "bpe_merges" -> ExtOracle.bpeMerges,
     "lang_id" -> ExtOracle.langId,
     "curated_corpus" -> ExtOracle.curated,
     "pretraining_corpus" -> ExtOracle.pretrainingCorpus,

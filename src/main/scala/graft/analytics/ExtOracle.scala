@@ -465,6 +465,44 @@ SELECT doc_id,
 FROM documents
 ${ord("doc_id")}""".trim
 
+  /** Twin of TextAnalysis.bpeLearnMerges(nMerges=8): the 8 sequential
+    * argmax-merge iterations unrolled as CTE rounds over the word-
+    * frequency table — chars joined by chr(31), adjacent-pair counts
+    * weighted by word freq, argmax = (pf DESC, lhs ASC, rhs ASC)
+    * LIMIT 1 (the window form of the engine's min(struct(-pf, a, b))),
+    * literal replace of lhs‖SEP‖rhs (non-overlapping left-to-right in
+    * both engines). Assumes ≥ 8 learnable pairs (any real corpus; the
+    * engine's early-stop path is spec-covered instead). */
+  val bpeMerges: String = {
+    val sep = "chr(31)"
+    def pairs(w: String): String = s"""
+  SELECT syms[k] AS a, syms[k + 1] AS b, SUM(freq) AS pf FROM (
+    SELECT syms, freq, unnest(generate_series(1, len(syms) - 1)) AS k
+    FROM (SELECT string_split(w, $sep) AS syms, freq FROM $w))
+  GROUP BY 1, 2"""
+    val roundSql = (0 until 8).map { i =>
+      s"""b$i AS (
+  SELECT a, b, pf FROM (${pairs(s"w$i")})
+  ORDER BY pf DESC, a ASC, b ASC LIMIT 1),
+w${i + 1} AS (
+  SELECT replace(w, b$i.a || $sep || b$i.b, b$i.a || b$i.b) AS w, freq
+  FROM w$i, b$i)"""
+    }.mkString(",\n")
+    val unions = (0 until 8).map(i =>
+      s"SELECT ${i + 1} AS merge_rank, a AS lhs, b AS rhs, CAST(pf AS BIGINT) AS pair_freq FROM b$i")
+      .mkString("\n  UNION ALL ")
+    s"""
+WITH w0 AS (
+  SELECT array_to_string(string_split_regex(tok, ''), $sep) AS w, freq FROM (
+    SELECT tok, COUNT(*) AS freq FROM (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents)
+    GROUP BY tok)),
+$roundSql
+SELECT merge_rank, lhs, rhs, pair_freq FROM (
+  $unions)
+ORDER BY merge_rank""".trim
+  }
+
   /** Twin of TextAnalysis.vocabSize's exact column. */
   val vocabSize: String = s"""
 SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS exact_vocab FROM (

@@ -50,6 +50,72 @@ object TextAnalysis {
       size(split(trim(col("text")), "\\s+")).cast("int").as("n_ws_tokens"),
       regexp_count(col("text"), lit(bpeSplitPattern)).cast("int").as("n_bpe_tokens"))
 
+  /** BPE merge learning (tokenizer-vocabulary induction) — the top
+    * `nMerges` byte-pair merge rules from corpus statistics, the data
+    * side of training a BPE tokenizer. Returns one row per learned
+    * rule: (merge_rank, lhs, rhs, pair_freq).
+    *
+    * Scale shape — the standard one for BPE at corpus scale: the
+    * CORPUS is touched exactly once (token explode → word-frequency
+    * groupBy); every merge iteration then rewrites only the DISTINCT
+    * word table (vocabulary-sized — KBs-to-MBs at any corpus size),
+    * never the corpus. Like `dupClusters`, this operator is eager and
+    * inherently sequential: each iteration materializes the rewritten
+    * vocab (cache + count), collects the single argmax pair to the
+    * driver (1 row — bounded), and rewrites with literal search
+    * strings; total driver state is `nMerges` rows. A lazily-composed
+    * unrolled plan would re-inline the whole chain 2^iterations times
+    * (no subplan sharing — the curationFunnel lesson).
+    *
+    * Determinism: symbols start as characters joined by U+001F (the
+    * corpus must not contain that control char — the standard
+    * separator-sentinel trade, as in lineDedup's `sep`); each
+    * iteration merges the (pair_freq DESC, lhs ASC, rhs ASC) argmax
+    * pair; `replace` rewrites non-overlapping occurrences
+    * left-to-right — greedy BPE semantics, identical in every engine.
+    * Stops early (fewer rows out) if the vocabulary runs out of
+    * adjacent pairs. */
+  def bpeLearnMerges(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+    val SEP = "\u001f"
+    val spark = docs.sparkSession
+    var words = docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .select(concat_ws(SEP, split(col("tok"), "")).as("w"), col("freq"))
+      .cache()
+    words.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (i <- 1 to nMerges if !exhausted) {
+      val syms = split(col("w"), SEP)
+      val best = words
+        .select(col("freq"),
+          explode(arrays_zip(
+            slice(syms, lit(1), size(syms) - 1).as("a"),
+            slice(syms, lit(2), size(syms) - 1).as("b"))).as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum(col("freq")).as("pf"))
+        .agg(min(struct((-col("pf")).as("npf"), col("a"), col("b"))).as("m"))
+        .select(col("m.a"), col("m.b"), (-col("m.npf")).as("pf"))
+        .collect()
+      if (best.isEmpty || best(0).isNullAt(0)) exhausted = true
+      else {
+        val a = best(0).getString(0)
+        val b = best(0).getString(1)
+        val pf = best(0).getLong(2)
+        merges += ((i, a, b, pf))
+        val next = words
+          .select(replace(col("w"), lit(a + SEP + b), lit(a + b)).as("w"), col("freq"))
+          .cache()
+        next.count()
+        words.unpersist()
+        words = next
+      }
+    }
+    words.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_freq")
+  }
+
   /** Global token frequency top-k: explode → hash-agg (partial+final)
     * → TakeOrderedAndProject. The canonical "word count at scale". */
   def tokenFreqTopK(docs: DataFrame, k: Int = 25): DataFrame =

@@ -119,6 +119,15 @@ object ScaleProbe {
             i => concat_ws(" ", slice(col("w"), (i - 1) * 10 + 1, lit(10)))),
             "\n").as("text"))
       t("boilerplateStrip", n)(Dedup.boilerplateStrip(lined).count())
+      // round-6 additions: the PQ tier (codebook count held fixed via
+      // centroidMod ∝ copies, like ivfAssign) and BPE merge learning
+      // (vocab-table rewrites — should be near-flat: the vocab grows
+      // ~copies-fold here only because replicated tokens are copy-
+      // tagged; real corpus growth grows the vocab sub-linearly)
+      t("pqEncode", n)(Similarity.pqEncode(emb, centroidMod = mod).count())
+      t("ivfPqTopK", n)(Similarity.ivfPqTopK(emb,
+        emb.where(col("vec_id") % (100L * n) === 0), centroidMod = mod).count())
+      t("bpeLearnMerges", n)(TextAnalysis.bpeLearnMerges(docs).count())
     }
     spark.stop()
   }

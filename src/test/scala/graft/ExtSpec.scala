@@ -260,6 +260,25 @@ class ExtSpec extends SparkSpec {
     assert(gotIvfPq == expectIvfPq, s"ivfPqTopK: $gotIvfPq vs $expectIvfPq")
   }
 
+  test("bpeLearnMerges: hand-computed merge sequence, tie-breaks, early exhaustion") {
+    // corpus "low low lower": words low:2, lower:1
+    // pairs r1: (l,o):3 (o,w):3 (w,e):1 (e,r):1 -> tie pf=3, lex -> (l,o)
+    // r2: (lo,w):3 -> (lo,w)   r3: (low,e):1 (e,r):1 -> lex -> (e,r)
+    // r4: (low,er):1           r5: no pairs -> early stop at 4 of 8
+    val corpus = Seq((1L, "low low lower")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeLearnMerges(corpus, nMerges = 8).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq((1, "l", "o", 3L), (2, "lo", "w", 3L),
+      (3, "e", "r", 1L), (4, "low", "er", 1L)), got.toString)
+    // greedy left-to-right within a word: "aaaa" merges (a,a) twice
+    val rep = Seq((1L, "aaaa aaaa")).toDF("doc_id", "text")
+    val g2 = TextAnalysis.bpeLearnMerges(rep, nMerges = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // r1: (a,a) appears at 3 adjacent positions x 2 words = 6
+    // after greedy replace: aa|aa -> r2: (aa,aa):2
+    assert(g2 == Seq((1, "a", "a", 6L), (2, "aa", "aa", 2L)), g2.toString)
+  }
+
   test("pqAdc: native expression equals the HOF formulation") {
     val df = spark.range(50).select(
       array((col("id") % 3).cast("long"), ((col("id") + 2) % 3).cast("long")).as("codes"),
