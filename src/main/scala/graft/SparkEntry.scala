@@ -247,6 +247,13 @@ object SparkEntry {
     // iterations rewrite only the vocab)
     "bpe_merges" -> prep((s, d) =>
       TextAnalysis.bpeLearnMerges(docs(s, d)).orderBy("merge_rank")),
+    // learn ∘ apply: per-doc token count under the learned vocabulary
+    // (the number packing budgets actually need)
+    "bpe_apply_count" -> prep((s, d) => {
+      val m = TextAnalysis.bpeLearnMerges(docs(s, d)).orderBy("merge_rank")
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      TextAnalysis.bpeApplyCount(docs(s, d), m).orderBy("doc_id")
+    }),
     "lang_id" -> prep((s, d) => TextAnalysis.langId(docs(s, d))
       .select("doc_id", "lang_pred", "lang_conf").orderBy("doc_id")),
     "fingerprint_docs" -> prep((s, d) => TextAnalysis.fingerprint(docs(s, d)).orderBy("doc_id")),
@@ -940,6 +947,7 @@ object SparkEntry {
     "rp_project" -> ExtOracle.rpProject,
     "bpe_token_count" -> ExtOracle.bpeTokenCount,
     "bpe_merges" -> ExtOracle.bpeMerges,
+    "bpe_apply_count" -> ExtOracle.bpeApplyCount,
     "lang_id" -> ExtOracle.langId,
     "curated_corpus" -> ExtOracle.curated,
     "pretraining_corpus" -> ExtOracle.pretrainingCorpus,

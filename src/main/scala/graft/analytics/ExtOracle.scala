@@ -473,34 +473,61 @@ ${ord("doc_id")}""".trim
     * literal replace of lhs‖SEP‖rhs (non-overlapping left-to-right in
     * both engines). Assumes ≥ 8 learnable pairs (any real corpus; the
     * engine's early-stop path is spec-covered instead). */
-  val bpeMerges: String = {
-    val sep = "chr(31)"
+  private val bpeSep = "chr(31)"
+
+  /** The 8-round merge-learning CTE chain (`w0` word frequencies,
+    * `b0..b7` per-round argmax pairs, `w1..w8` rewritten vocabs) —
+    * shared by the learning twin and the apply twin. */
+  private lazy val bpeLearnChain: String = {
     def pairs(w: String): String = s"""
   SELECT syms[k] AS a, syms[k + 1] AS b, SUM(freq) AS pf FROM (
     SELECT syms, freq, unnest(generate_series(1, len(syms) - 1)) AS k
-    FROM (SELECT string_split(w, $sep) AS syms, freq FROM $w))
+    FROM (SELECT string_split(w, $bpeSep) AS syms, freq FROM $w))
   GROUP BY 1, 2"""
     val roundSql = (0 until 8).map { i =>
       s"""b$i AS (
   SELECT a, b, pf FROM (${pairs(s"w$i")})
   ORDER BY pf DESC, a ASC, b ASC LIMIT 1),
 w${i + 1} AS (
-  SELECT replace(w, b$i.a || $sep || b$i.b, b$i.a || b$i.b) AS w, freq
+  SELECT replace(w, b$i.a || $bpeSep || b$i.b, b$i.a || b$i.b) AS w, freq
   FROM w$i, b$i)"""
     }.mkString(",\n")
-    val unions = (0 until 8).map(i =>
-      s"SELECT ${i + 1} AS merge_rank, a AS lhs, b AS rhs, CAST(pf AS BIGINT) AS pair_freq FROM b$i")
-      .mkString("\n  UNION ALL ")
     s"""
 WITH w0 AS (
-  SELECT array_to_string(string_split_regex(tok, ''), $sep) AS w, freq FROM (
+  SELECT array_to_string(string_split_regex(tok, ''), $bpeSep) AS w, freq FROM (
     SELECT tok, COUNT(*) AS freq FROM (
       SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents)
     GROUP BY tok)),
-$roundSql
+$roundSql""".trim
+  }
+
+  val bpeMerges: String = {
+    val unions = (0 until 8).map(i =>
+      s"SELECT ${i + 1} AS merge_rank, a AS lhs, b AS rhs, CAST(pf AS BIGINT) AS pair_freq FROM b$i")
+      .mkString("\n  UNION ALL ")
+    s"""$bpeLearnChain
 SELECT merge_rank, lhs, rhs, pair_freq FROM (
   $unions)
 ORDER BY merge_rank""".trim
+  }
+
+  /** Twin of bpeLearnMerges(8) ∘ bpeApplyCount: the learning chain's
+    * b0..b7 applied in rank order to every document's words, then the
+    * per-doc symbol count. */
+  val bpeApplyCount: String = {
+    val applies = (0 until 8).map(i =>
+      s"""a${i + 1} AS (
+  SELECT doc_id, replace(w, b$i.a || $bpeSep || b$i.b, b$i.a || b$i.b) AS w
+  FROM a$i, b$i)""").mkString(",\n")
+    s"""$bpeLearnChain,
+a0 AS (
+  SELECT doc_id, array_to_string(string_split_regex(tok, ''), $bpeSep) AS w FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM documents)),
+$applies
+SELECT doc_id, CAST(SUM(len(string_split(w, $bpeSep))) AS BIGINT) AS n_bpe_symbols
+FROM a8 GROUP BY doc_id
+${ord("doc_id")}""".trim
   }
 
   /** Twin of TextAnalysis.vocabSize's exact column. */

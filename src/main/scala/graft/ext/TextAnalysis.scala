@@ -116,6 +116,32 @@ object TextAnalysis {
     merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_freq")
   }
 
+  /** Apply learned BPE merges: per-document count of symbols after
+    * rewriting every word with the merge rules in rank order — the
+    * "tokens under the learned vocabulary" number packing budgets and
+    * cost models actually need (whitespace counts over-estimate,
+    * pre-merge counts under-estimate).
+    *
+    * `merges` is the (lhs, rhs) list from `bpeLearnMerges` (driver-side
+    * — nMerges rows by contract). Scale shape: one explode + per-word
+    * char-join + `merges.size` chained literal replaces — all fused
+    * into the scan projection — then one map-combinable per-doc count
+    * rollup; the corpus is scanned once, shuffled once on doc_id. */
+  def bpeApplyCount(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val SEP = "\u001f"
+    val w0 = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), concat_ws(SEP, split(col("tok"), "")).as("w"))
+    val rewritten = merges.foldLeft(w0) { case (df, (a, b)) =>
+      df.select(col("doc_id"),
+        replace(col("w"), lit(a + SEP + b), lit(a + b)).as("w"))
+    }
+    rewritten
+      .select(col("doc_id"), size(split(col("w"), SEP)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bpe_symbols"))
+  }
+
   /** Global token frequency top-k: explode → hash-agg (partial+final)
     * → TakeOrderedAndProject. The canonical "word count at scale". */
   def tokenFreqTopK(docs: DataFrame, k: Int = 25): DataFrame =

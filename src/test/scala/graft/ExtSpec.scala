@@ -277,6 +277,20 @@ class ExtSpec extends SparkSpec {
     // r1: (a,a) appears at 3 adjacent positions x 2 words = 6
     // after greedy replace: aa|aa -> r2: (aa,aa):2
     assert(g2 == Seq((1, "a", "a", 6L), (2, "aa", "aa", 2L)), g2.toString)
+
+    // apply: after the 4 learned merges, "low"->[low] (1 symbol) and
+    // "lower"->l|o|w|e|r ->(l,o)->(lo,w)-> low|e|r ->(e,r)-> low|er
+    // ->(low,er)-> [lower] (1); doc = "low low lower" -> 1+1+1 = 3
+    val applied = TextAnalysis.bpeApplyCount(corpus,
+      got.map(m => (m._2, m._3))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(applied == Map(1L -> 3L), applied.toString)
+    // a prefix of the merge list leaves "lower" partially merged:
+    // first 3 merges -> "low" = [low], "lower" = low|er (2) -> 1+1+2 = 4
+    val partial = TextAnalysis.bpeApplyCount(corpus,
+      got.take(3).map(m => (m._2, m._3))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(partial == Map(1L -> 4L), partial.toString)
   }
 
   test("pqAdc: native expression equals the HOF formulation") {
