@@ -500,6 +500,15 @@ object SparkEntry {
     "ann_ivf_topk" -> prep((s, d) => Similarity.ivfTopK(emb(s, d),
       emb(s, d).where(col("vec_id") % 100 === 0), k = 5, nprobe = 3)
       .orderBy("probe_id", "vec_id")),
+    // contrastive-training negatives: per probe, top-5 by cosine
+    // INSIDE [0.05, 0.35) — informative but below the near-dup band (a
+    // near-dup negative is a mislabeled positive; the 0.35 edge sits
+    // inside this fixture's candidate range so the filter provably
+    // bites); same IVF cell-pruned plan as ann_ivf_topk
+    "hard_negatives" -> prep((s, d) => Similarity.hardNegatives(emb(s, d),
+      emb(s, d).where(col("vec_id") % 100 === 0), k = 5,
+      simLo = 0.05, simHi = 0.35, nprobe = 3)
+      .orderBy("probe_id", "vec_id")),
     // PQ compression: every vector -> m=4 codebook indices (the ANN
     // memory tier); codes serialized (arrays crash the gate checker)
     "pq_encode" -> prep((s, d) =>
@@ -985,6 +994,7 @@ object SparkEntry {
     "tfidf_top_terms" -> ExtOracle.tfidfTopTerms,
     "feature_hash_vectors" -> ExtOracle.featureHashVectors,
     "ann_ivf_topk" -> ExtOracle.ivfTopK,
+    "hard_negatives" -> ExtOracle.hardNegatives,
     "pq_encode" -> ExtOracle.pqEncode,
     "ann_pq_topk" -> ExtOracle.pqTopK,
     "ann_ivfpq_topk" -> ExtOracle.ivfPqTopK,

@@ -1815,9 +1815,12 @@ scored AS (
 SELECT vec_id, cosine_sim FROM scored
 ${ord("vec_id", "cosine_sim")}""".trim
 
-  /** IVF twin: same two-level argmax (cell assignment, probe cells)
-    * with identical (cosine DESC, id ASC) tie-breaks. */
-  val ivfTopK: String = s"""
+  /** Shared IVF probe chain — `cand` is every (probe_id, vec_id, cs)
+    * candidate pair in a probe's 3 nearest cells (self excluded), with
+    * the engine's two-level argmax (cell assignment, probe cells) and
+    * identical (cosine DESC, id ASC) tie-breaks. Consumed by the
+    * top-k twin and the band-filtered hard-negative twin. */
+  private val ivfCandChain: String = s"""
 WITH e AS ($quantized),
 cents AS (SELECT vec_id AS cent_id, q AS cq FROM e WHERE vec_id % 50 = 0),
 cos_ec AS (
@@ -1839,15 +1842,32 @@ pcells AS (
           (sqrt(list_dot_product(p.pq, p.pq)) * sqrt(list_dot_product(c.cq, c.cq)))
         DESC, c.cent_id ASC) AS rk
     FROM probes p, cents c) WHERE rk <= 3),
+cand AS (
+  SELECT pc.probe_id, a.vec_id,
+    list_dot_product(pc.pq, a.q) /
+      (sqrt(list_dot_product(pc.pq, pc.pq)) * sqrt(list_dot_product(a.q, a.q))) AS cs
+  FROM pcells pc JOIN assign a ON pc.cell = a.cell
+  WHERE pc.probe_id <> a.vec_id)""".trim
+
+  val ivfTopK: String = s"""
+$ivfCandChain,
 scored AS (
   SELECT probe_id, vec_id, cs AS cosine_sim,
     ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cs DESC, vec_id ASC) AS rk
-  FROM (
-    SELECT pc.probe_id, a.vec_id,
-      list_dot_product(pc.pq, a.q) /
-        (sqrt(list_dot_product(pc.pq, pc.pq)) * sqrt(list_dot_product(a.q, a.q))) AS cs
-    FROM pcells pc JOIN assign a ON pc.cell = a.cell
-    WHERE pc.probe_id <> a.vec_id))
+  FROM cand)
+SELECT probe_id, vec_id, cosine_sim FROM scored WHERE rk <= 5
+${ord("probe_id", "vec_id")}""".trim
+
+  /** Twin of Similarity.hardNegatives: the IVF candidate chain with
+    * the [lo, hi) band filter applied BEFORE the per-probe top-k
+    * window — the same deterministic quantized-cosine double, so the
+    * band edges are identical IEEE compares in both engines. */
+  val hardNegatives: String = s"""
+$ivfCandChain,
+scored AS (
+  SELECT probe_id, vec_id, cs AS cosine_sim,
+    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cs DESC, vec_id ASC) AS rk
+  FROM cand WHERE cs >= 0.05 AND cs < 0.35)
 SELECT probe_id, vec_id, cosine_sim FROM scored WHERE rk <= 5
 ${ord("probe_id", "vec_id")}""".trim
 

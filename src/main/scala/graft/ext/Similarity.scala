@@ -202,9 +202,13 @@ object Similarity {
         col("q"), col("nq"))
   }
 
-  /** IVF probe: top-k within the probe's `nprobe` nearest cells. */
-  def ivfTopK(emb: DataFrame, probes: DataFrame, k: Int = 5,
-      nprobe: Int = 3, centroidMod: Int = 50): DataFrame = {
+  /** Scored IVF candidates — (probe_id, vec_id, cosine_sim) for every
+    * corpus vector in a probe's `nprobe` nearest cells (self excluded).
+    * The shared probe stage of `ivfTopK` and `hardNegatives`: the only
+    * corpus exchange is the candidate join on `cell`; centroid tables
+    * broadcast. */
+  private def ivfScored(emb: DataFrame, probes: DataFrame,
+      nprobe: Int, centroidMod: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = quantizedWithNorm(emb)
     val cents = e.where(col("vec_id") % centroidMod === 0)
@@ -221,12 +225,50 @@ object Similarity {
       .where(col("rk") <= nprobe)
       .select(col("probe_id"), col("pq"), col("npq"), col("cent_id").as("cell"))
     // search only those cells
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine_sim").desc, col("vec_id").asc)
     probeCells.join(indexed, "cell")
       .where(col("probe_id") =!= col("vec_id"))
       .select(col("probe_id"), col("vec_id"),
         cosineN(dotL(col("pq"), col("q")), col("npq"), col("nq")).as("cosine_sim"))
+  }
+
+  /** IVF probe: top-k within the probe's `nprobe` nearest cells. */
+  def ivfTopK(emb: DataFrame, probes: DataFrame, k: Int = 5,
+      nprobe: Int = 3, centroidMod: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine_sim").desc, col("vec_id").asc)
+    ivfScored(emb, probes, nprobe, centroidMod)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .drop("rk")
+  }
+
+  /** Hard-negative mining for contrastive / retrieval training: per
+    * probe, the top-k candidates by cosine INSIDE the band
+    * `[simLo, simHi)` — similar enough to be informative negatives,
+    * but strictly below the near-duplicate threshold (a near-dup of
+    * the query is a false negative that poisons the loss; too-easy
+    * negatives teach nothing). The standard mining recipe behind
+    * dense-retriever training (DPR/ANCE-style).
+    *
+    * Rides the IVF cell-pruned path, NOT a brute-force scan: a probe
+    * scores only its `nprobe` cells' vectors, the band filter is a
+    * per-row compare fused into the candidate projection, and the
+    * top-k is the same `row_number` window WindowGroupLimit prunes
+    * map-side. At 100 TB the plan is identical to `ivfTopK`'s —
+    * one candidate join on `cell` — so mining negatives costs the
+    * same as serving neighbors. Cosine is the deterministic
+    * quantized-integer double, so the band edges are engine-portable
+    * IEEE compares. Tie-break (cosine DESC, vec_id ASC). */
+  def hardNegatives(emb: DataFrame, probes: DataFrame, k: Int = 5,
+      simLo: Double = 0.1, simHi: Double = 0.9,
+      nprobe: Int = 3, centroidMod: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(simLo < simHi, "band must be non-empty")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine_sim").desc, col("vec_id").asc)
+    ivfScored(emb, probes, nprobe, centroidMod)
+      .where(col("cosine_sim") >= simLo && col("cosine_sim") < simHi)
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .drop("rk")

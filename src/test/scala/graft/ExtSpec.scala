@@ -293,6 +293,47 @@ class ExtSpec extends SparkSpec {
     assert(partial == Map(1L -> 4L), partial.toString)
   }
 
+  test("hardNegatives: band filter + top-k match a from-scratch IVF recompute") {
+    // same synthetic family as the PQ spec: 120 vectors, dim 8,
+    // seeds vec_id % 50 == 0 -> cells {0, 50, 100}
+    val emb = (0L until 120L).map(i =>
+      (i, Array.tabulate(8)(d => (((i * 7 + d * 3) % 11) - 5).toFloat / 10f)))
+      .toDF("vec_id", "embedding")
+    val probes = emb.where(col("vec_id") % 100 === 0) // {0, 100}
+    def quant(i: Long): Array[Long] = Array.tabulate(8)(d =>
+      Math.round(((((i * 7 + d * 3) % 11) - 5).toFloat / 10f).toDouble * 1000))
+    def dot(x: Array[Long], y: Array[Long]): Long =
+      x.zip(y).map { case (p, q) => p * q }.sum
+    def cos(a: Array[Long], b: Array[Long]): Double =
+      dot(a, b).toDouble / (math.sqrt(dot(a, a).toDouble) * math.sqrt(dot(b, b).toDouble))
+    val seedIds = Seq(0L, 50L, 100L)
+    def cellOf(v: Array[Long]): Long = seedIds.minBy(s => (-cos(v, quant(s)), s))
+    def probeCells(p: Array[Long], nprobe: Int): Set[Long] =
+      seedIds.sortBy(s => (-cos(p, quant(s)), s)).take(nprobe).toSet
+    val (lo, hi) = (0.1, 0.7)
+    def expectFor(band: Option[(Double, Double)], k: Int) =
+      Seq(0L, 100L).flatMap { p =>
+        val cells = probeCells(quant(p), 2)
+        (0L until 120L)
+          .filter(v => v != p && cells.contains(cellOf(quant(v))))
+          .map(v => (p, v, cos(quant(p), quant(v))))
+          .filter { case (_, _, c) => band.forall { case (l, h) => c >= l && c < h } }
+          .sortBy { case (_, v, c) => (-c, v) }.take(k)
+      }.map { case (p, v, c) => (p, v) -> c }.toMap
+    val got = Similarity.hardNegatives(emb, probes, k = 5,
+      simLo = lo, simHi = hi, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == expectFor(Some((lo, hi)), 5), s"hardNegatives: $got")
+    assert(got.values.forall(c => c >= lo && c < hi))
+    // the full band reproduces plain ivfTopK
+    val full = Similarity.hardNegatives(emb, probes, k = 5,
+      simLo = -2.0, simHi = 2.0, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val plain = Similarity.ivfTopK(emb, probes, k = 5, nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(full == plain, "full band must equal ivfTopK")
+  }
+
   test("pqAdc: native expression equals the HOF formulation") {
     val df = spark.range(50).select(
       array((col("id") % 3).cast("long"), ((col("id") + 2) % 3).cast("long")).as("codes"),
