@@ -525,6 +525,11 @@ object SparkEntry {
     "ann_ivfpq_topk" -> prep((s, d) => Similarity.ivfPqTopK(emb(s, d),
       emb(s, d).where(col("vec_id") % 100 === 0), k = 5, nprobe = 3)
       .orderBy("probe_id", "vec_id")),
+    // two-stage serving: r=10-deep ADC shortlist, exact-cosine re-rank
+    // to top-5 — r > k so the re-rank provably reorders/filters
+    "ann_ivfpq_rerank" -> prep((s, d) => Similarity.ivfPqRerank(emb(s, d),
+      emb(s, d).where(col("vec_id") % 100 === 0), k = 5, r = 10, nprobe = 3)
+      .orderBy("probe_id", "vec_id")),
     "neardup_embeddings" -> prep((s, d) => Engine.canonical(
       Similarity.nearDupPairs(emb(s, d)))),
     // corpus-relative quality cutoff (exact percentile, auto-tuned)
@@ -998,6 +1003,7 @@ object SparkEntry {
     "pq_encode" -> ExtOracle.pqEncode,
     "ann_pq_topk" -> ExtOracle.pqTopK,
     "ann_ivfpq_topk" -> ExtOracle.ivfPqTopK,
+    "ann_ivfpq_rerank" -> ExtOracle.ivfPqRerank,
     "multimodal_features" -> ExtOracle.multimodalFeatures,
     "multimodal_resize" -> ExtOracle.multimodalResize,
     "fingerprint_docs" -> ExtOracle.fingerprintDocs,

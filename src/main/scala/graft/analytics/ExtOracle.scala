@@ -1933,12 +1933,14 @@ SELECT probe_id, vec_id, adist FROM (
   FROM scored) WHERE rk <= 5
 ${ord("probe_id", "vec_id")}""".trim
 
-  /** Twin of Similarity.ivfPqTopK(k=5, nprobe=3): the pqChain codes +
-    * the ivfTopK cell-assignment arithmetic (cosine argmax over the
-    * full quantized vectors, cell ids = raw seed vec_ids — unlike the
-    * dense PQ codes) + candidate restriction to each probe's 3 nearest
-    * cells + the ADC sum + top-5. */
-  val ivfPqTopK: String = s"""$pqChain,
+  /** Shared IVF-PQ chain — the pqChain codes + the ivfTopK
+    * cell-assignment arithmetic (cosine argmax over the full quantized
+    * vectors, cell ids = raw seed vec_ids — unlike the dense PQ codes)
+    * + candidate restriction to each probe's 3 nearest cells + the ADC
+    * sum, ending at `scored` (probe_id, vec_id, adist). Consumed by
+    * the plain top-k twin and the exact-re-rank twin. Lazy: referenced
+    * by later vals (object-init-order rule). */
+  private lazy val ivfPqChain: String = s"""$pqChain,
 icents AS (SELECT vec_id AS cent_id, q AS cq FROM e WHERE vec_id % 50 = 0),
 assign AS (
   SELECT vec_id, cent_id AS cell FROM (
@@ -1973,11 +1975,39 @@ scored AS (
   JOIN pcells pc ON pc.cell = a.cell
   JOIN tab t ON t.probe_id = pc.probe_id AND t.j = c.j AND t.code = c.code
   WHERE t.probe_id <> c.vec_id
-  GROUP BY t.probe_id, c.vec_id)
+  GROUP BY t.probe_id, c.vec_id)""".trim
+
+  /** Twin of Similarity.ivfPqTopK(k=5, nprobe=3): the shared chain's
+    * ADC scores, top-5 by (adist ASC, vec_id ASC). */
+  val ivfPqTopK: String = s"""$ivfPqChain
 SELECT probe_id, vec_id, adist FROM (
   SELECT probe_id, vec_id, adist,
     ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist ASC, vec_id ASC) AS rk
   FROM scored) WHERE rk <= 5
+${ord("probe_id", "vec_id")}""".trim
+
+  /** Twin of Similarity.ivfPqRerank(k=5, r=10): the ADC shortlist cut
+    * at depth 10 with the (adist ASC, vec_id ASC) tie-break, then the
+    * exact quantized cosine over the survivors' FULL vectors — the
+    * same dot/(sqrt·sqrt) double arithmetic as the IVF twins — ranked
+    * (cosine DESC, vec_id ASC), top-5. */
+  val ivfPqRerank: String = s"""$ivfPqChain,
+short AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT probe_id, vec_id,
+      ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist ASC, vec_id ASC) AS rk
+    FROM scored) WHERE rk <= 10),
+rer AS (
+  SELECT s.probe_id, s.vec_id,
+    list_dot_product(p.pq, e.q) /
+      (sqrt(list_dot_product(p.pq, p.pq)) * sqrt(list_dot_product(e.q, e.q))) AS cosine_sim
+  FROM short s
+  JOIN probes p ON p.probe_id = s.probe_id
+  JOIN e ON e.vec_id = s.vec_id)
+SELECT probe_id, vec_id, cosine_sim FROM (
+  SELECT probe_id, vec_id, cosine_sim,
+    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine_sim DESC, vec_id ASC) AS rk
+  FROM rer) WHERE rk <= 5
 ${ord("probe_id", "vec_id")}""".trim
 
   /** Twin of TextAnalysis.qualityPercentileFilter: same quality

@@ -443,6 +443,47 @@ object Similarity {
       .drop("rk")
   }
 
+  /** Two-stage retrieval — the production ANN serving composition:
+    * stage 1 takes the `r`-deep IVF-PQ shortlist (`ivfPqTopK` with
+    * k = r: cell pruning bounds candidates, ADC over m codes scores
+    * them), stage 2 re-ranks ONLY those r·|probes| survivors with the
+    * exact full-precision cosine and keeps the top k. ADC distance is
+    * a lossy proxy (block-quantized); re-ranking the shortlist buys
+    * back exact ordering while touching a candidate set that is
+    * bounded by r, not by the corpus.
+    *
+    * Scale shape: the shortlist (r·|probes| rows of (probe_id,
+    * vec_id)) BROADCASTS into a hash join against the corpus scan —
+    * the full-precision vectors are fetched by streaming the corpus
+    * past a tiny hash table, never by shuffling it; probe vectors
+    * broadcast the same way. Stage 1's only corpus exchange (the
+    * candidate join on `cell`) remains the whole composition's only
+    * corpus exchange. Tie-breaks: (adist ASC, vec_id ASC) for the
+    * shortlist cut, (cosine DESC, vec_id ASC) for the final ranking —
+    * both deterministic, so the two-stage result is bit-reproducible
+    * cross-engine. */
+  def ivfPqRerank(emb: DataFrame, probes: DataFrame, k: Int = 5,
+      r: Int = 10, nprobe: Int = 3, m: Int = 4,
+      centroidMod: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(r >= k, "shortlist depth r must be >= k")
+    val shortlist = ivfPqTopK(emb, probes, k = r, nprobe, m, centroidMod)
+      .select(col("probe_id"), col("vec_id"))
+    val e = quantizedWithNorm(emb)
+    val p = quantizedWithNorm(probes)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"),
+        col("nq").as("npq"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine_sim").desc, col("vec_id").asc)
+    e.join(broadcast(shortlist), "vec_id")
+      .join(broadcast(p), "probe_id")
+      .select(col("probe_id"), col("vec_id"),
+        cosineN(dotL(col("pq"), col("q")), col("npq"), col("nq")).as("cosine_sim"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .drop("rk")
+  }
+
   /** Distributed k-means (Lloyd's algorithm, FIXED iteration count) —
     * the clustering primitive behind cluster-based curation (topic
     * balancing, cluster-level dedup/pruning, importance-weighted

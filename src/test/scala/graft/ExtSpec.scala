@@ -258,6 +258,24 @@ class ExtSpec extends SparkSpec {
         .sortBy { case (_, v, d) => (d, v) }.take(5)
     }.map { case (p, v, d) => (p, v) -> d }.toMap
     assert(gotIvfPq == expectIvfPq, s"ivfPqTopK: $gotIvfPq vs $expectIvfPq")
+
+    // two-stage serving: ADC shortlist at depth r=8 (adist ASC, vec_id
+    // ASC cut), exact-cosine re-rank to top-3 — recomputed from
+    // scratch; r is below the per-probe candidate count so the cut
+    // bites, and k < r so the re-rank provably reorders
+    val gotRr = Similarity.ivfPqRerank(emb, probes, k = 3, r = 8,
+      nprobe = 2, m = m).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val expectRr = Seq(0L, 100L).flatMap { p =>
+      val cells = probeCells(quant(p), 2)
+      val short = (0L until 120L)
+        .filter(v => v != p && cells.contains(cellOf(quant(v))))
+        .map(v => (v, adist(p, v)))
+        .sortBy { case (v, d) => (d, v) }.take(8).map(_._1)
+      short.map(v => (p, v, cos(quant(p), quant(v))))
+        .sortBy { case (_, v, c) => (-c, v) }.take(3)
+    }.map { case (p, v, c) => (p, v) -> c }.toMap
+    assert(gotRr == expectRr, s"ivfPqRerank: $gotRr vs $expectRr")
   }
 
   test("bpeLearnMerges: hand-computed merge sequence, tie-breaks, early exhaustion") {

@@ -170,6 +170,29 @@ class PlanSpec extends SparkSpec {
       s"per-probe top-k must prune map-side:\n$p")
   }
 
+  test("ivfPqRerank: shortlist + probe vectors broadcast into the re-rank fetch") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val probes = emb.where(col("vec_id") % 100 === 0)
+    val p = plan(Similarity.ivfPqRerank(emb, probes, k = 3, r = 8,
+      nprobe = 2, centroidMod = 10))
+    // stage 2 fetches full-precision vectors by streaming the corpus
+    // past the broadcast r-deep shortlist — a sort-merge fetch would
+    // re-shuffle the corpus a second time just to re-rank r rows/probe.
+    // Constrain ONLY the re-rank portion (printed above the ADC
+    // subtree, whose root is the first pq_adc occurrence): stage 1's
+    // candidate join on `cell` is the composition's one intended
+    // corpus exchange and may legitimately sort-merge.
+    val adc = p.indexOf("pq_adc")
+    assert(adc > 0, s"ADC shortlist subtree expected:\n$p")
+    val rerank = p.substring(0, adc)
+    assert(rerank.contains("BroadcastHashJoin"),
+      s"shortlist must broadcast into the corpus fetch:\n$p")
+    assert(!rerank.contains("SortMergeJoin"),
+      s"re-rank fetch must not shuffle the corpus:\n$p")
+    assert(rerank.contains("WindowGroupLimit"),
+      s"final top-k must prune map-side:\n$p")
+  }
+
   test("mixtureSample: keep rule is a scan-side filter fed by broadcasts") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(graft.ext.Sampling.mixtureSample(docs, "source",
