@@ -286,6 +286,14 @@ object SparkEntry {
           concat_ws(",", transform(col("features"), _.cast("string")))
             .as("features_str"))
         .orderBy("doc_id")),
+    // fasttext-shaped linear filter inference: dense synthetic weight
+    // table (the trained-model stand-in), margin = mean hashed-gram
+    // weight, keep = margin >= 0 — scoring is a zero-exchange scan
+    "classifier_score" -> prep((s, d) =>
+      TextAnalysis.classifierScore(docs(s, d),
+        s.range(512).select(col("id").as("bucket"),
+          ((col("id") * 48271L + 7L) % 2001L - 1000L).as("w")),
+        dim = 512).orderBy("doc_id")),
     // TF-IDF distinctive terms per doc (integer-quantized idf, top-5)
     "tfidf_top_terms" -> prep((s, d) =>
       TextAnalysis.tfidfTopTerms(docs(s, d), k = 5)
@@ -500,6 +508,10 @@ object SparkEntry {
     "ann_ivf_topk" -> prep((s, d) => Similarity.ivfTopK(emb(s, d),
       emb(s, d).where(col("vec_id") % 100 === 0), k = 5, nprobe = 3)
       .orderBy("probe_id", "vec_id")),
+    // greedy k-center coreset: 6 maximum-spread picks + the monotone
+    // coverage-radius curve (exact integer distances)
+    "kcenter_sample" -> prep((s, d) =>
+      Similarity.kcenterSample(emb(s, d), k = 6).orderBy("sel_rank")),
     // contrastive-training negatives: per probe, top-5 by cosine
     // INSIDE [0.05, 0.35) — informative but below the near-dup band (a
     // near-dup negative is a mislabeled positive; the 0.35 edge sits
@@ -998,8 +1010,10 @@ object SparkEntry {
     "cluster_balanced_sample" -> ExtOracle.clusterBalancedSample,
     "tfidf_top_terms" -> ExtOracle.tfidfTopTerms,
     "feature_hash_vectors" -> ExtOracle.featureHashVectors,
+    "classifier_score" -> ExtOracle.classifierScore,
     "ann_ivf_topk" -> ExtOracle.ivfTopK,
     "hard_negatives" -> ExtOracle.hardNegatives,
+    "kcenter_sample" -> ExtOracle.kcenterSample,
     "pq_encode" -> ExtOracle.pqEncode,
     "ann_pq_topk" -> ExtOracle.pqTopK,
     "ann_ivfpq_topk" -> ExtOracle.ivfPqTopK,

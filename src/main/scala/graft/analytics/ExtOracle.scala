@@ -1424,6 +1424,40 @@ SELECT doc_id, MIN(n_tokens) AS n_tokens,
 FROM dense GROUP BY doc_id
 ${ord("doc_id")}""".trim
 
+  /** Twin of TextAnalysis.classifierScore(dim=512, threshold=0) with
+    * the gate's synthetic dense weight table ((b·48271 + 7) mod 2001 −
+    * 1000): unigram + chr(1)-joined adjacent-bigram features, the same
+    * Lehmer char hash as featureHashVectors (power-table closed form),
+    * exact integer weight sum, one double division for the margin. */
+  val classifierScore: String = s"""
+WITH RECURSIVE pw(k, v) AS (
+  SELECT 0, CAST(1 AS BIGINT)
+  UNION ALL SELECT k + 1, (v * 31) % 2147483647 FROM pw WHERE k < 64),
+pl AS (SELECT list(v ORDER BY k) AS pl FROM pw),
+wt AS (SELECT b AS bucket, (b * 48271 + 7) % 2001 - 1000 AS w
+       FROM (SELECT unnest(generate_series(0, 511)) AS b)),
+tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+fs AS (SELECT doc_id, list_concat(ws, list_transform(
+         generate_series(1, len(ws) - 1), i -> ws[i] || chr(1) || ws[i + 1])) AS feats
+       FROM tk),
+un AS (SELECT doc_id, unnest(feats) AS tok FROM fs),
+hashed AS (
+  SELECT doc_id,
+    (CASE WHEN length(tok) = 0 THEN 7 ELSE
+      ((7 * pl.pl[length(tok) + 1]) % 2147483647 +
+       COALESCE(list_sum(list_transform(generate_series(1, length(tok)),
+         i -> (ord(tok[i]) * pl.pl[length(tok) - i + 1]) % 2147483647)), 0))
+      % 2147483647 END) % 512 AS b
+  FROM un, pl),
+sc AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_feats, SUM(w.w) AS s
+  FROM hashed h JOIN wt w ON h.b = w.bucket GROUP BY doc_id)
+SELECT doc_id, n_feats,
+  CAST(s AS DOUBLE) / CAST(n_feats AS DOUBLE) AS margin,
+  (CAST(s AS DOUBLE) / CAST(n_feats AS DOUBLE)) >= 0.0 AS keep
+FROM sc
+${ord("doc_id")}""".trim
+
   /** Twin of Curation.curationFunnel: the same five-stage chain —
     * shape-quality rules, exact dedup (min id per sha256), greedy
     * first-wins near dedup (distinct b_id of ≥0.5 Jaccard pairs),
@@ -2009,6 +2043,37 @@ SELECT probe_id, vec_id, cosine_sim FROM (
     ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine_sim DESC, vec_id ASC) AS rk
   FROM rer) WHERE rk <= 5
 ${ord("probe_id", "vec_id")}""".trim
+
+  /** Twin of Similarity.kcenterSample(k=6): the greedy rounds unrolled
+    * as CTEs (the bpeMerges pattern) — seed = lowest vec_id, each
+    * round's pick = (min-sq-L2-to-selected DESC, vec_id ASC) argmax,
+    * distances in the same exact integers as NearestCentroidL2
+    * (q·q − 2·q·c + c·c over round(x·1000) values, < 2^53 so DOUBLE
+    * arithmetic is exact). */
+  val kcenterSample: String = {
+    def l2(qa: String, qb: String): String =
+      s"CAST(list_dot_product($qa, $qa) - 2 * list_dot_product($qa, $qb)" +
+        s" + list_dot_product($qb, $qb) AS BIGINT)"
+    val rounds = (1 until 6).map { i =>
+      s"""d$i AS (
+  SELECT e.vec_id, e.q, MIN(${l2("e.q", "s.q")}) AS d
+  FROM e, sel${i - 1} s GROUP BY e.vec_id, e.q),
+p$i AS (SELECT vec_id, q, d FROM d$i ORDER BY d DESC, vec_id ASC LIMIT 1),
+sel$i AS (SELECT vec_id, q FROM sel${i - 1} UNION ALL SELECT vec_id, q FROM p$i)"""
+    }.mkString(",\n")
+    val unions = (1 until 6).map(i =>
+      s"SELECT ${i + 1} AS sel_rank, vec_id, d AS dist FROM p$i")
+      .mkString("\n  UNION ALL ")
+    s"""
+WITH e AS ($quantized),
+sel0 AS (SELECT vec_id, q FROM e ORDER BY vec_id ASC LIMIT 1),
+$rounds
+SELECT CAST(sel_rank AS BIGINT) AS sel_rank, vec_id, CAST(dist AS BIGINT) AS dist
+FROM (
+  SELECT 1 AS sel_rank, vec_id, CAST(0 AS BIGINT) AS dist FROM sel0
+  UNION ALL $unions)
+ORDER BY sel_rank""".trim
+  }
 
   /** Twin of TextAnalysis.qualityPercentileFilter: same quality
     * expression as qualityScore, quantile_cont ≡ Spark percentile. */

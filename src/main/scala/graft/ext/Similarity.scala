@@ -443,6 +443,63 @@ object Similarity {
       .drop("rk")
   }
 
+  /** Greedy k-center (farthest-point) coreset selection — the
+    * diversity-sampling primitive behind coreset curation: pick the
+    * `k` vectors that best COVER the corpus geometrically (each new
+    * pick is the point farthest from everything picked so far — the
+    * classic 2-approximation to the k-center objective). Complements
+    * `clusterBalancedSample` (which balances cluster mass) by
+    * maximizing spread instead.
+    *
+    * Deterministic contract: seed = lowest vec_id; each round adds
+    * the (min-sq-L2-to-selected DESC, vec_id ASC) argmax over exact
+    * integer quantized distances; stops early when the farthest
+    * remaining distance is 0 (every point duplicates a selection —
+    * no coverage left to add). Returns (sel_rank, vec_id, dist) with
+    * dist = the selection-time coverage radius (seed: 0); the rank-i
+    * dist column is the standard k-center radius curve, monotone
+    * non-increasing.
+    *
+    * Scale shape — eager driver loop like `bpeLearnMerges`: the
+    * quantized corpus is cached ONCE; each of the k rounds is a pure
+    * scan projection (native NearestCentroidL2 over the ≤k selected
+    * vectors collected to one broadcast array row) into a
+    * partial-aggregatable 1-row max_by — the corpus NEVER shuffles,
+    * and driver state is k·dim longs. k passes over a cached corpus
+    * is the canonical distributed form; the incremental running-min
+    * variant trades those passes for k materializations of a
+    * corpus-sized column — strictly worse below thousands of picks. */
+  def kcenterSample(emb: DataFrame, k: Int = 6): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val e = emb.select(col("vec_id"), quantize(col("embedding")).as("q")).cache()
+    try {
+      val seed = e.orderBy(col("vec_id").asc).limit(1).collect()(0)
+      val sel = scala.collection.mutable.ArrayBuffer[(Long, Array[Long], Long)](
+        (seed.getLong(0), seed.getSeq[Long](1).toArray, 0L))
+      var exhausted = false
+      for (_ <- 2 to k if !exhausted) {
+        val packed = sel.toSeq
+          .map { case (id, q, _) => (id, q, q.map(x => x * x).sum) }
+          .toDF("cluster", "cq", "cqq")
+          .agg(collect_list(struct(col("cluster"), col("cq"), col("cqq"))).as("cs"))
+        val far = e.crossJoin(broadcast(packed))
+          .select(col("vec_id"), col("q"),
+            graft.functions.NearestCentroidL2.nearestL2(col("q"), col("cs"))
+              .getField("d").as("d"))
+          .agg(max_by(struct(col("vec_id"), col("q"), col("d")),
+            struct(col("d"), (-col("vec_id")).as("nv"))).as("m"))
+          .select(col("m.vec_id"), col("m.q"), col("m.d")).collect()(0)
+        if (far.getLong(2) == 0L) exhausted = true
+        else sel += ((far.getLong(0), far.getSeq[Long](1).toArray, far.getLong(2)))
+      }
+      sel.toSeq.zipWithIndex
+        .map { case ((id, _, d), i) => (i + 1L, id, d) }
+        .toDF("sel_rank", "vec_id", "dist")
+    } finally { e.unpersist(); () }
+  }
+
   /** Two-stage retrieval — the production ANN serving composition:
     * stage 1 takes the `r`-deep IVF-PQ shortlist (`ivfPqTopK` with
     * k = r: cell pruning bounds candidates, ADC over m codes scores

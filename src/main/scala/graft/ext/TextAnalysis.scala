@@ -679,4 +679,52 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       polyhash64(regexp_replace(lower(col("text")), "\\s+", " "))
         .as("fingerprint"))
+
+  /** Linear quality-classifier INFERENCE over hashed n-gram features —
+    * the fasttext-shaped filter that gates most public pretraining
+    * corpora (a tiny linear model scores every document; the corpus
+    * keeps the positive margin). The model is DATA, not code: a dense
+    * `(bucket, w)` weight table (quantized ·10³ integer weights, one
+    * row per bucket in [0, dim)) stands in for the trained artifact.
+    *
+    * Features are fasttext's: unigrams plus adjacent-bigram grams
+    * (joined with U+0001), each hashed into `dim` buckets by the same
+    * portable char-level Lehmer hash as `featureHashVectors`. Margin =
+    * Σ w[h(f)] / |features| (exact integer sum, ONE IEEE division —
+    * reproducible bit-for-bit in any engine); keep = margin ≥
+    * `threshold` (in the same quantized ·10³ unit).
+    *
+    * Scale shape: the weight table collapses to ONE broadcast array
+    * row (dim·8 bytes — a 2M-bucket production model is 16 MB, the
+    * same order as any broadcast dim table) and scoring is a pure
+    * scan projection: bigram assembly is the adjacent-slice zip (no
+    * explode), hashing and the weight lookup-sum run inside one
+    * `aggregate` HOF over the feature array. ZERO exchanges — at
+    * 100 TB classifier filtering costs exactly one corpus read,
+    * which is why this filter family is the first gate in production
+    * pipelines. Null text propagates null margin/keep. */
+  def classifierScore(docs: DataFrame, weights: DataFrame, dim: Int = 512,
+      threshold: Double = 0.0): DataFrame = {
+    val warr = broadcast(weights.agg(transform(
+      array_sort(collect_list(struct(col("bucket"), col("w")))),
+      x => x.getField("w")).as("warr")))
+    val sep = lit("\u0001")
+    docs.select(col("doc_id"), tokens(col("text")).as("ws"))
+      .crossJoin(warr)
+      // materialize the feature array as an attribute first (HOF
+      // arguments must be attributes — see Dedup.minhashSignature)
+      .select(col("doc_id"), col("warr"), concat(col("ws"),
+        zip_with(slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => concat(a, sep, b))).as("fs"))
+      .select(col("doc_id"), size(col("fs")).as("n_feats"),
+        aggregate(col("fs"), lit(0L), (acc, f) => acc + element_at(
+          col("warr"),
+          (pmod(graft.functions.LehmerHash32.lehmerHash32(f),
+            lit(dim.toLong)) + 1L).cast("int"))).as("s"))
+      .select(col("doc_id"), col("n_feats"),
+        (col("s").cast("double") / col("n_feats").cast("double"))
+          .as("margin"))
+      .withColumn("keep", col("margin") >= threshold)
+  }
 }

@@ -278,6 +278,61 @@ class ExtSpec extends SparkSpec {
     assert(gotRr == expectRr, s"ivfPqRerank: $gotRr vs $expectRr")
   }
 
+  test("kcenterSample: greedy picks match a from-scratch recompute; radius curve monotone") {
+    val emb = (0L until 120L).map(i =>
+      (i, Array.tabulate(8)(d => (((i * 7 + d * 3) % 11) - 5).toFloat / 10f)))
+      .toDF("vec_id", "embedding")
+    val k = 5
+    val got = graft.ext.Similarity.kcenterSample(emb, k = k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    def quant(i: Long): Array[Long] = Array.tabulate(8)(d =>
+      Math.round(((((i * 7 + d * 3) % 11) - 5).toFloat / 10f).toDouble * 1000))
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // greedy reference: seed 0, then (min-dist DESC, vec_id ASC) argmax
+    val sel = scala.collection.mutable.ArrayBuffer[(Long, Long)]((0L, 0L))
+    for (_ <- 2 to k) {
+      val (v, d) = (0L until 120L)
+        .map(v => (v, sel.map(s => d2(quant(v), quant(s._1))).min))
+        .maxBy { case (v, d) => (d, -v) }
+      sel += ((v, d))
+    }
+    val expect = sel.zipWithIndex.map { case ((v, d), i) => (i + 1L, v, d) }
+    assert(got.toSeq == expect.toSeq, s"kcenter: ${got.toSeq} vs $expect")
+    // radius curve monotone non-increasing after the seed
+    val ds = got.drop(1).map(_._3)
+    assert(ds.zip(ds.drop(1)).forall { case (a, b) => a >= b }, ds.toSeq.toString)
+  }
+
+  test("classifierScore: margin matches a from-scratch hashed-ngram recompute") {
+    val rows = Seq((0L, "the cat sat"), (1L, "dog"), (2L, "a b a b a"),
+      (3L, "one two three four five"))
+    val docs = rows.toDF("doc_id", "text")
+    val dim = 32
+    val weights = spark.range(dim).select(col("id").as("bucket"),
+      ((col("id") * 48271L + 7L) % 2001L - 1000L).as("w"))
+    val got = graft.ext.TextAnalysis.classifierScore(docs, weights, dim = dim)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    // from-scratch: Lehmer char hash (acc*31 + cp mod 2^31-1, seed 7),
+    // unigrams + U+0001-joined bigrams, synthetic weight table
+    def hash(s: String): Long =
+      s.codePoints.toArray.foldLeft(7L)((a, c) => (a * 31 + c) % 2147483647L)
+    def w(b: Long): Long = (b * 48271L + 7L) % 2001L - 1000L
+    rows.foreach { case (id, t) =>
+      val ws = t.trim.split("\\s+").toSeq
+      val fs = ws ++ ws.zip(ws.drop(1)).map { case (a, b) => a + "\u0001" + b }
+      val s = fs.map(f => w(hash(f) % dim)).sum
+      val margin = s.toDouble / fs.size
+      assert(got(id) == ((fs.size, margin, margin >= 0.0)),
+        s"doc $id: ${got(id)} vs (${fs.size}, $margin)")
+    }
+    // the fixture-scale weight table must produce BOTH keep outcomes
+    assert(got.values.exists(_._3) && got.values.exists(!_._3),
+      s"threshold should bite: $got")
+  }
+
   test("bpeLearnMerges: hand-computed merge sequence, tie-breaks, early exhaustion") {
     // corpus "low low lower": words low:2, lower:1
     // pairs r1: (l,o):3 (o,w):3 (w,e):1 (e,r):1 -> tie pf=3, lex -> (l,o)

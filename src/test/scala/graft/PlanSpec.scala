@@ -193,6 +193,20 @@ class PlanSpec extends SparkSpec {
       s"final top-k must prune map-side:\n$p")
   }
 
+  test("classifierScore: scoring is a zero-exchange scan projection") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val w = spark.range(64).select(col("id").as("bucket"),
+      ((col("id") * 48271L + 7L) % 2001L - 1000L).as("w"))
+    val p = plan(graft.ext.TextAnalysis.classifierScore(docs, w, dim = 64))
+    // the weight table collapses to one broadcast array row; hashing +
+    // lookup-sum run inside the corpus scan's projection — any hash
+    // exchange means the corpus moved just to be scored
+    assert(!p.contains("hashpartitioning"),
+      s"corpus must not shuffle to be scored:\n$p")
+    assert(p.contains("lehmer_hash32"),
+      s"native per-feature hash expected in the projection:\n$p")
+  }
+
   test("mixtureSample: keep rule is a scan-side filter fed by broadcasts") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(graft.ext.Sampling.mixtureSample(docs, "source",
