@@ -31,10 +31,11 @@ object Engine {
     // arrays) are a negligible fraction, so exclude the rule.
     spark.conf.set("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
-    // events.parquet carries TIMESTAMP(NANOS), which Spark 4 rejects by
-    // default; read it as a long (ns since epoch) and convert explicitly
-    // where needed (exact integer arithmetic — oracle-parity safe).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // events.parquet carries TIMESTAMP(MICROS) with isAdjustedToUTC
+    // false → TIMESTAMP_NTZ on read; under the UTC session above,
+    // cast-to-timestamp + unix_micros reproduces DuckDB's epoch_us
+    // exactly. (Earlier testdata generations used TIMESTAMP(NANOS),
+    // needing the legacy nanosAsLong long-read — no longer present.)
     // RocksDB state store: the production-grade provider (state spills
     // to disk instead of living on the JVM heap — the 100 TB posture
     // for large streaming state), and the only one supporting the

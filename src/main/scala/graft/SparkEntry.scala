@@ -149,12 +149,12 @@ object SparkEntry {
     // ---- scale-shape queries over the big tables (oracle-checked) ----
     "agg_pricing" -> prep((s, d) => Engine.canonical(ShapeQueries.aggPricing(s, d))),
     // per-column profiling report over the events table; ts projected
-    // to µs first — DuckDB truncates parquet timestamp[ns] to µs on
-    // read, so ns-precision min/max can never agree cross-engine
+    // to epoch-µs (the fixture's TIMESTAMP_NTZ under the UTC session =
+    // DuckDB's epoch_us) so min/max compare as exact integers
     "profile_events" -> prep((s, d) =>
       graft.ext.Profiling.profile(
         s.read.parquet(s"$d/events.parquet")
-          .withColumn("ts", expr("ts div 1000")),
+          .withColumn("ts", expr("unix_micros(cast(ts as timestamp))")),
         Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
         .orderBy("col_name")),
     // snapshot diff vs a derived next corpus version: %7 slice removed,
@@ -208,7 +208,7 @@ object SparkEntry {
     // changelog compaction: current state per user = latest event
     "latest_user_event" -> prep((s, d) => {
       val ev = s.read.parquet(s"$d/events.parquet")
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        .select(col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
           col("event_id"), col("event_type"), col("value"))
       graft.ext.Changelog.latestByKey(ev, Seq("user_id"), "ts_us", "event_id")
         .orderBy("user_id")
@@ -219,7 +219,7 @@ object SparkEntry {
       val hourUs = 3600L * 1000000L
       val baseUs = 1704067200000000L // 2024-01-01T00:00:00Z in µs
       val ev = s.read.parquet(s"$d/events.parquet")
-        .select(col("event_id"), expr("ts div 1000").as("ts_us"), col("value"))
+        .select(col("event_id"), expr("unix_micros(cast(ts as timestamp))").as("ts_us"), col("value"))
       val ivs = s.read.parquet(s"$d/customer.parquet")
         .select(col("c_custkey").as("interval_id"),
           (lit(baseUs) + (col("c_custkey") * 7919 % 720) * hourUs).as("start_us"),
@@ -615,7 +615,7 @@ object SparkEntry {
     "zorder_scan" -> prep((s, d) => {
       val out = tmpDir("graft_zorder") + "/events_z"
       val ev = s.read.parquet(s"$d/events.parquet")
-        .withColumn("ts_s", expr("ts div 1000000000"))
+        .withColumn("ts_s", expr("unix_micros(cast(ts as timestamp)) div 1000000"))
       graft.ingest.Layout.writeZOrdered(ev, out, "user_id", "ts_s")
       Engine.canonical(s.read.parquet(out)
         .where(col("user_id").between(3, 11) &&
@@ -670,7 +670,7 @@ object SparkEntry {
       val base = tmpDir("graft_evstream")
       s.read.parquet(s"$d/events.parquet")
         .select(col("event_id"),
-          expr("timestamp_micros(ts div 1000)").as("ts"),
+          col("ts").cast("timestamp").as("ts"),
           col("user_id"), col("event_type"), col("value"))
         .coalesce(1).write.mode("overwrite").json(s"$base/in")
       graft.streaming.EventStream.runWindowed(
@@ -689,7 +689,7 @@ object SparkEntry {
       val base = tmpDir("graft_evupsert")
       s.read.parquet(s"$d/events.parquet")
         .select(col("event_id"),
-          expr("timestamp_micros(ts div 1000)").as("ts"),
+          col("ts").cast("timestamp").as("ts"),
           col("user_id"), col("event_type"), col("value"))
         .repartition(3).write.mode("overwrite")
         .option("timestampFormat", graft.streaming.EventStream.microTsFormat)
@@ -709,7 +709,7 @@ object SparkEntry {
       val base = tmpDir("graft_evsliding")
       s.read.parquet(s"$d/events.parquet")
         .select(col("event_id"),
-          expr("timestamp_micros(ts div 1000)").as("ts"),
+          col("ts").cast("timestamp").as("ts"),
           col("user_id"), col("event_type"), col("value"))
         .coalesce(1).write.mode("overwrite")
         .option("timestampFormat", graft.streaming.EventStream.microTsFormat)
@@ -728,7 +728,7 @@ object SparkEntry {
       val base = tmpDir("graft_evenrich")
       s.read.parquet(s"$d/events.parquet")
         .select(col("event_id"),
-          expr("timestamp_micros(ts div 1000)").as("ts"),
+          col("ts").cast("timestamp").as("ts"),
           col("user_id"), col("event_type"), col("value"))
         .coalesce(1).write.mode("overwrite").json(s"$base/in")
       graft.streaming.EventStream.runEnriched(
@@ -748,7 +748,7 @@ object SparkEntry {
       val base = tmpDir("graft_evdedup")
       val ev = s.read.parquet(s"$d/events.parquet")
         .select(col("event_id"),
-          expr("timestamp_micros(ts div 1000)").as("ts"),
+          col("ts").cast("timestamp").as("ts"),
           col("user_id"), col("event_type"), col("value"))
       ev.union(ev.where(col("event_id") % 7 === 0))
         .coalesce(1).write.mode("overwrite")
@@ -797,7 +797,7 @@ object SparkEntry {
     "stream_sessionize" -> prep((s, d) => {
       val base = tmpDir("graft_evsess")
       s.read.parquet(s"$d/events.parquet")
-        .select(col("event_id"), expr("timestamp_micros(ts div 1000)").as("ts"),
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
           col("user_id"), col("event_type"), col("value"))
         .coalesce(1).write.mode("overwrite")
         .option("timestampFormat", graft.streaming.EventStream.microTsFormat)
@@ -818,7 +818,7 @@ object SparkEntry {
     "stream_sessionize_tws" -> prep((s, d) => {
       val base = tmpDir("graft_evsesstws")
       s.read.parquet(s"$d/events.parquet")
-        .select(col("event_id"), expr("timestamp_micros(ts div 1000)").as("ts"),
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
           col("user_id"), col("event_type"), col("value"))
         .coalesce(1).write.mode("overwrite")
         .option("timestampFormat", graft.streaming.EventStream.microTsFormat)
@@ -837,7 +837,7 @@ object SparkEntry {
     "stream_attribution" -> prep((s, d) => {
       val base = tmpDir("graft_evattr")
       s.read.parquet(s"$d/events.parquet")
-        .select(col("event_id"), expr("timestamp_micros(ts div 1000)").as("ts"),
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
           col("user_id"), col("event_type"), col("value"))
         .coalesce(1).write.mode("overwrite")
         .option("timestampFormat", graft.streaming.EventStream.microTsFormat)

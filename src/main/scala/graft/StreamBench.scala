@@ -65,7 +65,7 @@ object StreamBench {
     rm(new java.io.File(base))
     val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
       .select(col("event_id"),
-        expr("timestamp_micros(ts div 1000)").as("ts"),
+        col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("event_type"), col("value"))
     val bounds = ev0.agg(min(unix_micros(col("ts"))).as("lo"),
       max(unix_micros(col("ts"))).as("hi")).head()

@@ -372,8 +372,9 @@ WHERE n_words BETWEEN 20 AND 100000
 ${ord("doc_id")}""".trim
 
   /** Twin of ext.Profiling.profile over events: per-column stats
-    * unioned; ts renders as epoch nanos (Spark reads timestamp[ns] as
-    * bigint), value as integer cents — engine-neutral strings. */
+    * unioned; ts renders as epoch µs (the fixture's timestamp[us],
+    * epoch_us here ≡ unix_micros on the Spark side under UTC), value
+    * as integer cents — engine-neutral strings. */
   val profileEvents: String = {
     def row(c: String, minMax: String) = s"""
 SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -416,9 +417,9 @@ UNION ALL SELECT 2, 'purchase', CAST(n2 AS BIGINT),
 ORDER BY stage""".trim
 
   /** Twin of ShapeQueries.retentionCohorts: identical integer
-    * nano→day floor division (Spark reads the parquet timestamp[ns]
-    * column as bigint nanos; DuckDB as TIMESTAMP — epoch_ns recovers
-    * the same integer), distinct (user, day), offsets ≤ 7. */
+    * epoch→day floor division (Spark: unix_micros // 86400000000;
+    * DuckDB: epoch_ns // 86400000000000 — same integer day at the
+    * fixture's µs precision), distinct (user, day), offsets ≤ 7. */
   val retentionCohorts: String = s"""
 WITH ev AS (
   SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),

@@ -75,13 +75,15 @@ object ShapeQueries {
 
   /** Event-stream hourly rollup (streaming-equivalent batch shape):
     * epoch-hour bucketing + per-type counts + JSON field extraction
-    * (regexp, not a JSON UDF — stays in codegen). `ts` arrives as long
-    * nanos (Engine.prepare reads TIMESTAMP(NANOS) via nanosAsLong);
-    * integer `div` keeps the bucket exact. */
+    * (regexp, not a JSON UDF — stays in codegen). `ts` arrives as
+    * TIMESTAMP_NTZ (parquet timestamp[us]); under the UTC session,
+    * unix_micros(cast(..)) equals DuckDB's epoch_us and integer `div`
+    * keeps the bucket exact. */
   def eventsHourly(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .select(
-        expr("ts div 3600000000000").cast("long").as("hour_bucket"),
+        expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+          .cast("long").as("hour_bucket"),
         col("event_type"),
         cents(col("value")).as("value_cents"),
         regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long").as("k_val"))
@@ -98,9 +100,8 @@ object ShapeQueries {
     * AQE plans one exchange). This is the batch twin of
     * streaming.EventStream.sessionize (which emits the same sessions
     * incrementally from flatMapGroupsWithState); time rides as exact
-    * integer MICROseconds (`ts div 1000` — DuckDB truncates the
-    * parquet's nanosecond timestamps to µs on read, so µs is the
-    * highest precision both engines agree on). */
+    * integer MICROseconds (the fixture's native timestamp[us]
+    * precision — both engines see identical values). */
   def sessionizeBatch(s: SparkSession, dir: String,
       gapUs: Long = 1800L * 1000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -108,7 +109,7 @@ object ShapeQueries {
       .orderBy(col("tus").asc, col("event_id").asc)
     events(s, dir)
       .select(col("user_id"), col("event_id"), col("value"),
-        expr("ts div 1000").as("tus"))
+        expr("unix_micros(cast(ts as timestamp))").as("tus"))
       .withColumn("new_sess",
         when(col("tus") - lag(col("tus"), 1).over(byTime) > gapUs, 1).otherwise(0))
       .withColumn("sess_no", sum(col("new_sess")).over(
@@ -187,12 +188,11 @@ object ShapeQueries {
     * exchange reuse), and a tiny (cohort, offset) rollup. */
   def retentionCohorts(s: SparkSession, dir: String,
       maxOffsetDays: Int = 7): DataFrame = {
-    // the fixture's ts is int64 NANOSECONDS (Spark reads parquet
-    // timestamp[ns] as bigint; see eventsHourly) — day buckets are
-    // exact integer floor-division, UTC-epoch-aligned on both engines
-    // (DuckDB twin: epoch_ns(ts) // 86400000000000)
-    val ev = events(s, dir)
-      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+    // the fixture's ts is TIMESTAMP_NTZ at µs precision — day buckets
+    // are exact integer floor-division over epoch-µs, UTC-epoch-aligned
+    // on both engines (DuckDB twin: epoch_ns(ts) // 86400000000000)
+    val ev = events(s, dir).select(col("user_id"),
+      expr("unix_micros(cast(ts as timestamp)) div 86400000000").as("day"))
     val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
     val activeDays = ev.distinct()
     activeDays.join(firstDay, "user_id")

@@ -21,12 +21,12 @@ import org.apache.spark.sql.functions._
   * just the data round-trip. */
 object Layout {
 
-  /** Land events partitioned by event date (ts arrives as long nanos;
-    * day bucket via exact integer division). */
+  /** Land events partitioned by event date (ts is timestamp-typed —
+    * the fixture's TIMESTAMP_NTZ wall-clock date equals DuckDB's
+    * strftime on the same parquet). */
   def writeDatePartitioned(events: DataFrame, outDir: String): Unit =
     events
-      .withColumn("event_date",
-        date_format(timestamp_seconds(expr("ts div 1000000000")), "yyyy-MM-dd"))
+      .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("event_date")
       .parquet(outDir)

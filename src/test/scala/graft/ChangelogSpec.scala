@@ -25,7 +25,7 @@ class ChangelogSpec extends SparkSpec {
 
   test("latestByKey: partial-aggregates (no per-key window sort), one shuffle") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+      .select(col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
         col("event_id"), col("event_type"))
     val df = Changelog.latestByKey(ev, Seq("user_id"), "ts_us", "event_id")
     val p = df.queryExecution.executedPlan.toString

@@ -18,7 +18,7 @@ class EventStreamSpec extends SparkSpec {
   /** Land the sf events as JSON lines (the stream-dir stand-in). */
   private def landEvents(dir: String): Unit =
     spark.read.parquet(s"$sf/events.parquet")
-      .select(col("event_id"), (col("ts") / 1e9).cast("timestamp").as("ts"),
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("event_type"), col("value"))
       .coalesce(1).write.mode("overwrite").json(dir)
 
@@ -78,7 +78,7 @@ class EventStreamSpec extends SparkSpec {
   test("streaming dedup: injected duplicates suppressed, firsts stream through") {
     val base = tmp("ev_dedup")
     val ev = spark.read.parquet(s"$sf/events.parquet")
-      .select(col("event_id"), (col("ts") / 1e9).cast("timestamp").as("ts"),
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("event_type"), col("value"))
     ev.union(ev.where(col("event_id") % 3 === 0))
       .coalesce(1).write.mode("overwrite").json(s"$base/in")
@@ -92,7 +92,7 @@ class EventStreamSpec extends SparkSpec {
   test("stream-stream attribution: cross-micro-batch matches == batch join") {
     val base = tmp("ev_attr")
     val ev = spark.read.parquet(s"$sf/events.parquet")
-      .select(col("event_id"), expr("timestamp_micros(ts div 1000)").as("ts"),
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("event_type"), col("value"))
     // two files split by time: (view in file 1, purchase in file 2)
     // pairs can only match through buffered stream-stream join state
@@ -125,7 +125,7 @@ class EventStreamSpec extends SparkSpec {
     val base = tmp("ev_tws")
     val fmt = EventStream.microTsFormat
     spark.read.parquet(s"$sf/events.parquet")
-      .select(col("event_id"), expr("timestamp_micros(ts div 1000)").as("ts"),
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("event_type"), col("value"))
       .coalesce(1).write.mode("overwrite")
       .option("timestampFormat", fmt).json(s"$base/in")

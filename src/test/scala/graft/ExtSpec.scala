@@ -630,8 +630,8 @@ class ExtSpec extends SparkSpec {
       (10L, "2024-01-01 09:00:00", 5L, "click")     // click BEFORE view: no conversion
     ).toDF("event_id", "ts_s", "user_id", "event_type")
       .select(col("event_id"),
-        // fixture schema parity: ts is int64 NANOS (parquet timestamp[ns])
-        expr("unix_micros(to_timestamp(ts_s)) * 1000").as("ts"),
+        // fixture schema parity: ts is TIMESTAMP_NTZ at µs precision
+        expr("cast(to_timestamp(ts_s) as timestamp_ntz)").as("ts"),
         col("user_id"), col("event_type"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val f = graft.analytics.ShapeQueries.eventFunnel(spark, dir).collect()

@@ -11,7 +11,7 @@ class LayoutSpec extends SparkSpec {
   test("z-ordered write: every file covers a tight rectangle of BOTH dims") {
     val base = Files.createTempDirectory("layout_z").toString
     val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("hour_b", expr("ts div 3600000000000"))
+      .withColumn("hour_b", expr("unix_micros(cast(ts as timestamp)) div 3600000000"))
       .select("event_id", "user_id", "hour_b")
     Layout.writeZOrdered(ev, s"$base/z", "user_id", "hour_b", files = 8)
     val files = new java.io.File(s"$base/z").listFiles()
@@ -63,7 +63,7 @@ class LayoutSpec extends SparkSpec {
     // pruning is observable: only one partition's files are scanned
     val scanned = q.queryExecution.executedPlan.collectLeaves().map(_.toString)
     assert(q.count() == events.where(
-      date_format(timestamp_seconds(expr("ts div 1000000000")), "yyyy-MM-dd")
+      date_format(col("ts"), "yyyy-MM-dd")
         === firstDay).count())
   }
 

@@ -26,10 +26,10 @@ class RangeJoinSpec extends SparkSpec {
   }
 
   test("intervalJoin == naive theta join on fixture events; no nested loop") {
-    // ts arrives as BIGINT nanos in Spark (parquet nano-timestamps
-    // have no Spark TimestampType mapping); exact integer div to µs
+    // ts arrives as TIMESTAMP_NTZ (parquet timestamp[us]); exact
+    // integer epoch-µs under the UTC session
     val ev = spark.read.parquet(s"$sf/events.parquet")
-      .select(col("event_id"), expr("ts div 1000").as("ts_us"))
+      .select(col("event_id"), expr("unix_micros(cast(ts as timestamp))").as("ts_us"))
     val cust = spark.read.parquet(s"$sf/customer.parquet")
     val hourUs = 3600L * 1000000L
     val baseUs = 1704067200000000L // 2024-01-01T00:00:00Z
