@@ -428,24 +428,31 @@ object TextAnalysis {
     * order dependence between partitions or engines; the one double
     * division at the end is a single IEEE op both sides.
     *
-    * Scale shape: token frequencies are one map-side-combinable
-    * groupBy; the corpus total is a 1-row broadcast; the score join
-    * shuffles (tok, tf) against the exploded corpus on `tok` — the
-    * same key the frequency agg already partitioned by — then the
-    * per-doc rollup is map-side combinable on doc_id. No driver
-    * state, vocab never collected. */
+    * Scale shape (round 7): the token stream is first collapsed to
+    * per-document (tok, cnt) COUNTS — a map-side-combinable groupBy —
+    * and every downstream stage (frequency model, score join, per-doc
+    * rollup with Σ cnt·q) runs over distinct (doc, tok) pairs instead
+    * of raw token instances. Natural-language token streams are
+    * Zipf-heavy, so the counts table is a fraction of the instance
+    * stream: the model-side join shuffles shrink by that factor, and
+    * because the model derives FROM the counts table its exchange is
+    * computed once and reused (tokenization runs once, not per
+    * branch). The corpus total stays a 1-row broadcast; no driver
+    * state, vocab never collected. Identical output: Σ_instances q =
+    * Σ_distinct cnt·q in exact int64 arithmetic. */
   def lmQuality(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val freqs = toks.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val cnts = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val freqs = cnts.groupBy(col("tok")).agg(sum(col("cnt")).as("tf"))
     val total = freqs.agg(sum(col("tf")).as("total"))
-    val scored = toks.join(freqs, "tok")
+    val scored = cnts.join(freqs, "tok")
       .crossJoin(broadcast(total))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("cnt"),
         round(log(col("tf").cast("double") / col("total").cast("double"))
           * 1000000).cast("long").as("q"))
     scored.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("q")).as("sum_q_logprob"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("q")).as("sum_q_logprob"))
       .withColumn("mean_logprob",
         col("sum_q_logprob").cast("double") / col("n_tokens").cast("double")
           / 1000000)
@@ -526,29 +533,35 @@ object TextAnalysis {
     * (·10⁶, rounded) BEFORE the per-doc sum — exact integer addition,
     * no float-summation order dependence (same contract as lmQuality).
     *
-    * Scale shape: ONE token-frequency shuffle builds both models
-    * (tf_raw and tf_t are two aggregates of the same groupBy); totals
-    * are a 1-row broadcast; scoring re-joins the exploded corpus on
-    * the token key the frequency agg already partitioned by; the
-    * per-doc rollup combines map-side on doc_id. */
+    * Scale shape (round 7, same counts-not-instances rework as
+    * `lmQuality`): the stream collapses to per-document (tok, cnt)
+    * counts first; ONE frequency shuffle over the counts builds both
+    * models (tf_raw and tf_t are two aggregates of the same groupBy —
+    * `is_t` is constant per document, so it rides the count key for
+    * free); totals are a 1-row broadcast; the score join and the
+    * Σ cnt·q per-doc rollup run over distinct pairs, not instances,
+    * and the counts exchange is computed once and reused. */
   def dsirWeights(docs: DataFrame, targetPred: Column): DataFrame = {
     val toks = docs.select(col("doc_id"), targetPred.as("is_t"),
       explode(tokens(col("text"))).as("tok"))
-    val freqs = toks.groupBy(col("tok"))
-      .agg(count(lit(1)).as("tf_raw"),
-        sum(when(col("is_t"), 1L).otherwise(0L)).as("tf_t"))
+    val cnts = toks.groupBy(col("doc_id"), col("is_t"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val freqs = cnts.groupBy(col("tok"))
+      .agg(sum(col("cnt")).as("tf_raw"),
+        sum(when(col("is_t"), col("cnt")).otherwise(0L)).as("tf_t"))
     val totals = freqs.agg(sum(col("tf_raw")).as("tot_raw"),
       sum(col("tf_t")).as("tot_t"), count(lit(1)).as("vocab"))
-    val scored = toks.join(freqs, "tok")
+    val scored = cnts.join(freqs, "tok")
       .crossJoin(broadcast(totals))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("cnt"),
         round((log((col("tf_t") + 1L).cast("double") /
             (col("tot_t") + col("vocab")).cast("double")) -
           log((col("tf_raw") + 1L).cast("double") /
             (col("tot_raw") + col("vocab")).cast("double"))) * 1000000)
           .cast("long").as("q"))
     scored.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("q")).as("sum_q_logratio"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("q")).as("sum_q_logratio"))
       .withColumn("mean_logratio",
         col("sum_q_logratio").cast("double") / col("n_tokens").cast("double")
           / 1000000)
@@ -565,20 +578,25 @@ object TextAnalysis {
     * Scale shape: bigram instances are a PURE PROJECTION — adjacent
     * token slices zipped and exploded inside the scan stage (no
     * corpus-wide shuffle+sort, which is what a per-doc window `lead`
-    * would cost just to pair each token with its neighbor); then two
-    * map-side-combinable count aggs on the bigram/context keys, the
-    * score join, and the map-side-combining per-doc rollup. Documents
-    * with fewer than 2 tokens have no bigrams and drop out. */
+    * would cost just to pair each token with its neighbor). Round 7:
+    * the instance stream then collapses to per-document
+    * (tok, next, cnt) counts — map-side combinable — and the bigram
+    * model, context model, score join, and Σ cnt·q per-doc rollup all
+    * run over the counts table; its exchange is built once and reused
+    * across the three consumers, so tokenization + zipping happen one
+    * time. Documents with fewer than 2 tokens have no bigrams and
+    * drop out. */
   def bigramLmQuality(docs: DataFrame): DataFrame = {
-    val bi = bigramInstances(docs)
-    val bf = bi.groupBy(col("tok"), col("next")).agg(count(lit(1)).as("bf"))
-    val cf = bi.groupBy(col("tok")).agg(count(lit(1)).as("cf"))
-    val scored = bi.join(bf, Seq("tok", "next")).join(cf, Seq("tok"))
-      .select(col("doc_id"),
+    val cnts = bigramCounts(docs)
+    val bf = cnts.groupBy(col("tok"), col("next")).agg(sum(col("cnt")).as("bf"))
+    val cf = cnts.groupBy(col("tok")).agg(sum(col("cnt")).as("cf"))
+    val scored = cnts.join(bf, Seq("tok", "next")).join(cf, Seq("tok"))
+      .select(col("doc_id"), col("cnt"),
         round(log(col("bf").cast("double") / col("cf").cast("double"))
           * 1000000).cast("long").as("q"))
     scored.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_q_logprob"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("cnt") * col("q")).as("sum_q_logprob"))
       .withColumn("mean_logprob",
         col("sum_q_logprob").cast("double") / col("n_bigrams").cast("double")
           / 1000000)
@@ -604,36 +622,43 @@ object TextAnalysis {
     * `bigramLmQuality` (the gate entry + TextSpec pin exactly this),
     * so the scale knob costs nothing until it is actually turned. */
   def bigramLmQualityPruned(docs: DataFrame, minCount: Long = 2): DataFrame = {
-    val bi = bigramInstances(docs)
-    val bf = bi.groupBy(col("tok"), col("next")).agg(count(lit(1)).as("bf"))
+    val cnts = bigramCounts(docs)
+    val bf = cnts.groupBy(col("tok"), col("next")).agg(sum(col("cnt")).as("bf"))
       .where(col("bf") >= minCount)
-    val cf = bi.groupBy(col("tok")).agg(count(lit(1)).as("cf"))
-    val scored = bi.join(bf, Seq("tok", "next"), "left").join(cf, Seq("tok"))
-      .select(col("doc_id"),
+    val cf = cnts.groupBy(col("tok")).agg(sum(col("cnt")).as("cf"))
+    val scored = cnts.join(bf, Seq("tok", "next"), "left").join(cf, Seq("tok"))
+      .select(col("doc_id"), col("cnt"),
         round(log(coalesce(col("bf"), lit(1L)).cast("double")
             / col("cf").cast("double"))
           * 1000000).cast("long").as("q"))
     scored.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_q_logprob"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("cnt") * col("q")).as("sum_q_logprob"))
       .withColumn("mean_logprob",
         col("sum_q_logprob").cast("double") / col("n_bigrams").cast("double")
           / 1000000)
   }
 
-  /** (doc_id, tok, next) — one row per adjacent token pair, formed by
-    * zipping each document's token array against itself shifted by
-    * one and exploding. Pure scan-side projection: the window-`lead`
-    * formulation it replaces shuffled and sorted the ENTIRE exploded
-    * token stream on doc_id just to see each token's neighbor, which
-    * the token array already holds in order. Docs with <2 tokens
-    * yield no pairs (same as lead's null-next filter). */
-  private def bigramInstances(docs: DataFrame): DataFrame =
+  /** (doc_id, tok, next, cnt) — per-document counts of adjacent token
+    * pairs, formed by zipping each document's token array against
+    * itself shifted by one, exploding, and a map-side-combinable
+    * count. Pure scan-side projection feeding one partial-agg
+    * exchange: the window-`lead` formulation this replaced shuffled
+    * and sorted the ENTIRE exploded token stream on doc_id just to
+    * see each token's neighbor, which the token array already holds
+    * in order; the counts collapse (round 7) shrinks every downstream
+    * model join from token instances to distinct per-doc pairs. Docs
+    * with <2 tokens yield no pairs (same as lead's null-next
+    * filter). */
+  private def bigramCounts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("ws"))
       .where(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(arrays_zip(
         slice(col("ws"), lit(1), size(col("ws")) - 1).as("tok"),
         slice(col("ws"), lit(2), size(col("ws")) - 1).as("next"))).as("p"))
       .select(col("doc_id"), col("p.tok").as("tok"), col("p.next").as("next"))
+      .groupBy(col("doc_id"), col("tok"), col("next"))
+      .agg(count(lit(1)).as("cnt"))
 
   def vocabSize(docs: DataFrame, rsd: Double = 0.05): DataFrame =
     docs.select(explode(tokens(col("text"))).as("token"))
