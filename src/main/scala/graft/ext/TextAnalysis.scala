@@ -75,14 +75,77 @@ object TextAnalysis {
     * left-to-right — greedy BPE semantics, identical in every engine.
     * Stops early (fewer rows out) if the vocabulary runs out of
     * adjacent pairs. */
-  def bpeLearnMerges(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+  def bpeLearnMerges(docs: DataFrame, nMerges: Int = 8,
+      driverThreshold: Long = 1000000L): DataFrame = {
     val SEP = "\u001f"
     val spark = docs.sparkSession
     var words = docs.select(explode(tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
       .select(concat_ws(SEP, split(col("tok"), "")).as("w"), col("freq"))
       .cache()
-    words.count()
+    val nWords = words.count()
+    // Adaptive small-vocab path (same trade as dupClusters' union-find
+    // fast path): below the bounded threshold the word-frequency table
+    // is vocab-sized driver state, and the merge loop runs in-memory
+    // instead of paying nMerges x (job scheduling + cache + collect)
+    // over KB-scale data -- the per-iteration fixed cost, not the pair
+    // counting, dominates the distributed loop. Identical semantics:
+    // same (pair_freq DESC, lhs ASC, rhs ASC) argmax, and Java's
+    // String.replace rewrites non-overlapping occurrences
+    // left-to-right exactly like the SQL `replace` below; equality is
+    // spec-tested against the distributed path. Above the threshold:
+    // the distributed loop, which assumes nothing fits anywhere.
+    if (nWords <= driverThreshold) {
+      var ws = words.collect().map(r => (r.getString(0), r.getLong(1)))
+      words.unpersist()
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      var done = false
+      for (i <- 1 to nMerges if !done) {
+        val pf = scala.collection.mutable.Map.empty[(String, String), Long]
+        ws.foreach { case (w, f) =>
+          val syms = w.split(SEP, -1)
+          var j = 0
+          while (j < syms.length - 1) {
+            val k = (syms(j), syms(j + 1))
+            pf(k) = pf.getOrElse(k, 0L) + f
+            j += 1
+          }
+        }
+        if (pf.isEmpty) done = true
+        else {
+          // argmax by (freq DESC, lhs ASC, rhs ASC) in UTF-8 BINARY
+          // order -- Spark's UTF8String comparison, which differs from
+          // Scala's UTF-16 String order for supplementary characters;
+          // the two paths must tie-break identically
+          def u8 = (x: String) => x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          def lt(x: Array[Byte], y: Array[Byte]): Boolean = {
+            var i = 0
+            while (i < x.length && i < y.length) {
+              val d = (x(i) & 0xff) - (y(i) & 0xff)
+              if (d != 0) return d < 0
+              i += 1
+            }
+            x.length < y.length
+          }
+          var best: ((String, String), Long) = null
+          pf.foreach { e =>
+            if (best == null) best = e
+            else {
+              val better = e._2 > best._2 ||
+                (e._2 == best._2 && (lt(u8(e._1._1), u8(best._1._1)) ||
+                  (java.util.Arrays.equals(u8(e._1._1), u8(best._1._1)) &&
+                    lt(u8(e._1._2), u8(best._1._2)))))
+              if (better) best = e
+            }
+          }
+          val ((a, b), f) = best
+          out += ((i, a, b, f))
+          ws = ws.map { case (w, fr) => (w.replace(a + SEP + b, a + b), fr) }
+        }
+      }
+      import spark.implicits._
+      return out.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_freq")
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
     for (i <- 1 to nMerges if !exhausted) {
@@ -123,23 +186,29 @@ object TextAnalysis {
     * pre-merge counts under-estimate).
     *
     * `merges` is the (lhs, rhs) list from `bpeLearnMerges` (driver-side
-    * — nMerges rows by contract). Scale shape: one explode + per-word
-    * char-join + `merges.size` chained literal replaces — all fused
-    * into the scan projection — then one map-combinable per-doc count
-    * rollup; the corpus is scanned once, shuffled once on doc_id. */
+    * — nMerges rows by contract). Scale shape (round 7, the
+    * counts-not-instances rework): the merge chain rewrites only the
+    * DISTINCT token table — vocabulary-sized, the same table the
+    * learner iterates — not every token occurrence; the corpus side
+    * collapses to per-doc (tok, cnt) counts (one map-combinable
+    * groupBy off the scan) and joins the per-token symbol count on the
+    * token key, so n_bpe_symbols = Σ cnt·n_sym in exact integer
+    * arithmetic. The chained-replace projection is Zipf-deduplicated
+    * work; AQE broadcasts the rewritten vocab when it is small. */
   def bpeApplyCount(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val SEP = "\u001f"
-    val w0 = docs.select(col("doc_id"),
+    val cnts = docs.select(col("doc_id"),
       explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), concat_ws(SEP, split(col("tok"), "")).as("w"))
-    val rewritten = merges.foldLeft(w0) { case (df, (a, b)) =>
-      df.select(col("doc_id"),
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val v0 = cnts.select(col("tok")).distinct()
+      .select(col("tok"), concat_ws(SEP, split(col("tok"), "")).as("w"))
+    val vocabSyms = merges.foldLeft(v0) { case (df, (a, b)) =>
+      df.select(col("tok"),
         replace(col("w"), lit(a + SEP + b), lit(a + b)).as("w"))
-    }
-    rewritten
-      .select(col("doc_id"), size(split(col("w"), SEP)).as("n"))
+    }.select(col("tok"), size(split(col("w"), SEP)).cast("long").as("n_sym"))
+    cnts.join(vocabSyms, "tok")
       .groupBy(col("doc_id"))
-      .agg(sum(col("n")).as("n_bpe_symbols"))
+      .agg(sum(col("cnt") * col("n_sym")).as("n_bpe_symbols"))
   }
 
   /** Global token frequency top-k: explode → hash-agg (partial+final)

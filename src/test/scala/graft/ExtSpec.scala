@@ -366,6 +366,20 @@ class ExtSpec extends SparkSpec {
     assert(partial == Map(1L -> 4L), partial.toString)
   }
 
+  test("bpeLearnMerges: driver fast path == distributed path on fixture docs") {
+    // same adaptive-path contract as dupClusters: identical output
+    // either side of driverThreshold, ties and all (the sf0.001 docs
+    // exercise real tie-breaks in the top-8 merge ranks)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val fast = rows(TextAnalysis.bpeLearnMerges(docs, nMerges = 6))
+    val dist = rows(TextAnalysis.bpeLearnMerges(docs, nMerges = 6,
+      driverThreshold = 0L))
+    assert(fast == dist, s"fast=$fast dist=$dist")
+    assert(fast.size == 6)
+  }
+
   test("hardNegatives: band filter + top-k match a from-scratch IVF recompute") {
     // same synthetic family as the PQ spec: 120 vectors, dim 8,
     // seeds vec_id % 50 == 0 -> cells {0, 50, 100}
