@@ -81,18 +81,29 @@ object Curation {
     // overlap instead of serializing. Spark actions are thread-safe.
     val semF = Future(Similarity.semanticDupLosers(emb)
       .select(col("vec_id").as("doc_id")))
-    val splitF = Future(
-      Sampling.leakageSafeSplit(docs, Dedup.minhashLshPairsPortable(docs))
-        .select(col("doc_id"), col("split")))
+    // Round 7: the split rides the CLUSTER table (dup sliver — a
+    // broadcast lookup), not a pre-materialized corpus-sized
+    // (doc_id, split) frame that would pay its own corpus shuffle into
+    // the final join; the split is pure bucket arithmetic over
+    // coalesce(cluster_id, doc_id), so it computes INLINE after the
+    // sliver join — same assignment, one fewer corpus exchange and one
+    // fewer full docs pass (leakageSafeSplit remains the standalone
+    // operator and its gate entry pins the identical semantics).
+    val clustersF = Future(
+      Dedup.dupClusters(Dedup.minhashLshPairsPortable(docs))
+        .select(col("doc_id"), col("cluster_id")))
     val semLosers = Await.result(semF, Duration.Inf)
-    val split = Await.result(splitF, Duration.Inf)
-    perRow
-      .join(lm, "doc_id").join(split, "doc_id")
+    val clusters = Await.result(clustersF, Duration.Inf)
+    val joined = perRow
+      .join(lm, "doc_id")
+      .join(clusters, Seq("doc_id"), "left")
       .join(keepers, Seq("doc_id"), "left_semi")
       .join(semLosers, Seq("doc_id"), "left_anti")
       .where(col("quality") >= minQuality &&
         col("mean_logprob") >= minMeanLogProb &&
         col("repetition") <= maxRepetition)
+      .withColumn("__split_key", coalesce(col("cluster_id"), col("doc_id")))
+    Sampling.assignSplit(joined, "__split_key")
       .select("doc_id", "lang_pred", "quality", "mean_logprob",
         "repetition", "split")
   }

@@ -313,10 +313,14 @@ object Dedup {
     // the per-stage scheduling floor, not data. Same output contract
     // (label = min reachable id); equality with the distributed path is
     // spec-tested. Above the threshold: the superstep loop below, which
-    // assumes nothing fits anywhere.
-    val nPairs = p.count()
-    if (nPairs <= driverThreshold) {
-      val edges = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // assumes nothing fits anywhere. ONE action decides AND fetches:
+    // take(threshold+1) materializes the cache and returns every edge
+    // when the graph is small (the +1 row is the only over-read); a
+    // separate count-then-collect paid a second full job per call —
+    // pretrainingCorpus pays this twice per run.
+    val probe = p.take(math.min(driverThreshold, Int.MaxValue - 2L).toInt + 1)
+    if (probe.length <= driverThreshold) {
+      val edges = probe.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
