@@ -298,6 +298,12 @@ object SparkEntry {
     "tfidf_top_terms" -> prep((s, d) =>
       TextAnalysis.tfidfTopTerms(docs(s, d), k = 5)
         .orderBy("doc_id", "tok")),
+    // BM25 lexical retrieval: top-10 docs for a fixed 3-term query
+    // (Okapi scoring, Lucene-style idf, integer-quantized per-term
+    // contributions)
+    "bm25_topk" -> prep((s, d) =>
+      TextAnalysis.bm25TopK(docs(s, d), Seq("spark", "merge", "vector"))
+        .orderBy("doc_id")),
     // bigram LM quality (sequence-aware perplexity proxy)
     "bigram_lm_quality" -> prep((s, d) =>
       TextAnalysis.bigramLmQuality(docs(s, d)).orderBy("doc_id")),
@@ -1009,6 +1015,7 @@ object SparkEntry {
     "kmeans_assign" -> ExtOracle.kmeansAssign,
     "cluster_balanced_sample" -> ExtOracle.clusterBalancedSample,
     "tfidf_top_terms" -> ExtOracle.tfidfTopTerms,
+    "bm25_topk" -> ExtOracle.bm25TopK,
     "feature_hash_vectors" -> ExtOracle.featureHashVectors,
     "classifier_score" -> ExtOracle.classifierScore,
     "ann_ivf_topk" -> ExtOracle.ivfTopK,

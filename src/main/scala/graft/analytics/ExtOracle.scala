@@ -1836,6 +1836,40 @@ rk AS (
 SELECT doc_id, tok, tf, df, q_tfidf FROM rk WHERE rk <= 5
 ${ord("doc_id", "tok")}""".trim
 
+  /** Twin of TextAnalysis.bm25TopK for query (spark, merge, vector):
+    * the per-term contribution mirrors the engine's double expression
+    * association verbatim (left-assoc products, same literals — 2.2 is
+    * exactly k1+1 in IEEE doubles), quantized ·10⁶ per term, exact
+    * int64 per-doc sum, (score DESC, doc_id ASC) top-10. */
+  val bm25TopK: String = s"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents),
+cnts AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, tok),
+dlen AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM cnts GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(dl) AS BIGINT) AS total_dl FROM dlen),
+qc AS (SELECT * FROM cnts WHERE tok IN ('spark', 'merge', 'vector')),
+dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM qc GROUP BY tok),
+scored AS (
+  SELECT qc.doc_id,
+    CAST(round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+      * (CAST(tf AS DOUBLE) * 2.2)
+      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+        * CAST(n_docs AS DOUBLE) / CAST(total_dl AS DOUBLE)))
+      * 1000000) AS BIGINT) AS q
+  FROM qc JOIN dfq USING (tok) JOIN dlen USING (doc_id), stats),
+topk AS (
+  SELECT doc_id, CAST(SUM(q) AS BIGINT) AS q_bm25,
+    CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM scored GROUP BY doc_id
+  ORDER BY q_bm25 DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, q_bm25, n_terms FROM topk
+${ord("doc_id")}""".trim
+
   val annCosineTopK: String = s"""
 WITH e AS ($quantized),
 qv AS (SELECT q AS qq FROM e WHERE vec_id = 0),

@@ -556,6 +556,54 @@ object TextAnalysis {
       .drop("rk")
   }
 
+  /** BM25 top-k retrieval — the standard lexical ranking function
+    * (Okapi BM25, Lucene-style non-negative idf) over the corpus for a
+    * fixed query-term set: the scoring half of building a retrieval /
+    * RAG index on the corpus, and the hard-negative source for
+    * training retrievers.
+    *
+    *   score(d) = Σ_q idf(q) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl))
+    *   idf(q)   = ln((N − df + 0.5)/(df + 0.5) + 1)
+    *
+    * Determinism: each (doc, term) contribution is computed in one
+    * fixed-association double expression (mirrored verbatim by the
+    * DuckDB twin), quantized to integer ·10⁶, and the per-doc score is
+    * the exact int64 sum; the top-k cut orders (score DESC, doc_id
+    * ASC).
+    *
+    * Scale shape: the token stream collapses once to per-doc (tok, tf)
+    * counts (map-side combinable); doc lengths and the corpus stats
+    * are aggregates of that same counts table (exchange reused, 1-row
+    * broadcast for N/avgdl); the query-term filter prunes the counts
+    * table to |query| terms per doc BEFORE any join; df is a
+    * |query|-row broadcast. One corpus shuffle, then
+    * TakeOrderedAndProject for the top-k — no global sort. */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val cnts = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dlen = cnts.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dlen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val qcnts = cnts.where(col("tok").isin(queryTerms.distinct: _*))
+    val dfreq = qcnts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = qcnts.join(broadcast(dfreq), "tok")
+      .join(dlen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(
+          log((col("n_docs").cast("double") - col("df").cast("double") + 0.5)
+              / (col("df").cast("double") + 0.5) + 1.0)
+            * (col("tf").cast("double") * (k1 + 1))
+            / (col("tf").cast("double") + lit(k1)
+              * (lit(1.0 - b) + lit(b) * col("dl").cast("double")
+                * col("n_docs").cast("double") / col("total_dl").cast("double")))
+            * 1000000).cast("long").as("q"))
+    scored.groupBy(col("doc_id"))
+      .agg(sum(col("q")).as("q_bm25"), count(lit(1)).as("n_terms"))
+      .orderBy(col("q_bm25").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** C4-style line-level cleaning — the rule set behind the C4 corpus,
     * applied line-by-line then page-level: keep lines that end in a
     * terminal punctuation mark, have at least `minLineWords` words,

@@ -366,6 +366,28 @@ class ExtSpec extends SparkSpec {
     assert(partial == Map(1L -> 4L), partial.toString)
   }
 
+  test("bm25TopK: hand-checked scores, ranking, and missing-term handling") {
+    // corpus: d1 "a b a" (dl 3), d2 "b c" (dl 2), d3 "a" (dl 1)
+    // query (a, c): df(a)=2, df(c)=1, N=3, total_dl=6
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "a")).toDF("doc_id", "text")
+    def contrib(tf: Long, df: Long, dl: Long): Long =
+      math.round(math.log((3.0 - df + 0.5) / (df + 0.5) + 1.0)
+        * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl * 3.0 / 6.0)) * 1000000)
+    val got = TextAnalysis.bm25TopK(docs, Seq("a", "c"), k = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val exp = Map(
+      1L -> (contrib(2, 2, 3), 1L),   // only 'a' matches; 'b' is not queried
+      2L -> (contrib(1, 1, 2), 1L),   // only 'c'
+      3L -> (contrib(1, 2, 1), 1L))   // only 'a'
+    assert(got.map(r => r._1 -> ((r._2, r._3))).toMap == exp, got.toString)
+    // rarer term + shorter doc outrank the long doc's double hit here:
+    // returned order is (score desc, id asc)
+    assert(got.map(_._1) == got.sortBy(r => (-r._2, r._1)).map(_._1))
+    // k bounds output; absent terms -> empty result
+    assert(TextAnalysis.bm25TopK(docs, Seq("a", "c"), k = 1).count() == 1)
+    assert(TextAnalysis.bm25TopK(docs, Seq("zzz")).count() == 0)
+  }
+
   test("bpeLearnMerges: driver fast path == distributed path on fixture docs") {
     // same adaptive-path contract as dupClusters: identical output
     // either side of driverThreshold, ties and all (the sf0.001 docs
