@@ -538,6 +538,16 @@ object SparkEntry {
     "ann_pq_topk" -> prep((s, d) => Similarity.pqTopK(emb(s, d),
       emb(s, d).where(col("vec_id") % 100 === 0), k = 5)
       .orderBy("probe_id", "vec_id")),
+    // int8 scalar quantization: per-dim affine [min,max]->[0,255]
+    // codes (the memory-bandwidth tier; 8x smaller scans, no codebook)
+    "sq_encode" -> prep((s, d) =>
+      Similarity.sqEncode(emb(s, d))
+        .select(col("vec_id"), concat_ws(",", col("codes")).as("codes"))
+        .orderBy("vec_id")),
+    // symmetric SQ distance top-5 over the code space (exact int64)
+    "ann_sq_topk" -> prep((s, d) => Similarity.sqTopK(emb(s, d),
+      emb(s, d).where(col("vec_id") % 100 === 0), k = 5)
+      .orderBy("probe_id", "vec_id")),
     // the production composition: IVF cell pruning bounds candidates,
     // ADC over PQ codes scores them; index built in one scan
     "ann_ivfpq_topk" -> prep((s, d) => Similarity.ivfPqTopK(emb(s, d),
@@ -1022,6 +1032,8 @@ object SparkEntry {
     "hard_negatives" -> ExtOracle.hardNegatives,
     "kcenter_sample" -> ExtOracle.kcenterSample,
     "pq_encode" -> ExtOracle.pqEncode,
+    "sq_encode" -> ExtOracle.sqEncode,
+    "ann_sq_topk" -> ExtOracle.sqTopK,
     "ann_pq_topk" -> ExtOracle.pqTopK,
     "ann_ivfpq_topk" -> ExtOracle.ivfPqTopK,
     "ann_ivfpq_rerank" -> ExtOracle.ivfPqRerank,

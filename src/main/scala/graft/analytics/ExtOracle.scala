@@ -1972,6 +1972,49 @@ codes AS (
   /** Twin of Similarity.pqEncode(m=4, centroidMod=50): per-subspace
     * argmin codes, serialized subspace-major like the gate entry's
     * concat_ws. */
+  /** Shared CTE chain for the scalar-quantization twins: per-dim
+    * min/max over the integer-quantized corpus, then per-vector codes
+    * floor((v−lo)·255/(hi−lo)) reassembled in dim order (constant dims
+    * encode 0) — identical arithmetic to Similarity.sqEncode. */
+  private val sqChain: String = s"""
+WITH e AS ($quantized),
+dm AS (SELECT vec_id, unnest(generate_series(1, len(q))) AS dim, q FROM e),
+dv AS (SELECT vec_id, dim, q[CAST(dim AS INT)] AS v FROM dm),
+dims AS (
+  SELECT dim, CAST(MIN(v) AS BIGINT) AS lo, CAST(MAX(v) AS BIGINT) AS hi
+  FROM dv GROUP BY dim),
+cd AS (
+  SELECT dv.vec_id, dv.dim,
+    CASE WHEN d.hi > d.lo THEN
+      CAST(floor(CAST((dv.v - d.lo) * 255 AS DOUBLE)
+        / CAST(d.hi - d.lo AS DOUBLE)) AS BIGINT)
+    ELSE 0 END AS c
+  FROM dv JOIN dims d USING (dim)),
+ec AS (SELECT vec_id, list(c ORDER BY dim) AS codes FROM cd GROUP BY vec_id)""".trim
+
+  /** Twin of Similarity.sqEncode (codes serialized like pqEncode). */
+  val sqEncode: String = s"""
+$sqChain
+SELECT vec_id, array_to_string(codes, ',') AS codes FROM ec
+${ord("vec_id")}""".trim
+
+  /** Twin of Similarity.sqTopK: symmetric exact-integer code distance,
+    * (dist ASC, vec_id ASC) top-5 per probe, self excluded. */
+  val sqTopK: String = s"""
+$sqChain,
+pe AS (SELECT vec_id AS probe_id, codes AS pcodes FROM ec WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT pe.probe_id, ec.vec_id,
+    CAST(list_dot_product(pe.pcodes, pe.pcodes)
+      - 2*list_dot_product(pe.pcodes, ec.codes)
+      + list_dot_product(ec.codes, ec.codes) AS BIGINT) AS sq_dist
+  FROM pe, ec WHERE pe.probe_id <> ec.vec_id),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+    ORDER BY sq_dist ASC, vec_id ASC) AS rk FROM scored)
+SELECT probe_id, vec_id, sq_dist FROM rk WHERE rk <= 5
+${ord("probe_id", "vec_id")}""".trim
+
   val pqEncode: String = s"""$pqChain
 SELECT vec_id, array_to_string(list(code ORDER BY j), ',') AS codes
 FROM codes GROUP BY vec_id

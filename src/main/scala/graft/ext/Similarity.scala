@@ -443,6 +443,79 @@ object Similarity {
       .drop("rk")
   }
 
+  /** Scalar (int8) quantization encode — the memory-bandwidth ANN tier
+    * between full-precision brute force and PQ: each DIMENSION gets an
+    * affine [min, max] → [0, 255] map from corpus statistics and every
+    * vector compresses to one byte-range code per dimension (8×
+    * smaller scans than the ·1000 long quantization, no codebook
+    * training). code_d = floor((q_d − min_d)·255 / (max_d − min_d)),
+    * clamped trivially by construction; a constant dimension encodes
+    * 0. All arithmetic is exact (integer products ≪ 2^53 through one
+    * floored double division), so any engine reproduces the codes
+    * bit-for-bit.
+    *
+    * Scale shape: per-dim min/max is one posexplode + (dim) groupBy —
+    * map-side combinable, dim-count rows out — collected to a SINGLE
+    * broadcast array row (same pattern as the centroid packs); the
+    * encode itself is then a pure zip_with scan projection — the
+    * corpus never shuffles. */
+  def sqEncode(emb: DataFrame): DataFrame = {
+    val e = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val pack = sqDimPack(e)
+    e.crossJoin(broadcast(pack))
+      .select(col("vec_id"), sqCodes(col("q"), col("dims")).as("codes"))
+  }
+
+  /** One-row (dim, lo, hi) pack, dim-ordered (array_sort on the struct
+    * array orders by its first field = dim). */
+  private def sqDimPack(e: DataFrame): DataFrame =
+    e.select(posexplode(col("q")).as(Seq("dim", "v")))
+      .groupBy(col("dim")).agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .agg(array_sort(collect_list(
+        struct(col("dim"), col("lo"), col("hi")))).as("dims"))
+
+  /** Element-wise code array for a quantized vector under a dim pack. */
+  private def sqCodes(q: Column, dims: Column): Column =
+    zip_with(q, dims, (x, d) =>
+      when(d.getField("hi") > d.getField("lo"),
+        floor(((x - d.getField("lo")) * 255L).cast("double")
+          / (d.getField("hi") - d.getField("lo")).cast("double")).cast("long"))
+        .otherwise(lit(0L)))
+
+  /** Top-k by symmetric scalar-quantized distance: probes encode under
+    * the SAME corpus dim pack, distance = Σ(pc_d − c_d)² — exact int64
+    * end-to-end (no asymmetric float path to disagree over). Plan:
+    * probe codes broadcast, one corpus scan computing pp − 2·p·c + cc
+    * via the native dot product, per-probe top-k via the rank window
+    * WindowGroupLimit prunes map-side. The standard SQ trade: recall
+    * dips where the affine grid aliases, which the gate entry pins
+    * rather than hides. */
+  def sqTopK(emb: DataFrame, probes: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val pack = sqDimPack(e)
+    val enc = e.crossJoin(broadcast(pack))
+      .select(col("vec_id"), sqCodes(col("q"), col("dims")).as("codes"))
+      .select(col("vec_id"), col("codes"),
+        dotL(col("codes"), col("codes")).as("cc"))
+    val penc = probes.select(col("vec_id").as("probe_id"),
+        quantize(col("embedding")).as("pq"))
+      .crossJoin(broadcast(pack))
+      .select(col("probe_id"), sqCodes(col("pq"), col("dims")).as("pcodes"))
+      .select(col("probe_id"), col("pcodes"),
+        dotL(col("pcodes"), col("pcodes")).as("pp"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sq_dist").asc, col("vec_id").asc)
+    enc.crossJoin(broadcast(penc))
+      .where(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        (col("pp") - lit(2L) * dotL(col("pcodes"), col("codes"))
+          + col("cc")).as("sq_dist"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .drop("rk")
+  }
+
   /** Greedy k-center (farthest-point) coreset selection — the
     * diversity-sampling primitive behind coreset curation: pick the
     * `k` vectors that best COVER the corpus geometrically (each new

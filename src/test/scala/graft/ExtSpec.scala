@@ -366,6 +366,30 @@ class ExtSpec extends SparkSpec {
     assert(partial == Map(1L -> 4L), partial.toString)
   }
 
+  test("sqEncode/sqTopK: hand-checked codes, symmetric distance, self-exclusion") {
+    // dim0 quantized values: {1000, 2000, 3000} -> lo 1000, hi 3000
+    // dim1: {0, 0, 0} constant -> code 0 everywhere
+    // dim2: {-500, 0, 500} -> lo -500, hi 500
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, -0.5f)),
+      (1L, Array(2.0f, 0.0f, 0.0f)),
+      (2L, Array(3.0f, 0.0f, 0.5f))).toDF("vec_id", "embedding")
+    val codes = Similarity.sqEncode(emb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // code = floor((v-lo)*255/(hi-lo)): dim0 -> 0, 127, 255
+    assert(codes(0L) == Seq(0L, 0L, 0L), codes.toString)
+    assert(codes(1L) == Seq(127L, 0L, 127L), codes.toString)
+    assert(codes(2L) == Seq(255L, 0L, 255L), codes.toString)
+    // probe 0: dist(1) = 127^2*2 = 32258, dist(2) = 255^2*2 = 130050
+    val nn = Similarity.sqTopK(emb, emb.where(col("vec_id") === 0), k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(nn == Seq((1L, 32258L), (2L, 130050L)), nn.toString)
+    // self never appears even at k covering the whole corpus
+    val all = Similarity.sqTopK(emb, emb.where(col("vec_id") === 0), k = 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(!all.contains(0L) && all == Set(1L, 2L))
+  }
+
   test("bm25TopK: hand-checked scores, ranking, and missing-term handling") {
     // corpus: d1 "a b a" (dl 3), d2 "b c" (dl 2), d3 "a" (dl 1)
     // query (a, c): df(a)=2, df(c)=1, N=3, total_dl=6
