@@ -538,6 +538,10 @@ object SparkEntry {
     "ann_pq_topk" -> prep((s, d) => Similarity.pqTopK(emb(s, d),
       emb(s, d).where(col("vec_id") % 100 === 0), k = 5)
       .orderBy("probe_id", "vec_id")),
+    // kNN graph: top-5 within-cell neighbors for EVERY vector (the
+    // graph-based dedup/clustering substrate; one cell self-join)
+    "knn_graph" -> prep((s, d) =>
+      Similarity.knnGraph(emb(s, d), k = 5).orderBy("vec_id", "nbr_id")),
     // int8 scalar quantization: per-dim affine [min,max]->[0,255]
     // codes (the memory-bandwidth tier; 8x smaller scans, no codebook)
     "sq_encode" -> prep((s, d) =>
@@ -1033,6 +1037,7 @@ object SparkEntry {
     "kcenter_sample" -> ExtOracle.kcenterSample,
     "pq_encode" -> ExtOracle.pqEncode,
     "sq_encode" -> ExtOracle.sqEncode,
+    "knn_graph" -> ExtOracle.knnGraph,
     "ann_sq_topk" -> ExtOracle.sqTopK,
     "ann_pq_topk" -> ExtOracle.pqTopK,
     "ann_ivfpq_topk" -> ExtOracle.ivfPqTopK,

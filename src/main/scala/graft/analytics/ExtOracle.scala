@@ -2291,6 +2291,34 @@ SELECT vec_id, label FROM embeddings
 WHERE vec_id NOT IN (SELECT id FROM losers)
 ${ord("vec_id")}""".trim
 
+  /** Twin of Similarity.knnGraph: same IVF cell assignment as the
+    * semanticDedup twin, within-cell pairs both directions, per-vector
+    * (cosine DESC, nbr ASC) top-5 window. */
+  val knnGraph: String = s"""
+WITH e AS ($quantized),
+cents AS (SELECT vec_id AS cent_id, q AS cq FROM e WHERE vec_id % 50 = 0),
+cos_ec AS (
+  SELECT e.vec_id, e.q, c.cent_id,
+    list_dot_product(e.q, c.cq) /
+      (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(c.cq, c.cq))) AS cs
+  FROM e, cents c),
+assign AS (
+  SELECT vec_id, cent_id AS cell, q FROM (
+    SELECT vec_id, cent_id, q,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id ASC) AS rk
+    FROM cos_ec) WHERE rk = 1),
+scored AS (
+  SELECT a.vec_id, b.vec_id AS nbr_id,
+    list_dot_product(a.q, b.q) /
+      (sqrt(list_dot_product(a.q, a.q)) * sqrt(list_dot_product(b.q, b.q)))
+      AS cosine_sim
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+    ORDER BY cosine_sim DESC, nbr_id ASC) AS nn_rank FROM scored)
+SELECT vec_id, nbr_id, nn_rank, cosine_sim FROM rk WHERE nn_rank <= 5
+${ord("vec_id", "nbr_id")}""".trim
+
   val nearDupEmbeddings: String = s"""
 WITH e AS ($quantized),
 a AS (SELECT vec_id AS a_id, q AS qa FROM e WHERE vec_id % 10 = 0),

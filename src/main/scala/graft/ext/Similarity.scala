@@ -443,6 +443,44 @@ object Similarity {
       .drop("rk")
   }
 
+  /** k-nearest-neighbor GRAPH construction — every corpus vector gets
+    * its top-k neighbors by cosine among vectors sharing its IVF cell:
+    * the building block under graph-based dedup/clustering (SemDeDup
+    * variants, agglomerative merging, connectivity analyses) and kNN
+    * classifiers. Cell pruning is what makes an all-vectors kNN
+    * tractable — the pair space is Σ|cell|², not N², the same bound as
+    * `semanticDedup`; the recall trade (neighbors in foreign cells are
+    * unseen) is the standard IVF one and `centroidMod` is the knob.
+    *
+    * Deterministic: cell assignment ties break to the lowest cent_id
+    * (native NearestCentroidCosine) and neighbor ranks break on
+    * (cosine DESC, nbr_id ASC). Returns (vec_id, nbr_id, nn_rank,
+    * cosine_sim).
+    *
+    * Scale shape: ONE corpus exchange — the self-join on `cell`, both
+    * sides shuffle-merged (broadcast of a corpus-proportional side
+    * would OOM; identical sides let the ivfAssign pipeline materialize
+    * once into an exchange read twice); the per-vector top-k is the
+    * rank window WindowGroupLimit prunes map-side before the window
+    * sort. */
+  def knnGraph(emb: DataFrame, k: Int = 5, centroidMod: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = ivfAssign(emb, centroidMod)
+    val a = assigned.select(col("cell"), col("vec_id"), col("q"), col("nq"))
+      .hint("merge")
+    val b = assigned.select(col("cell"), col("vec_id").as("nbr_id"),
+      col("q").as("qb"), col("nq").as("nb")).hint("merge")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine_sim").desc, col("nbr_id").asc)
+    a.join(b, "cell")
+      .where(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        cosineN(dotL(col("q"), col("qb")), col("nq"), col("nb")).as("cosine_sim"))
+      .withColumn("nn_rank", row_number().over(w))
+      .where(col("nn_rank") <= k)
+      .select(col("vec_id"), col("nbr_id"), col("nn_rank"), col("cosine_sim"))
+  }
+
   /** Scalar (int8) quantization encode — the memory-bandwidth ANN tier
     * between full-precision brute force and PQ: each DIMENSION gets an
     * affine [min, max] → [0, 255] map from corpus statistics and every

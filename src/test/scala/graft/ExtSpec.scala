@@ -366,6 +366,33 @@ class ExtSpec extends SparkSpec {
     assert(partial == Map(1L -> 4L), partial.toString)
   }
 
+  test("knnGraph: within-cell top-k, symmetric membership, rank order") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val g = Similarity.knnGraph(emb, k = 3).cache()
+    val rows = g.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    // every vector with >= 1 cellmate appears; no self-edges; k bounds
+    assert(rows.nonEmpty && rows.forall(r => r._1 != r._2))
+    val byVec = rows.groupBy(_._1)
+    assert(byVec.values.forall(_.length <= 3))
+    // ranks are 1..n and cosine is non-increasing along them
+    byVec.values.foreach { ns =>
+      val sorted = ns.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1 to ns.length).toSeq)
+      assert(sorted.sliding(2).forall {
+        case Array(x, y) => x._4 >= y._4
+        case _ => true
+      })
+    }
+    // spot-check one vector against a brute-force within-cell recompute
+    val assign = Similarity.ivfAssign(emb).select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val some = rows.head._1
+    val mates = assign.filter(_._2 == assign(some)).keySet - some
+    assert(byVec(some).map(_._2).toSet.subsetOf(mates))
+    g.unpersist()
+  }
+
   test("sqEncode/sqTopK: hand-checked codes, symmetric distance, self-exclusion") {
     // dim0 quantized values: {1000, 2000, 3000} -> lo 1000, hi 3000
     // dim1: {0, 0, 0} constant -> code 0 everywhere
