@@ -380,6 +380,16 @@ object SparkEntry {
       Sampling.mixtureSample(docs(s, d), "source",
         Map("src0" -> 5, "src1" -> 3, "src2" -> 2))
         .select("doc_id", "source").orderBy("doc_id")),
+    // token-budget waterfill mixing: 3000 tokens across src0/src1/src2
+    // at weights 6:3:1 — src0's proportional share exceeds its supply,
+    // so the waterfill's cap-and-redistribute round provably bites
+    "budget_mix" -> prep((s, d) =>
+      Sampling.budgetMix(
+        docs(s, d).withColumn("n_tokens",
+          size(split(trim(col("text")), "\\s+")).cast("long")),
+        "source", Map("src0" -> 6, "src1" -> 3, "src2" -> 1),
+        budget = 3000L, tokensCol = "n_tokens")
+        .select("doc_id", "source", "n_tokens").orderBy("doc_id")),
     // GPT-style token-budget shard packing (bucketed prefix sums).
     // nBuckets pinned: bucket ids feed the oracle twin, which must not
     // depend on how many cores the verifying session happens to have
@@ -1038,6 +1048,7 @@ object SparkEntry {
     "pq_encode" -> ExtOracle.pqEncode,
     "sq_encode" -> ExtOracle.sqEncode,
     "knn_graph" -> ExtOracle.knnGraph,
+    "budget_mix" -> ExtOracle.budgetMix,
     "ann_sq_topk" -> ExtOracle.sqTopK,
     "ann_pq_topk" -> ExtOracle.pqTopK,
     "ann_ivfpq_topk" -> ExtOracle.ivfPqTopK,

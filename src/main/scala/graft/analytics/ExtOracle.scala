@@ -863,6 +863,53 @@ WHERE c.wt > 0
   AND ${bkt(10000)} * 10 * c.n < 10000 * c.wt * nout.n_out
 ${ord("doc_id")}""".trim
 
+  /** Twin of Sampling.budgetMix(src0:6, src1:3, src2:1, budget 3000):
+    * the waterfill unrolled to 3 rounds (fixpoint for 3 sources —
+    * rounds past the last saturation recompute identical tentative
+    * allocations), then the per-source Knuth-bucket-ordered inclusive
+    * prefix-sum cut. All int64 (// is DuckDB integer floor-div). */
+  val budgetMix: String = s"""
+WITH tok AS (
+  SELECT doc_id, source,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nt
+  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+sup AS (
+  SELECT source, CAST(SUM(nt) AS BIGINT) AS s,
+    CAST(CASE source WHEN 'src0' THEN 6 WHEN 'src1' THEN 3 ELSE 1 END
+      AS BIGINT) AS wt
+  FROM tok GROUP BY source),
+a1 AS (SELECT SUM(wt) AS wsum FROM sup),
+t1 AS (
+  SELECT sup.*, ((3000 * wt) // a1.wsum >= s) AS sat
+  FROM sup, a1),
+g1 AS (
+  SELECT COALESCE(SUM(CASE WHEN sat THEN s END), 0) AS taken,
+    COALESCE(SUM(CASE WHEN NOT sat THEN wt END), 0) AS wsum FROM t1),
+t2 AS (
+  SELECT t1.source, t1.s, t1.wt,
+    t1.sat AS sat1,
+    (NOT t1.sat AND
+      ((3000 - g1.taken) * t1.wt) // NULLIF(g1.wsum, 0) >= t1.s) AS sat
+  FROM t1, g1),
+g2 AS (
+  SELECT COALESCE(SUM(CASE WHEN sat1 OR sat THEN s END), 0) AS taken,
+    COALESCE(SUM(CASE WHEN NOT (sat1 OR sat) THEN wt END), 0) AS wsum FROM t2),
+alloc AS (
+  SELECT t2.source,
+    CASE WHEN t2.sat1 OR t2.sat THEN t2.s
+         ELSE ((3000 - g2.taken) * t2.wt) // NULLIF(g2.wsum, 0) END AS a
+  FROM t2, g2),
+ordered AS (
+  SELECT doc_id, source, nt,
+    SUM(nt) OVER (PARTITION BY source
+      ORDER BY ${bkt(10000)} ASC, doc_id ASC
+      ROWS UNBOUNDED PRECEDING) AS cum
+  FROM tok)
+SELECT o.doc_id, o.source, o.nt AS n_tokens
+FROM ordered o JOIN alloc USING (source)
+WHERE o.cum <= alloc.a
+${ord("doc_id")}""".trim
+
   /** Twin of the salted skew join: salts cancel out, so the oracle is
     * the PLAIN join+aggregate — equality proves salting is
     * result-invariant. */

@@ -129,6 +129,58 @@ object Sampling {
       .drop("__n", "__w", "__n_out")
   }
 
+  /** Token-budget waterfill mixing — the "data mixing under a token
+    * budget" allocation a pretraining run actually performs: given
+    * per-source integer weights and a GLOBAL token budget, allocate
+    * budget across sources proportionally to weight, cap every source
+    * at its supply, and redistribute the excess over the remaining
+    * sources (classic waterfill; converges in ≤ |sources| rounds).
+    * Documents are then kept per source in the deterministic shuffle
+    * order (Knuth bucket, id tie-break) while the inclusive token
+    * prefix-sum stays within the source's allocation. Floor-division
+    * remainders (< |sources| tokens) stay unallocated by contract.
+    *
+    * Scale shape: the waterfill loop runs on the driver over the
+    * collected per-source supply table — |sources| rows (dozens at any
+    * corpus scale; same bounded-driver-state trade as bpeLearnMerges'
+    * vocab path); selection is one per-source prefix-sum window over
+    * rows pre-filtered to weighted sources. All arithmetic is exact
+    * int64 (remaining·w < 2^63 for corpora to ~10¹⁵ tokens), so any
+    * engine reproduces allocations and the kept set bit-for-bit. */
+  def budgetMix(df: DataFrame, groupCol: String, weights: Map[String, Int],
+      budget: Long, tokensCol: String, idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = weights.filter(_._2 > 0)
+    require(w.nonEmpty, "at least one positive weight")
+    require(budget >= 0, "budget must be non-negative")
+    val in = df.where(col(groupCol).isin(w.keys.toSeq: _*))
+    val sup = in.groupBy(col(groupCol)).agg(sum(col(tokensCol)).as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val alloc = scala.collection.mutable.Map.empty[String, Long]
+    var active = sup.keySet
+    var remaining = budget
+    var done = false
+    while (!done && active.nonEmpty) {
+      val wsum = active.iterator.map(s => w(s).toLong).sum
+      val tent = active.iterator.map(s => s -> remaining * w(s) / wsum).toMap
+      val sat = active.filter(s => tent(s) >= sup(s))
+      if (sat.isEmpty) { tent.foreach { case (s, t) => alloc(s) = t }; done = true }
+      else {
+        sat.foreach { s => alloc(s) = sup(s); remaining -= sup(s) }
+        active --= sat
+      }
+    }
+    val allocCol = alloc.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(col(groupCol) === k, lit(v)).otherwise(acc)
+    }
+    val order = Window.partitionBy(col(groupCol))
+      .orderBy(bucket(col(idCol), 10000).asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    in.withColumn("__cum", sum(col(tokensCol)).over(order))
+      .where(col("__cum") <= allocCol)
+      .drop("__cum")
+  }
+
   /** GPT-style sequence packing: assign documents to fixed-token-budget
     * training shards. Documents are packed concatenate-then-split — a
     * doc's shard is `floor(exclusive-prefix-sum(tokens) / budget)`, so

@@ -366,6 +366,33 @@ class ExtSpec extends SparkSpec {
     assert(partial == Map(1L -> 4L), partial.toString)
   }
 
+  test("budgetMix: waterfill saturation, redistribution, prefix-sum cut") {
+    // source A: supply 10 (4+3+3), weight 3; source B: supply 12 (3x4),
+    // weight 1; budget 16. Round 1 (wsum 4): A's share 12 >= 10 ->
+    // saturated at 10. Round 2 (R=6, wsum 1): B gets 6 -> two 3-token
+    // docs in Knuth-bucket order survive the inclusive prefix cut.
+    val docs = Seq(
+      (1L, "A", 4L), (2L, "A", 3L), (3L, "A", 3L),
+      (10L, "B", 3L), (11L, "B", 3L), (12L, "B", 3L), (13L, "B", 3L)
+    ).toDF("doc_id", "source", "n_tokens")
+    val got = Sampling.budgetMix(docs, "source",
+      Map("A" -> 3, "B" -> 1), budget = 16L, tokensCol = "n_tokens")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    def bkt(id: Long) = ((id % 1000003L) * 2654435761L) % 10000L
+    val bFirst2 = Seq(10L, 11L, 12L, 13L).sortBy(i => (bkt(i), i)).take(2)
+    assert(got == (Set(1L, 2L, 3L) ++ bFirst2).map(i =>
+      (i, if (i < 10) "A" else "B")), s"got=$got expected B picks $bFirst2")
+    // budget beyond total supply keeps everything
+    assert(Sampling.budgetMix(docs, "source", Map("A" -> 3, "B" -> 1),
+      budget = 100L, tokensCol = "n_tokens").count() == 7)
+    // zero budget keeps nothing; unweighted sources are dropped
+    assert(Sampling.budgetMix(docs, "source", Map("A" -> 3, "B" -> 1),
+      budget = 0L, tokensCol = "n_tokens").count() == 0)
+    assert(Sampling.budgetMix(docs, "source", Map("A" -> 1),
+      budget = 100L, tokensCol = "n_tokens").count() == 3)
+  }
+
   test("knnGraph: within-cell top-k, symmetric membership, rank order") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val g = Similarity.knnGraph(emb, k = 3).cache()
