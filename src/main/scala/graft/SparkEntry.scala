@@ -567,6 +567,11 @@ object SparkEntry {
     "ann_ivfpq_topk" -> prep((s, d) => Similarity.ivfPqTopK(emb(s, d),
       emb(s, d).where(col("vec_id") % 100 === 0), k = 5, nprobe = 3)
       .orderBy("probe_id", "vec_id")),
+    // IVFADC proper: PQ on residuals v - centroid (per-(probe,cell)
+    // residual ADC tables) — FAISS's production index layout
+    "ann_ivfpq_residual" -> prep((s, d) => Similarity.ivfPqResidualTopK(
+      emb(s, d), emb(s, d).where(col("vec_id") % 100 === 0), k = 5, nprobe = 3)
+      .orderBy("probe_id", "vec_id")),
     // two-stage serving: r=10-deep ADC shortlist, exact-cosine re-rank
     // to top-5 — r > k so the re-rank provably reorders/filters
     "ann_ivfpq_rerank" -> prep((s, d) => Similarity.ivfPqRerank(emb(s, d),
@@ -1049,6 +1054,7 @@ object SparkEntry {
     "sq_encode" -> ExtOracle.sqEncode,
     "knn_graph" -> ExtOracle.knnGraph,
     "budget_mix" -> ExtOracle.budgetMix,
+    "ann_ivfpq_residual" -> ExtOracle.ivfPqResidual,
     "ann_sq_topk" -> ExtOracle.sqTopK,
     "ann_pq_topk" -> ExtOracle.pqTopK,
     "ann_ivfpq_topk" -> ExtOracle.ivfPqTopK,

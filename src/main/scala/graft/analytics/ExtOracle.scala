@@ -2338,6 +2338,83 @@ SELECT vec_id, label FROM embeddings
 WHERE vec_id NOT IN (SELECT id FROM losers)
 ${ord("vec_id")}""".trim
 
+  /** Twin of Similarity.ivfPqResidualTopK (m=4, nprobe=3, centroid
+    * stride 50, codebook stride 37, probes %100): residuals via
+    * element-wise list subtraction, codebook codes = vec_id-rank
+    * positions, per-subspace argmin with (d ASC, code ASC) tie-break,
+    * per-(probe, probed-cell) residual block distances summed over the
+    * m subspaces — all exact integer arithmetic. */
+  val ivfPqResidual: String = s"""
+WITH e AS ($quantized),
+cents AS (SELECT vec_id AS cent_id, q AS cq FROM e WHERE vec_id % 50 = 0),
+cos_ec AS (
+  SELECT e.vec_id, e.q, c.cent_id,
+    list_dot_product(e.q, c.cq) /
+      (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(c.cq, c.cq))) AS cs
+  FROM e, cents c),
+assign AS (
+  SELECT vec_id, cent_id AS cell, q FROM (
+    SELECT vec_id, cent_id, q,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id ASC) AS rk
+    FROM cos_ec) WHERE rk = 1),
+resid AS (
+  SELECT a.vec_id, a.cell,
+    list_transform(list_zip(a.q, c.cq), s -> s[1] - s[2]) AS r
+  FROM assign a JOIN cents c ON a.cell = c.cent_id),
+bks AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS code, r
+  FROM resid WHERE vec_id % 37 = 0),
+js AS (SELECT unnest(generate_series(0, 3)) AS j),
+encd AS (
+  SELECT v.vec_id, v.cell, js.j, b.code,
+    list_dot_product(
+      v.r[(js.j*(len(v.r)//4)+1):((js.j+1)*(len(v.r)//4))],
+      v.r[(js.j*(len(v.r)//4)+1):((js.j+1)*(len(v.r)//4))])
+    - 2*list_dot_product(
+      v.r[(js.j*(len(v.r)//4)+1):((js.j+1)*(len(v.r)//4))],
+      b.r[(js.j*(len(b.r)//4)+1):((js.j+1)*(len(b.r)//4))])
+    + list_dot_product(
+      b.r[(js.j*(len(b.r)//4)+1):((js.j+1)*(len(b.r)//4))],
+      b.r[(js.j*(len(b.r)//4)+1):((js.j+1)*(len(b.r)//4))]) AS d
+  FROM resid v, js, bks b),
+codes AS (
+  SELECT vec_id, cell, j, code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j
+      ORDER BY d ASC, code ASC) AS rk FROM encd) WHERE rk = 1),
+p AS (SELECT vec_id AS probe_id, q AS pq FROM e WHERE vec_id % 100 = 0),
+pc AS (
+  SELECT p.probe_id, c.cent_id, p.pq, c.cq,
+    list_dot_product(p.pq, c.cq) /
+      (sqrt(list_dot_product(p.pq, p.pq)) * sqrt(list_dot_product(c.cq, c.cq))) AS cs
+  FROM p, cents c),
+pcells AS (
+  SELECT probe_id, cent_id AS cell,
+    list_transform(list_zip(pq, cq), s -> s[1] - s[2]) AS pr
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+    ORDER BY cs DESC, cent_id ASC) AS rk FROM pc) WHERE rk <= 3),
+cand AS (
+  SELECT pl.probe_id, co.vec_id, co.j,
+    list_dot_product(
+      pl.pr[(co.j*(len(pl.pr)//4)+1):((co.j+1)*(len(pl.pr)//4))],
+      pl.pr[(co.j*(len(pl.pr)//4)+1):((co.j+1)*(len(pl.pr)//4))])
+    - 2*list_dot_product(
+      pl.pr[(co.j*(len(pl.pr)//4)+1):((co.j+1)*(len(pl.pr)//4))],
+      b.r[(co.j*(len(b.r)//4)+1):((co.j+1)*(len(b.r)//4))])
+    + list_dot_product(
+      b.r[(co.j*(len(b.r)//4)+1):((co.j+1)*(len(b.r)//4))],
+      b.r[(co.j*(len(b.r)//4)+1):((co.j+1)*(len(b.r)//4))]) AS d
+  FROM pcells pl JOIN codes co USING (cell) JOIN bks b ON co.code = b.code
+  WHERE pl.probe_id <> co.vec_id),
+adist AS (
+  SELECT probe_id, vec_id, CAST(SUM(d) AS BIGINT) AS adist
+  FROM cand GROUP BY probe_id, vec_id),
+topk AS (
+  SELECT probe_id, vec_id, adist FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+      ORDER BY adist ASC, vec_id ASC) AS rk FROM adist) WHERE rk <= 5)
+SELECT probe_id, vec_id, adist FROM topk
+${ord("probe_id", "vec_id")}""".trim
+
   /** Twin of Similarity.knnGraph: same IVF cell assignment as the
     * semanticDedup twin, within-cell pairs both directions, per-vector
     * (cosine DESC, nbr ASC) top-5 window. */

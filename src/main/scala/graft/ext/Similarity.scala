@@ -289,10 +289,14 @@ object Similarity {
     * contract `PqAdc`'s table indexing relies on. Trailing dims beyond
     * m·(dim/m) are ignored by every consumer symmetrically (dim
     * divisible by m in practice; 64/4 here). */
-  private def pqCodebooks(e: DataFrame, m: Int, centroidMod: Int): DataFrame = {
-    val packed = e.where(col("vec_id") % centroidMod === 0)
+  private def pqCodebooks(e: DataFrame, m: Int, centroidMod: Int): DataFrame =
+    subspaceBooks(e.where(col("vec_id") % centroidMod === 0)
       .agg(array_sort(collect_list(struct(
-        col("vec_id").as("cent_id"), col("q").as("cq")))).as("cs"))
+        col("vec_id").as("cent_id"), col("q").as("cq")))).as("cs")), m)
+
+  /** Per-subspace codebook columns from a 1-row packed (cent_id, cq)
+    * struct array — shared by the raw-vector and residual PQ tiers. */
+  private def subspaceBooks(packed: DataFrame, m: Int): DataFrame =
     packed.select((0 until m).map { j =>
       transform(col("cs"), (c, i) => {
         val sub = (size(c.getField("cq")) / m).cast("int")
@@ -301,7 +305,6 @@ object Similarity {
           graft.functions.DotProduct64.dot64(blk, blk).as("bb"))
       }).as(s"cs_$j")
     }: _*)
-  }
 
   /** Product-quantization encoding: each vector compresses to `m`
     * codebook indices (argmin squared-L2 per subspace, ties to the
@@ -479,6 +482,91 @@ object Similarity {
       .withColumn("nn_rank", row_number().over(w))
       .where(col("nn_rank") <= k)
       .select(col("vec_id"), col("nbr_id"), col("nn_rank"), col("cosine_sim"))
+  }
+
+  /** Residual IVF-PQ (IVFADC proper) — the composition FAISS ships as
+    * its production index: PQ codes are learned and applied on the
+    * RESIDUAL r = v − centroid(cell(v)), not the raw vector. Residuals
+    * concentrate near the origin once the coarse quantizer has
+    * absorbed cell geometry, so the same code budget spends its
+    * resolution on within-cell detail — the standard accuracy upgrade
+    * over raw-vector PQ at identical index size. The probe computes a
+    * separate residual against EACH probed cell's centroid (per
+    * (probe, cell) ADC tables — the IVFADC contract).
+    *
+    * Determinism: cell assignment and code argmins tie-break to the
+    * lowest id/code; residual arithmetic is exact int64 differences of
+    * quantized vectors; ADC block distances are exact integer
+    * `rr − 2·dot + bb`. Codebook entries are the residuals of the
+    * `vec_id % codebookMod == 0` subset — a DIFFERENT stride than the
+    * centroid seeds, whose own residuals are ~zero and would collapse
+    * the codebook.
+    *
+    * Scale shape: identical to `ivfPqTopK` — centroids, residual
+    * codebooks, and per-(probe,cell) tables all broadcast; the (cell,
+    * codes) index is built in ONE corpus scan (assignment, residual,
+    * and m code argmins fuse into a single projection); the only
+    * corpus exchange is the candidate join on `cell`. */
+  def ivfPqResidualTopK(emb: DataFrame, probes: DataFrame, k: Int = 5,
+      nprobe: Int = 3, m: Int = 4, centroidMod: Int = 50,
+      codebookMod: Int = 37): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = quantizedWithNorm(emb)
+    val cents = e.where(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nq").as("ncq"))
+    val centPack = cents.agg(collect_list(
+      struct(col("cent_id"), col("cq"), col("ncq"))).as("ivf_cs"))
+    // assignment + residual in one projection (centroid vector fetched
+    // from the broadcast pack by cell id)
+    def cellCq(cellCol: Column) = element_at(
+      filter(col("ivf_cs"), c => c.getField("cent_id") === cellCol), 1)
+      .getField("cq")
+    val resid = e.crossJoin(broadcast(centPack))
+      .withColumn("cell", graft.functions.NearestCentroidCosine
+        .nearestCos(col("q"), col("nq"), col("ivf_cs")))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("q"), cellCq(col("cell")), (x, y) => x - y).as("r"))
+    val books = subspaceBooks(
+      resid.where(col("vec_id") % codebookMod === 0)
+        .agg(array_sort(collect_list(struct(
+          col("vec_id").as("cent_id"), col("r").as("cq")))).as("cs")), m)
+    val indexed = resid.crossJoin(broadcast(books))
+      .select(col("vec_id"), col("cell"),
+        array((0 until m).map { j =>
+          val sub = (size(col("r")) / m).cast("int")
+          graft.functions.NearestCentroidL2.nearestL2(
+            slice(col("r"), lit(j) * sub + 1, sub), col(s"cs_$j"))
+            .getField("cluster")
+        }: _*).as("codes"))
+    val p0 = quantizedWithNorm(probes)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("nq").as("npq"))
+    val probeCells = p0.crossJoin(broadcast(cents))
+      .select(col("probe_id"), col("pq"), col("cent_id"),
+        cosineN(dotL(col("pq"), col("cq")), col("npq"), col("ncq")).as("cs2"),
+        col("cq"))
+      .withColumn("rk", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("cs2").desc, col("cent_id").asc)))
+      .where(col("rk") <= nprobe)
+      .select(col("probe_id"), col("cent_id").as("cell"),
+        zip_with(col("pq"), col("cq"), (x, y) => x - y).as("pr"))
+    val probeTabs = probeCells.crossJoin(broadcast(books))
+      .select(col("probe_id"), col("cell"),
+        array((0 until m).map { j =>
+          val sub = (size(col("pr")) / m).cast("int")
+          val pblk = slice(col("pr"), lit(j) * sub + 1, sub)
+          transform(array_sort(col(s"cs_$j")), c =>
+            dotL(pblk, pblk) - lit(2L) * dotL(pblk, c.getField("blk"))
+              + c.getField("bb"))
+        }: _*).as("tables"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    probeTabs.join(indexed, "cell")
+      .where(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        graft.functions.PqAdc.pqAdc(col("codes"), col("tables")).as("adist"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .drop("rk")
   }
 
   /** Scalar (int8) quantization encode — the memory-bandwidth ANN tier

@@ -276,6 +276,36 @@ class ExtSpec extends SparkSpec {
         .sortBy { case (_, v, c) => (-c, v) }.take(3)
     }.map { case (p, v, c) => (p, v) -> c }.toMap
     assert(gotRr == expectRr, s"ivfPqRerank: $gotRr vs $expectRr")
+
+    // residual IVF-PQ (IVFADC proper): PQ codes on r = v - centroid,
+    // probe residual per probed CELL, codebook from the %37 stride
+    // (ids {0,37,74,111} -> K=4) — recomputed from scratch
+    def residOf(v: Array[Long]): Array[Long] = {
+      val c = quant(cellOf(v))
+      v.zip(c).map { case (x, y) => x - y }
+    }
+    val bookIds = (0L until 120L).filter(_ % 37 == 0) // 0, 37, 74, 111
+    val bookRes = bookIds.map(i => residOf(quant(i)))
+    def rcodeOf(r: Array[Long], j: Int): Int =
+      bookRes.zipWithIndex.minBy { case (b, c) => (d2(blk(r, j), blk(b, j)), c) }._2
+    val gotRes = Similarity.ivfPqResidualTopK(emb, probes, k = 5,
+      nprobe = 2, m = m).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expectRes = Seq(0L, 100L).flatMap { p =>
+      val cells = probeCells(quant(p), 2)
+      val cand = (0L until 120L)
+        .filter(v => v != p && cells.contains(cellOf(quant(v))))
+        .map { v =>
+          val vc = cellOf(quant(v))
+          val pr = quant(p).zip(quant(vc)).map { case (x, y) => x - y }
+          val ad = (0 until m).map { j =>
+            d2(blk(pr, j), blk(bookRes(rcodeOf(residOf(quant(v)), j)), j))
+          }.sum
+          (p, v, ad)
+        }
+      cand.sortBy { case (_, v, d) => (d, v) }.take(5)
+    }.map { case (p, v, d) => (p, v) -> d }.toMap
+    assert(gotRes == expectRes, s"ivfPqResidualTopK: $gotRes vs $expectRes")
   }
 
   test("kcenterSample: greedy picks match a from-scratch recompute; radius curve monotone") {
