@@ -579,6 +579,11 @@ object SparkEntry {
       .orderBy("probe_id", "vec_id")),
     "neardup_embeddings" -> prep((s, d) => Engine.canonical(
       Similarity.nearDupPairs(emb(s, d)))),
+    // curriculum ordering: easy->hard phases by corpus-relative quality
+    // tertiles, deterministic within-phase shuffle, global contiguous
+    // rank with no single-reducer window
+    "curriculum_order" -> prep((s, d) =>
+      TextAnalysis.curriculumOrder(docs(s, d)).orderBy("doc_id")),
     // corpus-relative quality cutoff (exact percentile, auto-tuned)
     "quality_percentile_filter" -> prep((s, d) =>
       TextAnalysis.qualityPercentileFilter(docs(s, d), pct = 0.25)
@@ -998,6 +1003,7 @@ object SparkEntry {
     "referential_audit" -> ExtOracle.referentialAudit,
     "snapshot_diff" -> ExtOracle.snapshotDiff,
     "quality_tiers" -> ExtOracle.qualityTiers,
+    "curriculum_order" -> ExtOracle.curriculumOrder,
     "source_scorecard" -> ExtOracle.sourceScorecard,
     "retention_cohorts" -> ExtOracle.retentionCohorts,
     "text_stats" -> ExtOracle.textStats,

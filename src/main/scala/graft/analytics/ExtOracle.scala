@@ -311,6 +311,44 @@ ${ord("doc_id")}""".trim
 
   /** Twin of TextAnalysis.qualityTiers: same quality expression,
     * quantile_cont list cutoffs ≡ Spark percentile(array). */
+  /** Twin of TextAnalysis.curriculumOrder(phases = 3): same quality
+    * expression and tertile cuts (phase 1 = top third), same
+    * per-phase Knuth-bucket rank plus phase base offsets — a global
+    * contiguous curriculum_rank with no global window. */
+  val curriculumOrder: String = s"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+    CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) AS n_uniq,
+    CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents),
+q AS (
+  SELECT doc_id,
+    round((n_uniq / n_tok) * 0.5
+      + least(n_tok / 64.0, 1.0) * 0.3
+      + (CASE WHEN ((n_chars - (n_tok - 1)) / n_tok) BETWEEN 3.0 AND 9.0
+              THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+  FROM t),
+c AS (SELECT quantile_cont(quality, [1.0/3, 2.0/3]) AS cuts FROM q),
+ph AS (
+  SELECT doc_id, quality,
+    3 - ((CASE WHEN quality >= cuts[2] THEN 1 ELSE 0 END)
+       + (CASE WHEN quality >= cuts[1] THEN 1 ELSE 0 END)) AS phase
+  FROM q, c),
+off AS (SELECT phase, CAST(COUNT(*) AS BIGINT) AS n FROM ph GROUP BY phase),
+base AS (
+  SELECT phase, CAST(COALESCE(SUM(n) OVER (ORDER BY phase ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS b
+  FROM off),
+rk AS (
+  SELECT ph.doc_id, ph.quality, ph.phase,
+    base.b + ROW_NUMBER() OVER (PARTITION BY ph.phase
+      ORDER BY ((ph.doc_id % 1000003) * 2654435761) % 10000 ASC,
+        ph.doc_id ASC) AS curriculum_rank
+  FROM ph JOIN base USING (phase))
+SELECT doc_id, quality, phase, curriculum_rank FROM rk
+${ord("doc_id")}""".trim
+
   val qualityTiers: String = s"""
 WITH t AS (
   SELECT doc_id,

@@ -288,6 +288,50 @@ object TextAnalysis {
           .as("tier"))
   }
 
+  /** Curriculum ordering — the data-ordering step of curriculum
+    * training: documents are staged easy→hard by corpus-relative
+    * quality (phase 1 = top third, descending), and within each phase
+    * shuffled deterministically (Knuth bucket, id tie-break) so a
+    * loader reading in `curriculum_rank` order sees high-quality data
+    * first with no intra-phase ordering bias. Returns (doc_id,
+    * quality, phase, curriculum_rank) with a GLOBAL contiguous rank.
+    *
+    * Scale shape: phase cuts are one exact-percentile 1-row broadcast
+    * (same machinery as qualityTiers); the global rank is NOT a
+    * single-reducer global window — it is the per-phase rank (window
+    * partitioned by phase) plus each phase's base offset from a
+    * |phases|-row count aggregate joined back broadcast. Ordering is
+    * total and engine-reproducible: (phase ASC, bucket ASC, id ASC). */
+  def curriculumOrder(docs: DataFrame, phases: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(phases >= 2, "need at least 2 phases")
+    val scored = withQuality(docs)
+    val fracs = (1 until phases).map(i => i.toDouble / phases)
+      .mkString("array(", ", ", ")")
+    val cuts = scored.agg(expr(s"percentile(quality, $fracs)").as("__cuts"))
+    // phase 1 holds the HIGHEST-quality slice: count cuts at or above
+    val phased = scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("quality"),
+        (1 until phases).map(i =>
+          when(col("quality") >= element_at(col("__cuts"), phases - i), 1)
+            .otherwise(0)).reduce(_ + _)
+          .as("__above"))
+      .select(col("doc_id"), col("quality"),
+        (lit(phases) - col("__above")).as("phase"))
+    val offsets = phased.groupBy(col("phase"))
+      .agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("phase"))
+      .orderBy(Sampling.bucket(col("doc_id"), 10000).asc, col("doc_id").asc)
+    val wOff = Window.orderBy(col("phase").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val base = offsets
+      .withColumn("__base", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col("phase"), col("__base"))
+    phased.join(broadcast(base), "phase")
+      .withColumn("curriculum_rank", col("__base") + row_number().over(w))
+      .select(col("doc_id"), col("quality"), col("phase"), col("curriculum_rank"))
+  }
+
   /** Percentile-thresholded quality filter — auto-tuned cutoffs: keep
     * documents at or above the corpus' `pct` quality quantile instead
     * of a hand-picked constant (the threshold tracks the corpus as it

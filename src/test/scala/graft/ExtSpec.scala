@@ -396,6 +396,27 @@ class ExtSpec extends SparkSpec {
     assert(partial == Map(1L -> 4L), partial.toString)
   }
 
+  test("curriculumOrder: phases partition by quality, global rank contiguous") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = graft.ext.TextAnalysis.curriculumOrder(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getLong(3)))
+    val n = docs.count()
+    assert(got.length == n)
+    // global rank is a contiguous permutation of 1..n
+    assert(got.map(_._4).sorted.toSeq == (1L to n).toSeq)
+    // phases ordered: every phase-1 rank precedes every phase-2 rank, etc.
+    val maxByPhase = got.groupBy(_._3).view.mapValues(_.map(_._4).max).toMap
+    val minByPhase = got.groupBy(_._3).view.mapValues(_.map(_._4).min).toMap
+    maxByPhase.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(maxByPhase(a) < minByPhase(b))
+      case _ =>
+    }
+    // quality dominance: min quality of phase 1 >= max quality of phase 3
+    val q1min = got.filter(_._3 == 1).map(_._2).min
+    val q3max = got.filter(_._3 == 3).map(_._2).max
+    assert(q1min >= q3max)
+  }
+
   test("budgetMix: waterfill saturation, redistribution, prefix-sum cut") {
     // source A: supply 10 (4+3+3), weight 3; source B: supply 12 (3x4),
     // weight 1; budget 16. Round 1 (wsum 4): A's share 12 >= 10 ->
