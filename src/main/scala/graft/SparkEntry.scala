@@ -579,6 +579,11 @@ object SparkEntry {
       .orderBy("probe_id", "vec_id")),
     "neardup_embeddings" -> prep((s, d) => Engine.canonical(
       Similarity.nearDupPairs(emb(s, d)))),
+    // per-source dup-rate scorecard (sourcing observability; MinHash
+    // pair tier feeder like every production consumer)
+    "dedup_scorecard" -> prep((s, d) =>
+      Dedup.dedupScorecard(docs(s, d), Dedup.minhashLshPairsPortable(docs(s, d)))
+        .orderBy("source")),
     // curriculum ordering: easy->hard phases by corpus-relative quality
     // tertiles, deterministic within-phase shuffle, global contiguous
     // rank with no single-reducer window
@@ -1004,6 +1009,7 @@ object SparkEntry {
     "snapshot_diff" -> ExtOracle.snapshotDiff,
     "quality_tiers" -> ExtOracle.qualityTiers,
     "curriculum_order" -> ExtOracle.curriculumOrder,
+    "dedup_scorecard" -> ExtOracle.dedupScorecard,
     "source_scorecard" -> ExtOracle.sourceScorecard,
     "retention_cohorts" -> ExtOracle.retentionCohorts,
     "text_stats" -> ExtOracle.textStats,

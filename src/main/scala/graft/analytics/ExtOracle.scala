@@ -1760,6 +1760,28 @@ keyed AS (
   SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS k
   FROM documents d LEFT JOIN mh_clusters c ON d.doc_id = c.doc_id)""".trim
 
+  /** Twin of Dedup.dedupScorecard over the MinHash pair tier: distinct
+    * either-side involvement, per-source rollup, one double division. */
+  val dedupScorecard: String = s"""$minhashAgreeChain,
+mh_pairs AS (
+  SELECT a_id, b_id FROM agree WHERE CAST(n_agree AS DOUBLE) / 32 >= 0.5),
+involved AS (
+  -- explicit DISTINCT over UNION ALL: inside a WITH RECURSIVE block
+  -- this DuckDB version skips cross-arm UNION dedup for this shape
+  SELECT DISTINCT doc_id FROM (
+    SELECT a_id AS doc_id FROM mh_pairs
+    UNION ALL SELECT b_id FROM mh_pairs)),
+g AS (
+  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(COALESCE(SUM(CASE WHEN i.doc_id IS NOT NULL THEN 1 END), 0)
+      AS BIGINT) AS n_dup_involved
+  FROM documents d LEFT JOIN involved i ON d.doc_id = i.doc_id
+  GROUP BY d.source)
+SELECT source, n_docs, n_dup_involved,
+  CAST(n_dup_involved AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate
+FROM g
+${ord("source")}""".trim
+
   /** Twin of Dedup.dedupCorpusMinhash: the portable-minhash candidate
     * pipeline (same CTE chain as minhashPairsPortable, est ≥ 0.9) +
     * the recursive component closure + the survivor anti-join — the

@@ -664,6 +664,33 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Per-source dedup scorecard — the data-sourcing observability
+    * report: for each source, how many documents participate in at
+    * least one near-dup pair (either side), and the resulting dup
+    * rate. A source whose rate spikes is re-crawling itself or
+    * mirroring another source — the dashboard signal that triggers
+    * re-weighting or exclusion BEFORE the tokens are spent. Any pair
+    * tier plugs in; the gate entry feeds the MinHash sketch tier like
+    * every production consumer.
+    *
+    * Scale shape: the involved-id set is a distinct over the pair
+    * sliver (dup-involved docs only — broadcast-size at any corpus
+    * scale); the per-source rollup is one map-side-combinable groupBy
+    * over (source, involved?) after a broadcast lookup join. One
+    * double division per source row at the end. */
+  def dedupScorecard(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val involved = pairs.select(col("a_id").as("doc_id"))
+      .union(pairs.select(col("b_id").as("doc_id"))).distinct()
+      .withColumn("__dup", lit(1L))
+    docs.select(col("doc_id"), col("source"))
+      .join(involved, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("__dup")), lit(0L)).as("n_dup_involved"))
+      .withColumn("dup_rate",
+        col("n_dup_involved").cast("double") / col("n_docs").cast("double"))
+  }
+
   /** Benchmark decontamination: for every corpus document, the
     * fraction of its w-token shingles that appear anywhere in the
     * benchmark set — the standard train/test contamination check run

@@ -396,6 +396,17 @@ class ExtSpec extends SparkSpec {
     assert(partial == Map(1L -> 4L), partial.toString)
   }
 
+  test("dedupScorecard: involvement counted once per doc, rates exact") {
+    val docs = Seq((1L, "sA"), (2L, "sA"), (3L, "sA"),
+      (10L, "sB"), (11L, "sB")).toDF("doc_id", "source")
+    // doc 1 appears in TWO pairs -> still counts once; sB untouched
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("a_id", "b_id")
+    val got = graft.ext.Dedup.dedupScorecard(docs, pairs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map("sA" -> ((3L, 3L, 1.0)), "sB" -> ((2L, 0L, 0.0))), got.toString)
+  }
+
   test("curriculumOrder: phases partition by quality, global rank contiguous") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val got = graft.ext.TextAnalysis.curriculumOrder(docs).collect()
