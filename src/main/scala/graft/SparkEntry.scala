@@ -579,6 +579,17 @@ object SparkEntry {
       .orderBy("probe_id", "vec_id")),
     "neardup_embeddings" -> prep((s, d) => Engine.canonical(
       Similarity.nearDupPairs(emb(s, d)))),
+    // canonical normalization: NFC (native expression) + lowercase +
+    // whitespace collapse — the pass before any hash/dedup/tokenize.
+    // Unicode provably exercised: deterministic combining-accent +
+    // fullwidth-char injections fold to precomposed lowercase forms
+    "normalize_text" -> prep((s, d) =>
+      TextAnalysis.normalizeText(
+        docs(s, d).withColumn("text",
+          when(col("doc_id") % 3 === 0,
+            concat(lit("Cafe\u0301 \t "), col("text"), lit("  A\u030a")))
+            .otherwise(col("text"))))
+        .orderBy("doc_id")),
     // per-source dup-rate scorecard (sourcing observability; MinHash
     // pair tier feeder like every production consumer)
     "dedup_scorecard" -> prep((s, d) =>
@@ -1010,6 +1021,7 @@ object SparkEntry {
     "quality_tiers" -> ExtOracle.qualityTiers,
     "curriculum_order" -> ExtOracle.curriculumOrder,
     "dedup_scorecard" -> ExtOracle.dedupScorecard,
+    "normalize_text" -> ExtOracle.normalizeText,
     "source_scorecard" -> ExtOracle.sourceScorecard,
     "retention_cohorts" -> ExtOracle.retentionCohorts,
     "text_stats" -> ExtOracle.textStats,

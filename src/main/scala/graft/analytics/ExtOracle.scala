@@ -311,6 +311,28 @@ ${ord("doc_id")}""".trim
 
   /** Twin of TextAnalysis.qualityTiers: same quality expression,
     * quantile_cont list cutoffs ≡ Spark percentile(array). */
+  /** Twin of TextAnalysis.normalizeText over the decomposed-unicode
+    * injection (%3 docs get combining-acute/ring sequences + a tab):
+    * DuckDB's nfc_normalize implements the same UAX #15 composition
+    * as the engine's native expression; chr(769)/chr(778) are the
+    * combining marks the Spark side injects as \\u0301/\\u030a. */
+  val normalizeText: String = s"""
+WITH injected AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+      THEN 'Cafe' || chr(769) || ' ' || chr(9) || ' ' || text
+        || '  A' || chr(778)
+      ELSE text END AS text
+  FROM documents),
+n AS (
+  SELECT doc_id,
+    trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))
+      AS text_norm
+  FROM injected)
+SELECT doc_id, text_norm, CAST(length(text_norm) AS INT) AS n_chars_norm
+FROM n
+${ord("doc_id")}""".trim
+
   /** Twin of TextAnalysis.curriculumOrder(phases = 3): same quality
     * expression and tertile cuts (phase 1 = top third), same
     * per-phase Knuth-bucket rank plus phase base offsets — a global

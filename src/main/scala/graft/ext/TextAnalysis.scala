@@ -288,6 +288,23 @@ object TextAnalysis {
           .as("tier"))
   }
 
+  /** Canonical text normalization — the preprocessing pass run before
+    * any hashing/dedup/tokenization so byte-different spellings of the
+    * same text collapse: Unicode NFC composition (native
+    * `NfcNormalize` expression — combining sequences fold into
+    * precomposed forms), lowercasing, whitespace runs collapsed to
+    * single spaces, edges trimmed. Pure scan projection (no shuffle,
+    * no UDF — the NFC step is a codegen'd native expression); DuckDB's
+    * `nfc_normalize` implements the same UAX #15 algorithm, which is
+    * what makes the pass oracle-checkable. */
+  def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      trim(regexp_replace(
+        lower(graft.functions.NfcNormalize.nfcNormalize(col(textCol))),
+        "\\s+", " ")).as("text_norm"))
+      .select(col("doc_id"), col("text_norm"),
+        length(col("text_norm")).cast("int").as("n_chars_norm"))
+
   /** Curriculum ordering — the data-ordering step of curriculum
     * training: documents are staged easy→hard by corpus-relative
     * quality (phase 1 = top third, descending), and within each phase

@@ -105,7 +105,11 @@ object GraftFunctions {
       { es: Seq[Expression] =>
         arity("pq_adc", es, 2, 2); PqAdc(es(0), es(1)) },
       "pq_adc(array<long>, array<array<long>>) - product-quantization" +
-        " asymmetric-distance lookup sum: sum_j tables[j][codes[j]]"))
+        " asymmetric-distance lookup sum: sum_j tables[j][codes[j]]"),
+    ("nfc_normalize",
+      { es: Seq[Expression] =>
+        arity("nfc_normalize", es, 1, 1); NfcNormalize(es.head) },
+      "nfc_normalize(str) - Unicode NFC canonical-composition normalization"))
 
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft.functions", "", name, usage,

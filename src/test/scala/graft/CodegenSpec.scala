@@ -97,7 +97,8 @@ class CodegenSpec extends SparkSpec {
     "dot64" -> "dot64(vec, vec2)",
     "nearest_centroid_l2" -> "nearest_centroid_l2(vec, cents_l2)",
     "nearest_centroid_cos" -> "nearest_centroid_cos(vec, nqd, cents_cos)",
-    "pq_adc" -> "pq_adc(pq_codes, pq_tables)")
+    "pq_adc" -> "pq_adc(pq_codes, pq_tables)",
+    "nfc_normalize" -> "nfc_normalize(concat(s, 'e\\u0301'))")
 
   private def run(s: SparkSession, nullable: Boolean, e: String): Seq[String] =
     inputs(s, nullable).selectExpr("id", s"cast(($e) as string) as v")

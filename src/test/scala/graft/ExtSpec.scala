@@ -396,6 +396,20 @@ class ExtSpec extends SparkSpec {
     assert(partial == Map(1L -> 4L), partial.toString)
   }
 
+  test("normalizeText: NFC composition, case fold, whitespace collapse") {
+    val docs = Seq(
+      (1L, "Cafe\u0301  du\tMonde"),  // combining acute -> precomposed e-acute
+      (2L, "  A\u030a  B  "),          // combining ring -> a-ring (lowered)
+      (3L, "\u212b plain"),            // ANGSTROM SIGN -> A-ring singleton -> lowered
+      (4L, "already clean")).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.normalizeText(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(got(1L) == (("caf\u00e9 du monde", 13)), got.toString)
+    assert(got(2L) == (("\u00e5 b", 3)), got.toString)
+    assert(got(3L) == (("\u00e5 plain", 7)), got.toString)
+    assert(got(4L) == (("already clean", 13)), got.toString)
+  }
+
   test("dedupScorecard: involvement counted once per doc, rates exact") {
     val docs = Seq((1L, "sA"), (2L, "sA"), (3L, "sA"),
       (10L, "sB"), (11L, "sB")).toDF("doc_id", "source")
