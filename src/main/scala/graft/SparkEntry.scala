@@ -579,6 +579,17 @@ object SparkEntry {
       .orderBy("probe_id", "vec_id")),
     "neardup_embeddings" -> prep((s, d) => Engine.canonical(
       Similarity.nearDupPairs(emb(s, d)))),
+    // DSIR selection: keep the top half by importance log-ratio vs the
+    // lang='en' target slice (exact corpus-quantile cutoff)
+    "dsir_select" -> prep((s, d) =>
+      TextAnalysis.dsirSelect(docs(s, d), col("lang") === "en")
+        .orderBy("doc_id")),
+    // per-language tokens-per-word fertility (tokenizer observability)
+    "tokenizer_fertility" -> prep((s, d) =>
+      TextAnalysis.tokenizerFertility(docs(s, d)).orderBy("lang")),
+    // Contriever-style deterministic positive crop pairs
+    "contrastive_crops" -> prep((s, d) =>
+      TextAnalysis.contrastiveCrops(docs(s, d)).orderBy("doc_id")),
     // canonical normalization: NFC (native expression) + lowercase +
     // whitespace collapse — the pass before any hash/dedup/tokenize.
     // Unicode provably exercised: deterministic combining-accent +
@@ -1022,6 +1033,9 @@ object SparkEntry {
     "curriculum_order" -> ExtOracle.curriculumOrder,
     "dedup_scorecard" -> ExtOracle.dedupScorecard,
     "normalize_text" -> ExtOracle.normalizeText,
+    "dsir_select" -> ExtOracle.dsirSelect,
+    "tokenizer_fertility" -> ExtOracle.tokenizerFertility,
+    "contrastive_crops" -> ExtOracle.contrastiveCrops,
     "source_scorecard" -> ExtOracle.sourceScorecard,
     "retention_cohorts" -> ExtOracle.retentionCohorts,
     "text_stats" -> ExtOracle.textStats,

@@ -761,6 +761,73 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
 FROM scored GROUP BY doc_id
 ${ord("doc_id")}""".trim
 
+  /** Twin of TextAnalysis.dsirSelect(lang='en', frac=0.5): the
+    * dsirWeights chain + the exact median cutoff (quantile_cont ≡
+    * Spark percentile) + the keep filter. */
+  val dsirSelect: String = s"""
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+    unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents),
+freqs AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf_raw,
+    CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tf_t
+  FROM toks GROUP BY tok),
+tot AS (
+  SELECT CAST(SUM(tf_raw) AS BIGINT) AS tot_raw,
+    CAST(SUM(tf_t) AS BIGINT) AS tot_t,
+    CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM freqs),
+scored AS (
+  SELECT t.doc_id,
+    CAST(round((ln(CAST(f.tf_t + 1 AS DOUBLE) /
+        CAST(tot.tot_t + tot.vocab AS DOUBLE))
+      - ln(CAST(f.tf_raw + 1 AS DOUBLE) /
+        CAST(tot.tot_raw + tot.vocab AS DOUBLE))) * 1000000) AS BIGINT) AS q
+  FROM toks t JOIN freqs f ON t.tok = f.tok, tot),
+w AS (
+  SELECT doc_id,
+    CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000 AS mean_logratio
+  FROM scored GROUP BY doc_id),
+c AS (SELECT quantile_cont(mean_logratio, 0.5) AS cut FROM w)
+SELECT doc_id, mean_logratio FROM w, c WHERE mean_logratio >= cut
+${ord("doc_id")}""".trim
+
+  /** Twin of TextAnalysis.tokenizerFertility: same BPE-regex token
+    * count as bpeTokenCount, per-language rollup, one division. */
+  val tokenizerFertility: String = s"""
+WITH t AS (
+  SELECT lang,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws,
+    CAST(len(regexp_extract_all(text,
+      '(''(?:[sdmt]|ll|ve|re))|( ?\\p{L}+)|( ?\\p{N}+)|( ?[^\\s\\p{L}\\p{N}]+)|(\\s+)'))
+      AS BIGINT) AS bpe
+  FROM documents)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
+  CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+  CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE) AS fertility
+FROM t GROUP BY lang
+${ord("lang")}""".trim
+
+  /** Twin of TextAnalysis.contrastiveCrops(w=10): same Knuth-bucket
+    * crop starts (second stream keyed on doc_id·31+7), inclusive
+    * list_slice ≡ Spark slice(start, 10). */
+  val contrastiveCrops: String = s"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+t AS (SELECT doc_id, w, len(w) - 10 + 1 AS m FROM ws WHERE len(w) >= 10),
+s AS (
+  SELECT doc_id, w,
+    CAST(((doc_id % 1000003) * 2654435761) % m + 1 AS INT) AS a_start,
+    CAST((((doc_id * 31 + 7) % 1000003) * 2654435761) % m + 1 AS INT) AS b_start
+  FROM t)
+SELECT doc_id, a_start, b_start,
+  array_to_string(list_slice(w, a_start, a_start + 9), ' ') AS span_a,
+  array_to_string(list_slice(w, b_start, b_start + 9), ' ') AS span_b
+FROM s
+${ord("doc_id")}""".trim
+
   /** Twin of TextAnalysis.bigramLmQuality: bigram instances from
     * array adjacency (≡ Spark's per-doc lead window), MLE conditional
     * log-probs quantized before the per-doc sum. */

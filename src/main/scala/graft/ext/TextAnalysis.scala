@@ -288,6 +288,65 @@ object TextAnalysis {
           .as("tier"))
   }
 
+  /** DSIR selection — the SELECTION step of data selection via
+    * importance resampling: score with `dsirWeights`, then keep the
+    * top `frac` of the corpus by mean log-ratio using the exact
+    * corpus quantile as the cutoff (corpus-relative, so the selector
+    * tracks distribution drift instead of a hand-picked constant).
+    * Composition of two oracle-checked pieces; one extra 1-row
+    * percentile broadcast over the scored frame. */
+  def dsirSelect(docs: DataFrame, targetPred: Column,
+      frac: Double = 0.5): DataFrame = {
+    val wts = dsirWeights(docs, targetPred)
+    val cut = wts.agg(expr(s"percentile(mean_logratio, ${1.0 - frac})").as("__cut"))
+    wts.crossJoin(broadcast(cut))
+      .where(col("mean_logratio") >= col("__cut"))
+      .select(col("doc_id"), col("mean_logratio"))
+  }
+
+  /** Tokenizer fertility report — per language, model tokens per
+    * whitespace word (the BPE-regex pre-tokenization count over the
+    * whitespace count): the observability number that says how many
+    * training tokens a language's text actually costs, and the first
+    * diagnostic when a tokenizer under-serves a language (fertility
+    * spikes). Two scan-side regexp counts, one per-lang
+    * map-combinable rollup, one double division per output row. */
+  def tokenizerFertility(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("ws"),
+        regexp_count(col("text"), lit(bpeSplitPattern)).cast("long").as("bpe"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("n_ws_tokens"),
+        sum(col("bpe")).as("n_bpe_tokens"))
+      .withColumn("fertility",
+        col("n_bpe_tokens").cast("double") / col("n_ws_tokens").cast("double"))
+
+  /** Contrastive crop pairs — two deterministic pseudo-random token
+    * spans per document (Contriever/SimCSE-style positive-pair
+    * generation for retriever pretraining: two views of one document
+    * are a positive pair, everything else in the batch is a
+    * negative). Crop starts are Knuth buckets over the doc id (and a
+    * derived second stream id·31+7), so pairs are reproducible
+    * run-to-run and engine-to-engine — no rand(). Docs shorter than
+    * the crop length drop out. Pure scan projection. */
+  def contrastiveCrops(docs: DataFrame, w: Int = 10): DataFrame = {
+    // Sampling.bucket's constants with a per-row modulus (the number
+    // of valid crop starts varies by document length)
+    def bkt(id: Column, m: Column): Column =
+      pmod(pmod(id, lit(1000003L)) * lit(2654435761L), m)
+    val t = docs.select(col("doc_id"), tokens(col("text")).as("ws"))
+      .where(size(col("ws")) >= w)
+      .withColumn("__m", (size(col("ws")) - w + 1).cast("long"))
+    t.select(col("doc_id"),
+        (bkt(col("doc_id"), col("__m")) + 1).cast("int").as("a_start"),
+        (bkt(col("doc_id") * 31 + 7, col("__m")) + 1).cast("int").as("b_start"),
+        col("ws"))
+      .select(col("doc_id"), col("a_start"), col("b_start"),
+        array_join(slice(col("ws"), col("a_start"), lit(w)), " ").as("span_a"),
+        array_join(slice(col("ws"), col("b_start"), lit(w)), " ").as("span_b"))
+  }
+
   /** Canonical text normalization — the preprocessing pass run before
     * any hashing/dedup/tokenization so byte-different spellings of the
     * same text collapse: Unicode NFC composition (native

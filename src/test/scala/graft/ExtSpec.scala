@@ -410,6 +410,31 @@ class ExtSpec extends SparkSpec {
     assert(got(4L) == (("already clean", 13)), got.toString)
   }
 
+  test("dsirSelect/tokenizerFertility/contrastiveCrops: structure and determinism") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // dsirSelect keeps ~the top half, all above the cutoff
+    val sel = graft.ext.TextAnalysis.dsirSelect(docs, col("lang") === "en")
+    val n = docs.count()
+    val kept = sel.count()
+    assert(kept >= n / 2 - 1 && kept <= n * 3 / 4, s"kept $kept of $n")
+    val wts = graft.ext.TextAnalysis.dsirWeights(docs, col("lang") === "en")
+      .select("doc_id", "mean_logratio").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val keptMin = sel.agg(min(col("mean_logratio"))).head().getDouble(0)
+    assert(wts.values.count(_ >= keptMin) == kept)
+
+    // fertility: bpe >= ws per language on whitespace-only text
+    val fert = graft.ext.TextAnalysis.tokenizerFertility(docs).collect()
+    assert(fert.nonEmpty && fert.forall(r => r.getDouble(4) >= 1.0))
+
+    // crops: deterministic, in-bounds, exactly w tokens each
+    val c1 = graft.ext.TextAnalysis.contrastiveCrops(docs, w = 10).collect()
+    val c2 = graft.ext.TextAnalysis.contrastiveCrops(docs, w = 10).collect()
+    assert(c1.map(_.toString).toSeq == c2.map(_.toString).toSeq)
+    assert(c1.forall(r => r.getString(3).split(" ").length == 10 &&
+      r.getString(4).split(" ").length == 10))
+  }
+
   test("dedupScorecard: involvement counted once per doc, rates exact") {
     val docs = Seq((1L, "sA"), (2L, "sA"), (3L, "sA"),
       (10L, "sB"), (11L, "sB")).toDF("doc_id", "source")
