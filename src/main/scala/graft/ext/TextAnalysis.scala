@@ -691,20 +691,25 @@ object TextAnalysis {
     * the exact int64 sum; the top-k cut orders (score DESC, doc_id
     * ASC).
     *
-    * Scale shape: the token stream collapses once to per-doc (tok, tf)
-    * counts (map-side combinable); doc lengths and the corpus stats
-    * are aggregates of that same counts table (exchange reused, 1-row
-    * broadcast for N/avgdl); the query-term filter prunes the counts
-    * table to |query| terms per doc BEFORE any join; df is a
-    * |query|-row broadcast. One corpus shuffle, then
-    * TakeOrderedAndProject for the top-k — no global sort. */
+    * Scale shape (round-7 rework): document lengths are a PURE
+    * PROJECTION (size of the token array) and the corpus stats a
+    * 1-row broadcast of it — the full-vocabulary (doc, tok) count
+    * shuffle the first cut paid carried every distinct term only to
+    * throw all but |query| of them away. The only aggregation runs
+    * over tokens already FILTERED to the query terms (the isin sits
+    * directly on the generate output, scan-side), so the counts
+    * shuffle is query-proportional, not vocabulary-proportional; df
+    * is a |query|-row broadcast; the scored join shuffles two NARROW
+    * doc_id-keyed frames; the top-k cut is TakeOrderedAndProject —
+    * no global sort. */
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val cnts = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dlen = cnts.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("ws"))
+    val dlen = base.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
     val stats = dlen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-    val qcnts = cnts.where(col("tok").isin(queryTerms.distinct: _*))
+    val qcnts = base.select(col("doc_id"), explode(col("ws")).as("tok"))
+      .where(col("tok").isin(queryTerms.distinct: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfreq = qcnts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val scored = qcnts.join(broadcast(dfreq), "tok")
       .join(dlen, "doc_id")
