@@ -312,6 +312,10 @@ object SparkEntry {
     "bigram_lm_pruned" -> prep((s, d) =>
       TextAnalysis.bigramLmQualityPruned(docs(s, d), minCount = 3)
         .orderBy("doc_id")),
+    // Jelinek-Mercer interpolated bigram LM (dyadic lambda=0.75 so
+    // both engines' smoothing literals are bit-identical)
+    "bigram_lm_interp" -> prep((s, d) =>
+      TextAnalysis.bigramLmQualityInterp(docs(s, d)).orderBy("doc_id")),
     // DSIR-style importance weights vs the lang='en' target slice
     "dsir_weights" -> prep((s, d) =>
       TextAnalysis.dsirWeights(docs(s, d), col("lang") === "en")
@@ -552,6 +556,10 @@ object SparkEntry {
     // graph-based dedup/clustering substrate; one cell self-join)
     "knn_graph" -> prep((s, d) =>
       Similarity.knnGraph(emb(s, d), k = 5).orderBy("vec_id", "nbr_id")),
+    // integer PageRank over the kNN graph (centrality as a curation
+    // signal: canonical representatives rank high, satellites low)
+    "knn_pagerank" -> prep((s, d) =>
+      Similarity.knnPageRank(emb(s, d)).orderBy("vec_id")),
     // int8 scalar quantization: per-dim affine [min,max]->[0,255]
     // codes (the memory-bandwidth tier; 8x smaller scans, no codebook)
     "sq_encode" -> prep((s, d) =>
@@ -1091,6 +1099,7 @@ object SparkEntry {
     "pq_encode" -> ExtOracle.pqEncode,
     "sq_encode" -> ExtOracle.sqEncode,
     "knn_graph" -> ExtOracle.knnGraph,
+    "knn_pagerank" -> ExtOracle.knnPageRank,
     "budget_mix" -> ExtOracle.budgetMix,
     "ann_ivfpq_residual" -> ExtOracle.ivfPqResidual,
     "ann_sq_topk" -> ExtOracle.sqTopK,
@@ -1108,6 +1117,7 @@ object SparkEntry {
     "dsir_weights" -> ExtOracle.dsirWeights,
     "bigram_lm_quality" -> ExtOracle.bigramLmQuality,
     "bigram_lm_pruned" -> ExtOracle.bigramLmPruned,
+    "bigram_lm_interp" -> ExtOracle.bigramLmInterp,
     "span_dup_score" -> ExtOracle.spanDupScore,
     "novelty_score" -> ExtOracle.noveltyScore,
     "substring_dedup" -> ExtOracle.substringDedup,

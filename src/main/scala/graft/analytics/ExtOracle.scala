@@ -761,6 +761,40 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
 FROM scored GROUP BY doc_id
 ${ord("doc_id")}""".trim
 
+  /** Twin of TextAnalysis.bigramLmQualityInterp(λ=0.75): MLE bigram
+    * ratio interpolated with the unigram model of the NEXT token —
+    * dyadic λ so 0.75/0.25 are the same IEEE doubles both engines. */
+  val bigramLmInterp: String = s"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+t AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS i, w FROM ws),
+bi AS (
+  SELECT doc_id, w[CAST(i AS INT)] AS tok, w[CAST(i + 1 AS INT)] AS next
+  FROM t WHERE i < len(w)),
+bf AS (
+  SELECT tok, next, CAST(COUNT(*) AS BIGINT) AS bf FROM bi GROUP BY tok, next),
+cf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf FROM bi GROUP BY tok),
+uf AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS uf FROM (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS u FROM documents)
+  GROUP BY u),
+tot AS (SELECT CAST(SUM(uf) AS BIGINT) AS total FROM uf),
+scored AS (
+  SELECT b.doc_id,
+    CAST(round(ln(
+      0.75 * (CAST(f.bf AS DOUBLE) / CAST(c.cf AS DOUBLE))
+      + 0.25 * (CAST(u.uf AS DOUBLE) / CAST(tot.total AS DOUBLE)))
+      * 1000000) AS BIGINT) AS q
+  FROM bi b
+  JOIN bf f ON b.tok = f.tok AND b.next = f.next
+  JOIN cf c ON b.tok = c.tok
+  JOIN uf u ON b.next = u.u, tot)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(SUM(q) AS BIGINT) AS sum_q_logprob,
+  CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000 AS mean_logprob
+FROM scored GROUP BY doc_id
+${ord("doc_id")}""".trim
+
   /** Twin of TextAnalysis.dsirSelect(lang='en', frac=0.5): the
     * dsirWeights chain + the exact median cutoff (quantile_cont ≡
     * Spark percentile) + the keep filter. */
@@ -2564,10 +2598,10 @@ topk AS (
 SELECT probe_id, vec_id, adist FROM topk
 ${ord("probe_id", "vec_id")}""".trim
 
-  /** Twin of Similarity.knnGraph: same IVF cell assignment as the
-    * semanticDedup twin, within-cell pairs both directions, per-vector
-    * (cosine DESC, nbr ASC) top-5 window. */
-  val knnGraph: String = s"""
+  /** Shared CTE chain for the kNN-graph twins: the semanticDedup cell
+    * assignment, within-cell pairs both directions, per-vector
+    * (cosine DESC, nbr ASC) top-5 window → `knng`. */
+  private val knnChain: String = s"""
 WITH e AS ($quantized),
 cents AS (SELECT vec_id AS cent_id, q AS cq FROM e WHERE vec_id % 50 = 0),
 cos_ec AS (
@@ -2588,9 +2622,45 @@ scored AS (
   FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
 rk AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-    ORDER BY cosine_sim DESC, nbr_id ASC) AS nn_rank FROM scored)
-SELECT vec_id, nbr_id, nn_rank, cosine_sim FROM rk WHERE nn_rank <= 5
+    ORDER BY cosine_sim DESC, nbr_id ASC) AS nn_rank FROM scored),
+knng AS (
+  SELECT vec_id, nbr_id, nn_rank, cosine_sim FROM rk WHERE nn_rank <= 5)""".trim
+
+  /** Twin of Similarity.knnGraph. */
+  val knnGraph: String = s"""
+$knnChain
+SELECT vec_id, nbr_id, nn_rank, cosine_sim FROM knng
 ${ord("vec_id", "nbr_id")}""".trim
+
+  /** Twin of Similarity.knnPageRank(iters=5): the knng chain +
+    * out-degrees + 5 unrolled integer-PageRank iterations (scores in
+    * int64 10⁻¹² units, integral divisions — bit-identical to the
+    * engine's trajectory). */
+  val knnPageRank: String = {
+    val S = "1000000000000"
+    val rounds = (1 to 5).map { i =>
+      s"""
+c$i AS (
+  SELECT g.nbr_id AS dst, CAST(SUM(s.sc // od.deg) AS BIGINT) AS i
+  FROM knng g JOIN od ON g.vec_id = od.src JOIN s${i - 1} s ON g.vec_id = s.id
+  GROUP BY g.nbr_id),
+s$i AS (
+  SELECT od.src AS id,
+    CAST(($S * 15 // 100) // nn.n + (85 * COALESCE(c.i, 0)) // 100 AS BIGINT) AS sc
+  FROM od CROSS JOIN nn LEFT JOIN c$i c ON od.src = c.dst)""".trim
+    }.mkString(",\n")
+    s"""
+$knnChain,
+od AS (SELECT vec_id AS src, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM knng GROUP BY vec_id),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM od),
+s0 AS (SELECT od.src AS id, CAST($S // nn.n AS BIGINT) AS sc FROM od, nn),
+$rounds
+SELECT id AS vec_id, sc AS q_rank,
+  CAST(sc AS DOUBLE) / $S AS pagerank
+FROM s5
+${ord("vec_id")}""".trim
+  }
 
   val nearDupEmbeddings: String = s"""
 WITH e AS ($quantized),

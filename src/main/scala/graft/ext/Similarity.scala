@@ -484,6 +484,55 @@ object Similarity {
       .select(col("vec_id"), col("nbr_id"), col("nn_rank"), col("cosine_sim"))
   }
 
+  /** PageRank over the kNN graph — graph centrality as a data-curation
+    * signal: a vector central to its neighborhood (many near-dup/
+    * related documents point at it) is the canonical representative;
+    * low-rank satellites are prune candidates. The standard iterative
+    * PageRank (damping 0.85, uniform teleport) over `knnGraph`'s
+    * edges, in EXACT integer arithmetic: scores live as int64
+    * 10⁻¹²-units, per-edge contributions are integral division by
+    * out-degree, and the damping step is (85·Σ) div 100 — every engine
+    * reproduces the trajectory bit-for-bit (floating PageRank differs
+    * by summation order). kNN graphs have no dangling nodes (a
+    * neighbor shares a cell, so it has candidates of its own).
+    *
+    * Scale shape: the edge table (corpus·k rows, narrow) is built once
+    * and CACHED (same eager trade as dupClusters/kcenterSample — the
+    * alternative re-derives the whole kNN build per iteration
+    * reference); each iteration is one join + map-combinable groupBy
+    * on the dst key composed LAZILY, so `iters` iterations are one
+    * linear plan over the cached edges. Driver state: the node count. */
+  def knnPageRank(emb: DataFrame, k: Int = 5, iters: Int = 5,
+      centroidMod: Int = 50): DataFrame = {
+    val SCALE = 1000000000000L
+    val edges = knnGraph(emb, k, centroidMod)
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e = edges.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("deg")).cache()
+    val nodes = outdeg.select(col("src").as("id")).cache()
+    val n = nodes.count()
+    if (n == 0) {
+      // empty graph (no vector shares a cell): nothing to rank
+      return emb.sparkSession.emptyDataFrame
+        .withColumn("vec_id", lit(0L)).withColumn("q_rank", lit(0L))
+        .withColumn("pagerank", lit(0.0)).limit(0)
+    }
+    val init = SCALE / n
+    val base = (SCALE * 15L / 100L) / n
+    var scores = nodes.select(col("id"), lit(init).as("sc"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(scores, col("src") === col("id"))
+        .select(col("dst"), expr("sc div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in"))
+      scores = nodes.join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(base) + expr("(85 * coalesce(in, 0)) div 100")).as("sc"))
+    }
+    scores.select(col("id").as("vec_id"), col("sc").as("q_rank"),
+      (col("sc").cast("double") / SCALE).as("pagerank"))
+  }
+
   /** Residual IVF-PQ (IVFADC proper) — the composition FAISS ships as
     * its production index: PQ codes are learned and applied on the
     * RESIDUAL r = v − centroid(cell(v)), not the raw vector. Residuals

@@ -881,6 +881,44 @@ object TextAnalysis {
           / 1000000)
   }
 
+  /** `bigramLmQuality` with Jelinek–Mercer interpolation — the
+    * smoothing production LM scorers actually use: P(next|tok) =
+    * λ·P_MLE(next|tok) + (1−λ)·P_unigram(next), so unseen-in-context
+    * but globally common continuations score by their unigram mass
+    * instead of falling off the MLE cliff (the backoff-to-1 trick in
+    * the pruned variant bounds error; interpolation removes it).
+    * λ = 0.75 by default — DYADIC, so λ and 1−λ are exact in IEEE
+    * doubles and the oracle's literals are bit-identical.
+    *
+    * Scale shape: the bigram counts collapse + model-exchange reuse of
+    * `bigramLmQuality`, plus one unigram model join on the `next` key
+    * (vocab-sized, broadcast when small) and the corpus-total 1-row
+    * broadcast. Per-(doc,pair) contributions quantize ·10⁶ before the
+    * exact Σ cnt·q rollup. */
+  def bigramLmQualityInterp(docs: DataFrame, lambda: Double = 0.75): DataFrame = {
+    val cnts = bigramCounts(docs)
+    val bf = cnts.groupBy(col("tok"), col("next")).agg(sum(col("cnt")).as("bf"))
+    val cf = cnts.groupBy(col("tok")).agg(sum(col("cnt")).as("cf"))
+    val toks = docs.select(explode(tokens(col("text"))).as("u"))
+    val uf = toks.groupBy(col("u")).agg(count(lit(1)).as("uf"))
+    val total = uf.agg(sum(col("uf")).as("total"))
+    val scored = cnts.join(bf, Seq("tok", "next")).join(cf, Seq("tok"))
+      .join(uf.withColumnRenamed("u", "next"), Seq("next"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("cnt"),
+        round(log(
+          lit(lambda) * (col("bf").cast("double") / col("cf").cast("double"))
+            + lit(1.0 - lambda)
+            * (col("uf").cast("double") / col("total").cast("double")))
+          * 1000000).cast("long").as("q"))
+    scored.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("cnt") * col("q")).as("sum_q_logprob"))
+      .withColumn("mean_logprob",
+        col("sum_q_logprob").cast("double") / col("n_bigrams").cast("double")
+          / 1000000)
+  }
+
   /** (doc_id, tok, next, cnt) — per-document counts of adjacent token
     * pairs, formed by zipping each document's token array against
     * itself shifted by one, exploding, and a map-side-combinable

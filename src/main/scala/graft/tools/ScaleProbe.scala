@@ -47,7 +47,12 @@ object ScaleProbe {
     // shingle overlap; circularly shifting embeddings by the copy
     // index de-correlates them in cosine space. Duplication RATE then
     // stays constant as the corpus grows.
-    for (n <- copies) {
+    // optional arg: comma-separated op-name filter (re-time a subset
+    // against already-written replicas without the staging pass)
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+    for (n <- copies
+         if !new java.io.File(s"$out/docs_$n/_SUCCESS").exists()) {
       val dDir = s"$out/docs_$n"
       val eDir = s"$out/emb_$n"
       replicate(docs0, "doc_id", n)
@@ -67,15 +72,16 @@ object ScaleProbe {
         .repartition(32).write.mode("overwrite").parquet(eDir)
     }
 
-    def t(name: String, n: Int)(f: => Long): Unit = {
-      var best = Long.MaxValue
-      var rows = 0L
-      for (_ <- 1 to 2) {
-        val t0 = System.nanoTime(); rows = f
-        best = math.min(best, System.nanoTime() - t0)
+    def t(name: String, n: Int)(f: => Long): Unit =
+      if (only.forall(_.contains(name))) {
+        var best = Long.MaxValue
+        var rows = 0L
+        for (_ <- 1 to 2) {
+          val t0 = System.nanoTime(); rows = f
+          best = math.min(best, System.nanoTime() - t0)
+        }
+        println(f"[probe] $name%-24s x$n%-3d ${best / 1e9}%8.2f s  rows=$rows")
       }
-      println(f"[probe] $name%-24s x$n%-3d ${best / 1e9}%8.2f s  rows=$rows")
-    }
 
     for (n <- copies) {
       val docs = spark.read.parquet(s"$out/docs_$n")
@@ -128,6 +134,25 @@ object ScaleProbe {
       t("ivfPqTopK", n)(Similarity.ivfPqTopK(emb,
         emb.where(col("vec_id") % (100L * n) === 0), centroidMod = mod).count())
       t("bpeLearnMerges", n)(TextAnalysis.bpeLearnMerges(docs).count())
+      // round-7 additions: all-vectors kNN graph — centroidMod stays
+      // CONSTANT here (cells ∝ corpus, cell SIZE fixed ~50) because
+      // Σ|cell|² is the graph's pair bound: fixed cell size keeps it
+      // linear in the corpus, which is the documented deployment knob
+      // (holding cell COUNT fixed instead grows cells and the pair
+      // space quadratically — measured 21 s at 64×, vs linear here);
+      // BM25 retrieval (projection lengths + query-term-filtered
+      // counts); the waterfill budget mixer (budget ∝ copies keeps
+      // the selection fraction constant)
+      t("knnGraph", n)(Similarity.knnGraph(emb).count())
+      t("bm25TopK", n)(TextAnalysis.bm25TopK(docs,
+        Seq(s"c0_spark", s"c0_merge", s"c0_vector")).count())
+      t("budgetMix", n)(Sampling.budgetMix(
+        docs.withColumn("source", concat(lit("src"),
+            pmod(col("doc_id"), lit(3)).cast("string")))
+          .withColumn("n_tokens",
+            size(split(trim(col("text")), "\\s+")).cast("long")),
+        "source", Map("src0" -> 6, "src1" -> 3, "src2" -> 1),
+        budget = 300000L * n, tokensCol = "n_tokens").count())
     }
     spark.stop()
   }

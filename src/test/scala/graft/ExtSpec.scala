@@ -410,6 +410,37 @@ class ExtSpec extends SparkSpec {
     assert(got(4L) == (("already clean", 13)), got.toString)
   }
 
+  test("bigramLmQualityInterp: hand-computed interpolated scores") {
+    // corpus: "a b" (1), "a c" (2): bigrams (a,b):1, (a,c):1; cf(a)=2
+    // unigrams: a:2, b:1, c:1; total 4
+    // q(a,b) = round(ln(0.75*(1/2) + 0.25*(1/4))*1e6) for both pairs
+    val docs = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val q = math.round(math.log(0.75 * (1.0 / 2.0) + 0.25 * (1.0 / 4.0)) * 1000000)
+    val got = graft.ext.TextAnalysis.bigramLmQualityInterp(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(1L -> ((1L, q)), 2L -> ((1L, q))), s"$got vs q=$q")
+    // interpolation floor: an unseen-in-context but common next token
+    // scores above the pruned backoff's ln(1/cf) cliff by construction
+    assert(q > math.round(math.log(1.0 / 2.0) * 1000000) -
+      math.round(math.log(0.75) * 1000000).abs)
+  }
+
+  test("knnPageRank: mass conservation, centrality ordering, determinism") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pr = graft.ext.Similarity.knnPageRank(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pr.nonEmpty)
+    // integer mass stays within floor-loss of the full SCALE unit
+    val total = pr.map(_._2).sum
+    val n = pr.length
+    assert(total <= 1000000000000L && total >= 1000000000000L - 100L * n,
+      s"mass $total over $n nodes")
+    // identical on a second run (exact integer trajectory)
+    val pr2 = graft.ext.Similarity.knnPageRank(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pr.sortBy(_._1).toSeq == pr2.sortBy(_._1).toSeq)
+  }
+
   test("dsirSelect/tokenizerFertility/contrastiveCrops: structure and determinism") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     // dsirSelect keeps ~the top half, all above the cutoff
