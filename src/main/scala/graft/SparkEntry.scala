@@ -587,6 +587,10 @@ object SparkEntry {
       .orderBy("probe_id", "vec_id")),
     "neardup_embeddings" -> prep((s, d) => Engine.canonical(
       Similarity.nearDupPairs(emb(s, d)))),
+    // T5-style span corruption: 3-token spans at stride 20 (15% mask),
+    // sentinel-replaced input + seq2seq targets, Knuth-offset spans
+    "span_corruption" -> prep((s, d) =>
+      TextAnalysis.spanCorruption(docs(s, d)).orderBy("doc_id")),
     // DSIR selection: keep the top half by importance log-ratio vs the
     // lang='en' target slice (exact corpus-quantile cutoff)
     "dsir_select" -> prep((s, d) =>
@@ -1042,6 +1046,7 @@ object SparkEntry {
     "dedup_scorecard" -> ExtOracle.dedupScorecard,
     "normalize_text" -> ExtOracle.normalizeText,
     "dsir_select" -> ExtOracle.dsirSelect,
+    "span_corruption" -> ExtOracle.spanCorruption,
     "tokenizer_fertility" -> ExtOracle.tokenizerFertility,
     "contrastive_crops" -> ExtOracle.contrastiveCrops,
     "source_scorecard" -> ExtOracle.sourceScorecard,

@@ -795,6 +795,57 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
 FROM scored GROUP BY doc_id
 ${ord("doc_id")}""".trim
 
+  /** Twin of TextAnalysis.spanCorruption(spanLen=3, stride=20): same
+    * Knuth offset, complete-span gate with an explicit negative guard
+    * (DuckDB `//` truncates toward zero — a phantom span otherwise
+    * appears exactly when no span fits), per-position CASE rebuilt in
+    * doc order, ordered string_agg for both output sequences. */
+  val spanCorruption: String = s"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+b AS (
+  SELECT doc_id, w, CAST(len(w) AS INT) AS n,
+    CAST(((doc_id % 1000003) * 2654435761) % 20 AS INT) AS off
+  FROM ws),
+b2 AS (
+  -- explicit no-fit guard: DuckDB's // TRUNCATES toward zero, so a
+  -- negative remaining-length would round UP to a phantom span
+  SELECT *, CAST(CASE WHEN n - off - 3 >= 0
+    THEN (n - off - 3) // 20 + 1 ELSE 0 END AS INT) AS n_spans
+  FROM b),
+pos AS (
+  SELECT doc_id, off, n_spans, w,
+    CAST(unnest(generate_series(0, n - 1)) AS INT) AS i
+  FROM b2),
+ct AS (
+  SELECT doc_id, i,
+    CASE
+      WHEN NOT (i >= off AND (i - off) % 20 < 3
+        AND (i - off) // 20 < n_spans) THEN w[i + 1]
+      WHEN (i - off) % 20 = 0
+        THEN '<extra_id_' || CAST((i - off) // 20 AS VARCHAR) || '>'
+      ELSE NULL END AS t
+  FROM pos),
+corr AS (
+  SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS corrupted
+  FROM ct WHERE t IS NOT NULL GROUP BY doc_id),
+sp AS (
+  SELECT doc_id, off, w, CAST(unnest(generate_series(0, n_spans - 1)) AS INT) AS k
+  FROM b2 WHERE n_spans > 0),
+tg0 AS (
+  SELECT doc_id, k,
+    '<extra_id_' || CAST(k AS VARCHAR) || '>' || ' ' ||
+      array_to_string(list_slice(w, off + k*20 + 1, off + k*20 + 3), ' ') AS seg
+  FROM sp),
+tg AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY k) AS targets
+  FROM tg0 GROUP BY doc_id)
+SELECT b2.doc_id, b2.n AS n_tokens, b2.n_spans,
+  COALESCE(corr.corrupted, '') AS corrupted,
+  COALESCE(tg.targets, '') AS targets
+FROM b2 LEFT JOIN corr USING (doc_id) LEFT JOIN tg USING (doc_id)
+${ord("doc_id")}""".trim
+
   /** Twin of TextAnalysis.dsirSelect(lang='en', frac=0.5): the
     * dsirWeights chain + the exact median cutoff (quantile_cont ≡
     * Spark percentile) + the keep filter. */

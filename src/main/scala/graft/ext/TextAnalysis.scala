@@ -288,6 +288,61 @@ object TextAnalysis {
           .as("tier"))
   }
 
+  /** T5-style span corruption — the denoising-objective data prep:
+    * mask `spanLen`-token spans covering `spanLen/stride` of each
+    * document (15% at the 3/20 default), replace each masked span
+    * with a sentinel `<extra_id_k>`, and emit the TARGET sequence
+    * (sentinel + original span, concatenated in order) the
+    * seq-to-seq trainer predicts.
+    *
+    * Deterministic by construction: spans start at positions ≡ a
+    * per-document Knuth-bucket offset (mod stride) — the masked
+    * fraction is exactly spanLen/stride, positions are reproducible
+    * run-to-run and engine-to-engine (no rand()), and the per-doc
+    * offset de-correlates mask positions across documents. Docs
+    * shorter than one full span at the offset yield no mask and pass
+    * through with an empty target. Pure scan-side HOF projection —
+    * no shuffle, no UDF. */
+  def spanCorruption(docs: DataFrame, spanLen: Int = 3,
+      stride: Int = 20): DataFrame = {
+    require(spanLen >= 1 && stride > spanLen, "need spanLen < stride")
+    val ws = tokens(col("text"))
+    val off = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L),
+      lit(stride.toLong)).cast("int")
+    // position i (0-based) is masked iff i >= off and (i-off) mod
+    // stride < spanLen AND the span it belongs to fits entirely
+    val base = docs.select(col("doc_id"), ws.as("ws"), off.as("off"))
+      .withColumn("n", size(col("ws")))
+      // number of COMPLETE spans that fit: starts off, off+stride, ...
+      .withColumn("n_spans",
+        greatest(lit(0), ((col("n") - col("off") - spanLen) / stride + 1)
+          .cast("int")))
+    def spanOf(i: Column) = // span index of position i, -1 if unmasked
+      when(i >= col("off") &&
+        pmod(i - col("off"), lit(stride)) < spanLen &&
+        ((i - col("off")) / stride).cast("int") < col("n_spans"),
+        ((i - col("off")) / stride).cast("int")).otherwise(lit(-1))
+    val corrupted = array_join(
+      filter(
+        transform(col("ws"), (x, i) =>
+          when(spanOf(i) < 0, x)
+            .when(pmod(i - col("off"), lit(stride)) === 0,
+              concat(lit("<extra_id_"), spanOf(i).cast("string"), lit(">")))
+            .otherwise(lit(null).cast("string"))),
+        x => x.isNotNull),
+      " ")
+    // sequence(0, -1) yields [0, -1] (inferred negative step), so the
+    // no-span case must short-circuit to the empty target explicitly
+    val targets = when(col("n_spans") > 0, array_join(
+      flatten(transform(sequence(lit(0), col("n_spans") - 1), k =>
+        concat(
+          array(concat(lit("<extra_id_"), k.cast("string"), lit(">"))),
+          slice(col("ws"), col("off") + k * stride + 1, lit(spanLen))))),
+      " ")).otherwise(lit(""))
+    base.select(col("doc_id"), col("n").cast("int").as("n_tokens"),
+      col("n_spans"), corrupted.as("corrupted"), targets.as("targets"))
+  }
+
   /** DSIR selection — the SELECTION step of data selection via
     * importance resampling: score with `dsirWeights`, then keep the
     * top `frac` of the corpus by mean log-ratio using the exact

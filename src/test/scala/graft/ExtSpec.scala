@@ -410,6 +410,31 @@ class ExtSpec extends SparkSpec {
     assert(got(4L) == (("already clean", 13)), got.toString)
   }
 
+  test("spanCorruption: hand-checked masks, sentinels, targets, short docs") {
+    // stride 4, span 2 -> 50% mask; doc 0 has off = 0
+    val docs = Seq((0L, "t0 t1 t2 t3 t4 t5 t6 t7"), (1L, "a b")).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.spanCorruption(docs, spanLen = 2, stride = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3), r.getString(4)))).toMap
+    // off(0) = 0: spans at 0-1 and 4-5 (8 tokens -> 2 complete spans)
+    assert(got(0L) == ((8, 2,
+      "<extra_id_0> t2 t3 <extra_id_1> t6 t7",
+      "<extra_id_0> t0 t1 <extra_id_1> t4 t5")), got.toString)
+    // doc 1: off(1) = ((1 % 1000003) * 2654435761) % 4; 2 tokens can
+    // only host a span if off == 0 — either way the contract holds:
+    // n_spans complete spans, rest untouched
+    val (n1, s1, c1, t1) = got(1L)
+    assert(n1 == 2 && (s1 == 0 && c1 == "a b" && t1 == "" ||
+      s1 == 1 && c1 == "<extra_id_0>" && t1 == "<extra_id_0> a b"), got.toString)
+    // default 3/20: masked fraction over the fixture ~= 15%
+    val fx = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sc = graft.ext.TextAnalysis.spanCorruption(fx).collect()
+    val masked = sc.map(r => 3L * r.getInt(2)).sum.toDouble
+    val total = sc.map(_.getInt(1).toLong).sum.toDouble
+    assert(masked / total > 0.10 && masked / total <= 0.16,
+      s"masked fraction ${masked / total}")
+  }
+
   test("bigramLmQualityInterp: hand-computed interpolated scores") {
     // corpus: "a b" (1), "a c" (2): bigrams (a,b):1, (a,c):1; cf(a)=2
     // unigrams: a:2, b:1, c:1; total 4
