@@ -587,6 +587,11 @@ object SparkEntry {
       .orderBy("probe_id", "vec_id")),
     "neardup_embeddings" -> prep((s, d) => Engine.canonical(
       Similarity.nearDupPairs(emb(s, d)))),
+    // pairwise Pearson between the quality / LM / repetition signals
+    // (filter-stack calibration; exact decimal moment sums)
+    "signal_correlation" -> prep((s, d) =>
+      TextAnalysis.signalCorrelation(docs(s, d))
+        .orderBy("signal_x", "signal_y")),
     // T5-style span corruption: 3-token spans at stride 20 (15% mask),
     // sentinel-replaced input + seq2seq targets, Knuth-offset spans
     "span_corruption" -> prep((s, d) =>
@@ -1047,6 +1052,7 @@ object SparkEntry {
     "normalize_text" -> ExtOracle.normalizeText,
     "dsir_select" -> ExtOracle.dsirSelect,
     "span_corruption" -> ExtOracle.spanCorruption,
+    "signal_correlation" -> ExtOracle.signalCorrelation,
     "tokenizer_fertility" -> ExtOracle.tokenizerFertility,
     "contrastive_crops" -> ExtOracle.contrastiveCrops,
     "source_scorecard" -> ExtOracle.sourceScorecard,

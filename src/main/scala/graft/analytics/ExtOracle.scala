@@ -795,6 +795,90 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
 FROM scored GROUP BY doc_id
 ${ord("doc_id")}""".trim
 
+  /** Twin of TextAnalysis.signalCorrelation: the quality, repetition,
+    * and unigram-LM chains joined per doc, signals quantized ·10⁶,
+    * exact HUGEINT moment sums (≡ Spark's decimal(38) sums), and the
+    * same fixed double Pearson combination over per-sum double casts. */
+  val signalCorrelation: String = s"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+    CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) AS n_uniq,
+    CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents),
+q AS (
+  SELECT doc_id,
+    round((n_uniq / n_tok) * 0.5
+      + least(n_tok / 64.0, 1.0) * 0.3
+      + (CASE WHEN ((n_chars - (n_tok - 1)) / n_tok) BETWEEN 3.0 AND 9.0
+              THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+  FROM t),
+ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+shl AS (
+  SELECT doc_id, list_transform(
+    generate_series(1, greatest(len(w) - 2, 1)),
+    i -> array_to_string(list_slice(w, i, i + 2), ' ')) AS sh
+  FROM ws),
+rep AS (
+  SELECT doc_id,
+    1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE)
+      AS repetition
+  FROM shl),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents),
+freqs AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM freqs),
+scoredlm AS (
+  SELECT t2.doc_id,
+    CAST(round(ln(CAST(f.tf AS DOUBLE) / CAST(tot.total AS DOUBLE))
+      * 1000000) AS BIGINT) AS q
+  FROM toks t2 JOIN freqs f ON t2.tok = f.tok, tot),
+lmq AS (
+  SELECT doc_id,
+    CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000 AS mean_logprob
+  FROM scoredlm GROUP BY doc_id),
+j AS (
+  SELECT CAST(round(q.quality * 1000000) AS BIGINT) AS qq,
+    CAST(round(l.mean_logprob * 1000000) AS BIGINT) AS ql,
+    CAST(round(r.repetition * 1000000) AS BIGINT) AS qr
+  FROM q JOIN lmq l USING (doc_id) JOIN rep r USING (doc_id)),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(qq) AS sxq, SUM(ql) AS syl, SUM(qr) AS sr,
+    SUM(qq * qq) AS sxxq, SUM(ql * ql) AS syyl, SUM(qr * qr) AS srr,
+    SUM(qq * ql) AS sql_, SUM(qq * qr) AS sqr_, SUM(ql * qr) AS slr_
+  FROM j)
+SELECT 'quality' AS signal_x, 'lm' AS signal_y, n AS n_docs,
+  (CAST(n AS DOUBLE) * CAST(sql_ AS DOUBLE)
+    - CAST(sxq AS DOUBLE) * CAST(syl AS DOUBLE))
+  / (sqrt(CAST(n AS DOUBLE) * CAST(sxxq AS DOUBLE)
+      - CAST(sxq AS DOUBLE) * CAST(sxq AS DOUBLE))
+    * sqrt(CAST(n AS DOUBLE) * CAST(syyl AS DOUBLE)
+      - CAST(syl AS DOUBLE) * CAST(syl AS DOUBLE))) AS pearson
+FROM agg
+UNION ALL
+SELECT 'quality', 'repetition', n,
+  (CAST(n AS DOUBLE) * CAST(sqr_ AS DOUBLE)
+    - CAST(sxq AS DOUBLE) * CAST(sr AS DOUBLE))
+  / (sqrt(CAST(n AS DOUBLE) * CAST(sxxq AS DOUBLE)
+      - CAST(sxq AS DOUBLE) * CAST(sxq AS DOUBLE))
+    * sqrt(CAST(n AS DOUBLE) * CAST(srr AS DOUBLE)
+      - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)))
+FROM agg
+UNION ALL
+SELECT 'lm', 'repetition', n,
+  (CAST(n AS DOUBLE) * CAST(slr_ AS DOUBLE)
+    - CAST(syl AS DOUBLE) * CAST(sr AS DOUBLE))
+  / (sqrt(CAST(n AS DOUBLE) * CAST(syyl AS DOUBLE)
+      - CAST(syl AS DOUBLE) * CAST(syl AS DOUBLE))
+    * sqrt(CAST(n AS DOUBLE) * CAST(srr AS DOUBLE)
+      - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)))
+FROM agg
+${ord("signal_x", "signal_y")}""".trim
+
   /** Twin of TextAnalysis.spanCorruption(spanLen=3, stride=20): same
     * Knuth offset, complete-span gate with an explicit negative guard
     * (DuckDB `//` truncates toward zero — a phantom span otherwise

@@ -288,6 +288,69 @@ object TextAnalysis {
           .as("tier"))
   }
 
+  /** Quality-signal correlation matrix — the calibration report for a
+    * multi-signal curation stack: pairwise Pearson correlation between
+    * the lexical quality score, the unigram-LM score, and the
+    * repetition signal. Two signals correlating ~1 are redundant
+    * filters (spend the compute once); a signal anti-correlated with
+    * the rest is either the most informative or broken — either way
+    * the number a curation dashboard needs before stacking thresholds.
+    *
+    * Determinism: signals quantize to integer 10⁻⁶ units first; all
+    * five moment sums are EXACT decimal(38) integer aggregation (an
+    * int64 Σx² overflows at corpus scale — the decimal-profiling
+    * lesson), and the final Pearson combination is one fixed double
+    * expression over the casted sums, identical IEEE ops either
+    * engine.
+    *
+    * Scale shape: one per-row projection for the two scan-side signals
+    * + the lmQuality join (its own map-combinable shuffles), then ONE
+    * 1-row aggregate carrying 3×5 decimal sums; the 3-row matrix
+    * explodes from that single row. */
+  def signalCorrelation(docs: DataFrame): DataFrame = {
+    val perRow = withRepetition(withQuality(docs))
+      .select(col("doc_id"), col("quality"), col("repetition"))
+    val lm = lmQuality(docs).select(col("doc_id"), col("mean_logprob"))
+    val j = perRow.join(lm, "doc_id")
+      .select(
+        round(col("quality") * 1000000).cast("long").as("qq"),
+        round(col("mean_logprob") * 1000000).cast("long").as("ql"),
+        round(col("repetition") * 1000000).cast("long").as("qr"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val agg = j.agg(
+      count(lit(1)).as("n"),
+      sum(d38(col("qq"))).as("sx_ql_qq"), sum(d38(col("ql"))).as("sy_ql"),
+      sum(d38(col("qq") * col("qq"))).as("sxx_qq"),
+      sum(d38(col("ql") * col("ql"))).as("syy_ql"),
+      sum(d38(col("qq") * col("ql"))).as("sxy_qq_ql"),
+      sum(d38(col("qr"))).as("s_qr"),
+      sum(d38(col("qr") * col("qr"))).as("sxx_qr"),
+      sum(d38(col("qq") * col("qr"))).as("sxy_qq_qr"),
+      sum(d38(col("ql") * col("qr"))).as("sxy_ql_qr"))
+    def pearson(sx: Column, sy: Column, sxx: Column, syy: Column,
+        sxy: Column, n: Column): Column = {
+      val nd = n.cast("double")
+      val (x, y, xx, yy, xy) = (sx.cast("double"), sy.cast("double"),
+        sxx.cast("double"), syy.cast("double"), sxy.cast("double"))
+      (nd * xy - x * y) / (sqrt(nd * xx - x * x) * sqrt(nd * yy - y * y))
+    }
+    agg.select(explode(array(
+      struct(lit("quality").as("signal_x"), lit("lm").as("signal_y"),
+        col("n").as("n_docs"),
+        pearson(col("sx_ql_qq"), col("sy_ql"), col("sxx_qq"), col("syy_ql"),
+          col("sxy_qq_ql"), col("n")).as("pearson")),
+      struct(lit("quality").as("signal_x"), lit("repetition").as("signal_y"),
+        col("n").as("n_docs"),
+        pearson(col("sx_ql_qq"), col("s_qr"), col("sxx_qq"), col("sxx_qr"),
+          col("sxy_qq_qr"), col("n")).as("pearson")),
+      struct(lit("lm").as("signal_x"), lit("repetition").as("signal_y"),
+        col("n").as("n_docs"),
+        pearson(col("sy_ql"), col("s_qr"), col("syy_ql"), col("sxx_qr"),
+          col("sxy_ql_qr"), col("n")).as("pearson")))).as("r"))
+      .select(col("r.signal_x"), col("r.signal_y"), col("r.n_docs"),
+        col("r.pearson"))
+  }
+
   /** T5-style span corruption — the denoising-objective data prep:
     * mask `spanLen`-token spans covering `spanLen/stride` of each
     * document (15% at the 3/20 default), replace each masked span

@@ -410,6 +410,40 @@ class ExtSpec extends SparkSpec {
     assert(got(4L) == (("already clean", 13)), got.toString)
   }
 
+  test("signalCorrelation: matches a driver-side Pearson recompute") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = graft.ext.TextAnalysis.signalCorrelation(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(got.size == 3 && got.values.forall(v => v >= -1.0 && v <= 1.0))
+    // reference: quantized signals collected, exact BigInt moments
+    val perRow = graft.ext.TextAnalysis.withRepetition(
+      graft.ext.TextAnalysis.withQuality(docs))
+      .select(col("doc_id"), col("quality"), col("repetition"))
+    val lm = graft.ext.TextAnalysis.lmQuality(docs)
+      .select(col("doc_id"), col("mean_logprob"))
+    // HALF_UP (away from zero), matching Spark/DuckDB round — NOT
+    // math.round, whose ties go toward +infinity on negatives (the LM
+    // signal is negative-valued)
+    def q6(x: Double): Long = java.math.BigDecimal.valueOf(x * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val rows = perRow.join(lm, "doc_id").collect().map(r =>
+      (q6(r.getDouble(1)), q6(r.getDouble(3)), q6(r.getDouble(2))))
+    def pear(xs: Seq[Long], ys: Seq[Long]): Double = {
+      val n = BigInt(xs.length)
+      val (sx, sy) = (xs.map(BigInt(_)).sum, ys.map(BigInt(_)).sum)
+      val sxx = xs.map(x => BigInt(x) * x).sum
+      val syy = ys.map(y => BigInt(y) * y).sum
+      val sxy = xs.zip(ys).map { case (x, y) => BigInt(x) * y }.sum
+      (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        (math.sqrt(n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+          math.sqrt(n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble))
+    }
+    val (q, l, p) = (rows.map(_._1).toSeq, rows.map(_._2).toSeq, rows.map(_._3).toSeq)
+    assert(math.abs(got(("quality", "lm")) - pear(q, l)) < 1e-12)
+    assert(math.abs(got(("quality", "repetition")) - pear(q, p)) < 1e-12)
+    assert(math.abs(got(("lm", "repetition")) - pear(l, p)) < 1e-12)
+  }
+
   test("spanCorruption: hand-checked masks, sentinels, targets, short docs") {
     // stride 4, span 2 -> 50% mask; doc 0 has off = 0
     val docs = Seq((0L, "t0 t1 t2 t3 t4 t5 t6 t7"), (1L, "a b")).toDF("doc_id", "text")
