@@ -412,10 +412,17 @@ object TextAnalysis {
     * corpus quantile as the cutoff (corpus-relative, so the selector
     * tracks distribution drift instead of a hand-picked constant).
     * Composition of two oracle-checked pieces; one extra 1-row
-    * percentile broadcast over the scored frame. */
+    * percentile broadcast over the scored frame. The NARROW
+    * (doc_id, score) result of the weights pipeline is cached — the
+    * cutoff aggregate and the keep filter both consume it, and
+    * without the cache each consumer re-runs the pipeline's three
+    * corpus shuffles (no exchange reuse across the branches; 16
+    * bytes/doc of cache vs a recomputed token pipeline is the same
+    * eager trade dupClusters makes). */
   def dsirSelect(docs: DataFrame, targetPred: Column,
       frac: Double = 0.5): DataFrame = {
     val wts = dsirWeights(docs, targetPred)
+      .select(col("doc_id"), col("mean_logratio")).cache()
     val cut = wts.agg(expr(s"percentile(mean_logratio, ${1.0 - frac})").as("__cut"))
     wts.crossJoin(broadcast(cut))
       .where(col("mean_logratio") >= col("__cut"))
