@@ -144,6 +144,7 @@ object ScaleProbe {
       // counts); the waterfill budget mixer (budget ∝ copies keeps
       // the selection fraction constant)
       t("knnGraph", n)(Similarity.knnGraph(emb).count())
+      t("knnPageRank", n)(Similarity.knnPageRank(emb).count())
       t("bm25TopK", n)(TextAnalysis.bm25TopK(docs,
         Seq(s"c0_spark", s"c0_merge", s"c0_vector")).count())
       t("budgetMix", n)(Sampling.budgetMix(
