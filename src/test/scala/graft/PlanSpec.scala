@@ -277,6 +277,62 @@ class PlanSpec extends SparkSpec {
       s"bloom prune must sit below (inside a child of) the verify join:\n$optimized")
   }
 
+  test("normalizeText: the whole pass is a zero-exchange scan projection") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ext.TextAnalysis.normalizeText(docs))
+    assert(!p.contains("hashpartitioning"),
+      s"normalization must not shuffle the corpus:\n$p")
+    assert(p.contains("nfc_normalize"),
+      s"native NFC expression expected in the projection:\n$p")
+  }
+
+  test("sqEncode: dim pack broadcasts, encoding is a scan projection") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.ext.Similarity.sqEncode(emb))
+    // the only exchanges belong to the per-dim min/max agg over the
+    // posexploded (dim, v) rows (partial+final), whose dim-count
+    // result collapses to one broadcast row; the corpus side encodes
+    // in place
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"dim pack must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus must not shuffle to be encoded:\n$p")
+  }
+
+  test("bm25TopK: no vocabulary-wide aggregation; query filter sits scan-side") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ext.TextAnalysis.bm25TopK(docs, Seq("spark", "merge")))
+    // the round-7 contract: the only (doc, tok) aggregation runs over
+    // query-term-filtered tokens — the filter must appear, and the
+    // top-k must be TakeOrderedAndProject, not a global sort
+    assert(p.contains("spark") && p.contains("merge"),
+      s"query-term filter expected in the plan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must avoid a global sort:\n$p")
+    // doc lengths are a projection: the hash exchanges are the
+    // query-term counts agg, df agg, the narrow dlen side of the
+    // doc_id join, and the per-doc rollup — nothing vocabulary-wide
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(exchanges <= 4, s"expected <= 4 hash exchanges, got $exchanges:\n$p")
+  }
+
+  test("spanCorruption: pure scan projection, no exchange at all") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ext.TextAnalysis.spanCorruption(docs))
+    assert(!p.contains("hashpartitioning") && !p.contains("Exchange"),
+      s"span corruption must fuse into the scan:\n$p")
+  }
+
+  test("knnGraph: one corpus exchange (the cell self-join), window group-limited") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.ext.Similarity.knnGraph(emb))
+    assert(p.contains("SortMergeJoin"),
+      s"cell self-join must shuffle-merge (broadcast of a corpus side OOMs):\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-vector top-k must prune map-side:\n$p")
+  }
+
   test("rank-filter top-k gets WindowGroupLimit map-side pruning (Partial before the exchange)") {
     val p = plan(ShapeQueries.userTopEvents(spark, sf))
     // Spark 4 inserts WindowGroupLimit Partial below the shuffle for
