@@ -556,6 +556,10 @@ object SparkEntry {
     // graph-based dedup/clustering substrate; one cell self-join)
     "knn_graph" -> prep((s, d) =>
       Similarity.knnGraph(emb(s, d), k = 5).orderBy("vec_id", "nbr_id")),
+    // per-label kNN majority-vote accuracy (embedding-space quality:
+    // does the space cluster by label?)
+    "knn_label_accuracy" -> prep((s, d) =>
+      Similarity.knnLabelAccuracy(emb(s, d)).orderBy("label")),
     // integer PageRank over the kNN graph (centrality as a curation
     // signal: canonical representatives rank high, satellites low)
     "knn_pagerank" -> prep((s, d) =>
@@ -1111,6 +1115,7 @@ object SparkEntry {
     "sq_encode" -> ExtOracle.sqEncode,
     "knn_graph" -> ExtOracle.knnGraph,
     "knn_pagerank" -> ExtOracle.knnPageRank,
+    "knn_label_accuracy" -> ExtOracle.knnLabelAccuracy,
     "budget_mix" -> ExtOracle.budgetMix,
     "ann_ivfpq_residual" -> ExtOracle.ivfPqResidual,
     "ann_sq_topk" -> ExtOracle.sqTopK,

@@ -2767,6 +2767,29 @@ $knnChain
 SELECT vec_id, nbr_id, nn_rank, cosine_sim FROM knng
 ${ord("vec_id", "nbr_id")}""".trim
 
+  /** Twin of Similarity.knnLabelAccuracy: knng chain + neighbor-label
+    * votes, (v DESC, label ASC) majority window, per-label rollup. */
+  val knnLabelAccuracy: String = s"""
+$knnChain,
+votes AS (
+  SELECT g.vec_id, l.label AS nbr_label, CAST(COUNT(*) AS BIGINT) AS v
+  FROM knng g JOIN embeddings l ON g.nbr_id = l.vec_id
+  GROUP BY g.vec_id, l.label),
+pred AS (
+  SELECT vec_id, nbr_label AS pred FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      ORDER BY v DESC, nbr_label ASC) AS rk FROM votes) WHERE rk = 1),
+acc AS (
+  SELECT l.label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+    CAST(SUM(CASE WHEN p.pred = l.label THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_correct
+  FROM pred p JOIN embeddings l ON p.vec_id = l.vec_id
+  GROUP BY l.label)
+SELECT label, n_vecs, n_correct,
+  CAST(n_correct AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS accuracy
+FROM acc
+${ord("label")}""".trim
+
   /** Twin of Similarity.knnPageRank(iters=5): the knng chain +
     * out-degrees + 5 unrolled integer-PageRank iterations (scores in
     * int64 10⁻¹² units, integral divisions — bit-identical to the

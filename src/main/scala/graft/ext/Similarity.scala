@@ -484,6 +484,41 @@ object Similarity {
       .select(col("vec_id"), col("nbr_id"), col("nn_rank"), col("cosine_sim"))
   }
 
+  /** kNN label-consistency report — the standard embedding-quality
+    * probe: predict every vector's label by majority vote over its
+    * kNN-graph neighbors and report per-label accuracy. High accuracy
+    * means the embedding space clusters by label (trustworthy for
+    * semantic dedup / clustering-based curation); a label whose
+    * accuracy craters marks a region where embedding-driven decisions
+    * are noise. Ties break deterministically (vote count DESC, label
+    * ASC). Returns (label, n_vecs, n_correct, accuracy) for vectors
+    * that have ≥1 neighbor.
+    *
+    * Scale shape: rides `knnGraph`'s one corpus exchange; votes are a
+    * map-combinable (vec, label) groupBy over the narrow k·N edge
+    * table; the majority window is WindowGroupLimit-prunable; the
+    * final rollup has |labels| rows. */
+  def knnLabelAccuracy(emb: DataFrame, k: Int = 5,
+      centroidMod: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lbl = emb.select(col("vec_id"), col("label"))
+    val votes = knnGraph(emb, k, centroidMod)
+      .join(lbl.select(col("vec_id").as("nbr_id"),
+        col("label").as("nbr_label")), "nbr_id")
+      .groupBy(col("vec_id"), col("nbr_label")).agg(count(lit(1)).as("v"))
+    val pred = votes.withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(col("v").desc, col("nbr_label").asc)))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("nbr_label").as("pred"))
+    pred.join(lbl, "vec_id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy",
+        col("n_correct").cast("double") / col("n_vecs").cast("double"))
+  }
+
   /** PageRank over the kNN graph — graph centrality as a data-curation
     * signal: a vector central to its neighborhood (many near-dup/
     * related documents point at it) is the canonical representative;

@@ -484,6 +484,30 @@ class ExtSpec extends SparkSpec {
       math.round(math.log(0.75) * 1000000).abs)
   }
 
+  test("knnLabelAccuracy: matches a per-vector majority recompute") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val acc = graft.ext.Similarity.knnLabelAccuracy(emb).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(acc.nonEmpty && acc.values.forall { case (n, c, a) =>
+      c <= n && a == c.toDouble / n })
+    // reference: recompute the majority from the graph + labels
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val nbrs = graft.ext.Similarity.knnGraph(emb).select("vec_id", "nbr_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val correct = scala.collection.mutable.Map.empty[Int, (Long, Long)]
+    nbrs.foreach { case (v, ns) =>
+      val votes = ns.groupBy(labels).view.mapValues(_.size).toMap
+      val pred = votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      val lab = labels(v)
+      val (n, c) = correct.getOrElse(lab, (0L, 0L))
+      correct(lab) = (n + 1, c + (if (pred == lab) 1 else 0))
+    }
+    assert(acc.view.mapValues(v => (v._1, v._2)).toMap == correct.toMap,
+      s"$acc vs $correct")
+  }
+
   test("knnPageRank: mass conservation, centrality ordering, determinism") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pr = graft.ext.Similarity.knnPageRank(emb).collect()
