@@ -622,6 +622,10 @@ object SparkEntry {
             concat(lit("Cafe\u0301 \t "), col("text"), lit("  A\u030a")))
             .otherwise(col("text"))))
         .orderBy("doc_id")),
+    // Broder containment pairs (quotation/subset duplication the
+    // resemblance tier misses; both directions, max >= 0.8)
+    "containment_pairs" -> prep((s, d) =>
+      Dedup.containmentPairs(docs(s, d)).orderBy("a_id", "b_id")),
     // per-source dup-rate scorecard (sourcing observability; MinHash
     // pair tier feeder like every production consumer)
     "dedup_scorecard" -> prep((s, d) =>
@@ -1053,6 +1057,7 @@ object SparkEntry {
     "quality_tiers" -> ExtOracle.qualityTiers,
     "curriculum_order" -> ExtOracle.curriculumOrder,
     "dedup_scorecard" -> ExtOracle.dedupScorecard,
+    "containment_pairs" -> ExtOracle.containmentPairs,
     "normalize_text" -> ExtOracle.normalizeText,
     "dsir_select" -> ExtOracle.dsirSelect,
     "span_corruption" -> ExtOracle.spanCorruption,

@@ -1712,6 +1712,31 @@ FROM documents
 GROUP BY text_sha
 ${ord("text_sha")}""".trim
 
+  /** Twin of Dedup.containmentPairs(w=3, 0.8): the jaccard twin's
+    * shingle join with asymmetric normalization both directions. */
+  val containmentPairs: String = s"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+shl AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(w) - 2, 1)),
+    i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS sh
+  FROM ws),
+sized AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM shl),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+    COUNT(*) AS inter, MIN(a.n_sh) AS a_n, MIN(b.n_sh) AS b_n
+  FROM sized a JOIN sized b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT a_id, b_id,
+  CAST(inter AS DOUBLE) / CAST(a_n AS DOUBLE) AS containment_a_in_b,
+  CAST(inter AS DOUBLE) / CAST(b_n AS DOUBLE) AS containment_b_in_a
+FROM pairs
+WHERE GREATEST(CAST(inter AS DOUBLE) / CAST(a_n AS DOUBLE),
+  CAST(inter AS DOUBLE) / CAST(b_n AS DOUBLE)) >= 0.8
+${ord("a_id", "b_id")}""".trim
+
   val ngramJaccard: String = s"""
 WITH ws AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),

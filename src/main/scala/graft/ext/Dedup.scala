@@ -95,6 +95,36 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Shingle CONTAINMENT pairs — Broder's asymmetric companion to
+    * resemblance: c(A→B) = |A∩B| / |A|. A short document quoted
+    * inside a long one scores containment ≈ 1 while its Jaccard stays
+    * low (the union is dominated by the long side), so containment is
+    * the signal that catches quotation/subset duplication the
+    * resemblance tier misses. Emits both directions per pair; filter
+    * on the max. Same shuffle-merged shingle self-join and exchange
+    * reuse as `ngramJaccardPairs` — one extra projection, no new
+    * exchange. */
+  def containmentPairs(docs: DataFrame, w: Int = 3,
+      minContainment: Double = 0.8): DataFrame = {
+    val sized = hashedShingled(docs, w).withColumn("n_sh", size(col("sh")))
+    val exploded = sized.select(col("doc_id"), col("n_sh"),
+      explode(col("sh")).as("s"))
+    val a = exploded.toDF("a_id", "a_n", "s").hint("merge")
+    val b = exploded.toDF("b_id", "b_n", "s").hint("merge")
+    a.join(b, "s")
+      .where(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count("*").as("inter"), min(col("a_n")).as("a_n"),
+        min(col("b_n")).as("b_n"))
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") / col("a_n").cast("double"))
+          .as("containment_a_in_b"),
+        (col("inter").cast("double") / col("b_n").cast("double"))
+          .as("containment_b_in_a"))
+      .where(greatest(col("containment_a_in_b"), col("containment_b_in_a"))
+        >= minContainment)
+  }
+
   /** Prefix-filtered exact n-gram Jaccard (AllPairs/PPJoin candidate
     * generation): identical output to `ngramJaccardPairs`, built for
     * corpora where hot shingles make the naive shingle self-join

@@ -549,6 +549,19 @@ class ExtSpec extends SparkSpec {
       r.getString(4).split(" ").length == 10))
   }
 
+  test("containmentPairs: subset detection where Jaccard stays low") {
+    // doc 2 is a verbatim 5-token quote from doc 1's 30 tokens:
+    // containment(quote in host) = 1.0 while jaccard ~ 3/28 << 0.5
+    val host = (1 to 30).map(i => s"w$i").mkString(" ")
+    val quote = (11 to 15).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, host), (2L, quote), (3L, "x y z")).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.containmentPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 3.0 / 28.0, 1.0)), got.toSeq.toString)
+    val jac = graft.ext.Dedup.ngramJaccardPairs(docs).count()
+    assert(jac == 0, "the quote pair must be invisible to the jaccard tier")
+  }
+
   test("dedupScorecard: involvement counted once per doc, rates exact") {
     val docs = Seq((1L, "sA"), (2L, "sA"), (3L, "sA"),
       (10L, "sB"), (11L, "sB")).toDF("doc_id", "source")
