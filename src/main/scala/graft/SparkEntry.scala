@@ -405,6 +405,14 @@ object SparkEntry {
         "n_tokens", budget = 2048, nBuckets = 8)
         .select("doc_id", "n_tokens", "pack_bucket", "shard_in_bucket")
         .orderBy("doc_id")),
+    // packing-efficiency report (loader health: fill quartiles + waste)
+    "packing_report" -> prep((s, d) =>
+      Sampling.packingReport(
+        Sampling.packShards(
+          docs(s, d).select(col("doc_id"),
+            size(split(trim(col("text")), "\\s+")).as("n_tokens")),
+          "n_tokens", budget = 2048, nBuckets = 8),
+        budget = 2048)),
     // the packed sequences themselves (what a loader consumes):
     // id-ordered concatenation per (bucket, shard)
     "pack_sequences" -> prep((s, d) => {
@@ -1085,6 +1093,7 @@ object SparkEntry {
     "stratified_sample" -> ExtOracle.stratifiedSample,
     "mixture_sample" -> ExtOracle.mixtureSample,
     "pack_shards" -> ExtOracle.packShards,
+    "packing_report" -> ExtOracle.packingReport,
     "pack_sequences" -> ExtOracle.packSequences,
     "dedup_clusters" -> ExtOracle.dedupClusters,
     "dedup_corpus" -> ExtOracle.dedupCorpus,

@@ -1301,6 +1301,36 @@ SELECT doc_id, n_tokens, pack_bucket,
 FROM t
 ${ord("doc_id")}""".trim
 
+  /** Twin of Sampling.packingReport over the pack_shards assignment:
+    * per-shard fills, 1-row report with quantile_cont quartiles. */
+  val packingReport: String = s"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+    doc_id % 8 AS pack_bucket
+  FROM documents),
+shards AS (
+  SELECT doc_id, n_tokens, pack_bucket,
+    CAST((SUM(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048 AS BIGINT)
+      AS shard_in_bucket
+  FROM t),
+fills AS (
+  SELECT pack_bucket, shard_in_bucket,
+    CAST(SUM(n_tokens) AS BIGINT) AS fill
+  FROM shards GROUP BY pack_bucket, shard_in_bucket),
+rep AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_shards,
+    CAST(SUM(fill) AS BIGINT) AS total_tokens,
+    CAST(SUM(fill) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 2048) AS mean_fill,
+    quantile_cont(CAST(fill AS DOUBLE) / 2048, 0.25) AS p25_fill,
+    quantile_cont(CAST(fill AS DOUBLE) / 2048, 0.5) AS p50_fill,
+    quantile_cont(CAST(fill AS DOUBLE) / 2048, 0.75) AS p75_fill
+  FROM fills)
+SELECT n_shards, total_tokens, mean_fill, p25_fill, p50_fill, p75_fill,
+  1.0 - mean_fill AS waste_frac
+FROM rep""".trim
+
   /** Overlapping 32-token windows advancing by 24 (overlap 8);
     * list_slice clamps the tail, short docs are one chunk. */
   val chunkDocs: String = s"""

@@ -216,6 +216,32 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Packing-efficiency report over a `packShards` assignment — the
+    * loader-health observability a packing step needs: per-shard fill
+    * is the padding/waste a trainer actually eats, and a fill
+    * distribution with a long thin tail means the budget or bucket
+    * count is mistuned. ONE report row: shard count, total tokens,
+    * mean fill fraction, exact fill-fraction quartiles, and the waste
+    * fraction of a full budget·n_shards allocation. The per-shard
+    * rollup is map-side combinable on the (bucket, shard) key it is
+    * already partitioned by; the report is a 1-row aggregate (exact
+    * `percentile`, the pin_q6 parity rule). */
+  def packingReport(packed: DataFrame, budget: Long,
+      tokensCol: String = "n_tokens"): DataFrame = {
+    val fills = packed.groupBy(col("pack_bucket"), col("shard_in_bucket"))
+      .agg(sum(col(tokensCol)).as("fill"))
+      .select((col("fill").cast("double") / budget).as("frac"), col("fill"))
+    fills.agg(
+      count(lit(1)).as("n_shards"),
+      sum(col("fill")).as("total_tokens"),
+      (sum(col("fill")).cast("double") /
+        (count(lit(1)).cast("double") * budget)).as("mean_fill"),
+      expr("percentile(frac, 0.25)").as("p25_fill"),
+      expr("percentile(frac, 0.5)").as("p50_fill"),
+      expr("percentile(frac, 0.75)").as("p75_fill"))
+      .withColumn("waste_frac", lit(1.0) - col("mean_fill"))
+  }
+
   /** Materialize the packed TRAINING SEQUENCES from a `packShards`
     * assignment: one row per (bucket, shard) with the member documents
     * concatenated in id order — the artifact a tokenizer/loader

@@ -549,6 +549,21 @@ class ExtSpec extends SparkSpec {
       r.getString(4).split(" ").length == 10))
   }
 
+  test("packingReport: totals, fill fractions, quartile ordering") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+    val packed = graft.ext.Sampling.packShards(docs, "n_tokens",
+      budget = 2048, nBuckets = 8)
+    val r = graft.ext.Sampling.packingReport(packed, budget = 2048).head()
+    val (n, total, mean) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(n >= 1 && total == docs.agg(sum(col("n_tokens"))).head().getLong(0))
+    assert(math.abs(mean - total.toDouble / (n * 2048.0)) < 1e-12)
+    val (p25, p50, p75) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    assert(p25 <= p50 && p50 <= p75)
+    assert(math.abs(r.getDouble(6) - (1.0 - mean)) < 1e-12)
+  }
+
   test("containmentPairs: subset detection where Jaccard stays low") {
     // doc 2 is a verbatim 5-token quote from doc 1's 30 tokens:
     // containment(quote in host) = 1.0 while jaccard ~ 3/28 << 0.5
