@@ -137,7 +137,14 @@ object Bench {
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json")
       try w.println(full) finally w.close()
-    } catch { case _: Exception => () }
+    } catch { case e: Exception =>
+      // a silent failure would leave a PREVIOUS round's detail file in
+      // place while the headline below still points at it — delete the
+      // stale artifact and say so, so a reader can't mistake it
+      try { new java.io.File("BENCH_DETAIL.json").delete() }
+      catch { case _: Exception => () }
+      println(s"""{"warn":"BENCH_DETAIL.json write failed, stale file deleted","err":"${e.getClass.getName}"}""")
+    }
     // 2. Full line (complete when the capture window is big enough).
     println(full)
     // 3. Compact headline LAST — the guaranteed-unbroken tail content.

@@ -344,10 +344,13 @@ object Dedup {
     // (label = min reachable id); equality with the distributed path is
     // spec-tested. Above the threshold: the superstep loop below, which
     // assumes nothing fits anywhere. ONE action decides AND fetches:
-    // take(threshold+1) materializes the cache and returns every edge
-    // when the graph is small (the +1 row is the only over-read); a
-    // separate count-then-collect paid a second full job per call —
-    // pretrainingCorpus pays this twice per run.
+    // on the SMALL path take(threshold+1) returns every edge (the +1
+    // row is the only over-read) — a separate count-then-collect paid
+    // a second full job per call, and pretrainingCorpus pays this twice
+    // per run. take() short-circuits, so it fills the cache only for
+    // the partitions it scanned — enough for the small path (which
+    // consumed them all); the large path completes the cache explicitly
+    // below before fanning out the 4-branch union.
     val probe = p.take(math.min(driverThreshold, Int.MaxValue - 2L).toInt + 1)
     if (probe.length <= driverThreshold) {
       val edges = probe.map(r => (r.getLong(0), r.getLong(1)))
@@ -374,6 +377,12 @@ object Dedup {
       import spark.implicits._
       return rows.toDF("doc_id", "cluster_id", "is_keeper")
     }
+    // Large path: complete the pair cache first. take() above short-
+    // circuited, so partitions it never scanned are not cached yet; the
+    // 4-branch union below would evaluate them up to 4× (concurrent
+    // branches can each recompute a partition before its cache entry
+    // lands). One count() finishes the cache so every branch reads it.
+    p.count()
     // Self-loop edges fold "min of own and neighbors' labels" into the
     // round's single join+groupBy (no second join against own labels).
     val directed = p.union(p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))

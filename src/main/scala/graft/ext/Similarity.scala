@@ -535,10 +535,20 @@ object Similarity {
     * and CACHED (same eager trade as dupClusters/kcenterSample — the
     * alternative re-derives the whole kNN build per iteration
     * reference); each iteration is one join + map-combinable groupBy
-    * on the dst key composed LAZILY, so `iters` iterations are one
-    * linear plan over the cached edges. Driver state: the node count. */
+    * on the dst key composed LAZILY, so up to `checkpointEvery`
+    * iterations share one linear plan over the cached edges. Plan /
+    * lineage depth grows linearly with `iters`, so every
+    * `checkpointEvery` (default 8) iterations the score table is
+    * `localCheckpoint`ed — narrow (id, sc) rows — truncating lineage
+    * before Catalyst analysis cost or lineage re-execution depth
+    * becomes the bottleneck at high iteration counts. The final scores
+    * are materialized eagerly (same trade as the cache) so the edge /
+    * node caches can be unpersisted before returning — repeated
+    * invocations in one session do not accumulate executor storage.
+    * Driver state: the node count. */
   def knnPageRank(emb: DataFrame, k: Int = 5, iters: Int = 5,
-      centroidMod: Int = 50): DataFrame = {
+      centroidMod: Int = 50, checkpointEvery: Int = 8): DataFrame = {
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val SCALE = 1000000000000L
     val edges = knnGraph(emb, k, centroidMod)
       .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
@@ -549,6 +559,7 @@ object Similarity {
     val n = nodes.count()
     if (n == 0) {
       // empty graph (no vector shares a cell): nothing to rank
+      e.unpersist(); nodes.unpersist()
       return emb.sparkSession.emptyDataFrame
         .withColumn("vec_id", lit(0L)).withColumn("q_rank", lit(0L))
         .withColumn("pagerank", lit(0.0)).limit(0)
@@ -556,16 +567,23 @@ object Similarity {
     val init = SCALE / n
     val base = (SCALE * 15L / 100L) / n
     var scores = nodes.select(col("id"), lit(init).as("sc"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = e.join(scores, col("src") === col("id"))
         .select(col("dst"), expr("sc div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in"))
       scores = nodes.join(contrib, col("id") === col("dst"), "left")
         .select(col("id"),
           (lit(base) + expr("(85 * coalesce(in, 0)) div 100")).as("sc"))
+      // semantic no-op: values are identical either side of the cut
+      if (i % checkpointEvery == 0 && i < iters)
+        scores = scores.localCheckpoint()
     }
-    scores.select(col("id").as("vec_id"), col("sc").as("q_rank"),
+    val out = scores.select(col("id").as("vec_id"), col("sc").as("q_rank"),
       (col("sc").cast("double") / SCALE).as("pagerank"))
+      .localCheckpoint()
+    e.unpersist()
+    nodes.unpersist()
+    out
   }
 
   /** Residual IVF-PQ (IVFADC proper) — the composition FAISS ships as

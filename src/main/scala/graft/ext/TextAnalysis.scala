@@ -499,10 +499,15 @@ object TextAnalysis {
     *
     * Scale shape: phase cuts are one exact-percentile 1-row broadcast
     * (same machinery as qualityTiers); the global rank is NOT a
-    * single-reducer global window — it is the per-phase rank (window
-    * partitioned by phase) plus each phase's base offset from a
-    * |phases|-row count aggregate joined back broadcast. Ordering is
-    * total and engine-reproducible: (phase ASC, bucket ASC, id ASC). */
+    * single-reducer (or single-reducer-per-phase) window — the
+    * row_number window partitions by (phase, bucket), so the rank
+    * fan-out is phases×10000 reducer groups, each holding ~1/10000th
+    * of a phase. Global contiguity comes from per-(phase, bucket) base
+    * offsets: a phases·10000-row count rollup, prefix-summed with a
+    * window over that ROLLUP (bounded by config, not corpus size) and
+    * joined back broadcast — the stableRowIds / packShards offset
+    * pattern. Ordering is total and engine-reproducible:
+    * (phase ASC, bucket ASC, id ASC). */
   def curriculumOrder(docs: DataFrame, phases: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(phases >= 2, "need at least 2 phases")
@@ -518,17 +523,20 @@ object TextAnalysis {
             .otherwise(0)).reduce(_ + _)
           .as("__above"))
       .select(col("doc_id"), col("quality"),
-        (lit(phases) - col("__above")).as("phase"))
-    val offsets = phased.groupBy(col("phase"))
+        (lit(phases) - col("__above")).as("phase"),
+        Sampling.bucket(col("doc_id"), 10000).as("__bucket"))
+    val counts = phased.groupBy(col("phase"), col("__bucket"))
       .agg(count(lit(1)).as("__n"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("phase"))
-      .orderBy(Sampling.bucket(col("doc_id"), 10000).asc, col("doc_id").asc)
-    val wOff = Window.orderBy(col("phase").asc)
+    // prefix sum over the (phase, bucket) ROLLUP — ≤ phases·10000 rows
+    // regardless of corpus size, so the empty partitionBy is bounded
+    val wOff = Window.orderBy(col("phase").asc, col("__bucket").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
-    val base = offsets
+    val base = counts
       .withColumn("__base", coalesce(sum(col("__n")).over(wOff), lit(0L)))
-      .select(col("phase"), col("__base"))
-    phased.join(broadcast(base), "phase")
+      .select(col("phase"), col("__bucket"), col("__base"))
+    val w = Window.partitionBy(col("phase"), col("__bucket"))
+      .orderBy(col("doc_id").asc)
+    phased.join(broadcast(base), Seq("phase", "__bucket"))
       .withColumn("curriculum_rank", col("__base") + row_number().over(w))
       .select(col("doc_id"), col("quality"), col("phase"), col("curriculum_rank"))
   }

@@ -51,8 +51,12 @@ object ScaleProbe {
     // against already-written replicas without the staging pass)
     val only: Option[Set[String]] =
       if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+    // guard on BOTH replica markers: a prior run that wrote docs_N but
+    // died before emb_N must re-stage, or the loop times a stale/missing
+    // embeddings replica
     for (n <- copies
-         if !new java.io.File(s"$out/docs_$n/_SUCCESS").exists()) {
+         if !(new java.io.File(s"$out/docs_$n/_SUCCESS").exists() &&
+              new java.io.File(s"$out/emb_$n/_SUCCESS").exists())) {
       val dDir = s"$out/docs_$n"
       val eDir = s"$out/emb_$n"
       replicate(docs0, "doc_id", n)
@@ -145,6 +149,14 @@ object ScaleProbe {
       // the selection fraction constant)
       t("knnGraph", n)(Similarity.knnGraph(emb).count())
       t("knnPageRank", n)(Similarity.knnPageRank(emb).count())
+      // round-8: iterative-depth hazard measured, not argued — 20
+      // lazily-composed iterations with the periodic localCheckpoint
+      // guard; cost should stay ~linear in iters, flat per multiple
+      t("knnPageRank20", n)(Similarity.knnPageRank(emb, iters = 20).count())
+      // round-8: curriculum rank fan-out — (phase, bucket) windows must
+      // keep per-multiple cost flat; a per-phase window would funnel
+      // each multiple's whole corpus through 3 reducers
+      t("curriculumOrder", n)(TextAnalysis.curriculumOrder(docs).count())
       t("bm25TopK", n)(TextAnalysis.bm25TopK(docs,
         Seq(s"c0_spark", s"c0_merge", s"c0_vector")).count())
       t("budgetMix", n)(Sampling.budgetMix(

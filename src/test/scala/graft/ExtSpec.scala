@@ -524,6 +524,35 @@ class ExtSpec extends SparkSpec {
     assert(pr.sortBy(_._1).toSeq == pr2.sortBy(_._1).toSeq)
   }
 
+  test("knnPageRank: localCheckpoint cadence is a semantic no-op; iters=20 completes") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // count MEMORY_AND_DISK cache() entries before/after — the edge +
+    // node caches must be unpersisted by each invocation (checkpoint
+    // RDDs are excluded: localCheckpoint persists with disk-backed
+    // levels and stays referenced by the returned frame)
+    def cachedCount: Int = spark.sparkContext.getPersistentRDDs.values
+      .count(r => !r.isCheckpointed)
+    val cachedBefore = cachedCount
+    // 9 iterations crossing two checkpoint cuts (every 3) must produce
+    // bit-identical integer scores vs the same 9 iterations composed as
+    // one lazy plan (cadence beyond iters => no cut ever fires)
+    val cut = graft.ext.Similarity.knnPageRank(emb, iters = 9, checkpointEvery = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val lazyP = graft.ext.Similarity.knnPageRank(emb, iters = 9, checkpointEvery = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(cut == lazyP)
+    // the depth-hazard configuration runs to completion with the
+    // default cadence, and its 20-iteration trajectory extends (not
+    // diverges from) the 9-iteration prefix's mass conservation
+    val pr20 = graft.ext.Similarity.knnPageRank(emb, iters = 20).collect()
+    assert(pr20.length == cut.length)
+    val total = pr20.map(_.getLong(1)).sum
+    assert(total <= 1000000000000L && total >= 1000000000000L - 100L * pr20.length)
+    // caches released: the three runs above leave no new cache() entries
+    assert(cachedCount == cachedBefore,
+      s"unpersist must release pagerank edge/node caches: $cachedBefore -> $cachedCount")
+  }
+
   test("dsirSelect/tokenizerFertility/contrastiveCrops: structure and determinism") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     // dsirSelect keeps ~the top half, all above the cutoff

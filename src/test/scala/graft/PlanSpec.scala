@@ -324,6 +324,27 @@ class PlanSpec extends SparkSpec {
       s"span corruption must fuse into the scan:\n$p")
   }
 
+  test("curriculumOrder: rank window partitions by (phase, bucket), never phase alone") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = graft.ext.TextAnalysis.curriculumOrder(docs)
+    // the corpus-sized row_number window must fan out over
+    // phases×10000 (phase, bucket) groups — a partitionSpec of just
+    // `phase` is 3 reducers for the whole corpus, the shape the
+    // stableRowIds/packShards offset pattern exists to avoid. (The
+    // other window in this plan — the offsets prefix sum — runs over
+    // the ≤ phases·10000-row count ROLLUP and is allowed to be global.)
+    val rankWindows = q.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.windowExpressions.exists(_.toString.contains("row_number")) => w
+    }
+    assert(rankWindows.nonEmpty, "expected the row_number rank window")
+    rankWindows.foreach { w =>
+      assert(w.partitionSpec.size >= 2,
+        s"rank window must partition by (phase, bucket), got: ${w.partitionSpec}")
+    }
+    assert(!plan(q).contains("CartesianProduct"), "offset join must stay keyed")
+  }
+
   test("knnGraph: one corpus exchange (the cell self-join), window group-limited") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = plan(graft.ext.Similarity.knnGraph(emb))
