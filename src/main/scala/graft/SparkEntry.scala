@@ -533,6 +533,12 @@ object SparkEntry {
       Similarity.bruteForceTopK(emb(s, d), queryVecId = 0L, k = 10))),
     "ann_lsh_topk" -> prep((s, d) => Similarity.lshTopK(emb(s, d),
       emb(s, d).where(col("vec_id") % 100 === 0)).orderBy("probe_id", "vec_id")),
+    // exact batch brute force via the unified dispatcher (the recall
+    // truth the approximate tiers are measured against; also proves
+    // annTopK's strategy routing in the gate)
+    "ann_brute_batch" -> prep((s, d) => Similarity.annTopK(emb(s, d),
+      emb(s, d).where(col("vec_id") % 100 === 0), k = 5, strategy = "brute")
+      .orderBy("probe_id", "vec_id")),
     "ann_ivf_topk" -> prep((s, d) => Similarity.ivfTopK(emb(s, d),
       emb(s, d).where(col("vec_id") % 100 === 0), k = 5, nprobe = 3)
       .orderBy("probe_id", "vec_id")),
@@ -1113,6 +1119,7 @@ object SparkEntry {
     "ngram_jaccard" -> ExtOracle.ngramJaccard,
     "ngram_jaccard_prefix" -> ExtOracle.ngramJaccard, // same output, pruned path
     "ann_cosine_topk" -> ExtOracle.annCosineTopK,
+    "ann_brute_batch" -> ExtOracle.annBruteBatch,
     "ann_lsh_topk" -> ExtOracle.annLshTopK,
     "neardup_embeddings" -> ExtOracle.nearDupEmbeddings,
     "semantic_dedup" -> ExtOracle.semanticDedup,

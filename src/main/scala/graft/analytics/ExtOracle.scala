@@ -2304,6 +2304,28 @@ scored AS (
 SELECT vec_id, cosine_sim FROM scored
 ${ord("vec_id", "cosine_sim")}""".trim
 
+  /** Twin of Similarity.bruteAllTopK via annTopK(strategy="brute"):
+    * exact per-probe top-5 over the full probes × corpus score space,
+    * same quantized-cosine double and (cosine DESC, vec_id ASC)
+    * tie-break as every other ANN twin. */
+  val annBruteBatch: String = s"""
+WITH e AS ($quantized),
+probes AS (SELECT vec_id AS probe_id, q AS pq FROM e WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT p.probe_id, e.vec_id,
+    list_dot_product(p.pq, e.q) /
+      (sqrt(list_dot_product(p.pq, p.pq)) * sqrt(list_dot_product(e.q, e.q)))
+      AS cosine_sim
+  FROM probes p, e
+  WHERE p.probe_id <> e.vec_id),
+ranked AS (
+  SELECT probe_id, vec_id, cosine_sim,
+    ROW_NUMBER() OVER (PARTITION BY probe_id
+      ORDER BY cosine_sim DESC, vec_id ASC) AS rk
+  FROM scored)
+SELECT probe_id, vec_id, cosine_sim FROM ranked WHERE rk <= 5
+${ord("probe_id", "vec_id")}""".trim
+
   /** Shared IVF probe chain — `cand` is every (probe_id, vec_id, cs)
     * candidate pair in a probe's 3 nearest cells (self excluded), with
     * the engine's two-level argmax (cell assignment, probe cells) and

@@ -1008,4 +1008,70 @@ object Similarity {
         cosineN(dotL(col("qa"), col("qb")), col("na"), col("nb")).as("cosine_sim"))
       .where(col("cosine_sim") >= threshold)
   }
+
+  /** Exact brute-force batch top-k — the recall truth every approximate
+    * tier is measured against, and the correct SERVING tier when the
+    * probe batch is small and the corpus modest (one scan, no index
+    * build). The probe table broadcasts (it must be driver-small: this
+    * is by construction a |probes|·|corpus| score space); the corpus is
+    * scanned in place — never shuffled — and the per-probe top-k is the
+    * row_number window WindowGroupLimit prunes map-side. Returns
+    * (probe_id, vec_id, cosine_sim), ties (cosine DESC, vec_id ASC). */
+  def bruteAllTopK(emb: DataFrame, probes: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = quantizedWithNorm(emb)
+    val prb = quantizedWithNorm(probes).select(col("vec_id").as("probe_id"),
+      col("q").as("pq"), col("nq").as("npq"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine_sim").desc, col("vec_id").asc)
+    base.crossJoin(broadcast(prb))
+      .where(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosineN(dotL(col("pq"), col("q")), col("npq"), col("nq")).as("cosine_sim"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .drop("rk")
+  }
+
+  /** Unified ANN serving entry point — one API over the eight tiers,
+    * selected by memory budget and recall target (the README "ANN tier
+    * selection" table carries the measured recall/latency trade per
+    * tier at sf0.1; each tier's own scaladoc carries its plan shape).
+    * Strategies and the tier each dispatches to, VERBATIM (the
+    * dispatcher adds no plan nodes — spec-tested result-identical to
+    * calling the tier directly):
+    *
+    *  - "brute"          → `bruteAllTopK`    exact, no index, full scan/probe batch
+    *  - "lsh"            → `lshTopK`         hash buckets, no training scan
+    *  - "ivf"            → `ivfTopK`         cell-pruned exact cosine
+    *  - "sq"             → `sqTopK`          int8 codes, 4× memory cut, exact int distance
+    *  - "pq"             → `pqTopK`          m-subspace codes, ~dim/m× memory cut
+    *  - "ivfpq"          → `ivfPqTopK`       cell-pruned ADC over PQ codes
+    *  - "ivfpq_residual" → `ivfPqResidualTopK` IVFADC proper (residual codes)
+    *  - "ivfpq_rerank"   → `ivfPqRerank`     ADC shortlist re-ranked full-precision
+    *
+    * Score column follows the tier's metric (`cosine_sim` for exact /
+    * re-ranked tiers, `adist` ADC distance for PQ tiers, `sq_dist` for
+    * SQ) — a serving stack switching tiers must not silently reinterpret
+    * an approximate distance as a true cosine, so the name says which
+    * one it is. Knobs irrelevant to the chosen tier are ignored. */
+  def annTopK(emb: DataFrame, probes: DataFrame, k: Int = 5,
+      strategy: String = "ivf",
+      planes: Int = 8, nprobe: Int = 3, m: Int = 4,
+      centroidMod: Int = 50, codebookMod: Int = 37,
+      rerankDepth: Int = 10): DataFrame = strategy match {
+    case "brute" => bruteAllTopK(emb, probes, k)
+    case "lsh" => lshTopK(emb, probes, k, planes)
+    case "ivf" => ivfTopK(emb, probes, k, nprobe, centroidMod)
+    case "sq" => sqTopK(emb, probes, k)
+    case "pq" => pqTopK(emb, probes, k, m, centroidMod)
+    case "ivfpq" => ivfPqTopK(emb, probes, k, nprobe, m, centroidMod)
+    case "ivfpq_residual" =>
+      ivfPqResidualTopK(emb, probes, k, nprobe, m, centroidMod, codebookMod)
+    case "ivfpq_rerank" =>
+      ivfPqRerank(emb, probes, k, rerankDepth, nprobe, m, centroidMod)
+    case other => throw new IllegalArgumentException(
+      s"unknown ANN strategy '$other' — expected one of: brute, lsh, ivf, " +
+        "sq, pq, ivfpq, ivfpq_residual, ivfpq_rerank")
+  }
 }

@@ -524,6 +524,35 @@ class ExtSpec extends SparkSpec {
     assert(pr.sortBy(_._1).toSeq == pr2.sortBy(_._1).toSeq)
   }
 
+  test("annTopK dispatcher: result-identical to each tier; unknown strategy rejects") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = emb.where(col("vec_id") % 50 === 0)
+    def key(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.get(2) match { case d: Double => d; case l: Long => l.toDouble }))
+        .sortBy(t => (t._1, t._2)).toSeq
+    import graft.ext.Similarity._
+    val tiers: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "brute" -> bruteAllTopK(emb, probes, 3),
+      "lsh" -> lshTopK(emb, probes, 3),
+      "ivf" -> ivfTopK(emb, probes, 3),
+      "sq" -> sqTopK(emb, probes, 3),
+      "pq" -> pqTopK(emb, probes, 3),
+      "ivfpq" -> ivfPqTopK(emb, probes, 3),
+      "ivfpq_residual" -> ivfPqResidualTopK(emb, probes, 3),
+      "ivfpq_rerank" -> ivfPqRerank(emb, probes, 3))
+    tiers.foreach { case (s, direct) =>
+      assert(key(annTopK(emb, probes, 3, strategy = s)) == key(direct),
+        s"dispatcher must equal direct call for strategy $s")
+    }
+    // brute is the truth: every tier's hits are a subset check is done
+    // in the recall probe; here just pin the exact tier agrees with the
+    // recall-harness formulation (cosine, k, tie-break)
+    intercept[IllegalArgumentException] {
+      annTopK(emb, probes, 3, strategy = "hnsw")
+    }
+  }
+
   test("knnPageRank: localCheckpoint cadence is a semantic no-op; iters=20 completes") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     // count MEMORY_AND_DISK cache() entries before/after — the edge +
