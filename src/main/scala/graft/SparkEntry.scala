@@ -304,6 +304,17 @@ object SparkEntry {
     "bm25_topk" -> prep((s, d) =>
       TextAnalysis.bm25TopK(docs(s, d), Seq("spark", "merge", "vector"))
         .orderBy("doc_id")),
+    // batch retrieval: 3 query sets (overlapping terms, so the shared
+    // per-(doc,term) scoring provably fans out) through the one
+    // compiled multi-query plan; per-query top-5
+    "bm25_multiquery" -> prep((s, d) => {
+      import s.implicits._
+      val q = Seq((1L, "spark"), (1L, "merge"), (2L, "vector"),
+        (2L, "spark"), (3L, "merge"), (3L, "vector"))
+        .toDF("query_id", "term")
+      TextAnalysis.bm25MultiTopK(docs(s, d), q, k = 5)
+        .orderBy("query_id", "doc_id")
+    }),
     // bigram LM quality (sequence-aware perplexity proxy)
     "bigram_lm_quality" -> prep((s, d) =>
       TextAnalysis.bigramLmQuality(docs(s, d)).orderBy("doc_id")),
@@ -1127,6 +1138,7 @@ object SparkEntry {
     "cluster_balanced_sample" -> ExtOracle.clusterBalancedSample,
     "tfidf_top_terms" -> ExtOracle.tfidfTopTerms,
     "bm25_topk" -> ExtOracle.bm25TopK,
+    "bm25_multiquery" -> ExtOracle.bm25Multiquery,
     "feature_hash_vectors" -> ExtOracle.featureHashVectors,
     "classifier_score" -> ExtOracle.classifierScore,
     "ann_ivf_topk" -> ExtOracle.ivfTopK,

@@ -142,6 +142,15 @@ object StreamBench {
         fileSink(EventStream.slidingWindowedAgg(src(in)), out, ckpt)),
       measure("stream_dedup", (in, out, ckpt) =>
         fileSink(EventStream.dedup(src(in)), out, ckpt)),
+      // the FAITHFUL reference mode (STREAM:114,149 run a plain
+      // dropDuplicates on the stream, no watermark): state retains one
+      // row per key ever seen for the lifetime of the query. Measured
+      // here on the same replay as the watermarked row above so the
+      // artifact carries the contrast that justifies the watermarked
+      // default at scale — state_rows_max should be ~the full staged
+      // row count vs the horizon-bounded watermarked peak.
+      measure("stream_dedup_unbounded", (in, out, ckpt) =>
+        fileSink(src(in).dropDuplicates("event_id"), out, ckpt)),
       measure("attribution_join", (in, out, ckpt) =>
         fileSink(EventStream.attribution(src(in)), out, ckpt)),
       measure("sessionize_fmgws", (in, out, ckpt) =>

@@ -2290,6 +2290,50 @@ topk AS (
 SELECT doc_id, q_bm25, n_terms FROM topk
 ${ord("doc_id")}""".trim
 
+  /** Twin of TextAnalysis.bm25MultiTopK for the gate's 3 query sets:
+    * identical per-(doc, term) contribution as bm25TopK (same double
+    * association, ·10⁶ quantization), computed once over the union
+    * vocabulary and fanned to queries by the term join; per-query
+    * top-5 via a row_number window with (score DESC, doc_id ASC)
+    * ties. query_id cast BIGINT to match the engine's LongType. */
+  val bm25Multiquery: String = s"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents),
+cnts AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, tok),
+dlen AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM cnts GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(dl) AS BIGINT) AS total_dl FROM dlen),
+qt(query_id, tok) AS (VALUES
+  (CAST(1 AS BIGINT), 'spark'), (CAST(1 AS BIGINT), 'merge'),
+  (CAST(2 AS BIGINT), 'vector'), (CAST(2 AS BIGINT), 'spark'),
+  (CAST(3 AS BIGINT), 'merge'), (CAST(3 AS BIGINT), 'vector')),
+qc AS (SELECT * FROM cnts WHERE tok IN (SELECT DISTINCT tok FROM qt)),
+dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM qc GROUP BY tok),
+scored AS (
+  SELECT qc.doc_id, qc.tok,
+    CAST(round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+      * (CAST(tf AS DOUBLE) * 2.2)
+      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+        * CAST(n_docs AS DOUBLE) / CAST(total_dl AS DOUBLE)))
+      * 1000000) AS BIGINT) AS q
+  FROM qc JOIN dfq USING (tok) JOIN dlen USING (doc_id), stats),
+perq AS (
+  SELECT qt.query_id, s.doc_id, CAST(SUM(s.q) AS BIGINT) AS q_bm25,
+    CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM scored s JOIN qt ON s.tok = qt.tok
+  GROUP BY qt.query_id, s.doc_id),
+topk AS (
+  SELECT query_id, doc_id, q_bm25, n_terms,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY q_bm25 DESC, doc_id ASC) AS rk
+  FROM perq)
+SELECT query_id, doc_id, q_bm25, n_terms FROM topk WHERE rk <= 5
+${ord("query_id", "doc_id")}""".trim
+
   val annCosineTopK: String = s"""
 WITH e AS ($quantized),
 qv AS (SELECT q AS qq FROM e WHERE vec_id = 0),

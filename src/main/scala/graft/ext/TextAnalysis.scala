@@ -843,6 +843,16 @@ object TextAnalysis {
     val qcnts = base.select(col("doc_id"), explode(col("ws")).as("tok"))
       .where(col("tok").isin(queryTerms.distinct: _*))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    // The df branch re-plans the query-filtered explode rather than
+    // reusing qcnts' exchange: Catalyst prunes this branch to a
+    // distinct-(doc, tok) aggregate (functions=[] vs [count]), so the
+    // canonicalized children differ and ReuseExchange can't match —
+    // verified empirically; keeping tf referenced (count(tf)) is
+    // rewritten back to the pruned form. Accepted: both derivations
+    // filter to query terms SCAN-SIDE (the duplicated work is
+    // query-proportional after the scan, plus one extra corpus read),
+    // and the alternative — df via a tok-partitioned window — funnels
+    // a stopword term's entire posting list through one reducer.
     val dfreq = qcnts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val scored = qcnts.join(broadcast(dfreq), "tok")
       .join(dlen, "doc_id")
@@ -860,6 +870,69 @@ object TextAnalysis {
       .agg(sum(col("q")).as("q_bm25"), count(lit(1)).as("n_terms"))
       .orderBy(col("q_bm25").desc, col("doc_id").asc)
       .limit(k)
+  }
+
+  /** Batch BM25 retrieval — queries as DATA, not code: a (query_id,
+    * term) DataFrame drives any number of query sets through ONE
+    * compiled plan (`bm25TopK`'s Seq signature recompiles the plan —
+    * analysis, optimization, codegen — per query set; a serving loop
+    * over thousands of queries pays that fixed cost once here).
+    * Returns per-query top-k: (query_id, doc_id, q_bm25, n_terms),
+    * ties (score DESC, doc_id ASC).
+    *
+    * Work sharing: term statistics are computed ONCE over the UNION
+    * vocabulary of all queries — tf and df are query-independent, so
+    * each (doc, term) contribution is scored once and fanned out to
+    * the queries containing the term by a broadcast join (overlapping
+    * query sets share their term work). Scale shape mirrors
+    * `bm25TopK`: the token filter is a broadcast semi-style join
+    * against the |union vocab|-row term table sitting directly on the
+    * generate output (scan-side — the counts shuffle stays
+    * query-proportional, never vocabulary-proportional); dfreq and the
+    * corpus stats broadcast; the per-query top-k is a row_number
+    * window WindowGroupLimit prunes map-side (a global sort+limit
+    * cannot express per-query cuts). The query table must be
+    * driver-small (it broadcasts twice) — thousands of queries × terms
+    * is narrow rows, fine; corpus-sized query tables are a different
+    * operator (that is a join-reranking pipeline, not batch retrieval). */
+  def bm25MultiTopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qterms = queries.select(col("query_id"), col("term")).distinct()
+    val qvocab = qterms.select(col("term").as("tok")).distinct()
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("ws"))
+    val dlen = base.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+    val stats = dlen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val qcnts = base.select(col("doc_id"), explode(col("ws")).as("tok"))
+      .join(broadcast(qvocab), "tok")
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    // same accepted dual-derivation as bm25TopK (see the comment
+    // there): the pruned df branch defeats exchange reuse, but both
+    // derivations are query-term-filtered scan-side
+    val dfreq = qcnts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // per-(doc, term) contribution — identical double association and
+    // ·10⁶ quantization as bm25TopK (the oracle parity contract)
+    val contrib = qcnts.join(broadcast(dfreq), "tok")
+      .join(dlen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("tok"),
+        round(
+          log((col("n_docs").cast("double") - col("df").cast("double") + 0.5)
+              / (col("df").cast("double") + 0.5) + 1.0)
+            * (col("tf").cast("double") * (k1 + 1))
+            / (col("tf").cast("double") + lit(k1)
+              * (lit(1.0 - b) + lit(b) * col("dl").cast("double")
+                * col("n_docs").cast("double") / col("total_dl").cast("double")))
+            * 1000000).cast("long").as("q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("q_bm25").desc, col("doc_id").asc)
+    contrib
+      .join(broadcast(qterms.select(col("query_id"), col("term").as("tok"))), "tok")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("q")).as("q_bm25"), count(lit(1)).as("n_terms"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("doc_id"), col("q_bm25"), col("n_terms"))
   }
 
   /** C4-style line-level cleaning — the rule set behind the C4 corpus,

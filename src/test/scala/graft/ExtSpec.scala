@@ -524,6 +524,25 @@ class ExtSpec extends SparkSpec {
     assert(pr.sortBy(_._1).toSeq == pr2.sortBy(_._1).toSeq)
   }
 
+  test("bm25MultiTopK: per-query slices equal the single-query operator (recall 1.0)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val qsets = Map(1L -> Seq("spark", "merge"), 2L -> Seq("vector", "spark"),
+      3L -> Seq("merge", "vector"))
+    val q = qsets.toSeq.flatMap { case (id, ts) => ts.map(id -> _) }
+      .toDF("query_id", "term")
+    val multi = graft.ext.TextAnalysis.bm25MultiTopK(docs, q, k = 5).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    // the batch path must lose nothing vs the oracle-verified
+    // single-query operator: same docs, same integer scores, same
+    // term counts, per query — the lexical recall@k harness
+    for ((id, terms) <- qsets) {
+      val single = graft.ext.TextAnalysis.bm25TopK(docs, terms, k = 5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      assert(multi(id) == single, s"query $id diverges from single-query path")
+    }
+  }
+
   test("annTopK dispatcher: result-identical to each tier; unknown strategy rejects") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val probes = emb.where(col("vec_id") % 50 === 0)

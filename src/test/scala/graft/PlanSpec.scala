@@ -317,6 +317,29 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 4, s"expected <= 4 hash exchanges, got $exchanges:\n$p")
   }
 
+  test("bm25MultiTopK: query-proportional shape — broadcast term filter, windowed top-k") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    import spark.implicits._
+    val q = Seq((1L, "spark"), (2L, "merge")).toDF("query_id", "term")
+    val p = plan(graft.ext.TextAnalysis.bm25MultiTopK(docs, q))
+    // the union-vocab filter and the query fan-out must both broadcast
+    // (a shuffled term join would move the exploded token stream);
+    // per-query top-k must be WindowGroupLimit-pruned, never a global
+    // sort — and nothing may cartesian
+    assert(p.contains("BroadcastHashJoin"), s"term joins must broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-k must prune map-side:\n$p")
+    assert(!p.contains("CartesianProduct"), "no cartesian products")
+    // 8 = qcnts agg + the df branch's re-derived distinct+count (the
+    // pruned branch defeats exchange reuse — see the operator comment)
+    // + qvocab distinct + qterms distinct + per-(query, doc) rollup +
+    // the window exchange; every one is query-proportional or a rollup
+    // of query-filtered rows — nothing vocabulary-proportional
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(exchanges <= 8, s"expected <= 8 hash exchanges, got $exchanges:\n$p")
+  }
+
   test("spanCorruption: pure scan projection, no exchange at all") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = plan(graft.ext.TextAnalysis.spanCorruption(docs))
