@@ -656,6 +656,24 @@ object SparkEntry {
     "dedup_scorecard" -> prep((s, d) =>
       Dedup.dedupScorecard(docs(s, d), Dedup.minhashLshPairsPortable(docs(s, d)))
         .orderBy("source")),
+    // exact Levenshtein verification over the MinHash candidate tier
+    // (sketch recall -> exact precision; the prefix-capped DP runs on
+    // the candidate sliver only, never all pairs)
+    "editdist_verify" -> prep((s, d) =>
+      Dedup.editDistanceVerify(docs(s, d), Dedup.minhashLshPairsPortable(docs(s, d)))
+        .orderBy("a_id", "b_id")),
+    // per-source quota: each source keeps its best 10 docs by quality
+    // (anti-domination ceiling; WindowGroupLimit prunes map-side)
+    "source_cap" -> prep((s, d) =>
+      Curation.sourceCap(docs(s, d), cap = 10).orderBy("doc_id")),
+    // WebDataset-style shard manifest over the pack_shards assignment:
+    // per-shard counts, id range, md5 digest of the id-sorted members
+    "shard_manifest" -> prep((s, d) =>
+      Sampling.shardManifest(Sampling.packShards(
+        docs(s, d).select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).as("n_tokens")),
+        "n_tokens", budget = 2048, nBuckets = 8))
+        .orderBy("pack_bucket", "shard_in_bucket")),
     // curriculum ordering: easy->hard phases by corpus-relative quality
     // tertiles, deterministic within-phase shuffle, global contiguous
     // rank with no single-reducer window
@@ -1082,6 +1100,9 @@ object SparkEntry {
     "quality_tiers" -> ExtOracle.qualityTiers,
     "curriculum_order" -> ExtOracle.curriculumOrder,
     "dedup_scorecard" -> ExtOracle.dedupScorecard,
+    "editdist_verify" -> ExtOracle.editdistVerify,
+    "source_cap" -> ExtOracle.sourceCap,
+    "shard_manifest" -> ExtOracle.shardManifest,
     "containment_pairs" -> ExtOracle.containmentPairs,
     "normalize_text" -> ExtOracle.normalizeText,
     "dsir_select" -> ExtOracle.dsirSelect,

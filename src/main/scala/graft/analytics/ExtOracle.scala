@@ -2073,6 +2073,79 @@ keyed AS (
   SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS k
   FROM documents d LEFT JOIN mh_clusters c ON d.doc_id = c.doc_id)""".trim
 
+  /** Twin of Dedup.editDistanceVerify over the MinHash-portable pair
+    * tier: same candidate chain, then textbook Levenshtein over
+    * 200-char trimmed prefixes with the integer dist·100 ≤ maxLen·30
+    * filter and one deterministic double `edit_sim` division. */
+  val editdistVerify: String = s"""$minhashAgreeChain,
+vp AS (SELECT a_id, b_id FROM agree WHERE CAST(n_agree AS DOUBLE) / 32 >= 0.5),
+tx AS (
+  SELECT doc_id, substr(trim(text), 1, 200) AS t,
+    CAST(length(substr(trim(text), 1, 200)) AS INT) AS len
+  FROM documents),
+ed AS (
+  SELECT v.a_id, v.b_id,
+    CAST(levenshtein(ta.t, tb.t) AS INT) AS edit_dist,
+    ta.len AS a_len, tb.len AS b_len
+  FROM vp v
+  JOIN tx ta ON ta.doc_id = v.a_id
+  JOIN tx tb ON tb.doc_id = v.b_id)
+SELECT a_id, b_id, edit_dist, a_len, b_len,
+  1.0 - CAST(edit_dist AS DOUBLE) / greatest(a_len, b_len) AS edit_sim
+FROM ed
+WHERE edit_dist * 100 <= greatest(a_len, b_len) * 30
+${ord("a_id", "b_id")}""".trim
+
+  /** Twin of Curation.sourceCap(cap = 10): the shared quality
+    * expression, a per-source ROW_NUMBER by (quality DESC, doc_id
+    * ASC), keep rank ≤ 10. */
+  val sourceCap: String = s"""
+WITH t AS (
+  SELECT doc_id, source,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+    CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) AS n_uniq,
+    CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents),
+q AS (
+  SELECT doc_id, source,
+    round((n_uniq / n_tok) * 0.5
+      + least(n_tok / 64.0, 1.0) * 0.3
+      + (CASE WHEN ((n_chars - (n_tok - 1)) / n_tok) BETWEEN 3.0 AND 9.0
+              THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+  FROM t),
+rk AS (
+  SELECT doc_id, source, quality,
+    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      ORDER BY quality DESC, doc_id ASC) AS INT) AS source_rank
+  FROM q)
+SELECT doc_id, source, quality, source_rank FROM rk WHERE source_rank <= 10
+${ord("doc_id")}""".trim
+
+  /** Twin of Sampling.shardManifest over the pack_shards assignment:
+    * same bucket/shard derivation, rollup + md5 over the id-sorted
+    * comma-joined member list (string_agg with ORDER BY ≡ the
+    * engine's array_sort-before-hash). */
+  val shardManifest: String = s"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+    doc_id % 8 AS pack_bucket
+  FROM documents),
+shards AS (
+  SELECT doc_id, n_tokens, pack_bucket,
+    CAST((SUM(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048 AS BIGINT)
+      AS shard_in_bucket
+  FROM t)
+SELECT pack_bucket, shard_in_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS content_digest
+FROM shards
+GROUP BY pack_bucket, shard_in_bucket
+${ord("pack_bucket", "shard_in_bucket")}""".trim
+
   /** Twin of Dedup.dedupScorecard over the MinHash pair tier: distinct
     * either-side involvement, per-source rollup, one double division. */
   val dedupScorecard: String = s"""$minhashAgreeChain,

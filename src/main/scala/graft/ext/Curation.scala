@@ -173,4 +173,31 @@ object Curation {
       struct(lit(4).as("stage"), lit("decontaminated").as("stage_name"), col("n4").as("n_docs"))))
       .as("r")).select(col("r.stage"), col("r.stage_name"), col("r.n_docs"))
   }
+
+  /** Per-source quota cap — the anti-domination guard a mixed-source
+    * corpus needs: no single crawl/domain/dump may contribute more
+    * than `cap` documents, and the ones it keeps are its BEST `cap`
+    * by lexical quality (ties broken by doc_id for determinism).
+    * Complements `Sampling.mixtureSample` (proportional rates) and
+    * `Sampling.budgetMix` (token budgets): a cap is the hard ceiling
+    * that holds even when a source's weight would admit more.
+    *
+    * Scale shape: quality is a per-row scan projection; the rank is a
+    * row_number window over (source) that the `<= cap` filter turns
+    * into a WindowGroupLimit (PlanSpec-pinned) — every map task
+    * pre-prunes to its local top-cap per source, so the per-source
+    * reducer sees at most tasks·cap rows, not the source's corpus
+    * share. Low source cardinality therefore does NOT serialize the
+    * corpus through few reducers: the corpus-sized work is all
+    * map-side. */
+  def sourceCap(docs: DataFrame, cap: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cap >= 1, "cap must be positive")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    TextAnalysis.withQuality(docs)
+      .select(col("doc_id"), col("source"), col("quality"))
+      .withColumn("source_rank", row_number().over(w))
+      .where(col("source_rank") <= cap)
+  }
 }

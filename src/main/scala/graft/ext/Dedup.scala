@@ -876,4 +876,46 @@ object Dedup {
         bit_count(col("a_sim").bitwiseXOR(col("b_sim"))).as("hamming"))
       .where(col("hamming") <= maxDist)
   }
+
+  /** Edit-distance verification tier — the exact check that sits
+    * between sketch RECALL (MinHash/SimHash candidate pairs) and a
+    * dedup DECISION: Levenshtein distance over whitespace-trimmed
+    * `prefix`-char text prefixes, keeping pairs whose distance is at
+    * most `maxDistPct`% of the longer prefix. Character-level edit
+    * distance catches the near-dups token sketches blur (reorderings,
+    * small insertions that still shift every shingle) and, run on
+    * candidates only, rejects sketch false positives before they merge
+    * distinct documents into one cluster.
+    *
+    * Scale shape: the O(n·m) DP runs ONLY on the candidate sliver
+    * (thousands of pairs from billions of docs — never all pairs), and
+    * `prefix` caps each DP at prefix² cells, so per-pair cost is a
+    * constant independent of document length. The texts arrive by two
+    * id-keyed narrow joins against a (doc_id, prefix, len) projection
+    * — the pair side is the small side and the projection prunes the
+    * full text from the shuffle. The distance filter is pure integer
+    * arithmetic (dist·100 ≤ maxLen·pct — no doubles in the predicate);
+    * `edit_sim` is one deterministic double division for reporting.
+    * Both engines implement textbook Levenshtein, which is what makes
+    * the tier oracle-checkable (ExtOracle.editdistVerify). */
+  def editDistanceVerify(docs: DataFrame, pairs: DataFrame,
+      prefix: Int = 200, maxDistPct: Int = 30): DataFrame = {
+    val t = docs
+      .select(col("doc_id"), substring(trim(col("text")), 1, prefix).as("__t"))
+      .select(col("doc_id"), col("__t"), length(col("__t")).cast("int").as("__len"))
+    pairs.select("a_id", "b_id")
+      .join(t.select(col("doc_id").as("a_id"), col("__t").as("__ta"),
+        col("__len").as("a_len")), "a_id")
+      .join(t.select(col("doc_id").as("b_id"), col("__t").as("__tb"),
+        col("__len").as("b_len")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("__ta"), col("__tb")).as("edit_dist"),
+        col("a_len"), col("b_len"))
+      .where(col("edit_dist") * 100 <=
+        greatest(col("a_len"), col("b_len")) * maxDistPct)
+      .select(col("a_id"), col("b_id"), col("edit_dist"),
+        col("a_len"), col("b_len"),
+        (lit(1.0) - col("edit_dist").cast("double") /
+          greatest(col("a_len"), col("b_len")).cast("double")).as("edit_sim"))
+  }
 }

@@ -262,4 +262,31 @@ object Sampling {
             array_sort(collect_list(struct(col(idCol).as("i"), col(textCol).as("t")))),
             x => x.getField("t")),
           sep).as("sequence"))
+
+  /** Shard manifest over a `packShards` assignment — the WebDataset-
+    * style index a training job reads before it reads any shard: one
+    * row per (bucket, shard) with document count, token total, the
+    * id range, and an MD5 content digest over the id-sorted member
+    * list. The digest is what makes a multi-engine / multi-run corpus
+    * build auditable: two builds of "the same" corpus either agree on
+    * every shard digest or the diff points at exactly which shards
+    * changed — without re-reading a byte of text.
+    *
+    * Scale shape: one map-side-combinable groupBy on the key the
+    * assignment is already organized by; per-group state (the member
+    * id list) is bounded by the pack budget, not the corpus —
+    * `collect_list` is safe here for the same reason it is in
+    * `packSequences`, and it is `array_sort`ed before hashing so the
+    * digest is layout- and engine-invariant. */
+  def shardManifest(packed: DataFrame, idCol: String = "doc_id",
+      tokensCol: String = "n_tokens"): DataFrame =
+    packed.groupBy(col("pack_bucket"), col("shard_in_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensCol)).cast("long").as("n_tokens"),
+        min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"),
+        array_sort(collect_list(col(idCol))).as("__ids"))
+      .select(col("pack_bucket"), col("shard_in_bucket"), col("n_docs"),
+        col("n_tokens"), col("min_id"), col("max_id"),
+        md5(concat_ws(",", transform(col("__ids"), _.cast("string")))
+          .cast("binary")).as("content_digest"))
 }

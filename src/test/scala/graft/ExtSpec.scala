@@ -1505,4 +1505,66 @@ class ExtSpec extends SparkSpec {
     assert(pruned == naive)
     assert(naive.nonEmpty, "fixture must contain near-duplicate docs")
   }
+
+  test("editDistanceVerify: exact dup at 0, near-dup small, unrelated pair rejected") {
+    val pairs = Seq((0L, 1L), (0L, 3L), (0L, 2L)).toDF("a_id", "b_id")
+    val out = Dedup.editDistanceVerify(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Int]("edit_dist"), r.getAs[Double]("edit_sim"))).toMap
+    assert(out((0L, 3L))._1 == 0 && out((0L, 3L))._2 == 1.0) // exact dup
+    val (nd, ns) = out((0L, 1L)) // today -> tonight: a few char edits
+    assert(nd > 0 && nd <= 6 && ns > 0.9)
+    assert(!out.contains((0L, 2L)), "unrelated pair must fail the 30% filter")
+  }
+
+  test("editDistanceVerify: prefix cap bounds the DP and the reported lengths") {
+    val long = Seq(
+      (0L, "x" * 500 + " tail one"),
+      (1L, "x" * 500 + " tail two")).toDF("doc_id", "text")
+    val out = Dedup.editDistanceVerify(long, Seq((0L, 1L)).toDF("a_id", "b_id"),
+      prefix = 100).collect()
+    assert(out.length == 1)
+    // both prefixes are the identical first 100 chars -> distance 0
+    assert(out.head.getAs[Int]("edit_dist") == 0)
+    assert(out.head.getAs[Int]("a_len") == 100 && out.head.getAs[Int]("b_len") == 100)
+  }
+
+  test("sourceCap: per-source quota enforced, survivors are the quality top-cap") {
+    val base = docs.withColumn("source",
+      when(col("doc_id") < 3, "sA").otherwise("sB"))
+    val out = graft.ext.Curation.sourceCap(base, cap = 2).collect()
+    assert(out.groupBy(_.getAs[String]("source")).forall(_._2.length <= 2))
+    val q = TextAnalysis.withQuality(base)
+      .select("doc_id", "source", "quality").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val expected = q.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(t => (-t._3, t._1)).take(2).map(_._1).toSeq
+    }.toSet
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == expected)
+    // ranks within each source are contiguous from 1
+    out.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Int]("source_rank")).sorted.toSeq ==
+        (1 to rows.length).toSeq)
+    }
+  }
+
+  test("shardManifest: rollup consistent with the assignment, md5 digest of id list") {
+    val df = (0L until 40L).map(i => (i, 100)).toDF("doc_id", "n_tokens")
+    val packed = Sampling.packShards(df, "n_tokens", budget = 1000, nBuckets = 4)
+    val man = Sampling.shardManifest(packed).collect()
+    man.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") == r.getAs[Long]("n_docs") * 100)
+      assert(r.getAs[Long]("min_id") <= r.getAs[Long]("max_id"))
+    }
+    assert(man.map(_.getAs[Long]("n_docs")).sum == 40L)
+    val members = packed
+      .where(col("pack_bucket") === 0 && col("shard_in_bucket") === 0)
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(members.mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val row = man.find(r => r.getAs[Long]("pack_bucket") == 0L &&
+      r.getAs[Long]("shard_in_bucket") == 0L).get
+    assert(row.getAs[String]("content_digest") == md)
+  }
 }

@@ -368,6 +368,24 @@ class PlanSpec extends SparkSpec {
     assert(!plan(q).contains("CartesianProduct"), "offset join must stay keyed")
   }
 
+  test("sourceCap: rank filter gets WindowGroupLimit map-side pruning") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ext.Curation.sourceCap(docs, cap = 10))
+    // without the group-limit, a low-cardinality source column funnels
+    // the whole corpus through a handful of rank reducers; with it,
+    // every map task pre-prunes to its local top-cap per source
+    assert(p.contains("WindowGroupLimit"),
+      s"per-source rank must prune map-side:\n$p")
+  }
+
+  test("editDistanceVerify: pair-sliver joins, no cartesian, text pruned to prefix") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = graft.ext.Dedup.minhashLshPairsPortable(docs)
+    val p = plan(graft.ext.Dedup.editDistanceVerify(docs, pairs))
+    assert(!p.contains("CartesianProduct"),
+      s"verify tier must join candidates by id, never cross:\n$p")
+  }
+
   test("knnGraph: one corpus exchange (the cell self-join), window group-limited") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = plan(graft.ext.Similarity.knnGraph(emb))
