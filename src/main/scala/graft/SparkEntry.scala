@@ -674,6 +674,22 @@ object SparkEntry {
           size(split(trim(col("text")), "\\s+")).as("n_tokens")),
         "n_tokens", budget = 2048, nBuckets = 8))
         .orderBy("pack_bucket", "shard_in_bucket")),
+    // length-grouped batching: consecutive batches of 32 in token-
+    // length order, per-batch padding waste (dynamic-batching planner)
+    "length_batches" -> prep((s, d) =>
+      Sampling.lengthBatches(
+        docs(s, d).select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).as("n_tokens")),
+        batchSize = 32)
+        .orderBy("batch_id")),
+    // deterministic token-proportional sample: every 500th token on
+    // the (bucket, id)-ordered corpus axis — integer-exact, no RNG
+    "systematic_sample" -> prep((s, d) =>
+      Sampling.systematicSample(
+        docs(s, d).select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")),
+        every = 500L)
+        .orderBy("doc_id")),
     // curriculum ordering: easy->hard phases by corpus-relative quality
     // tertiles, deterministic within-phase shuffle, global contiguous
     // rank with no single-reducer window
@@ -1103,6 +1119,8 @@ object SparkEntry {
     "editdist_verify" -> ExtOracle.editdistVerify,
     "source_cap" -> ExtOracle.sourceCap,
     "shard_manifest" -> ExtOracle.shardManifest,
+    "length_batches" -> ExtOracle.lengthBatches,
+    "systematic_sample" -> ExtOracle.systematicSample,
     "containment_pairs" -> ExtOracle.containmentPairs,
     "normalize_text" -> ExtOracle.normalizeText,
     "dsir_select" -> ExtOracle.dsirSelect,

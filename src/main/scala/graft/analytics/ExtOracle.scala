@@ -2146,6 +2146,50 @@ FROM shards
 GROUP BY pack_bucket, shard_in_bucket
 ${ord("pack_bucket", "shard_in_bucket")}""".trim
 
+  /** Twin of Sampling.lengthBatches(batchSize = 32): one global
+    * ROW_NUMBER over (n_tokens, knuth-bucket, doc_id) — the same total
+    * order the engine reaches via per-(length, bucket) ranks + base
+    * offsets — then the per-batch padding rollup. */
+  val lengthBatches: String = s"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens
+  FROM documents),
+rk AS (
+  SELECT doc_id, n_tokens,
+    ROW_NUMBER() OVER (ORDER BY n_tokens ASC,
+      ((doc_id % 1000003) * 2654435761) % 10000 ASC, doc_id ASC) AS r
+  FROM t),
+b AS (SELECT doc_id, n_tokens, (r - 1) // 32 AS batch_id FROM rk)
+SELECT batch_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+  CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS padding
+FROM b GROUP BY batch_id
+${ord("batch_id")}""".trim
+
+  /** Twin of Sampling.systematicSample(every = 500): the same
+    * two-level exclusive token prefix in (knuth-bucket-64, doc_id)
+    * order — here one global window, same total order — and the
+    * integer span-covers-a-multiple predicate. */
+  val systematicSample: String = s"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+    ((doc_id % 1000003) * 2654435761) % 64 AS b
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+    CAST(SUM(n_tokens) OVER (ORDER BY b ASC, doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
+      AS token_pos
+  FROM t),
+c0 AS (SELECT doc_id, n_tokens, COALESCE(token_pos, 0) AS token_pos FROM c)
+SELECT doc_id, n_tokens, token_pos FROM c0
+WHERE token_pos % 500 = 0 OR token_pos % 500 + n_tokens > 500
+${ord("doc_id")}""".trim
+
   /** Twin of Dedup.dedupScorecard over the MinHash pair tier: distinct
     * either-side involvement, per-source rollup, one double division. */
   val dedupScorecard: String = s"""$minhashAgreeChain,

@@ -278,6 +278,91 @@ object Sampling {
     * `collect_list` is safe here for the same reason it is in
     * `packSequences`, and it is `array_sort`ed before hashing so the
     * digest is layout- and engine-invariant. */
+  /** Length-grouped batching report — the dynamic-batching planner's
+    * view of the corpus: documents sorted by token length are grouped
+    * into consecutive batches of `batchSize`, and each batch row
+    * reports the padding a trainer would eat bringing every member up
+    * to the batch max (`n_docs·max − sum`). Length-sorted batching is
+    * THE standard fix for padding waste in variable-length training;
+    * this operator quantifies exactly what it saves.
+    *
+    * Scale shape: the global length-sorted rank never runs through one
+    * reducer — rows rank within (n_tokens, knuth-bucket) groups (the
+    * sub-bucket bounds the reducer even when the length distribution
+    * is peaked, e.g. billions of docs truncated to exactly 512
+    * tokens), and global contiguity comes from per-(length, bucket)
+    * base offsets off a bounded count rollup joined back broadcast —
+    * the stableRowIds / curriculumOrder pattern. The batch rollup is
+    * one map-combinable groupBy on batch_id. Total order:
+    * (n_tokens ASC, bucket ASC, doc_id ASC) — deterministic and
+    * engine-reproducible. */
+  def lengthBatches(df: DataFrame, batchSize: Int = 32,
+      tokensCol: String = "n_tokens", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(batchSize >= 1, "batchSize must be positive")
+    val t = df.withColumn("__bk", bucket(col(idCol), 10000))
+    val counts = t.groupBy(col(tokensCol), col("__bk"))
+      .agg(count(lit(1)).as("__n"))
+    // prefix sum over the (length, bucket) ROLLUP — bounded by
+    // |distinct lengths|·10000, not corpus size
+    val wOff = Window.orderBy(col(tokensCol).asc, col("__bk").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val base = counts
+      .withColumn("__base", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col(tokensCol), col("__bk"), col("__base"))
+    val w = Window.partitionBy(col(tokensCol), col("__bk"))
+      .orderBy(col(idCol).asc)
+    t.join(broadcast(base), Seq(tokensCol, "__bk"))
+      .withColumn("__rank", col("__base") + row_number().over(w))
+      .withColumn("batch_id", ((col("__rank") - 1) / batchSize).cast("long"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col(tokensCol)).cast("long").as("max_tokens"),
+        sum(col(tokensCol)).cast("long").as("sum_tokens"))
+      .withColumn("padding",
+        col("n_docs") * col("max_tokens") - col("sum_tokens"))
+  }
+
+  /** Token-proportional systematic sampling — a deterministic
+    * weighted sample with zero RNG and zero floating point: lay the
+    * corpus out on a token axis in (knuth-bucket, id) order and keep
+    * every document whose span covers a multiple of `every`. Selection
+    * probability is proportional to token count (the importance weight
+    * that matters for a token-budgeted corpus), the expected sample
+    * size is totalTokens/every exactly, and the whole decision is
+    * integer arithmetic: a span [start, start+n) covers a multiple ⟺
+    * start%every == 0 ∨ start%every + n > every — no doubles, no
+    * u^(1/w) priority keys, reproducible on any engine.
+    *
+    * Scale shape: the exclusive prefix sum is two-level — per-bucket
+    * token sums roll up to a bounded |buckets|-row offset table
+    * (broadcast back), and the within-bucket running sum is a window
+    * per bucket — so no single-reducer scan, same as stableRowIds.
+    * Emits (id, tokens, token_pos) with token_pos the exact axis
+    * offset, so a downstream shard can re-derive its sampling frame
+    * without recomputing the prefix. */
+  def systematicSample(df: DataFrame, every: Long,
+      tokensCol: String = "n_tokens", idCol: String = "doc_id",
+      nBuckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(every >= 1, "sampling interval must be positive")
+    val t = df.withColumn("__b", bucket(col(idCol), nBuckets))
+    val offs = t.groupBy(col("__b")).agg(sum(col(tokensCol)).as("__s"))
+    val wOff = Window.orderBy(col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val base = offs
+      .withColumn("__base", coalesce(sum(col("__s")).over(wOff), lit(0L)))
+      .select(col("__b"), col("__base"))
+    val w = Window.partitionBy(col("__b")).orderBy(col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.join(broadcast(base), "__b")
+      .withColumn("__start",
+        col("__base") + sum(col(tokensCol)).over(w) - col(tokensCol))
+      .where(pmod(col("__start"), lit(every)) === 0 ||
+        pmod(col("__start"), lit(every)) + col(tokensCol) > every)
+      .select(col(idCol), col(tokensCol), col("__start").as("token_pos"))
+  }
+
   def shardManifest(packed: DataFrame, idCol: String = "doc_id",
       tokensCol: String = "n_tokens"): DataFrame =
     packed.groupBy(col("pack_bucket"), col("shard_in_bucket"))

@@ -187,4 +187,55 @@ class SamplingSpec extends SparkSpec {
       .groupBy(identity).view.mapValues(_.length).toMap
     assert(salted == plain)
   }
+
+  test("lengthBatches: batches fill in length order, padding formula exact") {
+    import spark.implicits._
+    // lengths 1..10, batchSize 4 -> batches [1,2,3,4] [5,6,7,8] [9,10]
+    val df = (1L to 10L).map(i => (i, i.toInt)).toDF("doc_id", "n_tokens")
+    val got = Sampling.lengthBatches(df, batchSize = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got(0L) == ((4L, 4L, 10L, 6L)))   // max 4, sum 10, pad 4*4-10
+    assert(got(1L) == ((4L, 8L, 26L, 6L)))   // 5+6+7+8
+    assert(got(2L) == ((2L, 10L, 19L, 1L)))  // partial tail: 9+10
+  }
+
+  test("lengthBatches: layout-invariant and conserves docs on real data") {
+    val df = docs.select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+    val a = Sampling.lengthBatches(df).collect().map(_.toSeq).toSet
+    val b = Sampling.lengthBatches(df.repartition(7)).collect().map(_.toSeq).toSet
+    assert(a == b, "batch report must not depend on physical layout")
+    val total = Sampling.lengthBatches(df).agg(sum("n_docs")).head.getLong(0)
+    assert(total == docs.count())
+  }
+
+  test("systematicSample: selects exactly the docs whose span covers a multiple") {
+    import spark.implicits._
+    val df = (0L until 20L).map(i => (i, 7L)).toDF("doc_id", "n_tokens")
+    val every = 10L
+    val got = Sampling.systematicSample(df, every).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    // recompute expectation on the driver in the same (bucket, id) order
+    val order = (0L until 20L).sortBy(i => (((i % 1000003L) * 2654435761L) % 64L, i))
+    var pos = 0L
+    val expect = scala.collection.mutable.Map.empty[Long, Long]
+    order.foreach { id =>
+      val r = pos % every
+      if (r == 0 || r + 7 > every) expect(id) = pos
+      pos += 7
+    }
+    assert(got == expect.toMap)
+    // token-proportional size: 20*7=140 tokens / 10 = 14 multiples,
+    // each doc spans at most one extra multiple -> |sample| in [7,14]
+    assert(got.size >= 7 && got.size <= 14)
+  }
+
+  test("systematicSample: a giant doc cannot be missed, zero-length docs never picked mid-stride") {
+    import spark.implicits._
+    val df = Seq((0L, 3L), (1L, 100L), (2L, 3L)).toDF("doc_id", "n_tokens")
+    val got = Sampling.systematicSample(df, every = 50L).collect()
+      .map(_.getLong(0)).toSet
+    assert(got.contains(1L), "a doc longer than the stride always samples")
+  }
 }
