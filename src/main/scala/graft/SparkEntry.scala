@@ -614,6 +614,11 @@ object SparkEntry {
     "ann_ivfpq_rerank" -> prep((s, d) => Similarity.ivfPqRerank(emb(s, d),
       emb(s, d).where(col("vec_id") % 100 === 0), k = 5, r = 10, nprobe = 3)
       .orderBy("probe_id", "vec_id")),
+    // Matryoshka tier: 16-of-64-dim prefix cosine shortlist (r=10),
+    // exact full-dim re-rank to top-5 — the bandwidth-cut serving path
+    "ann_matryoshka" -> prep((s, d) => Similarity.matryoshkaTopK(emb(s, d),
+      emb(s, d).where(col("vec_id") % 100 === 0), k = 5, r = 10, dims = 16)
+      .orderBy("probe_id", "vec_id")),
     "neardup_embeddings" -> prep((s, d) => Engine.canonical(
       Similarity.nearDupPairs(emb(s, d)))),
     // pairwise Pearson between the quality / LM / repetition signals
@@ -1191,6 +1196,7 @@ object SparkEntry {
     "budget_mix" -> ExtOracle.budgetMix,
     "ann_ivfpq_residual" -> ExtOracle.ivfPqResidual,
     "ann_sq_topk" -> ExtOracle.sqTopK,
+    "ann_matryoshka" -> ExtOracle.matryoshkaTopK,
     "ann_pq_topk" -> ExtOracle.pqTopK,
     "ann_ivfpq_topk" -> ExtOracle.ivfPqTopK,
     "ann_ivfpq_rerank" -> ExtOracle.ivfPqRerank,

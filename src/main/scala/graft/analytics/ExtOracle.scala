@@ -2487,6 +2487,42 @@ ranked AS (
 SELECT probe_id, vec_id, cosine_sim FROM ranked WHERE rk <= 5
 ${ord("probe_id", "vec_id")}""".trim
 
+  /** Twin of Similarity.matryoshkaTopK(k=5, r=10, dims=16): prefix-dim
+    * cosine shortlist (q[1:16], same quantized-integer dot), exact
+    * full-dim re-rank, same (DESC, id ASC) tie-breaks both stages. */
+  val matryoshkaTopK: String = s"""
+WITH e AS ($quantized),
+ep AS (SELECT vec_id, q[1:16] AS qp FROM e),
+pp AS (SELECT vec_id AS probe_id, q[1:16] AS pqp FROM e WHERE vec_id % 100 = 0),
+pre AS (
+  SELECT p.probe_id, ep.vec_id,
+    list_dot_product(p.pqp, ep.qp) /
+      (sqrt(list_dot_product(p.pqp, p.pqp)) * sqrt(list_dot_product(ep.qp, ep.qp)))
+      AS pre_sim
+  FROM pp p, ep WHERE p.probe_id <> ep.vec_id),
+short AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT probe_id, vec_id,
+      ROW_NUMBER() OVER (PARTITION BY probe_id
+        ORDER BY pre_sim DESC, vec_id ASC) AS rk
+    FROM pre) WHERE rk <= 10),
+pf AS (SELECT vec_id AS probe_id, q AS pq FROM e WHERE vec_id % 100 = 0),
+fr AS (
+  SELECT s.probe_id, s.vec_id,
+    list_dot_product(pf.pq, e.q) /
+      (sqrt(list_dot_product(pf.pq, pf.pq)) * sqrt(list_dot_product(e.q, e.q)))
+      AS cosine_sim
+  FROM short s
+  JOIN e ON e.vec_id = s.vec_id
+  JOIN pf ON pf.probe_id = s.probe_id),
+ranked AS (
+  SELECT probe_id, vec_id, cosine_sim,
+    ROW_NUMBER() OVER (PARTITION BY probe_id
+      ORDER BY cosine_sim DESC, vec_id ASC) AS rk
+  FROM fr)
+SELECT probe_id, vec_id, cosine_sim FROM ranked WHERE rk <= 5
+${ord("probe_id", "vec_id")}""".trim
+
   /** Shared IVF probe chain — `cand` is every (probe_id, vec_id, cs)
     * candidate pair in a probe's 3 nearest cells (self excluded), with
     * the engine's two-level argmax (cell assignment, probe cells) and

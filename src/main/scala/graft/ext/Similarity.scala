@@ -842,6 +842,60 @@ object Similarity {
       .drop("rk")
   }
 
+  /** Matryoshka-style truncated-dimension retrieval — the two-stage
+    * serving pattern for MRL-trained embeddings (Kusupati et al.,
+    * "Matryoshka Representation Learning"): stage 1 scores the corpus
+    * with cosine over only the FIRST `dims` dimensions (an MRL
+    * embedding front-loads information, so the prefix is itself a
+    * usable low-dim embedding) and keeps an r-deep shortlist; stage 2
+    * re-ranks those r·|probes| survivors with exact full-dimension
+    * cosine. The prefix pass costs dims/D of the full-scan FLOPs and
+    * memory bandwidth — with a separately-stored prefix index it reads
+    * dims/D of the bytes — which is the whole point at 100 TB of
+    * vectors.
+    *
+    * Scale shape: stage 1 is one corpus scan against a broadcast probe
+    * batch with WindowGroupLimit map-side top-r pruning (bruteAllTopK's
+    * plan over narrower vectors — no index build, no corpus shuffle);
+    * stage 2 broadcasts the shortlist into a hash join against the
+    * corpus scan exactly like `ivfPqRerank`. Tie-breaks (pre_sim DESC,
+    * vec_id ASC) then (cosine DESC, vec_id ASC) — deterministic and
+    * oracle-checkable end to end (ExtOracle.matryoshkaTopK). */
+  def matryoshkaTopK(emb: DataFrame, probes: DataFrame, k: Int = 5,
+      r: Int = 10, dims: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(r >= k, "shortlist depth r must be >= k")
+    require(dims >= 1, "prefix must keep at least one dimension")
+    def prefixed(df: DataFrame) = df
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .select(col("vec_id"), slice(col("q"), 1, dims).as("qp"))
+      .select(col("vec_id"), col("qp"), normQ(col("qp")).as("np"))
+    val ep = prefixed(emb)
+    val pp = prefixed(probes).select(col("vec_id").as("probe_id"),
+      col("qp").as("pqp"), col("np").as("pnp"))
+    val w1 = Window.partitionBy(col("probe_id"))
+      .orderBy(col("pre_sim").desc, col("vec_id").asc)
+    val shortlist = ep.crossJoin(broadcast(pp))
+      .where(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"),
+        cosineN(dotL(col("pqp"), col("qp")), col("pnp"), col("np")).as("pre_sim"))
+      .withColumn("rk", row_number().over(w1))
+      .where(col("rk") <= r)
+      .select("probe_id", "vec_id")
+    val e = quantizedWithNorm(emb)
+    val p = quantizedWithNorm(probes).select(col("vec_id").as("probe_id"),
+      col("q").as("pq"), col("nq").as("npq"))
+    val w2 = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine_sim").desc, col("vec_id").asc)
+    e.join(broadcast(shortlist), "vec_id")
+      .join(broadcast(p), "probe_id")
+      .select(col("probe_id"), col("vec_id"),
+        cosineN(dotL(col("pq"), col("q")), col("npq"), col("nq")).as("cosine_sim"))
+      .withColumn("rk", row_number().over(w2))
+      .where(col("rk") <= k)
+      .drop("rk")
+  }
+
   /** Distributed k-means (Lloyd's algorithm, FIXED iteration count) —
     * the clustering primitive behind cluster-based curation (topic
     * balancing, cluster-level dedup/pruning, importance-weighted
@@ -1049,6 +1103,7 @@ object Similarity {
     *  - "ivfpq"          → `ivfPqTopK`       cell-pruned ADC over PQ codes
     *  - "ivfpq_residual" → `ivfPqResidualTopK` IVFADC proper (residual codes)
     *  - "ivfpq_rerank"   → `ivfPqRerank`     ADC shortlist re-ranked full-precision
+    *  - "matryoshka"     → `matryoshkaTopK`  prefix-dim shortlist re-ranked full-dim
     *
     * Score column follows the tier's metric (`cosine_sim` for exact /
     * re-ranked tiers, `adist` ADC distance for PQ tiers, `sq_dist` for
@@ -1059,7 +1114,7 @@ object Similarity {
       strategy: String = "ivf",
       planes: Int = 8, nprobe: Int = 3, m: Int = 4,
       centroidMod: Int = 50, codebookMod: Int = 37,
-      rerankDepth: Int = 10): DataFrame = strategy match {
+      rerankDepth: Int = 10, truncDims: Int = 16): DataFrame = strategy match {
     case "brute" => bruteAllTopK(emb, probes, k)
     case "lsh" => lshTopK(emb, probes, k, planes)
     case "ivf" => ivfTopK(emb, probes, k, nprobe, centroidMod)
@@ -1070,8 +1125,9 @@ object Similarity {
       ivfPqResidualTopK(emb, probes, k, nprobe, m, centroidMod, codebookMod)
     case "ivfpq_rerank" =>
       ivfPqRerank(emb, probes, k, rerankDepth, nprobe, m, centroidMod)
+    case "matryoshka" => matryoshkaTopK(emb, probes, k, rerankDepth, truncDims)
     case other => throw new IllegalArgumentException(
       s"unknown ANN strategy '$other' — expected one of: brute, lsh, ivf, " +
-        "sq, pq, ivfpq, ivfpq_residual, ivfpq_rerank")
+        "sq, pq, ivfpq, ivfpq_residual, ivfpq_rerank, matryoshka")
   }
 }

@@ -43,7 +43,11 @@ object AnnRecallProbe {
       ("ivfpq", "ivfpq", Map.empty),
       ("ivfpq_residual", "ivfpq_residual", Map.empty),
       ("ivfpq_rerank r=10", "ivfpq_rerank", Map.empty),
-      ("ivfpq_rerank r=40", "ivfpq_rerank", Map("rerankDepth" -> 40)))
+      ("ivfpq_rerank r=40", "ivfpq_rerank", Map("rerankDepth" -> 40)),
+      ("matryoshka d=16 r=40", "matryoshka",
+        Map("rerankDepth" -> 40, "truncDims" -> 16)),
+      ("matryoshka d=8 r=40", "matryoshka",
+        Map("rerankDepth" -> 40, "truncDims" -> 8)))
     println(f"${"config"}%-20s ${"recall@10"}%10s ${"best_s"}%8s  rows")
     for ((label, s, kn) <- configs) {
       var best = Double.MaxValue
@@ -53,7 +57,8 @@ object AnnRecallProbe {
         hits = Similarity.annTopK(emb, probes, k, strategy = s,
             planes = kn.getOrElse("planes", 8),
             nprobe = kn.getOrElse("nprobe", 3),
-            rerankDepth = kn.getOrElse("rerankDepth", 10))
+            rerankDepth = kn.getOrElse("rerankDepth", 10),
+            truncDims = kn.getOrElse("truncDims", 16))
           .select("probe_id", "vec_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         best = math.min(best, (System.nanoTime() - t0) / 1e9)

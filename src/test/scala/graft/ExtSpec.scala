@@ -559,7 +559,8 @@ class ExtSpec extends SparkSpec {
       "pq" -> pqTopK(emb, probes, 3),
       "ivfpq" -> ivfPqTopK(emb, probes, 3),
       "ivfpq_residual" -> ivfPqResidualTopK(emb, probes, 3),
-      "ivfpq_rerank" -> ivfPqRerank(emb, probes, 3))
+      "ivfpq_rerank" -> ivfPqRerank(emb, probes, 3),
+      "matryoshka" -> matryoshkaTopK(emb, probes, 3))
     tiers.foreach { case (s, direct) =>
       assert(key(annTopK(emb, probes, 3, strategy = s)) == key(direct),
         s"dispatcher must equal direct call for strategy $s")
@@ -569,6 +570,33 @@ class ExtSpec extends SparkSpec {
     // recall-harness formulation (cosine, k, tie-break)
     intercept[IllegalArgumentException] {
       annTopK(emb, probes, 3, strategy = "hnsw")
+    }
+  }
+
+  test("matryoshkaTopK: corpus-deep shortlist recovers exact brute-force top-k") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = emb.where(col("vec_id") % 50 === 0)
+    val n = emb.count().toInt
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = key(graft.ext.Similarity.bruteAllTopK(emb, probes, k = 5))
+    // with r = |corpus| the prefix stage cannot drop a true neighbor,
+    // so the full-dim re-rank must equal exact brute force even at a
+    // 4-dim prefix
+    val full = key(graft.ext.Similarity.matryoshkaTopK(emb, probes,
+      k = 5, r = n, dims = 4))
+    assert(full == exact, "r = corpus depth must recover the exact top-k")
+    // shallow shortlist still returns k rows per probe with exact
+    // full-dim cosines (scores are re-ranked, never prefix scores)
+    val shallow = graft.ext.Similarity.matryoshkaTopK(emb, probes,
+      k = 5, r = 10, dims = 16).collect()
+    val perProbe = shallow.groupBy(_.getLong(0))
+    assert(perProbe.values.forall(_.length == 5))
+    val exactScores = graft.ext.Similarity.bruteAllTopK(emb, probes, k = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    shallow.foreach { r =>
+      assert(r.getDouble(2) == exactScores((r.getLong(0), r.getLong(1))),
+        "reported scores must be the exact full-dim cosine")
     }
   }
 
