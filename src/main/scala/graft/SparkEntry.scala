@@ -803,6 +803,26 @@ object SparkEntry {
       graft.pipeline.Cleaning.cleanPin(
         s.read.parquet(s"$base/compacted/pin")).orderBy("ind")
     }),
+    // interchange-format parity: raw pin rows round-tripped through
+    // header'd CSV (\N null sentinel, multiLine read, explicit schema)
+    // and cleaned must equal the parquet-path clean bit-for-bit
+    "csv_scan_clean" -> prep((s, d) => {
+      val (rawPin, _, _) = graft.pipeline.RawDerive.tables(s, d)
+      val base = tmpDir("graft_csv")
+      graft.ingest.Formats.writeCsv(rawPin, s"$base/pin")
+      graft.pipeline.Cleaning.cleanPin(
+        graft.ingest.Formats.readCsv(s, s"$base/pin", rawPin.schema))
+        .orderBy("ind")
+    }),
+    // same contract through ORC (the columnar half of the estate)
+    "orc_scan_clean" -> prep((s, d) => {
+      val (rawPin, _, _) = graft.pipeline.RawDerive.tables(s, d)
+      val base = tmpDir("graft_orc")
+      graft.ingest.Formats.writeOrc(rawPin, s"$base/pin")
+      graft.pipeline.Cleaning.cleanPin(
+        graft.ingest.Formats.readOrc(s, s"$base/pin"))
+        .orderBy("ind")
+    }),
     // JDBC source surface (S6 letter-parity: the reference emulators
     // read MySQL): raw pin rows round-trip through a real embedded
     // Derby database, come back via the range-partitioned JDBC read,
@@ -1092,6 +1112,8 @@ object SparkEntry {
     "pin_q8_sql" -> PinOracle.q8,
     "kafka_envelope_clean" -> PinOracle.pinClean,
     "kinesis_envelope_clean" -> PinOracle.pinClean,
+    "csv_scan_clean" -> PinOracle.pinClean,
+    "orc_scan_clean" -> PinOracle.pinClean,
     "agg_pricing" -> ExtOracle.aggPricing,
     "revenue_by_nation" -> ExtOracle.revenueByNation,
     "top_customers" -> ExtOracle.topCustomers,

@@ -46,4 +46,23 @@ class EnvelopeSpec extends SparkSpec {
     assert(StreamJob.geoSchema.fieldNames.toSeq == raw._2.columns.toSeq)
     assert(StreamJob.userSchema.fieldNames.toSeq == raw._3.columns.toSeq)
   }
+
+  test("Formats: CSV round-trip survives nulls, commas, quotes, newlines; ORC lossless") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "plain"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "com,ma \"q\"\nnewline")).toDF("id", "s")
+    val base = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    graft.ingest.Formats.writeCsv(df, s"$base/csv")
+    val back = graft.ingest.Formats.readCsv(spark, s"$base/csv", df.schema)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back(1L) == "plain")
+    assert(back(2L) == null, "NULL must survive as NULL, not empty string")
+    assert(back(3L) == "com,ma \"q\"\nnewline")
+    graft.ingest.Formats.writeOrc(df, s"$base/orc")
+    val orc = graft.ingest.Formats.readOrc(spark, s"$base/orc")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(orc == back)
+  }
 }
