@@ -85,6 +85,7 @@ object SparkEntry {
         k != "jdbc_scan_clean" && k != "zorder_scan" &&
         k != "compact_scan_clean" && k != "bucketed_join_revenue" &&
         k != "date_partition_scan" &&
+        k != "csv_scan_clean" && k != "orc_scan_clean" &&
         // same results as ngram_jaccard via the hot-key-free candidate
         // path; its freq-agg + prefix overhead only pays off on corpora
         // with skewed shingle frequencies — redundant as a throughput
@@ -368,6 +369,21 @@ object SparkEntry {
     // ---- deterministic sampling / splitting / skew handling ----------
     "train_test_split" -> prep((s, d) =>
       Sampling.assignSplit(docs(s, d)).select("doc_id", "split").orderBy("doc_id")),
+    // the audit pair: independent assignment LEAKS near-dups across
+    // splits (leaky rows present)...
+    "split_leakage_audit" -> prep((s, d) =>
+      Sampling.splitLeakageAudit(
+        Sampling.assignSplit(docs(s, d)).select("doc_id", "split"),
+        Dedup.minhashLshPairsPortable(docs(s, d)))
+        .orderBy("split_x", "split_y")),
+    // ...cluster-keyed assignment provably does not (every row
+    // same-split by construction; the oracle pins zero leaky rows)
+    "split_leakage_audit_safe" -> prep((s, d) =>
+      Sampling.splitLeakageAudit(
+        Sampling.leakageSafeSplit(docs(s, d),
+          Dedup.minhashLshPairsPortable(docs(s, d))).select("doc_id", "split"),
+        Dedup.minhashLshPairsPortable(docs(s, d)))
+        .orderBy("split_x", "split_y")),
     // split keyed on near-dup cluster ids: whole clusters move between
     // splits atomically (no train/test leakage through near-copies).
     // Round 6: the pair graph comes from the MinHash/LSH sketch tier —
@@ -1172,6 +1188,8 @@ object SparkEntry {
     "curation_funnel" -> ExtOracle.curationFunnel,
     "train_test_split" -> ExtOracle.trainTestSplit,
     "leakage_safe_split" -> ExtOracle.leakageSafeSplit,
+    "split_leakage_audit" -> ExtOracle.splitLeakageAudit,
+    "split_leakage_audit_safe" -> ExtOracle.splitLeakageAuditSafe,
     "kfold_split" -> ExtOracle.kfoldSplit,
     "stratified_sample" -> ExtOracle.stratifiedSample,
     "mixture_sample" -> ExtOracle.mixtureSample,

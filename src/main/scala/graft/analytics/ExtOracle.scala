@@ -1567,6 +1567,48 @@ SELECT doc_id,
 FROM keyed
 ${ord("doc_id")}""".trim
 
+  /** Twin of Sampling.splitLeakageAudit over assignSplit + the
+    * MinHash-portable pair tier: per unordered split combination, the
+    * near-dup pair count and the leak flag. */
+  val splitLeakageAudit: String = s"""$minhashAgreeChain,
+lp AS (SELECT a_id, b_id FROM agree WHERE CAST(n_agree AS DOUBLE) / 32 >= 0.5),
+sp AS (
+  SELECT doc_id,
+    CASE WHEN ((doc_id % 1000003) * 2654435761) % 100 < 80 THEN 'train'
+         WHEN ((doc_id % 1000003) * 2654435761) % 100 < 90 THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents),
+j AS (
+  SELECT least(sa.split, sb.split) AS split_x,
+    greatest(sa.split, sb.split) AS split_y
+  FROM lp
+  JOIN sp sa ON sa.doc_id = lp.a_id
+  JOIN sp sb ON sb.doc_id = lp.b_id)
+SELECT split_x, split_y, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  split_x <> split_y AS leaky
+FROM j GROUP BY split_x, split_y
+${ord("split_x", "split_y")}""".trim
+
+  /** Same audit over the cluster-keyed safe split: every pair lands
+    * same-split by construction, so no row may have leaky = true. */
+  val splitLeakageAuditSafe: String = s"""$minhashKeyedChain,
+sp AS (
+  SELECT doc_id,
+    CASE WHEN ((k % 1000003) * 2654435761) % 100 < 80 THEN 'train'
+         WHEN ((k % 1000003) * 2654435761) % 100 < 90 THEN 'val'
+         ELSE 'test' END AS split
+  FROM keyed),
+j AS (
+  SELECT least(sa.split, sb.split) AS split_x,
+    greatest(sa.split, sb.split) AS split_y
+  FROM mh_pairs lp
+  JOIN sp sa ON sa.doc_id = lp.a_id
+  JOIN sp sb ON sb.doc_id = lp.b_id)
+SELECT split_x, split_y, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  split_x <> split_y AS leaky
+FROM j GROUP BY split_x, split_y
+${ord("split_x", "split_y")}""".trim
+
   /** Twin of Sampling.leakageSafeKfold (k=5): the leakageSafeSplit
     * closure/keying chain with the fold bucket as the final select. */
   val kfoldSplit: String = s"""$minhashKeyedChain

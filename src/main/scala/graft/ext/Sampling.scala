@@ -56,6 +56,33 @@ object Sampling {
       .drop("__split_key", "cluster_id")
   }
 
+  /** Cross-split leakage audit — the eval-integrity check a split step
+    * must ship with: join a near-dup pair graph (any dedup tier's
+    * pairs plug in) against a (id, split) assignment and roll up pair
+    * counts per unordered split combination. Rows with `leaky = true`
+    * (split_x ≠ split_y) are near-copies straddling a train/held-out
+    * boundary — each one silently inflates eval. Run it on
+    * `assignSplit` to SEE the leakage independent assignment causes;
+    * run it on `leakageSafeSplit` and every row must be same-split —
+    * the paired gate entries pin both facts.
+    *
+    * Scale shape: the pair graph is the dup sliver, so both
+    * assignment joins stream the tiny pair side against the split
+    * projection; the rollup has at most |splits|² rows and is
+    * map-combinable. */
+  def splitLeakageAudit(assignment: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    pairs.select("a_id", "b_id")
+      .join(assignment.select(col(idCol).as("a_id"),
+        col("split").as("a_split")), "a_id")
+      .join(assignment.select(col(idCol).as("b_id"),
+        col("split").as("b_split")), "b_id")
+      .select(least(col("a_split"), col("b_split")).as("split_x"),
+        greatest(col("a_split"), col("b_split")).as("split_y"))
+      .groupBy(col("split_x"), col("split_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaky", col("split_x") =!= col("split_y"))
+
   /** Per-stratum deterministic sampling: keep a row iff its 1/10000
     * bucket clears the stratum's fraction. Strata missing from
     * `fractions` are dropped (fraction 0). One filter, no shuffle, no

@@ -188,6 +188,21 @@ class SamplingSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("splitLeakageAudit: conserves pairs; cluster-keyed split has zero leaks") {
+    val pairs = graft.ext.Dedup.minhashLshPairsPortable(docs)
+    val nPairs = pairs.count()
+    val naive = Sampling.splitLeakageAudit(
+      Sampling.assignSplit(docs).select("doc_id", "split"), pairs).collect()
+    assert(naive.map(_.getAs[Long]("n_pairs")).sum == nPairs,
+      "every pair lands in exactly one split combination")
+    val safe = Sampling.splitLeakageAudit(
+      Sampling.leakageSafeSplit(docs, pairs).select("doc_id", "split"),
+      pairs).collect()
+    assert(safe.forall(!_.getAs[Boolean]("leaky")),
+      "cluster-keyed split must produce zero cross-split near-dup pairs")
+    assert(safe.map(_.getAs[Long]("n_pairs")).sum == nPairs)
+  }
+
   test("lengthBatches: batches fill in length order, padding formula exact") {
     import spark.implicits._
     // lengths 1..10, batchSize 4 -> batches [1,2,3,4] [5,6,7,8] [9,10]
