@@ -1,0 +1,469 @@
+package graft.analytics
+
+/** Reference-surface, analytics, streaming, as-of/range, layout and
+  * multimodal oracle twins (+ the shared deterministic ORDER BY
+  * helper).
+  *
+  * Carved out of the former monolithic ExtOracle object (round 8);
+  * mixed back into `ExtOracle`, whose name every gate entry keeps
+  * using. Parity rules in the ExtOracle scaladoc. */
+trait CoreOracle {
+
+  protected def ord(cols: String*): String =
+    cols.map(c => s"$c ASC NULLS FIRST").mkString("ORDER BY ", ", ", "")
+
+  val aggPricing: String = s"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100 AS sum_qty,
+  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100 AS sum_base_price,
+  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) *
+       (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000 AS sum_disc_price,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+${ord("l_returnflag", "l_linestatus")}""".trim
+
+  val revenueByNation: String = s"""
+SELECT n_name,
+  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT) *
+       (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000 AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+${ord("n_name")}""".trim
+
+  val topCustomers: String = s"""
+SELECT o_custkey,
+  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 AS total_spent,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_custkey
+ORDER BY total_spent DESC, o_custkey ASC
+LIMIT 20""".trim
+
+  /** Twin of the zorder_scan entry: the same two-dimensional predicate
+    * + rollup straight off the source table — the z-ordered copy must
+    * answer it identically. */
+  val zorderScan: String = s"""
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
+FROM events
+WHERE user_id BETWEEN 3 AND 11
+  AND CAST(floor(epoch(ts)) AS BIGINT) BETWEEN 1704499200 AND 1705103999
+GROUP BY event_type
+${ord("event_type")}""".trim
+
+  /** Twin of the date_partition_scan entry: one calendar day's rollup
+    * straight off the source table (the partitioned copy must answer
+    * it identically; Spark derives event_date in UTC from ts nanos,
+    * DuckDB's naive timestamps are the same instants). */
+  val datePartitionScan: String = s"""
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
+FROM events
+WHERE strftime(ts, '%Y-%m-%d') = '2024-01-05'
+GROUP BY event_type
+${ord("event_type")}""".trim
+
+  val eventsHourly: String = s"""
+SELECT CAST(floor(epoch(ts)/3600) AS BIGINT) AS hour_bucket, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value,
+  CAST(SUM(TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY hour_bucket, event_type
+${ord("hour_bucket", "event_type")}""".trim
+
+  val sessionizeBatch: String = s"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
+g AS (
+  SELECT *, CASE WHEN tus - lag(tus) OVER (
+      PARTITION BY user_id ORDER BY tus ASC, event_id ASC) > 1800000000
+    THEN 1 ELSE 0 END AS new_sess
+  FROM e),
+s AS (
+  SELECT *, SUM(new_sess) OVER (
+      PARTITION BY user_id ORDER BY tus ASC, event_id ASC
+      ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM g)
+SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+  MIN(tus) AS session_start_us, MAX(tus) AS session_end_us,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
+FROM s
+GROUP BY user_id, sess_no
+${ord("user_id", "sess_no")}""".trim
+
+  /** Twin of the streaming windowed rollup: append mode only releases
+    * a window once the watermark (max event time − 30 min lateness)
+    * passes its end, so the oracle applies the same cutoff. */
+  val streamEventsHourly: String = s"""
+WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events)
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
+FROM events, wm
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+GROUP BY 1, 2
+${ord("window_start", "event_type")}""".trim
+
+  /** Twin of EventStream.slidingWindowedAgg (1 h / 15 min): each event
+    * fans out to its 4 covering window starts (integer µs floor
+    * arithmetic — Spark's window() is epoch-aligned the same way);
+    * watermark cutoff on window END as in streamEventsHourly. */
+  val streamEventsSliding: String = s"""
+WITH wm AS (SELECT epoch_us(max(ts)) - 1800000000 AS wus FROM events),
+fan AS (
+  SELECT event_type, value,
+    (epoch_us(ts) // 900000000) * 900000000 - k.k * 900000000 AS sus
+  FROM events, (SELECT unnest(generate_series(0, 3)) AS k) k)
+SELECT CAST(make_timestamp(sus) AS VARCHAR) AS window_start, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
+FROM fan, wm
+WHERE sus + 3600000000 <= wm.wus
+GROUP BY 1, 2
+${ord("window_start", "event_type")}""".trim
+
+  /** Stream-static enrichment rollup: watermark cutoff as in
+    * streamEventsHourly, events joined to the customer dim. */
+  val streamEventsEnriched: String = s"""
+WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events)
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+  c_mktsegment AS segment,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
+FROM events JOIN customer ON user_id = c_custkey, wm
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+GROUP BY 1, 2
+${ord("window_start", "segment")}""".trim
+
+  /** Twin of AsofJoin on the purchase self-enrichment: DuckDB's native
+    * ASOF LEFT JOIN, with the right side pre-ranked to the max-event_id
+    * row per (user_id, ts) — DuckDB picks arbitrarily on exact ts ties,
+    * the engine deterministically keeps the greatest tie-break. */
+  val asofLastPurchase: String = s"""
+WITH r AS (
+  SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+          ORDER BY event_id DESC) AS rk
+        FROM events WHERE event_type = 'purchase') WHERE rk = 1)
+SELECT l.event_id, l.user_id, r.purchase_id, r.purchase_value
+FROM events l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+${ord("event_id")}""".trim
+
+  /** Twin of RangeJoin.intervalJoin on the campaign rollup: the plain
+    * inequality join DuckDB handles natively (its IEJoin) — equality
+    * proves the bucket-explode+equi-join decomposition is containment-
+    * exact, including bucket-edge points (integer µs math both sides;
+    * the parquet nano timestamps arrive as BIGINT nanos in Spark and
+    * µs-truncated TIMESTAMPs here — same truncation). */
+  val rangeJoinCampaigns: String = s"""
+WITH iv AS (
+  SELECT c_custkey AS interval_id,
+    1704067200000000 + (c_custkey * 7919 % 720) * 3600000000 AS start_us,
+    1704067200000000 + (c_custkey * 7919 % 720) * 3600000000
+      + (c_custkey % 12 + 1) * 3600000000 AS end_us
+  FROM customer),
+e AS (SELECT event_id, epoch_us(ts) AS ts_us, value FROM events)
+SELECT iv.interval_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
+FROM e JOIN iv ON e.ts_us >= iv.start_us AND e.ts_us < iv.end_us
+GROUP BY iv.interval_id
+${ord("interval_id", "n_events", "sum_value")}""".trim
+
+  /** Twin of Changelog.latestByKey: last event per user by
+    * (ts, event_id) — the oracle uses the window formulation the
+    * engine deliberately avoids (see Changelog scaladoc). */
+  val latestUserEvent: String = s"""
+SELECT user_id, ts_us, event_id, event_type, value FROM (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
+  FROM events) WHERE rk = 1
+${ord("user_id")}""".trim
+
+  /** Twin of the streaming exact-dedup entry: the injected duplicates
+    * collapse back to the duplicate-free events table. */
+  val streamDedupEvents: String = s"""
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+FROM events
+${ord("event_id")}""".trim
+
+  /** Twin of the flatMapGroupsWithState sessionizer: batch gaps-and-
+    * islands sessions (µs-exact, integer-cents sums — the stream state
+    * carries the identical arithmetic) plus the stream's emit rule: a
+    * non-last session is closed by a later event and always emits; a
+    * user's last session emits only if the final watermark (max event
+    * ms − 10 min lateness) strictly passed its event-time timeout
+    * (session end ms + 30 min gap). */
+  val streamSessionize: String = s"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus,
+    CAST(round(value*100) AS BIGINT) AS cents
+  FROM events),
+g AS (
+  SELECT *, CASE WHEN tus - lag(tus) OVER (
+      PARTITION BY user_id ORDER BY tus ASC, event_id ASC) > 1800000000
+    THEN 1 ELSE 0 END AS new_sess
+  FROM e),
+s AS (
+  SELECT *, SUM(new_sess) OVER (
+      PARTITION BY user_id ORDER BY tus ASC, event_id ASC
+      ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM g),
+sess AS (
+  SELECT user_id, sess_no, MIN(tus) AS start_us, MAX(tus) AS end_us,
+    CAST(COUNT(*) AS INT) AS n_events,
+    CAST(SUM(cents) AS DOUBLE)/100 AS sum_value
+  FROM s GROUP BY user_id, sess_no),
+wm AS (SELECT MAX(tus) // 1000 - 600000 AS w_ms FROM e),
+lastno AS (SELECT user_id, MAX(sess_no) AS last_no FROM sess GROUP BY user_id)
+SELECT sess.user_id, start_us, end_us, n_events, sum_value
+FROM sess JOIN lastno USING (user_id), wm
+WHERE sess.sess_no < lastno.last_no
+   OR end_us // 1000 + 1800000 < wm.w_ms
+${ord("user_id", "start_us")}""".trim
+
+  /** Twin of the stream-stream attribution join: the batch interval
+    * join over the same events (purchases ⋈ same-user views within the
+    * preceding hour, boundaries inclusive as in the stream). */
+  val streamAttribution: String = s"""
+SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+  p.user_id, epoch_us(p.ts) AS p_ts_us, epoch_us(v.ts) AS v_ts_us, p.value
+FROM events p JOIN events v
+  ON p.user_id = v.user_id
+  AND v.ts <= p.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+${ord("purchase_id", "view_id")}""".trim
+
+  /** Twin of streaming.CorpusStream.dedupVsIndex over the %5 slice:
+    * the streaming anti-join must equal the batch text anti-join. */
+  val streamDedupVsCorpus: String = s"""
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id % 5 = 0
+  AND text NOT IN (SELECT text FROM documents WHERE doc_id % 5 <> 0)
+${ord("doc_id")}""".trim
+
+  /** Twin of ext.Profiling.snapshotDiff over the derived next version
+    * (drop %7, change %5-of-remaining, re-add %11 under +100000 ids):
+    * same sha256 change rule, same full-outer statuses. */
+  val snapshotDiff: String = s"""
+WITH oldc AS (SELECT doc_id, sha256(text) AS oh FROM documents),
+newc AS (
+  SELECT doc_id,
+    sha256(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS nh
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 100000, sha256(text) FROM documents WHERE doc_id % 11 = 0)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+  CASE WHEN o.oh IS NULL THEN 'added'
+       WHEN n.nh IS NULL THEN 'removed'
+       WHEN o.oh <> n.nh THEN 'changed'
+       ELSE 'unchanged' END AS status
+FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id
+${ord("doc_id")}""".trim
+
+  /** Twin of TextAnalysis.qualityTiers: same quality expression,
+    * quantile_cont list cutoffs ≡ Spark percentile(array). */
+
+  /** Twin of ext.Profiling.referentialAudit(documents.doc_id ↔
+    * embeddings.vec_id): distinct keys each side, full-outer match. */
+  val referentialAudit: String = s"""
+WITH l AS (SELECT DISTINCT doc_id AS k FROM documents),
+r AS (SELECT DISTINCT vec_id AS k FROM embeddings),
+j AS (
+  SELECT l.k AS lk, r.k AS rk FROM l FULL OUTER JOIN r ON l.k = r.k)
+SELECT
+  CAST(COUNT(lk) AS BIGINT) AS n_left_keys,
+  CAST(COUNT(rk) AS BIGINT) AS n_right_keys,
+  CAST(SUM(CASE WHEN lk IS NOT NULL AND rk IS NOT NULL THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_matched,
+  CAST(SUM(CASE WHEN rk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_left_only,
+  CAST(SUM(CASE WHEN lk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_right_only
+FROM j""".trim
+
+  /** Twin of streaming.CorpusStream.runShapeFilter: the gopherRules
+    * shape signals + filter, as the batch SQL. */
+  val streamQualityFilter: String = s"""
+WITH sig AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    CAST(len(w) AS INT) AS n_words,
+    CAST(length(array_to_string(w, '')) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+      AS mean_word_len,
+    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) /
+      CAST(len(w) AS DOUBLE) AS symbol_ratio,
+    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) /
+      CAST(len(w) AS DOUBLE) AS frac_alpha_words
+  FROM sig)
+SELECT doc_id, n_words, mean_word_len, frac_alpha_words FROM s
+WHERE n_words BETWEEN 20 AND 100000
+  AND mean_word_len BETWEEN 3.0 AND 10.0
+  AND symbol_ratio <= 0.1 AND frac_alpha_words >= 0.8
+${ord("doc_id")}""".trim
+
+  /** Twin of ext.Profiling.profile over events: per-column stats
+    * unioned; ts renders as epoch µs (the fixture's timestamp[us],
+    * epoch_us here ≡ unix_micros on the Spark side under UTC), value
+    * as integer cents — engine-neutral strings. */
+  val profileEvents: String = {
+    def row(c: String, minMax: String) = s"""
+SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+  CAST(MIN($minMax) AS VARCHAR) AS min_s,
+  CAST(MAX($minMax) AS VARCHAR) AS max_s
+FROM events"""
+    Seq(
+      row("event_id", "event_id"),
+      row("ts", "epoch_us(ts)"),
+      row("user_id", "user_id"),
+      row("event_type", "event_type"),
+      row("value", "CAST(round(value*100) AS BIGINT)"),
+      row("props", "props"))
+      .mkString("", "\nUNION ALL", s"\n${ord("col_name")}").trim
+  }
+
+  /** Twin of ShapeQueries.eventFunnel (view→click→purchase): same
+    * earliest-previous-stage ordering rule, same left-join counts. */
+  val eventFunnel: String = s"""
+WITH f0 AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+f1 AS (
+  SELECT e.user_id, MIN(e.ts) AS t1 FROM events e JOIN f0 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= f0.t0 GROUP BY e.user_id),
+f2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN f1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= f1.t1 GROUP BY e.user_id),
+one AS (
+  SELECT COUNT(f0.t0) AS n0, COUNT(f1.t1) AS n1, COUNT(f2.t2) AS n2
+  FROM f0 LEFT JOIN f1 USING (user_id) LEFT JOIN f2 USING (user_id))
+SELECT 0 AS stage, 'view' AS stage_name, CAST(n0 AS BIGINT) AS n_users,
+  1.0 AS conversion FROM one
+UNION ALL SELECT 1, 'click', CAST(n1 AS BIGINT),
+  CAST(n1 AS DOUBLE) / CAST(n0 AS DOUBLE) FROM one
+UNION ALL SELECT 2, 'purchase', CAST(n2 AS BIGINT),
+  CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE) FROM one
+ORDER BY stage""".trim
+
+  /** Twin of ShapeQueries.retentionCohorts: identical integer
+    * epoch→day floor division (Spark: unix_micros // 86400000000;
+    * DuckDB: epoch_ns // 86400000000000 — same integer day at the
+    * fixture's µs precision), distinct (user, day), offsets ≤ 7. */
+  val retentionCohorts: String = s"""
+WITH ev AS (
+  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+fd AS (SELECT user_id, MIN(day) AS cohort FROM ev GROUP BY user_id),
+ad AS (SELECT DISTINCT user_id, day FROM ev),
+j AS (
+  SELECT fd.cohort, ad.day - fd.cohort AS day_offset
+  FROM ad JOIN fd USING (user_id))
+SELECT CAST(DATE '1970-01-01' + CAST(cohort AS INT) AS VARCHAR) AS cohort_day,
+  day_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM j WHERE day_offset <= 7 GROUP BY cohort, day_offset
+${ord("cohort_day", "day_offset")}""".trim
+
+  val userTopEvents: String = s"""
+SELECT user_id, rk, event_id, value FROM (
+  SELECT user_id, event_id, value,
+    ROW_NUMBER() OVER (PARTITION BY user_id
+      ORDER BY value DESC NULLS LAST, event_id ASC) AS rk
+  FROM events WHERE event_type = 'purchase')
+WHERE rk <= 3
+${ord("user_id", "rk")}""".trim
+
+  // ---- text analysis -----------------------------------------------
+
+  /** Twin of the salted skew join: salts cancel out, so the oracle is
+    * the PLAIN join+aggregate — equality proves salting is
+    * result-invariant. */
+  val saltedJoinRevenue: String = s"""
+SELECT o_orderstatus,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100 AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+${ord("o_orderstatus")}""".trim
+
+  /** Frame sampling over the fixture assets (media = UTF-8 text bytes,
+    * 64-byte frames, every 4th kept): kept = ceil(floor(bytes/64)/4),
+    * pure integer arithmetic on strlen (DuckDB strlen = byte length). */
+  val multimodalFrames: String = s"""
+SELECT doc_id AS asset_id,
+  CAST((strlen(text) // 64 + 3) // 4 AS BIGINT) AS n_frames,
+  CAST(((strlen(text) // 64 + 3) // 4) * 64 AS BIGINT) AS frame_bytes
+FROM documents
+WHERE strlen(text) >= 64
+${ord("asset_id")}""".trim
+
+  /** Twin of Multimodal.pipeline on the fixture assets (media = UTF-8
+    * text bytes, pure ASCII in the testdata, so ord(char) == byte):
+    * mean_luma = byte sum / byte count, one exact IEEE division both
+    * sides — bit-identical without rounding. */
+  val multimodalFeatures: String = s"""
+WITH a AS (
+  SELECT doc_id AS asset_id,
+    ['png','jpeg','webp'][CAST(doc_id % 3 + 1 AS INT)] AS format,
+    CAST(strlen(text) AS INT) AS n_bytes,
+    text, CAST(strlen(text) AS BIGINT) AS len
+  FROM documents),
+ix AS (SELECT asset_id, unnest(generate_series(1, len)) AS i FROM a),
+s AS (
+  SELECT ix.asset_id, SUM(ord(substring(a.text, CAST(ix.i AS INT), 1))) AS luma
+  FROM ix JOIN a USING (asset_id)
+  GROUP BY ix.asset_id)
+SELECT a.asset_id, a.format, a.n_bytes,
+  CASE WHEN a.len = 0 THEN 0.0
+       ELSE CAST(s.luma AS DOUBLE) / CAST(a.len AS DOUBLE) END AS mean_luma
+FROM a LEFT JOIN s USING (asset_id)
+${ord("asset_id")}""".trim
+
+  /** Twin of Multimodal.resizeSummary: recomputes the whole 8×8 box
+    * filter (source box [x0,x1)×[y0,y1) per output cell, floor-mean,
+    * boxes overlap when a source dim < 8) in SQL and checks the byte
+    * sum of the resized payload — content-pinning, engine-portable. */
+  val multimodalResize: String = s"""
+WITH a AS (
+  SELECT doc_id AS asset_id, text,
+    CAST(strlen(text) AS BIGINT) AS len,
+    ['png','jpeg','webp'][CAST(doc_id % 3 + 1 AS INT)] AS format,
+    CAST(n_chars % 640 + 16 AS BIGINT) AS w
+  FROM documents),
+d AS (SELECT *, greatest((len + w - 1) // w, 1) AS h FROM a),
+boxes AS (
+  SELECT asset_id, text, len, w, ox, oy,
+    ox * w // 8 AS x0, greatest((ox + 1) * w // 8, ox * w // 8 + 1) AS x1,
+    oy * h // 8 AS y0, greatest((oy + 1) * h // 8, oy * h // 8 + 1) AS y1
+  FROM (SELECT *, unnest(generate_series(0, 7)) AS ox FROM d),
+       (SELECT unnest(generate_series(0, 7)) AS oy)),
+pxy AS (
+  SELECT asset_id, text, len, w, ox, oy, x0, x1,
+    unnest(generate_series(y0, y1 - 1)) AS y
+  FROM boxes),
+pix AS (
+  SELECT asset_id, ox, oy,
+    ord(substring(text, CAST(y * w + unnest(generate_series(x0, x1 - 1)) + 1 AS INT), 1)) AS v,
+    y * w + unnest(generate_series(x0, x1 - 1)) AS i, len
+  FROM pxy),
+cellv AS (
+  SELECT asset_id, ox, oy, SUM(v) // COUNT(*) AS cv
+  FROM pix WHERE i < len GROUP BY asset_id, ox, oy),
+sums AS (SELECT asset_id, CAST(SUM(cv) AS BIGINT) AS luma_sum FROM cellv GROUP BY asset_id)
+SELECT a.asset_id, a.format, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+  CAST(64 AS INT) AS n_bytes, CAST(COALESCE(s.luma_sum, 0) AS BIGINT) AS luma_sum
+FROM a LEFT JOIN sums s USING (asset_id)
+${ord("asset_id")}""".trim
+}

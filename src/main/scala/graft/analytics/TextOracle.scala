@@ -1,0 +1,891 @@
+package graft.analytics
+
+/** Text-analysis oracle twins: stats, quality, LM scoring, BPE,
+  * language ID, TF-IDF / BM25 retrieval, span corruption.
+  *
+  * Carved out of the former monolithic ExtOracle object (round 8);
+  * mixed back into `ExtOracle`, whose name every gate entry keeps
+  * using. Parity rules in the ExtOracle scaladoc. */
+trait TextOracle extends CoreOracle {
+
+  /** Twin of TextAnalysis.normalizeText over the decomposed-unicode
+    * injection (%3 docs get combining-acute/ring sequences + a tab):
+    * DuckDB's nfc_normalize implements the same UAX #15 composition
+    * as the engine's native expression; chr(769)/chr(778) are the
+    * combining marks the Spark side injects as \\u0301/\\u030a. */
+  val normalizeText: String = s"""
+WITH injected AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 3 = 0
+      THEN 'Cafe' || chr(769) || ' ' || chr(9) || ' ' || text
+        || '  A' || chr(778)
+      ELSE text END AS text
+  FROM documents),
+n AS (
+  SELECT doc_id,
+    trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))
+      AS text_norm
+  FROM injected)
+SELECT doc_id, text_norm, CAST(length(text_norm) AS INT) AS n_chars_norm
+FROM n
+${ord("doc_id")}""".trim
+
+  /** Twin of TextAnalysis.curriculumOrder(phases = 3): same quality
+    * expression and tertile cuts (phase 1 = top third), same
+    * per-phase Knuth-bucket rank plus phase base offsets — a global
+    * contiguous curriculum_rank with no global window. */
+  val curriculumOrder: String = s"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+    CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) AS n_uniq,
+    CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents),
+q AS (
+  SELECT doc_id,
+    round((n_uniq / n_tok) * 0.5
+      + least(n_tok / 64.0, 1.0) * 0.3
+      + (CASE WHEN ((n_chars - (n_tok - 1)) / n_tok) BETWEEN 3.0 AND 9.0
+              THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+  FROM t),
+c AS (SELECT quantile_cont(quality, [1.0/3, 2.0/3]) AS cuts FROM q),
+ph AS (
+  SELECT doc_id, quality,
+    3 - ((CASE WHEN quality >= cuts[2] THEN 1 ELSE 0 END)
+       + (CASE WHEN quality >= cuts[1] THEN 1 ELSE 0 END)) AS phase
+  FROM q, c),
+off AS (SELECT phase, CAST(COUNT(*) AS BIGINT) AS n FROM ph GROUP BY phase),
+base AS (
+  SELECT phase, CAST(COALESCE(SUM(n) OVER (ORDER BY phase ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS b
+  FROM off),
+rk AS (
+  SELECT ph.doc_id, ph.quality, ph.phase,
+    base.b + ROW_NUMBER() OVER (PARTITION BY ph.phase
+      ORDER BY ((ph.doc_id % 1000003) * 2654435761) % 10000 ASC,
+        ph.doc_id ASC) AS curriculum_rank
+  FROM ph JOIN base USING (phase))
+SELECT doc_id, quality, phase, curriculum_rank FROM rk
+${ord("doc_id")}""".trim
+
+  val qualityTiers: String = s"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+    CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) AS n_uniq,
+    CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents),
+q AS (
+  SELECT doc_id,
+    round((n_uniq / n_tok) * 0.5
+      + least(n_tok / 64.0, 1.0) * 0.3
+      + (CASE WHEN ((n_chars - (n_tok - 1)) / n_tok) BETWEEN 3.0 AND 9.0
+              THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+  FROM t),
+c AS (SELECT quantile_cont(quality, [0.25, 0.5, 0.75]) AS cuts FROM q)
+SELECT doc_id, quality,
+  1 + (CASE WHEN quality >= cuts[1] THEN 1 ELSE 0 END)
+    + (CASE WHEN quality >= cuts[2] THEN 1 ELSE 0 END)
+    + (CASE WHEN quality >= cuts[3] THEN 1 ELSE 0 END) AS tier
+FROM q, c
+${ord("doc_id")}""".trim
+
+  val textStats: String = s"""
+SELECT doc_id,
+  CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+  CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS INT) AS n_uniq_tokens,
+  CAST(length(text) AS INT) AS n_chars_calc,
+  CAST(length(text) - length(replace(text, ' ', '')) AS INT) AS n_spaces,
+  CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) /
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS type_token_ratio,
+  CAST(length(text) - (length(text) - length(replace(text, ' ', ''))) AS DOUBLE) /
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS mean_token_len
+FROM documents
+${ord("doc_id")}""".trim
+
+  val bpeTokenCount: String = s"""
+SELECT doc_id,
+  CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text,
+    '(''(?:[sdmt]|ll|ve|re))|( ?\\p{L}+)|( ?\\p{N}+)|( ?[^\\s\\p{L}\\p{N}]+)|(\\s+)'))
+    AS INT) AS n_bpe_tokens
+FROM documents
+${ord("doc_id")}""".trim
+
+  /** Twin of TextAnalysis.bpeLearnMerges(nMerges=8): the 8 sequential
+    * argmax-merge iterations unrolled as CTE rounds over the word-
+    * frequency table — chars joined by chr(31), adjacent-pair counts
+    * weighted by word freq, argmax = (pf DESC, lhs ASC, rhs ASC)
+    * LIMIT 1 (the window form of the engine's min(struct(-pf, a, b))),
+    * literal replace of lhs‖SEP‖rhs (non-overlapping left-to-right in
+    * both engines). Assumes ≥ 8 learnable pairs (any real corpus; the
+    * engine's early-stop path is spec-covered instead). */
+  private val bpeSep = "chr(31)"
+
+  /** The 8-round merge-learning CTE chain (`w0` word frequencies,
+    * `b0..b7` per-round argmax pairs, `w1..w8` rewritten vocabs) —
+    * shared by the learning twin and the apply twin. */
+  private lazy val bpeLearnChain: String = {
+    def pairs(w: String): String = s"""
+  SELECT syms[k] AS a, syms[k + 1] AS b, SUM(freq) AS pf FROM (
+    SELECT syms, freq, unnest(generate_series(1, len(syms) - 1)) AS k
+    FROM (SELECT string_split(w, $bpeSep) AS syms, freq FROM $w))
+  GROUP BY 1, 2"""
+    val roundSql = (0 until 8).map { i =>
+      s"""b$i AS (
+  SELECT a, b, pf FROM (${pairs(s"w$i")})
+  ORDER BY pf DESC, a ASC, b ASC LIMIT 1),
+w${i + 1} AS (
+  SELECT replace(w, b$i.a || $bpeSep || b$i.b, b$i.a || b$i.b) AS w, freq
+  FROM w$i, b$i)"""
+    }.mkString(",\n")
+    s"""
+WITH w0 AS (
+  SELECT array_to_string(string_split_regex(tok, ''), $bpeSep) AS w, freq FROM (
+    SELECT tok, COUNT(*) AS freq FROM (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents)
+    GROUP BY tok)),
+$roundSql""".trim
+  }
+
+  val bpeMerges: String = {
+    val unions = (0 until 8).map(i =>
+      s"SELECT ${i + 1} AS merge_rank, a AS lhs, b AS rhs, CAST(pf AS BIGINT) AS pair_freq FROM b$i")
+      .mkString("\n  UNION ALL ")
+    s"""$bpeLearnChain
+SELECT merge_rank, lhs, rhs, pair_freq FROM (
+  $unions)
+ORDER BY merge_rank""".trim
+  }
+
+  /** Twin of bpeLearnMerges(8) ∘ bpeApplyCount: the learning chain's
+    * b0..b7 applied in rank order to every document's words, then the
+    * per-doc symbol count. */
+  val bpeApplyCount: String = {
+    val applies = (0 until 8).map(i =>
+      s"""a${i + 1} AS (
+  SELECT doc_id, replace(w, b$i.a || $bpeSep || b$i.b, b$i.a || b$i.b) AS w
+  FROM a$i, b$i)""").mkString(",\n")
+    s"""$bpeLearnChain,
+a0 AS (
+  SELECT doc_id, array_to_string(string_split_regex(tok, ''), $bpeSep) AS w FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+    FROM documents)),
+$applies
+SELECT doc_id, CAST(SUM(len(string_split(w, $bpeSep))) AS BIGINT) AS n_bpe_symbols
+FROM a8 GROUP BY doc_id
+${ord("doc_id")}""".trim
+  }
+
+  /** Twin of TextAnalysis.vocabSize's exact column. */
+  val vocabSize: String = s"""
+SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS exact_vocab FROM (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents)""".trim
+
+  val tokenFreqTopK: String = s"""
+SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents)
+GROUP BY token
+ORDER BY freq DESC, token ASC
+LIMIT 25""".trim
+
+  val qualityScore: String = s"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+    CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) AS n_uniq,
+    CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents)
+SELECT doc_id,
+  round((n_uniq / n_tok) * 0.5
+    + least(n_tok / 64.0, 1.0) * 0.3
+    + (CASE WHEN ((n_chars - (n_tok - 1)) / n_tok) BETWEEN 3.0 AND 9.0
+            THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+FROM t
+${ord("doc_id")}""".trim
+
+  /** Twin of TextAnalysis.scrubPii over the injected-PII corpus. The
+    * regexes are spelled out independently (RE2 dialect; DuckDB
+    * regexp_replace needs the explicit 'g' flag Spark applies by
+    * default) with the same order: emails, dotted IPv4, strict
+    * phones. */
+  val piiScrub: String = s"""
+WITH inj AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 5 = 0 THEN text
+      || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.'
+      || CAST(doc_id % 200 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR)
+      || '.7 tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+      || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+    ELSE text END AS text
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+    '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS clean_text,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(text,
+    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ips,
+  CAST(len(regexp_extract_all(text,
+    '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS INT) AS n_phones
+FROM inj
+${ord("doc_id")}""".trim
+
+  /** Twin of TextAnalysis.gopherRules: same token/line arrays, same
+    * single-division ratios, same rule thresholds. Bullet/ellipsis
+    * line predicates use LIKE ('.', '-', '*' are literal in LIKE) to
+    * mirror Spark's startsWith/endsWith. */
+  val gopherRules: String = s"""
+WITH d AS (
+  SELECT doc_id,
+    string_split_regex(trim(text), '\\s+') AS w,
+    string_split_regex(trim(lower(text)), '\\s+') AS tl,
+    string_split(text, chr(10)) AS lines,
+    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS INT) AS n_symbols
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    CAST(len(w) AS INT) AS n_words,
+    CAST(length(array_to_string(w, '')) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+      AS mean_word_len,
+    CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) /
+      CAST(len(w) AS DOUBLE) AS frac_alpha_words,
+    CAST(n_symbols AS DOUBLE) / CAST(len(w) AS DOUBLE) AS symbol_ratio,
+    CAST(len(list_filter(lines, l -> trim(l) LIKE '-%' OR trim(l) LIKE '*%'
+      OR trim(l) LIKE '•%')) AS DOUBLE) / CAST(len(lines) AS DOUBLE)
+      AS frac_bullet_lines,
+    CAST(len(list_filter(lines, l -> trim(l) LIKE '%...')) AS DOUBLE) /
+      CAST(len(lines) AS DOUBLE) AS frac_ellipsis_lines,
+    CAST(len(list_intersect(tl,
+      ['the','be','to','of','and','that','have','with'])) AS INT)
+      AS n_required_hits
+  FROM d)
+SELECT *,
+  (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+    AND symbol_ratio <= 0.1 AND frac_bullet_lines <= 0.9
+    AND frac_ellipsis_lines <= 0.3 AND frac_alpha_words >= 0.8
+    AND n_required_hits >= 2 AS pass
+FROM s
+${ord("doc_id")}""".trim
+
+  /** Twin of TextAnalysis.repetitionScore: 1 − distinct/total word
+    * 3-grams, clamped shingle boundaries as in the dedup twins. */
+  val repetitionScore: String = s"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+shl AS (
+  SELECT doc_id, list_transform(
+    generate_series(1, greatest(len(w) - 2, 1)),
+    i -> array_to_string(list_slice(w, i, i + 2), ' ')) AS sh
+  FROM ws)
+SELECT doc_id,
+  CAST(len(sh) AS INT) AS n_grams,
+  CAST(len(list_distinct(sh)) AS INT) AS n_uniq_grams,
+  1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE)
+    AS repetition
+FROM shl
+${ord("doc_id")}""".trim
+
+  /** Twin of Indexing.stableRowIds: the offsets-and-local-indices
+    * decomposition must equal a plain dense row numbering. */
+  val stableRowIds: String = s"""
+SELECT doc_id, lang,
+  CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS row_id
+FROM documents
+${ord("doc_id")}""".trim
+
+  /** Twin of TextAnalysis.lmQuality: same corpus-unigram model, same
+    * integer quantization of per-token log-probs before the per-doc
+    * sum (exact addition — engine-order-independent). */
+  val lmQuality: String = s"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),
+freqs AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM freqs),
+scored AS (
+  SELECT t.doc_id,
+    CAST(round(ln(CAST(f.tf AS DOUBLE) / CAST(tot.total AS DOUBLE)) * 1000000) AS BIGINT) AS q
+  FROM toks t JOIN freqs f ON t.tok = f.tok, tot)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(q) AS BIGINT) AS sum_q_logprob,
+  CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000 AS mean_logprob
+FROM scored GROUP BY doc_id
+${ord("doc_id")}""".trim
+
+  /** Twin of TextAnalysis.dsirWeights (target = lang 'en'): same
+    * single-groupBy dual frequency model, same add-one smoothing over
+    * the shared vocab, same ·10⁶ per-token quantization before the
+    * exact integer per-doc sum. */
+  val dsirWeights: String = s"""
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+    unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents),
+freqs AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf_raw,
+    CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tf_t
+  FROM toks GROUP BY tok),
+tot AS (
+  SELECT CAST(SUM(tf_raw) AS BIGINT) AS tot_raw,
+    CAST(SUM(tf_t) AS BIGINT) AS tot_t,
+    CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM freqs),
+scored AS (
+  SELECT t.doc_id,
+    CAST(round((ln(CAST(f.tf_t + 1 AS DOUBLE) /
+        CAST(tot.tot_t + tot.vocab AS DOUBLE))
+      - ln(CAST(f.tf_raw + 1 AS DOUBLE) /
+        CAST(tot.tot_raw + tot.vocab AS DOUBLE))) * 1000000) AS BIGINT) AS q
+  FROM toks t JOIN freqs f ON t.tok = f.tok, tot)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(q) AS BIGINT) AS sum_q_logratio,
+  CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000 AS mean_logratio
+FROM scored GROUP BY doc_id
+${ord("doc_id")}""".trim
+
+  /** Twin of TextAnalysis.bigramLmQualityInterp(λ=0.75): MLE bigram
+    * ratio interpolated with the unigram model of the NEXT token —
+    * dyadic λ so 0.75/0.25 are the same IEEE doubles both engines. */
+  val bigramLmInterp: String = s"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+t AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS i, w FROM ws),
+bi AS (
+  SELECT doc_id, w[CAST(i AS INT)] AS tok, w[CAST(i + 1 AS INT)] AS next
+  FROM t WHERE i < len(w)),
+bf AS (
+  SELECT tok, next, CAST(COUNT(*) AS BIGINT) AS bf FROM bi GROUP BY tok, next),
+cf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf FROM bi GROUP BY tok),
+uf AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS uf FROM (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS u FROM documents)
+  GROUP BY u),
+tot AS (SELECT CAST(SUM(uf) AS BIGINT) AS total FROM uf),
+scored AS (
+  SELECT b.doc_id,
+    CAST(round(ln(
+      0.75 * (CAST(f.bf AS DOUBLE) / CAST(c.cf AS DOUBLE))
+      + 0.25 * (CAST(u.uf AS DOUBLE) / CAST(tot.total AS DOUBLE)))
+      * 1000000) AS BIGINT) AS q
+  FROM bi b
+  JOIN bf f ON b.tok = f.tok AND b.next = f.next
+  JOIN cf c ON b.tok = c.tok
+  JOIN uf u ON b.next = u.u, tot)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(SUM(q) AS BIGINT) AS sum_q_logprob,
+  CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000 AS mean_logprob
+FROM scored GROUP BY doc_id
+${ord("doc_id")}""".trim
+
+  /** Twin of TextAnalysis.signalCorrelation: the quality, repetition,
+    * and unigram-LM chains joined per doc, signals quantized ·10⁶,
+    * exact HUGEINT moment sums (≡ Spark's decimal(38) sums), and the
+    * same fixed double Pearson combination over per-sum double casts. */
+  val signalCorrelation: String = s"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+    CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) AS n_uniq,
+    CAST(length(text) AS DOUBLE) AS n_chars
+  FROM documents),
+q AS (
+  SELECT doc_id,
+    round((n_uniq / n_tok) * 0.5
+      + least(n_tok / 64.0, 1.0) * 0.3
+      + (CASE WHEN ((n_chars - (n_tok - 1)) / n_tok) BETWEEN 3.0 AND 9.0
+              THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+  FROM t),
+ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+shl AS (
+  SELECT doc_id, list_transform(
+    generate_series(1, greatest(len(w) - 2, 1)),
+    i -> array_to_string(list_slice(w, i, i + 2), ' ')) AS sh
+  FROM ws),
+rep AS (
+  SELECT doc_id,
+    1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / CAST(len(sh) AS DOUBLE)
+      AS repetition
+  FROM shl),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents),
+freqs AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM freqs),
+scoredlm AS (
+  SELECT t2.doc_id,
+    CAST(round(ln(CAST(f.tf AS DOUBLE) / CAST(tot.total AS DOUBLE))
+      * 1000000) AS BIGINT) AS q
+  FROM toks t2 JOIN freqs f ON t2.tok = f.tok, tot),
+lmq AS (
+  SELECT doc_id,
+    CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000 AS mean_logprob
+  FROM scoredlm GROUP BY doc_id),
+j AS (
+  SELECT CAST(round(q.quality * 1000000) AS BIGINT) AS qq,
+    CAST(round(l.mean_logprob * 1000000) AS BIGINT) AS ql,
+    CAST(round(r.repetition * 1000000) AS BIGINT) AS qr
+  FROM q JOIN lmq l USING (doc_id) JOIN rep r USING (doc_id)),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(qq) AS sxq, SUM(ql) AS syl, SUM(qr) AS sr,
+    SUM(qq * qq) AS sxxq, SUM(ql * ql) AS syyl, SUM(qr * qr) AS srr,
+    SUM(qq * ql) AS sql_, SUM(qq * qr) AS sqr_, SUM(ql * qr) AS slr_
+  FROM j)
+SELECT 'quality' AS signal_x, 'lm' AS signal_y, n AS n_docs,
+  (CAST(n AS DOUBLE) * CAST(sql_ AS DOUBLE)
+    - CAST(sxq AS DOUBLE) * CAST(syl AS DOUBLE))
+  / (sqrt(CAST(n AS DOUBLE) * CAST(sxxq AS DOUBLE)
+      - CAST(sxq AS DOUBLE) * CAST(sxq AS DOUBLE))
+    * sqrt(CAST(n AS DOUBLE) * CAST(syyl AS DOUBLE)
+      - CAST(syl AS DOUBLE) * CAST(syl AS DOUBLE))) AS pearson
+FROM agg
+UNION ALL
+SELECT 'quality', 'repetition', n,
+  (CAST(n AS DOUBLE) * CAST(sqr_ AS DOUBLE)
+    - CAST(sxq AS DOUBLE) * CAST(sr AS DOUBLE))
+  / (sqrt(CAST(n AS DOUBLE) * CAST(sxxq AS DOUBLE)
+      - CAST(sxq AS DOUBLE) * CAST(sxq AS DOUBLE))
+    * sqrt(CAST(n AS DOUBLE) * CAST(srr AS DOUBLE)
+      - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)))
+FROM agg
+UNION ALL
+SELECT 'lm', 'repetition', n,
+  (CAST(n AS DOUBLE) * CAST(slr_ AS DOUBLE)
+    - CAST(syl AS DOUBLE) * CAST(sr AS DOUBLE))
+  / (sqrt(CAST(n AS DOUBLE) * CAST(syyl AS DOUBLE)
+      - CAST(syl AS DOUBLE) * CAST(syl AS DOUBLE))
+    * sqrt(CAST(n AS DOUBLE) * CAST(srr AS DOUBLE)
+      - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE)))
+FROM agg
+${ord("signal_x", "signal_y")}""".trim
+
+  /** Twin of TextAnalysis.spanCorruption(spanLen=3, stride=20): same
+    * Knuth offset, complete-span gate with an explicit negative guard
+    * (DuckDB `//` truncates toward zero — a phantom span otherwise
+    * appears exactly when no span fits), per-position CASE rebuilt in
+    * doc order, ordered string_agg for both output sequences. */
+  val spanCorruption: String = s"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+b AS (
+  SELECT doc_id, w, CAST(len(w) AS INT) AS n,
+    CAST(((doc_id % 1000003) * 2654435761) % 20 AS INT) AS off
+  FROM ws),
+b2 AS (
+  -- explicit no-fit guard: DuckDB's // TRUNCATES toward zero, so a
+  -- negative remaining-length would round UP to a phantom span
+  SELECT *, CAST(CASE WHEN n - off - 3 >= 0
+    THEN (n - off - 3) // 20 + 1 ELSE 0 END AS INT) AS n_spans
+  FROM b),
+pos AS (
+  SELECT doc_id, off, n_spans, w,
+    CAST(unnest(generate_series(0, n - 1)) AS INT) AS i
+  FROM b2),
+ct AS (
+  SELECT doc_id, i,
+    CASE
+      WHEN NOT (i >= off AND (i - off) % 20 < 3
+        AND (i - off) // 20 < n_spans) THEN w[i + 1]
+      WHEN (i - off) % 20 = 0
+        THEN '<extra_id_' || CAST((i - off) // 20 AS VARCHAR) || '>'
+      ELSE NULL END AS t
+  FROM pos),
+corr AS (
+  SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS corrupted
+  FROM ct WHERE t IS NOT NULL GROUP BY doc_id),
+sp AS (
+  SELECT doc_id, off, w, CAST(unnest(generate_series(0, n_spans - 1)) AS INT) AS k
+  FROM b2 WHERE n_spans > 0),
+tg0 AS (
+  SELECT doc_id, k,
+    '<extra_id_' || CAST(k AS VARCHAR) || '>' || ' ' ||
+      array_to_string(list_slice(w, off + k*20 + 1, off + k*20 + 3), ' ') AS seg
+  FROM sp),
+tg AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY k) AS targets
+  FROM tg0 GROUP BY doc_id)
+SELECT b2.doc_id, b2.n AS n_tokens, b2.n_spans,
+  COALESCE(corr.corrupted, '') AS corrupted,
+  COALESCE(tg.targets, '') AS targets
+FROM b2 LEFT JOIN corr USING (doc_id) LEFT JOIN tg USING (doc_id)
+${ord("doc_id")}""".trim
+
+  /** Twin of TextAnalysis.dsirSelect(lang='en', frac=0.5): the
+    * dsirWeights chain + the exact median cutoff (quantile_cont ≡
+    * Spark percentile) + the keep filter. */
+  val dsirSelect: String = s"""
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+    unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents),
+freqs AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf_raw,
+    CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tf_t
+  FROM toks GROUP BY tok),
+tot AS (
+  SELECT CAST(SUM(tf_raw) AS BIGINT) AS tot_raw,
+    CAST(SUM(tf_t) AS BIGINT) AS tot_t,
+    CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM freqs),
+scored AS (
+  SELECT t.doc_id,
+    CAST(round((ln(CAST(f.tf_t + 1 AS DOUBLE) /
+        CAST(tot.tot_t + tot.vocab AS DOUBLE))
+      - ln(CAST(f.tf_raw + 1 AS DOUBLE) /
+        CAST(tot.tot_raw + tot.vocab AS DOUBLE))) * 1000000) AS BIGINT) AS q
+  FROM toks t JOIN freqs f ON t.tok = f.tok, tot),
+w AS (
+  SELECT doc_id,
+    CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000 AS mean_logratio
+  FROM scored GROUP BY doc_id),
+c AS (SELECT quantile_cont(mean_logratio, 0.5) AS cut FROM w)
+SELECT doc_id, mean_logratio FROM w, c WHERE mean_logratio >= cut
+${ord("doc_id")}""".trim
+
+  /** Twin of TextAnalysis.tokenizerFertility: same BPE-regex token
+    * count as bpeTokenCount, per-language rollup, one division. */
+  val tokenizerFertility: String = s"""
+WITH t AS (
+  SELECT lang,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws,
+    CAST(len(regexp_extract_all(text,
+      '(''(?:[sdmt]|ll|ve|re))|( ?\\p{L}+)|( ?\\p{N}+)|( ?[^\\s\\p{L}\\p{N}]+)|(\\s+)'))
+      AS BIGINT) AS bpe
+  FROM documents)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
+  CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+  CAST(SUM(bpe) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE) AS fertility
+FROM t GROUP BY lang
+${ord("lang")}""".trim
+
+  /** Twin of TextAnalysis.contrastiveCrops(w=10): same Knuth-bucket
+    * crop starts (second stream keyed on doc_id·31+7), inclusive
+    * list_slice ≡ Spark slice(start, 10). */
+  val contrastiveCrops: String = s"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+t AS (SELECT doc_id, w, len(w) - 10 + 1 AS m FROM ws WHERE len(w) >= 10),
+s AS (
+  SELECT doc_id, w,
+    CAST(((doc_id % 1000003) * 2654435761) % m + 1 AS INT) AS a_start,
+    CAST((((doc_id * 31 + 7) % 1000003) * 2654435761) % m + 1 AS INT) AS b_start
+  FROM t)
+SELECT doc_id, a_start, b_start,
+  array_to_string(list_slice(w, a_start, a_start + 9), ' ') AS span_a,
+  array_to_string(list_slice(w, b_start, b_start + 9), ' ') AS span_b
+FROM s
+${ord("doc_id")}""".trim
+
+  /** Twin of TextAnalysis.bigramLmQuality: bigram instances from
+    * array adjacency (≡ Spark's per-doc lead window), MLE conditional
+    * log-probs quantized before the per-doc sum. */
+  val bigramLmQuality: String = s"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+t AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS i, w FROM ws),
+bi AS (
+  SELECT doc_id, w[CAST(i AS INT)] AS tok, w[CAST(i + 1 AS INT)] AS next
+  FROM t WHERE i < len(w)),
+bf AS (
+  SELECT tok, next, CAST(COUNT(*) AS BIGINT) AS bf FROM bi GROUP BY tok, next),
+cf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf FROM bi GROUP BY tok),
+scored AS (
+  SELECT b.doc_id,
+    CAST(round(ln(CAST(f.bf AS DOUBLE) / CAST(c.cf AS DOUBLE)) * 1000000)
+      AS BIGINT) AS q
+  FROM bi b
+  JOIN bf f ON b.tok = f.tok AND b.next = f.next
+  JOIN cf c ON b.tok = c.tok)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(SUM(q) AS BIGINT) AS sum_q_logprob,
+  CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000 AS mean_logprob
+FROM scored GROUP BY doc_id
+${ord("doc_id")}""".trim
+
+  /** Twin of TextAnalysis.bigramLmQualityPruned(minCount=3): the
+    * bigram model frequency-floored at 3, pruned occurrences backed
+    * off to count 1 via LEFT JOIN + COALESCE. */
+  val bigramLmPruned: String = s"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+t AS (SELECT doc_id, unnest(generate_series(1, len(w))) AS i, w FROM ws),
+bi AS (
+  SELECT doc_id, w[CAST(i AS INT)] AS tok, w[CAST(i + 1 AS INT)] AS next
+  FROM t WHERE i < len(w)),
+bf AS (
+  SELECT tok, next, CAST(COUNT(*) AS BIGINT) AS bf FROM bi
+  GROUP BY tok, next HAVING COUNT(*) >= 3),
+cf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cf FROM bi GROUP BY tok),
+scored AS (
+  SELECT b.doc_id,
+    CAST(round(ln(CAST(COALESCE(f.bf, 1) AS DOUBLE) / CAST(c.cf AS DOUBLE))
+      * 1000000) AS BIGINT) AS q
+  FROM bi b
+  LEFT JOIN bf f ON b.tok = f.tok AND b.next = f.next
+  JOIN cf c ON b.tok = c.tok)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(SUM(q) AS BIGINT) AS sum_q_logprob,
+  CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000 AS mean_logprob
+FROM scored GROUP BY doc_id
+${ord("doc_id")}""".trim
+
+  // ---- language ID / curation --------------------------------------
+
+  /** Stopword-profile language ID. Spark's argmax is `greatest` over
+    * (score, lang) structs — max score, ties to the LARGER lang string;
+    * DuckDB lacks struct greatest, so the twin unions the four
+    * per-language scores and ranks (score DESC, lang DESC). */
+  private val langScores: String = {
+    val stops = Map(
+      "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "you", "that"),
+      "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+      "de" -> Seq("der", "die", "und", "das", "ist", "du", "ich", "nicht", "ein", "mit"),
+      "fr" -> Seq("le", "la", "de", "et", "un", "est", "que", "je", "ne", "pas"))
+    stops.toSeq.sortBy(_._1).map { case (l, ws) =>
+      val lst = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""SELECT doc_id, '$l' AS lang,
+  CAST(len(list_intersect(string_split_regex(trim(lower(text)), '\\s+'), $lst)) AS DOUBLE) /
+    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) AS score
+FROM documents"""
+    }.mkString("\nUNION ALL\n")
+  }
+
+  protected val langIdCore: String = s"""
+scored AS ($langScores),
+best AS (
+  SELECT doc_id, lang, score FROM (
+    SELECT doc_id, lang, score,
+      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rk
+    FROM scored) WHERE rk = 1),
+lang_pred_t AS (
+  SELECT d.doc_id,
+    CASE WHEN length(regexp_replace(d.text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0
+         THEN 'zh' ELSE b.lang END AS lang_pred,
+    CASE WHEN length(regexp_replace(d.text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0
+         THEN 1.0 ELSE round(b.score, 6) END AS lang_conf
+  FROM documents d JOIN best b USING (doc_id))"""
+
+  val langId: String = s"""
+WITH $langIdCore
+SELECT doc_id, lang_pred, lang_conf FROM lang_pred_t
+${ord("doc_id")}""".trim
+
+  /** Overlapping 32-token windows advancing by 24 (overlap 8);
+    * list_slice clamps the tail, short docs are one chunk. */
+  val chunkDocs: String = s"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+n AS (
+  SELECT doc_id, w,
+    greatest(1, CAST(ceil((len(w) - 8) / 24.0) AS BIGINT)) AS nch
+  FROM ws),
+x AS (
+  SELECT doc_id, w, unnest(generate_series(1, nch)) AS k FROM n)
+SELECT doc_id, CAST(k - 1 AS INT) AS chunk_no,
+  array_to_string(list_slice(w, (k-1)*24 + 1, (k-1)*24 + 32), ' ') AS chunk_text,
+  CAST(least(32, len(w) - (k-1)*24) AS INT) AS n_chunk_tokens
+FROM x
+${ord("doc_id", "chunk_no")}""".trim
+
+  /** Twin of TextAnalysis.featureHashVectors: the char-level Lehmer
+    * polynomial hash rebuilt from a 31^k power table (closed form of
+    * the engine's iterative mod — k bounded at 64, far above the
+    * fixture's 8-char max token; an oracle limitation only), same
+    * bucket histogram, dense assembly via a dims cross join. */
+  val featureHashVectors: String = s"""
+WITH RECURSIVE pw(k, v) AS (
+  SELECT 0, CAST(1 AS BIGINT)
+  UNION ALL SELECT k + 1, (v * 31) % 2147483647 FROM pw WHERE k < 64),
+pl AS (SELECT list(v ORDER BY k) AS pl FROM pw),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents),
+hashed AS (
+  SELECT doc_id,
+    CASE WHEN length(tok) = 0 THEN 7 ELSE
+      ((7 * pl.pl[length(tok) + 1]) % 2147483647 +
+       COALESCE(list_sum(list_transform(generate_series(1, length(tok)),
+         i -> (ord(tok[i]) * pl.pl[length(tok) - i + 1]) % 2147483647)), 0))
+      % 2147483647 END AS h
+  FROM toks, pl),
+agg AS (
+  SELECT doc_id, h % 64 AS b, CAST(COUNT(*) AS BIGINT) AS c
+  FROM hashed GROUP BY doc_id, h % 64),
+docsn AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens FROM agg GROUP BY doc_id),
+dims AS (SELECT unnest(generate_series(0, 63)) AS b),
+dense AS (
+  SELECT d.doc_id, d.n_tokens, dm.b, COALESCE(a.c, 0) AS c
+  FROM docsn d CROSS JOIN dims dm
+  LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.b = dm.b)
+SELECT doc_id, MIN(n_tokens) AS n_tokens,
+  array_to_string(list(c ORDER BY b), ',') AS features_str
+FROM dense GROUP BY doc_id
+${ord("doc_id")}""".trim
+
+  /** Twin of TextAnalysis.classifierScore(dim=512, threshold=0) with
+    * the gate's synthetic dense weight table ((b·48271 + 7) mod 2001 −
+    * 1000): unigram + chr(1)-joined adjacent-bigram features, the same
+    * Lehmer char hash as featureHashVectors (power-table closed form),
+    * exact integer weight sum, one double division for the margin. */
+  val classifierScore: String = s"""
+WITH RECURSIVE pw(k, v) AS (
+  SELECT 0, CAST(1 AS BIGINT)
+  UNION ALL SELECT k + 1, (v * 31) % 2147483647 FROM pw WHERE k < 64),
+pl AS (SELECT list(v ORDER BY k) AS pl FROM pw),
+wt AS (SELECT b AS bucket, (b * 48271 + 7) % 2001 - 1000 AS w
+       FROM (SELECT unnest(generate_series(0, 511)) AS b)),
+tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+fs AS (SELECT doc_id, list_concat(ws, list_transform(
+         generate_series(1, len(ws) - 1), i -> ws[i] || chr(1) || ws[i + 1])) AS feats
+       FROM tk),
+un AS (SELECT doc_id, unnest(feats) AS tok FROM fs),
+hashed AS (
+  SELECT doc_id,
+    (CASE WHEN length(tok) = 0 THEN 7 ELSE
+      ((7 * pl.pl[length(tok) + 1]) % 2147483647 +
+       COALESCE(list_sum(list_transform(generate_series(1, length(tok)),
+         i -> (ord(tok[i]) * pl.pl[length(tok) - i + 1]) % 2147483647)), 0))
+      % 2147483647 END) % 512 AS b
+  FROM un, pl),
+sc AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_feats, SUM(w.w) AS s
+  FROM hashed h JOIN wt w ON h.b = w.bucket GROUP BY doc_id)
+SELECT doc_id, n_feats,
+  CAST(s AS DOUBLE) / CAST(n_feats AS DOUBLE) AS margin,
+  (CAST(s AS DOUBLE) / CAST(n_feats AS DOUBLE)) >= 0.0 AS keep
+FROM sc
+${ord("doc_id")}""".trim
+
+  /** Twin of Sampling.lengthBatches(batchSize = 32): one global
+    * ROW_NUMBER over (n_tokens, knuth-bucket, doc_id) — the same total
+    * order the engine reaches via per-(length, bucket) ranks + base
+    * offsets — then the per-batch padding rollup. */
+  val lengthBatches: String = s"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens
+  FROM documents),
+rk AS (
+  SELECT doc_id, n_tokens,
+    ROW_NUMBER() OVER (ORDER BY n_tokens ASC,
+      ((doc_id % 1000003) * 2654435761) % 10000 ASC, doc_id ASC) AS r
+  FROM t),
+b AS (SELECT doc_id, n_tokens, (r - 1) // 32 AS batch_id FROM rk)
+SELECT batch_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+  CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS padding
+FROM b GROUP BY batch_id
+${ord("batch_id")}""".trim
+
+  /** Twin of TextAnalysis.tfidfTopTerms: per-TERM integer-quantized
+    * idf, exact int64 scores, (score DESC, tok ASC) top-k window. */
+  val tfidfTopTerms: String = s"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents),
+tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, tok),
+dfq AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.tok, t.tf, d.df,
+    t.tf * CAST(round(ln(CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE))
+      * 1000000) AS BIGINT) AS q_tfidf
+  FROM tf t JOIN dfq d ON t.tok = d.tok, n),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+    ORDER BY q_tfidf DESC, tok ASC) AS rk
+  FROM scored)
+SELECT doc_id, tok, tf, df, q_tfidf FROM rk WHERE rk <= 5
+${ord("doc_id", "tok")}""".trim
+
+  /** Twin of TextAnalysis.bm25TopK for query (spark, merge, vector):
+    * the per-term contribution mirrors the engine's double expression
+    * association verbatim (left-assoc products, same literals — 2.2 is
+    * exactly k1+1 in IEEE doubles), quantized ·10⁶ per term, exact
+    * int64 per-doc sum, (score DESC, doc_id ASC) top-10. */
+  val bm25TopK: String = s"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents),
+cnts AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, tok),
+dlen AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM cnts GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(dl) AS BIGINT) AS total_dl FROM dlen),
+qc AS (SELECT * FROM cnts WHERE tok IN ('spark', 'merge', 'vector')),
+dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM qc GROUP BY tok),
+scored AS (
+  SELECT qc.doc_id,
+    CAST(round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+      * (CAST(tf AS DOUBLE) * 2.2)
+      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+        * CAST(n_docs AS DOUBLE) / CAST(total_dl AS DOUBLE)))
+      * 1000000) AS BIGINT) AS q
+  FROM qc JOIN dfq USING (tok) JOIN dlen USING (doc_id), stats),
+topk AS (
+  SELECT doc_id, CAST(SUM(q) AS BIGINT) AS q_bm25,
+    CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM scored GROUP BY doc_id
+  ORDER BY q_bm25 DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, q_bm25, n_terms FROM topk
+${ord("doc_id")}""".trim
+
+  /** Twin of TextAnalysis.bm25MultiTopK for the gate's 3 query sets:
+    * identical per-(doc, term) contribution as bm25TopK (same double
+    * association, ·10⁶ quantization), computed once over the union
+    * vocabulary and fanned to queries by the term join; per-query
+    * top-5 via a row_number window with (score DESC, doc_id ASC)
+    * ties. query_id cast BIGINT to match the engine's LongType. */
+  val bm25Multiquery: String = s"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents),
+cnts AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, tok),
+dlen AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM cnts GROUP BY doc_id),
+stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(dl) AS BIGINT) AS total_dl FROM dlen),
+qt(query_id, tok) AS (VALUES
+  (CAST(1 AS BIGINT), 'spark'), (CAST(1 AS BIGINT), 'merge'),
+  (CAST(2 AS BIGINT), 'vector'), (CAST(2 AS BIGINT), 'spark'),
+  (CAST(3 AS BIGINT), 'merge'), (CAST(3 AS BIGINT), 'vector')),
+qc AS (SELECT * FROM cnts WHERE tok IN (SELECT DISTINCT tok FROM qt)),
+dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM qc GROUP BY tok),
+scored AS (
+  SELECT qc.doc_id, qc.tok,
+    CAST(round(ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+      * (CAST(tf AS DOUBLE) * 2.2)
+      / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+        * CAST(n_docs AS DOUBLE) / CAST(total_dl AS DOUBLE)))
+      * 1000000) AS BIGINT) AS q
+  FROM qc JOIN dfq USING (tok) JOIN dlen USING (doc_id), stats),
+perq AS (
+  SELECT qt.query_id, s.doc_id, CAST(SUM(s.q) AS BIGINT) AS q_bm25,
+    CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM scored s JOIN qt ON s.tok = qt.tok
+  GROUP BY qt.query_id, s.doc_id),
+topk AS (
+  SELECT query_id, doc_id, q_bm25, n_terms,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY q_bm25 DESC, doc_id ASC) AS rk
+  FROM perq)
+SELECT query_id, doc_id, q_bm25, n_terms FROM topk WHERE rk <= 5
+${ord("query_id", "doc_id")}""".trim
+}
