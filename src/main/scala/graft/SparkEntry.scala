@@ -1065,6 +1065,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_frames"),
           sum(length(col("frame"))).as("frame_bytes"))
         .orderBy("asset_id")),
+    // quality-aware canonical dedup: keep each near-dup cluster's
+    // highest-quality member, not the arbitrary min-id one
+    // (MinHash pair feeder, same rationale as leakage_safe_split)
+    "dedup_keep_best" -> prep((s, d) =>
+      Dedup.dedupKeepBest(docs(s, d), Dedup.minhashLshPairsPortable(docs(s, d)))
+        .select("doc_id", "lang", "source").orderBy("doc_id")),
+    // KMV distinct-token cardinality per source: native constant-state
+    // TypedImperativeAggregate; the k minima of polyhash64 are a pure
+    // function of the data, so DuckDB reproduces them exactly
+    "kmv_cardinality" -> prep((s, d) =>
+      graft.ext.Sketches.kmvCardinality(docs(s, d)).orderBy("source")),
+    // per-source type-token ratio + hapax rate (template-farm detector)
+    "lexical_diversity" -> prep((s, d) =>
+      graft.ext.TextAnalysis.lexicalDiversity(docs(s, d)).orderBy("source")),
+    // reliability diagram: cheap quality deciles vs Gopher pass rate
+    "quality_calibration" -> prep((s, d) =>
+      graft.ext.TextAnalysis.qualityCalibration(docs(s, d)).orderBy("bin")),
+    // Cohen's kappa between the median-quality cut and the Gopher pass
+    "filter_agreement" -> prep((s, d) =>
+      graft.ext.TextAnalysis.filterAgreement(docs(s, d))),
+    // deterministic stride negatives over stable positions (the
+    // contrastive-training counterpart of contrastive_crops positives)
+    "negative_samples" -> prep((s, d) =>
+      Sampling.negativeSamples(docs(s, d)).orderBy("doc_id", "neg_rank")),
+    // per-dimension embedding moments (dead-dim / centering audit)
+    "embedding_dim_stats" -> prep((s, d) =>
+      Similarity.embeddingDimStats(emb(s, d)).orderBy("dim")),
   )
 
   private def tmpDir(prefix: String): String =
@@ -1262,5 +1289,12 @@ object SparkEntry {
     "stream_pin_clean" -> PinOracle.pinClean,
     "stream_geo_clean" -> PinOracle.geoClean,
     "stream_user_clean" -> PinOracle.userClean,
+    "dedup_keep_best" -> ExtOracle.dedupKeepBest,
+    "kmv_cardinality" -> ExtOracle.kmvCardinality,
+    "lexical_diversity" -> ExtOracle.lexicalDiversity,
+    "quality_calibration" -> ExtOracle.qualityCalibration,
+    "filter_agreement" -> ExtOracle.filterAgreement,
+    "negative_samples" -> ExtOracle.negativeSamples,
+    "embedding_dim_stats" -> ExtOracle.embeddingDimStats,
   )
 }

@@ -566,6 +566,34 @@ SELECT d.doc_id, d.lang, d.source FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
 ${ord("doc_id")}""".trim
 
+  /** Twin of Dedup.dedupKeepBest over MinHash-keyed clusters: the same
+    * cluster chain as dedupClusters, the qualityScore expression
+    * ·10⁶-quantized, rank within cluster (q6 DESC, doc_id ASC), every
+    * rank>1 member dropped. */
+  val dedupKeepBest: String = s"""$minhashKeyedChain,
+kqw AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS wq
+  FROM documents),
+kq AS (
+  SELECT doc_id,
+    CAST(round(round((CAST(len(list_distinct(wq)) AS DOUBLE) / CAST(len(wq) AS DOUBLE)) * 0.5
+      + least(CAST(len(wq) AS DOUBLE) / 64.0, 1.0) * 0.3
+      + (CASE WHEN ((CAST(length(text) AS DOUBLE) - (CAST(len(wq) AS DOUBLE) - 1))
+                    / CAST(len(wq) AS DOUBLE)) BETWEEN 3.0 AND 9.0
+              THEN 1.0 ELSE 0.5 END) * 0.2, 6) * 1000000) AS BIGINT) AS q6
+  FROM kqw),
+sl AS (
+  SELECT c.doc_id, c.cluster_id, kq.q6
+  FROM mh_clusters c JOIN kq ON kq.doc_id = c.doc_id),
+bestrk AS (
+  SELECT doc_id, row_number() OVER (
+    PARTITION BY cluster_id ORDER BY q6 DESC, doc_id ASC) AS r
+  FROM sl),
+kb_losers AS (SELECT doc_id FROM bestrk WHERE r > 1)
+SELECT d.doc_id, d.lang, d.source FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM kb_losers)
+${ord("doc_id")}""".trim
+
   /** Twin of Dedup.simhashPairsPortable — the full SimHash pipeline in
     * SQL: per-token polyhash64 (power-sum), per-bit majority vote over
     * every token instance, fingerprint assembly from a materialized

@@ -480,4 +480,24 @@ c0 AS (SELECT doc_id, n_tokens, COALESCE(token_pos, 0) AS token_pos FROM c)
 SELECT doc_id, n_tokens, token_pos FROM c0
 WHERE token_pos % 500 = 0 OR token_pos % 500 + n_tokens > 500
 ${ord("doc_id")}""".trim
+
+  /** Twin of Sampling.negativeSamples(numNeg=2): contiguous doc_id-
+    * order positions, negative j at (pos + j·⌊N/3⌋) mod N, resolved
+    * back to ids by a position equi-join. The window rank is the
+    * test-scale stand-in for the range-exchange + offsets position
+    * table (same total order). */
+  val negativeSamples: String = s"""
+WITH ids AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+  FROM documents),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+neg AS (
+  SELECT i.doc_id, CAST(t.j AS BIGINT) AS neg_rank,
+    (i.pos + CAST(t.j AS BIGINT) * GREATEST(nn.n // 3, 1)) % nn.n AS neg_pos
+  FROM ids i, nn, generate_series(1, 2) AS t(j)),
+res AS (
+  SELECT g.doc_id, g.neg_rank, i2.doc_id AS neg_doc_id
+  FROM neg g JOIN ids i2 ON i2.pos = g.neg_pos)
+SELECT doc_id, neg_rank, neg_doc_id FROM res
+${ord("doc_id", "neg_rank")}""".trim
 }

@@ -725,4 +725,28 @@ scored AS (
   FROM a, b WHERE a_id < b_id)
 SELECT a_id, b_id, cosine_sim FROM scored WHERE cosine_sim >= 0.4
 ${ord("a_id", "b_id")}""".trim
+
+  /** Twin of Similarity.embeddingDimStats: per-dimension count / min /
+    * max over the ·10³-quantized space, HUGEINT moment sums (the
+    * decimal(38) twin), mean/variance as the identical double
+    * expressions. Dims 0-based to match posexplode. */
+  val embeddingDimStats: String = s"""
+WITH eq AS (
+  SELECT vec_id, list_transform(embedding,
+    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+  FROM embeddings),
+ed AS (
+  SELECT unnest(q) AS v, generate_subscripts(q, 1) - 1 AS dim FROM eq),
+ea AS (
+  SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+    SUM(CAST(v AS HUGEINT)) AS s1,
+    SUM(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS s2,
+    MIN(v) AS min_q, MAX(v) AS max_q
+  FROM ed GROUP BY dim)
+SELECT CAST(dim AS BIGINT) AS dim, n_vecs, min_q, max_q,
+  CAST(s1 AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS mean_q,
+  (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+     / CAST(n_vecs AS DOUBLE)) / CAST(n_vecs AS DOUBLE) AS var_q
+FROM ea
+${ord("dim")}""".trim
 }

@@ -888,4 +888,168 @@ topk AS (
   FROM perq)
 SELECT query_id, doc_id, q_bm25, n_terms FROM topk WHERE rk <= 5
 ${ord("query_id", "doc_id")}""".trim
+
+  /** Twin of TextAnalysis.lexicalDiversity: per-(source, token) counts
+    * then per-source type/token/hapax rollup; ratios are the same
+    * int64/int64 double divisions. */
+  val lexicalDiversity: String = s"""
+WITH t AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents),
+c AS (SELECT source, tok, COUNT(*) AS cnt FROM t GROUP BY source, tok)
+SELECT source,
+  CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+  CAST(COUNT(*) AS BIGINT) AS n_types,
+  CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS type_token_ratio,
+  CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+    CAST(COUNT(*) AS DOUBLE) AS hapax_rate
+FROM c GROUP BY source
+${ord("source")}""".trim
+
+  /** Shared CTE: the FULL Gopher pass predicate at minWords = 20 (the
+    * sourceScorecard convention) — the gopherRules twin's expression
+    * with the lower word bound. */
+  protected lazy val gopherPass20: String = s"""
+gp_d AS (
+  SELECT doc_id,
+    string_split_regex(trim(text), '\\s+') AS w,
+    string_split_regex(trim(lower(text)), '\\s+') AS tl,
+    string_split(text, chr(10)) AS lines,
+    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS INT) AS n_symbols
+  FROM documents),
+gp AS (
+  SELECT doc_id,
+    (CAST(len(w) AS INT) BETWEEN 20 AND 100000)
+    AND ((CAST(length(array_to_string(w, '')) AS DOUBLE) /
+          CAST(len(w) AS DOUBLE)) BETWEEN 3.0 AND 10.0)
+    AND (CAST(n_symbols AS DOUBLE) / CAST(len(w) AS DOUBLE)) <= 0.1
+    AND (CAST(len(list_filter(lines, l -> trim(l) LIKE '-%'
+          OR trim(l) LIKE '*%' OR trim(l) LIKE '•%')) AS DOUBLE) /
+         CAST(len(lines) AS DOUBLE)) <= 0.9
+    AND (CAST(len(list_filter(lines, l -> trim(l) LIKE '%...')) AS DOUBLE) /
+         CAST(len(lines) AS DOUBLE)) <= 0.3
+    AND (CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) /
+         CAST(len(w) AS DOUBLE)) >= 0.8
+    AND CAST(len(list_intersect(tl,
+      ['the','be','to','of','and','that','have','with'])) AS INT) >= 2
+    AS pass
+  FROM gp_d)""".trim
+
+  /** Shared CTE: the ·10⁶-quantized quality score (sourceScorecard's
+    * double-round spelling). */
+  protected lazy val q6Chain: String = s"""
+q6w AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS wq
+  FROM documents),
+q6t AS (
+  SELECT doc_id,
+    CAST(round(round((CAST(len(list_distinct(wq)) AS DOUBLE) / CAST(len(wq) AS DOUBLE)) * 0.5
+      + least(CAST(len(wq) AS DOUBLE) / 64.0, 1.0) * 0.3
+      + (CASE WHEN ((CAST(length(text) AS DOUBLE) - (CAST(len(wq) AS DOUBLE) - 1))
+                    / CAST(len(wq) AS DOUBLE)) BETWEEN 3.0 AND 9.0
+              THEN 1.0 ELSE 0.5 END) * 0.2, 6) * 1000000) AS BIGINT) AS q6
+  FROM q6w)""".trim
+
+  /** Twin of TextAnalysis.qualityCalibration(bins=10, minWords=20):
+    * integer decile binning on q6 (capped at bin 9), per-bin count /
+    * quantized-sum mean / Gopher pass rate. */
+  val qualityCalibration: String = s"""
+WITH $q6Chain,
+$gopherPass20,
+j AS (
+  SELECT LEAST((q6t.q6 * 10) // 1000000, 9) AS bin, q6t.q6, gp.pass
+  FROM q6t JOIN gp ON gp.doc_id = q6t.doc_id)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(q6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000 AS mean_quality,
+  CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+  CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE) /
+    CAST(COUNT(*) AS DOUBLE) AS pass_rate
+FROM j GROUP BY bin
+${ord("bin")}""".trim
+
+  /** Twin of TextAnalysis.filterAgreement(pct=0.5, minWords=20):
+    * exact-median quality cut vs the full Gopher pass, 2×2 contingency
+    * counts, Cohen's kappa from HUGEINT marginal products (the
+    * decimal(38) twin of Spark's overflow-safe spelling). */
+  val filterAgreement: String = s"""
+WITH q6w AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS wq
+  FROM documents),
+fq AS (
+  SELECT doc_id,
+    round((CAST(len(list_distinct(wq)) AS DOUBLE) / CAST(len(wq) AS DOUBLE)) * 0.5
+      + least(CAST(len(wq) AS DOUBLE) / 64.0, 1.0) * 0.3
+      + (CASE WHEN ((CAST(length(text) AS DOUBLE) - (CAST(len(wq) AS DOUBLE) - 1))
+                    / CAST(len(wq) AS DOUBLE)) BETWEEN 3.0 AND 9.0
+              THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+  FROM q6w),
+fcut AS (SELECT quantile_cont(quality, 0.5) AS cut FROM fq),
+fa AS (SELECT doc_id, quality >= fcut.cut AS a FROM fq, fcut),
+$gopherPass20,
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN a AND pass THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+    CAST(SUM(CASE WHEN a AND NOT pass THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+    CAST(SUM(CASE WHEN NOT a AND pass THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+    CAST(SUM(CASE WHEN NOT a AND NOT pass THEN 1 ELSE 0 END) AS BIGINT) AS n00
+  FROM fa JOIN gp ON gp.doc_id = fa.doc_id),
+r AS (
+  SELECT n, n11, n10, n01, n00,
+    CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+    CAST(CAST(n11 + n10 AS HUGEINT) * CAST(n11 + n01 AS HUGEINT)
+       + CAST(n01 + n00 AS HUGEINT) * CAST(n10 + n00 AS HUGEINT) AS DOUBLE)
+      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe
+  FROM m)
+SELECT n, n11, n10, n01, n00, po, pe,
+  CASE WHEN pe = 1.0 THEN NULL
+       ELSE (po - pe) / (1.0 - pe) END AS kappa
+FROM r""".trim
+
+  /** Twin of Sketches.kmvCardinality(k=16): per-source distinct
+    * polyhash64 token hashes in unsigned 2⁶⁴ space (the power-sum
+    * decomposition, see fingerprintDocs), the 16 minima via a rank
+    * window, estimate = 15·2⁶⁴ / 16th-min as one double expression
+    * (HUGEINT→DOUBLE is correctly rounded, matching BigInteger
+    * conversion on the Spark side); exact count below k. */
+  val kmvCardinality: String = {
+    val pow64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val half = "CAST('9223372036854775808' AS HUGEINT)"
+    s"""
+WITH RECURSIVE
+kt AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents),
+kpw(kk, p) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL SELECT kk + 1, (p * 1000003) % $pow64 FROM kpw WHERE kk < 255),
+kpl AS MATERIALIZED (SELECT list(p ORDER BY kk) AS ps FROM kpw),
+kh0 AS (
+  SELECT source,
+    COALESCE(list_sum(list_transform(string_split_regex(tok, ''),
+      (c, i) -> ord(c) * kpl.ps[strlen(tok) - i + 1])) % $pow64,
+      CAST(0 AS HUGEINT)) AS hu
+  FROM kt, kpl),
+-- Fibonacci finalizer (hu · 11400714819323198485) mod 2⁶⁴, split as
+-- hi/lo 32-bit halves so no intermediate exceeds HUGEINT range
+kh AS (
+  SELECT DISTINCT source,
+    ((hu * 2135587861) % $pow64
+     + ((hu * 2654435769) % CAST(4294967296 AS HUGEINT))
+       * CAST(4294967296 AS HUGEINT)) % $pow64 AS u
+  FROM kh0),
+krk AS (
+  SELECT source, u,
+    row_number() OVER (PARTITION BY source ORDER BY u ASC) AS r,
+    COUNT(*) OVER (PARTITION BY source) AS nd
+  FROM kh),
+ksel AS (SELECT source, u, nd FROM krk WHERE r = LEAST(nd, 16))
+SELECT source, LEAST(nd, 16) AS n_kept,
+  CAST(CASE WHEN u >= $half THEN u - $pow64 ELSE u END AS BIGINT) AS kth_hash,
+  CASE WHEN nd < 16 THEN CAST(LEAST(nd, 16) AS DOUBLE)
+       ELSE (CAST(15 AS DOUBLE) * CAST('18446744073709551616' AS DOUBLE))
+            / CAST(u AS DOUBLE) END AS est_distinct
+FROM ksel
+${ord("source")}""".trim
+  }
 }

@@ -703,6 +703,34 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Quality-aware canonical dedup — corpus dedup that keeps the BEST
+    * member of each near-dup cluster instead of the arbitrary min-id
+    * one: a crawl usually captures the same page as a clean mirror and
+    * a boilerplate-laden copy, and the min-id convention keeps
+    * whichever was crawled first. Canonical = highest lexical quality
+    * (`TextAnalysis.withQuality`, ·10⁶-quantized for deterministic
+    * ordering), doc_id ascending on ties. Any pair tier plugs in; the
+    * gate entry feeds MinHash pairs like every cluster consumer.
+    *
+    * Scale shape: clusters are the dup sliver (broadcast-size at any
+    * corpus scale); quality is computed only for sliver members — the
+    * sliver joins INTO the corpus (Spark broadcasts the small side),
+    * and the per-cluster argmax is a rank window over the sliver, not
+    * the corpus. Survivors = one anti-join against the loser sliver. */
+  def dedupKeepBest(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dupClusters(pairs)
+      .select(col("doc_id"), col("cluster_id"))
+    val sliver = TextAnalysis.withQuality(docs.join(clusters, "doc_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        round(col("quality") * 1000000).cast("long").as("q6"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("q6").desc, col("doc_id").asc)
+    val losers = sliver.withColumn("rk", row_number().over(w))
+      .where(col("rk") > 1).select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Per-source dedup scorecard — the data-sourcing observability
     * report: for each source, how many documents participate in at
     * least one near-dup pair (either side), and the resulting dup

@@ -401,4 +401,39 @@ object Sampling {
         col("n_tokens"), col("min_id"), col("max_id"),
         md5(concat_ws(",", transform(col("__ids"), _.cast("string")))
           .cast("binary")).as("content_digest"))
+
+  /** Deterministic in-corpus negative sampling — `numNeg` "random"
+    * negatives per document for contrastive / retrieval training
+    * (the other half of `TextAnalysis.contrastiveCrops`' positives),
+    * without `rand()`: documents get contiguous positions
+    * (`Indexing.stableRowIds` — range exchange + partition offsets, no
+    * single-reducer window), and negative j for position p is the
+    * document at (p + j·⌊N/(numNeg+1)⌋) mod N. The fixed large stride
+    * guarantees the negative is far from the anchor in doc_id order
+    * (never itself, since j·step < N), every document serves as a
+    * negative equally often (a permutation per j — balanced load, no
+    * hot negatives), and the assignment is reproducible across runs
+    * and engines.
+    *
+    * Scale shape: the position table builds with one range exchange;
+    * the negative lookup is a self-equi-join on the position key (both
+    * sides the same narrow (pos, id) table — shuffle-merged, never
+    * broadcast at corpus scale). N arrives as a 1-row broadcast, not a
+    * driver scalar. Returns (doc_id, neg_rank, neg_doc_id). */
+  def negativeSamples(docs: DataFrame, numNeg: Int = 2): DataFrame = {
+    require(numNeg >= 1, "need at least one negative per doc")
+    val ids = Indexing.stableRowIds(
+      docs.select(col("doc_id")), Seq("doc_id"), idCol = "pos")
+    val n = broadcast(ids.agg(count(lit(1)).as("__n")))
+    val negs = ids.crossJoin(n)
+      .select(col("doc_id"), col("pos"), col("__n"),
+        explode(sequence(lit(1L), lit(numNeg.toLong))).as("neg_rank"))
+      .withColumn("neg_pos",
+        pmod(col("pos") + col("neg_rank") *
+          greatest(expr(s"__n div ${numNeg + 1}"), lit(1L)), col("__n")))
+    negs.join(
+        ids.select(col("pos").as("neg_pos"), col("doc_id").as("neg_doc_id")),
+        "neg_pos")
+      .select(col("doc_id"), col("neg_rank"), col("neg_doc_id"))
+  }
 }

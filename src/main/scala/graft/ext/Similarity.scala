@@ -1130,4 +1130,39 @@ object Similarity {
       s"unknown ANN strategy '$other' — expected one of: brute, lsh, ivf, " +
         "sq, pq, ivfpq, ivfpq_residual, ivfpq_rerank, matryoshka")
   }
+
+  /** Per-dimension embedding statistics — the embedding-health report
+    * run before trusting any ANN/clustering tier: count, min, max,
+    * mean, variance for every dimension of the quantized space. A
+    * dimension with collapsed variance is dead weight in every
+    * distance computation (and the first candidate for Matryoshka-
+    * style truncation — see `matryoshkaTopK`); a mean far off zero
+    * says the vectors were never centered and cosine vs dot-product
+    * choices start to matter. Also the input a scalar-quantization
+    * tier (`sqDimPack`) would audit before choosing per-dim ranges.
+    *
+    * Scale shape: one map-side-combinable groupBy on the |dims|-sized
+    * key after a posexplode scan projection — the shuffle carries
+    * |dims| rows of moment state per task. Moment sums ride
+    * decimal(38) (Σq² overflows int64 at corpus scale — the
+    * signalCorrelation rule); mean/variance are fixed double
+    * expressions from the exact sums, so every engine reproduces them
+    * bit-for-bit. */
+  def embeddingDimStats(emb: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    emb.select(posexplode(quantize(col("embedding"))).as(Seq("dim", "qv")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("qv").cast(dec)).as("s1"),
+        sum(col("qv").cast(dec) * col("qv").cast(dec)).as("s2"),
+        min(col("qv")).as("min_q"), max(col("qv")).as("max_q"))
+      .select(col("dim").cast("long").as("dim"), col("n_vecs"),
+        col("min_q"), col("max_q"),
+        (col("s1").cast("double") / col("n_vecs").cast("double"))
+          .as("mean_q"),
+        ((col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") /
+            col("n_vecs").cast("double")) / col("n_vecs").cast("double"))
+          .as("var_q"))
+  }
 }

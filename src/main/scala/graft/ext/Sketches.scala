@@ -40,4 +40,40 @@ object Sketches {
       quantiles: Seq[Double], accuracy: Int = 10000): DataFrame =
     df.agg(percentile_approx(valueCol,
       array(quantiles.map(lit): _*), lit(accuracy)).as("q"))
+
+  /** Per-source distinct-token cardinality via a KMV (k-minimum-values)
+    * sketch — the vocabulary-size dashboard number computed WITHOUT a
+    * vocabulary-wide exchange: the native `kmv_sketch` aggregate
+    * (graft.functions.KmvSketch, a TypedImperativeAggregate) keeps the
+    * k smallest distinct `polyhash64(token)` values per source with
+    * constant mergeable state, so map-side partials carry k longs per
+    * source and the shuffle is |sources|·k longs at ANY corpus scale.
+    * Estimate = (k−1)·2⁶⁴ / kth_min (exact when a source holds < k
+    * distinct hashes). Deterministic — the k minima of a fixed hash
+    * are a pure function of the data — hence oracle-checkable: DuckDB
+    * reproduces the same minima with a rank window at test scale, and
+    * the estimate is one fixed double expression from exact integer
+    * inputs (correctly-rounded unsigned→double on both engines).
+    * Returns (source, n_kept, kth_hash, est_distinct). */
+  def kmvCardinality(docs: DataFrame, k: Int = 16): DataFrame = {
+    // polyhash64 alone is not uniform in the HIGH bits for short
+    // tokens (the estimator reads order statistics of the full 2⁶⁴
+    // range), so finalize with the Fibonacci multiply mod 2⁶⁴ — the
+    // same golden-constant mixing the MinHash affine family uses.
+    // Java long multiplication wraps ≡ mod 2⁶⁴.
+    val gold = lit(-7046029254386353131L) // 11400714819323198485 as signed
+    val h = docs.select(col("source"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .select(col("source"),
+        (graft.functions.PolyHash64.polyhash64(col("tok")) * gold).as("h"))
+    h.groupBy(col("source"))
+      .agg(graft.functions.KmvSketch.kmvSketch(col("h"), k).as("mins"))
+      .select(col("source"), size(col("mins")).cast("long").as("n_kept"),
+        element_at(col("mins"), size(col("mins"))).as("kth_hash"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(
+            (lit((k - 1).toDouble) * lit(18446744073709551616.0)) /
+              graft.functions.UnsignedToDouble.unsignedToDouble(col("kth_hash"))))
+  }
 }

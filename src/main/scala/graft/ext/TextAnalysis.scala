@@ -269,6 +269,111 @@ object TextAnalysis {
         col("n_shape_pass").cast("double") / col("n_docs").cast("double"))
   }
 
+  /** Per-source lexical-diversity report — type-token ratio and hapax
+    * rate (fraction of the source's vocabulary appearing exactly once)
+    * over the whole source, not per document: the corpus-health number
+    * that exposes template farms and log dumps (huge token counts,
+    * collapsing type counts) which per-document quality scores miss.
+    * A healthy natural-language source keeps hapax_rate roughly stable
+    * as it grows; a self-repeating one decays toward zero.
+    *
+    * Scale shape: one map-side-combinable (source, token) count
+    * groupBy — the same single vocabulary-keyed exchange every token
+    * statistic pays, shrunk by the corpus repetition factor — then a
+    * |sources|·|vocab|→|sources| rollup that combines map-side too.
+    * Ratios are int64/int64 divisions, deterministic. */
+  def lexicalDiversity(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("type_token_ratio"),
+        (col("n_hapax").cast("double") / col("n_types").cast("double"))
+          .as("hapax_rate"))
+  }
+
+  /** Quality-score reliability diagram — calibration bins for the
+    * cheap lexical quality score against the expensive Gopher shape
+    * filter: decile-bucket every document by quality, report per-bin
+    * count, mean quality, and Gopher pass rate. A monotone pass-rate
+    * curve means the cheap score can PRE-GATE the expensive filter
+    * (run Gopher only near the decision boundary); a flat one means
+    * the two measure different things and the stack needs both.
+    * Companion to `signalCorrelation` (Pearson summarizes to one
+    * number; the bins show WHERE agreement breaks).
+    *
+    * Determinism: binning is integer arithmetic on the ·10⁶-quantized
+    * score (bin = q6·bins div 10⁶, capped at bins−1 so quality = 1.0
+    * lands in the top bin); per-bin mean rides the quantized sum. Two
+    * scan-side projections joined on doc_id + one |bins|-row rollup. */
+  def qualityCalibration(docs: DataFrame, bins: Int = 10,
+      minWords: Int = 20): DataFrame = {
+    val q = withQuality(docs).select(col("doc_id"),
+      round(col("quality") * 1000000).cast("long").as("q6"))
+    val g = gopherRules(docs, minWords).select(col("doc_id"), col("pass"))
+    q.join(g, "doc_id")
+      .select(least(expr(s"(q6 * $bins) div 1000000"), lit(bins - 1L))
+        .as("bin"), col("q6"), col("pass"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("q6")).as("sum_q6"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+      .select(col("bin"), col("n_docs"),
+        (col("sum_q6").cast("double") / col("n_docs").cast("double") /
+          1000000).as("mean_quality"),
+        col("n_pass"),
+        (col("n_pass").cast("double") / col("n_docs").cast("double"))
+          .as("pass_rate"))
+  }
+
+  /** Inter-filter agreement (Cohen's kappa) — do two quality filters
+    * agree beyond chance? Compares the corpus-relative quality cut
+    * (keep ≥ `pct` quantile) against the Gopher shape filter as the
+    * 2×2 contingency table plus kappa. Near-1 kappa means the filters
+    * are redundant (drop the expensive one); near-0 means they prune
+    * DIFFERENT documents and stacking them compounds loss — the
+    * number a filter-stack review asks for first.
+    *
+    * Determinism & scale: the contingency counts are one map-side-
+    * combinable 1-row aggregate over the joined flag projections; the
+    * expected-agreement products ride decimal(38) (marginal products
+    * overflow int64 at corpus scale); po/pe/kappa are fixed double
+    * expressions from exact integers. kappa is NULL when pe = 1 (a
+    * degenerate all-one-cell table has no chance-correction). */
+  def filterAgreement(docs: DataFrame, pct: Double = 0.5,
+      minWords: Int = 20): DataFrame = {
+    val q = withQuality(docs).select(col("doc_id"), col("quality"))
+    val cut = q.agg(expr(s"percentile(quality, $pct)").as("__cut"))
+    val a = q.crossJoin(broadcast(cut))
+      .select(col("doc_id"), (col("quality") >= col("__cut")).as("a"))
+    val b = gopherRules(docs, minWords)
+      .select(col("doc_id"), col("pass").as("b"))
+    val dec = "decimal(38,0)"
+    a.join(b, "doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+      .withColumn("po",
+        (col("n11") + col("n00")).cast("double") / col("n").cast("double"))
+      .withColumn("pe",
+        ((col("n11") + col("n10")).cast(dec) * (col("n11") + col("n01")).cast(dec) +
+          (col("n01") + col("n00")).cast(dec) * (col("n10") + col("n00")).cast(dec))
+          .cast("double") /
+          (col("n").cast("double") * col("n").cast("double")))
+      .withColumn("kappa",
+        when(col("pe") === 1.0, lit(null).cast("double"))
+          .otherwise((col("po") - col("pe")) / (lit(1.0) - col("pe"))))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        col("po"), col("pe"), col("kappa"))
+  }
+
   /** Quality quartile tiers — bucket every document by the corpus'
     * own exact quality quantiles (RefinedWeb-style tiering: tier 4
     * feeds the high-quality mix, tier 1 gets aggressive filtering or

@@ -109,7 +109,20 @@ object GraftFunctions {
     ("nfc_normalize",
       { es: Seq[Expression] =>
         arity("nfc_normalize", es, 1, 1); NfcNormalize(es.head) },
-      "nfc_normalize(str) - Unicode NFC canonical-composition normalization"))
+      "nfc_normalize(str) - Unicode NFC canonical-composition normalization"),
+    ("unsigned_to_double",
+      { es: Seq[Expression] =>
+        arity("unsigned_to_double", es, 1, 1); UnsignedToDouble(es.head) },
+      "unsigned_to_double(long) - reinterpret as unsigned 64-bit, " +
+        "correctly-rounded conversion to double"),
+    ("kmv_sketch",
+      { es: Seq[Expression] =>
+        arity("kmv_sketch", es, 1, 2)
+        KmvSketch(es.head,
+          if (es.length > 1) posIntArg(es(1), "kmv_sketch", 2) else 16)
+          .toAggregateExpression() },
+      "kmv_sketch(hash[, k]) - AGGREGATE: the k smallest distinct hash " +
+        "values in unsigned order (KMV distinct-cardinality sketch state)"))
 
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft.functions", "", name, usage,

@@ -1595,4 +1595,110 @@ class ExtSpec extends SparkSpec {
       r.getAs[Long]("shard_in_bucket") == 0L).get
     assert(row.getAs[String]("content_digest") == md)
   }
+
+  test("dedupKeepBest keeps the higher-quality cluster member, not min id") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val d = Seq(
+      (20L, base + " alpha alpha alpha"), // repetitive tail -> lower TTR
+      (21L, base),                        // clean copy, HIGHER quality, higher id
+      (22L, "unrelated words that share no shingles with the pair above at all")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(d, minJaccard = 0.5)
+    assert(pairs.count() == 1) // only (20, 21)
+    val kept = Dedup.dedupKeepBest(d, pairs).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(21L, 22L), "quality-canonical keeps the clean copy")
+    // contrast: the min-id convention keeps 20 instead
+    val minIdKept = d.join(
+        Dedup.dupClusters(pairs).where(!col("is_keeper")).select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    assert(minIdKept == Set(20L, 22L))
+  }
+
+  test("lexicalDiversity: type/token/hapax arithmetic on a known corpus") {
+    val d = Seq(
+      (0L, "a a a b", "s1"), (1L, "x y z w", "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.lexicalDiversity(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s1 = out("s1")
+    assert(s1.getAs[Long]("n_tokens") == 4 && s1.getAs[Long]("n_types") == 2 &&
+      s1.getAs[Long]("n_hapax") == 1)
+    assert(s1.getAs[Double]("type_token_ratio") == 0.5 &&
+      s1.getAs[Double]("hapax_rate") == 0.5)
+    val s2 = out("s2")
+    assert(s2.getAs[Long]("n_types") == 4 &&
+      s2.getAs[Double]("hapax_rate") == 1.0)
+  }
+
+  test("qualityCalibration: bins partition the corpus, means stay in-bin") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val out = TextAnalysis.qualityCalibration(d).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == d.count())
+    out.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      assert(bin >= 0 && bin <= 9)
+      val m = r.getAs[Double]("mean_quality")
+      assert(m >= bin / 10.0 - 1e-9 && m <= (bin + 1) / 10.0 + 1e-9 ||
+        bin == 9L && m <= 1.0 + 1e-9)
+      val pr = r.getAs[Double]("pass_rate")
+      assert(pr >= 0.0 && pr <= 1.0)
+    }
+  }
+
+  test("filterAgreement: contingency sums to n, kappa consistent with po/pe") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val r = TextAnalysis.filterAgreement(d).collect().head
+    val (n, n11, n10, n01, n00) = (r.getAs[Long]("n"), r.getAs[Long]("n11"),
+      r.getAs[Long]("n10"), r.getAs[Long]("n01"), r.getAs[Long]("n00"))
+    assert(n == d.count() && n == n11 + n10 + n01 + n00)
+    val (po, pe) = (r.getAs[Double]("po"), r.getAs[Double]("pe"))
+    assert(po >= 0.0 && po <= 1.0 && pe > 0.0 && pe < 1.0)
+    assert(r.getAs[Double]("kappa") == (po - pe) / (1.0 - pe))
+  }
+
+  test("kmvCardinality: exact below k, driver-recomputed kth min above k") {
+    // polyhash64 + Fibonacci finalizer recompute on the driver
+    def ph(s: String): Long = {
+      var h = 0L
+      s.getBytes("UTF-8").foreach(b => h = h * 1000003L + (b & 0xffL))
+      h * -7046029254386353131L // wraps ≡ mod 2^64
+    }
+    val small = (1 to 10).map(i => s"tok$i").mkString(" ")     // 10 distinct
+    val big = (1 to 400).map(i => s"w$i").mkString(" ")        // 400 distinct
+    val d = Seq((0L, small, "small"), (1L, big, "big"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.ext.Sketches.kmvCardinality(d, k = 16).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("small").getAs[Long]("n_kept") == 10)
+    assert(out("small").getAs[Double]("est_distinct") == 10.0)
+    // big source: kth hash equals the driver-computed 16th smallest
+    val mins = (1 to 400).map(i => ph(s"w$i")).distinct
+      .sorted(Ordering.fromLessThan[Long](
+        (a, b) => java.lang.Long.compareUnsigned(a, b) < 0))
+    assert(out("big").getAs[Long]("kth_hash") == mins(15))
+    val est = out("big").getAs[Double]("est_distinct")
+    assert(est > 80 && est < 2000, s"KMV estimate $est wildly off 400")
+  }
+
+  test("kmvCardinality aggregates with a map-side partial (constant state)") {
+    val d = Seq((0L, "a b c", "s")).toDF("doc_id", "text", "source")
+    val plan = graft.ext.Sketches.kmvCardinality(d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_kmv_sketch"),
+      "kmv_sketch must partial-aggregate before the exchange")
+  }
+
+  test("kmv_sketch / unsigned_to_double reach the SQL surface") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq((1L, 5L), (1L, 3L), (1L, 5L), (1L, -1L)).toDF("g", "h")
+      .createOrReplaceTempView("kmv_in")
+    // unsigned order: 3 < 5 < 2^64-1 (-1); duplicates collapse
+    val arr = spark.sql(
+      "SELECT kmv_sketch(h, 2) AS m FROM kmv_in GROUP BY g")
+      .head.getSeq[Long](0)
+    assert(arr == Seq(3L, 5L))
+    val d = spark.sql("SELECT unsigned_to_double(-1L)").head.getDouble(0)
+    assert(d == 1.8446744073709552e19) // 2^64-1 correctly rounded
+  }
 }

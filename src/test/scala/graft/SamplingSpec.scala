@@ -253,4 +253,21 @@ class SamplingSpec extends SparkSpec {
       .map(_.getLong(0)).toSet
     assert(got.contains(1L), "a doc longer than the stride always samples")
   }
+
+  test("negativeSamples: stride negatives are balanced, never self") {
+    import spark.implicits._
+    val df = (0L until 10L).map(i => Tuple1(i * 7)).toList.toDF("doc_id") // gappy ids
+    val out = Sampling.negativeSamples(df, numNeg = 2).collect()
+    assert(out.length == 20)
+    // never the anchor itself
+    assert(out.forall(r => r.getLong(0) != r.getAs[Long]("neg_doc_id")))
+    // every doc serves as a negative exactly numNeg times (permutation per j)
+    val asNeg = out.groupBy(_.getAs[Long]("neg_doc_id")).map(_._2.length)
+    assert(asNeg.forall(_ == 2))
+    // N=10, step=floor(10/3)=3: pos p's negatives sit at (p+3)%10, (p+6)%10
+    val byDoc = out.groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getAs[Long]("neg_rank")).map(_.getAs[Long]("neg_doc_id")).toSeq)
+    assert(byDoc(0L) == Seq(21L, 42L))   // pos 0 -> pos 3 (id 21), pos 6 (id 42)
+    assert(byDoc(63L) == Seq(14L, 35L))  // pos 9 -> pos 2 (id 14), pos 5 (id 35)
+  }
 }

@@ -315,4 +315,22 @@ class ScaleOpsSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.15,
       s"HLL estimate off: exact=$exact approx=$approx")
   }
+
+  test("embeddingDimStats: exact moments on a hand-computed fixture") {
+    import spark.implicits._
+    val e = Seq((0L, Seq(1.0f, 2.0f)), (1L, Seq(3.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.embeddingDimStats(e).collect()
+      .map(r => r.getAs[Long]("dim") -> r).toMap
+    val d0 = out(0L)
+    assert(d0.getAs[Long]("n_vecs") == 2 &&
+      d0.getAs[Long]("min_q") == 1000 && d0.getAs[Long]("max_q") == 3000)
+    assert(d0.getAs[Double]("mean_q") == 2000.0)
+    // var = (s2 - s1^2/n)/n = ((1e6+9e6) - 4000^2/2)/2 = 1e6
+    assert(d0.getAs[Double]("var_q") == 1.0e6)
+    val d1 = out(1L)
+    assert(d1.getAs[Double]("mean_q") == 500.0)
+    // ((4e6+1e6) - 1000^2/2)/2 = 2.25e6
+    assert(d1.getAs[Double]("var_q") == 2.25e6)
+  }
 }
