@@ -1092,6 +1092,38 @@ object SparkEntry {
     // per-dimension embedding moments (dead-dim / centering audit)
     "embedding_dim_stats" -> prep((s, d) =>
       Similarity.embeddingDimStats(emb(s, d)).orderBy("dim")),
+    // paraphrase-robust MinHash decontamination: corpus docs resembling
+    // any benchmark doc (doc_id % 97, incl. verbatim copies) dropped;
+    // benchmark bands broadcast — the corpus never shuffles candidates
+    "decontaminate_fuzzy" -> prep((s, d) =>
+      Dedup.decontaminateFuzzy(docs(s, d),
+        docs(s, d).where(col("doc_id") % 97 === 0))
+        .select("doc_id", "lang", "source").orderBy("doc_id")),
+    // pairwise source duplication matrix (mirror detection dashboard)
+    "dedup_cross_source" -> prep((s, d) =>
+      Dedup.dedupCrossSource(docs(s, d), Dedup.minhashLshPairsPortable(docs(s, d)))
+        .orderBy("source_a", "source_b")),
+    // streaming unique-visitor cardinality via the native KMV sketch:
+    // stateless per-batch partial minima appended by foreachBatch,
+    // merged minima-of-minima at read (the sketch's defining merge) —
+    // deterministic, so the oracle recomputes the exact same minima.
+    // 3 landing files → 3 micro-batches prove the cross-batch merge.
+    "stream_kmv_users" -> prep((s, d) => {
+      val base = tmpDir("graft_evkmv")
+      s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"),
+          col("ts").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .repartition(3).write.mode("overwrite").json(s"$base/in")
+      graft.streaming.EventStream.runKmvUsers(
+        s, s"$base/in", s"$base/out", s"$base/ckpt").awaitTermination()
+      graft.streaming.EventStream.kmvUsersCompact(s.read.parquet(s"$base/out"))
+        .select(col("window_start").cast("string").as("window_start"),
+          col("event_type"), col("n_kept"), col("kth_hash"),
+          col("est_distinct"))
+        .orderBy(col("window_start").asc_nulls_first,
+          col("event_type").asc_nulls_first)
+    }),
   )
 
   private def tmpDir(prefix: String): String =
@@ -1296,5 +1328,8 @@ object SparkEntry {
     "filter_agreement" -> ExtOracle.filterAgreement,
     "negative_samples" -> ExtOracle.negativeSamples,
     "embedding_dim_stats" -> ExtOracle.embeddingDimStats,
+    "decontaminate_fuzzy" -> ExtOracle.decontaminateFuzzy,
+    "dedup_cross_source" -> ExtOracle.dedupCrossSource,
+    "stream_kmv_users" -> ExtOracle.streamKmvUsers,
   )
 }

@@ -151,6 +151,13 @@ object StreamBench {
       // row count vs the horizon-bounded watermarked peak.
       measure("stream_dedup_unbounded", (in, out, ckpt) =>
         fileSink(src(in).dropDuplicates("event_id"), out, ckpt)),
+      // native KMV sketch streamed as stateless per-batch partials +
+      // merge-on-read (object-buffer aggregates persist zero state
+      // rows in Spark 4.1 streaming aggregations — see kmvUsersPartials
+      // scaladoc): unique-visitor cardinality whose streaming cost is
+      // k longs per (window, group, batch), state_rows_max 0 by design
+      measure("kmv_users", (in, out, ckpt) =>
+        EventStream.runKmvUsers(spark, in, out, ckpt)),
       measure("attribution_join", (in, out, ckpt) =>
         fileSink(EventStream.attribution(src(in)), out, ckpt)),
       measure("sessionize_fmgws", (in, out, ckpt) =>

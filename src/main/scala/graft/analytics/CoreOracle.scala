@@ -114,6 +114,40 @@ WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
 GROUP BY 1, 2
 ${ord("window_start", "event_type")}""".trim
 
+  /** Twin of EventStream.kmvUsersPartials→Compact (k=64): per (hour
+    * window, event_type), the KMV distinct-user minima over the
+    * Fibonacci-mixed user_id (split 32-bit multiply keeps the product
+    * inside HUGEINT). No watermark cutoff — the partials path is
+    * stateless, every window appears; the minima-of-minima merge is
+    * associative, so one global pass here equals the micro-batched
+    * stream. Estimate = 63·2⁶⁴ / 64th-min, exact below k. */
+  val streamKmvUsers: String = {
+    val pow64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val pow32 = "CAST(4294967296 AS HUGEINT)"
+    val half = "CAST('9223372036854775808' AS HUGEINT)"
+    s"""
+WITH skuu AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS ws, event_type,
+    ((CAST(user_id AS HUGEINT) * 2135587861) % $pow64
+     + ((CAST(user_id AS HUGEINT) * 2654435769) % $pow32) * $pow32)
+      % $pow64 AS u
+  FROM events),
+skrk AS (
+  SELECT ws, event_type, u,
+    row_number() OVER (PARTITION BY ws, event_type ORDER BY u ASC) AS r,
+    COUNT(*) OVER (PARTITION BY ws, event_type) AS nd
+  FROM skuu),
+sksel AS (SELECT ws, event_type, u, nd FROM skrk WHERE r = LEAST(nd, 64))
+SELECT CAST(ws AS VARCHAR) AS window_start, event_type,
+  LEAST(nd, 64) AS n_kept,
+  CAST(CASE WHEN u >= $half THEN u - $pow64 ELSE u END AS BIGINT) AS kth_hash,
+  CASE WHEN nd < 64 THEN CAST(LEAST(nd, 64) AS DOUBLE)
+       ELSE (CAST(63 AS DOUBLE) * CAST('18446744073709551616' AS DOUBLE))
+            / CAST(u AS DOUBLE) END AS est_distinct
+FROM sksel
+${ord("window_start", "event_type")}""".trim
+  }
+
   /** Twin of EventStream.slidingWindowedAgg (1 h / 15 min): each event
     * fans out to its 4 covering window starts (integer µs floor
     * arithmetic — Spark's window() is epoch-aligned the same way);

@@ -474,6 +474,50 @@ SELECT a_id, b_id, CAST(n_agree AS DOUBLE) / 32 AS est_jaccard
 FROM agree WHERE CAST(n_agree AS DOUBLE) / 32 >= 0.5
 ${ord("a_id", "b_id")}""".trim
 
+  /** Twin of Dedup.decontaminateFuzzy(benchmark = doc_id%97): the
+    * corpus×benchmark candidate space is a subset of the self-join
+    * chain's `agree` table (same signatures, same buckets), plus the
+    * self-match arm — a benchmark doc present in the corpus matches
+    * itself at est 1.0, which the chain's a<b candidates exclude, so
+    * benchmark membership drops explicitly. */
+  val decontaminateFuzzy: String = s"""$minhashAgreeChain,
+fz_cont AS (
+  SELECT a_id AS doc_id FROM agree
+  WHERE b_id % 97 = 0 AND CAST(n_agree AS DOUBLE) / 32 >= 0.5
+  UNION
+  SELECT b_id FROM agree
+  WHERE a_id % 97 = 0 AND CAST(n_agree AS DOUBLE) / 32 >= 0.5
+  UNION
+  SELECT doc_id FROM documents WHERE doc_id % 97 = 0)
+SELECT d.doc_id, d.lang, d.source FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM fz_cont)
+${ord("doc_id")}""".trim
+
+  /** Twin of Dedup.dedupCrossSource over the MinHash pair tier:
+    * unordered source pair per agree-pair (LEAST/GREATEST), pair
+    * count + distinct involved docs via the union-all explode. */
+  val dedupCrossSource: String = s"""$minhashAgreeChain,
+xp AS (
+  SELECT LEAST(da.source, db.source) AS source_a,
+         GREATEST(da.source, db.source) AS source_b,
+         ag.a_id, ag.b_id
+  FROM agree ag
+  JOIN documents da ON da.doc_id = ag.a_id
+  JOIN documents db ON db.doc_id = ag.b_id
+  WHERE CAST(ag.n_agree AS DOUBLE) / 32 >= 0.5),
+xnp AS (
+  SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM xp GROUP BY source_a, source_b),
+xnd AS (
+  SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_docs_involved
+  FROM (SELECT DISTINCT source_a, source_b, d FROM (
+          SELECT source_a, source_b, a_id AS d FROM xp
+          UNION ALL SELECT source_a, source_b, b_id AS d FROM xp) u) v
+  GROUP BY source_a, source_b)
+SELECT xnp.source_a, xnp.source_b, xnp.n_pairs, xnd.n_docs_involved
+FROM xnp JOIN xnd USING (source_a, source_b)
+${ord("source_a", "source_b")}""".trim
+
   /** minhashAgreeChain + est ≥ 0.5 pairs + recursive component closure
     * + per-doc split key `k` = COALESCE(cluster_id, doc_id) in CTE
     * `keyed` — the MinHash analog of the exact-tier keyed chain. The

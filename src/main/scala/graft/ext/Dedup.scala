@@ -811,6 +811,86 @@ object Dedup {
           .as("span_dup"))
   }
 
+  /** Fuzzy (MinHash-tier) decontamination — drop every corpus document
+    * whose estimated Jaccard against ANY benchmark document reaches
+    * `minEst`, including verbatim copies (a benchmark doc present in
+    * the corpus matches itself at est 1.0 and is removed). The
+    * paraphrase-robust complement to the exact-shingle `contamination`
+    * check: light rewording drops exact 8-gram overlap to ~0 while
+    * resemblance stays high — this is the tier that catches it.
+    *
+    * Scale shape: benchmark signatures/bands are eval-suite-sized by
+    * contract, so the band-bucket candidate join BROADCASTS the
+    * benchmark side — the corpus never shuffles for candidate
+    * generation (vs the corpus self-join dedup pays). The signature
+    * verify join touches only the candidate sliver; survivors are one
+    * anti-join. Same affine signature family as the portable pair
+    * tier, so the oracle reuses the self-join chain's agree table. */
+  def decontaminateFuzzy(corpus: DataFrame, benchmark: DataFrame,
+      bands: Int = 8, rows: Int = 4, minEst: Double = 0.5,
+      w: Int = 3): DataFrame = {
+    val k = bands * rows
+    def sigsOf(df: DataFrame): DataFrame = shingled(df, w)
+      .select(col("doc_id"),
+        transform(col("sh"), s => graft.functions.PolyHash64.polyhash64(s)).as("hs"))
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.minhashSig(col("hs"), k).as("sig"))
+    def bandedOf(sigs: DataFrame): DataFrame = sigs.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0L), lit(bands - 1L)), bi =>
+        aggregate(slice(col("sig"), (bi * rows + 1).cast("int"), lit(rows)),
+          bi, (acc, v) => acc * 1000003L + v))).as(Seq("band", "bucket")))
+    val corpusSigs = sigsOf(corpus).persist()
+    val benchSigs = sigsOf(benchmark)
+    val cands = bandedOf(corpusSigs).toDF("doc_id", "band", "bucket")
+      .join(broadcast(bandedOf(benchSigs).toDF("bench_id", "band", "bucket")),
+        Seq("band", "bucket"))
+      .select("doc_id", "bench_id").distinct()
+    val contaminated = cands
+      .join(corpusSigs.toDF("doc_id", "sig"), "doc_id")
+      .join(broadcast(benchSigs.toDF("bench_id", "bench_sig")), "bench_id")
+      .where(aggregate(zip_with(col("sig"), col("bench_sig"),
+          (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(k) >= minEst)
+      .select(col("doc_id")).distinct()
+    val out = corpus.join(contaminated, Seq("doc_id"), "left_anti")
+    corpusSigs.unpersist(blocking = false)
+    out
+  }
+
+  /** Cross-source duplication matrix — `dedupScorecard`'s pairwise
+    * refinement: for every unordered source pair, how many near-dup
+    * pairs straddle it (and how many distinct docs are involved).
+    * The mirror-detection dashboard: a hot (A, B) off-diagonal cell
+    * means B is re-hosting A's content and one of them should be
+    * down-weighted BEFORE the tokens are spent; a hot diagonal cell
+    * is a source re-crawling itself. Any pair tier plugs in; the gate
+    * entry feeds MinHash pairs like every consumer.
+    *
+    * Scale shape: both lookups join the broadcast-size pair sliver
+    * against the narrow (doc_id, source) projection; the rollup is a
+    * map-side-combinable groupBy on |sources|² keys. */
+  def dedupCrossSource(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val lk = docs.select(col("doc_id"), col("source"))
+    val norm = pairs.select(col("a_id"), col("b_id"))
+      .join(lk.toDF("a_id", "source_a"), "a_id")
+      .join(lk.toDF("b_id", "source_b"), "b_id")
+      .select(least(col("source_a"), col("source_b")).as("source_a"),
+        greatest(col("source_a"), col("source_b")).as("source_b"),
+        col("a_id"), col("b_id"))
+    val nPairs = norm.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    // involved docs via explode + distinct, NOT a per-group collected
+    // list — a hot mirror cell holds millions of pairs at scale and a
+    // single-group array would concentrate them on one task
+    val nDocs = norm
+      .select(col("source_a"), col("source_b"),
+        explode(array(col("a_id"), col("b_id"))).as("d"))
+      .distinct()
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_docs_involved"))
+    nPairs.join(nDocs, Seq("source_a", "source_b"))
+  }
+
   /** Bloom-filtered decontamination — same result as `contamination`,
     * different 100 TB cost model. `contamination` broadcasts the full
     * distinct benchmark shingle set as a join hash relation; fine for

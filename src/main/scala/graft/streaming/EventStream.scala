@@ -88,6 +88,72 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming distinct-user cardinality per (hour, event_type) via
+    * the native `kmv_sketch` aggregate — unique-visitor counting whose
+    * streaming cost is k longs per (window, group, micro-batch), where
+    * the exact alternative (`dropDuplicates` on (window, user) feeding
+    * a count) holds one state row per distinct user — the unbounded-key
+    * hazard `stream_dedup_unbounded` measures.
+    *
+    * Shape: stateless per-batch partials + merge-on-read, the same
+    * split `runUpsert` uses. Each micro-batch APPENDS its own KMV
+    * minima per (window, event_type); `kmvUsersCompact` re-aggregates
+    * minima-of-minima at read time — exactly the associative merge the
+    * sketch is DEFINED by (the global k minima are always inside the
+    * union of per-batch k minima), so the compacted result is
+    * bit-equal to a single-pass sketch over the whole stream.
+    *
+    * Why not a stateful streaming aggregation: Spark 4.1's streaming
+    * aggregation state path silently persists ZERO state rows when the
+    * aggregate list contains any object-buffer (TypedImperative)
+    * aggregate — reproduced with Spark's own `percentile_approx` in
+    * the same watermarked-window shape (state_rows 0, empty output, no
+    * error). Until that engine gap closes, sketch aggregates stream
+    * via mergeable partials — which is also how production sketch
+    * systems compose them.
+    *
+    * user_id mixes through the Fibonacci multiply (wraps ≡ mod 2⁶⁴,
+    * bijective — distinct hashes IS distinct users). */
+  def kmvUsersPartials(events: DataFrame, k: Int = 64,
+      windowLen: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(graft.functions.KmvSketch.kmvSketch(
+        col("user_id") * lit(-7046029254386353131L), k).as("mins"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("mins"))
+
+  /** Read-side compaction: minima-of-minima → final per-window report
+    * (n_kept, kth_hash, estimate) — the `Sketches.kmvCardinality`
+    * output contract per (window, event_type). */
+  def kmvUsersCompact(partials: DataFrame, k: Int = 64): DataFrame =
+    partials
+      .select(col("window_start"), col("event_type"),
+        explode(col("mins")).as("h"))
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(graft.functions.KmvSketch.kmvSketch(col("h"), k).as("mins"))
+      .select(col("window_start"), col("event_type"),
+        size(col("mins")).cast("long").as("n_kept"),
+        element_at(col("mins"), size(col("mins"))).as("kth_hash"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(
+            (lit((k - 1).toDouble) * lit(18446744073709551616.0)) /
+              graft.functions.UnsignedToDouble.unsignedToDouble(col("kth_hash"))))
+
+  def runKmvUsers(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    // default-format landing (see runWindowed); one file per trigger so
+    // a multi-file landing provably exercises the cross-batch merge
+    source(spark, inDir, Map("maxFilesPerTrigger" -> "1"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        kmvUsersPartials(batch).write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming upsert-view maintenance (merge-on-read CDC pattern):
     * each micro-batch compacts to latest-per-key via
     * `Changelog.latestByKey` and APPENDS that delta; readers compact

@@ -1689,6 +1689,40 @@ class ExtSpec extends SparkSpec {
       "kmv_sketch must partial-aggregate before the exchange")
   }
 
+  test("decontaminateFuzzy drops resemblance matches the exact tier misses") {
+    val bench = "the capital of france is paris and the seine flows through it gently"
+    val para = "the capital of france is paris and the seine flows through it softly"
+    val d = Seq(
+      (1L, para),                       // near-dup of the benchmark doc
+      (2L, "completely unrelated text about spark partitions and shuffle exchanges here"),
+      (3L, bench)                       // verbatim benchmark copy
+    ).toDF("doc_id", "text")
+    val b = Seq((100L, bench)).toDF("doc_id", "text")
+    val kept = Dedup.decontaminateFuzzy(d, b).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L), s"got $kept")
+    // the benchmark side broadcasts; candidate generation never
+    // shuffles the corpus against itself
+    val plan = Dedup.decontaminateFuzzy(d, b).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("dedupCrossSource: mirror cell and self-crawl cell both surface") {
+    val t = "the quick brown fox jumps over the lazy dog near the river bank"
+    val d = Seq(
+      (0L, t, "srcA"), (1L, t + " x", "srcA"),   // self-crawl inside srcA
+      (2L, t, "srcB"),                            // srcB mirrors srcA
+      (3L, "entirely different content with no shingle overlap at all here", "srcC")
+    ).toDF("doc_id", "text", "source")
+    val pairs = Dedup.ngramJaccardPairs(d, minJaccard = 0.5)
+    val m = Dedup.dedupCrossSource(d, pairs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs_involved"))).toMap
+    assert(m(("srcA", "srcA")) == (1L, 2L))   // (0,1)
+    assert(m(("srcA", "srcB")) == (2L, 3L))   // (0,2), (1,2) over docs {0,1,2}
+    assert(!m.keySet.exists(k => k._1 == "srcC" || k._2 == "srcC"))
+  }
+
   test("kmv_sketch / unsigned_to_double reach the SQL surface") {
     graft.functions.GraftFunctions.register(spark)
     Seq((1L, 5L), (1L, 3L), (1L, 5L), (1L, -1L)).toDF("g", "h")

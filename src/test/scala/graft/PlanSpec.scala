@@ -386,6 +386,33 @@ class PlanSpec extends SparkSpec {
       s"verify tier must join candidates by id, never cross:\n$p")
   }
 
+  test("dedupKeepBest: quality rank runs over the cluster sliver, no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pairs = graft.ext.Dedup.minhashLshPairsPortable(docs)
+    val p = plan(graft.ext.Dedup.dedupKeepBest(docs, pairs))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // the argmax window partitions by cluster_id (the dup sliver key),
+    // never an empty partition list (a global single-reducer sort)
+    assert(p.contains("row_number") && p.contains("cluster_id"),
+      s"per-cluster rank expected:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"no single-reducer stage:\n$p")
+  }
+
+  test("negativeSamples: range-exchange positions, no global window, no cartesian") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ext.Sampling.negativeSamples(docs))
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // positions come from stableRowIds' cached range-exchange table
+    // (the range partitioning happened at cache materialization; this
+    // plan must read that cache, not re-rank through a global window)
+    assert(p.contains("InMemoryTableScan") || p.toLowerCase.contains("rangepartitioning"),
+      s"positions must come from the stableRowIds table:\n$p")
+    // no window rank anywhere (the N scalar's 1-row count agg is the
+    // one legitimate SinglePartition: partial-combined, 1 row/task)
+    assert(!p.contains("Window"), s"no window rank:\n$p")
+  }
+
   test("knnGraph: one corpus exchange (the cell self-join), window group-limited") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = plan(graft.ext.Similarity.knnGraph(emb))

@@ -133,4 +133,32 @@ class StreamingSpec extends SparkSpec {
     // same dedup result as the unbounded reference mode on this data
     assert(streamed.count() == batch.count())
   }
+
+  test("kmv partials: multi-batch stream merge == one-pass batch sketch") {
+    import org.apache.spark.sql.functions._
+    val base = tmp("st_kmv")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    ev.repartition(3).write.mode("overwrite").json(s"$base/in")
+    graft.streaming.EventStream.runKmvUsers(
+      spark, s"$base/in", s"$base/out", s"$base/ckpt").awaitTermination()
+    val partials = spark.read.parquet(s"$base/out")
+    // one file per trigger: the landing's 3 files → ≥2 batches of
+    // partials, so the compaction below genuinely merges across batches
+    assert(partials.select("window_start", "event_type").distinct().count() <
+      partials.count(), "expected overlapping per-batch partials")
+    val streamed = graft.streaming.EventStream.kmvUsersCompact(partials)
+    // one-pass batch sketch over the same events (micro-batching must
+    // not change a single minimum — the associative-merge contract)
+    val batch = graft.streaming.EventStream.kmvUsersCompact(
+      graft.streaming.EventStream.kmvUsersPartials(ev))
+    assert(streamed.count() == batch.count())
+    val diff = streamed.exceptAll(batch).count() + batch.exceptAll(streamed).count()
+    assert(diff == 0, s"stream/batch sketch mismatch: $diff rows differ")
+    // stateless contract: no state store in the checkpoint
+    val stateDir = new java.io.File(s"$base/ckpt/state")
+    assert(!stateDir.exists || stateDir.listFiles.isEmpty,
+      "partials streaming must keep no state")
+  }
 }
