@@ -1103,6 +1103,31 @@ object SparkEntry {
     "dedup_cross_source" -> prep((s, d) =>
       Dedup.dedupCrossSource(docs(s, d), Dedup.minhashLshPairsPortable(docs(s, d)))
         .orderBy("source_a", "source_b")),
+    // hybrid retrieval: reciprocal-rank fusion of the BM25 lexical arm
+    // and a brute-cosine vector arm (query q <-> probe vec q, the
+    // aligned-id fixture convention); rank-space fusion needs no score
+    // calibration between incomparable arms
+    "hybrid_rrf" -> prep((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val q = Seq((1L, "spark"), (1L, "merge"), (2L, "vector"),
+        (2L, "spark"), (3L, "merge"), (3L, "vector"))
+        .toDF("query_id", "term")
+      val wa = Window.partitionBy(col("query_id"))
+        .orderBy(col("q_bm25").desc, col("doc_id").asc)
+      val armA = TextAnalysis.bm25MultiTopK(docs(s, d), q, k = 5)
+        .withColumn("rank", row_number().over(wa).cast("long"))
+        .select("query_id", "doc_id", "rank")
+      val wb = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine_sim").desc, col("vec_id").asc)
+      val armB = Similarity.annTopK(emb(s, d),
+          emb(s, d).where(col("vec_id").isin(1L, 2L, 3L)),
+          k = 5, strategy = "brute")
+        .withColumn("rank", row_number().over(wb).cast("long"))
+        .select(col("probe_id").as("query_id"),
+          col("vec_id").as("doc_id"), col("rank"))
+      TextAnalysis.rrfFuse(armA, armB, k = 5).orderBy("query_id", "doc_id")
+    }),
     // streaming unique-visitor cardinality via the native KMV sketch:
     // stateless per-batch partial minima appended by foreachBatch,
     // merged minima-of-minima at read (the sketch's defining merge) —
@@ -1331,5 +1356,6 @@ object SparkEntry {
     "decontaminate_fuzzy" -> ExtOracle.decontaminateFuzzy,
     "dedup_cross_source" -> ExtOracle.dedupCrossSource,
     "stream_kmv_users" -> ExtOracle.streamKmvUsers,
+    "hybrid_rrf" -> ExtOracle.hybridRrf,
   )
 }

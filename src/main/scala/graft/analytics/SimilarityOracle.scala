@@ -7,7 +7,7 @@ package graft.analytics
   * Carved out of the former monolithic ExtOracle object (round 8);
   * mixed back into `ExtOracle`, whose name every gate entry keeps
   * using. Parity rules in the ExtOracle scaladoc. */
-trait SimilarityOracle extends CoreOracle {
+trait SimilarityOracle extends CoreOracle with TextOracle {
 
   private val quantized =
     "SELECT vec_id, list_transform(embedding, x -> round(CAST(x AS DOUBLE)*1000)) AS q FROM embeddings"
@@ -725,6 +725,45 @@ scored AS (
   FROM a, b WHERE a_id < b_id)
 SELECT a_id, b_id, cosine_sim FROM scored WHERE cosine_sim >= 0.4
 ${ord("a_id", "b_id")}""".trim
+
+  /** Twin of TextAnalysis.rrfFuse over the bm25Multiquery lexical arm
+    * (TextOracle's shared chain, rank rk ≤ 5) and a brute-cosine arm
+    * on probes vec_id 1..3 (query q ↔ probe q, the aligned-id fixture
+    * convention): full-outer rank join, 1/(60+rank) fused in arm
+    * order, per-query top-5 (score DESC, doc_id ASC). */
+  val hybridRrf: String = s"""$bm25MqChain,
+he AS ($quantized),
+hpr AS (SELECT vec_id AS probe_id, q AS pq FROM he WHERE vec_id IN (1, 2, 3)),
+hsc AS (
+  SELECT p.probe_id, e.vec_id,
+    list_dot_product(p.pq, e.q) /
+      (sqrt(list_dot_product(p.pq, p.pq)) * sqrt(list_dot_product(e.q, e.q)))
+      AS cosine_sim
+  FROM hpr p, he e WHERE p.probe_id <> e.vec_id),
+hrk AS (
+  SELECT probe_id, vec_id,
+    ROW_NUMBER() OVER (PARTITION BY probe_id
+      ORDER BY cosine_sim DESC, vec_id ASC) AS rk
+  FROM hsc),
+arm_a AS (SELECT query_id, doc_id, rk AS rank_a FROM topk WHERE rk <= 5),
+arm_b AS (
+  SELECT probe_id AS query_id, vec_id AS doc_id, rk AS rank_b
+  FROM hrk WHERE rk <= 5),
+fused AS (
+  SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+         COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         COALESCE(1.0 / (60 + a.rank_a), 0.0)
+           + COALESCE(1.0 / (60 + b.rank_b), 0.0) AS rrf_score,
+         a.rank_a AS rank_a, b.rank_b AS rank_b
+  FROM arm_a a FULL OUTER JOIN arm_b b
+    ON a.query_id = b.query_id AND a.doc_id = b.doc_id),
+ftop AS (
+  SELECT query_id, doc_id, rrf_score, rank_a, rank_b,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+      ORDER BY rrf_score DESC, doc_id ASC) AS fr
+  FROM fused)
+SELECT query_id, doc_id, rrf_score, rank_a, rank_b FROM ftop WHERE fr <= 5
+${ord("query_id", "doc_id")}""".trim
 
   /** Twin of Similarity.embeddingDimStats: per-dimension count / min /
     * max over the ·10³-quantized space, HUGEINT moment sums (the

@@ -851,7 +851,10 @@ ${ord("doc_id")}""".trim
     * vocabulary and fanned to queries by the term join; per-query
     * top-5 via a row_number window with (score DESC, doc_id ASC)
     * ties. query_id cast BIGINT to match the engine's LongType. */
-  val bm25Multiquery: String = s"""
+  /** Shared chain for the multi-query BM25 twins: everything through
+    * the per-query ranked CTE `topk` (rank rk by q_bm25 DESC, doc_id
+    * ASC). `bm25Multiquery` and the hybrid-fusion twin splice it. */
+  protected lazy val bm25MqChain: String = s"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
   FROM documents),
@@ -885,7 +888,9 @@ topk AS (
   SELECT query_id, doc_id, q_bm25, n_terms,
     ROW_NUMBER() OVER (PARTITION BY query_id
       ORDER BY q_bm25 DESC, doc_id ASC) AS rk
-  FROM perq)
+  FROM perq)""".trim
+
+  val bm25Multiquery: String = s"""$bm25MqChain
 SELECT query_id, doc_id, q_bm25, n_terms FROM topk WHERE rk <= 5
 ${ord("query_id", "doc_id")}""".trim
 

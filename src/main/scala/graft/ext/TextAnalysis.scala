@@ -1040,6 +1040,40 @@ object TextAnalysis {
       .select(col("query_id"), col("doc_id"), col("q_bm25"), col("n_terms"))
   }
 
+  /** Reciprocal-rank fusion — the standard hybrid-retrieval combiner
+    * (Cormack et al. 2009): given two per-query rankings
+    * (query_id, doc_id, rank), score every candidate
+    * Σ_arms 1/(c + rank) and keep the per-query top-k. This is how
+    * lexical (BM25) and vector (ANN) arms merge in production RAG
+    * serving — rank-space fusion needs no score calibration between
+    * arms, which is the whole point (BM25 integer scores and cosine
+    * floats are incomparable; ranks always are).
+    *
+    * Determinism & scale: both arms are top-k slivers (query-
+    * proportional, never corpus-proportional), the full-outer join
+    * runs on the sliver's (query_id, doc_id) key, the fused score is
+    * one fixed double expression (two correctly-rounded divisions
+    * added in arm order), and the final per-query top-k is a
+    * WindowGroupLimit-prunable rank window. */
+  def rrfFuse(armA: DataFrame, armB: DataFrame, k: Int = 5,
+      c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = armA.select(col("query_id"), col("doc_id"),
+      col("rank").as("rank_a"))
+    val b = armB.select(col("query_id"), col("doc_id"),
+      col("rank").as("rank_b"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    a.join(b, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0) / (lit(c) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("rank_b")), lit(0.0)))
+      .withColumn("__fr", row_number().over(w))
+      .where(col("__fr") <= k)
+      .select(col("query_id"), col("doc_id"), col("rrf_score"),
+        col("rank_a"), col("rank_b"))
+  }
+
   /** C4-style line-level cleaning — the rule set behind the C4 corpus,
     * applied line-by-line then page-level: keep lines that end in a
     * terminal punctuation mark, have at least `minLineWords` words,

@@ -166,6 +166,21 @@ object ScaleProbe {
             size(split(trim(col("text")), "\\s+")).cast("long")),
         "source", Map("src0" -> 6, "src1" -> 3, "src2" -> 1),
         budget = 300000L * n, tokensCol = "n_tokens").count())
+      // round-8 second batch: constant-state sketch cardinality (the
+      // shuffle should stay |sources|·k longs — near-flat wall per
+      // multiple up to the token-scan cost), quality-canonical dedup
+      // (cluster sliver + rank window — tracks the pair tier's cost),
+      // fuzzy decontamination (benchmark fixed ∝ 1/97 of one copy;
+      // corpus side scales — candidate join must stay broadcast-side),
+      // per-source lexical diversity (one vocab-keyed count exchange)
+      t("kmvCardinality", n)(Sketches.kmvCardinality(docs).count())
+      t("dedupKeepBest", n)(Dedup.dedupKeepBest(
+        docs, Dedup.minhashLshPairs(docs)).count())
+      t("decontaminateFuzzy", n)(Dedup.decontaminateFuzzy(
+        docs, docs.where(col("doc_id") % 97 === 0)).count())
+      t("lexicalDiversity", n)(TextAnalysis.lexicalDiversity(
+        docs.withColumn("source", concat(lit("src"),
+          pmod(col("doc_id"), lit(20)).cast("string")))).count())
     }
     spark.stop()
   }

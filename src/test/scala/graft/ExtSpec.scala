@@ -1723,6 +1723,17 @@ class ExtSpec extends SparkSpec {
     assert(!m.keySet.exists(k => k._1 == "srcC" || k._2 == "srcC"))
   }
 
+  test("rrfFuse: both-arm docs outrank single-arm, scores exact") {
+    val armA = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("query_id", "doc_id", "rank")
+    val armB = Seq((1L, 10L, 3L), (1L, 12L, 1L)).toDF("query_id", "doc_id", "rank")
+    val out = TextAnalysis.rrfFuse(armA, armB, k = 5).collect()
+      .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(out(10L) == 1.0 / 61 + 1.0 / 63) // both arms
+    assert(out(12L) == 1.0 / 61)            // vector-only
+    assert(out(11L) == 1.0 / 62)            // lexical-only
+    assert(out(10L) > out(12L) && out(12L) > out(11L))
+  }
+
   test("kmv_sketch / unsigned_to_double reach the SQL surface") {
     graft.functions.GraftFunctions.register(spark)
     Seq((1L, 5L), (1L, 3L), (1L, 5L), (1L, -1L)).toDF("g", "h")
