@@ -1103,6 +1103,19 @@ object SparkEntry {
     "dedup_cross_source" -> prep((s, d) =>
       Dedup.dedupCrossSource(docs(s, d), Dedup.minhashLshPairsPortable(docs(s, d)))
         .orderBy("source_a", "source_b")),
+    // per-language OOV rate vs the corpus' own top-1000 vocabulary
+    // (tokenizer-budget diagnostic needing only counts)
+    "oov_rate" -> prep((s, d) =>
+      TextAnalysis.oovRate(docs(s, d)).orderBy("lang")),
+    // per-source exact p50/p90/p99 token-length quantiles (truncation
+    // and packing planning; weighted-frequency percentile state)
+    "length_quantiles" -> prep((s, d) =>
+      TextAnalysis.lengthQuantiles(docs(s, d)).orderBy("source")),
+    // near-dup cluster size histogram (keep-one vs source-exclusion
+    // decision dashboard; MinHash pair feeder like every consumer)
+    "cluster_size_histogram" -> prep((s, d) =>
+      Dedup.clusterSizeHistogram(Dedup.minhashLshPairsPortable(docs(s, d)))
+        .orderBy("cluster_size")),
     // hybrid retrieval: reciprocal-rank fusion of the BM25 lexical arm
     // and a brute-cosine vector arm (query q <-> probe vec q, the
     // aligned-id fixture convention); rank-space fusion needs no score
@@ -1357,5 +1370,8 @@ object SparkEntry {
     "dedup_cross_source" -> ExtOracle.dedupCrossSource,
     "stream_kmv_users" -> ExtOracle.streamKmvUsers,
     "hybrid_rrf" -> ExtOracle.hybridRrf,
+    "oov_rate" -> ExtOracle.oovRate,
+    "length_quantiles" -> ExtOracle.lengthQuantiles,
+    "cluster_size_histogram" -> ExtOracle.clusterSizeHistogram,
   )
 }

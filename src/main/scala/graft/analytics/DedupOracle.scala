@@ -493,6 +493,17 @@ SELECT d.doc_id, d.lang, d.source FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM fz_cont)
 ${ord("doc_id")}""".trim
 
+  /** Twin of Dedup.clusterSizeHistogram over MinHash-keyed clusters:
+    * cluster sizes from mh_clusters, then the size histogram. */
+  val clusterSizeHistogram: String = s"""$minhashKeyedChain,
+csz AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM mh_clusters GROUP BY cluster_id)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+  cluster_size * CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM csz GROUP BY cluster_size
+${ord("cluster_size")}""".trim
+
   /** Twin of Dedup.dedupCrossSource over the MinHash pair tier:
     * unordered source pair per agree-pair (LEAST/GREATEST), pair
     * count + distinct involved docs via the union-all explode. */

@@ -1011,6 +1011,46 @@ SELECT n, n11, n10, n01, n00, po, pe,
        ELSE (po - pe) / (1.0 - pe) END AS kappa
 FROM r""".trim
 
+  /** Twin of TextAnalysis.oovRate(vocabSize=1000): corpus token
+    * counts, top-1000 cut (cnt DESC, tok ASC — the deterministic
+    * boundary tie-break), per-language OOV rollup via a left join
+    * against the cut. */
+  val oovRate: String = s"""
+WITH ot AS (
+  SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents),
+oc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM ot GROUP BY tok),
+topv AS (SELECT tok FROM oc ORDER BY cnt DESC, tok ASC LIMIT 1000),
+lc AS (
+  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ot GROUP BY lang, tok),
+oj AS (
+  SELECT lc.lang, lc.cnt, t.tok AS iv
+  FROM lc LEFT JOIN topv t ON t.tok = lc.tok)
+SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN iv IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_oov,
+  CAST(SUM(CASE WHEN iv IS NULL THEN cnt ELSE 0 END) AS DOUBLE) /
+    CAST(SUM(cnt) AS DOUBLE) AS oov_rate
+FROM oj GROUP BY lang
+${ord("lang")}""".trim
+
+  /** Twin of TextAnalysis.lengthQuantiles: per-source exact
+    * quantile_cont p50/p90/p99 of the whitespace token count (same
+    * linear interpolation as Spark's percentile — the pin_q6 rule;
+    * Spark's weighted-frequency form aggregates the identical
+    * multiset). */
+  val lengthQuantiles: String = s"""
+WITH lq AS (
+  SELECT source,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  quantile_cont(n_tokens, 0.5) AS p50_tokens,
+  quantile_cont(n_tokens, 0.9) AS p90_tokens,
+  quantile_cont(n_tokens, 0.99) AS p99_tokens
+FROM lq GROUP BY source
+${ord("source")}""".trim
+
   /** Twin of Sketches.kmvCardinality(k=16): per-source distinct
     * polyhash64 token hashes in unsigned 2⁶⁴ space (the power-sum
     * decomposition, see fingerprintDocs), the 16 minima via a rank

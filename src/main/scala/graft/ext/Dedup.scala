@@ -811,6 +811,22 @@ object Dedup {
           .as("span_dup"))
   }
 
+  /** Duplicate-cluster size histogram — the dedup dashboard's shape
+    * summary: how many near-dup clusters exist at each size. A healthy
+    * crawl shows a steep power law (mostly pairs); a fat tail of big
+    * clusters means template farms or a mirror network, and the
+    * histogram is what decides whether keep-one dedup suffices or the
+    * big clusters need source-level exclusion. Any pair tier plugs in.
+    *
+    * Scale shape: both rollups run on the dup SLIVER (cluster table ≪
+    * corpus); output is ≤ max-cluster-size rows. */
+  def clusterSizeHistogram(pairs: DataFrame): DataFrame =
+    dupClusters(pairs)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+
   /** Fuzzy (MinHash-tier) decontamination — drop every corpus document
     * whose estimated Jaccard against ANY benchmark document reaches
     * `minEst`, including verbatim copies (a benchmark doc present in

@@ -555,7 +555,13 @@ object Similarity {
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val e = edges.join(outdeg, "src")
       .select(col("src"), col("dst"), col("deg")).cache()
-    val nodes = outdeg.select(col("src").as("id")).cache()
+    // nodes derive FROM the cached edge table, so the whole kNN build
+    // runs ONCE per invocation: nodes.count() materializes e first and
+    // the distinct reads the cache (deriving nodes from `outdeg`
+    // directly re-executed the graph pipeline a second time — measured
+    // as a ~2× op cost once the round-8 unpersist removed the
+    // accidental cross-invocation cache reuse that had hidden it)
+    val nodes = e.select(col("src").as("id")).distinct().cache()
     val n = nodes.count()
     if (n == 0) {
       // empty graph (no vector shares a cell): nothing to rank

@@ -1074,6 +1074,61 @@ object TextAnalysis {
         col("rank_a"), col("rank_b"))
   }
 
+  /** Per-language out-of-vocabulary rate against the corpus' own
+    * top-`vocabSize` token vocabulary — the first tokenizer-budget
+    * diagnostic: a language whose OOV rate spikes is being served
+    * byte-fallback splinters by any vocabulary this corpus trains,
+    * before a single BPE merge is computed (companion to
+    * `tokenizerFertility`, which needs a trained tokenizer; this
+    * needs only counts).
+    *
+    * Scale shape: corpus token counts are one map-side-combinable
+    * groupBy; the top-V cut is sort+limit → TakeOrderedAndProject
+    * (map-side pruned, never a vocabulary-wide single-reducer window),
+    * broadcast at |V| rows; the per-language rollup joins (lang, tok)
+    * counts against that broadcast. Ties at the count boundary break
+    * (cnt DESC, tok ASC) — deterministic in both engines. */
+  def oovRate(docs: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    val toks = docs.select(col("lang"), explode(tokens(col("text"))).as("tok"))
+    val topV = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(vocabSize)
+      .select(col("tok"), lit(1L).as("__iv"))
+    toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(topV), Seq("tok"), "left")
+      .groupBy(col("lang"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(when(col("__iv").isNull, col("cnt")).otherwise(0L)).as("n_oov"))
+      .select(col("lang"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+  }
+
+  /** Per-source document-length quantiles (exact p50/p90/p99 of the
+    * whitespace token count) — the truncation/packing planning number:
+    * `packShards` budgets and context-window cutoffs are chosen off
+    * this table, and a source whose p99 runs away is a concatenated-
+    * dump detector.
+    *
+    * Scale shape: lengths collapse to (source, n_tokens, freq) COUNTS
+    * first — map-side combinable, bounded by distinct lengths, not
+    * corpus rows — and the exact percentile aggregates over the
+    * weighted counts (Spark's `percentile(col, p, frequency)`), so
+    * per-group aggregation state is |distinct lengths|, never the
+    * source's row count. Same linear interpolation as DuckDB's
+    * quantile_cont (the pin_q6 parity rule). */
+  def lengthQuantiles(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("source"), col("n_tokens"))
+      .agg(count(lit(1)).as("__f"))
+      .groupBy(col("source"))
+      .agg(expr("percentile(n_tokens, array(0.5, 0.9, 0.99), __f)").as("__q"),
+        sum(col("__f")).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        element_at(col("__q"), 1).as("p50_tokens"),
+        element_at(col("__q"), 2).as("p90_tokens"),
+        element_at(col("__q"), 3).as("p99_tokens"))
+
   /** C4-style line-level cleaning — the rule set behind the C4 corpus,
     * applied line-by-line then page-level: keep lines that end in a
     * terminal punctuation mark, have at least `minLineWords` words,

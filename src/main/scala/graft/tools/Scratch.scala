@@ -29,6 +29,7 @@ object Scratch {
       println(f"[scratch] $name%-28s ${best / 1e9}%7.2f s  rows=$n")
     }
 
+    t("knnPageRank5")(Similarity.knnPageRank(emb).count())
     // pretraining_corpus phase anatomy (matches Curation.pretrainingCorpus)
     t("semanticDupLosers")(Similarity.semanticDupLosers(emb).count())
     t("splitMinhash")(

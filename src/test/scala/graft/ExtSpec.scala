@@ -1723,6 +1723,53 @@ class ExtSpec extends SparkSpec {
     assert(!m.keySet.exists(k => k._1 == "srcC" || k._2 == "srcC"))
   }
 
+  test("oovRate: everything in-vocab at full V, rare tokens OOV at tiny V") {
+    val d = Seq(
+      (0L, "aa aa aa bb", "en"), (1L, "aa cc", "de")
+    ).toDF("doc_id", "text", "lang")
+    // vocabSize 1: only 'aa' (cnt 4) survives; bb and cc are OOV
+    val tiny = TextAnalysis.oovRate(d, vocabSize = 1).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(tiny("en").getAs[Long]("n_oov") == 1 &&
+      tiny("en").getAs[Double]("oov_rate") == 0.25)
+    assert(tiny("de").getAs[Long]("n_oov") == 1 &&
+      tiny("de").getAs[Double]("oov_rate") == 0.5)
+    // full vocabulary: zero OOV everywhere
+    val full = TextAnalysis.oovRate(d, vocabSize = 10).collect()
+    assert(full.forall(_.getAs[Long]("n_oov") == 0L))
+  }
+
+  test("lengthQuantiles: weighted-frequency percentile equals plain percentile") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = TextAnalysis.lengthQuantiles(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // recompute one source's p50/p99 over raw (unweighted) lengths
+    val plain = docs
+      .select(col("source"), size(split(trim(col("text")), "\\s+"))
+        .cast("long").as("n"))
+      .groupBy(col("source"))
+      .agg(expr("percentile(n, array(0.5, 0.99))").as("q"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    plain.foreach { case (src, q) =>
+      assert(got(src).getAs[Double]("p50_tokens") == q(0), s"$src p50")
+      assert(got(src).getAs[Double]("p99_tokens") == q(1), s"$src p99")
+    }
+  }
+
+  test("clusterSizeHistogram: crafted 3-cluster + pair corpus") {
+    val t1 = "the quick brown fox jumps over the lazy dog near the river bank"
+    val t2 = "an entirely different second text talking about spark catalyst plans today"
+    val d = Seq(
+      (0L, t1), (1L, t1), (2L, t1),      // triple
+      (3L, t2), (4L, t2),                 // pair
+      (5L, "unique text with no duplicate partner anywhere in this fixture corpus")
+    ).toDF("doc_id", "text")
+    val h = Dedup.clusterSizeHistogram(Dedup.ngramJaccardPairs(d, minJaccard = 0.5))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(h(3L) == (1L, 3L) && h(2L) == (1L, 2L))
+    assert(!h.contains(1L), "singletons never enter the pair graph")
+  }
+
   test("rrfFuse: both-arm docs outrank single-arm, scores exact") {
     val armA = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("query_id", "doc_id", "rank")
     val armB = Seq((1L, 10L, 3L), (1L, 12L, 1L)).toDF("query_id", "doc_id", "rank")
