@@ -1111,6 +1111,14 @@ object SparkEntry {
     // and packing planning; weighted-frequency percentile state)
     "length_quantiles" -> prep((s, d) =>
       TextAnalysis.lengthQuantiles(docs(s, d)).orderBy("source")),
+    // per-source unigram KL divergence vs the corpus distribution
+    // (domain-shift dashboard; quantized-log exact integer sums)
+    "source_kl" -> prep((s, d) =>
+      TextAnalysis.klDivergence(docs(s, d)).orderBy("source")),
+    // per-source Zipf slope over the top-500 tokens (corpus-health
+    // regression from quantized-log moment sums; natural text ~ -1)
+    "zipf_fit" -> prep((s, d) =>
+      TextAnalysis.zipfFit(docs(s, d)).orderBy("source")),
     // near-dup cluster size histogram (keep-one vs source-exclusion
     // decision dashboard; MinHash pair feeder like every consumer)
     "cluster_size_histogram" -> prep((s, d) =>
@@ -1140,6 +1148,26 @@ object SparkEntry {
         .select(col("probe_id").as("query_id"),
           col("vec_id").as("doc_id"), col("rank"))
       TextAnalysis.rrfFuse(armA, armB, k = 5).orderBy("query_id", "doc_id")
+    }),
+    // ranked-retrieval eval: recall@5 / MRR / binary nDCG@5 of the
+    // BM25 lexical run against the brute-cosine gold (query q <->
+    // probe vec q) — the metrics loop over the retrieval stack
+    "retrieval_metrics" -> prep((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val q = Seq((1L, "spark"), (1L, "merge"), (2L, "vector"),
+        (2L, "spark"), (3L, "merge"), (3L, "vector"))
+        .toDF("query_id", "term")
+      val wa = Window.partitionBy(col("query_id"))
+        .orderBy(col("q_bm25").desc, col("doc_id").asc)
+      val run = TextAnalysis.bm25MultiTopK(docs(s, d), q, k = 5)
+        .withColumn("rank", row_number().over(wa).cast("long"))
+        .select("query_id", "doc_id", "rank")
+      val gold = Similarity.annTopK(emb(s, d),
+          emb(s, d).where(col("vec_id").isin(1L, 2L, 3L)),
+          k = 5, strategy = "brute")
+        .select(col("probe_id").as("query_id"), col("vec_id").as("doc_id"))
+      TextAnalysis.retrievalMetrics(run, gold, k = 5).orderBy("query_id")
     }),
     // streaming unique-visitor cardinality via the native KMV sketch:
     // stateless per-batch partial minima appended by foreachBatch,
@@ -1370,7 +1398,10 @@ object SparkEntry {
     "dedup_cross_source" -> ExtOracle.dedupCrossSource,
     "stream_kmv_users" -> ExtOracle.streamKmvUsers,
     "hybrid_rrf" -> ExtOracle.hybridRrf,
+    "retrieval_metrics" -> ExtOracle.retrievalMetrics,
     "oov_rate" -> ExtOracle.oovRate,
+    "source_kl" -> ExtOracle.klDivergence,
+    "zipf_fit" -> ExtOracle.zipfFit,
     "length_quantiles" -> ExtOracle.lengthQuantiles,
     "cluster_size_histogram" -> ExtOracle.clusterSizeHistogram,
   )

@@ -765,6 +765,61 @@ ftop AS (
 SELECT query_id, doc_id, rrf_score, rank_a, rank_b FROM ftop WHERE fr <= 5
 ${ord("query_id", "doc_id")}""".trim
 
+  /** Twin of TextAnalysis.retrievalMetrics(k=5) over the bm25 multi-
+    * query run (TextOracle's shared chain) and the brute-cosine gold
+    * on probes 1..3: quantized `round(10⁶/(ln(r+1)/ln(2)))` gains,
+    * exact BIGINT DCG/IDCG sums, recall/MRR/nDCG as single double
+    * divisions. */
+  val retrievalMetrics: String = s"""$bm25MqChain,
+he AS ($quantized),
+hpr AS (SELECT vec_id AS probe_id, q AS pq FROM he WHERE vec_id IN (1, 2, 3)),
+hsc AS (
+  SELECT p.probe_id, e.vec_id,
+    list_dot_product(p.pq, e.q) /
+      (sqrt(list_dot_product(p.pq, p.pq)) * sqrt(list_dot_product(e.q, e.q)))
+      AS cosine_sim
+  FROM hpr p, he e WHERE p.probe_id <> e.vec_id),
+hrk AS (
+  SELECT probe_id, vec_id,
+    ROW_NUMBER() OVER (PARTITION BY probe_id
+      ORDER BY cosine_sim DESC, vec_id ASC) AS rk
+  FROM hsc),
+rrun AS (SELECT query_id, doc_id, rk AS rank FROM topk WHERE rk <= 5),
+rgold AS (
+  SELECT probe_id AS query_id, vec_id AS doc_id FROM hrk WHERE rk <= 5),
+rgcnt AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_gold
+  FROM rgold GROUP BY query_id),
+rgw AS (
+  SELECT query_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY doc_id ASC) AS i
+  FROM rgold),
+ridcg AS (
+  SELECT query_id,
+    CAST(SUM(CAST(round(1000000.0
+      / (ln(CAST(i AS DOUBLE) + 1.0) / ln(2.0))) AS BIGINT)) AS BIGINT)
+      AS q_idcg
+  FROM rgw WHERE i <= 5 GROUP BY query_id),
+rhits AS (
+  SELECT r.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+    CAST(MIN(r.rank) AS BIGINT) AS first_hit,
+    CAST(SUM(CAST(round(1000000.0
+      / (ln(CAST(r.rank AS DOUBLE) + 1.0) / ln(2.0))) AS BIGINT)) AS BIGINT)
+      AS q_dcg
+  FROM rrun r JOIN rgold g ON r.query_id = g.query_id AND r.doc_id = g.doc_id
+  GROUP BY r.query_id)
+SELECT c.query_id, c.n_gold,
+  COALESCE(h.n_hits, 0) AS n_hits,
+  CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(c.n_gold AS DOUBLE)
+    AS recall_at_k,
+  CASE WHEN h.first_hit IS NULL THEN 0.0
+       ELSE 1.0 / CAST(h.first_hit AS DOUBLE) END AS mrr,
+  COALESCE(h.q_dcg, 0) AS q_dcg, d.q_idcg,
+  CAST(COALESCE(h.q_dcg, 0) AS DOUBLE) / CAST(d.q_idcg AS DOUBLE) AS ndcg
+FROM rgcnt c JOIN ridcg d USING (query_id)
+LEFT JOIN rhits h ON h.query_id = c.query_id
+${ord("query_id")}""".trim
+
   /** Twin of Similarity.embeddingDimStats: per-dimension count / min /
     * max over the ·10³-quantized space, HUGEINT moment sums (the
     * decimal(38) twin), mean/variance as the identical double

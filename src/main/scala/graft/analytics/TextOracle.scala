@@ -1097,4 +1097,68 @@ SELECT source, LEAST(nd, 16) AS n_kept,
 FROM ksel
 ${ord("source")}""".trim
   }
+
+  /** Twin of TextAnalysis.klDivergence: (source, tok) counts, corpus
+    * counts rolled up FROM them, both log-probs quantized
+    * round(ln·10⁶) as BIGINT before the HUGEINT-weighted sum (the
+    * decimal(38) twin), one double division per source. */
+  val klDivergence: String = s"""
+WITH t AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents),
+sc AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM t GROUP BY source, tok),
+cc AS (SELECT tok, CAST(SUM(cnt) AS BIGINT) AS ctf FROM sc GROUP BY tok),
+stot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS s_total
+  FROM sc GROUP BY source),
+ctot AS (SELECT CAST(SUM(ctf) AS BIGINT) AS c_total FROM cc),
+dqs AS (
+  SELECT sc.source, sc.cnt, stot.s_total,
+    CAST(round(ln(CAST(sc.cnt AS DOUBLE) / CAST(stot.s_total AS DOUBLE))
+      * 1000000) AS BIGINT)
+    - CAST(round(ln(CAST(cc.ctf AS DOUBLE) / CAST(ctot.c_total AS DOUBLE))
+      * 1000000) AS BIGINT) AS dq
+  FROM sc JOIN stot USING (source) JOIN cc USING (tok), ctot)
+SELECT source, MIN(s_total) AS n_tokens,
+  CAST(SUM(CAST(cnt AS HUGEINT) * CAST(dq AS HUGEINT)) AS DOUBLE)
+    / CAST(MIN(s_total) AS DOUBLE) / 1000000 AS kl_divergence
+FROM dqs GROUP BY source
+${ord("source")}""".trim
+
+  /** Twin of TextAnalysis.zipfFit(topV=500): per-source counts, rank
+    * window (cnt DESC, tok ASC), x/y = round(ln·10⁶) longs, HUGEINT
+    * moment sums, slope/intercept as the identical double
+    * expressions. */
+  val zipfFit: String = s"""
+WITH t AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents),
+c AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM t GROUP BY source, tok),
+r AS (
+  SELECT source, cnt,
+    ROW_NUMBER() OVER (PARTITION BY source
+      ORDER BY cnt DESC, tok ASC) AS rank
+  FROM c),
+xy AS (
+  SELECT source,
+    CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+    CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000) AS BIGINT) AS y
+  FROM r WHERE rank <= 500),
+m AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+    SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+  FROM xy GROUP BY source)
+SELECT source, n_terms,
+  CAST(n_terms * sxy - sx * sy AS DOUBLE)
+    / CAST(n_terms * sxx - sx * sx AS DOUBLE) AS slope,
+  (CAST(sy AS DOUBLE)
+    - CAST(n_terms * sxy - sx * sy AS DOUBLE)
+      / CAST(n_terms * sxx - sx * sx AS DOUBLE)
+      * CAST(sx AS DOUBLE))
+    / CAST(n_terms AS DOUBLE) / 1000000 AS intercept
+FROM m
+${ord("source")}""".trim
 }

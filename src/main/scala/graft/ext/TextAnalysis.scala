@@ -1074,6 +1074,61 @@ object TextAnalysis {
         col("rank_a"), col("rank_b"))
   }
 
+  /** Ranked-retrieval evaluation — recall@k, MRR, and binary-gain
+    * nDCG@k of a ranked `run` (query_id, doc_id, rank) against a
+    * relevance set `gold` (query_id, doc_id): the metrics loop that
+    * closes the retrieval stack (BM25 / ANN / RRF arms produce runs;
+    * this scores them — e.g. "does the lexical arm find what embedding
+    * search finds", or run-vs-editorial-qrels in a search-quality
+    * pipeline).
+    *
+    *   recall@k = |run_k ∩ gold| / |gold|
+    *   MRR      = 1 / rank of the first relevant hit (0 if none)
+    *   nDCG@k   = Σ_hits 1/log₂(rank+1)  /  Σ_{i≤min(k,|gold|)} 1/log₂(i+1)
+    *
+    * Determinism: per-position gains are quantized to integers
+    * (`round(10⁶/(ln(r+1)/ln 2))` as long — the ln-ratio spelling, so
+    * both engines evaluate the identical expression rather than a
+    * library log2), DCG/IDCG are exact int64 sums, and
+    * recall/MRR/nDCG are single double divisions of exact integers.
+    *
+    * Scale shape: both inputs are query-proportional top-k slivers
+    * (never corpus-proportional — the run is already cut at k, gold
+    * at the qrel set); the hit join runs on the (query_id, doc_id)
+    * sliver key, IDCG ranks gold inside a per-query window
+    * (WindowGroupLimit-prunable at i ≤ k), and the output is
+    * |queries| rows. */
+  def retrievalMetrics(run: DataFrame, gold: DataFrame,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def gain(r: Column): Column =
+      round(lit(1000000.0) / (log(r.cast("double") + 1.0) / log(lit(2.0))))
+        .cast("long")
+    val rk = run.select(col("query_id"), col("doc_id"),
+      col("rank").cast("long").as("rank")).where(col("rank") <= k)
+    val g = gold.select(col("query_id"), col("doc_id")).distinct()
+    val gw = Window.partitionBy(col("query_id")).orderBy(col("doc_id").asc)
+    val gcnt = g.groupBy(col("query_id")).agg(count(lit(1)).as("n_gold"))
+    val idcg = g.withColumn("i", row_number().over(gw).cast("long"))
+      .where(col("i") <= k)
+      .groupBy(col("query_id")).agg(sum(gain(col("i"))).as("q_idcg"))
+    val hits = rk.join(g, Seq("query_id", "doc_id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("rank")).as("first_hit"),
+        sum(gain(col("rank"))).as("q_dcg"))
+    gcnt.join(idcg, "query_id")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_gold"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_gold").cast("double")).as("recall_at_k"),
+        when(col("first_hit").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("first_hit").cast("double")).as("mrr"),
+        coalesce(col("q_dcg"), lit(0L)).as("q_dcg"), col("q_idcg"),
+        (coalesce(col("q_dcg"), lit(0L)).cast("double")
+          / col("q_idcg").cast("double")).as("ndcg"))
+  }
+
   /** Per-language out-of-vocabulary rate against the corpus' own
     * top-`vocabSize` token vocabulary — the first tokenizer-budget
     * diagnostic: a language whose OOV rate spikes is being served
@@ -1431,5 +1486,105 @@ object TextAnalysis {
         (col("s").cast("double") / col("n_feats").cast("double"))
           .as("margin"))
       .withColumn("keep", col("margin") >= threshold)
+  }
+
+  /** Per-source unigram KL divergence against the whole-corpus token
+    * distribution — the domain-shift dashboard: KL(source ‖ corpus)
+    * near 0 means the source speaks the corpus' language; a spike
+    * flags a source whose token distribution the mixture under-serves
+    * (log dumps, code in a prose corpus, another language) BEFORE it
+    * skews a trained tokenizer or LM. The directed form is the right
+    * one here: it weights by the SOURCE's own distribution, so a small
+    * exotic source still scores high.
+    *
+    *   KL(s‖c) = Σ_tok p_s(tok) · [ln p_s(tok) − ln p_c(tok)]
+    *
+    * Determinism: both log-probs are quantized to integers
+    * (`round(ln(cnt/total)·10⁶)` as long — the lmQuality contract)
+    * before the weighted sum, so the aggregate is exact integer
+    * arithmetic (decimal(38) sums: cnt·Δq products overflow int64 at
+    * corpus scale) and the final division is one double op per source.
+    * p_c is smoothed only by construction (every source token IS a
+    * corpus token — p_c(tok) > 0 whenever p_s(tok) > 0), so no
+    * smoothing constant enters.
+    *
+    * Scale shape: one (source, tok) count groupBy (map-side
+    * combinable, token-keyed shuffle); corpus counts derive FROM it by
+    * a second rollup on the token key (no second corpus read); source
+    * totals are a |sources|-row broadcast; the scored join shuffles
+    * the counts table against the corpus-frequency table on the token
+    * key. Everything is counts-proportional — the Zipf factor shrinks
+    * it exactly as lmQuality's round-7 rework. */
+  def klDivergence(docs: DataFrame): DataFrame = {
+    val sc = docs.select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val cc = sc.groupBy(col("tok")).agg(sum(col("cnt")).as("ctf"))
+    val stot = sc.groupBy(col("source")).agg(sum(col("cnt")).as("s_total"))
+    val ctot = cc.agg(sum(col("ctf")).as("c_total"))
+    sc.join(broadcast(stot), "source")
+      .join(cc, "tok")
+      .crossJoin(broadcast(ctot))
+      .select(col("source"), col("cnt"), col("s_total"),
+        (round(log(col("cnt").cast("double") / col("s_total").cast("double"))
+          * 1000000).cast("long")
+          - round(log(col("ctf").cast("double") / col("c_total").cast("double"))
+            * 1000000).cast("long")).as("dq"))
+      .groupBy(col("source"))
+      .agg(first(col("s_total")).as("n_tokens"),
+        sum((col("cnt") * col("dq")).cast("decimal(38,0)")).as("sum_q"))
+      .select(col("source"), col("n_tokens"),
+        (col("sum_q").cast("double") / col("n_tokens").cast("double")
+          / 1000000).as("kl_divergence"))
+  }
+
+  /** Per-source Zipf fit — least-squares slope of ln(freq) on ln(rank)
+    * over the source's top-`topV` tokens: natural language sits near
+    * slope −1 (Zipf's law); a template farm or log dump flattens
+    * (near-uniform head) or cliffs (few distinct tokens) the curve.
+    * With `lexicalDiversity` this is the second corpus-health number
+    * that needs only counts. Returns (source, n_terms, slope,
+    * intercept) with ln-space intercept.
+    *
+    * Determinism: x = round(ln(rank)·10⁶), y = round(ln(cnt)·10⁶) as
+    * longs; the regression moment sums (Σx, Σy, Σxy, Σx²) accumulate
+    * in decimal(38) (xy products reach ~10¹⁵ · topV — int64-unsafe at
+    * large V), and slope/intercept are fixed double expressions from
+    * the exact sums.
+    *
+    * Scale shape: per-source counts are one map-side-combinable
+    * groupBy; the per-source top-V rank window is WindowGroupLimit-
+    * pruned map-side (rank ≤ topV filters before the reducer — never
+    * a per-source full sort), the moment rollup is |sources·topV|
+    * rows, and the output is |sources| rows. */
+  def zipfFit(docs: DataFrame, topV: Int = 500): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+    val ranked = docs
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topV)
+      .select(col("source"),
+        round(log(col("rank").cast("double")) * 1000000)
+          .cast("long").as("x"),
+        round(log(col("cnt").cast("double")) * 1000000)
+          .cast("long").as("y"))
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
+        sum(d38(col("x") * col("y"))).as("sxy"),
+        sum(d38(col("x") * col("x"))).as("sxx"))
+      .select(col("source"), col("n_terms"),
+        ((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n_terms") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")).as("slope"),
+        ((col("sy").cast("double")
+          - (col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n_terms") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")
+            * col("sx").cast("double"))
+          / col("n_terms").cast("double") / 1000000).as("intercept"))
   }
 }

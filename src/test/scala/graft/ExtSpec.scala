@@ -1793,4 +1793,62 @@ class ExtSpec extends SparkSpec {
     val d = spark.sql("SELECT unsigned_to_double(-1L)").head.getDouble(0)
     assert(d == 1.8446744073709552e19) // 2^64-1 correctly rounded
   }
+
+  test("klDivergence: zero on a single-source corpus, hand-check on two") {
+    // one source == the corpus distribution -> quantized logs identical,
+    // KL exactly 0.0 (integer arithmetic, no float tolerance needed)
+    val solo = Seq((0L, "a a b", "s1"), (1L, "b c", "s1"))
+      .toDF("doc_id", "text", "source")
+    assert(TextAnalysis.klDivergence(solo).head.getAs[Double]("kl_divergence")
+      == 0.0)
+    val d = Seq(
+      (0L, "a a b", "s1"),    // a:2 b:1 of 3
+      (1L, "a b b b", "s2")   // a:1 b:3 of 4; corpus a:3 b:4 of 7
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.klDivergence(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def q(x: Double): Long = BigDecimal(math.log(x) * 1000000)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val expS1 = (2L * (q(2.0 / 3) - q(3.0 / 7))
+      + 1L * (q(1.0 / 3) - q(4.0 / 7))).toDouble / 3 / 1000000
+    assert(out("s1").getAs[Long]("n_tokens") == 3L)
+    assert(out("s1").getAs[Double]("kl_divergence") == expS1)
+    assert(out.values.forall(_.getAs[Double]("kl_divergence") > 0.0))
+  }
+
+  test("retrievalMetrics: hand-computed recall/MRR/nDCG, zero-hit query") {
+    val run = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 20L, 1L)).toDF("query_id", "doc_id", "rank")
+    val gold = Seq((1L, 11L), (1L, 99L), (2L, 30L))
+      .toDF("query_id", "doc_id")
+    val out = TextAnalysis.retrievalMetrics(run, gold, k = 3).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def gain(r: Long): Long =
+      math.round(1000000.0 / (math.log(r + 1.0) / math.log(2.0)))
+    val q1 = out(1L)
+    assert(q1.getAs[Long]("n_gold") == 2 && q1.getAs[Long]("n_hits") == 1)
+    assert(q1.getAs[Double]("recall_at_k") == 0.5)
+    assert(q1.getAs[Double]("mrr") == 0.5) // first hit at rank 2
+    assert(q1.getAs[Long]("q_dcg") == gain(2))
+    assert(q1.getAs[Long]("q_idcg") == gain(1) + gain(2))
+    assert(q1.getAs[Double]("ndcg")
+      == gain(2).toDouble / (gain(1) + gain(2)))
+    val q2 = out(2L)
+    assert(q2.getAs[Long]("n_hits") == 0 && q2.getAs[Double]("mrr") == 0.0 &&
+      q2.getAs[Double]("ndcg") == 0.0)
+  }
+
+  test("zipfFit: slope -1 and intercept ln(C) on an exact C/rank corpus") {
+    // frequencies 12/rank for ranks 1..4: ln(freq) = ln(12) - ln(rank)
+    val text = ("a " * 12 + "b " * 6 + "c " * 4 + "d " * 3).trim
+    val d = Seq((0L, text, "zipf")).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.zipfFit(d).head
+    assert(r.getAs[Long]("n_terms") == 4L)
+    assert(math.abs(r.getAs[Double]("slope") + 1.0) < 1e-4)
+    assert(math.abs(r.getAs[Double]("intercept") - math.log(12.0)) < 1e-4)
+    // flat (near-uniform) source reads shallower than Zipf
+    val flat = Seq((1L, "p p q q r r s s", "flat")).toDF("doc_id", "text", "source")
+    assert(math.abs(TextAnalysis.zipfFit(flat).head.getAs[Double]("slope"))
+      < 0.1)
+  }
 }
