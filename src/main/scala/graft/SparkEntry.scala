@@ -1111,6 +1111,20 @@ object SparkEntry {
     // and packing planning; weighted-frequency percentile state)
     "length_quantiles" -> prep((s, d) =>
       TextAnalysis.lengthQuantiles(docs(s, d)).orderBy("source")),
+    // c-TF-IDF cluster labeling: top-5 distinctive terms per kmeans
+    // embedding cluster (docs joined by the aligned-id convention)
+    "cluster_top_terms" -> prep((s, d) =>
+      TextAnalysis.clusterTopTerms(docs(s, d),
+        Similarity.kmeansAssign(emb(s, d), k = 8, iters = 2))
+        .orderBy("cluster", "tok")),
+    // temperature-scaled mixture weights (tokens^0.7): the
+    // upsample-small-sources rule, weights quantized for budgetMix
+    "temperature_weights" -> prep((s, d) =>
+      Sampling.temperatureWeights(docs(s, d)).orderBy("source")),
+    // MOSS winnowing: partial-overlap candidates from shared
+    // window-minimum fingerprints (shift-robust, density 2/(w+1))
+    "winnow_candidates" -> prep((s, d) =>
+      Dedup.winnowCandidates(docs(s, d)).orderBy("a_id", "b_id")),
     // per-source unigram KL divergence vs the corpus distribution
     // (domain-shift dashboard; quantized-log exact integer sums)
     "source_kl" -> prep((s, d) =>
@@ -1401,6 +1415,9 @@ object SparkEntry {
     "retrieval_metrics" -> ExtOracle.retrievalMetrics,
     "oov_rate" -> ExtOracle.oovRate,
     "source_kl" -> ExtOracle.klDivergence,
+    "winnow_candidates" -> ExtOracle.winnowCandidates,
+    "cluster_top_terms" -> ExtOracle.clusterTopTerms,
+    "temperature_weights" -> ExtOracle.temperatureWeights,
     "zipf_fit" -> ExtOracle.zipfFit,
     "length_quantiles" -> ExtOracle.lengthQuantiles,
     "cluster_size_histogram" -> ExtOracle.clusterSizeHistogram,

@@ -701,5 +701,47 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 ${ord("a_id", "b_id")}""".trim
   }
 
+  /** Twin of Dedup.winnowCandidates(w=3, window=4, minShared=2):
+    * POSITIONAL (non-distinct) 3-token shingles, polyhash64 via the
+    * power-sum decomposition, hashes re-signed BIGINT before the MIN
+    * (Spark mins signed longs), per-doc window minimum over
+    * [pos, pos+3] with full windows only (short docs keep pos 1 — the
+    * global min), distinct value set, fp self-join with pair counts
+    * ≥ 2. */
+  val winnowCandidates: String = {
+    val pow64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val half = "CAST('9223372036854775808' AS HUGEINT)"
+    s"""
+WITH RECURSIVE
+ws AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+shp AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(w)-2, 1)),
+  i -> array_to_string(list_slice(w, i, i+2), ' ')) AS sh FROM ws),
+pw(kk, p) AS (SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL SELECT kk+1, (p*1000003) % $pow64 FROM pw WHERE kk < 255),
+pl AS MATERIALIZED (SELECT list(p ORDER BY kk) AS ps FROM pw),
+srow AS (SELECT doc_id, len(sh) AS n_sh, generate_subscripts(sh, 1) AS pos,
+  unnest(sh) AS s FROM shp),
+hraw AS (
+  SELECT doc_id, n_sh, pos,
+    COALESCE(list_sum(list_transform(string_split_regex(s, ''),
+      (c, i) -> ord(c) * pl.ps[strlen(s) - i + 1])), 0) % $pow64 AS hu
+  FROM srow, pl),
+hsig AS (SELECT doc_id, n_sh, pos,
+  CAST(CASE WHEN hu >= $half THEN hu - $pow64 ELSE hu END AS BIGINT) AS h
+  FROM hraw),
+mw AS (SELECT doc_id, n_sh, pos,
+  MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM hsig),
+fps AS (SELECT DISTINCT doc_id, fp FROM mw
+  WHERE pos - 1 <= greatest(n_sh - 4, 0))
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+  CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 2
+${ord("a_id", "b_id")}""".trim
+  }
+
   // ---- similarity --------------------------------------------------
 }

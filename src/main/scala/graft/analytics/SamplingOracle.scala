@@ -500,4 +500,31 @@ res AS (
   FROM neg g JOIN ids i2 ON i2.pos = g.neg_pos)
 SELECT doc_id, neg_rank, neg_doc_id FROM res
 ${ord("doc_id", "neg_rank")}""".trim
+
+  /** Twin of Sampling.temperatureWeights(alpha=0.7): per-source token
+    * totals (length projection), q_pow = round(pow·10⁶) BIGINT — the
+    * one quantized transcendental — shares and upsample factor as the
+    * identical double-division expressions. */
+  val temperatureWeights: String = s"""
+WITH st AS (
+  SELECT source,
+    CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+      AS n_tokens
+  FROM documents GROUP BY source),
+wp AS (
+  SELECT source, n_tokens,
+    CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.7) * 1000000) AS BIGINT)
+      AS q_pow
+  FROM st),
+t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+  CAST(SUM(q_pow) AS BIGINT) AS tot_pow FROM wp)
+SELECT source, n_tokens,
+  CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE) AS natural_share,
+  q_pow,
+  CAST(q_pow AS DOUBLE) / CAST(tot_pow AS DOUBLE) AS temp_share,
+  (CAST(q_pow AS DOUBLE) / CAST(tot_pow AS DOUBLE))
+    / (CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE))
+    AS upsample_factor
+FROM wp, t
+${ord("source")}""".trim
 }

@@ -820,6 +820,33 @@ FROM rgcnt c JOIN ridcg d USING (query_id)
 LEFT JOIN rhits h ON h.query_id = c.query_id
 ${ord("query_id")}""".trim
 
+  /** Twin of TextAnalysis.clusterTopTerms(m=5) over the kmeans(k=8,
+    * iters=2) assignment: docs joined to clusters by the aligned-id
+    * convention, (cluster, tok) counts, cluster-level df rolled up
+    * FROM them, idf quantized round(ln·10⁶) per term, per-cluster
+    * top-5 (score DESC, tok ASC). */
+  val clusterTopTerms: String = s"""
+$kmeansChain,
+ct_docs AS (
+  SELECT a.cluster, unnest(string_split_regex(trim(d.text), '\\s+')) AS tok
+  FROM a3 a JOIN documents d ON d.doc_id = a.vec_id),
+ct_tf AS (
+  SELECT cluster, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM ct_docs GROUP BY cluster, tok),
+ct_df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM ct_tf GROUP BY tok),
+ct_k AS (SELECT CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters FROM a3),
+ct_s AS (
+  SELECT t.cluster, t.tok, t.tf, d.df,
+    t.tf * CAST(round(ln(CAST(k.n_clusters AS DOUBLE) / CAST(d.df AS DOUBLE))
+      * 1000000) AS BIGINT) AS q_ctfidf
+  FROM ct_tf t JOIN ct_df d USING (tok), ct_k k),
+ct_r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+    ORDER BY q_ctfidf DESC, tok ASC) AS rk
+  FROM ct_s)
+SELECT cluster, tok, tf, df, q_ctfidf FROM ct_r WHERE rk <= 5
+${ord("cluster", "tok")}""".trim
+
   /** Twin of Similarity.embeddingDimStats: per-dimension count / min /
     * max over the ·10³-quantized space, HUGEINT moment sums (the
     * decimal(38) twin), mean/variance as the identical double

@@ -125,6 +125,76 @@ object Dedup {
         >= minContainment)
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    * the MOSS algorithm): per document, the set of window-minimum
+    * shingle hashes — every `window` consecutive w-gram positions
+    * contribute their minimum hash, so any shared run of at least
+    * w + window − 1 tokens between two documents is GUARANTEED to
+    * surface as a shared fingerprint (the local-min selection is
+    * position-shift-robust, which plain every-Nth sampling is not),
+    * at expected density 2/(window+1) of the shingle stream. The
+    * robust complement to `fingerprintDocs`' single rolling hash:
+    * that detects whole-doc identity, this localizes partial overlap.
+    *
+    * Short docs (< window shingles) keep their global minimum — one
+    * fingerprint — so no document is invisible to the join.
+    *
+    * Determinism: polyhash64 shingle hashes (the portable family the
+    * oracle recomputes), SIGNED-long minima (Spark's min; the twin
+    * re-signs before MIN), value-set fingerprints (position metadata
+    * dropped — dedup compares sets).
+    *
+    * Scale shape: the positional hash array is a two-projection scan
+    * fusion (words attribute first — the lambda-inlining trap in
+    * `shinglesFromWords`' scaladoc); the window min runs per document
+    * (partitionBy doc_id — thousands of parallel partitions, each a
+    * doc-length frame, never a global window); the distinct is a
+    * map-combinable (doc, fp) aggregate. */
+  def winnowFingerprints(docs: DataFrame, w: Int = 3,
+      window: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val positional = docs.select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), transform(
+        sequence(lit(0), greatest(size(col("ws")) - w, lit(0))),
+        i => graft.functions.PolyHash64.polyhash64(
+          concat_ws(" ",
+            (0 until w).map(j => element_at(col("ws"), i + j + 1)): _*)))
+        .as("hs"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, window - 1)
+    positional
+      .select(col("doc_id"), size(col("hs")).as("n_sh"),
+        posexplode(col("hs")).as(Seq("pos", "h")))
+      .withColumn("fp", min(col("h")).over(win))
+      .where(col("pos") <= greatest(col("n_sh") - window, lit(0)))
+      .select(col("doc_id"), col("fp")).distinct()
+  }
+
+  /** Partial-overlap candidate pairs from shared winnowing
+    * fingerprints — the MOSS report shape: documents sharing ≥
+    * `minShared` fingerprint values, i.e. at least that many distinct
+    * guaranteed-common token runs. Candidates only (verify with
+    * `editDistanceVerify` / `ngramJaccardPairs` on the sliver, as the
+    * MinHash tier does).
+    *
+    * Scale shape: the fingerprint self-join is shuffle-merged on the
+    * fp key (`hint("merge")` — the broadcast-misestimate and
+    * AQE-skew-split reasoning in `ngramJaccardPairs`' comment applies
+    * verbatim: a boilerplate fingerprint is a hot key), with the
+    * exchange computed once and reused across both sides; the pair
+    * rollup is a narrow (a, b) count. */
+  def winnowCandidates(docs: DataFrame, w: Int = 3, window: Int = 4,
+      minShared: Int = 2): DataFrame = {
+    val f = winnowFingerprints(docs, w, window)
+    val a = f.toDF("a_id", "fp").hint("merge")
+    val b = f.toDF("b_id", "fp").hint("merge")
+    a.join(b, "fp")
+      .where(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Prefix-filtered exact n-gram Jaccard (AllPairs/PPJoin candidate
     * generation): identical output to `ngramJaccardPairs`, built for
     * corpora where hot shingles make the naive shingle self-join

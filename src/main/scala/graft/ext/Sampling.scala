@@ -208,6 +208,47 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Temperature-scaled mixture weights — the multilingual/multi-source
+    * sampling rule (mBERT/XLM-R style): source s is sampled with
+    * probability ∝ (tokens_s)^α, α ∈ (0, 1], which upsamples small
+    * sources relative to their natural share (α = 1 ⇒ natural
+    * sampling; α → 0 ⇒ uniform over sources). This is the WEIGHT
+    * COMPUTATION half of mixture design — its `q_pow` column is the
+    * integer weight vector `budgetMix`/`mixtureSample` consume, and
+    * `upsample_factor` is the epochs-per-source dashboard number
+    * (a factor ≫ the dedup-safe repeat budget flags α too low).
+    *
+    * Determinism: the single transcendental per SOURCE is quantized —
+    * q_pow = round(tokens^α·10⁶) as long — so the shares are exact
+    * integer ratios evaluated as single double divisions;
+    * upsample_factor divides those two quotients in fixed order.
+    *
+    * Scale shape: one map-side-combinable per-source token count (a
+    * pure length projection — no tokenize explode), a |sources|-row
+    * aggregate, a 1-row broadcast of the two totals. Nothing is
+    * corpus-proportional past the first projection. */
+  def temperatureWeights(docs: DataFrame, alpha: Double = 0.7): DataFrame = {
+    val st = docs
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+      .select(col("source"), col("n_tokens"),
+        round(pow(col("n_tokens").cast("double"), alpha) * 1000000)
+          .cast("long").as("q_pow"))
+    val tots = st.agg(sum(col("n_tokens")).as("tot_tokens"),
+      sum(col("q_pow")).as("tot_pow"))
+    st.crossJoin(broadcast(tots))
+      .select(col("source"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("tot_tokens").cast("double"))
+          .as("natural_share"),
+        col("q_pow"),
+        (col("q_pow").cast("double") / col("tot_pow").cast("double"))
+          .as("temp_share"),
+        ((col("q_pow").cast("double") / col("tot_pow").cast("double"))
+          / (col("n_tokens").cast("double") / col("tot_tokens").cast("double")))
+          .as("upsample_factor"))
+  }
+
   /** GPT-style sequence packing: assign documents to fixed-token-budget
     * training shards. Documents are packed concatenate-then-split — a
     * doc's shard is `floor(exclusive-prefix-sum(tokens) / budget)`, so

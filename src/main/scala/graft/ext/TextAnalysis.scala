@@ -914,6 +914,49 @@ object TextAnalysis {
       .drop("rk")
   }
 
+  /** c-TF-IDF cluster labeling (the BERTopic shape): top-`m`
+    * distinctive terms per embedding cluster, scoring each term by its
+    * in-cluster frequency × a cluster-level idf — the "what IS this
+    * topic cluster" dashboard that makes a k-means/SemDeDup partition
+    * auditable (and the basis for cluster-level keep/drop curation
+    * decisions). `assign` is any (vec_id, cluster) table —
+    * `kmeansAssign` output in the gate — joined to documents by the
+    * aligned-id convention.
+    *
+    * Score = tf_{c,t} · round(ln(K/df_t)·10⁶) with K = number of
+    * clusters and df_t = clusters containing t — exactly
+    * `tfidfTopTerms` with clusters as the "documents", sharing its
+    * determinism contract (idf quantized per term, exact int64
+    * products, ties (score DESC, tok ASC)).
+    *
+    * Scale shape: one doc→cluster hash join (narrow — the assignment
+    * table is two columns), one (cluster, tok) count groupBy
+    * (map-side combinable), df as a rollup OF that table (no second
+    * tokenize), K a 1-row broadcast, and the per-cluster top-m window
+    * WindowGroupLimit-pruned. |clusters·vocab| intermediate, never
+    * corpus-row-proportional after the first count. */
+  def clusterTopTerms(docs: DataFrame, assign: DataFrame,
+      m: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = docs
+      .join(assign.select(col("vec_id").as("doc_id"), col("cluster")), "doc_id")
+    val tf = joined
+      .select(col("cluster"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("cluster"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val kCnt = assign.agg(countDistinct(col("cluster")).as("n_clusters"))
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("q_ctfidf").desc, col("tok").asc)
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(kCnt))
+      .select(col("cluster"), col("tok"), col("tf"), col("df"),
+        (col("tf") * round(log(col("n_clusters").cast("double") /
+          col("df").cast("double")) * 1000000).cast("long")).as("q_ctfidf"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= m)
+      .drop("rk")
+  }
+
   /** BM25 top-k retrieval — the standard lexical ranking function
     * (Okapi BM25, Lucene-style non-negative idf) over the corpus for a
     * fixed query-term set: the scoring half of building a retrieval /

@@ -1816,6 +1816,68 @@ class ExtSpec extends SparkSpec {
     assert(out.values.forall(_.getAs[Double]("kl_divergence") > 0.0))
   }
 
+  test("clusterTopTerms: distinctive terms win, shared terms idf to zero") {
+    val d = Seq(
+      (0L, "apple apple banana the"), (1L, "apple banana the"),
+      (2L, "carrot carrot the"), (3L, "carrot daikon the")
+    ).toDF("doc_id", "text")
+    val assign = Seq((0L, 0L), (1L, 0L), (2L, 1L), (3L, 1L))
+      .toDF("vec_id", "cluster")
+    val out = TextAnalysis.clusterTopTerms(d, assign, m = 2).collect()
+      .groupBy(_.getLong(0))
+    val q1 = math.round(math.log(2.0) * 1000000) // idf for df=1 of K=2
+    val c0 = out(0L).map(r => r.getString(1) -> r.getLong(4)).toMap
+    assert(c0.keySet == Set("apple", "banana"))
+    assert(c0("apple") == 3L * q1 && c0("banana") == 2L * q1)
+    val c1 = out(1L).map(r => r.getString(1) -> r.getLong(4)).toMap
+    assert(c1.keySet == Set("carrot", "daikon"))
+    // 'the' is in every cluster: idf = ln(1) = 0, never outranks
+    assert(!c0.contains("the") && !c1.contains("the"))
+  }
+
+  test("temperatureWeights: alpha=1 is natural sampling, small source upsampled") {
+    val d = Seq(
+      (0L, "a b c d e f g h", "big"),  // 8 tokens
+      (1L, "z", "small")               // 1 token
+    ).toDF("doc_id", "text", "source")
+    val nat = Sampling.temperatureWeights(d, alpha = 1.0).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(nat("big").getAs[Long]("q_pow") == 8000000L)
+    assert(nat.values.forall(_.getAs[Double]("upsample_factor") == 1.0))
+    val t = Sampling.temperatureWeights(d, alpha = 0.5).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(t("big").getAs[Long]("q_pow")
+      == math.round(math.sqrt(8.0) * 1000000))
+    assert(t("small").getAs[Double]("upsample_factor") > 1.0 &&
+      t("big").getAs[Double]("upsample_factor") < 1.0)
+    assert(math.abs(t.values.map(_.getAs[Double]("temp_share")).sum - 1.0)
+      < 1e-12)
+  }
+
+  test("winnowing: shift-robust shared runs, short-doc min, disjoint empty") {
+    val run = "alpha beta gamma delta epsilon zeta" // 6 tokens = w+window-1
+    val d = Seq(
+      (0L, s"one two $run x y z"),
+      (1L, s"p q r s t $run"),       // same run at a DIFFERENT offset
+      (2L, "totally disjoint words nothing shared here at all today"),
+      (3L, "tiny doc")                // < window shingles -> global min
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(d).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // guarantee: a shared >= w+window-1 token run surfaces despite the shift
+    assert((fps(0L) & fps(1L)).nonEmpty, "shared run must share a fingerprint")
+    assert((fps(0L) & fps(2L)).isEmpty && (fps(1L) & fps(2L)).isEmpty)
+    assert(fps(3L).size == 1, "short doc keeps exactly its global minimum")
+    // identical docs share their entire fingerprint set -> candidates
+    val dup = Seq((10L, d.head.getString(1)), (11L, d.head.getString(1)))
+      .toDF("doc_id", "text")
+    val cand = Dedup.winnowCandidates(dup).collect()
+    assert(cand.length == 1 && cand.head.getLong(0) == 10L &&
+      cand.head.getLong(1) == 11L)
+    assert(cand.head.getLong(2)
+      == Dedup.winnowFingerprints(dup).where(col("doc_id") === 10L).count())
+  }
+
   test("retrievalMetrics: hand-computed recall/MRR/nDCG, zero-hit query") {
     val run = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
       (2L, 20L, 1L)).toDF("query_id", "doc_id", "rank")
