@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.analytics.{ExtOracle, ShapeQueries}
-import graft.ext.{Curation, Dedup, Sampling, Similarity, SkewJoin, TextAnalysis}
+import graft.ext.{Curation, Dedup, Profiling, Sampling, Similarity, SkewJoin, TextAnalysis}
 import graft.pipeline.{Cleaning, PinOracle, PinQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1111,6 +1111,14 @@ object SparkEntry {
     // and packing planning; weighted-frequency percentile state)
     "length_quantiles" -> prep((s, d) =>
       TextAnalysis.lengthQuantiles(docs(s, d)).orderBy("source")),
+    // hourly event-volume z-scores per type (stuck-producer / replay-
+    // storm dashboard; decimal moment sums, NULL z at zero variance)
+    "event_anomaly" -> prep((s, d) =>
+      Profiling.eventAnomaly(s.read.parquet(s"$d/events.parquet"))
+        .select(col("event_type"), col("hour").cast("string").as("hour_str"),
+          col("n_events"), col("n_hours"), col("mean_events"),
+          col("var_events"), col("z"), col("is_anomaly"))
+        .orderBy("event_type", "hour_str")),
     // c-TF-IDF cluster labeling: top-5 distinctive terms per kmeans
     // embedding cluster (docs joined by the aligned-id convention)
     "cluster_top_terms" -> prep((s, d) =>
@@ -1133,6 +1141,14 @@ object SparkEntry {
     // regression from quantized-log moment sums; natural text ~ -1)
     "zipf_fit" -> prep((s, d) =>
       TextAnalysis.zipfFit(docs(s, d)).orderBy("source")),
+    // per-source character-level Shannon entropy (base64/hex-dump
+    // detector; quantized-log decimal sums like source_kl)
+    "char_entropy" -> prep((s, d) =>
+      TextAnalysis.charEntropy(docs(s, d)).orderBy("source")),
+    // cumulative token coverage at vocab sizes 100/1k/10k (the
+    // tokenizer vocab-budget curve; all cuts in one head-sliver pass)
+    "vocab_coverage" -> prep((s, d) =>
+      TextAnalysis.vocabCoverage(docs(s, d)).orderBy("vocab_size")),
     // near-dup cluster size histogram (keep-one vs source-exclusion
     // decision dashboard; MinHash pair feeder like every consumer)
     "cluster_size_histogram" -> prep((s, d) =>
@@ -1419,6 +1435,9 @@ object SparkEntry {
     "cluster_top_terms" -> ExtOracle.clusterTopTerms,
     "temperature_weights" -> ExtOracle.temperatureWeights,
     "zipf_fit" -> ExtOracle.zipfFit,
+    "char_entropy" -> ExtOracle.charEntropy,
+    "vocab_coverage" -> ExtOracle.vocabCoverage,
+    "event_anomaly" -> ExtOracle.eventAnomaly,
     "length_quantiles" -> ExtOracle.lengthQuantiles,
     "cluster_size_histogram" -> ExtOracle.clusterSizeHistogram,
   )

@@ -500,4 +500,35 @@ SELECT a.asset_id, a.format, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
   CAST(64 AS INT) AS n_bytes, CAST(COALESCE(s.luma_sum, 0) AS BIGINT) AS luma_sum
 FROM a LEFT JOIN sums s USING (asset_id)
 ${ord("asset_id")}""".trim
+
+  /** Twin of Profiling.eventAnomaly(threshold=3.0): (type, hour)
+    * counts, HUGEINT moment sums (the decimal(38) twin), mean/var as
+    * the embeddingDimStats fixed double expressions, z over the
+    * computed attributes, NULL at zero variance. */
+  val eventAnomaly: String = s"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+    CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+st AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+    SUM(CAST(n_events AS HUGEINT)) AS s1,
+    SUM(CAST(n_events AS HUGEINT) * CAST(n_events AS HUGEINT)) AS s2
+  FROM hourly GROUP BY event_type),
+j AS (
+  SELECT h.event_type, h.hour, h.n_events, st.n_hours,
+    CAST(st.s1 AS DOUBLE) / CAST(st.n_hours AS DOUBLE) AS mean_events,
+    (CAST(st.s2 AS DOUBLE) - CAST(st.s1 AS DOUBLE) * CAST(st.s1 AS DOUBLE)
+       / CAST(st.n_hours AS DOUBLE)) / CAST(st.n_hours AS DOUBLE)
+      AS var_events
+  FROM hourly h JOIN st USING (event_type)),
+z AS (
+  SELECT *, CASE WHEN var_events = 0.0 THEN NULL
+    ELSE (CAST(n_events AS DOUBLE) - mean_events) / sqrt(var_events) END AS z
+  FROM j)
+SELECT event_type, CAST(hour AS VARCHAR) AS hour_str, n_events, n_hours,
+  mean_events, var_events, z,
+  COALESCE(abs(z) > 3.0, FALSE) AS is_anomaly
+FROM z
+${ord("event_type", "hour_str")}""".trim
 }

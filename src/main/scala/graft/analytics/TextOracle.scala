@@ -1125,6 +1125,58 @@ SELECT source, MIN(s_total) AS n_tokens,
 FROM dqs GROUP BY source
 ${ord("source")}""".trim
 
+  /** Twin of TextAnalysis.charEntropy: (source, char) counts, totals
+    * rolled up FROM them, log-probs quantized round(ln·10⁶), HUGEINT
+    * weighted sum (the decimal(38) twin), one double division per
+    * source. */
+  val charEntropy: String = s"""
+WITH cs AS (
+  SELECT source, unnest(string_split_regex(text, '')) AS c
+  FROM documents),
+cc AS (
+  SELECT source, c, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cs WHERE length(c) > 0 GROUP BY source, c),
+ct AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS total
+  FROM cc GROUP BY source),
+cq AS (
+  SELECT cc.source, cc.cnt, ct.total,
+    CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+      * 1000000) AS BIGINT) AS q
+  FROM cc JOIN ct USING (source))
+SELECT source, MIN(total) AS n_chars,
+  CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+  CAST(SUM(CAST(cnt AS HUGEINT) * CAST(-q AS HUGEINT)) AS DOUBLE)
+    / CAST(MIN(total) AS DOUBLE) / 1000000 AS char_entropy
+FROM cq GROUP BY source
+${ord("source")}""".trim
+
+  /** Twin of TextAnalysis.vocabCoverage(cuts=100/1000/10000): corpus
+    * token counts, rank over (cnt DESC, tok ASC), per-cut conditional
+    * sums over the max-cut head, coverage as one double division. */
+  val vocabCoverage: String = {
+    def cut(v: Int) = s"""
+  SELECT CAST($v AS BIGINT) AS vocab_size,
+    CAST(SUM(CASE WHEN rank <= $v THEN 1 ELSE 0 END) AS BIGINT) AS n_types,
+    CAST(SUM(CASE WHEN rank <= $v THEN cnt ELSE 0 END) AS BIGINT) AS n_covered
+  FROM h""".trim
+    s"""
+WITH t AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents),
+f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY tok),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM f),
+rk AS (SELECT cnt,
+  ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rank FROM f),
+h AS (SELECT * FROM rk WHERE rank <= 10000),
+u AS (${cut(100)}
+  UNION ALL ${cut(1000)}
+  UNION ALL ${cut(10000)})
+SELECT vocab_size, n_types, n_covered,
+  CAST(n_covered AS DOUBLE) / CAST(tot.total AS DOUBLE) AS coverage
+FROM u, tot
+${ord("vocab_size")}""".trim
+  }
+
   /** Twin of TextAnalysis.zipfFit(topV=500): per-source counts, rank
     * window (cnt DESC, tok ASC), x/y = round(ln·10⁶) longs, HUGEINT
     * moment sums, slope/intercept as the identical double

@@ -110,4 +110,47 @@ object Profiling {
         coalesce(sum(when(col("__l").isNull, 1L).otherwise(0L)), lit(0L))
           .as("n_right_only"))
   }
+
+  /** Hourly event-volume anomaly score — per (event_type, hour) count
+    * z-scored against the event type's own hourly distribution: the
+    * ingestion-health dashboard that catches a stuck producer (z ≪ 0)
+    * or a replay storm / bot burst (z ≫ 0) BEFORE the corrupted window
+    * reaches a training snapshot. `threshold` flags |z| beyond it.
+    *
+    * Determinism: moment sums are exact decimal(38) integers (count²
+    * brushes int64 at 100 TB hourly volumes); mean and variance are
+    * the fixed-association double expressions `embeddingDimStats`
+    * pins, and z divides attributes already computed — every engine
+    * evaluates the identical op sequence. Zero variance (a perfectly
+    * constant volume) yields NULL z, never a division blow-up.
+    *
+    * Scale shape: one map-side-combinable (type, hour) count; the
+    * per-type moment rollup is |types| rows broadcast back; the score
+    * join is narrow. Nothing holds per-event state past the first
+    * aggregate. */
+  def eventAnomaly(events: DataFrame, threshold: Double = 3.0): DataFrame = {
+    val hourly = events
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("n_events").cast("decimal(38,0)")).as("s1"),
+        sum((col("n_events").cast("decimal(38,0)")
+          * col("n_events").cast("decimal(38,0)"))).as("s2"))
+    hourly.join(broadcast(stats), "event_type")
+      .withColumn("mean_events",
+        col("s1").cast("double") / col("n_hours").cast("double"))
+      .withColumn("var_events",
+        (col("s2").cast("double") - col("s1").cast("double")
+          * col("s1").cast("double") / col("n_hours").cast("double"))
+          / col("n_hours").cast("double"))
+      .withColumn("z",
+        when(col("var_events") === 0.0, lit(null).cast("double"))
+          .otherwise((col("n_events").cast("double") - col("mean_events"))
+            / sqrt(col("var_events"))))
+      .select(col("event_type"), col("hour"), col("n_events"),
+        col("n_hours"), col("mean_events"), col("var_events"), col("z"),
+        coalesce(abs(col("z")) > threshold, lit(false)).as("is_anomaly"))
+  }
 }

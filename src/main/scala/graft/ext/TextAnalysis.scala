@@ -1580,6 +1580,84 @@ object TextAnalysis {
           / 1000000).as("kl_divergence"))
   }
 
+  /** Per-source character-level Shannon entropy (nats) — the
+    * compression-ratio-style junk detector that catches what token
+    * stats miss: base64 blobs, hex dumps, and minified payloads read
+    * as near-uniform character distributions (entropy → ln|alphabet|),
+    * while natural language sits well below; a source whose char
+    * entropy jumps is shipping encoded binaries as "text".
+    *
+    *   H(s) = −Σ_c p(c)·ln p(c),  p(c) = cnt_c / total_s
+    *
+    * Determinism: per-char log-probs quantized round(ln·10⁶) as longs
+    * before the weighted sum (decimal(38) — cnt·q at corpus scale
+    * exceeds int64), one double division per source; same contract as
+    * `klDivergence`.
+    *
+    * Scale shape: the char explode collapses immediately to
+    * (source, char) counts — map-side combinable, bounded by
+    * |sources|·|alphabet| after the shuffle; totals are a rollup OF
+    * the counts (one pass over the text). */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    // Spark's split(regex, limit=-1) keeps a trailing "" element on
+    // the empty pattern; DuckDB's string_split_regex does not — drop it
+    val cc = docs.select(col("source"), explode(split(col("text"), "")).as("c"))
+      .where(length(col("c")) > 0)
+      .groupBy(col("source"), col("c")).agg(count(lit(1)).as("cnt"))
+    val tot = cc.groupBy(col("source")).agg(sum(col("cnt")).as("total"))
+    cc.join(broadcast(tot), "source")
+      .select(col("source"), col("cnt"), col("total"),
+        round(log(col("cnt").cast("double") / col("total").cast("double"))
+          * 1000000).cast("long").as("q"))
+      .groupBy(col("source"))
+      .agg(first(col("total")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum((col("cnt") * -col("q")).cast("decimal(38,0)")).as("sum_q"))
+      .select(col("source"), col("n_chars"), col("n_distinct_chars"),
+        (col("sum_q").cast("double") / col("n_chars").cast("double")
+          / 1000000).as("char_entropy"))
+  }
+
+  /** Vocabulary coverage curve — the cumulative token-instance share
+    * covered by the top-V vocabulary at V ∈ `cuts`: THE tokenizer
+    * vocab-budget decision table (where `oovRate` scores one fixed V
+    * per language, this sweeps V over the whole corpus — the knee of
+    * this curve is where a bigger vocabulary stops paying for its
+    * embedding-table rows).
+    *
+    * Scale shape: corpus token counts are one map-side-combinable
+    * groupBy; the max(cuts) head is sort+limit →
+    * TakeOrderedAndProject (map-side pruned — never a
+    * vocabulary-wide single-reducer window); ranking and the per-cut
+    * rollup run on that ≤ max(cuts)-row sliver (constant-bounded, not
+    * corpus- or vocabulary-proportional); the grand total is a 1-row
+    * broadcast. Coverage is one double division of exact int64
+    * sums. */
+  def vocabCoverage(docs: DataFrame,
+      cuts: Seq[Int] = Seq(100, 1000, 10000)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freqs = docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = freqs.agg(sum(col("cnt")).as("total"))
+    // global rank is computed ONLY on the ≤ max(cuts)-row head sliver
+    // (the single-partition window is constant-bounded by design); all
+    // cuts aggregate that sliver in ONE pass — no per-cut recompute
+    val head = freqs.orderBy(col("cnt").desc, col("tok").asc).limit(cuts.max)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("tok").asc)))
+    val aggExprs = cuts.flatMap(v => Seq(
+      sum(when(col("rank") <= v, lit(1L))).as(s"typ_$v"),
+      sum(when(col("rank") <= v, col("cnt"))).as(s"cov_$v")))
+    val stacked = head.agg(aggExprs.head, aggExprs.tail: _*)
+      .selectExpr(s"stack(${cuts.size}, " +
+        cuts.map(v => s"${v}L, typ_$v, cov_$v").mkString(", ") +
+        ") as (vocab_size, n_types, n_covered)")
+    stacked.crossJoin(broadcast(total))
+      .select(col("vocab_size"), col("n_types"), col("n_covered"),
+        (col("n_covered").cast("double") / col("total").cast("double"))
+          .as("coverage"))
+  }
+
   /** Per-source Zipf fit — least-squares slope of ln(freq) on ln(rank)
     * over the source's top-`topV` tokens: natural language sits near
     * slope −1 (Zipf's law); a template farm or log dump flattens

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Profiling, Sampling, Similarity, TextAnalysis}
 import graft.functions.PolyHash64.polyhash64
 
 /** Specs for the training-data extension operators on crafted inputs
@@ -1814,6 +1814,58 @@ class ExtSpec extends SparkSpec {
     assert(out("s1").getAs[Long]("n_tokens") == 3L)
     assert(out("s1").getAs[Double]("kl_divergence") == expS1)
     assert(out.values.forall(_.getAs[Double]("kl_divergence") > 0.0))
+  }
+
+  test("eventAnomaly: constant volume NULL z, spike flagged, moments exact") {
+    import java.sql.Timestamp
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val rows =
+      // 'steady': exactly 2 events in each of 3 hours -> var 0, z NULL
+      (for (h <- 0 until 3; m <- Seq(5, 25)) yield (ts(h, m), "steady")) ++
+      // 'bursty': 1,1,10 per hour -> the 10 is a spike
+      Seq((ts(0, 1), "bursty"), (ts(1, 1), "bursty")) ++
+      (1 to 10).map(i => (ts(2, i), "bursty"))
+    val ev = rows.toDF("ts", "event_type")
+    val out = Profiling.eventAnomaly(ev, threshold = 1.2).collect()
+      .map(r => (r.getString(0), r.getAs[Timestamp]("hour").getHours) -> r)
+      .toMap
+    assert(out(("steady", 0)).isNullAt(6) &&
+      !out(("steady", 0)).getBoolean(7))
+    val spike = out(("bursty", 2))
+    assert(spike.getAs[Long]("n_events") == 10 &&
+      spike.getAs[Double]("mean_events") == 4.0)
+    // var = (102 - 144/3)/3 = 18, z = (10-4)/sqrt(18)
+    assert(spike.getAs[Double]("var_events") == 18.0)
+    assert(spike.getAs[Double]("z") == 6.0 / math.sqrt(18.0))
+    assert(spike.getBoolean(7), "spike beyond 1.2 sigma flagged")
+    assert(!out(("bursty", 0)).getBoolean(7))
+  }
+
+  test("charEntropy: zero on one symbol, ln2 on a fair coin, uniform max") {
+    val d = Seq(
+      (0L, "aaaa", "mono"), (1L, "abab", "coin"), (2L, "abcd", "uni")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.charEntropy(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("mono").getAs[Double]("char_entropy") == 0.0)
+    assert(out("mono").getAs[Long]("n_distinct_chars") == 1L)
+    // quantized ln(1/2) = -693147 -> entropy exactly 0.693147
+    assert(out("coin").getAs[Double]("char_entropy") == 0.693147)
+    assert(out("uni").getAs[Double]("char_entropy")
+      > out("coin").getAs[Double]("char_entropy"))
+  }
+
+  test("vocabCoverage: hand-computed cuts on a 3-type corpus") {
+    val d = Seq((0L, "a a a b b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(d, cuts = Seq(1, 2, 10)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_types") == 1 &&
+      out(1L).getAs[Long]("n_covered") == 3 &&
+      out(1L).getAs[Double]("coverage") == 0.5)
+    assert(out(2L).getAs[Long]("n_covered") == 5 &&
+      out(2L).getAs[Double]("coverage") == 5.0 / 6.0)
+    assert(out(10L).getAs[Long]("n_types") == 3 &&
+      out(10L).getAs[Double]("coverage") == 1.0)
   }
 
   test("clusterTopTerms: distinctive terms win, shared terms idf to zero") {
