@@ -873,6 +873,28 @@ object SparkEntry {
         .orderBy(col("window_start").asc_nulls_first,
           col("event_type").asc_nulls_first)
     }),
+    // Streaming-composed anomaly dashboard: the same z-scoring stage
+    // as event_anomaly, but READ-side over the watermark-released
+    // window dump of the streaming rollup — same z per window whether
+    // counts arrived in one batch or many micro-batches.
+    "stream_event_anomaly" -> prep((s, d) => {
+      val base = tmpDir("graft_evanom")
+      s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"),
+          col("ts").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .coalesce(1).write.mode("overwrite").json(s"$base/in")
+      graft.streaming.EventStream.runWindowed(
+        s, s"$base/in", s"$base/out", s"$base/ckpt").awaitTermination()
+      Profiling.anomalyFromCounts(
+        s.read.parquet(s"$base/out")
+          .select(col("event_type"), col("window_start").as("hour"),
+            col("n_events")))
+        .select(col("event_type"), col("hour").cast("string").as("hour_str"),
+          col("n_events"), col("n_hours"), col("mean_events"),
+          col("var_events"), col("z"), col("is_anomaly"))
+        .orderBy("event_type", "hour_str")
+    }),
     // Streaming upsert-view maintenance (merge-on-read): 3 landing
     // files → 3 micro-batches, each appends its per-key latest delta;
     // the read-side compaction must equal the one-shot batch changelog
@@ -1119,6 +1141,14 @@ object SparkEntry {
           col("n_events"), col("n_hours"), col("mean_events"),
           col("var_events"), col("z"), col("is_anomaly"))
         .orderBy("event_type", "hour_str")),
+    // top-50 PMI collocations (phrase mining; minCount=5 Zipf-tail
+    // gate before any join, TakeOrderedAndProject cut)
+    "bigram_pmi" -> prep((s, d) =>
+      TextAnalysis.bigramPmi(docs(s, d)).orderBy("tok", "next")),
+    // per-vector centroid-distance z-scores within each kmeans cluster
+    // (garbage-vector audit before trusting ANN/SemDeDup spaces)
+    "embedding_outliers" -> prep((s, d) =>
+      Similarity.embeddingOutliers(emb(s, d)).orderBy("vec_id")),
     // c-TF-IDF cluster labeling: top-5 distinctive terms per kmeans
     // embedding cluster (docs joined by the aligned-id convention)
     "cluster_top_terms" -> prep((s, d) =>
@@ -1438,6 +1468,9 @@ object SparkEntry {
     "char_entropy" -> ExtOracle.charEntropy,
     "vocab_coverage" -> ExtOracle.vocabCoverage,
     "event_anomaly" -> ExtOracle.eventAnomaly,
+    "stream_event_anomaly" -> ExtOracle.streamEventAnomaly,
+    "bigram_pmi" -> ExtOracle.bigramPmi,
+    "embedding_outliers" -> ExtOracle.embeddingOutliers,
     "length_quantiles" -> ExtOracle.lengthQuantiles,
     "cluster_size_histogram" -> ExtOracle.clusterSizeHistogram,
   )

@@ -501,15 +501,12 @@ SELECT a.asset_id, a.format, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
 FROM a LEFT JOIN sums s USING (asset_id)
 ${ord("asset_id")}""".trim
 
-  /** Twin of Profiling.eventAnomaly(threshold=3.0): (type, hour)
-    * counts, HUGEINT moment sums (the decimal(38) twin), mean/var as
-    * the embeddingDimStats fixed double expressions, z over the
-    * computed attributes, NULL at zero variance. */
-  val eventAnomaly: String = s"""
-WITH hourly AS (
-  SELECT event_type, date_trunc('hour', ts) AS hour,
-    CAST(COUNT(*) AS BIGINT) AS n_events
-  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+  /** Shared scoring tail for the anomaly twins: per-type HUGEINT
+    * moment sums (the decimal(38) twin), mean/var as the
+    * embeddingDimStats fixed double expressions, z over the computed
+    * attributes, NULL at zero variance; expects a CTE `hourly`
+    * (event_type, hour, n_events) upstream. */
+  protected lazy val anomalyTail: String = s"""
 st AS (
   SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
     SUM(CAST(n_events AS HUGEINT)) AS s1,
@@ -531,4 +528,26 @@ SELECT event_type, CAST(hour AS VARCHAR) AS hour_str, n_events, n_hours,
   COALESCE(abs(z) > 3.0, FALSE) AS is_anomaly
 FROM z
 ${ord("event_type", "hour_str")}""".trim
+
+  /** Twin of Profiling.eventAnomaly(threshold=3.0) over raw events. */
+  val eventAnomaly: String = s"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+    CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+$anomalyTail""".trim
+
+  /** Twin of the streaming-composed anomaly: the SAME scoring tail
+    * over the watermark-released hourly windows (the
+    * streamEventsHourly cutoff — append mode only emits a window once
+    * max(ts) − 30 min passes its end). */
+  val streamEventAnomaly: String = s"""
+WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events),
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+    CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events, wm
+  WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+  GROUP BY event_type, date_trunc('hour', ts)),
+$anomalyTail""".trim
 }

@@ -847,6 +847,34 @@ ct_r AS (
 SELECT cluster, tok, tf, df, q_ctfidf FROM ct_r WHERE rk <= 5
 ${ord("cluster", "tok")}""".trim
 
+  /** Twin of Similarity.embeddingOutliers(k=8, iters=2, threshold=3):
+    * the kmeans chain's final assignment, per-cluster HUGEINT moment
+    * sums over the exact int64 distances, the eventAnomaly fixed
+    * mean/var/z expressions, one-sided flag with NULL-variance →
+    * false. */
+  val embeddingOutliers: String = s"""
+$kmeansChain,
+eo_st AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+    SUM(CAST(d AS HUGEINT)) AS s1,
+    SUM(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS s2
+  FROM a3 GROUP BY cluster),
+eo_j AS (
+  SELECT a.vec_id, a.cluster, a.d AS dist, st.n_members,
+    CAST(st.s1 AS DOUBLE) / CAST(st.n_members AS DOUBLE) AS mean_dist,
+    (CAST(st.s2 AS DOUBLE) - CAST(st.s1 AS DOUBLE) * CAST(st.s1 AS DOUBLE)
+       / CAST(st.n_members AS DOUBLE)) / CAST(st.n_members AS DOUBLE)
+      AS var_dist
+  FROM a3 a JOIN eo_st st USING (cluster)),
+eo_z AS (
+  SELECT *, CASE WHEN var_dist = 0.0 THEN NULL
+    ELSE (CAST(dist AS DOUBLE) - mean_dist) / sqrt(var_dist) END AS z
+  FROM eo_j)
+SELECT vec_id, cluster, dist, n_members, mean_dist, var_dist, z,
+  COALESCE(z > 3.0, FALSE) AS is_outlier
+FROM eo_z
+${ord("vec_id")}""".trim
+
   /** Twin of Similarity.embeddingDimStats: per-dimension count / min /
     * max over the ·10³-quantized space, HUGEINT moment sums (the
     * decimal(38) twin), mean/variance as the identical double

@@ -1125,6 +1125,44 @@ SELECT source, MIN(s_total) AS n_tokens,
 FROM dqs GROUP BY source
 ${ord("source")}""".trim
 
+  /** Twin of TextAnalysis.bigramPmi(minCount=5, k=50): adjacent-pair
+    * and unigram instance counts, the identical fixed-association
+    * probability-ratio double chain quantized round(ln·10⁶), top-50
+    * (q_pmi DESC, tok ASC, next ASC). */
+  val bigramPmi: String = s"""
+WITH ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents),
+pr AS (
+  SELECT doc_id, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i, w
+  FROM ws WHERE len(w) >= 2),
+bg AS (
+  SELECT w[CAST(i AS INT)] AS tok, w[CAST(i AS INT) + 1] AS next FROM pr),
+bi AS (
+  SELECT tok, next, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM bg GROUP BY tok, next),
+uni AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents),
+uc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY tok),
+nb AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_bi FROM bi),
+nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uc),
+scored AS (
+  SELECT b.tok, b.next, b.c_ab,
+    CAST(round(ln(
+      (CAST(b.c_ab AS DOUBLE) / CAST(nb.n_bi AS DOUBLE))
+        / ((CAST(ca.c AS DOUBLE) / CAST(nu.n_uni AS DOUBLE))
+          * (CAST(cb.c AS DOUBLE) / CAST(nu.n_uni AS DOUBLE))))
+      * 1000000) AS BIGINT) AS q_pmi
+  FROM bi b
+  JOIN uc ca ON ca.tok = b.tok
+  JOIN uc cb ON cb.tok = b.next, nb, nu
+  WHERE b.c_ab >= 5),
+topk AS (
+  SELECT * FROM scored ORDER BY q_pmi DESC, tok ASC, next ASC LIMIT 50)
+SELECT tok, next, c_ab, q_pmi FROM topk
+${ord("tok", "next")}""".trim
+
   /** Twin of TextAnalysis.charEntropy: (source, char) counts, totals
     * rolled up FROM them, log-probs quantized round(ln·10⁶), HUGEINT
     * weighted sum (the decimal(38) twin), one double division per

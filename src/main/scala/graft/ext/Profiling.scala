@@ -128,11 +128,21 @@ object Profiling {
     * per-type moment rollup is |types| rows broadcast back; the score
     * join is narrow. Nothing holds per-event state past the first
     * aggregate. */
-  def eventAnomaly(events: DataFrame, threshold: Double = 3.0): DataFrame = {
-    val hourly = events
+  def eventAnomaly(events: DataFrame, threshold: Double = 3.0): DataFrame =
+    anomalyFromCounts(events
       .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
       .groupBy(col("event_type"), col("hour"))
-      .agg(count(lit(1)).as("n_events"))
+      .agg(count(lit(1)).as("n_events")), threshold)
+
+  /** The scoring stage of `eventAnomaly`, exposed for pre-aggregated
+    * count tables — in particular the watermark-released output of the
+    * streaming windowed rollup (`EventStream.runWindowed`), which
+    * makes the anomaly dashboard a pure READ-side composition over the
+    * stream's exactly-once window dump: same z per window whether the
+    * counts arrived in one batch or forty micro-batches. Input schema
+    * (event_type, hour, n_events). */
+  def anomalyFromCounts(hourly: DataFrame,
+      threshold: Double = 3.0): DataFrame = {
     val stats = hourly.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_hours"),
         sum(col("n_events").cast("decimal(38,0)")).as("s1"),

@@ -1171,4 +1171,44 @@ object Similarity {
             col("n_vecs").cast("double")) / col("n_vecs").cast("double"))
           .as("var_q"))
   }
+
+  /** Embedding outlier detection — each vector's centroid distance
+    * z-scored against ITS OWN cluster's distance distribution: the
+    * garbage-vector audit (corrupted decodes, wrong-modality rows,
+    * mislabeled shards sit far from every centroid) run BEFORE an ANN
+    * index or SemDeDup pass trusts the space. One-sided: only
+    * far-outliers flag (tight inliers are the healthy case).
+    *
+    * Determinism: distances are `kmeansAssign`'s exact int64 sq-L2;
+    * per-cluster moments are decimal(38) sums (dist² at quantized
+    * scale brushes 2¹²⁷ nowhere, int64 everywhere); mean/var/z are the
+    * `eventAnomaly` fixed double expressions, NULL z (→ outlier false)
+    * at zero variance.
+    *
+    * Scale shape: kmeansAssign's projection-only passes + ONE
+    * |clusters|-row moment rollup broadcast back over the assignment
+    * — nothing new is corpus-proportional. */
+  def embeddingOutliers(emb: DataFrame, k: Int = 8, iters: Int = 2,
+      threshold: Double = 3.0): DataFrame = {
+    val dec = "decimal(38,0)"
+    val assigned = kmeansAssign(emb, k, iters)
+    val stats = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("dist").cast(dec)).as("s1"),
+        sum(col("dist").cast(dec) * col("dist").cast(dec)).as("s2"))
+    assigned.join(broadcast(stats), "cluster")
+      .withColumn("mean_dist",
+        col("s1").cast("double") / col("n_members").cast("double"))
+      .withColumn("var_dist",
+        (col("s2").cast("double") - col("s1").cast("double")
+          * col("s1").cast("double") / col("n_members").cast("double"))
+          / col("n_members").cast("double"))
+      .withColumn("z",
+        when(col("var_dist") === 0.0, lit(null).cast("double"))
+          .otherwise((col("dist").cast("double") - col("mean_dist"))
+            / sqrt(col("var_dist"))))
+      .select(col("vec_id"), col("cluster"), col("dist"), col("n_members"),
+        col("mean_dist"), col("var_dist"), col("z"),
+        coalesce(col("z") > threshold, lit(false)).as("is_outlier"))
+  }
 }

@@ -1428,6 +1428,48 @@ object TextAnalysis {
     * model join from token instances to distinct per-doc pairs. Docs
     * with <2 tokens yield no pairs (same as lead's null-next
     * filter). */
+  /** Top-k collocations by pointwise mutual information — the classic
+    * phrase detector (word2vec/Gensim "phrases" stage, multi-word-
+    * entity mining before tokenizer training):
+    *
+    *   PMI(a,b) = ln( P(ab) / (P(a)·P(b)) ),
+    *   P(ab) = c_ab/N_bi,  P(a) = c_a/N_uni
+    *
+    * `minCount` prunes the Zipf tail BEFORE any join (a hapax bigram
+    * has huge PMI and zero value — the standard noise gate).
+    *
+    * Determinism: the probability ratio is a fixed-association chain
+    * of correctly-rounded double ops over exact int64 counts (each
+    * cast exact below 2⁵³), quantized round(ln·10⁶) per bigram; the
+    * top-k cut orders (q_pmi DESC, tok ASC, next ASC).
+    *
+    * Scale shape: bigram and unigram counts are map-side-combinable
+    * groupBys (the bigram table prunes to c_ab ≥ minCount before
+    * joining); the two unigram joins are token-keyed narrow shuffles;
+    * totals are 1-row broadcasts; the top-k is sort+limit →
+    * TakeOrderedAndProject. Nothing pairwise, nothing driver-side. */
+  def bigramPmi(docs: DataFrame, minCount: Long = 5,
+      k: Int = 50): DataFrame = {
+    val bi = bigramCounts(docs)
+      .groupBy(col("tok"), col("next")).agg(sum(col("cnt")).as("c_ab"))
+    val uni = docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val nBi = bi.agg(sum(col("c_ab")).as("n_bi"))
+    val nUni = uni.agg(sum(col("c")).as("n_uni"))
+    bi.where(col("c_ab") >= minCount)
+      .join(uni.select(col("tok"), col("c").as("c_a")), "tok")
+      .join(uni.select(col("tok").as("next"), col("c").as("c_b")), "next")
+      .crossJoin(broadcast(nBi)).crossJoin(broadcast(nUni))
+      .select(col("tok"), col("next"), col("c_ab"),
+        round(log(
+          (col("c_ab").cast("double") / col("n_bi").cast("double"))
+            / ((col("c_a").cast("double") / col("n_uni").cast("double"))
+              * (col("c_b").cast("double") / col("n_uni").cast("double"))))
+          * 1000000).cast("long").as("q_pmi"))
+      .orderBy(col("q_pmi").desc, col("tok").asc, col("next").asc)
+      .limit(k)
+  }
+
   private def bigramCounts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), tokens(col("text")).as("ws"))
       .where(size(col("ws")) >= 2)

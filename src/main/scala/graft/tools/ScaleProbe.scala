@@ -181,6 +181,19 @@ object ScaleProbe {
       t("lexicalDiversity", n)(TextAnalysis.lexicalDiversity(
         docs.withColumn("source", concat(lit("src"),
           pmod(col("doc_id"), lit(20)).cast("string")))).count())
+      // round-8 third batch: winnowing (positional hash is corpus-
+      // proportional, the fp self-join pair-proportional — cross-copy
+      // distinct replication keeps the dup rate constant so both
+      // should track ~linear); c-TF-IDF labels (kmeans passes + one
+      // (cluster, tok) count exchange); KL and the coverage curve
+      // (token-count shuffles + constant-bounded head slivers)
+      t("winnowCandidates", n)(Dedup.winnowCandidates(docs).count())
+      t("clusterTopTerms", n)(TextAnalysis.clusterTopTerms(
+        docs, Similarity.kmeansAssign(emb)).count())
+      val srcd = docs.withColumn("source", concat(lit("src"),
+        pmod(col("doc_id"), lit(20)).cast("string")))
+      t("klDivergence", n)(TextAnalysis.klDivergence(srcd).count())
+      t("vocabCoverage", n)(TextAnalysis.vocabCoverage(docs).count())
     }
     spark.stop()
   }

@@ -1816,6 +1816,38 @@ class ExtSpec extends SparkSpec {
     assert(out.values.forall(_.getAs[Double]("kl_divergence") > 0.0))
   }
 
+  test("bigramPmi: hand-computed collocation, minCount gates the tail") {
+    val d = ((0 until 6).map(i => (i.toLong, "new york")) :+
+      (6L, "a b a b a b")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramPmi(d, minCount = 5, k = 10).collect()
+    // only (new, york) survives minCount 5: c_ab=6, N_bi=11, N_uni=18
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "new" && r.getString(1) == "york" &&
+      r.getLong(2) == 6L)
+    val p = (6.0 / 11) / ((6.0 / 18) * (6.0 / 18))
+    val expQ = BigDecimal(math.log(p) * 1000000)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    assert(r.getLong(3) == expQ)
+  }
+
+  test("embeddingOutliers: per-cluster moments exact, flags consistent") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = Similarity.embeddingOutliers(e).collect()
+    assert(out.length == e.count())
+    out.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      val n = rows.head.getAs[Long]("n_members")
+      assert(n == rows.length.toLong)
+      val s1 = rows.map(r => BigInt(r.getAs[Long]("dist"))).sum
+      assert(rows.head.getAs[Double]("mean_dist")
+        == s1.toDouble / n.toDouble)
+    }
+    out.foreach { r =>
+      if (r.getBoolean(7)) assert(!r.isNullAt(6) && r.getDouble(6) > 3.0)
+      else assert(r.isNullAt(6) || r.getDouble(6) <= 3.0)
+    }
+  }
+
   test("eventAnomaly: constant volume NULL z, spike flagged, moments exact") {
     import java.sql.Timestamp
     def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
