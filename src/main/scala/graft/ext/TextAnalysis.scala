@@ -934,20 +934,24 @@ object TextAnalysis {
     * (map-side combinable), df as a rollup OF that table (no second
     * tokenize), K a 1-row broadcast, and the per-cluster top-m window
     * WindowGroupLimit-pruned. |clusters·vocab| intermediate, never
-    * corpus-row-proportional after the first count. */
+    * corpus-row-proportional after the first count. The assignment is
+    * CACHED and every branch (count join, K) derives from the cache —
+    * the K branch would otherwise re-execute the whole upstream
+    * (kmeans) pipeline, the knnPageRank double-build lesson; the tiny
+    * (≤ K·m-row) output is materialized eagerly so the cache can be
+    * dropped before returning. */
   def clusterTopTerms(docs: DataFrame, assign: DataFrame,
       m: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val joined = docs
-      .join(assign.select(col("vec_id").as("doc_id"), col("cluster")), "doc_id")
-    val tf = joined
+    val a = assign.select(col("vec_id").as("doc_id"), col("cluster")).cache()
+    val tf = docs.join(a, "doc_id")
       .select(col("cluster"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("cluster"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val kCnt = assign.agg(countDistinct(col("cluster")).as("n_clusters"))
+    val kCnt = a.agg(countDistinct(col("cluster")).as("n_clusters"))
     val w = Window.partitionBy(col("cluster"))
       .orderBy(col("q_ctfidf").desc, col("tok").asc)
-    tf.join(dfreq, "tok")
+    val out = tf.join(dfreq, "tok")
       .crossJoin(broadcast(kCnt))
       .select(col("cluster"), col("tok"), col("tf"), col("df"),
         (col("tf") * round(log(col("n_clusters").cast("double") /
@@ -955,6 +959,9 @@ object TextAnalysis {
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= m)
       .drop("rk")
+      .localCheckpoint()
+    a.unpersist()
+    out
   }
 
   /** BM25 top-k retrieval — the standard lexical ranking function
