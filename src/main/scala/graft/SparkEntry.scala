@@ -1141,6 +1141,24 @@ object SparkEntry {
           col("n_events"), col("n_hours"), col("mean_events"),
           col("var_events"), col("z"), col("is_anomaly"))
         .orderBy("event_type", "hour_str")),
+    // k-anonymity risk audit over (event_type, day) quasi-identifiers
+    // (governance complement to scrubPii: combinations leak, not cols)
+    "k_anonymity" -> prep((s, d) =>
+      Profiling.kAnonymity(
+        s.read.parquet(s"$d/events.parquet")
+          .select(col("event_type"), date_trunc("day", col("ts")).as("day")),
+        Seq("event_type", "day"))),
+    // global transitivity of the near-dup pair graph (threshold-
+    // quality dashboard: C -> 1 = safe to collapse clusters)
+    "dup_graph_transitivity" -> prep((s, d) =>
+      Dedup.dupGraphTransitivity(Dedup.minhashLshPairsPortable(docs(s, d)))),
+    // perceptual-hash (aHash) image near-dup candidates over the
+    // multimodal assets: 8x8 box resize -> 64-bit hash -> the simhash
+    // chunk blocking; the image-side dedup tier
+    "image_dup_candidates" -> prep((s, d) =>
+      graft.ext.Multimodal.imageDupCandidates(s,
+        graft.ext.Multimodal.toAssets(docs(s, d)))
+        .orderBy("a_id", "b_id")),
     // top-50 PMI collocations (phrase mining; minCount=5 Zipf-tail
     // gate before any join, TakeOrderedAndProject cut)
     "bigram_pmi" -> prep((s, d) =>
@@ -1471,6 +1489,9 @@ object SparkEntry {
     "stream_event_anomaly" -> ExtOracle.streamEventAnomaly,
     "bigram_pmi" -> ExtOracle.bigramPmi,
     "embedding_outliers" -> ExtOracle.embeddingOutliers,
+    "image_dup_candidates" -> ExtOracle.imageDupCandidates,
+    "dup_graph_transitivity" -> ExtOracle.dupGraphTransitivity,
+    "k_anonymity" -> ExtOracle.kAnonymity,
     "length_quantiles" -> ExtOracle.lengthQuantiles,
     "cluster_size_histogram" -> ExtOracle.clusterSizeHistogram,
   )

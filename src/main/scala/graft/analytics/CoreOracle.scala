@@ -465,12 +465,13 @@ SELECT a.asset_id, a.format, a.n_bytes,
 FROM a LEFT JOIN s USING (asset_id)
 ${ord("asset_id")}""".trim
 
-  /** Twin of Multimodal.resizeSummary: recomputes the whole 8×8 box
+  /** Shared CTE chain for the resize-based twins: the full 8×8 box
     * filter (source box [x0,x1)×[y0,y1) per output cell, floor-mean,
-    * boxes overlap when a source dim < 8) in SQL and checks the byte
-    * sum of the resized payload — content-pinning, engine-portable. */
-  val multimodalResize: String = s"""
-WITH a AS (
+    * boxes overlap when a source dim < 8) through per-cell values
+    * `cellv` (asset_id, ox, oy, cv). `multimodalResize` and the
+    * perceptual-hash dedup twin splice it. */
+  protected lazy val resizeCellChain: String = s"""
+a AS (
   SELECT doc_id AS asset_id, text,
     CAST(strlen(text) AS BIGINT) AS len,
     ['png','jpeg','webp'][CAST(doc_id % 3 + 1 AS INT)] AS format,
@@ -494,12 +495,78 @@ pix AS (
   FROM pxy),
 cellv AS (
   SELECT asset_id, ox, oy, SUM(v) // COUNT(*) AS cv
-  FROM pix WHERE i < len GROUP BY asset_id, ox, oy),
+  FROM pix WHERE i < len GROUP BY asset_id, ox, oy)""".trim
+
+  /** Twin of Multimodal.resizeSummary: the shared box-filter chain +
+    * the byte sum of the resized payload — content-pinning,
+    * engine-portable. */
+  val multimodalResize: String = s"""
+WITH $resizeCellChain,
 sums AS (SELECT asset_id, CAST(SUM(cv) AS BIGINT) AS luma_sum FROM cellv GROUP BY asset_id)
 SELECT a.asset_id, a.format, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
   CAST(64 AS INT) AS n_bytes, CAST(COALESCE(s.luma_sum, 0) AS BIGINT) AS luma_sum
 FROM a LEFT JOIN sums s USING (asset_id)
 ${ord("asset_id")}""".trim
+
+  /** Twin of Multimodal.imageDupCandidates(maxHamming=3): the shared
+    * box-filter chain, aHash bits via the exact integer comparison
+    * cv·64 > Σcv (missing cells are zero bytes — they can never
+    * exceed the mean, identically on both sides), 64-bit value
+    * assembled in HUGEINT, re-signed for the BIGINT xor, and the same
+    * 16-bit-chunk pigeonhole blocking as the simhash twin. */
+  val imageDupCandidates: String = {
+    val pow64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val half = "CAST('9223372036854775808' AS HUGEINT)"
+    s"""
+WITH RECURSIVE
+$resizeCellChain,
+tw(kk, p) AS (SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL SELECT kk + 1, p * 2 FROM tw WHERE kk < 63),
+p2l AS MATERIALIZED (SELECT list(p ORDER BY kk) AS twos FROM tw),
+tot AS (SELECT asset_id, CAST(SUM(cv) AS BIGINT) AS s
+  FROM cellv GROUP BY asset_id),
+hv AS (
+  SELECT c.asset_id,
+    SUM(CASE WHEN c.cv * 64 > t.s
+        THEN p2l.twos[CAST(c.oy * 8 + c.ox AS INT) + 1]
+        ELSE CAST(0 AS HUGEINT) END) AS hu
+  FROM cellv c JOIN tot t USING (asset_id), p2l
+  GROUP BY c.asset_id),
+sh AS (SELECT asset_id, hu,
+  CAST(CASE WHEN hu >= $half THEN hu - $pow64 ELSE hu END AS BIGINT) AS sig
+  FROM hv),
+chunked AS (
+  SELECT asset_id, sig, t.c AS chunk_no,
+    CAST((hu // p2l.twos[t.c * 16 + 1]) % 65536 AS BIGINT) AS chunk
+  FROM sh, generate_series(0, 3) t(c), p2l),
+cand AS (
+  SELECT DISTINCT a.asset_id AS a_id, b.asset_id AS b_id,
+    a.sig AS sa, b.sig AS sb
+  FROM chunked a JOIN chunked b
+    ON a.chunk_no = b.chunk_no AND a.chunk = b.chunk
+      AND a.asset_id < b.asset_id)
+SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+${ord("a_id", "b_id")}""".trim
+  }
+
+  /** Twin of Profiling.kAnonymity(events, (event_type, day), k=5):
+    * quasi-identifier class sizes, 1-row risk rollup. */
+  val kAnonymity: String = s"""
+WITH cls AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+    CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY event_type, date_trunc('day', ts))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+  CAST(SUM(n_rows) AS BIGINT) AS n_rows_total,
+  MIN(n_rows) AS min_class_size,
+  CAST(SUM(CASE WHEN n_rows < 5 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_small_classes,
+  CAST(SUM(CASE WHEN n_rows < 5 THEN n_rows ELSE 0 END) AS BIGINT)
+    AS n_rows_at_risk,
+  CAST(SUM(CASE WHEN n_rows < 5 THEN n_rows ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(n_rows) AS DOUBLE) AS at_risk_rate
+FROM cls""".trim
 
   /** Shared scoring tail for the anomaly twins: per-type HUGEINT
     * moment sums (the decimal(38) twin), mean/var as the

@@ -474,6 +474,34 @@ SELECT a_id, b_id, CAST(n_agree AS DOUBLE) / 32 AS est_jaccard
 FROM agree WHERE CAST(n_agree AS DOUBLE) / 32 >= 0.5
 ${ord("a_id", "b_id")}""".trim
 
+  /** Twin of Dedup.dupGraphTransitivity over the portable-minhash pair
+    * set: undirected fan-out, x<y wedge join on the center, closure
+    * probe against the edge key, one global rollup. */
+  val dupGraphTransitivity: String = s"""$minhashAgreeChain,
+tg_e AS (
+  SELECT a_id, b_id FROM agree WHERE CAST(n_agree AS DOUBLE) / 32 >= 0.5),
+tg_u AS (
+  SELECT a_id AS c, b_id AS n FROM tg_e
+  UNION ALL SELECT b_id AS c, a_id AS n FROM tg_e),
+tg_w AS (
+  SELECT ux.c, ux.n AS x, uy.n AS y
+  FROM tg_u ux JOIN tg_u uy ON ux.c = uy.c AND ux.n < uy.n),
+tg_c AS (
+  SELECT w.c, w.x, w.y, e.a_id IS NOT NULL AS closed
+  FROM tg_w w LEFT JOIN tg_e e ON e.a_id = w.x AND e.b_id = w.y),
+tg_a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_wedges,
+    CAST(SUM(CASE WHEN closed THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_closed_wedges
+  FROM tg_c),
+tg_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM tg_e)
+SELECT n.n_edges, a.n_wedges, a.n_closed_wedges,
+  CAST(a.n_closed_wedges // 3 AS BIGINT) AS n_triangles,
+  CASE WHEN a.n_wedges = 0 THEN NULL
+       ELSE CAST(a.n_closed_wedges AS DOUBLE) / CAST(a.n_wedges AS DOUBLE)
+  END AS transitivity
+FROM tg_a a, tg_n n""".trim
+
   /** Twin of Dedup.decontaminateFuzzy(benchmark = doc_id%97): the
     * corpus×benchmark candidate space is a subset of the self-join
     * chain's `agree` table (same signatures, same buckets), plus the

@@ -125,6 +125,41 @@ object Dedup {
         >= minContainment)
   }
 
+  /** Dup-graph transitivity audit — one row of global graph metrics
+    * over a near-dup pair set: wedge count (paths x–c–y), closed-wedge
+    * count, triangle count, and global transitivity C = closed/wedges.
+    * This is the THRESHOLD-QUALITY dashboard for the sketch tiers: a
+    * sound similarity cut is near-transitive (a≈b ≈c ⇒ a≈c — C → 1,
+    * safe to collapse clusters to one keeper), while a loose cut
+    * chains unrelated docs through hubs (C ≪ 1 — cluster-collapse
+    * would over-delete, pairwise review needed). Run it before
+    * trusting `dupClusters`' connected components as dedup units.
+    *
+    * Scale shape: runs on the pair SLIVER, never the corpus; the
+    * wedge space is Σ_c deg(c)² — bounded by near-dup cluster sizes
+    * (the same quantity that bounds `dupClusters`), with the closure
+    * probe a shuffle-merged join back against the edge list on the
+    * (x, y) key. All-integer output plus one double division. */
+  def dupGraphTransitivity(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("a_id"), col("b_id"))
+    val und = e.unionAll(e.select(col("b_id"), col("a_id"))).toDF("c", "n")
+    val wedges = und.toDF("c", "x").join(und.toDF("c", "y"), "c")
+      .where(col("x") < col("y"))
+    val closed = wedges.join(
+      e.select(col("a_id").as("x"), col("b_id").as("y"),
+        lit(1L).as("__e")),
+      Seq("x", "y"), "left")
+    closed.agg(count(lit(1)).as("n_wedges"),
+        sum(when(col("__e").isNotNull, 1L).otherwise(0L))
+          .as("n_closed_wedges"))
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+      .select(col("n_edges"), col("n_wedges"), col("n_closed_wedges"),
+        expr("n_closed_wedges div 3").as("n_triangles"),
+        when(col("n_wedges") === 0L, lit(null).cast("double"))
+          .otherwise(col("n_closed_wedges").cast("double")
+            / col("n_wedges").cast("double")).as("transitivity"))
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
     * the MOSS algorithm): per document, the set of window-minimum
     * shingle hashes — every `window` consecutive w-gram positions
@@ -1048,8 +1083,10 @@ object Dedup {
       maxDist)
 
   /** Shared chunk-blocked candidate join + Hamming verify over a
-    * (doc_id, simhash) frame. */
-  private def simhashPairsFrom(sh: DataFrame, maxDist: Int): DataFrame = {
+    * (doc_id, simhash) frame. private[ext]: Multimodal's perceptual-
+    * hash dedup reuses the identical blocking (an aHash is just
+    * another 64-bit locality-sensitive fingerprint). */
+  private[ext] def simhashPairsFrom(sh: DataFrame, maxDist: Int): DataFrame = {
     // 4-chunk blocking is SOUND only for maxDist <= 3: a pair within
     // Hamming distance d must agree on >= 1 of d+1 chunks (pigeonhole),
     // so 4 chunks cover d <= 3. A larger maxDist would silently MISS

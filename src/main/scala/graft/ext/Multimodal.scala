@@ -174,4 +174,42 @@ object Multimodal {
       }
     }.toDF("asset_id", "frame_no", "frame")
   }
+
+  /** Perceptual-hash (average-hash) near-duplicate image candidates —
+    * the image-side dedup tier every multimodal pipeline runs before
+    * training (re-hosted thumbnails, recompressed copies, watermarked
+    * variants survive byte-level dedup but collapse under aHash): each
+    * asset is box-resized to 8×8, hashed to 64 bits (bit i set iff
+    * pixel_i exceeds the thumbnail mean — computed as the EXACT
+    * integer comparison `px_i·64 > Σpx`, no double rounding), and
+    * pairs within `maxHamming` surface through the same 16-bit-chunk
+    * pigeonhole blocking as `Dedup.simhashPairsPortable` (sound for
+    * maxHamming ≤ 3; the require in the shared joiner enforces it).
+    *
+    * The decode inside `resize` is the stubbed codec seam — with a
+    * real decoder this IS dHash/aHash image dedup; everything after
+    * the thumbnail is engine arithmetic the oracle recomputes.
+    *
+    * Scale shape: hash = narrow per-partition map (no shuffle);
+    * candidates = the chunk-blocked self-join (4 narrow (chunk_no,
+    * chunk)-keyed exchanges, never all-pairs); verify = exact
+    * bit_count on the sliver. */
+  def imageDupCandidates(spark: SparkSession, assets: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val hashed = resize(spark, assets).map { r =>
+      val px = r.media.map(_ & 0xff)
+      var sum = 0L
+      var i = 0
+      while (i < px.length) { sum += px(i); i += 1 }
+      var h = 0L
+      i = 0
+      while (i < px.length) {
+        if (px(i).toLong * 64L > sum) h |= (1L << i)
+        i += 1
+      }
+      (r.asset_id, h)
+    }.toDF("doc_id", "simhash")
+    Dedup.simhashPairsFrom(hashed, maxHamming)
+  }
 }

@@ -111,6 +111,36 @@ object Profiling {
           .as("n_right_only"))
   }
 
+  /** k-anonymity audit — the re-identification risk report for a
+    * table about to be released or joined into training data: rows
+    * whose quasi-identifier combination (`quasiCols`) is shared by
+    * fewer than `k` rows sit in an equivalence class small enough to
+    * single a person out (the governance complement to
+    * `TextAnalysis.scrubPii`, which handles direct identifiers —
+    * quasi-identifiers leak through combinations, not columns).
+    * One summary row: class counts, the smallest class, and how many
+    * rows are at risk.
+    *
+    * Scale shape: one map-side-combinable groupBy on the
+    * quasi-identifier key, then a 1-row rollup of the class-size
+    * table — state bounded by distinct quasi-identifier combinations,
+    * never row count. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+      k: Int = 5): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier")
+    df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("n_rows"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("n_rows")).as("n_rows_total"),
+        min(col("n_rows")).as("min_class_size"),
+        sum(when(col("n_rows") < k, 1L).otherwise(0L))
+          .as("n_small_classes"),
+        sum(when(col("n_rows") < k, col("n_rows")).otherwise(0L))
+          .as("n_rows_at_risk"))
+      .withColumn("at_risk_rate",
+        col("n_rows_at_risk").cast("double")
+          / col("n_rows_total").cast("double"))
+  }
+
   /** Hourly event-volume anomaly score — per (event_type, hour) count
     * z-scored against the event type's own hourly distribution: the
     * ingestion-health dashboard that catches a stuck producer (z ≪ 0)

@@ -1816,6 +1816,46 @@ class ExtSpec extends SparkSpec {
     assert(out.values.forall(_.getAs[Double]("kl_divergence") > 0.0))
   }
 
+  test("kAnonymity: small classes flagged, rollup arithmetic exact") {
+    val d = (Seq.fill(6)(("a", "x")) ++ Seq.fill(2)(("a", "y")) :+ ("b", "z"))
+      .toDF("q1", "q2")
+    val r = Profiling.kAnonymity(d, Seq("q1", "q2"), k = 5).head
+    assert(r.getAs[Long]("n_classes") == 3 &&
+      r.getAs[Long]("n_rows_total") == 9)
+    assert(r.getAs[Long]("min_class_size") == 1)
+    assert(r.getAs[Long]("n_small_classes") == 2) // (a,y)=2 and (b,z)=1
+    assert(r.getAs[Long]("n_rows_at_risk") == 3)
+    assert(r.getAs[Double]("at_risk_rate") == 3.0 / 9.0)
+  }
+
+  test("dupGraphTransitivity: triangle plus open path, hand-counted") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (5L, 6L))
+      .toDF("a_id", "b_id")
+    val r = Dedup.dupGraphTransitivity(pairs).head
+    assert(r.getAs[Long]("n_edges") == 5)
+    assert(r.getAs[Long]("n_wedges") == 4)        // 3 in the triangle + 4-5-6
+    assert(r.getAs[Long]("n_closed_wedges") == 3)
+    assert(r.getAs[Long]("n_triangles") == 1)
+    assert(r.getAs[Double]("transitivity") == 0.75)
+    val empty = Dedup.dupGraphTransitivity(
+      Seq.empty[(Long, Long)].toDF("a_id", "b_id")).head
+    assert(empty.getAs[Long]("n_wedges") == 0 && empty.isNullAt(4))
+  }
+
+  test("imageDupCandidates: identical thumbs pair at 0, complements never") {
+    val asc = Array.tabulate(64)(_.toByte)            // mean 31.5: bits 32..63
+    val desc = Array.tabulate(64)(i => (63 - i).toByte) // mirrored bits 0..31
+    val assets = Seq(
+      (1L, asc, "png", 8, 8), (2L, asc, "png", 8, 8),
+      (3L, desc, "png", 8, 8)
+    ).toDF("asset_id", "media", "format", "width", "height")
+    val pairs = Multimodal.imageDupCandidates(spark, assets).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L &&
+      pairs.head.getInt(2) == 0, "identical payloads hash identically")
+    // the mirrored image flips every bit: hamming 64, no shared chunk
+  }
+
   test("bigramPmi: hand-computed collocation, minCount gates the tail") {
     val d = ((0 until 6).map(i => (i.toLong, "new york")) :+
       (6L, "a b a b a b")).toDF("doc_id", "text")
