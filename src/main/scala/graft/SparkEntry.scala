@@ -873,6 +873,18 @@ object SparkEntry {
         .orderBy(col("window_start").asc_nulls_first,
           col("event_type").asc_nulls_first)
     }),
+    // Streaming IVF index maintenance: arriving embeddings (3 parquet
+    // drops -> 3 micro-batches) cell-assigned against the static
+    // index's centroids — stateless broadcast projection, so stream
+    // assignment must equal a batch rebuild row-for-row.
+    "stream_ivf_assign" -> prep((s, d) => {
+      val base = tmpDir("graft_ivfstream")
+      emb(s, d).repartition(3).write.mode("overwrite").parquet(s"$base/in")
+      graft.streaming.CorpusStream.runIvfAssign(
+        s, s"$base/in", Similarity.ivfCentroids(emb(s, d)),
+        s"$base/out", s"$base/ckpt").awaitTermination()
+      s.read.parquet(s"$base/out").orderBy("vec_id")
+    }),
     // Streaming-composed anomaly dashboard: the same z-scoring stage
     // as event_anomaly, but READ-side over the watermark-released
     // window dump of the streaming rollup — same z per window whether
@@ -1141,6 +1153,10 @@ object SparkEntry {
           col("n_events"), col("n_hours"), col("mean_events"),
           col("var_events"), col("z"), col("is_anomaly"))
         .orderBy("event_type", "hour_str")),
+    // per-source language-metadata mismatch rate (langId vs the
+    // shipped lang column — the crawl-metadata-lies triage table)
+    "lang_mismatch" -> prep((s, d) =>
+      TextAnalysis.langMismatch(docs(s, d)).orderBy("source")),
     // k-anonymity risk audit over (event_type, day) quasi-identifiers
     // (governance complement to scrubPii: combinations leak, not cols)
     "k_anonymity" -> prep((s, d) =>
@@ -1492,6 +1508,8 @@ object SparkEntry {
     "image_dup_candidates" -> ExtOracle.imageDupCandidates,
     "dup_graph_transitivity" -> ExtOracle.dupGraphTransitivity,
     "k_anonymity" -> ExtOracle.kAnonymity,
+    "stream_ivf_assign" -> ExtOracle.streamIvfAssign,
+    "lang_mismatch" -> ExtOracle.langMismatch,
     "length_quantiles" -> ExtOracle.lengthQuantiles,
     "cluster_size_histogram" -> ExtOracle.clusterSizeHistogram,
   )

@@ -875,6 +875,26 @@ SELECT vec_id, cluster, dist, n_members, mean_dist, var_dist, z,
 FROM eo_z
 ${ord("vec_id")}""".trim
 
+  /** Twin of the streaming IVF assignment (centroidMod=50): the
+    * ivfCandChain assignment argmax — cosine DESC, cent_id ASC — over
+    * every vector; the stream must land each row in the identical
+    * cell. */
+  val streamIvfAssign: String = s"""
+WITH e AS ($quantized),
+cents AS (SELECT vec_id AS cent_id, q AS cq FROM e WHERE vec_id % 50 = 0),
+cos_ec AS (
+  SELECT e.vec_id, c.cent_id,
+    list_dot_product(e.q, c.cq) /
+      (sqrt(list_dot_product(e.q, e.q)) * sqrt(list_dot_product(c.cq, c.cq)))
+      AS cs
+  FROM e, cents c)
+SELECT vec_id, cell FROM (
+  SELECT vec_id, cent_id AS cell,
+    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cent_id ASC)
+      AS rk
+  FROM cos_ec) WHERE rk = 1
+${ord("vec_id")}""".trim
+
   /** Twin of Similarity.embeddingDimStats: per-dimension count / min /
     * max over the ·10³-quantized space, HUGEINT moment sums (the
     * decimal(38) twin), mean/variance as the identical double

@@ -677,6 +677,19 @@ WITH $langIdCore
 SELECT doc_id, lang_pred, lang_conf FROM lang_pred_t
 ${ord("doc_id")}""".trim
 
+  /** Twin of TextAnalysis.langMismatch: the langId chain joined back
+    * to the shipped lang column, per-source disagreement rollup. */
+  val langMismatch: String = s"""
+WITH $langIdCore
+SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN p.lang_pred <> d.lang THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_mismatch,
+  CAST(SUM(CASE WHEN p.lang_pred <> d.lang THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS mismatch_rate
+FROM documents d JOIN lang_pred_t p USING (doc_id)
+GROUP BY d.source
+${ord("source")}""".trim
+
   /** Overlapping 32-token windows advancing by 24 (overlap 8);
     * list_slice clamps the tail, short docs are one chunk. */
   val chunkDocs: String = s"""

@@ -174,10 +174,27 @@ object Similarity {
     * the data — the classic IVF trade of recall for fan-out. Returns
     * (vec_id, cell) assignments via `ivfAssign` so the index is
     * materializable/bucketable once and probed many times. */
-  def ivfAssign(emb: DataFrame, centroidMod: Int = 50): DataFrame = {
+  /** The IVF coarse-quantizer centroid table (seeded by the
+    * `vec_id % centroidMod == 0` stride) — exposed so a STREAMING
+    * assignment can quantize against the centroids of an existing
+    * static index (`CorpusStream.runIvfAssign`): the assignment stage
+    * is a pure projection against this broadcast table, which is
+    * exactly what makes IVF index maintenance streaming-safe. */
+  def ivfCentroids(emb: DataFrame, centroidMod: Int = 50): DataFrame =
+    quantizedWithNorm(emb).where(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"),
+        col("nq").as("ncq"))
+
+  def ivfAssign(emb: DataFrame, centroidMod: Int = 50): DataFrame =
+    ivfAssignAgainst(emb, ivfCentroids(emb, centroidMod))
+
+  /** Assignment against an EXPLICIT centroid table — `ivfAssign`'s
+    * second half, shared by the batch path (centroids derived from the
+    * same corpus) and the streaming path (centroids from the static
+    * index; micro-batch rows are projected through the same broadcast
+    * argmax, so stream assignment ≡ batch assignment row-for-row). */
+  def ivfAssignAgainst(emb: DataFrame, cents: DataFrame): DataFrame = {
     val e = quantizedWithNorm(emb)
-    val cents = e.where(col("vec_id") % centroidMod === 0)
-      .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nq").as("ncq"))
     // nearest centroid = argmax over (cosine DESC, cent_id ASC) — the
     // explicit tie-break makes assignment deterministic even for
     // duplicate centroid vectors, as engine-vs-oracle hash equality

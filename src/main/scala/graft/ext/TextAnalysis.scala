@@ -688,6 +688,27 @@ object TextAnalysis {
         when(cjk > 0, lit(1.0)).otherwise(round(best.getField("score"), 6)))
   }
 
+  /** Language-metadata mismatch audit — per source, how often the
+    * n-gram language detector (`langId`) disagrees with the `lang`
+    * column the source SHIPPED: crawl metadata lies (declared-lang
+    * headers, mislabeled dumps), and a source whose mismatch rate
+    * spikes is feeding wrong-language text into every per-language
+    * quota, tokenizer budget, and eval slice keyed off the metadata
+    * column. The standard fix-or-drop triage table.
+    *
+    * Scale shape: `langId` is a pure scan projection (stopword arrays
+    * are literals); the rollup is one map-side-combinable |sources|-
+    * row groupBy; the rate is a single double division. */
+  def langMismatch(docs: DataFrame): DataFrame =
+    langId(docs)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang_pred") =!= col("lang"), 1L).otherwise(0L))
+          .as("n_mismatch"))
+      .select(col("source"), col("n_docs"), col("n_mismatch"),
+        (col("n_mismatch").cast("double") / col("n_docs").cast("double"))
+          .as("mismatch_rate"))
+
   /** Overlapping token-window chunking — long documents split into
     * `chunkTokens`-token windows advancing by `chunkTokens - overlap`
     * (the context-window prep step of a training pipeline; overlap

@@ -72,4 +72,37 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Streaming IVF index maintenance — newly arriving embeddings are
+    * cell-assigned against the centroids of the EXISTING static index
+    * (`Similarity.ivfCentroids`) and appended to the posting lists:
+    * because assignment is a pure projection through one broadcast
+    * centroid table (`ivfAssignAgainst`), it lifts to Structured
+    * Streaming with ZERO state — each micro-batch's rows land in
+    * exactly the cells a batch rebuild would put them in, so the
+    * serving index stays fresh between full rebuilds (the standard
+    * IVF freshness story: coarse quantizer fixed, postings grow).
+    * Parquet file-stream source — feature-store drops arrive as
+    * columnar files, and parquet landing keeps float round-trips
+    * exact. */
+  def runIvfAssign(spark: SparkSession, inDir: String, cents: DataFrame,
+      outDir: String, checkpointDir: String): StreamingQuery = {
+    import graft.ext.Similarity
+    val stream = spark.readStream.schema(embSchema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir)
+    Similarity.ivfAssignAgainst(stream, cents)
+      .select(col("vec_id"), col("cell"))
+      .writeStream
+      .format("parquet")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .option("path", outDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

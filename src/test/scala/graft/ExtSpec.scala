@@ -1816,6 +1816,20 @@ class ExtSpec extends SparkSpec {
     assert(out.values.forall(_.getAs[Double]("kl_divergence") > 0.0))
   }
 
+  test("langMismatch: mislabeled docs counted per source") {
+    val d = Seq(
+      (0L, "the quick brown fox is with the dog", "en", "good"),
+      (1L, "der hund und die katze sind das haus", "de", "good"),
+      (2L, "the cat and the dog are in the house", "de", "lying") // en text
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = TextAnalysis.langMismatch(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("good").getAs[Long]("n_mismatch") == 0 &&
+      out("good").getAs[Double]("mismatch_rate") == 0.0)
+    assert(out("lying").getAs[Long]("n_mismatch") == 1 &&
+      out("lying").getAs[Double]("mismatch_rate") == 1.0)
+  }
+
   test("kAnonymity: small classes flagged, rollup arithmetic exact") {
     val d = (Seq.fill(6)(("a", "x")) ++ Seq.fill(2)(("a", "y")) :+ ("b", "z"))
       .toDF("q1", "q2")

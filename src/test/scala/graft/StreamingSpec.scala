@@ -161,4 +161,24 @@ class StreamingSpec extends SparkSpec {
     assert(!stateDir.exists || stateDir.listFiles.isEmpty,
       "partials streaming must keep no state")
   }
+
+  test("streaming IVF assignment == batch rebuild, stateless") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.Similarity
+    val base = tmp("st_ivf")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    emb.repartition(3).write.mode("overwrite").parquet(s"$base/in")
+    graft.streaming.CorpusStream.runIvfAssign(
+      spark, s"$base/in", Similarity.ivfCentroids(emb),
+      s"$base/out", s"$base/ckpt").awaitTermination()
+    val streamed = spark.read.parquet(s"$base/out")
+    val batch = Similarity.ivfAssign(emb).select(col("vec_id"), col("cell"))
+    assert(streamed.count() == emb.count())
+    val diff = streamed.exceptAll(batch).count() +
+      batch.exceptAll(streamed).count()
+    assert(diff == 0, s"stream/batch cell mismatch: $diff rows differ")
+    val stateDir = new java.io.File(s"$base/ckpt/state")
+    assert(!stateDir.exists || stateDir.listFiles.isEmpty,
+      "assignment streaming must keep no state")
+  }
 }
