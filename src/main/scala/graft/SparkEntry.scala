@@ -1153,6 +1153,10 @@ object SparkEntry {
           col("n_events"), col("n_hours"), col("mean_events"),
           col("var_events"), col("z"), col("is_anomaly"))
         .orderBy("event_type", "hour_str")),
+    // CCNet per-domain bucketing: LM score z-scored within source +
+    // head/middle/tail tertiles from broadcast cuts (no per-source sort)
+    "lm_quality_buckets" -> prep((s, d) =>
+      TextAnalysis.lmQualityBuckets(docs(s, d)).orderBy("doc_id")),
     // per-source language-metadata mismatch rate (langId vs the
     // shipped lang column — the crawl-metadata-lies triage table)
     "lang_mismatch" -> prep((s, d) =>
@@ -1510,6 +1514,7 @@ object SparkEntry {
     "k_anonymity" -> ExtOracle.kAnonymity,
     "stream_ivf_assign" -> ExtOracle.streamIvfAssign,
     "lang_mismatch" -> ExtOracle.langMismatch,
+    "lm_quality_buckets" -> ExtOracle.lmQualityBuckets,
     "length_quantiles" -> ExtOracle.lengthQuantiles,
     "cluster_size_histogram" -> ExtOracle.clusterSizeHistogram,
   )

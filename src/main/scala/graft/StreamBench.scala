@@ -163,13 +163,29 @@ object StreamBench {
       measure("sessionize_fmgws", (in, out, ckpt) =>
         fileSink(EventStream.sessionize(spark, src(in)).toDF(), out, ckpt)))
 
+    // ---- embeddings replay: streaming IVF index maintenance ---------
+    // separate corpus (the embeddings table, replicas-fold with
+    // disjoint vec_ids), parquet landing (float round-trips exact),
+    // centroids from the ORIGINAL static index — the freshness path's
+    // sustained assignment rate; state must stay 0 (pure projection)
+    val embIn = s"$base/emb_in"
+    val emb0 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    emb0.crossJoin(spark.range(replicas).toDF("__c"))
+      .select((col("vec_id") + col("__c") * 1000000000L).as("vec_id"),
+        col("embedding"), col("label"))
+      .repartition(slices).write.mode("overwrite").parquet(embIn)
+    val ivfRow = measure("ivf_assign_stream", (_, out, ckpt) =>
+      graft.streaming.CorpusStream.runIvfAssign(spark, embIn,
+        graft.ext.Similarity.ivfCentroids(emb0), out, ckpt))
+    val allResults = results :+ ivfRow
+
     val loadEnd = loadAvg()
     def arr(xs: Seq[Double]) = xs.map(r2).mkString("[", ",", "]")
     println(s"""{"metric":"stream_bench","replicas":$replicas,""" +
       s""""staged_rows":$nStaged,"slices":$slices,""" +
       s""""files_per_trigger":$filesPerTrigger,""" +
       s""""load_avg":{"pre":${arr(loadPre)},"end":${arr(loadEnd)}},""" +
-      s""""sf":"$sfDir","ops":{${results.mkString(",")}}}""")
+      s""""sf":"$sfDir","ops":{${allResults.mkString(",")}}}""")
     spark.stop()
   }
 }

@@ -316,6 +316,58 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
 FROM scored GROUP BY doc_id
 ${ord("doc_id")}""".trim
 
+  /** Twin of TextAnalysis.lmQualityBuckets: the lmQuality chain
+    * collapsed to one quantized long per doc, per-source weighted
+    * quantile_cont tertile cuts (the pin_q6 interpolation contract),
+    * HUGEINT moments, the eventAnomaly z expressions, scan-side CASE
+    * bucketing. */
+  val lmQualityBuckets: String = s"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents),
+freqs AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM freqs),
+scored AS (
+  SELECT t.doc_id,
+    CAST(round(ln(CAST(f.tf AS DOUBLE) / CAST(tot.total AS DOUBLE))
+      * 1000000) AS BIGINT) AS q
+  FROM toks t JOIN freqs f ON t.tok = f.tok, tot),
+perdoc AS (
+  SELECT doc_id,
+    CAST(round(CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+      AS BIGINT) AS q_doc
+  FROM scored GROUP BY doc_id),
+lqs AS (
+  SELECT p.doc_id, d.source, p.q_doc
+  FROM perdoc p JOIN documents d USING (doc_id)),
+fcnt AS (
+  SELECT source, q_doc, CAST(COUNT(*) AS BIGINT) AS f
+  FROM lqs GROUP BY source, q_doc),
+cuts AS (
+  SELECT source,
+    quantile_cont(q_doc, 0.3333333333333333) AS cut_lo,
+    quantile_cont(q_doc, 0.6666666666666666) AS cut_hi,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    SUM(CAST(q_doc AS HUGEINT)) AS s1,
+    SUM(CAST(q_doc AS HUGEINT) * CAST(q_doc AS HUGEINT)) AS s2
+  FROM lqs GROUP BY source),
+zc AS (
+  SELECT l.doc_id, l.source, l.q_doc,
+    CAST(c.s1 AS DOUBLE) / CAST(c.n_docs AS DOUBLE) AS mean_q,
+    (CAST(c.s2 AS DOUBLE) - CAST(c.s1 AS DOUBLE) * CAST(c.s1 AS DOUBLE)
+       / CAST(c.n_docs AS DOUBLE)) / CAST(c.n_docs AS DOUBLE) AS var_q,
+    c.cut_lo, c.cut_hi
+  FROM lqs l JOIN cuts c USING (source))
+SELECT doc_id, source, q_doc,
+  CASE WHEN var_q = 0.0 THEN NULL
+       ELSE (CAST(q_doc AS DOUBLE) - mean_q) / sqrt(var_q) END AS z,
+  CASE WHEN CAST(q_doc AS DOUBLE) >= cut_hi THEN 'head'
+       WHEN CAST(q_doc AS DOUBLE) >= cut_lo THEN 'middle'
+       ELSE 'tail' END AS ccnet_bucket
+FROM zc
+${ord("doc_id")}""".trim
+
   /** Twin of TextAnalysis.dsirWeights (target = lang 'en'): same
     * single-groupBy dual frequency model, same add-one smoothing over
     * the shared vocab, same ·10⁶ per-token quantization before the

@@ -906,6 +906,60 @@ object TextAnalysis {
           / 1000000)
   }
 
+  /** CCNet's per-domain LM bucketing, completed: each document's
+    * corpus-LM score normalized WITHIN ITS SOURCE — a z-score against
+    * the source's own score distribution plus the head/middle/tail
+    * tertile label CCNet actually ships. Absolute LM scores are not
+    * comparable across domains (legal text is "perplexing" relative to
+    * a web-heavy model without being junk); normalizing per source is
+    * what makes one quality knob usable corpus-wide.
+    *
+    * Determinism: the per-doc score collapses to one quantized long
+    * (`q_doc = round(Σq/n)`, both operands exact), tertile cuts are
+    * the exact weighted `percentile` over collapsed (q_doc, freq)
+    * counts (the lengthQuantiles/pin_q6 interpolation contract),
+    * moments are decimal(38) sums, z the eventAnomaly expressions.
+    *
+    * Scale shape: NO per-source sort or ntile window — the cuts come
+    * from a |sources·distinct-scores|-bounded count rollup and join
+    * back broadcast; bucketing is then a scan-side CASE. lmQuality's
+    * counts-collapsed chain does the heavy lifting once. */
+  def lmQualityBuckets(docs: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val lq = lmQuality(docs)
+      .withColumn("q_doc",
+        round(col("sum_q_logprob").cast("double")
+          / col("n_tokens").cast("double")).cast("long"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val stats = lq.groupBy(col("source"), col("q_doc"))
+      .agg(count(lit(1)).as("__f"))
+      .groupBy(col("source"))
+      .agg(expr("percentile(q_doc, array(0.3333333333333333D," +
+          " 0.6666666666666666D), __f)").as("__c"),
+        sum(col("__f")).as("n_docs"),
+        sum(col("q_doc").cast(dec) * col("__f")).as("s1"),
+        sum(col("q_doc").cast(dec) * col("q_doc").cast(dec) * col("__f"))
+          .as("s2"))
+      .select(col("source"), col("n_docs"),
+        element_at(col("__c"), 1).as("cut_lo"),
+        element_at(col("__c"), 2).as("cut_hi"),
+        col("s1"), col("s2"))
+    lq.join(broadcast(stats), "source")
+      .withColumn("mean_q",
+        col("s1").cast("double") / col("n_docs").cast("double"))
+      .withColumn("var_q",
+        (col("s2").cast("double") - col("s1").cast("double")
+          * col("s1").cast("double") / col("n_docs").cast("double"))
+          / col("n_docs").cast("double"))
+      .select(col("doc_id"), col("source"), col("q_doc"),
+        when(col("var_q") === 0.0, lit(null).cast("double"))
+          .otherwise((col("q_doc").cast("double") - col("mean_q"))
+            / sqrt(col("var_q"))).as("z"),
+        when(col("q_doc").cast("double") >= col("cut_hi"), "head")
+          .when(col("q_doc").cast("double") >= col("cut_lo"), "middle")
+          .otherwise("tail").as("ccnet_bucket"))
+  }
+
   /** TF-IDF top terms per document — the classic distinctive-term
     * extractor (topic tagging, keyword indexing, cluster labeling).
     * Score = tf · round(ln(N/df)·10⁶): the idf factor is quantized to

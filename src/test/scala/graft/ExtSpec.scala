@@ -1816,6 +1816,26 @@ class ExtSpec extends SparkSpec {
     assert(out.values.forall(_.getAs[Double]("kl_divergence") > 0.0))
   }
 
+  test("lmQualityBuckets: per-source tertiles, z-scores, single-doc source") {
+    val d = Seq(
+      // 'web': three docs with strictly ordered LM scores — the doc of
+      // repeated common tokens scores highest (head), the rare-token
+      // doc lowest (tail)
+      (0L, "the the the the", "web"),
+      (1L, "the the rare1 the", "web"),
+      (2L, "rare2 rare3 rare4 rare5", "web"),
+      (3L, "the solo document here", "solo")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.lmQualityBuckets(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getString(4) == "head")
+    assert(out(1L).getString(4) == "middle")
+    assert(out(2L).getString(4) == "tail")
+    assert(out(0L).getDouble(3) > 0 && out(2L).getDouble(3) < 0)
+    // a single-doc source: zero variance -> NULL z, doc is its own head
+    assert(out(3L).isNullAt(3) && out(3L).getString(4) == "head")
+  }
+
   test("langMismatch: mislabeled docs counted per source") {
     val d = Seq(
       (0L, "the quick brown fox is with the dog", "en", "good"),
