@@ -17,7 +17,7 @@ object PlanDump {
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.collect()
       println(s"==== $name ====")
-      println(df.queryExecution.executedPlan.toString.take(4000))
+      println(df.queryExecution.executedPlan.toString.take(60000))
     }
     spark.stop()
   }

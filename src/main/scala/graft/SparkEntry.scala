@@ -1153,6 +1153,15 @@ object SparkEntry {
           col("n_events"), col("n_hours"), col("mean_events"),
           col("var_events"), col("z"), col("is_anomaly"))
         .orderBy("event_type", "hour_str")),
+    // the one-table per-source health dashboard (diversity + KL +
+    // Zipf + entropy + length posture; token counts exchange-shared)
+    "source_health" -> prep((s, d) =>
+      TextAnalysis.sourceHealthReport(docs(s, d)).orderBy("source")),
+    // exact dedup over NFC-normalized text (composition: case/space/
+    // unicode-form variants collapse before hashing)
+    "dedup_normalized" -> prep((s, d) => Engine.canonical(
+      Dedup.exact(TextAnalysis.normalizeText(docs(s, d))
+        .select(col("doc_id"), col("text_norm").as("text"))))),
     // CCNet per-domain bucketing: LM score z-scored within source +
     // head/middle/tail tertiles from broadcast cuts (no per-source sort)
     "lm_quality_buckets" -> prep((s, d) =>
@@ -1515,6 +1524,8 @@ object SparkEntry {
     "stream_ivf_assign" -> ExtOracle.streamIvfAssign,
     "lang_mismatch" -> ExtOracle.langMismatch,
     "lm_quality_buckets" -> ExtOracle.lmQualityBuckets,
+    "source_health" -> ExtOracle.sourceHealthReport,
+    "dedup_normalized" -> ExtOracle.dedupNormalized,
     "length_quantiles" -> ExtOracle.lengthQuantiles,
     "cluster_size_histogram" -> ExtOracle.clusterSizeHistogram,
   )

@@ -305,6 +305,22 @@ FROM documents
 GROUP BY text_sha
 ${ord("text_sha")}""".trim
 
+  /** Twin of the normalize→exact-dedup composition: the normalizeText
+    * canonical form (NFC + case fold + whitespace collapse) hashed by
+    * the dedupExact rule. */
+  val dedupNormalized: String = s"""
+WITH n AS (
+  SELECT doc_id,
+    trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))
+      AS text
+  FROM documents)
+SELECT sha256(text) AS text_sha,
+  MIN(doc_id) AS keep_id,
+  CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM n
+GROUP BY text_sha
+${ord("text_sha")}""".trim
+
   /** Twin of Dedup.containmentPairs(w=3, 0.8): the jaccard twin's
     * shingle join with asymmetric normalization both directions. */
   val containmentPairs: String = s"""

@@ -1280,6 +1280,21 @@ FROM u, tot
 ${ord("vocab_size")}""".trim
   }
 
+  /** Twin of TextAnalysis.sourceHealthReport: the five per-source
+    * twins joined on source (each twin nests as a subquery — its
+    * internal ORDER BY is inert there). */
+  lazy val sourceHealthReport: String = s"""
+SELECT ld.source, ld.n_tokens, ld.n_types, ld.n_hapax,
+  ld.type_token_ratio, ld.hapax_rate,
+  k.kl_divergence, z.slope AS zipf_slope, ce.char_entropy,
+  lq.n_docs, lq.p50_tokens, lq.p90_tokens, lq.p99_tokens
+FROM ($lexicalDiversity) ld
+JOIN ($klDivergence) k USING (source)
+JOIN ($zipfFit) z USING (source)
+JOIN ($charEntropy) ce USING (source)
+JOIN ($lengthQuantiles) lq USING (source)
+${ord("source")}""".trim
+
   /** Twin of TextAnalysis.zipfFit(topV=500): per-source counts, rank
     * window (cnt DESC, tok ASC), x/y = round(ln·10⁶) longs, HUGEINT
     * moment sums, slope/intercept as the identical double

@@ -1782,6 +1782,35 @@ object TextAnalysis {
           .as("coverage"))
   }
 
+  /** The per-source corpus-health dashboard — ONE table joining every
+    * count-derived health signal this module computes: volume
+    * (docs/tokens/types), lexical diversity (TTR, hapax rate),
+    * distribution shape (KL vs corpus, Zipf slope), character health
+    * (entropy), and length posture (p50/p90/p99). This is the table a
+    * sourcing review actually reads — each signal flags a different
+    * pathology (KL: domain shift; Zipf flat: template farm; entropy
+    * high: encoded blobs; hapax low: log dump; p99 runaway:
+    * concatenated dumps), and the JOIN is what lets one row condemn a
+    * source.
+    *
+    * Scale shape: the three token-level metrics (diversity, KL, Zipf)
+    * all derive from the IDENTICAL (source, tok) count aggregate —
+    * built from the same input object, their count subtrees
+    * canonicalize equal and ReuseExchange materializes the tokenize +
+    * count ONCE (the expensive exchange); char entropy and length
+    * quantiles add one char-count and one length-count exchange; the
+    * final join is |sources| rows. */
+  def sourceHealthReport(docs: DataFrame): DataFrame =
+    lexicalDiversity(docs)
+      .join(klDivergence(docs).select(col("source"), col("kl_divergence")),
+        "source")
+      .join(zipfFit(docs).select(col("source"), col("slope").as("zipf_slope")),
+        "source")
+      .join(charEntropy(docs).select(col("source"), col("char_entropy")),
+        "source")
+      .join(lengthQuantiles(docs).select(col("source"), col("n_docs"),
+        col("p50_tokens"), col("p90_tokens"), col("p99_tokens")), "source")
+
   /** Per-source Zipf fit — least-squares slope of ln(freq) on ln(rank)
     * over the source's top-`topV` tokens: natural language sits near
     * slope −1 (Zipf's law); a template farm or log dump flattens

@@ -1816,6 +1816,32 @@ class ExtSpec extends SparkSpec {
     assert(out.values.forall(_.getAs[Double]("kl_divergence") > 0.0))
   }
 
+  test("sourceHealthReport: one row per source, signals mutually consistent") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val out = TextAnalysis.sourceHealthReport(d).collect()
+    assert(out.length == d.select("source").distinct().count())
+    out.foreach { r =>
+      assert(r.getAs[Double]("kl_divergence") >= 0.0)
+      assert(r.getAs[Double]("char_entropy") > 0.0)
+      assert(r.getAs[Double]("zipf_slope") < 0.0, "freq decreasing in rank")
+      assert(r.getAs[Double]("p50_tokens") <= r.getAs[Double]("p99_tokens"))
+      assert(r.getAs[Long]("n_types") <= r.getAs[Long]("n_tokens"))
+    }
+  }
+
+  test("normalize->exact dedup collapses case/space/unicode-form variants") {
+    val d = Seq(
+      (0L, "Café au lait"),       // decomposed é
+      (1L, "café  au\tlait"),      // composed é, messy whitespace
+      (2L, "entirely different text")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exact(TextAnalysis.normalizeText(d)
+      .select(col("doc_id"), col("text_norm").as("text"))).collect()
+    assert(out.length == 2, "the two variants hash to one normalized form")
+    val dup = out.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keep_id") == 0L)
+  }
+
   test("lmQualityBuckets: per-source tertiles, z-scores, single-doc source") {
     val d = Seq(
       // 'web': three docs with strictly ordered LM scores — the doc of
