@@ -1145,6 +1145,10 @@ object SparkEntry {
     // and packing planning; weighted-frequency percentile state)
     "length_quantiles" -> prep((s, d) =>
       TextAnalysis.lengthQuantiles(docs(s, d)).orderBy("source")),
+    // first-order user-journey transition matrix (the Markov view
+    // that discovers the funnels worth defining)
+    "event_transitions" -> prep((s, d) =>
+      ShapeQueries.eventTransitions(s, d).orderBy("from_type", "to_type")),
     // hourly event-volume z-scores per type (stuck-producer / replay-
     // storm dashboard; decimal moment sums, NULL z at zero variance)
     "event_anomaly" -> prep((s, d) =>
@@ -1526,6 +1530,7 @@ object SparkEntry {
     "lm_quality_buckets" -> ExtOracle.lmQualityBuckets,
     "source_health" -> ExtOracle.sourceHealthReport,
     "dedup_normalized" -> ExtOracle.dedupNormalized,
+    "event_transitions" -> ExtOracle.eventTransitions,
     "length_quantiles" -> ExtOracle.lengthQuantiles,
     "cluster_size_histogram" -> ExtOracle.clusterSizeHistogram,
   )

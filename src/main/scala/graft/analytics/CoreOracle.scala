@@ -550,6 +550,25 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 ${ord("a_id", "b_id")}""".trim
   }
 
+  /** Twin of ShapeQueries.eventTransitions: per-user lead window with
+    * the (ts, event_id) sessionization tie-break, |types|² rollup,
+    * probability over the rollup's row totals. */
+  val eventTransitions: String = s"""
+WITH pr AS (
+  SELECT event_type AS from_type,
+    LEAD(event_type) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS to_type
+  FROM events),
+m AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM pr WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+SELECT from_type, to_type, n_transitions,
+  CAST(n_transitions AS DOUBLE) /
+    CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE)
+    AS p_transition
+FROM m
+${ord("from_type", "to_type")}""".trim
+
   /** Twin of Profiling.kAnonymity(events, (event_type, day), k=5):
     * quasi-identifier class sizes, 1-row risk rollup. */
   val kAnonymity: String = s"""

@@ -205,4 +205,38 @@ object ShapeQueries {
           .cast("string").as("cohort_day"),
         col("day_offset"), col("n_users"))
   }
+
+  /** User-journey transition matrix — counts and probabilities of
+    * consecutive event-type transitions within each user's stream (the
+    * first-order Markov view of behavior: where `eventFunnel` checks
+    * ONE prescribed path, this surfaces every path actually taken and
+    * its mass — the dashboard that discovers the funnels worth
+    * defining).
+    *
+    * Determinism: successor via a lag window ordered (ts, event_id) —
+    * the sessionization tie-break; probabilities are single double
+    * divisions of exact counts.
+    *
+    * Scale shape: the lag window partitions by user (millions of
+    * independent partitions, each a user's stream — never global);
+    * the matrix rollup is map-side-combinable on |types|² keys; row
+    * totals come from a window over that |types|²-row ROLLUP, not the
+    * events. */
+  def eventTransitions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val tw = Window.partitionBy(col("from_type"))
+    pairs
+      .withColumn("p_transition",
+        col("n_transitions").cast("double")
+          / sum(col("n_transitions")).over(tw).cast("double"))
+  }
 }

@@ -1816,6 +1816,28 @@ class ExtSpec extends SparkSpec {
     assert(out.values.forall(_.getAs[Double]("kl_divergence") > 0.0))
   }
 
+  test("eventTransitions: per-user chains counted, probabilities sum to 1") {
+    import java.sql.Timestamp
+    def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    // user 1: view->click->view ; user 2: view->purchase
+    val ev = Seq(
+      (1L, 1L, ts(1), "view", 0.0), (2L, 1L, ts(2), "click", 0.0),
+      (3L, 1L, ts(3), "view", 0.0), (4L, 2L, ts(1), "view", 0.0),
+      (5L, 2L, ts(2), "purchase", 0.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("evtrans").toString
+    ev.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.analytics.ShapeQueries.eventTransitions(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out.keySet ==
+      Set(("view", "click"), ("view", "purchase"), ("click", "view")))
+    assert(out(("view", "click")).getAs[Long]("n_transitions") == 1)
+    // from 'view' the mass splits evenly; from 'click' it is total
+    assert(out(("view", "click")).getAs[Double]("p_transition") == 0.5)
+    assert(out(("view", "purchase")).getAs[Double]("p_transition") == 0.5)
+    assert(out(("click", "view")).getAs[Double]("p_transition") == 1.0)
+  }
+
   test("sourceHealthReport: one row per source, signals mutually consistent") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val out = TextAnalysis.sourceHealthReport(d).collect()
