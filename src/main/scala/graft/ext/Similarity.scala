@@ -1208,12 +1208,18 @@ object Similarity {
   def embeddingOutliers(emb: DataFrame, k: Int = 8, iters: Int = 2,
       threshold: Double = 3.0): DataFrame = {
     val dec = "decimal(38,0)"
-    val assigned = kmeansAssign(emb, k, iters)
+    // cache: the moment branch and the score join would otherwise each
+    // re-execute the full Lloyd chain (the clusterTopTerms/knnPageRank
+    // double-build shape — measured 2× op cost); output materialized
+    // eagerly so the cache drops before returning. At production scale
+    // keep the assignment persisted (or written) instead — it feeds
+    // every downstream cluster consumer anyway.
+    val assigned = kmeansAssign(emb, k, iters).cache()
     val stats = assigned.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_members"),
         sum(col("dist").cast(dec)).as("s1"),
         sum(col("dist").cast(dec) * col("dist").cast(dec)).as("s2"))
-    assigned.join(broadcast(stats), "cluster")
+    val out = assigned.join(broadcast(stats), "cluster")
       .withColumn("mean_dist",
         col("s1").cast("double") / col("n_members").cast("double"))
       .withColumn("var_dist",
@@ -1227,5 +1233,8 @@ object Similarity {
       .select(col("vec_id"), col("cluster"), col("dist"), col("n_members"),
         col("mean_dist"), col("var_dist"), col("z"),
         coalesce(col("z") > threshold, lit(false)).as("is_outlier"))
+      .localCheckpoint()
+    assigned.unpersist()
+    out
   }
 }

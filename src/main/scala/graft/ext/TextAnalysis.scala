@@ -926,11 +926,16 @@ object TextAnalysis {
     * counts-collapsed chain does the heavy lifting once. */
   def lmQualityBuckets(docs: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
+    // cache: the cuts/moments branch and the bucket join would
+    // otherwise each re-execute the whole lmQuality chain (measured
+    // 2× op cost — the clusterTopTerms double-build shape); output
+    // materialized eagerly so the cache drops before returning
     val lq = lmQuality(docs)
       .withColumn("q_doc",
         round(col("sum_q_logprob").cast("double")
           / col("n_tokens").cast("double")).cast("long"))
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .cache()
     val stats = lq.groupBy(col("source"), col("q_doc"))
       .agg(count(lit(1)).as("__f"))
       .groupBy(col("source"))
@@ -944,7 +949,7 @@ object TextAnalysis {
         element_at(col("__c"), 1).as("cut_lo"),
         element_at(col("__c"), 2).as("cut_hi"),
         col("s1"), col("s2"))
-    lq.join(broadcast(stats), "source")
+    val out = lq.join(broadcast(stats), "source")
       .withColumn("mean_q",
         col("s1").cast("double") / col("n_docs").cast("double"))
       .withColumn("var_q",
@@ -958,6 +963,9 @@ object TextAnalysis {
         when(col("q_doc").cast("double") >= col("cut_hi"), "head")
           .when(col("q_doc").cast("double") >= col("cut_lo"), "middle")
           .otherwise("tail").as("ccnet_bucket"))
+      .localCheckpoint()
+    lq.unpersist()
+    out
   }
 
   /** TF-IDF top terms per document — the classic distinctive-term
