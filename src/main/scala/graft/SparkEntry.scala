@@ -1145,6 +1145,14 @@ object SparkEntry {
     // and packing planning; weighted-frequency percentile state)
     "length_quantiles" -> prep((s, d) =>
       TextAnalysis.lengthQuantiles(docs(s, d)).orderBy("source")),
+    // KMV join-size estimation (Beyer et al. set-operation estimators):
+    // distinct keys per side + key-overlap estimate from two constant-
+    // size sketches — the broadcast-vs-shuffle decision BEFORE the
+    // exchange
+    "join_cardinality" -> prep((s, d) =>
+      graft.ext.Sketches.joinCardinalityEstimate(
+        ShapeQueries.orders(s, d), "o_custkey",
+        ShapeQueries.customer(s, d), "c_custkey")),
     // first-order user-journey transition matrix (the Markov view
     // that discovers the funnels worth defining)
     "event_transitions" -> prep((s, d) =>
@@ -1531,6 +1539,7 @@ object SparkEntry {
     "source_health" -> ExtOracle.sourceHealthReport,
     "dedup_normalized" -> ExtOracle.dedupNormalized,
     "event_transitions" -> ExtOracle.eventTransitions,
+    "join_cardinality" -> ExtOracle.joinCardinality,
     "length_quantiles" -> ExtOracle.lengthQuantiles,
     "cluster_size_histogram" -> ExtOracle.clusterSizeHistogram,
   )

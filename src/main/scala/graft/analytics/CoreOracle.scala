@@ -550,6 +550,55 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 ${ord("a_id", "b_id")}""".trim
   }
 
+  /** Twin of Sketches.joinCardinalityEstimate(orders.o_custkey ×
+    * customer.c_custkey, k=256): per-side KMV minima over the split-
+    * multiply Fibonacci mix (native HUGEINT unsigned order — the
+    * engine's sign-bit-flip trick is unnecessary here), Beyer et al.
+    * union/Jaccard/intersection estimators as the identical double
+    * expressions. */
+  val joinCardinality: String = {
+    val pow64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val pow32 = "CAST(4294967296 AS HUGEINT)"
+    def mix(key: String) =
+      s"""((CAST($key AS HUGEINT) * 2135587861) % $pow64
+     + ((CAST($key AS HUGEINT) * 2654435769) % $pow32) * $pow32) % $pow64"""
+    s"""
+WITH la0 AS (SELECT DISTINCT ${mix("o_custkey")} AS u FROM orders),
+lar AS (SELECT u, row_number() OVER (ORDER BY u ASC) AS r FROM la0),
+la AS (SELECT list(u ORDER BY u) AS l FROM lar WHERE r <= 256),
+lb0 AS (SELECT DISTINCT ${mix("c_custkey")} AS u FROM customer),
+lbr AS (SELECT u, row_number() OVER (ORDER BY u ASC) AS r FROM lb0),
+lb AS (SELECT list(u ORDER BY u) AS l FROM lbr WHERE r <= 256),
+mu0 AS (
+  SELECT DISTINCT u FROM (
+    SELECT unnest(l) AS u FROM la UNION ALL SELECT unnest(l) AS u FROM lb)),
+mur AS (SELECT u, row_number() OVER (ORDER BY u ASC) AS r FROM mu0),
+mu AS (SELECT list(u ORDER BY u) AS l FROM mur WHERE r <= 256),
+mc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c
+  FROM mur, la, lb
+  WHERE mur.r <= 256 AND list_contains(la.l, mur.u)
+    AND list_contains(lb.l, mur.u))
+SELECT
+  CASE WHEN len(la.l) < 256 THEN CAST(len(la.l) AS DOUBLE)
+       ELSE 255.0 * CAST('18446744073709551616' AS DOUBLE)
+            / CAST(la.l[256] AS DOUBLE) END AS est_distinct_left,
+  CASE WHEN len(lb.l) < 256 THEN CAST(len(lb.l) AS DOUBLE)
+       ELSE 255.0 * CAST('18446744073709551616' AS DOUBLE)
+            / CAST(lb.l[256] AS DOUBLE) END AS est_distinct_right,
+  CAST(len(mu.l) AS BIGINT) AS n_union_topk,
+  mc.c AS n_common_topk,
+  CASE WHEN len(mu.l) < 256 THEN CAST(len(mu.l) AS DOUBLE)
+       ELSE 255.0 * CAST('18446744073709551616' AS DOUBLE)
+            / CAST(mu.l[256] AS DOUBLE) END AS est_union,
+  CAST(mc.c AS DOUBLE) / CAST(len(mu.l) AS DOUBLE) AS est_jaccard,
+  (CAST(mc.c AS DOUBLE) / CAST(len(mu.l) AS DOUBLE)) *
+    (CASE WHEN len(mu.l) < 256 THEN CAST(len(mu.l) AS DOUBLE)
+          ELSE 255.0 * CAST('18446744073709551616' AS DOUBLE)
+               / CAST(mu.l[256] AS DOUBLE) END) AS est_intersection
+FROM la, lb, mu, mc""".trim
+  }
+
   /** Twin of ShapeQueries.eventTransitions: per-user lead window with
     * the (ts, event_id) sessionization tie-break, |types|² rollup,
     * probability over the rollup's row totals. */

@@ -76,4 +76,66 @@ object Sketches {
             (lit((k - 1).toDouble) * lit(18446744073709551616.0)) /
               graft.functions.UnsignedToDouble.unsignedToDouble(col("kth_hash"))))
   }
+
+  /** KMV join-cardinality estimation — the pre-shuffle planner number:
+    * distinct-key counts per side, key-set Jaccard, and the estimated
+    * distinct-key INTERSECTION of a join, all from two constant-size
+    * sketches (k minima of the Fibonacci-mixed key hash per side, one
+    * map-combinable aggregate each). At 100 TB this is how you decide
+    * broadcast-vs-shuffle or flag a blowup join BEFORE paying the
+    * exchange: the sketches cost one narrow scan per side and merge by
+    * taking minima-of-minima — the Beyer et al. (PODS'07) KMV set-
+    * operation estimators.
+    *
+    *   est_distinct   = (k−1)·2⁶⁴ / kth_min        (exact below k)
+    *   est_jaccard    = |topk(A∪B) ∩ A ∩ B| / |topk(A∪B)|
+    *   est_intersection = est_jaccard · est_union
+    *
+    * Determinism: the k minima of a fixed hash are a pure function of
+    * the data (no rand, no HLL bias) — every number here is
+    * oracle-checked exactly. Unsigned ordering of the merged sketch
+    * rides the sign-bit flip (x ⊕ 2⁶³ preserves unsigned order in the
+    * signed domain); the twin sorts native HUGEINTs.
+    *
+    * Scale shape: two map-combinable 1-row sketch aggregates (state =
+    * k longs each), then pure array expressions on a 1×1 crossJoin —
+    * nothing after the scans is data-proportional. */
+  def joinCardinalityEstimate(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String, k: Int = 256): DataFrame = {
+    val gold = lit(-7046029254386353131L) // 11400714819323198485 signed
+    val MIN = lit(Long.MinValue)
+    def sketch(df: DataFrame, key: String, as: String): DataFrame =
+      df.select((col(key).cast("long") * gold).as("h"))
+        .agg(graft.functions.KmvSketch.kmvSketch(col("h"), k).as(as))
+    val merged = sketch(left, leftKey, "la")
+      .crossJoin(sketch(right, rightKey, "lb"))
+      .withColumn("mu", slice(array_sort(array_distinct(
+        transform(concat(col("la"), col("lb")), x => x.bitwiseXOR(MIN)))),
+        1, k))
+      .withColumn("n_union_topk", size(col("mu")).cast("long"))
+      .withColumn("n_common_topk",
+        size(filter(col("mu"), x =>
+          array_contains(col("la"), x.bitwiseXOR(MIN)) &&
+            array_contains(col("lb"), x.bitwiseXOR(MIN)))).cast("long"))
+    def est(arr: Column): Column =
+      when(size(arr) < k, size(arr).cast("double"))
+        .otherwise((lit((k - 1).toDouble) * lit(18446744073709551616.0)) /
+          graft.functions.UnsignedToDouble.unsignedToDouble(
+            element_at(arr, k)))
+    val withEsts = merged
+      .withColumn("est_distinct_left", est(col("la")))
+      .withColumn("est_distinct_right", est(col("lb")))
+      .withColumn("est_union",
+        when(col("n_union_topk") < k, col("n_union_topk").cast("double"))
+          .otherwise((lit((k - 1).toDouble) * lit(18446744073709551616.0)) /
+            graft.functions.UnsignedToDouble.unsignedToDouble(
+              element_at(col("mu"), k).bitwiseXOR(MIN))))
+      .withColumn("est_jaccard",
+        col("n_common_topk").cast("double")
+          / col("n_union_topk").cast("double"))
+    withEsts.select(col("est_distinct_left"), col("est_distinct_right"),
+      col("n_union_topk"), col("n_common_topk"), col("est_union"),
+      col("est_jaccard"),
+      (col("est_jaccard") * col("est_union")).as("est_intersection"))
+  }
 }

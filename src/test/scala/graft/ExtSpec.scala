@@ -1816,6 +1816,20 @@ class ExtSpec extends SparkSpec {
     assert(out.values.forall(_.getAs[Double]("kl_divergence") > 0.0))
   }
 
+  test("joinCardinalityEstimate: exact below k on a known overlap") {
+    val left = (1L to 10L).toDF("k1")
+    val right = (6L to 15L).toDF("k2")
+    val r = graft.ext.Sketches
+      .joinCardinalityEstimate(left, "k1", right, "k2", k = 256).head
+    assert(r.getAs[Double]("est_distinct_left") == 10.0)
+    assert(r.getAs[Double]("est_distinct_right") == 10.0)
+    assert(r.getAs[Long]("n_union_topk") == 15L)
+    assert(r.getAs[Long]("n_common_topk") == 5L)
+    assert(r.getAs[Double]("est_union") == 15.0)
+    assert(r.getAs[Double]("est_jaccard") == 5.0 / 15.0)
+    assert(r.getAs[Double]("est_intersection") == (5.0 / 15.0) * 15.0)
+  }
+
   test("eventTransitions: per-user chains counted, probabilities sum to 1") {
     import java.sql.Timestamp
     def ts(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
