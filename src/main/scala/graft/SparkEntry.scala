@@ -1145,6 +1145,18 @@ object SparkEntry {
     // and packing planning; weighted-frequency percentile state)
     "length_quantiles" -> prep((s, d) =>
       TextAnalysis.lengthQuantiles(docs(s, d)).orderBy("source")),
+    // equi-depth value histogram (10 ~equal-mass bins with ranges;
+    // the tail-adaptive distribution summary, exact-percentile cuts)
+    "equidepth_histogram" -> prep((s, d) =>
+      Profiling.equiDepthHistogram(
+        s.read.parquet(s"$d/events.parquet"), "value")
+        .orderBy("bin")),
+    // join-key skew pre-flight: hottest keys + skew-vs-mean ratio
+    // (sizes the salt factor before a 100 TB join)
+    "skew_report" -> prep((s, d) =>
+      SkewJoin.skewReport(
+        s.read.parquet(s"$d/events.parquet"), "event_type")
+        .orderBy("key_value")),
     // KMV join-size estimation (Beyer et al. set-operation estimators):
     // distinct keys per side + key-overlap estimate from two constant-
     // size sketches — the broadcast-vs-shuffle decision BEFORE the
@@ -1540,6 +1552,8 @@ object SparkEntry {
     "dedup_normalized" -> ExtOracle.dedupNormalized,
     "event_transitions" -> ExtOracle.eventTransitions,
     "join_cardinality" -> ExtOracle.joinCardinality,
+    "skew_report" -> ExtOracle.skewReport,
+    "equidepth_histogram" -> ExtOracle.equiDepthHistogram,
     "length_quantiles" -> ExtOracle.lengthQuantiles,
     "cluster_size_histogram" -> ExtOracle.clusterSizeHistogram,
   )

@@ -550,6 +550,45 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 ${ord("a_id", "b_id")}""".trim
   }
 
+  /** Twin of Profiling.equiDepthHistogram(events.value, 10): integer-
+    * cents counts, exact quantile_cont boundaries (the pin_q6
+    * interpolation contract against Spark's weighted percentile),
+    * strictly-greater boundary counting, |bins|-row rollup. */
+  val equiDepthHistogram: String = {
+    val fracs = (1 until 10).map(i => i.toDouble / 10).mkString(", ")
+    s"""
+WITH q AS (SELECT CAST(round(value*100) AS BIGINT) AS cv FROM events),
+qb AS (SELECT quantile_cont(cv, [$fracs]) AS qs FROM q),
+qa AS (
+  SELECT cv, CAST(list_sum(list_transform(qb.qs,
+    x -> CASE WHEN CAST(cv AS DOUBLE) > x THEN 1 ELSE 0 END))
+    AS BIGINT) AS bin
+  FROM q, qb)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  MIN(cv) AS min_cents, MAX(cv) AS max_cents
+FROM qa GROUP BY bin
+${ord("bin")}""".trim
+  }
+
+  /** Twin of SkewJoin.skewReport(events, event_type, 10): key counts,
+    * 1-row totals, identical share/skew double divisions, top-10
+    * (n_rows DESC, key ASC). */
+  val skewReport: String = s"""
+WITH c AS (
+  SELECT CAST(event_type AS VARCHAR) AS key_value,
+    CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY event_type),
+t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS t,
+  CAST(COUNT(*) AS BIGINT) AS n_keys FROM c),
+r AS (
+  SELECT key_value, n_rows, t.n_keys,
+    CAST(n_rows AS DOUBLE) / CAST(t.t AS DOUBLE) AS share,
+    CAST(n_rows AS DOUBLE)
+      / (CAST(t.t AS DOUBLE) / CAST(t.n_keys AS DOUBLE)) AS skew_vs_mean
+  FROM c, t ORDER BY n_rows DESC, key_value ASC LIMIT 10)
+SELECT key_value, n_rows, n_keys, share, skew_vs_mean FROM r
+${ord("key_value")}""".trim
+
   /** Twin of Sketches.joinCardinalityEstimate(orders.o_custkey ×
     * customer.c_custkey, k=256): per-side KMV minima over the split-
     * multiply Fibonacci mix (native HUGEINT unsigned order — the

@@ -111,6 +111,39 @@ object Profiling {
           .as("n_right_only"))
   }
 
+  /** Equi-depth histogram — `bins` buckets holding ~equal row counts
+    * with their value ranges: the distribution summary feature
+    * engineering and optimizer statistics both want (equi-WIDTH bins
+    * collapse under heavy tails; equi-depth adapts resolution to the
+    * mass). Boundary values are the exact weighted percentiles of the
+    * integer-cents-quantized values (the Profiling money rule), bin
+    * assignment counts boundaries strictly below the value — ties land
+    * deterministically in the lowest eligible bin on both engines.
+    *
+    * Scale shape: values collapse to (cents, freq) counts first
+    * (map-side combinable, state = |distinct values|); boundaries are
+    * ONE 1-row exact-percentile aggregate over that table, broadcast;
+    * binning is a scan-side HOF over the boundary array; the final
+    * rollup is |bins| rows. */
+  def equiDepthHistogram(df: DataFrame, valueCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least two bins")
+    val counts = df
+      .select(round(col(valueCol).cast("double") * 100).cast("long").as("cv"))
+      .groupBy(col("cv")).agg(count(lit(1)).as("__f"))
+    val fracs = (1 until bins).map(i => i.toDouble / bins)
+    val bounds = counts.agg(
+      expr(s"percentile(cv, array(${fracs.mkString(", ")}), __f)").as("__b"))
+    counts.crossJoin(broadcast(bounds))
+      .select(col("cv"), col("__f"),
+        aggregate(col("__b"), lit(0),
+          (acc, b) => acc + when(col("cv").cast("double") > b, 1)
+            .otherwise(0)).cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(sum(col("__f")).as("n_rows"),
+        min(col("cv")).as("min_cents"), max(col("cv")).as("max_cents"))
+  }
+
   /** k-anonymity audit — the re-identification risk report for a
     * table about to be released or joined into training data: rows
     * whose quasi-identifier combination (`quasiCols`) is shared by

@@ -114,4 +114,29 @@ object SkewJoin {
   /** Above this many hot keys the IN-literal plan is replaced by a
     * broadcast join against the hot-key frame. */
   private val inlineHotKeyLimit = 100
+
+  /** Join-key skew report — the pre-flight diagnostic behind
+    * `saltedInnerHotKeys`' detection pass, exposed as a table: the
+    * top-`topK` hottest key values with their row share and skew
+    * ratio vs the mean key. Read it BEFORE a 100 TB join to size the
+    * salt factor (skew_vs_mean ≈ how many reducers the hot key needs)
+    * or to decide the key needs filtering instead of salting.
+    *
+    * Scale shape: one map-side-combinable key count, a 1-row total
+    * broadcast, TakeOrderedAndProject for the top-k. Exact integer
+    * counts; share/skew are single double divisions. */
+  def skewReport(df: DataFrame, key: String, topK: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(key).cast("string").as("key_value"))
+      .agg(count(lit(1)).as("n_rows"))
+    val tot = counts.agg(sum(col("n_rows")).as("t"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("key_value"), col("n_rows"), col("n_keys"),
+        (col("n_rows").cast("double") / col("t").cast("double")).as("share"),
+        (col("n_rows").cast("double")
+          / (col("t").cast("double") / col("n_keys").cast("double")))
+          .as("skew_vs_mean"))
+      .orderBy(col("n_rows").desc, col("key_value").asc)
+      .limit(topK)
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Dedup, Multimodal, Profiling, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Profiling, Sampling, Similarity, SkewJoin, TextAnalysis}
 import graft.functions.PolyHash64.polyhash64
 
 /** Specs for the training-data extension operators on crafted inputs
@@ -1814,6 +1814,31 @@ class ExtSpec extends SparkSpec {
     assert(out("s1").getAs[Long]("n_tokens") == 3L)
     assert(out("s1").getAs[Double]("kl_divergence") == expS1)
     assert(out.values.forall(_.getAs[Double]("kl_divergence") > 0.0))
+  }
+
+  test("skewReport: hot key share and skew ratio hand-computed") {
+    val d = (Seq.fill(8)("hot") ++ Seq("a", "b")).toDF("k")
+    val out = SkewJoin.skewReport(d, "k").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("hot").getAs[Long]("n_rows") == 8)
+    assert(out("hot").getAs[Double]("share") == 0.8)
+    // mean rows/key = 10/3; skew = 8 / (10/3) = 2.4
+    assert(out("hot").getAs[Double]("skew_vs_mean") == 8.0 / (10.0 / 3.0))
+    assert(out("a").getAs[Double]("skew_vs_mean") == 1.0 / (10.0 / 3.0))
+  }
+
+  test("equiDepthHistogram: bins partition rows, ranges ordered") {
+    val d = (1 to 100).map(_.toDouble / 10).toDF("value")
+    val out = Profiling.equiDepthHistogram(d, "value", bins = 10).collect()
+      .sortBy(_.getLong(0))
+    assert(out.length == 10)
+    assert(out.map(_.getAs[Long]("n_rows")).sum == 100)
+    // equi-depth on 100 distinct values: every bin holds ~10 rows
+    assert(out.forall(r => math.abs(r.getAs[Long]("n_rows") - 10L) <= 1))
+    // ranges are disjoint and increasing
+    out.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getAs[Long]("max_cents") < hi.getAs[Long]("min_cents"))
+    }
   }
 
   test("joinCardinalityEstimate: exact below k on a known overlap") {
