@@ -194,6 +194,19 @@ object ScaleProbe {
         pmod(col("doc_id"), lit(20)).cast("string")))
       t("klDivergence", n)(TextAnalysis.klDivergence(srcd).count())
       t("vocabCoverage", n)(TextAnalysis.vocabCoverage(docs).count())
+      // round-8 fourth batch: PMI (bigram counts corpus-proportional,
+      // the minCount gate keeps the join sliver small), perceptual-
+      // hash image dedup (narrow resize map + chunk-blocked pairs —
+      // rows linear under constant dup rate), CCNet bucketing (the
+      // lmQuality chain + broadcast cuts — must track lmQuality), and
+      // the KMV join estimator (constant sketch state — flat)
+      t("bigramPmi", n)(TextAnalysis.bigramPmi(docs).count())
+      t("imageDupCandidates", n)(Multimodal.imageDupCandidates(
+        spark, Multimodal.toAssets(
+          docs.withColumn("n_chars", length(col("text")).cast("long")))).count())
+      t("lmQualityBuckets", n)(TextAnalysis.lmQualityBuckets(srcd).count())
+      t("joinCardinality", n)(Sketches.joinCardinalityEstimate(
+        docs, "doc_id", emb, "vec_id").count())
     }
     spark.stop()
   }

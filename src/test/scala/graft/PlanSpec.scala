@@ -458,4 +458,32 @@ class PlanSpec extends SparkSpec {
     assert(h.toSeq == Seq("0", "1", "2", "3").map(s =>
       s.getBytes("UTF-8").foldLeft(0L)((acc, b) => acc * 1000003L + (b & 0xffL))))
   }
+
+  test("vocabCoverage: max-cut head is TakeOrderedAndProject, no vocab-wide sort") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ext.TextAnalysis.vocabCoverage(d))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"head cut must be map-side pruned:\n${p.take(1500)}")
+  }
+
+  test("winnowCandidates: fp self-join is shuffle-merged, never broadcast") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ext.Dedup.winnowCandidates(d))
+    assert(p.contains("SortMergeJoin"),
+      s"fingerprint self-join must be shuffle-merged:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), "no cartesian products")
+  }
+
+  test("temperatureWeights: pure length projection, no token explode") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ext.Sampling.temperatureWeights(d))
+    assert(!p.contains("Generate"),
+      s"token counting must be size(split), not an explode:\n${p.take(1500)}")
+  }
+
+  test("skewReport: top-k is TakeOrderedAndProject over one count agg") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val p = plan(graft.ext.SkewJoin.skewReport(ev, "event_type"))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k cut:\n${p.take(1500)}")
+  }
 }
