@@ -1206,12 +1206,34 @@ object SparkEntry {
     "dup_graph_transitivity" -> prep((s, d) =>
       Dedup.dupGraphTransitivity(Dedup.minhashLshPairsPortable(docs(s, d)))),
     // perceptual-hash (aHash) image near-dup candidates over the
-    // multimodal assets: 8x8 box resize -> 64-bit hash -> the simhash
-    // chunk blocking; the image-side dedup tier
-    "image_dup_candidates" -> prep((s, d) =>
-      graft.ext.Multimodal.imageDupCandidates(s,
-        graft.ext.Multimodal.toAssets(docs(s, d)))
-        .orderBy("a_id", "b_id")),
+    // multimodal assets plus injected near-variants (one appended
+    // byte perturbs the thumbnail a few bits): 8x8 box resize ->
+    // 64-bit hash -> exact-hash GROUP collapse -> simhash chunk
+    // blocking over distinct hashes; representative pairs carry
+    // group sizes (the quadratic-mass fix the ScaleProbe trajectory
+    // forced)
+    "image_dup_candidates" -> prep((s, d) => {
+      val base = docs(s, d)
+      // uppercasing the first 12 chars drops that thumbnail cell's
+      // mean by ~32 — flips a FEW bits, not zero and not all; width
+      // 32 keeps the fixture thumbnails 2-D (the n_chars-wide layout
+      // makes single-row images whose 8 thumbnail rows all repeat —
+      // hamming then quantizes to multiples of 8 and nothing lands
+      // within <= 3)
+      val variants = base.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        expr("concat(upper(substring(text, 1, 12)), substring(text, 13))")
+          .as("text"))
+      val assets = base.select(col("doc_id"), col("text"))
+        .unionByName(variants)
+        .select(col("doc_id").as("asset_id"),
+          encode(col("text"), "UTF-8").as("media"),
+          element_at(array(lit("png"), lit("jpeg"), lit("webp")),
+            (col("doc_id") % 3 + 1).cast("int")).as("format"),
+          lit(32).as("width"), lit(32).as("height"))
+      graft.ext.Multimodal.imageDupCandidates(s, assets)
+        .orderBy("a_id", "b_id")
+    }),
     // top-50 PMI collocations (phrase mining; minCount=5 Zipf-tail
     // gate before any join, TakeOrderedAndProject cut)
     "bigram_pmi" -> prep((s, d) =>

@@ -469,14 +469,16 @@ ${ord("asset_id")}""".trim
     * filter (source box [x0,x1)×[y0,y1) per output cell, floor-mean,
     * boxes overlap when a source dim < 8) through per-cell values
     * `cellv` (asset_id, ox, oy, cv). `multimodalResize` and the
-    * perceptual-hash dedup twin splice it. */
-  protected lazy val resizeCellChain: String = s"""
+    * perceptual-hash dedup twin splice it; `src` names the input
+    * relation (documents, or an injected-variant CTE). */
+  protected def resizeCellChain(src: String = "documents",
+      wExpr: String = "CAST(n_chars % 640 + 16 AS BIGINT)"): String = s"""
 a AS (
   SELECT doc_id AS asset_id, text,
     CAST(strlen(text) AS BIGINT) AS len,
     ['png','jpeg','webp'][CAST(doc_id % 3 + 1 AS INT)] AS format,
-    CAST(n_chars % 640 + 16 AS BIGINT) AS w
-  FROM documents),
+    $wExpr AS w
+  FROM $src),
 d AS (SELECT *, greatest((len + w - 1) // w, 1) AS h FROM a),
 boxes AS (
   SELECT asset_id, text, len, w, ox, oy,
@@ -501,7 +503,7 @@ cellv AS (
     * the byte sum of the resized payload — content-pinning,
     * engine-portable. */
   val multimodalResize: String = s"""
-WITH $resizeCellChain,
+WITH ${resizeCellChain()},
 sums AS (SELECT asset_id, CAST(SUM(cv) AS BIGINT) AS luma_sum FROM cellv GROUP BY asset_id)
 SELECT a.asset_id, a.format, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
   CAST(64 AS INT) AS n_bytes, CAST(COALESCE(s.luma_sum, 0) AS BIGINT) AS luma_sum
@@ -512,14 +514,23 @@ ${ord("asset_id")}""".trim
     * box-filter chain, aHash bits via the exact integer comparison
     * cv·64 > Σcv (missing cells are zero bytes — they can never
     * exceed the mean, identically on both sides), 64-bit value
-    * assembled in HUGEINT, re-signed for the BIGINT xor, and the same
-    * 16-bit-chunk pigeonhole blocking as the simhash twin. */
+    * assembled in HUGEINT, identical hashes collapsed to min-id
+    * representative groups BEFORE the join (the quadratic-mass
+    * collapse), re-signed BIGINT xor, the simhash twin's 16-bit-chunk
+    * blocking, group sizes joined back. */
   val imageDupCandidates: String = {
     val pow64 = "CAST('18446744073709551616' AS HUGEINT)"
     val half = "CAST('9223372036854775808' AS HUGEINT)"
     s"""
 WITH RECURSIVE
-$resizeCellChain,
+idocs AS (
+  SELECT doc_id, text, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+    upper(substring(text, 1, 12)) || substring(text, 13) AS text,
+    n_chars
+  FROM documents),
+${resizeCellChain("idocs", "CAST(32 AS BIGINT)")},
 tw(kk, p) AS (SELECT 0, CAST(1 AS HUGEINT)
   UNION ALL SELECT kk + 1, p * 2 FROM tw WHERE kk < 63),
 p2l AS MATERIALIZED (SELECT list(p ORDER BY kk) AS twos FROM tw),
@@ -532,21 +543,28 @@ hv AS (
         ELSE CAST(0 AS HUGEINT) END) AS hu
   FROM cellv c JOIN tot t USING (asset_id), p2l
   GROUP BY c.asset_id),
-sh AS (SELECT asset_id, hu,
+grp AS (
+  SELECT hu, MIN(asset_id) AS rep_id, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM hv GROUP BY hu),
+sh AS (SELECT rep_id, n_members, hu,
   CAST(CASE WHEN hu >= $half THEN hu - $pow64 ELSE hu END AS BIGINT) AS sig
-  FROM hv),
+  FROM grp),
 chunked AS (
-  SELECT asset_id, sig, t.c AS chunk_no,
+  SELECT rep_id, sig, t.c AS chunk_no,
     CAST((hu // p2l.twos[t.c * 16 + 1]) % 65536 AS BIGINT) AS chunk
   FROM sh, generate_series(0, 3) t(c), p2l),
 cand AS (
-  SELECT DISTINCT a.asset_id AS a_id, b.asset_id AS b_id,
+  SELECT DISTINCT a.rep_id AS a_id, b.rep_id AS b_id,
     a.sig AS sa, b.sig AS sb
   FROM chunked a JOIN chunked b
     ON a.chunk_no = b.chunk_no AND a.chunk = b.chunk
-      AND a.asset_id < b.asset_id)
-SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+      AND a.rep_id < b.rep_id)
+SELECT c.a_id, c.b_id, CAST(bit_count(xor(c.sa, c.sb)) AS INT) AS hamming,
+  ga.n_members AS n_a, gb.n_members AS n_b
+FROM cand c
+JOIN grp ga ON ga.rep_id = c.a_id
+JOIN grp gb ON gb.rep_id = c.b_id
+WHERE bit_count(xor(c.sa, c.sb)) <= 3
 ${ord("a_id", "b_id")}""".trim
   }
 

@@ -182,18 +182,33 @@ object Multimodal {
     * asset is box-resized to 8×8, hashed to 64 bits (bit i set iff
     * pixel_i exceeds the thumbnail mean — computed as the EXACT
     * integer comparison `px_i·64 > Σpx`, no double rounding), and
-    * pairs within `maxHamming` surface through the same 16-bit-chunk
-    * pigeonhole blocking as `Dedup.simhashPairsPortable` (sound for
-    * maxHamming ≤ 3; the require in the shared joiner enforces it).
+    * near-hash pairs within `maxHamming` surface through the same
+    * 16-bit-chunk pigeonhole blocking as `Dedup.simhashPairsPortable`
+    * (sound for maxHamming ≤ 3; the require in the shared joiner
+    * enforces it).
+    *
+    * IDENTICAL hashes collapse to one representative GROUP before the
+    * join — this is load-bearing, not cosmetic: popular images (logos,
+    * blank thumbnails, template banners) put millions of assets on ONE
+    * hash value, and a pairwise join would emit |group|² rows for mass
+    * that is really one exact-dup cluster (the first cut did exactly
+    * that; the ScaleProbe trajectory went quadratic — 448M pairs at
+    * 64×, 692 s — and this collapse restored linearity). Output rows
+    * are representative pairs (a_id, b_id, hamming, n_a, n_b): the
+    * pair stands for n_a·n_b asset pairs, and within-group exact dups
+    * are the n ≥ 2 group sizes themselves (hamming 0 by definition,
+    * never emitted pairwise).
     *
     * The decode inside `resize` is the stubbed codec seam — with a
-    * real decoder this IS dHash/aHash image dedup; everything after
-    * the thumbnail is engine arithmetic the oracle recomputes.
+    * real decoder this IS aHash image dedup; everything after the
+    * thumbnail is engine arithmetic the oracle recomputes.
     *
-    * Scale shape: hash = narrow per-partition map (no shuffle);
-    * candidates = the chunk-blocked self-join (4 narrow (chunk_no,
-    * chunk)-keyed exchanges, never all-pairs); verify = exact
-    * bit_count on the sliver. */
+    * Scale shape: hash = narrow per-partition map (no shuffle); the
+    * group collapse is one map-combinable groupBy on the 64-bit hash;
+    * candidates = the chunk-blocked self-join over DISTINCT hash
+    * values (bounded by hash diversity, not corpus size); verify =
+    * exact bit_count on the sliver; group sizes join back on the
+    * representative key. */
   def imageDupCandidates(spark: SparkSession, assets: DataFrame,
       maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
@@ -209,7 +224,18 @@ object Multimodal {
         i += 1
       }
       (r.asset_id, h)
-    }.toDF("doc_id", "simhash")
-    Dedup.simhashPairsFrom(hashed, maxHamming)
+    }.toDF("asset_id", "ahash")
+    val groups = hashed.groupBy(col("ahash"))
+      .agg(min(col("asset_id")).as("rep_id"),
+        count(lit(1)).as("n_members"))
+    val pairs = Dedup.simhashPairsFrom(
+      groups.select(col("rep_id").as("doc_id"), col("ahash").as("simhash")),
+      maxHamming)
+    val sizes = groups.select(col("rep_id"), col("n_members"))
+    pairs
+      .join(sizes.toDF("a_id", "n_a"), "a_id")
+      .join(sizes.toDF("b_id", "n_b"), "b_id")
+      .select(col("a_id"), col("b_id"), col("hamming"),
+        col("n_a"), col("n_b"))
   }
 }

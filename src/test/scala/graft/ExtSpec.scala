@@ -1963,17 +1963,24 @@ class ExtSpec extends SparkSpec {
     assert(empty.getAs[Long]("n_wedges") == 0 && empty.isNullAt(4))
   }
 
-  test("imageDupCandidates: identical thumbs pair at 0, complements never") {
+  test("imageDupCandidates: exact dups collapse to a group, near pair found") {
     val asc = Array.tabulate(64)(_.toByte)            // mean 31.5: bits 32..63
+    // one byte dropped below the mean: exactly bit 40 flips (the new
+    // sum 1996 moves no other byte across its threshold)
+    val near = asc.clone(); near(40) = 20.toByte
     val desc = Array.tabulate(64)(i => (63 - i).toByte) // mirrored bits 0..31
     val assets = Seq(
       (1L, asc, "png", 8, 8), (2L, asc, "png", 8, 8),
-      (3L, desc, "png", 8, 8)
+      (3L, near, "png", 8, 8), (4L, desc, "png", 8, 8)
     ).toDF("asset_id", "media", "format", "width", "height")
     val pairs = Multimodal.imageDupCandidates(spark, assets).collect()
+    // identical thumbs 1,2 are ONE group (no pairwise row — the
+    // quadratic-mass collapse); the near variant pairs with its rep
     assert(pairs.length == 1)
-    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L &&
-      pairs.head.getInt(2) == 0, "identical payloads hash identically")
+    val p = pairs.head
+    assert(p.getLong(0) == 1L && p.getLong(1) == 3L && p.getInt(2) == 1)
+    assert(p.getAs[Long]("n_a") == 2L && p.getAs[Long]("n_b") == 1L,
+      "group sizes carry the exact-dup mass")
     // the mirrored image flips every bit: hamming 64, no shared chunk
   }
 
