@@ -1157,6 +1157,12 @@ object SparkEntry {
       SkewJoin.skewReport(
         s.read.parquet(s"$d/events.parquet"), "event_type")
         .orderBy("key_value")),
+    // native Count-Min point frequencies (second native
+    // TypedImperativeAggregate): constant 4x1024 matrix state, every
+    // cell oracle-recomputed; exact counts as the honesty column
+    "cms_token_freq" -> prep((s, d) =>
+      graft.ext.Sketches.cmsTokenFreq(docs(s, d),
+        Seq("spark", "merge", "vector")).orderBy("token")),
     // KMV join-size estimation (Beyer et al. set-operation estimators):
     // distinct keys per side + key-overlap estimate from two constant-
     // size sketches — the broadcast-vs-shuffle decision BEFORE the
@@ -1576,6 +1582,7 @@ object SparkEntry {
     "join_cardinality" -> ExtOracle.joinCardinality,
     "skew_report" -> ExtOracle.skewReport,
     "equidepth_histogram" -> ExtOracle.equiDepthHistogram,
+    "cms_token_freq" -> ExtOracle.cmsTokenFreq,
     "length_quantiles" -> ExtOracle.lengthQuantiles,
     "cluster_size_histogram" -> ExtOracle.clusterSizeHistogram,
   )

@@ -1163,6 +1163,59 @@ FROM ksel
 ${ord("source")}""".trim
   }
 
+  /** Twin of Sketches.cmsTokenFreq(probes spark/merge/vector, 4×1024):
+    * the Count-Min matrix recomputed cell-exactly — per distinct token
+    * the polyhash64 power-sum, the Kirsch–Mitzenmacher affine bucket
+    * per depth row (mod-2⁶⁴ HUGEINT ≡ the engine's wrapping long & mask),
+    * bucket sums weighted by token counts, probe estimates as MIN over
+    * rows, exact counts as the honesty column. */
+  val cmsTokenFreq: String = {
+    val pow64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val gold = "CAST('11400714819323198485' AS HUGEINT)"
+    s"""
+WITH RECURSIVE
+ctoks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents),
+ctc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ctoks GROUP BY token),
+pw(kk, p) AS (SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL SELECT kk+1, (p*1000003) % $pow64 FROM pw WHERE kk < 255),
+pl AS MATERIALIZED (SELECT list(p ORDER BY kk) AS ps FROM pw),
+cth AS (
+  SELECT ctc.token, ctc.cnt,
+    COALESCE(list_sum(list_transform(string_split_regex(ctc.token, ''),
+      (c, i) -> ord(c) * pl.ps[strlen(ctc.token) - i + 1])), 0) % $pow64 AS hu
+  FROM ctc, pl),
+cbk AS (
+  SELECT t.i,
+    ((cth.hu * (2*t.i + 1) + t.i * $gold) % $pow64) % 1024 AS b,
+    CAST(SUM(cth.cnt) AS BIGINT) AS c
+  FROM cth, generate_series(0, 3) t(i)
+  GROUP BY t.i, ((cth.hu * (2*t.i + 1) + t.i * $gold) % $pow64) % 1024),
+cpr(token) AS (VALUES ('spark'), ('merge'), ('vector')),
+cph AS (
+  SELECT cpr.token,
+    COALESCE(list_sum(list_transform(string_split_regex(cpr.token, ''),
+      (c, i) -> ord(c) * pl.ps[strlen(cpr.token) - i + 1])), 0) % $pow64 AS hu
+  FROM cpr, pl),
+cpb AS (
+  SELECT cph.token, t.i,
+    ((cph.hu * (2*t.i + 1) + t.i * $gold) % $pow64) % 1024 AS b
+  FROM cph, generate_series(0, 3) t(i)),
+cpe AS (
+  SELECT cpb.token, CAST(MIN(COALESCE(cbk.c, 0)) AS BIGINT) AS est_freq
+  FROM cpb LEFT JOIN cbk ON cbk.i = cpb.i AND cbk.b = cpb.b
+  GROUP BY cpb.token),
+cfin AS (
+  SELECT cpe.token AS token, cpe.est_freq,
+    CAST(COALESCE(ctc.cnt, 0) AS BIGINT) AS exact_freq,
+    cpe.est_freq - CAST(COALESCE(ctc.cnt, 0) AS BIGINT) AS overestimate
+  FROM cpe LEFT JOIN ctc ON ctc.token = cpe.token)
+SELECT token, est_freq, exact_freq, overestimate FROM cfin
+${ord("token")}""".trim
+  }
+
   /** Twin of TextAnalysis.klDivergence: (source, tok) counts, corpus
     * counts rolled up FROM them, both log-probs quantized
     * round(ln·10⁶) as BIGINT before the HUGEINT-weighted sum (the

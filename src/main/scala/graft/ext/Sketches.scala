@@ -77,6 +77,54 @@ object Sketches {
               graft.functions.UnsignedToDouble.unsignedToDouble(col("kth_hash"))))
   }
 
+  /** Point token frequencies from the NATIVE Count-Min aggregate
+    * (`graft.functions.CmsSketch`) — the engine-checkable counterpart
+    * to `tokenCountMin` (which rides `df.stat.countMinSketch`, a
+    * driver-side object with engine-opaque seeds): the whole
+    * depth×width counter matrix is one mergeable aggregate with
+    * CONSTANT state (32 KB at 4×1024), built in a single
+    * map-combinable pass, and every estimate is exact integer
+    * arithmetic the oracle recomputes bucket by bucket. Output per
+    * probe token: the CMS estimate (upper-biased: est ≥ true), the
+    * exact count (probe-proportional — the honesty column), and the
+    * collision overestimate.
+    *
+    * Scale shape: ONE 1-row sketch aggregate over the token-instance
+    * stream (state constant, shuffle = one matrix per partial);
+    * probe hashing is a |probes|-row projection; exact counts filter
+    * to the probe set SCAN-SIDE (probe-proportional, never
+    * vocabulary-proportional — the bm25TopK rule). */
+  def cmsTokenFreq(docs: DataFrame, probes: Seq[String],
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => bc}
+    require(probes.nonEmpty)
+    val toks = docs.select(
+      explode(split(trim(col("text")), "\\s+")).as("token"))
+    val m = toks
+      .select(graft.functions.PolyHash64.polyhash64(col("token")).as("h"))
+      .agg(graft.functions.CmsSketch.cmsSketch(col("h"), depth, width)
+        .as("m"))
+    val exact = toks.where(col("token").isin(probes.distinct: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("exact_freq"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val probeDf = probes.distinct.toDF("token")
+      .select(col("token"),
+        graft.functions.PolyHash64.polyhash64(col("token")).as("h"))
+    val cells = (0 until depth).map { i =>
+      element_at(col("m"),
+        lit(i * width + 1) +
+          ((col("h") * (2L * i + 1L) + lit(i.toLong * graft.functions.CmsSketch.GOLD))
+            .bitwiseAND(width - 1L)).cast("int"))
+    }
+    probeDf.crossJoin(bc(m))
+      .select(col("token"), least(cells: _*).as("est_freq"))
+      .join(exact, Seq("token"), "left")
+      .select(col("token"), col("est_freq"),
+        coalesce(col("exact_freq"), lit(0L)).as("exact_freq"))
+      .withColumn("overestimate", col("est_freq") - col("exact_freq"))
+  }
+
   /** KMV join-cardinality estimation — the pre-shuffle planner number:
     * distinct-key counts per side, key-set Jaccard, and the estimated
     * distinct-key INTERSECTION of a join, all from two constant-size

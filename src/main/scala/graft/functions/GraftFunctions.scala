@@ -122,7 +122,16 @@ object GraftFunctions {
           if (es.length > 1) posIntArg(es(1), "kmv_sketch", 2) else 16)
           .toAggregateExpression() },
       "kmv_sketch(hash[, k]) - AGGREGATE: the k smallest distinct hash " +
-        "values in unsigned order (KMV distinct-cardinality sketch state)"))
+        "values in unsigned order (KMV distinct-cardinality sketch state)"),
+    ("cms_sketch",
+      { es: Seq[Expression] =>
+        arity("cms_sketch", es, 1, 3)
+        CmsSketch(es.head,
+          if (es.length > 1) posIntArg(es(1), "cms_sketch", 2) else 4,
+          if (es.length > 2) posIntArg(es(2), "cms_sketch", 3) else 1024)
+          .toAggregateExpression() },
+      "cms_sketch(hash[, depth[, width]]) - AGGREGATE: Count-Min counter " +
+        "matrix (row-major array<long>), mergeable constant state"))
 
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft.functions", "", name, usage,

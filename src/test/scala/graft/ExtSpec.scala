@@ -1841,6 +1841,36 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("cmsTokenFreq: upper-biased, exact when collision-free, merge-invariant") {
+    val d = Seq(
+      (0L, "alpha alpha alpha beta"), (1L, "alpha gamma")
+    ).toDF("doc_id", "text")
+    val wide = graft.ext.Sketches
+      .cmsTokenFreq(d, Seq("alpha", "beta", "absent"), width = 1024)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(wide("alpha").getAs[Long]("est_freq") == 4L &&
+      wide("alpha").getAs[Long]("overestimate") == 0L)
+    assert(wide("beta").getAs[Long]("exact_freq") == 1L)
+    assert(wide.values.forall(r =>
+      r.getAs[Long]("est_freq") >= r.getAs[Long]("exact_freq")))
+    // width 2: collisions guaranteed somewhere -> still upper-biased
+    val tiny = graft.ext.Sketches
+      .cmsTokenFreq(d, Seq("alpha", "beta", "gamma"), width = 2)
+      .collect()
+    assert(tiny.forall(r =>
+      r.getAs[Long]("est_freq") >= r.getAs[Long]("exact_freq")))
+    assert(tiny.map(_.getAs[Long]("overestimate")).sum > 0,
+      "width 2 must collide for 3 distinct tokens")
+    // partial-merge correctness: partition layout cannot change a cell
+    val merged = graft.ext.Sketches
+      .cmsTokenFreq(d.repartition(7), Seq("alpha", "beta")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val single = graft.ext.Sketches
+      .cmsTokenFreq(d.coalesce(1), Seq("alpha", "beta")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == single)
+  }
+
   test("joinCardinalityEstimate: exact below k on a known overlap") {
     val left = (1L to 10L).toDF("k1")
     val right = (6L to 15L).toDF("k2")
