@@ -1183,6 +1183,11 @@ object SparkEntry {
           col("n_events"), col("n_hours"), col("mean_events"),
           col("var_events"), col("z"), col("is_anomaly"))
         .orderBy("event_type", "hour_str")),
+    // source vocabulary-overlap matrix (lexical mirror detector —
+    // paraphrased/translated mirrors share vocab before near-dup pairs)
+    "vocab_overlap" -> prep((s, d) =>
+      TextAnalysis.vocabOverlapMatrix(docs(s, d))
+        .orderBy("source_a", "source_b")),
     // the one-table per-source health dashboard (diversity + KL +
     // Zipf + entropy + length posture; token counts exchange-shared)
     "source_health" -> prep((s, d) =>
@@ -1583,6 +1588,7 @@ object SparkEntry {
     "skew_report" -> ExtOracle.skewReport,
     "equidepth_histogram" -> ExtOracle.equiDepthHistogram,
     "cms_token_freq" -> ExtOracle.cmsTokenFreq,
+    "vocab_overlap" -> ExtOracle.vocabOverlapMatrix,
     "length_quantiles" -> ExtOracle.lengthQuantiles,
     "cluster_size_histogram" -> ExtOracle.clusterSizeHistogram,
   )

@@ -1333,6 +1333,31 @@ FROM u, tot
 ${ord("vocab_size")}""".trim
   }
 
+  /** Twin of TextAnalysis.vocabOverlapMatrix: per-source distinct
+    * vocab, token-keyed self-join a<b, per-pair shared counts, sizes
+    * joined back, Jaccard as one double division of exact int64s. */
+  val vocabOverlapMatrix: String = s"""
+WITH st0 AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents),
+st AS (SELECT DISTINCT source, tok FROM st0),
+sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types
+  FROM st GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+    CAST(COUNT(*) AS BIGINT) AS n_shared_types
+  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT p.source_a, p.source_b, p.n_shared_types,
+  za.n_types AS n_types_a, zb.n_types AS n_types_b,
+  CAST(p.n_shared_types AS DOUBLE)
+    / CAST(za.n_types + zb.n_types - p.n_shared_types AS DOUBLE)
+    AS vocab_jaccard
+FROM pairs p
+JOIN sz za ON za.source = p.source_a
+JOIN sz zb ON zb.source = p.source_b
+${ord("source_a", "source_b")}""".trim
+
   /** Twin of TextAnalysis.sourceHealthReport: the five per-source
     * twins joined on source (each twin nests as a subquery — its
     * internal ORDER BY is inert there). */

@@ -1790,6 +1790,40 @@ object TextAnalysis {
           .as("coverage"))
   }
 
+  /** Source vocabulary-overlap matrix — per unordered source pair, the
+    * shared distinct-token count and vocabulary Jaccard: the LEXICAL
+    * mirror detector complementing `Dedup.dedupCrossSource`'s document
+    * signal (a re-hosted source shares its vocabulary long before its
+    * near-dup pairs surface — paraphrased mirrors, template families,
+    * and machine-translated copies all light up here first; a hot cell
+    * says "crawl these two against each other").
+    *
+    * Scale shape: the (source, tok) DISTINCT table is one map-side-
+    * combinable aggregate; the self-join is token-keyed and
+    * shuffle-merged (a stopword is shared by EVERY source — |sources|²
+    * fan-out per hot token is bounded by the source count, not the
+    * corpus, but the join side must still never broadcast a
+    * vocabulary-sized table); per-source vocab sizes broadcast back at
+    * |sources| rows; union = |A|+|B|−|A∩B| in exact int64. */
+  def vocabOverlapMatrix(docs: DataFrame): DataFrame = {
+    val st = docs.select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n_types"))
+    val a = st.toDF("source_a", "tok").hint("merge")
+    val b = st.toDF("source_b", "tok").hint("merge")
+    a.join(b, "tok")
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_types"))
+      .join(broadcast(sizes.toDF("source_a", "n_types_a")), "source_a")
+      .join(broadcast(sizes.toDF("source_b", "n_types_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared_types"),
+        col("n_types_a"), col("n_types_b"),
+        (col("n_shared_types").cast("double")
+          / (col("n_types_a") + col("n_types_b") - col("n_shared_types"))
+            .cast("double")).as("vocab_jaccard"))
+  }
+
   /** The per-source corpus-health dashboard — ONE table joining every
     * count-derived health signal this module computes: volume
     * (docs/tokens/types), lexical diversity (TTR, hapax rate),

@@ -1841,6 +1841,19 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("vocabOverlapMatrix: shared types and Jaccard hand-computed") {
+    val d = Seq(
+      (0L, "a b c d", "s1"), (1L, "c d e", "s2"), (2L, "x y", "s3")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.vocabOverlapMatrix(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val p = out(("s1", "s2"))
+    assert(p.getAs[Long]("n_shared_types") == 2) // c, d
+    assert(p.getAs[Long]("n_types_a") == 4 && p.getAs[Long]("n_types_b") == 3)
+    assert(p.getAs[Double]("vocab_jaccard") == 2.0 / 5.0)
+    assert(!out.contains(("s1", "s3")), "disjoint vocabularies never pair")
+  }
+
   test("cmsTokenFreq: upper-biased, exact when collision-free, merge-invariant") {
     val d = Seq(
       (0L, "alpha alpha alpha beta"), (1L, "alpha gamma")
