@@ -245,4 +245,54 @@ class PropertySpec extends AnyFunSuite {
       assert(got == want)
     }
   }
+
+  test("winnowing guarantee: any shared >= w+window-1 token run yields a shared fingerprint") {
+    import spark.implicits._
+    val word = Gen.listOfN(4, Gen.alphaLowerChar).map(_.mkString)
+    val wordsGen = Gen.listOfN(14, word)
+    // 6 = w + window - 1 for the defaults (w=3, window=4)
+    val runGen = Gen.listOfN(6, word)
+    for ((run, (pre, post)) <- samples(
+        Gen.zip(runGen, Gen.zip(wordsGen, wordsGen)), 12)) {
+      val d = Seq(
+        (0L, (pre ++ run).mkString(" ")),
+        (1L, (run ++ post).mkString(" "))
+      ).toDF("doc_id", "text")
+      val fps = graft.ext.Dedup.winnowFingerprints(d).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+      assert((fps(0L) & fps(1L)).nonEmpty,
+        s"run=${run.mkString(" ")} must surface despite offsets")
+    }
+  }
+
+  test("retrievalMetrics invariants: metrics bounded, perfect run scores 1") {
+    import spark.implicits._
+    val docsGen = Gen.listOfN(8, Gen.chooseNum(1L, 30L)).map(_.distinct)
+    for (ids <- samples(docsGen, 10).filter(_.size >= 3)) {
+      val run = ids.zipWithIndex.map { case (d, i) => (1L, d, (i + 1).toLong) }
+      val gold = ids.map(d => (1L, d))
+      val r = graft.ext.TextAnalysis.retrievalMetrics(
+        run.toDF("query_id", "doc_id", "rank"),
+        gold.toDF("query_id", "doc_id"), k = ids.size).head
+      assert(r.getAs[Double]("recall_at_k") == 1.0)
+      assert(r.getAs[Double]("mrr") == 1.0)
+      assert(r.getAs[Double]("ndcg") == 1.0, "ideal order scores exactly 1")
+    }
+  }
+
+  test("cms matrix row sums: every depth row sums to the token-instance count") {
+    import spark.implicits._
+    val docGen = Gen.listOfN(12, Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString))
+    for ((words, i) <- samples(docGen, 6).zipWithIndex) {
+      val d = Seq((i.toLong, words.mkString(" "))).toDF("doc_id", "text")
+      val m = d.select(explode(split(trim(col("text")), "\\s+")).as("t"))
+        .select(graft.functions.PolyHash64.polyhash64(col("t")).as("h"))
+        .agg(graft.functions.CmsSketch.cmsSketch(col("h"), 4, 64).as("m"))
+        .head.getSeq[Long](0)
+      (0 until 4).foreach { row =>
+        assert(m.slice(row * 64, (row + 1) * 64).sum == words.size.toLong,
+          s"row $row must conserve mass")
+      }
+    }
+  }
 }
