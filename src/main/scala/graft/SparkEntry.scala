@@ -1157,6 +1157,11 @@ object SparkEntry {
       SkewJoin.skewReport(
         s.read.parquet(s"$d/events.parquet"), "event_type")
         .orderBy("key_value")),
+    // consistent-hash resharding cost (rendezvous 1/to vs mod
+    // (to-1)/to moved keys — the re-shard planning number)
+    "reshard_report" -> prep((s, d) =>
+      Sampling.reshardReport(
+        s.read.parquet(s"$d/events.parquet"), "user_id")),
     // native Count-Min point frequencies (second native
     // TypedImperativeAggregate): constant 4x1024 matrix state, every
     // cell oracle-recomputed; exact counts as the honesty column
@@ -1589,6 +1594,7 @@ object SparkEntry {
     "equidepth_histogram" -> ExtOracle.equiDepthHistogram,
     "cms_token_freq" -> ExtOracle.cmsTokenFreq,
     "vocab_overlap" -> ExtOracle.vocabOverlapMatrix,
+    "reshard_report" -> ExtOracle.reshardReport,
     "length_quantiles" -> ExtOracle.lengthQuantiles,
     "cluster_size_histogram" -> ExtOracle.clusterSizeHistogram,
   )

@@ -501,6 +501,47 @@ res AS (
 SELECT doc_id, neg_rank, neg_doc_id FROM res
 ${ord("doc_id", "neg_rank")}""".trim
 
+  /** Twin of Sampling.reshardReport(events.user_id, 8→9): rendezvous
+    * argmax per key via the affine mix in mod-2⁶⁴ HUGEINT (user_id is
+    * non-negative, so the signed/unsigned reinterpretation is the
+    * identity), ranked (u DESC, s DESC) to match the engine's
+    * struct-max tie rule; mod comparison on the same distinct keys. */
+  val reshardReport: String = {
+    val pow64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val gold = "CAST('11400714819323198485' AS HUGEINT)"
+    s"""
+WITH ks AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS k FROM events),
+kh AS (
+  SELECT k,
+    ((CAST(k AS HUGEINT) * 2135587861) % $pow64
+      + ((CAST(k AS HUGEINT) * 2654435769) % CAST(4294967296 AS HUGEINT))
+        * CAST(4294967296 AS HUGEINT)) % $pow64 AS h
+  FROM ks),
+fan AS (
+  SELECT k, t.s,
+    ((kh.h * (2*t.s + 1)) % $pow64
+      + (t.s * $gold) % $pow64) % $pow64 AS u
+  FROM kh, generate_series(0, 8) t(s)),
+r8 AS (SELECT k, s AS rv8 FROM (
+  SELECT k, s,
+    ROW_NUMBER() OVER (PARTITION BY k ORDER BY u DESC, s DESC) AS r
+  FROM fan WHERE s < 8) WHERE r = 1),
+r9 AS (SELECT k, s AS rv9 FROM (
+  SELECT k, s,
+    ROW_NUMBER() OVER (PARTITION BY k ORDER BY u DESC, s DESC) AS r
+  FROM fan) WHERE r = 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(SUM(CASE WHEN r8.rv8 <> r9.rv9 THEN 1 ELSE 0 END) AS BIGINT)
+    AS moved_rendezvous,
+  CAST(SUM(CASE WHEN ks.k % 8 <> ks.k % 9 THEN 1 ELSE 0 END) AS BIGINT)
+    AS moved_mod,
+  CAST(SUM(CASE WHEN r8.rv8 <> r9.rv9 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS frac_rendezvous,
+  CAST(SUM(CASE WHEN ks.k % 8 <> ks.k % 9 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS frac_mod
+FROM ks JOIN r8 USING (k) JOIN r9 USING (k)""".trim
+  }
+
   /** Twin of Sampling.temperatureWeights(alpha=0.7): per-source token
     * totals (length projection), q_pow = round(pow·10⁶) BIGINT — the
     * one quantized transcendental — shares and upsample factor as the

@@ -208,6 +208,62 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment — consistent
+    * hashing in its SQL-expressible form: shard(key) = argmax over
+    * shards s of the mixed hash `key·(2s+1) + s·gold` (the portable
+    * affine family), compared in unsigned order. When the shard count
+    * changes n → n+1, ONLY the keys whose argmax lands on the new
+    * shard move (≈ 1/(n+1) of them) — vs `key mod n`, which reshuffles
+    * ≈ n/(n+1) of the corpus. Pure projection: every row computes n
+    * products and one argmax scan-side, no shuffle, no ring state. */
+  def rendezvousShard(key: Column, n: Int): Column = {
+    require(n >= 1)
+    val MIN = lit(Long.MinValue)
+    val gold = lit(-7046029254386353131L)
+    // the key is Fibonacci-mixed FIRST: the affine family assumes a
+    // full-range 64-bit input (it only reweights per shard), and raw
+    // small ids would leave s·gold dominating — one shard wins for
+    // every key and "consistent" hashing degenerates to all-move
+    // (caught by the gate's frac_rendezvous = 1.0 on the first cut).
+    // unsigned argmax via the sign-bit flip; ties (u equal) break to
+    // the LARGER shard id — array_max on struct compares fieldwise,
+    // and the twin ranks (u DESC, s DESC) to match
+    val h = key.cast("long") * gold
+    array_max(transform(sequence(lit(0), lit(n - 1)), s =>
+      struct(
+        (h * (s.cast("long") * 2L + 1L)
+          + s.cast("long") * gold).bitwiseXOR(MIN).as("u"),
+        s.cast("long").as("s")))).getField("s")
+  }
+
+  /** Resharding-cost report — the number a 100 TB re-shard decision
+    * needs BEFORE touching data: how many keys move when the shard
+    * count goes `from` → `to`, under rendezvous hashing vs the naive
+    * `mod` layout. Consistent hashing's selling point made measurable:
+    * rendezvous moves ≈ 1/to of keys, mod moves ≈ (to−1)/to — a
+    * 10× data-movement difference at typical counts, which is the
+    * difference between an overnight re-shard and a week-long one.
+    *
+    * Scale shape: distinct keys (map-combinable), then ONE 1-row
+    * aggregate over scan-side shard projections; nothing pairwise,
+    * no driver state. */
+  def reshardReport(df: DataFrame, keyCol: String, from: Int = 8,
+      to: Int = 9): DataFrame = {
+    val k = df.select(col(keyCol).cast("long").as("k")).distinct()
+    k.agg(count(lit(1)).as("n_keys"),
+        sum(when(rendezvousShard(col("k"), from)
+          =!= rendezvousShard(col("k"), to), 1L).otherwise(0L))
+          .as("moved_rendezvous"),
+        sum(when(pmod(col("k"), lit(from.toLong))
+          =!= pmod(col("k"), lit(to.toLong)), 1L).otherwise(0L))
+          .as("moved_mod"))
+      .select(col("n_keys"), col("moved_rendezvous"), col("moved_mod"),
+        (col("moved_rendezvous").cast("double") / col("n_keys").cast("double"))
+          .as("frac_rendezvous"),
+        (col("moved_mod").cast("double") / col("n_keys").cast("double"))
+          .as("frac_mod"))
+  }
+
   /** Temperature-scaled mixture weights — the multilingual/multi-source
     * sampling rule (mBERT/XLM-R style): source s is sampled with
     * probability ∝ (tokens_s)^α, α ∈ (0, 1], which upsamples small

@@ -1841,6 +1841,25 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("rendezvousShard: HRW stability — a key only ever moves TO the new shard") {
+    val keys = (1L to 400L).toDF("k")
+    val both = keys.select(col("k"),
+      Sampling.rendezvousShard(col("k"), 8).as("s8"),
+      Sampling.rendezvousShard(col("k"), 9).as("s9")).collect()
+    both.foreach { r =>
+      val (s8, s9) = (r.getLong(1), r.getLong(2))
+      assert(s8 >= 0 && s8 < 8 && s9 >= 0 && s9 < 9)
+      // the defining consistent-hashing property: adding shard 8
+      // either leaves the key in place or moves it to shard 8
+      assert(s9 == s8 || s9 == 8L, s"key ${r.getLong(0)}: $s8 -> $s9")
+    }
+    val moved = both.count(r => r.getLong(1) != r.getLong(2))
+    assert(moved > 0 && moved < 400 / 4, s"~1/9 expected, got $moved/400")
+    val rep = Sampling.reshardReport(keys, "k").head
+    assert(rep.getAs[Long]("moved_rendezvous") == moved.toLong)
+    assert(rep.getAs[Double]("frac_mod") > rep.getAs[Double]("frac_rendezvous") * 3)
+  }
+
   test("vocabOverlapMatrix: shared types and Jaccard hand-computed") {
     val d = Seq(
       (0L, "a b c d", "s1"), (1L, "c d e", "s2"), (2L, "x y", "s3")
