@@ -1157,6 +1157,11 @@ object SparkEntry {
       SkewJoin.skewReport(
         s.read.parquet(s"$d/events.parquet"), "event_type")
         .orderBy("key_value")),
+    // PSI value-distribution drift between time halves (the model-
+    // monitoring staple; sum of psi_contrib IS the PSI)
+    "psi_drift" -> prep((s, d) =>
+      Profiling.psiDrift(s.read.parquet(s"$d/events.parquet"))
+        .orderBy("bin")),
     // consistent-hash resharding cost (rendezvous 1/to vs mod
     // (to-1)/to moved keys — the re-shard planning number)
     "reshard_report" -> prep((s, d) =>
@@ -1595,6 +1600,7 @@ object SparkEntry {
     "cms_token_freq" -> ExtOracle.cmsTokenFreq,
     "vocab_overlap" -> ExtOracle.vocabOverlapMatrix,
     "reshard_report" -> ExtOracle.reshardReport,
+    "psi_drift" -> ExtOracle.psiDrift,
     "length_quantiles" -> ExtOracle.lengthQuantiles,
     "cluster_size_histogram" -> ExtOracle.clusterSizeHistogram,
   )

@@ -588,6 +588,49 @@ FROM qa GROUP BY bin
 ${ord("bin")}""".trim
   }
 
+  /** Twin of Profiling.psiDrift(events.value, 10 bins): integer-µs
+    * midpoint split, reference-half quantile_cont boundaries (the
+    * pin_q6 interpolation contract), strictly-greater binning, add-1
+    * smoothed shares, quantized-log PSI contributions. */
+  val psiDrift: String = {
+    val fracs = (1 until 10).map(i => i.toDouble / 10).mkString(", ")
+    s"""
+WITH pb AS (
+  SELECT CAST(round(value*100) AS BIGINT) AS cv, epoch_us(ts) AS us
+  FROM events),
+pm AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM pb),
+pc AS (
+  SELECT cv, (us < pm.mid) AS is_ref, CAST(COUNT(*) AS BIGINT) AS f
+  FROM pb, pm GROUP BY cv, (us < pm.mid)),
+pqe AS (
+  SELECT quantile_cont(cv, [$fracs]) AS qs
+  FROM pb, pm WHERE us < pm.mid),
+pa AS (
+  SELECT is_ref, f,
+    CAST(list_sum(list_transform(pqe.qs,
+      x -> CASE WHEN CAST(cv AS DOUBLE) > x THEN 1 ELSE 0 END))
+      AS BIGINT) AS bin
+  FROM pc, pqe),
+pg AS (
+  SELECT bin,
+    CAST(SUM(CASE WHEN is_ref THEN f ELSE 0 END) AS BIGINT) AS n_ref,
+    CAST(SUM(CASE WHEN NOT is_ref THEN f ELSE 0 END) AS BIGINT) AS n_cur
+  FROM pa GROUP BY bin),
+pt AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+  CAST(SUM(n_cur) AS BIGINT) AS t_cur FROM pg),
+pp AS (
+  SELECT bin, n_ref, n_cur,
+    CAST(n_ref + 1 AS DOUBLE) / CAST(pt.t_ref + 10 AS DOUBLE) AS p_ref,
+    CAST(n_cur + 1 AS DOUBLE) / CAST(pt.t_cur + 10 AS DOUBLE) AS p_cur
+  FROM pg, pt)
+SELECT bin, n_ref, n_cur, p_ref, p_cur,
+  (p_cur - p_ref) *
+    (CAST(CAST(round(ln(p_cur / p_ref) * 1000000) AS BIGINT) AS DOUBLE)
+      / 1000000) AS psi_contrib
+FROM pp
+${ord("bin")}""".trim
+  }
+
   /** Twin of SkewJoin.skewReport(events, event_type, 10): key counts,
     * 1-row totals, identical share/skew double divisions, top-10
     * (n_rows DESC, key ASC). */

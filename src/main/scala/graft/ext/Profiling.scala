@@ -174,6 +174,66 @@ object Profiling {
           / col("n_rows_total").cast("double"))
   }
 
+  /** PSI drift — the population-stability index between the first and
+    * second time-halves of a value stream, the production-ML
+    * distribution-shift monitor (PSI < 0.1 stable, 0.1–0.25 drifting,
+    * > 0.25 shifted — the thresholds every model-monitoring runbook
+    * quotes): equi-depth bins are learned on the REFERENCE half and
+    * applied to both, per-bin shares compared as
+    * Σ (p_cur − p_ref)·ln(p_cur/p_ref). Complements `eventAnomaly`
+    * (volume spikes) with VALUE-distribution movement — a payment
+    * processor that silently changes units fires here first.
+    *
+    * Determinism: the time split is integer-µs midpoint arithmetic;
+    * bin boundaries are the exact weighted percentiles of the
+    * reference half's integer-cents counts; shares use add-1
+    * smoothing ((n+1)/(N+bins) — empty current bins must not produce
+    * ln 0); the log factor is quantized round(ln·10⁶) per bin and the
+    * contribution is a fixed double product. Returns per-bin rows —
+    * Σ psi_contrib IS the PSI.
+    *
+    * Scale shape: values collapse to (cents, is_ref) counts
+    * (map-combinable); boundaries are ONE 1-row percentile aggregate
+    * over the reference slice of that table, broadcast; binning is a
+    * scan-side HOF; the rollup is |bins| rows. */
+  def psiDrift(df: DataFrame, valueCol: String = "value",
+      tsCol: String = "ts", bins: Int = 10): DataFrame = {
+    require(bins >= 2)
+    val base = df.select(
+      round(col(valueCol).cast("double") * 100).cast("long").as("cv"),
+      unix_micros(col(tsCol).cast("timestamp")).as("us"))
+    val mid = base.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+    val counts = base.crossJoin(broadcast(mid))
+      .select(col("cv"), (col("us") < col("mid")).as("is_ref"))
+      .groupBy(col("cv"), col("is_ref")).agg(count(lit(1)).as("__f"))
+    val fracs = (1 until bins).map(i => i.toDouble / bins)
+    val bounds = counts.where(col("is_ref"))
+      .agg(expr(s"percentile(cv, array(${fracs.mkString(", ")}), __f)")
+        .as("__b"))
+    val binned = counts.crossJoin(broadcast(bounds))
+      .select(col("is_ref"), col("__f"),
+        aggregate(col("__b"), lit(0),
+          (acc, b) => acc + when(col("cv").cast("double") > b, 1)
+            .otherwise(0)).cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("is_ref"), col("__f")).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), col("__f")).otherwise(0L)).as("n_cur"))
+    val tots = binned.agg(sum(col("n_ref")).as("t_ref"),
+      sum(col("n_cur")).as("t_cur"))
+    binned.crossJoin(broadcast(tots))
+      .withColumn("p_ref",
+        (col("n_ref") + 1L).cast("double")
+          / (col("t_ref") + bins.toLong).cast("double"))
+      .withColumn("p_cur",
+        (col("n_cur") + 1L).cast("double")
+          / (col("t_cur") + bins.toLong).cast("double"))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        col("p_ref"), col("p_cur"),
+        ((col("p_cur") - col("p_ref"))
+          * (round(log(col("p_cur") / col("p_ref")) * 1000000)
+            .cast("long").cast("double") / 1000000)).as("psi_contrib"))
+  }
+
   /** Hourly event-volume anomaly score — per (event_type, hour) count
     * z-scored against the event type's own hourly distribution: the
     * ingestion-health dashboard that catches a stuck producer (z ≪ 0)

@@ -1841,6 +1841,25 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("psiDrift: stationary stream near zero, shifted stream fires") {
+    import java.sql.Timestamp
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // stationary: the same 1..100 ramp in both halves
+    val stable = (0 until 200).map(i =>
+      (ts(if (i < 100) 1 else 20), (i % 100 + 1).toDouble))
+      .toDF("ts", "value")
+    val psiStable = Profiling.psiDrift(stable)
+      .agg(sum(col("psi_contrib"))).head.getDouble(0)
+    assert(math.abs(psiStable) < 0.1, s"stable stream: $psiStable")
+    // shifted: second half moves up by 50 units
+    val drifted = ((0 until 100).map(i => (ts(1), (i + 1).toDouble)) ++
+      (0 until 100).map(i => (ts(20), (i + 51).toDouble)))
+      .toDF("ts", "value")
+    val psiDrifted = Profiling.psiDrift(drifted)
+      .agg(sum(col("psi_contrib"))).head.getDouble(0)
+    assert(psiDrifted > 0.25, s"shifted stream must fire: $psiDrifted")
+  }
+
   test("rendezvousShard: HRW stability — a key only ever moves TO the new shard") {
     val keys = (1L to 400L).toDF("k")
     val both = keys.select(col("k"),
