@@ -611,11 +611,18 @@ pa AS (
       x -> CASE WHEN CAST(cv AS DOUBLE) > x THEN 1 ELSE 0 END))
       AS BIGINT) AS bin
   FROM pc, pqe),
-pg AS (
+pg0 AS (
   SELECT bin,
     CAST(SUM(CASE WHEN is_ref THEN f ELSE 0 END) AS BIGINT) AS n_ref,
     CAST(SUM(CASE WHEN NOT is_ref THEN f ELSE 0 END) AS BIGINT) AS n_cur
   FROM pa GROUP BY bin),
+pg AS (
+  -- full bin domain: tied boundaries can starve a bin of rows from
+  -- both halves; its add-1 smoothing term still belongs in the PSI
+  SELECT d.bin, COALESCE(pg0.n_ref, 0) AS n_ref,
+    COALESCE(pg0.n_cur, 0) AS n_cur
+  FROM (SELECT CAST(range AS BIGINT) AS bin FROM range(10)) d
+  LEFT JOIN pg0 ON d.bin = pg0.bin),
 pt AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
   CAST(SUM(n_cur) AS BIGINT) AS t_cur FROM pg),
 pp AS (
@@ -691,8 +698,11 @@ SELECT
   CASE WHEN len(mu.l) < 256 THEN CAST(len(mu.l) AS DOUBLE)
        ELSE 255.0 * CAST('18446744073709551616' AS DOUBLE)
             / CAST(mu.l[256] AS DOUBLE) END AS est_union,
-  CAST(mc.c AS DOUBLE) / CAST(len(mu.l) AS DOUBLE) AS est_jaccard,
-  (CAST(mc.c AS DOUBLE) / CAST(len(mu.l) AS DOUBLE)) *
+  CASE WHEN len(mu.l) = 0 THEN 0.0
+       ELSE CAST(mc.c AS DOUBLE) / CAST(len(mu.l) AS DOUBLE)
+  END AS est_jaccard,
+  (CASE WHEN len(mu.l) = 0 THEN 0.0
+        ELSE CAST(mc.c AS DOUBLE) / CAST(len(mu.l) AS DOUBLE) END) *
     (CASE WHEN len(mu.l) < 256 THEN CAST(len(mu.l) AS DOUBLE)
           ELSE 255.0 * CAST('18446744073709551616' AS DOUBLE)
                / CAST(mu.l[256] AS DOUBLE) END) AS est_intersection

@@ -210,14 +210,24 @@ object Profiling {
     val bounds = counts.where(col("is_ref"))
       .agg(expr(s"percentile(cv, array(${fracs.mkString(", ")}), __f)")
         .as("__b"))
-    val binned = counts.crossJoin(broadcast(bounds))
-      .select(col("is_ref"), col("__f"),
-        aggregate(col("__b"), lit(0),
-          (acc, b) => acc + when(col("cv").cast("double") > b, 1)
-            .otherwise(0)).cast("long").as("bin"))
-      .groupBy(col("bin"))
-      .agg(sum(when(col("is_ref"), col("__f")).otherwise(0L)).as("n_ref"),
-        sum(when(!col("is_ref"), col("__f")).otherwise(0L)).as("n_cur"))
+    // Heavy ties in the reference half can duplicate percentile
+    // boundaries, leaving some of the `bins` bins with no rows from
+    // EITHER half — those bins still owe their add-1 smoothing term
+    // (the standard smoothed PSI sums over the full bin domain), so
+    // materialize 0..bins-1 and left-join the observed counts in.
+    val domain = df.sparkSession.range(bins).select(col("id").as("bin"))
+    val binned = domain.join(
+      counts.crossJoin(broadcast(bounds))
+        .select(col("is_ref"), col("__f"),
+          aggregate(col("__b"), lit(0),
+            (acc, b) => acc + when(col("cv").cast("double") > b, 1)
+              .otherwise(0)).cast("long").as("bin"))
+        .groupBy(col("bin"))
+        .agg(sum(when(col("is_ref"), col("__f")).otherwise(0L)).as("n_ref0"),
+          sum(when(!col("is_ref"), col("__f")).otherwise(0L)).as("n_cur0")),
+      Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("n_ref0"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur0"), lit(0L)).as("n_cur"))
     val tots = binned.agg(sum(col("n_ref")).as("t_ref"),
       sum(col("n_cur")).as("t_cur"))
     binned.crossJoin(broadcast(tots))

@@ -179,8 +179,11 @@ object Sketches {
             graft.functions.UnsignedToDouble.unsignedToDouble(
               element_at(col("mu"), k).bitwiseXOR(MIN))))
       .withColumn("est_jaccard",
-        col("n_common_topk").cast("double")
-          / col("n_union_topk").cast("double"))
+        // empty/all-null sides leave the merged sketch empty —
+        // jaccard of two empty key sets is 0, not 0/0
+        when(col("n_union_topk") === 0L, lit(0.0))
+          .otherwise(col("n_common_topk").cast("double")
+            / col("n_union_topk").cast("double")))
     withEsts.select(col("est_distinct_left"), col("est_distinct_right"),
       col("n_union_topk"), col("n_common_topk"), col("est_union"),
       col("est_jaccard"),

@@ -1706,7 +1706,8 @@ object TextAnalysis {
             * 1000000).cast("long")).as("dq"))
       .groupBy(col("source"))
       .agg(first(col("s_total")).as("n_tokens"),
-        sum((col("cnt") * col("dq")).cast("decimal(38,0)")).as("sum_q"))
+        sum(col("cnt").cast("decimal(38,0)")
+          * col("dq").cast("decimal(38,0)")).as("sum_q"))
       .select(col("source"), col("n_tokens"),
         (col("sum_q").cast("double") / col("n_tokens").cast("double")
           / 1000000).as("kl_divergence"))
@@ -1744,7 +1745,8 @@ object TextAnalysis {
       .groupBy(col("source"))
       .agg(first(col("total")).as("n_chars"),
         count(lit(1)).as("n_distinct_chars"),
-        sum((col("cnt") * -col("q")).cast("decimal(38,0)")).as("sum_q"))
+        sum(col("cnt").cast("decimal(38,0)")
+          * (-col("q")).cast("decimal(38,0)")).as("sum_q"))
       .select(col("source"), col("n_chars"), col("n_distinct_chars"),
         (col("sum_q").cast("double") / col("n_chars").cast("double")
           / 1000000).as("char_entropy"))
