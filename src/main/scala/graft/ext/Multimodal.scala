@@ -211,20 +211,13 @@ object Multimodal {
     * representative key. */
   def imageDupCandidates(spark: SparkSession, assets: DataFrame,
       maxHamming: Int = 3): DataFrame = {
-    import spark.implicits._
-    val hashed = resize(spark, assets).map { r =>
-      val px = r.media.map(_ & 0xff)
-      var sum = 0L
-      var i = 0
-      while (i < px.length) { sum += px(i); i += 1 }
-      var h = 0L
-      i = 0
-      while (i < px.length) {
-        if (px(i).toLong * 64L > sum) h |= (1L << i)
-        i += 1
-      }
-      (r.asset_id, h)
-    }.toDF("asset_id", "ahash")
+    // hash = the native codegen expression over the codec seam's
+    // thumbnail bytes (was a second typed Dataset.map pixel loop —
+    // one encoder round-trip per asset; AHash64 fuses into the
+    // projection that drains the seam)
+    val hashed = resize(spark, assets).toDF()
+      .select(col("asset_id"),
+        graft.functions.AHash64.ahash64(col("media")).as("ahash"))
     val groups = hashed.groupBy(col("ahash"))
       .agg(min(col("asset_id")).as("rep_id"),
         count(lit(1)).as("n_members"))

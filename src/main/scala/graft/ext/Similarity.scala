@@ -516,10 +516,22 @@ object Similarity {
     * table; the majority window is WindowGroupLimit-prunable; the
     * final rollup has |labels| rows. */
   def knnLabelAccuracy(emb: DataFrame, k: Int = 5,
-      centroidMod: Int = 50): DataFrame = {
+      centroidMod: Int = 50): DataFrame =
+    labelAccuracyFromEdges(knnGraph(emb, k, centroidMod),
+      emb.select(col("vec_id"), col("label")))
+
+  /** `knnLabelAccuracy` over a PRE-BUILT edge table — the shape a real
+    * pipeline runs: the kNN graph is materialized once (`knnGraph` →
+    * parquet or cache) and every graph consumer (this report,
+    * `pageRankFromEdges`, connectivity audits) reads it, instead of
+    * each consumer paying the corpus self-join again. `edges` must
+    * carry (vec_id, nbr_id) — `knnGraph`'s output schema; `labels`
+    * carries (vec_id, label). Semantics ≡ the self-building overload
+    * (spec-pinned). */
+  def labelAccuracyFromEdges(edges: DataFrame, labels: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val lbl = emb.select(col("vec_id"), col("label"))
-    val votes = knnGraph(emb, k, centroidMod)
+    val lbl = labels.select(col("vec_id"), col("label"))
+    val votes = edges.select(col("vec_id"), col("nbr_id"))
       .join(lbl.select(col("vec_id").as("nbr_id"),
         col("label").as("nbr_label")), "nbr_id")
       .groupBy(col("vec_id"), col("nbr_label")).agg(count(lit(1)).as("v"))
@@ -564,10 +576,21 @@ object Similarity {
     * invocations in one session do not accumulate executor storage.
     * Driver state: the node count. */
   def knnPageRank(emb: DataFrame, k: Int = 5, iters: Int = 5,
-      centroidMod: Int = 50, checkpointEvery: Int = 8): DataFrame = {
+      centroidMod: Int = 50, checkpointEvery: Int = 8): DataFrame =
+    pageRankFromEdges(knnGraph(emb, k, centroidMod), iters, checkpointEvery)
+
+  /** `knnPageRank` over a PRE-BUILT edge table — the injectable core:
+    * a production pipeline materializes the kNN graph ONCE and feeds
+    * it to every consumer (centrality here, `labelAccuracyFromEdges`,
+    * cluster audits) rather than re-running the corpus self-join per
+    * report. `edges` must carry (vec_id, nbr_id) — `knnGraph`'s output
+    * schema. Semantics ≡ the self-building overload (spec-pinned);
+    * all caching/lineage notes above apply to this body. */
+  def pageRankFromEdges(edgesIn: DataFrame, iters: Int = 5,
+      checkpointEvery: Int = 8): DataFrame = {
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val SCALE = 1000000000000L
-    val edges = knnGraph(emb, k, centroidMod)
+    val edges = edgesIn
       .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val e = edges.join(outdeg, "src")
@@ -583,7 +606,7 @@ object Similarity {
     if (n == 0) {
       // empty graph (no vector shares a cell): nothing to rank
       e.unpersist(); nodes.unpersist()
-      return emb.sparkSession.emptyDataFrame
+      return edgesIn.sparkSession.emptyDataFrame
         .withColumn("vec_id", lit(0L)).withColumn("q_rank", lit(0L))
         .withColumn("pagerank", lit(0.0)).limit(0)
     }

@@ -106,6 +106,10 @@ object GraftFunctions {
         arity("pq_adc", es, 2, 2); PqAdc(es(0), es(1)) },
       "pq_adc(array<long>, array<array<long>>) - product-quantization" +
         " asymmetric-distance lookup sum: sum_j tables[j][codes[j]]"),
+    ("ahash64",
+      { es: Seq[Expression] =>
+        arity("ahash64", es, 1, 1); AHash64(es.head) },
+      "ahash64(binary) - 64-bit perceptual average-hash of a thumbnail payload"),
     ("nfc_normalize",
       { es: Seq[Expression] =>
         arity("nfc_normalize", es, 1, 1); NfcNormalize(es.head) },

@@ -83,7 +83,12 @@ class CodegenSpec extends SparkSpec {
       mk(array(
         transform(sequence(lit(1L), lit(3L)), x => x * 10L + col("id")),
         transform(sequence(lit(1L), lit(3L)), x => x * 100L - col("id"))))
-        .as("pq_tables"))
+        .as("pq_tables"),
+      // cast (not encode): Cast string->binary keeps child nullability,
+      // encode() is force-nullable and would break the non-null shape
+      mk(concat(lit("px"), col("id").cast("string"),
+        lit(" payload body with spread byte values \\u00ff")).cast("binary"))
+        .as("bin"))
   }
 
   /** name → projection (arrays stringified so Row equality is flat). */
@@ -98,7 +103,8 @@ class CodegenSpec extends SparkSpec {
     "nearest_centroid_l2" -> "nearest_centroid_l2(vec, cents_l2)",
     "nearest_centroid_cos" -> "nearest_centroid_cos(vec, nqd, cents_cos)",
     "pq_adc" -> "pq_adc(pq_codes, pq_tables)",
-    "nfc_normalize" -> "nfc_normalize(concat(s, 'e\\u0301'))")
+    "nfc_normalize" -> "nfc_normalize(concat(s, 'e\\u0301'))",
+    "ahash64" -> "ahash64(bin)")
 
   private def run(s: SparkSession, nullable: Boolean, e: String): Seq[String] =
     inputs(s, nullable).selectExpr("id", s"cast(($e) as string) as v")

@@ -524,6 +524,27 @@ class ExtSpec extends SparkSpec {
     assert(pr.sortBy(_._1).toSeq == pr2.sortBy(_._1).toSeq)
   }
 
+  test("shared kNN graph: from-edges consumers equal the self-building paths") {
+    // the production shape: materialize the graph ONCE, feed every
+    // consumer — must be result-identical to each consumer building
+    // its own graph (and the materialized table pays the kNN join 0×)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val edges = graft.ext.Similarity.knnGraph(emb).localCheckpoint()
+    val prShared = graft.ext.Similarity.pageRankFromEdges(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val prSelf = graft.ext.Similarity.knnPageRank(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(prShared == prSelf)
+    val lbl = emb.select("vec_id", "label")
+    val accShared = graft.ext.Similarity.labelAccuracyFromEdges(edges, lbl)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val accSelf = graft.ext.Similarity.knnLabelAccuracy(emb)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(accShared == accSelf)
+  }
+
   test("bm25MultiTopK: per-query slices equal the single-query operator (recall 1.0)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val qsets = Map(1L -> Seq("spark", "merge"), 2L -> Seq("vector", "spark"),
@@ -2063,6 +2084,37 @@ class ExtSpec extends SparkSpec {
     assert(p.getAs[Long]("n_a") == 2L && p.getAs[Long]("n_b") == 1L,
       "group sizes carry the exact-dup mass")
     // the mirrored image flips every bit: hamming 64, no shared chunk
+  }
+
+  test("AHash64 expression equals the reference pixel-loop recompute") {
+    // pin the native expression (now on the imageDupCandidates path)
+    // against the original typed-map formulation it replaced, on real
+    // resized thumbnails + hand shapes incl. empty and short payloads
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+    val thumbs = Multimodal.resize(spark, Multimodal.toAssets(docs)).toDF()
+      .select(col("asset_id"), col("media"))
+      .union(Seq((9001L, Array.empty[Byte]),
+        (9002L, Array[Byte](1, 2, 3)),
+        (9003L, Array.tabulate(64)(i => (i * 37 % 251).toByte)))
+        .toDF("asset_id", "media"))
+    def ref(bytes: Array[Byte]): Long = {
+      val px = bytes.map(_ & 0xff)
+      val sum = px.foldLeft(0L)(_ + _)
+      var h = 0L
+      var i = 0
+      while (i < math.min(px.length, 64)) {
+        if (px(i).toLong * px.length > sum) h |= (1L << i)
+        i += 1
+      }
+      h
+    }
+    val got = thumbs.select(col("asset_id"),
+        graft.functions.AHash64.ahash64(col("media")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = thumbs.collect()
+      .map(r => r.getLong(0) -> ref(r.getAs[Array[Byte]]("media"))).toMap
+    assert(got == want)
+    assert(got(9001L) == 0L)
   }
 
   test("bigramPmi: hand-computed collocation, minCount gates the tail") {
