@@ -282,10 +282,23 @@ object TextAnalysis {
     * statistic pays, shrunk by the corpus repetition factor — then a
     * |sources|·|vocab|→|sources| rollup that combines map-side too.
     * Ratios are int64/int64 divisions, deterministic. */
-  def lexicalDiversity(docs: DataFrame): DataFrame = {
-    val counts = docs
-      .select(col("source"), explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+  def lexicalDiversity(docs: DataFrame): DataFrame =
+    lexicalDiversityFromCounts(sourceTokenCounts(docs))
+
+  /** The (source, tok, cnt) table every per-source token statistic
+    * derives from — exposed so compositions (`sourceHealthReport`)
+    * can materialize the tokenize+count ONCE and feed every consumer,
+    * instead of each branch re-paying the corpus explode (AQE stage
+    * reuse does NOT rescue the naive composition: join-key
+    * `isnotnull` pushdowns differ per branch, the exchanges stop
+    * canonicalizing equal, and each branch re-plans its own tokenize
+    * — the PlanSpec pin caught exactly that). */
+  def sourceTokenCounts(docs: DataFrame): DataFrame = docs
+    .select(col("source"), explode(tokens(col("text"))).as("tok"))
+    .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+
+  /** `lexicalDiversity` over a pre-built `sourceTokenCounts` table. */
+  def lexicalDiversityFromCounts(counts: DataFrame): DataFrame = {
     counts.groupBy(col("source"))
       .agg(sum(col("cnt")).as("n_tokens"),
         count(lit(1)).as("n_types"),
@@ -1690,9 +1703,11 @@ object TextAnalysis {
     * the counts table against the corpus-frequency table on the token
     * key. Everything is counts-proportional — the Zipf factor shrinks
     * it exactly as lmQuality's round-7 rework. */
-  def klDivergence(docs: DataFrame): DataFrame = {
-    val sc = docs.select(col("source"), explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+  def klDivergence(docs: DataFrame): DataFrame =
+    klDivergenceFromCounts(sourceTokenCounts(docs))
+
+  /** `klDivergence` over a pre-built `sourceTokenCounts` table. */
+  def klDivergenceFromCounts(sc: DataFrame): DataFrame = {
     val cc = sc.groupBy(col("tok")).agg(sum(col("cnt")).as("ctf"))
     val stot = sc.groupBy(col("source")).agg(sum(col("cnt")).as("s_total"))
     val ctot = cc.agg(sum(col("ctf")).as("c_total"))
@@ -1839,21 +1854,37 @@ object TextAnalysis {
     *
     * Scale shape: the three token-level metrics (diversity, KL, Zipf)
     * all derive from the IDENTICAL (source, tok) count aggregate —
-    * built from the same input object, their count subtrees
-    * canonicalize equal and ReuseExchange materializes the tokenize +
-    * count ONCE (the expensive exchange); char entropy and length
-    * quantiles add one char-count and one length-count exchange; the
-    * final join is |sources| rows. */
-  def sourceHealthReport(docs: DataFrame): DataFrame =
-    lexicalDiversity(docs)
-      .join(klDivergence(docs).select(col("source"), col("kl_divergence")),
-        "source")
-      .join(zipfFit(docs).select(col("source"), col("slope").as("zipf_slope")),
-        "source")
+    * materialized ONCE via cache-then-derive (`sourceTokenCounts` is
+    * cached, every token branch reads the cache; relying on AQE/
+    * ReuseExchange instead silently re-planned the tokenize per
+    * branch, because join-key isnotnull pushdowns broke canonical
+    * equality between the branches' exchanges — caught and pinned by
+    * PlanSpec). Char entropy and length quantiles add one char-count
+    * and one length-count exchange; the final join is |sources| rows,
+    * materialized eagerly so the counts cache unpersists before
+    * returning.
+    *
+    * `materialize = false` skips the eager checkpoint/unpersist and
+    * returns the LAZY composition with the counts cache left
+    * persisted (caller manages its lifetime) — the plan-inspection
+    * hook PlanSpec uses to pin this shape. */
+  def sourceHealthReport(docs: DataFrame,
+      materialize: Boolean = true): DataFrame = {
+    val sc = sourceTokenCounts(docs).cache()
+    val lazyOut = lexicalDiversityFromCounts(sc)
+      .join(klDivergenceFromCounts(sc)
+        .select(col("source"), col("kl_divergence")), "source")
+      .join(zipfFitFromCounts(sc)
+        .select(col("source"), col("slope").as("zipf_slope")), "source")
       .join(charEntropy(docs).select(col("source"), col("char_entropy")),
         "source")
       .join(lengthQuantiles(docs).select(col("source"), col("n_docs"),
         col("p50_tokens"), col("p90_tokens"), col("p99_tokens")), "source")
+    if (!materialize) return lazyOut
+    val out = lazyOut.localCheckpoint()
+    sc.unpersist()
+    out
+  }
 
   /** Per-source Zipf fit — least-squares slope of ln(freq) on ln(rank)
     * over the source's top-`topV` tokens: natural language sits near
@@ -1874,13 +1905,15 @@ object TextAnalysis {
     * pruned map-side (rank ≤ topV filters before the reducer — never
     * a per-source full sort), the moment rollup is |sources·topV|
     * rows, and the output is |sources| rows. */
-  def zipfFit(docs: DataFrame, topV: Int = 500): DataFrame = {
+  def zipfFit(docs: DataFrame, topV: Int = 500): DataFrame =
+    zipfFitFromCounts(sourceTokenCounts(docs), topV)
+
+  /** `zipfFit` over a pre-built `sourceTokenCounts` table. */
+  def zipfFitFromCounts(counts: DataFrame, topV: Int = 500): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("source"))
       .orderBy(col("cnt").desc, col("tok").asc)
-    val ranked = docs
-      .select(col("source"), explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val ranked = counts
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= topV)
       .select(col("source"),

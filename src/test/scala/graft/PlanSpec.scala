@@ -486,4 +486,50 @@ class PlanSpec extends SparkSpec {
     val p = plan(graft.ext.SkewJoin.skewReport(ev, "event_type"))
     assert(p.contains("TakeOrderedAndProject"), s"top-k cut:\n${p.take(1500)}")
   }
+
+  test("sourceHealthReport: one cached (source, tok) table feeds every token branch") {
+    // the scaladoc claim pinned: lexicalDiversity, klDivergence and
+    // zipfFit all derive from the IDENTICAL (source, tok) count
+    // aggregate, materialized ONCE (cache-then-derive). The naive
+    // composition relied on AQE exchange reuse, which silently failed
+    // — per-branch isnotnull join pushdowns broke canonical equality
+    // and every branch re-planned its own tokenize (3× the corpus
+    // explode). This pin fails if any branch stops reading the cache.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val q = graft.ext.TextAnalysis.sourceHealthReport(d, materialize = false)
+    q.collect() // cache/stage decisions are made at runtime
+    val root = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    // QueryStageExec nodes are leaves to collect(); recurse into every
+    // stage (broadcast stages wrap shuffle stages in their subtree)
+    def stages(p: SparkPlan): Seq[QueryStageExec] =
+      p.collect { case s: QueryStageExec => s }
+        .flatMap(s => s +: stages(s.plan))
+    val all = stages(root)
+    // the counts cache is scanned once per token-level branch: the
+    // tokenize+count ran ONCE (inside the cached relation), and ≥3
+    // InMemoryTableScans over a (source, tok, cnt) output read it
+    val cacheScans = (root.collect { case s: InMemoryTableScanExec => s } ++
+      all.flatMap(_.plan.collect { case s: InMemoryTableScanExec => s }))
+      .filter(_.output.map(_.name).toSet.intersect(Set("tok", "cnt")).nonEmpty)
+    assert(cacheScans.size >= 3,
+      s"all three token-level branches must read the counts cache, " +
+        s"got ${cacheScans.size} cache scans")
+    // outside the cached counts build, the only explode left is the
+    // char-entropy one — a second means a branch re-planned tokenize
+    val genStages = all.collect { case s: ShuffleQueryStageExec => s }
+      .groupBy(_.id).values.map(_.head)
+      .count(_.plan.collect { case g: GenerateExec => g }.nonEmpty)
+    val genTop = root.collect { case g: GenerateExec => g }.size
+    assert(genStages + genTop <= 1,
+      s"tokenize must not be re-planned per branch " +
+        s"($genStages explode-bearing stages + $genTop top-level)")
+    assert(!root.toString.contains("CartesianProduct"), "no cartesian products")
+  }
 }
