@@ -501,6 +501,14 @@ object SparkEntry {
     "dedup_corpus_minhash" -> prep((s, d) =>
       Dedup.dedupCorpusMinhash(docs(s, d))
         .select("doc_id", "lang", "source").orderBy("doc_id")),
+    // the VERIFIED production chain as one entry: sketch candidates
+    // (est >= 0.5) -> exact edit-distance verify -> components over
+    // verified pairs only -> anti-join (candidates->verify->prune
+    // proven end-to-end; the verify tier provably prunes here — the
+    // est>=0.5 candidate set is wider than the >=0.9 minhash entry's)
+    "dedup_corpus_verified" -> prep((s, d) =>
+      Dedup.dedupCorpusVerified(docs(s, d))
+        .select("doc_id", "lang", "source").orderBy("doc_id")),
     // incremental ingest dedup: the doc_id%5 slice is "today's batch",
     // the rest is the standing corpus — batch docs near-dup against
     // the corpus or an earlier batch doc are dropped
@@ -605,6 +613,21 @@ object SparkEntry {
     // signal: canonical representatives rank high, satellites low)
     "knn_pagerank" -> prep((s, d) =>
       Similarity.knnPageRank(emb(s, d)).orderBy("vec_id")),
+    // the shared-graph production composition gate-backed: the kNN
+    // edge table is materialized ONCE (localCheckpoint) and feeds
+    // BOTH graph consumers (centrality + label accuracy) — the
+    // amortized shape a real pipeline runs; the oracle recomputes
+    // both from one knng chain
+    "knn_pagerank_shared" -> prep((s, d) => {
+      val edges = Similarity.knnGraph(emb(s, d)).localCheckpoint()
+      val labels = emb(s, d).select(col("vec_id"), col("label"))
+      val pr = Similarity.pageRankFromEdges(edges)
+      val acc = Similarity.labelAccuracyFromEdges(edges, labels)
+      pr.join(labels, "vec_id").join(acc, "label")
+        .select(col("vec_id"), col("q_rank"), col("pagerank"), col("label"),
+          col("n_vecs"), col("n_correct"), col("accuracy"))
+        .orderBy("vec_id")
+    }),
     // int8 scalar quantization: per-dim affine [min,max]->[0,255]
     // codes (the memory-bandwidth tier; 8x smaller scans, no codebook)
     "sq_encode" -> prep((s, d) =>
@@ -1498,6 +1521,7 @@ object SparkEntry {
     "dedup_clusters" -> ExtOracle.dedupClusters,
     "dedup_corpus" -> ExtOracle.dedupCorpus,
     "dedup_corpus_minhash" -> ExtOracle.dedupCorpusMinhash,
+    "dedup_corpus_verified" -> ExtOracle.dedupCorpusVerified,
     "line_dedup" -> ExtOracle.lineDedup,
     "boilerplate_strip" -> ExtOracle.boilerplateStrip,
     "c4_clean" -> ExtOracle.c4Clean,
@@ -1531,6 +1555,7 @@ object SparkEntry {
     "sq_encode" -> ExtOracle.sqEncode,
     "knn_graph" -> ExtOracle.knnGraph,
     "knn_pagerank" -> ExtOracle.knnPageRank,
+    "knn_pagerank_shared" -> ExtOracle.knnPageRankShared,
     "knn_label_accuracy" -> ExtOracle.knnLabelAccuracy,
     "budget_mix" -> ExtOracle.budgetMix,
     "ann_ivfpq_residual" -> ExtOracle.ivfPqResidual,

@@ -665,6 +665,40 @@ SELECT d.doc_id, d.lang, d.source FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
 ${ord("doc_id")}""".trim
 
+  /** Twin of Dedup.dedupCorpusVerified: the portable-minhash candidate
+    * chain (est ≥ 0.5), the exact Levenshtein verify filter over
+    * 200-char trimmed prefixes (dist·100 ≤ maxLen·30 — the integer
+    * predicate, no doubles), the recursive component closure over the
+    * VERIFIED pairs only, and the survivor anti-join — the
+    * candidates→verify→prune production chain recomputed end-to-end
+    * as one statement. */
+  val dedupCorpusVerified: String = s"""$minhashAgreeChain,
+dv_p AS (
+  SELECT a_id, b_id FROM agree
+  WHERE CAST(n_agree AS DOUBLE) / 32 >= 0.5),
+dv_tx AS (
+  SELECT doc_id, substr(trim(text), 1, 200) AS t,
+    CAST(length(substr(trim(text), 1, 200)) AS INT) AS len
+  FROM documents),
+dv_v AS (
+  SELECT p.a_id, p.b_id
+  FROM dv_p p
+  JOIN dv_tx ta ON ta.doc_id = p.a_id
+  JOIN dv_tx tb ON tb.doc_id = p.b_id
+  WHERE levenshtein(ta.t, tb.t) * 100 <= greatest(ta.len, tb.len) * 30),
+dv_e AS (
+  SELECT a_id AS id, b_id AS nbr FROM dv_v
+  UNION SELECT b_id, a_id FROM dv_v),
+dv_r(id, r) AS (
+  SELECT DISTINCT id, id FROM dv_e
+  UNION
+  SELECT e.id, dv_r.r FROM dv_e e JOIN dv_r ON e.nbr = dv_r.id),
+dv_losers AS (
+  SELECT id AS doc_id FROM dv_r GROUP BY id HAVING id <> MIN(r))
+SELECT d.doc_id, d.lang, d.source FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dv_losers)
+${ord("doc_id")}""".trim
+
   /** Twin of Dedup.dedupKeepBest over MinHash-keyed clusters: the same
     * cluster chain as dedupClusters, the qualityScore expression
     * ·10⁶-quantized, rank within cluster (q6 DESC, doc_id ASC), every

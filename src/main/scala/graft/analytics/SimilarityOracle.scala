@@ -683,12 +683,13 @@ SELECT label, n_vecs, n_correct,
 FROM acc
 ${ord("label")}""".trim
 
-  /** Twin of Similarity.knnPageRank(iters=5): the knng chain +
-    * out-degrees + 5 unrolled integer-PageRank iterations (scores in
-    * int64 10⁻¹² units, integral divisions — bit-identical to the
-    * engine's trajectory). */
-  val knnPageRank: String = {
-    val S = "1000000000000"
+  /** Shared CTE chain for the PageRank twins: knng out-degrees + 5
+    * unrolled integer-PageRank iterations (scores in int64 10⁻¹²
+    * units, integral divisions — bit-identical to the engine's
+    * trajectory); final scores land in CTE `s5`. */
+  private val prScale = "1000000000000"
+  private val pageRankChain: String = {
+    val S = prScale
     val rounds = (1 to 5).map { i =>
       s"""
 c$i AS (
@@ -701,17 +702,53 @@ s$i AS (
   FROM od CROSS JOIN nn LEFT JOIN c$i c ON od.src = c.dst)""".trim
     }.mkString(",\n")
     s"""
-$knnChain,
 od AS (SELECT vec_id AS src, CAST(COUNT(*) AS BIGINT) AS deg
   FROM knng GROUP BY vec_id),
 nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM od),
 s0 AS (SELECT od.src AS id, CAST($S // nn.n AS BIGINT) AS sc FROM od, nn),
-$rounds
+$rounds""".trim
+  }
+
+  /** Twin of Similarity.knnPageRank(iters=5). */
+  val knnPageRank: String = s"""
+$knnChain,
+$pageRankChain
 SELECT id AS vec_id, sc AS q_rank,
-  CAST(sc AS DOUBLE) / $S AS pagerank
+  CAST(sc AS DOUBLE) / $prScale AS pagerank
 FROM s5
 ${ord("vec_id")}""".trim
-  }
+
+  /** Twin of the shared-graph production composition (gate entry
+    * `knn_pagerank_shared`): ONE knng chain feeds BOTH the PageRank
+    * rounds and the label-accuracy vote chain, joined per vector via
+    * its label — value-identical to the engine's materialize-once
+    * `knnGraph` → (`pageRankFromEdges`, `labelAccuracyFromEdges`)
+    * composition. */
+  val knnPageRankShared: String = s"""
+$knnChain,
+$pageRankChain,
+sh_votes AS (
+  SELECT g.vec_id, l.label AS nbr_label, CAST(COUNT(*) AS BIGINT) AS v
+  FROM knng g JOIN embeddings l ON g.nbr_id = l.vec_id
+  GROUP BY g.vec_id, l.label),
+sh_pred AS (
+  SELECT vec_id, nbr_label AS pred FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      ORDER BY v DESC, nbr_label ASC) AS rk FROM sh_votes) WHERE rk = 1),
+sh_acc AS (
+  SELECT l.label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+    CAST(SUM(CASE WHEN p.pred = l.label THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_correct
+  FROM sh_pred p JOIN embeddings l ON p.vec_id = l.vec_id
+  GROUP BY l.label)
+SELECT s.id AS vec_id, s.sc AS q_rank,
+  CAST(s.sc AS DOUBLE) / $prScale AS pagerank,
+  l.label, a.n_vecs, a.n_correct,
+  CAST(a.n_correct AS DOUBLE) / CAST(a.n_vecs AS DOUBLE) AS accuracy
+FROM s5 s
+JOIN embeddings l ON s.id = l.vec_id
+JOIN sh_acc a ON l.label = a.label
+${ord("vec_id")}""".trim
 
   val nearDupEmbeddings: String = s"""
 WITH e AS ($quantized),

@@ -808,6 +808,37 @@ object Dedup {
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Verified end-to-end corpus dedup — the full production chain a
+    * 100 TB run ships: portable MinHash+LSH candidates (sketch RECALL,
+    * est. Jaccard ≥ `minEst`) → exact edit-distance verification
+    * (PRECISION: the prefix-capped Levenshtein tier rejects sketch
+    * false positives before they merge distinct documents) → connected
+    * components over the VERIFIED pairs only → drop non-canonical
+    * members. `dedupCorpusMinhash` trusts the sketch estimate alone;
+    * this composition is what protects against the MinHash failure
+    * mode that matters — block reorderings and shared-boilerplate
+    * pairs whose shingle resemblance is high while the texts are NOT
+    * redundant (spec-pinned: a half-swapped document pair passes the
+    * band tier and is rescued by the verify tier).
+    *
+    * Scale shape: candidates are band-bucket narrow joins (never
+    * all-pairs), the O(prefix²) DP runs on the candidate sliver only,
+    * the component closure runs on the verified sliver (strictly
+    * smaller), and survivors are one anti-join. Every stage is the
+    * already-probed operator (ScaleProbe: linear pair growth at 64×);
+    * composing them adds no new exchange over `dedupCorpusMinhash`
+    * beyond the two narrow text-prefix joins of the verify tier. */
+  def dedupCorpusVerified(docs: DataFrame, minEst: Double = 0.5,
+      prefix: Int = 200, maxDistPct: Int = 30): DataFrame = {
+    val cands = minhashLshPairsPortable(docs, minEstJaccard = minEst)
+      .select(col("a_id"), col("b_id"))
+    val verified = editDistanceVerify(docs, cands, prefix, maxDistPct)
+      .select(col("a_id"), col("b_id"))
+    val losers = dupClusters(verified)
+      .where(!col("is_keeper")).select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** Quality-aware canonical dedup — corpus dedup that keeps the BEST
     * member of each near-dup cluster instead of the arbitrary min-id
     * one: a crawl usually captures the same page as a clean mirror and

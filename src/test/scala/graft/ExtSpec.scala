@@ -1139,6 +1139,37 @@ class ExtSpec extends SparkSpec {
     assert(Set(1L, 2L, 4L).subsetOf(kept), s"got $kept")
   }
 
+  test("dedupCorpusVerified: verify tier rescues a sketch false positive, exact dups still collapse") {
+    // Block swap: the two halves reorder, so 3-shingle resemblance
+    // stays ~0.8 (only the boundary shingles differ) while the
+    // character-level texts are NOT redundant — the MinHash failure
+    // mode the verify tier exists for.
+    val half1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val half2 = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    val fp = Seq(
+      (10L, s"$half1 $half2", "en", "s"),
+      (11L, s"$half2 $half1", "en", "s"), // swapped halves: sketch false positive
+      (12L, s"$half1 $half2", "en", "s")  // exact dup of 10: must still collapse
+    ).toDF("doc_id", "text", "lang", "source")
+    val cands = Dedup.minhashLshPairsPortable(fp, minEstJaccard = 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((10L, 11L)),
+      s"fixture must produce the sketch false positive, got $cands")
+    val verified = Dedup.editDistanceVerify(fp,
+        Dedup.minhashLshPairsPortable(fp, minEstJaccard = 0.5))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!verified.contains((10L, 11L)), "verify tier must reject the block swap")
+    assert(verified.contains((10L, 12L)), "verify tier must keep the exact dup")
+    // composed chain: both DISTINCT docs survive, only the exact copy drops...
+    val kept = Dedup.dedupCorpusVerified(fp)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 11L), s"got $kept")
+    // ...whereas the unverified sketch chain at the same threshold merges them
+    val unverified = Dedup.dedupCorpusMinhash(fp, minEst = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(unverified == Set(10L), s"got $unverified")
+  }
+
   test("substringDedup: later copies of a shared span excise cleanly, first stays whole") {
     val span = (1 to 10).map(i => s"s$i").mkString(" ")       // 10-token shared span
     val docs = Seq(
