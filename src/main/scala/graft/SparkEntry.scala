@@ -1027,6 +1027,23 @@ object SparkEntry {
       s.read.parquet(s"$base/out")
         .select("doc_id", "lang", "source").orderBy("doc_id")
     }),
+    // Fuzzy (MinHash-band) near-dup ingest as a STREAM: the doc_id%5
+    // slice arrives as a stream and is checked STATELESS against the
+    // standing corpus' broadcast band index (decontaminateFuzzy's
+    // sketch tier on the stream side, est >= 0.5); oracle = the agree
+    // chain restricted to stream-vs-standing pairs
+    "stream_neardup_ingest" -> prep((s, d) => {
+      val base = tmpDir("graft_docneardup")
+      val all = docs(s, d)
+      all.where(col("doc_id") % 5 === 0)
+        .select("doc_id", "text", "lang", "source")
+        .coalesce(1).write.mode("overwrite").json(s"$base/in")
+      graft.streaming.CorpusStream.runNearDupIngest(
+        s, s"$base/in", all.where(col("doc_id") % 5 =!= 0),
+        s"$base/out", s"$base/ckpt").awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select("doc_id", "lang", "source").orderBy("doc_id")
+    }),
     // The batch curation tier lifted to a stream unmodified:
     // gopherRules is a pure projection, so the streaming quality gate
     // is stateless and must equal the batch pass bit-for-bit
@@ -1468,6 +1485,7 @@ object SparkEntry {
     "stream_events_sliding" -> ExtOracle.streamEventsSliding,
     "stream_dedup_events" -> ExtOracle.streamDedupEvents,
     "stream_dedup_vs_corpus" -> ExtOracle.streamDedupVsCorpus,
+    "stream_neardup_ingest" -> ExtOracle.streamNearDupIngest,
     "stream_quality_filter" -> ExtOracle.streamQualityFilter,
     "stream_attribution" -> ExtOracle.streamAttribution,
     "stream_sessionize" -> ExtOracle.streamSessionize,

@@ -177,7 +177,27 @@ object StreamBench {
     val ivfRow = measure("ivf_assign_stream", (_, out, ckpt) =>
       graft.streaming.CorpusStream.runIvfAssign(spark, embIn,
         graft.ext.Similarity.ivfCentroids(emb0), out, ckpt))
-    val allResults = results :+ ivfRow
+
+    // ---- documents replay: streaming MinHash near-dup ingest --------
+    // replicas-fold docs with disjoint ids but UNCHANGED text stream
+    // against the original corpus' broadcast band index — every
+    // arriving doc is a true near-dup, so this measures the WORST-case
+    // rate (full signature computation + bucket hit + agreement check
+    // on every row); state must stay 0 (pure projections + broadcast
+    // probes)
+    val docIn = s"$base/doc_in"
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+    docs0.crossJoin(spark.range(replicas).toDF("__c"))
+      .select((col("doc_id") + col("__c") * 1000000000L).as("doc_id"),
+        col("text"), col("lang"), col("source"))
+      .repartition(slices).write.mode("overwrite").json(docIn)
+    val nearDupRow = measure("neardup_ingest_stream", (_, out, ckpt) =>
+      fileSink(graft.streaming.CorpusStream.nearDupVsCorpus(
+        spark.readStream.schema(graft.streaming.CorpusStream.docSchema)
+          .option("maxFilesPerTrigger", filesPerTrigger).json(docIn),
+        docs0), out, ckpt))
+    val allResults = results :+ ivfRow :+ nearDupRow
 
     val loadEnd = loadAvg()
     def arr(xs: Seq[Double]) = xs.map(r2).mkString("[", ",", "]")

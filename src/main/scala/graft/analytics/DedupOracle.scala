@@ -665,6 +665,26 @@ SELECT d.doc_id, d.lang, d.source FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
 ${ord("doc_id")}""".trim
 
+  /** Twin of the streaming near-dup ingest gate (CorpusStream
+    * .nearDupVsCorpus): the portable-minhash agree chain restricted to
+    * stream(%5=0)-vs-standing(%5≠0) pairs — an arriving doc survives
+    * iff NO standing doc shares a band bucket with signature agreement
+    * ≥ 0.5 (the chain's a<b candidates cover both orientations, so
+    * both WHERE arms are needed). */
+  val streamNearDupIngest: String = s"""$minhashAgreeChain,
+sn_cont AS (
+  SELECT a_id AS doc_id FROM agree
+  WHERE a_id % 5 = 0 AND b_id % 5 <> 0
+    AND CAST(n_agree AS DOUBLE) / 32 >= 0.5
+  UNION
+  SELECT b_id FROM agree
+  WHERE b_id % 5 = 0 AND a_id % 5 <> 0
+    AND CAST(n_agree AS DOUBLE) / 32 >= 0.5)
+SELECT d.doc_id, d.lang, d.source FROM documents d
+WHERE d.doc_id % 5 = 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM sn_cont)
+${ord("doc_id")}""".trim
+
   /** Twin of Dedup.dedupCorpusVerified: the portable-minhash candidate
     * chain (est ≥ 0.5), the exact Levenshtein verify filter over
     * 200-char trimmed prefixes (dist·100 ≤ maxLen·30 — the integer

@@ -978,19 +978,36 @@ object Dedup {
     * verify join touches only the candidate sliver; survivors are one
     * anti-join. Same affine signature family as the portable pair
     * tier, so the oracle reuses the self-join chain's agree table. */
+  /** Portable MinHash signature COLUMN from a pre-materialized words
+    * array (`ws` must be an attribute — see `shinglesFromWords`):
+    * polyhash64'd w-shingles through the Kirsch–Mitzenmacher affine
+    * family, k mins. A pure projection — which is what lets the
+    * sketch tier lift to Structured Streaming STATELESS
+    * (CorpusStream.nearDupVsCorpus). */
+  def minhashSigCol(ws: Column, k: Int, w: Int = 3): Column =
+    graft.functions.MinHashSig.minhashSig(
+      transform(shinglesFromWords(ws, w),
+        s => graft.functions.PolyHash64.polyhash64(s)), k)
+
+  /** Per-band bucket array COLUMN from a signature column: the seeded
+    * polynomial fold over each band's slice — the identical expression
+    * every portable band tier uses (element i = band i's bucket). Pure
+    * projection, stream-safe. */
+  def minhashBucketsCol(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0L), lit(bands - 1L)), bi =>
+      aggregate(slice(sig, (bi * rows + 1).cast("int"), lit(rows)),
+        bi, (acc, v) => acc * 1000003L + v))
+
   def decontaminateFuzzy(corpus: DataFrame, benchmark: DataFrame,
       bands: Int = 8, rows: Int = 4, minEst: Double = 0.5,
       w: Int = 3): DataFrame = {
     val k = bands * rows
-    def sigsOf(df: DataFrame): DataFrame = shingled(df, w)
-      .select(col("doc_id"),
-        transform(col("sh"), s => graft.functions.PolyHash64.polyhash64(s)).as("hs"))
-      .select(col("doc_id"),
-        graft.functions.MinHashSig.minhashSig(col("hs"), k).as("sig"))
+    def sigsOf(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), minhashSigCol(col("ws"), k, w).as("sig"))
     def bandedOf(sigs: DataFrame): DataFrame = sigs.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0L), lit(bands - 1L)), bi =>
-        aggregate(slice(col("sig"), (bi * rows + 1).cast("int"), lit(rows)),
-          bi, (acc, v) => acc * 1000003L + v))).as(Seq("band", "bucket")))
+      posexplode(minhashBucketsCol(col("sig"), bands, rows))
+        .as(Seq("band", "bucket")))
     val corpusSigs = sigsOf(corpus).persist()
     val benchSigs = sigsOf(benchmark)
     val cands = bandedOf(corpusSigs).toDF("doc_id", "band", "bucket")

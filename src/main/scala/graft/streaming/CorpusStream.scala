@@ -47,6 +47,70 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming MinHash near-dup ingest — the fuzzy tier
+    * (`Dedup.decontaminateFuzzy`'s shape) lifted to the stream side:
+    * the STANDING corpus' portable MinHash signatures are grouped into
+    * a per-(band, bucket) index (one row per bucket, member signatures
+    * as a list); each ARRIVING document computes its own signature and
+    * band buckets as pure projections and probes the index with
+    * `bands` broadcast left joins — row-preserving, since the index is
+    * unique per (band, bucket) — then drops iff ANY probed bucket
+    * holds a corpus signature agreeing on ≥ `minEst` of the k mins
+    * (the exact batch-tier predicate, evaluated per row with an
+    * `exists` HOF over the bucket's signature list).
+    *
+    * Scale posture: STATELESS — no watermark, no state store, nothing
+    * accumulates (state_rows_max 0 on the identical replay,
+    * STREAMBENCH); the standing corpus never shuffles per micro-batch
+    * (the index is corpus-DUP-bucket-sized and broadcast, maintained
+    * by the batch side between ingest windows — the same
+    * lambda-architecture split as `dedupVsIndex`, one tier up).
+    * Stream ≡ batch `decontaminateFuzzy(arrivals, corpus)` is
+    * spec-pinned (StreamingSpec). */
+  def nearDupVsCorpus(stream: DataFrame, corpus: DataFrame, bands: Int = 8,
+      rows: Int = 4, minEst: Double = 0.5, w: Int = 3): DataFrame = {
+    import graft.ext.Dedup
+    val k = bands * rows
+    val sigs = corpus
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"), Dedup.minhashSigCol(col("ws"), k, w).as("sig"))
+    val idx = sigs
+      .select(col("sig"),
+        posexplode(Dedup.minhashBucketsCol(col("sig"), bands, rows))
+          .as(Seq("band", "bucket")))
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("sig")).as("bsigs"))
+    val withSig = stream
+      .withColumn("__ws", split(trim(col("text")), "\\s+"))
+      .withColumn("__sig", Dedup.minhashSigCol(col("__ws"), k, w))
+      .withColumn("__bks", Dedup.minhashBucketsCol(col("__sig"), bands, rows))
+    val probed = (0 until bands).foldLeft(withSig) { (df, i) =>
+      df.withColumn(s"__b_$i", element_at(col("__bks"), i + 1))
+        .join(broadcast(idx.where(col("band") === i)
+          .select(col("bucket").as(s"__b_$i"), col("bsigs").as(s"__bs_$i"))),
+          Seq(s"__b_$i"), "left_outer")
+    }
+    val hit = (0 until bands).map { i =>
+      coalesce(exists(col(s"__bs_$i"), bs =>
+        aggregate(zip_with(col("__sig"), bs,
+            (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(k) >= minEst),
+        lit(false))
+    }.reduce(_ || _)
+    probed.where(!hit).select(stream.columns.map(col): _*)
+  }
+
+  def runNearDupIngest(spark: SparkSession, inDir: String, corpus: DataFrame,
+      outDir: String, checkpointDir: String): StreamingQuery =
+    nearDupVsCorpus(source(spark, inDir), corpus)
+      .writeStream
+      .format("parquet")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .option("path", outDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming quality gate — the batch curation tier run UNMODIFIED
     * on a document stream: `TextAnalysis.gopherRules` is a pure
     * projection, so it lifts to Structured Streaming as a stateless

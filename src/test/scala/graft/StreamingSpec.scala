@@ -50,6 +50,28 @@ class StreamingSpec extends SparkSpec {
       "stream-static anti-join must keep no streaming state")
   }
 
+  test("streaming near-dup ingest == batch decontaminateFuzzy, stateless") {
+    import org.apache.spark.sql.functions._
+    val base = tmp("st_neardup")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val arrivals = docs.where(col("doc_id") % 5 === 0)
+      .select("doc_id", "text", "lang", "source")
+    val standing = docs.where(col("doc_id") % 5 =!= 0)
+    arrivals.coalesce(1).write.mode("overwrite").json(s"$base/in")
+    graft.streaming.CorpusStream.runNearDupIngest(
+      spark, s"$base/in", standing, s"$base/out", s"$base/ckpt").awaitTermination()
+    val streamed = spark.read.parquet(s"$base/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = graft.ext.Dedup.decontaminateFuzzy(arrivals, standing)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch,
+      s"stream-only=${streamed -- batch} batch-only=${batch -- streamed}")
+    assert(streamed.nonEmpty, "fixture must pass some docs through")
+    val stateDir = new java.io.File(s"$base/ckpt/state")
+    assert(!stateDir.exists || stateDir.listFiles.isEmpty,
+      "broadcast band-probe must keep no streaming state")
+  }
+
   test("sliding window: every event lands in exactly size/slide windows (batch semantics)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
