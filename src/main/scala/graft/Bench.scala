@@ -62,6 +62,16 @@ object Bench {
       case _ => -1L
     }
   def main(args: Array[String]): Unit = {
+    // Ambient stamp as the FIRST statement of main — before the
+    // SparkSession exists, before any Spark thread runs. The round-9
+    // BENCHONE investigation established that the r7/r8 "loaded box"
+    // load stamps were the bench's own local[32] self-load (warm-up +
+    // sbt), not neighbors; this field is the first-class artifact
+    // answer so the question never has to be re-litigated: a high
+    // 1-minute average HERE predates every cycle this JVM spent (only
+    // sbt's compile/launch overhead can contribute, and a no-op
+    // incremental compile contributes ~nothing).
+    val loadAmbient = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
@@ -128,7 +138,7 @@ object Bench {
     val total = best.values.map(_._1).sum
     val totalCpu = best.values.map(_._2).sum
     val loadJson =
-      s""""load_avg":{"pre_warmup":${arr(loadPre)},"start":${arr(loadStart)},"end":${arr(loadEnd)}}"""
+      s""""load_avg":{"ambient_premain":${arr(loadAmbient)},"pre_warmup":${arr(loadPre)},"start":${arr(loadStart)},"end":${arr(loadEnd)}}"""
     val full = s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
       s""""cpu_total":${r4(totalCpu)},$loadJson,"sf":"$sfDir",""" +
       s""""queries":$qs,"cpu":$cpu,"samples":$raw}"""

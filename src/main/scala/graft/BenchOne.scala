@@ -9,6 +9,13 @@ import org.apache.spark.sql.SparkSession
   * noise evidence as the full bench. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
+    // ambient stamp BEFORE the SparkSession exists (same first-class
+    // noise evidence as Bench's load_avg.ambient_premain field)
+    val ambient =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+").take(1).mkString
+      catch { case _: Exception => "?" }
+    println(s"[benchone] ambient_premain load1m=$ambient")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)

@@ -207,6 +207,49 @@ object ScaleProbe {
       t("lmQualityBuckets", n)(TextAnalysis.lmQualityBuckets(srcd).count())
       t("joinCardinality", n)(Sketches.joinCardinalityEstimate(
         docs, "doc_id", emb, "vec_id").count())
+      // round-10 batch 5: the corpus-health composite (its cached
+      // (source, tok) counts table must hold the ONE tokenize — cost
+      // tracks the token scan, ~linear); the hybrid retrieval
+      // composition and its metrics loop (every arm is a query-
+      // proportional top-k sliver — wall should stay ~flat above the
+      // corpus-scan floor); the verified dedup chain (candidate-
+      // sliver-proportional like its pieces); and pageRankFromEdges
+      // over a PRE-MATERIALIZED edge table — the amortized production
+      // path: the corpus self-join is paid ONCE outside the timer, so
+      // the per-consumer cost is the narrow k·N-edge iteration only
+      // (contrast with the self-building knnPageRank row above).
+      t("sourceHealthReport", n)(TextAnalysis.sourceHealthReport(srcd).count())
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val rrfQ = Seq((1L, "c0_spark"), (1L, "c0_merge"), (2L, "c0_vector"),
+        (2L, "c0_spark"), (3L, "c0_merge"), (3L, "c0_vector"))
+        .toDF("query_id", "term")
+      def lexArm(): DataFrame = {
+        val wa = Window.partitionBy(col("query_id"))
+          .orderBy(col("q_bm25").desc, col("doc_id").asc)
+        TextAnalysis.bm25MultiTopK(docs, rrfQ, k = 5)
+          .withColumn("rank", row_number().over(wa).cast("long"))
+          .select("query_id", "doc_id", "rank")
+      }
+      def cosArm(): DataFrame = {
+        val wb = Window.partitionBy(col("probe_id"))
+          .orderBy(col("cosine_sim").desc, col("vec_id").asc)
+        Similarity.annTopK(emb, emb.where(col("vec_id").isin(1L, 2L, 3L)),
+            k = 5, strategy = "brute")
+          .withColumn("rank", row_number().over(wb).cast("long"))
+          .select(col("probe_id").as("query_id"),
+            col("vec_id").as("doc_id"), col("rank"))
+      }
+      t("hybridRrf", n)(
+        TextAnalysis.rrfFuse(lexArm(), cosArm(), k = 5).count())
+      t("retrievalMetrics", n)(TextAnalysis.retrievalMetrics(
+        lexArm(), cosArm().select("query_id", "doc_id"), k = 5).count())
+      t("dedupCorpusVerified", n)(Dedup.dedupCorpusVerified(docs).count())
+      if (only.forall(_.contains("pageRankFromEdges"))) {
+        val knnEdges = Similarity.knnGraph(emb).localCheckpoint()
+        t("pageRankFromEdges", n)(
+          Similarity.pageRankFromEdges(knnEdges).count())
+      }
     }
     spark.stop()
   }
