@@ -1044,6 +1044,22 @@ object SparkEntry {
       s.read.parquet(s"$base/out")
         .select("doc_id", "lang", "source").orderBy("doc_id")
     }),
+    // The COMPOSED admission chain as one stateless streaming query:
+    // shape filter -> exact sha index anti-join -> MinHash band probe
+    // (cost-ordered cheapest-first) — the full ingest gate a 100 TB
+    // run ships; oracle = the three tiers as one statement
+    "stream_full_ingest" -> prep((s, d) => {
+      val base = tmpDir("graft_docfullingest")
+      val all = docs(s, d)
+      all.where(col("doc_id") % 5 === 0)
+        .select("doc_id", "text", "lang", "source")
+        .coalesce(1).write.mode("overwrite").json(s"$base/in")
+      graft.streaming.CorpusStream.runFullIngest(
+        s, s"$base/in", all.where(col("doc_id") % 5 =!= 0),
+        s"$base/out", s"$base/ckpt").awaitTermination()
+      s.read.parquet(s"$base/out")
+        .select("doc_id", "lang", "source").orderBy("doc_id")
+    }),
     // The batch curation tier lifted to a stream unmodified:
     // gopherRules is a pure projection, so the streaming quality gate
     // is stateless and must equal the batch pass bit-for-bit
@@ -1486,6 +1502,7 @@ object SparkEntry {
     "stream_dedup_events" -> ExtOracle.streamDedupEvents,
     "stream_dedup_vs_corpus" -> ExtOracle.streamDedupVsCorpus,
     "stream_neardup_ingest" -> ExtOracle.streamNearDupIngest,
+    "stream_full_ingest" -> ExtOracle.streamFullIngest,
     "stream_quality_filter" -> ExtOracle.streamQualityFilter,
     "stream_attribution" -> ExtOracle.streamAttribution,
     "stream_sessionize" -> ExtOracle.streamSessionize,

@@ -685,6 +685,43 @@ WHERE d.doc_id % 5 = 0
   AND d.doc_id NOT IN (SELECT doc_id FROM sn_cont)
 ${ord("doc_id")}""".trim
 
+  /** Twin of the composed streaming ingest gate (CorpusStream
+    * .fullIngest): the %5=0 arrivals pass the gopherRules shape
+    * predicate (inlined verbatim from CoreOracle.streamQualityFilter's
+    * chain — the engine's expression parity with gopherRules is
+    * spec-pinned), then drop on exact text match against the standing
+    * corpus, then drop on the fuzzy (agree-chain) tier vs standing —
+    * the three admission tiers as one statement. */
+  val streamFullIngest: String = s"""$minhashAgreeChain,
+fi_sig AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents WHERE doc_id % 5 = 0),
+fi_pass AS (
+  SELECT doc_id FROM fi_sig
+  WHERE CAST(len(w) AS INT) BETWEEN 20 AND 100000
+    AND (CAST(length(array_to_string(w, '')) AS DOUBLE)
+         / CAST(len(w) AS DOUBLE)) BETWEEN 3.0 AND 10.0
+    AND CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+         / CAST(len(w) AS DOUBLE) <= 0.1
+    AND CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+         / CAST(len(w) AS DOUBLE) >= 0.8),
+fi_exact AS (
+  SELECT DISTINCT a.doc_id FROM documents a JOIN documents b
+  ON a.text = b.text AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0),
+fi_fuzzy AS (
+  SELECT a_id AS doc_id FROM agree
+  WHERE a_id % 5 = 0 AND b_id % 5 <> 0
+    AND CAST(n_agree AS DOUBLE) / 32 >= 0.5
+  UNION
+  SELECT b_id FROM agree
+  WHERE b_id % 5 = 0 AND a_id % 5 <> 0
+    AND CAST(n_agree AS DOUBLE) / 32 >= 0.5)
+SELECT d.doc_id AS doc_id, d.lang, d.source FROM documents d
+JOIN fi_pass p ON d.doc_id = p.doc_id
+WHERE d.doc_id NOT IN (SELECT doc_id FROM fi_exact)
+  AND d.doc_id NOT IN (SELECT doc_id FROM fi_fuzzy)
+ORDER BY d.doc_id ASC NULLS FIRST""".trim
+
   /** Twin of Dedup.dedupCorpusVerified: the portable-minhash candidate
     * chain (est ≥ 0.5), the exact Levenshtein verify filter over
     * 200-char trimmed prefixes (dist·100 ≤ maxLen·30 — the integer

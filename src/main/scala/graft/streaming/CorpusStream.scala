@@ -111,6 +111,57 @@ object CorpusStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Composed streaming ingest gate — the full document admission
+    * chain a production ingest ships, as ONE stateless streaming
+    * query, cost-ordered cheapest-first:
+    *
+    *  1. shape-quality filter — the corpus-binding `gopherRules`
+    *     signals (word-count band, mean word length, symbol ratio,
+    *     alphabetic fraction), the IDENTICAL predicate
+    *     `runShapeFilter` applies (expression parity is spec-pinned
+    *     against gopherRules' columns); a pure projection predicate,
+    *     so it prunes before any index is consulted;
+    *  2. exact dedup against the standing corpus' sha256 digest index
+    *     (`dedupVsIndex` — broadcast anti-join);
+    *  3. MinHash band-probe near-dup check against the standing
+    *     corpus (`nearDupVsCorpus` — signature computation paid only
+    *     by docs that survived the two cheap tiers).
+    *
+    * Every tier is stateless (projections + broadcast probes), so the
+    * composition is too: one streaming query, no watermark, no state
+    * store. The batch equivalent (shape filter → exact anti-join →
+    * `decontaminateFuzzy`) is spec-pinned doc-for-doc. */
+  def fullIngest(stream: DataFrame, corpus: DataFrame, minWords: Int = 20,
+      bands: Int = 8, rows: Int = 4, minEst: Double = 0.5,
+      shingleW: Int = 3): DataFrame = {
+    val cols = stream.columns.map(col)
+    val shaped = stream
+      .withColumn("__w", split(trim(col("text")), "\\s+"))
+      .withColumn("__nw", size(col("__w")).cast("int"))
+      .where(col("__nw").between(minWords, 100000) &&
+        (length(concat_ws("", col("__w"))).cast("double") /
+          col("__nw").cast("double")).between(3.0, 10.0) &&
+        (regexp_count(col("text"), lit("#|\\.\\.\\.")).cast("double") /
+          col("__nw").cast("double")) <= 0.1 &&
+        (size(filter(col("__w"), x => x.rlike("[A-Za-z]"))).cast("double") /
+          col("__nw").cast("double")) >= 0.8)
+      .select(cols: _*)
+    val exactIdx = corpus.select(sha2(col("text"), 256).as("text_sha")).distinct()
+    nearDupVsCorpus(dedupVsIndex(shaped, exactIdx), corpus, bands, rows,
+      minEst, shingleW)
+  }
+
+  def runFullIngest(spark: SparkSession, inDir: String, corpus: DataFrame,
+      outDir: String, checkpointDir: String): StreamingQuery =
+    fullIngest(source(spark, inDir), corpus)
+      .writeStream
+      .format("parquet")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .option("path", outDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming quality gate — the batch curation tier run UNMODIFIED
     * on a document stream: `TextAnalysis.gopherRules` is a pure
     * projection, so it lifts to Structured Streaming as a stateless

@@ -72,6 +72,40 @@ class StreamingSpec extends SparkSpec {
       "broadcast band-probe must keep no streaming state")
   }
 
+  test("streaming full ingest == batch shape->exact->fuzzy composition, stateless") {
+    import org.apache.spark.sql.functions._
+    val base = tmp("st_fullingest")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val arrivals = docs.where(col("doc_id") % 5 === 0)
+      .select("doc_id", "text", "lang", "source")
+    val standing = docs.where(col("doc_id") % 5 =!= 0)
+    arrivals.coalesce(1).write.mode("overwrite").json(s"$base/in")
+    graft.streaming.CorpusStream.runFullIngest(
+      spark, s"$base/in", standing, s"$base/out", s"$base/ckpt").awaitTermination()
+    val streamed = spark.read.parquet(s"$base/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // batch composition through the BATCH operators; the shape tier
+    // goes through gopherRules' columns, which pins the stream side's
+    // inline predicate expressions against the canonical ones
+    val shapePass = graft.ext.TextAnalysis.gopherRules(arrivals, 20)
+      .where(col("n_words").between(20, 100000) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("symbol_ratio") <= 0.1 && col("frac_alpha_words") >= 0.8)
+      .select("doc_id")
+    val afterShape = arrivals.join(shapePass, "doc_id")
+    val afterExact = afterShape.withColumn("__sha", sha2(col("text"), 256))
+      .join(standing.select(sha2(col("text"), 256).as("__sha")).distinct(),
+        Seq("__sha"), "left_anti").drop("__sha")
+    val batch = graft.ext.Dedup.decontaminateFuzzy(afterExact, standing)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch,
+      s"stream-only=${streamed -- batch} batch-only=${batch -- streamed}")
+    assert(streamed.nonEmpty, "fixture must pass some docs through")
+    val stateDir = new java.io.File(s"$base/ckpt/state")
+    assert(!stateDir.exists || stateDir.listFiles.isEmpty,
+      "composed admission chain must keep no streaming state")
+  }
+
   test("sliding window: every event lands in exactly size/slide windows (batch semantics)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
