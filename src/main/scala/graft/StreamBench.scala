@@ -197,7 +197,17 @@ object StreamBench {
         spark.readStream.schema(graft.streaming.CorpusStream.docSchema)
           .option("maxFilesPerTrigger", filesPerTrigger).json(docIn),
         docs0), out, ckpt))
-    val allResults = results :+ ivfRow :+ nearDupRow
+    // the COMPOSED admission chain on the same replay — the
+    // cost-ordering contrast: because the sha256 exact tier drops
+    // every replica BEFORE signature computation, the full chain
+    // should be FASTER than the bare near-dup probe above despite
+    // doing strictly more checks per surviving row
+    val fullIngestRow = measure("full_ingest_stream", (_, out, ckpt) =>
+      fileSink(graft.streaming.CorpusStream.fullIngest(
+        spark.readStream.schema(graft.streaming.CorpusStream.docSchema)
+          .option("maxFilesPerTrigger", filesPerTrigger).json(docIn),
+        docs0), out, ckpt))
+    val allResults = results :+ ivfRow :+ nearDupRow :+ fullIngestRow
 
     val loadEnd = loadAvg()
     def arr(xs: Seq[Double]) = xs.map(r2).mkString("[", ",", "]")

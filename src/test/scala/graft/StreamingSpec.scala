@@ -72,6 +72,22 @@ class StreamingSpec extends SparkSpec {
       "broadcast band-probe must keep no streaming state")
   }
 
+  test("nearDupVsIndex over a pre-built band index == self-building nearDupVsCorpus") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val arrivals = docs.where(col("doc_id") % 5 === 0)
+      .select("doc_id", "text", "lang", "source")
+    val standing = docs.where(col("doc_id") % 5 =!= 0)
+    // production shape: the index materialized ONCE, probes read it
+    val idx = graft.streaming.CorpusStream.bandIndexOf(standing).localCheckpoint()
+    val viaIdx = graft.streaming.CorpusStream.nearDupVsIndex(arrivals, idx)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val self = graft.streaming.CorpusStream.nearDupVsCorpus(arrivals, standing)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaIdx == self, s"idx-only=${viaIdx -- self} self-only=${self -- viaIdx}")
+    assert(viaIdx.nonEmpty)
+  }
+
   test("streaming full ingest == batch shape->exact->fuzzy composition, stateless") {
     import org.apache.spark.sql.functions._
     val base = tmp("st_fullingest")
