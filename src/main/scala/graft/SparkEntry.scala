@@ -718,6 +718,15 @@ object SparkEntry {
           size(split(trim(col("text")), "\\s+")).as("n_tokens")),
         "n_tokens", budget = 2048, nBuckets = 8))
         .orderBy("pack_bucket", "shard_in_bucket")),
+    // Efraimidis-Spirakis weighted sampling WITHOUT replacement:
+    // top-50 by the deterministic u^(1/w) key with weight = token
+    // count — selection pressure proportional to document length
+    "weighted_sample" -> prep((s, d) =>
+      Sampling.weightedSample(
+        docs(s, d).select(col("doc_id"), col("lang"), col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("weight")),
+        "weight", k = 50)
+        .orderBy("doc_id")),
     // length-grouped batching: consecutive batches of 32 in token-
     // length order, per-batch padding waste (dynamic-batching planner)
     "length_batches" -> prep((s, d) =>
@@ -1521,6 +1530,7 @@ object SparkEntry {
     "shard_manifest" -> ExtOracle.shardManifest,
     "length_batches" -> ExtOracle.lengthBatches,
     "systematic_sample" -> ExtOracle.systematicSample,
+    "weighted_sample" -> ExtOracle.weightedSample,
     "containment_pairs" -> ExtOracle.containmentPairs,
     "normalize_text" -> ExtOracle.normalizeText,
     "dsir_select" -> ExtOracle.dsirSelect,

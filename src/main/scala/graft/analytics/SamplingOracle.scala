@@ -464,6 +464,33 @@ ${ord("pack_bucket", "shard_in_bucket")}""".trim
     * two-level exclusive token prefix in (knuth-bucket-64, doc_id)
     * order — here one global window, same total order — and the
     * integer span-covers-a-multiple predicate. */
+  /** Twin of Sampling.weightedSample (A-ES, k=50, weight = token
+    * count): the Knuth-bucket uniform u = (bucket+1)/10⁶, the
+    * ·10⁶-quantized ln, ONE correctly-rounded double division qln/w
+    * per row (identical in any IEEE engine), top-50 by
+    * (key DESC, doc_id ASC). */
+  val weightedSample: String = s"""
+WITH ws_w AS (
+  SELECT doc_id, lang, source,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS weight
+  FROM documents),
+ws_k AS (
+  SELECT *,
+    CAST(round(ln((((doc_id % 1000003) * 2654435761) % 1000000 + 1)
+        / 1000000.0) * 1000000) AS BIGINT) AS qln
+  FROM ws_w),
+ws_r AS (
+  SELECT doc_id, lang, source, weight,
+    CAST(qln AS DOUBLE) / CAST(weight AS DOUBLE) AS es_key,
+    ROW_NUMBER() OVER (
+      ORDER BY CAST(qln AS DOUBLE) / CAST(weight AS DOUBLE) DESC,
+        doc_id ASC) AS sample_rank
+  FROM ws_k)
+SELECT doc_id, lang, source, weight, es_key,
+  CAST(sample_rank AS BIGINT) AS sample_rank
+FROM ws_r WHERE sample_rank <= 50
+${ord("doc_id")}""".trim
+
   val systematicSample: String = s"""
 WITH t AS (
   SELECT doc_id,

@@ -487,6 +487,43 @@ object Sampling {
       .select(col(idCol), col(tokensCol), col("__start").as("token_pos"))
   }
 
+  /** Weighted sampling WITHOUT replacement — Efraimidis–Spirakis A-ES
+    * (IPL 2006): each row gets key u^(1/w) for u uniform in (0, 1];
+    * the k largest keys ARE a weight-proportional sample without
+    * replacement. Selection pressure follows the weight column
+    * (tokens, quality, recency…) exactly — the principled way to take
+    * "a 50M-doc sample biased toward high-quality long documents"
+    * without the with-replacement duplicates naive weighted draws
+    * produce.
+    *
+    * Determinism contract (rand()-free like every sampler here): u =
+    * (Knuth bucket(id, 10⁶) + 1) / 10⁶, the key compared in log space
+    * ln(u)/w — ln quantized to integer ·10⁶ per the house rule, then
+    * ONE correctly-rounded double division qln/w per row (identical in
+    * any IEEE engine), ties doc_id ASC. Repartition-invariant,
+    * engine-reproducible (DuckDB twin recomputes every key), and
+    * stable run-to-run.
+    *
+    * Scale shape: the key is a pure scan projection (no joins, no
+    * shuffle); the global top-k is sort+limit → TakeOrderedAndProject
+    * (map-side pruned per partition, never a global sort); the
+    * k-row result then gets its rank from a window over k rows.
+    * Returns the input columns + (es_key, sample_rank). */
+  def weightedSample(df: DataFrame, weightCol: String, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "sample size must be positive")
+    val qln = round(log((bucket(col(idCol), 1000000) + 1L).cast("double")
+      / 1000000.0) * 1000000).cast("long")
+    val keyed = df
+      .withColumn("es_key",
+        qln.cast("double") / col(weightCol).cast("double"))
+      .orderBy(col("es_key").desc, col(idCol).asc)
+      .limit(k)
+    keyed.withColumn("sample_rank", row_number().over(
+      Window.orderBy(col("es_key").desc, col(idCol).asc)).cast("long"))
+  }
+
   def shardManifest(packed: DataFrame, idCol: String = "doc_id",
       tokensCol: String = "n_tokens"): DataFrame =
     packed.groupBy(col("pack_bucket"), col("shard_in_bucket"))

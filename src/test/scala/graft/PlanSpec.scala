@@ -481,6 +481,18 @@ class PlanSpec extends SparkSpec {
       s"token counting must be size(split), not an explode:\n${p.take(1500)}")
   }
 
+  test("weightedSample: key is a scan projection, top-k is TakeOrderedAndProject") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("weight"))
+    val p = plan(graft.ext.Sampling.weightedSample(docs, "weight", 10))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-k must map-side prune, not global-sort:\n${p.take(1500)}")
+    // the A-ES key is a pure projection: no join, no pre-top-k exchange
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"key computation must not join:\n${p.take(1500)}")
+  }
+
   test("skewReport: top-k is TakeOrderedAndProject over one count agg") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
     val p = plan(graft.ext.SkewJoin.skewReport(ev, "event_type"))

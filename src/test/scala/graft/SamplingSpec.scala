@@ -254,6 +254,31 @@ class SamplingSpec extends SparkSpec {
     assert(got.contains(1L), "a doc longer than the stride always samples")
   }
 
+  test("weightedSample: A-ES keys reproduce exactly, heavy class dominates, layout-invariant") {
+    import spark.implicits._
+    val rows = (0L until 2000L).map(i => (i, if (i % 2 == 0) 100L else 1L))
+    val df = rows.toDF("doc_id", "weight")
+    val got = Sampling.weightedSample(df, "weight", 50).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("sample_rank")))
+    // independent reference implementation of the identical contract
+    // (BigDecimal HALF_UP = Spark round's half-away-from-zero)
+    def key(id: Long, w: Long): Double = {
+      val b = ((id % 1000003L) * 2654435761L) % 1000000L
+      BigDecimal(math.log((b + 1) / 1000000.0) * 1000000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong.toDouble / w
+    }
+    val exp = rows.sortBy { case (id, w) => (-key(id, w), id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => (id, (i + 1).toLong) }
+    assert(got.sortBy(_._2).toSeq == exp, "engine must reproduce the A-ES ranking")
+    // selection pressure: the weight-100 class must dominate the top-50
+    val heavy = got.count(_._1 % 2 == 0)
+    assert(heavy >= 40, s"heavy class should dominate, got $heavy/50")
+    // repartition-invariance (the rand()-free contract)
+    val re = Sampling.weightedSample(df.repartition(7), "weight", 50).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("sample_rank"))).toSet
+    assert(re == got.toSet)
+  }
+
   test("negativeSamples: stride negatives are balanced, never self") {
     import spark.implicits._
     val df = (0L until 10L).map(i => Tuple1(i * 7)).toList.toDF("doc_id") // gappy ids
