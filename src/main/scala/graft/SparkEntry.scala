@@ -577,6 +577,19 @@ object SparkEntry {
     "ann_ivf_topk" -> prep((s, d) => Similarity.ivfTopK(emb(s, d),
       emb(s, d).where(col("vec_id") % 100 === 0), k = 5, nprobe = 3)
       .orderBy("probe_id", "vec_id")),
+    // the SERVING path: the IVF index persisted as a cell-partitioned
+    // parquet layout, probes read back through dynamic partition
+    // pruning (only the nprobe probed cells' files) — value-identical
+    // to the self-building ivfTopK, shares its oracle
+    "ann_ivf_postings_scan" -> prep((s, d) => {
+      val out = tmpDir("graft_ivfpost") + "/postings"
+      val e = emb(s, d)
+      graft.ingest.Layout.writeIvfPostings(Similarity.ivfAssign(e), out)
+      Similarity.ivfTopKFromPostings(s.read.parquet(out),
+        Similarity.ivfCentroids(e),
+        e.where(col("vec_id") % 100 === 0), k = 5, nprobe = 3)
+        .orderBy("probe_id", "vec_id")
+    }),
     // greedy k-center coreset: 6 maximum-spread picks + the monotone
     // coverage-radius curve (exact integer distances)
     "kcenter_sample" -> prep((s, d) =>
@@ -1594,6 +1607,7 @@ object SparkEntry {
     "feature_hash_vectors" -> ExtOracle.featureHashVectors,
     "classifier_score" -> ExtOracle.classifierScore,
     "ann_ivf_topk" -> ExtOracle.ivfTopK,
+    "ann_ivf_postings_scan" -> ExtOracle.ivfTopK, // persisted-layout path, same result
     "hard_negatives" -> ExtOracle.hardNegatives,
     "kcenter_sample" -> ExtOracle.kcenterSample,
     "pq_encode" -> ExtOracle.pqEncode,

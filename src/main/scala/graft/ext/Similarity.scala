@@ -224,13 +224,15 @@ object Similarity {
     * The shared probe stage of `ivfTopK` and `hardNegatives`: the only
     * corpus exchange is the candidate join on `cell`; centroid tables
     * broadcast. */
-  private def ivfScored(emb: DataFrame, probes: DataFrame,
-      nprobe: Int, centroidMod: Int): DataFrame = {
+  /** `ivfScored` over an EXPLICIT (pre-built) posting table + centroid
+    * table — the injectable core shared by the self-building batch
+    * path and the persisted-layout serving path
+    * (`ivfTopKFromPostings` over `Layout.writeIvfPostings` output).
+    * `indexed` must carry (vec_id, cell, q, nq) — `ivfAssign`'s
+    * schema (integer-quantized, so a parquet round-trip is exact). */
+  private def ivfScoredFrom(indexed: DataFrame, cents: DataFrame,
+      probes: DataFrame, nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = quantizedWithNorm(emb)
-    val cents = e.where(col("vec_id") % centroidMod === 0)
-      .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nq").as("ncq"))
-    val indexed = ivfAssign(emb, centroidMod)
     // probe → its nprobe nearest cells
     val probeCells = quantizedWithNorm(probes)
       .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("nq").as("npq"))
@@ -246,6 +248,32 @@ object Similarity {
       .where(col("probe_id") =!= col("vec_id"))
       .select(col("probe_id"), col("vec_id"),
         cosineN(dotL(col("pq"), col("q")), col("npq"), col("nq")).as("cosine_sim"))
+  }
+
+  private def ivfScored(emb: DataFrame, probes: DataFrame,
+      nprobe: Int, centroidMod: Int): DataFrame =
+    ivfScoredFrom(ivfAssign(emb, centroidMod),
+      ivfCentroids(emb, centroidMod), probes, nprobe)
+
+  /** IVF probe over a PERSISTED posting layout — the serving path:
+    * `Layout.writeIvfPostings` lands the index cell-partitioned on
+    * disk, and the probe's broadcast cell join lets Spark's dynamic
+    * partition pruning read ONLY the nprobe probed cells' files (the
+    * declarative analogue of FAISS's inverted lists — at 100 TB a
+    * probe touches nprobe/|cells| of the index bytes; LayoutSpec pins
+    * the dynamicpruning expression on the scan). Quantization is
+    * integer, so the parquet round-trip is exact and results are
+    * value-identical to the self-building `ivfTopK` (shares its gate
+    * oracle). */
+  def ivfTopKFromPostings(postings: DataFrame, cents: DataFrame,
+      probes: DataFrame, k: Int = 5, nprobe: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine_sim").desc, col("vec_id").asc)
+    ivfScoredFrom(postings, cents, probes, nprobe)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .drop("rk")
   }
 
   /** IVF probe: top-k within the probe's `nprobe` nearest cells. */

@@ -31,6 +31,19 @@ object Layout {
       .partitionBy("event_date")
       .parquet(outDir)
 
+  /** IVF posting lists as a cell-partitioned parquet layout — the
+    * serving-side persistence of the ANN index: each (vec_id, cell,
+    * q, nq) row from `Similarity.ivfAssign` lands under cell=<id>/,
+    * so a probe's broadcast join on `cell` reads ONLY its nprobe
+    * cells' files through dynamic partition pruning (the declarative
+    * analogue of FAISS's inverted lists; LayoutSpec pins the
+    * dynamicpruning scan expression). Quantized columns are integer,
+    * so the round-trip is bit-exact. */
+  def writeIvfPostings(assigned: DataFrame, outDir: String): Unit =
+    assigned.write.mode(SaveMode.Overwrite)
+      .partitionBy("cell")
+      .parquet(outDir)
+
   /** Write a bucketed + sorted catalog table. Idempotent across JVMs:
     * the in-memory catalog forgets tables on restart but their
     * warehouse directories survive, so clear both first. */

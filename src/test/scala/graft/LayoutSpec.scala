@@ -35,6 +35,30 @@ class LayoutSpec extends SparkSpec {
       s"files must cluster both dims: avg user span=$avgU, hour span=$avgH")
   }
 
+  test("IVF postings layout: probe join dynamic-prunes the cell-partitioned scan") {
+    import graft.ext.Similarity
+    val base = Files.createTempDirectory("layout_ivf").toString
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    Layout.writeIvfPostings(Similarity.ivfAssign(e), s"$base/postings")
+    // one dir per cell on disk
+    val cellDirs = new java.io.File(s"$base/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.length >= 2, s"expected cell dirs, got ${cellDirs.length}")
+    val q = Similarity.ivfTopKFromPostings(
+      spark.read.parquet(s"$base/postings"), Similarity.ivfCentroids(e),
+      e.where(col("vec_id") % 100 === 0), k = 5, nprobe = 3)
+    // value parity with the self-building path
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val self = Similarity.ivfTopK(e, e.where(col("vec_id") % 100 === 0),
+      k = 5, nprobe = 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == self, s"postings path must equal self-building path")
+    // the 100 TB claim: the probe side's broadcast cell join must
+    // dynamically prune the partitioned scan (only probed cells read)
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"cell-partitioned scan must carry a dynamic pruning predicate:\n${p.take(2000)}")
+  }
+
   test("z-ordered write: empty and all-null-dim inputs degrade to a plain write") {
     import spark.implicits._
     val base = Files.createTempDirectory("layout_zdegen").toString
