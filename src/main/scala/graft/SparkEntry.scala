@@ -740,6 +740,15 @@ object SparkEntry {
           size(split(trim(col("text")), "\\s+")).cast("long").as("weight")),
         "weight", k = 50)
         .orderBy("doc_id")),
+    // per-source A-ES sample: weight-proportional choice INSIDE each
+    // source, per-source quota bounding domination (WindowGroupLimit)
+    "weighted_sample_by_source" -> prep((s, d) =>
+      Sampling.weightedSampleByGroup(
+        docs(s, d).select(col("doc_id"), col("lang"), col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("weight")),
+        "source", "weight", k = 10)
+        .select("doc_id", "lang", "source", "weight", "es_key", "sample_rank")
+        .orderBy("doc_id")),
     // length-grouped batching: consecutive batches of 32 in token-
     // length order, per-batch padding waste (dynamic-batching planner)
     "length_batches" -> prep((s, d) =>
@@ -1544,6 +1553,7 @@ object SparkEntry {
     "length_batches" -> ExtOracle.lengthBatches,
     "systematic_sample" -> ExtOracle.systematicSample,
     "weighted_sample" -> ExtOracle.weightedSample,
+    "weighted_sample_by_source" -> ExtOracle.weightedSampleBySource,
     "containment_pairs" -> ExtOracle.containmentPairs,
     "normalize_text" -> ExtOracle.normalizeText,
     "dsir_select" -> ExtOracle.dsirSelect,

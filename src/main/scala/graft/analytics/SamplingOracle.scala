@@ -491,6 +491,30 @@ SELECT doc_id, lang, source, weight, es_key,
 FROM ws_r WHERE sample_rank <= 50
 ${ord("doc_id")}""".trim
 
+  /** Twin of Sampling.weightedSampleByGroup (k=10 per source, weight =
+    * token count): the same A-ES key chain, rank windowed PER SOURCE. */
+  val weightedSampleBySource: String = s"""
+WITH wg_w AS (
+  SELECT doc_id, lang, source,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS weight
+  FROM documents),
+wg_k AS (
+  SELECT *,
+    CAST(round(ln((((doc_id % 1000003) * 2654435761) % 1000000 + 1)
+        / 1000000.0) * 1000000) AS BIGINT) AS qln
+  FROM wg_w),
+wg_r AS (
+  SELECT doc_id, lang, source, weight,
+    CAST(qln AS DOUBLE) / CAST(weight AS DOUBLE) AS es_key,
+    ROW_NUMBER() OVER (PARTITION BY source
+      ORDER BY CAST(qln AS DOUBLE) / CAST(weight AS DOUBLE) DESC,
+        doc_id ASC) AS sample_rank
+  FROM wg_k)
+SELECT doc_id, lang, source, weight, es_key,
+  CAST(sample_rank AS BIGINT) AS sample_rank
+FROM wg_r WHERE sample_rank <= 10
+${ord("doc_id")}""".trim
+
   val systematicSample: String = s"""
 WITH t AS (
   SELECT doc_id,

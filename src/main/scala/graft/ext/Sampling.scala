@@ -524,6 +524,28 @@ object Sampling {
       Window.orderBy(col("es_key").desc, col(idCol).asc)).cast("long"))
   }
 
+  /** Per-group weighted sampling without replacement —
+    * `weightedSample` within each group: every group keeps its own
+    * k-row A-ES sample, so selection pressure follows the weight
+    * INSIDE a source while the per-group quota bounds domination (the
+    * weighted upgrade of `Curation.sourceCap`'s quality top-k; same
+    * key contract as the global sampler). Per-group top-k is a rank
+    * window WindowGroupLimit prunes map-side — never a per-group sort
+    * of the corpus. */
+  def weightedSampleByGroup(df: DataFrame, groupCol: String,
+      weightCol: String, k: Int, idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "sample size must be positive")
+    val qln = round(log((bucket(col(idCol), 1000000) + 1L).cast("double")
+      / 1000000.0) * 1000000).cast("long")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("es_key").desc, col(idCol).asc)
+    df.withColumn("es_key",
+        qln.cast("double") / col(weightCol).cast("double"))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .where(col("sample_rank") <= k)
+  }
+
   def shardManifest(packed: DataFrame, idCol: String = "doc_id",
       tokensCol: String = "n_tokens"): DataFrame =
     packed.groupBy(col("pack_bucket"), col("shard_in_bucket"))

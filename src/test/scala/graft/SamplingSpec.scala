@@ -279,6 +279,29 @@ class SamplingSpec extends SparkSpec {
     assert(re == got.toSet)
   }
 
+  test("weightedSampleByGroup: per-group quotas, same key contract, WindowGroupLimit") {
+    import spark.implicits._
+    val rows = (0L until 300L).map(i => (i, s"g${i % 3}", 1L + (i % 7)))
+    val df = rows.toDF("doc_id", "grp", "weight")
+    val q = Sampling.weightedSampleByGroup(df, "grp", "weight", 5)
+    val got = q.collect().map(r => (r.getAs[String]("grp"),
+      r.getAs[Long]("doc_id"), r.getAs[Long]("sample_rank")))
+    assert(got.groupBy(_._1).forall(_._2.length == 5), "each group keeps exactly k")
+    def key(id: Long, w: Long): Double = {
+      val b = ((id % 1000003L) * 2654435761L) % 1000000L
+      BigDecimal(math.log((b + 1) / 1000000.0) * 1000000)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong.toDouble / w
+    }
+    val exp = rows.groupBy(_._2).flatMap { case (g, rs) =>
+      rs.sortBy { case (id, _, w) => (-key(id, w), id) }.take(5)
+        .zipWithIndex.map { case ((id, _, _), i) => (g, id, (i + 1).toLong) }
+    }.toSet
+    assert(got.toSet == exp, "per-group ranking must match the reference")
+    // the per-group top-k must prune map-side, not sort each group fully
+    assert(q.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "per-group cut must be WindowGroupLimit-pruned")
+  }
+
   test("negativeSamples: stride negatives are balanced, never self") {
     import spark.implicits._
     val df = (0L until 10L).map(i => Tuple1(i * 7)).toList.toDF("doc_id") // gappy ids
