@@ -84,7 +84,7 @@ object SparkEntry {
         // not query throughput
         k != "jdbc_scan_clean" && k != "zorder_scan" &&
         k != "compact_scan_clean" && k != "bucketed_join_revenue" &&
-        k != "date_partition_scan" &&
+        k != "date_partition_scan" && k != "ann_ivf_postings_scan" &&
         k != "csv_scan_clean" && k != "orc_scan_clean" &&
         // same results as ngram_jaccard via the hot-key-free candidate
         // path; its freq-agg + prefix overhead only pays off on corpora
@@ -332,6 +332,15 @@ object SparkEntry {
     "dsir_weights" -> prep((s, d) =>
       TextAnalysis.dsirWeights(docs(s, d), col("lang") === "en")
         .orderBy("doc_id")),
+    // held-out LM eval: the %5 slice scored under the OTHER 80%'s
+    // add-1-smoothed unigram distribution (+ OOV rate) — the eval
+    // loop self-scored lmQuality can't provide
+    "lm_heldout" -> prep((s, d) => {
+      val all = docs(s, d)
+      TextAnalysis.lmQualityHeldOut(
+        all.where(col("doc_id") % 5 =!= 0),
+        all.where(col("doc_id") % 5 === 0)).orderBy("doc_id")
+    }),
     "lm_quality" -> prep((s, d) =>
       TextAnalysis.lmQuality(docs(s, d)).orderBy("doc_id")),
     // cross-doc span duplication (shingle-level substring-dedup signal)
@@ -1645,6 +1654,7 @@ object SparkEntry {
     "bigram_lm_quality" -> ExtOracle.bigramLmQuality,
     "bigram_lm_pruned" -> ExtOracle.bigramLmPruned,
     "bigram_lm_interp" -> ExtOracle.bigramLmInterp,
+    "lm_heldout" -> ExtOracle.lmHeldOut,
     "span_dup_score" -> ExtOracle.spanDupScore,
     "novelty_score" -> ExtOracle.noveltyScore,
     "substring_dedup" -> ExtOracle.substringDedup,

@@ -316,6 +316,40 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
 FROM scored GROUP BY doc_id
 ${ord("doc_id")}""".trim
 
+  /** Twin of TextAnalysis.lmQualityHeldOut (train = doc_id%5≠0, score
+    * = doc_id%5=0): add-1-smoothed unigram log-probs under the TRAIN
+    * distribution, OOV via the left join's null, the same quantized
+    * int64 per-doc sums. */
+  val lmHeldOut: String = s"""
+WITH ho_tr AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents WHERE doc_id % 5 <> 0),
+ho_tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf FROM ho_tr GROUP BY tok),
+ho_st AS (SELECT CAST(SUM(tf) AS BIGINT) AS total,
+  CAST(COUNT(*) AS BIGINT) AS vocab FROM ho_tf),
+ho_sc AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents WHERE doc_id % 5 = 0)
+  GROUP BY doc_id, tok),
+ho_q AS (
+  SELECT s.doc_id, s.cnt,
+    CASE WHEN f.tf IS NULL THEN 1 ELSE 0 END AS oov,
+    CAST(round(ln((COALESCE(f.tf, 0) + 1)
+      / CAST(st.total + st.vocab + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS q
+  FROM ho_sc s LEFT JOIN ho_tf f USING (tok), ho_st st),
+ho_agg AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+    CAST(SUM(cnt * q) AS BIGINT) AS sum_q_logprob,
+    CAST(SUM(cnt * oov) AS BIGINT) AS n_oov
+  FROM ho_q GROUP BY doc_id)
+SELECT doc_id, n_tokens, sum_q_logprob, n_oov,
+  CAST(sum_q_logprob AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000000
+    AS mean_logprob,
+  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+FROM ho_agg
+${ord("doc_id")}""".trim
+
   /** Twin of TextAnalysis.lmQualityBuckets: the lmQuality chain
     * collapsed to one quantized long per doc, per-source weighted
     * quantile_cont tertile cuts (the pin_q6 interpolation contract),

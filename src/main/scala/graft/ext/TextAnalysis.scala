@@ -919,6 +919,51 @@ object TextAnalysis {
           / 1000000)
   }
 
+  /** Held-out LM scoring — `lmQuality` against a SEPARATE training
+    * corpus: per-document mean add-1-smoothed unigram log-probability
+    * of `score` documents under `train`'s token distribution, plus
+    * the OOV rate. This is the LM data-quality eval loop proper:
+    * self-scored lmQuality cannot detect a filter that overfits its
+    * own corpus (the corpus always scores well under its own
+    * frequencies); held-out perplexity of a disjoint split can.
+    * Smoothing: p(tok) = (tf_train + 1) / (total_train + V + 1) with
+    * V = train vocab size — unseen tokens get the uniform +1 mass, so
+    * every document scores finitely and the OOV class is explicit.
+    *
+    * Determinism: the same quantized-log contract as `lmQuality`
+    * (q = round(ln p · 10⁶) as int64; per-doc sums are int64-safe —
+    * bounded by doc length × |q|max, never corpus-proportional); two
+    * double divisions per output row.
+    *
+    * Scale shape: both sides collapse to (doc, tok)/(tok) COUNTS
+    * before any join (tokens never ride a join); the frequency join is
+    * token-keyed on collapsed counts; the train stats are a 1-row
+    * broadcast; output is |score docs| rows. */
+  def lmQualityHeldOut(train: DataFrame, score: DataFrame): DataFrame = {
+    val cnts = score
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val tf = train.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val stats = tf.agg(sum(col("tf")).as("total"), count(lit(1)).as("vocab"))
+    val scored = cnts.join(tf, Seq("tok"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("cnt"),
+        col("tf").isNull.cast("long").as("oov"),
+        round(log((coalesce(col("tf"), lit(0L)) + 1L).cast("double")
+          / (col("total") + col("vocab") + 1L).cast("double")) * 1000000)
+          .cast("long").as("q"))
+    scored.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("q")).as("sum_q_logprob"),
+        sum(col("cnt") * col("oov")).as("n_oov"))
+      .withColumn("mean_logprob",
+        col("sum_q_logprob").cast("double") / col("n_tokens").cast("double")
+          / 1000000)
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
   /** CCNet's per-domain LM bucketing, completed: each document's
     * corpus-LM score normalized WITHIN ITS SOURCE — a z-score against
     * the source's own score distribution plus the head/middle/tail

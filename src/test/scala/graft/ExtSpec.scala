@@ -1139,6 +1139,24 @@ class ExtSpec extends SparkSpec {
     assert(Set(1L, 2L, 4L).subsetOf(kept), s"got $kept")
   }
 
+  test("lmQualityHeldOut: hand-computed add-1 smoothing, OOV mass, disjoint split") {
+    // train "a a b": tf(a)=2, tf(b)=1, total=3, vocab=2
+    // p(a) = (2+1)/(3+2+1) = 0.5          -> q = round(ln(0.5)*1e6)  = -693147
+    // p(c) = (0+1)/6 (unseen, +1 mass)    -> q = round(ln(1/6)*1e6) = -1791759
+    val train = Seq((10L, "a a b"), (11L, "")).toDF("doc_id", "text")
+      .where(col("doc_id") === 10L) // keep the fixture minimal
+    val score = Seq((1L, "a c")).toDF("doc_id", "text")
+    val r = TextAnalysis.lmQualityHeldOut(train, score).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_tokens") == 2L)
+    assert(row.getAs[Long]("sum_q_logprob") == -693147L - 1791759L,
+      s"got ${row.getAs[Long]("sum_q_logprob")}")
+    assert(row.getAs[Long]("n_oov") == 1L)
+    assert(row.getAs[Double]("oov_rate") == 0.5)
+    assert(math.abs(row.getAs[Double]("mean_logprob") - (-2484906.0 / 2 / 1e6)) < 1e-12)
+  }
+
   test("dedupCorpusVerified: verify tier rescues a sketch false positive, exact dups still collapse") {
     // Block swap: the two halves reorder, so 3-shingle resemblance
     // stays ~0.8 (only the boundary shingles differ) while the
