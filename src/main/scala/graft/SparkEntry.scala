@@ -538,6 +538,12 @@ object SparkEntry {
     "decontaminate" -> prep((s, d) => Engine.canonical(
       Dedup.contamination(docs(s, d),
         docs(s, d).where(col("doc_id") % 97 === 0)))),
+    // the flipped perspective: per-benchmark-doc attribution (which
+    // eval items are burned, by how many corpus docs, worst overlap)
+    "contamination_report" -> prep((s, d) =>
+      Dedup.contaminationReport(docs(s, d),
+        docs(s, d).where(col("doc_id") % 97 === 0))
+        .orderBy("bench_id")),
     // same check through the broadcast-Bloom-prefilter path (map-side
     // pruning + exact verify join); identical output, shared oracle
     "decontaminate_bloom" -> prep((s, d) => Engine.canonical(
@@ -1599,6 +1605,7 @@ object SparkEntry {
     "dedup_corpus" -> ExtOracle.dedupCorpus,
     "dedup_corpus_minhash" -> ExtOracle.dedupCorpusMinhash,
     "dedup_corpus_verified" -> ExtOracle.dedupCorpusVerified,
+    "contamination_report" -> ExtOracle.contaminationReport,
     "line_dedup" -> ExtOracle.lineDedup,
     "boilerplate_strip" -> ExtOracle.boilerplateStrip,
     "c4_clean" -> ExtOracle.c4Clean,

@@ -665,6 +665,34 @@ SELECT d.doc_id, d.lang, d.source FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
 ${ord("doc_id")}""".trim
 
+  /** Twin of Dedup.contaminationReport (benchmark = doc_id%97, whole
+    * corpus incl. the benchmark itself — a verbatim leak matches at
+    * 1.0): the decontaminate twin's string-shingle chain, flipped to
+    * per-bench attribution with the integer threshold predicate. */
+  val contaminationReport: String = s"""
+WITH cr_ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents),
+cr_shl AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(w) - 7, 1)),
+    i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS sh
+  FROM cr_ws),
+cr_b AS (
+  SELECT doc_id AS bench_id, len(sh) AS bn_sh, unnest(sh) AS s
+  FROM cr_shl WHERE doc_id % 97 = 0),
+cr_c AS (SELECT doc_id, unnest(sh) AS s FROM cr_shl),
+cr_o AS (
+  SELECT c.doc_id, b.bench_id, MIN(b.bn_sh) AS bn_sh,
+    CAST(COUNT(*) AS BIGINT) AS inter
+  FROM cr_c c JOIN cr_b b ON c.s = b.s
+  GROUP BY c.doc_id, b.bench_id),
+cr_f AS (SELECT * FROM cr_o WHERE inter * 100 >= bn_sh * 50)
+SELECT bench_id, CAST(MIN(bn_sh) AS INT) AS n_sh,
+  CAST(COUNT(*) AS BIGINT) AS n_contaminating_docs,
+  MAX(CAST(inter AS DOUBLE) / CAST(bn_sh AS DOUBLE)) AS max_overlap
+FROM cr_f GROUP BY bench_id
+${ord("bench_id")}""".trim
+
   /** Twin of the streaming near-dup ingest gate (CorpusStream
     * .nearDupVsCorpus): the portable-minhash agree chain restricted to
     * stream(%5=0)-vs-standing(%5≠0) pairs — an arriving doc survives

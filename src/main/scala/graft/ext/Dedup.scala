@@ -920,6 +920,41 @@ object Dedup {
           .as("contamination"))
   }
 
+  /** Benchmark-side contamination attribution — `contamination` with
+    * the perspective FLIPPED: for each EVAL document, how many corpus
+    * documents share ≥ `minFracPct`% of ITS shingles, and the worst
+    * overlap fraction. `decontaminate` protects the training corpus;
+    * this tells the EVAL owner which benchmark items are already
+    * burned (their reported metrics inflated by memorization)
+    * regardless of what the corpus does next — the eval-integrity
+    * dashboard. Returns (bench_id, n_sh, n_contaminating_docs,
+    * max_overlap) for benchmark docs with ≥1 contaminating corpus
+    * doc. The threshold is a pure integer predicate
+    * (inter·100 ≥ n_sh·pct — no doubles in the filter); max_overlap
+    * is a max over exact-division doubles.
+    *
+    * Scale shape: benchmark shingles broadcast (eval-suite-sized by
+    * contract); the per-(corpus doc, bench doc) overlap counts group
+    * on the collision sliver only (a corpus doc sharing nothing never
+    * leaves the map side); the final rollup is |benchmark| rows. */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+      w: Int = 8, minFracPct: Int = 50): DataFrame = {
+    val bench = hashedShingled(benchmark, w)
+      .select(col("doc_id").as("bench_id"), size(col("sh")).as("bn_sh"),
+        explode(col("sh")).as("s"))
+    val corp = hashedShingled(corpus, w)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val overlaps = corp.join(broadcast(bench), "s")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(min(col("bn_sh")).as("bn_sh"), count(lit(1)).as("inter"))
+      .where(col("inter") * 100 >= col("bn_sh").cast("long") * minFracPct)
+    overlaps.groupBy(col("bench_id"))
+      .agg(min(col("bn_sh")).as("n_sh"),
+        count(lit(1)).as("n_contaminating_docs"),
+        max(col("inter").cast("double") / col("bn_sh").cast("double"))
+          .as("max_overlap"))
+  }
+
   /** Cross-document span duplication — the shingle-granularity
     * approximation of exact-substring dedup (flag documents dominated
     * by text spans that also occur in OTHER documents, the signal

@@ -1139,6 +1139,26 @@ class ExtSpec extends SparkSpec {
     assert(Set(1L, 2L, 4L).subsetOf(kept), s"got $kept")
   }
 
+  test("contaminationReport: attribution counts, threshold edge, unrelated docs absent") {
+    // bench doc: 9 tokens -> two 8-shingles [t1..t8], [t2..t9]
+    val bench = Seq((100L, "t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9"),  // both shingles: overlap 1.0
+      (2L, "t2 t3 t4 t5 t6 t7 t8 t9"),      // one shingle: overlap 0.5 (edge: passes >= 50%)
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9")    // nothing shared
+    ).toDF("doc_id", "text")
+    val r = Dedup.contaminationReport(corpus, bench).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("bench_id") == 100L)
+    assert(row.getAs[Int]("n_sh") == 2)
+    assert(row.getAs[Long]("n_contaminating_docs") == 2L, row.toString)
+    assert(row.getAs[Double]("max_overlap") == 1.0)
+    // raising the threshold past the partial overlap drops doc 2
+    val strict = Dedup.contaminationReport(corpus, bench, minFracPct = 60).collect()
+    assert(strict.head.getAs[Long]("n_contaminating_docs") == 1L)
+  }
+
   test("lmQualityHeldOut: hand-computed add-1 smoothing, OOV mass, disjoint split") {
     // train "a a b": tf(a)=2, tf(b)=1, total=3, vocab=2
     // p(a) = (2+1)/(3+2+1) = 0.5          -> q = round(ln(0.5)*1e6)  = -693147
