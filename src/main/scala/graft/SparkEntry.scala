@@ -723,6 +723,10 @@ object SparkEntry {
     // resemblance tier misses; both directions, max >= 0.8)
     "containment_pairs" -> prep((s, d) =>
       Dedup.containmentPairs(docs(s, d)).orderBy("a_id", "b_id")),
+    // source-pair shingle resemblance from merged (min-of-mins)
+    // MinHash signatures — mirror detection with NO pair tier at all
+    "source_resemblance" -> prep((s, d) =>
+      Dedup.sourceResemblance(docs(s, d)).orderBy("source_a", "source_b")),
     // per-source dup-rate scorecard (sourcing observability; MinHash
     // pair tier feeder like every production consumer)
     "dedup_scorecard" -> prep((s, d) =>
@@ -1606,6 +1610,7 @@ object SparkEntry {
     "dedup_corpus_minhash" -> ExtOracle.dedupCorpusMinhash,
     "dedup_corpus_verified" -> ExtOracle.dedupCorpusVerified,
     "contamination_report" -> ExtOracle.contaminationReport,
+    "source_resemblance" -> ExtOracle.sourceResemblance,
     "line_dedup" -> ExtOracle.lineDedup,
     "boilerplate_strip" -> ExtOracle.boilerplateStrip,
     "c4_clean" -> ExtOracle.c4Clean,

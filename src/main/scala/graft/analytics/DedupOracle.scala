@@ -665,6 +665,23 @@ SELECT d.doc_id, d.lang, d.source FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
 ${ord("doc_id")}""".trim
 
+  /** Twin of Dedup.sourceResemblance: the agree chain's per-doc
+    * signed signature rows min-rolled per (source, slot), pairwise
+    * agreement per unordered source pair. */
+  val sourceResemblance: String = s"""$minhashAgreeChain,
+sr_s AS (
+  SELECT d.source, s.i, MIN(s.v) AS v
+  FROM sigrows s JOIN documents d ON s.doc_id = d.doc_id
+  GROUP BY d.source, s.i),
+sr_p AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+    SUM(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS n_agree
+  FROM sr_s a JOIN sr_s b ON a.i = b.i AND a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT source_a, source_b, CAST(n_agree AS DOUBLE) / 32 AS est_jaccard
+FROM sr_p
+${ord("source_a", "source_b")}""".trim
+
   /** Twin of Dedup.contaminationReport (benchmark = doc_id%97, whole
     * corpus incl. the benchmark itself — a verbatim leak matches at
     * 1.0): the decontaminate twin's string-shingle chain, flipped to

