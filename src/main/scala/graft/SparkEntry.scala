@@ -332,6 +332,19 @@ object SparkEntry {
     "dsir_weights" -> prep((s, d) =>
       TextAnalysis.dsirWeights(docs(s, d), col("lang") === "en")
         .orderBy("doc_id")),
+    // classifier calibration: the lexical-quality score binned against
+    // the shape-pass label — per-bin mean score vs empirical rate + gap
+    "calibration_report" -> prep((s, d) => {
+      val g = TextAnalysis.gopherRules(docs(s, d), 20)
+        .select(col("doc_id"),
+          (col("n_words").between(20, 100000) &&
+            col("mean_word_len").between(3.0, 10.0) &&
+            col("symbol_ratio") <= 0.1 &&
+            col("frac_alpha_words") >= 0.8).as("y"))
+      TextAnalysis.calibrationReport(
+        TextAnalysis.qualityScore(docs(s, d)).join(g, "doc_id"),
+        "quality", "y").orderBy("bin")
+    }),
     // held-out LM eval: the %5 slice scored under the OTHER 80%'s
     // add-1-smoothed unigram distribution (+ OOV rate) — the eval
     // loop self-scored lmQuality can't provide
@@ -1667,6 +1680,7 @@ object SparkEntry {
     "bigram_lm_pruned" -> ExtOracle.bigramLmPruned,
     "bigram_lm_interp" -> ExtOracle.bigramLmInterp,
     "lm_heldout" -> ExtOracle.lmHeldOut,
+    "calibration_report" -> ExtOracle.calibrationReport,
     "span_dup_score" -> ExtOracle.spanDupScore,
     "novelty_score" -> ExtOracle.noveltyScore,
     "substring_dedup" -> ExtOracle.substringDedup,

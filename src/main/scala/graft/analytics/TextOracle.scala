@@ -316,6 +316,50 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
 FROM scored GROUP BY doc_id
 ${ord("doc_id")}""".trim
 
+  /** Twin of the calibration gate entry: quality (the dedupKeepBest
+    * q6 expression) as the score, the 4-condition shape pass
+    * (minWords 20 — streamQualityFilter's predicate) as the label,
+    * integer bin assignment, HUGEINT bin sums, the fixed double
+    * mean/rate/gap expressions. */
+  val calibrationReport: String = s"""
+WITH cb_w AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w
+  FROM documents),
+cb_q AS (
+  SELECT doc_id,
+    CAST(round(round((CAST(len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)) * 0.5
+      + least(CAST(len(w) AS DOUBLE) / 64.0, 1.0) * 0.3
+      + (CASE WHEN ((CAST(length(text) AS DOUBLE) - (CAST(len(w) AS DOUBLE) - 1))
+                    / CAST(len(w) AS DOUBLE)) BETWEEN 3.0 AND 9.0
+              THEN 1.0 ELSE 0.5 END) * 0.2, 6) * 1000000) AS BIGINT) AS q6
+  FROM cb_w),
+cb_l AS (
+  SELECT doc_id,
+    (CAST(len(w) AS INT) BETWEEN 20 AND 100000
+      AND (CAST(length(array_to_string(w, '')) AS DOUBLE)
+           / CAST(len(w) AS DOUBLE)) BETWEEN 3.0 AND 10.0
+      AND CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+           / CAST(len(w) AS DOUBLE) <= 0.1
+      AND CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+           / CAST(len(w) AS DOUBLE) >= 0.8) AS y
+  FROM cb_w),
+cb_b AS (
+  SELECT greatest(least((q.q6 * 10) // 1000000, 9), 0) AS bin, q.q6,
+    CASE WHEN l.y THEN 1 ELSE 0 END AS pos
+  FROM cb_q q JOIN cb_l l USING (doc_id)),
+cb_a AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+    SUM(CAST(q6 AS HUGEINT)) AS sq,
+    CAST(SUM(pos) AS BIGINT) AS n_pos
+  FROM cb_b GROUP BY bin)
+SELECT CAST(bin AS INT) AS bin, n, n_pos,
+  CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 1000000 AS mean_score,
+  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+  abs(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) / 1000000
+    - CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)) AS abs_gap
+FROM cb_a
+${ord("bin")}""".trim
+
   /** Twin of TextAnalysis.lmQualityHeldOut (train = doc_id%5≠0, score
     * = doc_id%5=0): add-1-smoothed unigram log-probs under the TRAIN
     * distribution, OOV via the left join's null, the same quantized

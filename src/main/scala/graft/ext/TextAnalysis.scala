@@ -241,6 +241,40 @@ object TextAnalysis {
   def qualityScore(docs: DataFrame): DataFrame =
     withQuality(docs).select(col("doc_id"), col("quality"))
 
+  /** Classifier calibration report — reliability bins over any
+    * (score ∈ [0, 1], boolean label) pair: per bin, row count, mean
+    * predicted score, empirical positive rate, and their absolute gap
+    * (the per-bin term of expected calibration error; ECE = the
+    * n-weighted mean of `abs_gap`). A quality/toxicity/lang classifier
+    * whose high-score bins aren't empirically positive is lying to
+    * every threshold chosen from it — this is the dashboard that
+    * catches it before a corpus-wide filter ships.
+    *
+    * Determinism: scores quantize to the house q6 integer BEFORE
+    * anything else; bin assignment is pure integer arithmetic
+    * ((q6·bins) div 10⁶, clamped), bin sums are decimal(38), and the
+    * mean/rate/gap are fixed double expressions of exact integers.
+    * Scale shape: ONE map-side-combinable groupBy on ≤ `bins` keys;
+    * output is ≤ `bins` rows. */
+  def calibrationReport(scored: DataFrame, scoreCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 1, "need at least one bin")
+    val q6 = round(col(scoreCol) * 1000000).cast("long")
+    scored.select(q6.as("q6"), col(labelCol).cast("boolean").as("__y"))
+      .withColumn("bin",
+        expr(s"greatest(least((q6 * $bins) div 1000000, ${bins - 1}), 0)")
+          .cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("q6").cast("decimal(38,0)")).as("__sq"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("__sq").cast("double") / col("n").cast("double") / 1000000)
+          .as("mean_score"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("frac_pos"))
+      .withColumn("abs_gap", abs(col("mean_score") - col("frac_pos")))
+  }
+
   /** Per-source quality scorecard — the crawl-prioritization report:
     * for every source, document count, mean lexical quality, and the
     * shape-rule pass rate. Sources whose scorecard degrades get

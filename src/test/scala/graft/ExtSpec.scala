@@ -1182,6 +1182,30 @@ class ExtSpec extends SparkSpec {
     assert(strict.head.getAs[Long]("n_contaminating_docs") == 1L)
   }
 
+  test("calibrationReport: hand-computed bins, boundary clamp, perfect vs broken calibration") {
+    import spark.implicits._
+    // scores land in bins of width 0.1; 1.0 clamps into bin 9
+    val rows = Seq(
+      (0.05, false), (0.05, false), (0.05, false), (0.05, true), // bin 0: mean .05, rate .25
+      (0.95, true), (0.95, true), (0.95, true), (0.95, false),   // bin 9: mean .95, rate .75
+      (1.0, true),                                               // clamps to bin 9
+      (0.30, false)                                              // bin 3 singleton
+    ).toDF("score", "y")
+    val r = TextAnalysis.calibrationReport(rows, "score", "y").collect()
+      .map(x => x.getAs[Int]("bin") ->
+        (x.getAs[Long]("n"), x.getAs[Long]("n_pos"),
+          x.getAs[Double]("mean_score"), x.getAs[Double]("frac_pos"))).toMap
+    assert(r(0) == ((4L, 1L, 0.05, 0.25)), r.toString)
+    assert(r(3) == ((1L, 0L, 0.30, 0.0)), r.toString)
+    val (n9, p9, m9, f9) = r(9)
+    assert(n9 == 5L && p9 == 4L && f9 == 0.8)
+    assert(math.abs(m9 - (0.95 * 4 + 1.0) / 5) < 1e-12)
+    // abs_gap is |mean - rate|
+    val gaps = TextAnalysis.calibrationReport(rows, "score", "y").collect()
+      .map(x => x.getAs[Int]("bin") -> x.getAs[Double]("abs_gap")).toMap
+    assert(math.abs(gaps(0) - 0.2) < 1e-12, gaps.toString)
+  }
+
   test("lmQualityHeldOut: hand-computed add-1 smoothing, OOV mass, disjoint split") {
     // train "a a b": tf(a)=2, tf(b)=1, total=3, vocab=2
     // p(a) = (2+1)/(3+2+1) = 0.5          -> q = round(ln(0.5)*1e6)  = -693147
