@@ -436,6 +436,14 @@ object SparkEntry {
     // token-budget waterfill mixing: 3000 tokens across src0/src1/src2
     // at weights 6:3:1 — src0's proportional share exceeds its supply,
     // so the waterfill's cap-and-redistribute round provably bites
+    // plan-time repetition accounting for the same mix: tokens asked
+    // vs tokens available per source -> epoch counts (>1 = repeats)
+    "epochs_report" -> prep((s, d) =>
+      Sampling.epochsReport(
+        docs(s, d).withColumn("n_tokens",
+          size(split(trim(col("text")), "\\s+")).cast("long")),
+        "source", Map("src0" -> 6, "src1" -> 3, "src2" -> 1),
+        budget = 300000L, tokensCol = "n_tokens").orderBy("source")),
     "budget_mix" -> prep((s, d) =>
       Sampling.budgetMix(
         docs(s, d).withColumn("n_tokens",
@@ -1586,6 +1594,7 @@ object SparkEntry {
     "systematic_sample" -> ExtOracle.systematicSample,
     "weighted_sample" -> ExtOracle.weightedSample,
     "weighted_sample_by_source" -> ExtOracle.weightedSampleBySource,
+    "epochs_report" -> ExtOracle.epochsReport,
     "containment_pairs" -> ExtOracle.containmentPairs,
     "normalize_text" -> ExtOracle.normalizeText,
     "dsir_select" -> ExtOracle.dsirSelect,

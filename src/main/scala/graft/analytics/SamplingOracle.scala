@@ -515,6 +515,32 @@ SELECT doc_id, lang, source, weight, es_key,
 FROM wg_r WHERE sample_rank <= 10
 ${ord("doc_id")}""".trim
 
+  /** Twin of Sampling.epochsReport (weights src0:6 src1:3 src2:1,
+    * budget 300000): |sources|-row token totals, the VALUES weight
+    * table left-joined, integer floor division, one double division. */
+  val epochsReport: String = s"""
+WITH ep_d AS (
+  SELECT source,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents),
+ep_a AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_available
+  FROM ep_d GROUP BY source),
+ep_w(source, w) AS (
+  VALUES ('src0', CAST(6 AS BIGINT)), ('src1', CAST(3 AS BIGINT)),
+    ('src2', CAST(1 AS BIGINT))),
+ep_r AS (
+  SELECT a.source, COALESCE(w.w, 0) AS w, a.n_tokens_available,
+    (COALESCE(w.w, 0) * 300000) // 10 AS n_tokens_requested
+  FROM ep_a a LEFT JOIN ep_w w USING (source))
+SELECT source, w, n_tokens_available,
+  CAST(n_tokens_requested AS BIGINT) AS n_tokens_requested,
+  CASE WHEN n_tokens_available = 0 THEN NULL
+       ELSE CAST(n_tokens_requested AS DOUBLE)
+            / CAST(n_tokens_available AS DOUBLE) END AS epochs
+FROM ep_r
+${ord("source")}""".trim
+
   val systematicSample: String = s"""
 WITH t AS (
   SELECT doc_id,

@@ -546,6 +546,44 @@ object Sampling {
       .where(col("sample_rank") <= k)
   }
 
+  /** Token-budget epochs report — the repetition accounting a data
+    * mix implies, read BEFORE `budgetMix` materializes a sample: per
+    * group, the tokens the mix ASKS for (budget·w div ΣW — exact
+    * integer floor), the tokens the group HAS, and the resulting
+    * epoch count (asked/has). Epochs > 1 means the mix repeats that
+    * source's tokens; the repeated-data scaling literature makes high
+    * epoch counts the first thing to check when a mix under-delivers
+    * — this table surfaces them at plan time, not after training.
+    * Groups without a weight report w = 0 (excluded from the mix but
+    * still visible); a zero-token group reports NULL epochs.
+    *
+    * Scale shape: one map-side-combinable |groups|-row aggregation;
+    * the weight map is a literal CASE column; requested/epochs are
+    * per-row integer arithmetic + one double division. `budget ·
+    * max(w)` must stay below 2⁶³ (any realistic budget does). */
+  def epochsReport(df: DataFrame, groupCol: String,
+      weights: Map[String, Int], budget: Long,
+      tokensCol: String = "n_tokens"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(weights.nonEmpty && weights.values.forall(_ >= 0) &&
+      weights.values.sum > 0, "need non-negative weights with a positive sum")
+    val totalW = weights.values.sum
+    val wcol = weights.foldLeft(lit(null).cast("long")) { case (acc, (k, v)) =>
+      when(col("source") === k, lit(v.toLong)).otherwise(acc)
+    }
+    df.select(col(groupCol).as("source"), col(tokensCol))
+      .groupBy(col("source"))
+      .agg(sum(col(tokensCol)).as("n_tokens_available"))
+      .withColumn("w", coalesce(wcol, lit(0L)))
+      .withColumn("n_tokens_requested", expr(s"(w * $budget) div $totalW"))
+      .withColumn("epochs",
+        when(col("n_tokens_available") > 0,
+          col("n_tokens_requested").cast("double")
+            / col("n_tokens_available").cast("double")))
+      .select("source", "w", "n_tokens_available", "n_tokens_requested",
+        "epochs")
+  }
+
   def shardManifest(packed: DataFrame, idCol: String = "doc_id",
       tokensCol: String = "n_tokens"): DataFrame =
     packed.groupBy(col("pack_bucket"), col("shard_in_bucket"))

@@ -302,6 +302,23 @@ class SamplingSpec extends SparkSpec {
       "per-group cut must be WindowGroupLimit-pruned")
   }
 
+  test("epochsReport: integer floor requests, epoch ratios, zero-weight group visible") {
+    import spark.implicits._
+    val df = Seq((1L, "sA", 100L), (2L, "sA", 50L), (3L, "sB", 300L),
+      (4L, "sC", 10L)).toDF("doc_id", "src", "n_tokens")
+    val r = Sampling.epochsReport(df, "src", Map("sA" -> 2, "sB" -> 1),
+      budget = 900L).collect()
+      .map(x => x.getString(0) -> ((x.getAs[Long]("w"),
+        x.getAs[Long]("n_tokens_available"),
+        x.getAs[Long]("n_tokens_requested"),
+        x.getAs[Double]("epochs")))).toMap
+    // W=3: sA asked 900*2/3 = 600, has 150 -> 4 epochs (repetition!)
+    assert(r("sA") == ((2L, 150L, 600L, 4.0)), r.toString)
+    assert(r("sB") == ((1L, 300L, 300L, 1.0)), r.toString)
+    // unweighted group stays visible with zero request
+    assert(r("sC") == ((0L, 10L, 0L, 0.0)), r.toString)
+  }
+
   test("negativeSamples: stride negatives are balanced, never self") {
     import spark.implicits._
     val df = (0L until 10L).map(i => Tuple1(i * 7)).toList.toDF("doc_id") // gappy ids
