@@ -1382,6 +1382,27 @@ object SparkEntry {
       graft.ext.Multimodal.imageDupCandidates(s, assets)
         .orderBy("a_id", "b_id")
     }),
+    // the VERIFIED image chain (sketch recall -> exact precision,
+    // mirroring dedup_corpus_verified): exact-THUMBNAIL collapse,
+    // aHash chunk blocking over distinct thumbnails (includes the
+    // hamming-0 different-content collisions the candidates tier
+    // trusts blindly), cell-level sum-abs-diff verification
+    "image_dup_verified" -> prep((s, d) => {
+      val base = docs(s, d)
+      val variants = base.select(
+        (col("doc_id") + 1000000L).as("doc_id"),
+        expr("concat(upper(substring(text, 1, 12)), substring(text, 13))")
+          .as("text"))
+      val assets = base.select(col("doc_id"), col("text"))
+        .unionByName(variants)
+        .select(col("doc_id").as("asset_id"),
+          encode(col("text"), "UTF-8").as("media"),
+          element_at(array(lit("png"), lit("jpeg"), lit("webp")),
+            (col("doc_id") % 3 + 1).cast("int")).as("format"),
+          lit(32).as("width"), lit(32).as("height"))
+      graft.ext.Multimodal.imageDupVerified(s, assets)
+        .orderBy("a_id", "b_id")
+    }),
     // top-50 PMI collocations (phrase mining; minCount=5 Zipf-tail
     // gate before any join, TakeOrderedAndProject cut)
     "bigram_pmi" -> prep((s, d) =>
@@ -1725,6 +1746,7 @@ object SparkEntry {
     "bigram_pmi" -> ExtOracle.bigramPmi,
     "embedding_outliers" -> ExtOracle.embeddingOutliers,
     "image_dup_candidates" -> ExtOracle.imageDupCandidates,
+    "image_dup_verified" -> ExtOracle.imageDupVerified,
     "dup_graph_transitivity" -> ExtOracle.dupGraphTransitivity,
     "k_anonymity" -> ExtOracle.kAnonymity,
     "stream_ivf_assign" -> ExtOracle.streamIvfAssign,

@@ -568,6 +568,77 @@ WHERE bit_count(xor(c.sa, c.sb)) <= 3
 ${ord("a_id", "b_id")}""".trim
   }
 
+  /** Twin of Multimodal.imageDupVerified(maxHamming=3, maxSumDiff=
+    * 1024) over the same injected-variant fixture: the box-filter
+    * chain, per-asset FULL 64-cell thumbnail lists (missing cells
+    * zero), exact-thumbnail group collapse, the aHash bits from the
+    * lists, chunk blocking, and the Σ|a−b| cell verification with the
+    * integer threshold. */
+  val imageDupVerified: String = {
+    val pow64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val half = "CAST('9223372036854775808' AS HUGEINT)"
+    s"""
+WITH RECURSIVE
+idocs AS (
+  SELECT doc_id, text, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+    upper(substring(text, 1, 12)) || substring(text, 13) AS text,
+    n_chars
+  FROM documents),
+${resizeCellChain("idocs", "CAST(32 AS BIGINT)")},
+tw(kk, p) AS (SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL SELECT kk + 1, p * 2 FROM tw WHERE kk < 63),
+p2l AS MATERIALIZED (SELECT list(p ORDER BY kk) AS twos FROM tw),
+allc AS (
+  SELECT a.asset_id, t1.ox, t2.oy
+  FROM a, generate_series(0, 7) t1(ox), generate_series(0, 7) t2(oy)),
+tbl AS (
+  SELECT ac.asset_id,
+    list(COALESCE(c.cv, 0) ORDER BY ac.oy * 8 + ac.ox) AS tb
+  FROM allc ac LEFT JOIN cellv c
+    ON c.asset_id = ac.asset_id AND c.ox = ac.ox AND c.oy = ac.oy
+  GROUP BY ac.asset_id),
+tgrp AS (
+  SELECT tb, MIN(asset_id) AS rep_id, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM tbl GROUP BY tb),
+hvv AS (
+  SELECT rep_id, n_members, tb,
+    list_sum(list_transform(generate_series(1, 64),
+      i -> CASE WHEN tb[i] * 64 > list_sum(tb)
+           THEN p2l.twos[i] ELSE CAST(0 AS HUGEINT) END)) AS hu
+  FROM tgrp, p2l),
+shv AS (
+  SELECT rep_id, n_members, tb, COALESCE(hu, CAST(0 AS HUGEINT)) AS hu,
+    CAST(CASE WHEN COALESCE(hu, CAST(0 AS HUGEINT)) >= $half
+         THEN COALESCE(hu, CAST(0 AS HUGEINT)) - $pow64
+         ELSE COALESCE(hu, CAST(0 AS HUGEINT)) END AS BIGINT) AS sig
+  FROM hvv),
+vchunk AS (
+  SELECT rep_id, sig, tb, t.c AS chunk_no,
+    CAST((hu // p2l.twos[t.c * 16 + 1]) % 65536 AS BIGINT) AS chunk
+  FROM shv, generate_series(0, 3) t(c), p2l),
+vcand AS (
+  SELECT DISTINCT a.rep_id AS a_id, b.rep_id AS b_id,
+    a.sig AS sa, b.sig AS sb, a.tb AS ta, b.tb AS tbb
+  FROM vchunk a JOIN vchunk b
+    ON a.chunk_no = b.chunk_no AND a.chunk = b.chunk
+      AND a.rep_id < b.rep_id),
+vfin AS (
+  SELECT c.a_id, c.b_id,
+    CAST(bit_count(xor(c.sa, c.sb)) AS INT) AS hamming,
+    CAST(list_sum(list_transform(list_zip(c.ta, c.tbb),
+      p -> abs(p[1] - p[2]))) AS BIGINT) AS sum_abs_diff,
+    ga.n_members AS n_a, gb.n_members AS n_b
+  FROM vcand c
+  JOIN tgrp ga ON ga.rep_id = c.a_id
+  JOIN tgrp gb ON gb.rep_id = c.b_id
+  WHERE bit_count(xor(c.sa, c.sb)) <= 3)
+SELECT a_id, b_id, hamming, sum_abs_diff, n_a, n_b
+FROM vfin WHERE sum_abs_diff <= 1024
+${ord("a_id", "b_id")}""".trim
+  }
+
   /** Twin of Profiling.equiDepthHistogram(events.value, 10): integer-
     * cents counts, exact quantile_cont boundaries (the pin_q6
     * interpolation contract against Spark's weighted percentile),

@@ -231,4 +231,61 @@ object Multimodal {
       .select(col("a_id"), col("b_id"), col("hamming"),
         col("n_a"), col("n_b"))
   }
+
+  /** VERIFIED image dedup pairs — the image-side analogue of
+    * `Dedup.dedupCorpusVerified`'s sketch-recall → exact-precision
+    * chain, with the collapse tier made EXACT so nothing dodges the
+    * verifier:
+    *
+    *  1. collapse on the full 64-byte THUMBNAIL (byte-identical
+    *     thumbnails are duplicates by definition — no hash trust
+    *     needed; the quadratic-mass group collapse is retained, it
+    *     just keys on content instead of hash);
+    *  2. aHash 16-bit-chunk blocking over the distinct-thumbnail
+    *     representatives (sketch RECALL — includes hamming-0 pairs of
+    *     DIFFERENT thumbnails that collide in hash, `imageDupCandidates`'
+    *     blind spot: an aHash bit only says above/below the mean, so
+    *     equal brightness PATTERN with different contrast collides);
+    *  3. exact cell verification (PRECISION): Σ|a_i − b_i| over the 64
+    *     box-filter cells, pairs kept iff ≤ `maxSumDiff` — a pure
+    *     integer predicate on the candidate sliver only.
+    *
+    * Scale shape: one cached resize pass feeds both the collapse and
+    * the verify thumbnails; blocking is the shared chunk join; the
+    * O(64) MAD runs on candidate pairs only. The typed maps sit at
+    * the codec seam (house rule). */
+  def imageDupVerified(spark: SparkSession, assets: DataFrame,
+      maxHamming: Int = 3, maxSumDiff: Long = 1024L): DataFrame = {
+    import spark.implicits._
+    val rs = resize(spark, assets).toDF().cache()
+    val groups = rs.groupBy(col("media"))
+      .agg(min(col("asset_id")).as("rep_id"),
+        count(lit(1)).as("n_members"))
+      .select(col("rep_id"), col("n_members"), col("media"),
+        graft.functions.AHash64.ahash64(col("media")).as("ahash"))
+      .cache()
+    val pairs = Dedup.simhashPairsFrom(
+      groups.select(col("rep_id").as("doc_id"), col("ahash").as("simhash")),
+      maxHamming)
+    val thumbs = groups.select(col("rep_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, m) => (id, m.map(b => b & 0xff)) }
+      .toDF("rep_id", "px")
+    val sizes = groups.select(col("rep_id"), col("n_members"))
+    val out = pairs
+      .join(sizes.toDF("a_id", "n_a"), "a_id")
+      .join(sizes.toDF("b_id", "n_b"), "b_id")
+      .join(thumbs.toDF("a_id", "pa"), "a_id")
+      .join(thumbs.toDF("b_id", "pb"), "b_id")
+      .withColumn("sum_abs_diff",
+        aggregate(zip_with(col("pa"), col("pb"), (x, y) => abs(x - y)),
+          lit(0L), (acc, v) => acc + v.cast("long")))
+      .where(col("sum_abs_diff") <= maxSumDiff)
+      .select(col("a_id"), col("b_id"), col("hamming"),
+        col("sum_abs_diff"), col("n_a"), col("n_b"))
+      .localCheckpoint()
+    groups.unpersist(blocking = false)
+    rs.unpersist(blocking = false)
+    out
+  }
 }

@@ -1182,6 +1182,31 @@ class ExtSpec extends SparkSpec {
     assert(strict.head.getAs[Long]("n_contaminating_docs") == 1L)
   }
 
+  test("imageDupVerified: contrast collision rejected, true near-dup kept, exact-thumb collapse") {
+    def mk(id: Long, vals: Seq[Int]) =
+      (id, new String(vals.map(_.toChar).toArray), "png", 8, 8)
+    // 64 one-byte pixels at width 8: the box resize is per-cell identity
+    val patt = (0 until 64).map(_ % 2)
+    val A = patt.map(b => if (b == 1) 120 else 10)
+    val B = patt.map(b => if (b == 1) 70 else 60) // same above/below-mean PATTERN, different contrast
+    val C = A.updated(0, 12)                      // true near-variant of A
+    val D = A                                     // byte-identical: collapses into A's group
+    val assets = Seq(mk(1, A), mk(2, B), mk(3, C), mk(4, D))
+      .toDF("asset_id", "text", "format", "width", "height")
+      .select(col("asset_id"), encode(col("text"), "UTF-8").as("media"),
+        col("format"), col("width"), col("height"))
+    val out = Multimodal.imageDupVerified(spark, assets).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // A and B hash IDENTICALLY (hamming 0) yet differ in every cell:
+    // the candidates tier would propose them; the verify tier rejects
+    assert(!out.contains((1L, 2L)), s"contrast collision must be rejected: $out")
+    // A and C differ by one cell (|10-12| = 2): verified pair survives
+    assert(out.contains((1L, 3L)), s"true near-dup must survive: $out")
+    val (h13, d13, na, nc) = out((1L, 3L))
+    assert(h13 == 0 && d13 == 2L && na == 2L && nc == 1L, out.toString)
+  }
+
   test("calibrationReport: hand-computed bins, boundary clamp, perfect vs broken calibration") {
     import spark.implicits._
     // scores land in bins of width 0.1; 1.0 clamps into bin 9
