@@ -569,10 +569,11 @@ ${ord("a_id", "b_id")}""".trim
   }
 
   /** Twin of Multimodal.imageDupVerified(maxHamming=3, maxSumDiff=
-    * 1024) over the same injected-variant fixture: the box-filter
-    * chain, per-asset FULL 64-cell thumbnail lists (missing cells
-    * zero), exact-thumbnail group collapse, the aHash bits from the
-    * lists, chunk blocking, and the Σ|a−b| cell verification with the
+    * 1024) over the injected-variant fixture: the box-filter chain,
+    * per-asset FULL 64-cell thumbnail lists (missing cells zero),
+    * per-asset aHash, identical-hash group collapse, the LINEAR
+    * member-vs-rep verification audit, chunk blocking over group
+    * representatives, and rep-vs-rep cell verification with the
     * integer threshold. */
   val imageDupVerified: String = {
     val pow64 = "CAST('18446744073709551616' AS HUGEINT)"
@@ -599,28 +600,37 @@ tbl AS (
   FROM allc ac LEFT JOIN cellv c
     ON c.asset_id = ac.asset_id AND c.ox = ac.ox AND c.oy = ac.oy
   GROUP BY ac.asset_id),
-tgrp AS (
-  SELECT tb, MIN(asset_id) AS rep_id, CAST(COUNT(*) AS BIGINT) AS n_members
-  FROM tbl GROUP BY tb),
-hvv AS (
-  SELECT rep_id, n_members, tb,
-    list_sum(list_transform(generate_series(1, 64),
+ahv AS (
+  SELECT asset_id, tb,
+    COALESCE(list_sum(list_transform(generate_series(1, 64),
       i -> CASE WHEN tb[i] * 64 > list_sum(tb)
-           THEN p2l.twos[i] ELSE CAST(0 AS HUGEINT) END)) AS hu
-  FROM tgrp, p2l),
-shv AS (
-  SELECT rep_id, n_members, tb, COALESCE(hu, CAST(0 AS HUGEINT)) AS hu,
-    CAST(CASE WHEN COALESCE(hu, CAST(0 AS HUGEINT)) >= $half
-         THEN COALESCE(hu, CAST(0 AS HUGEINT)) - $pow64
-         ELSE COALESCE(hu, CAST(0 AS HUGEINT)) END AS BIGINT) AS sig
-  FROM hvv),
+           THEN p2l.twos[i] ELSE CAST(0 AS HUGEINT) END)),
+      CAST(0 AS HUGEINT)) AS hu
+  FROM tbl, p2l),
+vgrp AS (
+  SELECT hu, MIN(asset_id) AS rep_id, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM ahv GROUP BY hu),
+vrep AS (
+  SELECT g.rep_id, g.hu, g.n_members, t.tb AS rtb
+  FROM vgrp g JOIN tbl t ON t.asset_id = g.rep_id),
+vaud AS (
+  SELECT g.rep_id, MIN(g.n_members) AS n_members,
+    CAST(SUM(CASE WHEN list_sum(list_transform(list_zip(m.tb, r.rtb),
+      p -> abs(p[1] - p[2]))) <= 1024 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_verified
+  FROM ahv m JOIN vgrp g ON m.hu = g.hu JOIN vrep r ON r.rep_id = g.rep_id
+  GROUP BY g.rep_id),
+vsh AS (
+  SELECT rep_id, hu, rtb,
+    CAST(CASE WHEN hu >= $half THEN hu - $pow64 ELSE hu END AS BIGINT) AS sig
+  FROM vrep),
 vchunk AS (
-  SELECT rep_id, sig, tb, t.c AS chunk_no,
+  SELECT rep_id, sig, rtb, t.c AS chunk_no,
     CAST((hu // p2l.twos[t.c * 16 + 1]) % 65536 AS BIGINT) AS chunk
-  FROM shv, generate_series(0, 3) t(c), p2l),
+  FROM vsh, generate_series(0, 3) t(c), p2l),
 vcand AS (
   SELECT DISTINCT a.rep_id AS a_id, b.rep_id AS b_id,
-    a.sig AS sa, b.sig AS sb, a.tb AS ta, b.tb AS tbb
+    a.sig AS sa, b.sig AS sb, a.rtb AS ta, b.rtb AS tbb
   FROM vchunk a JOIN vchunk b
     ON a.chunk_no = b.chunk_no AND a.chunk = b.chunk
       AND a.rep_id < b.rep_id),
@@ -629,12 +639,14 @@ vfin AS (
     CAST(bit_count(xor(c.sa, c.sb)) AS INT) AS hamming,
     CAST(list_sum(list_transform(list_zip(c.ta, c.tbb),
       p -> abs(p[1] - p[2]))) AS BIGINT) AS sum_abs_diff,
-    ga.n_members AS n_a, gb.n_members AS n_b
+    aa.n_members AS n_a, aa.n_verified AS n_a_verified,
+    ab.n_members AS n_b, ab.n_verified AS n_b_verified
   FROM vcand c
-  JOIN tgrp ga ON ga.rep_id = c.a_id
-  JOIN tgrp gb ON gb.rep_id = c.b_id
+  JOIN vaud aa ON aa.rep_id = c.a_id
+  JOIN vaud ab ON ab.rep_id = c.b_id
   WHERE bit_count(xor(c.sa, c.sb)) <= 3)
-SELECT a_id, b_id, hamming, sum_abs_diff, n_a, n_b
+SELECT a_id, b_id, hamming, sum_abs_diff,
+  n_a, n_a_verified, n_b, n_b_verified
 FROM vfin WHERE sum_abs_diff <= 1024
 ${ord("a_id", "b_id")}""".trim
   }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: images/audio/video travel as opaque
@@ -234,57 +234,72 @@ object Multimodal {
 
   /** VERIFIED image dedup pairs — the image-side analogue of
     * `Dedup.dedupCorpusVerified`'s sketch-recall → exact-precision
-    * chain, with the collapse tier made EXACT so nothing dodges the
-    * verifier:
+    * chain, with the hash-collapse blind spot MEASURED instead of
+    * silently trusted:
     *
-    *  1. collapse on the full 64-byte THUMBNAIL (byte-identical
-    *     thumbnails are duplicates by definition — no hash trust
-    *     needed; the quadratic-mass group collapse is retained, it
-    *     just keys on content instead of hash);
-    *  2. aHash 16-bit-chunk blocking over the distinct-thumbnail
-    *     representatives (sketch RECALL — includes hamming-0 pairs of
-    *     DIFFERENT thumbnails that collide in hash, `imageDupCandidates`'
-    *     blind spot: an aHash bit only says above/below the mean, so
-    *     equal brightness PATTERN with different contrast collides);
-    *  3. exact cell verification (PRECISION): Σ|a_i − b_i| over the 64
-    *     box-filter cells, pairs kept iff ≤ `maxSumDiff` — a pure
-    *     integer predicate on the candidate sliver only.
+    *  1. identical-hash group collapse (the quadratic-mass protection
+    *     `imageDupCandidates` established — retained unchanged; a
+    *     first cut collapsed on exact thumbnails instead and
+    *     ScaleProbe measured the pair space going quadratic, 75M rows
+    *     / 237 s at 64× vs flat here: near-identical-but-distinct
+    *     thumbnails are plentiful in any real corpus, and only the
+    *     hash collapse bounds their pair mass);
+    *  2. WITHIN each group, a LINEAR verification pass — every member
+    *     thumbnail against its group representative, Σ|cell diffs| ≤
+    *     `maxSumDiff` — whose per-group count rides the output as
+    *     `n_a_verified`/`n_b_verified`: an aHash bit only says
+    *     above/below the mean, so equal-brightness-pattern
+    *     different-contrast images collide in hash; this audit column
+    *     is where that collision shows up (n_verified < n_members);
+    *  3. ACROSS groups, the chunk-blocked candidate pairs verify
+    *     rep-vs-rep with the same integer predicate — sketch false
+    *     positives (hamming ≤ 3, different content) are rejected
+    *     before they merge asset groups.
     *
-    * Scale shape: one cached resize pass feeds both the collapse and
-    * the verify thumbnails; blocking is the shared chunk join; the
-    * O(64) MAD runs on candidate pairs only. The typed maps sit at
-    * the codec seam (house rule). */
+    * Scale shape: one cached resize feeds hashing and verification;
+    * the member pass is linear (each asset joins its rep once); the
+    * O(64) diff runs on members + the candidate pair sliver only.
+    * Typed maps sit at the codec seam (house rule). */
   def imageDupVerified(spark: SparkSession, assets: DataFrame,
       maxHamming: Int = 3, maxSumDiff: Long = 1024L): DataFrame = {
     import spark.implicits._
-    val rs = resize(spark, assets).toDF().cache()
-    val groups = rs.groupBy(col("media"))
-      .agg(min(col("asset_id")).as("rep_id"),
-        count(lit(1)).as("n_members"))
-      .select(col("rep_id"), col("n_members"), col("media"),
+    val rs = resize(spark, assets).toDF()
+      .select(col("asset_id"), col("media"),
         graft.functions.AHash64.ahash64(col("media")).as("ahash"))
       .cache()
+    val px = rs.select(col("asset_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, m) => (id, m.map(b => b & 0xff)) }
+      .toDF("asset_id", "px")
+    val groups = rs.groupBy(col("ahash"))
+      .agg(min(col("asset_id")).as("rep_id"), count(lit(1)).as("n_members"))
+    def mad(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => abs(x - y)),
+        lit(0L), (acc, v) => acc + v.cast("long"))
+    // linear member-vs-rep audit: how much of each group's collapsed
+    // mass actually verifies against its representative
+    val audit = rs.select(col("ahash"), col("asset_id"))
+      .join(groups, "ahash")
+      .join(px.toDF("asset_id", "pm"), "asset_id")
+      .join(px.toDF("rep_id", "pr"), "rep_id")
+      .groupBy(col("rep_id"))
+      .agg(min(col("n_members")).as("n_members"),
+        sum(when(mad(col("pm"), col("pr")) <= maxSumDiff, 1L)
+          .otherwise(0L)).as("n_verified"))
     val pairs = Dedup.simhashPairsFrom(
       groups.select(col("rep_id").as("doc_id"), col("ahash").as("simhash")),
       maxHamming)
-    val thumbs = groups.select(col("rep_id"), col("media"))
-      .as[(Long, Array[Byte])]
-      .map { case (id, m) => (id, m.map(b => b & 0xff)) }
-      .toDF("rep_id", "px")
-    val sizes = groups.select(col("rep_id"), col("n_members"))
     val out = pairs
-      .join(sizes.toDF("a_id", "n_a"), "a_id")
-      .join(sizes.toDF("b_id", "n_b"), "b_id")
-      .join(thumbs.toDF("a_id", "pa"), "a_id")
-      .join(thumbs.toDF("b_id", "pb"), "b_id")
-      .withColumn("sum_abs_diff",
-        aggregate(zip_with(col("pa"), col("pb"), (x, y) => abs(x - y)),
-          lit(0L), (acc, v) => acc + v.cast("long")))
+      .join(audit.toDF("a_id", "n_a", "n_a_verified"), "a_id")
+      .join(audit.toDF("b_id", "n_b", "n_b_verified"), "b_id")
+      .join(px.toDF("a_id", "pa"), "a_id")
+      .join(px.toDF("b_id", "pb"), "b_id")
+      .withColumn("sum_abs_diff", mad(col("pa"), col("pb")))
       .where(col("sum_abs_diff") <= maxSumDiff)
       .select(col("a_id"), col("b_id"), col("hamming"),
-        col("sum_abs_diff"), col("n_a"), col("n_b"))
+        col("sum_abs_diff"), col("n_a"), col("n_a_verified"),
+        col("n_b"), col("n_b_verified"))
       .localCheckpoint()
-    groups.unpersist(blocking = false)
     rs.unpersist(blocking = false)
     out
   }

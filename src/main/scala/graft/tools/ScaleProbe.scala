@@ -245,6 +245,18 @@ object ScaleProbe {
       t("retrievalMetrics", n)(TextAnalysis.retrievalMetrics(
         lexArm(), cosArm().select("query_id", "doc_id"), k = 5).count())
       t("dedupCorpusVerified", n)(Dedup.dedupCorpusVerified(docs).count())
+      // round-10 batch 5b: source-level union sketches (rollup state
+      // |sources|·32 longs — cost must track the token scan only);
+      // held-out LM scoring (counts-collapsed joins — tracks
+      // lmQuality); the verified image chain (cell verify on the
+      // candidate sliver only — must stay flat like the candidates)
+      t("sourceResemblance", n)(Dedup.sourceResemblance(srcd).count())
+      t("lmQualityHeldOut", n)(TextAnalysis.lmQualityHeldOut(
+        docs.where(col("doc_id") % 5 =!= 0),
+        docs.where(col("doc_id") % 5 === 0)).count())
+      t("imageDupVerified", n)(Multimodal.imageDupVerified(
+        spark, Multimodal.toAssets(
+          docs.withColumn("n_chars", length(col("text")).cast("long")))).count())
       if (only.forall(_.contains("pageRankFromEdges"))) {
         val knnEdges = Similarity.knnGraph(emb).localCheckpoint()
         t("pageRankFromEdges", n)(
