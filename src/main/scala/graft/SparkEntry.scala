@@ -658,6 +658,10 @@ object SparkEntry {
     // does the space cluster by label?)
     "knn_label_accuracy" -> prep((s, d) =>
       Similarity.knnLabelAccuracy(emb(s, d)).orderBy("label")),
+    // mutual-kNN communities: components over the both-directions
+    // edges only (density-adaptive clusters vs kmeans' fixed-k view)
+    "knn_communities" -> prep((s, d) =>
+      Similarity.knnCommunities(emb(s, d)).orderBy("vec_id")),
     // integer PageRank over the kNN graph (centrality as a curation
     // signal: canonical representatives rank high, satellites low)
     "knn_pagerank" -> prep((s, d) =>
@@ -1689,6 +1693,7 @@ object SparkEntry {
     "knn_graph" -> ExtOracle.knnGraph,
     "knn_pagerank" -> ExtOracle.knnPageRank,
     "knn_pagerank_shared" -> ExtOracle.knnPageRankShared,
+    "knn_communities" -> ExtOracle.knnCommunities,
     "knn_label_accuracy" -> ExtOracle.knnLabelAccuracy,
     "budget_mix" -> ExtOracle.budgetMix,
     "ann_ivfpq_residual" -> ExtOracle.ivfPqResidual,

@@ -718,6 +718,27 @@ SELECT id AS vec_id, sc AS q_rank,
 FROM s5
 ${ord("vec_id")}""".trim
 
+  /** Twin of Similarity.knnCommunities: the knng chain, the mutual
+    * filter (both directions present), and the recursive min-label
+    * closure over the mutual sliver. */
+  val knnCommunities: String = s"""
+${knnChain.replaceFirst("WITH ", "WITH RECURSIVE ")},
+kc_mu AS (
+  SELECT a.vec_id AS a_id, a.nbr_id AS b_id
+  FROM knng a JOIN knng b
+    ON a.vec_id = b.nbr_id AND a.nbr_id = b.vec_id
+  WHERE a.vec_id < a.nbr_id),
+kc_e AS (
+  SELECT a_id AS id, b_id AS nbr FROM kc_mu
+  UNION SELECT b_id, a_id FROM kc_mu),
+kc_r(id, r) AS (
+  SELECT DISTINCT id, id FROM kc_e
+  UNION
+  SELECT e.id, kc_r.r FROM kc_e e JOIN kc_r ON e.nbr = kc_r.id)
+SELECT id AS vec_id, CAST(MIN(r) AS BIGINT) AS community_id
+FROM kc_r GROUP BY id
+${ord("vec_id")}""".trim
+
   /** Twin of the shared-graph production composition (gate entry
     * `knn_pagerank_shared`): ONE knng chain feeds BOTH the PageRank
     * rounds and the label-accuracy vote chain, joined per vector via

@@ -607,6 +607,37 @@ object Similarity {
       centroidMod: Int = 50, checkpointEvery: Int = 8): DataFrame =
     pageRankFromEdges(knnGraph(emb, k, centroidMod), iters, checkpointEvery)
 
+  /** Mutual-kNN communities — connected components over the MUTUAL
+    * edges of the kNN graph (keep (a, b) only when a is in b's top-k
+    * AND b is in a's): the standard density trick that turns a kNN
+    * graph into meaningful clusters — one-directional edges chain
+    * through hubs and melt everything into a blob; mutuality holds
+    * only inside genuinely dense neighborhoods. Labels = min vec_id
+    * reachable (the dupClusters contract). The embedding-space
+    * community map behind semantic browsing / topic quotas /
+    * cluster-aware splits, complementing kmeans (fixed k, spherical)
+    * with a density-adaptive view.
+    *
+    * Scale shape: the mutual filter is one self-intersection of the
+    * narrow k·N edge table (id-keyed, no vectors aboard); components
+    * run on the mutual sliver via dupClusters' superstep loop (driver
+    * fast path below the threshold, distributed above). */
+  def knnCommunitiesFromEdges(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("vec_id"), col("nbr_id"))
+    val mutual = e.intersect(
+        e.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
+      .where(col("vec_id") < col("nbr_id"))
+    graft.ext.Dedup.dupClusters(mutual.toDF("a_id", "b_id"))
+      .select(col("doc_id").as("vec_id"), col("cluster_id").as("community_id"))
+  }
+
+  /** Self-building overload (materializes the kNN graph itself); a
+    * production pipeline feeds the once-built edge table to
+    * `knnCommunitiesFromEdges` like every other graph consumer. */
+  def knnCommunities(emb: DataFrame, k: Int = 5,
+      centroidMod: Int = 50): DataFrame =
+    knnCommunitiesFromEdges(knnGraph(emb, k, centroidMod))
+
   /** `knnPageRank` over a PRE-BUILT edge table — the injectable core:
     * a production pipeline materializes the kNN graph ONCE and feeds
     * it to every consumer (centrality here, `labelAccuracyFromEdges`,

@@ -1182,6 +1182,28 @@ class ExtSpec extends SparkSpec {
     assert(strict.head.getAs[Long]("n_contaminating_docs") == 1L)
   }
 
+  test("knnCommunities: two tight cliques split into two communities, mutual filter holds") {
+    import spark.implicits._
+    // one IVF cell (only id 0 is a centroid at mod 50); k=2 so each
+    // vector's top-2 are its clique partners — mutual inside cliques,
+    // never across (cross-clique cosine ~0)
+    val e = Seq(
+      (0L, Array(1f, 0f, 0.01f)), (1L, Array(0.99f, 0f, 0.02f)),
+      (2L, Array(0.98f, 0.01f, 0f)),
+      (3L, Array(0f, 1f, 0.01f)), (4L, Array(0f, 0.99f, 0.02f)),
+      (5L, Array(0.01f, 0.98f, 0f))
+    ).toDF("vec_id", "embedding")
+    val com = Similarity.knnCommunities(e, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(com == Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      3L -> 3L, 4L -> 3L, 5L -> 3L), com.toString)
+    // injectable-edges overload is value-identical
+    val viaEdges = Similarity.knnCommunitiesFromEdges(
+      Similarity.knnGraph(e, k = 2).localCheckpoint())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaEdges == com)
+  }
+
   test("imageDupVerified: contrast collision rejected, near-dup kept, group audit counts") {
     def mk(id: Long, vals: Seq[Int]) =
       (id, new String(vals.map(_.toChar).toArray), "png", 8, 8)
