@@ -257,6 +257,9 @@ object ScaleProbe {
       t("imageDupVerified", n)(Multimodal.imageDupVerified(
         spark, Multimodal.toAssets(
           docs.withColumn("n_chars", length(col("text")).cast("long")))).count())
+      // mutual filter + components over the kNN edge table — must
+      // track knnGraph's trajectory (the mutual sliver is ≤ k·N rows)
+      t("knnCommunities", n)(Similarity.knnCommunities(emb).count())
       if (only.forall(_.contains("pageRankFromEdges"))) {
         val knnEdges = Similarity.knnGraph(emb).localCheckpoint()
         t("pageRankFromEdges", n)(
