@@ -1241,6 +1241,17 @@ object SparkEntry {
     // function of the data, so DuckDB reproduces them exactly
     "kmv_cardinality" -> prep((s, d) =>
       graft.ext.Sketches.kmvCardinality(docs(s, d)).orderBy("source")),
+    // HLL distinct-token cardinality per source (third native sketch
+    // aggregate): 2^10 byte registers per source, elementwise-max
+    // merge; exact distinct + basis-point error audit columns
+    "hll_cardinality" -> prep((s, d) =>
+      graft.ext.Sketches.hllCardinality(docs(s, d)).orderBy("source")),
+    // pairwise cross-source vocabulary overlap from merged HLL
+    // registers: union/intersection/jaccard estimated WITHOUT
+    // co-shuffling any two sources' tokens (registers union by max)
+    "hll_union_sources" -> prep((s, d) =>
+      graft.ext.Sketches.hllUnionSources(docs(s, d))
+        .orderBy("source_a", "source_b")),
     // per-source type-token ratio + hapax rate (template-farm detector)
     "lexical_diversity" -> prep((s, d) =>
       graft.ext.TextAnalysis.lexicalDiversity(docs(s, d)).orderBy("source")),
@@ -1500,6 +1511,26 @@ object SparkEntry {
     // merged minima-of-minima at read (the sketch's defining merge) —
     // deterministic, so the oracle recomputes the exact same minima.
     // 3 landing files → 3 micro-batches prove the cross-batch merge.
+    // streaming unique-visitor cardinality via the native HLL sketch:
+    // per-batch register partials appended by foreachBatch, merged by
+    // per-bucket max at read (HLL's defining merge) — deterministic,
+    // so the oracle recomputes every register. 3 landing files →
+    // 3 micro-batches prove the cross-batch register merge.
+    "stream_hll_users" -> prep((s, d) => {
+      val base = tmpDir("graft_evhll")
+      s.read.parquet(s"$d/events.parquet")
+        .select(col("event_id"),
+          col("ts").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .repartition(3).write.mode("overwrite").json(s"$base/in")
+      graft.streaming.EventStream.runHllUsers(
+        s, s"$base/in", s"$base/out", s"$base/ckpt").awaitTermination()
+      graft.streaming.EventStream.hllUsersCompact(s.read.parquet(s"$base/out"))
+        .select(col("window_start").cast("string").as("window_start"),
+          col("event_type"), col("v_zero"), col("est_distinct"))
+        .orderBy(col("window_start").asc_nulls_first,
+          col("event_type").asc_nulls_first)
+    }),
     "stream_kmv_users" -> prep((s, d) => {
       val base = tmpDir("graft_evkmv")
       s.read.parquet(s"$d/events.parquet")
@@ -1728,6 +1759,8 @@ object SparkEntry {
     "stream_user_clean" -> PinOracle.userClean,
     "dedup_keep_best" -> ExtOracle.dedupKeepBest,
     "kmv_cardinality" -> ExtOracle.kmvCardinality,
+    "hll_cardinality" -> ExtOracle.hllCardinality,
+    "hll_union_sources" -> ExtOracle.hllUnionSources,
     "lexical_diversity" -> ExtOracle.lexicalDiversity,
     "quality_calibration" -> ExtOracle.qualityCalibration,
     "filter_agreement" -> ExtOracle.filterAgreement,
@@ -1736,6 +1769,7 @@ object SparkEntry {
     "decontaminate_fuzzy" -> ExtOracle.decontaminateFuzzy,
     "dedup_cross_source" -> ExtOracle.dedupCrossSource,
     "stream_kmv_users" -> ExtOracle.streamKmvUsers,
+    "stream_hll_users" -> ExtOracle.streamHllUsers,
     "hybrid_rrf" -> ExtOracle.hybridRrf,
     "retrieval_metrics" -> ExtOracle.retrievalMetrics,
     "oov_rate" -> ExtOracle.oovRate,

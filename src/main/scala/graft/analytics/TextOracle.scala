@@ -1241,6 +1241,204 @@ FROM ksel
 ${ord("source")}""".trim
   }
 
+  /** The register-chain CTEs shared by the two HLL twins (p=10,
+    * m=1024): polyhash64 power-sum + split Fibonacci finalizer
+    * (identical to the kmvCardinality chain), bucket = top 10 bits
+    * (floor-divide by 2⁵⁴), rank = 55 − bitlength(low 54 bits) via a
+    * range join against an exact powers-of-two list (w=0 → 55, the
+    * engine's capped leading-zero count), registers = per-(source,
+    * bucket) MAX over the full 0..1023 domain with absent buckets 0. */
+  private def hllRegCtes: String = {
+    val pow64 = "CAST('18446744073709551616' AS HUGEINT)"
+    s"""
+hlt AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents),
+hlpw(kk, p) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL SELECT kk + 1, (p * 1000003) % $pow64 FROM hlpw WHERE kk < 255),
+hlpl AS MATERIALIZED (SELECT list(p ORDER BY kk) AS ps FROM hlpw),
+hlh0 AS (
+  SELECT source,
+    COALESCE(list_sum(list_transform(string_split_regex(tok, ''),
+      (c, i) -> ord(c) * hlpl.ps[strlen(tok) - i + 1])) % $pow64,
+      CAST(0 AS HUGEINT)) AS hu
+  FROM hlt, hlpl),
+${mix64Chain("hl", "source", "hlh0", "hlh")},
+hljw AS (
+  SELECT source, u,
+    CAST(u // CAST('18014398509481984' AS HUGEINT) AS INTEGER) AS j,
+    u % CAST('18014398509481984' AS HUGEINT) AS w
+  FROM hlh),
+hlbl AS (
+  SELECT b, CAST(2**(b - 1) AS HUGEINT) AS lo
+  FROM generate_series(1, 54) t(b)),
+hlrk AS (
+  SELECT source, j,
+    CASE WHEN w = 0 THEN 55 ELSE 55 - hlbl.b END AS r
+  FROM hljw LEFT JOIN hlbl ON hljw.w >= hlbl.lo AND hljw.w < hlbl.lo * 2),
+hlmx AS (SELECT source, j, MAX(r) AS r FROM hlrk GROUP BY source, j),
+hldom AS (
+  SELECT s.source, CAST(g.j AS INTEGER) AS j
+  FROM (SELECT DISTINCT source FROM hlh) s, generate_series(0, 1023) g(j)),
+hlreg AS (
+  SELECT hldom.source, hldom.j, COALESCE(hlmx.r, 0) AS r
+  FROM hldom LEFT JOIN hlmx
+    ON hlmx.source = hldom.source AND hlmx.j = hldom.j)""".trim
+  }
+
+  /** splitmix64 finalizer on an unsigned-64 HUGEINT `hu` column (twin
+    * of `HllSketch.mix64` — see its scaladoc for why HLL's
+    * leading-zeros statistic needs a full-avalanche mix): xorshift
+    * rides DuckDB's native HUGEINT xor / `>>` (values stay < 2⁶⁴, so
+    * `>>` ≡ the engine's unsigned shift), wrapping multiplies ride the
+    * split 32-bit decomposition (13787848793156543929 = hi 3210233709
+    * · 2³² + lo 484763065; 10723151780598845931 = hi 2496678331 · 2³²
+    * + lo 321982955). Emits CTEs `<prefix>x1..x4` and `$finalName`
+    * (DISTINCT `$keys`, u). */
+  private def mix64Chain(prefix: String, keys: String, from: String,
+      finalName: String): String = {
+    val pow64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val pow32 = "CAST(4294967296 AS HUGEINT)"
+    s"""${prefix}x1 AS (SELECT $keys, xor(hu, hu >> 30) AS z1 FROM $from),
+${prefix}x2 AS (SELECT $keys,
+  ((z1 * 484763065) % $pow64 + ((z1 * 3210233709) % $pow32) * $pow32)
+    % $pow64 AS z2 FROM ${prefix}x1),
+${prefix}x3 AS (SELECT $keys, xor(z2, z2 >> 27) AS z3 FROM ${prefix}x2),
+${prefix}x4 AS (SELECT $keys,
+  ((z3 * 321982955) % $pow64 + ((z3 * 2496678331) % $pow32) * $pow32)
+    % $pow64 AS z4 FROM ${prefix}x3),
+$finalName AS (
+  SELECT DISTINCT $keys, xor(z4, z4 >> 31) AS u FROM ${prefix}x4)""".trim
+  }
+
+  /** The HLL estimate from (zero-count, harmonic-sum) columns — the
+    * bit-exact SQL of `Sketches.hllEstimate`: one double division of
+    * the interpolated pinned numerator by the exact HUGEINT harmonic
+    * sum, linear counting below 2.5·m with the ln quantized at 10⁶. */
+  private def hllEstSql(v: String, s: String): String = {
+    val amm = java.lang.Double.toString(
+      graft.functions.HllSketch.alphaMm2Pow64(10))
+    s"""CASE WHEN $v > 0 AND $amm / CAST($s AS DOUBLE) <= 2560.0
+      THEN CAST(CAST(round(ln(1024.0 / CAST($v AS DOUBLE)) * 1000000.0)
+        AS BIGINT) * 1024 AS DOUBLE) / 1000000.0
+      ELSE $amm / CAST($s AS DOUBLE) END"""
+  }
+
+  /** Twin of Sketches.hllCardinality(p=10): the full register array
+    * recomputed bucket by bucket (see hllRegCtes), zero count and
+    * exact HUGEINT harmonic sum per source, the pinned-numerator
+    * estimate, exact distinct hashes + signed basis-point error as
+    * the audit columns. */
+  val hllCardinality: String = s"""
+WITH RECURSIVE
+$hllRegCtes,
+hlagg AS (
+  SELECT source,
+    CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
+    SUM(CAST(2**(64 - r) AS HUGEINT)) AS s_sum
+  FROM hlreg GROUP BY source),
+hlex AS (
+  SELECT source, CAST(COUNT(DISTINCT u) AS BIGINT) AS exact_distinct
+  FROM hlh GROUP BY source),
+hlfin AS (
+  SELECT hlagg.source, v_zero,
+    ${hllEstSql("v_zero", "s_sum")} AS est_distinct,
+    exact_distinct
+  FROM hlagg JOIN hlex ON hlex.source = hlagg.source)
+SELECT source, v_zero, est_distinct, exact_distinct,
+  CAST(round((est_distinct / CAST(exact_distinct AS DOUBLE) - 1.0)
+    * 10000.0) AS BIGINT) AS err_bp
+FROM hlfin
+${ord("source")}""".trim
+
+  /** Twin of Sketches.hllUnionSources(p=10): pair the per-source
+    * registers on bucket index, union registers by GREATEST, the same
+    * pinned estimate for each side and the union, inclusion–exclusion
+    * intersection clamped at 0. */
+  val hllUnionSources: String = s"""
+WITH RECURSIVE
+$hllRegCtes,
+hlpair AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+    a.r AS ra, b.r AS rb, GREATEST(a.r, b.r) AS ru
+  FROM hlreg a JOIN hlreg b
+    ON a.j = b.j AND a.source < b.source),
+hlps AS (
+  SELECT source_a, source_b,
+    CAST(SUM(CASE WHEN ra = 0 THEN 1 ELSE 0 END) AS BIGINT) AS va,
+    SUM(CAST(2**(64 - ra) AS HUGEINT)) AS sa,
+    CAST(SUM(CASE WHEN rb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS vb,
+    SUM(CAST(2**(64 - rb) AS HUGEINT)) AS sb,
+    CAST(SUM(CASE WHEN ru = 0 THEN 1 ELSE 0 END) AS BIGINT) AS vu,
+    SUM(CAST(2**(64 - ru) AS HUGEINT)) AS su
+  FROM hlpair GROUP BY source_a, source_b),
+hlpe AS (
+  SELECT source_a, source_b,
+    ${hllEstSql("va", "sa")} AS est_a,
+    ${hllEstSql("vb", "sb")} AS est_b,
+    ${hllEstSql("vu", "su")} AS est_union
+  FROM hlps),
+hlpf AS (
+  SELECT source_a, source_b, est_a, est_b, est_union,
+    GREATEST(0.0, est_a + est_b - est_union) AS est_intersection
+  FROM hlpe)
+SELECT source_a, source_b, est_a, est_b, est_union, est_intersection,
+  est_intersection / est_union AS est_jaccard
+FROM hlpf
+${ord("source_a", "source_b")}""".trim
+
+  /** Twin of EventStream.hllUsersPartials→Compact (p=10): per (hour
+    * window, event_type), the HLL registers over the Fibonacci-mixed
+    * user_id (split 32-bit multiply, as streamKmvUsers), then the
+    * pinned estimate. No watermark cutoff — the partials path is
+    * stateless and the register merge (elementwise max) is
+    * associative, so one global pass here equals the micro-batched
+    * stream. */
+  val streamHllUsers: String = {
+    val pow64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val pow32 = "CAST(4294967296 AS HUGEINT)"
+    s"""
+WITH shu0 AS (
+  SELECT date_trunc('hour', ts) AS ws, event_type,
+    CAST(user_id AS HUGEINT) AS hu
+  FROM events),
+${mix64Chain("sh", "ws, event_type", "shu0", "shuu")},
+shjw AS (
+  SELECT ws, event_type,
+    CAST(u // CAST('18014398509481984' AS HUGEINT) AS INTEGER) AS j,
+    u % CAST('18014398509481984' AS HUGEINT) AS w
+  FROM shuu),
+shbl AS (
+  SELECT b, CAST(2**(b - 1) AS HUGEINT) AS lo
+  FROM generate_series(1, 54) t(b)),
+shrk AS (
+  SELECT ws, event_type, j,
+    CASE WHEN w = 0 THEN 55 ELSE 55 - shbl.b END AS r
+  FROM shjw LEFT JOIN shbl ON shjw.w >= shbl.lo AND shjw.w < shbl.lo * 2),
+shmx AS (
+  SELECT ws, event_type, j, MAX(r) AS r
+  FROM shrk GROUP BY ws, event_type, j),
+shdom AS (
+  SELECT g.ws, g.event_type, CAST(t.j AS INTEGER) AS j
+  FROM (SELECT DISTINCT ws, event_type FROM shuu) g,
+    generate_series(0, 1023) t(j)),
+shreg AS (
+  SELECT shdom.ws, shdom.event_type, COALESCE(shmx.r, 0) AS r
+  FROM shdom LEFT JOIN shmx
+    ON shmx.ws = shdom.ws AND shmx.event_type = shdom.event_type
+    AND shmx.j = shdom.j),
+shagg AS (
+  SELECT ws, event_type,
+    CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero,
+    SUM(CAST(2**(64 - r) AS HUGEINT)) AS s_sum
+  FROM shreg GROUP BY ws, event_type)
+SELECT CAST(ws AS VARCHAR) AS window_start, event_type, v_zero,
+  ${hllEstSql("v_zero", "s_sum")} AS est_distinct
+FROM shagg
+${ord("window_start", "event_type")}""".trim
+  }
+
   /** Twin of Sketches.cmsTokenFreq(probes spark/merge/vector, 4×1024):
     * the Count-Min matrix recomputed cell-exactly — per distinct token
     * the polyhash64 power-sum, the Kirsch–Mitzenmacher affine bucket

@@ -154,6 +154,57 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming distinct-user cardinality per (hour, event_type) via
+    * the native `hll_sketch` aggregate — the HLL sibling of
+    * `kmvUsersPartials`, same stateless partials + merge-on-read split
+    * (see that scaladoc for why sketch aggregates stream via
+    * foreachBatch partials): each micro-batch appends its 2^p-register
+    * array per (window, event_type). HLL's merge is even more
+    * transparent than KMV's — elementwise max — so the compacted
+    * registers are DEFINED to equal a single pass over the whole
+    * stream, and the per-batch streaming cost is 1 KB per group
+    * regardless of arrival volume. */
+  def hllUsersPartials(events: DataFrame, p: Int = 10,
+      windowLen: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(graft.functions.HllSketch.hllSketch(
+        graft.functions.HllSketch.mix64(col("user_id").cast("long")),
+        p).as("regs"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("regs"))
+
+  /** Read-side compaction: registers merge by per-bucket max across
+    * batch partials, then the `Sketches.hllEstimateFromCounts`
+    * estimate per (window, event_type) — exact integer zero-count and
+    * harmonic sum, one double division (bit-equal to the batch
+    * operator and the oracle). */
+  def hllUsersCompact(partials: DataFrame, p: Int = 10): DataFrame =
+    partials
+      .select(col("window_start"), col("event_type"),
+        posexplode(col("regs")).as(Seq("j", "r")))
+      .groupBy(col("window_start"), col("event_type"), col("j"))
+      .agg(max(col("r")).as("r"))
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(
+        sum(when(col("r") === 0, lit(1L)).otherwise(lit(0L))).as("v_zero"),
+        sum(pow(lit(2.0), lit(64) - col("r")).cast("decimal(38,0)"))
+          .as("s_sum"))
+      .select(col("window_start"), col("event_type"), col("v_zero"),
+        graft.ext.Sketches.hllEstimateFromCounts(
+          col("v_zero"), col("s_sum"), p).as("est_distinct"))
+
+  def runHllUsers(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    source(spark, inDir, Map("maxFilesPerTrigger" -> "1"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        hllUsersPartials(batch).write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming upsert-view maintenance (merge-on-read CDC pattern):
     * each micro-batch compacts to latest-per-key via
     * `Changelog.latestByKey` and APPENDS that delta; readers compact

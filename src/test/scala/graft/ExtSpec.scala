@@ -1887,6 +1887,89 @@ class ExtSpec extends SparkSpec {
       "kmv_sketch must partial-aggregate before the exchange")
   }
 
+  test("hllCardinality: registers and estimate match an independent Scala fold") {
+    def ph(s: String): Long = {
+      var h = 0L
+      s.getBytes("UTF-8").foreach(b => h = h * 1000003L + (b & 0xffL))
+      var z = h // splitmix64 finalizer, as HllSketch.mix64
+      z ^= z >>> 30; z *= -4658895280553007687L
+      z ^= z >>> 27; z *= -7723592293110705685L
+      z ^ (z >>> 31)
+    }
+    val p = 10; val m = 1 << p
+    def estOf(hs: Seq[Long]): (Long, Double, Long) = {
+      val regs = new Array[Int](m)
+      hs.foreach { h =>
+        val j = (h >>> (64 - p)).toInt
+        val r = math.min(java.lang.Long.numberOfLeadingZeros(h << p) + 1,
+          64 - p + 1)
+        if (r > regs(j)) regs(j) = r
+      }
+      val v = regs.count(_ == 0).toLong
+      val s = regs.map(r => BigDecimal(math.pow(2.0, 64.0 - r))).sum
+      val raw = graft.functions.HllSketch.alphaMm2Pow64(p) / s.toDouble
+      val est = if (v > 0 && raw <= 2.5 * m)
+        (math.round(math.log(m.toDouble / v) * 1e6) * m).toDouble / 1e6
+      else raw
+      (v, est, hs.distinct.length.toLong)
+    }
+    val small = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val big = (1 to 4000).map(i => s"w$i").mkString(" ")
+    val d = Seq((0L, small, "small"), (1L, big, "big"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.ext.Sketches.hllCardinality(d, p).collect()
+      .map(r => r.getString(0) -> r).toMap
+    Seq("small" -> small, "big" -> big).foreach { case (src, text) =>
+      val (v, est, nd) = estOf(text.split("\\s+").toSeq.map(ph))
+      assert(out(src).getAs[Long]("v_zero") == v, s"$src v_zero")
+      assert(out(src).getAs[Double]("est_distinct") == est, s"$src est")
+      assert(out(src).getAs[Long]("exact_distinct") == nd, s"$src exact")
+    }
+    // linear-counting regime: 10 of 1024 registers set — est ~ 10
+    assert(math.abs(out("small").getAs[Double]("est_distinct") - 10.0) < 1.0)
+    // raw regime at 4000 distinct: within the ~3.2% stderr (10% slack)
+    assert(math.abs(out("big").getAs[Long]("err_bp")) < 1000L)
+  }
+
+  test("hllCardinality: repartition-invariant, map-side partial in the plan") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val a = graft.ext.Sketches.hllCardinality(d).orderBy("source").collect()
+    val b = graft.ext.Sketches.hllCardinality(d.repartition(7))
+      .orderBy("source").collect()
+    assert(a.toSeq == b.toSeq, "register merge must be order-independent")
+    assert(a.forall(r => math.abs(r.getAs[Long]("err_bp")) < 1500L),
+      "per-source estimates should sit near the 1.04/sqrt(1024) stderr")
+    val plan = graft.ext.Sketches.hllCardinality(d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_hll_sketch"),
+      "hll_sketch must partial-aggregate before the exchange")
+  }
+
+  test("hllUnionSources: mirror pair at jaccard 1, disjoint pair near 0, " +
+      "union equals the concatenated corpus estimate") {
+    val tA = (1 to 300).map(i => s"a$i").mkString(" ")
+    val tB = (1 to 300).map(i => s"b$i").mkString(" ")
+    val d = Seq((0L, tA, "A"), (1L, tB, "B"), (2L, tA, "M"))
+      .toDF("doc_id", "text", "source")
+    val out = graft.ext.Sketches.hllUnionSources(d).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // M mirrors A: identical registers, union = either side, jaccard = 1
+    val am = out(("A", "M"))
+    assert(am.getAs[Double]("est_union") == am.getAs[Double]("est_a"))
+    assert(am.getAs[Double]("est_jaccard") == 1.0)
+    // disjoint vocabularies: intersection is IE noise only
+    val ab = out(("A", "B"))
+    assert(ab.getAs[Double]("est_jaccard") < 0.2)
+    assert(ab.getAs[Double]("est_union") > ab.getAs[Double]("est_a"))
+    // merged registers ARE the union corpus' registers: relabel A+B as
+    // one source and the single-source estimate matches est_union bit
+    // for bit (the mergeability contract)
+    val concat = graft.ext.Sketches.hllCardinality(
+      d.where(col("source").isin("A", "B")).withColumn("source", lit("all")))
+      .collect().head.getAs[Double]("est_distinct")
+    assert(ab.getAs[Double]("est_union") == concat)
+  }
+
   test("decontaminateFuzzy drops resemblance matches the exact tier misses") {
     val bench = "the capital of france is paris and the seine flows through it gently"
     val para = "the capital of france is paris and the seine flows through it softly"

@@ -234,6 +234,30 @@ class StreamingSpec extends SparkSpec {
       "partials streaming must keep no state")
   }
 
+  test("hll partials: multi-batch register merge == one-pass batch sketch") {
+    import org.apache.spark.sql.functions._
+    val base = tmp("st_hll")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    ev.repartition(3).write.mode("overwrite").json(s"$base/in")
+    graft.streaming.EventStream.runHllUsers(
+      spark, s"$base/in", s"$base/out", s"$base/ckpt").awaitTermination()
+    val partials = spark.read.parquet(s"$base/out")
+    assert(partials.select("window_start", "event_type").distinct().count() <
+      partials.count(), "expected overlapping per-batch partials")
+    val streamed = graft.streaming.EventStream.hllUsersCompact(partials)
+    // elementwise-max merge: micro-batching must not move a single
+    // register, so the estimates agree bit for bit
+    val batch = graft.streaming.EventStream.hllUsersCompact(
+      graft.streaming.EventStream.hllUsersPartials(ev))
+    val diff = streamed.exceptAll(batch).count() + batch.exceptAll(streamed).count()
+    assert(diff == 0, s"stream/batch HLL mismatch: $diff rows differ")
+    val stateDir = new java.io.File(s"$base/ckpt/state")
+    assert(!stateDir.exists || stateDir.listFiles.isEmpty,
+      "partials streaming must keep no state")
+  }
+
   test("streaming IVF assignment == batch rebuild, stateless") {
     import org.apache.spark.sql.functions._
     import graft.ext.Similarity
