@@ -1315,6 +1315,11 @@ object SparkEntry {
     "cms_token_freq" -> prep((s, d) =>
       graft.ext.Sketches.cmsTokenFreq(docs(s, d),
         Seq("spark", "merge", "vector")).orderBy("token")),
+    // CMS heavy hitters: deterministic instance-sample candidates →
+    // upper-biased CMS screen → exact verify of the kept sliver only;
+    // is_heavy exposes the sketch's false positives
+    "cms_heavy_hitters" -> prep((s, d) =>
+      graft.ext.Sketches.cmsHeavyHitters(docs(s, d)).orderBy("token")),
     // KMV join-size estimation (Beyer et al. set-operation estimators):
     // distinct keys per side + key-overlap estimate from two constant-
     // size sketches — the broadcast-vs-shuffle decision BEFORE the
@@ -1798,6 +1803,7 @@ object SparkEntry {
     "skew_report" -> ExtOracle.skewReport,
     "equidepth_histogram" -> ExtOracle.equiDepthHistogram,
     "cms_token_freq" -> ExtOracle.cmsTokenFreq,
+    "cms_heavy_hitters" -> ExtOracle.cmsHeavyHitters,
     "vocab_overlap" -> ExtOracle.vocabOverlapMatrix,
     "reshard_report" -> ExtOracle.reshardReport,
     "psi_drift" -> ExtOracle.psiDrift,

@@ -1492,6 +1492,65 @@ SELECT token, est_freq, exact_freq, overestimate FROM cfin
 ${ord("token")}""".trim
   }
 
+  /** Twin of Sketches.cmsHeavyHitters(φ=0.001, 4×1024, 1/64 sample):
+    * token instances with zipped-unnest positions (0-based, matching
+    * posexplode), the CMS bucket sums recomputed cell-exactly from
+    * per-token counts, the Knuth instance-sample candidates, the
+    * `est ≥ ceil(φ·N)` screen, and the exact verdict on the kept
+    * sliver. */
+  val cmsHeavyHitters: String = {
+    val pow64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val gold = "CAST('11400714819323198485' AS HUGEINT)"
+    s"""
+WITH RECURSIVE
+hht AS (
+  SELECT doc_id,
+    unnest(string_split_regex(trim(text), '\\s+')) AS token,
+    unnest(generate_series(1,
+      len(string_split_regex(trim(text), '\\s+')))) - 1 AS pos
+  FROM documents),
+hhn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM hht),
+hhc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM hht GROUP BY token),
+hhpw(kk, p) AS (SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL SELECT kk+1, (p*1000003) % $pow64 FROM hhpw WHERE kk < 255),
+hhpl AS MATERIALIZED (SELECT list(p ORDER BY kk) AS ps FROM hhpw),
+hhh AS (
+  SELECT hhc.token, hhc.cnt,
+    COALESCE(list_sum(list_transform(string_split_regex(hhc.token, ''),
+      (c, i) -> ord(c) * hhpl.ps[strlen(hhc.token) - i + 1])), 0)
+      % $pow64 AS hu
+  FROM hhc, hhpl),
+hhbk AS (
+  SELECT t.i,
+    ((hhh.hu * (2*t.i + 1) + t.i * $gold) % $pow64) % 1024 AS b,
+    CAST(SUM(hhh.cnt) AS BIGINT) AS c
+  FROM hhh, generate_series(0, 3) t(i)
+  GROUP BY t.i, ((hhh.hu * (2*t.i + 1) + t.i * $gold) % $pow64) % 1024),
+hhcand AS (
+  SELECT DISTINCT token FROM hht
+  WHERE (((doc_id * 1009 + pos) % 1000003) * 2654435761) % 64 = 0),
+hhpb AS (
+  SELECT hhh.token, hhh.cnt, t.i,
+    ((hhh.hu * (2*t.i + 1) + t.i * $gold) % $pow64) % 1024 AS b
+  FROM hhh JOIN hhcand ON hhcand.token = hhh.token,
+    generate_series(0, 3) t(i)),
+hhpe AS (
+  SELECT hhpb.token, hhpb.cnt,
+    CAST(MIN(COALESCE(hhbk.c, 0)) AS BIGINT) AS est_freq
+  FROM hhpb LEFT JOIN hhbk ON hhbk.i = hhpb.i AND hhbk.b = hhpb.b
+  GROUP BY hhpb.token, hhpb.cnt),
+hhk AS (
+  SELECT token, est_freq, cnt,
+    CAST(ceil(0.001 * n_total) AS BIGINT) AS threshold
+  FROM hhpe, hhn
+  WHERE est_freq >= CAST(ceil(0.001 * n_total) AS BIGINT))
+SELECT token, est_freq, cnt AS exact_freq, threshold,
+  (cnt >= threshold) AS is_heavy
+FROM hhk
+${ord("token")}""".trim
+  }
+
   /** Twin of TextAnalysis.klDivergence: (source, tok) counts, corpus
     * counts rolled up FROM them, both log-probs quantized
     * round(ln·10⁶) as BIGINT before the HUGEINT-weighted sum (the

@@ -125,6 +125,69 @@ object Sketches {
       .withColumn("overestimate", col("est_freq") - col("exact_freq"))
   }
 
+  /** Corpus heavy-hitter tokens (frequency ≥ φ·N) with a scale shape
+    * that never exchanges the vocabulary — the classic CMS
+    * heavy-hitter harness made deterministic:
+    *
+    *  1. ONE Count-Min pass over all token instances (constant 4×1024
+    *     matrix state + the instance count N, a single 1-row
+    *     map-combinable aggregate);
+    *  2. candidate keys from a deterministic 1/`sampleMod` INSTANCE
+    *     sample (Knuth bucket of `doc_id·1009 + pos` — CMS can answer
+    *     point queries but cannot enumerate keys, so candidates come
+    *     from a sample in which any φ-heavy token appears with
+    *     overwhelming mass: expected φ·N/sampleMod ≫ 1 occurrences);
+    *  3. the CMS screen `est ≥ ceil(φ·N)` on the candidate sliver —
+    *     upper-biased, so no true heavy hitter that reached the
+    *     candidate tier is screened out;
+    *  4. exact verification of the KEPT sliver only (broadcast semi
+    *     join; candidate-proportional, never vocabulary-proportional)
+    *     — `is_heavy` exposes CMS false positives instead of
+    *     trusting the sketch.
+    *
+    * Deterministic end to end (fixed hashes, fixed sample, integer
+    * thresholds), so the oracle replicates sample, cells, screen and
+    * verdicts exactly. Returns (token, est_freq, exact_freq,
+    * threshold, is_heavy) for candidates passing the screen. */
+  def cmsHeavyHitters(docs: DataFrame, phi: Double = 0.001,
+      depth: Int = 4, width: Int = 1024, sampleMod: Int = 64): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => bc}
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "token")))
+    val stats = toks
+      .select(graft.functions.PolyHash64.polyhash64(col("token")).as("h"))
+      .agg(graft.functions.CmsSketch.cmsSketch(col("h"), depth, width)
+          .as("m"),
+        count(lit(1)).as("n_total"))
+      .withColumn("threshold", ceil(lit(phi) * col("n_total")).cast("long"))
+    val cands = toks
+      .where(Sampling.bucket(col("doc_id") * lit(1009L) + col("pos"),
+        sampleMod) === 0)
+      .select(col("token")).distinct()
+      .select(col("token"),
+        graft.functions.PolyHash64.polyhash64(col("token")).as("h"))
+    val cells = (0 until depth).map { i =>
+      element_at(col("m"),
+        lit(i * width + 1) +
+          ((col("h") * (2L * i + 1L) + lit(i.toLong * graft.functions.CmsSketch.GOLD))
+            .bitwiseAND(width - 1L)).cast("int"))
+    }
+    // the kept sliver feeds BOTH the verify join and the final select —
+    // materialize it once (double-build rule: its upstream contains the
+    // corpus-proportional CMS pass, which must not run per consumer)
+    val kept = cands.crossJoin(bc(stats))
+      .select(col("token"), least(cells: _*).as("est_freq"),
+        col("threshold"))
+      .where(col("est_freq") >= col("threshold"))
+      .localCheckpoint()
+    val exact = toks.join(bc(kept.select("token")), Seq("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("exact_freq"))
+    kept.join(exact, Seq("token"))
+      .select(col("token"), col("est_freq"), col("exact_freq"),
+        col("threshold"),
+        (col("exact_freq") >= col("threshold")).as("is_heavy"))
+  }
+
   /** The HLL estimate as ONE column expression over a register array
     * (shared by `hllCardinality` and `hllUnionSources`): zero-register
     * count and the harmonic sum Σ 2^(64−M[j]) are EXACT integer

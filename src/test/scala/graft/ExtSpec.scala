@@ -1887,6 +1887,30 @@ class ExtSpec extends SparkSpec {
       "kmv_sketch must partial-aggregate before the exchange")
   }
 
+  test("cmsHeavyHitters: heavy token surfaces with exact verdict, screen is upper-biased") {
+    // 'hot' = 500 of 1000 instances; fillers unique (1 instance each)
+    val d = (0 until 50).map { i =>
+      (i.toLong,
+        (("hot " * 10) + (1 to 10).map(j => s"u${i}_$j").mkString(" ")).trim,
+        "s")
+    }.toDF("doc_id", "text", "source")
+    // phi=0.1 → threshold ceil(0.1·1000) = 100; only 'hot' qualifies
+    val out = graft.ext.Sketches.cmsHeavyHitters(d, phi = 0.1).collect()
+    val hot = out.find(_.getString(0) == "hot")
+    assert(hot.isDefined, "heavy token must reach the candidate tier and pass")
+    assert(hot.get.getAs[Long]("exact_freq") == 500L)
+    assert(hot.get.getAs[Long]("threshold") == 100L)
+    assert(hot.get.getAs[Boolean]("is_heavy"))
+    out.foreach { r =>
+      // CMS is upper-biased: est ≥ exact, and everything surfaced
+      // passed the screen; is_heavy is the exact-count verdict
+      assert(r.getAs[Long]("est_freq") >= r.getAs[Long]("exact_freq"))
+      assert(r.getAs[Long]("est_freq") >= r.getAs[Long]("threshold"))
+      assert(r.getAs[Boolean]("is_heavy") ==
+        (r.getAs[Long]("exact_freq") >= r.getAs[Long]("threshold")))
+    }
+  }
+
   test("hllCardinality: registers and estimate match an independent Scala fold") {
     def ph(s: String): Long = {
       var h = 0L
