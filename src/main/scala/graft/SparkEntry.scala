@@ -1320,6 +1320,10 @@ object SparkEntry {
     // is_heavy exposes the sketch's false positives
     "cms_heavy_hitters" -> prep((s, d) =>
       graft.ext.Sketches.cmsHeavyHitters(docs(s, d)).orderBy("token")),
+    // bloom false-positive audit: measured FPR of the portable bloom
+    // (disjoint even/odd key split) vs the (1-e^(-kn/m))^k bound
+    "bloom_fpr_audit" -> prep((s, d) =>
+      graft.ext.Sketches.bloomFprAudit(docs(s, d))),
     // KMV join-size estimation (Beyer et al. set-operation estimators):
     // distinct keys per side + key-overlap estimate from two constant-
     // size sketches — the broadcast-vs-shuffle decision BEFORE the
@@ -1804,6 +1808,7 @@ object SparkEntry {
     "equidepth_histogram" -> ExtOracle.equiDepthHistogram,
     "cms_token_freq" -> ExtOracle.cmsTokenFreq,
     "cms_heavy_hitters" -> ExtOracle.cmsHeavyHitters,
+    "bloom_fpr_audit" -> ExtOracle.bloomFprAudit,
     "vocab_overlap" -> ExtOracle.vocabOverlapMatrix,
     "reshard_report" -> ExtOracle.reshardReport,
     "psi_drift" -> ExtOracle.psiDrift,

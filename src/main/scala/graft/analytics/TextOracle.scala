@@ -1551,6 +1551,55 @@ FROM hhk
 ${ord("token")}""".trim
   }
 
+  /** Twin of Sketches.bloomFprAudit(m=16384, k=6): even/odd doc_id
+    * split, splitmix64 keys (mix64Chain), affine bit positions, the
+    * distinct member bit set, per-probe all-positions-present test,
+    * and the quantized analytic bound with the pinned k=6
+    * multiplication tree. */
+  val bloomFprAudit: String = {
+    val pow64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val gold = "CAST('11400714819323198485' AS HUGEINT)"
+    s"""
+WITH bfm0 AS (
+  SELECT CAST(doc_id AS HUGEINT) AS hu FROM documents WHERE doc_id % 2 = 0),
+${mix64Chain("bfm", "hu", "bfm0", "bfmu")},
+bfp0 AS (
+  SELECT CAST(doc_id AS HUGEINT) AS hu FROM documents WHERE doc_id % 2 = 1),
+${mix64Chain("bfp", "hu", "bfp0", "bfpu")},
+bfmb AS (
+  SELECT DISTINCT
+    CAST(((u * (2*t.i + 1) + t.i * $gold) % $pow64) % 16384 AS INTEGER)
+      AS pos
+  FROM bfmu, generate_series(0, 5) t(i)),
+bfpp AS (
+  SELECT u,
+    CAST(((u * (2*t.i + 1) + t.i * $gold) % $pow64) % 16384 AS INTEGER)
+      AS pos
+  FROM bfpu, generate_series(0, 5) t(i)),
+bfph AS (
+  SELECT bfpp.u, MAX(CASE WHEN b.pos IS NULL THEN 1 ELSE 0 END) AS miss
+  FROM bfpp LEFT JOIN bfmb b ON b.pos = bfpp.pos
+  GROUP BY bfpp.u),
+bfagg AS (
+  SELECT
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM bfmu) AS n_members,
+    CAST(COUNT(*) AS BIGINT) AS n_probes,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM bfmb) AS n_bits_set,
+    CAST(SUM(CASE WHEN miss = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_false_pos
+  FROM bfph),
+bfe AS (
+  SELECT *,
+    round(exp((-6.0 * CAST(n_members AS DOUBLE)) / 16384.0)
+      * 1000000000.0) / 1000000000.0 AS e
+  FROM bfagg),
+bfy AS (SELECT *, 1.0 - e AS y FROM bfe)
+SELECT n_members, n_probes, n_bits_set, n_false_pos,
+  CAST(n_false_pos AS DOUBLE) / CAST(n_probes AS DOUBLE) AS measured_fpr,
+  ((y * y) * y) * ((y * y) * y) AS theoretical_fpr
+FROM bfy""".trim
+  }
+
   /** Twin of TextAnalysis.klDivergence: (source, tok) counts, corpus
     * counts rolled up FROM them, both log-probs quantized
     * round(ln·10⁶) as BIGINT before the HUGEINT-weighted sum (the

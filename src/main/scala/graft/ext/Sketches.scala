@@ -188,6 +188,68 @@ object Sketches {
         (col("exact_freq") >= col("threshold")).as("is_heavy"))
   }
 
+  /** Bloom-filter false-positive audit — the governance number behind
+    * every bloom-pruned join in the library (`decontaminateBloom`'s
+    * native `BloomMightContainLong` is result-transparent only because
+    * an exact join scrubs its false positives; this operator MEASURES
+    * the rate that tier absorbs and checks it against the analytic
+    * bound (1 − e^(−kn/m))^k). Built on the PORTABLE bloom — bit
+    * positions from the Kirsch–Mitzenmacher affine family over
+    * splitmix64-finalized keys (small ids premixed, the reshard_report
+    * rule) — so unlike Spark's driver-built sketch the whole audit is
+    * deterministic and oracle-checked bit for bit.
+    *
+    * Members = even doc_ids, probes = odd doc_ids (disjoint by
+    * construction, so every probe hit IS a false positive). Scale
+    * shape: the bit-position set is ≤ m rows (built once,
+    * localCheckpoint — it feeds the bit-count agg and the probe join),
+    * probes join it BROADCAST per exploded position and roll up to one
+    * row; the transcendental in the bound is quantized ·10⁹ and the
+    * k-th power is spelled as a pinned multiplication tree, so both
+    * engines produce the identical double. Returns one row:
+    * (n_members, n_probes, n_bits_set, n_false_pos, measured_fpr,
+    * theoretical_fpr). */
+  def bloomFprAudit(docs: DataFrame, mBits: Int = 16384,
+      kHashes: Int = 6): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast => bc}
+    require(Integer.bitCount(mBits) == 1, "mBits must be a power of two")
+    def keys(parity: Int): DataFrame =
+      docs.where(pmod(col("doc_id"), lit(2L)) === parity)
+        .select(graft.functions.HllSketch.mix64(
+          col("doc_id").cast("long")).as("h"))
+    def positions(h: Column): Column = array((0 until kHashes).map { i =>
+      (h * lit(2L * i + 1L) + lit(i.toLong * graft.functions.CmsSketch.GOLD))
+        .bitwiseAND(lit(mBits - 1L)).cast("int")
+    }: _*)
+    val member = keys(0)
+    val probe = keys(1)
+    val bits = member.select(explode(positions(col("h"))).as("pos"))
+      .distinct().localCheckpoint()
+    val perProbe = probe.select(col("h"), explode(positions(col("h"))).as("pos"))
+      .join(bc(bits.withColumn("present", lit(1))), Seq("pos"), "left")
+      .groupBy(col("h"))
+      .agg(max(when(col("present").isNull, 1).otherwise(0)).as("miss"))
+    val pr = perProbe.agg(count(lit(1)).as("n_probes"),
+      sum(when(col("miss") === 0, 1L).otherwise(0L)).as("n_false_pos"))
+    val audit = member.agg(count(lit(1)).as("n_members"))
+      .crossJoin(bc(pr))
+      .crossJoin(bc(bits.agg(count(lit(1)).as("n_bits_set"))))
+    // (1 − e^(−k·n/m))^k with the exp quantized ·10⁹ and the power as
+    // a pinned multiplication tree ((y·y)·y)·((y·y)·y) for k=6 — both
+    // engines run the identical IEEE op sequence
+    require(kHashes == 6, "theoretical bound spelled for k=6")
+    val e = round(exp((lit(-kHashes.toDouble) *
+      col("n_members").cast("double")) / lit(mBits.toDouble)) * lit(1e9)) /
+      lit(1e9)
+    val y = lit(1.0) - e
+    val y3 = (y * y) * y
+    audit.select(col("n_members"), col("n_probes"), col("n_bits_set"),
+      col("n_false_pos"),
+      (col("n_false_pos").cast("double") / col("n_probes").cast("double"))
+        .as("measured_fpr"),
+      (y3 * y3).as("theoretical_fpr"))
+  }
+
   /** The HLL estimate as ONE column expression over a register array
     * (shared by `hllCardinality` and `hllUnionSources`): zero-register
     * count and the harmonic sum Σ 2^(64−M[j]) are EXACT integer

@@ -1911,6 +1911,35 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("bloomFprAudit: bits and false positives match an independent Scala fold") {
+    def mix(z0: Long): Long = {
+      var z = z0
+      z ^= z >>> 30; z *= -4658895280553007687L
+      z ^= z >>> 27; z *= -7723592293110705685L
+      z ^ (z >>> 31)
+    }
+    val GOLD = graft.functions.CmsSketch.GOLD
+    val m = 4096
+    def poss(h: Long): Seq[Int] =
+      (0 until 6).map(i => ((h * (2L * i + 1) + i.toLong * GOLD) & (m - 1)).toInt)
+    val d = (0L until 1400L).map(i => (i, s"doc $i", "s"))
+      .toDF("doc_id", "text", "source")
+    val bits = (0L until 1400L by 2).flatMap(i => poss(mix(i))).toSet
+    val fps = (1L until 1400L by 2).count(p => poss(mix(p)).forall(bits))
+    val r = graft.ext.Sketches.bloomFprAudit(d, mBits = m).collect().head
+    assert(r.getAs[Long]("n_members") == 700L)
+    assert(r.getAs[Long]("n_probes") == 700L)
+    assert(r.getAs[Long]("n_bits_set") == bits.size.toLong)
+    assert(r.getAs[Long]("n_false_pos") == fps.toLong)
+    assert(r.getAs[Double]("measured_fpr") == fps / 700.0)
+    // kn/m ≈ 1.0 here — a well-conditioned regime where the measured
+    // rate should sit near the analytic bound (deterministic, no flake)
+    val th = r.getAs[Double]("theoretical_fpr")
+    assert(r.getAs[Double]("measured_fpr") > th / 3 &&
+      r.getAs[Double]("measured_fpr") < th * 3,
+      s"measured ${r.getAs[Double]("measured_fpr")} vs theoretical $th")
+  }
+
   test("hllCardinality: registers and estimate match an independent Scala fold") {
     def ph(s: String): Long = {
       var h = 0L
