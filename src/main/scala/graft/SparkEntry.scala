@@ -1520,6 +1520,20 @@ object SparkEntry {
     // merged minima-of-minima at read (the sketch's defining merge) —
     // deterministic, so the oracle recomputes the exact same minima.
     // 3 landing files → 3 micro-batches prove the cross-batch merge.
+    // streaming token-frequency CMS: per-batch matrix partials merged
+    // by per-cell SUM at read (counts are linear) — every native
+    // sketch now streams via its defining mergeable-partials split
+    "stream_cms_tokens" -> prep((s, d) => {
+      val base = tmpDir("graft_doccms")
+      s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .repartition(3).write.mode("overwrite").json(s"$base/in")
+      graft.streaming.CorpusStream.runCmsTokens(
+        s, s"$base/in", s"$base/out", s"$base/ckpt").awaitTermination()
+      graft.streaming.CorpusStream.cmsTokensCompact(
+        s.read.parquet(s"$base/out"), Seq("spark", "merge", "vector"))
+        .orderBy("token")
+    }),
     // streaming unique-visitor cardinality via the native HLL sketch:
     // per-batch register partials appended by foreachBatch, merged by
     // per-bucket max at read (HLL's defining merge) — deterministic,
@@ -1779,6 +1793,7 @@ object SparkEntry {
     "dedup_cross_source" -> ExtOracle.dedupCrossSource,
     "stream_kmv_users" -> ExtOracle.streamKmvUsers,
     "stream_hll_users" -> ExtOracle.streamHllUsers,
+    "stream_cms_tokens" -> ExtOracle.streamCmsTokens,
     "hybrid_rrf" -> ExtOracle.hybridRrf,
     "retrieval_metrics" -> ExtOracle.retrievalMetrics,
     "oov_rate" -> ExtOracle.oovRate,

@@ -1551,6 +1551,53 @@ FROM hhk
 ${ord("token")}""".trim
   }
 
+  /** Twin of CorpusStream.cmsTokenPartials→Compact (4×1024, probes
+    * spark/merge/vector): CMS counts are linear, so the elementwise
+    * sum of per-batch matrices equals ONE global matrix — recomputed
+    * here cell-exactly from corpus token counts (the cmsTokenFreq
+    * chain minus its exact-audit columns). */
+  val streamCmsTokens: String = {
+    val pow64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val gold = "CAST('11400714819323198485' AS HUGEINT)"
+    s"""
+WITH RECURSIVE
+sct AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents),
+sctc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM sct GROUP BY token),
+scpw(kk, p) AS (SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL SELECT kk+1, (p*1000003) % $pow64 FROM scpw WHERE kk < 255),
+scpl AS MATERIALIZED (SELECT list(p ORDER BY kk) AS ps FROM scpw),
+scth AS (
+  SELECT sctc.token, sctc.cnt,
+    COALESCE(list_sum(list_transform(string_split_regex(sctc.token, ''),
+      (c, i) -> ord(c) * scpl.ps[strlen(sctc.token) - i + 1])), 0)
+      % $pow64 AS hu
+  FROM sctc, scpl),
+scbk AS (
+  SELECT t.i,
+    ((scth.hu * (2*t.i + 1) + t.i * $gold) % $pow64) % 1024 AS b,
+    CAST(SUM(scth.cnt) AS BIGINT) AS c
+  FROM scth, generate_series(0, 3) t(i)
+  GROUP BY t.i, ((scth.hu * (2*t.i + 1) + t.i * $gold) % $pow64) % 1024),
+scpr(token) AS (VALUES ('spark'), ('merge'), ('vector')),
+scph AS (
+  SELECT scpr.token,
+    COALESCE(list_sum(list_transform(string_split_regex(scpr.token, ''),
+      (c, i) -> ord(c) * scpl.ps[strlen(scpr.token) - i + 1])), 0)
+      % $pow64 AS hu
+  FROM scpr, scpl),
+scpb AS (
+  SELECT scph.token, t.i,
+    ((scph.hu * (2*t.i + 1) + t.i * $gold) % $pow64) % 1024 AS b
+  FROM scph, generate_series(0, 3) t(i))
+SELECT scpb.token, CAST(MIN(COALESCE(scbk.c, 0)) AS BIGINT) AS est_freq
+FROM scpb LEFT JOIN scbk ON scbk.i = scpb.i AND scbk.b = scpb.b
+GROUP BY scpb.token
+${ord("token")}""".trim
+  }
+
   /** Twin of Sketches.bloomFprAudit(m=16384, k=6): even/odd doc_id
     * split, splitmix64 keys (mix64Chain), affine bit positions, the
     * distinct member bit set, per-probe all-positions-present test,

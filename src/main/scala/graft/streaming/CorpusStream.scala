@@ -195,6 +195,59 @@ object CorpusStream {
     * the rows the batch pass keeps. Filters on the corpus-shape rules
     * (word-count band, mean word length, symbol ratio, alphabetic
     * fraction — the signals that bind on any corpus). */
+  /** Streaming token-frequency CMS partials — the third native sketch
+    * streamed via the stateless partials + merge-on-read split (see
+    * `EventStream.kmvUsersPartials` for why TypedImperative aggregates
+    * stream via foreachBatch): each micro-batch appends ONE
+    * depth×width counter matrix over its token instances. CMS counts
+    * are LINEAR, so elementwise addition of per-batch matrices is
+    * exactly the single-pass matrix — the stream never holds token
+    * state, and the per-batch cost is one 32 KB row. */
+  def cmsTokenPartials(docs: DataFrame, depth: Int = 4,
+      width: Int = 1024): DataFrame =
+    docs.select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .select(graft.functions.PolyHash64.polyhash64(col("token")).as("h"))
+      .agg(graft.functions.CmsSketch.cmsSketch(col("h"), depth, width)
+        .as("m"))
+
+  /** Read-side compaction: per-cell SUM across batch partials
+    * (≤ depth·width rows), then the probe tokens' estimates as
+    * min-over-rows of their cells — `Sketches.cmsTokenFreq`'s
+    * estimate tier over the merged matrix. Returns (token,
+    * est_freq). */
+  def cmsTokensCompact(partials: DataFrame, probes: Seq[String],
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val spark = partials.sparkSession
+    import spark.implicits._
+    val cellSums = partials
+      .select(posexplode(col("m")).as(Seq("idx", "c")))
+      .groupBy(col("idx")).agg(sum(col("c")).as("c"))
+    val probeDf = probes.distinct.toDF("token")
+      .select(col("token"),
+        graft.functions.PolyHash64.polyhash64(col("token")).as("h"))
+    val cellIdx = (0 until depth).map { i =>
+      lit(i * width) +
+        ((col("h") * (2L * i + 1L) +
+          lit(i.toLong * graft.functions.CmsSketch.GOLD))
+          .bitwiseAND(width - 1L)).cast("int")
+    }
+    probeDf.select(col("token"), explode(array(cellIdx: _*)).as("idx"))
+      .join(broadcast(cellSums), Seq("idx"))
+      .groupBy(col("token")).agg(min(col("c")).as("est_freq"))
+  }
+
+  def runCmsTokens(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").json(inDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        cmsTokenPartials(batch).write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def runShapeFilter(spark: SparkSession, inDir: String, outDir: String,
       checkpointDir: String, minWords: Int = 20): StreamingQuery = {
     import graft.ext.TextAnalysis

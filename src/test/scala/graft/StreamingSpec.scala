@@ -258,6 +258,30 @@ class StreamingSpec extends SparkSpec {
       "partials streaming must keep no state")
   }
 
+  test("cms partials: multi-batch matrix sum == the batch operator's estimates") {
+    import org.apache.spark.sql.functions._
+    val base = tmp("st_cms")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    docs.repartition(3).write.mode("overwrite").json(s"$base/in")
+    graft.streaming.CorpusStream.runCmsTokens(
+      spark, s"$base/in", s"$base/out", s"$base/ckpt").awaitTermination()
+    val partials = spark.read.parquet(s"$base/out")
+    assert(partials.count() > 1, "expected one matrix per micro-batch")
+    val probes = Seq("spark", "merge", "vector")
+    val streamed = graft.streaming.CorpusStream
+      .cmsTokensCompact(partials, probes)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // linearity: summed per-batch matrices answer point queries exactly
+    // like the one-pass batch sketch (cross-operator parity)
+    val batch = graft.ext.Sketches.cmsTokenFreq(docs, probes)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("est_freq")).toMap
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    val stateDir = new java.io.File(s"$base/ckpt/state")
+    assert(!stateDir.exists || stateDir.listFiles.isEmpty,
+      "partials streaming must keep no state")
+  }
+
   test("streaming IVF assignment == batch rebuild, stateless") {
     import org.apache.spark.sql.functions._
     import graft.ext.Similarity
