@@ -341,14 +341,31 @@ object Sketches {
     * kilobyte-scale table. est_intersection clamps inclusion–
     * exclusion noise at 0. Returns (source_a, source_b, est_a, est_b,
     * est_union, est_intersection, est_jaccard). */
-  def hllUnionSources(docs: DataFrame, p: Int = 10): DataFrame = {
-    val h = docs.select(col("source"),
+  def hllUnionSources(docs: DataFrame, p: Int = 10): DataFrame =
+    hllUnionSourcesFromRegs(hllRegistersOf(docs, p).localCheckpoint(), p)
+
+  /** The per-source register table (source, regs) — the batch-owned,
+    * persistable half of the HLL surface (the `knnGraph`-edges /
+    * `bandIndexOf` materialize-once shape): build it once per corpus
+    * snapshot, persist it (|sources| rows × 2^p ints survive a parquet
+    * round trip exactly), and hand the SAME table to every consumer —
+    * `hllUnionSourcesFromRegs` here, or ad-hoc estimates via
+    * `hllEstimate`. Registers of a NEW snapshot merge with old ones by
+    * per-bucket max, so incremental corpus growth never re-scans
+    * history. */
+  def hllRegistersOf(docs: DataFrame, p: Int = 10): DataFrame =
+    docs.select(col("source"),
         explode(split(trim(col("text")), "\\s+")).as("tok"))
       .select(col("source"), graft.functions.HllSketch.mix64(
         graft.functions.PolyHash64.polyhash64(col("tok"))).as("h"))
-    val regs = h.groupBy(col("source"))
+      .groupBy(col("source"))
       .agg(graft.functions.HllSketch.hllSketch(col("h"), p).as("regs"))
-      .localCheckpoint()
+
+  /** The pairwise overlap report over an ALREADY-MATERIALIZED register
+    * table — see `hllUnionSources` (the self-building composition) for
+    * semantics. Callers owning a persisted register table skip the
+    * corpus scan entirely. */
+  def hllUnionSourcesFromRegs(regs: DataFrame, p: Int = 10): DataFrame = {
     val pairs = regs.as("a").join(regs.as("b"),
       col("a.source") < col("b.source"))
     pairs.select(

@@ -135,7 +135,16 @@ object GraftFunctions {
           if (es.length > 2) posIntArg(es(2), "cms_sketch", 3) else 1024)
           .toAggregateExpression() },
       "cms_sketch(hash[, depth[, width]]) - AGGREGATE: Count-Min counter " +
-        "matrix (row-major array<long>), mergeable constant state"))
+        "matrix (row-major array<long>), mergeable constant state"),
+    ("hll_sketch",
+      { es: Seq[Expression] =>
+        arity("hll_sketch", es, 1, 2)
+        HllSketch(es.head,
+          if (es.length > 1) posIntArg(es(1), "hll_sketch", 2) else 10)
+          .toAggregateExpression() },
+      "hll_sketch(hash[, p]) - AGGREGATE: HyperLogLog registers " +
+        "(array<int> of 2^p, per-bucket max rank), mergeable constant " +
+        "state; feed a full-avalanche hash (see HllSketch.mix64)"))
 
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft.functions", "", name, usage,

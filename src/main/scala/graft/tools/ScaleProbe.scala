@@ -265,6 +265,17 @@ object ScaleProbe {
         t("pageRankFromEdges", n)(
           Similarity.pageRankFromEdges(knnEdges).count())
       }
+      // round-10 batch 6 — the sketch-governance tier: HLL cardinality
+      // and pairwise union (register state |sources|·1 KB / |pairs|·
+      // 3 estimates — both must track the token scan, near-flat wall);
+      // CMS heavy hitters (constant matrix + 1/64 instance sample +
+      // kept-sliver verify — candidate-proportional); the bloom FPR
+      // audit (bit set ≤ m rows, probe side one broadcast join — the
+      // only corpus-proportional piece is the key scan)
+      t("hllCardinality", n)(Sketches.hllCardinality(srcd).count())
+      t("hllUnionSources", n)(Sketches.hllUnionSources(srcd).count())
+      t("cmsHeavyHitters", n)(Sketches.cmsHeavyHitters(docs).count())
+      t("bloomFprAudit", n)(Sketches.bloomFprAudit(docs).count())
     }
     spark.stop()
   }

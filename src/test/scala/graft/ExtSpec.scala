@@ -2023,6 +2023,20 @@ class ExtSpec extends SparkSpec {
     assert(ab.getAs[Double]("est_union") == concat)
   }
 
+  test("hllUnionSources: a persisted register table feeds the identical report") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_hllregs").toString
+    graft.ext.Sketches.hllRegistersOf(d)
+      .write.mode("overwrite").parquet(dir)
+    val fromRegs = graft.ext.Sketches
+      .hllUnionSourcesFromRegs(spark.read.parquet(dir))
+      .orderBy("source_a", "source_b").collect()
+    val selfBuilt = graft.ext.Sketches.hllUnionSources(d)
+      .orderBy("source_a", "source_b").collect()
+    assert(fromRegs.toSeq == selfBuilt.toSeq,
+      "register arrays must survive the parquet round trip bit-exactly")
+  }
+
   test("decontaminateFuzzy drops resemblance matches the exact tier misses") {
     val bench = "the capital of france is paris and the seine flows through it gently"
     val para = "the capital of france is paris and the seine flows through it softly"
@@ -2126,6 +2140,14 @@ class ExtSpec extends SparkSpec {
     assert(arr == Seq(3L, 5L))
     val d = spark.sql("SELECT unsigned_to_double(-1L)").head.getDouble(0)
     assert(d == 1.8446744073709552e19) // 2^64-1 correctly rounded
+    // hll_sketch at p=4: h=5 → bucket 0, rank nlz(5·2⁴)+1 = 58;
+    // h=3 → bucket 0, rank 59 (wins the max); h=-1 → bucket 15, rank 1
+    val regs = spark.sql(
+      "SELECT hll_sketch(h, 4) AS r FROM kmv_in GROUP BY g")
+      .head.getSeq[Int](0)
+    assert(regs.length == 16)
+    assert(regs(0) == 59 && regs(15) == 1)
+    assert((1 to 14).forall(regs(_) == 0))
   }
 
   test("klDivergence: zero on a single-source corpus, hand-check on two") {
