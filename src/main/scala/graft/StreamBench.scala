@@ -158,6 +158,11 @@ object StreamBench {
       // k longs per (window, group, batch), state_rows_max 0 by design
       measure("kmv_users", (in, out, ckpt) =>
         EventStream.runKmvUsers(spark, in, out, ckpt)),
+      // native HLL streamed the same way: per-batch register partials
+      // (1 KB per (window, group, batch)) merged by max at read —
+      // state_rows_max 0 by design, same contrast as kmv_users
+      measure("hll_users", (in, out, ckpt) =>
+        EventStream.runHllUsers(spark, in, out, ckpt)),
       measure("attribution_join", (in, out, ckpt) =>
         fileSink(EventStream.attribution(src(in)), out, ckpt)),
       measure("sessionize_fmgws", (in, out, ckpt) =>
@@ -207,7 +212,13 @@ object StreamBench {
         spark.readStream.schema(graft.streaming.CorpusStream.docSchema)
           .option("maxFilesPerTrigger", filesPerTrigger).json(docIn),
         docs0), out, ckpt))
-    val allResults = results :+ ivfRow :+ nearDupRow :+ fullIngestRow
+    // streaming CMS over the same documents replay: one 32 KB matrix
+    // appended per micro-batch regardless of arrival volume — the
+    // constant-payload bound in action on a token stream
+    val cmsRow = measure("cms_tokens_stream", (_, out, ckpt) =>
+      graft.streaming.CorpusStream.runCmsTokens(spark, docIn, out, ckpt))
+    val allResults =
+      results :+ ivfRow :+ nearDupRow :+ fullIngestRow :+ cmsRow
 
     val loadEnd = loadAvg()
     def arr(xs: Seq[Double]) = xs.map(r2).mkString("[", ",", "]")

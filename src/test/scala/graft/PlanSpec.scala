@@ -544,4 +544,27 @@ class PlanSpec extends SparkSpec {
         s"($genStages explode-bearing stages + $genTop top-level)")
     assert(!root.toString.contains("CartesianProduct"), "no cartesian products")
   }
+
+  test("cmsHeavyHitters: broadcast verify join, no cartesian; CMS partial-aggregates") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    // the kept sliver is localCheckpoint'd (double-build rule), so the
+    // FINAL plan is the verify join over an ExistingRDD scan — the
+    // sketch pass itself is pinned on the lazily-composed cmsTokenFreq,
+    // which runs the identical matrix aggregate
+    val p = plan(graft.ext.Sketches.cmsHeavyHitters(d))
+    assert(!p.contains("CartesianProduct"), "no cartesian products")
+    assert(p.contains("BroadcastHashJoin"),
+      s"verify must broadcast the kept sliver:\n${p.take(1200)}")
+    val sketchPlan = plan(graft.ext.Sketches.cmsTokenFreq(d, Seq("spark")))
+    assert(sketchPlan.contains("partial_cms_sketch"),
+      "the CMS matrix must partial-aggregate before the exchange")
+  }
+
+  test("bloomFprAudit: probe side joins the bit set broadcast") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val p = plan(graft.ext.Sketches.bloomFprAudit(d))
+    assert(!p.contains("CartesianProduct"), "no cartesian products")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bit-set membership must be a broadcast join:\n${p.take(1200)}")
+  }
 }
