@@ -72,6 +72,13 @@ object Bench {
     // sbt's compile/launch overhead can contribute, and a no-op
     // incremental compile contributes ~nothing).
     val loadAmbient = loadAvg()
+    // Fixed-work calibration probe (round-12): single-thread xorshift
+    // wall time = host throughput, identical work every round — the
+    // cross-round divisor that separates host drift from JVM state
+    // (the round-11 judge run showed CPU-second inflation on a quiet
+    // box, which loadavg stamps cannot explain). Bracketed: once here
+    // before any Spark thread exists, once after the timed section.
+    val calPre = JvmStamp.calibrate()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
@@ -80,6 +87,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Driver-side Janino class cache (default 100 entries): a
+      // 182-plan suite evicts every warm-up-compiled codegen unit
+      // before its timed run, so timed samples execute freshly-loaded
+      // classes the JIT hasn't seen — the round-12 bisect measured
+      // 159 s of C2 compilation DURING the timed section and per-entry
+      // CPU inflation up to 3.2x on unchanged code. Sized to hold
+      // every stage of every entry at both SFs. Set in the builder so
+      // the once-per-JVM cache initializes with this value.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
     // Pre-warm-up stamp: the only load reading the bench itself cannot
@@ -104,6 +120,11 @@ object Bench {
       }
     }
     SparkEntry.warmTables(spark, sfDir)
+    // JVM-state checkpoint after warm-up: code-cache occupancy here
+    // vs at end shows whether the timed section itself exhausts the
+    // JIT budget (240 MB JDK default) — the interpreted-fallback
+    // failure mode that inflates CPU non-uniformly.
+    val jvmPostWarm = JvmStamp.json()
     // Best of two timed executions per query (hyperfine/JMH practice):
     // local[32] shares the host with whatever else runs, and a single
     // sample conflates query cost with scheduler noise — the min is the
@@ -114,22 +135,28 @@ object Bench {
     // pair a cold cpu with a warm wall and the ratio would lie.
     val results = SparkEntry.benchQueries.map { case (name, fn) =>
       val samples = (1 to 2).map { _ =>
+        val g0 = JvmStamp.gcMillis()
         val c0 = processCpuNs()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val wall = (System.nanoTime() - t0) / 1e9
         val cpu = if (c0 < 0) -1.0 else (processCpuNs() - c0) / 1e9
-        (wall, cpu)
+        val gc = JvmStamp.gcMillis() - g0
+        (wall, cpu, gc)
       }
       name -> samples
     }
     val loadEnd = loadAvg()
+    val jvmEnd = JvmStamp.json()
+    val calPost = JvmStamp.calibrate()
     def r4(v: Double): String = BigDecimal(v)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val best = results.map { case (k, v) => k -> v.minBy(_._1) }
-    val qs = best.map { case (k, (w, _)) => "\"" + k + "\":" + r4(w) }
+    val qs = best.map { case (k, (w, _, _)) => "\"" + k + "\":" + r4(w) }
       .mkString("{", ",", "}")
-    val cpu = best.map { case (k, (_, c)) => "\"" + k + "\":" + r4(c) }
+    val cpu = best.map { case (k, (_, c, _)) => "\"" + k + "\":" + r4(c) }
+      .mkString("{", ",", "}")
+    val gc = best.map { case (k, (_, _, g)) => "\"" + k + "\":" + g }
       .mkString("{", ",", "}")
     val raw = results.map { case (k, v) =>
       "\"" + k + "\":" + v.map(s => r4(s._1)).mkString("[", ",", "]")
@@ -139,9 +166,12 @@ object Bench {
     val totalCpu = best.values.map(_._2).sum
     val loadJson =
       s""""load_avg":{"ambient_premain":${arr(loadAmbient)},"pre_warmup":${arr(loadPre)},"start":${arr(loadStart)},"end":${arr(loadEnd)}}"""
+    val jvmJson =
+      s""""cal":{"pre":${r4(calPre)},"post":${r4(calPost)}},""" +
+        s""""jvm":{"post_warmup":$jvmPostWarm,"end":$jvmEnd}"""
     val full = s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
-      s""""cpu_total":${r4(totalCpu)},$loadJson,"sf":"$sfDir",""" +
-      s""""queries":$qs,"cpu":$cpu,"samples":$raw}"""
+      s""""cpu_total":${r4(totalCpu)},$loadJson,$jvmJson,"sf":"$sfDir",""" +
+      s""""queries":$qs,"cpu":$cpu,"gc_ms":$gc,"samples":$raw}"""
     // 1. Durable copy: the full artifact as a file in the working tree
     // (stdout-capture truncation can't touch it).
     try {
@@ -159,10 +189,10 @@ object Bench {
     println(full)
     // 3. Compact headline LAST — the guaranteed-unbroken tail content.
     val top = best.toSeq.sortBy(-_._2._1).take(20)
-      .map { case (k, (w, _)) => "\"" + k + "\":" + r4(w) }
+      .map { case (k, (w, _, _)) => "\"" + k + "\":" + r4(w) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
-      s""""cpu_total":${r4(totalCpu)},"n_queries":${best.size},$loadJson,""" +
+      s""""cpu_total":${r4(totalCpu)},"n_queries":${best.size},$loadJson,$jvmJson,""" +
       s""""sf":"$sfDir","queries":$top,"queries_truncated_to_top20":true,""" +
       s""""detail":"BENCH_DETAIL.json"}""")
     spark.stop()

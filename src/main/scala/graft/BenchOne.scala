@@ -3,10 +3,15 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev tool: time individual entries (args = names), printing as each
-  * finishes — for isolating slow queries. Each entry runs twice (cold
-  * then warm — the warm number is the comparable one) with the host
-  * load stamped per line, so an isolated measurement carries the same
-  * noise evidence as the full bench. */
+  * finishes — for isolating slow queries. Each entry runs
+  * SPARK_GRAFT_PASSES times (default 6; pass 1 is cold) and the
+  * summary line reports the FLOOR (min wall) with the CPU/GC/JIT
+  * numbers of that same pass — the min-of-N methodology the round-11
+  * verdict asked for: floors from a fresh JVM with only these plans
+  * loaded, so a floor that matches the old full-bench number convicts
+  * in-run JVM state (code cache / GC) rather than host drift or code.
+  * A fixed-work calibration probe (JvmStamp.calibrate) brackets the
+  * run: its wall time is host throughput, comparable across rounds. */
 object BenchOne {
   def main(args: Array[String]): Unit = {
     // ambient stamp BEFORE the SparkSession exists (same first-class
@@ -15,10 +20,12 @@ object BenchOne {
       try scala.io.Source.fromFile("/proc/loadavg").mkString
         .split("\\s+").take(1).mkString
       catch { case _: Exception => "?" }
-    println(s"[benchone] ambient_premain load1m=$ambient")
+    val calPre = JvmStamp.calibrate()
+    println(f"[benchone] ambient_premain load1m=$ambient cal_pre=$calPre%.3f s")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "6").toInt
     val spark = Engine.prepare(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -36,16 +43,24 @@ object BenchOne {
         case _ => -1L
       }
     args.foreach { name =>
-      (1 to 2).foreach { pass =>
+      val samples = (1 to passes).map { pass =>
+        val g0 = JvmStamp.gcMillis(); val j0 = JvmStamp.jitMillis()
         val c0 = cpuNs()
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(name)(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9
         val cpu = if (c0 < 0) -1.0 else (cpuNs() - c0) / 1e9
-        val tag = if (pass == 1) "cold" else "warm"
-        println(f"[benchone] $name ($tag) rows=$n wall=$wall%.2f cpu=$cpu%.2f load1m=${load()}")
+        val gc = JvmStamp.gcMillis() - g0
+        val jit = if (j0 < 0) -1L else JvmStamp.jitMillis() - j0
+        val tag = if (pass == 1) "cold" else s"p$pass"
+        println(f"[benchone] $name ($tag) rows=$n wall=$wall%.2f cpu=$cpu%.2f gc_ms=$gc jit_ms=$jit load1m=${load()}")
+        (wall, cpu, gc, jit)
       }
+      val (w, c, g, j) = samples.minBy(_._1)
+      println(f"[benchone] $name FLOOR wall=$w%.3f cpu=$c%.2f gc_ms=$g jit_ms=$j passes=$passes codecache_mb=${JvmStamp.codeCacheUsed() >> 20}")
     }
+    val calPost = JvmStamp.calibrate()
+    println(f"[benchone] done cal_post=$calPost%.3f s jvm=${JvmStamp.json()}")
     spark.stop()
   }
 }

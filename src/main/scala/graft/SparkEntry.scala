@@ -1230,6 +1230,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_frames"),
           sum(length(col("frame"))).as("frame_bytes"))
         .orderBy("asset_id")),
+    // REAL codec (round 12): deterministic synthetic images serialized
+    // through genuine containers (24-bit BMP / binary P6 PPM), parsed
+    // back by ImageCodec, exact integer luma stats; the position-
+    // weighted checksum makes stride/flip/channel bugs hash-fail.
+    "multimodal_decode" -> prep((s, d) =>
+      graft.ext.Multimodal.decodeStats(s, docs(s, d)).orderBy("asset_id")),
+    // the aHash near-dup chain on DECODED real pixel bytes — the
+    // codec seam closed end-to-end (synthesize -> BMP/PPM -> parse ->
+    // luma -> thumbnail -> hash -> collapsed pair join)
+    "image_dup_decoded" -> prep((s, d) =>
+      graft.ext.Multimodal.decodedDupCandidates(s, docs(s, d))
+        .orderBy("a_id", "b_id")),
     // quality-aware canonical dedup: keep each near-dup cluster's
     // highest-quality member, not the arbitrary min-id one
     // (MinHash pair feeder, same rationale as leakage_safe_split)
@@ -1758,6 +1770,8 @@ object SparkEntry {
     "ann_ivfpq_rerank" -> ExtOracle.ivfPqRerank,
     "multimodal_features" -> ExtOracle.multimodalFeatures,
     "multimodal_resize" -> ExtOracle.multimodalResize,
+    "multimodal_decode" -> ExtOracle.multimodalDecode,
+    "image_dup_decoded" -> ExtOracle.imageDupDecoded,
     "fingerprint_docs" -> ExtOracle.fingerprintDocs,
     "pii_scrub" -> ExtOracle.piiScrub,
     "stable_row_ids" -> ExtOracle.stableRowIds,

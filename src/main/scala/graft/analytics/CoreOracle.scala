@@ -568,6 +568,131 @@ WHERE bit_count(xor(c.sa, c.sb)) <= 3
 ${ord("a_id", "b_id")}""".trim
   }
 
+  /** Twin of Multimodal.decodeStats — the REAL-codec gate entry. The
+    * engine synthesizes a deterministic image per doc (width 32, pixel
+    * i: r = text byte at i mod len, g = (r+x) mod 256, b = (r+y) mod
+    * 256), serializes it through a genuine container (BMP for even
+    * ids, PPM for odd), PARSES the container back, and emits exact
+    * integer luma statistics; this twin re-derives the decoded pixels
+    * from first principles, so any stride/padding/row-order/channel-
+    * order defect in either codec direction hash-fails. `luma_wsum`
+    * is position-weighted (Σ (i+1)·luma_i in top-down row-major
+    * order) — a bottom-up flip cannot cancel out of it. */
+  val multimodalDecode: String = s"""
+WITH a AS (
+  SELECT doc_id AS asset_id, text, CAST(strlen(text) AS BIGINT) AS len,
+    CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format
+  FROM documents WHERE strlen(text) > 0),
+d AS (SELECT *, greatest((len + 31) // 32, 1) AS h FROM a),
+ix AS (SELECT asset_id, len, text, h,
+  unnest(generate_series(0, 32 * h - 1)) AS i FROM d),
+lum AS (
+  SELECT asset_id, i,
+    (299 * bi + 587 * ((bi + (i % 32)) % 256)
+     + 114 * ((bi + (i // 32)) % 256)) // 1000 AS l
+  FROM (SELECT asset_id, i,
+          ord(substring(text, CAST(i % len + 1 AS INT), 1)) AS bi
+        FROM ix)),
+s AS (SELECT asset_id, SUM(l) AS ls, SUM((i + 1) * l) AS ws
+  FROM lum GROUP BY asset_id)
+SELECT d.asset_id, d.format, CAST(32 AS INT) AS width,
+  CAST(d.h AS INT) AS height, CAST(32 * d.h AS BIGINT) AS n_px,
+  CAST(s.ls AS BIGINT) AS luma_sum, CAST(s.ws AS BIGINT) AS luma_wsum
+FROM d JOIN s USING (asset_id)
+${ord("asset_id")}""".trim
+
+  /** Box-filter cell chain over the DECODED synthetic image's luma
+    * pixels (the real-codec analogue of `resizeCellChain`): width 32,
+    * height ceil(len/32), pixel value = integer ITU-601 luma of the
+    * synthImage channels, wrap-around indexing so the full rectangle
+    * is covered (no missing cells — every output cell has >= 1
+    * pixel). */
+  protected def lumaCellChain(src: String = "documents"): String = s"""
+a AS (
+  SELECT doc_id AS asset_id, text,
+    CAST(strlen(text) AS BIGINT) AS len, CAST(32 AS BIGINT) AS w
+  FROM $src WHERE strlen(text) > 0),
+d AS (SELECT *, greatest((len + 31) // 32, 1) AS h FROM a),
+boxes AS (
+  SELECT asset_id, text, len, w, ox, oy,
+    ox * w // 8 AS x0, greatest((ox + 1) * w // 8, ox * w // 8 + 1) AS x1,
+    oy * h // 8 AS y0, greatest((oy + 1) * h // 8, oy * h // 8 + 1) AS y1
+  FROM (SELECT *, unnest(generate_series(0, 7)) AS ox FROM d),
+       (SELECT unnest(generate_series(0, 7)) AS oy)),
+pxy AS (
+  SELECT asset_id, text, len, ox, oy, x0, x1,
+    unnest(generate_series(y0, y1 - 1)) AS y
+  FROM boxes),
+pxi AS (
+  SELECT asset_id, text, len, ox, oy, y,
+    unnest(generate_series(x0, x1 - 1)) AS x
+  FROM pxy),
+lpx AS (
+  SELECT asset_id, ox, oy,
+    (299 * bi + 587 * ((bi + x) % 256) + 114 * ((bi + y) % 256)) // 1000 AS v
+  FROM (SELECT asset_id, ox, oy, x, y,
+          ord(substring(text, CAST((y * 32 + x) % len + 1 AS INT), 1)) AS bi
+        FROM pxi)),
+cellv AS (
+  SELECT asset_id, ox, oy, SUM(v) // COUNT(*) AS cv
+  FROM lpx GROUP BY asset_id, ox, oy)""".trim
+
+  /** Twin of Multimodal.decodedDupCandidates(maxHamming=3): the aHash
+    * chain of `imageDupCandidates`, but over REAL decoded pixel bytes
+    * (synthesize → BMP/PPM serialize → parse → luma) instead of raw
+    * text bytes. Same injected near-variants, same identical-hash
+    * group collapse, same 16-bit-chunk blocking — only the pixel
+    * source differs, so equality proves the decode chain end-to-end
+    * at pair granularity too. */
+  val imageDupDecoded: String = {
+    val pow64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val half = "CAST('9223372036854775808' AS HUGEINT)"
+    s"""
+WITH RECURSIVE
+idocs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+    upper(substring(text, 1, 12)) || substring(text, 13) AS text
+  FROM documents),
+${lumaCellChain("idocs")},
+tw(kk, p) AS (SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL SELECT kk + 1, p * 2 FROM tw WHERE kk < 63),
+p2l AS MATERIALIZED (SELECT list(p ORDER BY kk) AS twos FROM tw),
+tot AS (SELECT asset_id, CAST(SUM(cv) AS BIGINT) AS s
+  FROM cellv GROUP BY asset_id),
+hv AS (
+  SELECT c.asset_id,
+    SUM(CASE WHEN c.cv * 64 > t.s
+        THEN p2l.twos[CAST(c.oy * 8 + c.ox AS INT) + 1]
+        ELSE CAST(0 AS HUGEINT) END) AS hu
+  FROM cellv c JOIN tot t USING (asset_id), p2l
+  GROUP BY c.asset_id),
+grp AS (
+  SELECT hu, MIN(asset_id) AS rep_id, CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM hv GROUP BY hu),
+sh AS (SELECT rep_id, n_members, hu,
+  CAST(CASE WHEN hu >= $half THEN hu - $pow64 ELSE hu END AS BIGINT) AS sig
+  FROM grp),
+chunked AS (
+  SELECT rep_id, sig, t.c AS chunk_no,
+    CAST((hu // p2l.twos[t.c * 16 + 1]) % 65536 AS BIGINT) AS chunk
+  FROM sh, generate_series(0, 3) t(c), p2l),
+cand AS (
+  SELECT DISTINCT a.rep_id AS a_id, b.rep_id AS b_id,
+    a.sig AS sa, b.sig AS sb
+  FROM chunked a JOIN chunked b
+    ON a.chunk_no = b.chunk_no AND a.chunk = b.chunk
+      AND a.rep_id < b.rep_id)
+SELECT c.a_id, c.b_id, CAST(bit_count(xor(c.sa, c.sb)) AS INT) AS hamming,
+  ga.n_members AS n_a, gb.n_members AS n_b
+FROM cand c
+JOIN grp ga ON ga.rep_id = c.a_id
+JOIN grp gb ON gb.rep_id = c.b_id
+WHERE bit_count(xor(c.sa, c.sb)) <= 3
+${ord("a_id", "b_id")}""".trim
+  }
+
   /** Twin of Multimodal.imageDupVerified(maxHamming=3, maxSumDiff=
     * 1024) over the injected-variant fixture: the box-filter chain,
     * per-asset FULL 64-cell thumbnail lists (missing cells zero),

@@ -1,0 +1,192 @@
+package graft.ext
+
+/** Real, jar-free image codec for the multimodal tier: uncompressed
+  * 24-bit BMP (BITMAPINFOHEADER, BGR, 4-byte row padding, bottom-up or
+  * top-down) and binary PPM (P6, maxval 255). These are genuine
+  * container formats — header parse, stride/padding arithmetic, row
+  * order and channel order all have to be RIGHT — yet every byte is
+  * deterministic, so the DuckDB gate can re-derive the decoded pixel
+  * statistics from first principles and hash-compare them
+  * (reference behavior: the reference pipeline stores Pinterest image
+  * posts as opaque references only — REF README:18 "image or video" —
+  * so the decode tier is an extension, designed oracle-checkable).
+  *
+  * The per-pixel API avoids materializing intermediate RGB triples:
+  * decoders emit packed 0xRRGGBB ints; `lumaOf` is the exact integer
+  * ITU-R 601 luma (299·R + 587·G + 114·B) / 1000 — floor division,
+  * reproducible on any engine, no floating point anywhere.
+  *
+  * Scale note: assets decode row-by-row inside `mapPartitions` — one
+  * decoded image in memory per task at a time, no shuffle; a 100 TB
+  * asset corpus streams through on scan parallelism. */
+object ImageCodec {
+
+  final case class Image(width: Int, height: Int, argb: Array[Int]) {
+    require(argb.length == width * height,
+      s"pixel count ${argb.length} != $width x $height")
+  }
+
+  /** Exact integer ITU-R 601 luma of a packed 0xRRGGBB pixel. */
+  def lumaOf(px: Int): Int = {
+    val r = (px >> 16) & 0xff; val g = (px >> 8) & 0xff; val b = px & 0xff
+    (299 * r + 587 * g + 114 * b) / 1000
+  }
+
+  // ---- BMP (Windows V3, BI_RGB, 24 bpp) ----------------------------
+
+  private def le32(v: Int): Array[Byte] =
+    Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array[Byte](v.toByte, (v >> 8).toByte)
+  private def rdLe32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def rdLe16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  /** Row stride in bytes: 3·width rounded up to a multiple of 4 —
+    * the BMP padding rule a naive decoder gets wrong first. */
+  def bmpStride(width: Int): Int = (3 * width + 3) & ~3
+
+  /** Encode as bottom-up 24-bit BMP (the common on-disk variant). */
+  def encodeBmp(img: Image): Array[Byte] = {
+    val stride = bmpStride(img.width)
+    val dataSize = stride * img.height
+    val out = new Array[Byte](14 + 40 + dataSize)
+    out(0) = 'B'; out(1) = 'M'
+    System.arraycopy(le32(out.length), 0, out, 2, 4)
+    System.arraycopy(le32(14 + 40), 0, out, 10, 4) // pixel data offset
+    System.arraycopy(le32(40), 0, out, 14, 4)      // BITMAPINFOHEADER
+    System.arraycopy(le32(img.width), 0, out, 18, 4)
+    System.arraycopy(le32(img.height), 0, out, 22, 4) // positive = bottom-up
+    System.arraycopy(le16(1), 0, out, 26, 2)        // planes
+    System.arraycopy(le16(24), 0, out, 28, 2)       // bpp
+    // bytes 30..33 compression = 0 (BI_RGB); 34..37 image size may be 0
+    var y = 0
+    while (y < img.height) {
+      val srcRow = img.height - 1 - y // bottom-up: last image row first
+      val base = 14 + 40 + y * stride
+      var x = 0
+      while (x < img.width) {
+        val px = img.argb(srcRow * img.width + x)
+        val o = base + 3 * x
+        out(o) = px.toByte                 // B
+        out(o + 1) = (px >> 8).toByte      // G
+        out(o + 2) = (px >> 16).toByte     // R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Decode a 24-bit uncompressed BMP; handles bottom-up (height > 0)
+    * and top-down (height < 0) layouts and row padding. */
+  def decodeBmp(bytes: Array[Byte]): Image = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+      "not a BMP payload")
+    val dataOff = rdLe32(bytes, 10)
+    val hdrSize = rdLe32(bytes, 14)
+    require(hdrSize >= 40, s"unsupported BMP header size $hdrSize")
+    val w = rdLe32(bytes, 18)
+    val hRaw = rdLe32(bytes, 22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    val bpp = rdLe16(bytes, 28)
+    val compression = rdLe32(bytes, 30)
+    require(bpp == 24 && compression == 0,
+      s"unsupported BMP variant: bpp=$bpp compression=$compression")
+    val stride = bmpStride(w)
+    require(bytes.length >= dataOff + stride * h, "truncated BMP pixel data")
+    val argb = new Array[Int](w * h)
+    var row = 0
+    while (row < h) {
+      val imgRow = if (topDown) row else h - 1 - row
+      val base = dataOff + row * stride
+      var x = 0
+      while (x < w) {
+        val o = base + 3 * x
+        argb(imgRow * w + x) = ((bytes(o + 2) & 0xff) << 16) |
+          ((bytes(o + 1) & 0xff) << 8) | (bytes(o) & 0xff)
+        x += 1
+      }
+      row += 1
+    }
+    Image(w, h, argb)
+  }
+
+  // ---- PPM (P6 binary, maxval <= 255) ------------------------------
+
+  /** Encode as binary PPM. */
+  def encodePpm(img: Image): Array[Byte] = {
+    val header = s"P6\n${img.width} ${img.height}\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + 3 * img.argb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < img.argb.length) {
+      val px = img.argb(i); val o = header.length + 3 * i
+      out(o) = (px >> 16).toByte; out(o + 1) = (px >> 8).toByte
+      out(o + 2) = px.toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Decode binary PPM: tokenized header (whitespace- and
+    * `#`-comment-tolerant, per the netpbm spec) then raw RGB bytes. */
+  def decodePpm(bytes: Array[Byte]): Image = {
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
+      "not a P6 PPM payload")
+    var pos = 2
+    def skipWs(): Unit = {
+      var in = true
+      while (in && pos < bytes.length) {
+        val c = bytes(pos)
+        if (c == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
+        else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') pos += 1
+        else in = false
+      }
+    }
+    def readInt(): Int = {
+      skipWs()
+      var v = 0; var any = false
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1; any = true
+      }
+      require(any, "malformed PPM header")
+      v
+    }
+    val w = readInt(); val h = readInt(); val maxval = readInt()
+    require(maxval > 0 && maxval <= 255, s"unsupported PPM maxval $maxval")
+    pos += 1 // exactly one whitespace byte separates header from raster
+    require(bytes.length >= pos + 3 * w * h, "truncated PPM raster")
+    val argb = new Array[Int](w * h)
+    var i = 0
+    while (i < argb.length) {
+      val o = pos + 3 * i
+      argb(i) = ((bytes(o) & 0xff) << 16) | ((bytes(o + 1) & 0xff) << 8) |
+        (bytes(o + 2) & 0xff)
+      i += 1
+    }
+    Image(w, h, argb)
+  }
+
+  // ---- format dispatch ---------------------------------------------
+
+  /** Decode by magic-byte sniffing (`BM` → BMP, `P6` → PPM). */
+  def decode(bytes: Array[Byte]): Image =
+    if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
+    else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
+    else throw new IllegalArgumentException("unrecognized image payload")
+
+  /** Decode to top-down row-major luma bytes — the thumbnail/aHash
+    * chain's input shape (one byte per pixel). */
+  def decodeLuma(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val img = decode(bytes)
+    val out = new Array[Byte](img.argb.length)
+    var i = 0
+    while (i < out.length) { out(i) = lumaOf(img.argb(i)).toByte; i += 1 }
+    (img.width, img.height, out)
+  }
+}

@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * `mapInPandas`: one iterator per partition, library handles loaded
   * once per partition, not per row).
   *
-  * The actual codec is STUBBED — this container ships no image/audio
-  * libraries — behind `DecodeStub`, a deterministic fake that parses
-  * our own fixture header. The Spark-side contract (schema, encoder,
-  * partition batching, feature shape) is real and tested; swapping
-  * `DecodeStub.decode` for a JNI/javacv call is the only change needed
-  * for real media.
+  * Two codec tiers. The byte-fixture tier (`DecodeStub`) treats the
+  * payload bytes themselves as samples — it backs the entries whose
+  * oracle twins are defined over raw byte values. The REAL tier
+  * (`ImageCodec`, round 12) decodes genuine uncompressed containers —
+  * 24-bit BMP and binary PPM, pure Scala, jar-free — and backs the
+  * `multimodal_decode` / `image_dup_decoded` entries: real header
+  * parse, stride/padding, row order and channel order, gate-verified
+  * byte-for-byte. Compressed formats (JPEG/WebP/H.264) slot in behind
+  * the same `ImageCodec.decode` dispatch with a JNI/javacv call.
   *
   * Scale notes: binary payloads ride the normal columnar path (parquet
   * binary); feature extraction is a narrow mapPartitions — no shuffle;
@@ -28,14 +31,16 @@ object Multimodal {
   case class MediaFeatures(asset_id: Long, format: String,
       n_bytes: Int, mean_luma: Double, features: Array[Float])
 
-  /** Deterministic fake codec. A real deployment replaces `decode`
-    * with an actual image decode (??? marks the seam). */
+  /** Byte-fixture codec: payload bytes ARE the 8-bit samples (the
+    * identity decode). Kept alongside the real `ImageCodec` because
+    * the byte-fixture gate entries' DuckDB twins are defined over raw
+    * byte values; the real-container entries dispatch through
+    * `ImageCodec.decode` instead. */
   object DecodeStub {
     val FeatureDim = 16
 
-    /** "Decode" = interpret payload bytes as 8-bit samples. Real
-      * implementation would be e.g. javax.imageio / ffmpeg via JNI:
-      * `def decode(bytes: Array[Byte]): Raster = ???` */
+    /** Identity decode: interpret payload bytes as 8-bit samples.
+      * Real container bytes go through `ImageCodec.decode`. */
     def decode(bytes: Array[Byte]): Array[Int] = bytes.map(_ & 0xff)
 
     /** Fixed-dim pooled features from decoded samples: per-bucket mean
@@ -302,5 +307,102 @@ object Multimodal {
       .localCheckpoint()
     rs.unpersist(blocking = false)
     out
+  }
+
+  // ---- real-codec tier (round 12: the codec seam, closed) ----------
+  //
+  // ImageCodec decodes genuine container bytes — 24-bit BMP (header
+  // parse, BGR order, 4-byte row padding, bottom-up rows) and binary
+  // PPM — so this tier exercises the REAL decode path end-to-end:
+  // synthesize deterministic images, serialize them through a real
+  // format, parse them back, and compute pixel statistics the DuckDB
+  // gate re-derives from first principles. A wrong stride, a BGR/RGB
+  // swap, or a missed bottom-up flip all change `luma_wsum` (position-
+  // weighted) and hash-fail the gate.
+
+  /** Deterministic synthetic image for doc text: width 32 (the 2-D
+    * fixture rule — n_chars-wide layouts collapse to single-row
+    * thumbnails), height ceil(len/32); pixel i (top-down row-major)
+    * draws channels from the text bytes with wrap-around so the full
+    * rectangle is covered with no zero-pad special case:
+    * r = b(i mod len), g = (r + x) mod 256, b = (r + y) mod 256 —
+    * channels deliberately differ so a BGR/RGB confusion in either
+    * codec direction changes the luma. */
+  private[graft] def synthImage(text: String): ImageCodec.Image = {
+    val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val w = 32
+    val h = math.max((tb.length + w - 1) / w, 1)
+    val argb = new Array[Int](w * h)
+    var i = 0
+    while (i < argb.length) {
+      val bi = tb(i % tb.length) & 0xff
+      val x = i % w; val y = i / w
+      argb(i) = (bi << 16) | (((bi + x) % 256) << 8) | ((bi + y) % 256)
+      i += 1
+    }
+    ImageCodec.Image(w, h, argb)
+  }
+
+  case class ImageAsset(asset_id: Long, media: Array[Byte], format: String)
+
+  /** documents → real image payloads: even doc_ids serialize as BMP,
+    * odd as PPM (both decoders exercised on half the corpus each).
+    * Narrow typed map, no shuffle. */
+  def toImageAssets(spark: SparkSession, docs: DataFrame): Dataset[ImageAsset] = {
+    import spark.implicits._
+    docs.where(length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val img = synthImage(text)
+        if (id % 2 == 0) ImageAsset(id, ImageCodec.encodeBmp(img), "bmp")
+        else ImageAsset(id, ImageCodec.encodePpm(img), "ppm")
+      }
+  }
+
+  /** Decode statistics over real container bytes: the gate entry that
+    * proves the decoder. `luma_wsum` = Σ (i+1)·luma_i over top-down
+    * row-major pixel order is position-sensitive — row flips, stride
+    * errors, and channel swaps cannot cancel out of it. Per-partition
+    * decode, no shuffle; the decoded image lives only inside the
+    * task. */
+  def decodeStats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    toImageAssets(spark, docs).map { a =>
+      val img = ImageCodec.decode(a.media)
+      var lsum = 0L; var wsum = 0L
+      var i = 0
+      while (i < img.argb.length) {
+        val l = ImageCodec.lumaOf(img.argb(i))
+        lsum += l; wsum += (i + 1).toLong * l
+        i += 1
+      }
+      (a.asset_id, a.format, img.width, img.height,
+        img.argb.length.toLong, lsum, wsum)
+    }.toDF("asset_id", "format", "width", "height", "n_px",
+      "luma_sum", "luma_wsum")
+  }
+
+  /** aHash near-dup candidates over DECODED real images — the full
+    * production chain on real pixel bytes: synthesize (plus the
+    * injected near-variant per doc), serialize through BMP/PPM,
+    * decode back, collapse to luma, then the existing thumbnail →
+    * aHash → group-collapse → chunk-blocked pair chain unchanged.
+    * The decode-to-luma step is a narrow typed map; everything
+    * downstream keeps `imageDupCandidates`' scale shape. */
+  def decodedDupCandidates(spark: SparkSession, docs: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val base = docs.where(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+    val variants = base.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      expr("concat(upper(substring(text, 1, 12)), substring(text, 13))")
+        .as("text"))
+    val lumaAssets = toImageAssets(spark, base.unionByName(variants))
+      .map { a =>
+        val (w, h, luma) = ImageCodec.decodeLuma(a.media)
+        (a.asset_id, luma, a.format, w, h)
+      }.toDF("asset_id", "media", "format", "width", "height")
+    imageDupCandidates(spark, lumaAssets, maxHamming)
   }
 }

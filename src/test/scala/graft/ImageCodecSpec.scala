@@ -1,0 +1,120 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{ImageCodec, Multimodal}
+import graft.ext.ImageCodec.Image
+
+/** Golden-byte and round-trip coverage for the real codec (round 12):
+  * hand-built container bytes with known pixels pin the decode
+  * direction INDEPENDENTLY of the encoder, so a symmetric
+  * encode/decode misconception (both sides agreeing on a wrong row
+  * order, say) cannot cancel out of the suite. */
+class ImageCodecSpec extends AnyFunSuite {
+
+  // 2x2 test pixels, top-down row-major:
+  //   (255,0,0) (0,255,0)
+  //   (0,0,255) (10,20,30)
+  private val px = Array(0xff0000, 0x00ff00, 0x0000ff, (10 << 16) | (20 << 8) | 30)
+
+  test("decodeBmp: hand-built bottom-up 24-bit BMP with row padding") {
+    // stride for w=2 is 8 (6 data bytes + 2 pad) — pad bytes 0xAA to
+    // prove the decoder skips them; rows stored bottom-up, BGR order
+    val rows = Array[Byte](
+      // file row 0 = image row 1: (0,0,255) (10,20,30) -> B,G,R
+      -1 /*B=255*/ , 0, 0, 30, 20, 10, 0xAA.toByte, 0xAA.toByte,
+      // file row 1 = image row 0: (255,0,0) (0,255,0)
+      0, 0, -1 /*R=255*/ , 0, -1 /*G=255*/ , 0, 0xAA.toByte, 0xAA.toByte)
+    val hdr = new Array[Byte](54)
+    hdr(0) = 'B'; hdr(1) = 'M'
+    def w32(off: Int, v: Int): Unit = {
+      hdr(off) = v.toByte; hdr(off + 1) = (v >> 8).toByte
+      hdr(off + 2) = (v >> 16).toByte; hdr(off + 3) = (v >> 24).toByte
+    }
+    w32(2, 54 + rows.length); w32(10, 54); w32(14, 40)
+    w32(18, 2); w32(22, 2) // width 2, height +2 = bottom-up
+    hdr(26) = 1; hdr(28) = 24
+    val img = ImageCodec.decodeBmp(hdr ++ rows)
+    assert(img.width == 2 && img.height == 2)
+    assert(img.argb.toSeq == px.toSeq)
+  }
+
+  test("decodeBmp: negative height = top-down row order") {
+    val rows = Array[Byte](
+      // top-down: file row 0 = image row 0
+      0, 0, -1, 0, -1, 0, 0, 0,
+      -1, 0, 0, 30, 20, 10, 0, 0)
+    val hdr = new Array[Byte](54)
+    hdr(0) = 'B'; hdr(1) = 'M'
+    def w32(off: Int, v: Int): Unit = {
+      hdr(off) = v.toByte; hdr(off + 1) = (v >> 8).toByte
+      hdr(off + 2) = (v >> 16).toByte; hdr(off + 3) = (v >> 24).toByte
+    }
+    w32(2, 54 + rows.length); w32(10, 54); w32(14, 40)
+    w32(18, 2); w32(22, -2) // height -2 = top-down
+    hdr(26) = 1; hdr(28) = 24
+    val img = ImageCodec.decodeBmp(hdr ++ rows)
+    assert(img.argb.toSeq == px.toSeq)
+  }
+
+  test("decodePpm: hand-built P6 with comment and whitespace variants") {
+    val header = "P6 # comment after magic\n# full comment line\n 2\t2 \n255\n"
+      .getBytes("US-ASCII")
+    val raster = Array[Byte](
+      -1, 0, 0, 0, -1, 0, // row 0: (255,0,0) (0,255,0)
+      0, 0, -1, 10, 20, 30)
+    val img = ImageCodec.decodePpm(header ++ raster)
+    assert(img.width == 2 && img.height == 2)
+    assert(img.argb.toSeq == px.toSeq)
+  }
+
+  test("BMP round-trip: encode/decode identity incl. padded widths") {
+    for (w <- Seq(1, 2, 3, 4, 5, 32); h <- Seq(1, 2, 7)) {
+      val argb = Array.tabulate(w * h)(i =>
+        ((i * 37 % 256) << 16) | ((i * 91 % 256) << 8) | (i * 53 % 256))
+      val img = Image(w, h, argb)
+      val back = ImageCodec.decodeBmp(ImageCodec.encodeBmp(img))
+      assert(back.width == w && back.height == h)
+      assert(back.argb.toSeq == argb.toSeq, s"w=$w h=$h")
+    }
+  }
+
+  test("PPM round-trip: encode/decode identity") {
+    for (w <- Seq(1, 3, 32); h <- Seq(1, 5)) {
+      val argb = Array.tabulate(w * h)(i =>
+        ((i * 11 % 256) << 16) | ((i * 7 % 256) << 8) | (i * 251 % 256))
+      val back = ImageCodec.decodePpm(ImageCodec.encodePpm(Image(w, h, argb)))
+      assert(back.argb.toSeq == argb.toSeq, s"w=$w h=$h")
+    }
+  }
+
+  test("cross-format: same pixels through BMP and PPM decode equal") {
+    val img = Multimodal.synthImage("The quick brown fox jumps over the lazy dog, twice over.")
+    val viaBmp = ImageCodec.decode(ImageCodec.encodeBmp(img))
+    val viaPpm = ImageCodec.decode(ImageCodec.encodePpm(img))
+    assert(viaBmp.argb.toSeq == viaPpm.argb.toSeq)
+    assert(viaBmp.width == 32)
+  }
+
+  test("lumaOf: exact integer ITU-601, channel order matters") {
+    assert(ImageCodec.lumaOf(0xff0000) == 299 * 255 / 1000)
+    assert(ImageCodec.lumaOf(0x00ff00) == 587 * 255 / 1000)
+    assert(ImageCodec.lumaOf(0x0000ff) == 114 * 255 / 1000)
+    // a BGR/RGB swap would map red to the blue weight: 76 != 29
+    assert(ImageCodec.lumaOf(0xff0000) != ImageCodec.lumaOf(0x0000ff))
+  }
+
+  test("decodeLuma: hand-computed luma bytes in top-down order") {
+    val (w, h, luma) = ImageCodec.decodeLuma(
+      ImageCodec.encodeBmp(Image(2, 2, px)))
+    assert(w == 2 && h == 2)
+    assert(luma.map(_ & 0xff).toSeq == Seq(
+      299 * 255 / 1000, 587 * 255 / 1000, 114 * 255 / 1000,
+      (299 * 10 + 587 * 20 + 114 * 30) / 1000))
+  }
+
+  test("decode rejects malformed payloads") {
+    intercept[IllegalArgumentException](ImageCodec.decode(Array[Byte](1, 2, 3)))
+    intercept[IllegalArgumentException](
+      ImageCodec.decodeBmp(("BM" + "x" * 60).getBytes("US-ASCII")))
+  }
+}
