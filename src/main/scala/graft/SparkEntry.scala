@@ -1242,6 +1242,13 @@ object SparkEntry {
     "image_dup_decoded" -> prep((s, d) =>
       graft.ext.Multimodal.decodedDupCandidates(s, docs(s, d))
         .orderBy("a_id", "b_id")),
+    // dirty-corpus decode (round 13): all three containers (the P5
+    // grayscale arm included) with deterministically-injected
+    // malformed payloads; garbage rows survive as ok=false + NULL
+    // stats instead of failing the task
+    "multimodal_decode_robust" -> prep((s, d) =>
+      graft.ext.Multimodal.decodeStatsRobust(s, docs(s, d))
+        .orderBy("asset_id")),
     // quality-aware canonical dedup: keep each near-dup cluster's
     // highest-quality member, not the arbitrary min-id one
     // (MinHash pair feeder, same rationale as leakage_safe_split)
@@ -1772,6 +1779,7 @@ object SparkEntry {
     "multimodal_resize" -> ExtOracle.multimodalResize,
     "multimodal_decode" -> ExtOracle.multimodalDecode,
     "image_dup_decoded" -> ExtOracle.imageDupDecoded,
+    "multimodal_decode_robust" -> ExtOracle.multimodalDecodeRobust,
     "fingerprint_docs" -> ExtOracle.fingerprintDocs,
     "pii_scrub" -> ExtOracle.piiScrub,
     "stable_row_ids" -> ExtOracle.stableRowIds,

@@ -568,6 +568,19 @@ WHERE bit_count(xor(c.sa, c.sb)) <= 3
 ${ord("a_id", "b_id")}""".trim
   }
 
+  /** Byte `idx0` (0-based) of a UTF-8 string, via its hex dump: the
+    * engine side reads `text.getBytes(UTF_8)` while DuckDB's
+    * `ord(substring(...))` indexes CHARACTERS — they only agree on
+    * pure-ASCII text. `hex(encode(text))` is the byte sequence, so
+    * parsing two hex digits is a true byte accessor and the decode
+    * twins stay correct even if a future fixture grows non-ASCII
+    * docs. `hx` must name a `hex(encode(text))` column. */
+  protected def hexByteAt(hx: String, idx0: String): String =
+    s"""(16 * (position(substring($hx, CAST(2 * ($idx0) + 1 AS INT), 1)
+      IN '0123456789ABCDEF') - 1)
+    + (position(substring($hx, CAST(2 * ($idx0) + 2 AS INT), 1)
+      IN '0123456789ABCDEF') - 1))"""
+
   /** Twin of Multimodal.decodeStats — the REAL-codec gate entry. The
     * engine synthesizes a deterministic image per doc (width 32, pixel
     * i: r = text byte at i mod len, g = (r+x) mod 256, b = (r+y) mod
@@ -580,18 +593,19 @@ ${ord("a_id", "b_id")}""".trim
     * order) — a bottom-up flip cannot cancel out of it. */
   val multimodalDecode: String = s"""
 WITH a AS (
-  SELECT doc_id AS asset_id, text, CAST(strlen(text) AS BIGINT) AS len,
+  SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+    CAST(strlen(text) AS BIGINT) AS len,
     CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS format
   FROM documents WHERE strlen(text) > 0),
 d AS (SELECT *, greatest((len + 31) // 32, 1) AS h FROM a),
-ix AS (SELECT asset_id, len, text, h,
+ix AS (SELECT asset_id, len, hx, h,
   unnest(generate_series(0, 32 * h - 1)) AS i FROM d),
 lum AS (
   SELECT asset_id, i,
     (299 * bi + 587 * ((bi + (i % 32)) % 256)
      + 114 * ((bi + (i // 32)) % 256)) // 1000 AS l
   FROM (SELECT asset_id, i,
-          ord(substring(text, CAST(i % len + 1 AS INT), 1)) AS bi
+          ${hexByteAt("hx", "i % len")} AS bi
         FROM ix)),
 s AS (SELECT asset_id, SUM(l) AS ls, SUM((i + 1) * l) AS ws
   FROM lum GROUP BY asset_id)
@@ -599,6 +613,42 @@ SELECT d.asset_id, d.format, CAST(32 AS INT) AS width,
   CAST(d.h AS INT) AS height, CAST(32 * d.h AS BIGINT) AS n_px,
   CAST(s.ls AS BIGINT) AS luma_sum, CAST(s.ws AS BIGINT) AS luma_wsum
 FROM d JOIN s USING (asset_id)
+${ord("asset_id")}""".trim
+
+  /** Twin of Multimodal.decodeStatsRobust — the dirty-corpus tier:
+    * three containers by doc_id mod 3 (bmp/ppm/pgm; the grayscale P5
+    * round trip is luma-exact so the stats formula is format-free),
+    * deterministic corruption by doc_id mod 7 (0 = truncate at half —
+    * the raster requirement always exceeds half the container, so the
+    * decode ALWAYS fails; 1 = corrupted magic byte). Malformed rows
+    * carry ok = false and NULL stats — the twin derives ok purely
+    * from the id rule, which is exactly the determinism contract the
+    * permissive tier must honor. */
+  val multimodalDecodeRobust: String = s"""
+WITH a AS (
+  SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+    CAST(strlen(text) AS BIGINT) AS len,
+    ['bmp','ppm','pgm'][CAST(doc_id % 3 + 1 AS INT)] AS format,
+    (doc_id % 7) NOT IN (0, 1) AS ok
+  FROM documents WHERE strlen(text) > 0),
+d AS (SELECT *, greatest((len + 31) // 32, 1) AS h FROM a),
+ix AS (SELECT asset_id, len, hx, h,
+  unnest(generate_series(0, 32 * h - 1)) AS i FROM d WHERE ok),
+lum AS (
+  SELECT asset_id, i,
+    (299 * bi + 587 * ((bi + (i % 32)) % 256)
+     + 114 * ((bi + (i // 32)) % 256)) // 1000 AS l
+  FROM (SELECT asset_id, i,
+          ${hexByteAt("hx", "i % len")} AS bi
+        FROM ix)),
+s AS (SELECT asset_id, SUM(l) AS ls, SUM((i + 1) * l) AS ws
+  FROM lum GROUP BY asset_id)
+SELECT d.asset_id, d.format, d.ok,
+  CASE WHEN d.ok THEN CAST(32 AS INT) END AS width,
+  CASE WHEN d.ok THEN CAST(d.h AS INT) END AS height,
+  CASE WHEN d.ok THEN CAST(32 * d.h AS BIGINT) END AS n_px,
+  CAST(s.ls AS BIGINT) AS luma_sum, CAST(s.ws AS BIGINT) AS luma_wsum
+FROM d LEFT JOIN s USING (asset_id)
 ${ord("asset_id")}""".trim
 
   /** Box-filter cell chain over the DECODED synthetic image's luma
@@ -609,29 +659,29 @@ ${ord("asset_id")}""".trim
     * pixel). */
   protected def lumaCellChain(src: String = "documents"): String = s"""
 a AS (
-  SELECT doc_id AS asset_id, text,
+  SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
     CAST(strlen(text) AS BIGINT) AS len, CAST(32 AS BIGINT) AS w
   FROM $src WHERE strlen(text) > 0),
 d AS (SELECT *, greatest((len + 31) // 32, 1) AS h FROM a),
 boxes AS (
-  SELECT asset_id, text, len, w, ox, oy,
+  SELECT asset_id, hx, len, w, ox, oy,
     ox * w // 8 AS x0, greatest((ox + 1) * w // 8, ox * w // 8 + 1) AS x1,
     oy * h // 8 AS y0, greatest((oy + 1) * h // 8, oy * h // 8 + 1) AS y1
   FROM (SELECT *, unnest(generate_series(0, 7)) AS ox FROM d),
        (SELECT unnest(generate_series(0, 7)) AS oy)),
 pxy AS (
-  SELECT asset_id, text, len, ox, oy, x0, x1,
+  SELECT asset_id, hx, len, ox, oy, x0, x1,
     unnest(generate_series(y0, y1 - 1)) AS y
   FROM boxes),
 pxi AS (
-  SELECT asset_id, text, len, ox, oy, y,
+  SELECT asset_id, hx, len, ox, oy, y,
     unnest(generate_series(x0, x1 - 1)) AS x
   FROM pxy),
 lpx AS (
   SELECT asset_id, ox, oy,
     (299 * bi + 587 * ((bi + x) % 256) + 114 * ((bi + y) % 256)) // 1000 AS v
   FROM (SELECT asset_id, ox, oy, x, y,
-          ord(substring(text, CAST((y * 32 + x) % len + 1 AS INT), 1)) AS bi
+          ${hexByteAt("hx", "(y * 32 + x) % len")} AS bi
         FROM pxi)),
 cellv AS (
   SELECT asset_id, ox, oy, SUM(v) // COUNT(*) AS cv

@@ -2,7 +2,8 @@ package graft.ext
 
 /** Real, jar-free image codec for the multimodal tier: uncompressed
   * 24-bit BMP (BITMAPINFOHEADER, BGR, 4-byte row padding, bottom-up or
-  * top-down) and binary PPM (P6, maxval 255). These are genuine
+  * top-down), binary PPM (P6, maxval 255) and binary grayscale PGM
+  * (P5, maxval 255). These are genuine
   * container formats — header parse, stride/padding arithmetic, row
   * order and channel order all have to be RIGHT — yet every byte is
   * deterministic, so the DuckDB gate can re-derive the decoded pixel
@@ -91,13 +92,25 @@ object ImageCodec {
     val w = rdLe32(bytes, 18)
     val hRaw = rdLe32(bytes, 22)
     val topDown = hRaw < 0
-    val h = math.abs(hRaw)
+    // h = |hRaw| in Long first: hRaw = Int.MinValue has no Int abs
+    val hL = math.abs(hRaw.toLong)
     val bpp = rdLe16(bytes, 28)
     val compression = rdLe32(bytes, 30)
     require(bpp == 24 && compression == 0,
       s"unsupported BMP variant: bpp=$bpp compression=$compression")
-    val stride = bmpStride(w)
-    require(bytes.length >= dataOff + stride * h, "truncated BMP pixel data")
+    // malformed-header guards (a 100 TB asset scan WILL hit garbage
+    // headers): dimensions must be sane and all size arithmetic runs
+    // in Long, so a hostile width cannot overflow into a spuriously
+    // passing truncation check or a negative allocation
+    require(w > 0 && hL >= 0, s"invalid BMP dimensions ${w}x$hL")
+    require(dataOff >= 54, s"invalid BMP pixel-data offset $dataOff")
+    val strideL = (3L * w + 3L) & ~3L
+    require(bytes.length >= dataOff.toLong + strideL * hL,
+      "truncated BMP pixel data")
+    // the length check passed, so stride*h <= bytes.length < 2^31 and
+    // w*h <= stride*h/3 fit comfortably in Int
+    val h = hL.toInt
+    val stride = strideL.toInt
     val argb = new Array[Int](w * h)
     var row = 0
     while (row < h) {
@@ -133,34 +146,52 @@ object ImageCodec {
     out
   }
 
-  /** Decode binary PPM: tokenized header (whitespace- and
-    * `#`-comment-tolerant, per the netpbm spec) then raw RGB bytes. */
-  def decodePpm(bytes: Array[Byte]): Image = {
-    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
-      "not a P6 PPM payload")
+  private def isPnmWs(c: Byte): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r'
+
+  /** Tokenized PNM header shared by P6/P5 (whitespace- and
+    * `#`-comment-tolerant per the netpbm spec): returns (width,
+    * height, raster offset). The single byte after maxval MUST be
+    * whitespace — a header ending in `\r\n` or padded with extras
+    * would otherwise shift the raster and mis-decode silently. */
+  private def readPnmHeader(bytes: Array[Byte], magic: Char): (Int, Int, Int) = {
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == magic,
+      s"not a P$magic payload")
     var pos = 2
     def skipWs(): Unit = {
       var in = true
       while (in && pos < bytes.length) {
         val c = bytes(pos)
         if (c == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
-        else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') pos += 1
+        else if (isPnmWs(c)) pos += 1
         else in = false
       }
     }
     def readInt(): Int = {
       skipWs()
-      var v = 0; var any = false
+      var v = 0L; var any = false
       while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
         v = v * 10 + (bytes(pos) - '0'); pos += 1; any = true
+        require(v <= Int.MaxValue, "PNM header value overflows")
       }
-      require(any, "malformed PPM header")
-      v
+      require(any, "malformed PNM header")
+      v.toInt
     }
     val w = readInt(); val h = readInt(); val maxval = readInt()
-    require(maxval > 0 && maxval <= 255, s"unsupported PPM maxval $maxval")
-    pos += 1 // exactly one whitespace byte separates header from raster
-    require(bytes.length >= pos + 3 * w * h, "truncated PPM raster")
+    require(maxval > 0 && maxval <= 255, s"unsupported PNM maxval $maxval")
+    require(w > 0 && h >= 0, s"invalid PNM dimensions ${w}x$h")
+    // exactly ONE whitespace byte separates header from raster; fail
+    // loudly on anything else rather than decode a shifted raster
+    require(pos < bytes.length && isPnmWs(bytes(pos)),
+      "malformed PNM header: raster separator is not whitespace")
+    pos += 1
+    (w, h, pos)
+  }
+
+  /** Decode binary PPM: tokenized header then raw RGB bytes. */
+  def decodePpm(bytes: Array[Byte]): Image = {
+    val (w, h, pos) = readPnmHeader(bytes, '6')
+    require(bytes.length >= pos.toLong + 3L * w * h, "truncated PPM raster")
     val argb = new Array[Int](w * h)
     var i = 0
     while (i < argb.length) {
@@ -172,13 +203,63 @@ object ImageCodec {
     Image(w, h, argb)
   }
 
+  // ---- PGM (P5 binary grayscale, maxval <= 255) --------------------
+
+  /** Encode as binary PGM: one gray byte per pixel, gray = the exact
+    * integer ITU-601 luma of the ARGB pixel. Note the round trip is
+    * luma-exact, not RGB-exact: decodePgm replicates gray into all
+    * three channels, and lumaOf(g,g,g) = (299+587+114)·g/1000 = g, so
+    * every luma statistic survives the grayscale container unchanged. */
+  def encodePgm(img: Image): Array[Byte] = {
+    val header = s"P5\n${img.width} ${img.height}\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + img.argb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = 0
+    while (i < img.argb.length) {
+      out(header.length + i) = lumaOf(img.argb(i)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Decode binary PGM: gray byte g becomes packed (g,g,g). */
+  def decodePgm(bytes: Array[Byte]): Image = {
+    val (w, h, pos) = readPnmHeader(bytes, '5')
+    require(bytes.length >= pos.toLong + w.toLong * h, "truncated PGM raster")
+    val argb = new Array[Int](w * h)
+    var i = 0
+    while (i < argb.length) {
+      val g = bytes(pos + i) & 0xff
+      argb(i) = (g << 16) | (g << 8) | g
+      i += 1
+    }
+    Image(w, h, argb)
+  }
+
   // ---- format dispatch ---------------------------------------------
 
-  /** Decode by magic-byte sniffing (`BM` → BMP, `P6` → PPM). */
+  /** Decode by magic-byte sniffing (`BM` → BMP, `P6` → PPM,
+    * `P5` → PGM). */
   def decode(bytes: Array[Byte]): Image =
     if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(bytes)
     else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') decodePpm(bytes)
+    else if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '5') decodePgm(bytes)
     else throw new IllegalArgumentException("unrecognized image payload")
+
+  /** Permissive decode for dirty corpora: malformed payloads
+    * (unrecognized magic, truncated header or raster, unsupported
+    * variant, hostile dimensions) return None instead of failing the
+    * task — at 100 TB a scan must quarantine garbage rows, not die on
+    * byte one. Only decode-shaped failures are absorbed; anything
+    * else (OOM, interrupts) still propagates. */
+  def decodeOpt(bytes: Array[Byte]): Option[Image] =
+    if (bytes == null) None
+    else try Some(decode(bytes)) catch {
+      case _: IllegalArgumentException => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+    }
 
   /** Decode to top-down row-major luma bytes — the thumbnail/aHash
     * chain's input shape (one byte per pixel). */

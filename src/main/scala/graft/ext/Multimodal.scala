@@ -382,6 +382,56 @@ object Multimodal {
       "luma_sum", "luma_wsum")
   }
 
+  /** Row shape of `decodeStatsRobust`: stats columns are null when the
+    * payload failed to decode (`ok = false`). */
+  case class RobustStats(asset_id: Long, format: String, ok: Boolean,
+    width: Option[Int], height: Option[Int], n_px: Option[Long],
+    luma_sum: Option[Long], luma_wsum: Option[Long])
+
+  /** The dirty-corpus decode tier (round 13): all THREE container
+    * formats (BMP / P6 PPM / P5 PGM by doc_id mod 3 — the grayscale
+    * P5 arm is luma-exact, see `ImageCodec.encodePgm`) with
+    * deterministic malformed payloads injected: doc_id ≡ 0 (mod 7)
+    * truncates the container at half its bytes (raster — or header —
+    * cut short), doc_id ≡ 1 (mod 7) corrupts the magic byte. Malformed
+    * rows survive as `ok = false` with NULL stats instead of failing
+    * the task (`ImageCodec.decodeOpt`) — the production failure mode a
+    * 100 TB asset scan hits on byte one. Same narrow per-task map as
+    * `decodeStats`: no shuffle, one decoded image in memory at a time. */
+  def decodeStatsRobust(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.where(length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val img0 = synthImage(text)
+        val m3 = (id % 3).toInt
+        val enc =
+          if (m3 == 0) ImageCodec.encodeBmp(img0)
+          else if (m3 == 1) ImageCodec.encodePpm(img0)
+          else ImageCodec.encodePgm(img0)
+        val fmt = if (m3 == 0) "bmp" else if (m3 == 1) "ppm" else "pgm"
+        val m7 = (id % 7).toInt
+        val media =
+          if (m7 == 0) java.util.Arrays.copyOf(enc, enc.length / 2)
+          else if (m7 == 1) { val b = enc.clone(); b(0) = 'X'.toByte; b }
+          else enc
+        ImageCodec.decodeOpt(media) match {
+          case Some(img) =>
+            var lsum = 0L; var wsum = 0L; var i = 0
+            while (i < img.argb.length) {
+              val l = ImageCodec.lumaOf(img.argb(i))
+              lsum += l; wsum += (i + 1).toLong * l
+              i += 1
+            }
+            RobustStats(id, fmt, ok = true, Some(img.width),
+              Some(img.height), Some(img.argb.length.toLong),
+              Some(lsum), Some(wsum))
+          case None =>
+            RobustStats(id, fmt, ok = false, None, None, None, None, None)
+        }
+      }.toDF()
+  }
+
   /** aHash near-dup candidates over DECODED real images — the full
     * production chain on real pixel bytes: synthesize (plus the
     * injected near-variant per doc), serialize through BMP/PPM,

@@ -1707,6 +1707,33 @@ class ExtSpec extends SparkSpec {
     assert(again.media.toSeq == r.media.toSeq)
   }
 
+  test("decodeStatsRobust: malformed rows null out, PGM arm is luma-exact") {
+    // ids chosen against the mod rules: 9 -> bmp ok, 4 -> ppm ok,
+    // 11 -> pgm ok (same text: all three containers must agree on the
+    // luma stats — the P5 grayscale round trip is luma-exact);
+    // 7 -> 7%7=0 truncated-at-half, 1 -> 1%7=1 corrupted magic
+    val text = "The quick brown fox jumps over the lazy dog."
+    val docs = Seq((9L, text), (4L, text), (11L, text), (7L, text), (1L, text))
+      .toDF("doc_id", "text")
+    val out = Multimodal.decodeStatsRobust(spark, docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(9).getString(1) == "bmp" && out(9).getBoolean(2))
+    assert(out(4).getString(1) == "ppm" && out(4).getBoolean(2))
+    assert(out(11).getString(1) == "pgm" && out(11).getBoolean(2))
+    for (col <- Seq("n_px", "luma_sum", "luma_wsum"))
+      assert(Set(9L, 4L, 11L).map(id => out(id).getAs[Long](col)).size == 1,
+        s"container formats disagree on $col")
+    for (id <- Seq(7L, 1L)) {
+      assert(!out(id).getBoolean(2))
+      for (c <- Seq("width", "height", "n_px", "luma_sum", "luma_wsum"))
+        assert(out(id).isNullAt(out(id).fieldIndex(c)), s"id=$id $c not null")
+    }
+    // stats of the ok rows match the strict tier on the same text
+    val strict = Multimodal.decodeStats(spark, Seq((9L, text)).toDF("doc_id", "text"))
+      .collect().head
+    assert(out(9).getAs[Long]("luma_wsum") == strict.getAs[Long]("luma_wsum"))
+  }
+
   test("multimodal frameSample: every stride-th fixed-size frame, streamed") {
     // 300 bytes → 4 frames of 64 (tail 44 bytes dropped); stride 4 keeps frame 0
     val media = Array.tabulate(300)(_.toByte)

@@ -117,4 +117,67 @@ class ImageCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       ImageCodec.decodeBmp(("BM" + "x" * 60).getBytes("US-ASCII")))
   }
+
+  test("PGM round-trip is luma-exact (gray = ITU-601 luma)") {
+    for (w <- Seq(1, 3, 32); h <- Seq(1, 5)) {
+      val argb = Array.tabulate(w * h)(i =>
+        ((i * 11 % 256) << 16) | ((i * 7 % 256) << 8) | (i * 251 % 256))
+      val img = Image(w, h, argb)
+      val back = ImageCodec.decodePgm(ImageCodec.encodePgm(img))
+      assert(back.width == w && back.height == h)
+      // RGB is lost through the grayscale container, luma is not:
+      // lumaOf(g,g,g) = (299+587+114)·g/1000 = g exactly
+      assert(back.argb.map(ImageCodec.lumaOf).toSeq ==
+        argb.map(ImageCodec.lumaOf).toSeq, s"w=$w h=$h")
+    }
+  }
+
+  test("decodePgm: hand-built P5 with comments; dispatch sniffs P5") {
+    val header = "P5 # gray\n2 2\n255\n".getBytes("US-ASCII")
+    val raster = Array[Byte](0, 64, -128 /*128*/ , -1 /*255*/ )
+    val img = ImageCodec.decode(header ++ raster)
+    assert(img.width == 2 && img.height == 2)
+    assert(img.argb.toSeq ==
+      Seq(0x000000, 0x404040, 0x808080, 0xffffff))
+  }
+
+  test("PNM header: non-whitespace raster separator fails loudly") {
+    // before the separator require, the 'X' was silently consumed and
+    // the raster decoded one byte shifted
+    val bad = "P6\n2 1\n255X".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4, 5, 6)
+    intercept[IllegalArgumentException](ImageCodec.decodePpm(bad))
+  }
+
+  test("hostile headers fail cleanly, not with array errors") {
+    // BMP with a huge width: stride*h overflows Int if computed naively
+    val hdr = new Array[Byte](60)
+    hdr(0) = 'B'; hdr(1) = 'M'
+    def w32(off: Int, v: Int): Unit = {
+      hdr(off) = v.toByte; hdr(off + 1) = (v >> 8).toByte
+      hdr(off + 2) = (v >> 16).toByte; hdr(off + 3) = (v >> 24).toByte
+    }
+    w32(10, 54); w32(14, 40); w32(18, 0x40000000); w32(22, 0x40000000)
+    hdr(26) = 1; hdr(28) = 24
+    intercept[IllegalArgumentException](ImageCodec.decodeBmp(hdr))
+    // negative width
+    w32(18, -5); w32(22, 2)
+    intercept[IllegalArgumentException](ImageCodec.decodeBmp(hdr))
+    // PNM dimension overflow in the header integer itself
+    intercept[IllegalArgumentException](ImageCodec.decodePpm(
+      "P6\n99999999999999 1\n255\n".getBytes("US-ASCII")))
+  }
+
+  test("decodeOpt: malformed payloads -> None, valid -> Some") {
+    assert(ImageCodec.decodeOpt(null).isEmpty)
+    assert(ImageCodec.decodeOpt(Array[Byte]('X', 1, 2)).isEmpty)
+    val good = ImageCodec.encodePpm(Image(2, 2, px))
+    assert(ImageCodec.decodeOpt(good).map(_.argb.toSeq).contains(px.toSeq))
+    // truncation at half the container (the decodeStatsRobust rule)
+    assert(ImageCodec.decodeOpt(
+      java.util.Arrays.copyOf(good, good.length / 2)).isEmpty)
+    val bmp = ImageCodec.encodeBmp(Image(2, 2, px))
+    assert(ImageCodec.decodeOpt(
+      java.util.Arrays.copyOf(bmp, bmp.length / 2)).isEmpty)
+  }
 }
