@@ -1263,6 +1263,16 @@ object SparkEntry {
     // HLL distinct-token cardinality per source (third native sketch
     // aggregate): 2^10 byte registers per source, elementwise-max
     // merge; exact distinct + basis-point error audit columns
+    // deterministic approximate quantiles (round 13): bottom-k-by-
+    // hash sample (mergeable state, TakeOrderedAndProject partial
+    // top-k) + exact interpolated percentiles of the sample — replaces
+    // the engine-opaque percentile_approx whose GK merge order is
+    // partition-dependent
+    "approx_quantiles" -> prep((s, d) =>
+      graft.ext.Sketches.approxQuantiles(
+        s.read.parquet(s"$d/events.parquet"),
+        col("value"), col("event_id"),
+        Seq(0.25, 0.5, 0.75, 0.9, 0.99)).orderBy("quantile")),
     "hll_cardinality" -> prep((s, d) =>
       graft.ext.Sketches.hllCardinality(docs(s, d)).orderBy("source")),
     // pairwise cross-source vocabulary overlap from merged HLL
@@ -1804,6 +1814,7 @@ object SparkEntry {
     "stream_user_clean" -> PinOracle.userClean,
     "dedup_keep_best" -> ExtOracle.dedupKeepBest,
     "kmv_cardinality" -> ExtOracle.kmvCardinality,
+    "approx_quantiles" -> ExtOracle.approxQuantiles,
     "hll_cardinality" -> ExtOracle.hllCardinality,
     "hll_union_sources" -> ExtOracle.hllUnionSources,
     "lexical_diversity" -> ExtOracle.lexicalDiversity,

@@ -1325,6 +1325,29 @@ $finalName AS (
       ELSE $amm / CAST($s AS DOUBLE) END"""
   }
 
+  /** Twin of Sketches.approxQuantiles over events.value keyed by
+    * event_id (k=4096, quantiles .25/.5/.75/.9/.99): the bottom-k
+    * rows by splitmix64(event_id) unsigned hash order (mix64 is a
+    * bijection, so unique ids give a total deterministic order),
+    * values quantized to integer cents, exact interpolated
+    * quantile_cont over the sample (the pin_q6 percentile-parity
+    * contract), result rounded at 1e-4 cents — both engines produce
+    * the identical double. */
+  val approxQuantiles: String = {
+    def one(q: String): String =
+      s"""SELECT CAST($q AS DOUBLE) AS quantile,
+  CAST(round(quantile_cont(cents, $q) * 10000) AS BIGINT) / 1000000.0
+    AS value FROM aqsamp"""
+    s"""
+WITH aq0 AS (SELECT CAST(event_id AS HUGEINT) AS hu, value FROM events),
+${mix64Chain("aq", "value", "aq0", "aqm")},
+aqsamp AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cents
+  FROM aqm ORDER BY u LIMIT 4096)
+${Seq("0.25", "0.5", "0.75", "0.9", "0.99").map(one).mkString("\nUNION ALL\n")}
+${ord("quantile")}""".trim
+  }
+
   /** Twin of Sketches.hllCardinality(p=10): the full register array
     * recomputed bucket by bucket (see hllRegCtes), zero count and
     * exact HUGEINT harmonic sum per source, the pinned-numerator

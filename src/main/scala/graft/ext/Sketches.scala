@@ -12,34 +12,63 @@ import org.apache.spark.sql.functions._
   *
   *  - `tokenCountMin`: Count-Min point frequencies for a set of probe
   *    tokens (heavy-hitter monitoring without a token->count shuffle).
-  *  - `approxQuantiles`: KLL-style rank sketch (Spark's
-  *    `approx_percentile`) for latency/length distribution cutoffs —
-  *    e.g. the token-length p99 used to pick a truncation limit.
+  *  - `approxQuantiles`: deterministic bottom-k-sample rank sketch
+  *    for latency/length distribution cutoffs — e.g. the token-length
+  *    p99 used to pick a truncation limit.
   */
 object Sketches {
 
   /** Estimated frequencies of `probes` from ONE Count-Min pass over
-    * the token stream. eps/confidence size the sketch (state =
-    * O(1/eps · ln(1/confidence)) counters regardless of corpus size);
-    * estimates are upper-biased: est >= true, est <= true + eps·N with
-    * prob >= confidence. */
+    * the token stream: eps/confidence pick the depth×width of the
+    * NATIVE `cmsTokenFreq` sketch (width = next power of two ≥ e/eps,
+    * depth = ⌈ln(1/(1−confidence))⌉ — the classic CMS sizing), so
+    * estimates are upper-biased (est ≥ true; est ≤ true + eps·N with
+    * prob ≥ confidence) and the whole pass is the oracle-checked
+    * mergeable aggregate, not an engine-opaque driver object (the
+    * retired `df.stat.countMinSketch` path had private seeds no twin
+    * could recompute). */
   def tokenCountMin(docs: DataFrame, probes: Seq[String],
       eps: Double = 0.001, confidence: Double = 0.99): DataFrame = {
-    val tokens = docs.select(
-      explode(split(trim(col("text")), "\\s+")).as("token"))
-    val sketch = tokens.stat.countMinSketch(
-      col("token"), eps, confidence, seed = 42)
-    val rows = probes.map(p => (p, sketch.estimateCount(p)))
-    docs.sparkSession.createDataFrame(rows).toDF("token", "est_freq")
+    require(eps > 0 && confidence > 0 && confidence < 1)
+    var width = 2
+    while (width < math.E / eps && width < (1 << 22)) width <<= 1
+    val depth = math.max(1, math.ceil(math.log(1.0 / (1 - confidence))).toInt)
+    cmsTokenFreq(docs, probes, depth, width)
+      .select(col("token"), col("est_freq"))
   }
 
-  /** Approximate quantiles of a numeric column (one pass, mergeable
-    * rank-sketch state). `accuracy` trades state for rank error
-    * 1/accuracy. */
-  def approxQuantiles(df: DataFrame, valueCol: Column,
-      quantiles: Seq[Double], accuracy: Int = 10000): DataFrame =
-    df.agg(percentile_approx(valueCol,
-      array(quantiles.map(lit): _*), lit(accuracy)).as("q"))
+  /** Approximate quantiles from a DETERMINISTIC bottom-k-by-hash
+    * sample: keep the k rows whose splitmix64-finalized `idCol` hash
+    * is smallest (a pure function of the data — the KMV idea applied
+    * to row sampling), then take EXACT interpolated percentiles of
+    * the sample. The bottom-k state is mergeable (union, keep k
+    * smallest: map-side partial top-k via TakeOrderedAndProject), so
+    * one narrow pass at any corpus scale; rank error is the sampling
+    * error ~√(q(1−q)/k) (≤0.8% at k=4096), and when n ≤ k the sample
+    * is the whole input and the quantiles are exact. Replaces the
+    * earlier `percentile_approx` version, whose GK-sketch merge order
+    * is partition-dependent — this one is bit-deterministic and
+    * oracle-checkable. Values quantize to integer cents first and the
+    * interpolated result is rounded at 1e-4 cents, putting any
+    * engine-side ulp differences below the output grain. Returns one
+    * (quantile, value) row per requested quantile. */
+  def approxQuantiles(df: DataFrame, valueCol: Column, idCol: Column,
+      quantiles: Seq[Double], k: Int = 4096): DataFrame = {
+    require(quantiles.nonEmpty)
+    val MIN = lit(Long.MinValue)
+    val samp = df.select(
+        graft.functions.HllSketch.mix64(idCol.cast("long"))
+          .bitwiseXOR(MIN).as("hu"), // sign-flip: unsigned hash order
+        round(valueCol.cast("double") * 100).cast("long").as("cents"))
+      .orderBy(col("hu")).limit(k)
+    samp.agg(percentile(col("cents"),
+        array(quantiles.map(lit): _*)).as("qv"))
+      .select(posexplode(col("qv")).as(Seq("i", "pc")))
+      .select(
+        element_at(array(quantiles.map(lit): _*), col("i") + 1)
+          .as("quantile"),
+        (round(col("pc") * lit(1e4)).cast("long") / lit(1e6)).as("value"))
+  }
 
   /** Per-source distinct-token cardinality via a KMV (k-minimum-values)
     * sketch — the vocabulary-size dashboard number computed WITHOUT a

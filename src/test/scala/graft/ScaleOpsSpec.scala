@@ -211,16 +211,26 @@ class ScaleOpsSpec extends SparkSpec {
 
   test("approx quantiles track exact percentiles at test scale") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
-    val approx = graft.ext.Sketches.approxQuantiles(ev, col("value"),
-      Seq(0.5, 0.99)).head().getSeq[Double](0)
+    def qmap(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Sketches.approxQuantiles(df, col("value"), col("event_id"),
+        Seq(0.5, 0.99)).collect()
+        .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val approx = qmap(ev)
     val exact = ev.agg(expr("percentile(value, array(0.5, 0.99))"))
       .head().getSeq[Double](0)
-    // rank error <= n/accuracy = O(1) rows here; values are dense, so
-    // the returned cutoffs must be within a tight band of the exact ones
-    assert(math.abs(approx(0) - exact(0)) < 0.05 * math.abs(exact(0)) + 1.0,
-      s"p50 approx=${approx(0)} exact=${exact(0)}")
-    assert(math.abs(approx(1) - exact(1)) < 0.05 * math.abs(exact(1)) + 1.0,
-      s"p99 approx=${approx(1)} exact=${exact(1)}")
+    // n <= k here, so the sample is the whole input: only the integer-
+    // cent quantization separates approx from exact
+    assert(math.abs(approx(0.5) - exact(0)) < 0.05 * math.abs(exact(0)) + 1.0,
+      s"p50 approx=${approx(0.5)} exact=${exact(0)}")
+    assert(math.abs(approx(0.99) - exact(1)) < 0.05 * math.abs(exact(1)) + 1.0,
+      s"p99 approx=${approx(0.99)} exact=${exact(1)}")
+    // deterministic under repartitioning (the property the retired
+    // percentile_approx version could not guarantee: GK merge order)
+    assert(qmap(ev.repartition(7)) == approx)
+    // the bottom-k sample is a map-side partial top-k, not a global sort
+    val plan = graft.ext.Sketches.approxQuantiles(ev, col("value"),
+      col("event_id"), Seq(0.5)).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
   }
 
   test("lshSketch64 native expression == HOF formulation, and codegens") {
