@@ -28,53 +28,15 @@ object ScaleProbe {
       .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     val copies = Seq(1, 4, 16, 64)
-    val docs0 = spark.read.parquet(s"$d/documents.parquet")
-    val emb0 = spark.read.parquet(s"$d/embeddings.parquet")
 
-    // keeps the __c copy-index column for the caller to fold into the
-    // payload before dropping
-    def replicate(base: DataFrame, idCol: String, n: Int): DataFrame =
-      base.crossJoin(spark.range(n).toDF("__c"))
-        .withColumn(idCol, col(idCol) + col("__c") * 10000000L)
-
-    // Cross-copy DISTINCT replication: a one-token salt would make
-    // every copy a near-duplicate of its siblings, growing the true
-    // pair count quadratically in the multiple — a workload shape real
-    // corpus growth doesn't have (the first probe design did exactly
-    // that, and the exact-Jaccard tier duly went quadratic: evidence
-    // for why the LSH tier exists, but not a scaling trajectory).
-    // Tagging EVERY token with the copy index gives copies zero
-    // shingle overlap; circularly shifting embeddings by the copy
-    // index de-correlates them in cosine space. Duplication RATE then
-    // stays constant as the corpus grows.
+    // Cross-copy DISTINCT replication staging lives in Replicas
+    // (shared with ScaleVerify) — see its scaladoc for why copies are
+    // copy-tagged rather than salted.
     // optional arg: comma-separated op-name filter (re-time a subset
     // against already-written replicas without the staging pass)
     val only: Option[Set[String]] =
       if (args.nonEmpty) Some(args(0).split(",").toSet) else None
-    // guard on BOTH replica markers: a prior run that wrote docs_N but
-    // died before emb_N must re-stage, or the loop times a stale/missing
-    // embeddings replica
-    for (n <- copies
-         if !(new java.io.File(s"$out/docs_$n/_SUCCESS").exists() &&
-              new java.io.File(s"$out/emb_$n/_SUCCESS").exists())) {
-      val dDir = s"$out/docs_$n"
-      val eDir = s"$out/emb_$n"
-      replicate(docs0, "doc_id", n)
-        .withColumn("text", regexp_replace(col("text"), lit("(\\S+)"),
-          concat(lit("c"), col("__c").cast("string"), lit("_$1"))))
-        .drop("__c")
-        .repartition(32).write.mode("overwrite").parquet(dDir)
-      replicate(emb0, "vec_id", n)
-        .withColumn("__s",
-          pmod(col("__c"), size(col("embedding")).cast("long")).cast("int"))
-        .withColumn("embedding",
-          concat(
-            slice(col("embedding"), col("__s") + 1,
-              size(col("embedding")) - col("__s")),
-            slice(col("embedding"), lit(1), col("__s"))))
-        .drop("__c", "__s")
-        .repartition(32).write.mode("overwrite").parquet(eDir)
-    }
+    for (n <- copies) Replicas.ensure(spark, d, out, n)
 
     def t(name: String, n: Int)(f: => Long): Unit =
       if (only.forall(_.contains(name))) {
@@ -276,6 +238,66 @@ object ScaleProbe {
       t("hllUnionSources", n)(Sketches.hllUnionSources(srcd).count())
       t("cmsHeavyHitters", n)(Sketches.cmsHeavyHitters(docs).count())
       t("bloomFprAudit", n)(Sketches.bloomFprAudit(docs).count())
+      // round-13 batch 7: the untrajectoried gate entries (r11
+      // verdict #5). A-ES sampling: one log-quantized division per
+      // row, global top-k = TakeOrderedAndProject (k-bounded driver
+      // state) / per-group = WindowGroupLimit — wall must track the
+      // weight scan; calibration = corpus-proportional score scan +
+      // ≤bins-key rollup; epochs = |groups|-row agg; held-out LM =
+      // counts-collapsed joins (the lmQuality shape); contamination
+      // report: bench side is corpus/97 (grows with n), shingle join
+      // collision-sliver-bounded; deterministic approx quantiles =
+      // bottom-k scan, k-bounded state
+      val wdocs = docs.select(col("doc_id"), col("lang"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("weight"))
+      t("weightedSample", n)(
+        Sampling.weightedSample(wdocs, "weight", k = 50).count())
+      t("weightedSampleByGroup", n)(
+        Sampling.weightedSampleByGroup(wdocs, "source", "weight", k = 10)
+          .count())
+      t("calibrationReport", n) {
+        val g = TextAnalysis.gopherRules(docs, 20)
+          .select(col("doc_id"),
+            (col("n_words").between(20, 100000) &&
+              col("mean_word_len").between(3.0, 10.0) &&
+              col("symbol_ratio") <= 0.1 &&
+              col("frac_alpha_words") >= 0.8).as("y"))
+        TextAnalysis.calibrationReport(
+          TextAnalysis.qualityScore(docs).join(g, "doc_id"),
+          "quality", "y").count()
+      }
+      t("epochsReport", n)(Sampling.epochsReport(
+        docs.withColumn("n_tokens",
+          size(split(trim(col("text")), "\\s+")).cast("long")),
+        "source", Map("src0" -> 6, "src1" -> 3, "src2" -> 1),
+        budget = 300000L * n, tokensCol = "n_tokens").count())
+      t("lmQualityHeldOut", n)(TextAnalysis.lmQualityHeldOut(
+        docs.where(col("doc_id") % 5 =!= 0),
+        docs.where(col("doc_id") % 5 === 0)).count())
+      t("contaminationReport", n)(Dedup.contaminationReport(
+        docs, docs.where(col("doc_id") % 97 === 0)).count())
+      t("approxQuantiles", n)(Sketches.approxQuantiles(
+        docs, length(col("text")), col("doc_id"), Seq(0.5, 0.99)).count())
+      // batch-side fullIngest tiers: arrivals = corpus/5. Sha path =
+      // arrivals are exact dups, pruned before signatures (measures
+      // gopher tier ∝ arrivals + sha index ∝ corpus); probe path =
+      // arrivals prefixed so every one misses sha and reaches the
+      // MinHash band probe (the worst case: probe work ∝ arrivals ×
+      // bands against the corpus-proportional bucket index)
+      t("fullIngestBatchSha", n)(graft.streaming.CorpusStream.fullIngest(
+        docs.where(col("doc_id") % 5 === 0), docs).count())
+      t("fullIngestBatchProbe", n)(graft.streaming.CorpusStream.fullIngest(
+        docs.where(col("doc_id") % 5 === 0)
+          .withColumn("text", concat(lit("zq9 "), col("text"))),
+        docs).count())
+      // the codec tier: decode = narrow per-task map (flat per row);
+      // robust adds the malformed-null branch at the same shape; the
+      // decoded dup chain must track imageDupCandidates' trajectory
+      t("decodeStats", n)(Multimodal.decodeStats(spark, docs).count())
+      t("decodeStatsRobust", n)(
+        Multimodal.decodeStatsRobust(spark, docs).count())
+      t("decodedDupCandidates", n)(
+        Multimodal.decodedDupCandidates(spark, docs).count())
     }
     spark.stop()
   }
