@@ -271,9 +271,7 @@ object ScaleProbe {
           size(split(trim(col("text")), "\\s+")).cast("long")),
         "source", Map("src0" -> 6, "src1" -> 3, "src2" -> 1),
         budget = 300000L * n, tokensCol = "n_tokens").count())
-      t("lmQualityHeldOut", n)(TextAnalysis.lmQualityHeldOut(
-        docs.where(col("doc_id") % 5 =!= 0),
-        docs.where(col("doc_id") % 5 === 0)).count())
+      // (lmQualityHeldOut already has a batch-5b row above)
       t("contaminationReport", n)(Dedup.contaminationReport(
         docs, docs.where(col("doc_id") % 97 === 0)).count())
       t("approxQuantiles", n)(Sketches.approxQuantiles(
