@@ -1138,6 +1138,17 @@ object SparkEntry {
     // The batch curation tier lifted to a stream unmodified:
     // gopherRules is a pure projection, so the streaming quality gate
     // is stateless and must equal the batch pass bit-for-bit
+    // the robust codec tier as a live stream: stateless narrow decode
+    // map, malformed payloads quarantined as ok=false rows in-line
+    // (shares the batch twin — stream == batch doc-for-doc)
+    "stream_multimodal_decode" -> prep((s, d) => {
+      val base = tmpDir("graft_streamdecode")
+      docs(s, d).select("doc_id", "text", "lang", "source")
+        .coalesce(1).write.mode("overwrite").json(s"$base/in")
+      graft.streaming.CorpusStream.runDecodeStats(
+        s, s"$base/in", s"$base/out", s"$base/ckpt").awaitTermination()
+      s.read.parquet(s"$base/out").orderBy("asset_id")
+    }),
     "stream_quality_filter" -> prep((s, d) => {
       val base = tmpDir("graft_docquality")
       docs(s, d).select("doc_id", "text", "lang", "source")
@@ -1273,6 +1284,13 @@ object SparkEntry {
         s.read.parquet(s"$d/events.parquet"),
         col("value"), col("event_id"),
         Seq(0.25, 0.5, 0.75, 0.9, 0.99)).orderBy("quantile")),
+    // the per-group variant: k-per-group rank window (map-side
+    // WindowGroupLimit) + exact per-group percentiles of the sample
+    "approx_quantiles_by_type" -> prep((s, d) =>
+      graft.ext.Sketches.approxQuantilesByGroup(
+        s.read.parquet(s"$d/events.parquet"), "event_type",
+        col("value"), col("event_id"), Seq(0.5, 0.9, 0.99), k = 256)
+        .orderBy("event_type", "quantile")),
     "hll_cardinality" -> prep((s, d) =>
       graft.ext.Sketches.hllCardinality(docs(s, d)).orderBy("source")),
     // pairwise cross-source vocabulary overlap from merged HLL
@@ -1682,6 +1700,7 @@ object SparkEntry {
     "stream_dedup_vs_corpus" -> ExtOracle.streamDedupVsCorpus,
     "stream_neardup_ingest" -> ExtOracle.streamNearDupIngest,
     "stream_full_ingest" -> ExtOracle.streamFullIngest,
+    "stream_multimodal_decode" -> ExtOracle.multimodalDecodeRobust,
     "stream_quality_filter" -> ExtOracle.streamQualityFilter,
     "stream_attribution" -> ExtOracle.streamAttribution,
     "stream_sessionize" -> ExtOracle.streamSessionize,
@@ -1815,6 +1834,7 @@ object SparkEntry {
     "dedup_keep_best" -> ExtOracle.dedupKeepBest,
     "kmv_cardinality" -> ExtOracle.kmvCardinality,
     "approx_quantiles" -> ExtOracle.approxQuantiles,
+    "approx_quantiles_by_type" -> ExtOracle.approxQuantilesByType,
     "hll_cardinality" -> ExtOracle.hllCardinality,
     "hll_union_sources" -> ExtOracle.hllUnionSources,
     "lexical_diversity" -> ExtOracle.lexicalDiversity,

@@ -217,8 +217,15 @@ object StreamBench {
     // constant-payload bound in action on a token stream
     val cmsRow = measure("cms_tokens_stream", (_, out, ckpt) =>
       graft.streaming.CorpusStream.runCmsTokens(spark, docIn, out, ckpt))
+    // streaming multimodal decode on the same documents replay: the
+    // robust codec tier as a stateless per-row map — rows/sec is the
+    // asset-ingest decode rate (synthesize + container serialize +
+    // parse + luma stats per row; ~2/7 of rows malformed-by-injection
+    // and quarantined in-line rather than killing micro-batches)
+    val decodeRow = measure("multimodal_decode_stream", (_, out, ckpt) =>
+      graft.streaming.CorpusStream.runDecodeStats(spark, docIn, out, ckpt))
     val allResults =
-      results :+ ivfRow :+ nearDupRow :+ fullIngestRow :+ cmsRow
+      results :+ ivfRow :+ nearDupRow :+ fullIngestRow :+ cmsRow :+ decodeRow
 
     val loadEnd = loadAvg()
     def arr(xs: Seq[Double]) = xs.map(r2).mkString("[", ",", "]")

@@ -1348,6 +1348,30 @@ ${Seq("0.25", "0.5", "0.75", "0.9", "0.99").map(one).mkString("\nUNION ALL\n")}
 ${ord("quantile")}""".trim
   }
 
+  /** Twin of Sketches.approxQuantilesByGroup over events.value grouped
+    * by event_type (k=256, quantiles .5/.9/.99): per-group rank window
+    * over the splitmix64 hash order, integer cents, per-group exact
+    * quantile_cont, 1e-4-cent output rounding. */
+  val approxQuantilesByType: String = {
+    def one(q: String): String =
+      s"""SELECT event_type, CAST($q AS DOUBLE) AS quantile,
+  CAST(round(quantile_cont(cents, $q) * 10000) AS BIGINT) / 1000000.0
+    AS value FROM gqsamp GROUP BY event_type"""
+    s"""
+WITH gq0 AS (
+  SELECT CAST(event_id AS HUGEINT) AS hu, event_type, value FROM events),
+${mix64Chain("gq", "event_type, value", "gq0", "gqm")},
+gqrk AS (
+  SELECT event_type, value,
+    row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+  FROM gqm),
+gqsamp AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM gqrk WHERE rn <= 256)
+${Seq("0.5", "0.9", "0.99").map(one).mkString("\nUNION ALL\n")}
+${ord("event_type", "quantile")}""".trim
+  }
+
   /** Twin of Sketches.hllCardinality(p=10): the full register array
     * recomputed bucket by bucket (see hllRegCtes), zero count and
     * exact HUGEINT harmonic sum per source, the pinned-numerator

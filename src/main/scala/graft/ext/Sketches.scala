@@ -70,6 +70,37 @@ object Sketches {
         (round(col("pc") * lit(1e4)).cast("long") / lit(1e6)).as("value"))
   }
 
+  /** Per-group deterministic approximate quantiles — `approxQuantiles`
+    * windowed per group (the `weightedSampleByGroup` symmetry): each
+    * group keeps its k smallest-hash rows via a rank window that the
+    * optimizer turns into a map-side WindowGroupLimit (no group ever
+    * funnels through one reducer unbounded), then exact interpolated
+    * percentiles per group. Same determinism contract as the global
+    * version: splitmix64 row choice, integer-cent values, 1e-4-cent
+    * output rounding. Returns (group, quantile, value) rows. */
+  def approxQuantilesByGroup(df: DataFrame, groupCol: String,
+      valueCol: Column, idCol: Column, quantiles: Seq[Double],
+      k: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quantiles.nonEmpty)
+    val MIN = lit(Long.MinValue)
+    val samp = df.select(col(groupCol),
+        graft.functions.HllSketch.mix64(idCol.cast("long"))
+          .bitwiseXOR(MIN).as("hu"),
+        round(valueCol.cast("double") * 100).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("hu"))))
+      .where(col("rn") <= k)
+    samp.groupBy(col(groupCol))
+      .agg(percentile(col("cents"),
+        array(quantiles.map(lit): _*)).as("qv"))
+      .select(col(groupCol), posexplode(col("qv")).as(Seq("i", "pc")))
+      .select(col(groupCol),
+        element_at(array(quantiles.map(lit): _*), col("i") + 1)
+          .as("quantile"),
+        (round(col("pc") * lit(1e4)).cast("long") / lit(1e6)).as("value"))
+  }
+
   /** Per-source distinct-token cardinality via a KMV (k-minimum-values)
     * sketch — the vocabulary-size dashboard number computed WITHOUT a
     * vocabulary-wide exchange: the native `kmv_sketch` aggregate

@@ -267,6 +267,28 @@ object CorpusStream {
       .start()
   }
 
+  /** Streaming multimodal decode (round 13): arriving asset docs run
+    * the full robust codec tier — synthesize → container serialize →
+    * `ImageCodec.decodeOpt` parse → luma stats, malformed payloads
+    * quarantined in-line as `ok = false` + NULL-stats rows — as a
+    * STATELESS streaming projection: a narrow per-task typed map, no
+    * watermark, no state store, one decoded image in memory per task.
+    * This is the shape a 100 TB asset firehose ingests through: decode
+    * cost scales with arrival volume only, and garbage payloads
+    * become quarantine rows instead of dead micro-batches. Stream ≡
+    * batch `Multimodal.decodeStatsRobust` doc-for-doc (spec-pinned;
+    * the gate entry shares the batch twin). */
+  def runDecodeStats(spark: SparkSession, inDir: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    graft.ext.Multimodal.decodeStatsRobust(spark, source(spark, inDir))
+      .writeStream
+      .format("parquet")
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .option("path", outDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   val embSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType)),

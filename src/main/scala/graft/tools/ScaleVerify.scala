@@ -28,12 +28,19 @@ import graft._
 object ScaleVerify {
 
   /** Quiet-box bench top-10 (BENCH_JUDGE_r12.json) + multimodal_decode
-    * (the round-12 codec entry the verdict names explicitly). */
+    * (the round-12 codec entry the verdict names explicitly), widened
+    * (round-13 continuation) with the next docs/emb-only tier:
+    * driver-state consumers (k-center's per-round collect, mutual-kNN
+    * components' union-find), the sketch pair tiers, fusion, and the
+    * new robust decode entry. */
   val defaultEntries: Seq[String] = Seq(
     "knn_pagerank", "knn_pagerank_shared", "image_dup_verified",
     "pretraining_corpus", "image_dup_decoded", "source_health",
     "cluster_top_terms", "image_dup_candidates", "lm_quality_buckets",
-    "bigram_lm_interp", "multimodal_decode")
+    "bigram_lm_interp", "multimodal_decode",
+    "kcenter_sample", "knn_communities", "embedding_outliers",
+    "bigram_pmi", "hybrid_rrf", "decontaminate",
+    "minhash_pairs_portable", "multimodal_decode_robust")
 
   def main(args: Array[String]): Unit = {
     val d = "/root/testdata/sf0.1"

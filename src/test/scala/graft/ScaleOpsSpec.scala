@@ -233,6 +233,30 @@ class ScaleOpsSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
   }
 
+  test("per-group approx quantiles: exact when k covers the group, map-side limited") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      graft.ext.Sketches.approxQuantilesByGroup(df, "event_type",
+        col("value"), col("event_id"), Seq(0.5), k = 100000)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    val got = rows(ev)
+    // k >= every group size: the sample IS the group, so only the
+    // integer-cent quantization separates the result from exact
+    val exact = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    got.foreach { case (g, _, v) =>
+      assert(math.abs(v - exact(g)) < 0.011, s"$g got=$v exact=${exact(g)}") }
+    assert(rows(ev.repartition(5)) == got)
+    // the per-group rank filter must prune map-side, not funnel each
+    // group through one unbounded reducer
+    val plan = graft.ext.Sketches.approxQuantilesByGroup(ev, "event_type",
+      col("value"), col("event_id"), Seq(0.5), k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(400))
+  }
+
   test("lshSketch64 native expression == HOF formulation, and codegens") {
     val q = emb.select(col("vec_id"),
       Similarity.quantize(col("embedding")).as("q")).cache()

@@ -72,6 +72,31 @@ class StreamingSpec extends SparkSpec {
       "broadcast band-probe must keep no streaming state")
   }
 
+  test("streaming decode == batch decodeStatsRobust, stateless, nulls survive") {
+    import org.apache.spark.sql.functions._
+    val base = tmp("st_decode")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id") % 3 === 0) // keep the replay small; all formats hit
+      .select("doc_id", "text", "lang", "source")
+    docs.coalesce(1).write.mode("overwrite").json(s"$base/in")
+    graft.streaming.CorpusStream.runDecodeStats(
+      spark, s"$base/in", s"$base/out", s"$base/ckpt").awaitTermination()
+    val streamed = spark.read.parquet(s"$base/out")
+    val batch = graft.ext.Multimodal.decodeStatsRobust(spark, docs)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(df.columns.sorted.map(c => col(c).cast("string")).toIndexedSeq: _*)
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(streamed.count() == batch.count())
+    assert(key(streamed) == key(batch), "stream must equal batch doc-for-doc")
+    // the malformed-quarantine branch fired in-stream (ok=false rows
+    // present, their stats NULL) and no task died for them
+    assert(streamed.where(!col("ok")).count() > 0)
+    assert(streamed.where(!col("ok") && col("luma_sum").isNotNull).count() == 0)
+    val stateDir = new java.io.File(s"$base/ckpt/state")
+    assert(!stateDir.exists || stateDir.listFiles.isEmpty,
+      "stateless decode projection must keep no streaming state")
+  }
+
   test("nearDupVsIndex over a pre-built band index == self-building nearDupVsCorpus") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
