@@ -1138,6 +1138,34 @@ object SparkEntry {
     // The batch curation tier lifted to a stream unmodified:
     // gopherRules is a pure projection, so the streaming quality gate
     // is stateless and must equal the batch pass bit-for-bit
+    // the transactional table log (round 13: the Delta-sink parity gap
+    // closed jar-free): v0 overwrite, v1 append, v2 overwrite — one
+    // entry proves append extension, overwrite reset AND time travel
+    // (v0/v1 reads see pre-overwrite data) in a single hash
+    "txlog_time_travel" -> prep((s, d) => {
+      val t = tmpDir("graft_txlog")
+      val base = docs(s, d).select("doc_id", "lang", "source", "n_chars")
+      graft.ingest.TxLog.write(base.where(col("doc_id") % 2 === 0), t, "overwrite")
+      graft.ingest.TxLog.write(base.where(col("doc_id") % 2 =!= 0), t, "append")
+      graft.ingest.TxLog.write(base.where(col("doc_id") % 97 === 0), t, "overwrite")
+      Seq(0L, 1L, 2L).map(v =>
+          graft.ingest.TxLog.snapshot(s, t, Some(v))
+            .withColumn("version", lit(v)))
+        .reduce(_.unionByName(_))
+        .orderBy("version", "doc_id")
+    }),
+    // exactly-once streaming ingest into the transactional table: each
+    // micro-batch is one commit carrying its batch id; the snapshot
+    // read proves no loss and no duplication end-to-end
+    "stream_txlog_ingest" -> prep((s, d) => {
+      val base = tmpDir("graft_txstream")
+      docs(s, d).select("doc_id", "text", "lang", "source")
+        .coalesce(1).write.mode("overwrite").json(s"$base/in")
+      graft.ingest.TxLog.runIngest(
+        s, s"$base/in", s"$base/table", s"$base/ckpt").awaitTermination()
+      graft.ingest.TxLog.snapshot(s, s"$base/table")
+        .select("doc_id", "lang", "source").orderBy("doc_id")
+    }),
     // the robust codec tier as a live stream: stateless narrow decode
     // map, malformed payloads quarantined as ok=false rows in-line
     // (shares the batch twin — stream == batch doc-for-doc)
@@ -1700,6 +1728,8 @@ object SparkEntry {
     "stream_dedup_vs_corpus" -> ExtOracle.streamDedupVsCorpus,
     "stream_neardup_ingest" -> ExtOracle.streamNearDupIngest,
     "stream_full_ingest" -> ExtOracle.streamFullIngest,
+    "txlog_time_travel" -> ExtOracle.txlogTimeTravel,
+    "stream_txlog_ingest" -> ExtOracle.streamTxlogIngest,
     "stream_multimodal_decode" -> ExtOracle.multimodalDecodeRobust,
     "stream_quality_filter" -> ExtOracle.streamQualityFilter,
     "stream_attribution" -> ExtOracle.streamAttribution,

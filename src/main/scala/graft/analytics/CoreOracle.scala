@@ -568,6 +568,28 @@ WHERE bit_count(xor(c.sa, c.sb)) <= 3
 ${ord("a_id", "b_id")}""".trim
   }
 
+  /** Twin of the `txlog_time_travel` entry: the engine builds a
+    * transactional table (v0 overwrite = even ids, v1 append = odd
+    * ids, v2 overwrite = ids%97) and reads all three versions back;
+    * the expected content of each version is pure set algebra on
+    * `documents`, so the oracle needs no log at all — which is the
+    * point: the log must be invisible in the data. */
+  val txlogTimeTravel: String = s"""
+SELECT CAST(0 AS BIGINT) AS version, doc_id, lang, source, n_chars
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT CAST(1 AS BIGINT), doc_id, lang, source, n_chars FROM documents
+UNION ALL
+SELECT CAST(2 AS BIGINT), doc_id, lang, source, n_chars
+FROM documents WHERE doc_id % 97 = 0
+${ord("version", "doc_id")}""".trim
+
+  /** Twin of `stream_txlog_ingest`: exactly-once ingest of the full
+    * docs stream — the snapshot must hold every doc exactly once. */
+  val streamTxlogIngest: String = s"""
+SELECT doc_id, lang, source FROM documents
+${ord("doc_id")}""".trim
+
   /** Byte `idx0` (0-based) of a UTF-8 string, via its hex dump: the
     * engine side reads `text.getBytes(UTF_8)` while DuckDB's
     * `ord(substring(...))` indexes CHARACTERS — they only agree on
