@@ -86,6 +86,7 @@ object SparkEntry {
         k != "compact_scan_clean" && k != "bucketed_join_revenue" &&
         k != "date_partition_scan" && k != "ann_ivf_postings_scan" &&
         k != "csv_scan_clean" && k != "orc_scan_clean" &&
+        k != "txlog_time_travel" && // builds a table per call: IO class
         // same results as ngram_jaccard via the hot-key-free candidate
         // path; its freq-agg + prefix overhead only pays off on corpora
         // with skewed shingle frequencies — redundant as a throughput

@@ -193,6 +193,20 @@ object TxLog {
     n
   }
 
+  /** Compaction (the OPTIMIZE analogue — and at 100 TB the essential
+    * companion of a streaming sink: per-micro-batch commits accrete
+    * thousands of small files, and scan cost follows file count, not
+    * bytes): rewrite the CURRENT live set as one overwrite commit
+    * with `targetFiles` parquet files. Content-neutral by
+    * construction (the new commit holds exactly the old live rows);
+    * history BEFORE the compaction stays time-travel-readable because
+    * overwrite deletes no bytes. Returns the new version. */
+  def compact(spark: SparkSession, table: String,
+      targetFiles: Int = 1): Long = {
+    val current = snapshot(spark, table)
+    write(current.repartition(targetFiles), table, "overwrite")
+  }
+
   /** Exactly-once streaming ingest: every micro-batch lands as one
     * transactional commit carrying its batch id; replays are skipped
     * by id. Stateless on the stream side — the ledger is the log. */

@@ -68,6 +68,28 @@ class TxLogSpec extends SparkSpec {
     assert(ids(TxLog.snapshot(spark, t)) == Seq(2L))
   }
 
+  test("compact: many small commits -> one file set, content-neutral, history intact") {
+    val t = tmp("txlog_compact")
+    (1L to 6L).foreach(i => TxLog.write(Seq(i).toDF("id"), t, "append"))
+    assert(TxLog.liveFiles(t).size >= 6)
+    val before = ids(TxLog.snapshot(spark, t))
+    val v = TxLog.compact(spark, t, targetFiles = 1)
+    assert(v == 6L)
+    assert(TxLog.liveFiles(t).size == 1, "live set must shrink to target")
+    assert(ids(TxLog.snapshot(spark, t)) == before, "content-neutral")
+    // pre-compaction versions still readable (overwrite kept the bytes)
+    assert(ids(TxLog.snapshot(spark, t, Some(2L))) == Seq(1L, 2L, 3L))
+  }
+
+  test("snapshot reads keep parquet pushdown (the log is metadata-only)") {
+    val t = tmp("txlog_pushdown")
+    TxLog.write((1L to 100L).toDF("id"), t, "overwrite")
+    val plan = TxLog.snapshot(spark, t).where(col("id") > 90L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(id,90)"),
+      plan.take(600))
+  }
+
   test("streaming restart: rerun on the same landing adds nothing") {
     val base = tmp("txlog_restart")
     val docs = spark.read.parquet(s"$sf/documents.parquet")
