@@ -50,7 +50,7 @@ object TxLog {
   private def logDir(table: String): Path = Paths.get(table, "_txlog")
 
   final case class Commit(version: Long, mode: String, batchId: Long,
-    adds: Seq[String])
+    adds: Seq[String], schema: String = "")
 
   private def commitFile(table: String, v: Long): Path =
     logDir(table).resolve(f"$v%010d.txt")
@@ -71,15 +71,16 @@ object TxLog {
       .filter(_.getFileName.toString.matches("\\d{10}\\.txt")).sortBy(_.getFileName.toString)
     files.map { f =>
       val v = f.getFileName.toString.stripSuffix(".txt").toLong
-      var mode = "append"; var batch = -1L
+      var mode = "append"; var batch = -1L; var schema = ""
       val adds = Seq.newBuilder[String]
       scala.io.Source.fromFile(f.toFile).getLines().foreach {
         case l if l.startsWith("mode=") => mode = l.stripPrefix("mode=")
         case l if l.startsWith("batch=") => batch = l.stripPrefix("batch=").toLong
+        case l if l.startsWith("schema=") => schema = l.stripPrefix("schema=")
         case l if l.startsWith("add=") => adds += l.stripPrefix("add=")
         case _ => ()
       }
-      Commit(v, mode, batch, adds.result())
+      Commit(v, mode, batch, adds.result(), schema)
     }
   }
 
@@ -87,9 +88,9 @@ object TxLog {
     * The complete record is written to a temp file first and renamed
     * in — a version collision (concurrent writer) retries upward. */
   private def writeCommit(table: String, mode: String, batchId: Long,
-      adds: Seq[String]): Long = {
+      adds: Seq[String], schema: String): Long = {
     Files.createDirectories(logDir(table))
-    val body = (s"mode=$mode" +: s"batch=$batchId" +:
+    val body = (s"mode=$mode" +: s"batch=$batchId" +: s"schema=$schema" +:
       adds.map("add=" + _)).mkString("", "\n", "\n")
     var v = commits(table).lastOption.map(_.version + 1).getOrElse(0L)
     while (true) {
@@ -118,6 +119,18 @@ object TxLog {
       batchId: Long = -1L): Long = {
     require(mode == "append" || mode == "overwrite", s"bad mode $mode")
     if (batchId >= 0 && committedBatches(table).contains(batchId)) return -1L
+    // schema guard: an append whose schema differs from the table's
+    // current one must fail at COMMIT time with the diff in hand —
+    // letting it land would poison every later snapshot read with a
+    // silent multi-schema union. Overwrite may change the schema (it
+    // starts a fresh live set). The DDL lives in the log, so the check
+    // costs one string compare, no file footer reads.
+    val ddl = df.schema.toDDL.replace("\n", " ")
+    if (mode == "append")
+      commits(table).lastOption.filter(_.schema.nonEmpty).foreach { last =>
+        require(last.schema == ddl,
+          s"append schema mismatch:\n  table: ${last.schema}\n  batch: $ddl")
+      }
     val staging = Paths.get(table, "_staging",
       java.util.UUID.randomUUID().toString)
     df.write.parquet(staging.toString)
@@ -131,7 +144,7 @@ object TxLog {
     }
     // staging leftovers (_SUCCESS, crc) are orphans below _staging —
     // never visible; vacuum reclaims them
-    writeCommit(table, mode, batchId, adds.toSeq)
+    writeCommit(table, mode, batchId, adds.toSeq, ddl)
   }
 
   /** Live data files at `asOf` (default: latest). */

@@ -68,6 +68,25 @@ class TxLogSpec extends SparkSpec {
     assert(ids(TxLog.snapshot(spark, t)) == Seq(2L))
   }
 
+  test("append schema mismatch fails at commit; overwrite may evolve") {
+    val t = tmp("txlog_schema")
+    TxLog.write(Seq(1L).toDF("id"), t, "overwrite")
+    def stagingDirs(): Long = {
+      val p = Paths.get(t, "_staging")
+      if (Files.isDirectory(p)) Files.list(p).count() else 0L
+    }
+    val stagedBefore = stagingDirs()
+    intercept[IllegalArgumentException](
+      TxLog.write(Seq("x").toDF("name"), t, "append"))
+    // the guard fires before staging: no data was even written
+    assert(ids(TxLog.snapshot(spark, t)) == Seq(1L))
+    assert(TxLog.latestVersion(t).contains(0L))
+    assert(stagingDirs() == stagedBefore)
+    // overwrite legally starts a fresh live set with a fresh schema
+    TxLog.write(Seq("x").toDF("name"), t, "overwrite")
+    assert(TxLog.snapshot(spark, t).columns.toSeq == Seq("name"))
+  }
+
   test("compact: many small commits -> one file set, content-neutral, history intact") {
     val t = tmp("txlog_compact")
     (1L to 6L).foreach(i => TxLog.write(Seq(i).toDF("id"), t, "append"))
