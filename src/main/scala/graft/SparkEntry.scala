@@ -87,6 +87,7 @@ object SparkEntry {
         k != "date_partition_scan" && k != "ann_ivf_postings_scan" &&
         k != "csv_scan_clean" && k != "orc_scan_clean" &&
         k != "txlog_time_travel" && // builds a table per call: IO class
+        k != "txlog_stats_prune" && // builds a table per call: IO class
         // same results as ngram_jaccard via the hot-key-free candidate
         // path; its freq-agg + prefix overhead only pays off on corpora
         // with skewed shingle frequencies — redundant as a throughput
@@ -1167,6 +1168,28 @@ object SparkEntry {
       graft.ingest.TxLog.snapshot(s, s"$base/table")
         .select("doc_id", "lang", "source").orderBy("doc_id")
     }),
+    // data skipping through the transactional log: commit-time footer
+    // stats (per-file min/max, metadata-only) + a range-clustered
+    // write let snapshotRange drop non-overlapping files at planning
+    // time (TxLogSpec pins kept < total); the oracle answers the same
+    // zorder_scan predicate straight off the source table — pruning
+    // must be invisible in the data
+    "txlog_stats_prune" -> prep((s, d) => {
+      val t = tmpDir("graft_txstats")
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      graft.ingest.TxLog.write(
+        ev.repartitionByRange(8, col("user_id")), t, "overwrite")
+      Engine.canonical(
+        graft.ingest.TxLog.snapshotRange(s, t, "user_id", Some(3L), Some(11L))
+          .withColumn("ts_s",
+            expr("unix_micros(cast(ts as timestamp)) div 1000000"))
+          .where(col("ts_s").between(1704499200L, 1705103999L))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            (sum(round(col("value") * 100).cast("long")).cast("double") / 100)
+              .as("sum_value")))
+    }),
     // the robust codec tier as a live stream: stateless narrow decode
     // map, malformed payloads quarantined as ok=false rows in-line
     // (shares the batch twin — stream == batch doc-for-doc)
@@ -1731,6 +1754,7 @@ object SparkEntry {
     "stream_full_ingest" -> ExtOracle.streamFullIngest,
     "txlog_time_travel" -> ExtOracle.txlogTimeTravel,
     "stream_txlog_ingest" -> ExtOracle.streamTxlogIngest,
+    "txlog_stats_prune" -> ExtOracle.zorderScan, // same predicate+rollup, stats-pruned file list
     "stream_multimodal_decode" -> ExtOracle.multimodalDecodeRobust,
     "stream_quality_filter" -> ExtOracle.streamQualityFilter,
     "stream_attribution" -> ExtOracle.streamAttribution,

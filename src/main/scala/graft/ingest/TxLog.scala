@@ -49,8 +49,17 @@ object TxLog {
 
   private def logDir(table: String): Path = Paths.get(table, "_txlog")
 
+  /** Per-file column statistics recorded in the commit — the data-
+    * skipping half of the format (Delta records the same per-file
+    * min/max in its commit json). `kind` ∈ long | double | string |
+    * tsmicros (timestamp, values = micros since epoch) | allnull;
+    * min/max are the canonical string forms of the typed values. */
+  final case class ColStat(kind: String, min: String, max: String,
+    nulls: Long)
+
   final case class Commit(version: Long, mode: String, batchId: Long,
-    adds: Seq[String], schema: String = "")
+    adds: Seq[String], schema: String = "",
+    stats: Map[String, Map[String, ColStat]] = Map.empty)
 
   private def commitFile(table: String, v: Long): Path =
     logDir(table).resolve(f"$v%010d.txt")
@@ -63,6 +72,15 @@ object TxLog {
     try s.toArray.map(_.asInstanceOf[Path]).toSeq finally s.close()
   }
 
+  /** Stat values are hex-of-UTF-8 in the log line — strings may hold
+    * any byte (delimiters, newlines); hex keeps the line format
+    * trivially parseable and the encoding loss-free. */
+  private def hexEnc(s: String): String =
+    s.getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+  private def hexDec(h: String): String =
+    new String(h.sliding(2, 2).map(Integer.parseInt(_, 16).toByte).toArray,
+      "UTF-8")
+
   /** All commits in version order (missing table → empty). */
   def commits(table: String): Seq[Commit] = {
     val dir = logDir(table)
@@ -73,14 +91,23 @@ object TxLog {
       val v = f.getFileName.toString.stripSuffix(".txt").toLong
       var mode = "append"; var batch = -1L; var schema = ""
       val adds = Seq.newBuilder[String]
+      val stats = scala.collection.mutable.Map
+        .empty[String, Map[String, ColStat]]
       scala.io.Source.fromFile(f.toFile).getLines().foreach {
         case l if l.startsWith("mode=") => mode = l.stripPrefix("mode=")
         case l if l.startsWith("batch=") => batch = l.stripPrefix("batch=").toLong
         case l if l.startsWith("schema=") => schema = l.stripPrefix("schema=")
         case l if l.startsWith("add=") => adds += l.stripPrefix("add=")
+        case l if l.startsWith("stat=") =>
+          l.stripPrefix("stat=").split('|') match {
+            case Array(file, colName, kind, mn, mx, nulls) =>
+              stats(file) = stats.getOrElse(file, Map.empty) +
+                (colName -> ColStat(kind, hexDec(mn), hexDec(mx), nulls.toLong))
+            case _ => () // malformed stat line: skipped (conservative keep)
+          }
         case _ => ()
       }
-      Commit(v, mode, batch, adds.result(), schema)
+      Commit(v, mode, batch, adds.result(), schema, stats.toMap)
     }
   }
 
@@ -88,10 +115,17 @@ object TxLog {
     * The complete record is written to a temp file first and renamed
     * in — a version collision (concurrent writer) retries upward. */
   private def writeCommit(table: String, mode: String, batchId: Long,
-      adds: Seq[String], schema: String): Long = {
+      adds: Seq[String], schema: String,
+      stats: Map[String, Map[String, ColStat]] = Map.empty): Long = {
     Files.createDirectories(logDir(table))
+    val statLines = stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
+      cols.toSeq.sortBy(_._1).collect {
+        case (c, cs) if !c.contains('|') =>
+          s"stat=$f|$c|${cs.kind}|${hexEnc(cs.min)}|${hexEnc(cs.max)}|${cs.nulls}"
+      }
+    }
     val body = (s"mode=$mode" +: s"batch=$batchId" +: s"schema=$schema" +:
-      adds.map("add=" + _)).mkString("", "\n", "\n")
+      (adds.map("add=" + _) ++ statLines)).mkString("", "\n", "\n")
     var v = commits(table).lastOption.map(_.version + 1).getOrElse(0L)
     while (true) {
       val tmp = logDir(table).resolve(s".tmp-${java.util.UUID.randomUUID()}")
@@ -110,6 +144,130 @@ object TxLog {
   /** Batch ids already committed (the exactly-once ledger). */
   def committedBatches(table: String): Set[Long] =
     commits(table).map(_.batchId).filter(_ >= 0).toSet
+
+  /** Unsigned-byte lexicographic `<` over UTF-8 — BOTH parquet binary
+    * stats and Spark's string comparison order bytes this way, so
+    * pruning with it is bound-safe even off the ASCII plane (Java
+    * String.compareTo orders by UTF-16 code unit and disagrees above
+    * the BMP). */
+  private def bytesLt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Per-file min/max/null-count from the freshly written parquet
+    * FOOTER — metadata-only (a KB-sized tail read per file, the data
+    * pages are never touched), so commit-time stats collection costs
+    * O(files-per-commit) driver-side footer reads and NO second pass
+    * over the batch. Top-level columns only; a column qualifies only
+    * if EVERY row-group chunk carries usable statistics (a chunk with
+    * dropped/oversized stats, or a double chunk whose bounds are NaN,
+    * disqualifies the column → readers conservatively keep the file).
+    * An all-null column records kind=allnull — a range predicate can
+    * never match it, so the file is pruned outright. */
+  private def footerStats(table: String, file: String): Map[String, ColStat] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(Paths.get(table, file).toString),
+        new org.apache.hadoop.conf.Configuration()))
+    try {
+      // per column: kind, merged (min, max) as canonical strings
+      // (None while only all-null chunks seen), null count
+      val acc = scala.collection.mutable.LinkedHashMap
+        .empty[String, (String, Option[(String, String)], Long)]
+      val dead = scala.collection.mutable.Set.empty[String]
+      for (b <- reader.getFooter.getBlocks.asScala;
+           c <- b.getColumns.asScala) {
+        val name = c.getPath.toDotString
+        if (!name.contains('.') && !dead(name)) {
+          val pt = c.getPrimitiveType
+          val kind = pt.getPrimitiveTypeName match {
+            case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
+              pt.getLogicalTypeAnnotation match {
+                case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+                    if t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+                  "tsmicros"
+                case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation |
+                     _: LogicalTypeAnnotation.DateLogicalTypeAnnotation |
+                     _: LogicalTypeAnnotation.TimeLogicalTypeAnnotation => ""
+                case _ => "long"
+              }
+            case PrimitiveTypeName.DOUBLE | PrimitiveTypeName.FLOAT => "double"
+            case PrimitiveTypeName.BINARY =>
+              pt.getLogicalTypeAnnotation match {
+                case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => "string"
+                case _ => ""
+              }
+            case _ => ""
+          }
+          val st = c.getStatistics
+          if (kind.isEmpty || st == null) dead += name
+          else if (!st.hasNonNullValue) {
+            // no min/max: either a genuinely all-null chunk, or stats
+            // were dropped (oversized binary etc.) — only the former
+            // is usable knowledge
+            if (st.getNumNulls >= 0 && st.getNumNulls == c.getValueCount) {
+              val (k, mm, n) = acc.getOrElse(name, (kind, None, 0L))
+              acc(name) = (k, mm, n + st.getNumNulls)
+            } else dead += name
+          } else {
+            val mnmx: Option[(String, String)] = kind match {
+              case "long" | "tsmicros" =>
+                val mn = st.genericGetMin.asInstanceOf[Number].longValue
+                val mx = st.genericGetMax.asInstanceOf[Number].longValue
+                Some((mn.toString, mx.toString))
+              case "double" =>
+                val mn = st.genericGetMin.asInstanceOf[Number].doubleValue
+                val mx = st.genericGetMax.asInstanceOf[Number].doubleValue
+                if (mn.isNaN || mx.isNaN) None else Some((mn.toString, mx.toString))
+              case _ =>
+                Some((
+                  st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+                    .toStringUsingUTF8,
+                  st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+                    .toStringUsingUTF8))
+            }
+            mnmx match {
+              case None => dead += name
+              case Some((mn, mx)) =>
+                val lt: (String, String) => Boolean = kind match {
+                  case "double" => (a, b) => a.toDouble < b.toDouble
+                  case "string" => bytesLt
+                  case _ => (a, b) => a.toLong < b.toLong
+                }
+                val nulls = math.max(st.getNumNulls, 0L)
+                acc.get(name) match {
+                  case Some((k, Some((m0, m1)), n)) =>
+                    acc(name) = (k,
+                      Some((if (lt(mn, m0)) mn else m0,
+                        if (lt(m1, mx)) mx else m1)), n + nulls)
+                  case Some((k, None, n)) =>
+                    acc(name) = (k, Some((mn, mx)), n + nulls)
+                  case None =>
+                    acc(name) = (kind, Some((mn, mx)), nulls)
+                }
+            }
+          }
+        }
+      }
+      acc.iterator.collect {
+        case (name, (kind, mm, nulls)) if !dead(name) =>
+          mm match {
+            case Some((mn, mx)) => name -> ColStat(kind, mn, mx, nulls)
+            case None => name -> ColStat("allnull", "", "", nulls)
+          }
+      }.toMap
+    } finally reader.close()
+  }
 
   /** Write `df` as one transactional commit. Data files stage under a
     * UUID dir, move into the table under UUID-unique names, and become
@@ -133,7 +291,18 @@ object TxLog {
       }
     val staging = Paths.get(table, "_staging",
       java.util.UUID.randomUUID().toString)
-    df.write.parquet(staging.toString)
+    // LTZ timestamps default to deprecated INT96 in parquet — a
+    // physical type that carries NO column statistics, silently
+    // disabling data skipping on every time column (the #1 prune
+    // dimension of a 100 TB table). Write INT64 micros inside the
+    // transactional path only; restore the session default after so
+    // the rest of the engine's outputs stay bit-identical. (NTZ
+    // columns already land as INT64 micros either way.)
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = df.sparkSession.conf.get(tsKey)
+    df.sparkSession.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try df.write.parquet(staging.toString)
+    finally df.sparkSession.conf.set(tsKey, prevTs)
     val parts = ls(staging)
       .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.getFileName.toString)
     val uuid = java.util.UUID.randomUUID().toString
@@ -144,7 +313,90 @@ object TxLog {
     }
     // staging leftovers (_SUCCESS, crc) are orphans below _staging —
     // never visible; vacuum reclaims them
-    writeCommit(table, mode, batchId, adds.toSeq, ddl)
+    val stats = adds.map(f => f -> footerStats(table, f))
+      .filter(_._2.nonEmpty).toMap
+    writeCommit(table, mode, batchId, adds.toSeq, ddl, stats)
+  }
+
+  /** file → column → stats, across all commits (file names are
+    * UUID-unique, so the union over history is well-defined). */
+  def fileStats(table: String): Map[String, Map[String, ColStat]] =
+    commits(table).flatMap(_.stats).toMap
+
+  /** Predicate-bound values normalized into the stat's value space.
+    * tsmicros accepts Timestamp / Instant / ISO-8601 string / raw
+    * micros — wall-clock strings are read as UTC, matching the
+    * engine's session timezone contract (Engine.prepare). */
+  private def boundLong(kind: String, v: Any): Long = (kind, v) match {
+    case (_, l: Long) => l
+    case (_, i: Int) => i.toLong
+    case ("tsmicros", t: java.sql.Timestamp) =>
+      Math.addExact(Math.multiplyExact(
+        Math.floorDiv(t.getTime, 1000L), 1000000L), (t.getNanos / 1000) % 1000000L)
+    case ("tsmicros", i: java.time.Instant) =>
+      Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+        i.getNano / 1000L)
+    case ("tsmicros", s: String) =>
+      val ldt = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+      boundLong("tsmicros", ldt.toInstant(java.time.ZoneOffset.UTC))
+    case _ => v.toString.toLong
+  }
+
+  /** Can a file whose recorded range is `cs` hold a row with
+    * lo <= column <= hi? (Either bound optional.) */
+  private def overlaps(cs: ColStat, lo: Option[Any], hi: Option[Any]): Boolean =
+    cs.kind match {
+      case "allnull" => false // a range predicate never matches NULL
+      case "long" | "tsmicros" =>
+        lo.forall(v => cs.max.toLong >= boundLong(cs.kind, v)) &&
+          hi.forall(v => cs.min.toLong <= boundLong(cs.kind, v))
+      case "double" =>
+        lo.forall(v => cs.max.toDouble >= v.toString.toDouble) &&
+          hi.forall(v => cs.min.toDouble <= v.toString.toDouble)
+      case "string" =>
+        lo.forall(v => !bytesLt(cs.max, v.toString)) &&
+          hi.forall(v => !bytesLt(v.toString, cs.min))
+      case _ => true // unknown kind (future log version): keep
+    }
+
+  /** Live files at `asOf` whose stats admit lo <= `column` <= hi;
+    * files without usable stats for the column are kept (pruning is
+    * an optimization, never a filter). Returns (kept, totalLive). */
+  def pruneFiles(table: String, column: String, lo: Option[Any],
+      hi: Option[Any], asOf: Option[Long] = None): (Seq[String], Int) = {
+    val live = liveFiles(table, asOf)
+    val stats = fileStats(table)
+    val kept = live.filter { f =>
+      stats.get(f).flatMap(_.get(column)) match {
+        case Some(cs) => overlaps(cs, lo, hi)
+        case None => true
+      }
+    }
+    (kept, live.size)
+  }
+
+  /** Range read with data skipping — the Delta data-skipping
+    * analogue, and the payoff of commit-time stats at 100 TB: the
+    * driver drops non-overlapping files from the scan at PLANNING
+    * time using log metadata alone (no listing, no footer reads, no
+    * tasks for skipped files), then applies the exact predicate to
+    * the survivors — stats only ever widen the file list, so the
+    * result is identical to filtering the full snapshot. With a
+    * range-clustered layout (`repartitionByRange` at write, or
+    * `Layout.writeZOrdered` for two dimensions) files cover tight
+    * ranges and a selective read touches O(matching) files. For
+    * timestamp columns pass Timestamp / Instant / "yyyy-MM-dd
+    * HH:mm:ss" bounds (compared as UTC micros). */
+  def snapshotRange(spark: SparkSession, table: String, column: String,
+      lo: Option[Any], hi: Option[Any],
+      asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (kept, _) = pruneFiles(table, column, lo, hi, asOf)
+    val base =
+      if (kept.isEmpty) snapshot(spark, table, asOf).limit(0)
+      else spark.read.parquet(kept.map(f => s"$table/$f"): _*)
+    Seq(lo.map(v => col(column) >= lit(v)), hi.map(v => col(column) <= lit(v)))
+      .flatten.foldLeft(base)((df, p) => df.where(p))
   }
 
   /** Live data files at `asOf` (default: latest). */

@@ -109,6 +109,70 @@ class TxLogSpec extends SparkSpec {
       plan.take(600))
   }
 
+  test("data skipping: commit-time footer stats prune non-overlapping files") {
+    val t = tmp("txlog_skip")
+    // range-clustered write: 4 files, each covering ~25 consecutive ids
+    TxLog.write((1L to 100L).toDF("id")
+      .repartitionByRange(4, col("id")), t, "overwrite")
+    val stats = TxLog.fileStats(t)
+    assert(TxLog.liveFiles(t).forall(f => stats.get(f).exists(_.contains("id"))),
+      "every committed file must carry id stats")
+    val (kept, total) = TxLog.pruneFiles(t, "id", Some(10L), Some(20L))
+    assert(total == 4 && kept.size < total,
+      s"a selective range must skip files ($kept of $total kept)")
+    // pruning is invisible in the data: pruned read == full-scan filter
+    val pruned = ids(TxLog.snapshotRange(spark, t, "id", Some(10L), Some(20L)))
+    assert(pruned == (10L to 20L).toSeq)
+    // a range below/above everything prunes ALL files, schema intact
+    val none = TxLog.snapshotRange(spark, t, "id", Some(500L), None)
+    assert(none.columns.toSeq == Seq("id") && none.count() == 0)
+  }
+
+  test("data skipping: string and timestamp bounds, null and no-stat safety") {
+    val t = tmp("txlog_skip2")
+    val df = Seq(
+      ("alpha", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), Some(1.0)),
+      ("beta", java.sql.Timestamp.valueOf("2024-01-10 12:00:00"), None))
+      .toDF("name", "ts", "v")
+    val df2 = Seq(
+      ("omega", java.sql.Timestamp.valueOf("2024-03-01 00:00:00"),
+        Option.empty[Double]))
+      .toDF("name", "ts", "v")
+    TxLog.write(df.coalesce(1), t, "overwrite")
+    TxLog.write(df2.coalesce(1), t, "append")
+    // string prune: [a, c] keeps file 1 only
+    assert(TxLog.pruneFiles(t, "name", Some("a"), Some("c"))._1.size == 1)
+    // timestamp prune (tsmicros kind): Feb onward keeps file 2 only
+    val (k2, _) = TxLog.pruneFiles(t, "ts",
+      Some(java.sql.Timestamp.valueOf("2024-02-01 00:00:00")), None)
+    assert(k2.size == 1)
+    val r = TxLog.snapshotRange(spark, t, "ts",
+      Some(java.sql.Timestamp.valueOf("2024-02-01 00:00:00")), None)
+      .select("name").collect().map(_.getString(0)).toSeq
+    assert(r == Seq("omega"))
+    // all-null column: a range predicate can never match → file pruned
+    val (k3, _) = TxLog.pruneFiles(t, "v", Some(0.0), Some(9.9))
+    assert(k3.size == 1, "the all-null-v file must be skipped")
+    assert(TxLog.snapshotRange(spark, t, "v", Some(0.0), Some(9.9))
+      .count() == 1)
+    // a column with no recorded stats anywhere → conservative full keep
+    assert(TxLog.pruneFiles(t, "nope", Some(1L), None)._1.size == 2)
+  }
+
+  test("data skipping: a stats-free commit (older log version) is kept") {
+    val t = tmp("txlog_skip3")
+    TxLog.write(Seq(1L).toDF("id"), t, "overwrite")
+    // hand-write a pre-stats commit referencing a real data file
+    val dataFile = TxLog.liveFiles(t).head
+    val copy = "legacy-" + dataFile
+    Files.copy(Paths.get(t, dataFile), Paths.get(t, copy))
+    Files.write(Paths.get(t, "_txlog", f"${1L}%010d.txt"),
+      s"mode=append\nbatch=-1\nadd=$copy\n".getBytes("UTF-8"))
+    val (kept, total) = TxLog.pruneFiles(t, "id", Some(100L), None)
+    assert(total == 2 && kept == Seq(copy),
+      "the stats-bearing file prunes, the legacy file survives")
+  }
+
   test("streaming restart: rerun on the same landing adds nothing") {
     val base = tmp("txlog_restart")
     val docs = spark.read.parquet(s"$sf/documents.parquet")
