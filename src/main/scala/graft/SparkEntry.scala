@@ -88,6 +88,7 @@ object SparkEntry {
         k != "csv_scan_clean" && k != "orc_scan_clean" &&
         k != "txlog_time_travel" && // builds a table per call: IO class
         k != "txlog_stats_prune" && // builds a table per call: IO class
+        k != "txlog_rowops" && // builds a table per call: IO class
         // same results as ngram_jaccard via the hot-key-free candidate
         // path; its freq-agg + prefix overhead only pays off on corpora
         // with skewed shingle frequencies — redundant as a throughput
@@ -1190,6 +1191,28 @@ object SparkEntry {
             (sum(round(col("value") * 100).cast("long")).cast("double") / 100)
               .as("sum_value")))
     }),
+    // row-level ops through the transactional log: copy-on-write
+    // DELETE (range + predicate), UPDATE, and whole-row UPSERT by key
+    // — each one atomic rewrite commit touching only matching files
+    // (TxLogSpec pins the untouched-files and time-travel properties);
+    // the oracle replays the same sequence as pure set algebra on the
+    // source table, so tombstones and rewrites must be invisible
+    "txlog_rowops" -> prep((s, d) => {
+      val t = tmpDir("graft_txrowops")
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+      graft.ingest.TxLog.write(
+        docs.repartitionByRange(8, col("doc_id")), t, "overwrite")
+      graft.ingest.TxLog.deleteRange(s, t, "doc_id", Some(100L), Some(199L))
+      graft.ingest.TxLog.delete(s, t, col("lang") === "de")
+      graft.ingest.TxLog.update(s, t, col("source") === "src1",
+        Map("source" -> lit("src1-clean")))
+      graft.ingest.TxLog.upsert(s, t,
+        docs.where(col("doc_id") % 50 === 0).withColumn("n_chars", lit(-1L)),
+        Seq("doc_id"))
+      Engine.canonical(graft.ingest.TxLog.snapshot(s, t)
+        .select("doc_id", "lang", "source", "n_chars"))
+    }),
     // the robust codec tier as a live stream: stateless narrow decode
     // map, malformed payloads quarantined as ok=false rows in-line
     // (shares the batch twin — stream == batch doc-for-doc)
@@ -1755,6 +1778,7 @@ object SparkEntry {
     "txlog_time_travel" -> ExtOracle.txlogTimeTravel,
     "stream_txlog_ingest" -> ExtOracle.streamTxlogIngest,
     "txlog_stats_prune" -> ExtOracle.zorderScan, // same predicate+rollup, stats-pruned file list
+    "txlog_rowops" -> ExtOracle.txlogRowOps,
     "stream_multimodal_decode" -> ExtOracle.multimodalDecodeRobust,
     "stream_quality_filter" -> ExtOracle.streamQualityFilter,
     "stream_attribution" -> ExtOracle.streamAttribution,

@@ -584,6 +584,35 @@ SELECT CAST(2 AS BIGINT), doc_id, lang, source, n_chars
 FROM documents WHERE doc_id % 97 = 0
 ${ord("version", "doc_id")}""".trim
 
+  /** Twin of `txlog_rowops`: the engine's copy-on-write delete /
+    * update / upsert sequence expressed as pure set algebra on the
+    * source table — the log machinery (file rewrites, remove actions,
+    * tombstones) must be invisible in the data. Order of operations
+    * mirrors the entry: two deletes, then the update over survivors,
+    * then a whole-row upsert by key whose source rows carry ORIGINAL
+    * lang/source (taken from `documents` before any update) and
+    * n_chars = -1 — re-inserting even previously deleted keys. NULL
+    * handling matches SQL row ops: a NULL predicate keeps the row
+    * (DELETE), and NULL keys never match (upsert inserts them). */
+  val txlogRowOps: String = s"""
+WITH survivors AS (
+  SELECT doc_id, lang,
+    CASE WHEN source = 'src1' THEN 'src1-clean' ELSE source END AS source,
+    n_chars
+  FROM documents
+  WHERE NOT COALESCE(doc_id BETWEEN 100 AND 199, FALSE)
+    AND NOT COALESCE(lang = 'de', FALSE)
+),
+src AS (
+  SELECT doc_id, lang, source, CAST(-1 AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 50 = 0
+)
+SELECT doc_id, lang, source, n_chars FROM survivors u
+WHERE NOT EXISTS (SELECT 1 FROM src WHERE src.doc_id = u.doc_id)
+UNION ALL
+SELECT doc_id, lang, source, n_chars FROM src
+${ord("doc_id", "lang", "source", "n_chars")}""".trim
+
   /** Twin of `stream_txlog_ingest`: exactly-once ingest of the full
     * docs stream — the snapshot must hold every doc exactly once. */
   val streamTxlogIngest: String = s"""

@@ -14,12 +14,15 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * exactly-once streaming ingest across restarts.
   *
   * Layout: `<table>/_txlog/<%010d-version>.txt` holds one commit each
-  * (line format: `mode=append|overwrite`, `batch=<id|-1>`, then one
-  * `add=<relative parquet file>` per data file); data files live flat
-  * in `<table>/` under UUID-unique names. A snapshot at version V
+  * (line format: `mode=append|overwrite|rewrite`, `batch=<id|-1>`,
+  * then one `remove=`/`add=<relative parquet file>` per data file and
+  * one `stat=` line per file×column); data files live flat in
+  * `<table>/` under UUID-unique names. A snapshot at version V
   * replays commits 0..V in order — `overwrite` resets the live set,
-  * `append` extends it. Overwrite never deletes bytes, so every
-  * historical version stays readable until `vacuum`.
+  * `append` extends it, `rewrite` (row-level delete/update/upsert)
+  * swaps removed files for their rewritten replacements. No mode
+  * deletes bytes, so every historical version stays readable until
+  * `vacuum`.
   *
   * Correctness properties, each spec-pinned (TxLogSpec):
   *  - **Atomic commit**: a commit becomes visible via one
@@ -59,7 +62,8 @@ object TxLog {
 
   final case class Commit(version: Long, mode: String, batchId: Long,
     adds: Seq[String], schema: String = "",
-    stats: Map[String, Map[String, ColStat]] = Map.empty)
+    stats: Map[String, Map[String, ColStat]] = Map.empty,
+    removes: Seq[String] = Nil)
 
   private def commitFile(table: String, v: Long): Path =
     logDir(table).resolve(f"$v%010d.txt")
@@ -91,6 +95,7 @@ object TxLog {
       val v = f.getFileName.toString.stripSuffix(".txt").toLong
       var mode = "append"; var batch = -1L; var schema = ""
       val adds = Seq.newBuilder[String]
+      val removes = Seq.newBuilder[String]
       val stats = scala.collection.mutable.Map
         .empty[String, Map[String, ColStat]]
       scala.io.Source.fromFile(f.toFile).getLines().foreach {
@@ -98,6 +103,7 @@ object TxLog {
         case l if l.startsWith("batch=") => batch = l.stripPrefix("batch=").toLong
         case l if l.startsWith("schema=") => schema = l.stripPrefix("schema=")
         case l if l.startsWith("add=") => adds += l.stripPrefix("add=")
+        case l if l.startsWith("remove=") => removes += l.stripPrefix("remove=")
         case l if l.startsWith("stat=") =>
           l.stripPrefix("stat=").split('|') match {
             case Array(file, colName, kind, mn, mx, nulls) =>
@@ -107,7 +113,8 @@ object TxLog {
           }
         case _ => ()
       }
-      Commit(v, mode, batch, adds.result(), schema, stats.toMap)
+      Commit(v, mode, batch, adds.result(), schema, stats.toMap,
+        removes.result())
     }
   }
 
@@ -116,7 +123,8 @@ object TxLog {
     * in — a version collision (concurrent writer) retries upward. */
   private def writeCommit(table: String, mode: String, batchId: Long,
       adds: Seq[String], schema: String,
-      stats: Map[String, Map[String, ColStat]] = Map.empty): Long = {
+      stats: Map[String, Map[String, ColStat]] = Map.empty,
+      removes: Seq[String] = Nil): Long = {
     Files.createDirectories(logDir(table))
     val statLines = stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
       cols.toSeq.sortBy(_._1).collect {
@@ -125,7 +133,8 @@ object TxLog {
       }
     }
     val body = (s"mode=$mode" +: s"batch=$batchId" +: s"schema=$schema" +:
-      (adds.map("add=" + _) ++ statLines)).mkString("", "\n", "\n")
+      (removes.map("remove=" + _) ++ adds.map("add=" + _) ++ statLines))
+      .mkString("", "\n", "\n")
     var v = commits(table).lastOption.map(_.version + 1).getOrElse(0L)
     while (true) {
       val tmp = logDir(table).resolve(s".tmp-${java.util.UUID.randomUUID()}")
@@ -170,8 +179,10 @@ object TxLog {
     * dropped/oversized stats, or a double chunk whose bounds are NaN,
     * disqualifies the column → readers conservatively keep the file).
     * An all-null column records kind=allnull — a range predicate can
-    * never match it, so the file is pruned outright. */
-  private def footerStats(table: String, file: String): Map[String, ColStat] = {
+    * never match it, so the file is pruned outright. Returns
+    * (rowCount, stats). */
+  private def footerInfo(table: String,
+      file: String): (Long, Map[String, ColStat]) = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     import org.apache.parquet.schema.LogicalTypeAnnotation
@@ -259,14 +270,28 @@ object TxLog {
           }
         }
       }
-      acc.iterator.collect {
+      val rows = reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      (rows, acc.iterator.collect {
         case (name, (kind, mm, nulls)) if !dead(name) =>
           mm match {
             case Some((mn, mx)) => name -> ColStat(kind, mn, mx, nulls)
             case None => name -> ColStat("allnull", "", "", nulls)
           }
-      }.toMap
+      }.toMap)
     } finally reader.close()
+  }
+
+  /** Stage + census: drop zero-row part files from the commit outright
+    * (a 0-row file carries no stats, so it could never prune — and a
+    * delete that empties a file should shrink the table, not leave an
+    * unprunable husk) and collect the survivors' footer stats. */
+  private def stageWithStats(df: DataFrame, table: String):
+      (Seq[String], Map[String, Map[String, ColStat]]) = {
+    val infos = stage(df, table).map(f => f -> footerInfo(table, f))
+    val (empty, keep) = infos.partition(_._2._1 == 0L)
+    empty.foreach { case (f, _) => Files.deleteIfExists(Paths.get(table, f)) }
+    (keep.map(_._1),
+      keep.collect { case (f, (_, st)) if st.nonEmpty => f -> st }.toMap)
   }
 
   /** Write `df` as one transactional commit. Data files stage under a
@@ -289,6 +314,15 @@ object TxLog {
         require(last.schema == ddl,
           s"append schema mismatch:\n  table: ${last.schema}\n  batch: $ddl")
       }
+    val (adds, stats) = stageWithStats(df, table)
+    writeCommit(table, mode, batchId, adds, ddl, stats)
+  }
+
+  /** Stage `df`'s rows into the table dir as UUID-unique parquet files
+    * — invisible to readers until a commit references them. Returns
+    * the new file names (possibly empty: a fully-filtered rewrite
+    * produces no part files). */
+  private def stage(df: DataFrame, table: String): Seq[String] = {
     val staging = Paths.get(table, "_staging",
       java.util.UUID.randomUUID().toString)
     // LTZ timestamps default to deprecated INT96 in parquet — a
@@ -306,16 +340,13 @@ object TxLog {
     val parts = ls(staging)
       .filter(_.getFileName.toString.endsWith(".parquet")).sortBy(_.getFileName.toString)
     val uuid = java.util.UUID.randomUUID().toString
-    val adds = parts.zipWithIndex.map { case (p, i) =>
+    // staging leftovers (_SUCCESS, crc) are orphans below _staging —
+    // never visible; vacuum reclaims them
+    parts.zipWithIndex.map { case (p, i) =>
       val name = s"$uuid-$i.parquet"
       Files.move(p, Paths.get(table, name), StandardCopyOption.ATOMIC_MOVE)
       name
     }
-    // staging leftovers (_SUCCESS, crc) are orphans below _staging —
-    // never visible; vacuum reclaims them
-    val stats = adds.map(f => f -> footerStats(table, f))
-      .filter(_._2.nonEmpty).toMap
-    writeCommit(table, mode, batchId, adds.toSeq, ddl, stats)
   }
 
   /** file → column → stats, across all commits (file names are
@@ -399,6 +430,170 @@ object TxLog {
       .flatten.foldLeft(base)((df, p) => df.where(p))
   }
 
+  // ------------------------------------------------------------------
+  // Row-level operations (copy-on-write). A `rewrite` commit removes
+  // the files that held matching rows and adds their rewritten
+  // replacements in ONE atomic log rename — readers see the old or the
+  // new table, never a mix. Removed files stay on disk (time travel to
+  // any pre-op version still works) until a checkpoint + history-drop
+  // vacuum reclaims them.
+  // ------------------------------------------------------------------
+
+  private def currentSchema(table: String): String =
+    commits(table).lastOption.map(_.schema).getOrElse("")
+
+  /** Name+type shape of a DDL string — rewrite schema checks ignore
+    * nullability: the table DDL is recorded from the writer's
+    * DataFrame (which may carry NOT NULL), while every rewrite reads
+    * from parquet, where Spark treats all columns as nullable. */
+  private def ddlShape(ddl: String): Seq[(String, String)] =
+    org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      .fields.toSeq.map(f => (f.name, f.dataType.sql))
+
+  private def baseName(uri: String): String =
+    uri.substring(uri.lastIndexOf('/') + 1)
+
+  /** Rewrite `removes` (already-identified candidate files) into
+    * `transform`-ed replacements as one atomic commit. The transform
+    * must preserve the table's column names and types. */
+  private def rewrite(spark: SparkSession, table: String,
+      removes: Seq[String], transform: DataFrame => DataFrame): Long = {
+    val src = spark.read.parquet(removes.map(f => s"$table/$f"): _*)
+    val out = transform(src)
+    val ddl = out.schema.toDDL.replace("\n", " ")
+    val tbl = currentSchema(table)
+    require(tbl.isEmpty || ddlShape(tbl) == ddlShape(ddl),
+      s"rewrite must preserve the table schema:\n  table: $tbl\n  rewrite: $ddl")
+    val (adds, stats) = stageWithStats(out, table)
+    writeCommit(table, "rewrite", -1L, adds, tbl, stats, removes)
+  }
+
+  /** Files in `searchSpace` that hold at least one row matching
+    * `cond` — one column-pruned, filter-pushed scan; the driver gets
+    * back only distinct file names (bounded by file count, the same
+    * driver state Delta's own COW planning holds). */
+  private def matchingFiles(spark: SparkSession, table: String,
+      cond: org.apache.spark.sql.Column,
+      searchSpace: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.input_file_name
+    if (searchSpace.isEmpty) Nil
+    else spark.read.parquet(searchSpace.map(f => s"$table/$f"): _*)
+      .where(cond).select(input_file_name().as("_src")).distinct()
+      .collect().map(r => baseName(r.getString(0))).toSeq.sorted
+  }
+
+  /** Row-level DELETE (copy-on-write): files with no matching row are
+    * untouched; files with matches are rewritten without the matching
+    * rows (rows where `cond` is NULL are KEPT, SQL DELETE semantics),
+    * all in one atomic commit. Returns the committed version, or the
+    * current one if nothing matched. At 100 TB: candidate discovery is
+    * a column-pruned scan with the predicate pushed to parquet, and
+    * only matching files rewrite — a selective delete moves O(matching
+    * files), not the table. Pair with `deleteRange` to skip the
+    * discovery scan itself via log stats. */
+  def delete(spark: SparkSession, table: String,
+      cond: org.apache.spark.sql.Column): Long =
+    deleteWithin(spark, table, cond, liveFiles(table))
+
+  /** DELETE of a contiguous range — the GDPR / retention shape. Log
+    * stats bound the candidate-discovery scan to files whose recorded
+    * range overlaps [lo, hi] (on a range-clustered table: O(matching)
+    * files get scanned, everything else is never opened). */
+  def deleteRange(spark: SparkSession, table: String, column: String,
+      lo: Option[Any], hi: Option[Any]): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (candidates, _) = pruneFiles(table, column, lo, hi)
+    val cond = (lo.map(v => col(column) >= lit(v)) ++
+      hi.map(v => col(column) <= lit(v)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    deleteWithin(spark, table, cond, candidates)
+  }
+
+  private def deleteWithin(spark: SparkSession, table: String,
+      cond: org.apache.spark.sql.Column, searchSpace: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val hit = matchingFiles(spark, table, cond, searchSpace)
+    if (hit.isEmpty) latestVersion(table).getOrElse(-1L)
+    else rewrite(spark, table, hit,
+      _.where(not(coalesce(cond, lit(false)))))
+  }
+
+  /** Row-level UPDATE (copy-on-write): rows matching `cond` get each
+    * `set` column replaced (cast back to its original type so the
+    * schema is bit-stable); non-matching rows and untouched files pass
+    * through byte-identical. One atomic commit. */
+  def update(spark: SparkSession, table: String,
+      cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    val hit = matchingFiles(spark, table, cond, liveFiles(table))
+    if (hit.isEmpty) latestVersion(table).getOrElse(-1L)
+    else rewrite(spark, table, hit, df => {
+      val matched = coalesce(cond, lit(false))
+      set.foldLeft(df) { case (d, (c, v)) =>
+        d.withColumn(c,
+          when(matched, v.cast(d.schema(c).dataType)).otherwise(col(c)))
+      }
+    })
+  }
+
+  /** Whole-row UPSERT by key (the MERGE / CDC shape): every `source`
+    * row lands — replacing the table row with equal `keys` if one
+    * exists, inserting otherwise — in ONE atomic commit. Copy-on-
+    * write: only files holding a matched key are rewritten (their
+    * matched rows dropped via anti-join); the new files carry the
+    * rewritten survivors plus all of `source`. NULL keys never match
+    * (SQL join semantics): a NULL-key source row inserts, a NULL-key
+    * table row is never replaced. At 100 TB the key-match discovery is
+    * one semi-join of the table scan against the (usually broadcast-
+    * small) source keys. */
+  def upsert(spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    val tbl = currentSchema(table)
+    val cols = org.apache.spark.sql.types.StructType.fromDDL(tbl)
+      .fields.toSeq.map(_.name)
+    val src = source.select(cols.map(col): _*)
+    val srcDdl = src.schema.toDDL.replace("\n", " ")
+    require(ddlShape(tbl) == ddlShape(srcDdl),
+      s"upsert source schema mismatch:\n  table: $tbl\n  source: $srcDdl")
+    val live = liveFiles(table)
+    val srcKeys = src.select(keys.map(col): _*).distinct()
+    val hit =
+      if (live.isEmpty) Nil
+      else spark.read.parquet(live.map(f => s"$table/$f"): _*)
+        // bind the file name BEFORE the join — input_file_name() is a
+        // single-source expression; only keys + _src reach the join
+        .select(keys.map(col) :+ input_file_name().as("_src"): _*)
+        .join(srcKeys, keys, "left_semi")
+        .select("_src").distinct()
+        .collect().map(r => baseName(r.getString(0))).toSeq.sorted
+    val out =
+      if (hit.isEmpty) src
+      else spark.read.parquet(hit.map(f => s"$table/$f"): _*)
+        .join(srcKeys, keys, "left_anti").unionByName(src)
+    val (adds, stats) = stageWithStats(out, table)
+    writeCommit(table, "rewrite", -1L, adds, tbl, stats, hit)
+  }
+
+  /** Metadata-only checkpoint: land the CURRENT live set as one
+    * overwrite commit that re-references the live files and carries
+    * their stats forward — no data moves. After it, history before the
+    * checkpoint is self-contained to drop:
+    * `vacuum(table, dropHistoryBefore = checkpointLog(table))`
+    * reclaims every byte the live set no longer references (rewrite
+    * tombstones, pre-overwrite files) without touching a row — the
+    * Delta checkpoint analogue, and at 100 TB the required companion
+    * of row-level ops, whose rewrites accrete tombstoned bytes only a
+    * safe history cut can reclaim. */
+  def checkpointLog(table: String): Long = {
+    val live = liveFiles(table)
+    val liveSet = live.toSet
+    val stats = fileStats(table).filter(kv => liveSet(kv._1))
+    writeCommit(table, "overwrite", -1L, live, currentSchema(table), stats)
+  }
+
   /** Live data files at `asOf` (default: latest). */
   def liveFiles(table: String, asOf: Option[Long] = None): Seq[String] = {
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -406,6 +601,7 @@ object TxLog {
       .takeWhile(c => asOf.forall(c.version <= _))
       .foreach { c =>
         if (c.mode == "overwrite") live.clear()
+        live --= c.removes
         live ++= c.adds
       }
     live.toSeq

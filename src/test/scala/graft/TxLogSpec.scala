@@ -173,6 +173,81 @@ class TxLogSpec extends SparkSpec {
       "the stats-bearing file prunes, the legacy file survives")
   }
 
+  test("row-level delete: only matching files rewrite, history intact") {
+    val t = tmp("txlog_del")
+    val v0 = TxLog.write((1L to 100L).toDF("id")
+      .repartitionByRange(4, col("id")), t, "overwrite")
+    val before = TxLog.liveFiles(t).toSet
+    // deleteRange: log stats bound the discovery scan to 1 file
+    TxLog.deleteRange(spark, t, "id", Some(10L), Some(20L))
+    val c = TxLog.commits(t).last
+    assert(c.mode == "rewrite" && c.removes.size == 1 && c.adds.size >= 1,
+      s"one file overlaps [10,20]; got removes=${c.removes} adds=${c.adds}")
+    assert((before -- TxLog.liveFiles(t).toSet).size == 1,
+      "the other three files must pass through untouched")
+    assert(ids(TxLog.snapshot(spark, t)) == ((1L to 9L) ++ (21L to 100L)))
+    // time travel to before the delete still sees every row
+    assert(ids(TxLog.snapshot(spark, t, Some(v0))) == (1L to 100L))
+    // NULL cond rows are kept (SQL DELETE semantics); no-match = no-op
+    val vNow = TxLog.latestVersion(t).get
+    assert(TxLog.delete(spark, t, col("id") > 9999L) == vNow,
+      "a no-match delete must not commit")
+  }
+
+  test("row-level update: values rewritten in place, schema bit-stable") {
+    val t = tmp("txlog_upd")
+    TxLog.write(Seq((1L, "web"), (2L, "api"), (3L, "web")).toDF("id", "src")
+      .repartitionByRange(3, col("id")), t, "overwrite")
+    TxLog.update(spark, t, col("src") === "web",
+      Map("src" -> concat(col("src"), lit("-clean"))))
+    val rows = TxLog.snapshot(spark, t).as[(Long, String)].collect().sorted
+    assert(rows.toSeq == Seq((1L, "web-clean"), (2L, "api"), (3L, "web-clean")))
+    // assignments cast to the COLUMN's type (SQL UPDATE semantics) —
+    // the schema can't drift through an update
+    TxLog.update(spark, t, col("id") === 2L, Map("src" -> lit(7L)))
+    assert(TxLog.snapshot(spark, t).where(col("id") === 2L)
+      .select("src").as[String].head() == "7")
+    assert(TxLog.commits(t).map(_.schema).distinct.size == 1)
+  }
+
+  test("upsert: replace by key, insert new, one atomic commit") {
+    val t = tmp("txlog_ups")
+    TxLog.write(Seq((1L, "a"), (2L, "b"), (50L, "z")).toDF("k", "v")
+      .repartitionByRange(2, col("k")), t, "overwrite")
+    val before = TxLog.liveFiles(t).toSet
+    TxLog.upsert(spark, t,
+      Seq((2L, "B"), (9L, "new")).toDF("k", "v"), Seq("k"))
+    val c = TxLog.commits(t).last
+    assert(c.mode == "rewrite" && c.removes.nonEmpty)
+    assert(before.intersect(TxLog.liveFiles(t).toSet).nonEmpty,
+      "the file without a matched key must survive unrewritten")
+    val rows = TxLog.snapshot(spark, t).as[(Long, String)].collect().sorted
+    assert(rows.toSeq == Seq((1L, "a"), (2L, "B"), (9L, "new"), (50L, "z")))
+    // upsert into keys nobody holds = pure insert, removes empty
+    TxLog.upsert(spark, t, Seq((100L, "x")).toDF("k", "v"), Seq("k"))
+    assert(TxLog.commits(t).last.removes.isEmpty)
+    assert(TxLog.snapshot(spark, t).count() == 5)
+  }
+
+  test("checkpoint + history-drop vacuum reclaims tombstones, data intact") {
+    val t = tmp("txlog_cp")
+    TxLog.write((1L to 40L).toDF("id")
+      .repartitionByRange(4, col("id")), t, "overwrite")
+    TxLog.deleteRange(spark, t, "id", Some(1L), Some(10L))
+    val tombstoned = TxLog.commits(t).last.removes
+    assert(tombstoned.nonEmpty &&
+      tombstoned.forall(f => Files.exists(Paths.get(t, f))),
+      "removed files back time travel until vacuum")
+    val cp = TxLog.checkpointLog(t)
+    val expect = ids(TxLog.snapshot(spark, t))
+    assert(TxLog.vacuum(t, dropHistoryBefore = cp) > 0)
+    assert(tombstoned.forall(f => !Files.exists(Paths.get(t, f))),
+      "after the history cut the tombstoned bytes are reclaimed")
+    assert(ids(TxLog.snapshot(spark, t)) == expect && expect == (11L to 40L))
+    // the checkpoint carried the stats forward: pruning still works
+    assert(TxLog.pruneFiles(t, "id", Some(35L), None)._1.size == 1)
+  }
+
   test("streaming restart: rerun on the same landing adds nothing") {
     val base = tmp("txlog_restart")
     val docs = spark.read.parquet(s"$sf/documents.parquet")
