@@ -1191,6 +1191,43 @@ object SparkEntry {
             (sum(round(col("value") * 100).cast("long")).cast("double") / 100)
               .as("sum_value")))
     }),
+    // streaming CDC upsert (the streaming MERGE shape): three revision
+    // waves of the SAME keys land as ordered micro-batches
+    // (maxFilesPerTrigger=1, staggered mtimes); the table must
+    // converge to the latest revision per key — and the sink's
+    // within-batch max-rev collapse keeps the result identical even
+    // if the source lumps the files into fewer batches
+    "stream_txlog_upsert" -> prep((s, d) => {
+      val base = tmpDir("graft_txcdc")
+      val docsDf = s.read.parquet(s"$d/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+      def emit(df: DataFrame, i: Int): Unit = {
+        val stagedir = s"$base/stage$i"
+        df.coalesce(1).write.json(stagedir)
+        val part = new java.io.File(stagedir).listFiles()
+          .filter(_.getName.endsWith(".json")).head
+        val dst = java.nio.file.Paths.get(s"$base/in", f"rev$i%03d.json")
+        java.nio.file.Files.createDirectories(dst.getParent)
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(1700000000000L + i * 600000L); ()
+      }
+      emit(docsDf.withColumn("rev", lit(0L)), 0)
+      emit(docsDf.where(col("doc_id") % 5 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+        .withColumn("rev", lit(1L)), 1)
+      emit(docsDf.where(col("doc_id") % 25 === 0)
+        .withColumn("n_chars", col("n_chars") + 2000L)
+        .withColumn("rev", lit(2L)), 2)
+      val in = s.readStream
+        .schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT, rev BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .json(s"$base/in")
+      graft.ingest.TxLog.streamUpsertSink(
+        in, s"$base/table", Seq("doc_id"), "rev", s"$base/ckpt")
+        .awaitTermination()
+      Engine.canonical(graft.ingest.TxLog.snapshot(s, s"$base/table")
+        .select("doc_id", "lang", "source", "n_chars", "rev"))
+    }),
     // row-level ops through the transactional log: copy-on-write
     // DELETE (range + predicate), UPDATE, and whole-row UPSERT by key
     // — each one atomic rewrite commit touching only matching files
@@ -1779,6 +1816,7 @@ object SparkEntry {
     "stream_txlog_ingest" -> ExtOracle.streamTxlogIngest,
     "txlog_stats_prune" -> ExtOracle.zorderScan, // same predicate+rollup, stats-pruned file list
     "txlog_rowops" -> ExtOracle.txlogRowOps,
+    "stream_txlog_upsert" -> ExtOracle.streamTxlogUpsert,
     "stream_multimodal_decode" -> ExtOracle.multimodalDecodeRobust,
     "stream_quality_filter" -> ExtOracle.streamQualityFilter,
     "stream_attribution" -> ExtOracle.streamAttribution,

@@ -613,6 +613,23 @@ UNION ALL
 SELECT doc_id, lang, source, n_chars FROM src
 ${ord("doc_id", "lang", "source", "n_chars")}""".trim
 
+  /** Twin of `stream_txlog_upsert`: the CDC convergence contract —
+    * after three revision waves (rev 1 re-emits every 5th doc with
+    * n_chars+1000, rev 2 every 25th with n_chars+2000, both bumping
+    * the ORIGINAL value) the table holds exactly the latest revision
+    * per key. A NULL doc_id never matches an upsert key, so such a
+    * row would survive as its rev-0 insert — which is also what the
+    * CASE yields (NULL % k is NULL → ELSE arm). */
+  val streamTxlogUpsert: String = s"""
+SELECT doc_id, lang, source,
+  CASE WHEN doc_id % 25 = 0 THEN n_chars + 2000
+       WHEN doc_id % 5 = 0 THEN n_chars + 1000
+       ELSE n_chars END AS n_chars,
+  CAST(CASE WHEN doc_id % 25 = 0 THEN 2
+       WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS rev
+FROM documents
+${ord("doc_id", "lang", "source", "n_chars", "rev")}""".trim
+
   /** Twin of `stream_txlog_ingest`: exactly-once ingest of the full
     * docs stream — the snapshot must hold every doc exactly once. */
   val streamTxlogIngest: String = s"""

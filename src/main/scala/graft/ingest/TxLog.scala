@@ -546,12 +546,16 @@ object TxLog {
     * (SQL join semantics): a NULL-key source row inserts, a NULL-key
     * table row is never replaced. At 100 TB the key-match discovery is
     * one semi-join of the table scan against the (usually broadcast-
-    * small) source keys. */
+    * small) source keys. Into an EMPTY table an upsert is a plain
+    * insert. A `batchId` >= 0 makes the commit part of the
+    * exactly-once streaming ledger: replays are skipped. */
   def upsert(spark: SparkSession, table: String, source: DataFrame,
-      keys: Seq[String]): Long = {
+      keys: Seq[String], batchId: Long = -1L): Long = {
     import org.apache.spark.sql.functions.{col, input_file_name}
     require(keys.nonEmpty, "upsert needs at least one key column")
+    if (batchId >= 0 && committedBatches(table).contains(batchId)) return -1L
     val tbl = currentSchema(table)
+    if (tbl.isEmpty) return write(source, table, "append", batchId)
     val cols = org.apache.spark.sql.types.StructType.fromDDL(tbl)
       .fields.toSeq.map(_.name)
     val src = source.select(cols.map(col): _*)
@@ -574,7 +578,7 @@ object TxLog {
       else spark.read.parquet(hit.map(f => s"$table/$f"): _*)
         .join(srcKeys, keys, "left_anti").unionByName(src)
     val (adds, stats) = stageWithStats(out, table)
-    writeCommit(table, "rewrite", -1L, adds, tbl, stats, hit)
+    writeCommit(table, "rewrite", batchId, adds, tbl, stats, hit)
   }
 
   /** Metadata-only checkpoint: land the CURRENT live set as one
@@ -681,6 +685,34 @@ object TxLog {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** Streaming CDC upsert sink (the streaming MERGE shape): every
+    * micro-batch UPSERTS by `keys` — later batches replace earlier
+    * rows with equal keys, so the table converges to the latest
+    * revision per key. Within one micro-batch arrival order carries no
+    * meaning (a batch may lump several revisions of one key), so the
+    * batch is first collapsed to the highest-`orderCol` row per key —
+    * the CDC sequence-number discipline, and what makes the result
+    * deterministic regardless of how the source chops files into
+    * batches. Exactly-once: the batch id rides the rewrite commit and
+    * replays are skipped (upsert is key-idempotent besides). */
+  def streamUpsertSink(df: DataFrame, table: String, keys: Seq[String],
+      orderCol: String, checkpointDir: String): StreamingQuery = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(orderCol).desc)
+        val latest = batch.withColumn("_rn", row_number().over(w))
+          .where(col("_rn") === 1).drop("_rn")
+        upsert(batch.sparkSession, table, latest, keys, batchId = id); ()
+      }
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 
   /** Docs-stream → transactional table, end to end. */
   def runIngest(spark: SparkSession, inDir: String, table: String,

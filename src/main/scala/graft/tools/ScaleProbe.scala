@@ -296,6 +296,52 @@ object ScaleProbe {
         Multimodal.decodeStatsRobust(spark, docs).count())
       t("decodedDupCandidates", n)(
         Multimodal.decodedDupCandidates(spark, docs).count())
+      // the transactional-log tier: the WRITE scans the corpus (must
+      // be ~linear); the row ops and pruned reads are bounded by the
+      // MATCHING files — a fixed-selectivity delete/upsert/read on a
+      // range-clustered table must stay ~FLAT as the table grows 64×
+      // (the 100 TB claim of the stats + COW design). Mutating ops
+      // pick a fresh disjoint slice per timing iteration so the
+      // second run does comparable work instead of a no-op.
+      locally {
+        import graft.ingest.TxLog
+        val tdir = s"$out/txlog_$n"
+        val root = java.nio.file.Paths.get(tdir)
+        if (java.nio.file.Files.isDirectory(root)) {
+          val w = java.nio.file.Files.walk(root)
+          val all = try w.toArray.map(_.asInstanceOf[java.nio.file.Path])
+            finally w.close()
+          all.sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+        t("txlogWrite", n) {
+          TxLog.write(docs.select("doc_id", "lang", "source")
+            .repartitionByRange(32, col("doc_id")), tdir, "overwrite")
+          TxLog.liveFiles(tdir).size.toLong
+        }
+        var slice = 0L
+        t("txlogDeleteRange", n) {
+          slice += 1
+          TxLog.deleteRange(spark, tdir, "doc_id",
+            Some(1000L * slice), Some(1000L * slice + 99L))
+          TxLog.commits(tdir).last.removes.size.toLong
+        }
+        t("txlogSnapshotRange", n)(TxLog.snapshotRange(
+          spark, tdir, "doc_id", Some(4500L), Some(4599L)).count())
+        t("txlogUpsert", n) {
+          slice += 1
+          TxLog.upsert(spark, tdir,
+            docs.select("doc_id", "lang", "source")
+              .where(col("doc_id").between(1000L * slice, 1000L * slice + 99L))
+              .withColumn("source", lit("patched")),
+            Seq("doc_id"))
+          TxLog.commits(tdir).last.removes.size.toLong
+        }
+        t("txlogCheckpointVacuum", n) {
+          val cp = TxLog.checkpointLog(tdir)
+          TxLog.vacuum(tdir, dropHistoryBefore = cp).toLong
+        }
+      }
     }
     spark.stop()
   }

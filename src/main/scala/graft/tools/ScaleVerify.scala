@@ -40,7 +40,11 @@ object ScaleVerify {
     "bigram_lm_interp", "multimodal_decode",
     "kcenter_sample", "knn_communities", "embedding_outliers",
     "bigram_pmi", "hybrid_rrf", "decontaminate",
-    "minhash_pairs_portable", "multimodal_decode_robust")
+    "minhash_pairs_portable", "multimodal_decode_robust",
+    // the transactional-log row ops: the two layouts produce DIFFERENT
+    // file groupings, hence different rewrite/remove sets — the final
+    // snapshot must be identical anyway (COW is invisible in the data)
+    "txlog_rowops", "txlog_time_travel")
 
   def main(args: Array[String]): Unit = {
     val d = "/root/testdata/sf0.1"

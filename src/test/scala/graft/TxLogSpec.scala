@@ -248,6 +248,29 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.pruneFiles(t, "id", Some(35L), None)._1.size == 1)
   }
 
+  test("streaming CDC upsert: within-batch conflicts collapse to max rev") {
+    val base = tmp("txlog_cdc")
+    // ONE file = one micro-batch holding BOTH revisions of key 1 —
+    // arrival order is meaningless, the sequence column must decide
+    Seq((1L, "a", 0L), (1L, "b", 1L), (2L, "x", 0L)).toDF("k", "v", "rev")
+      .coalesce(1).write.json(s"$base/in")
+    def run(ckpt: String) = TxLog.streamUpsertSink(
+      spark.readStream.schema("k BIGINT, v STRING, rev BIGINT")
+        .json(s"$base/in"),
+      s"$base/t", Seq("k"), "rev", ckpt).awaitTermination()
+    run(s"$base/ckpt")
+    val rows = TxLog.snapshot(spark, s"$base/t")
+      .as[(Long, String, Long)].collect().sorted
+    assert(rows.toSeq == Seq((1L, "b", 1L), (2L, "x", 0L)))
+    // a lost checkpoint replays batch 0 — the table's own batch-id
+    // ledger must skip it (the classic at-least-once window)
+    val nCommits = TxLog.commits(s"$base/t").size
+    run(s"$base/ckpt2")
+    assert(TxLog.commits(s"$base/t").size == nCommits,
+      "a replayed batch id must commit nothing")
+    assert(TxLog.snapshot(spark, s"$base/t").count() == 2)
+  }
+
   test("streaming restart: rerun on the same landing adds nothing") {
     val base = tmp("txlog_restart")
     val docs = spark.read.parquet(s"$sf/documents.parquet")
