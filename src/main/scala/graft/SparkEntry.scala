@@ -89,6 +89,7 @@ object SparkEntry {
         k != "txlog_time_travel" && // builds a table per call: IO class
         k != "txlog_stats_prune" && // builds a table per call: IO class
         k != "txlog_rowops" && // builds a table per call: IO class
+        k != "txlog_changes" && // builds a table per call: IO class
         // same results as ngram_jaccard via the hot-key-free candidate
         // path; its freq-agg + prefix overhead only pays off on corpora
         // with skewed shingle frequencies — redundant as a throughput
@@ -1191,6 +1192,28 @@ object SparkEntry {
             (sum(round(col("value") * 100).cast("long")).cast("double") / 100)
               .as("sum_value")))
     }),
+    // change data feed: a table is built and updated BEFORE the feed
+    // window opens, then an append and a range-delete land inside it —
+    // the NET diff must be exactly what entered (the appended slice)
+    // and left (the deleted range, carrying its pre-window patched
+    // values), while the delete-rewrite's pass-through neighbor rows
+    // (which surface as file-granular delete+insert pairs) cancel out;
+    // the oracle rebuilds both arms from the source table alone
+    "txlog_changes" -> prep((s, d) => {
+      val t = tmpDir("graft_txcdf")
+      val docsDf = s.read.parquet(s"$d/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+      graft.ingest.TxLog.write(docsDf.where(col("doc_id") < 300)
+        .repartitionByRange(4, col("doc_id")), t, "overwrite")
+      graft.ingest.TxLog.update(s, t, col("source") === "src2",
+        Map("source" -> lit("patched")))
+      val mark = graft.ingest.TxLog.latestVersion(t).get
+      graft.ingest.TxLog.write(docsDf.where(col("doc_id") >= 300)
+        .repartitionByRange(2, col("doc_id")), t, "append")
+      graft.ingest.TxLog.deleteRange(s, t, "doc_id", Some(50L), Some(99L))
+      Engine.canonical(graft.ingest.TxLog.netChanges(s, t, fromV = mark)
+        .select("doc_id", "lang", "source", "n_chars", "_change_type"))
+    }),
     // streaming CDC upsert (the streaming MERGE shape): three revision
     // waves of the SAME keys land as ordered micro-batches
     // (maxFilesPerTrigger=1, staggered mtimes); the table must
@@ -1817,6 +1840,7 @@ object SparkEntry {
     "txlog_stats_prune" -> ExtOracle.zorderScan, // same predicate+rollup, stats-pruned file list
     "txlog_rowops" -> ExtOracle.txlogRowOps,
     "stream_txlog_upsert" -> ExtOracle.streamTxlogUpsert,
+    "txlog_changes" -> ExtOracle.txlogChanges,
     "stream_multimodal_decode" -> ExtOracle.multimodalDecodeRobust,
     "stream_quality_filter" -> ExtOracle.streamQualityFilter,
     "stream_attribution" -> ExtOracle.streamAttribution,

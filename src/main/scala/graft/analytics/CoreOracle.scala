@@ -613,6 +613,22 @@ UNION ALL
 SELECT doc_id, lang, source, n_chars FROM src
 ${ord("doc_id", "lang", "source", "n_chars")}""".trim
 
+  /** Twin of `txlog_changes`: the net change feed over a window
+    * holding one append (doc_id >= 300) and one range delete
+    * ([50, 99], whose rows carry the PRE-window src2→patched update) —
+    * rebuilt as two arms straight off the source table. Everything
+    * else the file-granular feed surfaces (rewrite pass-through rows)
+    * must have cancelled. */
+  val txlogChanges: String = s"""
+SELECT doc_id, lang, source, n_chars, 'insert' AS _change_type
+FROM documents WHERE doc_id >= 300
+UNION ALL
+SELECT doc_id, lang,
+  CASE WHEN source = 'src2' THEN 'patched' ELSE source END AS source,
+  n_chars, 'delete' AS _change_type
+FROM documents WHERE doc_id BETWEEN 50 AND 99
+${ord("doc_id", "lang", "source", "n_chars", "_change_type")}""".trim
+
   /** Twin of `stream_txlog_upsert`: the CDC convergence contract —
     * after three revision waves (rev 1 re-emits every 5th doc with
     * n_chars+1000, rev 2 every 25th with n_chars+2000, both bumping

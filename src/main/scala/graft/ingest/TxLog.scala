@@ -581,6 +581,58 @@ object TxLog {
     writeCommit(table, "rewrite", batchId, adds, tbl, stats, hit)
   }
 
+  /** Change data feed over (`fromV`, `toV`]: every commit's adds come
+    * back as `_change_type = insert` rows and its removes (for an
+    * overwrite: the whole prior live set) as `delete` rows, each
+    * stamped `_commit_version` — built from LOG METADATA alone, no
+    * diffing scan (the 100 TB incremental-consumption shape: a
+    * downstream job reads only what changed since its last run, never
+    * the table). File-granular: a rewritten file's UNCHANGED rows
+    * appear as both delete and insert — `netChanges` cancels them to
+    * the exact row-level diff. Removed files back the feed until a
+    * checkpoint + history-drop vacuum reclaims them (after which
+    * changes over the dropped range are gone — same contract as
+    * Delta's CDF retention). */
+  def changes(spark: SparkSession, table: String, fromV: Long,
+      toV: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val upTo = toV.orElse(latestVersion(table)).getOrElse(fromV)
+    val cs = commits(table).filter(c => c.version > fromV && c.version <= upTo)
+    def read(files: Seq[String], tpe: String, v: Long): Option[DataFrame] =
+      if (files.isEmpty) None
+      else Some(spark.read.parquet(files.map(f => s"$table/$f"): _*)
+        .withColumn("_change_type", lit(tpe))
+        .withColumn("_commit_version", lit(v)))
+    val parts = cs.flatMap { c =>
+      val dels =
+        if (c.mode == "overwrite") liveFiles(table, Some(c.version - 1))
+        else c.removes
+      read(dels, "delete", c.version) ++ read(c.adds, "insert", c.version)
+    }
+    parts.reduceOption(_.unionByName(_)).getOrElse(
+      snapshot(spark, table, Some(upTo)).limit(0)
+        .withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0L)))
+  }
+
+  /** Exact row-level diff over (`fromV`, `toV`]: `changes` with the
+    * pass-through rows of rewritten files cancelled out (multiset
+    * EXCEPT in both directions), leaving only rows that truly entered
+    * or left the table — an update surfaces as its old row deleted
+    * and its new row inserted. Commit versions don't survive the
+    * cancellation (a row's entry and exit may sit in different
+    * commits), so the feed carries `_change_type` only. */
+  def netChanges(spark: SparkSession, table: String, fromV: Long,
+      toV: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val ch = changes(spark, table, fromV, toV)
+      .drop("_commit_version")
+    val ins = ch.where(ch("_change_type") === "insert").drop("_change_type")
+    val del = ch.where(ch("_change_type") === "delete").drop("_change_type")
+    ins.exceptAll(del).withColumn("_change_type", lit("insert"))
+      .unionByName(del.exceptAll(ins).withColumn("_change_type", lit("delete")))
+  }
+
   /** Metadata-only checkpoint: land the CURRENT live set as one
     * overwrite commit that re-references the live files and carries
     * their stats forward — no data moves. After it, history before the

@@ -248,6 +248,39 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.pruneFiles(t, "id", Some(35L), None)._1.size == 1)
   }
 
+  test("change feed: raw is file-granular, net cancels pass-through rows") {
+    val t = tmp("txlog_cdf")
+    TxLog.write((1L to 20L).toDF("id").coalesce(1), t, "overwrite") // v0
+    TxLog.write((21L to 30L).toDF("id").coalesce(1), t, "append")   // v1
+    TxLog.delete(spark, t, col("id") === 25L)                       // v2
+    // raw feed since v0: the append's 10 inserts, then the rewrite's
+    // 10 deletes + 9 inserts (file-granular: 21..30 leave, 21..30\25
+    // come back)
+    val raw = TxLog.changes(spark, t, fromV = 0L)
+    assert(raw.where(col("_change_type") === "insert").count() == 19)
+    assert(raw.where(col("_change_type") === "delete").count() == 10)
+    assert(raw.select("_commit_version").distinct().count() == 2)
+    // net feed: exactly what entered and left — 25 entered AND left
+    // inside the window, so it cancels too
+    val net = TxLog.netChanges(spark, t, fromV = 0L)
+    assert(ids(net.where(col("_change_type") === "insert")) ==
+      ((21L to 24L) ++ (26L to 30L)))
+    assert(net.where(col("_change_type") === "delete").count() == 0)
+    // window opened after the append: 25 was already in — its delete
+    // survives the cancellation
+    val net1 = TxLog.netChanges(spark, t, fromV = 1L)
+    assert(ids(net1.where(col("_change_type") === "delete")) == Seq(25L))
+    assert(net1.where(col("_change_type") === "insert").count() == 0)
+    // an overwrite surfaces the whole prior live set as deletes
+    TxLog.write(Seq(99L).toDF("id"), t, "overwrite")
+    val v = TxLog.latestVersion(t).get
+    val ow = TxLog.changes(spark, t, fromV = v - 1, toV = Some(v))
+    assert(ow.where(col("_change_type") === "delete").count() == 29)
+    assert(ids(ow.where(col("_change_type") === "insert")) == Seq(99L))
+    // empty window: schema intact, zero rows
+    assert(TxLog.changes(spark, t, fromV = v).count() == 0)
+  }
+
   test("streaming CDC upsert: within-batch conflicts collapse to max rev") {
     val base = tmp("txlog_cdc")
     // ONE file = one micro-batch holding BOTH revisions of key 1 —
