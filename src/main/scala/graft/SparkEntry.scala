@@ -90,6 +90,7 @@ object SparkEntry {
         k != "txlog_stats_prune" && // builds a table per call: IO class
         k != "txlog_rowops" && // builds a table per call: IO class
         k != "txlog_changes" && // builds a table per call: IO class
+        k != "txlog_schema_evolve" && // builds a table per call: IO class
         // same results as ngram_jaccard via the hot-key-free candidate
         // path; its freq-agg + prefix overhead only pays off on corpora
         // with skewed shingle frequencies — redundant as a throughput
@@ -1192,6 +1193,22 @@ object SparkEntry {
             (sum(round(col("value") * 100).cast("long")).cast("double") / 100)
               .as("sum_value")))
     }),
+    // additive schema evolution: a column arrives mid-history; the
+    // snapshot schema comes from the LOG (no footer merge — at 100 TB
+    // planning-time footer reads are themselves a job) and files
+    // written before the column existed read it as NULL
+    "txlog_schema_evolve" -> prep((s, d) => {
+      val t = tmpDir("graft_txevolve")
+      val docsDf = s.read.parquet(s"$d/documents.parquet")
+      graft.ingest.TxLog.write(docsDf.select("doc_id", "lang")
+        .where(col("doc_id") < 250)
+        .repartitionByRange(4, col("doc_id")), t, "overwrite")
+      graft.ingest.TxLog.write(docsDf.select("doc_id", "lang", "n_chars")
+        .where(col("doc_id") >= 250)
+        .repartitionByRange(2, col("doc_id")), t, "append", evolve = true)
+      Engine.canonical(graft.ingest.TxLog.snapshot(s, t)
+        .select("doc_id", "lang", "n_chars"))
+    }),
     // change data feed: a table is built and updated BEFORE the feed
     // window opens, then an append and a range-delete land inside it —
     // the NET diff must be exactly what entered (the appended slice)
@@ -1841,6 +1858,7 @@ object SparkEntry {
     "txlog_rowops" -> ExtOracle.txlogRowOps,
     "stream_txlog_upsert" -> ExtOracle.streamTxlogUpsert,
     "txlog_changes" -> ExtOracle.txlogChanges,
+    "txlog_schema_evolve" -> ExtOracle.txlogSchemaEvolve,
     "stream_multimodal_decode" -> ExtOracle.multimodalDecodeRobust,
     "stream_quality_filter" -> ExtOracle.streamQualityFilter,
     "stream_attribution" -> ExtOracle.streamAttribution,

@@ -613,6 +613,17 @@ UNION ALL
 SELECT doc_id, lang, source, n_chars FROM src
 ${ord("doc_id", "lang", "source", "n_chars")}""".trim
 
+  /** Twin of `txlog_schema_evolve`: rows written before the n_chars
+    * column existed carry NULL for it; rows written after carry their
+    * value — the evolved schema must be the union, resolved from the
+    * log, never by merging footers. */
+  val txlogSchemaEvolve: String = s"""
+SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+FROM documents WHERE doc_id < 250
+UNION ALL
+SELECT doc_id, lang, n_chars FROM documents WHERE doc_id >= 250
+${ord("doc_id", "lang", "n_chars")}""".trim
+
   /** Twin of `txlog_changes`: the net change feed over a window
     * holding one append (doc_id >= 300) and one range delete
     * ([50, 99], whose rows carry the PRE-window src2→patched update) —

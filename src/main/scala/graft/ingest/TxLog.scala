@@ -299,19 +299,30 @@ object TxLog {
     * visible only with the log rename. Returns the committed version;
     * a replayed `batchId` commits nothing and returns -1. */
   def write(df: DataFrame, table: String, mode: String = "append",
-      batchId: Long = -1L): Long = {
+      batchId: Long = -1L, evolve: Boolean = false): Long = {
     require(mode == "append" || mode == "overwrite", s"bad mode $mode")
     if (batchId >= 0 && committedBatches(table).contains(batchId)) return -1L
     // schema guard: an append whose schema differs from the table's
     // current one must fail at COMMIT time with the diff in hand —
     // letting it land would poison every later snapshot read with a
     // silent multi-schema union. Overwrite may change the schema (it
-    // starts a fresh live set). The DDL lives in the log, so the check
-    // costs one string compare, no file footer reads.
+    // starts a fresh live set). With `evolve` the append may ADD
+    // columns (Delta's additive evolution): every existing column must
+    // keep its name and type, the widened DDL becomes the table
+    // schema, and old files read the new columns as NULL (snapshot
+    // resolves the schema from the LOG, never from footers). The DDL
+    // lives in the log, so the check costs string compares, no file
+    // footer reads.
     val ddl = df.schema.toDDL.replace("\n", " ")
     if (mode == "append")
       commits(table).lastOption.filter(_.schema.nonEmpty).foreach { last =>
-        require(last.schema == ddl,
+        if (evolve) {
+          val oldShape = ddlShape(last.schema)
+          val newShape = ddlShape(ddl).toSet
+          require(oldShape.forall(newShape),
+            s"evolve append must keep every existing column:\n" +
+              s"  table: ${last.schema}\n  batch: $ddl")
+        } else require(last.schema == ddl,
           s"append schema mismatch:\n  table: ${last.schema}\n  batch: $ddl")
       }
     val (adds, stats) = stageWithStats(df, table)
@@ -353,6 +364,36 @@ object TxLog {
     * UUID-unique, so the union over history is well-defined). */
   def fileStats(table: String): Map[String, Map[String, ColStat]] =
     commits(table).flatMap(_.stats).toMap
+
+  /** Table schema as of `asOf` (default: latest): the last recorded
+    * DDL — i.e. from LOG METADATA, no file footers touched. */
+  def schemaAt(table: String, asOf: Option[Long] = None): String =
+    commits(table).iterator
+      .takeWhile(c => asOf.forall(c.version <= _))
+      .map(_.schema).filter(_.nonEmpty)
+      .foldLeft("")((_, s) => s)
+
+  /** Read table files under the schema the LOG records at `asOf` —
+    * the piece that makes additive schema evolution scale: the reader
+    * never merges footers (at 100 TB, a planning-time read of every
+    * file's footer is itself a job); files written before a column
+    * existed fill it with NULL, by parquet's name-based resolution.
+    * Nullability is relaxed across the board: the recorded DDL may
+    * carry the writer's NOT NULL, but evolution makes every column
+    * absent-able in old files. */
+  private def readFiles(spark: SparkSession, table: String,
+      files: Seq[String], asOf: Option[Long] = None): DataFrame = {
+    val ddl = schemaAt(table, asOf)
+    val r =
+      if (ddl.isEmpty) spark.read
+      else {
+        val st = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        spark.read.schema(
+          org.apache.spark.sql.types.StructType(
+            st.fields.map(_.copy(nullable = true))))
+      }
+    r.parquet(files.map(f => s"$table/$f"): _*)
+  }
 
   /** Predicate-bound values normalized into the stat's value space.
     * tsmicros accepts Timestamp / Instant / ISO-8601 string / raw
@@ -425,7 +466,7 @@ object TxLog {
     val (kept, _) = pruneFiles(table, column, lo, hi, asOf)
     val base =
       if (kept.isEmpty) snapshot(spark, table, asOf).limit(0)
-      else spark.read.parquet(kept.map(f => s"$table/$f"): _*)
+      else readFiles(spark, table, kept, asOf)
     Seq(lo.map(v => col(column) >= lit(v)), hi.map(v => col(column) <= lit(v)))
       .flatten.foldLeft(base)((df, p) => df.where(p))
   }
@@ -439,8 +480,7 @@ object TxLog {
   // vacuum reclaims them.
   // ------------------------------------------------------------------
 
-  private def currentSchema(table: String): String =
-    commits(table).lastOption.map(_.schema).getOrElse("")
+  private def currentSchema(table: String): String = schemaAt(table)
 
   /** Name+type shape of a DDL string — rewrite schema checks ignore
     * nullability: the table DDL is recorded from the writer's
@@ -458,7 +498,7 @@ object TxLog {
     * must preserve the table's column names and types. */
   private def rewrite(spark: SparkSession, table: String,
       removes: Seq[String], transform: DataFrame => DataFrame): Long = {
-    val src = spark.read.parquet(removes.map(f => s"$table/$f"): _*)
+    val src = readFiles(spark, table, removes)
     val out = transform(src)
     val ddl = out.schema.toDDL.replace("\n", " ")
     val tbl = currentSchema(table)
@@ -477,7 +517,7 @@ object TxLog {
       searchSpace: Seq[String]): Seq[String] = {
     import org.apache.spark.sql.functions.input_file_name
     if (searchSpace.isEmpty) Nil
-    else spark.read.parquet(searchSpace.map(f => s"$table/$f"): _*)
+    else readFiles(spark, table, searchSpace)
       .where(cond).select(input_file_name().as("_src")).distinct()
       .collect().map(r => baseName(r.getString(0))).toSeq.sorted
   }
@@ -566,7 +606,7 @@ object TxLog {
     val srcKeys = src.select(keys.map(col): _*).distinct()
     val hit =
       if (live.isEmpty) Nil
-      else spark.read.parquet(live.map(f => s"$table/$f"): _*)
+      else readFiles(spark, table, live)
         // bind the file name BEFORE the join — input_file_name() is a
         // single-source expression; only keys + _src reach the join
         .select(keys.map(col) :+ input_file_name().as("_src"): _*)
@@ -575,7 +615,7 @@ object TxLog {
         .collect().map(r => baseName(r.getString(0))).toSeq.sorted
     val out =
       if (hit.isEmpty) src
-      else spark.read.parquet(hit.map(f => s"$table/$f"): _*)
+      else readFiles(spark, table, hit)
         .join(srcKeys, keys, "left_anti").unionByName(src)
     val (adds, stats) = stageWithStats(out, table)
     writeCommit(table, "rewrite", batchId, adds, tbl, stats, hit)
@@ -600,7 +640,10 @@ object TxLog {
     val cs = commits(table).filter(c => c.version > fromV && c.version <= upTo)
     def read(files: Seq[String], tpe: String, v: Long): Option[DataFrame] =
       if (files.isEmpty) None
-      else Some(spark.read.parquet(files.map(f => s"$table/$f"): _*)
+      // the feed reads every era under the schema AT THE WINDOW END —
+      // pre-evolution files null-fill the newer columns, so the union
+      // is well-typed across an evolve boundary
+      else Some(readFiles(spark, table, files, Some(upTo))
         .withColumn("_change_type", lit(tpe))
         .withColumn("_commit_version", lit(v)))
     val parts = cs.flatMap { c =>
@@ -671,7 +714,7 @@ object TxLog {
     val files = liveFiles(table, asOf)
     require(files.nonEmpty,
       s"no live files in $table${asOf.fold("")(v => s" as of v$v")}")
-    spark.read.parquet(files.map(f => s"$table/$f"): _*)
+    readFiles(spark, table, files, asOf)
   }
 
   /** Latest committed version, if any. */

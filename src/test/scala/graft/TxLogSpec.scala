@@ -248,6 +248,34 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.pruneFiles(t, "id", Some(35L), None)._1.size == 1)
   }
 
+  test("schema evolution: additive append, old files read new cols as NULL") {
+    val t = tmp("txlog_evolve")
+    TxLog.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t, "overwrite")
+    // a plain append with an extra column still rejects
+    intercept[IllegalArgumentException] {
+      TxLog.write(Seq((3L, "c", 7L)).toDF("id", "v", "w"), t, "append")
+    }
+    // evolve may ADD columns but never drop or retype existing ones
+    intercept[IllegalArgumentException] {
+      TxLog.write(Seq((3L, 7L)).toDF("id", "w"), t, "append", evolve = true)
+    }
+    TxLog.write(Seq((3L, "c", 7L)).toDF("id", "v", "w"), t, "append",
+      evolve = true)
+    val snap = TxLog.snapshot(spark, t)
+    assert(snap.columns.toSeq == Seq("id", "v", "w"),
+      "the widened DDL (from the log, not footers) is the table schema")
+    val rows = snap.as[(Long, String, Option[Long])].collect().sortBy(_._1)
+    assert(rows.toSeq ==
+      Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(7L))))
+    // time travel BEFORE the evolution keeps the era's own schema
+    assert(TxLog.snapshot(spark, t, Some(0L)).columns.toSeq == Seq("id", "v"))
+    // row ops cross the boundary: the pre-evolution file rewrites
+    // under the evolved schema
+    TxLog.update(spark, t, col("id") === 1L, Map("w" -> lit(5L)))
+    assert(TxLog.snapshot(spark, t).where(col("id") === 1L)
+      .select("w").as[Long].head() == 5L)
+  }
+
   test("change feed: raw is file-granular, net cancels pass-through rows") {
     val t = tmp("txlog_cdf")
     TxLog.write((1L to 20L).toDF("id").coalesce(1), t, "overwrite") // v0
