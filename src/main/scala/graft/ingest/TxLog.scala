@@ -120,8 +120,14 @@ object TxLog {
 
   /** Claim the next version atomically; returns the version landed.
     * The complete record is written to a temp file first and renamed
-    * in — a version collision (concurrent writer) retries upward. */
-  private def writeCommit(table: String, mode: String, batchId: Long,
+    * in — a version collision (concurrent writer) retries upward.
+    * A REWRITE commit re-validates on every attempt that each file it
+    * removes is still live (Delta's conflict check): losing a race to
+    * another rewrite of the same file and landing anyway would ADD our
+    * rewritten copy of rows the winner already replaced — silent
+    * resurrection/duplication. Appends and overwrites commute, so they
+    * retry unconditionally. (`private[graft]` for the conflict spec.) */
+  private[graft] def writeCommit(table: String, mode: String, batchId: Long,
       adds: Seq[String], schema: String,
       stats: Map[String, Map[String, ColStat]] = Map.empty,
       removes: Seq[String] = Nil): Long = {
@@ -137,6 +143,13 @@ object TxLog {
       .mkString("", "\n", "\n")
     var v = commits(table).lastOption.map(_.version + 1).getOrElse(0L)
     while (true) {
+      if (removes.nonEmpty) {
+        val live = liveFiles(table).toSet
+        val gone = removes.filterNot(live)
+        require(gone.isEmpty,
+          s"concurrent modification: files no longer live at commit " +
+            s"time (removed by another writer): ${gone.mkString(", ")}")
+      }
       val tmp = logDir(table).resolve(s".tmp-${java.util.UUID.randomUUID()}")
       Files.write(tmp, body.getBytes("UTF-8"))
       try {

@@ -248,6 +248,21 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.pruneFiles(t, "id", Some(35L), None)._1.size == 1)
   }
 
+  test("rewrite conflict: removing an already-removed file is rejected") {
+    val t = tmp("txlog_occ")
+    TxLog.write((1L to 20L).toDF("id").coalesce(1), t, "overwrite")
+    val f = TxLog.liveFiles(t).head
+    TxLog.delete(spark, t, col("id") === 5L) // legitimately rewrites f away
+    // a stale writer that also planned to rewrite f must fail at
+    // commit time, not land and resurrect its copy of f's rows
+    val e = intercept[IllegalArgumentException] {
+      TxLog.writeCommit(t, "rewrite", -1L, adds = Nil,
+        schema = "", removes = Seq(f))
+    }
+    assert(e.getMessage.contains("concurrent modification"))
+    assert(ids(TxLog.snapshot(spark, t)) == ((1L to 4L) ++ (6L to 20L)))
+  }
+
   test("schema evolution: additive append, old files read new cols as NULL") {
     val t = tmp("txlog_evolve")
     TxLog.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t, "overwrite")
