@@ -91,6 +91,7 @@ object SparkEntry {
         k != "txlog_rowops" && // builds a table per call: IO class
         k != "txlog_changes" && // builds a table per call: IO class
         k != "txlog_schema_evolve" && // builds a table per call: IO class
+        k != "txlog_optimize" && // builds a table per call: IO class
         // same results as ngram_jaccard via the hot-key-free candidate
         // path; its freq-agg + prefix overhead only pays off on corpora
         // with skewed shingle frequencies — redundant as a throughput
@@ -1193,6 +1194,33 @@ object SparkEntry {
             (sum(round(col("value") * 100).cast("long")).cast("double") / 100)
               .as("sum_value")))
     }),
+    // OPTIMIZE ZORDER through the log: three unclustered appends (the
+    // streaming-sink accretion shape — stats cover everything, prune
+    // nothing), one z-ordered compaction commit, then the same
+    // two-dimensional predicate rollup as zorder_scan answered through
+    // snapshotRange's stats pruning — reorganization must be invisible
+    // in the data (twin reads the source table directly)
+    "txlog_optimize" -> prep((s, d) => {
+      val t = tmpDir("graft_txopt")
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .withColumn("ts_s",
+          expr("unix_micros(cast(ts as timestamp)) div 1000000"))
+        .select("event_id", "user_id", "event_type", "value", "ts_s")
+      graft.ingest.TxLog.write(
+        ev.where(col("event_id") % 3 === 0).repartition(4), t, "overwrite")
+      graft.ingest.TxLog.write(
+        ev.where(col("event_id") % 3 === 1).repartition(4), t, "append")
+      graft.ingest.TxLog.write(
+        ev.where(col("event_id") % 3 === 2).repartition(4), t, "append")
+      graft.ingest.TxLog.compactZOrdered(s, t, "user_id", "ts_s", 8)
+      Engine.canonical(
+        graft.ingest.TxLog.snapshotRange(s, t, "user_id", Some(3L), Some(11L))
+          .where(col("ts_s").between(1704499200L, 1705103999L))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            (sum(round(col("value") * 100).cast("long")).cast("double") / 100)
+              .as("sum_value")))
+    }),
     // additive schema evolution: a column arrives mid-history; the
     // snapshot schema comes from the LOG (no footer merge — at 100 TB
     // planning-time footer reads are themselves a job) and files
@@ -1859,6 +1887,8 @@ object SparkEntry {
     "stream_txlog_upsert" -> ExtOracle.streamTxlogUpsert,
     "txlog_changes" -> ExtOracle.txlogChanges,
     "txlog_schema_evolve" -> ExtOracle.txlogSchemaEvolve,
+    "txlog_optimize" -> ExtOracle.zorderScan, // same predicate+rollup through the optimized log
+
     "stream_multimodal_decode" -> ExtOracle.multimodalDecodeRobust,
     "stream_quality_filter" -> ExtOracle.streamQualityFilter,
     "stream_attribution" -> ExtOracle.streamAttribution,

@@ -90,17 +90,24 @@ object Layout {
     * z column is dropped before write — the clustering survives in the
     * file layout. */
   def writeZOrdered(df: DataFrame, outDir: String, dimA: String,
-      dimB: String, files: Int = 8, bits: Int = 16): Unit = {
+      dimB: String, files: Int = 8, bits: Int = 16): Unit =
+    zOrdered(df, dimA, dimB, files, bits)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+
+  /** The clustering half of `writeZOrdered`, reusable by any sink
+    * (TxLog's OPTIMIZE-ZORDER compaction routes the same plan through
+    * its transactional staging): the input rows range-partitioned +
+    * sorted by the normalized z-interleave, z column dropped. */
+  def zOrdered(df: DataFrame, dimA: String, dimB: String,
+      files: Int = 8, bits: Int = 16): DataFrame = {
     val r = df.agg(
       min(col(dimA).cast("long")), max(col(dimA).cast("long")),
       min(col(dimB).cast("long")), max(col(dimB).cast("long"))).head()
-    if ((0 to 3).exists(r.isNullAt)) {
+    if ((0 to 3).exists(r.isNullAt))
       // empty input or an all-null dimension: there is no range to
-      // normalize — degrade to a plain (unclustered) write instead of
-      // NPE-ing on the null min/max
-      df.write.mode(SaveMode.Overwrite).parquet(outDir)
-      return
-    }
+      // normalize — degrade to the plain (unclustered) plan instead
+      // of NPE-ing on the null min/max
+      return df
     def bucket(c: org.apache.spark.sql.Column, lo: Long, hi: Long) = {
       // Affine-map the dim's full range onto [0, 2^bits) — stretching
       // narrow dims up as well as scaling wide dims down, so both
@@ -116,7 +123,5 @@ object Layout {
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode(SaveMode.Overwrite)
-      .parquet(outDir)
   }
 }

@@ -780,6 +780,21 @@ object TxLog {
     write(current.repartition(targetFiles), table, "overwrite")
   }
 
+  /** Z-ordered compaction (the OPTIMIZE ZORDER BY analogue): rewrite
+    * the live set as one overwrite commit clustered on the
+    * z-interleave of two dimensions — after it, each file covers a
+    * tight (dimA, dimB) hyper-rectangle, so the commit-time stats let
+    * `snapshotRange`/`pruneFiles` skip files for predicates on EITHER
+    * dimension. The production sequence at 100 TB: a streaming sink
+    * accretes thousands of small per-batch files with arbitrary value
+    * ranges (stats cover everything, prune nothing); this one
+    * content-neutral, history-preserving commit restores both the file
+    * count AND the skipping power. */
+  def compactZOrdered(spark: SparkSession, table: String, dimA: String,
+      dimB: String, targetFiles: Int = 8): Long =
+    write(Layout.zOrdered(snapshot(spark, table), dimA, dimB, targetFiles),
+      table, "overwrite")
+
   /** Exactly-once streaming ingest: every micro-batch lands as one
     * transactional commit carrying its batch id; replays are skipped
     * by id. Stateless on the stream side — the ledger is the log. */

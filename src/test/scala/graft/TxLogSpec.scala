@@ -248,6 +248,29 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.pruneFiles(t, "id", Some(35L), None)._1.size == 1)
   }
 
+  test("z-ordered compaction restores skipping on both dimensions") {
+    val t = tmp("txlog_zopt")
+    val df = (1L to 400L).toDF("id")
+      .withColumn("a", col("id") % 20)
+      .withColumn("b", (col("id") * 7) % 20)
+    // unclustered accretion: per-file stats cover the whole value
+    // space, so nothing prunes
+    TxLog.write(df.where(col("id") <= 200).repartition(4), t, "overwrite")
+    TxLog.write(df.where(col("id") > 200).repartition(4), t, "append")
+    assert(TxLog.pruneFiles(t, "a", Some(0L), Some(2L))._1.size == 8,
+      "random layout: every file overlaps a in [0,2]")
+    TxLog.compactZOrdered(spark, t, "a", "b", targetFiles = 8)
+    val (ka, total) = TxLog.pruneFiles(t, "a", Some(0L), Some(2L))
+    val (kb, _) = TxLog.pruneFiles(t, "b", Some(0L), Some(2L))
+    assert(total == 8 && ka.size < 8 && kb.size < 8,
+      s"z-order must restore pruning on BOTH dims (a=${ka.size}, b=${kb.size})")
+    // content-neutral, pruned read included; history stays readable
+    assert(ids(TxLog.snapshot(spark, t)) == (1L to 400L))
+    assert(ids(TxLog.snapshotRange(spark, t, "a", Some(0L), Some(2L))
+      .select("id")) == (1L to 400L).filter(_ % 20 <= 2))
+    assert(TxLog.snapshot(spark, t, Some(1L)).count() == 400)
+  }
+
   test("rewrite conflict: removing an already-removed file is rejected") {
     val t = tmp("txlog_occ")
     TxLog.write((1L to 20L).toDF("id").coalesce(1), t, "overwrite")
