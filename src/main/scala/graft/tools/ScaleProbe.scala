@@ -315,7 +315,7 @@ object ScaleProbe {
             .foreach(java.nio.file.Files.deleteIfExists(_))
         }
         t("txlogWrite", n) {
-          TxLog.write(docs.select("doc_id", "lang", "source")
+          TxLog.write(docs.select("doc_id", "lang", "source", "n_chars")
             .repartitionByRange(32, col("doc_id")), tdir, "overwrite")
           TxLog.liveFiles(tdir).size.toLong
         }
@@ -331,7 +331,7 @@ object ScaleProbe {
         t("txlogUpsert", n) {
           slice += 1
           TxLog.upsert(spark, tdir,
-            docs.select("doc_id", "lang", "source")
+            docs.select("doc_id", "lang", "source", "n_chars")
               .where(col("doc_id").between(1000L * slice, 1000L * slice + 99L))
               .withColumn("source", lit("patched")),
             Seq("doc_id"))
@@ -340,6 +340,28 @@ object ScaleProbe {
         t("txlogCheckpointVacuum", n) {
           val cp = TxLog.checkpointLog(tdir)
           TxLog.vacuum(tdir, dropHistoryBefore = cp).toLong
+        }
+        // the NET change feed over a fixed-size window (one upsert's
+        // rewrite): reads only the window's files — must stay ~flat
+        // as the table behind it grows 64×. Slices stay inside the
+        // base id range (0..4999) and clear of the mutated ones.
+        var nc = 0L
+        t("txlogNetChanges", n) {
+          nc += 1
+          TxLog.upsert(spark, tdir,
+            docs.select("doc_id", "lang", "source", "n_chars")
+              .where(col("doc_id")
+                .between(4100L + 200L * nc, 4199L + 200L * nc))
+              .withColumn("source", lit("cdf")),
+            Seq("doc_id"))
+          val v = TxLog.latestVersion(tdir).get
+          TxLog.netChanges(spark, tdir, fromV = v - 1).count()
+        }
+        // OPTIMIZE ZORDER rewrites the live set — the one
+        // intentionally table-proportional op (like write)
+        t("txlogOptimize", n) {
+          TxLog.compactZOrdered(spark, tdir, "doc_id", "n_chars", 16)
+          TxLog.liveFiles(tdir).size.toLong
         }
       }
     }
