@@ -98,7 +98,12 @@ object TxLog {
       val removes = Seq.newBuilder[String]
       val stats = scala.collection.mutable.Map
         .empty[String, Map[String, ColStat]]
-      scala.io.Source.fromFile(f.toFile).getLines().foreach {
+      // explicit UTF-8 read, no stream left open: commits() runs
+      // several times per micro-batch on a streaming table — a leaked
+      // fd per commit file per call would exhaust the process limit
+      // (the same hazard ls() guards against), and platform-default
+      // decoding would mojibake non-ASCII column names in schema=
+      new String(Files.readAllBytes(f), "UTF-8").linesIterator.foreach {
         case l if l.startsWith("mode=") => mode = l.stripPrefix("mode=")
         case l if l.startsWith("batch=") => batch = l.stripPrefix("batch=").toLong
         case l if l.startsWith("schema=") => schema = l.stripPrefix("schema=")
@@ -143,6 +148,13 @@ object TxLog {
       .mkString("", "\n", "\n")
     var v = commits(table).lastOption.map(_.version + 1).getOrElse(0L)
     while (true) {
+      // exactly-once must hold across CONCURRENT replayers too (zombie
+      // driver + failover both replaying one micro-batch): re-check
+      // the batch ledger on every claim attempt, not just at write()
+      // entry — the loser of the version race sees the winner's commit
+      // here and backs off instead of double-landing the batch
+      if (batchId >= 0 && committedBatches(table).contains(batchId))
+        return -1L
       if (removes.nonEmpty) {
         val live = liveFiles(table).toSet
         val gone = removes.filterNot(live)
@@ -222,7 +234,12 @@ object TxLog {
                   "tsmicros"
                 case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation |
                      _: LogicalTypeAnnotation.DateLogicalTypeAnnotation |
-                     _: LogicalTypeAnnotation.TimeLogicalTypeAnnotation => ""
+                     _: LogicalTypeAnnotation.TimeLogicalTypeAnnotation |
+                     // int-backed DECIMAL stats are UNSCALED integers
+                     // (123.45 → 12345): comparing user-space bounds
+                     // against them would prune WRONG files — a value
+                     // space this reader doesn't model, so disqualify
+                     _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => ""
                 case _ => "long"
               }
             case PrimitiveTypeName.DOUBLE | PrimitiveTypeName.FLOAT => "double"
@@ -335,7 +352,12 @@ object TxLog {
           require(oldShape.forall(newShape),
             s"evolve append must keep every existing column:\n" +
               s"  table: ${last.schema}\n  batch: $ddl")
-        } else require(last.schema == ddl,
+        } else require(ddlShape(last.schema) == ddlShape(ddl),
+          // shape (names + types), NOT the raw DDL: compaction records
+          // the parquet-read (all-nullable) DDL, and a strict string
+          // compare would permanently reject the original NOT-NULL
+          // source's next append — deadlocking the advertised
+          // streaming-sink + periodic-compaction sequence
           s"append schema mismatch:\n  table: ${last.schema}\n  batch: $ddl")
       }
     val (adds, stats) = stageWithStats(df, table)
@@ -399,13 +421,28 @@ object TxLog {
     val ddl = schemaAt(table, asOf)
     val r =
       if (ddl.isEmpty) spark.read
-      else {
-        val st = org.apache.spark.sql.types.StructType.fromDDL(ddl)
-        spark.read.schema(
-          org.apache.spark.sql.types.StructType(
-            st.fields.map(_.copy(nullable = true))))
-      }
+      else spark.read.schema(relaxed(ddl))
     r.parquet(files.map(f => s"$table/$f"): _*)
+  }
+
+  private def relaxed(ddl: String): org.apache.spark.sql.types.StructType = {
+    val st = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    org.apache.spark.sql.types.StructType(
+      st.fields.map(_.copy(nullable = true)))
+  }
+
+  /** Zero-row frame with the table's log-recorded schema — what the
+    * empty arms of `snapshotRange`/`changes` return. A fully-deleted
+    * table has NO live files, so `snapshot().limit(0)` would throw;
+    * the schema survives in the log regardless. */
+  private def emptyTable(spark: SparkSession, table: String,
+      asOf: Option[Long]): DataFrame = {
+    val ddl = schemaAt(table, asOf)
+    if (ddl.nonEmpty)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        relaxed(ddl))
+    else snapshot(spark, table, asOf).limit(0)
   }
 
   /** Predicate-bound values normalized into the stat's value space.
@@ -478,7 +515,7 @@ object TxLog {
     import org.apache.spark.sql.functions.{col, lit}
     val (kept, _) = pruneFiles(table, column, lo, hi, asOf)
     val base =
-      if (kept.isEmpty) snapshot(spark, table, asOf).limit(0)
+      if (kept.isEmpty) emptyTable(spark, table, asOf)
       else readFiles(spark, table, kept, asOf)
     Seq(lo.map(v => col(column) >= lit(v)), hi.map(v => col(column) <= lit(v)))
       .flatten.foldLeft(base)((df, p) => df.where(p))
@@ -555,10 +592,16 @@ object TxLog {
   def deleteRange(spark: SparkSession, table: String, column: String,
       lo: Option[Any], hi: Option[Any]): Long = {
     import org.apache.spark.sql.functions.{col, lit}
+    // both-bounds-None would mean "delete everything" — but all-NULL-
+    // stat files never overlap a range, so the stats-bounded candidate
+    // set would silently SKIP their rows. Unbounded deletes go through
+    // delete(lit(true)), whose search space is the full live set.
+    require(lo.nonEmpty || hi.nonEmpty,
+      "deleteRange needs at least one bound; use delete(lit(true)) " +
+        "to clear the table")
     val (candidates, _) = pruneFiles(table, column, lo, hi)
     val cond = (lo.map(v => col(column) >= lit(v)) ++
-      hi.map(v => col(column) <= lit(v)))
-      .reduceOption(_ && _).getOrElse(lit(true))
+      hi.map(v => col(column) <= lit(v))).reduce(_ && _)
     deleteWithin(spark, table, cond, candidates)
   }
 
@@ -650,7 +693,6 @@ object TxLog {
       toV: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val upTo = toV.orElse(latestVersion(table)).getOrElse(fromV)
-    val cs = commits(table).filter(c => c.version > fromV && c.version <= upTo)
     def read(files: Seq[String], tpe: String, v: Long): Option[DataFrame] =
       if (files.isEmpty) None
       // the feed reads every era under the schema AT THE WINDOW END —
@@ -659,14 +701,32 @@ object TxLog {
       else Some(readFiles(spark, table, files, Some(upTo))
         .withColumn("_change_type", lit(tpe))
         .withColumn("_commit_version", lit(v)))
-    val parts = cs.flatMap { c =>
-      val dels =
-        if (c.mode == "overwrite") liveFiles(table, Some(c.version - 1))
-        else c.removes
-      read(dels, "delete", c.version) ++ read(c.adds, "insert", c.version)
+    // ONE replay pass tracks the live-set-before per commit (an
+    // overwrite's deletes) — not a fresh liveFiles() log re-read per
+    // overwrite, which is O(commits²) I/O on a long log
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val parts = Seq.newBuilder[DataFrame]
+    commits(table).takeWhile(_.version <= upTo).foreach { c =>
+      val before = if (c.mode == "overwrite") live.toSeq else Seq.empty
+      if (c.mode == "overwrite") live.clear()
+      live --= c.removes
+      live ++= c.adds
+      if (c.version > fromV) {
+        val dels = if (c.mode == "overwrite") before else c.removes
+        // a metadata-only checkpoint (overwrite re-referencing exactly
+        // the prior live set) changes ZERO rows — emitting it as
+        // whole-table delete+insert would make every consumer not
+        // using netChanges reprocess 100% of the table for nothing
+        val checkpointNoop =
+          c.mode == "overwrite" && dels.toSet == c.adds.toSet
+        if (!checkpointNoop) {
+          parts ++= read(dels, "delete", c.version)
+          parts ++= read(c.adds, "insert", c.version)
+        }
+      }
     }
-    parts.reduceOption(_.unionByName(_)).getOrElse(
-      snapshot(spark, table, Some(upTo)).limit(0)
+    parts.result().reduceOption(_.unionByName(_)).getOrElse(
+      emptyTable(spark, table, Some(upTo))
         .withColumn("_change_type", lit(""))
         .withColumn("_commit_version", lit(0L)))
   }
@@ -736,21 +796,41 @@ object TxLog {
 
   /** Delete data files referenced by NO commit (failed-write orphans +
     * abandoned staging). Files removed from the live set by an
-    * overwrite are KEPT — they back time travel; pass
-    * `dropHistoryBefore` to also forget versions < that and delete
-    * files only they referenced. Returns deleted count. */
-  def vacuum(table: String, dropHistoryBefore: Long = 0L): Int = {
+    * overwrite/rewrite are KEPT — they back time travel and the change
+    * feed; pass `dropHistoryBefore` to also forget versions < that and
+    * delete files only they referenced. The history cut REQUIRES the
+    * boundary commit to be an overwrite (a `checkpointLog()` or a
+    * compaction): the replay of the remaining log starts there, so a
+    * non-overwrite boundary would silently drop still-live files whose
+    * adds were forgotten — unrecoverable data loss from one
+    * mis-parameterized maintenance call. `retainMs` skips files
+    * younger than that age: run maintenance with a retention window
+    * (Delta does the same) so a concurrent writer's freshly staged —
+    * but not yet committed — files survive the sweep. Returns deleted
+    * count. */
+  def vacuum(table: String, dropHistoryBefore: Long = 0L,
+      retainMs: Long = 0L): Int = {
     val all = commits(table)
-    if (dropHistoryBefore > 0)
+    if (dropHistoryBefore > 0) {
+      val boundary = all.find(_.version == dropHistoryBefore)
+      require(boundary.exists(_.mode == "overwrite"),
+        s"history cut at v$dropHistoryBefore needs an overwrite commit " +
+          s"there (checkpointLog/compact first) — replay would lose " +
+          s"live files otherwise")
       all.takeWhile(_.version < dropHistoryBefore)
         .foreach(c => Files.deleteIfExists(commitFile(table, c.version)))
+    }
     val kept = commits(table)
     val referenced = kept.flatMap(_.adds).toSet
+    val cutoff = System.currentTimeMillis() - retainMs
+    def oldEnough(p: Path): Boolean =
+      retainMs <= 0L || Files.getLastModifiedTime(p).toMillis <= cutoff
     var n = 0
     val root = Paths.get(table)
     ls(root).foreach { p =>
       val name = p.getFileName.toString
-      if (name.endsWith(".parquet") && !referenced.contains(name)) {
+      if (name.endsWith(".parquet") && !referenced.contains(name) &&
+        oldEnough(p)) {
         Files.delete(p); n += 1
       }
     }
@@ -759,8 +839,11 @@ object TxLog {
       val w = Files.walk(staging)
       val all = try w.toArray.map(_.asInstanceOf[Path]).toSeq finally w.close()
       all.sortBy(-_.getNameCount).foreach { p =>
-        if (Files.isRegularFile(p)) n += 1
-        Files.deleteIfExists(p)
+        if (Files.isRegularFile(p) && oldEnough(p)) {
+          Files.deleteIfExists(p); n += 1
+        } else if (!Files.isRegularFile(p))
+          try Files.deleteIfExists(p) // empty dirs: remove if drained
+          catch { case _: java.nio.file.DirectoryNotEmptyException => () }
       }
     }
     n
@@ -822,11 +905,17 @@ object TxLog {
   def streamUpsertSink(df: DataFrame, table: String, keys: Seq[String],
       orderCol: String, checkpointDir: String): StreamingQuery = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.functions.{col, row_number, struct, to_json, xxhash64}
     df.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        // content-hash tiebreak after the sequence column: two
+        // revisions tied on orderCol would otherwise be picked by
+        // partition order — nondeterministic across runs. Equal hash
+        // ⇒ equal content ⇒ either pick is the same row.
+        val tiebreak = xxhash64(to_json(struct(
+          batch.columns.sorted.map(c => col(s"`$c`")).toIndexedSeq: _*)))
         val w = Window.partitionBy(keys.map(col): _*)
-          .orderBy(col(orderCol).desc)
+          .orderBy(col(orderCol).desc, tiebreak.desc)
         val latest = batch.withColumn("_rn", row_number().over(w))
           .where(col("_rn") === 1).drop("_rn")
         upsert(batch.sparkSession, table, latest, keys, batchId = id); ()

@@ -370,6 +370,43 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, s"$base/t").count() == 2)
   }
 
+  test("hardening: compact-then-append, history-cut guard, empty feeds") {
+    val t = tmp("txlog_hard")
+    // appends compare schema SHAPE: compaction records the parquet-
+    // read (all-nullable) DDL, and the original NOT-NULL source must
+    // still append afterwards
+    TxLog.write(Seq(1L, 2L).toDF("id"), t, "overwrite")
+    TxLog.compact(spark, t)
+    TxLog.write(Seq(3L).toDF("id"), t, "append")
+    assert(ids(TxLog.snapshot(spark, t)) == Seq(1L, 2L, 3L))
+    // a history cut at a non-overwrite boundary would lose live files
+    // on replay — rejected
+    val eCut = intercept[IllegalArgumentException](
+      TxLog.vacuum(t, dropHistoryBefore = TxLog.latestVersion(t).get))
+    assert(eCut.getMessage.contains("overwrite commit"))
+    // a checkpoint commit changes zero rows → absent from the feed
+    val preCp = TxLog.latestVersion(t).get
+    TxLog.checkpointLog(t)
+    assert(TxLog.changes(spark, t, fromV = preCp).count() == 0)
+    // an unbounded deleteRange would silently skip all-null-stat files
+    val eDr = intercept[IllegalArgumentException](
+      TxLog.deleteRange(spark, t, "id", None, None))
+    assert(eDr.getMessage.contains("at least one bound"))
+    // a replayed batch id loses even at the version-claim level (the
+    // zombie-driver race re-checks the ledger inside the retry loop)
+    TxLog.write(Seq(9L).toDF("id"), t, "append", batchId = 41L)
+    assert(TxLog.writeCommit(t, "append", 41L, Nil, "") == -1L)
+    // deleting every row leaves an empty table whose feed and pruned
+    // reads come back EMPTY with schema, not as a crash
+    TxLog.delete(spark, t, lit(true))
+    assert(TxLog.liveFiles(t).isEmpty)
+    val feed = TxLog.changes(spark, t,
+      fromV = TxLog.latestVersion(t).get)
+    assert(feed.count() == 0 && feed.columns.contains("id"))
+    val r = TxLog.snapshotRange(spark, t, "id", Some(1L), None)
+    assert(r.count() == 0 && r.columns.toSeq.contains("id"))
+  }
+
   test("streaming restart: rerun on the same landing adds nothing") {
     val base = tmp("txlog_restart")
     val docs = spark.read.parquet(s"$sf/documents.parquet")
