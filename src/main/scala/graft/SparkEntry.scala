@@ -92,6 +92,7 @@ object SparkEntry {
         k != "txlog_changes" && // builds a table per call: IO class
         k != "txlog_schema_evolve" && // builds a table per call: IO class
         k != "txlog_optimize" && // builds a table per call: IO class
+        k != "txlog_incremental_agg" && // builds a table per call: IO class
         // same results as ngram_jaccard via the hot-key-free candidate
         // path; its freq-agg + prefix overhead only pays off on corpora
         // with skewed shingle frequencies — redundant as a throughput
@@ -1259,6 +1260,32 @@ object SparkEntry {
       Engine.canonical(graft.ingest.TxLog.netChanges(s, t, fromV = mark)
         .select("doc_id", "lang", "source", "n_chars", "_change_type"))
     }),
+    // incremental materialized view: per-lang count + n_chars sum
+    // materialized at a mark version, then maintained from the NET
+    // change feed alone (append + range delete + whole-row upsert land
+    // after the mark) — must equal the aggregate recomputed over the
+    // final table, which is what the oracle does from the source rows
+    "txlog_incremental_agg" -> prep((s, d) => {
+      val t = tmpDir("graft_txinc")
+      val docsDf = s.read.parquet(s"$d/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+      graft.ingest.TxLog.write(docsDf.where(col("doc_id") < 400)
+        .repartitionByRange(4, col("doc_id")), t, "overwrite")
+      val mark = graft.ingest.TxLog.latestVersion(t).get
+      val state0 = graft.ingest.TxLog.aggState(
+        graft.ingest.TxLog.snapshot(s, t), Seq("lang"), Seq("n_chars"))
+      graft.ingest.TxLog.write(docsDf.where(col("doc_id") >= 400)
+        .repartitionByRange(2, col("doc_id")), t, "append")
+      graft.ingest.TxLog.deleteRange(s, t, "doc_id", Some(100L), Some(199L))
+      graft.ingest.TxLog.upsert(s, t,
+        docsDf.where(col("doc_id") % 50 === 0).withColumn("n_chars", lit(-1L)),
+        Seq("doc_id"))
+      val net = graft.ingest.TxLog.netChanges(s, t, fromV = mark)
+      Engine.canonical(
+        graft.ingest.TxLog.incrementalAgg(state0, net, Seq("lang"), Seq("n_chars"))
+          .select(col("lang"), col("n_rows"),
+            col("sum_n_chars").as("sum_chars")))
+    }),
     // streaming CDC upsert (the streaming MERGE shape): three revision
     // waves of the SAME keys land as ordered micro-batches
     // (maxFilesPerTrigger=1, staggered mtimes); the table must
@@ -1888,6 +1915,7 @@ object SparkEntry {
     "txlog_changes" -> ExtOracle.txlogChanges,
     "txlog_schema_evolve" -> ExtOracle.txlogSchemaEvolve,
     "txlog_optimize" -> ExtOracle.zorderScan, // same predicate+rollup through the optimized log
+    "txlog_incremental_agg" -> ExtOracle.txlogIncrementalAgg,
 
     "stream_multimodal_decode" -> ExtOracle.multimodalDecodeRobust,
     "stream_quality_filter" -> ExtOracle.streamQualityFilter,

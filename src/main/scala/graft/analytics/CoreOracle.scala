@@ -613,6 +613,26 @@ UNION ALL
 SELECT doc_id, lang, source, n_chars FROM src
 ${ord("doc_id", "lang", "source", "n_chars")}""".trim
 
+  /** Twin of `txlog_incremental_agg`: the engine materializes a
+    * per-lang aggregate at a mark version and maintains it from the
+    * NET change feed (append of doc_id >= 400, delete of [100, 199],
+    * whole-row upsert of doc_id % 50 = 0 with n_chars = -1); the twin
+    * recomputes the same aggregate over the FINAL table state built
+    * from the source rows — incremental maintenance must be exact. */
+  val txlogIncrementalAgg: String = s"""
+WITH final AS (
+  SELECT doc_id, lang,
+    CASE WHEN doc_id % 50 = 0 THEN CAST(-1 AS BIGINT) ELSE n_chars END
+      AS n_chars
+  FROM documents
+  WHERE NOT COALESCE(doc_id BETWEEN 100 AND 199, FALSE)
+     OR COALESCE(doc_id % 50 = 0, FALSE)
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM final GROUP BY lang
+${ord("lang", "n_rows", "sum_chars")}""".trim
+
   /** Twin of `txlog_schema_evolve`: rows written before the n_chars
     * column existed carry NULL for it; rows written after carry their
     * value — the evolved schema must be the union, resolved from the

@@ -749,6 +749,40 @@ object TxLog {
       .unionByName(del.exceptAll(ins).withColumn("_change_type", lit("delete")))
   }
 
+  /** Canonical aggregate-state shape for `incrementalAgg`: one row per
+    * group with `n_rows` (count) and `sum_<c>` per sum column. Compute
+    * it ONCE from a snapshot, then maintain it from the change feed. */
+  def aggState(df: DataFrame, groupCols: Seq[String],
+      sumCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
+  }
+
+  /** Incrementally maintained aggregate — the materialized-view shape
+    * the change feed exists for at 100 TB: given the last state (from
+    * `aggState`) and the NET feed since its version, produce the new
+    * state WITHOUT rescanning the table. Inserts add, deletes
+    * subtract; count and sum are self-inverting, so the result is
+    * EXACT (an update contributes old-delete + new-insert, netting the
+    * difference). Work ∝ |changes|, not table size. Groups whose count
+    * reaches zero drop out. */
+  def incrementalAgg(state: DataFrame, net: DataFrame,
+      groupCols: Seq[String], sumCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, sum, when}
+    val sign = when(col("_change_type") === "insert", lit(1L))
+      .otherwise(lit(-1L))
+    val delta = net.groupBy(groupCols.map(col): _*)
+      .agg(sum(sign).as("n_rows"),
+        sumCols.map(c => sum(sign * col(c)).as(s"sum_$c")): _*)
+    state.unionByName(delta)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
+      .where(col("n_rows") > 0)
+  }
+
   /** Metadata-only checkpoint: land the CURRENT live set as one
     * overwrite commit that re-references the live files and carries
     * their stats forward — no data moves. After it, history before the

@@ -370,6 +370,26 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, s"$base/t").count() == 2)
   }
 
+  test("incremental aggregate over the net feed equals a recompute") {
+    val t = tmp("txlog_incagg")
+    val mk = (rows: Seq[(Long, String, Long)]) => rows.toDF("id", "g", "v")
+    TxLog.write(mk(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L)))
+      .repartitionByRange(2, col("id")), t, "overwrite")
+    val mark = TxLog.latestVersion(t).get
+    val state0 = TxLog.aggState(TxLog.snapshot(spark, t), Seq("g"), Seq("v"))
+    TxLog.write(mk(Seq((4L, "c", 7L))), t, "append")
+    TxLog.delete(spark, t, col("g") === "b") // group b vanishes
+    TxLog.upsert(spark, t, mk(Seq((1L, "a", 100L))), Seq("id")) // update
+    val inc = TxLog.incrementalAgg(state0,
+      TxLog.netChanges(spark, t, fromV = mark), Seq("g"), Seq("v"))
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    val full = TxLog.aggState(TxLog.snapshot(spark, t), Seq("g"), Seq("v"))
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    assert(inc == full, s"incremental $inc must equal recompute $full")
+    assert(inc == Seq(("a", 2L, 120L), ("c", 1L, 7L)),
+      "group b (fully deleted) must drop out of the state")
+  }
+
   test("hardening: compact-then-append, history-cut guard, empty feeds") {
     val t = tmp("txlog_hard")
     // appends compare schema SHAPE: compaction records the parquet-
