@@ -43,8 +43,9 @@ object ScaleVerify {
     "minhash_pairs_portable", "multimodal_decode_robust",
     // the transactional-log row ops: the two layouts produce DIFFERENT
     // file groupings, hence different rewrite/remove sets — the final
-    // snapshot must be identical anyway (COW is invisible in the data)
-    "txlog_rowops", "txlog_time_travel")
+    // snapshot (and the incremental view maintained from the net
+    // change feed) must be identical anyway (COW is invisible)
+    "txlog_rowops", "txlog_time_travel", "txlog_incremental_agg")
 
   def main(args: Array[String]): Unit = {
     val d = "/root/testdata/sf0.1"
