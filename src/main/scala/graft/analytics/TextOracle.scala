@@ -1676,7 +1676,7 @@ bfph AS (
   GROUP BY bfpp.u),
 bfagg AS (
   SELECT
-    (SELECT CAST(COUNT(*) AS BIGINT) FROM bfmu) AS n_members,
+    (SELECT CAST(COUNT(DISTINCT u) AS BIGINT) FROM bfmu) AS n_members,
     CAST(COUNT(*) AS BIGINT) AS n_probes,
     (SELECT CAST(COUNT(*) AS BIGINT) FROM bfmb) AS n_bits_set,
     CAST(SUM(CASE WHEN miss = 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -1689,7 +1689,9 @@ bfe AS (
   FROM bfagg),
 bfy AS (SELECT *, 1.0 - e AS y FROM bfe)
 SELECT n_members, n_probes, n_bits_set, n_false_pos,
-  CAST(n_false_pos AS DOUBLE) / CAST(n_probes AS DOUBLE) AS measured_fpr,
+  CASE WHEN n_probes = 0 THEN NULL
+       ELSE CAST(n_false_pos AS DOUBLE) / CAST(n_probes AS DOUBLE)
+  END AS measured_fpr,
   ((y * y) * y) * ((y * y) * y) AS theoretical_fpr
 FROM bfy""".trim
   }

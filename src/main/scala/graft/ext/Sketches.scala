@@ -30,6 +30,10 @@ object Sketches {
   def tokenCountMin(docs: DataFrame, probes: Seq[String],
       eps: Double = 0.001, confidence: Double = 0.99): DataFrame = {
     require(eps > 0 && confidence > 0 && confidence < 1)
+    // width caps at 2^22 cells; a smaller eps would silently deliver a
+    // looser bound than requested — reject it instead
+    require(eps >= math.E / (1 << 22),
+      f"eps=$eps%g below the 2^22-cell width cap (min ${math.E / (1 << 22)}%g)")
     var width = 2
     while (width < math.E / eps && width < (1 << 22)) width <<= 1
     val depth = math.max(1, math.ceil(math.log(1.0 / (1 - confidence))).toInt)
@@ -60,7 +64,11 @@ object Sketches {
         graft.functions.HllSketch.mix64(idCol.cast("long"))
           .bitwiseXOR(MIN).as("hu"), // sign-flip: unsigned hash order
         round(valueCol.cast("double") * 100).cast("long").as("cents"))
-      .orderBy(col("hu")).limit(k)
+      // cents as tiebreak: equal (hu, cents) rows are interchangeable
+      // for the percentile, so the selection is deterministic even
+      // with duplicate ids; NULL hashes (uncastable ids) sort LAST so
+      // they can't flood the sample
+      .orderBy(col("hu").asc_nulls_last, col("cents")).limit(k)
     samp.agg(percentile(col("cents"),
         array(quantiles.map(lit): _*)).as("qv"))
       .select(posexplode(col("qv")).as(Seq("i", "pc")))
@@ -89,7 +97,10 @@ object Sketches {
           .bitwiseXOR(MIN).as("hu"),
         round(valueCol.cast("double") * 100).cast("long").as("cents"))
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col(groupCol)).orderBy(col("hu"))))
+        Window.partitionBy(col(groupCol))
+          // same deterministic tiebreak + null placement as the
+          // global version
+          .orderBy(col("hu").asc_nulls_last, col("cents"))))
       .where(col("rn") <= k)
     samp.groupBy(col(groupCol))
       .agg(percentile(col("cents"),
@@ -138,9 +149,10 @@ object Sketches {
   }
 
   /** Point token frequencies from the NATIVE Count-Min aggregate
-    * (`graft.functions.CmsSketch`) — the engine-checkable counterpart
-    * to `tokenCountMin` (which rides `df.stat.countMinSketch`, a
-    * driver-side object with engine-opaque seeds): the whole
+    * (`graft.functions.CmsSketch`) — the sketch engine behind
+    * `tokenCountMin` too (which since the retirement of the opaque
+    * `df.stat.countMinSketch` path just sizes depth×width from
+    * eps/confidence and delegates here): the whole
     * depth×width counter matrix is one mergeable aggregate with
     * CONSTANT state (32 KB at 4×1024), built in a single
     * map-combinable pass, and every estimate is exact integer
@@ -207,7 +219,13 @@ object Sketches {
     *
     * Deterministic end to end (fixed hashes, fixed sample, integer
     * thresholds), so the oracle replicates sample, cells, screen and
-    * verdicts exactly. Returns (token, est_freq, exact_freq,
+    * verdicts exactly. Candidate-coverage caveat: the 1/`sampleMod`
+    * instance sample generates candidates, so a token near the
+    * threshold needs phi·N/sampleMod ≳ a few expected sampled
+    * instances to be reliably seen (at the defaults that's N ≳ a few
+    * hundred thousand tokens); below that regime lower `sampleMod` —
+    * the screen never drops a candidate, but sampling can fail to
+    * nominate one. Returns (token, est_freq, exact_freq,
     * threshold, is_heavy) for candidates passing the screen. */
   def cmsHeavyHitters(docs: DataFrame, phi: Double = 0.001,
       depth: Int = 4, width: Int = 1024, sampleMod: Int = 64): DataFrame = {
@@ -291,7 +309,10 @@ object Sketches {
       .agg(max(when(col("present").isNull, 1).otherwise(0)).as("miss"))
     val pr = perProbe.agg(count(lit(1)).as("n_probes"),
       sum(when(col("miss") === 0, 1L).otherwise(0L)).as("n_false_pos"))
-    val audit = member.agg(count(lit(1)).as("n_members"))
+    // DISTINCT member keys: duplicate ids set no new bits, so a row
+    // count would feed the analytic bound an n larger than the true
+    // member-set size while the probe side dedups by hash
+    val audit = member.agg(countDistinct(col("h")).as("n_members"))
       .crossJoin(bc(pr))
       .crossJoin(bc(bits.agg(count(lit(1)).as("n_bits_set"))))
     // (1 − e^(−k·n/m))^k with the exp quantized ·10⁹ and the power as
@@ -305,7 +326,10 @@ object Sketches {
     val y3 = (y * y) * y
     audit.select(col("n_members"), col("n_probes"), col("n_bits_set"),
       col("n_false_pos"),
-      (col("n_false_pos").cast("double") / col("n_probes").cast("double"))
+      // no probes → NULL, not 0/0 NaN
+      when(col("n_probes") === 0L, lit(null).cast("double"))
+        .otherwise(col("n_false_pos").cast("double")
+          / col("n_probes").cast("double"))
         .as("measured_fpr"),
       (y3 * y3).as("theoretical_fpr"))
   }
@@ -464,6 +488,19 @@ object Sketches {
     * nothing after the scans is data-proportional. */
   def joinCardinalityEstimate(left: DataFrame, leftKey: String,
       right: DataFrame, rightKey: String, k: Int = 256): DataFrame = {
+    // integral keys only: a string/UUID key would cast(long) to NULL,
+    // the sketch would come back empty, and the planner would read
+    // "zero distinct keys" for a fully populated table — fail loudly
+    // instead (hash string keys to a long column first)
+    Seq(left.schema(leftKey), right.schema(rightKey)).foreach { f =>
+      import org.apache.spark.sql.types._
+      val ok = f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      require(ok,
+        s"join key ${f.name} must be an integral type, got ${f.dataType}")
+    }
     val gold = lit(-7046029254386353131L) // 11400714819323198485 signed
     val MIN = lit(Long.MinValue)
     def sketch(df: DataFrame, key: String, as: String): DataFrame =

@@ -30,10 +30,17 @@ object CorpusStream {
     spark.readStream.schema(docSchema).json(dir)
 
   /** Stream docs → drop rows whose sha256(text) is in `index`
-    * (a static frame with column `text_sha`). */
-  def dedupVsIndex(stream: DataFrame, index: DataFrame): DataFrame =
+    * (a static frame with column `text_sha`). `broadcastIndex = true`
+    * (the default, right for bounded indices) pins the broadcast hint;
+    * pass false for a corpus-scale index — a multi-GB digest set
+    * forced through a broadcast would blow the driver / the 8 GB
+    * broadcast cap, and the plain anti-join lets the planner shuffle
+    * it instead. */
+  def dedupVsIndex(stream: DataFrame, index: DataFrame,
+      broadcastIndex: Boolean = true): DataFrame =
     stream.withColumn("text_sha", sha2(col("text"), 256))
-      .join(broadcast(index), Seq("text_sha"), "left_anti")
+      .join(if (broadcastIndex) broadcast(index) else index,
+        Seq("text_sha"), "left_anti")
       .drop("text_sha")
 
   def runDedupVsIndex(spark: SparkSession, inDir: String, index: DataFrame,
@@ -68,7 +75,15 @@ object CorpusStream {
         posexplode(Dedup.minhashBucketsCol(col("sig"), bands, rows))
           .as(Seq("band", "bucket")))
       .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col("sig")).as("bsigs"))
+      // array_sort: collect_list order is scheduling-dependent —
+      // probes are order-independent (exists), but the PERSISTED index
+      // artifact must be byte-deterministic like every other artifact
+      .agg(array_sort(collect_list(col("sig"))).as("bsigs"))
+      // materialize ONCE: the per-band probe joins (and every
+      // micro-batch) would otherwise re-run the corpus-proportional
+      // tokenize+MinHash pipeline once per band — 8 full corpus scans
+      // per batch in the self-building paths
+      .localCheckpoint()
   }
 
   /** `nearDupVsCorpus` over a PRE-BUILT band index (`bandIndexOf`'s
@@ -219,7 +234,13 @@ object CorpusStream {
       depth: Int = 4, width: Int = 1024): DataFrame = {
     val spark = partials.sparkSession
     import spark.implicits._
-    val cellSums = partials
+    // one matrix per batch: drop replayed duplicates by their stamp
+    // (pre-stamp partials pass through untouched)
+    val once =
+      if (partials.columns.contains("batch_id"))
+        partials.dropDuplicates("batch_id")
+      else partials
+    val cellSums = once
       .select(posexplode(col("m")).as(Seq("idx", "c")))
       .groupBy(col("idx")).agg(sum(col("c")).as("c"))
     val probeDf = probes.distinct.toDF("token")
@@ -241,8 +262,14 @@ object CorpusStream {
     spark.readStream.schema(docSchema)
       .option("maxFilesPerTrigger", "1").json(inDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        cmsTokenPartials(batch).write.mode("append").parquet(outDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // stamp the batch id: CMS partials merge by per-cell SUM —
+        // NOT idempotent (unlike the KMV/HLL siblings' union/max) —
+        // so a replayed micro-batch (append landed, checkpoint
+        // didn't) would silently double-count every token in it;
+        // compaction dedups by the stamp
+        cmsTokenPartials(batch).withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outDir)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
