@@ -780,7 +780,7 @@ scored AS (
     list_dot_product(qa, qb) /
       (sqrt(list_dot_product(qa, qa)) * sqrt(list_dot_product(qb, qb)))
       AS cosine_sim
-  FROM a, b WHERE a_id < b_id)
+  FROM a, b WHERE a_id <> b_id)
 SELECT a_id, b_id, cosine_sim FROM scored WHERE cosine_sim >= 0.4
 ${ord("a_id", "b_id")}""".trim
 
@@ -925,7 +925,7 @@ eo_j AS (
       AS var_dist
   FROM a3 a JOIN eo_st st USING (cluster)),
 eo_z AS (
-  SELECT *, CASE WHEN var_dist = 0.0 THEN NULL
+  SELECT *, CASE WHEN var_dist <= 0.0 THEN NULL
     ELSE (CAST(dist AS DOUBLE) - mean_dist) / sqrt(var_dist) END AS z
   FROM eo_j)
 SELECT vec_id, cluster, dist, n_members, mean_dist, var_dist, z,
@@ -972,8 +972,8 @@ ea AS (
   FROM ed GROUP BY dim)
 SELECT CAST(dim AS BIGINT) AS dim, n_vecs, min_q, max_q,
   CAST(s1 AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS mean_q,
-  (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
-     / CAST(n_vecs AS DOUBLE)) / CAST(n_vecs AS DOUBLE) AS var_q
+  GREATEST(0.0, (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+     / CAST(n_vecs AS DOUBLE)) / CAST(n_vecs AS DOUBLE)) AS var_q
 FROM ea
 ${ord("dim")}""".trim
 }

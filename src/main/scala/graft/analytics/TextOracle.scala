@@ -438,7 +438,7 @@ zc AS (
     c.cut_lo, c.cut_hi
   FROM lqs l JOIN cuts c USING (source))
 SELECT doc_id, source, q_doc,
-  CASE WHEN var_q = 0.0 THEN NULL
+  CASE WHEN var_q <= 0.0 THEN NULL
        ELSE (CAST(q_doc AS DOUBLE) - mean_q) / sqrt(var_q) END AS z,
   CASE WHEN CAST(q_doc AS DOUBLE) >= cut_hi THEN 'head'
        WHEN CAST(q_doc AS DOUBLE) >= cut_lo THEN 'middle'

@@ -34,10 +34,16 @@ object Similarity {
   private def dotL(a: Column, b: Column): Column =
     graft.functions.DotProduct64.dot64(a, b)
 
-  /** Exact cosine over quantized vectors (deterministic double). */
-  def cosineQ(a: Column, b: Column): Column =
-    dotL(a, b).cast("double") /
-      (sqrt(dotL(a, a).cast("double")) * sqrt(dotL(b, b).cast("double")))
+  /** Exact cosine over quantized vectors (deterministic double).
+    * Zero-norm vectors (all components quantize to 0 — corrupt/empty
+    * embeddings) get sentinel −2.0 instead of 0/0 = NaN: Spark orders
+    * NaN ABOVE every double, so an unguarded corrupt vector would rank
+    * #1 in every (cosine DESC) top-k; −2.0 sits below the entire real
+    * cosine range and pushes it last. */
+  def cosineQ(a: Column, b: Column): Column = {
+    val den = sqrt(dotL(a, a).cast("double")) * sqrt(dotL(b, b).cast("double"))
+    when(den === 0.0, lit(-2.0)).otherwise(dotL(a, b).cast("double") / den)
+  }
 
   /** Deterministic double norm of a quantized vector — computed ONCE
     * per row in the scan projection and carried through joins, so the
@@ -48,9 +54,10 @@ object Similarity {
 
   /** Cosine from a pair dot and two pre-computed norms. Bit-identical
     * to cosineQ: same double operations in the same order — only the
-    * evaluation SITE of the norms moves (per row, not per pair). */
+    * evaluation SITE of the norms moves (per row, not per pair);
+    * zero-norm sentinel −2.0 matches cosineQ's guard. */
   private def cosineN(ab: Column, na: Column, nb: Column): Column =
-    ab.cast("double") / (na * nb)
+    when(na * nb === 0.0, lit(-2.0)).otherwise(ab.cast("double") / (na * nb))
 
   /** (vec_id, q, nq) scan projection: quantize in a child projection
     * (HOF inputs must be attributes — see Dedup.minhashSignature), then
@@ -101,7 +108,9 @@ object Similarity {
     val sum = (0 until planes).map { p =>
       val proj = aggregate(zip_with(q, sequence(lit(0), size(q) - 1),
         (x, i) => x * planeComponent(p, i)), lit(0L), (acc, v) => acc + v)
-      when(proj >= 0, shiftleft(lit(1), p).cast("long")).otherwise(lit(0L))
+      // lit(1L): the 32-bit literal overflowed at p >= 31, breaking
+      // bit-for-bit parity with the native LshSketch64 above 31 planes
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce(_ + _)
     // empty vector: every projection is 0 (>= 0) → all sign bits set;
     // spelled out because sequence(0, -1) yields [0,-1], not []
@@ -413,7 +422,20 @@ object Similarity {
         }: _*).as("tables"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("adist").asc, col("vec_id").asc)
-    pqEncode(emb, m, centroidMod).crossJoin(broadcast(tables))
+    // encode inline against the SAME `books` frame (the ivfPqTopK
+    // pattern): calling pqEncode here rebuilt the codebooks from its
+    // own subtree — a second corpus scan+aggregate whenever broadcast
+    // exchange reuse missed (the double-build idiom ScaleProbe has
+    // measured at ~2× op cost)
+    val codes = e.crossJoin(broadcast(books))
+      .select(col("vec_id"),
+        array((0 until m).map { j =>
+          val sub = (size(col("q")) / m).cast("int")
+          graft.functions.NearestCentroidL2.nearestL2(
+            slice(col("q"), lit(j) * sub + 1, sub), col(s"cs_$j"))
+            .getField("cluster")
+        }: _*).as("codes"))
+    codes.crossJoin(broadcast(tables))
       .where(col("probe_id") =!= col("vec_id"))
       .select(col("probe_id"), col("vec_id"),
         graft.functions.PqAdc.pqAdc(col("codes"), col("tables")).as("adist"))
@@ -660,7 +682,13 @@ object Similarity {
     // directly re-executed the graph pipeline a second time — measured
     // as a ~2× op cost once the round-8 unpersist removed the
     // accidental cross-invocation cache reuse that had hidden it)
-    val nodes = e.select(col("src").as("id")).distinct().cache()
+    // src ∪ dst: unfiltered kNN output has every node as a src, but
+    // the documented contract is only the (vec_id, nbr_id) schema — a
+    // caller that filters weak edges first leaves dst-only nodes,
+    // which a src-only node set would silently drop from the ranking
+    // (and from n, skewing the teleport base)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().cache()
     val n = nodes.count()
     if (n == 0) {
       // empty graph (no vector shares a cell): nothing to rank
@@ -881,7 +909,13 @@ object Similarity {
     import spark.implicits._
     val e = emb.select(col("vec_id"), quantize(col("embedding")).as("q")).cache()
     try {
-      val seed = e.orderBy(col("vec_id").asc).limit(1).collect()(0)
+      val seedRows = e.orderBy(col("vec_id").asc).limit(1).collect()
+      if (seedRows.isEmpty)
+        // empty corpus slice: an empty typed result, not an opaque
+        // ArrayIndexOutOfBounds from the driver-side seed access
+        return Seq.empty[(Long, Long, Long)]
+          .toDF("sel_rank", "vec_id", "dist")
+      val seed = seedRows(0)
       val sel = scala.collection.mutable.ArrayBuffer[(Long, Array[Long], Long)](
         (seed.getLong(0), seed.getSeq[Long](1).toArray, 0L))
       var exhausted = false
@@ -1152,9 +1186,13 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs: probe subset × base with
-    * exact quantized cosine ≥ threshold. The probe predicate keeps the
-    * pair space linear for oracle verification; the LSH variant above
-    * is the full-corpus path. */
+    * exact quantized cosine ≥ threshold — each probe scored against
+    * EVERY other vector (an earlier `a_id < b_id` cut silently hid
+    * every lower-id partner, halving each probe's measured near-dup
+    * rate). The probe predicate keeps the pair space linear for oracle
+    * verification; the broadcast side is |corpus|/probeMod rows, so
+    * probeMod must keep it driver-small — the LSH variant above is the
+    * full-corpus path with no such bound. */
   def nearDupPairs(emb: DataFrame, threshold: Double = 0.4,
       probeMod: Int = 10): DataFrame = {
     val e = quantizedWithNorm(emb)
@@ -1162,7 +1200,7 @@ object Similarity {
       .select(col("vec_id").as("a_id"), col("q").as("qa"), col("nq").as("na"))
     val b = e.select(col("vec_id").as("b_id"), col("q").as("qb"), col("nq").as("nb"))
     broadcast(a).crossJoin(b)
-      .where(col("a_id") < col("b_id"))
+      .where(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"),
         cosineN(dotL(col("qa"), col("qb")), col("na"), col("nb")).as("cosine_sim"))
       .where(col("cosine_sim") >= threshold)
@@ -1265,7 +1303,11 @@ object Similarity {
         col("min_q"), col("max_q"),
         (col("s1").cast("double") / col("n_vecs").cast("double"))
           .as("mean_q"),
-        ((col("s2").cast("double") -
+        // clamped at 0: the exact decimal sums can round to a tiny
+        // negative through the double (s2 − s1²/n)/n on a constant
+        // dimension — a negative variance reads as nonsense in the
+        // health report (twin clamps identically)
+        greatest(lit(0.0), (col("s2").cast("double") -
           col("s1").cast("double") * col("s1").cast("double") /
             col("n_vecs").cast("double")) / col("n_vecs").cast("double"))
           .as("var_q"))
@@ -1309,7 +1351,10 @@ object Similarity {
           * col("s1").cast("double") / col("n_members").cast("double"))
           / col("n_members").cast("double"))
       .withColumn("z",
-        when(col("var_dist") === 0.0, lit(null).cast("double"))
+        // <= 0: the decimal moment sums are exact but the double
+        // (s2 − s1²/n)/n can round a constant-value group to a tiny
+        // NEGATIVE — sqrt of that is NaN, bypassing the NULL contract
+        when(col("var_dist") <= 0.0, lit(null).cast("double"))
           .otherwise((col("dist").cast("double") - col("mean_dist"))
             / sqrt(col("var_dist"))))
       .select(col("vec_id"), col("cluster"), col("dist"), col("n_members"),

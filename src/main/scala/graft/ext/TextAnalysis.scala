@@ -1049,7 +1049,9 @@ object TextAnalysis {
           * col("s1").cast("double") / col("n_docs").cast("double"))
           / col("n_docs").cast("double"))
       .select(col("doc_id"), col("source"), col("q_doc"),
-        when(col("var_q") === 0.0, lit(null).cast("double"))
+        // <= 0: double rounding of the exact moment sums can dip a
+        // constant group's variance slightly negative — NULL, not NaN
+        when(col("var_q") <= 0.0, lit(null).cast("double"))
           .otherwise((col("q_doc").cast("double") - col("mean_q"))
             / sqrt(col("var_q"))).as("z"),
         when(col("q_doc").cast("double") >= col("cut_hi"), "head")
