@@ -133,10 +133,7 @@ object Curation {
     // does not share subplans across union arms; the union form
     // measured ~3× this plan's cost at sf0.1).
     val sig = TextAnalysis.gopherRules(docs, minWords)
-      .where(col("n_words").between(minWords, 100000) &&
-        col("mean_word_len").between(3.0, 10.0) &&
-        col("symbol_ratio") <= 0.1 &&
-        col("frac_alpha_words") >= 0.8)
+      .where(TextAnalysis.shapePass(minWords))
       .select(col("doc_id"), lit(true).as("__q"))
     val d1 = docs.join(sig, Seq("doc_id"), "left")
       .withColumn("f1", coalesce(col("__q"), lit(false))).drop("__q")

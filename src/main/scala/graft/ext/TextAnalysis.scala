@@ -15,19 +15,37 @@ import graft.functions.PolyHash64.polyhash64
   */
 object TextAnalysis {
 
-  private def tokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokenization, phantom-free: `trim` strips only ASCII
+    * spaces, so text opening with a tab/newline (ubiquitous in web
+    * corpora) — or empty/whitespace-only text — used to yield a ""
+    * token that entered every token statistic, frequency model and
+    * vocabulary. Regex-trim ALL whitespace first (codegen'd, unlike a
+    * filter() HOF in the hot path) and map fully-blank text to the
+    * empty array; NULL text stays NULL. */
+  private def tokens(text: Column): Column = {
+    val t = regexp_replace(text, "^\\s+|\\s+$", "")
+    when(t === "", array().cast("array<string>")).otherwise(split(t, "\\s+"))
+  }
 
   /** Per-document stats: token counts, distinct tokens, char counts,
     * type-token ratio, mean token length. Deterministic int/double
     * arithmetic (DuckDB-oracle parity safe). */
   def textStats(docs: DataFrame): DataFrame = {
     val t = tokens(col("text"))
+    // NULL text → NULL counts (ansi-off size(NULL) is -1 — a negative
+    // token count and a perfect type_token_ratio shipped as data);
+    // n_spaces counts ALL whitespace separators, matching the \s+
+    // tokenizer, so mean_token_len doesn't count tabs/newlines as
+    // token characters
+    val nullGuard = col("text").isNull
     docs.select(
       col("doc_id"),
-      size(t).cast("int").as("n_tokens"),
-      size(array_distinct(t)).cast("int").as("n_uniq_tokens"),
+      when(nullGuard, lit(null).cast("int"))
+        .otherwise(size(t).cast("int")).as("n_tokens"),
+      when(nullGuard, lit(null).cast("int"))
+        .otherwise(size(array_distinct(t)).cast("int")).as("n_uniq_tokens"),
       length(col("text")).cast("int").as("n_chars_calc"),
-      (length(col("text")) - length(regexp_replace(col("text"), " ", "")))
+      (length(col("text")) - length(regexp_replace(col("text"), "\\s", "")))
         .cast("int").as("n_spaces"))
       .withColumn("type_token_ratio",
         col("n_uniq_tokens").cast("double") / col("n_tokens").cast("double"))
@@ -231,11 +249,20 @@ object TextAnalysis {
     val nUniq = size(array_distinct(t)).cast("double")
     val ttr = nUniq / nTok
     val lenScore = least(nTok / lit(64.0), lit(1.0))
-    val meanLen = (length(col("text")).cast("double") -
-      (size(t) - 1).cast("double")) / nTok
+    // separator-aware mean length (same formula as textStats — the
+    // earlier (length − (nTok−1))/nTok assumed exactly one space
+    // between tokens, demoting double-spaced/CRLF sources by a whole
+    // lenBand step); identical on single-spaced text
+    val nWs = (length(col("text")) -
+      length(regexp_replace(col("text"), "\\s", ""))).cast("double")
+    val meanLen = (length(col("text")).cast("double") - nWs) / nTok
     val lenBand = when(meanLen.between(3.0, 9.0), 1.0).otherwise(0.5)
     docs.withColumn("quality",
-      round((ttr * 0.5 + lenScore * 0.3 + lenBand * 0.2), 6))
+      // NULL text → NULL quality (the withRepetition contract) — the
+      // ansi-off -1 sizes otherwise compute a mid-distribution
+      // 0.595313 that corrupts every corpus-relative cut
+      when(col("text").isNull, lit(null).cast("double"))
+        .otherwise(round((ttr * 0.5 + lenScore * 0.3 + lenBand * 0.2), 6)))
   }
 
   def qualityScore(docs: DataFrame): DataFrame =
@@ -260,7 +287,12 @@ object TextAnalysis {
       labelCol: String, bins: Int = 10): DataFrame = {
     require(bins >= 1, "need at least one bin")
     val q6 = round(col(scoreCol) * 1000000).cast("long")
-    scored.select(q6.as("q6"), col(labelCol).cast("boolean").as("__y"))
+    // a NULL score is unbinnable — least/greatest SKIP null args, so
+    // it previously landed in the TOP bin (inflating n while its null
+    // q6 escaped the sum: a deflated mean_score exactly where
+    // thresholds get chosen); abstentions are excluded instead
+    scored.where(col(scoreCol).isNotNull)
+      .select(q6.as("q6"), col(labelCol).cast("boolean").as("__y"))
       .withColumn("bin",
         expr(s"greatest(least((q6 * $bins) div 1000000, ${bins - 1}), 0)")
           .cast("int"))
@@ -284,11 +316,7 @@ object TextAnalysis {
     * combinable groupBy. */
   def sourceScorecard(docs: DataFrame, minWords: Int = 20): DataFrame = {
     val g = gopherRules(docs, minWords)
-      .select(col("doc_id"),
-        (col("n_words").between(minWords, 100000) &&
-          col("mean_word_len").between(3.0, 10.0) &&
-          col("symbol_ratio") <= 0.1 &&
-          col("frac_alpha_words") >= 0.8).as("shape_pass"))
+      .select(col("doc_id"), shapePass(minWords).as("shape_pass"))
     val q = withQuality(docs)
       .select(col("doc_id"), col("source"),
         round(col("quality") * 1000000).cast("long").as("q6"))
@@ -576,9 +604,15 @@ object TextAnalysis {
     val wts = dsirWeights(docs, targetPred)
       .select(col("doc_id"), col("mean_logratio")).cache()
     val cut = wts.agg(expr(s"percentile(mean_logratio, ${1.0 - frac})").as("__cut"))
-    wts.crossJoin(broadcast(cut))
+    // localCheckpoint + unpersist (the sibling pattern): returning a
+    // lazy frame over the cache leaked corpus-sized storage memory for
+    // the session lifetime, one cache per call
+    val out = wts.crossJoin(broadcast(cut))
       .where(col("mean_logratio") >= col("__cut"))
       .select(col("doc_id"), col("mean_logratio"))
+      .localCheckpoint()
+    wts.unpersist()
+    out
   }
 
   /** Tokenizer fertility report — per language, model tokens per
@@ -720,8 +754,12 @@ object TextAnalysis {
 
   def langScore(text: Column, lang: String): Column = {
     val t = tokens(lower(text))
-    size(array_intersect(t, array(stopwords(lang).map(lit): _*)))
-      .cast("double") / size(t).cast("double")
+    // NULL text → NULL score (the ansi-off -1 sizes computed
+    // (-1)/(-1) = 1.0 for EVERY language, so null docs were labeled
+    // at full confidence)
+    when(text.isNull, lit(null).cast("double"))
+      .otherwise(size(array_intersect(t, array(stopwords(lang).map(lit): _*)))
+        .cast("double") / size(t).cast("double"))
   }
 
   def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
@@ -729,10 +767,17 @@ object TextAnalysis {
     val candidates = stopwords.keys.toSeq.sorted.map(l =>
       struct(langScore(col(textCol), l).as("score"), lit(l).as("lang")))
     val best = greatest(candidates: _*)
+    // undecidable inputs (NULL or blank text) get NULL prediction and
+    // confidence, never a confident arbitrary label
+    val blank = col(textCol).isNull ||
+      regexp_replace(col(textCol), "\\s", "") === ""
     docs.withColumn("lang_pred",
-      when(cjk > 0, "zh").otherwise(best.getField("lang")))
+      when(blank, lit(null).cast("string"))
+        .otherwise(when(cjk > 0, "zh").otherwise(best.getField("lang"))))
       .withColumn("lang_conf",
-        when(cjk > 0, lit(1.0)).otherwise(round(best.getField("score"), 6)))
+        when(blank, lit(null).cast("double"))
+          .otherwise(when(cjk > 0, lit(1.0))
+            .otherwise(round(best.getField("score"), 6))))
   }
 
   /** Language-metadata mismatch audit — per source, how often the
@@ -896,14 +941,23 @@ object TextAnalysis {
       size(array_intersect(col("tl"),
         array(requiredWords.map(lit): _*))).cast("int").as("n_required_hits"))
     scored.withColumn("pass",
-      col("n_words").between(minWords, maxWords) &&
-        col("mean_word_len").between(3.0, 10.0) &&
-        col("symbol_ratio") <= 0.1 &&
+      shapePass(minWords, maxWords) &&
         col("frac_bullet_lines") <= 0.9 &&
         col("frac_ellipsis_lines") <= 0.3 &&
-        col("frac_alpha_words") >= 0.8 &&
         col("n_required_hits") >= 2)
   }
+
+  /** The 4-rule SHAPE-pass predicate over `gopherRules` columns — the
+    * single source of truth for every consumer that filters on shape
+    * (the streaming shape filter, the curation chain, the scorecard):
+    * a threshold tuned here changes them all together, instead of a
+    * copy drifting silently. `gopherRules.pass` composes this with the
+    * line-shape and required-word rules. */
+  def shapePass(minWords: Int = 20, maxWords: Int = 100000): Column =
+    col("n_words").between(minWords, maxWords) &&
+      col("mean_word_len").between(3.0, 10.0) &&
+      col("symbol_ratio") <= 0.1 &&
+      col("frac_alpha_words") >= 0.8
 
   /** Corpus vocabulary size, exact vs HLL sketch (`approx_count_
     * distinct`): the sketch is the 100 TB path — fixed-size state,
@@ -1828,8 +1882,10 @@ object TextAnalysis {
     * |sources|·|alphabet| after the shuffle; totals are a rollup OF
     * the counts (one pass over the text). */
   def charEntropy(docs: DataFrame): DataFrame = {
-    // Spark's split(regex, limit=-1) keeps a trailing "" element on
-    // the empty pattern; DuckDB's string_split_regex does not — drop it
+    // defensive cross-version guard: THIS Spark build's empty-pattern
+    // split emits no trailing "" (probed), so the filter is a no-op
+    // here — kept because older engines differ and a phantom empty
+    // char would silently enter the entropy table
     val cc = docs.select(col("source"), explode(split(col("text"), "")).as("c"))
       .where(length(col("c")) > 0)
       .groupBy(col("source"), col("c")).agg(count(lit(1)).as("cnt"))

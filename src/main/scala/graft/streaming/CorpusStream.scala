@@ -279,10 +279,7 @@ object CorpusStream {
       checkpointDir: String, minWords: Int = 20): StreamingQuery = {
     import graft.ext.TextAnalysis
     TextAnalysis.gopherRules(source(spark, inDir), minWords)
-      .where(col("n_words").between(minWords, 100000) &&
-        col("mean_word_len").between(3.0, 10.0) &&
-        col("symbol_ratio") <= 0.1 &&
-        col("frac_alpha_words") >= 0.8)
+      .where(TextAnalysis.shapePass(minWords))
       .select(col("doc_id"), col("n_words"), col("mean_word_len"),
         col("frac_alpha_words"))
       .writeStream

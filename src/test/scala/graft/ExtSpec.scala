@@ -1652,7 +1652,9 @@ class ExtSpec extends SparkSpec {
     assert(f.keySet == Set(0, 1, 2, 3, 4) && f.values.forall(_ == 0L))
     // single empty-text document flows through every per-row op
     assert(TextAnalysis.gopherRules(blank).count() == 1)
-    assert(TextAnalysis.featureHashVectors(blank).head.getLong(1) == 1L) // [''] token
+    // empty text tokenizes to ZERO tokens (the phantom "" token the
+    // old trim+split emitted is gone), so the explode drops the doc
+    assert(TextAnalysis.featureHashVectors(blank).count() == 0L)
     assert(Dedup.lineDedup(blank).head.getString(3) == "")
     assert(Dedup.substringDedup(blank).count() == 1)
   }
