@@ -42,6 +42,16 @@ object BenchOne {
         case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
         case _ => -1L
       }
+    // Previous committed full-bench artifact for the vs_prev stamp on
+    // each FLOOR line (same cal-normalized diff the Bench tripwire
+    // uses; informational here — BenchOne is the isolation tool).
+    val prevDetail =
+      (try Some(scala.io.Source.fromFile("BENCH_DETAIL.json").mkString)
+      catch { case _: Exception => None })
+        .filter(_.contains("\"sf\":\"" + sfDir + "\"")) // same-SF only
+    val prevW = prevDetail.map(Bench.numMap(_, "queries")).getOrElse(Map.empty)
+    val prevC = prevDetail.map(Bench.numMap(_, "cpu")).getOrElse(Map.empty)
+    val prevCal = prevDetail.flatMap(Bench.calAvg)
     args.foreach { name =>
       val samples = (1 to passes).map { pass =>
         val g0 = JvmStamp.gcMillis(); val j0 = JvmStamp.jitMillis()
@@ -57,7 +67,13 @@ object BenchOne {
         (wall, cpu, gc, jit)
       }
       val (w, c, g, j) = samples.minBy(_._1)
-      println(f"[benchone] $name FLOOR wall=$w%.3f cpu=$c%.2f gc_ms=$g jit_ms=$j passes=$passes codecache_mb=${JvmStamp.codeCacheUsed() >> 20}")
+      val vsPrev = (prevW.get(name), prevC.get(name), prevCal) match {
+        case (Some(pw), Some(pc), Some(pcal)) if pw > 0 && pc > 0 && pcal > 0 =>
+          val r = calPre / pcal
+          f" vs_prev wall_ratio=${w / (pw * r)}%.2f cpu_ratio=${c / (pc * r)}%.2f cal_ratio=$r%.2f"
+        case _ => ""
+      }
+      println(f"[benchone] $name FLOOR wall=$w%.3f cpu=$c%.2f gc_ms=$g jit_ms=$j passes=$passes codecache_mb=${JvmStamp.codeCacheUsed() >> 20}$vsPrev")
     }
     val calPost = JvmStamp.calibrate()
     println(f"[benchone] done cal_post=$calPost%.3f s jvm=${JvmStamp.json()}")

@@ -19,13 +19,16 @@ object TextAnalysis {
     * spaces, so text opening with a tab/newline (ubiquitous in web
     * corpora) — or empty/whitespace-only text — used to yield a ""
     * token that entered every token statistic, frequency model and
-    * vocabulary. Regex-trim ALL whitespace first (codegen'd, unlike a
-    * filter() HOF in the hot path) and map fully-blank text to the
-    * empty array; NULL text stays NULL. */
-  private def tokens(text: Column): Column = {
-    val t = regexp_replace(text, "^\\s+|\\s+$", "")
-    when(t === "", array().cast("array<string>")).otherwise(split(t, "\\s+"))
-  }
+    * vocabulary. With a `\s+` separator, empty strings can only appear
+    * at the array boundaries (consecutive whitespace is one greedy
+    * separator), so a single `array_remove(split(...), "")` yields the
+    * phantom-free token list in ONE codegen'd regex pass — the earlier
+    * regex-trim-then-split spelling paid two full-text regex scans per
+    * evaluation, which doubled again inside percentile-cut compositions
+    * that re-evaluate the expression on both sides of the cutoff.
+    * Whitespace-only/empty text → empty array; NULL text stays NULL. */
+  private def tokens(text: Column): Column =
+    array_remove(split(text, "\\s+"), "")
 
   /** Per-document stats: token counts, distinct tokens, char counts,
     * type-token ratio, mean token length. Deterministic int/double
@@ -601,18 +604,25 @@ object TextAnalysis {
     * eager trade dupClusters makes). */
   def dsirSelect(docs: DataFrame, targetPred: Column,
       frac: Double = 0.5): DataFrame = {
+    // Cache the multi-shuffle weight table once, collect the scalar
+    // cut (the one job that materializes the cache), and return a LAZY
+    // filter over the cached plan. The r13 spelling added an eager
+    // localCheckpoint to fix the cache leak and paid for it 3× (floor
+    // 0.43 s/1.9 cpu → 1.46 s/10.8 cpu at sf0.1): checkpointing a
+    // query-proportional output re-executes the arm outside the
+    // cache/codegen path — the round-10 bm25 lesson. MEMORY_ONLY
+    // bounds the leak instead: a stale weights cache is LRU-evicted
+    // under storage pressure (never spilled and pinned like
+    // MEMORY_AND_DISK), and the lazy filter's lineage recomputes
+    // correctly if that happens.
     val wts = dsirWeights(docs, targetPred)
-      .select(col("doc_id"), col("mean_logratio")).cache()
-    val cut = wts.agg(expr(s"percentile(mean_logratio, ${1.0 - frac})").as("__cut"))
-    // localCheckpoint + unpersist (the sibling pattern): returning a
-    // lazy frame over the cache leaked corpus-sized storage memory for
-    // the session lifetime, one cache per call
-    val out = wts.crossJoin(broadcast(cut))
-      .where(col("mean_logratio") >= col("__cut"))
       .select(col("doc_id"), col("mean_logratio"))
-      .localCheckpoint()
-    wts.unpersist()
-    out
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val cutVal = wts
+      .agg(expr(s"percentile(mean_logratio, ${1.0 - frac})").as("__cut"))
+      .collect()(0).getDouble(0)
+    wts.where(col("mean_logratio") >= lit(cutVal))
+      .select(col("doc_id"), col("mean_logratio"))
   }
 
   /** Tokenizer fertility report — per language, model tokens per
