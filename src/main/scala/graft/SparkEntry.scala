@@ -93,6 +93,7 @@ object SparkEntry {
         k != "txlog_schema_evolve" && // builds a table per call: IO class
         k != "txlog_optimize" && // builds a table per call: IO class
         k != "txlog_incremental_agg" && // builds a table per call: IO class
+        k != "txlog_sql_snapshot" && // builds a table per call: IO class
         // same results as ngram_jaccard via the hot-key-free candidate
         // path; its freq-agg + prefix overhead only pays off on corpora
         // with skewed shingle frequencies — redundant as a throughput
@@ -1323,6 +1324,33 @@ object SparkEntry {
       Engine.canonical(graft.ingest.TxLog.snapshot(s, s"$base/table")
         .select("doc_id", "lang", "source", "n_chars", "rev"))
     }),
+    // SQL surface over the transactional log (round 14): snapshots —
+    // latest AND time-travel-pinned — registered as temp views and
+    // queried through verbatim spark.sql; the oracle answers from the
+    // source table alone, so the whole log+view machinery must be
+    // invisible in the data (SqlParitySpec additionally pins SQL ≡
+    // API snapshot row-for-row)
+    "txlog_sql_snapshot" -> prep((s, d) => {
+      val t = tmpDir("graft_txsql")
+      val base = s.read.parquet(s"$d/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+      graft.ingest.TxLog.write(base.where(col("doc_id") % 2 === 0)
+        .repartitionByRange(4, col("doc_id")), t, "overwrite")
+      graft.ingest.TxLog.write(base.where(col("doc_id") % 2 =!= 0)
+        .repartitionByRange(2, col("doc_id")), t, "append")
+      graft.ingest.TxLog.deleteRange(s, t, "doc_id", Some(100L), Some(299L))
+      graft.ingest.TxLog.registerView(s, t, "txsql_now")
+      graft.ingest.TxLog.registerView(s, t, "txsql_v1", asOf = Some(1L))
+      s.sql("""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars, 'now' AS at
+        FROM txsql_now GROUP BY lang
+        UNION ALL
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars, 'v1' AS at
+        FROM txsql_v1 GROUP BY lang
+        ORDER BY at, lang""")
+    }),
     // row-level ops through the transactional log: copy-on-write
     // DELETE (range + predicate), UPDATE, and whole-row UPSERT by key
     // — each one atomic rewrite commit touching only matching files
@@ -1466,6 +1494,13 @@ object SparkEntry {
     // stats instead of failing the task
     "multimodal_decode_robust" -> prep((s, d) =>
       graft.ext.Multimodal.decodeStatsRobust(s, docs(s, d))
+        .orderBy("asset_id")),
+    // compressed real-world containers through JDK ImageIO (round 14):
+    // PNG arm is lossless (exact luma sums, oracle re-derives them),
+    // JPEG arm is lossy (tolerance verdict), corruption injection as
+    // in the robust tier
+    "multimodal_decode_imageio" -> prep((s, d) =>
+      graft.ext.Multimodal.decodeStatsImageIo(s, docs(s, d))
         .orderBy("asset_id")),
     // quality-aware canonical dedup: keep each near-dup cluster's
     // highest-quality member, not the arbitrary min-id one
@@ -1908,6 +1943,7 @@ object SparkEntry {
     "stream_neardup_ingest" -> ExtOracle.streamNearDupIngest,
     "stream_full_ingest" -> ExtOracle.streamFullIngest,
     "txlog_time_travel" -> ExtOracle.txlogTimeTravel,
+    "txlog_sql_snapshot" -> ExtOracle.txlogSqlSnapshot,
     "stream_txlog_ingest" -> ExtOracle.streamTxlogIngest,
     "txlog_stats_prune" -> ExtOracle.zorderScan, // same predicate+rollup, stats-pruned file list
     "txlog_rowops" -> ExtOracle.txlogRowOps,
@@ -2026,6 +2062,7 @@ object SparkEntry {
     "multimodal_decode" -> ExtOracle.multimodalDecode,
     "image_dup_decoded" -> ExtOracle.imageDupDecoded,
     "multimodal_decode_robust" -> ExtOracle.multimodalDecodeRobust,
+    "multimodal_decode_imageio" -> ExtOracle.multimodalDecodeImageIo,
     "fingerprint_docs" -> ExtOracle.fingerprintDocs,
     "pii_scrub" -> ExtOracle.piiScrub,
     "stable_row_ids" -> ExtOracle.stableRowIds,

@@ -766,6 +766,62 @@ SELECT d.asset_id, d.format, d.ok,
 FROM d LEFT JOIN s USING (asset_id)
 ${ord("asset_id")}""".trim
 
+  /** Twin of `Multimodal.decodeStatsImageIo` — the compressed-container
+    * tier (PNG for even ids, JPEG for odd, corruption by the mod-7
+    * rule). The PNG arm is LOSSLESS, so its exact `luma_sum` is
+    * re-derived from the text formula exactly as the robust twin does;
+    * the JPEG arm is lossy, so the twin predicts only the shape columns
+    * and the engine-computed tolerance verdict `luma_close` = TRUE
+    * (JPEG preserves the image mean far inside the ±4 band — a codec
+    * channel/row-order defect shifts it out). Corrupted rows are
+    * ok = false with all-NULL stats, derived purely from the id rule. */
+  val multimodalDecodeImageIo: String = s"""
+WITH a AS (
+  SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+    CAST(strlen(text) AS BIGINT) AS len,
+    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+    (doc_id % 7) NOT IN (0, 1) AS ok
+  FROM documents WHERE strlen(text) > 0),
+d AS (SELECT *, greatest((len + 31) // 32, 1) AS h FROM a),
+ix AS (SELECT asset_id, len, hx, h,
+  unnest(generate_series(0, 32 * h - 1)) AS i
+  FROM d WHERE ok AND format = 'png'),
+lum AS (
+  SELECT asset_id, i,
+    (299 * bi + 587 * ((bi + (i % 32)) % 256)
+     + 114 * ((bi + (i // 32)) % 256)) // 1000 AS l
+  FROM (SELECT asset_id, i,
+          ${hexByteAt("hx", "i % len")} AS bi
+        FROM ix)),
+s AS (SELECT asset_id, SUM(l) AS ls FROM lum GROUP BY asset_id)
+SELECT d.asset_id, d.format, d.ok,
+  CASE WHEN d.ok THEN CAST(32 AS INT) END AS width,
+  CASE WHEN d.ok THEN CAST(d.h AS INT) END AS height,
+  CASE WHEN d.ok THEN CAST(32 * d.h AS BIGINT) END AS n_px,
+  CAST(s.ls AS BIGINT) AS luma_sum,
+  CASE WHEN d.ok THEN TRUE END AS luma_close
+FROM d LEFT JOIN s USING (asset_id)
+${ord("asset_id")}""".trim
+
+  /** Twin of `txlog_sql_snapshot` — the SQL-on-TxLog surface: per-lang
+    * rollups over the registered LATEST view (after the range delete)
+    * and the time-travel view pinned at v1 (the full pre-delete
+    * table), answered from the source table alone: the log, the COW
+    * delete rewrite, and the temp-view machinery must all be invisible
+    * in the data. */
+  val txlogSqlSnapshot: String = s"""
+WITH now_t AS (
+  SELECT lang, n_chars FROM documents
+  WHERE NOT COALESCE(doc_id BETWEEN 100 AND 299, FALSE))
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars, 'now' AS at
+FROM now_t GROUP BY lang
+UNION ALL
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars, 'v1' AS at
+FROM documents GROUP BY lang
+${ord("at", "lang")}""".trim
+
   /** Box-filter cell chain over the DECODED synthetic image's luma
     * pixels (the real-codec analogue of `resizeCellChain`): width 32,
     * height ceil(len/32), pixel value = integer ITU-601 luma of the

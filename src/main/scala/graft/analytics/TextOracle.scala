@@ -1295,9 +1295,15 @@ hlreg AS (
     * split 32-bit decomposition (13787848793156543929 = hi 3210233709
     * · 2³² + lo 484763065; 10723151780598845931 = hi 2496678331 · 2³²
     * + lo 321982955). Emits CTEs `<prefix>x1..x4` and `$finalName`
-    * (DISTINCT `$keys`, u). */
+    * (`$keys`, u). `distinct` collapses duplicate rows — right for the
+    * set-semantics consumers (HLL registers, shingle/bloom universes),
+    * WRONG for the quantile samplers, whose engine side keeps every
+    * occurrence of a repeated (id, value) in its k slots (r13 ADVICE:
+    * the twins diverged whenever idCol was non-unique with repeated
+    * values — quantile callers pass distinct = false so the oracle
+    * sample is the same multiset the engine keeps). */
   private def mix64Chain(prefix: String, keys: String, from: String,
-      finalName: String): String = {
+      finalName: String, distinct: Boolean = true): String = {
     val pow64 = "CAST('18446744073709551616' AS HUGEINT)"
     val pow32 = "CAST(4294967296 AS HUGEINT)"
     s"""${prefix}x1 AS (SELECT $keys, xor(hu, hu >> 30) AS z1 FROM $from),
@@ -1309,7 +1315,8 @@ ${prefix}x4 AS (SELECT $keys,
   ((z3 * 321982955) % $pow64 + ((z3 * 2496678331) % $pow32) * $pow32)
     % $pow64 AS z4 FROM ${prefix}x3),
 $finalName AS (
-  SELECT DISTINCT $keys, xor(z4, z4 >> 31) AS u FROM ${prefix}x4)""".trim
+  SELECT ${if (distinct) "DISTINCT " else ""}$keys, xor(z4, z4 >> 31) AS u
+  FROM ${prefix}x4)""".trim
   }
 
   /** The HLL estimate from (zero-count, harmonic-sum) columns — the
@@ -1340,7 +1347,7 @@ $finalName AS (
     AS value FROM aqsamp"""
     s"""
 WITH aq0 AS (SELECT CAST(event_id AS HUGEINT) AS hu, value FROM events),
-${mix64Chain("aq", "value", "aq0", "aqm")},
+${mix64Chain("aq", "value", "aq0", "aqm", distinct = false)},
 aqsamp AS (
   SELECT CAST(round(value * 100) AS BIGINT) AS cents
   FROM aqm ORDER BY u LIMIT 4096)
@@ -1360,7 +1367,7 @@ ${ord("quantile")}""".trim
     s"""
 WITH gq0 AS (
   SELECT CAST(event_id AS HUGEINT) AS hu, event_type, value FROM events),
-${mix64Chain("gq", "event_type, value", "gq0", "gqm")},
+${mix64Chain("gq", "event_type, value", "gq0", "gqm", distinct = false)},
 gqrk AS (
   SELECT event_type, value,
     row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn

@@ -339,7 +339,7 @@ object ScaleProbe {
         }
         t("txlogCheckpointVacuum", n) {
           val cp = TxLog.checkpointLog(tdir)
-          TxLog.vacuum(tdir, dropHistoryBefore = cp).toLong
+          TxLog.vacuum(tdir, dropHistoryBefore = cp, retainMs = 0L).toLong
         }
         // the NET change feed over a fixed-size window (one upsert's
         // rewrite): reads only the window's files — must stay ~flat

@@ -1736,6 +1736,65 @@ class ExtSpec extends SparkSpec {
     assert(out(9).getAs[Long]("luma_wsum") == strict.getAs[Long]("luma_wsum"))
   }
 
+  test("decodeStatsImageIo: PNG arm exact, JPEG arm close, corruption nulls") {
+    // mod rules: 4 -> png ok, 9 -> jpeg ok, 14 -> png truncated (14%7=0),
+    // 15 -> jpeg corrupted magic (15%7=1)
+    val text = "The quick brown fox jumps over the lazy dog."
+    val docs = Seq((4L, text), (9L, text), (14L, text), (15L, text))
+      .toDF("doc_id", "text")
+    val out = Multimodal.decodeStatsImageIo(spark, docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // PNG: lossless — exact luma_sum equals the BMP strict tier's
+    val strict = Multimodal.decodeStats(spark,
+      Seq((4L, text)).toDF("doc_id", "text")).collect().head
+    assert(out(4).getString(1) == "png" && out(4).getBoolean(2))
+    assert(out(4).getAs[Long]("luma_sum") == strict.getAs[Long]("luma_sum"),
+      "PNG round trip must be bit-exact")
+    assert(out(4).getAs[Boolean]("luma_close"))
+    // JPEG: shape exact, luma_sum deliberately NULL, tolerance verdict
+    assert(out(9).getString(1) == "jpeg" && out(9).getBoolean(2))
+    assert(out(9).getAs[Int]("width") == 32)
+    assert(out(9).isNullAt(out(9).fieldIndex("luma_sum")))
+    assert(out(9).getAs[Boolean]("luma_close"),
+      "JPEG mean luma must stay inside the ±4 band")
+    // corrupted rows: ok=false, everything NULL
+    for (id <- Seq(14L, 15L)) {
+      assert(!out(id).getBoolean(2), s"id=$id must fail decode")
+      for (c <- Seq("width", "height", "n_px", "luma_sum", "luma_close"))
+        assert(out(id).isNullAt(out(id).fieldIndex(c)), s"id=$id $c not null")
+    }
+  }
+
+  test("txlog SQL surface: spark.sql over a registered view == API snapshot") {
+    import graft.ingest.TxLog
+    val t = java.nio.file.Files.createTempDirectory("txsql_spec").toString
+    val df = Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L))
+      .toDF("doc_id", "lang", "n_chars")
+    TxLog.write(df, t, "overwrite")
+    TxLog.delete(spark, t, col("doc_id") === 2L)
+    TxLog.registerView(spark, t, "txsql_spec_now")
+    TxLog.registerView(spark, t, "txsql_spec_v0", asOf = Some(0L))
+    // SQL over the view ≡ API snapshot, row for row
+    val viaSql = spark.sql(
+      "SELECT doc_id, lang, n_chars FROM txsql_spec_now ORDER BY doc_id")
+      .collect().toSeq
+    val viaApi = TxLog.snapshot(spark, t)
+      .select("doc_id", "lang", "n_chars").orderBy("doc_id").collect().toSeq
+    assert(viaSql == viaApi)
+    assert(viaSql.map(_.getLong(0)) == Seq(1L, 3L))
+    // the time-travel view still shows the pre-delete table
+    assert(spark.sql("SELECT COUNT(*) FROM txsql_spec_v0")
+      .collect().head.getLong(0) == 3L)
+    // snapshot isolation: a commit AFTER registration doesn't leak in
+    TxLog.write(Seq((9L, "fr", 90L)).toDF("doc_id", "lang", "n_chars"),
+      t, "append")
+    assert(spark.sql("SELECT COUNT(*) FROM txsql_spec_now")
+      .collect().head.getLong(0) == 2L)
+    TxLog.registerView(spark, t, "txsql_spec_now") // re-register advances
+    assert(spark.sql("SELECT COUNT(*) FROM txsql_spec_now")
+      .collect().head.getLong(0) == 3L)
+  }
+
   test("multimodal frameSample: every stride-th fixed-size frame, streamed") {
     // 300 bytes → 4 frames of 64 (tail 44 bytes dropped); stride 4 keeps frame 0
     val media = Array.tabulate(300)(_.toByte)

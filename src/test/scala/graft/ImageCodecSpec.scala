@@ -180,4 +180,49 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(ImageCodec.decodeOpt(
       java.util.Arrays.copyOf(bmp, bmp.length / 2)).isEmpty)
   }
+
+  test("ImageIO arm: PNG round trip is bit-exact") {
+    val img = Image(5, 3, Array.tabulate(15)(i =>
+      ((i * 17) << 16) | ((i * 31 % 256) << 8) | (i * 53 % 256)))
+    val png = ImageCodec.encodeImageIo(img, "png")
+    assert(png.take(4).toSeq ==
+      Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    // the general dispatcher must route PNG magic through ImageIO
+    val back = ImageCodec.decode(png)
+    assert(back.width == 5 && back.height == 3)
+    assert(back.argb.toSeq == img.argb.toSeq, "PNG is lossless")
+  }
+
+  test("ImageIO arm: JPEG round trip is shape-exact, mean-luma close") {
+    // a big smooth image: JPEG is lossy, but the DC average survives
+    val w = 32; val h = 16
+    val img = Image(w, h, Array.tabulate(w * h) { i =>
+      val v = (i * 7) % 200 + 20
+      (v << 16) | (((v + 3) % 256) << 8) | ((v + 5) % 256)
+    })
+    val jpg = ImageCodec.encodeImageIo(img, "jpeg")
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8)
+    val back = ImageCodec.decode(jpg)
+    assert(back.width == w && back.height == h)
+    def meanLuma(im: Image): Double =
+      im.argb.map(ImageCodec.lumaOf).sum.toDouble / im.argb.length
+    assert(math.abs(meanLuma(back) - meanLuma(img)) <= 4.0,
+      s"JPEG mean luma drifted: ${meanLuma(back)} vs ${meanLuma(img)}")
+  }
+
+  test("ImageIO arm: corrupt/truncated compressed payloads -> None") {
+    val img = Image(4, 4, Array.fill(16)(0x336699))
+    val png = ImageCodec.encodeImageIo(img, "png")
+    val jpg = ImageCodec.encodeImageIo(img, "jpeg")
+    // truncation at half (the decodeStatsImageIo mod-7 rule)
+    assert(ImageCodec.decodeOpt(
+      java.util.Arrays.copyOf(png, png.length / 2)).isEmpty)
+    assert(ImageCodec.decodeOpt(
+      java.util.Arrays.copyOf(jpg, jpg.length / 2)).isEmpty)
+    // corrupted magic: no reader claims it
+    val badPng = png.clone(); badPng(0) = 'X'.toByte
+    val badJpg = jpg.clone(); badJpg(0) = 'X'.toByte
+    assert(ImageCodec.decodeOpt(badPng).isEmpty)
+    assert(ImageCodec.decodeOpt(badJpg).isEmpty)
+  }
 }

@@ -56,14 +56,14 @@ class TxLogSpec extends SparkSpec {
     TxLog.write(Seq(2L).toDF("id"), t, "overwrite") // v0's file now historical
     // orphan: a data file no commit references (failed-write debris)
     Files.write(Paths.get(t, "orphan-debris.parquet"), Array[Byte](1, 2))
-    val deleted = TxLog.vacuum(t)
+    val deleted = TxLog.vacuum(t, retainMs = 0L)
     assert(deleted >= 1)
     assert(!Files.exists(Paths.get(t, "orphan-debris.parquet")))
     // time travel still works: overwritten-but-referenced files kept
     assert(ids(TxLog.snapshot(spark, t, Some(0L))) == Seq(1L))
     assert(ids(TxLog.snapshot(spark, t)) == Seq(2L))
     // dropping history before v1 forgets v0 and reclaims its file
-    TxLog.vacuum(t, dropHistoryBefore = 1L)
+    TxLog.vacuum(t, dropHistoryBefore = 1L, retainMs = 0L)
     assert(TxLog.commits(t).map(_.version) == Seq(1L))
     assert(ids(TxLog.snapshot(spark, t)) == Seq(2L))
   }
@@ -240,7 +240,7 @@ class TxLogSpec extends SparkSpec {
       "removed files back time travel until vacuum")
     val cp = TxLog.checkpointLog(t)
     val expect = ids(TxLog.snapshot(spark, t))
-    assert(TxLog.vacuum(t, dropHistoryBefore = cp) > 0)
+    assert(TxLog.vacuum(t, dropHistoryBefore = cp, retainMs = 0L) > 0)
     assert(tombstoned.forall(f => !Files.exists(Paths.get(t, f))),
       "after the history cut the tombstoned bytes are reclaimed")
     assert(ids(TxLog.snapshot(spark, t)) == expect && expect == (11L to 40L))
@@ -402,7 +402,7 @@ class TxLogSpec extends SparkSpec {
     // a history cut at a non-overwrite boundary would lose live files
     // on replay — rejected
     val eCut = intercept[IllegalArgumentException](
-      TxLog.vacuum(t, dropHistoryBefore = TxLog.latestVersion(t).get))
+      TxLog.vacuum(t, dropHistoryBefore = TxLog.latestVersion(t).get, retainMs = 0L))
     assert(eCut.getMessage.contains("overwrite commit"))
     // a checkpoint commit changes zero rows → absent from the feed
     val preCp = TxLog.latestVersion(t).get
@@ -425,6 +425,131 @@ class TxLogSpec extends SparkSpec {
     assert(feed.count() == 0 && feed.columns.contains("id"))
     val r = TxLog.snapshotRange(spark, t, "id", Some(1L), None)
     assert(r.count() == 0 && r.columns.toSeq.contains("id"))
+  }
+
+  test("upsertOrdered: a stale revision can never regress a key") {
+    val t = tmp("txlog_ordup")
+    val mk = (rows: Seq[(Long, String, Long)]) => rows.toDF("k", "v", "rev")
+    TxLog.write(mk(Seq((1L, "new", 5L), (2L, "x", 1L)))
+      .repartition(2), t, "overwrite")
+    // the r13 ADVICE failure: an OLDER revision of key 1 arrives later
+    // (clock skew / backfill). Unconditional last-writer-wins would
+    // regress k=1 to "old"; the orderCol guard must keep rev 5
+    TxLog.upsertOrdered(spark, t, mk(Seq((1L, "old", 3L), (3L, "c", 1L))),
+      Seq("k"), "rev")
+    val rows = TxLog.snapshot(spark, t)
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(rows == Seq((1L, "new", 5L), (2L, "x", 1L), (3L, "c", 1L)))
+    // a genuinely newer revision still replaces
+    TxLog.upsertOrdered(spark, t, mk(Seq((1L, "newer", 9L))), Seq("k"), "rev")
+    assert(TxLog.snapshot(spark, t).where(col("k") === 1L)
+      .select("v").as[String].head() == "newer")
+    // several source revisions of one key collapse to the max in the
+    // same call; a NULL-rev revision loses to any sequenced one
+    TxLog.upsertOrdered(spark, t,
+      Seq((2L, Some("r7"), Some(7L)), (2L, Some("r6"), Some(6L)),
+        (2L, Some("unseq"), None: Option[Long])).toDF("k", "v", "rev"),
+      Seq("k"), "rev")
+    assert(TxLog.snapshot(spark, t).where(col("k") === 2L)
+      .select("v").as[String].head() == "r7")
+  }
+
+  test("streaming CDC upsert: an out-of-order LATER batch cannot regress") {
+    val base = tmp("txlog_ooo")
+    // batch 1 (mtime-ordered): rev 5 of key 1; batch 2: rev 3 (stale)
+    def emit(rows: Seq[(Long, String, Long)], i: Int): Unit = {
+      val stage = s"$base/stage$i"
+      rows.toDF("k", "v", "rev").coalesce(1).write.json(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".json")).head
+      val dst = Paths.get(s"$base/in", f"b$i%03d.json")
+      Files.createDirectories(dst.getParent)
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 600000L); ()
+    }
+    emit(Seq((1L, "fresh", 5L), (2L, "x", 1L)), 0)
+    emit(Seq((1L, "stale", 3L), (3L, "c", 2L)), 1)
+    TxLog.streamUpsertSink(
+      spark.readStream.schema("k BIGINT, v STRING, rev BIGINT")
+        .option("maxFilesPerTrigger", "1").json(s"$base/in"),
+      s"$base/t", Seq("k"), "rev", s"$base/ckpt").awaitTermination()
+    val rows = TxLog.snapshot(spark, s"$base/t")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(rows == Seq((1L, "fresh", 5L), (2L, "x", 1L), (3L, "c", 2L)),
+      s"stale cross-batch revision must lose: $rows")
+  }
+
+  test("checkpoint pointer: O(tail) replay, ledger survives history drop") {
+    val t = tmp("txlog_ptr")
+    (0L to 5L).foreach(i =>
+      TxLog.write(Seq(i).toDF("id"), t, "append", batchId = i))
+    val cp = TxLog.checkpointLog(t)
+    assert(TxLog.lastCheckpoint(t).contains((cp, 5L)),
+      "pointer must carry the checkpoint version and the max batch id")
+    // replay-from-pointer must agree with full replay
+    assert(ids(TxLog.snapshot(spark, t)) == (0L to 5L))
+    // drop history before the checkpoint: the tail has no batch=0..5
+    // commits anymore, but the pointer's max_batch keeps the
+    // exactly-once ledger sound — a zombie replay of batch 3 is skipped
+    TxLog.vacuum(t, dropHistoryBefore = cp, retainMs = 0L)
+    assert(TxLog.isBatchCommitted(t, 3L), "ledger must survive the cut")
+    assert(!TxLog.isBatchCommitted(t, 6L))
+    assert(TxLog.write(Seq(99L).toDF("id"), t, "append", batchId = 3L) == -1L)
+    assert(ids(TxLog.snapshot(spark, t)) == (0L to 5L))
+    // a later checkpoint absorbs the previous pointer's max_batch
+    TxLog.write(Seq(6L).toDF("id"), t, "append", batchId = 6L)
+    val cp2 = TxLog.checkpointLog(t)
+    assert(TxLog.lastCheckpoint(t).contains((cp2, 6L)))
+    // time travel BEFORE the pointer still resolves (full replay path)
+    assert(ids(TxLog.snapshot(spark, t, Some(cp))) == (0L to 5L))
+  }
+
+  test("auto-checkpoint: a long-running stream keeps the replay tail bounded") {
+    val base = tmp("txlog_autocp")
+    def emit(i: Int): Unit = {
+      val stage = s"$base/stage$i"
+      Seq(i.toLong).toDF("id").coalesce(1).write.json(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".json")).head
+      val dst = Paths.get(s"$base/in", f"f$i%03d.json")
+      Files.createDirectories(dst.getParent)
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L); ()
+    }
+    (0 until 6).foreach(emit)
+    TxLog.streamSink(
+      spark.readStream.schema("id BIGINT")
+        .option("maxFilesPerTrigger", "1").json(s"$base/in"),
+      s"$base/t", s"$base/ckpt", autoCheckpointEvery = 2).awaitTermination()
+    val ptr = TxLog.lastCheckpoint(s"$base/t")
+    assert(ptr.nonEmpty, "the sink must have checkpointed")
+    assert(TxLog.latestVersion(s"$base/t").get - ptr.get._1 <= 2,
+      "replay tail must stay bounded by the checkpoint cadence")
+    assert(ids(TxLog.snapshot(spark, s"$base/t")) == (0L to 5L),
+      "checkpoints are content-neutral")
+  }
+
+  test("snapshotRange: raw-micros Long bounds on a timestamp column") {
+    val t = tmp("txlog_tsbound")
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-05 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-15 00:00:00")),
+      (3L, java.sql.Timestamp.valueOf("2024-02-10 00:00:00")))
+      .toDF("id", "ts")
+    TxLog.write(df.repartitionByRange(3, col("id")), t, "overwrite")
+    // r13 ADVICE: pruning compared micros while the exact filter
+    // coerced the long as SECONDS (or failed analysis) — the documented
+    // raw-micros input form must now work end to end
+    val loMicros = 1704672000000000L // 2024-01-08 00:00:00 UTC
+    val hiMicros = 1706745600000000L // 2024-02-01 00:00:00 UTC
+    val got = TxLog.snapshotRange(spark, t, "ts",
+      Some(loMicros), Some(hiMicros))
+    assert(got.select("id").as[Long].collect().toSeq == Seq(2L),
+      "only the mid-January row is inside the micros window")
+    // Timestamp-typed bounds still work unchanged
+    val got2 = TxLog.snapshotRange(spark, t, "ts",
+      Some(java.sql.Timestamp.valueOf("2024-01-08 00:00:00")), None)
+    assert(got2.count() == 2)
   }
 
   test("streaming restart: rerun on the same landing adds nothing") {
