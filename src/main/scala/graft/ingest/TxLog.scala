@@ -100,6 +100,10 @@ object TxLog {
   private val parseCache =
     new java.util.concurrent.ConcurrentHashMap[String, Commit]()
 
+  /** Test/probe hook: drop every cached parse so the next resolution
+    * measures the COLD read path (ScaleProbe's replay-cost rows). */
+  private[graft] def clearParseCache(): Unit = parseCache.clear()
+
   /** All commits in version order (missing table → empty). */
   def commits(table: String): Seq[Commit] =
     commitsFrom(table, 0L)

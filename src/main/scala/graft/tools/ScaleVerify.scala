@@ -133,14 +133,116 @@ object ScaleVerify {
       (name, ok, na, nb, ha, hb, ta, tb)
     }
 
-    val json = rows.map { case (n, ok, na, nb, ha, hb, ta, tb) =>
+    // ---- streaming tier (round 14): micro-batch-boundary invariance.
+    // The batch rows prove layout invariance of PLANS; a stream's
+    // analog degree of freedom is WHERE the file source chops
+    // micro-batches. Same 4× rows under two chop layouts — and for the
+    // CDC upsert sink, layout B additionally REORDERS revision arrival
+    // (the rev-2 wave lands before rev-1), so the r14 sequence-aware
+    // merge is what keeps the converged table identical. The digest of
+    // the final at-rest table must match exactly.
+    def rmrf(p: String): Unit = {
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.isDirectory(root)) {
+        val w = java.nio.file.Files.walk(root)
+        val all = try w.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          finally w.close()
+        all.sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_)); ()
+      }
+    }
+    /** Land `df` into `dir` as `parts` mtime-controlled json files. */
+    def emitWave(dir: String, df: DataFrame, parts: Int, idx: Int,
+        mtime: Long): Unit = {
+      val stage = s"$dir-stage$idx"
+      df.repartition(parts).write.mode("overwrite").json(stage)
+      val fs = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+      fs.zipWithIndex.foreach { case (f, i) =>
+        val dst = java.nio.file.Paths.get(dir, f"w$idx%02d-$i%02d.json")
+        java.nio.file.Files.createDirectories(dst.getParent)
+        java.nio.file.Files.move(f.toPath, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.toFile.setLastModified(mtime + i * 1000L); ()
+      }
+    }
+    val streamRows: Seq[(String, Boolean, Long, Long, Long, Long, Double, Double)] = {
+      import graft.ingest.TxLog
+      val docs4 = spark.read.parquet(Replicas.docsPath(probeOut, 4))
+      val keyed = docs4.select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"))
+      val waves = Seq(
+        keyed.withColumn("rev", lit(0L)),
+        keyed.where(col("doc_id") % 5 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000L)
+          .withColumn("rev", lit(1L)),
+        keyed.where(col("doc_id") % 25 === 0)
+          .withColumn("n_chars", col("n_chars") + 2000L)
+          .withColumn("rev", lit(2L)))
+      val t0 = 1700000000000L
+      def runUpsert(tag: String, chop: Seq[(Int, Int, Long)]): (Long, Long, String, Double) = {
+        val base = s"$sv/stream_upsert_$tag"
+        rmrf(base)
+        chop.foreach { case (waveIdx, parts, mt) =>
+          emitWave(s"$base/in", waves(waveIdx), parts, waveIdx, mt) }
+        val s0 = System.nanoTime()
+        TxLog.streamUpsertSink(
+          spark.readStream
+            .schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT, rev BIGINT")
+            .option("maxFilesPerTrigger", "1").json(s"$base/in"),
+          s"$base/table", Seq("doc_id"), "rev", s"$base/ckpt")
+          .awaitTermination()
+        val (h, n, sch) = digest(TxLog.snapshot(spark, s"$base/table")
+          .select("doc_id", "lang", "source", "n_chars", "rev"))
+        (h, n, sch, (System.nanoTime() - s0) / 1e9)
+      }
+      // A: one file per wave, in revision order
+      val (ha, na, sa, ta) = runUpsert("a",
+        Seq((0, 1, t0), (1, 1, t0 + 3600000L), (2, 1, t0 + 7200000L)))
+      // B: four chunks per wave, rev 2 arriving BEFORE rev 1
+      val (hb, nb, sb, tb) = runUpsert("b",
+        Seq((0, 4, t0), (2, 4, t0 + 60000L), (1, 4, t0 + 120000L)))
+      val okU = ha == hb && na == nb && sa == sb && na > 0
+      println(f"[scaleverify] stream_txlog_upsert     ${if (okU) "OK " else "MISMATCH"} " +
+        f"rows=$na%-8d hash=$ha%20d  a=$ta%6.2fs b=$tb%6.2fs" +
+        (if (okU) "" else f"  (b: rows=$nb hash=$hb)"))
+
+      // CMS token partials: per-batch matrices differ with the chop;
+      // the compacted (token, est_freq) table must not
+      val textDocs = docs4.select(col("doc_id"), col("text"), col("lang"),
+        col("source"))
+      val probes = Seq("the", "and", "data", "pipeline", "image", "graft")
+      def runCms(tag: String, parts: Int): (Long, Long, String, Double) = {
+        val base = s"$sv/stream_cms_$tag"
+        rmrf(base)
+        emitWave(s"$base/in", textDocs, parts, 0, t0)
+        val s0 = System.nanoTime()
+        graft.streaming.CorpusStream.runCmsTokens(
+          spark, s"$base/in", s"$base/out", s"$base/ckpt")
+          .awaitTermination()
+        val (h, n, sch) = digest(graft.streaming.CorpusStream.cmsTokensCompact(
+          spark.read.parquet(s"$base/out"), probes))
+        (h, n, sch, (System.nanoTime() - s0) / 1e9)
+      }
+      val (hc, nc, sc, tc) = runCms("a", 4)
+      val (hd, nd, sd, td) = runCms("b", 13)
+      val okC = hc == hd && nc == nd && sc == sd && nc > 0
+      println(f"[scaleverify] stream_cms_tokens       ${if (okC) "OK " else "MISMATCH"} " +
+        f"rows=$nc%-8d hash=$hc%20d  a=$tc%6.2fs b=$td%6.2fs" +
+        (if (okC) "" else f"  (b: rows=$nd hash=$hd)"))
+      Seq(("stream_txlog_upsert", okU, na, nb, ha, hb, ta, tb),
+        ("stream_cms_tokens", okC, nc, nd, hc, hd, tc, td))
+    }
+    val allRows = rows ++ streamRows
+
+    val json = allRows.map { case (n, ok, na, nb, ha, hb, ta, tb) =>
       s"""{"entry":"$n","match":$ok,"rows_a":$na,"rows_b":$nb,""" +
         s""""hash_a":$ha,"hash_b":$hb,"secs_a":${f"$ta%.2f"},""" +
         s""""secs_b":${f"$tb%.2f"}}"""
     }.mkString("[\n", ",\n", "\n]")
-    val nOk = rows.count(_._2)
+    val nOk = allRows.count(_._2)
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALEVERIFY.json"),
-      (s"""{"sf":"$d","copies":4,"n_entries":${rows.size},""" +
+      (s"""{"sf":"$d","copies":4,"n_entries":${allRows.size},""" +
         s""""n_match":$nOk,"layout_a":"repartition(32) hash",""" +
         s""""layout_b":"repartitionByRange(13, id desc) + """ +
         s"""sortWithinPartitions desc","entries":$json}""" + "\n")
@@ -152,14 +254,14 @@ object ScaleVerify {
       "reverse-sorted layout); the unordered\nresult digest " +
       "(Σ xxhash64(row), row count, schema) must match exactly.\n\n"
     md ++= "| entry | match | rows | hash | secs a/b |\n|---|---|---|---|---|\n"
-    rows.foreach { case (n, ok, na, _, ha, _, ta, tb) =>
+    allRows.foreach { case (n, ok, na, _, ha, _, ta, tb) =>
       md ++= f"| $n | ${if (ok) "OK" else "**MISMATCH**"} | $na | $ha | $ta%.2f / $tb%.2f |\n"
     }
-    md ++= s"\n${rows.size} entries, $nOk match.\n"
+    md ++= s"\n${allRows.size} entries, $nOk match.\n"
     java.nio.file.Files.write(java.nio.file.Paths.get("SCALEVERIFY.md"),
       md.toString.getBytes("UTF-8"))
-    println(s"[scaleverify] ${rows.size} entries, $nOk match")
+    println(s"[scaleverify] ${allRows.size} entries, $nOk match")
     spark.stop()
-    if (nOk != rows.size) sys.exit(1)
+    if (nOk != allRows.size) sys.exit(1)
   }
 }
