@@ -902,10 +902,15 @@ object TxLog {
         .withColumn("_commit_version", lit(v)))
     // ONE replay pass tracks the live-set-before per commit (an
     // overwrite's deletes) — not a fresh liveFiles() log re-read per
-    // overwrite, which is O(commits²) I/O on a long log
+    // overwrite, which is O(commits²) I/O on a long log. The pass
+    // starts at the checkpoint pointer when it predates the window
+    // (round 14): live-set tracking from any overwrite ≤ fromV is
+    // exact, so a CDF consumer on a long-lived streamed table pays
+    // O(commits-since-checkpoint), not O(history).
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     val parts = Seq.newBuilder[DataFrame]
-    commits(table).takeWhile(_.version <= upTo).foreach { c =>
+    commitsFrom(table, replayFrom(table, Some(fromV)))
+      .takeWhile(_.version <= upTo).foreach { c =>
       val before = if (c.mode == "overwrite") live.toSeq else Seq.empty
       if (c.mode == "overwrite") live.clear()
       live --= c.removes
@@ -1034,6 +1039,31 @@ object TxLog {
     require(files.nonEmpty,
       s"no live files in $table${asOf.fold("")(v => s" as of v$v")}")
     readFiles(spark, table, files, asOf)
+  }
+
+  /** Latest version whose commit landed at or before `tsMillis` —
+    * Delta's `TIMESTAMP AS OF` resolution, from the commit files'
+    * mtimes (the rename that publishes a commit stamps it; nothing
+    * rewrites a version file afterwards). File-name + mtime reads
+    * only, no parsing. None if the table has no commit that old. */
+  def versionAt(table: String, tsMillis: Long): Option[Long] = {
+    val dir = logDir(table)
+    if (!Files.isDirectory(dir)) return None
+    val vs = ls(dir).filter { p =>
+      p.getFileName.toString.matches("\\d{10}\\.txt") &&
+        (try Files.getLastModifiedTime(p).toMillis <= tsMillis
+        catch { case _: Exception => false })
+    }.map(_.getFileName.toString.stripSuffix(".txt").toLong)
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** Snapshot as of a wall-clock instant (epoch ms) — `TIMESTAMP AS
+    * OF`. Fails loudly when the timestamp predates the table. */
+  def snapshotAsOf(spark: SparkSession, table: String,
+      tsMillis: Long): DataFrame = {
+    val v = versionAt(table, tsMillis)
+    require(v.nonEmpty, s"no commit in $table at or before epoch-ms $tsMillis")
+    snapshot(spark, table, v)
   }
 
   /** Latest committed version, if any — from the file NAMES alone (the

@@ -339,6 +339,24 @@ object ScaleProbe {
             Seq("doc_id"))
           TxLog.commits(tdir).last.removes.size.toLong
         }
+        // the sequence-aware MERGE (the streaming CDC sink's per-batch
+        // op since r14): fixed-size source against the growing table —
+        // the contested-key window is bounded by matched keys, so the
+        // op must stay ~flat like plain upsert
+        // slices stay inside the base id range (0..4999 — replica
+        // copies stripe ids far above it) and clear of the other ops'
+        var ou = 0L
+        t("txlogUpsertOrdered", n) {
+          ou += 1
+          TxLog.upsertOrdered(spark, tdir,
+            docs.select("doc_id", "lang", "source", "n_chars")
+              .where(col("doc_id")
+                .between(2300L + 200L * ou, 2399L + 200L * ou))
+              .withColumn("source", lit("ordered"))
+              .withColumn("n_chars", col("n_chars") + 1000000L),
+            Seq("doc_id"), "n_chars")
+          TxLog.commits(tdir).last.removes.size.toLong
+        }
         t("txlogCheckpointVacuum", n) {
           val cp = TxLog.checkpointLog(tdir)
           TxLog.vacuum(tdir, dropHistoryBefore = cp, retainMs = 0L).toLong

@@ -552,6 +552,39 @@ class TxLogSpec extends SparkSpec {
     assert(got2.count() == 2)
   }
 
+  test("TIMESTAMP AS OF: version resolution from commit mtimes") {
+    val t = tmp("txlog_tsasof")
+    TxLog.write(Seq(1L).toDF("id"), t, "overwrite") // v0
+    TxLog.write(Seq(2L).toDF("id"), t, "append")    // v1
+    TxLog.write(Seq(9L).toDF("id"), t, "overwrite") // v2
+    // controlled clock: stamp the commit files an hour apart
+    val t0 = 1700000000000L
+    (0 to 2).foreach(v => Paths.get(t, "_txlog", f"$v%010d.txt")
+      .toFile.setLastModified(t0 + v * 3600000L))
+    assert(TxLog.versionAt(t, t0 - 1).isEmpty)
+    assert(TxLog.versionAt(t, t0).contains(0L))
+    assert(TxLog.versionAt(t, t0 + 3600000L + 5).contains(1L))
+    assert(TxLog.versionAt(t, Long.MaxValue).contains(2L))
+    assert(ids(TxLog.snapshotAsOf(spark, t, t0 + 3600000L)) == Seq(1L, 2L))
+    assert(ids(TxLog.snapshotAsOf(spark, t, t0 + 8000000L)) == Seq(9L))
+    intercept[IllegalArgumentException](TxLog.snapshotAsOf(spark, t, t0 - 10))
+  }
+
+  test("change feed replays from the checkpoint pointer when it predates the window") {
+    val t = tmp("txlog_cdfptr")
+    TxLog.write(Seq(1L, 2L).toDF("id"), t, "overwrite")
+    TxLog.write(Seq(3L).toDF("id"), t, "append")
+    val cp = TxLog.checkpointLog(t) // pointer here
+    val mark = cp
+    TxLog.write(Seq(4L).toDF("id"), t, "append")
+    TxLog.delete(spark, t, col("id") === 1L)
+    // the feed over (mark, latest] must be exactly +4, -1 — identical
+    // to what a from-zero replay yields, with the pointer in play
+    val net = TxLog.netChanges(spark, t, fromV = mark)
+      .select("id", "_change_type").as[(Long, String)].collect().sorted.toSeq
+    assert(net == Seq((1L, "delete"), (4L, "insert")))
+  }
+
   test("streaming restart: rerun on the same landing adds nothing") {
     val base = tmp("txlog_restart")
     val docs = spark.read.parquet(s"$sf/documents.parquet")
