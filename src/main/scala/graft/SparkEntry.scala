@@ -94,6 +94,7 @@ object SparkEntry {
         k != "txlog_optimize" && // builds a table per call: IO class
         k != "txlog_incremental_agg" && // builds a table per call: IO class
         k != "txlog_sql_snapshot" && // builds a table per call: IO class
+        k != "txlog_restore" && // builds a table per call: IO class
         // same results as ngram_jaccard via the hot-key-free candidate
         // path; its freq-agg + prefix overhead only pays off on corpora
         // with skewed shingle frequencies — redundant as a throughput
@@ -1324,6 +1325,25 @@ object SparkEntry {
       Engine.canonical(graft.ingest.TxLog.snapshot(s, s"$base/table")
         .select("doc_id", "lang", "source", "n_chars", "rev"))
     }),
+    // RESTORE (round 14): a good v0, a bad append and a bad patch land
+    // on top, one metadata-only restore commit rolls the table back —
+    // the snapshot must equal v0's content exactly (the twin is the
+    // v0 set algebra on the source table), while the bad era stays
+    // time-travel readable (TxLogSpec pins that half)
+    "txlog_restore" -> prep((s, d) => {
+      val t = tmpDir("graft_txrestore")
+      val base = s.read.parquet(s"$d/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+      graft.ingest.TxLog.write(base.where(col("doc_id") < 400)
+        .repartitionByRange(4, col("doc_id")), t, "overwrite")
+      graft.ingest.TxLog.write(base.where(col("doc_id") >= 400)
+        .withColumn("source", lit("corrupt")), t, "append")
+      graft.ingest.TxLog.update(s, t, col("lang") === "en",
+        Map("n_chars" -> lit(-1L)))
+      graft.ingest.TxLog.restore(t, 0L)
+      Engine.canonical(graft.ingest.TxLog.snapshot(s, t)
+        .select("doc_id", "lang", "source", "n_chars"))
+    }),
     // SQL surface over the transactional log (round 14): snapshots —
     // latest AND time-travel-pinned — registered as temp views and
     // queried through verbatim spark.sql; the oracle answers from the
@@ -1944,6 +1964,7 @@ object SparkEntry {
     "stream_full_ingest" -> ExtOracle.streamFullIngest,
     "txlog_time_travel" -> ExtOracle.txlogTimeTravel,
     "txlog_sql_snapshot" -> ExtOracle.txlogSqlSnapshot,
+    "txlog_restore" -> ExtOracle.txlogRestore,
     "stream_txlog_ingest" -> ExtOracle.streamTxlogIngest,
     "txlog_stats_prune" -> ExtOracle.zorderScan, // same predicate+rollup, stats-pruned file list
     "txlog_rowops" -> ExtOracle.txlogRowOps,

@@ -803,6 +803,15 @@ SELECT d.asset_id, d.format, d.ok,
 FROM d LEFT JOIN s USING (asset_id)
 ${ord("asset_id")}""".trim
 
+  /** Twin of `txlog_restore`: after the bad append + bad patch are
+    * rolled back by one restore commit, the snapshot is exactly v0's
+    * content — the good slice of the source table, untouched. The
+    * restore machinery (metadata-only overwrite, carried stats) must
+    * be invisible in the data. */
+  val txlogRestore: String = s"""
+SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id < 400
+${ord("doc_id", "lang", "source", "n_chars")}""".trim
+
   /** Twin of `txlog_sql_snapshot` — the SQL-on-TxLog surface: per-lang
     * rollups over the registered LATEST view (after the range delete)
     * and the time-travel view pinned at v1 (the full pre-delete

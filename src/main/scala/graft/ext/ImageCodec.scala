@@ -267,8 +267,12 @@ object ImageCodec {
     Image(w, h, argb)
   }
 
-  /** Encode through an ImageIO writer (`"png"` or `"jpeg"`; JPEG at
-    * the platform default quality). */
+  /** Encode through an ImageIO writer (`"png"`, `"jpeg"` or `"gif"`;
+    * JPEG at the platform default quality). GIF caveats: >256-color
+    * images palette-quantize, and the JDK writer mangles sub-64-pixel
+    * rasters (probed: 4×4/8×4 come back row-shifted, 8×8 and larger
+    * are exact) — irrelevant for real assets, spec-pinned at the
+    * realistic size regime. */
   def encodeImageIo(img: Image, format: String): Array[Byte] = {
     val bi = new java.awt.image.BufferedImage(img.width, img.height,
       java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -782,6 +782,31 @@ object TxLog {
     * small) source keys. Into an EMPTY table an upsert is a plain
     * insert. A `batchId` >= 0 makes the commit part of the
     * exactly-once streaming ledger: replays are skipped. */
+  /** Stats-bounded MERGE discovery (round 14): for a single-column
+    * key whose values the log records stats for, the source keys' own
+    * min/max bound the files that can possibly match — on a
+    * range-clustered 100 TB table a CDC batch touching recent keys
+    * scans O(matching) files for discovery instead of the whole live
+    * set (the `deleteRange` design applied to MERGE; Delta's own
+    * MERGE relies on the same file-stats pruning). The source-side
+    * min/max is one agg over the (bounded) batch; pruning only ever
+    * WIDENS nothing — files without usable stats are kept, so the
+    * match set is identical to a full-live-set scan. Multi-column
+    * keys fall back to the full live set. */
+  private def mergeSearchSpace(spark: SparkSession, table: String,
+      src: DataFrame, keys: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val live = liveFiles(table)
+    if (keys.length != 1 || live.isEmpty) return live
+    val k = keys.head
+    val hasStats = fileStats(table).values.exists(_.contains(k))
+    if (!hasStats) return live
+    val mm = src.agg(min(col(k)).as("lo"), max(col(k)).as("hi")).head()
+    if (mm.isNullAt(0)) return live // all-NULL keys: nothing matches,
+    // but NULL-key source rows still insert — keep the plain path
+    pruneFiles(table, k, Some(mm.get(0)), Some(mm.get(1)))._1
+  }
+
   def upsert(spark: SparkSession, table: String, source: DataFrame,
       keys: Seq[String], batchId: Long = -1L): Long = {
     import org.apache.spark.sql.functions.{col, input_file_name}
@@ -795,7 +820,7 @@ object TxLog {
     val srcDdl = src.schema.toDDL.replace("\n", " ")
     require(ddlShape(tbl) == ddlShape(srcDdl),
       s"upsert source schema mismatch:\n  table: $tbl\n  source: $srcDdl")
-    val live = liveFiles(table)
+    val live = mergeSearchSpace(spark, table, src, keys)
     val srcKeys = src.select(keys.map(col): _*).distinct()
     val hit =
       if (live.isEmpty) Nil
@@ -842,16 +867,22 @@ object TxLog {
       df.withColumn("_rn", row_number().over(w))
         .where(col("_rn") === 1).drop("_rn")
     }
+    require(source.columns.contains(orderCol),
+      s"orderCol '$orderCol' is not a source column — the sequence " +
+        s"guard needs it in BOTH the source and the table")
     val tbl = currentSchema(table)
     if (tbl.isEmpty)
       return write(collapse(source), table, "append", batchId)
+    require(ddlShape(tbl).exists(_._1 == orderCol),
+      s"orderCol '$orderCol' is not a table column — existing rows " +
+        s"carry no sequence to compare against:\n  table: $tbl")
     val cols = org.apache.spark.sql.types.StructType.fromDDL(tbl)
       .fields.toSeq.map(_.name)
     val src = source.select(cols.map(col): _*)
     val srcDdl = src.schema.toDDL.replace("\n", " ")
     require(ddlShape(tbl) == ddlShape(srcDdl),
       s"upsert source schema mismatch:\n  table: $tbl\n  source: $srcDdl")
-    val live = liveFiles(table)
+    val live = mergeSearchSpace(spark, table, src, keys)
     val srcKeys = src.select(keys.map(col): _*).distinct()
     val hit =
       if (live.isEmpty) Nil
@@ -1012,6 +1043,29 @@ object TxLog {
       .map(_.batchId).foldLeft(prevMax)(math.max)
     writePointer(table, v, maxBatch)
     v
+  }
+
+  /** RESTORE — roll the table back to version `v` as a NEW commit
+    * (Delta's RESTORE TABLE ... TO VERSION AS OF): one metadata-only
+    * overwrite re-referencing exactly v's live files, with v's schema
+    * and their stats carried forward. No bytes move; history after v
+    * (including the bad data being rolled back) stays time-travel
+    * readable until a checkpoint + history-drop vacuum forgets it —
+    * the incident-recovery shape time travel exists for. Fails loudly
+    * if v never existed or its files were already vacuumed away. */
+  def restore(table: String, v: Long): Long = {
+    require(latestVersion(table).exists(_ >= v),
+      s"cannot restore $table to v$v: no such version" +
+        latestVersion(table).fold("")(l => s" (latest is v$l)"))
+    val files = liveFiles(table, Some(v))
+    require(files.nonEmpty, s"nothing to restore: no live files at v$v")
+    val missing = files.filterNot(f => Files.exists(Paths.get(table, f)))
+    require(missing.isEmpty,
+      s"cannot restore v$v: files vacuumed away: ${missing.mkString(", ")}")
+    val fileSet = files.toSet
+    val stats = fileStats(table).filter(kv => fileSet(kv._1))
+    writeCommit(table, "overwrite", -1L, files, schemaAt(table, Some(v)),
+      stats)
   }
 
   /** Live data files at `asOf` (default: latest). Replay starts at the

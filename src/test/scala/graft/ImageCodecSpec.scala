@@ -210,6 +210,24 @@ class ImageCodecSpec extends AnyFunSuite {
       s"JPEG mean luma drifted: ${meanLuma(back)} vs ${meanLuma(img)}")
   }
 
+  test("ImageIO arm: GIF round trip is bit-exact within a 256-color palette") {
+    // GIF palette-quantizes ABOVE 256 colors; at or below it the
+    // round trip is lossless — 16 gray levels here. Size note: the
+    // JDK GIF writer mangles sub-64-pixel rasters (probed: 4x4 and
+    // 8x4 come back row-shifted, 8x8 and up are exact) — real assets
+    // are far larger, so the spec pins the realistic regime
+    val img = Image(16, 8, Array.tabulate(128)(i => {
+      val v = (i % 16) * 17
+      (v << 16) | (v << 8) | v
+    }))
+    val gif = ImageCodec.encodeImageIo(img, "gif")
+    assert(gif.take(3).map(_.toChar).mkString == "GIF")
+    val back = ImageCodec.decode(gif) // dispatcher routes GIF magic
+    assert(back.width == 16 && back.height == 8)
+    assert(back.argb.toSeq == img.argb.toSeq,
+      "a <=256-color GIF round trip must be lossless")
+  }
+
   test("ImageIO arm: corrupt/truncated compressed payloads -> None") {
     val img = Image(4, 4, Array.fill(16)(0x336699))
     val png = ImageCodec.encodeImageIo(img, "png")

@@ -552,6 +552,54 @@ class TxLogSpec extends SparkSpec {
     assert(got2.count() == 2)
   }
 
+  test("restore: roll back to an earlier version as a new commit") {
+    val t = tmp("txlog_restore")
+    TxLog.write(Seq(1L, 2L).toDF("id"), t, "overwrite")      // v0: good
+    TxLog.write(Seq(666L).toDF("id"), t, "append")           // v1: bad data
+    TxLog.update(spark, t, col("id") === 2L,
+      Map("id" -> lit(777L)))                                 // v2: bad patch
+    assert(ids(TxLog.snapshot(spark, t)) == Seq(1L, 666L, 777L))
+    val rv = TxLog.restore(t, 0L)
+    assert(rv == 3L, "restore lands as a NEW commit")
+    assert(ids(TxLog.snapshot(spark, t)) == Seq(1L, 2L),
+      "the table is back at v0's content")
+    // the bad era stays time-travel readable (nothing was deleted)
+    assert(ids(TxLog.snapshot(spark, t, Some(2L))) == Seq(1L, 666L, 777L))
+    // restore is metadata-only: no new data files were written
+    assert(TxLog.liveFiles(t).toSet == TxLog.liveFiles(t, Some(0L)).toSet)
+    // stats survive the restore: pruning still works off carried stats
+    val (kept, total) = TxLog.pruneFiles(t, "id", Some(100L), None)
+    assert(total > 0 && kept.size <= total)
+    // a never-existed version fails loudly
+    intercept[IllegalArgumentException](TxLog.restore(t, 99L))
+  }
+
+  test("merge discovery is stats-bounded for single-column keys") {
+    val t = tmp("txlog_mergeprune")
+    val df = (0L until 1000L).map(i => (i, s"v$i")).toDF("id", "v")
+    TxLog.write(df.repartitionByRange(8, col("id")), t, "overwrite")
+    val total = TxLog.liveFiles(t).size
+    // the source touches only a narrow recent range: stats must bound
+    // the candidate space to a strict subset of the live set
+    val (kept, _) = TxLog.pruneFiles(t, "id", Some(900L), Some(949L))
+    assert(kept.size < total, "range-clustered table must prune")
+    // and the upsert through that path is still exactly correct
+    TxLog.upsert(spark, t,
+      (900L until 950L).map(i => (i, "patched")).toDF("id", "v"), Seq("id"))
+    val out = TxLog.snapshot(spark, t).as[(Long, String)].collect().toMap
+    assert(out.size == 1000)
+    assert(out(925L) == "patched" && out(899L) == "v899" && out(950L) == "v950")
+    // the rewrite touched only the pruned candidates' matching files
+    assert(TxLog.commits(t).last.removes.size <= kept.size)
+    // NULL-key source rows insert through the fallback path unchanged
+    TxLog.upsert(spark, t,
+      Seq((Option.empty[Long], "nullkey")).toDF("id", "v"), Seq("id"))
+    assert(TxLog.snapshot(spark, t).count() == 1001)
+    // ordered upsert rejects an orderCol absent from source or table
+    intercept[IllegalArgumentException](TxLog.upsertOrdered(spark, t,
+      Seq((1L, "x")).toDF("id", "v"), Seq("id"), "rev"))
+  }
+
   test("TIMESTAMP AS OF: version resolution from commit mtimes") {
     val t = tmp("txlog_tsasof")
     TxLog.write(Seq(1L).toDF("id"), t, "overwrite") // v0
