@@ -1522,6 +1522,17 @@ object SparkEntry {
     "multimodal_decode_imageio" -> prep((s, d) =>
       graft.ext.Multimodal.decodeStatsImageIo(s, docs(s, d))
         .orderBy("asset_id")),
+    // the SECOND real modality (round 14): deterministic PCM waveforms
+    // through a genuine RIFF/WAVE container — mono/stereo arms,
+    // corruption injection, exact integer stats of the DECODED stream
+    "multimodal_audio_stats" -> prep((s, d) =>
+      graft.ext.Multimodal.audioStats(s, docs(s, d))
+        .orderBy("asset_id")),
+    // frame-level feature pass over decoded audio: per-256-sample
+    // window Σ s² (the VAD/loudness-normalization starting point)
+    "audio_frame_energy" -> prep((s, d) =>
+      graft.ext.Multimodal.audioFrameEnergy(s, docs(s, d))
+        .orderBy("asset_id", "frame_idx")),
     // quality-aware canonical dedup: keep each near-dup cluster's
     // highest-quality member, not the arbitrary min-id one
     // (MinHash pair feeder, same rationale as leakage_safe_split)
@@ -2084,6 +2095,8 @@ object SparkEntry {
     "image_dup_decoded" -> ExtOracle.imageDupDecoded,
     "multimodal_decode_robust" -> ExtOracle.multimodalDecodeRobust,
     "multimodal_decode_imageio" -> ExtOracle.multimodalDecodeImageIo,
+    "multimodal_audio_stats" -> ExtOracle.multimodalAudioStats,
+    "audio_frame_energy" -> ExtOracle.audioFrameEnergy,
     "fingerprint_docs" -> ExtOracle.fingerprintDocs,
     "pii_scrub" -> ExtOracle.piiScrub,
     "stable_row_ids" -> ExtOracle.stableRowIds,

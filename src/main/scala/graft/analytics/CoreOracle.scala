@@ -803,6 +803,80 @@ SELECT d.asset_id, d.format, d.ok,
 FROM d LEFT JOIN s USING (asset_id)
 ${ord("asset_id")}""".trim
 
+  /** Twin of `Multimodal.audioStats` — the PCM WAV tier: the engine
+    * synthesizes a deterministic waveform per doc (2·len frames, mono
+    * for even ids / interleaved stereo for odd; sample at frame i,
+    * channel c = ((byte(i mod len)·257 + i·31 + c·8191) mod 65536) −
+    * 32768), serializes through a REAL RIFF/WAVE container, decodes it
+    * back and emits exact integer statistics of the DECODED
+    * interleaved stream; this twin re-derives those statistics from
+    * the formula alone, so any chunk-walk, endianness or interleaving
+    * defect in either codec direction hash-fails. Corruption by the
+    * mod-7 rule (truncate-at-half always cuts the data chunk; magic
+    * corruption defeats the RIFF check) → ok = false, NULL stats. */
+  val multimodalAudioStats: String = s"""
+WITH a AS (
+  SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+    CAST(strlen(text) AS BIGINT) AS len,
+    CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT) AS channels_exp,
+    (doc_id % 7) NOT IN (0, 1) AS ok
+  FROM documents WHERE strlen(text) > 0),
+ix AS (SELECT asset_id, len, hx, channels_exp,
+  unnest(generate_series(0, 2 * len * channels_exp - 1)) AS j
+  FROM a WHERE ok),
+smp AS (
+  SELECT asset_id, j,
+    ((bi * 257 + (j // channels_exp) * 31 + (j % channels_exp) * 8191)
+      % 65536) - 32768 AS s
+  FROM (SELECT asset_id, j, channels_exp,
+          ${hexByteAt("hx", "(j // channels_exp) % len")} AS bi
+        FROM ix)),
+lg AS (SELECT asset_id, j, s,
+  lag(s) OVER (PARTITION BY asset_id ORDER BY j) AS prev FROM smp),
+agg AS (SELECT asset_id, SUM(s) AS amp, SUM(abs(s)) AS ab,
+  MAX(abs(s)) AS mx,
+  SUM(CASE WHEN prev IS NOT NULL AND ((s < 0) <> (prev < 0))
+      THEN 1 ELSE 0 END) AS zc
+  FROM lg GROUP BY asset_id)
+SELECT a.asset_id, a.channels_exp, a.ok,
+  CASE WHEN a.ok THEN a.channels_exp END AS channels,
+  CASE WHEN a.ok THEN CAST(16000 AS INT) END AS sample_rate,
+  CASE WHEN a.ok THEN CAST(2 * a.len * a.channels_exp AS BIGINT) END
+    AS n_samples,
+  CAST(agg.amp AS BIGINT) AS amp_sum,
+  CAST(agg.ab AS BIGINT) AS abs_sum,
+  CAST(agg.mx AS INT) AS max_abs,
+  CAST(agg.zc AS BIGINT) AS zero_cross
+FROM a LEFT JOIN agg USING (asset_id)
+${ord("asset_id")}""".trim
+
+  /** Twin of `Multimodal.audioFrameEnergy`: per-window Σ s² over the
+    * decoded interleaved stream (non-overlapping 256-sample windows,
+    * full windows only) — the frame-level feature pass re-derived from
+    * the waveform formula. Clean encode: no corruption arm here (the
+    * windowing is the subject; the dirty path is audio stats). */
+  val audioFrameEnergy: String = s"""
+WITH a AS (
+  SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+    CAST(strlen(text) AS BIGINT) AS len,
+    CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT) AS channels_exp
+  FROM documents WHERE strlen(text) > 0),
+ix AS (SELECT asset_id, len, hx, channels_exp,
+  unnest(generate_series(0,
+    ((2 * len * channels_exp) // 256) * 256 - 1)) AS j
+  FROM a WHERE 2 * len * channels_exp >= 256),
+smp AS (
+  SELECT asset_id, j,
+    ((bi * 257 + (j // channels_exp) * 31 + (j % channels_exp) * 8191)
+      % 65536) - 32768 AS s
+  FROM (SELECT asset_id, j, channels_exp,
+          ${hexByteAt("hx", "(j // channels_exp) % len")} AS bi
+        FROM ix))
+SELECT asset_id, CAST(j // 256 AS INT) AS frame_idx,
+  CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS energy
+FROM smp GROUP BY asset_id, frame_idx
+${ord("asset_id", "frame_idx")}""".trim
+
   /** Twin of `txlog_restore`: after the bad append + bad patch are
     * rolled back by one restore commit, the snapshot is exactly v0's
     * content — the good slice of the source table, untouched. The

@@ -497,6 +497,109 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Deterministic synthetic audio clip for doc text — the audio
+    * analogue of `synthImage`: `2·len` frames at 16 kHz, mono for even
+    * ids / interleaved stereo for odd; sample at frame i, channel c is
+    * `((b(i mod len)·257 + i·31 + c·8191) mod 65536) − 32768` — pure
+    * integer arithmetic the DuckDB twin re-derives byte-for-byte, with
+    * the byte term making the waveform text-dependent, the `i` term
+    * sweeping phase, and the channel term decorrelating stereo (an
+    * interleaving defect in either codec direction changes every
+    * statistic). */
+  private[graft] def synthClip(text: String, channels: Int): AudioCodec.Clip = {
+    val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val frames = 2 * tb.length
+    val samples = new Array[Short](frames * channels)
+    var j = 0
+    while (j < samples.length) {
+      val i = j / channels; val c = j % channels
+      val bi = tb(i % tb.length) & 0xff
+      samples(j) = (((bi * 257 + i * 31 + c * 8191) % 65536) - 32768).toShort
+      j += 1
+    }
+    AudioCodec.Clip(channels, 16000, samples)
+  }
+
+  /** Row shape of `audioStats`: stats are NULL when decode failed. */
+  case class AudioStats(asset_id: Long, channels_exp: Int, ok: Boolean,
+    channels: Option[Int], sample_rate: Option[Int], n_samples: Option[Long],
+    amp_sum: Option[Long], abs_sum: Option[Long], max_abs: Option[Int],
+    zero_cross: Option[Long])
+
+  /** Audio decode tier (round 14 — the second real modality): every
+    * doc synthesizes a deterministic PCM waveform, serializes through
+    * a REAL WAV container (mono for even ids, stereo for odd — both
+    * channel layouts exercised), takes the robust tier's corruption
+    * injection (doc_id ≡ 0 mod 7 truncates at half, ≡ 1 mod 7
+    * corrupts the magic), and decodes back through the permissive
+    * path. Exact integer statistics over the DECODED interleaved
+    * stream — Σs, Σ|s|, max|s|, sign crossings — so any chunk-walk,
+    * endianness or interleaving defect in either codec direction
+    * hash-fails against the twin's first-principles rederivation.
+    * Scale shape: narrow per-task typed map, one clip in memory at a
+    * time, no shuffle. */
+  def audioStats(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.where(length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val channels = if (id % 2 == 0) 1 else 2
+        val enc = AudioCodec.encodeWav(synthClip(text, channels))
+        val m7 = (id % 7).toInt
+        val media =
+          if (m7 == 0) java.util.Arrays.copyOf(enc, enc.length / 2)
+          else if (m7 == 1) { val b = enc.clone(); b(0) = 'X'.toByte; b }
+          else enc
+        AudioCodec.decodeOpt(media) match {
+          case Some(clip) =>
+            var amp = 0L; var abs = 0L; var mx = 0; var zc = 0L
+            var j = 0
+            while (j < clip.samples.length) {
+              val s = clip.samples(j).toInt
+              amp += s; abs += math.abs(s)
+              if (math.abs(s) > mx) mx = math.abs(s)
+              if (j > 0 && ((s < 0) != (clip.samples(j - 1) < 0))) zc += 1
+              j += 1
+            }
+            AudioStats(id, channels, ok = true, Some(clip.channels),
+              Some(clip.sampleRate), Some(clip.samples.length.toLong),
+              Some(amp), Some(abs), Some(mx), Some(zc))
+          case None =>
+            AudioStats(id, channels, ok = false, None, None, None, None,
+              None, None, None)
+        }
+      }.toDF()
+  }
+
+  /** Per-window energy over the decoded interleaved stream — the
+    * frame-level feature pass of an audio pipeline (VAD, loudness
+    * normalization, silence trimming all start here): non-overlapping
+    * 256-sample windows, energy = Σ s² as an exact long. Emitted as
+    * (asset_id, frame_idx, energy) rows — the explode keeps the op a
+    * scan-side projection; at 100 TB the only exchange is whatever the
+    * CONSUMER does with the frames. Clean encode (no corruption arm —
+    * the windowing is the subject; the dirty path is `audioStats`). */
+  def audioFrameEnergy(spark: SparkSession, docs: DataFrame,
+      window: Int = 256): DataFrame = {
+    import spark.implicits._
+    docs.where(length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val channels = if (id % 2 == 0) 1 else 2
+        val clip = AudioCodec.decodeWav(
+          AudioCodec.encodeWav(synthClip(text, channels)))
+        val full = clip.samples.length / window
+        (0 until full).map { w =>
+          var e = 0L; var j = w * window
+          val end = j + window
+          while (j < end) {
+            val s = clip.samples(j).toLong; e += s * s; j += 1
+          }
+          (id, w, e)
+        }
+      }.toDF("asset_id", "frame_idx", "energy")
+  }
+
   /** aHash near-dup candidates over DECODED real images — the full
     * production chain on real pixel bytes: synthesize (plus the
     * injected near-variant per doc), serialize through BMP/PPM,

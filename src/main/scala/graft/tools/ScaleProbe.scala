@@ -296,6 +296,10 @@ object ScaleProbe {
         Multimodal.decodeStatsRobust(spark, docs).count())
       t("decodeStatsImageIo", n)(
         Multimodal.decodeStatsImageIo(spark, docs).count())
+      t("audioStats", n)(
+        Multimodal.audioStats(spark, docs).count())
+      t("audioFrameEnergy", n)(
+        Multimodal.audioFrameEnergy(spark, docs).count())
       t("decodedDupCandidates", n)(
         Multimodal.decodedDupCandidates(spark, docs).count())
       // the transactional-log tier: the WRITE scans the corpus (must

@@ -1795,6 +1795,59 @@ class ExtSpec extends SparkSpec {
       .collect().head.getLong(0) == 3L)
   }
 
+  test("audioStats: hand-computed waveform stats, corruption arms null out") {
+    // id 4: mono ok; id 9: stereo ok; id 7 (7%7=0) truncated;
+    // id 15 (15%7=1) corrupted magic. text "ab" -> len 2, frames 4
+    val docs = Seq((4L, "ab"), (9L, "ab"), (7L, "ab"), (15L, "ab"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.audioStats(spark, docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // mono, len 2: b = [97, 98]; s_i = ((b(i%2)*257 + i*31) % 65536) - 32768
+    val b = Array(97, 98)
+    val monoS = (0 until 4).map(i => ((b(i % 2) * 257 + i * 31) % 65536) - 32768)
+    assert(out(4L).getBoolean(2))
+    assert(out(4L).getAs[Int]("channels") == 1)
+    assert(out(4L).getAs[Long]("n_samples") == 4L)
+    assert(out(4L).getAs[Long]("amp_sum") == monoS.map(_.toLong).sum)
+    assert(out(4L).getAs[Long]("abs_sum") == monoS.map(s => math.abs(s).toLong).sum)
+    assert(out(4L).getAs[Int]("max_abs") == monoS.map(math.abs).max)
+    assert(out(4L).getAs[Long]("zero_cross") ==
+      monoS.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)).toLong)
+    // stereo, len 2: 8 interleaved samples, channel term 8191
+    val stS = (0 until 8).map { j =>
+      val i = j / 2; val c = j % 2
+      ((b(i % 2) * 257 + i * 31 + c * 8191) % 65536) - 32768
+    }
+    assert(out(9L).getAs[Int]("channels") == 2)
+    assert(out(9L).getAs[Long]("n_samples") == 8L)
+    assert(out(9L).getAs[Long]("amp_sum") == stS.map(_.toLong).sum)
+    // corruption arms: ok=false, all stats NULL
+    for (id <- Seq(7L, 15L)) {
+      assert(!out(id).getBoolean(2))
+      for (c <- Seq("channels", "sample_rate", "n_samples", "amp_sum",
+        "abs_sum", "max_abs", "zero_cross"))
+        assert(out(id).isNullAt(out(id).fieldIndex(c)), s"id=$id $c not null")
+    }
+  }
+
+  test("audioFrameEnergy: exact per-window sums, full windows only") {
+    // mono (id 4), text of 200 chars -> 400 samples -> one full
+    // 256-window; the 144-sample tail is dropped
+    val text = "x" * 200
+    val out = Multimodal.audioFrameEnergy(spark,
+      Seq((4L, text)).toDF("doc_id", "text")).collect()
+    assert(out.length == 1 && out.head.getInt(1) == 0)
+    val bx = 'x'.toInt
+    val expect = (0 until 256).map { i =>
+      val s = ((bx * 257 + i * 31) % 65536) - 32768
+      s.toLong * s
+    }.sum
+    assert(out.head.getLong(2) == expect)
+    // stereo doubles the sample count: 800 samples -> 3 full windows
+    assert(Multimodal.audioFrameEnergy(spark,
+      Seq((9L, text)).toDF("doc_id", "text")).count() == 3L)
+  }
+
   test("multimodal frameSample: every stride-th fixed-size frame, streamed") {
     // 300 bytes → 4 frames of 64 (tail 44 bytes dropped); stride 4 keeps frame 0
     val media = Array.tabulate(300)(_.toByte)
