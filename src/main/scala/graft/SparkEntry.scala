@@ -1533,6 +1533,12 @@ object SparkEntry {
     "audio_frame_energy" -> prep((s, d) =>
       graft.ext.Multimodal.audioFrameEnergy(s, docs(s, d))
         .orderBy("asset_id", "frame_idx")),
+    // the THIRD modality (round 14): keyframe sampling over a real
+    // multi-frame container — grayscale animated GIF (lossless at 256
+    // grays), every 2nd frame's exact luma sum
+    "video_frame_luma" -> prep((s, d) =>
+      graft.ext.Multimodal.videoFrameLuma(s, docs(s, d))
+        .orderBy("asset_id", "frame_no")),
     // quality-aware canonical dedup: keep each near-dup cluster's
     // highest-quality member, not the arbitrary min-id one
     // (MinHash pair feeder, same rationale as leakage_safe_split)
@@ -2097,6 +2103,7 @@ object SparkEntry {
     "multimodal_decode_imageio" -> ExtOracle.multimodalDecodeImageIo,
     "multimodal_audio_stats" -> ExtOracle.multimodalAudioStats,
     "audio_frame_energy" -> ExtOracle.audioFrameEnergy,
+    "video_frame_luma" -> ExtOracle.videoFrameLuma,
     "fingerprint_docs" -> ExtOracle.fingerprintDocs,
     "pii_scrub" -> ExtOracle.piiScrub,
     "stable_row_ids" -> ExtOracle.stableRowIds,

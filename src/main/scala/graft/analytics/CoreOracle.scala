@@ -877,6 +877,31 @@ SELECT asset_id, CAST(j // 256 AS INT) AS frame_idx,
 FROM smp GROUP BY asset_id, frame_idx
 ${ord("asset_id", "frame_idx")}""".trim
 
+  /** Twin of `Multimodal.videoFrameLuma` — the multi-frame (video)
+    * tier: per doc, 4 + (len mod 5) grayscale frames; frame f pixel
+    * i = (byte((i + 13·f) mod len) + 7·f) mod 256; every second frame
+    * sampled; the twin re-derives each sampled frame's exact luma sum
+    * from the formula — frame order, frame count and palette fidelity
+    * through the REAL animated-GIF container must all be right. */
+  val videoFrameLuma: String = s"""
+WITH a AS (
+  SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+    CAST(strlen(text) AS BIGINT) AS len,
+    CAST(4 + strlen(text) % 5 AS INT) AS n_frames
+  FROM documents WHERE strlen(text) > 0),
+fr AS (SELECT asset_id, hx, len, n_frames,
+  unnest(generate_series(0, n_frames - 1)) AS f FROM a),
+ix AS (SELECT asset_id, hx, len, n_frames, f,
+  unnest(generate_series(0, 255)) AS i FROM fr WHERE f % 2 = 0),
+g AS (SELECT asset_id, f, n_frames,
+  (${hexByteAt("hx", "(i + 13 * f) % len")} + 7 * f) % 256 AS gv
+  FROM ix)
+SELECT asset_id, CAST(f AS INT) AS frame_no, n_frames,
+  CAST(32 AS INT) AS width, CAST(8 AS INT) AS height,
+  CAST(SUM(gv) AS BIGINT) AS luma_sum
+FROM g GROUP BY asset_id, f, n_frames
+${ord("asset_id", "frame_no")}""".trim
+
   /** Twin of `txlog_restore`: after the bad append + bad patch are
     * rolled back by one restore commit, the snapshot is exactly v0's
     * content — the good slice of the source table, untouched. The

@@ -283,6 +283,77 @@ object ImageCodec {
     out.toByteArray
   }
 
+  // ---- multi-frame (video stand-in): animated GIF via ImageIO ------
+
+  /** Encode frames as one animated GIF (`writeToSequence`) — the
+    * jar-free multi-FRAME container for the video tier. Frames are
+    * written as TYPE_BYTE_GRAY full rasters: 256 gray levels fit the
+    * GIF palette exactly, so a grayscale animation round-trips
+    * LOSSLESSLY (the property the oracle needs), and full-size frames
+    * sidestep delta-composition/disposal ambiguity on read. */
+  def encodeGifAnim(frames: Seq[Image]): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+    require(writers.hasNext, "no GIF writer")
+    val w = writers.next()
+    try {
+      w.setOutput(ios)
+      w.prepareWriteSequence(null)
+      frames.foreach { img =>
+        val bi = new java.awt.image.BufferedImage(img.width, img.height,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = bi.getRaster
+        var i = 0
+        while (i < img.argb.length) {
+          raster.setSample(i % img.width, i / img.width, 0,
+            lumaOf(img.argb(i)))
+          i += 1
+        }
+        w.writeToSequence(new javax.imageio.IIOImage(bi, null, null), null)
+      }
+      w.endWriteSequence()
+    } finally { w.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** Decode every frame of an animated GIF back to packed-gray images
+    * (g → (g,g,g), the `decodePgm` convention — luma statistics
+    * survive unchanged). */
+  def decodeGifFrames(bytes: Array[Byte]): Seq[Image] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    require(readers.hasNext, "no reader claims this payload")
+    val r = readers.next()
+    try {
+      r.setInput(iis)
+      val n = r.getNumImages(true)
+      require(n > 0, "no frames")
+      (0 until n).map { f =>
+        val bi = r.read(f)
+        val w = bi.getWidth; val h = bi.getHeight
+        val argb = bi.getRGB(0, 0, w, h, null, 0, w)
+        var i = 0
+        while (i < argb.length) { argb(i) &= 0xffffff; i += 1 }
+        Image(w, h, argb)
+      }
+    } finally { r.dispose(); iis.close() }
+  }
+
+  /** Permissive multi-frame decode — quarantine contract as
+    * `decodeOpt`. */
+  def decodeGifFramesOpt(bytes: Array[Byte]): Option[Seq[Image]] =
+    if (bytes == null) None
+    else try Some(decodeGifFrames(bytes)) catch {
+      case _: IllegalArgumentException => None
+      case _: ArrayIndexOutOfBoundsException => None
+      case _: NegativeArraySizeException => None
+      case _: java.io.IOException => None
+      case _: IndexOutOfBoundsException => None
+    }
+
   // ---- format dispatch ---------------------------------------------
 
   /** Decode by magic-byte sniffing (`BM` → BMP, `P6` → PPM,

@@ -520,6 +520,55 @@ object Multimodal {
     AudioCodec.Clip(channels, 16000, samples)
   }
 
+  /** Deterministic synthetic multi-frame clip for doc text — the VIDEO
+    * analogue of `synthImage`: 4 + (len mod 5) grayscale frames of
+    * 32×8 (above the JDK GIF writer's sub-64-pixel quirk), frame f
+    * pixel i = gray `(b((i + 13·f) mod len) + 7·f) mod 256` — the
+    * 13·f byte shift and the +7·f brightness drift make every frame
+    * distinct, so a frame-order or frame-count defect in either
+    * direction changes the sampled statistics. */
+  private[graft] def synthFrames(text: String): Seq[ImageCodec.Image] = {
+    val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = 4 + (tb.length % 5)
+    (0 until n).map { f =>
+      val argb = Array.tabulate(32 * 8) { i =>
+        val g = ((tb((i + 13 * f) % tb.length) & 0xff) + 7 * f) % 256
+        (g << 16) | (g << 8) | g
+      }
+      ImageCodec.Image(32, 8, argb)
+    }
+  }
+
+  /** Video frame sampling over a REAL multi-frame container (round 14
+    * — the third modality): every doc synthesizes a deterministic
+    * grayscale animation, serializes it as one animated GIF (lossless:
+    * 256 grays fit the palette exactly), decodes the frames back
+    * through ImageIO's sequence reader, and emits every `stride`-th
+    * frame's exact luma sum — the keyframe-extraction shape of a video
+    * pipeline. The DuckDB twin re-derives each sampled frame's sum
+    * from the formula, so frame-order, frame-count and palette defects
+    * hash-fail. Narrow per-task typed flatMap: one decoded animation
+    * in memory at a time, no shuffle. */
+  def videoFrameLuma(spark: SparkSession, docs: DataFrame,
+      stride: Int = 2): DataFrame = {
+    import spark.implicits._
+    docs.where(length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val frames = ImageCodec.decodeGifFrames(
+          ImageCodec.encodeGifAnim(synthFrames(text)))
+        frames.zipWithIndex.collect {
+          case (img, f) if f % stride == 0 =>
+            var lsum = 0L; var i = 0
+            while (i < img.argb.length) {
+              lsum += ImageCodec.lumaOf(img.argb(i)); i += 1
+            }
+            (id, f, frames.length, img.width, img.height, lsum)
+        }
+      }.toDF("asset_id", "frame_no", "n_frames", "width", "height",
+        "luma_sum")
+  }
+
   /** Row shape of `audioStats`: stats are NULL when decode failed. */
   case class AudioStats(asset_id: Long, channels_exp: Int, ok: Boolean,
     channels: Option[Int], sample_rate: Option[Int], n_samples: Option[Long],

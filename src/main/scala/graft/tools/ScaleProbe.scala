@@ -300,6 +300,8 @@ object ScaleProbe {
         Multimodal.audioStats(spark, docs).count())
       t("audioFrameEnergy", n)(
         Multimodal.audioFrameEnergy(spark, docs).count())
+      t("videoFrameLuma", n)(
+        Multimodal.videoFrameLuma(spark, docs).count())
       t("decodedDupCandidates", n)(
         Multimodal.decodedDupCandidates(spark, docs).count())
       // the transactional-log tier: the WRITE scans the corpus (must

@@ -45,7 +45,14 @@ object ScaleVerify {
     // file groupings, hence different rewrite/remove sets — the final
     // snapshot (and the incremental view maintained from the net
     // change feed) must be identical anyway (COW is invisible)
-    "txlog_rowops", "txlog_time_travel", "txlog_incremental_agg")
+    "txlog_rowops", "txlog_time_travel", "txlog_incremental_agg",
+    // round-14 additions: the compressed-image and audio codec tiers
+    // (typed maps — layout invariance is about the injected id rules
+    // surviving any partitioning) and the restore/SQL log surfaces
+    // (different layouts produce different file sets; the rolled-back
+    // snapshot and the view rollups must be identical anyway)
+    "multimodal_decode_imageio", "multimodal_audio_stats",
+    "audio_frame_energy", "txlog_restore", "txlog_sql_snapshot")
 
   def main(args: Array[String]): Unit = {
     val d = "/root/testdata/sf0.1"

@@ -1848,6 +1848,22 @@ class ExtSpec extends SparkSpec {
       Seq((9L, text)).toDF("doc_id", "text")).count() == 3L)
   }
 
+  test("videoFrameLuma: hand-computed sampled-frame sums through the container") {
+    // "ab" -> len 2 -> n_frames = 4 + 2%5 = 6; sampled f = 0, 2, 4
+    val out = Multimodal.videoFrameLuma(spark,
+      Seq((1L, "ab")).toDF("doc_id", "text")).collect()
+      .map(r => r.getInt(1) -> r).toMap
+    assert(out.keySet == Set(0, 2, 4))
+    val b = Array('a'.toInt, 'b'.toInt)
+    def sum(f: Int): Long = (0 until 256).map(i =>
+      ((b((i + 13 * f) % 2) + 7 * f) % 256).toLong).sum
+    for (f <- Seq(0, 2, 4)) {
+      assert(out(f).getInt(2) == 6, "n_frames")
+      assert(out(f).getInt(3) == 32 && out(f).getInt(4) == 8)
+      assert(out(f).getLong(5) == sum(f), s"frame $f luma sum")
+    }
+  }
+
   test("multimodal frameSample: every stride-th fixed-size frame, streamed") {
     // 300 bytes → 4 frames of 64 (tail 44 bytes dropped); stride 4 keeps frame 0
     val media = Array.tabulate(300)(_.toByte)

@@ -228,6 +228,31 @@ class ImageCodecSpec extends AnyFunSuite {
       "a <=256-color GIF round trip must be lossless")
   }
 
+  test("animated GIF: grayscale frames round-trip losslessly, in order") {
+    val frames = (0 until 4).map { f =>
+      Image(16, 8, Array.tabulate(128)(i => {
+        val g = (i * 2 + f * 19) % 256
+        (g << 16) | (g << 8) | g
+      }))
+    }
+    val gif = ImageCodec.encodeGifAnim(frames)
+    assert(gif.take(3).map(_.toChar).mkString == "GIF")
+    val back = ImageCodec.decodeGifFrames(gif)
+    assert(back.length == 4, "frame count must survive")
+    frames.zip(back).zipWithIndex.foreach { case ((a, b), f) =>
+      assert(b.width == 16 && b.height == 8)
+      assert(a.argb.toSeq == b.argb.toSeq,
+        s"frame $f must round-trip bit-exactly (256 grays fit the palette)")
+    }
+    // dirty payloads quarantine through the permissive path
+    assert(ImageCodec.decodeGifFramesOpt(
+      java.util.Arrays.copyOf(gif, 10)).isEmpty)
+    val bad = gif.clone(); bad(0) = 'X'.toByte
+    assert(ImageCodec.decodeGifFramesOpt(bad).isEmpty)
+    assert(ImageCodec.decodeGifFramesOpt(null).isEmpty)
+    assert(ImageCodec.decodeGifFramesOpt(gif).exists(_.length == 4))
+  }
+
   test("ImageIO arm: corrupt/truncated compressed payloads -> None") {
     val img = Image(4, 4, Array.fill(16)(0x336699))
     val png = ImageCodec.encodeImageIo(img, "png")
