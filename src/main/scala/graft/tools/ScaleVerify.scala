@@ -52,7 +52,8 @@ object ScaleVerify {
     // (different layouts produce different file sets; the rolled-back
     // snapshot and the view rollups must be identical anyway)
     "multimodal_decode_imageio", "multimodal_audio_stats",
-    "audio_frame_energy", "txlog_restore", "txlog_sql_snapshot")
+    "audio_frame_energy", "video_frame_luma",
+    "txlog_restore", "txlog_sql_snapshot")
 
   def main(args: Array[String]): Unit = {
     val d = "/root/testdata/sf0.1"
