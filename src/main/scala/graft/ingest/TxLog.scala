@@ -204,8 +204,17 @@ object TxLog {
       }
       val tmp = logDir(table).resolve(s".tmp-${java.util.UUID.randomUUID()}")
       Files.write(tmp, body.getBytes("UTF-8"))
+      // Atomic EXCLUSIVE claim via hard link, NOT rename: on POSIX,
+      // rename(2) silently REPLACES an existing target, so two writers
+      // claiming the same version would both "succeed" and the loser's
+      // commit would vanish — a lost update the round-14 real-threads
+      // race test caught (the earlier simulated-collision test never
+      // exercised an actual same-version rename). link(2) fails with
+      // EEXIST instead: the version file appears fully formed exactly
+      // once, and the loser retries upward.
       try {
-        Files.move(tmp, commitFile(table, v), StandardCopyOption.ATOMIC_MOVE)
+        Files.createLink(commitFile(table, v), tmp)
+        Files.deleteIfExists(tmp)
         return v
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>

@@ -552,6 +552,37 @@ class TxLogSpec extends SparkSpec {
     assert(got2.count() == 2)
   }
 
+  test("SQL through a registered view keeps parquet pushdown") {
+    val t = tmp("txlog_viewpush")
+    TxLog.write((1L to 100L).toDF("id"), t, "overwrite")
+    TxLog.registerView(spark, t, "txsql_push_v")
+    val plan = spark.sql("SELECT id FROM txsql_push_v WHERE id > 90")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(id,90)"),
+      plan.take(600))
+  }
+
+  test("concurrent appends: real racing threads all land exactly once") {
+    val t = tmp("txlog_race_mt")
+    TxLog.write(Seq(-1L).toDF("id"), t, "overwrite")
+    // 8 real threads race the optimistic version claim; every commit
+    // must land (no lost updates) at a distinct version
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futs = (0 until 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = TxLog.write(Seq(i.toLong).toDF("id"), t, "append")
+        })
+      }
+      val versions = futs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(versions.toSet.size == 8, s"distinct versions: $versions")
+      assert(versions.forall(_ >= 1L))
+    } finally pool.shutdown()
+    assert(ids(TxLog.snapshot(spark, t)) == (-1L to 7L),
+      "every racing append must land exactly once")
+    assert(TxLog.commits(t).size == 9)
+  }
+
   test("restore: roll back to an earlier version as a new commit") {
     val t = tmp("txlog_restore")
     TxLog.write(Seq(1L, 2L).toDF("id"), t, "overwrite")      // v0: good
