@@ -1539,6 +1539,11 @@ object SparkEntry {
     "video_frame_luma" -> prep((s, d) =>
       graft.ext.Multimodal.videoFrameLuma(s, docs(s, d))
         .orderBy("asset_id", "frame_no")),
+    // the training-manifest composition: one row per doc joining all
+    // three modality tiers, per-arm quarantine NULLs intact
+    "multimodal_manifest" -> prep((s, d) =>
+      graft.ext.Multimodal.multimodalManifest(s, docs(s, d))
+        .orderBy("asset_id")),
     // quality-aware canonical dedup: keep each near-dup cluster's
     // highest-quality member, not the arbitrary min-id one
     // (MinHash pair feeder, same rationale as leakage_safe_split)
@@ -2104,6 +2109,7 @@ object SparkEntry {
     "multimodal_audio_stats" -> ExtOracle.multimodalAudioStats,
     "audio_frame_energy" -> ExtOracle.audioFrameEnergy,
     "video_frame_luma" -> ExtOracle.videoFrameLuma,
+    "multimodal_manifest" -> ExtOracle.multimodalManifest,
     "fingerprint_docs" -> ExtOracle.fingerprintDocs,
     "pii_scrub" -> ExtOracle.piiScrub,
     "stable_row_ids" -> ExtOracle.stableRowIds,

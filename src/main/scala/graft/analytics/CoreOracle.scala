@@ -902,6 +902,45 @@ SELECT asset_id, CAST(f AS INT) AS frame_no, n_frames,
 FROM g GROUP BY asset_id, f, n_frames
 ${ord("asset_id", "frame_no")}""".trim
 
+  /** Twin of `Multimodal.multimodalManifest` — one row per document
+    * joining all three modality formulas: the image tier's luma sum
+    * (format-free: the mod-3 containers are luma-equivalent), the
+    * audio tier's Σ|s|, and the video tier's frame counts; each arm
+    * carries its own mod-7 quarantine NULLs. Composing the chains in
+    * one query pins that the tiers' id rules stay CONSISTENT across
+    * the manifest join. */
+  val multimodalManifest: String = s"""
+WITH a AS (
+  SELECT doc_id AS asset_id, hex(encode(text)) AS hx,
+    CAST(strlen(text) AS BIGINT) AS len,
+    (doc_id % 7) NOT IN (0, 1) AS ok,
+    CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT) AS ch
+  FROM documents WHERE strlen(text) > 0),
+d AS (SELECT *, greatest((len + 31) // 32, 1) AS h FROM a),
+iix AS (SELECT asset_id, len, hx,
+  unnest(generate_series(0, 32 * h - 1)) AS i FROM d WHERE ok),
+ilum AS (
+  SELECT asset_id,
+    (299 * bi + 587 * ((bi + (i % 32)) % 256)
+     + 114 * ((bi + (i // 32)) % 256)) // 1000 AS l
+  FROM (SELECT asset_id, i, ${hexByteAt("hx", "i % len")} AS bi FROM iix)),
+isum AS (SELECT asset_id, SUM(l) AS ls FROM ilum GROUP BY asset_id),
+aix AS (SELECT asset_id, len, hx, ch,
+  unnest(generate_series(0, 2 * len * ch - 1)) AS j FROM a WHERE ok),
+asmp AS (
+  SELECT asset_id,
+    ((bi * 257 + (j // ch) * 31 + (j % ch) * 8191) % 65536) - 32768 AS s
+  FROM (SELECT asset_id, j, ch,
+          ${hexByteAt("hx", "(j // ch) % len")} AS bi FROM aix)),
+asum AS (SELECT asset_id, SUM(abs(s)) AS ab FROM asmp GROUP BY asset_id)
+SELECT a.asset_id, a.ok AS img_ok,
+  CAST(isum.ls AS BIGINT) AS img_luma_sum,
+  a.ok AS aud_ok, CAST(asum.ab AS BIGINT) AS aud_abs_sum,
+  CAST(4 + a.len % 5 AS INT) AS n_frames,
+  CAST((4 + a.len % 5 + 1) // 2 AS INT) AS n_sampled
+FROM a LEFT JOIN isum USING (asset_id) LEFT JOIN asum USING (asset_id)
+${ord("asset_id")}""".trim
+
   /** Twin of `txlog_restore`: after the bad append + bad patch are
     * rolled back by one restore commit, the snapshot is exactly v0's
     * content — the good slice of the source table, untouched. The

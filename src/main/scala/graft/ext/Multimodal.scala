@@ -649,6 +649,30 @@ object Multimodal {
       }.toDF("asset_id", "frame_idx", "energy")
   }
 
+  /** Cross-modality training manifest (round 14) — the row shape a
+    * multimodal training job actually consumes: ONE row per document
+    * joining the image tier's robust decode (BMP/PPM/PGM by the mod-3
+    * rule, corruption by mod-7), the audio tier's decoded-stream
+    * stats, and the video tier's frame count. Each arm keeps its own
+    * quarantine semantics (a corrupt image nulls the image columns,
+    * nothing else), so a downstream packer can filter per modality.
+    * Scale shape: three narrow typed maps joined on the id — at 100 TB
+    * the only exchange is the 3-way id join, and every arm's decode
+    * stays scan-side. */
+  def multimodalManifest(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val img = decodeStatsRobust(spark, docs)
+      .select(col("asset_id"), col("ok").as("img_ok"),
+        col("luma_sum").as("img_luma_sum"))
+    val aud = audioStats(spark, docs)
+      .select(col("asset_id"), col("ok").as("aud_ok"),
+        col("abs_sum").as("aud_abs_sum"))
+    val vid = videoFrameLuma(spark, docs)
+      .groupBy(col("asset_id"))
+      .agg(first(col("n_frames")).as("n_frames"),
+        count(lit(1)).cast("int").as("n_sampled"))
+    img.join(aud, "asset_id").join(vid, "asset_id")
+  }
+
   /** aHash near-dup candidates over DECODED real images — the full
     * production chain on real pixel bytes: synthesize (plus the
     * injected near-variant per doc), serialize through BMP/PPM,

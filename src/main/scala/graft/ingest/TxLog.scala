@@ -1247,7 +1247,15 @@ object TxLog {
   /** Exactly-once streaming ingest: every micro-batch lands as one
     * transactional commit carrying its batch id; replays are skipped
     * by id. Stateless on the stream side — the ledger is the log.
-    * `autoCheckpointEvery` bounds log replay (0 disables). */
+    * `autoCheckpointEvery` bounds log replay (0 disables).
+    *
+    * ONE stream per table: the ledger keys on the raw batch id, so
+    * pointing a second stream (fresh checkpoint dir, ids restart at 0)
+    * at a table another stream already fed would skip its early
+    * batches as "already committed". Delta disambiguates with a per-
+    * stream txn appId; here the deployment contract is one streaming
+    * writer per table (parallel PRODUCERS belong upstream of the one
+    * sink, and batch writers are unaffected — their batchId is -1). */
   def streamSink(df: DataFrame, table: String,
       checkpointDir: String, autoCheckpointEvery: Int = 64): StreamingQuery =
     df.writeStream

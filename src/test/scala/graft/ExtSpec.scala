@@ -1864,6 +1864,32 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("multimodalManifest: one row per doc, per-arm stats, quarantine NULLs") {
+    val text = "The quick brown fox jumps over the lazy dog."
+    // 4: all arms ok; 7 (7%7=0): image+audio corrupt (video arm is the
+    // clean sampler — n_frames always present)
+    val out = Multimodal.multimodalManifest(spark,
+      Seq((4L, text), (7L, text)).toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 2)
+    val ok = out(4L)
+    assert(ok.getAs[Boolean]("img_ok") && ok.getAs[Boolean]("aud_ok"))
+    // arm values equal the standalone tiers'
+    val img = Multimodal.decodeStatsRobust(spark,
+      Seq((4L, text)).toDF("doc_id", "text")).collect().head
+    assert(ok.getAs[Long]("img_luma_sum") == img.getAs[Long]("luma_sum"))
+    val aud = Multimodal.audioStats(spark,
+      Seq((4L, text)).toDF("doc_id", "text")).collect().head
+    assert(ok.getAs[Long]("aud_abs_sum") == aud.getAs[Long]("abs_sum"))
+    assert(ok.getAs[Int]("n_frames") == 4 + text.length % 5)
+    assert(ok.getAs[Int]("n_sampled") == (4 + text.length % 5 + 1) / 2)
+    val bad = out(7L)
+    assert(!bad.getAs[Boolean]("img_ok") && !bad.getAs[Boolean]("aud_ok"))
+    assert(bad.isNullAt(bad.fieldIndex("img_luma_sum")))
+    assert(bad.isNullAt(bad.fieldIndex("aud_abs_sum")))
+    assert(bad.getAs[Int]("n_frames") > 0, "video arm has no dirty path")
+  }
+
   test("multimodal frameSample: every stride-th fixed-size frame, streamed") {
     // 300 bytes → 4 frames of 64 (tail 44 bytes dropped); stride 4 keeps frame 0
     val media = Array.tabulate(300)(_.toByte)
