@@ -95,6 +95,8 @@ object SparkEntry {
         k != "txlog_incremental_agg" && // builds a table per call: IO class
         k != "txlog_sql_snapshot" && // builds a table per call: IO class
         k != "txlog_restore" && // builds a table per call: IO class
+        k != "txlog_multi_prune" && // builds a table per call: IO class
+        k != "txlog_expectations" && // builds a table per call: IO class
         // same results as ngram_jaccard via the hot-key-free candidate
         // path; its freq-agg + prefix overhead only pays off on corpora
         // with skewed shingle frequencies — redundant as a throughput
@@ -1371,6 +1373,110 @@ object SparkEntry {
         FROM txsql_v1 GROUP BY lang
         ORDER BY at, lang""")
     }),
+    // conjunctive data skipping (round 14): the z-ordered table
+    // answers a three-predicate lookup — user range AND time range AND
+    // type IN-set — through snapshotWhere, which drops every file some
+    // predicate's stats rule out at planning time (TxLogSpec pins the
+    // conjunction pruning tighter than any single column, plus the
+    // IsNull/NotNull null-count arms); the oracle answers the same
+    // predicate straight off the source table — skipping must be
+    // invisible in the data
+    "txlog_multi_prune" -> prep((s, d) => {
+      val t = tmpDir("graft_txmulti")
+      val ev = s.read.parquet(s"$d/events.parquet")
+        .withColumn("ts_s",
+          expr("unix_micros(cast(ts as timestamp)) div 1000000"))
+        .select("event_id", "user_id", "event_type", "value", "ts_s")
+      graft.ingest.TxLog.write(
+        graft.ingest.Layout.zOrdered(ev, "user_id", "ts_s", 8), t, "overwrite")
+      import graft.ingest.TxLog.Pred
+      Engine.canonical(
+        graft.ingest.TxLog.snapshotWhere(s, t, Seq(
+          Pred.Range("user_id", Some(3L), Some(11L)),
+          Pred.Range("ts_s", Some(1704499200L), Some(1705103999L)),
+          Pred.In("event_type", Seq("click", "view"))))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            (sum(round(col("value") * 100).cast("long")).cast("double") / 100)
+              .as("sum_value")))
+    }),
+    // expectation write (round 14, the DLT expect_or_drop + quarantine
+    // shape): rows failing any named predicate land in the quarantine
+    // table with the failed names comma-joined in name order; clean
+    // rows commit to the main table — nothing dropped silently. The
+    // oracle re-derives the per-row verdict and violation string from
+    // the source table, so the split AND the tagging must both be
+    // exact
+    "txlog_expectations" -> prep((s, d) => {
+      val base = tmpDir("graft_txexpect")
+      val docsDf = docs(s, d).select("doc_id", "lang", "source", "n_chars")
+      graft.ingest.TxLog.writeExpect(docsDf, s"$base/main",
+        s"$base/quarantine",
+        Map("long_doc" -> "n_chars >= 120", "not_src0" -> "source <> 'src0'"))
+      val main = graft.ingest.TxLog.snapshot(s, s"$base/main")
+        .withColumn("arm", lit("main")).withColumn("_violation", lit(""))
+      val quar = graft.ingest.TxLog.snapshot(s, s"$base/quarantine")
+        .withColumn("arm", lit("quarantine"))
+      Engine.canonical(main.unionByName(quar)
+        .select("arm", "doc_id", "lang", "source", "n_chars", "_violation"))
+    }),
+    // TxLog as a streaming SOURCE (round 14, Delta's readStream.table
+    // analogue): the first drain consumes the current snapshot, a new
+    // commit lands, the second drain — same checkpoint — consumes
+    // exactly the tail (TxLogSpec pins the append-only enforcement and
+    // the commit-time publish hook); the union of both drains must be
+    // every row exactly once, which is what the oracle reads off the
+    // source table
+    "stream_txlog_source" -> prep((s, d) => {
+      val base = tmpDir("graft_txsource")
+      val t = s"$base/table"
+      val docsDf = docs(s, d).select("doc_id", "lang", "source", "n_chars")
+      graft.ingest.TxLog.write(docsDf.where(col("doc_id") % 3 === 0)
+        .repartitionByRange(4, col("doc_id")), t, "overwrite")
+      graft.ingest.TxLog.write(docsDf.where(col("doc_id") % 3 === 1)
+        .repartitionByRange(2, col("doc_id")), t, "append")
+      def drain(): Unit = {
+        val q = graft.ingest.TxLog.streamSource(s, t)
+          .where(col("n_chars") >= 100)
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain()
+      graft.ingest.TxLog.write(docsDf.where(col("doc_id") % 3 === 2)
+        .repartitionByRange(2, col("doc_id")), t, "append")
+      drain()
+      Engine.canonical(s.read.parquet(s"$base/out")
+        .select("doc_id", "lang", "source", "n_chars"))
+    }),
+    // multi-hop pipeline (round 14, the bronze→silver medallion
+    // shape): a TxLog table streams THROUGH a transform INTO another
+    // TxLog table — streamSource's published tail on one end,
+    // streamSink's batch-id exactly-once ledger on the other; run
+    // twice over a growing bronze table, the silver snapshot must be
+    // exactly one transformed copy of every qualifying row
+    "stream_txlog_multihop" -> prep((s, d) => {
+      val base = tmpDir("graft_txhop")
+      val bronze = s"$base/bronze"; val silver = s"$base/silver"
+      val docsDf = docs(s, d).select("doc_id", "lang", "source", "n_chars")
+      graft.ingest.TxLog.write(docsDf.where(col("doc_id") % 2 === 0)
+        .repartitionByRange(4, col("doc_id")), bronze, "overwrite")
+      def hop(): Unit =
+        graft.ingest.TxLog.streamSink(
+          graft.ingest.TxLog.streamSource(s, bronze)
+            .where(col("n_chars") >= 100)
+            .withColumn("lang_up", upper(col("lang"))),
+          silver, s"$base/ckpt").awaitTermination()
+      hop()
+      graft.ingest.TxLog.write(docsDf.where(col("doc_id") % 2 === 1)
+        .repartitionByRange(2, col("doc_id")), bronze, "append")
+      hop()
+      Engine.canonical(graft.ingest.TxLog.snapshot(s, silver)
+        .select("doc_id", "lang", "source", "n_chars", "lang_up"))
+    }),
     // row-level ops through the transactional log: copy-on-write
     // DELETE (range + predicate), UPDATE, and whole-row UPSERT by key
     // — each one atomic rewrite commit touching only matching files
@@ -1987,6 +2093,10 @@ object SparkEntry {
     "txlog_time_travel" -> ExtOracle.txlogTimeTravel,
     "txlog_sql_snapshot" -> ExtOracle.txlogSqlSnapshot,
     "txlog_restore" -> ExtOracle.txlogRestore,
+    "txlog_multi_prune" -> ExtOracle.txlogMultiPrune,
+    "txlog_expectations" -> ExtOracle.txlogExpectations,
+    "stream_txlog_source" -> ExtOracle.streamTxlogSource,
+    "stream_txlog_multihop" -> ExtOracle.streamTxlogMultihop,
     "stream_txlog_ingest" -> ExtOracle.streamTxlogIngest,
     "txlog_stats_prune" -> ExtOracle.zorderScan, // same predicate+rollup, stats-pruned file list
     "txlog_rowops" -> ExtOracle.txlogRowOps,

@@ -683,6 +683,56 @@ ${ord("doc_id", "lang", "source", "n_chars", "rev")}""".trim
 SELECT doc_id, lang, source FROM documents
 ${ord("doc_id")}""".trim
 
+  /** Twin of `txlog_multi_prune`: the three-predicate conjunctive
+    * lookup (user range AND time range AND type IN-set) straight off
+    * the source table — the z-ordered TxLog copy with multi-column
+    * stats skipping must answer it identically. */
+  val txlogMultiPrune: String = s"""
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(round(value*100) AS BIGINT)) AS DOUBLE)/100 AS sum_value
+FROM events
+WHERE user_id BETWEEN 3 AND 11
+  AND CAST(floor(epoch(ts)) AS BIGINT) BETWEEN 1704499200 AND 1705103999
+  AND event_type IN ('click', 'view')
+GROUP BY event_type
+${ord("event_type")}""".trim
+
+  /** Twin of `txlog_expectations`: per-row expectation verdicts
+    * re-derived from the source table — a row fails an expectation
+    * when its predicate is not TRUE (NULL counts as failure, CHECK
+    * semantics); failed names join with commas in name order
+    * ('long_doc' < 'not_src0'). */
+  val txlogExpectations: String = s"""
+WITH v AS (
+  SELECT doc_id, lang, source, n_chars,
+    rtrim(concat(
+      CASE WHEN NOT coalesce(n_chars >= 120, false)
+        THEN 'long_doc,' ELSE '' END,
+      CASE WHEN NOT coalesce(source <> 'src0', false)
+        THEN 'not_src0,' ELSE '' END), ',') AS viol
+  FROM documents)
+SELECT CASE WHEN viol = '' THEN 'main' ELSE 'quarantine' END AS arm,
+  doc_id, lang, source, n_chars, viol AS _violation
+FROM v
+${ord("arm", "doc_id")}""".trim
+
+  /** Twin of `stream_txlog_source`: snapshot-then-tail consumption of
+    * the whole table with a filter — exactly-once across the two
+    * drains means the union is one filtered copy of every doc. */
+  val streamTxlogSource: String = s"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE n_chars >= 100
+${ord("doc_id")}""".trim
+
+  /** Twin of `stream_txlog_multihop`: the bronze→silver hop run twice
+    * over a growing bronze table — the silver snapshot must be exactly
+    * one transformed copy of every qualifying row. */
+  val streamTxlogMultihop: String = s"""
+SELECT doc_id, lang, source, n_chars, upper(lang) AS lang_up
+FROM documents WHERE n_chars >= 100
+${ord("doc_id")}""".trim
+
   /** Byte `idx0` (0-based) of a UTF-8 string, via its hex dump: the
     * engine side reads `text.getBytes(UTF_8)` while DuckDB's
     * `ord(substring(...))` indexes CHARACTERS — they only agree on

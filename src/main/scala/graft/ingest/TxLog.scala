@@ -177,6 +177,22 @@ object TxLog {
       stats: Map[String, Map[String, ColStat]] = Map.empty,
       removes: Seq[String] = Nil): Long = {
     Files.createDirectories(logDir(table))
+    // append-only contract for tables serving as streaming sources: a
+    // file-source consumer cannot un-see rows, so the shapes that
+    // change the live set are refused BEFORE the commit ever lands
+    // (Delta's source errors on the same shapes without ignoreChanges)
+    if (isStreamSource(table)) {
+      require(mode != "rewrite",
+        s"$table serves as a streaming source (append-only): row-level " +
+          s"delete/update/upsert are not allowed")
+      if (mode == "overwrite") {
+        val live = liveFiles(table).toSet
+        require(live.isEmpty || adds.toSet == live,
+          s"$table serves as a streaming source (append-only): only " +
+            s"metadata-only overwrites (checkpointLog / restore to the " +
+            s"current state) are allowed")
+      }
+    }
     val statLines = stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
       cols.toSeq.sortBy(_._1).collect {
         case (c, cs) if !c.contains('|') =>
@@ -215,6 +231,17 @@ object TxLog {
       try {
         Files.createLink(commitFile(table, v), tmp)
         Files.deleteIfExists(tmp)
+        // live-tail hook: a committed append on a published table
+        // surfaces to stream consumers immediately. Advisory — the
+        // commit has LANDED regardless; a failed publish is retried
+        // idempotently by the next commit or streamSource call.
+        if (isStreamSource(table))
+          try { publishAppends(table); () } catch {
+            case e: Exception =>
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"publish hook failed for $table (commit v$v landed; " +
+                  s"next publish retries): $e")
+          }
         return v
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
@@ -429,8 +456,107 @@ object TxLog {
     val infos = stage(df, table).map(f => f -> footerInfo(table, f))
     val (empty, keep) = infos.partition(_._2._1 == 0L)
     empty.foreach { case (f, _) => Files.deleteIfExists(Paths.get(table, f)) }
-    (keep.map(_._1),
-      keep.collect { case (f, (_, st)) if st.nonEmpty => f -> st }.toMap)
+    val files = keep.map(_._1)
+    val stats =
+      keep.collect { case (f, (_, st)) if st.nonEmpty => f -> st }.toMap
+    // every write path (append, overwrite, COW rewrite, upsert) stages
+    // through here — one enforcement choke point, like Delta's
+    enforceConstraints(df.sparkSession, table, files, stats)
+    (files, stats)
+  }
+
+  // ------------------------------------------------------------------
+  // CHECK constraints (Delta's ALTER TABLE ADD CONSTRAINT analogue):
+  // named SQL predicates every row of every write must satisfy — a
+  // violating commit aborts BEFORE the log rename, so the table is
+  // never poisoned (readers see the pre-write version; the staged
+  // files are deleted on the spot). Stored outside the commit log in
+  // `_txlog/_constraints` (atomic replace), mirroring Delta's table-
+  // metadata placement: constraints govern writes from now on, they
+  // are not versioned data.
+  // ------------------------------------------------------------------
+
+  private def constraintsFile(table: String): Path =
+    logDir(table).resolve("_constraints")
+
+  /** Current constraint set: name → SQL predicate. */
+  def constraints(table: String): Map[String, String] =
+    try {
+      new String(Files.readAllBytes(constraintsFile(table)), "UTF-8")
+        .linesIterator.flatMap { l =>
+          l.split("\\|", 2) match {
+            case Array(n, h) if n.nonEmpty => Some(n -> hexDec(h))
+            case _ => None
+          }
+        }.toMap
+    } catch { case _: Exception => Map.empty }
+
+  private def writeConstraintsFile(table: String,
+      cs: Map[String, String]): Unit = {
+    Files.createDirectories(logDir(table))
+    val tmp = logDir(table).resolve(s".cons-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, cs.toSeq.sortBy(_._1)
+      .map { case (n, e) => s"$n|${hexEnc(e)}" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    Files.move(tmp, constraintsFile(table), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Add a CHECK constraint. Like Delta, the EXISTING table must
+    * already satisfy it (one validating scan — with the predicate
+    * pushed down it reads only the referenced columns), otherwise the
+    * add fails and nothing changes. Rows where the predicate is NULL
+    * count as violations (CHECK semantics: must be TRUE). */
+  def addConstraint(spark: SparkSession, table: String, name: String,
+      exprSql: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    require(name.nonEmpty && !name.contains('|') && !name.contains('\n') &&
+      !name.contains(','),
+      s"constraint name must be non-empty without '|', ',' or newline: '$name'")
+    if (liveFiles(table).nonEmpty) {
+      val ok = snapshot(spark, table)
+        .where(not(coalesce(expr(exprSql), lit(false)))).isEmpty
+      require(ok,
+        s"cannot add constraint '$name' to $table: existing rows " +
+          s"violate ($exprSql)")
+    }
+    writeConstraintsFile(table, constraints(table) + (name -> exprSql))
+  }
+
+  def dropConstraint(table: String, name: String): Unit =
+    writeConstraintsFile(table, constraints(table) - name)
+
+  /** Validate freshly staged files against the table's constraints —
+    * called from the single staging choke point, before any commit
+    * rename. The scan reads only the STAGED files (work ∝ batch, never
+    * table). `X IS NOT NULL` constraints decide from the staged footer
+    * stats alone (metadata-only) when every staged file carries usable
+    * stats for X. On violation the staged files are deleted and the
+    * write aborts — the table is untouched. */
+  private def enforceConstraints(spark: SparkSession, table: String,
+      files: Seq[String], stats: Map[String, Map[String, ColStat]]): Unit = {
+    val cs = constraints(table)
+    if (cs.isEmpty || files.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val notNullRe = "(?i)^\\s*`?([^`\\s]+)`?\\s+IS\\s+NOT\\s+NULL\\s*$".r
+    def byStats(e: String): Option[Boolean] = e match { // Some(violated)
+      case notNullRe(c)
+          if files.forall(f => stats.get(f).exists(_.contains(c))) =>
+        Some(files.exists(f => stats(f)(c).nulls > 0))
+      case _ => None
+    }
+    lazy val staged = spark.read.parquet(files.map(f => s"$table/$f"): _*)
+    val violated = cs.toSeq.sortBy(_._1).filter { case (_, e) =>
+      byStats(e).getOrElse(
+        !staged.where(not(coalesce(expr(e), lit(false)))).isEmpty)
+    }
+    if (violated.nonEmpty) {
+      files.foreach(f => Files.deleteIfExists(Paths.get(table, f)))
+      throw new IllegalArgumentException(
+        s"CHECK constraint violation writing to $table: " +
+          violated.map { case (n, e) => s"$n ($e)" }.mkString("; ") +
+          " — commit aborted, table unchanged")
+    }
   }
 
   /** Write `df` as one transactional commit. Data files stage under a
@@ -440,6 +566,13 @@ object TxLog {
   def write(df: DataFrame, table: String, mode: String = "append",
       batchId: Long = -1L, evolve: Boolean = false): Long = {
     require(mode == "append" || mode == "overwrite", s"bad mode $mode")
+    // fail fast (writeCommit re-checks as the backstop): an overwrite
+    // through here always stages FRESH files, which can never equal
+    // the live set — don't pay the staging just to be refused
+    require(!(isStreamSource(table) && mode == "overwrite" &&
+        liveFiles(table).nonEmpty),
+      s"$table serves as a streaming source (append-only): " +
+        s"overwrite would replace rows consumers already saw")
     if (batchId >= 0 && isBatchCommitted(table, batchId)) return -1L
     // schema guard: an append whose schema differs from the table's
     // current one must fail at COMMIT time with the diff in hand —
@@ -471,6 +604,45 @@ object TxLog {
       }
     val (adds, stats) = stageWithStats(df, table)
     writeCommit(table, mode, batchId, adds, ddl, stats)
+  }
+
+  /** Expectation write (the Delta Live Tables `expect_or_drop` +
+    * quarantine shape): rows satisfying EVERY expectation commit to
+    * `table`; the rest land in `quarantine` with a `_violation` column
+    * naming the failed expectations (comma-joined in name order). A
+    * NULL predicate counts as failed (CHECK semantics). Unlike
+    * `addConstraint` — which REJECTS a dirty batch wholesale — this is
+    * the data-quality triage a 100 TB ingest actually runs: nothing is
+    * dropped silently, violators stay queryable for repair/audit, and
+    * the clean table carries a machine-checked invariant. The tagged
+    * frame is persisted so the two filtered writes share one upstream
+    * evaluation instead of re-running the source twice. Exactly-once:
+    * `batchId` rides BOTH commits (each table keeps its own ledger).
+    * Returns (tableVersion, quarantineVersion). */
+  def writeExpect(df: DataFrame, table: String, quarantine: String,
+      expectations: Map[String, String], mode: String = "append",
+      batchId: Long = -1L): (Long, Long) = {
+    import org.apache.spark.sql.functions.{array, array_join, coalesce, col, expr, filter, lit, not, size, when}
+    require(expectations.nonEmpty, "writeExpect needs at least one expectation")
+    expectations.keys.foreach(n => require(
+      n.nonEmpty && !n.contains(',') && !n.contains('\n'),
+      s"expectation name must be non-empty without ',' or newline: '$n'"))
+    val checks = expectations.toSeq.sortBy(_._1)
+    val tags = array(checks.map { case (n, e) =>
+      when(not(coalesce(expr(e), lit(false))), lit(n))
+        .otherwise(lit(null: String))
+    }: _*)
+    val tagged = df
+      .withColumn("_viol", filter(tags, x => x.isNotNull))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val good = tagged.where(size(col("_viol")) === 0).drop("_viol")
+      val bad = tagged.where(size(col("_viol")) > 0)
+        .withColumn("_violation", array_join(col("_viol"), ","))
+        .drop("_viol")
+      (write(good, table, mode, batchId),
+        write(bad, quarantine, mode, batchId))
+    } finally { tagged.unpersist(); () }
   }
 
   /** Stage `df`'s rows into the table dir as UUID-unique parquet files
@@ -667,6 +839,100 @@ object TxLog {
     }
   }
 
+  /** Skipping predicate vocabulary for `snapshotWhere` — the simple
+    * conjunctive predicates Delta's data skipping evaluates against
+    * per-file stats. Range/Eq/In prune by min/max overlap, IsNull by
+    * the recorded null count, NotNull by the all-null marker; a file
+    * without usable stats for the column is always kept (pruning is an
+    * optimization, never a filter — identical result guaranteed). */
+  sealed trait Pred { def column: String }
+  object Pred {
+    final case class Range(column: String, lo: Option[Any],
+      hi: Option[Any]) extends Pred
+    final case class Eq(column: String, v: Any) extends Pred
+    final case class In(column: String, vs: Seq[Any]) extends Pred
+    final case class IsNull(column: String) extends Pred
+    final case class NotNull(column: String) extends Pred
+  }
+
+  /** Can a file whose recorded stats are `cs` hold a row admitted by
+    * `p`? Eq is a degenerate Range; In is an OR of Eqs (kept if ANY
+    * value overlaps); IsNull keys off the null count (a file that
+    * recorded zero nulls for the column cannot hold a NULL); NotNull
+    * prunes only the all-null marker. */
+  private def admits(cs: ColStat, p: Pred): Boolean = p match {
+    case Pred.Range(_, lo, hi) => overlaps(cs, lo, hi)
+    case Pred.Eq(_, v) => overlaps(cs, Some(v), Some(v))
+    case Pred.In(_, vs) => vs.exists(v => overlaps(cs, Some(v), Some(v)))
+    case Pred.IsNull(_) => cs.nulls > 0
+    case Pred.NotNull(_) => cs.kind != "allnull"
+  }
+
+  /** Live files at `asOf` admitted by EVERY predicate (conjunction) —
+    * multi-column data skipping. Returns (kept, totalLive). */
+  def pruneFilesWhere(table: String, preds: Seq[Pred],
+      asOf: Option[Long] = None): (Seq[String], Int) = {
+    preds.collect {
+      case Pred.Eq(c, v) if v == null => c
+      case Pred.In(c, vs) if vs.isEmpty || vs.contains(null) => c
+    } match {
+      case Seq() => ()
+      case bad => throw new IllegalArgumentException(
+        s"Eq/In need non-null, non-empty values (SQL equality never " +
+          s"matches NULL — use Pred.IsNull): ${bad.mkString(", ")}")
+    }
+    val live = liveFiles(table, asOf)
+    val stats = fileStats(table)
+    val kept = live.filter { f =>
+      preds.forall { p =>
+        stats.get(f).flatMap(_.get(p.column)) match {
+          case Some(cs) => admits(cs, p)
+          case None => true
+        }
+      }
+    }
+    (kept, live.size)
+  }
+
+  /** The exact row-level filter for one predicate — applied to the
+    * pruning survivors so the result is identical to filtering the
+    * full snapshot. Bounds/values go through `typedBound` (raw-micros
+    * longs on timestamp columns become proper temporal literals, the
+    * same interpretation the stats pruning used). */
+  private def exactCol(table: String, p: Pred,
+      asOf: Option[Long]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    p match {
+      case Pred.Range(c, lo, hi) =>
+        (lo.map(v => col(c) >= lit(typedBound(table, c, v, asOf))) ++
+          hi.map(v => col(c) <= lit(typedBound(table, c, v, asOf))))
+          .reduceOption(_ && _).getOrElse(lit(true))
+      case Pred.Eq(c, v) => col(c) === lit(typedBound(table, c, v, asOf))
+      case Pred.In(c, vs) =>
+        col(c).isin(vs.map(typedBound(table, c, _, asOf)): _*)
+      case Pred.IsNull(c) => col(c).isNull
+      case Pred.NotNull(c) => col(c).isNotNull
+    }
+  }
+
+  /** Conjunctive data-skipping read — `snapshotRange` generalized to
+    * the predicate set Delta's own skipping handles: the driver drops
+    * every file some predicate's stats rule out (planning-time log
+    * metadata only, no listing or footer reads), then applies the
+    * exact conjunction to the survivors. At 100 TB on a z-ordered
+    * layout this is the multi-dimension payoff: a (user, time, type)
+    * lookup opens only files whose recorded hyper-rectangle intersects
+    * ALL THREE predicates — each extra dimension can only shrink the
+    * kept set, never grow it. */
+  def snapshotWhere(spark: SparkSession, table: String, preds: Seq[Pred],
+      asOf: Option[Long] = None): DataFrame = {
+    val (kept, _) = pruneFilesWhere(table, preds, asOf)
+    val base =
+      if (kept.isEmpty) emptyTable(spark, table, asOf)
+      else readFiles(spark, table, kept, asOf)
+    preds.foldLeft(base)((df, p) => df.where(exactCol(table, p, asOf)))
+  }
+
   // ------------------------------------------------------------------
   // Row-level operations (copy-on-write). A `rewrite` commit removes
   // the files that held matching rows and adds their rewritten
@@ -694,6 +960,9 @@ object TxLog {
     * must preserve the table's column names and types. */
   private def rewrite(spark: SparkSession, table: String,
       removes: Seq[String], transform: DataFrame => DataFrame): Long = {
+    require(!isStreamSource(table),
+      s"$table serves as a streaming source (append-only): row-level " +
+        s"delete/update are not allowed")
     val src = readFiles(spark, table, removes)
     val out = transform(src)
     val ddl = out.schema.toDDL.replace("\n", " ")
@@ -820,6 +1089,9 @@ object TxLog {
       keys: Seq[String], batchId: Long = -1L): Long = {
     import org.apache.spark.sql.functions.{col, input_file_name}
     require(keys.nonEmpty, "upsert needs at least one key column")
+    require(!isStreamSource(table),
+      s"$table serves as a streaming source (append-only): upsert is " +
+        s"not allowed")
     if (batchId >= 0 && isBatchCommitted(table, batchId)) return -1L
     val tbl = currentSchema(table)
     if (tbl.isEmpty) return write(source, table, "append", batchId)
@@ -867,6 +1139,9 @@ object TxLog {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, input_file_name, row_number, struct, to_json, xxhash64}
     require(keys.nonEmpty, "upsert needs at least one key column")
+    require(!isStreamSource(table),
+      s"$table serves as a streaming source (append-only): upsert is " +
+        s"not allowed")
     if (batchId >= 0 && isBatchCommitted(table, batchId)) return -1L
     def collapse(df: DataFrame): DataFrame = {
       val tiebreak = xxhash64(to_json(struct(
@@ -1306,6 +1581,124 @@ object TxLog {
   def registerView(spark: SparkSession, table: String, viewName: String,
       asOf: Option[Long] = None): Unit =
     snapshot(spark, table, asOf).createOrReplaceTempView(viewName)
+
+  // ------------------------------------------------------------------
+  // Streaming SOURCE over a TxLog table (Delta's `readStream.table()`
+  // analogue — a table is a stream): committed data files are
+  // HARD-LINKED into `<table>/_published/`, and a Structured Streaming
+  // file source tails that directory — so the consumer rides Spark's
+  // own battle-tested exactly-once file-source tracking, while commit
+  // atomicity guarantees it only ever sees fully-committed files (a
+  // link appears after the log rename, and linking a fully-written
+  // parquet file is atomic). First `streamSource` publishes the
+  // CURRENT live set (Delta semantics: the initial batch is the
+  // snapshot), then every later commit publishes its appends — the
+  // writer-side hook in `writeCommit` keeps a live tail flowing with
+  // no polling beyond the file source's own. Contract: the table must
+  // stay APPEND-ONLY from then on — row-level ops and live-set-
+  // changing overwrites are REFUSED at commit time (Delta's source
+  // errors on the same shapes without ignoreChanges); metadata-only
+  // checkpoints pass. Publication is crash-safe and idempotent:
+  // progress rides a watermark file, a lost watermark only causes a
+  // republish in which every existing link is skipped.
+  // ------------------------------------------------------------------
+
+  private def publishedDir(table: String): Path =
+    Paths.get(table, "_published")
+
+  /** Is this table serving as a streaming source? (Established by the
+    * first `streamSource` call; from then on the append-only contract
+    * is enforced at commit time.) */
+  def isStreamSource(table: String): Boolean =
+    Files.isDirectory(publishedDir(table))
+
+  private def pubWatermarkFile(table: String): Path =
+    logDir(table).resolve("_published_watermark")
+
+  private def pubWatermark(table: String): Long =
+    try new String(Files.readAllBytes(pubWatermarkFile(table)), "UTF-8")
+      .trim.toLong
+    catch { case _: Exception => -1L }
+
+  private def setPubWatermark(table: String, v: Long): Unit =
+    try {
+      if (v > pubWatermark(table)) {
+        val tmp = logDir(table).resolve(s".pw-${java.util.UUID.randomUUID()}")
+        Files.write(tmp, s"$v\n".getBytes("UTF-8"))
+        Files.move(tmp, pubWatermarkFile(table),
+          StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    } catch { case _: Exception => () } // advisory: next publish retries
+
+  /** Hard-link `file` into the published dir; false if already there. */
+  private def publishLink(table: String, file: String): Boolean =
+    try {
+      Files.createLink(publishedDir(table).resolve(file),
+        Paths.get(table, file))
+      true
+    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+
+  /** Publish committed files up to the latest version. First call
+    * (no watermark) publishes the current LIVE SET — the initial-
+    * snapshot batch, which also makes a table with pre-source rewrite
+    * history usable: history before the watermark is irrelevant, only
+    * commits AFTER it must be append-only. Later calls replay the log
+    * tail past the watermark: appends publish their adds; an overwrite
+    * passes only if it re-references exactly the prior live set (a
+    * `checkpointLog`/restore-to-current — zero row change); anything
+    * else fails loudly. O(tail) per call via the watermark. Returns
+    * newly published file count. */
+  def publishAppends(table: String): Int = {
+    Files.createDirectories(publishedDir(table))
+    var linked = 0
+    val wm = pubWatermark(table)
+    if (wm < 0) {
+      liveFiles(table).foreach(f => if (publishLink(table, f)) linked += 1)
+      latestVersion(table).foreach(setPubWatermark(table, _))
+      return linked
+    }
+    var last = wm
+    commitsFrom(table, wm + 1).foreach { c =>
+      c.mode match {
+        case "append" =>
+          c.adds.foreach(f => if (publishLink(table, f)) linked += 1)
+        case "overwrite" =>
+          val liveBefore =
+            if (c.version == 0) Set.empty[String]
+            else liveFiles(table, Some(c.version - 1)).toSet
+          if (liveBefore.isEmpty)
+            c.adds.foreach(f => if (publishLink(table, f)) linked += 1)
+          else require(c.adds.toSet == liveBefore,
+            s"streaming source over $table broken at v${c.version}: " +
+              s"overwrite replaced the live set (append-only required; " +
+              s"checkpointLog is the only allowed overwrite)")
+        case other =>
+          throw new IllegalStateException(
+            s"streaming source over $table broken at v${c.version}: " +
+              s"'$other' commit — delete/update/upsert/compact are not " +
+              s"append-only")
+      }
+      last = c.version
+    }
+    setPubWatermark(table, last)
+    linked
+  }
+
+  /** Read a TxLog table as a Structured Streaming source: the initial
+    * batch is the current snapshot, then appended commits stream in
+    * exactly once (the file source's own checkpoint tracking). Compose
+    * with any streaming transform and sink — including `streamSink`
+    * into ANOTHER TxLog table, the multi-hop (bronze→silver) pipeline
+    * shape. Schema is the table's log-recorded one (relaxed nullable;
+    * pre-evolution files null-fill added columns). */
+  def streamSource(spark: SparkSession, table: String): DataFrame = {
+    val ddl = schemaAt(table)
+    require(ddl.nonEmpty, s"streamSource: no committed schema in $table")
+    publishAppends(table)
+    spark.readStream.schema(relaxed(ddl))
+      .parquet(publishedDir(table).toString)
+  }
 
   /** Docs-stream → transactional table, end to end. */
   def runIngest(spark: SparkSession, inDir: String, table: String,

@@ -53,7 +53,12 @@ object ScaleVerify {
     // snapshot and the view rollups must be identical anyway)
     "multimodal_decode_imageio", "multimodal_audio_stats",
     "audio_frame_energy", "video_frame_luma",
-    "txlog_restore", "txlog_sql_snapshot")
+    "txlog_restore", "txlog_sql_snapshot",
+    // round-14 continuation: the expectation split (per-row verdicts +
+    // violation tagging must survive any partitioning) and the
+    // streaming source (snapshot-then-tail consumption over tables
+    // whose file sets DIFFER between the layouts)
+    "txlog_expectations", "stream_txlog_source")
 
   def main(args: Array[String]): Unit = {
     val d = "/root/testdata/sf0.1"

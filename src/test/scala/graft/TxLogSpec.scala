@@ -680,4 +680,164 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, s"$base/table").count() == n1,
       "restart must not duplicate rows")
   }
+
+  test("snapshotWhere: conjunctive skipping, tighter than either column") {
+    val t = tmp("txlog_where")
+    val df = spark.range(0, 1000)
+      .select(col("id"), (col("id") % 10).as("bucket"),
+        concat(lit("s"), (col("id") % 7)).as("tag"))
+    TxLog.write(graft.ingest.Layout.zOrdered(df, "id", "bucket", 16),
+      t, "overwrite")
+    import TxLog.Pred
+    val preds = Seq(Pred.Range("id", Some(100L), Some(199L)),
+      Pred.Eq("bucket", 3L), Pred.In("tag", Seq("s1", "s2")))
+    val (keptBoth, total) = TxLog.pruneFilesWhere(t, preds)
+    val (keptId, _) = TxLog.pruneFilesWhere(t, preds.take(1))
+    assert(keptBoth.size < total, "conjunction must prune")
+    assert(keptBoth.size <= keptId.size,
+      "an extra predicate can only shrink the kept set")
+    val got = TxLog.snapshotWhere(spark, t, preds)
+      .select("id").as[Long].collect().sorted.toSeq
+    val want = df.where(col("id").between(100, 199) && col("bucket") === 3 &&
+      col("tag").isin("s1", "s2"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == want, "pruning must be invisible in the data")
+  }
+
+  test("snapshotWhere: IsNull/NotNull prune from recorded null counts") {
+    val t = tmp("txlog_nulls")
+    // three files: no-null, all-null, mixed — one commit each
+    TxLog.write(Seq((1L, Some(10L)), (2L, Some(20L))).toDF("id", "v")
+      .coalesce(1), t, "overwrite")
+    TxLog.write(Seq((3L, None: Option[Long]), (4L, None: Option[Long]))
+      .toDF("id", "v").coalesce(1), t, "append")
+    TxLog.write(Seq((5L, Some(50L)), (6L, None: Option[Long]))
+      .toDF("id", "v").coalesce(1), t, "append")
+    import TxLog.Pred
+    val (keptNull, total) = TxLog.pruneFilesWhere(t, Seq(Pred.IsNull("v")))
+    assert(total == 3 && keptNull.size == 2,
+      "IS NULL must drop the zero-null file")
+    val (keptNotNull, _) = TxLog.pruneFilesWhere(t, Seq(Pred.NotNull("v")))
+    assert(keptNotNull.size == 2, "IS NOT NULL must drop the all-null file")
+    assert(ids(TxLog.snapshotWhere(spark, t, Seq(Pred.IsNull("v"))))
+      == Seq(3L, 4L, 6L))
+    assert(ids(TxLog.snapshotWhere(spark, t, Seq(Pred.NotNull("v"))))
+      == Seq(1L, 2L, 5L))
+    // NULL equality is a contradiction in SQL — refuse it loudly
+    intercept[IllegalArgumentException] {
+      TxLog.pruneFilesWhere(t, Seq(Pred.Eq("v", null)))
+    }
+  }
+
+  test("constraints: violating writes abort before the commit, table unchanged") {
+    val t = tmp("txlog_cons")
+    TxLog.write(Seq((1L, 100L), (2L, 200L)).toDF("id", "n"), t, "overwrite")
+    TxLog.addConstraint(spark, t, "n_positive", "n > 0")
+    // a violating batch must not land — and must not leak staged files
+    val ex = intercept[IllegalArgumentException] {
+      TxLog.write(Seq((3L, -5L)).toDF("id", "n"), t, "append")
+    }
+    assert(ex.getMessage.contains("n_positive"))
+    assert(TxLog.latestVersion(t).contains(0L), "no commit may land")
+    assert(ids(TxLog.snapshot(spark, t)) == Seq(1L, 2L))
+    val referenced = TxLog.commits(t).flatMap(_.adds).toSet
+    val onDisk = Files.list(Paths.get(t)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).map(p => Paths.get(p).getFileName.toString)
+    assert(onDisk.toSet == referenced, "staged files must be cleaned up")
+    // NULL predicate = violation (CHECK must be TRUE)
+    intercept[IllegalArgumentException] {
+      TxLog.write(Seq((4L, None: Option[Long])).toDF("id", "n"), t, "append")
+    }
+    // rewrites are constrained too: an update can't poison the table
+    intercept[IllegalArgumentException] {
+      TxLog.update(spark, t, col("id") === 1L, Map("n" -> lit(-1L)))
+    }
+    assert(TxLog.snapshot(spark, t).where(col("n") <= 0).isEmpty)
+    // a passing batch lands; after drop, the old violator lands too
+    TxLog.write(Seq((5L, 500L)).toDF("id", "n"), t, "append")
+    TxLog.dropConstraint(t, "n_positive")
+    TxLog.write(Seq((3L, -5L)).toDF("id", "n"), t, "append")
+    assert(ids(TxLog.snapshot(spark, t)) == Seq(1L, 2L, 3L, 5L))
+  }
+
+  test("constraints: adding one validates existing rows; IS NOT NULL rides stats") {
+    val t = tmp("txlog_consadd")
+    TxLog.write(Seq((1L, Some(10L)), (2L, None: Option[Long]))
+      .toDF("id", "v"), t, "overwrite")
+    intercept[IllegalArgumentException] {
+      TxLog.addConstraint(spark, t, "v_set", "v IS NOT NULL")
+    }
+    assert(TxLog.constraints(t).isEmpty, "failed add must not register")
+    TxLog.delete(spark, t, col("v").isNull)
+    TxLog.addConstraint(spark, t, "v_set", "v IS NOT NULL")
+    // the metadata fast path decides this from staged footer stats
+    intercept[IllegalArgumentException] {
+      TxLog.write(Seq((3L, None: Option[Long])).toDF("id", "v"), t, "append")
+    }
+    TxLog.write(Seq((3L, Some(30L))).toDF("id", "v"), t, "append")
+    assert(ids(TxLog.snapshot(spark, t)) == Seq(1L, 3L))
+  }
+
+  test("writeExpect: clean rows commit, violators quarantine with names") {
+    val t = tmp("txlog_expect"); val q = tmp("txlog_quarantine")
+    val df = Seq((1L, 10L, "a"), (2L, -1L, "a"), (3L, 10L, ""),
+      (4L, -2L, "")).toDF("id", "n", "s")
+    val (v1, v2) = TxLog.writeExpect(df, t, q,
+      Map("n_positive" -> "n > 0", "s_nonempty" -> "s <> ''"),
+      batchId = 0L)
+    assert(v1 == 0L && v2 == 0L)
+    assert(ids(TxLog.snapshot(spark, t)) == Seq(1L))
+    val bad = TxLog.snapshot(spark, q).select("id", "_violation")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(bad == Seq((2L, "n_positive"), (3L, "s_nonempty"),
+      (4L, "n_positive,s_nonempty")),
+      "violation names must be comma-joined in name order")
+    // exactly-once rides BOTH commits
+    val (r1, r2) = TxLog.writeExpect(df, t, q,
+      Map("n_positive" -> "n > 0", "s_nonempty" -> "s <> ''"),
+      batchId = 0L)
+    assert(r1 == -1L && r2 == -1L, "replayed batch commits nothing")
+    assert(TxLog.snapshot(spark, t).count() == 1L)
+    assert(TxLog.snapshot(spark, q).count() == 3L)
+  }
+
+  test("streaming source: snapshot-then-tail, exactly once, append-only enforced") {
+    val base = tmp("txlog_source")
+    val t = s"$base/table"
+    // pre-source history may contain anything — the initial publish is
+    // the CURRENT live set, Delta's initial-snapshot semantics
+    TxLog.write(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t, "overwrite")
+    TxLog.write(Seq((3L, "c")).toDF("id", "s"), t, "append")
+    TxLog.delete(spark, t, col("id") === 2L) // pre-source rewrite: fine
+    def drain(): Unit = {
+      val qy = TxLog.streamSource(spark, t).writeStream
+        .format("parquet").option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      qy.awaitTermination()
+    }
+    drain()
+    assert(ids(spark.read.parquet(s"$base/out")) == Seq(1L, 3L))
+    // the live tail: a new append publishes at COMMIT time (no extra
+    // publish call) and only the delta reaches the consumer's sink
+    TxLog.write(Seq((4L, "d")).toDF("id", "s"), t, "append")
+    assert(TxLog.publishAppends(t) == 0,
+      "the commit hook must have published already")
+    drain()
+    assert(ids(spark.read.parquet(s"$base/out")) == Seq(1L, 3L, 4L),
+      "restart drains exactly the new rows, no re-reads")
+    // append-only from now on: the shapes a file-source consumer
+    // cannot un-see are refused at commit time, table unchanged
+    intercept[IllegalArgumentException] {
+      TxLog.delete(spark, t, col("id") === 1L)
+    }
+    intercept[IllegalArgumentException] { TxLog.compact(spark, t) }
+    assert(ids(TxLog.snapshot(spark, t)) == Seq(1L, 3L, 4L))
+    // metadata-only checkpoints stay allowed and publish nothing new
+    TxLog.checkpointLog(t)
+    assert(TxLog.publishAppends(t) == 0)
+    drain()
+    assert(ids(spark.read.parquet(s"$base/out")) == Seq(1L, 3L, 4L))
+  }
 }
