@@ -86,6 +86,7 @@ object SparkEntry {
         k != "compact_scan_clean" && k != "bucketed_join_revenue" &&
         k != "date_partition_scan" && k != "ann_ivf_postings_scan" &&
         k != "csv_scan_clean" && k != "orc_scan_clean" &&
+        k != "avro_scan_clean" && // IO-layer verification, not throughput
         k != "txlog_time_travel" && // builds a table per call: IO class
         k != "txlog_stats_prune" && // builds a table per call: IO class
         k != "txlog_rowops" && // builds a table per call: IO class
@@ -946,6 +947,20 @@ object SparkEntry {
       graft.ingest.Formats.writeOrc(rawPin, s"$base/pin")
       graft.pipeline.Cleaning.cleanPin(
         graft.ingest.Formats.readOrc(s, s"$base/pin"))
+        .orderBy("ind")
+    }),
+    // same contract through Avro object-container files (round 14, the
+    // Kafka-ecosystem interchange format): the connector jar is absent,
+    // so ingest/Avro.scala implements the container format over the
+    // Avro core library — distributed write (one container per
+    // partition, executor-side) and distributed read (one task per
+    // container) — and the round-tripped rows must clean bit-identically
+    "avro_scan_clean" -> prep((s, d) => {
+      val (rawPin, _, _) = graft.pipeline.RawDerive.tables(s, d)
+      val base = tmpDir("graft_avro")
+      graft.ingest.Avro.writeAvro(rawPin, s"$base/pin")
+      graft.pipeline.Cleaning.cleanPin(
+        graft.ingest.Avro.readAvro(s, s"$base/pin", rawPin.schema))
         .orderBy("ind")
     }),
     // JDBC source surface (S6 letter-parity: the reference emulators
@@ -2071,6 +2086,7 @@ object SparkEntry {
     "kafka_envelope_clean" -> PinOracle.pinClean,
     "kinesis_envelope_clean" -> PinOracle.pinClean,
     "csv_scan_clean" -> PinOracle.pinClean,
+    "avro_scan_clean" -> PinOracle.pinClean,
     "orc_scan_clean" -> PinOracle.pinClean,
     "agg_pricing" -> ExtOracle.aggPricing,
     "revenue_by_nation" -> ExtOracle.revenueByNation,
