@@ -421,6 +421,11 @@ object TxLog {
                   case "string" => bytesLt
                   case _ => (a, b) => a.toLong < b.toLong
                 }
+                // a negative numNulls means UNKNOWN, not zero — carrying
+                // it as 0 would let an IS NULL read prune a file that
+                // might hold NULLs (wrong result, not just a missed
+                // optimization); disqualify the column instead
+                if (st.getNumNulls < 0) { dead += name }
                 val nulls = math.max(st.getNumNulls, 0L)
                 acc.get(name) match {
                   case Some((k, Some((m0, m1)), n)) =>
@@ -627,6 +632,8 @@ object TxLog {
     expectations.keys.foreach(n => require(
       n.nonEmpty && !n.contains(',') && !n.contains('\n'),
       s"expectation name must be non-empty without ',' or newline: '$n'"))
+    require(!df.columns.contains("_viol") && !df.columns.contains("_violation"),
+      "writeExpect reserves the _viol/_violation column names")
     val checks = expectations.toSeq.sortBy(_._1)
     val tags = array(checks.map { case (n, e) =>
       when(not(coalesce(expr(e), lit(false))), lit(n))
@@ -875,6 +882,7 @@ object TxLog {
     preds.collect {
       case Pred.Eq(c, v) if v == null => c
       case Pred.In(c, vs) if vs.isEmpty || vs.contains(null) => c
+      case Pred.Range(c, lo, hi) if lo.contains(null) || hi.contains(null) => c
     } match {
       case Seq() => ()
       case bad => throw new IllegalArgumentException(

@@ -336,6 +336,13 @@ object ScaleProbe {
         }
         t("txlogSnapshotRange", n)(TxLog.snapshotRange(
           spark, tdir, "doc_id", Some(4500L), Some(4599L)).count())
+        // conjunctive skipping (round 14): a fixed-selectivity
+        // three-predicate read must stay ~flat like the single-column
+        // range read — extra predicates only shrink the kept file set
+        t("txlogSnapshotWhere", n)(TxLog.snapshotWhere(spark, tdir, Seq(
+          TxLog.Pred.Range("doc_id", Some(4500L), Some(4599L)),
+          TxLog.Pred.NotNull("n_chars"),
+          TxLog.Pred.In("lang", Seq("en", "de")))).count())
         t("txlogUpsert", n) {
           slice += 1
           TxLog.upsert(spark, tdir,
@@ -420,7 +427,35 @@ object ScaleProbe {
             TxLog.liveFiles(ldir).size.toLong
           }
         }
+        // streaming-source publish (round 14): a fixed-slice append to
+        // a PUBLISHED table pays the normal commit + one hardlink per
+        // new file + the watermark-tail replay — must stay ~flat as
+        // the table behind it grows 64×
+        locally {
+          val pdir = s"$out/txlogpub_$n"
+          if (!TxLog.isStreamSource(pdir)) {
+            TxLog.write(docs.select("doc_id", "lang", "n_chars")
+              .repartitionByRange(32, col("doc_id")), pdir, "overwrite")
+            TxLog.publishAppends(pdir); ()
+          }
+          var pa = 0L
+          t("txlogPublishedAppend", n) {
+            pa += 1
+            TxLog.write(docs.select("doc_id", "lang", "n_chars")
+              .where(col("doc_id").between(100L * pa, 100L * pa + 99L))
+              .coalesce(1), pdir, "append")
+            TxLog.latestVersion(pdir).get
+          }
+        }
       }
+      // the Avro container round trip (round 14): executor-side write
+      // (one container per partition) and one-task-per-container read —
+      // both must grow ~linearly with the corpus, no driver funnel
+      t("avroWrite", n)(graft.ingest.Avro.writeAvro(
+        docs.select("doc_id", "lang", "source", "n_chars"), s"$out/avro_$n"))
+      t("avroRead", n)(graft.ingest.Avro.readAvro(spark, s"$out/avro_$n",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")).count())
     }
     spark.stop()
   }
