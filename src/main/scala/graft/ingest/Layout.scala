@@ -99,26 +99,54 @@ object Layout {
     * its transactional staging): the input rows range-partitioned +
     * sorted by the normalized z-interleave, z column dropped. */
   def zOrdered(df: DataFrame, dimA: String, dimB: String,
-      files: Int = 8, bits: Int = 16): DataFrame = {
-    val r = df.agg(
-      min(col(dimA).cast("long")), max(col(dimA).cast("long")),
-      min(col(dimB).cast("long")), max(col(dimB).cast("long"))).head()
-    if ((0 to 3).exists(r.isNullAt))
+      files: Int = 8, bits: Int = 16): DataFrame =
+    zOrderedN(df, Seq(dimA, dimB), files, bits)
+
+  /** N-ary Morton value: round-robin bit interleave of `dims` (dim j
+    * contributes bit i at z-position n·i + j) — the 2-dim `zValue`
+    * generalized, and for n = 2 bit-identical to it. */
+  def zValueN(dims: Seq[org.apache.spark.sql.Column],
+      bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      dims.zipWithIndex.foldLeft(acc) { case (a, (d, j)) =>
+        a.bitwiseOR(shiftleft(shiftright(d, i).bitwiseAND(1),
+          dims.length * i + j))
+      }
+    }
+
+  /** N-dimensional z-ordered clustering — the layout companion of
+    * conjunctive data skipping (`TxLog.snapshotWhere`): every output
+    * file covers a tight hyper-rectangle of ALL `dims`, so a
+    * multi-predicate lookup prunes on every dimension at once. Dims
+    * must be castable to long (the same scope as the 2-dim form;
+    * Delta's OPTIMIZE ZORDER normalizes the same way). Per-dim bit
+    * width shrinks as dimensions are added (n·bits ≤ 63 — interleave
+    * resolution is the price of each extra dimension, which is why
+    * z-ordering beyond 3-4 dims stops paying at any scale). Empty
+    * input or an all-null dimension degrades to the plain plan. */
+  def zOrderedN(df: DataFrame, dims: Seq[String], files: Int = 8,
+      bits: Int = 16): DataFrame = {
+    require(dims.nonEmpty, "zOrderedN needs at least one dimension")
+    val perDim = math.min(bits, 63 / dims.length)
+    val aggs = dims.flatMap(c =>
+      Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    if ((0 until 2 * dims.length).exists(r.isNullAt))
       // empty input or an all-null dimension: there is no range to
       // normalize — degrade to the plain (unclustered) plan instead
       // of NPE-ing on the null min/max
       return df
     def bucket(c: org.apache.spark.sql.Column, lo: Long, hi: Long) = {
       // Affine-map the dim's full range onto [0, 2^bits) — stretching
-      // narrow dims up as well as scaling wide dims down, so both
+      // narrow dims up as well as scaling wide dims down, so all
       // contribute equally many effective bits to the interleave.
-      val factor = ((1L << bits) - 1).toDouble / math.max(hi - lo, 1L).toDouble
+      val factor =
+        ((1L << perDim) - 1).toDouble / math.max(hi - lo, 1L).toDouble
       least(floor((c.cast("long") - lit(lo)) * lit(factor)).cast("long"),
-        lit((1L << bits) - 1))
+        lit((1L << perDim) - 1))
     }
-    val z = zValue(
-      bucket(col(dimA), r.getLong(0), r.getLong(1)),
-      bucket(col(dimB), r.getLong(2), r.getLong(3)), bits)
+    val z = zValueN(dims.zipWithIndex.map { case (c, j) =>
+      bucket(col(c), r.getLong(2 * j), r.getLong(2 * j + 1)) }, perDim)
     df.withColumn("__z", z)
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")

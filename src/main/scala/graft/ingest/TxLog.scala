@@ -1512,6 +1512,16 @@ object TxLog {
     write(Layout.zOrdered(snapshot(spark, table), dimA, dimB, targetFiles),
       table, "overwrite")
 
+  /** N-dimensional OPTIMIZE ZORDER — the layout companion of
+    * `snapshotWhere`: after it, a conjunctive lookup prunes on every
+    * clustered dimension at once (per-dim interleave resolution
+    * shrinks as dims are added; 3-4 dims is the practical ceiling,
+    * same as Delta's guidance). */
+  def compactZOrderedN(spark: SparkSession, table: String,
+      dims: Seq[String], targetFiles: Int = 8): Long =
+    write(Layout.zOrderedN(snapshot(spark, table), dims, targetFiles),
+      table, "overwrite")
+
   /** Auto-maintenance for streaming sinks: once the log tail past the
     * last checkpoint exceeds `every` commits, land a metadata-only
     * `checkpointLog` and advance the replay pointer — snapshot

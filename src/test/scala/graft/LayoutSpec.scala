@@ -113,4 +113,49 @@ class LayoutSpec extends SparkSpec {
       assert(joined.count() == li.join(ord, "l_orderkey").count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("N-ary z-order: 3-dim clustering prunes on every dimension") {
+    import graft.ingest.TxLog
+    val df = spark.range(0, 8000).select(
+      (col("id") % 100).as("a"),
+      ((col("id") / 100) % 80).as("b"),
+      (col("id") % 997).as("c"),
+      col("id").as("payload"))
+    val t = java.nio.file.Files.createTempDirectory("zorder3").toString
+    TxLog.write(Layout.zOrderedN(df, Seq("a", "b", "c"), files = 16), t,
+      "overwrite")
+    // every dimension's stats must prune alone, and the conjunction
+    // tighter than any single dim
+    val (ka, total) = TxLog.pruneFilesWhere(t,
+      Seq(TxLog.Pred.Range("a", Some(10L), Some(19L))))
+    val (kb, _) = TxLog.pruneFilesWhere(t,
+      Seq(TxLog.Pred.Range("b", Some(10L), Some(19L))))
+    val (kc, _) = TxLog.pruneFilesWhere(t,
+      Seq(TxLog.Pred.Range("c", Some(100L), Some(199L))))
+    val preds = Seq(TxLog.Pred.Range("a", Some(10L), Some(19L)),
+      TxLog.Pred.Range("b", Some(10L), Some(19L)),
+      TxLog.Pred.Range("c", Some(100L), Some(199L)))
+    val (kAll, _) = TxLog.pruneFilesWhere(t, preds)
+    assert(ka.size < total && kb.size < total && kc.size < total,
+      s"each dim must prune: a=${ka.size} b=${kb.size} c=${kc.size} / $total")
+    assert(kAll.size <= Seq(ka.size, kb.size, kc.size).min,
+      "the conjunction can only be tighter than any single dimension")
+    // and skipping must be invisible in the data
+    val got = TxLog.snapshotWhere(spark, t, preds)
+      .agg(org.apache.spark.sql.functions.sum(col("payload"))).head().getLong(0)
+    val want = df.where(col("a").between(10, 19) && col("b").between(10, 19) &&
+      col("c").between(100, 199))
+      .agg(org.apache.spark.sql.functions.sum(col("payload"))).head().getLong(0)
+    assert(got == want)
+  }
+
+  test("the 2-dim z-order is the n=2 case of the N-ary interleave, bit-identical") {
+    val a = (lit(46341L) % 65536).cast("long") // arbitrary bucketed values
+    val b = (lit(12345L) % 65536).cast("long")
+    val two = spark.range(1).select(Layout.zValue(a, b, 16).as("z"))
+      .head().getLong(0)
+    val n = spark.range(1).select(Layout.zValueN(Seq(a, b), 16).as("z"))
+      .head().getLong(0)
+    assert(two == n, "zValueN(n=2) must reproduce zValue exactly")
+  }
 }
