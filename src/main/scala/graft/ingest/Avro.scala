@@ -97,10 +97,16 @@ object Avro {
           pds.open(),
           new org.apache.avro.generic.GenericDatumReader[
             org.apache.avro.generic.GenericRecord]())
+        // rows stream LAZILY off the decoder — a container is
+        // partition-sized, so buffering it whole in the heap is
+        // exactly the spill-unsafe shape this engine avoids; the
+        // stream closes when drained, and the task-completion hook
+        // covers early termination (limit, take, failure)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            try stream.close() catch { case _: Exception => () }))
         import scala.jdk.CollectionConverters._
-        // the stream is drained eagerly within the task (files are
-        // task-sized by construction); close() before handing rows on
-        try stream.iterator.asScala.map { rec =>
+        val recs = stream.iterator.asScala.map { rec =>
           Row.fromSeq(sparkSchema.fields.toSeq.map { f =>
             (rec.get(f.name), f.dataType) match {
               case (null, _) => null
@@ -113,7 +119,15 @@ object Avro {
                 s"avro field '${f.name}': cannot read ${v.getClass} as $t")
             }
           })
-        }.toVector finally stream.close()
+        }
+        new Iterator[Row] {
+          def hasNext: Boolean = {
+            val h = recs.hasNext
+            if (!h) try stream.close() catch { case _: Exception => () }
+            h
+          }
+          def next(): Row = recs.next()
+        }
       }
     spark.createDataFrame(rowRdd, sparkSchema)
   }

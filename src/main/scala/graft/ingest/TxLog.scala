@@ -1412,6 +1412,24 @@ object TxLog {
     snapshot(spark, table, v)
   }
 
+  /** Table history as a DataFrame — the DESCRIBE HISTORY analogue:
+    * one row per commit with its mode, micro-batch id (-1 for batch
+    * writers), add/remove file counts, whether it changed the schema,
+    * and the commit timestamp (the publish rename's mtime — the same
+    * clock `TIMESTAMP AS OF` resolves against). Log metadata only; no
+    * data files are touched. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    commits(table).map { c =>
+      val ts =
+        try Files.getLastModifiedTime(commitFile(table, c.version)).toMillis
+        catch { case _: Exception => -1L }
+      (c.version, c.mode, c.batchId, c.adds.size.toLong,
+        c.removes.size.toLong, c.schema.nonEmpty, ts)
+    }.toDF("version", "mode", "batch_id", "n_adds", "n_removes",
+      "schema_recorded", "commit_ts_ms")
+  }
+
   /** Latest committed version, if any — from the file NAMES alone (the
     * version is the name), no commit parsed. */
   def latestVersion(table: String): Option[Long] = {

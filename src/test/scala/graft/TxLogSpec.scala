@@ -681,6 +681,23 @@ class TxLogSpec extends SparkSpec {
       "restart must not duplicate rows")
   }
 
+  test("history: one row per commit, modes and file counts exact") {
+    val t = tmp("txlog_history")
+    TxLog.write(Seq(1L, 2L).toDF("id").coalesce(2), t, "overwrite")
+    TxLog.write(Seq(3L).toDF("id").coalesce(1), t, "append")
+    TxLog.delete(spark, t, col("id") === 1L)
+    val h = TxLog.history(spark, t)
+      .select("version", "mode", "batch_id", "n_adds", "n_removes")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(h.map(r => (r._1, r._2, r._3)) ==
+      Seq((0L, "overwrite", -1L), (1L, "append", -1L), (2L, "rewrite", -1L)))
+    assert(h(1)._4 == 1L && h(1)._5 == 0L, "append: one add, no removes")
+    assert(h(2)._5 == 1L, "the delete rewrote exactly the one hit file")
+    val ts = TxLog.history(spark, t).select("commit_ts_ms")
+      .as[Long].collect()
+    assert(ts.forall(_ > 0L), "commit timestamps come from the log mtimes")
+  }
+
   test("snapshotWhere: conjunctive skipping, tighter than either column") {
     val t = tmp("txlog_where")
     val df = spark.range(0, 1000)
