@@ -300,9 +300,9 @@ newc AS (
   UNION ALL
   SELECT doc_id + 100000, sha256(text) FROM documents WHERE doc_id % 11 = 0)
 SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
-  CASE WHEN o.oh IS NULL THEN 'added'
-       WHEN n.nh IS NULL THEN 'removed'
-       WHEN o.oh <> n.nh THEN 'changed'
+  CASE WHEN o.doc_id IS NULL THEN 'added'
+       WHEN n.doc_id IS NULL THEN 'removed'
+       WHEN o.oh IS DISTINCT FROM n.nh THEN 'changed'
        ELSE 'unchanged' END AS status
 FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id
 ${ord("doc_id")}""".trim

@@ -37,7 +37,11 @@ object AsofJoin {
       tsCol: String, payload: Seq[(String, String)],
       tieBreak: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val rSel = right.select(
+    // a NULL-ts right row must match NOTHING (SQL: r.ts <= l.ts is
+    // never true for NULL) — unfiltered it would sort FIRST in the
+    // window (nulls-first ordering) and its payload would leak into
+    // every left row as "the state since forever"
+    val rSel = right.where(col(tsCol).isNotNull).select(
       on.map(col) ++ Seq(col(tsCol), lit(0).as("__side"),
         col(tieBreak).as("__tb"),
         struct(payload.map { case (src, out) => col(src).as(out) }: _*)

@@ -73,13 +73,20 @@ object Profiling {
     * only. */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
       key: String = "doc_id", payload: String = "text"): DataFrame = {
-    val o = oldDf.select(col(key), sha2(col(payload), 256).as("__oh"))
-    val n = newDf.select(col(key), sha2(col(payload), 256).as("__nh"))
+    // presence comes from explicit side flags, NOT from the digest's
+    // nullness: sha2(NULL payload) is NULL, so a matched key whose OLD
+    // body was NULL would otherwise mislabel as "added"; the digest
+    // compare is null-safe (<=>) so NULL→NULL is unchanged and
+    // NULL→body is changed
+    val o = oldDf.select(col(key), sha2(col(payload), 256).as("__oh"),
+      lit(1).as("__ol"))
+    val n = newDf.select(col(key), sha2(col(payload), 256).as("__nh"),
+      lit(1).as("__nl"))
     o.join(n, Seq(key), "full_outer")
       .select(col(key),
-        when(col("__oh").isNull, "added")
-          .when(col("__nh").isNull, "removed")
-          .when(col("__oh") =!= col("__nh"), "changed")
+        when(col("__ol").isNull, "added")
+          .when(col("__nl").isNull, "removed")
+          .when(not(col("__oh") <=> col("__nh")), "changed")
           .otherwise("unchanged").as("status"))
   }
 

@@ -604,7 +604,9 @@ object Sampling {
     * single-reducer window), and negative j for position p is the
     * document at (p + j·⌊N/(numNeg+1)⌋) mod N. The fixed large stride
     * guarantees the negative is far from the anchor in doc_id order
-    * (never itself, since j·step < N), every document serves as a
+    * (never itself while N > numNeg, since then j·step < N — a corpus
+    * of ≤ numNeg docs has no numNeg distinct others to offer), every
+    * document serves as a
     * negative equally often (a permutation per j — balanced load, no
     * hot negatives), and the assignment is reproducible across runs
     * and engines.

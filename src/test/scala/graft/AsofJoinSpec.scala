@@ -38,6 +38,23 @@ class AsofJoinSpec extends SparkSpec {
       (5L, None, None)))
   }
 
+  test("asofJoin: a NULL-ts right row matches nothing; NULL-ts left rows get null payloads") {
+    val l = Seq((1L, Some(10L), "u1"), (2L, None: Option[Long], "u1"))
+      .toDF("event_id", "ts", "user_id")
+    val r = Seq(
+      (100L, None: Option[Long], "u1", 9.0), // NULL ts: never "at or before"
+      (101L, Some(5L), "u1", 1.0)
+    ).toDF("rid", "ts", "user_id", "amount")
+    val out = AsofJoin.asofJoin(l, r, Seq("user_id"), "ts",
+      Seq("rid" -> "last_rid"), "rid")
+      .orderBy("event_id").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(3)) None else Some(x.getLong(3))))
+    assert(out.toSeq == Seq(
+      (1L, Some(101L)), // the real prior row, NOT the NULL-ts one
+      (2L, None)),      // SQL: nothing is <= a NULL timestamp
+      out.toSeq.toString)
+  }
+
   test("asofJoin: one hash exchange per input, no nested-loop join") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
     val df = AsofJoin.asofJoin(

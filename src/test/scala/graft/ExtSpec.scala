@@ -1047,6 +1047,19 @@ class ExtSpec extends SparkSpec {
       3L -> "removed", 4L -> "added"), got.toString)
   }
 
+  test("snapshotDiff: NULL payloads — presence from the join side, null-safe compare") {
+    val old = Seq((1L, None: Option[String]), (2L, None: Option[String]),
+      (3L, Some("body"))).toDF("doc_id", "text")
+    val newer = Seq((1L, None: Option[String]), (2L, Some("now set")),
+      (3L, None: Option[String])).toDF("doc_id", "text")
+    val got = graft.ext.Profiling.snapshotDiff(old, newer).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // a matched key must NEVER read as added/removed just because a
+    // side's body (hence its sha2) is NULL
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed"),
+      got.toString)
+  }
+
   test("qualityTiers: quartiles partition the corpus, tiers ordered by quality") {
     val real = spark.read.parquet(s"$sf/documents.parquet")
     val tiers = TextAnalysis.qualityTiers(real).collect()

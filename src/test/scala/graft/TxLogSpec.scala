@@ -109,6 +109,21 @@ class TxLogSpec extends SparkSpec {
       plan.take(600))
   }
 
+  test("snapshotWhere: the exact predicates reach the parquet scan as PushedFilters") {
+    val t = tmp("txlog_wherepush")
+    TxLog.write(spark.range(1, 101).select(col("id"),
+      concat(lit("t"), col("id") % 3).as("tag")), t, "overwrite")
+    val plan = TxLog.snapshotWhere(spark, t, Seq(
+      TxLog.Pred.Range("id", Some(10L), Some(90L)),
+      TxLog.Pred.In("tag", Seq("t1", "t2")),
+      TxLog.Pred.NotNull("tag")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(id,10)") &&
+      plan.contains("In(tag, [t1,t2])"),
+      plan.take(800))
+  }
+
   test("data skipping: commit-time footer stats prune non-overlapping files") {
     val t = tmp("txlog_skip")
     // range-clustered write: 4 files, each covering ~25 consecutive ids
