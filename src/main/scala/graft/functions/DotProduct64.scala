@@ -48,6 +48,17 @@ case class DotProduct64(left: Expression, right: Expression)
     }
   }
 
+  /** Do the element types admit nulls? Consulted at PLAN time: the
+    * tight no-branch loop compiles for the (usual) containsNull=false
+    * shape; only null-admitting array types pay a per-element check.
+    * Without the check a null element READ AS 0 under codegen
+    * (UnsafeArrayData's value slot) but NPE'd interpreted — two
+    * different answers for one plan depending on codegen state. */
+  private lazy val elemsNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  })
+
   protected override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -55,9 +66,12 @@ case class DotProduct64(left: Expression, right: Expression)
     if (n != y.numElements()) {
       throw DotProduct64.lengthMismatch(n, y.numElements())
     }
+    val checkNulls = elemsNullable
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i)))
+        throw DotProduct64.nullElement(i)
       acc += x.getLong(i) * y.getLong(i)
       i += 1
     }
@@ -69,6 +83,12 @@ case class DotProduct64(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val nullCheck =
+        if (elemsNullable)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
+             |    throw graft.functions.DotProduct64.nullElement($i);
+             |  }""".stripMargin
+        else ""
       // Never assigns ev.isNull: with nullIntolerant semantics and no
       // null-producing branch, nullable stays exactly the children's
       // nullability and the generated code compiles for BOTH shapes.
@@ -79,6 +99,7 @@ case class DotProduct64(left: Expression, right: Expression)
          |}
          |long $acc = 0L;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $acc += $a.getLong($i) * $b.getLong($i);
          |}
          |${ev.value} = $acc;
@@ -99,4 +120,9 @@ object DotProduct64 {
   def lengthMismatch(n: Int, m: Int): IllegalArgumentException =
     new IllegalArgumentException(
       s"dot64: embedding length mismatch ($n vs $m); inputs must be fixed-dim")
+
+  def nullElement(i: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"dot64: null element at index $i; embeddings must be dense " +
+        "(a null would otherwise silently read as 0 under codegen)")
 }

@@ -68,7 +68,23 @@ case class NearestCentroidL2(left: Expression, right: Expression)
           s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
     }
 
+  /** Query-vector null-element guard, consulted at plan time (see
+    * DotProduct64.elemsNullable: a null element reads as 0 on Unsafe
+    * rows but NPEs on Generic ones — two answers for one plan). The
+    * centroid array is engine-built dense structs and needs no
+    * check. */
+  private lazy val qNullable: Boolean = left.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
   def compute(qd: ArrayData, cents: ArrayData): InternalRow = {
+    if (qNullable) {
+      var k = 0; val nn = qd.numElements()
+      while (k < nn) {
+        if (qd.isNullAt(k)) throw DotProduct64.nullElement(k); k += 1
+      }
+    }
     val q = qd.toLongArray()
     val n = q.length
     var qq = 0L
@@ -154,7 +170,19 @@ case class NearestCentroidCosine(first: Expression, second: Expression,
           s" ${third.dataType.simpleString})")
     }
 
+  /** Same plan-time null-element guard as NearestCentroidL2. */
+  private lazy val qNullable: Boolean = first.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  }
+
   def compute(qd: ArrayData, nq: Double, cents: ArrayData): Long = {
+    if (qNullable) {
+      var k = 0; val nn = qd.numElements()
+      while (k < nn) {
+        if (qd.isNullAt(k)) throw DotProduct64.nullElement(k); k += 1
+      }
+    }
     val q = qd.toLongArray()
     val n = q.length
     val m = cents.numElements()

@@ -51,10 +51,17 @@ case class PqAdc(left: Expression, right: Expression)
     var acc = 0L
     var j = 0
     while (j < m) {
+      // explicit null-element guards: an UnsafeArrayData null code
+      // would otherwise READ AS 0 — a VALID code — and corrupt the
+      // distance silently (a GenericArrayData row would NPE instead:
+      // two answers for one plan depending on row representation)
+      if (codes.isNullAt(j) || tables.isNullAt(j))
+        throw PqAdc.nullEntry(j)
       val t = tables.getArray(j)
       val c = codes.getLong(j)
       if (c < 0L || c >= t.numElements())
         throw PqAdc.codeOutOfRange(j, c, t.numElements())
+      if (t.isNullAt(c.toInt)) throw PqAdc.nullEntry(j)
       acc += t.getLong(c.toInt)
       j += 1
     }
@@ -88,4 +95,9 @@ object PqAdc {
     new IllegalArgumentException(
       s"pq_adc: code $c in subspace $j outside table size $k; " +
         "codes and tables must come from the same codebook")
+
+  def nullEntry(j: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"pq_adc: null code/table entry in subspace $j; codebooks must be " +
+        "dense (a null would otherwise silently read as code 0)")
 }

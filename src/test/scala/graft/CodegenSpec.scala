@@ -164,4 +164,40 @@ class CodegenSpec extends SparkSpec {
     assert(causes(ex).exists(_.getMessage != null) &&
       causes(ex).exists(c => Option(c.getMessage).exists(_.contains("length mismatch"))))
   }
+
+  test("dot64: a null array ELEMENT throws loud — never silently reads as 0") {
+    // array_remove's result type admits nulls, so this exercises the
+    // null-admitting codegen branch; an UnsafeArrayData null element
+    // would otherwise read as 0 from the value slot (and a Generic row
+    // would NPE instead — two answers for one plan)
+    import spark.implicits._
+    val df = Seq((Seq(Some(1L), None, Some(3L)), Seq(Some(1L), Some(2L), Some(3L))))
+      .toDF("a", "b")
+    import graft.functions.DotProduct64.dot64
+    val ex = intercept[Exception] {
+      df.select(dot64(col("a"), col("b"))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("null element"))), ex.toString)
+    // and the dense form of the same data still computes
+    val ok = Seq((Seq(1L, 2L, 3L), Seq(1L, 2L, 3L))).toDF("a", "b")
+      .select(dot64(col("a"), col("b"))).head().getLong(0)
+    assert(ok == 14L)
+  }
+
+  test("pq_adc: a null code element throws loud — 0 is a VALID code") {
+    import spark.implicits._
+    val df = Seq((Seq(Some(0L), None),
+      Seq(Seq(10L, 20L), Seq(30L, 40L)))).toDF("codes", "tables")
+    val ex = intercept[Exception] {
+      df.select(graft.functions.PqAdc.pqAdc(col("codes"), col("tables")))
+        .collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("null code"))), ex.toString)
+  }
 }
