@@ -1435,6 +1435,32 @@ object SparkEntry {
       Engine.canonical(main.unionByName(quar)
         .select("arm", "doc_id", "lang", "source", "n_chars", "_violation"))
     }),
+    // streaming expectations (round 14, the DLT streaming
+    // expect_or_drop + quarantine shape): the docs stream through
+    // streamExpectSink one file per trigger — every micro-batch splits
+    // on the named predicates with the batch id riding BOTH commits;
+    // the final main ∪ quarantine union must equal the batch
+    // writeExpect verdict row-for-row, so it shares txlog_expectations'
+    // oracle twin
+    "stream_txlog_expect" -> prep((s, d) => {
+      val base = tmpDir("graft_txsexp")
+      val docsDf = docs(s, d).select("doc_id", "lang", "source", "n_chars")
+      docsDf.coalesce(2).write.json(s"$base/in")
+      val in = s.readStream
+        .schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .json(s"$base/in")
+      graft.ingest.TxLog.streamExpectSink(in, s"$base/main",
+        s"$base/quarantine",
+        Map("long_doc" -> "n_chars >= 120", "not_src0" -> "source <> 'src0'"),
+        s"$base/ckpt").awaitTermination()
+      val main = graft.ingest.TxLog.snapshot(s, s"$base/main")
+        .withColumn("arm", lit("main")).withColumn("_violation", lit(""))
+      val quar = graft.ingest.TxLog.snapshot(s, s"$base/quarantine")
+        .withColumn("arm", lit("quarantine"))
+      Engine.canonical(main.unionByName(quar)
+        .select("arm", "doc_id", "lang", "source", "n_chars", "_violation"))
+    }),
     // TxLog as a streaming SOURCE (round 14, Delta's readStream.table
     // analogue): the first drain consumes the current snapshot, a new
     // commit lands, the second drain — same checkpoint — consumes
@@ -2113,6 +2139,9 @@ object SparkEntry {
     "txlog_expectations" -> ExtOracle.txlogExpectations,
     "stream_txlog_source" -> ExtOracle.streamTxlogSource,
     "stream_txlog_multihop" -> ExtOracle.streamTxlogMultihop,
+    // same verdict contract as the batch writeExpect — stream chopping
+    // must be invisible in the split
+    "stream_txlog_expect" -> ExtOracle.txlogExpectations,
     "stream_txlog_ingest" -> ExtOracle.streamTxlogIngest,
     "txlog_stats_prune" -> ExtOracle.zorderScan, // same predicate+rollup, stats-pruned file list
     "txlog_rowops" -> ExtOracle.txlogRowOps,

@@ -1606,6 +1606,27 @@ object TxLog {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming expectation sink — `writeExpect` per micro-batch (the
+    * DLT streaming `expect_or_drop` + quarantine shape): every batch
+    * splits on the named predicates, clean rows land in `table`,
+    * violators in `quarantine` tagged with the failed names; the batch
+    * id rides BOTH commits, so replays are exactly-once on each table
+    * independently. `autoCheckpointEvery` bounds log replay on both
+    * tables (0 disables). */
+  def streamExpectSink(df: DataFrame, table: String, quarantine: String,
+      expectations: Map[String, String], checkpointDir: String,
+      autoCheckpointEvery: Int = 64): StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        writeExpect(batch, table, quarantine, expectations, batchId = id)
+        maybeCheckpoint(table, autoCheckpointEvery)
+        maybeCheckpoint(quarantine, autoCheckpointEvery); ()
+      }
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Register a snapshot (optionally time-travel pinned) as a temp
     * view, so `spark.sql` queries a TxLog table the way the reference
     * queries Delta tables (REF STREAM:220 `.table()` / SQL-on-Delta).
@@ -1728,11 +1749,14 @@ object TxLog {
     * into ANOTHER TxLog table, the multi-hop (bronze→silver) pipeline
     * shape. Schema is the table's log-recorded one (relaxed nullable;
     * pre-evolution files null-fill added columns). */
-  def streamSource(spark: SparkSession, table: String): DataFrame = {
+  def streamSource(spark: SparkSession, table: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
     val ddl = schemaAt(table)
     require(ddl.nonEmpty, s"streamSource: no committed schema in $table")
     publishAppends(table)
-    spark.readStream.schema(relaxed(ddl))
+    // options pass straight to the file source — maxFilesPerTrigger
+    // for rate limiting is the usual one (Delta's maxFilesPerTrigger)
+    spark.readStream.schema(relaxed(ddl)).options(options)
       .parquet(publishedDir(table).toString)
   }
 

@@ -833,6 +833,25 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, q).count() == 3L)
   }
 
+  test("streamExpectSink: per-batch split, exactly-once on both tables across restart") {
+    val base = tmp("txlog_sexpect")
+    Seq((1L, 10L), (2L, -1L)).toDF("id", "n")
+      .coalesce(1).write.json(s"$base/in")
+    def drain(): Unit =
+      TxLog.streamExpectSink(
+        spark.readStream.schema("id BIGINT, n BIGINT")
+          .json(s"$base/in"),
+        s"$base/main", s"$base/q", Map("n_pos" -> "n > 0"), s"$base/ckpt")
+        .awaitTermination()
+    drain()
+    assert(ids(TxLog.snapshot(spark, s"$base/main")) == Seq(1L))
+    assert(ids(TxLog.snapshot(spark, s"$base/q")) == Seq(2L))
+    // restart on the same checkpoint: nothing drains, nothing doubles
+    drain()
+    assert(TxLog.snapshot(spark, s"$base/main").count() == 1L)
+    assert(TxLog.snapshot(spark, s"$base/q").count() == 1L)
+  }
+
   test("streaming source: snapshot-then-tail, exactly once, append-only enforced") {
     val base = tmp("txlog_source")
     val t = s"$base/table"
