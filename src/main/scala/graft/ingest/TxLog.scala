@@ -1501,6 +1501,72 @@ object TxLog {
     n
   }
 
+  /** Table-level metadata row — the DESCRIBE DETAIL analogue: live
+    * file count and bytes, tombstoned (historical, un-vacuumed) count
+    * and bytes, latest version, commit count, checkpoint version, the
+    * recorded schema, constraint count, and whether the table serves
+    * as a streaming source. Log + file-size metadata only; no data
+    * pages are read. */
+  def detail(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val live = liveFiles(table)
+    val liveSet = live.toSet
+    val all = commits(table)
+    val everAdded = all.flatMap(_.adds).distinct
+    def bytes(fs: Seq[String]): Long = fs.map { f =>
+      try Files.size(Paths.get(table, f)) catch { case _: Exception => 0L }
+    }.sum
+    val tomb = everAdded.filterNot(liveSet)
+      .filter(f => Files.exists(Paths.get(table, f)))
+    Seq((live.size.toLong, bytes(live), tomb.size.toLong, bytes(tomb),
+      latestVersion(table).getOrElse(-1L), all.size.toLong,
+      lastCheckpoint(table).map(_._1).getOrElse(-1L),
+      schemaAt(table), constraints(table).size.toLong,
+      isStreamSource(table)))
+      .toDF("n_live_files", "live_bytes", "n_tombstoned_files",
+        "tombstoned_bytes", "latest_version", "n_commits",
+        "checkpoint_version", "schema_ddl", "n_constraints",
+        "is_stream_source")
+  }
+
+  /** VACUUM dry run — the files a `vacuum(table, retainMs = 0)` would
+    * delete (unreferenced orphans + abandoned staging), WITHOUT
+    * deleting anything: the audit step before irreversible maintenance
+    * (Delta's VACUUM ... DRY RUN). */
+  def vacuumDryRun(table: String): Seq[String] = {
+    val referenced = commits(table).flatMap(_.adds).toSet
+    val root = Paths.get(table)
+    val orphans = ls(root).map(_.getFileName.toString)
+      .filter(n => n.endsWith(".parquet") && !referenced.contains(n))
+      .sorted
+    val staging = root.resolve("_staging")
+    val staged =
+      if (!Files.isDirectory(staging)) Nil
+      else {
+        val w = Files.walk(staging)
+        val all = try w.toArray.map(_.asInstanceOf[Path]).toSeq
+          finally w.close()
+        all.filter(Files.isRegularFile(_))
+          .map(p => root.relativize(p).toString).sorted
+      }
+    orphans ++ staged
+  }
+
+  /** Size-targeted compaction — `compact` with the file count derived
+    * from the LIVE BYTES (Delta's OPTIMIZE sizes by target file bytes,
+    * not count): ceil(liveBytes / targetBytes), at least 1. The
+    * arithmetic runs on log + file-size metadata; the rewrite itself
+    * is the usual content-neutral overwrite commit. */
+  def compactToSize(spark: SparkSession, table: String,
+      targetBytes: Long = 128L * 1024 * 1024): Long = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val liveBytes = liveFiles(table).map { f =>
+      try Files.size(Paths.get(table, f)) catch { case _: Exception => 0L }
+    }.sum
+    val n = math.max(1L, (liveBytes + targetBytes - 1) / targetBytes)
+    compact(spark, table, math.min(n, Int.MaxValue.toLong).toInt)
+  }
+
   /** Compaction (the OPTIMIZE analogue — and at 100 TB the essential
     * companion of a streaming sink: per-micro-batch commits accrete
     * thousands of small files, and scan cost follows file count, not

@@ -58,7 +58,8 @@ object ScaleVerify {
     // violation tagging must survive any partitioning) and the
     // streaming source (snapshot-then-tail consumption over tables
     // whose file sets DIFFER between the layouts)
-    "txlog_expectations", "stream_txlog_source", "stream_txlog_multihop")
+    "txlog_expectations", "stream_txlog_source", "stream_txlog_multihop",
+    "stream_txlog_expect")
 
   def main(args: Array[String]): Unit = {
     val d = "/root/testdata/sf0.1"

@@ -696,6 +696,36 @@ class TxLogSpec extends SparkSpec {
       "restart must not duplicate rows")
   }
 
+  test("detail, vacuum dry run, size-targeted compaction") {
+    val t = tmp("txlog_detail")
+    TxLog.write(spark.range(0, 1000).select(col("id"))
+      .repartition(4), t, "overwrite")
+    TxLog.delete(spark, t, col("id") < 100L) // rewrite: tombstones appear
+    Files.write(Paths.get(t, "orphan-x.parquet"), Array[Byte](1))
+    val d = TxLog.detail(spark, t).head()
+    assert(d.getAs[Long]("n_live_files") == TxLog.liveFiles(t).size.toLong)
+    assert(d.getAs[Long]("n_tombstoned_files") > 0,
+      "the delete must leave historical files visible as tombstones")
+    assert(d.getAs[Long]("live_bytes") > 0 &&
+      d.getAs[Long]("tombstoned_bytes") > 0)
+    assert(d.getAs[Long]("latest_version") == 1L &&
+      d.getAs[Long]("n_commits") == 2L)
+    assert(!d.getAs[Boolean]("is_stream_source"))
+    // dry run lists the orphan plus staging debris (exactly vacuum's
+    // reclaim set) and deletes nothing
+    val dry = TxLog.vacuumDryRun(t)
+    assert(dry.contains("orphan-x.parquet"), dry.toString)
+    assert(dry.forall(f =>
+      f == "orphan-x.parquet" || f.startsWith("_staging/")), dry.toString)
+    assert(Files.exists(Paths.get(t, "orphan-x.parquet")))
+    // size-targeted OPTIMIZE: a generous byte target collapses the
+    // live set to one file, content-neutral
+    val before = ids(TxLog.snapshot(spark, t))
+    TxLog.compactToSize(spark, t, targetBytes = 1L << 30)
+    assert(TxLog.liveFiles(t).size == 1)
+    assert(ids(TxLog.snapshot(spark, t)) == before)
+  }
+
   test("history: one row per commit, modes and file counts exact") {
     val t = tmp("txlog_history")
     TxLog.write(Seq(1L, 2L).toDF("id").coalesce(2), t, "overwrite")
