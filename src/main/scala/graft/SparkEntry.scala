@@ -87,6 +87,7 @@ object SparkEntry {
         k != "date_partition_scan" && k != "ann_ivf_postings_scan" &&
         k != "csv_scan_clean" && k != "orc_scan_clean" &&
         k != "avro_scan_clean" && // IO-layer verification, not throughput
+        k != "json_robust_scan" && // IO-layer verification, not throughput
         k != "txlog_time_travel" && // builds a table per call: IO class
         k != "txlog_stats_prune" && // builds a table per call: IO class
         k != "txlog_rowops" && // builds a table per call: IO class
@@ -928,6 +929,34 @@ object SparkEntry {
         s"$base/topics/graft.pin/partition=0", s"$base/compacted/pin")
       graft.pipeline.Cleaning.cleanPin(
         s.read.parquet(s"$base/compacted/pin")).orderBy("ind")
+    }),
+    // permissive JSON ingest with corrupt-record quarantine (round 14,
+    // the text-landing analog of multimodal_decode_robust): every 7th
+    // doc's JSON line is deterministically truncated at half (always
+    // malformed — the closing brace is gone); parsed rows land in the
+    // main arm, malformed lines in the quarantine arm as raw text —
+    // the oracle re-derives both arms from the id rule alone
+    "json_robust_scan" -> prep((s, d) => {
+      val base = tmpDir("graft_jsonrobust")
+      val docsDf = docs(s, d).select("doc_id", "lang", "source", "n_chars")
+      val line = to_json(struct(col("doc_id"), col("lang"), col("source"),
+        col("n_chars")))
+      docsDf.select(
+        when(col("doc_id") % 7 === 0,
+          line.substr(lit(1), (length(line) / 2).cast("int")))
+          .otherwise(line).as("value"))
+        .coalesce(2).write.text(s"$base/in")
+      val (main, bad) = graft.ingest.Formats.readJsonRobust(s, s"$base/in",
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT"))
+      val m = main.withColumn("arm", lit("main"))
+      val q = bad.select(lit(null).cast("bigint").as("doc_id"),
+        lit(null).cast("string").as("lang"),
+        lit(null).cast("string").as("source"),
+        lit(null).cast("bigint").as("n_chars"),
+        lit("quarantine").as("arm"))
+      Engine.canonical(m.unionByName(q)
+        .select("arm", "doc_id", "lang", "source", "n_chars"))
     }),
     // interchange-format parity: raw pin rows round-tripped through
     // header'd CSV (\N null sentinel, multiLine read, explicit schema)
@@ -2113,6 +2142,7 @@ object SparkEntry {
     "kinesis_envelope_clean" -> PinOracle.pinClean,
     "csv_scan_clean" -> PinOracle.pinClean,
     "avro_scan_clean" -> PinOracle.pinClean,
+    "json_robust_scan" -> ExtOracle.jsonRobustScan,
     "orc_scan_clean" -> PinOracle.pinClean,
     "agg_pricing" -> ExtOracle.aggPricing,
     "revenue_by_nation" -> ExtOracle.revenueByNation,

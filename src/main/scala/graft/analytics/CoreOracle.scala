@@ -683,6 +683,19 @@ ${ord("doc_id", "lang", "source", "n_chars", "rev")}""".trim
 SELECT doc_id, lang, source FROM documents
 ${ord("doc_id")}""".trim
 
+  /** Twin of `json_robust_scan`: the id rule alone decides each arm —
+    * every 7th doc's line is truncated (always malformed), the rest
+    * parse whole. Quarantine rows carry no parsed fields. */
+  val jsonRobustScan: String = s"""
+SELECT 'main' AS arm, doc_id, lang, source, n_chars
+FROM documents WHERE doc_id % 7 <> 0
+UNION ALL
+SELECT 'quarantine' AS arm, CAST(NULL AS BIGINT) AS doc_id,
+  CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS source,
+  CAST(NULL AS BIGINT) AS n_chars
+FROM documents WHERE doc_id % 7 = 0
+${ord("arm", "doc_id")}""".trim
+
   /** Twin of `txlog_multi_prune`: the three-predicate conjunctive
     * lookup (user range AND time range AND type IN-set) straight off
     * the source table — the z-ordered TxLog copy with multi-column

@@ -48,4 +48,41 @@ object Formats {
 
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** Permissive JSON ingest with corrupt-record quarantine — the
+    * text-landing analog of the multimodal tier's `decodeStatsRobust`:
+    * a real landing zone always carries some malformed lines
+    * (truncated uploads, producer bugs), and FAILFAST kills the job
+    * for one bad byte while default-PERMISSIVE silently null-fills.
+    * This reader makes the split explicit: rows that parse land in
+    * the main frame; malformed lines land in a quarantine frame AS
+    * their raw text, queryable for repair/audit — nothing dropped
+    * silently (the DLT-expectations discipline applied to the parse
+    * step itself).
+    *
+    * The parsed frame is persisted before splitting: Spark refuses a
+    * query that references ONLY the internal corrupt-record column of
+    * a lazy JSON scan (SPARK-21610's guard), and the cache also makes
+    * the two branches share one parse. Callers done with both frames
+    * can `unpersist()` either one's parent via `.sparkSession`. Scale:
+    * parse is scan-side; the split is two cached filters, work ∝
+    * input, no shuffle. */
+  def readJsonRobust(spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "readJsonRobust reserves the _corrupt_record column name")
+    val withCorrupt = schema.add("_corrupt_record",
+      org.apache.spark.sql.types.StringType, nullable = true)
+    val parsed = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val main = parsed.where(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val bad = parsed.where(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw"))
+    (main, bad)
+  }
 }

@@ -9,6 +9,30 @@ import graft.streaming.StreamJob
   * tables. */
 class EnvelopeSpec extends SparkSpec {
 
+  test("readJsonRobust: malformed lines quarantine as raw text, the rest parse") {
+    val dir = java.nio.file.Files.createTempDirectory("json_robust")
+    java.nio.file.Files.write(dir.resolve("part.json"),
+      ("""{"id": 1, "s": "ok"}""" + "\n" +
+        """{"id": 2, "s": "truncat""" + "\n" + // malformed: unterminated
+        """not json at all""" + "\n" +
+        """{"id": 3, "s": null}""" + "\n").getBytes("UTF-8"))
+    val (main, bad) = graft.ingest.Formats.readJsonRobust(spark,
+      dir.toString,
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, s STRING"))
+    val ok = main.orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+    assert(ok.toSeq == Seq((1L, "ok"), (3L, null)))
+    val raw = bad.collect().map(_.getString(0)).sorted.toSeq
+    assert(raw == Seq("""not json at all""", """{"id": 2, "s": "truncat"""),
+      raw.toString)
+    // the reserved internal column name is refused up front
+    intercept[IllegalArgumentException] {
+      graft.ingest.Formats.readJsonRobust(spark, dir.toString,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "_corrupt_record STRING, id BIGINT"))
+    }
+  }
+
   private lazy val raw = RawDerive.tables(spark, sf)
 
   // compare as strings: the wire format is stringly-typed (SURVEY
