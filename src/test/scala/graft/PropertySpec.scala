@@ -295,4 +295,45 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("snapshotWhere ≡ plain filter for random predicate conjunctions (nulls included)") {
+    import spark.implicits._
+    import graft.ingest.TxLog
+    import graft.ingest.TxLog.Pred
+    // a table with a long, a string and a NULL-bearing long column,
+    // written as several range-clustered files so stats actually prune
+    val rows = (0L until 400L).map { i =>
+      (i, s"s${i % 13}", if (i % 5 == 0) None else Some(i % 97))
+    }
+    val df = rows.toDF("k", "tag", "v")
+    val t = java.nio.file.Files.createTempDirectory("txlog_prop").toString
+    TxLog.write(df.repartitionByRange(8, col("k")), t, "overwrite")
+    val full = TxLog.snapshot(spark, t)
+    val predGen: Gen[Pred] = Gen.oneOf(
+      Gen.zip(Gen.chooseNum(0L, 400L), Gen.chooseNum(0L, 400L)).map {
+        case (a, b) => Pred.Range("k", Some(math.min(a, b)), Some(math.max(a, b))) },
+      Gen.chooseNum(0L, 96L).map(x => Pred.Range("v", Some(x), None)),
+      Gen.chooseNum(0, 15).map(x => Pred.Eq("tag", s"s$x")),
+      Gen.listOfN(3, Gen.chooseNum(0, 15)).map(xs =>
+        Pred.In("tag", xs.distinct.map(x => s"s$x"))),
+      Gen.const(Pred.IsNull("v")), Gen.const(Pred.NotNull("v")))
+    def exact(p: Pred): org.apache.spark.sql.Column = p match {
+      case Pred.Range(c, lo, hi) =>
+        (lo.map(v => col(c) >= lit(v)) ++ hi.map(v => col(c) <= lit(v)))
+          .reduceOption(_ && _).getOrElse(lit(true))
+      case Pred.Eq(c, v) => col(c) === lit(v)
+      case Pred.In(c, vs) => col(c).isin(vs: _*)
+      case Pred.IsNull(c) => col(c).isNull
+      case Pred.NotNull(c) => col(c).isNotNull
+    }
+    def key(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    for (preds <- samples(Gen.listOfN(2, predGen), 25)
+        if preds.forall { case Pred.In(_, vs) => vs.nonEmpty; case _ => true }) {
+      val pruned = key(TxLog.snapshotWhere(spark, t, preds))
+      val plain = key(preds.foldLeft(full)((d, p) => d.where(exact(p))))
+      assert(pruned == plain,
+        s"snapshotWhere diverged for $preds: ${pruned.size} vs ${plain.size}")
+    }
+  }
 }
