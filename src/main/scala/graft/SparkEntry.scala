@@ -99,6 +99,7 @@ object SparkEntry {
         k != "txlog_restore" && // builds a table per call: IO class
         k != "txlog_multi_prune" && // builds a table per call: IO class
         k != "txlog_expectations" && // builds a table per call: IO class
+        k != "txlog_incremental_curation" && // builds tables per call: IO class
         // same results as ngram_jaccard via the hot-key-free candidate
         // path; its freq-agg + prefix overhead only pays off on corpora
         // with skewed shingle frequencies — redundant as a throughput
@@ -1371,6 +1372,34 @@ object SparkEntry {
       Engine.canonical(graft.ingest.TxLog.snapshot(s, s"$base/table")
         .select("doc_id", "lang", "source", "n_chars", "rev"))
     }),
+    // incremental curation (round 14 capstone composition): a curated
+    // TxLog table is materialized from the bronze table at a mark, the
+    // bronze moves on (append + retention delete + text patch), and
+    // curatedIncrement applies the NET change feed — re-scoring only
+    // changed docs, upserting the passers and MERGE-deleting departed
+    // or fallen keys; the maintained table must equal the oracle's
+    // from-scratch recompute over the final bronze state
+    "txlog_incremental_curation" -> prep((s, d) => {
+      val base = tmpDir("graft_txcur")
+      val bronze = s"$base/bronze"; val cur = s"$base/curated"
+      val docsDf = docs(s, d).select("doc_id", "text", "lang", "source")
+      graft.ingest.TxLog.write(docsDf.where(col("doc_id") < 350)
+        .repartitionByRange(4, col("doc_id")), bronze, "overwrite")
+      graft.ingest.TxLog.write(
+        TextAnalysis.withQuality(graft.ingest.TxLog.snapshot(s, bronze))
+          .where(col("quality") >= 0.675)
+          .select("doc_id", "lang", "quality")
+          .repartitionByRange(4, col("doc_id")), cur, "overwrite")
+      val mark = graft.ingest.TxLog.latestVersion(bronze).get
+      graft.ingest.TxLog.write(docsDf.where(col("doc_id") >= 350)
+        .repartitionByRange(2, col("doc_id")), bronze, "append")
+      graft.ingest.TxLog.deleteRange(s, bronze, "doc_id", Some(50L), Some(99L))
+      graft.ingest.TxLog.update(s, bronze, col("source") === "src3",
+        Map("text" -> concat(col("text"), lit(" zz"))))
+      graft.ext.Curation.curatedIncrement(s, bronze, cur, mark, 0.675)
+      Engine.canonical(graft.ingest.TxLog.snapshot(s, cur)
+        .select("doc_id", "lang", "quality"))
+    }),
     // RESTORE (round 14): a good v0, a bad append and a bad patch land
     // on top, one metadata-only restore commit rolls the table back —
     // the snapshot must equal v0's content exactly (the twin is the
@@ -2172,6 +2201,7 @@ object SparkEntry {
     // same verdict contract as the batch writeExpect — stream chopping
     // must be invisible in the split
     "stream_txlog_expect" -> ExtOracle.txlogExpectations,
+    "txlog_incremental_curation" -> ExtOracle.txlogIncrementalCuration,
     "stream_txlog_ingest" -> ExtOracle.streamTxlogIngest,
     "txlog_stats_prune" -> ExtOracle.zorderScan, // same predicate+rollup, stats-pruned file list
     "txlog_rowops" -> ExtOracle.txlogRowOps,

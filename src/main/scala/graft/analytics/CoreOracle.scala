@@ -696,6 +696,32 @@ SELECT 'quarantine' AS arm, CAST(NULL AS BIGINT) AS doc_id,
 FROM documents WHERE doc_id % 7 = 0
 ${ord("arm", "doc_id")}""".trim
 
+  /** Twin of `txlog_incremental_curation`: a from-scratch recompute
+    * over the FINAL bronze state — every doc except the retention
+    * window, src3 texts patched with ' zz' — through the quality
+    * formula, kept at >= 0.675. The engine side maintained its curated
+    * table INCREMENTALLY from the net change feed (re-score + upsert +
+    * MERGE-delete); equality proves the increment exact. */
+  val txlogIncrementalCuration: String = s"""
+WITH base AS (
+  SELECT doc_id, lang,
+    CASE WHEN source = 'src3' THEN text || ' zz' ELSE text END AS text
+  FROM documents WHERE NOT (doc_id BETWEEN 50 AND 99)),
+t AS (
+  SELECT doc_id, lang,
+    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+    CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) AS n_uniq,
+    CAST(length(text) AS DOUBLE) AS n_chars
+  FROM base),
+q AS (
+  SELECT doc_id, lang,
+    round((n_uniq / n_tok) * 0.5 + least(n_tok / 64.0, 1.0) * 0.3
+      + (CASE WHEN ((n_chars - (n_tok - 1)) / n_tok) BETWEEN 3.0 AND 9.0
+              THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+  FROM t)
+SELECT doc_id, lang, quality FROM q WHERE quality >= 0.675
+${ord("doc_id")}""".trim
+
   /** Twin of `txlog_multi_prune`: the three-predicate conjunctive
     * lookup (user range AND time range AND type IN-set) straight off
     * the source table — the z-ordered TxLog copy with multi-column

@@ -108,6 +108,41 @@ object Curation {
         "repetition", "split")
   }
 
+  /** Incrementally maintained curated table — the change feed driving
+    * curation, the composition the CDF + MERGE machinery exists for at
+    * 100 TB: given a bronze TxLog table and a curated TxLog table
+    * materialized as of `fromV`, apply the NET changes since then —
+    * new/changed docs re-score (quality is a per-row projection, so
+    * re-scoring costs O(changed), never the corpus) and upsert when
+    * they clear the bar; keys that departed the bronze table OR fell
+    * below the bar on re-score are MERGE-deleted. The maintained table
+    * must equal a from-scratch recompute over the final bronze state
+    * (the gate entry's oracle recomputes exactly that). Work ∝
+    * |changes|: one bounded net-feed read feeds both arms. */
+  def curatedIncrement(spark: org.apache.spark.sql.SparkSession,
+      bronze: String, curated: String, fromV: Long,
+      minQuality: Double): Long = {
+    import graft.ingest.TxLog
+    val net = TxLog.netChanges(spark, bronze, fromV)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ins = net.where(col("_change_type") === "insert")
+        .drop("_change_type")
+      val del = net.where(col("_change_type") === "delete")
+        .drop("_change_type")
+      val scored = TextAnalysis.withQuality(ins)
+        .select(col("doc_id"), col("lang"), col("quality"))
+      val gone = del.select("doc_id")
+        .join(ins.select("doc_id"), Seq("doc_id"), "left_anti")
+        .unionByName(scored.where(col("quality") < minQuality)
+          .select("doc_id"))
+        .distinct()
+      TxLog.deleteKeys(spark, curated, Seq("doc_id"), gone)
+      TxLog.upsert(spark, curated,
+        scored.where(col("quality") >= minQuality), Seq("doc_id"))
+    } finally { net.unpersist(); () }
+  }
+
   /** Curation funnel report — per-stage survivor counts, the yield
     * observability every production pipeline publishes (how many docs
     * each tier removed, so a mis-tuned threshold shows up as a cliff

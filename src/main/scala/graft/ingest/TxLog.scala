@@ -1093,6 +1093,40 @@ object TxLog {
     pruneFiles(table, k, Some(mm.get(0)), Some(mm.get(1)))._1
   }
 
+  /** Key-set DELETE (`MERGE ... WHEN MATCHED THEN DELETE`): remove
+    * every table row whose `keys` match a row of `keysDf`, as one
+    * atomic COW rewrite. NULL keys never match (SQL join semantics).
+    * Discovery rides the same stats-bounded search space as upsert
+    * (single-column keys prune by the key set's min/max), then one
+    * semi-join finds the hit files and an anti-join rewrites them
+    * without the matched rows — work ∝ matching files + the (usually
+    * tiny) key set, never the table. The MERGE arm `upsert` lacks:
+    * together they maintain an incrementally-updated derived table
+    * from a change feed (departed keys deleted, changed keys
+    * upserted — see Curation.curatedIncrement). */
+  def deleteKeys(spark: SparkSession, table: String, keys: Seq[String],
+      keysDf: DataFrame, batchId: Long = -1L): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    require(keys.nonEmpty, "deleteKeys needs at least one key column")
+    require(!isStreamSource(table),
+      s"$table serves as a streaming source (append-only): row-level " +
+        s"delete is not allowed")
+    if (batchId >= 0 && isBatchCommitted(table, batchId)) return -1L
+    val srcKeys = keysDf.select(keys.map(col): _*).distinct()
+    val live = mergeSearchSpace(spark, table, srcKeys, keys)
+    if (live.isEmpty) return latestVersion(table).getOrElse(-1L)
+    val hit = readFiles(spark, table, live)
+      .select(keys.map(col) :+ input_file_name().as("_src"): _*)
+      .join(srcKeys, keys, "left_semi")
+      .select("_src").distinct()
+      .collect().map(r => baseName(r.getString(0))).toSeq.sorted
+    if (hit.isEmpty) return latestVersion(table).getOrElse(-1L)
+    val out = readFiles(spark, table, hit).join(srcKeys, keys, "left_anti")
+    val (adds, stats) = stageWithStats(out, table)
+    writeCommit(table, "rewrite", batchId, adds, currentSchema(table), stats,
+      hit)
+  }
+
   def upsert(spark: SparkSession, table: String, source: DataFrame,
       keys: Seq[String], batchId: Long = -1L): Long = {
     import org.apache.spark.sql.functions.{col, input_file_name}

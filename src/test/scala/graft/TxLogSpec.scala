@@ -726,6 +726,23 @@ class TxLogSpec extends SparkSpec {
     assert(ids(TxLog.snapshot(spark, t)) == before)
   }
 
+  test("deleteKeys: MERGE-delete by key set — matched rows go, NULL keys never match") {
+    val t = tmp("txlog_delkeys")
+    TxLog.write(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "s").repartitionByRange(2, col("id")), t, "overwrite")
+    val keys = Seq(Some(2L), Some(4L), None: Option[Long], Some(99L))
+      .toDF("id")
+    val v = TxLog.deleteKeys(spark, t, Seq("id"), keys)
+    assert(v == 1L)
+    assert(ids(TxLog.snapshot(spark, t)) == Seq(1L, 3L))
+    // no-hit key set: no commit lands
+    assert(TxLog.deleteKeys(spark, t, Seq("id"),
+      Seq(77L).toDF("id")) == 1L)
+    assert(TxLog.latestVersion(t).contains(1L))
+    // time travel still sees the pre-delete rows
+    assert(ids(TxLog.snapshot(spark, t, Some(0L))) == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("history: one row per commit, modes and file counts exact") {
     val t = tmp("txlog_history")
     TxLog.write(Seq(1L, 2L).toDF("id").coalesce(2), t, "overwrite")
