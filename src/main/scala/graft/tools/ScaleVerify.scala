@@ -59,7 +59,7 @@ object ScaleVerify {
     // streaming source (snapshot-then-tail consumption over tables
     // whose file sets DIFFER between the layouts)
     "txlog_expectations", "stream_txlog_source", "stream_txlog_multihop",
-    "stream_txlog_expect", "json_robust_scan")
+    "stream_txlog_expect", "json_robust_scan", "txlog_incremental_curation")
 
   def main(args: Array[String]): Unit = {
     val d = "/root/testdata/sf0.1"
