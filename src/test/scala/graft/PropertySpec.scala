@@ -296,6 +296,74 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("upsertOrdered converges to max-rev-per-key for ANY batch split and order") {
+    import spark.implicits._
+    import graft.ingest.TxLog
+    // a random multiset of (key, rev, payload) revisions…
+    val rowGen = Gen.zip(Gen.chooseNum(0L, 7L), Gen.chooseNum(0L, 5L))
+      .map { case (k, r) => (k, r, s"p$k-$r") }
+    for ((rows, runIdx) <- samples(Gen.listOfN(24, rowGen), 4).zipWithIndex) {
+      // …applied in a random number of batches in a random order must
+      // leave exactly the highest-rev row per key (ties: the sequence
+      // guard's content-hash tiebreak — here payload is a function of
+      // (key, rev), so ties are literal duplicates and any winner is
+      // the same row)
+      val nBatches = 1 + runIdx % 3
+      val batches = rows.zipWithIndex.groupBy(_._2 % nBatches)
+        .toSeq.sortBy(-_._1).map(_._2.map(_._1)) // reversed batch order
+      val t = java.nio.file.Files.createTempDirectory(s"txprop$runIdx").toString
+      batches.foreach { b =>
+        TxLog.upsertOrdered(spark, t,
+          b.toDF("k", "rev", "p"), Seq("k"), "rev")
+      }
+      val got = TxLog.snapshot(spark, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sortBy(_._1).toSeq
+      val want = rows.groupBy(_._1).toSeq.map { case (_, rs) =>
+        rs.maxBy(r => (r._2, r._3)) }.sortBy(_._1)
+      assert(got == want, s"run $runIdx: $got vs $want (batches=$batches)")
+    }
+  }
+
+  test("zOrderedN preserves content exactly for any dimension subset") {
+    import spark.implicits._
+    val df = (0L until 500L).map(i => (i, i % 37, i % 11, s"x$i"))
+      .toDF("a", "b", "c", "s")
+    for (dims <- Seq(Seq("a"), Seq("a", "b"), Seq("b", "c", "a"))) {
+      val z = graft.ingest.Layout.zOrderedN(df, dims, files = 8)
+      assert(z.columns.toSeq == df.columns.toSeq, s"dims=$dims: schema")
+      assert(z.exceptAll(df).isEmpty && df.exceptAll(z).isEmpty,
+        s"dims=$dims: clustering must be content-neutral")
+    }
+  }
+
+  test("avro round trip survives extreme values (Long bounds, NaN, ±Inf, unicode)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("x", DoubleType, nullable = true),
+      StructField("s", StringType, nullable = true)))
+    val rows = Seq(
+      Row(Long.MinValue, Double.NaN, " nul byte"),
+      Row(Long.MaxValue, Double.PositiveInfinity, "emoji 😀"),
+      Row(0L, Double.NegativeInfinity, ""),
+      Row(-1L, java.lang.Double.MIN_VALUE, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val dir = java.nio.file.Files.createTempDirectory("avro_extreme").toString
+    graft.ingest.Avro.writeAvro(df, s"$dir/t")
+    val back = graft.ingest.Avro.readAvro(spark, s"$dir/t", schema)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) "null" else String.valueOf(r.getDouble(1)),
+        if (r.isNullAt(2)) null else r.getString(2)))
+      .sortBy(_._1).toSeq
+    val want = rows.map(r => (r.getLong(0),
+      if (r.isNullAt(1)) "null" else String.valueOf(r.getDouble(1)),
+      r.getString(2))).sortBy(_._1)
+    assert(back == want, back.toString)
+  }
+
   test("snapshotWhere ≡ plain filter for random predicate conjunctions (nulls included)") {
     import spark.implicits._
     import graft.ingest.TxLog
