@@ -427,6 +427,41 @@ object ScaleProbe {
             TxLog.liveFiles(ldir).size.toLong
           }
         }
+        // incremental curation (round 14 capstone): a fixed-size text
+        // patch against a bronze table growing 64× — the maintained
+        // curated table's increment (net feed → re-score → upsert +
+        // MERGE-delete) must stay ~flat: every stage is bounded by the
+        // change set, not the table
+        locally {
+          val bdir = s"$out/txlogcur_b_$n"; val cdir = s"$out/txlogcur_c_$n"
+          def rm(p: String): Unit = {
+            val root = java.nio.file.Paths.get(p)
+            if (java.nio.file.Files.isDirectory(root)) {
+              val w = java.nio.file.Files.walk(root)
+              val all = try w.toArray.map(_.asInstanceOf[java.nio.file.Path])
+                finally w.close()
+              all.sortBy(-_.getNameCount)
+                .foreach(java.nio.file.Files.deleteIfExists(_)); ()
+            }
+          }
+          rm(bdir); rm(cdir)
+          TxLog.write(docs.select("doc_id", "text", "lang", "source")
+            .repartitionByRange(16, col("doc_id")), bdir, "overwrite")
+          TxLog.write(
+            TextAnalysis.withQuality(TxLog.snapshot(spark, bdir))
+              .where(col("quality") >= 0.675)
+              .select("doc_id", "lang", "quality")
+              .repartitionByRange(16, col("doc_id")), cdir, "overwrite")
+          var ci = 0L
+          t("txlogCuratedIncrement", n) {
+            ci += 1
+            val mark = TxLog.latestVersion(bdir).get
+            TxLog.update(spark, bdir,
+              col("doc_id").between(200L * ci, 200L * ci + 49L),
+              Map("text" -> concat(col("text"), lit(" zz"))))
+            graft.ext.Curation.curatedIncrement(spark, bdir, cdir, mark, 0.675)
+          }
+        }
         // streaming-source publish (round 14): a fixed-slice append to
         // a PUBLISHED table pays the normal commit + one hardlink per
         // new file + the watermark-tail replay — must stay ~flat as
