@@ -899,6 +899,32 @@ class TxLogSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, s"$base/q").count() == 1L)
   }
 
+  test("streaming source: an evolve append widens the schema on the next start") {
+    val base = tmp("txlog_srcevolve")
+    val t = s"$base/table"
+    TxLog.write(Seq((1L, "a")).toDF("id", "s"), t, "overwrite")
+    def drain(tag: String): Unit = {
+      val q = TxLog.streamSource(spark, t).writeStream
+        .format("parquet").option("path", s"$base/out$tag")
+        .option("checkpointLocation", s"$base/ckpt$tag")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain("1")
+    assert(spark.read.parquet(s"$base/out1").columns.toSeq == Seq("id", "s"))
+    TxLog.write(Seq((2L, "b", 7L)).toDF("id", "s", "extra"), t, "append",
+      evolve = true)
+    // a NEW consumer start sees the widened schema; the pre-evolution
+    // file's rows null-fill the added column
+    drain("2")
+    val got = spark.read.parquet(s"$base/out2")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(got == Seq((1L, "a", None), (2L, "b", Some(7L))), got.toString)
+  }
+
   test("streaming source: snapshot-then-tail, exactly once, append-only enforced") {
     val base = tmp("txlog_source")
     val t = s"$base/table"
