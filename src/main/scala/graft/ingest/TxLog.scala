@@ -181,18 +181,10 @@ object TxLog {
     // file-source consumer cannot un-see rows, so the shapes that
     // change the live set are refused BEFORE the commit ever lands
     // (Delta's source errors on the same shapes without ignoreChanges)
-    if (isStreamSource(table)) {
+    if (isStreamSource(table))
       require(mode != "rewrite",
         s"$table serves as a streaming source (append-only): row-level " +
           s"delete/update/upsert are not allowed")
-      if (mode == "overwrite") {
-        val live = liveFiles(table).toSet
-        require(live.isEmpty || adds.toSet == live,
-          s"$table serves as a streaming source (append-only): only " +
-            s"metadata-only overwrites (checkpointLog / restore to the " +
-            s"current state) are allowed")
-      }
-    }
     val statLines = stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
       cols.toSeq.sortBy(_._1).collect {
         case (c, cs) if !c.contains('|') =>
@@ -211,6 +203,22 @@ object TxLog {
       // here and backs off instead of double-landing the batch
       if (batchId >= 0 && isBatchCommitted(table, batchId))
         return -1L
+      // stream-source overwrite guard INSIDE the retry loop: the live
+      // set is re-read on every claim attempt, so an append landing
+      // while we retried is seen and the stale checkpointLog-style
+      // overwrite is refused — landing it anyway would drop the
+      // concurrent append from the live set and permanently break
+      // publishAppends. (A commit racing between this read and our
+      // createLink still wins the version; the NEXT publish/overwrite
+      // attempt then fails loudly rather than corrupting — same
+      // residual posture as the rewrite conflict check below.)
+      if (isStreamSource(table) && mode == "overwrite") {
+        val live = liveFiles(table).toSet
+        require(live.isEmpty || adds.toSet == live,
+          s"$table serves as a streaming source (append-only): only " +
+            s"metadata-only overwrites (checkpointLog / restore to the " +
+            s"current state) are allowed")
+      }
       if (removes.nonEmpty) {
         val live = liveFiles(table).toSet
         val gone = removes.filterNot(live)
@@ -622,8 +630,15 @@ object TxLog {
     * the clean table carries a machine-checked invariant. The tagged
     * frame is persisted so the two filtered writes share one upstream
     * evaluation instead of re-running the source twice. Exactly-once:
-    * `batchId` rides BOTH commits (each table keeps its own ledger).
-    * Returns (tableVersion, quarantineVersion). */
+    * `batchId` rides BOTH commits (each table keeps its own ledger),
+    * so a replayed batch that failed BETWEEN the two commits re-skips
+    * the table commit and lands only the missing quarantine one — the
+    * pair converges. That guarantee needs `batchId >= 0`: in plain
+    * batch use (the default -1) there is NO cross-table atomicity — a
+    * failure between the two commits leaves the pair half-applied and
+    * a naive rerun duplicates the main rows; batch callers who need
+    * the pair atomic must supply their own non-negative id per logical
+    * batch. Returns (tableVersion, quarantineVersion). */
   def writeExpect(df: DataFrame, table: String, quarantine: String,
       expectations: Map[String, String], mode: String = "append",
       batchId: Long = -1L): (Long, Long) = {
@@ -1811,9 +1826,21 @@ object TxLog {
     var linked = 0
     val wm = pubWatermark(table)
     if (wm < 0) {
-      liveFiles(table).foreach(f => if (publishLink(table, f)) linked += 1)
-      latestVersion(table).foreach(setPubWatermark(table, _))
-      return linked
+      // pin the VERSION first, then publish the live set AS OF that
+      // version: listing live files and reading latestVersion as two
+      // independent reads would let a commit landing in between be
+      // covered by the watermark with its files never published —
+      // rows silently missing from the stream. With the pinned
+      // version, any commit racing past it replays through the tail
+      // path on the next call.
+      latestVersion(table) match {
+        case None => return 0 // empty table: no watermark yet
+        case Some(v) =>
+          liveFiles(table, Some(v))
+            .foreach(f => if (publishLink(table, f)) linked += 1)
+          setPubWatermark(table, v)
+          return linked
+      }
     }
     var last = wm
     commitsFrom(table, wm + 1).foreach { c =>

@@ -51,6 +51,51 @@ class AvroSpec extends SparkSpec {
     assert(Avro.readAvro(spark, s"$dir/t", schema).count() == 0L)
   }
 
+  test("a non-fresh output directory is refused, never silently merged") {
+    val dir = tmp("avro_fresh")
+    val df = Seq((1L, Integer.valueOf(1), java.lang.Double.valueOf(0.0),
+      java.lang.Boolean.TRUE, "a")).map(t => Row(t._1, t._2, t._3, t._4, t._5))
+    val d1 = spark.createDataFrame(spark.sparkContext.parallelize(df, 1), schema)
+    assert(Avro.writeAvro(d1, s"$dir/t") == 1L)
+    // a second run (fewer/more partitions) must FAIL, not leave a mix
+    // of old and new containers for readAvro to silently union
+    intercept[IllegalArgumentException] { Avro.writeAvro(d1, s"$dir/t") }
+    assert(Avro.readAvro(spark, s"$dir/t", schema).count() == 1L)
+    // no .inprogress temp survives a committed write
+    assert(!new java.io.File(s"$dir/t").listFiles()
+      .exists(_.getName.contains("inprogress")))
+  }
+
+  test("numeric narrowing is bounds-checked, absent fields refuse to null-fill") {
+    val dir = tmp("avro_narrow")
+    val wide = StructType(Seq(StructField("id", LongType, nullable = false)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(Row(java.lang.Long.MAX_VALUE - 1)), 1), wide)
+    assert(Avro.writeAvro(df, s"$dir/t") == 1L)
+    // long → int overflow throws instead of truncating
+    val asInt = StructType(Seq(StructField("id", IntegerType, nullable = false)))
+    val e = intercept[org.apache.spark.SparkException] {
+      Avro.readAvro(spark, s"$dir/t", asInt).collect()
+    }
+    assert(e.getMessage.contains("ArithmeticException") ||
+      Option(e.getCause).exists(_.toString.contains("Arithmetic")) ||
+      e.toString.contains("overflow"))
+    // long → double beyond 2^53 throws instead of rounding
+    val asDouble = StructType(Seq(StructField("id", DoubleType, nullable = false)))
+    intercept[org.apache.spark.SparkException] {
+      Avro.readAvro(spark, s"$dir/t", asDouble).collect()
+    }
+    // a field the writer never had throws instead of reading all-NULL
+    val typo = StructType(Seq(StructField("idd", LongType, nullable = true)))
+    intercept[org.apache.spark.SparkException] {
+      Avro.readAvro(spark, s"$dir/t", typo).collect()
+    }
+    // the honest read still works
+    assert(Avro.readAvro(spark, s"$dir/t", wide).collect()
+      .map(_.getLong(0)).toSeq == Seq(java.lang.Long.MAX_VALUE - 1))
+  }
+
   test("types outside the scope are rejected loudly, not corrupted") {
     val dir = tmp("avro_bad")
     val ts = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
