@@ -101,6 +101,51 @@ object Bench {
     }.sortBy { case (_, (w, pw, c, pc)) => -math.max(c / pc, w / pw) }
   }
 
+  /** Confirmation validity (round-15, closing the r14 "what's wrong"
+    * #1): the end-of-suite confirmation resamples are only evidence if
+    * the host was as quiet DURING them as during the pre-suite cal —
+    * in the r14 driver rerun the box loaded up late (end load 18.5)
+    * and the confirmation samples absorbed it, false-confirming 24
+    * flags a quiet rerun reduced to 3. Both bracketing confirmation
+    * cal probes must sit within 10% of the pre-suite cal; otherwise
+    * every confirmation-gated warn is demoted to `perf_warn_
+    * unconfirmed` (advisory, never a tripwire verdict). */
+  private[graft] def confirmationValid(calPre: Double, calConfPre: Double,
+      calConfPost: Double): Boolean =
+    calPre > 0 && calConfPre > 0 && calConfPost > 0 &&
+      math.abs(calConfPre / calPre - 1.0) <= 0.10 &&
+      math.abs(calConfPost / calPre - 1.0) <= 0.10
+
+  /** Split tripwire warns into (confirmed, unconfirmed): warns stay
+    * confirmed when no confirmation pass ran (no candidates — the
+    * final perfWarn can then only re-derive the same empty/quiet set)
+    * or when the confirmation ran under a verified-stable cal; a cal
+    * drifting >10% during confirmation demotes ALL of them. */
+  private[graft] def splitConfirmed[A](ws: Seq[A], calPre: Double,
+      conf: Option[(Double, Double)]): (Seq[A], Seq[A]) = conf match {
+    case Some((a, b)) if !confirmationValid(calPre, a, b) =>
+      (Seq.empty, ws)
+    case _ => (ws, Seq.empty)
+  }
+
+  /** One throwaway ImageIO decode per codec family (PNG/JPEG/GIF) —
+    * plugin scanning + native codec init otherwise lands inside the
+    * first timed `multimodal_decode_imageio` sample (the r14 floor
+    * band drifted 0.245 → 0.43-0.49 s on git-identical code from
+    * exactly this registry/run-state cost). */
+  private[graft] def warmImageIO(): Unit =
+    try {
+      javax.imageio.ImageIO.scanForPlugins()
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      Seq("png", "jpg", "gif").foreach { fmt =>
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, fmt, bos)
+        javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bos.toByteArray))
+      }
+    } catch { case _: Exception => () } // warm-up only: never fatal
+
   /** [1m, 5m, 15m] host load averages (Linux); empty elsewhere. */
   private def loadAvg(): Seq[Double] =
     try scala.io.Source.fromFile("/proc/loadavg").mkString
@@ -173,6 +218,7 @@ object Bench {
     // sorted output pass over the cached tables.
     spark.range(1000).groupBy((org.apache.spark.sql.functions.col("id") % 7)
       .as("k")).count().count()
+    warmImageIO()
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       SparkEntry.benchQueries.foreach { case (_, fn) =>
@@ -216,26 +262,39 @@ object Bench {
     // regression persists (dsir_select's 3.4× was rock-steady across
     // passes); run-state noise evaporates. Only flagged entries pay
     // the rerun, so a quiet suite costs nothing extra.
+    // Confirmation cal bracket (round-15): cal probes immediately
+    // before/after the resamples tell whether the host stayed as quiet
+    // as the pre-suite cal measured — without it the confirmation can
+    // FALSE-CONFIRM under late-suite external load (the r14 driver
+    // rerun's 24-flag set vs 3 on a quiet box). None = no candidates,
+    // so no confirmation ran.
+    var confCal: Option[(Double, Double)] = None
     val resampled = prevDetail
       .filter(_.contains("\"sf\":\"" + sfDir + "\""))
       .map { pj =>
         val firstBest = results.map { case (k, v) =>
           k -> { val b = v.minBy(_._1); (b._1, b._2) } }.toMap
         val candidates = perfWarn(pj, calPre, firstBest).map(_._1).toSet
-        results.map { case (name, samples) =>
-          if (!candidates(name)) name -> samples
-          else name -> (samples ++ (1 to 2).map { _ =>
-            val g0 = JvmStamp.gcMillis()
-            val c0 = processCpuNs()
-            val t0 = System.nanoTime()
-            try {
-              SparkEntry.benchQueries.find(_._1 == name)
-                .foreach(_._2(spark, sfDir).count())
-            } catch { case _: Throwable => () }
-            val wall = (System.nanoTime() - t0) / 1e9
-            val cpu = if (c0 < 0) -1.0 else (processCpuNs() - c0) / 1e9
-            (wall, cpu, JvmStamp.gcMillis() - g0)
-          })
+        if (candidates.isEmpty) results
+        else {
+          val cPre = JvmStamp.calibrate()
+          val out = results.map { case (name, samples) =>
+            if (!candidates(name)) name -> samples
+            else name -> (samples ++ (1 to 2).map { _ =>
+              val g0 = JvmStamp.gcMillis()
+              val c0 = processCpuNs()
+              val t0 = System.nanoTime()
+              try {
+                SparkEntry.benchQueries.find(_._1 == name)
+                  .foreach(_._2(spark, sfDir).count())
+              } catch { case _: Throwable => () }
+              val wall = (System.nanoTime() - t0) / 1e9
+              val cpu = if (c0 < 0) -1.0 else (processCpuNs() - c0) / 1e9
+              (wall, cpu, JvmStamp.gcMillis() - g0)
+            })
+          }
+          confCal = Some((cPre, JvmStamp.calibrate()))
+          out
         }
       }.getOrElse(results)
     val jvmEnd = JvmStamp.json()
@@ -264,19 +323,26 @@ object Bench {
     // previous committed artifact (empty block = quiet rerun). Only
     // comparable at the same scale factor — a dev run at sf0.01 must
     // not diff against the committed sf0.1 artifact.
-    val warns = prevDetail
+    val rawWarns = prevDetail
       .filter(_.contains("\"sf\":\"" + sfDir + "\""))
       .map(pj => perfWarn(pj,
         (calPre + calPost) / 2.0,
         best.map { case (k, (w, c, _)) => k -> (w, c) }.toMap))
       .getOrElse(Seq.empty)
+    // a cal that drifted >10% during the confirmation pass voids it:
+    // those flags are load evidence, not regression evidence
+    val (warns, unconfirmed) = splitConfirmed(rawWarns, calPre, confCal)
     def warnJson(ws: Seq[(String, (Double, Double, Double, Double))]) =
       ws.map { case (k, (w, pw, c, pc)) =>
         "\"" + k + s"""\":{"wall":${r4(w)},"prev_wall":${r4(pw)},"cpu":${r4(c)},"prev_cpu":${r4(pc)}}"""
       }.mkString("{", ",", "}")
+    val confJson = confCal.map { case (a, b) =>
+      s""""cal_confirm":{"pre":${r4(a)},"post":${r4(b)}},"""
+    }.getOrElse("")
     val full = s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
       s""""cpu_total":${r4(totalCpu)},$loadJson,$jvmJson,"sf":"$sfDir",""" +
-      s""""perf_warn":${warnJson(warns)},""" +
+      s"""$confJson"perf_warn":${warnJson(warns)},""" +
+      s""""perf_warn_unconfirmed":${warnJson(unconfirmed)},""" +
       s""""queries":$qs,"cpu":$cpu,"gc_ms":$gc,"samples":$raw}"""
     // 1. Durable copy: the full artifact as a file in the working tree
     // (stdout-capture truncation can't touch it).

@@ -52,6 +52,9 @@ object BenchOne {
     val prevW = prevDetail.map(Bench.numMap(_, "queries")).getOrElse(Map.empty)
     val prevC = prevDetail.map(Bench.numMap(_, "cpu")).getOrElse(Map.empty)
     val prevCal = prevDetail.flatMap(Bench.calAvg)
+    // registry/native-codec init must not land inside the "cold" pass
+    // of an ImageIO entry (the r14 0.245→0.43s floor-band drift)
+    Bench.warmImageIO()
     args.foreach { name =>
       val samples = (1 to passes).map { pass =>
         val g0 = JvmStamp.gcMillis(); val j0 = JvmStamp.jitMillis()

@@ -84,4 +84,40 @@ class BenchTripwireSpec extends AnyFunSuite {
     // q_heavy cpu ratio ~5.7x > q_wide ~3.25x
     assert(w.map(_._1) === Seq("q_heavy", "q_wide"))
   }
+
+  // Round-15: the confirmation pass is only evidence when the host was
+  // as quiet DURING it as the pre-suite cal measured — the r14 driver
+  // rerun's end-of-suite load (18.5) inflated the confirmation samples
+  // themselves, false-confirming 24 flags a quiet run reduced to 3.
+
+  test("cal-stable confirmation keeps warns confirmed") {
+    assert(Bench.confirmationValid(1.70, 1.72, 1.68))
+    val cur = Map("q_heavy" -> (1.46, 10.8))
+    val ws = Bench.perfWarn(prev, 1.72, cur)
+    val (confirmed, unconf) =
+      Bench.splitConfirmed(ws, 1.70, Some((1.72, 1.68)))
+    assert(confirmed.map(_._1) === Seq("q_heavy") && unconf.isEmpty)
+  }
+
+  test("inflated confirmation under cal drift stays silent (demoted)") {
+    // simulated load spike during confirmation: cal 1.70 → 2.10 (+24%)
+    assert(!Bench.confirmationValid(1.70, 2.10, 2.05))
+    assert(!Bench.confirmationValid(1.70, 1.71, 2.10)) // late spike
+    val cur = Map("q_heavy" -> (1.46, 10.8)) // would fire on its own
+    val ws = Bench.perfWarn(prev, 1.72, cur)
+    assert(ws.nonEmpty)
+    val (confirmed, unconf) =
+      Bench.splitConfirmed(ws, 1.70, Some((2.10, 2.05)))
+    assert(confirmed.isEmpty, "load-contaminated confirmation must not warn")
+    assert(unconf.map(_._1) === Seq("q_heavy"), "…but stays on record")
+  }
+
+  test("planted real regression on a quiet host still fires through the gate") {
+    val cur = Map("q_heavy" -> (1.46, 10.8))
+    val ws = Bench.perfWarn(prev, 1.72, cur)
+    // no confirmation ran (None) → warns pass through untouched
+    assert(Bench.splitConfirmed(ws, 1.70, None)._1.map(_._1) === Seq("q_heavy"))
+    // confirmation ran, cal within 10% → still fires
+    assert(Bench.splitConfirmed(ws, 1.70, Some((1.75, 1.66)))._1.nonEmpty)
+  }
 }
