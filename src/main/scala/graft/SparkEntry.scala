@@ -100,6 +100,8 @@ object SparkEntry {
         k != "txlog_multi_prune" && // builds a table per call: IO class
         k != "txlog_expectations" && // builds a table per call: IO class
         k != "txlog_incremental_curation" && // builds tables per call: IO class
+        k != "txlog_dv" && // builds a table per call: IO class
+        k != "medallion_pin_q1" && // full streaming medallion per call: IO class
         // same results as ngram_jaccard via the hot-key-free candidate
         // path; its freq-agg + prefix overhead only pays off on corpora
         // with skewed shingle frequencies — redundant as a throughput
@@ -1598,6 +1600,31 @@ object SparkEntry {
       Engine.canonical(graft.ingest.TxLog.snapshot(s, t)
         .select("doc_id", "lang", "source", "n_chars"))
     }),
+    // the SAME delete→update→upsert sequence through MERGE-ON-READ
+    // deletion vectors: no data file is rewritten by the deletes/
+    // update masks (write cost ∝ matched rows, never file bytes — the
+    // 100 TB CDC-rate shape), reads apply the masks at scan time, and
+    // the final state must be bit-identical to the COW path's — it
+    // shares txlog_rowops' set-algebra oracle. TxLogDvSpec pins the
+    // no-rewrite property, CDF interaction, conflict detection, and
+    // OPTIMIZE materialization.
+    "txlog_dv" -> prep((s, d) => {
+      val t = tmpDir("graft_txdv")
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+      graft.ingest.TxLog.write(
+        docs.repartitionByRange(8, col("doc_id")), t, "overwrite")
+      graft.ingest.TxLog.deleteVectored(s, t,
+        col("doc_id") >= 100L && col("doc_id") <= 199L)
+      graft.ingest.TxLog.deleteVectored(s, t, col("lang") === "de")
+      graft.ingest.TxLog.updateVectored(s, t, col("source") === "src1",
+        Map("source" -> lit("src1-clean")))
+      graft.ingest.TxLog.upsertVectored(s, t,
+        docs.where(col("doc_id") % 50 === 0).withColumn("n_chars", lit(-1L)),
+        Seq("doc_id"))
+      Engine.canonical(graft.ingest.TxLog.snapshot(s, t)
+        .select("doc_id", "lang", "source", "n_chars"))
+    }),
     // the robust codec tier as a live stream: stateless narrow decode
     // map, malformed payloads quarantined as ok=false rows in-line
     // (shares the batch twin — stream == batch doc-for-doc)
@@ -2205,6 +2232,10 @@ object SparkEntry {
     "stream_txlog_ingest" -> ExtOracle.streamTxlogIngest,
     "txlog_stats_prune" -> ExtOracle.zorderScan, // same predicate+rollup, stats-pruned file list
     "txlog_rowops" -> ExtOracle.txlogRowOps,
+    // identical sequence through deletion vectors — the merge-on-read
+    // machinery (masks, dv commits, scan-time anti-join) must be
+    // invisible in the data, so it shares the COW path's oracle
+    "txlog_dv" -> ExtOracle.txlogRowOps,
     "stream_txlog_upsert" -> ExtOracle.streamTxlogUpsert,
     "txlog_changes" -> ExtOracle.txlogChanges,
     "txlog_schema_evolve" -> ExtOracle.txlogSchemaEvolve,

@@ -19,10 +19,13 @@ import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
   * one `stat=` line per file×column); data files live flat in
   * `<table>/` under UUID-unique names. A snapshot at version V
   * replays commits 0..V in order — `overwrite` resets the live set,
-  * `append` extends it, `rewrite` (row-level delete/update/upsert)
-  * swaps removed files for their rewritten replacements. No mode
-  * deletes bytes, so every historical version stays readable until
-  * `vacuum`.
+  * `append` extends it, `rewrite` (copy-on-write row-level
+  * delete/update/upsert) swaps removed files for their rewritten
+  * replacements, and `dv` (merge-on-read row ops — Delta's deletion
+  * vectors) leaves the live set intact and assigns per-file masks of
+  * deleted row indices, applied at read time and materialized away by
+  * OPTIMIZE. No mode deletes bytes, so every historical version stays
+  * readable until `vacuum`.
   *
   * Correctness properties, each spec-pinned (TxLogSpec):
   *  - **Atomic commit**: a commit becomes visible via one
@@ -60,10 +63,18 @@ object TxLog {
   final case class ColStat(kind: String, min: String, max: String,
     nulls: Long)
 
+  /** `dvs` — deletion-vector assignments this commit makes: data file
+    * → (dvset id, masked-row cardinality). A dv assignment REPLACES
+    * the file's previous one (the new dvset holds the file's FULL
+    * cumulative mask), the Delta DV design: write cost per delete is
+    * O(rows masked so far in the touched files), never O(file bytes).
+    * The dvset id names a parquet dataset under `<table>/_dv/<id>/`
+    * with schema (file STRING, row_index BIGINT). */
   final case class Commit(version: Long, mode: String, batchId: Long,
     adds: Seq[String], schema: String = "",
     stats: Map[String, Map[String, ColStat]] = Map.empty,
-    removes: Seq[String] = Nil)
+    removes: Seq[String] = Nil,
+    dvs: Map[String, (String, Long)] = Map.empty)
 
   private def commitFile(table: String, v: Long): Path =
     logDir(table).resolve(f"$v%010d.txt")
@@ -137,6 +148,7 @@ object TxLog {
       var mode = "append"; var batch = -1L; var schema = ""
       val adds = Seq.newBuilder[String]
       val removes = Seq.newBuilder[String]
+      val dvs = Map.newBuilder[String, (String, Long)]
       val stats = scala.collection.mutable.Map
         .empty[String, Map[String, ColStat]]
       // explicit UTF-8 read, no stream left open: commits() runs
@@ -150,6 +162,14 @@ object TxLog {
         case l if l.startsWith("schema=") => schema = l.stripPrefix("schema=")
         case l if l.startsWith("add=") => adds += l.stripPrefix("add=")
         case l if l.startsWith("remove=") => removes += l.stripPrefix("remove=")
+        case l if l.startsWith("dv=") =>
+          l.stripPrefix("dv=").split('|') match {
+            case Array(file, set, card) => dvs += (file -> (set, card.toLong))
+            case _ => () // malformed dv line: skipped (no mask applied
+            // is the CONSERVATIVE-KEEP direction for stats but the
+            // WRONG one for masks — writeCommit never emits one, and
+            // the round-trip is spec-pinned)
+          }
         case l if l.startsWith("stat=") =>
           l.stripPrefix("stat=").split('|') match {
             case Array(file, colName, kind, mn, mx, nulls) =>
@@ -160,7 +180,7 @@ object TxLog {
         case _ => ()
       }
       Commit(v, mode, batch, adds.result(), schema, stats.toMap,
-        removes.result())
+        removes.result(), dvs.result())
   }
 
   /** Claim the next version atomically; returns the version landed.
@@ -175,14 +195,16 @@ object TxLog {
   private[graft] def writeCommit(table: String, mode: String, batchId: Long,
       adds: Seq[String], schema: String,
       stats: Map[String, Map[String, ColStat]] = Map.empty,
-      removes: Seq[String] = Nil): Long = {
+      removes: Seq[String] = Nil,
+      dvs: Map[String, (String, Long)] = Map.empty,
+      dvBase: Map[String, Option[String]] = Map.empty): Long = {
     Files.createDirectories(logDir(table))
     // append-only contract for tables serving as streaming sources: a
     // file-source consumer cannot un-see rows, so the shapes that
     // change the live set are refused BEFORE the commit ever lands
     // (Delta's source errors on the same shapes without ignoreChanges)
     if (isStreamSource(table))
-      require(mode != "rewrite",
+      require(mode != "rewrite" && mode != "dv",
         s"$table serves as a streaming source (append-only): row-level " +
           s"delete/update/upsert are not allowed")
     val statLines = stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
@@ -191,9 +213,14 @@ object TxLog {
           s"stat=$f|$c|${cs.kind}|${hexEnc(cs.min)}|${hexEnc(cs.max)}|${cs.nulls}"
       }
     }
+    val dvLines = dvs.toSeq.sortBy(_._1).map { case (f, (set, card)) =>
+      require(!f.contains('|') && !set.contains('|'),
+        s"dv names must not contain '|': $f -> $set")
+      s"dv=$f|$set|$card"
+    }
     val body = (s"mode=$mode" +: s"batch=$batchId" +: s"schema=$schema" +:
-      (removes.map("remove=" + _) ++ adds.map("add=" + _) ++ statLines))
-      .mkString("", "\n", "\n")
+      (removes.map("remove=" + _) ++ adds.map("add=" + _) ++ dvLines ++
+        statLines)).mkString("", "\n", "\n")
     var v = latestVersion(table).map(_ + 1).getOrElse(0L)
     while (true) {
       // exactly-once must hold across CONCURRENT replayers too (zombie
@@ -225,6 +252,30 @@ object TxLog {
         require(gone.isEmpty,
           s"concurrent modification: files no longer live at commit " +
             s"time (removed by another writer): ${gone.mkString(", ")}")
+      }
+      // DV conflict checks (per claim attempt, like the remove check):
+      // a dv commit targeting a file another writer meanwhile rewrote
+      // or re-masked must NOT land — its mask was computed against a
+      // base that no longer exists (landing anyway would resurrect the
+      // winner's deletes or lose ours). `dvBase` carries the mapping
+      // the writer PLANNED against — every rewrite/dv path passes it,
+      // so a rewrite racing a dv commit on the same file is also
+      // caught (the rewrite read bytes the dv meanwhile masked).
+      if (mode == "dv") {
+        val live = liveFiles(table).toSet
+        val gone = dvs.keys.filterNot(live)
+        require(gone.isEmpty,
+          s"concurrent modification: dv target files no longer live: " +
+            s"${gone.mkString(", ")}")
+      }
+      if (dvBase.nonEmpty) {
+        val cur = dvAt(table)
+        val stale = dvBase.collect {
+          case (f, expect) if cur.get(f).map(_._1) != expect => f
+        }
+        require(stale.isEmpty,
+          s"concurrent modification: deletion vectors changed under " +
+            s"this commit for: ${stale.mkString(", ")}")
       }
       val tmp = logDir(table).resolve(s".tmp-${java.util.UUID.randomUUID()}")
       Files.write(tmp, body.getBytes("UTF-8"))
@@ -820,7 +871,7 @@ object TxLog {
     val (kept, _) = pruneFiles(table, column, lo, hi, asOf)
     val base =
       if (kept.isEmpty) emptyTable(spark, table, asOf)
-      else readFiles(spark, table, kept, asOf)
+      else readVisible(spark, table, kept, asOf)
     val (tlo, thi) = (lo.map(typedBound(table, column, _, asOf)),
       hi.map(typedBound(table, column, _, asOf)))
     Seq(tlo.map(v => col(column) >= lit(v)), thi.map(v => col(column) <= lit(v)))
@@ -952,7 +1003,7 @@ object TxLog {
     val (kept, _) = pruneFilesWhere(table, preds, asOf)
     val base =
       if (kept.isEmpty) emptyTable(spark, table, asOf)
-      else readFiles(spark, table, kept, asOf)
+      else readVisible(spark, table, kept, asOf)
     preds.foldLeft(base)((df, p) => df.where(exactCol(table, p, asOf)))
   }
 
@@ -978,36 +1029,58 @@ object TxLog {
   private def baseName(uri: String): String =
     uri.substring(uri.lastIndexOf('/') + 1)
 
+  /** The planned-against dv mapping for a set of files — what every
+    * rewrite/dv commit hands `writeCommit` as `dvBase`, so a racing
+    * dv/rewrite on the same file is caught at the version the commit
+    * actually lands on (None = the file had no mask when read). */
+  private def dvBaseFor(mapping: Map[String, (String, Long)],
+      files: Seq[String]): Map[String, Option[String]] =
+    files.map(f => f -> mapping.get(f).map(_._1)).toMap
+
   /** Rewrite `removes` (already-identified candidate files) into
     * `transform`-ed replacements as one atomic commit. The transform
-    * must preserve the table's column names and types. */
+    * must preserve the table's column names and types. The source read
+    * applies the files' deletion-vector masks (a COW rewrite of a
+    * masked file must not resurrect its masked rows) and the commit
+    * records the planned-against masks for conflict detection. */
   private def rewrite(spark: SparkSession, table: String,
       removes: Seq[String], transform: DataFrame => DataFrame): Long = {
     require(!isStreamSource(table),
       s"$table serves as a streaming source (append-only): row-level " +
         s"delete/update are not allowed")
-    val src = readFiles(spark, table, removes)
+    val mapping = dvAt(table)
+    val src = readVisible(spark, table, removes)
     val out = transform(src)
     val ddl = out.schema.toDDL.replace("\n", " ")
     val tbl = currentSchema(table)
     require(tbl.isEmpty || ddlShape(tbl) == ddlShape(ddl),
       s"rewrite must preserve the table schema:\n  table: $tbl\n  rewrite: $ddl")
     val (adds, stats) = stageWithStats(out, table)
-    writeCommit(table, "rewrite", -1L, adds, tbl, stats, removes)
+    writeCommit(table, "rewrite", -1L, adds, tbl, stats, removes,
+      dvBase = dvBaseFor(mapping, removes))
   }
 
-  /** Files in `searchSpace` that hold at least one row matching
-    * `cond` — one column-pruned, filter-pushed scan; the driver gets
-    * back only distinct file names (bounded by file count, the same
-    * driver state Delta's own COW planning holds). */
+  /** Files in `searchSpace` that hold at least one VISIBLE row
+    * matching `cond` (deletion-vector masks applied — an already-
+    * masked row must not drag its file into a rewrite) — one
+    * column-pruned, filter-pushed scan; the driver gets back only
+    * distinct file names (bounded by file count, the same driver
+    * state Delta's own COW planning holds). */
   private def matchingFiles(spark: SparkSession, table: String,
       cond: org.apache.spark.sql.Column,
       searchSpace: Seq[String]): Seq[String] = {
     import org.apache.spark.sql.functions.input_file_name
     if (searchSpace.isEmpty) Nil
-    else readFiles(spark, table, searchSpace)
-      .where(cond).select(input_file_name().as("_src")).distinct()
-      .collect().map(r => baseName(r.getString(0))).toSeq.sorted
+    else {
+      val mapping = dvAt(table)
+      if (!searchSpace.exists(mapping.contains))
+        readFiles(spark, table, searchSpace)
+          .where(cond).select(input_file_name().as("_src")).distinct()
+          .collect().map(r => baseName(r.getString(0))).toSeq.sorted
+      else readVisibleWithMeta(spark, table, searchSpace, mapping)
+        .where(cond).select("_gdv_file").distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+    }
   }
 
   /** Row-level DELETE (copy-on-write): files with no matching row are
@@ -1119,9 +1192,37 @@ object TxLog {
     * together they maintain an incrementally-updated derived table
     * from a change feed (departed keys deleted, changed keys
     * upserted — see Curation.curatedIncrement). */
+  /** Files among `space` holding at least one VISIBLE row whose `keys`
+    * match `srcKeys` — the shared key-match discovery of the MERGE
+    * family, deletion-vector-aware (an already-masked row must not
+    * drag its file into a rewrite). Only keys + the file tag reach
+    * the semi-join. */
+  private def keyHitFiles(spark: SparkSession, table: String,
+      space: Seq[String], srcKeys: DataFrame,
+      keys: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    if (space.isEmpty) Nil
+    else {
+      val mapping = dvAt(table)
+      if (!space.exists(mapping.contains))
+        readFiles(spark, table, space)
+          // bind the file name BEFORE the join — input_file_name() is
+          // a single-source expression; only keys + _src reach the join
+          .select(keys.map(col) :+ input_file_name().as("_src"): _*)
+          .join(srcKeys, keys, "left_semi")
+          .select("_src").distinct()
+          .collect().map(r => baseName(r.getString(0))).toSeq.sorted
+      else readVisibleWithMeta(spark, table, space, mapping)
+        .select(keys.map(col) :+ col("_gdv_file").as("_src"): _*)
+        .join(srcKeys, keys, "left_semi")
+        .select("_src").distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+    }
+  }
+
   def deleteKeys(spark: SparkSession, table: String, keys: Seq[String],
       keysDf: DataFrame, batchId: Long = -1L): Long = {
-    import org.apache.spark.sql.functions.{col, input_file_name}
+    import org.apache.spark.sql.functions.col
     require(keys.nonEmpty, "deleteKeys needs at least one key column")
     require(!isStreamSource(table),
       s"$table serves as a streaming source (append-only): row-level " +
@@ -1130,21 +1231,17 @@ object TxLog {
     val srcKeys = keysDf.select(keys.map(col): _*).distinct()
     val live = mergeSearchSpace(spark, table, srcKeys, keys)
     if (live.isEmpty) return latestVersion(table).getOrElse(-1L)
-    val hit = readFiles(spark, table, live)
-      .select(keys.map(col) :+ input_file_name().as("_src"): _*)
-      .join(srcKeys, keys, "left_semi")
-      .select("_src").distinct()
-      .collect().map(r => baseName(r.getString(0))).toSeq.sorted
+    val hit = keyHitFiles(spark, table, live, srcKeys, keys)
     if (hit.isEmpty) return latestVersion(table).getOrElse(-1L)
-    val out = readFiles(spark, table, hit).join(srcKeys, keys, "left_anti")
+    val out = readVisible(spark, table, hit).join(srcKeys, keys, "left_anti")
     val (adds, stats) = stageWithStats(out, table)
     writeCommit(table, "rewrite", batchId, adds, currentSchema(table), stats,
-      hit)
+      hit, dvBase = dvBaseFor(dvAt(table), hit))
   }
 
   def upsert(spark: SparkSession, table: String, source: DataFrame,
       keys: Seq[String], batchId: Long = -1L): Long = {
-    import org.apache.spark.sql.functions.{col, input_file_name}
+    import org.apache.spark.sql.functions.col
     require(keys.nonEmpty, "upsert needs at least one key column")
     require(!isStreamSource(table),
       s"$table serves as a streaming source (append-only): upsert is " +
@@ -1160,21 +1257,14 @@ object TxLog {
       s"upsert source schema mismatch:\n  table: $tbl\n  source: $srcDdl")
     val live = mergeSearchSpace(spark, table, src, keys)
     val srcKeys = src.select(keys.map(col): _*).distinct()
-    val hit =
-      if (live.isEmpty) Nil
-      else readFiles(spark, table, live)
-        // bind the file name BEFORE the join — input_file_name() is a
-        // single-source expression; only keys + _src reach the join
-        .select(keys.map(col) :+ input_file_name().as("_src"): _*)
-        .join(srcKeys, keys, "left_semi")
-        .select("_src").distinct()
-        .collect().map(r => baseName(r.getString(0))).toSeq.sorted
+    val hit = keyHitFiles(spark, table, live, srcKeys, keys)
     val out =
       if (hit.isEmpty) src
-      else readFiles(spark, table, hit)
+      else readVisible(spark, table, hit)
         .join(srcKeys, keys, "left_anti").unionByName(src)
     val (adds, stats) = stageWithStats(out, table)
-    writeCommit(table, "rewrite", batchId, adds, tbl, stats, hit)
+    writeCommit(table, "rewrite", batchId, adds, tbl, stats, hit,
+      dvBase = dvBaseFor(dvAt(table), hit))
   }
 
   /** Sequence-aware UPSERT (the `WHEN MATCHED AND s.rev >= t.rev`
@@ -1194,7 +1284,7 @@ object TxLog {
   def upsertOrdered(spark: SparkSession, table: String, source: DataFrame,
       keys: Seq[String], orderCol: String, batchId: Long = -1L): Long = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{col, input_file_name, row_number, struct, to_json, xxhash64}
+    import org.apache.spark.sql.functions.{col, row_number, struct, to_json, xxhash64}
     require(keys.nonEmpty, "upsert needs at least one key column")
     require(!isStreamSource(table),
       s"$table serves as a streaming source (append-only): upsert is " +
@@ -1225,17 +1315,11 @@ object TxLog {
       s"upsert source schema mismatch:\n  table: $tbl\n  source: $srcDdl")
     val live = mergeSearchSpace(spark, table, src, keys)
     val srcKeys = src.select(keys.map(col): _*).distinct()
-    val hit =
-      if (live.isEmpty) Nil
-      else readFiles(spark, table, live)
-        .select(keys.map(col) :+ input_file_name().as("_src"): _*)
-        .join(srcKeys, keys, "left_semi")
-        .select("_src").distinct()
-        .collect().map(r => baseName(r.getString(0))).toSeq.sorted
+    val hit = keyHitFiles(spark, table, live, srcKeys, keys)
     val out =
       if (hit.isEmpty) collapse(src)
       else {
-        val hitDf = readFiles(spark, table, hit)
+        val hitDf = readVisible(spark, table, hit)
         // untouched-key rows of rewritten files pass through; contested
         // keys (existing row ∪ all source revisions) resolve per key in
         // one window — the guard, not last-batch-wins
@@ -1245,7 +1329,142 @@ object TxLog {
         untouched.unionByName(collapse(contested))
       }
     val (adds, stats) = stageWithStats(out, table)
-    writeCommit(table, "rewrite", batchId, adds, tbl, stats, hit)
+    writeCommit(table, "rewrite", batchId, adds, tbl, stats, hit,
+      dvBase = dvBaseFor(dvAt(table), hit))
+  }
+
+  // ------------------------------------------------------------------
+  // Merge-on-read row operations (deletion vectors). Same semantics as
+  // the COW delete/update/upsert family, different write-amplification
+  // class: a point op writes O(masked rows in the touched files) of dv
+  // sidecar (plus any new data rows), never a rewrite of the touched
+  // files' bytes. Prefer these for selective ops on large files (the
+  // CDC shape); prefer the COW family when an op touches a large
+  // fraction of a file's rows — and run `compact*` periodically to
+  // materialize accumulated masks away (OPTIMIZE reads through them
+  // and lands a mask-free overwrite).
+  // ------------------------------------------------------------------
+
+  /** Write the cumulative dv dataset for `hit` files: (old mask rows ∪
+    * `newMask`) land distributed as parquet under `_dv/<id>/`; returns
+    * (dvset id, per-file cardinalities). The union is computed by
+    * Spark — no corpus-proportional driver state (the driver sees one
+    * row per FILE, for the log lines). */
+  private def stageDvSet(spark: SparkSession, table: String,
+      mapping: Map[String, (String, Long)], hit: Seq[String],
+      newMask: DataFrame): (String, Map[String, Long]) = {
+    val full = dvRows(spark, table, mapping, hit) match {
+      case None => newMask
+      case Some(old) => old.unionByName(newMask)
+    }
+    // duplicates would double-count cardinality and create phantom
+    // CDF deletes (the feed diffs new-minus-old mask); masked rows
+    // are invisible to every discovery scan, so dups are unexpected —
+    // dropDuplicates is the cheap belt to that suspender
+    val dedup = full.dropDuplicates("file", "row_index")
+    val cards = dedup.groupBy("file").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = cards.values.sum
+    val parts = math.max(1L, math.min(64L, total / 4_000_000L + 1)).toInt
+    val set = java.util.UUID.randomUUID().toString
+    dedup.repartition(parts).write
+      .parquet(dvDir(table).resolve(set).toString)
+    (set, cards)
+  }
+
+  /** Row-level DELETE via deletion vectors (merge-on-read): rows
+    * matching `cond` (NULL keeps, SQL DELETE semantics) are masked —
+    * no data file is rewritten; the commit carries each touched file's
+    * new cumulative mask. Cost ∝ matched + previously-masked rows of
+    * the touched files, never file bytes — the 100 TB point-delete /
+    * GDPR shape. Returns the committed version (current one if nothing
+    * matched). */
+  def deleteVectored(spark: SparkSession, table: String,
+      cond: org.apache.spark.sql.Column, batchId: Long = -1L): Long = {
+    import org.apache.spark.sql.functions.col
+    require(!isStreamSource(table),
+      s"$table serves as a streaming source (append-only): row-level " +
+        s"delete is not allowed")
+    if (batchId >= 0 && isBatchCommitted(table, batchId)) return -1L
+    val mapping = dvAt(table)
+    val hit = matchingFiles(spark, table, cond, liveFiles(table))
+    if (hit.isEmpty) return latestVersion(table).getOrElse(-1L)
+    val newMask = readVisibleWithMeta(spark, table, hit, mapping)
+      .where(cond)
+      .select(col("_gdv_file").as("file"), col("_gdv_ri").as("row_index"))
+    val (set, cards) = stageDvSet(spark, table, mapping, hit, newMask)
+    writeCommit(table, "dv", batchId, Nil, currentSchema(table),
+      dvs = cards.map { case (f, n) => f -> (set, n) },
+      dvBase = dvBaseFor(mapping, hit))
+  }
+
+  /** Row-level UPDATE via deletion vectors: matching rows are masked
+    * in place and re-landed (with each `set` column replaced, cast
+    * back to its original type) as NEW data files in the same atomic
+    * commit — write cost ∝ matched rows, not touched-file bytes. */
+  def updateVectored(spark: SparkSession, table: String,
+      cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.col
+    require(!isStreamSource(table),
+      s"$table serves as a streaming source (append-only): row-level " +
+        s"update is not allowed")
+    val mapping = dvAt(table)
+    val hit = matchingFiles(spark, table, cond, liveFiles(table))
+    if (hit.isEmpty) return latestVersion(table).getOrElse(-1L)
+    val matched = readVisibleWithMeta(spark, table, hit, mapping)
+      .where(cond)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val newMask = matched
+        .select(col("_gdv_file").as("file"), col("_gdv_ri").as("row_index"))
+      val base = matched.drop("_gdv_file", "_gdv_ri")
+      val updated = set.foldLeft(base) { case (d, (c, v)) =>
+        d.withColumn(c, v.cast(d.schema(c).dataType))
+      }
+      val (adds, stats) = stageWithStats(updated, table)
+      val (dvSet, cards) = stageDvSet(spark, table, mapping, hit, newMask)
+      writeCommit(table, "dv", -1L, adds, currentSchema(table), stats,
+        dvs = cards.map { case (f, n) => f -> (dvSet, n) },
+        dvBase = dvBaseFor(mapping, hit))
+    } finally { matched.unpersist(); () }
+  }
+
+  /** Whole-row UPSERT by key via deletion vectors: matched table rows
+    * are masked (not rewritten), every `source` row lands as new data
+    * files — one atomic commit, write cost ∝ |source| + matched rows.
+    * NULL keys never match (SQL join semantics). Into an empty table
+    * this is a plain insert. */
+  def upsertVectored(spark: SparkSession, table: String,
+      source: DataFrame, keys: Seq[String], batchId: Long = -1L): Long = {
+    import org.apache.spark.sql.functions.col
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    require(!isStreamSource(table),
+      s"$table serves as a streaming source (append-only): upsert is " +
+        s"not allowed")
+    if (batchId >= 0 && isBatchCommitted(table, batchId)) return -1L
+    val tbl = currentSchema(table)
+    if (tbl.isEmpty) return write(source, table, "append", batchId)
+    val cols = org.apache.spark.sql.types.StructType.fromDDL(tbl)
+      .fields.toSeq.map(_.name)
+    val src = source.select(cols.map(col): _*)
+    val srcDdl = src.schema.toDDL.replace("\n", " ")
+    require(ddlShape(tbl) == ddlShape(srcDdl),
+      s"upsert source schema mismatch:\n  table: $tbl\n  source: $srcDdl")
+    val mapping = dvAt(table)
+    val live = mergeSearchSpace(spark, table, src, keys)
+    val srcKeys = src.select(keys.map(col): _*).distinct()
+    val hit = keyHitFiles(spark, table, live, srcKeys, keys)
+    val (adds, stats) = stageWithStats(src, table)
+    if (hit.isEmpty)
+      return writeCommit(table, "append", batchId, adds, tbl, stats)
+    val newMask = readVisibleWithMeta(spark, table, hit, mapping)
+      .join(srcKeys, keys, "left_semi")
+      .select(col("_gdv_file").as("file"), col("_gdv_ri").as("row_index"))
+    val (dvSet, cards) = stageDvSet(spark, table, mapping, hit, newMask)
+    writeCommit(table, "dv", batchId, adds, tbl, stats,
+      dvs = cards.map { case (f, n) => f -> (dvSet, n) },
+      dvBase = dvBaseFor(mapping, hit))
   }
 
   /** Change data feed over (`fromV`, `toV`]: every commit's adds come
@@ -1262,16 +1481,44 @@ object TxLog {
     * Delta's CDF retention). */
   def changes(spark: SparkSession, table: String, fromV: Long,
       toV: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{col, lit}
     val upTo = toV.orElse(latestVersion(table)).getOrElse(fromV)
-    def read(files: Seq[String], tpe: String, v: Long): Option[DataFrame] =
+    def read(files: Seq[String], tpe: String, v: Long,
+        mapping: Map[String, (String, Long)]): Option[DataFrame] =
       if (files.isEmpty) None
       // the feed reads every era under the schema AT THE WINDOW END —
       // pre-evolution files null-fill the newer columns, so the union
-      // is well-typed across an evolve boundary
-      else Some(readFiles(spark, table, files, Some(upTo))
+      // is well-typed across an evolve boundary; `mapping` holds the
+      // dv state AT THIS FEED ARM's point in time (a rewrite's delete
+      // arm reads the removed files under their pre-commit masks —
+      // already-masked rows left the table earlier, they must not
+      // re-surface as deletes here)
+      else Some(readVisibleWithMeta(spark, table, files, mapping, Some(upTo))
+        .drop("_gdv_file", "_gdv_ri")
         .withColumn("_change_type", lit(tpe))
         .withColumn("_commit_version", lit(v)))
+    // A dv commit's delete arm: the rows NEWLY masked by it — (its
+    // cumulative masks) minus (the files' masks before it), addressed
+    // back into the data files by one semi-join on (file, row index).
+    def readDvDeletes(c: Commit,
+        before: Map[String, (String, Long)]): Option[DataFrame] = {
+      if (c.dvs.isEmpty) return None
+      val files = c.dvs.keys.toSeq.sorted
+      val newRows = dvRows(spark, table, c.dvs, files).get
+      val delta = dvRows(spark, table, before, files) match {
+        case None => newRows
+        case Some(old) => newRows.exceptAll(old)
+      }
+      val base = readFiles(spark, table, files, Some(upTo))
+        .withColumn("_gdv_file", col("_metadata.file_name"))
+        .withColumn("_gdv_ri", col("_metadata.row_index"))
+      Some(base.join(delta,
+          base("_gdv_file") === delta("file") &&
+            base("_gdv_ri") === delta("row_index"), "left_semi")
+        .drop("_gdv_file", "_gdv_ri")
+        .withColumn("_change_type", lit("delete"))
+        .withColumn("_commit_version", lit(c.version)))
+    }
     // ONE replay pass tracks the live-set-before per commit (an
     // overwrite's deletes) — not a fresh liveFiles() log re-read per
     // overwrite, which is O(commits²) I/O on a long log. The pass
@@ -1280,24 +1527,34 @@ object TxLog {
     // exact, so a CDF consumer on a long-lived streamed table pays
     // O(commits-since-checkpoint), not O(history).
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    var dvm = Map.empty[String, (String, Long)]
     val parts = Seq.newBuilder[DataFrame]
     commitsFrom(table, replayFrom(table, Some(fromV)))
       .takeWhile(_.version <= upTo).foreach { c =>
       val before = if (c.mode == "overwrite") live.toSeq else Seq.empty
-      if (c.mode == "overwrite") live.clear()
+      val dvmBefore = dvm
+      if (c.mode == "overwrite") { live.clear(); dvm = Map.empty }
       live --= c.removes
+      dvm --= c.removes
       live ++= c.adds
+      dvm ++= c.dvs
       if (c.version > fromV) {
         val dels = if (c.mode == "overwrite") before else c.removes
         // a metadata-only checkpoint (overwrite re-referencing exactly
-        // the prior live set) changes ZERO rows — emitting it as
-        // whole-table delete+insert would make every consumer not
-        // using netChanges reprocess 100% of the table for nothing
-        val checkpointNoop =
-          c.mode == "overwrite" && dels.toSet == c.adds.toSet
-        if (!checkpointNoop) {
-          parts ++= read(dels, "delete", c.version)
-          parts ++= read(c.adds, "insert", c.version)
+        // the prior live set AND the prior masks) changes ZERO rows —
+        // emitting it as whole-table delete+insert would make every
+        // consumer not using netChanges reprocess 100% of the table
+        // for nothing
+        val checkpointNoop = c.mode == "overwrite" &&
+          dels.toSet == c.adds.toSet && dvmBefore == c.dvs
+        if (c.mode == "dv") {
+          // merge-on-read commit: newly-masked rows leave, new data
+          // files (an update/upsert's re-landed rows) enter
+          parts ++= readDvDeletes(c, dvmBefore)
+          parts ++= read(c.adds, "insert", c.version, Map.empty)
+        } else if (!checkpointNoop) {
+          parts ++= read(dels, "delete", c.version, dvmBefore)
+          parts ++= read(c.adds, "insert", c.version, dvm)
         }
       }
     }
@@ -1373,8 +1630,13 @@ object TxLog {
     val live = liveFiles(table)
     val liveSet = live.toSet
     val stats = fileStats(table).filter(kv => liveSet(kv._1))
+    // deletion-vector masks are part of the state a checkpoint must
+    // carry: dropping them would resurrect every masked row. dvBase
+    // makes a dv commit racing this checkpoint a loud conflict instead
+    // of a silently-lost mask.
+    val dvm = dvAt(table)
     val v = writeCommit(table, "overwrite", -1L, live, currentSchema(table),
-      stats)
+      stats, dvs = dvm, dvBase = dvBaseFor(dvm, live))
     // advance the replay pointer: the ledger guarantee "ids ≤ max are
     // committed" needs the max over ALL history ≤ v — surviving log
     // files plus whatever a previous pointer already absorbed before
@@ -1403,10 +1665,17 @@ object TxLog {
     val missing = files.filterNot(f => Files.exists(Paths.get(table, f)))
     require(missing.isEmpty,
       s"cannot restore v$v: files vacuumed away: ${missing.mkString(", ")}")
+    val missingDv = dvAt(table, Some(v)).values.map(_._1).toSeq.distinct
+      .filterNot(s => Files.isDirectory(dvDir(table).resolve(s)))
+    require(missingDv.isEmpty,
+      s"cannot restore v$v: dv sets vacuumed away: ${missingDv.mkString(", ")}")
     val fileSet = files.toSet
     val stats = fileStats(table).filter(kv => fileSet(kv._1))
+    // restore re-establishes v's dv mapping too (rolling back past a
+    // dv commit must resurrect the rows it masked); no dvBase — the
+    // whole point is to override whatever masks exist now
     writeCommit(table, "overwrite", -1L, files, schemaAt(table, Some(v)),
-      stats)
+      stats, dvs = dvAt(table, Some(v)))
   }
 
   /** Live data files at `asOf` (default: latest). Replay starts at the
@@ -1425,15 +1694,112 @@ object TxLog {
     live.toSeq
   }
 
+  // ------------------------------------------------------------------
+  // Deletion vectors (merge-on-read — Delta's DV design, reshaped for
+  // this log). A `dv` commit leaves the live set untouched and instead
+  // assigns each touched file a fresh deletion-vector set: the file's
+  // FULL cumulative mask of deleted row indices, stored as a parquet
+  // dataset `(file STRING, row_index BIGINT)` under `<table>/_dv/<id>/`
+  // and written DISTRIBUTED by Spark (no corpus-proportional driver
+  // state anywhere). Reads apply the mask at scan time via one
+  // anti-join of the masked files' scan (tagged with the parquet
+  // reader's `_metadata.file_name`/`row_index` columns) against the dv
+  // rows — broadcast when the log-recorded cardinality is small, which
+  // a point delete always is. Write cost of a point DELETE/UPDATE is
+  // O(rows masked in the touched files), never O(file bytes): the COW
+  // alternative rewrites whole files, which at a 100 TB CDC rate is
+  // the difference between a sink that keeps up and one that re-copies
+  // the table. OPTIMIZE (`compact*`) reads through the masks and lands
+  // a mask-free overwrite — the materialization step that bounds mask
+  // accumulation. Unmasked tables pay ZERO overhead: every read path
+  // checks the mapping first and takes the plain multi-file parquet
+  // scan when it is empty.
+  // ------------------------------------------------------------------
+
+  /** file → (dvset id, cardinality) at `asOf` — replayed exactly like
+    * `liveFiles`: an overwrite resets the mapping to the commit's own
+    * dv lines (checkpoint/restore carry them forward), a removed file
+    * drops its entry, a dv commit's lines replace per file. */
+  def dvAt(table: String,
+      asOf: Option[Long] = None): Map[String, (String, Long)] = {
+    var dvm = Map.empty[String, (String, Long)]
+    commitsFrom(table, replayFrom(table, asOf)).iterator
+      .takeWhile(c => asOf.forall(c.version <= _))
+      .foreach { c =>
+        if (c.mode == "overwrite") dvm = Map.empty
+        dvm --= c.removes
+        dvm ++= c.dvs
+      }
+    dvm
+  }
+
+  private def dvDir(table: String): Path = Paths.get(table, "_dv")
+
+  /** The dv rows masking `files` under `mapping`, as one DataFrame
+    * (file, row_index) — None when nothing is masked. Each referenced
+    * dvset is read filtered to the files mapped to IT (a newer dvset
+    * may supersede some of an older set's files). */
+  private def dvRows(spark: SparkSession, table: String,
+      mapping: Map[String, (String, Long)],
+      files: Seq[String]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val relevant = files.filter(mapping.contains)
+    if (relevant.isEmpty) return None
+    val parts = relevant.groupBy(f => mapping(f)._1).toSeq.sortBy(_._1)
+      .map { case (set, fs) =>
+        spark.read
+          .schema("file STRING, row_index BIGINT")
+          .parquet(dvDir(table).resolve(set).toString)
+          .where(col("file").isin(fs: _*))
+      }
+    Some(parts.reduce(_.unionByName(_)))
+  }
+
+  /** Read `files` with their deletion-vector masks applied, KEEPING
+    * the scan's provenance columns `_gdv_file`/`_gdv_ri` (the parquet
+    * reader's file name + within-file row index) — the masked-write
+    * paths need them to address surviving rows. The mask is one
+    * anti-join; dv side broadcast below 4M recorded rows. */
+  private def readVisibleWithMeta(spark: SparkSession, table: String,
+      files: Seq[String], mapping: Map[String, (String, Long)],
+      asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val base = readFiles(spark, table, files, asOf)
+      .withColumn("_gdv_file", col("_metadata.file_name"))
+      .withColumn("_gdv_ri", col("_metadata.row_index"))
+    dvRows(spark, table, mapping, files) match {
+      case None => base
+      case Some(dv) =>
+        val card = files.flatMap(mapping.get).map(_._2).sum
+        val dvb = if (card <= 4_000_000L) broadcast(dv) else dv
+        base.join(dvb,
+          base("_gdv_file") === dvb("file") &&
+            base("_gdv_ri") === dvb("row_index"),
+          "left_anti")
+    }
+  }
+
+  /** Read `files` at `asOf` with masks applied — the universal visible-
+    * rows read. Zero overhead on unmasked tables: when no requested
+    * file carries a mask this IS the plain multi-file parquet scan
+    * (no metadata columns, no join). */
+  private def readVisible(spark: SparkSession, table: String,
+      files: Seq[String], asOf: Option[Long] = None): DataFrame = {
+    val mapping = dvAt(table, asOf)
+    if (!files.exists(mapping.contains)) readFiles(spark, table, files, asOf)
+    else readVisibleWithMeta(spark, table, files, mapping, asOf)
+      .drop("_gdv_file", "_gdv_ri")
+  }
+
   /** Snapshot read — latest by default, `asOf` for time travel. The
-    * result is a plain parquet multi-file scan: full pushdown/pruning
-    * apply. */
+    * result is a plain parquet multi-file scan (full pushdown/pruning)
+    * plus, only where deletion vectors exist, the mask anti-join. */
   def snapshot(spark: SparkSession, table: String,
       asOf: Option[Long] = None): DataFrame = {
     val files = liveFiles(table, asOf)
     require(files.nonEmpty,
       s"no live files in $table${asOf.fold("")(v => s" as of v$v")}")
-    readFiles(spark, table, files, asOf)
+    readVisible(spark, table, files, asOf)
   }
 
   /** Latest version whose commit landed at or before `tsMillis` —
@@ -1547,6 +1913,29 @@ object TxLog {
           catch { case _: java.nio.file.DirectoryNotEmptyException => () }
       }
     }
+    // dv sets referenced by NO surviving commit: failed-dv-write
+    // orphans, plus sets only dropped history referenced. A set dir
+    // goes only when EVERY file in it clears the retention window (a
+    // concurrent dv writer stages its set before its commit rename —
+    // the same race the data-file retention guards against).
+    val referencedDv = kept.flatMap(_.dvs.values.map(_._1)).toSet
+    val dvRoot = root.resolve("_dv")
+    if (Files.isDirectory(dvRoot)) {
+      ls(dvRoot).foreach { d =>
+        if (Files.isDirectory(d) &&
+          !referencedDv(d.getFileName.toString)) {
+          val w = Files.walk(d)
+          val all = try w.toArray.map(_.asInstanceOf[Path]).toSeq
+            finally w.close()
+          if (all.filter(Files.isRegularFile(_)).forall(oldEnough)) {
+            all.sortBy(-_.getNameCount).foreach { p =>
+              if (Files.isRegularFile(p)) { Files.deleteIfExists(p); n += 1 }
+              else Files.deleteIfExists(p)
+            }
+          }
+        }
+      }
+    }
     n
   }
 
@@ -1583,7 +1972,8 @@ object TxLog {
     * deleting anything: the audit step before irreversible maintenance
     * (Delta's VACUUM ... DRY RUN). */
   def vacuumDryRun(table: String): Seq[String] = {
-    val referenced = commits(table).flatMap(_.adds).toSet
+    val all = commits(table)
+    val referenced = all.flatMap(_.adds).toSet
     val root = Paths.get(table)
     val orphans = ls(root).map(_.getFileName.toString)
       .filter(n => n.endsWith(".parquet") && !referenced.contains(n))
@@ -1593,12 +1983,20 @@ object TxLog {
       if (!Files.isDirectory(staging)) Nil
       else {
         val w = Files.walk(staging)
-        val all = try w.toArray.map(_.asInstanceOf[Path]).toSeq
+        val walked = try w.toArray.map(_.asInstanceOf[Path]).toSeq
           finally w.close()
-        all.filter(Files.isRegularFile(_))
+        walked.filter(Files.isRegularFile(_))
           .map(p => root.relativize(p).toString).sorted
       }
-    orphans ++ staged
+    val referencedDv = all.flatMap(_.dvs.values.map(_._1)).toSet
+    val dvRoot = root.resolve("_dv")
+    val dvOrphans =
+      if (!Files.isDirectory(dvRoot)) Nil
+      else ls(dvRoot)
+        .filter(d => Files.isDirectory(d) &&
+          !referencedDv(d.getFileName.toString))
+        .map(d => root.relativize(d).toString).sorted
+    orphans ++ staged ++ dvOrphans
   }
 
   /** Size-targeted compaction — `compact` with the file count derived
