@@ -1578,6 +1578,39 @@ object SparkEntry {
       Engine.canonical(graft.ingest.TxLog.snapshot(s, silver)
         .select("doc_id", "lang", "source", "n_chars", "lang_up"))
     }),
+    // THE FULL REFERENCE PIPELINE as one medallion composition on the
+    // jar-free Delta stand-in (STREAM:33-232 + BATCH:165-484 end to
+    // end): Kinesis-envelope landing → streaming bytes→string →
+    // from_json flatten → exactly-once TxLog BRONZE ingest
+    // (streamSink's batch ledger) → TxLog streamSource multi-hop →
+    // the reference's cleaning → TxLog SILVER → pin_q1 over
+    // registerView SQL-surface snapshots. Every stage is individually
+    // gated elsewhere; this entry proves the COMPOSITION — its twin is
+    // pin_q1's own oracle, so the whole streaming+table machinery must
+    // be invisible in the analytics result.
+    "medallion_pin_q1" -> prep((s, d) => {
+      val base = tmpDir("graft_medallion")
+      graft.ingest.Fixtures.landStream(s, d, base)
+      def toSilver(table: String): String = {
+        val bronze = s"$base/bronze_$table"
+        graft.ingest.TxLog.streamSink(
+          graft.streaming.StreamJob.source(s,
+            s"$base/streams/streaming-${graft.ingest.Fixtures.topicPrefix}-$table",
+            graft.streaming.StreamJob.schemas(table)),
+          bronze, s"$base/ckpt_bronze_$table").awaitTermination()
+        val silver = s"$base/silver_$table"
+        graft.ingest.TxLog.streamSink(
+          graft.streaming.StreamJob.cleanStream(
+            graft.ingest.TxLog.streamSource(s, bronze), table,
+            watermarked = false),
+          silver, s"$base/ckpt_silver_$table").awaitTermination()
+        silver
+      }
+      graft.ingest.TxLog.registerView(s, toSilver("pin"), "medallion_pin")
+      graft.ingest.TxLog.registerView(s, toSilver("geo"), "medallion_geo")
+      Engine.canonical(graft.pipeline.PinQueries.q1(
+        s.table("medallion_pin"), s.table("medallion_geo")))
+    }),
     // row-level ops through the transactional log: copy-on-write
     // DELETE (range + predicate), UPDATE, and whole-row UPSERT by key
     // — each one atomic rewrite commit touching only matching files
@@ -2184,6 +2217,9 @@ object SparkEntry {
     "geo_clean" -> PinOracle.geoClean,
     "user_clean" -> PinOracle.userClean,
     "pin_q1" -> PinOracle.q1,
+    // the medallion composition must reproduce pin_q1 exactly — the
+    // bronze/silver streaming-table machinery is invisible in the data
+    "medallion_pin_q1" -> PinOracle.q1,
     "pin_q2" -> PinOracle.q2,
     "pin_q3" -> PinOracle.q3,
     "pin_q4" -> PinOracle.q4,

@@ -370,6 +370,25 @@ object ScaleProbe {
             Seq("doc_id"), "n_chars")
           TxLog.commits(tdir).last.removes.size.toLong
         }
+        // merge-on-read point delete (round 15): writes ONLY the
+        // touched files' cumulative masks — no data-file rewrite — so
+        // a fixed-selectivity point delete must stay ~FLAT as the
+        // table grows 64× (the deletion-vector write-amplification
+        // claim; compare against txlogDeleteRange's COW cost, which
+        // rewrites the matched files' bytes). Fresh disjoint slice per
+        // iteration, clear of the COW ops' ranges.
+        var dv = 0L
+        t("txlogDeleteVectored", n) {
+          dv += 1
+          TxLog.deleteVectored(spark, tdir,
+            col("doc_id").between(3600L + 50L * dv, 3609L + 50L * dv))
+          TxLog.dvAt(tdir).values.map(_._2).sum
+        }
+        // pruned read over the masked range: stats skipping + the
+        // mask anti-join together must stay ~flat like the unmasked
+        // range read above
+        t("txlogReadMasked", n)(TxLog.snapshotRange(
+          spark, tdir, "doc_id", Some(3650L), Some(3679L)).count())
         t("txlogCheckpointVacuum", n) {
           val cp = TxLog.checkpointLog(tdir)
           TxLog.vacuum(tdir, dropHistoryBefore = cp, retainMs = 0L).toLong
