@@ -42,6 +42,13 @@ object Engine {
     // multiple column families transformWithState needs.
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // TxLog's DataSourceV2 catalog: `graft.`<table-dir>`` identifiers
+    // resolve to TxLog snapshots with SQL time travel (VERSION AS OF /
+    // TIMESTAMP AS OF), INSERT INTO/OVERWRITE, and DELETE FROM.
+    // Catalog configs are read lazily at first resolution, so setting
+    // it here covers every session.
+    spark.conf.set("spark.sql.catalog.graft",
+      "org.apache.spark.sql.graftx.GraftCatalog")
     spark
   }
 

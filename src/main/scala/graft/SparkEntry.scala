@@ -101,6 +101,7 @@ object SparkEntry {
         k != "txlog_expectations" && // builds a table per call: IO class
         k != "txlog_incremental_curation" && // builds tables per call: IO class
         k != "txlog_dv" && // builds a table per call: IO class
+        k != "txlog_catalog_dml" && // builds a table per call: IO class
         k != "medallion_pin_q1" && // full streaming medallion per call: IO class
         // same results as ngram_jaccard via the hot-key-free candidate
         // path; its freq-agg + prefix overhead only pays off on corpora
@@ -1448,6 +1449,30 @@ object SparkEntry {
         FROM txsql_v1 GROUP BY lang
         ORDER BY at, lang""")
     }),
+    // the DSv2 catalog as the pure-SQL DML surface (round 15): the
+    // whole lifecycle — DELETE FROM, INSERT INTO ... SELECT, reads,
+    // and VERSION AS OF time travel — runs through `graft.` SQL
+    // identifiers with no Scala API in sight (SqlCatalogSpec pins
+    // pushdown-in-plan, INSERT OVERWRITE, the DV boundary, and
+    // time-travel-pin immutability); the oracle replays the DML as
+    // set algebra on the source table
+    "txlog_catalog_dml" -> prep((s, d) => {
+      val t = tmpDir("graft_txcat")
+      val base = s.read.parquet(s"$d/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+      graft.ingest.TxLog.write(
+        base.repartitionByRange(8, col("doc_id")), t, "overwrite")
+      base.createOrReplaceTempView("catalog_dml_src")
+      s.sql(s"DELETE FROM graft.`$t` WHERE doc_id BETWEEN 100 AND 299")
+      s.sql(s"""INSERT INTO graft.`$t`
+        SELECT doc_id + 100000, lang, 'sql-insert', n_chars
+        FROM catalog_dml_src WHERE doc_id < 50""")
+      Engine.canonical(s.sql(s"""
+        SELECT doc_id, lang, source, n_chars, 'now' AS at FROM graft.`$t`
+        UNION ALL
+        SELECT doc_id, lang, source, n_chars, 'v0' AS at
+        FROM graft.`$t` VERSION AS OF 0"""))
+    }),
     // conjunctive data skipping (round 14): the z-ordered table
     // answers a three-predicate lookup — user range AND time range AND
     // type IN-set — through snapshotWhere, which drops every file some
@@ -2256,6 +2281,7 @@ object SparkEntry {
     "stream_full_ingest" -> ExtOracle.streamFullIngest,
     "txlog_time_travel" -> ExtOracle.txlogTimeTravel,
     "txlog_sql_snapshot" -> ExtOracle.txlogSqlSnapshot,
+    "txlog_catalog_dml" -> ExtOracle.txlogCatalogDml,
     "txlog_restore" -> ExtOracle.txlogRestore,
     "txlog_multi_prune" -> ExtOracle.txlogMultiPrune,
     "txlog_expectations" -> ExtOracle.txlogExpectations,

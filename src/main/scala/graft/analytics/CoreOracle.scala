@@ -1058,6 +1058,24 @@ SELECT lang, COUNT(*) AS n_docs,
 FROM documents GROUP BY lang
 ${ord("at", "lang")}""".trim
 
+  /** Twin of `txlog_catalog_dml`: the pure-SQL DML lifecycle through
+    * the DSv2 catalog (DELETE FROM a doc_id range, INSERT INTO shifted
+    * copies of doc_id < 50, read now + VERSION AS OF 0) replayed as
+    * set algebra on the source table — the catalog, the V1Write
+    * bridge, and the COW delete must all be invisible in the data.
+    * DELETE keeps NULL-predicate rows (SQL semantics). */
+  val txlogCatalogDml: String = s"""
+WITH now_t AS (
+  SELECT doc_id, lang, source, n_chars FROM documents
+  WHERE NOT COALESCE(doc_id BETWEEN 100 AND 299, FALSE)
+  UNION ALL
+  SELECT doc_id + 100000, lang, 'sql-insert', n_chars
+  FROM documents WHERE doc_id < 50)
+SELECT doc_id, lang, source, n_chars, 'now' AS at FROM now_t
+UNION ALL
+SELECT doc_id, lang, source, n_chars, 'v0' AS at FROM documents
+${ord("doc_id", "lang", "source", "n_chars", "at")}""".trim
+
   /** Box-filter cell chain over the DECODED synthetic image's luma
     * pixels (the real-codec analogue of `resizeCellChain`): width 32,
     * height ceil(len/32), pixel value = integer ITU-601 luma of the

@@ -1,0 +1,251 @@
+package org.apache.spark.sql.graftx
+
+import java.util
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.internal.connector.PredicateUtils
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ingest.TxLog
+
+/** DataSourceV2 `TableCatalog` over TxLog tables — the piece that
+  * makes the jar-free Delta stand-in a first-class `spark.sql`
+  * citizen (the reference queries its Delta tables straight from SQL,
+  * REF STREAM:220 `.table()`): registered as catalog `graft` by
+  * `Engine.prepare`, so
+  *
+  *   SELECT * FROM graft.`/path/to/table`
+  *   SELECT * FROM graft.`/path/to/table` VERSION AS OF 3
+  *   SELECT * FROM graft.`/path/to/table` TIMESTAMP AS OF '...'
+  *   INSERT INTO graft.`/path/to/table` SELECT ...
+  *   INSERT OVERWRITE graft.`/path/to/table` SELECT ...
+  *   DELETE FROM graft.`/path/to/table` WHERE ...
+  *
+  * all work natively. The identifier's name is the table directory
+  * (namespace parts, if any, join with '/'); the snapshot's FILE LIST
+  * pins at `loadTable` time, so one SQL statement reads one consistent
+  * version even while writers land commits (the same isolation
+  * `registerView` gives, now without pre-registration).
+  *
+  * Reads delegate to Spark's own `ParquetTable` over the pinned live
+  * files with the LOG-recorded schema — full DSv2 pushdown, pruning
+  * and vectorized reading apply, no footer inference (SqlCatalogSpec
+  * pins PushedFilters in the executed plan). Writes go through a
+  * `V1Write` to `TxLog.write` (append; `INSERT OVERWRITE` maps to the
+  * overwrite commit) — one transactional commit per statement, CHECK
+  * constraints and schema guards included. `DELETE FROM` translates
+  * the pushed predicates to a Column and runs the COW `TxLog.delete`
+  * (work ∝ matching files; predicates outside the translatable set
+  * are refused at analysis via `canDeleteWhere`, never half-applied).
+  *
+  * Boundary (documented, loud): snapshots carrying DELETION-VECTOR
+  * masks can't be served as a plain parquet scan — `loadTable` throws
+  * with the materialization hint (`TxLog.compact*` lands a mask-free
+  * overwrite). SQL DML itself keeps tables DV-free (DELETE FROM is
+  * COW), so pure-SQL users never hit it; mixed Scala-DV + SQL
+  * deployments materialize on their OPTIMIZE cadence. Lives in an
+  * `org.apache.spark.sql` subpackage to reach `ParquetTable` /
+  * `PredicateUtils` (the `graftx/Bridge.scala` pattern — only this
+  * package touches Spark internals). */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName = "graft"
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = { catalogName = name }
+
+  override def name(): String = catalogName
+
+  private def tablePath(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString("/")
+
+  private def load(ident: Identifier, asOf: Option[Long]): Table = {
+    val t = tablePath(ident)
+    if (TxLog.latestVersion(t).isEmpty) throw new NoSuchTableException(ident)
+    asOf.foreach { v =>
+      if (!TxLog.latestVersion(t).exists(_ >= v))
+        throw new NoSuchTableException(ident)
+    }
+    new GraftTxTable(t, asOf)
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** `VERSION AS OF <v>` — the version string must be a TxLog commit
+    * version number. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v =
+      try version.toLong
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"graft catalog versions are commit numbers; got '$version'")
+      }
+    load(ident, Some(v))
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — DSv2 hands MICROseconds since epoch;
+    * resolution is the commit-publish clock (`TxLog.versionAt`). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = tablePath(ident)
+    val v = TxLog.versionAt(t, Math.floorDiv(timestamp, 1000L))
+      .getOrElse(throw new NoSuchTableException(ident))
+    load(ident, Some(v))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    TxLog.latestVersion(tablePath(ident)).nonEmpty
+
+  /** Tables are directories anywhere on storage — there is no listable
+    * namespace (same posture as Delta's path-based tables). */
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "graft tables are created by the first TxLog.write / INSERT " +
+        "into an existing table; CREATE TABLE is not supported")
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported; schema evolution goes through " +
+        "TxLog.write(evolve = true)")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "DROP TABLE is not supported; delete the table directory")
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "RENAME TABLE is not supported; move the table directory")
+}
+
+/** One pinned TxLog snapshot as a DSv2 table: reads delegate to
+  * Spark's ParquetTable over the pinned file list; writes and DELETE
+  * go through the transactional log (refused on a time-travel pin —
+  * history is immutable). */
+private[graftx] class GraftTxTable(path: String, asOf: Option[Long])
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsDeleteV2 {
+
+  // pinned at load: one SQL statement = one consistent snapshot
+  private val pinnedFiles: Seq[String] = TxLog.liveFiles(path, asOf)
+  private val pinnedDdl: String = TxLog.schemaAt(path, asOf)
+  locally {
+    val masked = TxLog.dvAt(path, asOf).keySet.intersect(pinnedFiles.toSet)
+    if (masked.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"graft.`$path`${asOf.fold("")(v => s" VERSION AS OF $v")} " +
+          s"carries deletion-vector masks on ${masked.size} file(s); " +
+          s"SQL reads serve plain parquet snapshots — run " +
+          s"TxLog.compact/compactToSize (OPTIMIZE) to materialize the " +
+          s"masks, or read via TxLog.snapshot")
+  }
+
+  override def name(): String =
+    s"graft.`$path`" + asOf.fold("")(v => s" VERSION AS OF $v")
+
+  // the LOG-recorded schema, nullability relaxed exactly as
+  // TxLog.snapshot reads it (evolution null-fills old files)
+  override def schema(): StructType =
+    if (pinnedDdl.isEmpty) new StructType()
+    else StructType(StructType.fromDDL(pinnedDdl)
+      .fields.map(_.copy(nullable = true)))
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  private def spark: SparkSession = SparkSession.active
+
+  private lazy val delegate = ParquetTable(
+    name(), spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+    CaseInsensitiveStringMap.empty(),
+    pinnedFiles.map(f =>
+      java.nio.file.Paths.get(path, f).toAbsolutePath.toString),
+    Some(schema()), classOf[ParquetFileFormat])
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    delegate.newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOf.isEmpty,
+      s"cannot write to a time-travel pin of $path — history is immutable")
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: sources.InsertableRelation =
+          (data, _) => {
+            TxLog.write(data, path,
+              if (overwrite) "overwrite" else "append")
+            ()
+          }
+      }
+    }
+  }
+
+  /** Only predicates fully translatable to a Column are accepted —
+    * Spark then refuses the DELETE at analysis instead of this table
+    * half-applying it. */
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
+    asOf.isEmpty &&
+      predicates.forall(p =>
+        PredicateUtils.toV1(p).flatMap(toColumn).isDefined)
+
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    require(asOf.isEmpty,
+      s"cannot delete from a time-travel pin of $path — history is " +
+        s"immutable")
+    val cond = predicates.toSeq
+      .map(p => toColumn(PredicateUtils.toV1(p).getOrElse(
+        throw new UnsupportedOperationException(
+          s"untranslatable DELETE predicate: $p"))).getOrElse(
+        throw new UnsupportedOperationException(
+          s"untranslatable DELETE predicate: $p")))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    TxLog.delete(spark, path, cond)
+    ()
+  }
+
+  /** V1 `Filter` → `Column`, SQL semantics preserved (EqualTo never
+    * matches NULL; TxLog.delete keeps NULL-condition rows). */
+  private def toColumn(f: sources.Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === lit(v))
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case sources.GreaterThan(a, v) => Some(col(a) > lit(v))
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case sources.LessThan(a, v) => Some(col(a) < lit(v))
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case sources.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v) => Some(col(a).contains(v))
+    case sources.And(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case sources.Or(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case sources.Not(c) => toColumn(c).map(!_)
+    case sources.AlwaysTrue() => Some(lit(true))
+    case sources.AlwaysFalse() => Some(lit(false))
+    case _ => None
+  }
+}

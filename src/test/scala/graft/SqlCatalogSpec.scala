@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ingest.TxLog
+
+/** The DSv2 catalog over TxLog (`graft.` identifiers): plain SQL
+  * reads with pushdown, SQL time travel by version and timestamp,
+  * INSERT INTO/OVERWRITE as transactional commits, DELETE FROM
+  * through the COW row op, SQL ≡ Scala API on every surface, and the
+  * loud deletion-vector boundary. */
+class SqlCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  private def seed(t: String): Unit = {
+    TxLog.write(
+      spark.range(100).select(col("id"), (col("id") % 10).as("grp"))
+        .repartitionByRange(4, col("id")),
+      t, "overwrite")
+    ()
+  }
+
+  test("SELECT through the catalog equals the Scala snapshot, with pushdown") {
+    val t = tmp("cat_read")
+    seed(t)
+    val viaSql = spark.sql(s"SELECT id, grp FROM graft.`$t` WHERE id >= 90")
+    assert(ids(viaSql) == (90L to 99L))
+    assert(viaSql.collect().map(_.getLong(1)).sorted.toSeq ==
+      ids(TxLog.snapshot(spark, t).where(col("id") >= 90)
+        .select(col("grp").as("id"))))
+    // the filter reaches the parquet scan (DSv2 pushdown through the
+    // delegated ParquetTable)
+    val plan = viaSql.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual"),
+      s"filter must push to the scan:\n$plan")
+  }
+
+  test("VERSION AS OF / TIMESTAMP AS OF resolve through the log") {
+    val t = tmp("cat_tt")
+    seed(t)                                                       // v0
+    val afterV0 = System.currentTimeMillis()
+    Thread.sleep(1100) // versionAt resolves on file-mtime (ms) order
+    TxLog.write(Seq((1000L, 0L)).toDF("id", "grp"), t, "append")  // v1
+    assert(spark.sql(s"SELECT * FROM graft.`$t` VERSION AS OF 0").count() == 100)
+    assert(spark.sql(s"SELECT * FROM graft.`$t` VERSION AS OF 1").count() == 101)
+    assert(spark.sql(s"SELECT * FROM graft.`$t`").count() == 101)
+    val ts = new java.sql.Timestamp(afterV0).toString
+    assert(spark.sql(
+      s"SELECT * FROM graft.`$t` TIMESTAMP AS OF '$ts'").count() == 100)
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$t` VERSION AS OF 99").collect()
+    }
+  }
+
+  test("INSERT INTO appends one commit; INSERT OVERWRITE resets") {
+    val t = tmp("cat_ins")
+    seed(t)
+    spark.sql(s"INSERT INTO graft.`$t` VALUES (500, 5), (501, 6)")
+    assert(TxLog.latestVersion(t).contains(1L))
+    assert(TxLog.commits(t).last.mode == "append")
+    assert(spark.sql(s"SELECT * FROM graft.`$t`").count() == 102)
+    spark.sql(s"INSERT OVERWRITE graft.`$t` VALUES (1, 1)")
+    assert(TxLog.commits(t).last.mode == "overwrite")
+    assert(ids(spark.sql(s"SELECT id, grp FROM graft.`$t`")) == Seq(1L))
+    // history stays readable
+    assert(spark.sql(s"SELECT * FROM graft.`$t` VERSION AS OF 1").count() == 102)
+  }
+
+  test("DELETE FROM runs the COW row op; untouched files stay") {
+    val t = tmp("cat_del")
+    seed(t)
+    val live0 = TxLog.liveFiles(t).toSet
+    spark.sql(s"DELETE FROM graft.`$t` WHERE id >= 75 AND grp = 5")
+    assert(ids(spark.sql(s"SELECT id, grp FROM graft.`$t`")) ==
+      (0L to 99L).filterNot(i => i >= 75 && i % 10 == 5))
+    assert(TxLog.commits(t).last.mode == "rewrite")
+    // only the file(s) holding matches were rewritten
+    assert(TxLog.liveFiles(t).toSet.intersect(live0).nonEmpty,
+      "non-matching files must pass through untouched")
+    // unconditional delete clears the table
+    spark.sql(s"DELETE FROM graft.`$t`")
+    assert(TxLog.liveFiles(t).isEmpty)
+  }
+
+  test("a deletion-vector-masked snapshot is refused loudly with the hint") {
+    val t = tmp("cat_dv")
+    seed(t)
+    TxLog.deleteVectored(spark, t, col("id") === 7L)
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql(s"SELECT * FROM graft.`$t`").collect()
+    }
+    assert(e.getMessage.contains("deletion-vector") &&
+      e.getMessage.contains("compact"))
+    // pre-mask versions still serve
+    assert(spark.sql(s"SELECT * FROM graft.`$t` VERSION AS OF 0").count() == 100)
+    // OPTIMIZE materializes; SQL works again, masked row gone
+    TxLog.compact(spark, t, targetFiles = 2)
+    assert(ids(spark.sql(s"SELECT id, grp FROM graft.`$t`")) ==
+      (0L to 99L).filterNot(_ == 7L))
+  }
+
+  test("writes and deletes against a time-travel pin are refused") {
+    val t = tmp("cat_pin")
+    seed(t)
+    TxLog.write(Seq((1000L, 0L)).toDF("id", "grp"), t, "append")
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$t` VERSION AS OF 0 VALUES (1, 1)")
+    }
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM graft.`$t` VERSION AS OF 0 WHERE id = 1")
+    }
+    assert(spark.sql(s"SELECT * FROM graft.`$t`").count() == 101)
+  }
+
+  test("missing tables and bad versions surface as analysis errors") {
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.`/nonexistent/table`").collect()
+    }
+    val t = tmp("cat_missing")
+    seed(t)
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$t` VERSION AS OF 'abc'").collect()
+    }
+  }
+}
