@@ -2068,6 +2068,36 @@ object TxLog {
       if (tail >= every) { checkpointLog(table); () }
     }
 
+  /** Auto-compaction for streaming sinks (round 15): once the LIVE
+    * file count exceeds `maxFiles` (0 disables), land a
+    * `compactToSize` overwrite — per-micro-batch commits otherwise
+    * accrete one file per batch and scan cost follows file count, not
+    * bytes. Content-neutral and history-preserving like any manual
+    * OPTIMIZE; the rewrite reads the whole live set, so `maxFiles`
+    * sets the amortization knob (larger = rarer, bigger compactions —
+    * Delta's autoOptimize trade-off).
+    *
+    * Stream-source interaction (the design decision, made explicit):
+    * a table serving as a streaming SOURCE is append-only — compaction
+    * replaces the live set, which would either break consumers
+    * (replaced files) or double-deliver (republished rewrites), so
+    * auto-compaction SKIPS published tables entirely rather than
+    * attempting a compact-and-republish protocol. Bounded file count
+    * for a published bronze table comes from the consumer side:
+    * readers rate-limit with maxFilesPerTrigger and each HOP's sink
+    * compacts ITS OWN (unpublished) table — the multi-hop medallion
+    * keeps every silver/gold tier compact while bronze stays an
+    * immutable append log (exactly Delta's guidance for streaming
+    * sources without ignoreChanges). */
+  private[graft] def maybeCompact(spark: SparkSession, table: String,
+      maxFiles: Int,
+      targetBytes: Long = 128L * 1024 * 1024): Unit =
+    if (maxFiles > 0 && !isStreamSource(table) &&
+      liveFiles(table).size > maxFiles) {
+      compactToSize(spark, table, targetBytes)
+      ()
+    }
+
   /** Exactly-once streaming ingest: every micro-batch lands as one
     * transactional commit carrying its batch id; replays are skipped
     * by id. Stateless on the stream side — the ledger is the log.
@@ -2079,13 +2109,20 @@ object TxLog {
     * batches as "already committed". Delta disambiguates with a per-
     * stream txn appId; here the deployment contract is one streaming
     * writer per table (parallel PRODUCERS belong upstream of the one
-    * sink, and batch writers are unaffected — their batchId is -1). */
+    * sink, and batch writers are unaffected — their batchId is -1).
+    *
+    * `autoCompactFiles` (0 = off) bounds the LIVE file count: past the
+    * threshold a content-neutral compactToSize overwrite lands after
+    * the batch commit (see `maybeCompact` for the stream-source
+    * interaction — published tables are never auto-compacted). */
   def streamSink(df: DataFrame, table: String,
-      checkpointDir: String, autoCheckpointEvery: Int = 64): StreamingQuery =
+      checkpointDir: String, autoCheckpointEvery: Int = 64,
+      autoCompactFiles: Int = 0): StreamingQuery =
     df.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         write(batch, table, "append", batchId = id)
-        maybeCheckpoint(table, autoCheckpointEvery); ()
+        maybeCheckpoint(table, autoCheckpointEvery)
+        maybeCompact(batch.sparkSession, table, autoCompactFiles); ()
       }
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -2107,12 +2144,14 @@ object TxLog {
     * long-running streams (0 disables). */
   def streamUpsertSink(df: DataFrame, table: String, keys: Seq[String],
       orderCol: String, checkpointDir: String,
-      autoCheckpointEvery: Int = 64): StreamingQuery =
+      autoCheckpointEvery: Int = 64,
+      autoCompactFiles: Int = 0): StreamingQuery =
     df.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         upsertOrdered(batch.sparkSession, table, batch, keys, orderCol,
           batchId = id)
-        maybeCheckpoint(table, autoCheckpointEvery); ()
+        maybeCheckpoint(table, autoCheckpointEvery)
+        maybeCompact(batch.sparkSession, table, autoCompactFiles); ()
       }
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
@@ -2128,12 +2167,15 @@ object TxLog {
     * tables (0 disables). */
   def streamExpectSink(df: DataFrame, table: String, quarantine: String,
       expectations: Map[String, String], checkpointDir: String,
-      autoCheckpointEvery: Int = 64): StreamingQuery =
+      autoCheckpointEvery: Int = 64,
+      autoCompactFiles: Int = 0): StreamingQuery =
     df.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         writeExpect(batch, table, quarantine, expectations, batchId = id)
         maybeCheckpoint(table, autoCheckpointEvery)
-        maybeCheckpoint(quarantine, autoCheckpointEvery); ()
+        maybeCheckpoint(quarantine, autoCheckpointEvery)
+        maybeCompact(batch.sparkSession, table, autoCompactFiles)
+        maybeCompact(batch.sparkSession, quarantine, autoCompactFiles); ()
       }
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)

@@ -415,6 +415,25 @@ object ScaleProbe {
           TxLog.compactZOrdered(spark, tdir, "doc_id", "n_chars", 16)
           TxLog.liveFiles(tdir).size.toLong
         }
+        // streaming-sink auto-compaction (round 15): a 12-append burst
+        // with autoCompactFiles = 8. The triggered compactToSize
+        // rewrite is ∝ live bytes BY DESIGN (the maxFiles threshold is
+        // the amortization knob), so the WALL of this row grows with
+        // the table; the scale INVARIANT is the returned value — the
+        // live-file count stays ≤ threshold+1 at every scale, which is
+        // what keeps the sink's readers at a bounded per-scan file
+        // count however long the stream runs.
+        var ac = 0L
+        t("txlogAutoCompactBurst", n) {
+          ac += 1
+          for (i <- 0 until 12) {
+            TxLog.write(docs.select("doc_id", "lang", "source", "n_chars")
+              .where(col("doc_id") === (4600L + 30L * ac + i)),
+              tdir, "append")
+            TxLog.maybeCompact(spark, tdir, maxFiles = 8)
+          }
+          TxLog.liveFiles(tdir).size.toLong
+        }
         // Log-replay cost vs commit COUNT (round 14, the r13 verdict's
         // 500k-commits concern): a synthetic metadata-only log of
         // 250·n single-file commits (written directly — the replay

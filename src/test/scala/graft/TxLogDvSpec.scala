@@ -243,6 +243,44 @@ class TxLogDvSpec extends SparkSpec {
     }
   }
 
+  test("auto-compaction bounds live files over a 100-batch stream") {
+    val base = tmp("txlog_ac")
+    val in = s"$base/in"; val t = s"$base/table"; val ckpt = s"$base/ckpt"
+    Files.createDirectories(Paths.get(in))
+    (0 until 100).foreach(i => Files.write(
+      Paths.get(in, f"f$i%03d.json"), s"""{"id":$i}""".getBytes("UTF-8")))
+    def drain(): Unit = TxLog.streamSink(
+      spark.readStream.schema("id LONG")
+        .option("maxFilesPerTrigger", "1").json(in),
+      t, ckpt, autoCheckpointEvery = 16, autoCompactFiles = 8)
+      .awaitTermination()
+    drain()
+    // one file per micro-batch would be ~100 live files; the threshold
+    // bounds it (a batch may push the count to threshold+1 before the
+    // compaction lands)
+    assert(TxLog.liveFiles(t).size <= 9,
+      s"live files must stay bounded, got ${TxLog.liveFiles(t).size}")
+    assert(ids(TxLog.snapshot(spark, t)) == (0L to 99L),
+      "compaction is content-neutral and exactly-once holds across it")
+    // restart with new data: the batch ledger survives the interleaved
+    // overwrite commits — no duplicates, bound still holds
+    (100 until 110).foreach(i => Files.write(
+      Paths.get(in, f"f$i%03d.json"), s"""{"id":$i}""".getBytes("UTF-8")))
+    drain()
+    assert(ids(TxLog.snapshot(spark, t)) == (0L to 109L))
+    assert(TxLog.liveFiles(t).size <= 9)
+    // a PUBLISHED (stream-source) table is never auto-compacted — the
+    // append-only contract wins (design decision pinned)
+    val t2 = s"$base/published"
+    (0L to 11L).foreach(i =>
+      TxLog.write(Seq(i).toDF("id"), t2, "append"))
+    TxLog.streamSource(spark, t2) // publish: append-only from here on
+    val filesBefore = TxLog.liveFiles(t2)
+    TxLog.maybeCompact(spark, t2, maxFiles = 4)
+    assert(TxLog.liveFiles(t2) == filesBefore,
+      "published tables are exempt from auto-compaction")
+  }
+
   test("exactly-once: a replayed dv batch id commits nothing") {
     val t = tmp("dv_once")
     seed(t)
