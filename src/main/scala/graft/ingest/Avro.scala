@@ -17,12 +17,12 @@ import org.apache.spark.sql.types._
   *    THE EXECUTOR by a per-partition `DataFileWriter` (the same
   *    file-per-task layout every Spark file sink produces); no rows
   *    ever visit the driver.
-  *  - read: `binaryFiles` hands each container to one task, whose
-  *    `DataFileStream` decodes records straight into Spark rows — a
-  *    narrow per-file map, parallelism = file count (Avro containers
-  *    are block-compressed and splittable in principle; file-level
-  *    granularity matches the many-files landing layout this engine
-  *    compacts anyway, see `Compaction`).
+  *  - read: containers split on their SYNC MARKERS (round 15 — the
+  *    format's own split points, via the public `DataFileReader
+  *    .sync/pastSync` seek API): each task decodes the blocks whose
+  *    sync lands in its byte range, so even a single multi-GB
+  *    third-party container scans at ~128 MB granularity instead of
+  *    serializing on one task.
   *
   * Type scope (spec-pinned): the JSON-ish landing schema the reference
   * moves — long/int/double/boolean/string, each nullable via the Avro
@@ -134,15 +134,15 @@ object Avro {
     * `schema` (fields resolved by NAME against the record, so column
     * order is free).
     *
-    * Parallelism contract: ONE task per container — the scan's
-    * parallelism is the file count, never finer. That matches the
-    * file-per-task layout `writeAvro` itself produces (and the
-    * many-small-files landing layout this engine compacts anyway), but
-    * a few multi-GB third-party containers would serialize the scan:
-    * keep containers under ~256 MB (re-shard upstream or via
-    * `writeAvro(df.repartition(n), ...)`) when this reader is on the
-    * critical path. Sync-marker block splitting would lift the limit;
-    * it is deliberately not implemented until a real workload needs it.
+    * Parallelism: containers SPLIT on their sync markers (the format's
+    * own split points — every Avro block ends with the file's 16-byte
+    * marker, and `DataFileReader.sync/pastSync` is the public seek
+    * API Hadoop's own Avro input format rides): each task claims the
+    * blocks whose sync lands inside its byte range, so a multi-GB
+    * third-party container scans with ~`maxSplitBytes` granularity
+    * instead of serializing on one task. Compressed blocks decode as
+    * usual — compression in Avro is per-block, which is exactly why
+    * the format stays splittable.
     *
     * Fails loudly rather than corrupting silently — enforced, not just
     * promised: every requested field must exist in each container's
@@ -150,35 +150,71 @@ object Avro {
     * typo'd column), and numeric narrowing is bounds-checked (a long
     * read as int throws on overflow; a long too big for an exact
     * double throws rather than rounding). */
-  def readAvro(spark: SparkSession, path: String,
-      schema: StructType): DataFrame = {
+  def readAvro(spark: SparkSession, path: String, schema: StructType,
+      maxSplitBytes: Long = 128L * 1024 * 1024): DataFrame = {
+    require(maxSplitBytes > 0, "maxSplitBytes must be positive")
+    // floor the effective split size: a pathological request (bytes-
+    // sized splits on a GB container) would otherwise fan out millions
+    // of splits, each re-opening the file to claim ~nothing — task
+    // scheduling and file opens would dwarf the decode
+    val effSplit = math.max(maxSplitBytes, 64L * 1024)
     val sparkSchema = schema
-    val rowRdd = spark.sparkContext
-      .binaryFiles(s"$path/*.avro")
-      .flatMap { case (file, pds) =>
-        val stream = new org.apache.avro.file.DataFileStream(
-          pds.open(),
+    val sc = spark.sparkContext
+    val confEntries: Array[(String, String)] = {
+      import scala.jdk.CollectionConverters._
+      sc.hadoopConfiguration.iterator().asScala
+        .map(e => (e.getKey, e.getValue)).toArray
+    }
+    val confBc = sc.broadcast(confEntries)
+    val dirPath = new org.apache.hadoop.fs.Path(path)
+    val fs = dirPath.getFileSystem(sc.hadoopConfiguration)
+    val files =
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$path/*.avro")))
+        .getOrElse(Array.empty)
+        .map(st => (st.getPath.toString, st.getLen)).sortBy(_._1)
+    val splits = files.flatMap { case (f, len) =>
+      val n = math.max(1L, (len + effSplit - 1) / effSplit)
+      (0L until n).map(i =>
+        (f, i * effSplit, math.min((i + 1) * effSplit, len)))
+    }.toSeq
+    if (splits.isEmpty)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), sparkSchema)
+    val rowRdd = sc
+      .parallelize(splits, splits.length)
+      .flatMap { case (file, start, end) =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confBc.value.foreach { case (k, v) => conf.set(k, v) }
+        val reader = org.apache.avro.file.DataFileReader.openReader(
+          new org.apache.avro.mapred.FsInput(
+            new org.apache.hadoop.fs.Path(file), conf),
           new org.apache.avro.generic.GenericDatumReader[
             org.apache.avro.generic.GenericRecord]())
         // by-name resolution must not silently null-fill a field the
         // writer never had (a misspelled column would read as all-NULL)
-        val writerSchema = stream.getSchema
+        val writerSchema = reader.getSchema
         sparkSchema.fields.foreach { f =>
           require(writerSchema.getField(f.name) != null,
             s"avro container $file has no field '${f.name}' " +
               s"(writer schema: ${writerSchema.getFields}); " +
               s"refusing to null-fill")
         }
-        // rows stream LAZILY off the decoder — a container is
+        // claim the blocks whose sync marker lands in [start, end):
+        // the format's standard split protocol — every block is
+        // processed by exactly one task, whatever the split geometry
+        reader.sync(start)
+        // rows stream LAZILY off the decoder — a split is
         // partition-sized, so buffering it whole in the heap is
         // exactly the spill-unsafe shape this engine avoids; the
-        // stream closes when drained, and the task-completion hook
+        // reader closes when drained, and the task-completion hook
         // covers early termination (limit, take, failure)
         Option(org.apache.spark.TaskContext.get()).foreach(
           _.addTaskCompletionListener[Unit](_ =>
-            try stream.close() catch { case _: Exception => () }))
-        import scala.jdk.CollectionConverters._
-        val recs = stream.iterator.asScala.map { rec =>
+            try reader.close() catch { case _: Exception => () }))
+        val recs = new Iterator[org.apache.avro.generic.GenericRecord] {
+          def hasNext: Boolean = reader.hasNext && !reader.pastSync(end)
+          def next(): org.apache.avro.generic.GenericRecord = reader.next()
+        }.map { rec =>
           Row.fromSeq(sparkSchema.fields.toSeq.map { f =>
             (rec.get(f.name), f.dataType) match {
               case (null, _) => null
@@ -210,7 +246,7 @@ object Avro {
         new Iterator[Row] {
           def hasNext: Boolean = {
             val h = recs.hasNext
-            if (!h) try stream.close() catch { case _: Exception => () }
+            if (!h) try reader.close() catch { case _: Exception => () }
             h
           }
           def next(): Row = recs.next()

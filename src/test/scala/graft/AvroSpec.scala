@@ -96,6 +96,39 @@ class AvroSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq == Seq(java.lang.Long.MAX_VALUE - 1))
   }
 
+  test("one large container splits across tasks on sync markers") {
+    val dir = tmp("avro_split")
+    val n = 20000
+    val wide = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType, nullable = true)))
+    val rows = (0 until n).map(i => Row(i.toLong, s"payload-$i-${"x" * 40}"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), wide) // ONE container
+    assert(Avro.writeAvro(df, s"$dir/t") == n.toLong)
+    val files = new java.io.File(s"$dir/t").listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(files.length == 1)
+    assert(files.head.length > 64 * 1024, "needs several sync blocks")
+    // a split size far below the container forces many tasks; every
+    // block lands in exactly one split → exact multiset round trip
+    val back = Avro.readAvro(spark, s"$dir/t", wide, maxSplitBytes = 64 * 1024)
+    assert(back.rdd.getNumPartitions > 1,
+      "a large container must scan with more than one task")
+    assert(back.count() == n.toLong)
+    assert(back.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until n.toLong))
+    // degenerate geometries agree with the one-split read: a byte-
+    // sized request floors to the 64 KB minimum (no million-split
+    // fan-out) and every block is still claimed by exactly one task
+    val one = Avro.readAvro(spark, s"$dir/t", wide)
+    assert(one.count() == n.toLong)
+    val tiny = Avro.readAvro(spark, s"$dir/t", wide, maxSplitBytes = 1L)
+    assert(tiny.count() == n.toLong)
+    assert(tiny.rdd.getNumPartitions <=
+      (files.head.length / (64 * 1024) + 1))
+  }
+
   test("types outside the scope are rejected loudly, not corrupted") {
     val dir = tmp("avro_bad")
     val ts = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
