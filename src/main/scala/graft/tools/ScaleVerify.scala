@@ -59,7 +59,12 @@ object ScaleVerify {
     // streaming source (snapshot-then-tail consumption over tables
     // whose file sets DIFFER between the layouts)
     "txlog_expectations", "stream_txlog_source", "stream_txlog_multihop",
-    "stream_txlog_expect", "json_robust_scan", "txlog_incremental_curation")
+    "stream_txlog_expect", "json_robust_scan", "txlog_incremental_curation",
+    // round-15: the deletion-vector row-op sequence (different layouts
+    // produce different file groupings, hence different MASK sets —
+    // the visible snapshot must be identical anyway: merge-on-read is
+    // invisible) and the SQL-DML lifecycle through the DSv2 catalog
+    "txlog_dv", "txlog_catalog_dml")
 
   def main(args: Array[String]): Unit = {
     val d = "/root/testdata/sf0.1"
