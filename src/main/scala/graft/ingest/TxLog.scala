@@ -1360,15 +1360,23 @@ object TxLog {
     // duplicates would double-count cardinality and create phantom
     // CDF deletes (the feed diffs new-minus-old mask); masked rows
     // are invisible to every discovery scan, so dups are unexpected —
-    // dropDuplicates is the cheap belt to that suspender
-    val dedup = full.dropDuplicates("file", "row_index")
-    val cards = dedup.groupBy("file").count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val total = cards.values.sum
-    val parts = math.max(1L, math.min(64L, total / 4_000_000L + 1)).toInt
+    // dropDuplicates is the cheap belt to that suspender. ONE
+    // computation of the union: write it, then read the (tiny,
+    // columnar) dataset back for the per-file log-line cardinalities —
+    // recomputing the upstream scan+join for the count agg would
+    // double the op's cost.
+    // coalesce, don't repartition: masks are tiny next to data (the
+    // dedup shuffle would otherwise leave ~32 mostly-empty part files
+    // per set), and 8 partitions keep even a multi-M-row mask write
+    // parallel enough
+    val dedup = full.dropDuplicates("file", "row_index").coalesce(8)
     val set = java.util.UUID.randomUUID().toString
-    dedup.repartition(parts).write
-      .parquet(dvDir(table).resolve(set).toString)
+    val dir = dvDir(table).resolve(set).toString
+    dedup.write.parquet(dir)
+    val cards = spark.read.schema("file STRING, row_index BIGINT")
+      .parquet(dir)
+      .groupBy("file").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     (set, cards)
   }
 
