@@ -1375,6 +1375,46 @@ object SparkEntry {
       Engine.canonical(graft.ingest.TxLog.snapshot(s, s"$base/table")
         .select("doc_id", "lang", "source", "n_chars", "rev"))
     }),
+    // the SAME CDC stream through the MERGE-ON-READ sink
+    // (mergeOnRead = true → upsertOrderedVectored per micro-batch):
+    // each batch masks only the contested rows and lands the per-key
+    // winners as new files — write cost ∝ contested + batch rows, not
+    // touched-file bytes (the configuration that keeps up at a 100 TB
+    // CDC rate). Shares the COW sink's oracle: the converged table is
+    // the same pure function of the row set, so merge-on-read must be
+    // invisible in the data.
+    "stream_txlog_upsert_dv" -> prep((s, d) => {
+      val base = tmpDir("graft_txcdcdv")
+      val docsDf = s.read.parquet(s"$d/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+      def emit(df: DataFrame, i: Int): Unit = {
+        val stagedir = s"$base/stage$i"
+        df.coalesce(1).write.json(stagedir)
+        val part = new java.io.File(stagedir).listFiles()
+          .filter(_.getName.endsWith(".json")).head
+        val dst = java.nio.file.Paths.get(s"$base/in", f"rev$i%03d.json")
+        java.nio.file.Files.createDirectories(dst.getParent)
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(1700000000000L + i * 600000L); ()
+      }
+      emit(docsDf.withColumn("rev", lit(0L)), 0)
+      emit(docsDf.where(col("doc_id") % 5 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+        .withColumn("rev", lit(1L)), 1)
+      emit(docsDf.where(col("doc_id") % 25 === 0)
+        .withColumn("n_chars", col("n_chars") + 2000L)
+        .withColumn("rev", lit(2L)), 2)
+      val in = s.readStream
+        .schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT, rev BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .json(s"$base/in")
+      graft.ingest.TxLog.streamUpsertSink(
+        in, s"$base/table", Seq("doc_id"), "rev", s"$base/ckpt",
+        mergeOnRead = true)
+        .awaitTermination()
+      Engine.canonical(graft.ingest.TxLog.snapshot(s, s"$base/table")
+        .select("doc_id", "lang", "source", "n_chars", "rev"))
+    }),
     // incremental curation (round 14 capstone composition): a curated
     // TxLog table is materialized from the bronze table at a mark, the
     // bronze moves on (append + retention delete + text patch), and
@@ -2299,6 +2339,9 @@ object SparkEntry {
     // invisible in the data, so it shares the COW path's oracle
     "txlog_dv" -> ExtOracle.txlogRowOps,
     "stream_txlog_upsert" -> ExtOracle.streamTxlogUpsert,
+    // merge-on-read CDC sink: converges to the identical table, so it
+    // shares the COW sink's oracle
+    "stream_txlog_upsert_dv" -> ExtOracle.streamTxlogUpsert,
     "txlog_changes" -> ExtOracle.txlogChanges,
     "txlog_schema_evolve" -> ExtOracle.txlogSchemaEvolve,
     "txlog_optimize" -> ExtOracle.zorderScan, // same predicate+rollup through the optimized log

@@ -1281,23 +1281,35 @@ object TxLog {
     * `orderCol` sorts last: an unsequenced revision loses to any
     * sequenced one. Copy-on-write and exactly-once exactly as
     * `upsert`. */
-  def upsertOrdered(spark: SparkSession, table: String, source: DataFrame,
-      keys: Seq[String], orderCol: String, batchId: Long = -1L): Long = {
+  /** Highest-`orderCol` winner per key — ties resolve by a content
+    * hash over ALL columns, never by partition or arrival order: the
+    * winner is a pure function of the row SET, so the converged table
+    * is identical however a stream chops the same rows into batches
+    * (the invariance ScaleVerify pins). Callers must pass rows
+    * carrying EXACTLY the table columns — an extra column would enter
+    * the tiebreak hash and silently change tie winners. */
+  private def collapseByOrder(df: DataFrame, keys: Seq[String],
+      orderCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, row_number, struct, to_json, xxhash64}
+    val tiebreak = xxhash64(to_json(struct(
+      df.columns.sorted.map(c => col(s"`$c`")).toIndexedSeq: _*)))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(orderCol).desc, tiebreak.desc)
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn")
+  }
+
+  def upsertOrdered(spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String], orderCol: String, batchId: Long = -1L): Long = {
+    import org.apache.spark.sql.functions.col
     require(keys.nonEmpty, "upsert needs at least one key column")
     require(!isStreamSource(table),
       s"$table serves as a streaming source (append-only): upsert is " +
         s"not allowed")
     if (batchId >= 0 && isBatchCommitted(table, batchId)) return -1L
-    def collapse(df: DataFrame): DataFrame = {
-      val tiebreak = xxhash64(to_json(struct(
-        df.columns.sorted.map(c => col(s"`$c`")).toIndexedSeq: _*)))
-      val w = Window.partitionBy(keys.map(col): _*)
-        .orderBy(col(orderCol).desc, tiebreak.desc)
-      df.withColumn("_rn", row_number().over(w))
-        .where(col("_rn") === 1).drop("_rn")
-    }
+    def collapse(df: DataFrame): DataFrame =
+      collapseByOrder(df, keys, orderCol)
     require(source.columns.contains(orderCol),
       s"orderCol '$orderCol' is not a source column — the sequence " +
         s"guard needs it in BOTH the source and the table")
@@ -1473,6 +1485,72 @@ object TxLog {
     writeCommit(table, "dv", batchId, adds, tbl, stats,
       dvs = cards.map { case (f, n) => f -> (dvSet, n) },
       dvBase = dvBaseFor(mapping, hit))
+  }
+
+  /** Sequence-aware UPSERT via deletion vectors — `upsertOrdered`'s
+    * semantics (a matched key keeps whichever row carries the higher
+    * `orderCol`; content-hash tiebreak; NULL sequence loses) in
+    * `upsertVectored`'s write-amplification class: the CONTESTED rows
+    * of matched files are masked (untouched-key rows of those files
+    * stay behind the mask boundary, never rewritten) and the per-key
+    * winners land as new data files — one atomic commit, write cost ∝
+    * contested + source rows, never file bytes. This is the streaming
+    * CDC sink shape at a 100 TB change rate: the COW `upsertOrdered`
+    * re-copies every touched file per micro-batch, this re-copies
+    * only the contested rows. Converges to the identical table
+    * (winner selection is the same pure function of the row set —
+    * spec- and oracle-pinned against the COW path). */
+  def upsertOrderedVectored(spark: SparkSession, table: String,
+      source: DataFrame, keys: Seq[String], orderCol: String,
+      batchId: Long = -1L): Long = {
+    import org.apache.spark.sql.functions.col
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    require(!isStreamSource(table),
+      s"$table serves as a streaming source (append-only): upsert is " +
+        s"not allowed")
+    if (batchId >= 0 && isBatchCommitted(table, batchId)) return -1L
+    require(source.columns.contains(orderCol),
+      s"orderCol '$orderCol' is not a source column — the sequence " +
+        s"guard needs it in BOTH the source and the table")
+    val tbl = currentSchema(table)
+    if (tbl.isEmpty)
+      return write(collapseByOrder(source, keys, orderCol), table,
+        "append", batchId)
+    require(ddlShape(tbl).exists(_._1 == orderCol),
+      s"orderCol '$orderCol' is not a table column — existing rows " +
+        s"carry no sequence to compare against:\n  table: $tbl")
+    val cols = org.apache.spark.sql.types.StructType.fromDDL(tbl)
+      .fields.toSeq.map(_.name)
+    val src = source.select(cols.map(col): _*)
+    val srcDdl = src.schema.toDDL.replace("\n", " ")
+    require(ddlShape(tbl) == ddlShape(srcDdl),
+      s"upsert source schema mismatch:\n  table: $tbl\n  source: $srcDdl")
+    val mapping = dvAt(table)
+    val live = mergeSearchSpace(spark, table, src, keys)
+    val srcKeys = src.select(keys.map(col): _*).distinct()
+    val hit = keyHitFiles(spark, table, live, srcKeys, keys)
+    if (hit.isEmpty) {
+      val (adds, stats) =
+        stageWithStats(collapseByOrder(src, keys, orderCol), table)
+      return writeCommit(table, "append", batchId, adds, tbl, stats)
+    }
+    val contested = readVisibleWithMeta(spark, table, hit, mapping)
+      .join(srcKeys, keys, "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val newMask = contested
+        .select(col("_gdv_file").as("file"), col("_gdv_ri").as("row_index"))
+      // the tiebreak hash must see EXACTLY the table columns, or the
+      // winner could differ from the COW path's on ties
+      val winners = collapseByOrder(
+        contested.drop("_gdv_file", "_gdv_ri").unionByName(src),
+        keys, orderCol)
+      val (adds, stats) = stageWithStats(winners, table)
+      val (dvSet, cards) = stageDvSet(spark, table, mapping, hit, newMask)
+      writeCommit(table, "dv", batchId, adds, tbl, stats,
+        dvs = cards.map { case (f, n) => f -> (dvSet, n) },
+        dvBase = dvBaseFor(mapping, hit))
+    } finally { contested.unpersist(); () }
   }
 
   /** Change data feed over (`fromV`, `toV`]: every commit's adds come
@@ -2149,15 +2227,28 @@ object TxLog {
     * however the source chops the same rows into micro-batches.
     * Exactly-once: the batch id rides the rewrite commit and replays
     * are skipped. `autoCheckpointEvery` bounds log replay for
-    * long-running streams (0 disables). */
+    * long-running streams (0 disables).
+    *
+    * `mergeOnRead = true` switches the per-batch op to
+    * `upsertOrderedVectored` — identical converged table (same
+    * pure-function winner selection, oracle-shared), but each batch
+    * writes O(contested + batch rows) of masks + winners instead of
+    * re-copying every touched file: the configuration that keeps up
+    * at a 100 TB CDC rate. Pair with `autoCompactFiles` (which also
+    * materializes accumulated masks away on its OPTIMIZE cadence). */
   def streamUpsertSink(df: DataFrame, table: String, keys: Seq[String],
       orderCol: String, checkpointDir: String,
       autoCheckpointEvery: Int = 64,
-      autoCompactFiles: Int = 0): StreamingQuery =
+      autoCompactFiles: Int = 0,
+      mergeOnRead: Boolean = false): StreamingQuery =
     df.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        upsertOrdered(batch.sparkSession, table, batch, keys, orderCol,
-          batchId = id)
+        if (mergeOnRead)
+          upsertOrderedVectored(batch.sparkSession, table, batch, keys,
+            orderCol, batchId = id)
+        else
+          upsertOrdered(batch.sparkSession, table, batch, keys, orderCol,
+            batchId = id)
         maybeCheckpoint(table, autoCheckpointEvery)
         maybeCompact(batch.sparkSession, table, autoCompactFiles); ()
       }

@@ -199,7 +199,8 @@ object ScaleVerify {
           .withColumn("n_chars", col("n_chars") + 2000L)
           .withColumn("rev", lit(2L)))
       val t0 = 1700000000000L
-      def runUpsert(tag: String, chop: Seq[(Int, Int, Long)]): (Long, Long, String, Double) = {
+      def runUpsert(tag: String, chop: Seq[(Int, Int, Long)],
+          mergeOnRead: Boolean = false): (Long, Long, String, Double) = {
         val base = s"$sv/stream_upsert_$tag"
         rmrf(base)
         chop.foreach { case (waveIdx, parts, mt) =>
@@ -209,7 +210,8 @@ object ScaleVerify {
           spark.readStream
             .schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT, rev BIGINT")
             .option("maxFilesPerTrigger", "1").json(s"$base/in"),
-          s"$base/table", Seq("doc_id"), "rev", s"$base/ckpt")
+          s"$base/table", Seq("doc_id"), "rev", s"$base/ckpt",
+          mergeOnRead = mergeOnRead)
           .awaitTermination()
         val (h, n, sch) = digest(TxLog.snapshot(spark, s"$base/table")
           .select("doc_id", "lang", "source", "n_chars", "rev"))
@@ -225,6 +227,22 @@ object ScaleVerify {
       println(f"[scaleverify] stream_txlog_upsert     ${if (okU) "OK " else "MISMATCH"} " +
         f"rows=$na%-8d hash=$ha%20d  a=$ta%6.2fs b=$tb%6.2fs" +
         (if (okU) "" else f"  (b: rows=$nb hash=$hb)"))
+
+      // the MERGE-ON-READ sink (round 15) under the same two chop
+      // layouts, INCLUDING the reordered-arrival one — and the digest
+      // must equal the COW sink's (three-way: MoR-A == MoR-B == COW):
+      // masks + winner re-lands are invisible at rest
+      val (hma, nma, sma, tma) = runUpsert("dva",
+        Seq((0, 1, t0), (1, 1, t0 + 3600000L), (2, 1, t0 + 7200000L)),
+        mergeOnRead = true)
+      val (hmb, nmb, smb, tmb) = runUpsert("dvb",
+        Seq((0, 4, t0), (2, 4, t0 + 60000L), (1, 4, t0 + 120000L)),
+        mergeOnRead = true)
+      val okM = hma == hmb && nma == nmb && sma == smb && nma > 0 &&
+        hma == ha && nma == na
+      println(f"[scaleverify] stream_txlog_upsert_dv  ${if (okM) "OK " else "MISMATCH"} " +
+        f"rows=$nma%-8d hash=$hma%20d  a=$tma%6.2fs b=$tmb%6.2fs" +
+        (if (okM) "" else f"  (b: rows=$nmb hash=$hmb; cow: rows=$na hash=$ha)"))
 
       // CMS token partials: per-batch matrices differ with the chop;
       // the compacted (token, est_freq) table must not
@@ -250,6 +268,7 @@ object ScaleVerify {
         f"rows=$nc%-8d hash=$hc%20d  a=$tc%6.2fs b=$td%6.2fs" +
         (if (okC) "" else f"  (b: rows=$nd hash=$hd)"))
       Seq(("stream_txlog_upsert", okU, na, nb, ha, hb, ta, tb),
+        ("stream_txlog_upsert_dv", okM, nma, nmb, hma, hmb, tma, tmb),
         ("stream_cms_tokens", okC, nc, nd, hc, hd, tc, td))
     }
     val allRows = rows ++ streamRows

@@ -243,6 +243,90 @@ class TxLogDvSpec extends SparkSpec {
     }
   }
 
+  test("upsertOrderedVectored: sequence guard, no rewrite, COW-identical") {
+    val t = tmp("dv_upsord")
+    val tCow = tmp("dv_upsord_cow")
+    def seed100(p: String): Unit = {
+      TxLog.write(spark.range(100)
+        .select(col("id"), (col("id") % 10).as("grp"),
+          lit(5L).as("rev"))
+        .repartitionByRange(4, col("id")), p, "overwrite")
+      ()
+    }
+    seed100(t); seed100(tCow)
+    // batch 1: newer revision for ids 0-9, STALE revision for 10-19
+    val b1 = spark.range(20)
+      .select(col("id"), lit(-1L).as("grp"),
+        when(col("id") < 10, lit(9L)).otherwise(lit(1L)).as("rev"))
+    val filesBefore = TxLog.liveFiles(t)
+    TxLog.upsertOrderedVectored(spark, t, b1, Seq("id"), "rev")
+    TxLog.upsertOrdered(spark, tCow, b1, Seq("id"), "rev")
+    val snap = TxLog.snapshot(spark, t)
+    // newer revisions won, stale ones could not regress their keys
+    assert(snap.where(col("rev") === 9L).count() == 10L)
+    assert(ids(snap.where(col("grp") === -1L)) == (0L to 9L))
+    assert(snap.count() == 100L)
+    // merge-on-read: every pre-existing file still live (masked, not
+    // rewritten)
+    assert(filesBefore.toSet.subsetOf(TxLog.liveFiles(t).toSet))
+    assert(TxLog.commits(t).last.mode == "dv")
+    // bit-identical to the COW path — same pure-function winner rule
+    def canon(p: String) = TxLog.snapshot(spark, p)
+      .select("id", "grp", "rev").collect().map(_.toSeq).sortBy(_.toString)
+    assert(canon(t).toSeq == canon(tCow).toSeq)
+    // a second batch re-contests keys already masked once (cumulative
+    // masks + the guard across batches)
+    val b2 = spark.range(5)
+      .select(col("id"), lit(-2L).as("grp"), lit(7L).as("rev"))
+    TxLog.upsertOrderedVectored(spark, t, b2, Seq("id"), "rev")
+    TxLog.upsertOrdered(spark, tCow, b2, Seq("id"), "rev")
+    // rev 9 still beats rev 7; nothing duplicates
+    assert(TxLog.snapshot(spark, t).count() == 100L)
+    assert(canon(t).toSeq == canon(tCow).toSeq)
+  }
+
+  test("randomized op sequences: DV and COW paths converge identically") {
+    val rnd = new scala.util.Random(20260815L)
+    val t = tmp("dv_fuzz"); val tCow = tmp("dv_fuzz_cow")
+    def seed(p: String): Unit = {
+      TxLog.write(spark.range(200)
+        .select(col("id"), (col("id") % 7).as("grp"), lit(0L).as("rev"))
+        .repartitionByRange(5, col("id")), p, "overwrite")
+      ()
+    }
+    seed(t); seed(tCow)
+    def canon(p: String) = TxLog.snapshot(spark, p)
+      .select("id", "grp", "rev").collect().map(_.toSeq).sortBy(_.toString)
+    (1 to 8).foreach { step =>
+      rnd.nextInt(3) match {
+        case 0 => // point delete of a random id band
+          val lo = rnd.nextInt(200).toLong
+          val cond = col("id").between(lo, lo + rnd.nextInt(10))
+          TxLog.deleteVectored(spark, t, cond)
+          TxLog.delete(spark, tCow, cond)
+        case 1 => // update of a random group
+          val g = rnd.nextInt(7).toLong
+          val cond = col("grp") === g && col("id") % 2 === 0
+          val set = Map("rev" -> lit(step.toLong))
+          TxLog.updateVectored(spark, t, cond, set)
+          TxLog.update(spark, tCow, cond, set)
+        case 2 => // ordered upsert of a random slice, mixed staleness
+          val lo = rnd.nextInt(220).toLong
+          val src = spark.range(lo, lo + 15)
+            .select(col("id"), lit(-step.toLong).as("grp"),
+              (col("id") % 3 * step).as("rev"))
+          TxLog.upsertOrderedVectored(spark, t, src, Seq("id"), "rev")
+          TxLog.upsertOrdered(spark, tCow, src, Seq("id"), "rev")
+      }
+      assert(canon(t).toSeq == canon(tCow).toSeq,
+        s"diverged at step $step (seed fixed — deterministic repro)")
+    }
+    // and the DV table's masks all materialize away cleanly
+    TxLog.compact(spark, t, targetFiles = 3)
+    assert(TxLog.dvAt(t).isEmpty)
+    assert(canon(t).toSeq == canon(tCow).toSeq)
+  }
+
   test("auto-compaction bounds live files over a 100-batch stream") {
     val base = tmp("txlog_ac")
     val in = s"$base/in"; val t = s"$base/table"; val ckpt = s"$base/ckpt"
