@@ -2042,15 +2042,20 @@ object TxLog {
     }.sum
     val tomb = everAdded.filterNot(liveSet)
       .filter(f => Files.exists(Paths.get(table, f)))
+    // deletion-vector posture: how many live files carry masks and how
+    // many rows are masked out — the OPTIMIZE-cadence signal (a high
+    // masked-row count means reads pay the anti-join and a compact
+    // would reclaim it). Log metadata only.
+    val dvm = dvAt(table).filter(kv => liveSet(kv._1))
     Seq((live.size.toLong, bytes(live), tomb.size.toLong, bytes(tomb),
       latestVersion(table).getOrElse(-1L), all.size.toLong,
       lastCheckpoint(table).map(_._1).getOrElse(-1L),
       schemaAt(table), constraints(table).size.toLong,
-      isStreamSource(table)))
+      isStreamSource(table), dvm.size.toLong, dvm.values.map(_._2).sum))
       .toDF("n_live_files", "live_bytes", "n_tombstoned_files",
         "tombstoned_bytes", "latest_version", "n_commits",
         "checkpoint_version", "schema_ddl", "n_constraints",
-        "is_stream_source")
+        "is_stream_source", "n_dv_masked_files", "dv_masked_rows")
   }
 
   /** VACUUM dry run — the files a `vacuum(table, retainMs = 0)` would

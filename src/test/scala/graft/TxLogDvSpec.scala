@@ -47,6 +47,10 @@ class TxLogDvSpec extends SparkSpec {
     // only the file(s) actually holding 10..19 carry a mask
     val dvm = TxLog.dvAt(t)
     assert(dvm.nonEmpty && dvm.values.map(_._2).sum == 10L)
+    // DESCRIBE DETAIL surfaces the mask posture (the OPTIMIZE signal)
+    val d = TxLog.detail(spark, t).head()
+    assert(d.getAs[Long]("n_dv_masked_files") == dvm.size.toLong)
+    assert(d.getAs[Long]("dv_masked_rows") == 10L)
   }
 
   test("a second delete on the same file unions cumulatively") {
