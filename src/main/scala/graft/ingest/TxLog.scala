@@ -1850,6 +1850,14 @@ object TxLog {
       files: Seq[String], mapping: Map[String, (String, Long)],
       asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
+    val clash = schemaAt(table, asOf) match {
+      case "" => Nil
+      case ddl => ddlShape(ddl).map(_._1)
+        .filter(c => c == "_gdv_file" || c == "_gdv_ri")
+    }
+    require(clash.isEmpty,
+      s"deletion vectors reserve the _gdv_file/_gdv_ri column names; " +
+        s"$table has: ${clash.mkString(", ")}")
     val base = readFiles(spark, table, files, asOf)
       .withColumn("_gdv_file", col("_metadata.file_name"))
       .withColumn("_gdv_ri", col("_metadata.row_index"))

@@ -234,6 +234,37 @@ class TxLogDvSpec extends SparkSpec {
     assert(!Files.exists(orphan))
   }
 
+  test("masks survive additive schema evolution; pushdown crosses the mask") {
+    val t = tmp("dv_evolve")
+    seed(t)
+    TxLog.deleteVectored(spark, t, col("id") === 50L)
+    // evolve: add a column; pre-evolution (masked) files null-fill it
+    TxLog.write(
+      spark.range(200, 210).select(col("id"), (col("id") % 10).as("grp"),
+        lit("x").as("tag")),
+      t, "append", evolve = true)
+    val snap = TxLog.snapshot(spark, t)
+    assert(snap.count() == 109L)
+    assert(!ids(snap).contains(50L),
+      "the mask applies across the evolve boundary")
+    assert(snap.where(col("tag").isNull).count() == 99L)
+    // data-column filters still reach the parquet scan THROUGH the
+    // mask anti-join (left-side-only predicates push below LeftAnti)
+    val filtered = snap.where(col("id") >= 90L)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual"),
+      s"filter must push through the masked read:\n$plan")
+    assert(ids(filtered) == ((90L to 99L) ++ (200L to 209L)))
+    // reserved provenance names are refused up front
+    val t2 = tmp("dv_reserved")
+    TxLog.write(spark.range(5).select(col("id"), lit(0L).as("_gdv_ri")),
+      t2, "overwrite")
+    intercept[IllegalArgumentException] {
+      TxLog.deleteVectored(spark, t2, col("id") === 1L)
+    }
+  }
+
   test("a streaming-source table refuses merge-on-read ops") {
     val t = tmp("dv_stream")
     seed(t)
