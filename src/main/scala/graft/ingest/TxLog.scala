@@ -70,11 +70,19 @@ object TxLog {
     * O(rows masked so far in the touched files), never O(file bytes).
     * The dvset id names a parquet dataset under `<table>/_dv/<id>/`
     * with schema (file STRING, row_index BIGINT). */
+  /** `ts` — the in-commit timestamp (epoch ms, round 15): recorded in
+    * the commit BODY, strictly monotonic across versions (each claim
+    * attempt stamps max(now, predecessor's ts + 1)), so `TIMESTAMP AS
+    * OF` survives file copies, backup restores and mtime-disturbing
+    * tooling — the fragility that made Delta itself move from
+    * file-modification times to in-commit timestamps. -1 = a pre-15
+    * commit without one (readers fall back to the file mtime). */
   final case class Commit(version: Long, mode: String, batchId: Long,
     adds: Seq[String], schema: String = "",
     stats: Map[String, Map[String, ColStat]] = Map.empty,
     removes: Seq[String] = Nil,
-    dvs: Map[String, (String, Long)] = Map.empty)
+    dvs: Map[String, (String, Long)] = Map.empty,
+    ts: Long = -1L)
 
   private def commitFile(table: String, v: Long): Path =
     logDir(table).resolve(f"$v%010d.txt")
@@ -119,6 +127,28 @@ object TxLog {
   def commits(table: String): Seq[Commit] =
     commitsFrom(table, 0L)
 
+  /** One commit by version, through the parse cache (None if the file
+    * is gone — vacuumed history or a never-landed version). */
+  private def commitAt(table: String, v: Long): Option[Commit] = {
+    val f = commitFile(table, v)
+    if (!Files.exists(f)) return None
+    val key =
+      try s"${f.toAbsolutePath}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}"
+      catch { case _: Exception => "" }
+    Some(if (key.nonEmpty) {
+      val hit = parseCache.get(key)
+      if (hit != null) hit
+      else { val c = parseCommit(f); parseCache.put(key, c); c }
+    } else parseCommit(f))
+  }
+
+  /** A commit's effective timestamp: the in-commit stamp when present,
+    * the commit file's mtime for pre-15 logs. */
+  private def effectiveTs(table: String, c: Commit): Long =
+    if (c.ts >= 0) c.ts
+    else try Files.getLastModifiedTime(commitFile(table, c.version)).toMillis
+    catch { case _: Exception => -1L }
+
   /** Commits with version >= `fromV`, in version order — the version
     * is in the FILE NAME, so skipping the head of a long log costs no
     * reads at all (the O(checkpoint-tail) resolution path). */
@@ -146,6 +176,7 @@ object TxLog {
   private def parseCommit(f: Path): Commit = {
       val v = f.getFileName.toString.stripSuffix(".txt").toLong
       var mode = "append"; var batch = -1L; var schema = ""
+      var ts = -1L
       val adds = Seq.newBuilder[String]
       val removes = Seq.newBuilder[String]
       val dvs = Map.newBuilder[String, (String, Long)]
@@ -159,6 +190,7 @@ object TxLog {
       new String(Files.readAllBytes(f), "UTF-8").linesIterator.foreach {
         case l if l.startsWith("mode=") => mode = l.stripPrefix("mode=")
         case l if l.startsWith("batch=") => batch = l.stripPrefix("batch=").toLong
+        case l if l.startsWith("ts=") => ts = l.stripPrefix("ts=").toLong
         case l if l.startsWith("schema=") => schema = l.stripPrefix("schema=")
         case l if l.startsWith("add=") => adds += l.stripPrefix("add=")
         case l if l.startsWith("remove=") => removes += l.stripPrefix("remove=")
@@ -180,7 +212,7 @@ object TxLog {
         case _ => ()
       }
       Commit(v, mode, batch, adds.result(), schema, stats.toMap,
-        removes.result(), dvs.result())
+        removes.result(), dvs.result(), ts)
   }
 
   /** Claim the next version atomically; returns the version landed.
@@ -218,11 +250,21 @@ object TxLog {
         s"dv names must not contain '|': $f -> $set")
       s"dv=$f|$set|$card"
     }
-    val body = (s"mode=$mode" +: s"batch=$batchId" +: s"schema=$schema" +:
-      (removes.map("remove=" + _) ++ adds.map("add=" + _) ++ dvLines ++
-        statLines)).mkString("", "\n", "\n")
+    val tail = removes.map("remove=" + _) ++ adds.map("add=" + _) ++
+      dvLines ++ statLines
     var v = latestVersion(table).map(_ + 1).getOrElse(0L)
     while (true) {
+      // in-commit timestamp, stamped PER CLAIM ATTEMPT: the loser of a
+      // version race re-stamps against the winner's commit, keeping
+      // the sequence strictly monotonic even under clock skew (a
+      // body reused across retries could carry a ts EARLIER than the
+      // version it lands after)
+      val prevTs =
+        if (v == 0L) -1L
+        else commitAt(table, v - 1).map(effectiveTs(table, _)).getOrElse(-1L)
+      val ts = math.max(System.currentTimeMillis(), prevTs + 1)
+      val body = (s"mode=$mode" +: s"batch=$batchId" +: s"ts=$ts" +:
+        s"schema=$schema" +: tail).mkString("", "\n", "\n")
       // exactly-once must hold across CONCURRENT replayers too (zombie
       // driver + failover both replaying one micro-batch): re-check
       // the batch ledger on every claim attempt, not just at write()
@@ -1897,19 +1939,27 @@ object TxLog {
   }
 
   /** Latest version whose commit landed at or before `tsMillis` —
-    * Delta's `TIMESTAMP AS OF` resolution, from the commit files'
-    * mtimes (the rename that publishes a commit stamps it; nothing
-    * rewrites a version file afterwards). File-name + mtime reads
-    * only, no parsing. None if the table has no commit that old. */
+    * Delta's `TIMESTAMP AS OF` resolution, on IN-COMMIT timestamps
+    * (round 15): the stamp lives in the commit body and is strictly
+    * monotonic across versions, so resolution survives file copies,
+    * backup restores and mtime-disturbing tooling (pre-15 commits
+    * without a stamp fall back to the file mtime). Scans version
+    * numbers DESCENDING and parses (cache-hit) until the first commit
+    * at or before the target — O(commits newer than the target), which
+    * for the common "recent timestamp" query is a handful. None if
+    * the table has no commit that old. */
   def versionAt(table: String, tsMillis: Long): Option[Long] = {
     val dir = logDir(table)
     if (!Files.isDirectory(dir)) return None
-    val vs = ls(dir).filter { p =>
-      p.getFileName.toString.matches("\\d{10}\\.txt") &&
-        (try Files.getLastModifiedTime(p).toMillis <= tsMillis
-        catch { case _: Exception => false })
-    }.map(_.getFileName.toString.stripSuffix(".txt").toLong)
-    if (vs.isEmpty) None else Some(vs.max)
+    ls(dir).map(_.getFileName.toString)
+      .filter(_.matches("\\d{10}\\.txt"))
+      .map(_.stripSuffix(".txt").toLong)
+      .sorted(Ordering[Long].reverse)
+      .find { v =>
+        commitAt(table, v)
+          .map(effectiveTs(table, _))
+          .exists(t => t >= 0 && t <= tsMillis)
+      }
   }
 
   /** Snapshot as of a wall-clock instant (epoch ms) — `TIMESTAMP AS
@@ -1924,17 +1974,14 @@ object TxLog {
   /** Table history as a DataFrame — the DESCRIBE HISTORY analogue:
     * one row per commit with its mode, micro-batch id (-1 for batch
     * writers), add/remove file counts, whether it changed the schema,
-    * and the commit timestamp (the publish rename's mtime — the same
-    * clock `TIMESTAMP AS OF` resolves against). Log metadata only; no
-    * data files are touched. */
+    * and the commit timestamp (the in-commit stamp — the same clock
+    * `TIMESTAMP AS OF` resolves against; pre-15 commits fall back to
+    * the file mtime). Log metadata only; no data files are touched. */
   def history(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
     commits(table).map { c =>
-      val ts =
-        try Files.getLastModifiedTime(commitFile(table, c.version)).toMillis
-        catch { case _: Exception => -1L }
       (c.version, c.mode, c.batchId, c.adds.size.toLong,
-        c.removes.size.toLong, c.schema.nonEmpty, ts)
+        c.removes.size.toLong, c.schema.nonEmpty, effectiveTs(table, c))
     }.toDF("version", "mode", "batch_id", "n_adds", "n_removes",
       "schema_recorded", "commit_ts_ms")
   }
@@ -2141,6 +2188,39 @@ object TxLog {
       dimB: String, targetFiles: Int = 8): Long =
     write(Layout.zOrdered(snapshot(spark, table), dimA, dimB, targetFiles),
       table, "overwrite")
+
+  /** Range-scoped OPTIMIZE (round 15 — Delta's `OPTIMIZE ... WHERE`):
+    * compact ONLY the live files whose recorded `column` stats overlap
+    * [lo, hi] into `targetFiles` replacements, as one atomic REWRITE
+    * commit — files outside the range are never opened, so the op is
+    * O(selected bytes), not O(table). This is how a 100 TB table is
+    * actually maintained: the streaming sink accretes small files in
+    * the RECENT key range; compacting yesterday's slice nightly keeps
+    * the hot range tight while history stays untouched (whole-table
+    * `compact` would re-copy 100 TB per run). Deletion-vector masks on
+    * the selected files materialize away (the rewrite reads visible
+    * rows and retires their dv entries); masks elsewhere are kept.
+    * Content-neutral by construction; returns the committed version
+    * (the current one when ≤ targetFiles files qualify — nothing to
+    * do). Stats-free files never qualify (they can't be proven inside
+    * the range); compact them via the whole-table path. */
+  def compactRange(spark: SparkSession, table: String, column: String,
+      lo: Option[Any], hi: Option[Any], targetFiles: Int = 1): Long = {
+    require(lo.nonEmpty || hi.nonEmpty,
+      "compactRange needs at least one bound; use compact() for the " +
+        "whole table")
+    val stats = fileStats(table)
+    // unlike read-side pruning (where keeping a stats-free file is the
+    // safe direction), compaction must only claim files PROVEN inside
+    // scope — so the candidate set is stats-backed overlaps only
+    val candidates = liveFiles(table).filter { f =>
+      stats.get(f).flatMap(_.get(column))
+        .exists(cs => overlaps(cs, lo, hi))
+    }
+    if (candidates.size <= targetFiles)
+      return latestVersion(table).getOrElse(-1L)
+    rewrite(spark, table, candidates, _.repartition(targetFiles))
+  }
 
   /** N-dimensional OPTIMIZE ZORDER — the layout companion of
     * `snapshotWhere`: after it, a conjunctive lookup prunes on every

@@ -362,6 +362,33 @@ class TxLogDvSpec extends SparkSpec {
     assert(canon(t).toSeq == canon(tCow).toSeq)
   }
 
+  test("compactRange: scoped OPTIMIZE touches only the selected range") {
+    val t = tmp("dv_optrange")
+    seed(t) // 4 range-clustered files over 0..99
+    TxLog.deleteVectored(spark, t, col("id") === 10L) // mask in-range
+    TxLog.deleteVectored(spark, t, col("id") === 90L) // mask out-of-range
+    val before = ids(TxLog.snapshot(spark, t))
+    val filesBefore = TxLog.liveFiles(t)
+    val outOfScope = filesBefore.filterNot(f =>
+      TxLog.fileStats(t).get(f).flatMap(_.get("id"))
+        .exists(cs => cs.min.toLong <= 49L))
+    val v = TxLog.compactRange(spark, t, "id", Some(0L), Some(49L))
+    assert(TxLog.commits(t).find(_.version == v).exists(_.mode == "rewrite"))
+    // out-of-scope files survive BY NAME; in-scope ones collapsed to 1
+    val filesAfter = TxLog.liveFiles(t)
+    assert(outOfScope.forall(filesAfter.contains))
+    assert(filesAfter.size == outOfScope.size + 1)
+    // content-neutral; the in-range mask materialized away, the
+    // out-of-range mask is kept
+    assert(ids(TxLog.snapshot(spark, t)) == before)
+    val dvm = TxLog.dvAt(t)
+    assert(dvm.keySet.subsetOf(outOfScope.toSet) && dvm.nonEmpty,
+      "only the untouched file's mask remains")
+    // nothing qualifies → no commit
+    val latest = TxLog.latestVersion(t).get
+    assert(TxLog.compactRange(spark, t, "id", Some(5000L), None) == latest)
+  }
+
   test("auto-compaction bounds live files over a 100-batch stream") {
     val base = tmp("txlog_ac")
     val in = s"$base/in"; val t = s"$base/table"; val ckpt = s"$base/ckpt"

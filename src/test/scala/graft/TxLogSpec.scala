@@ -646,12 +646,21 @@ class TxLogSpec extends SparkSpec {
       Seq((1L, "x")).toDF("id", "v"), Seq("id"), "rev"))
   }
 
-  test("TIMESTAMP AS OF: version resolution from commit mtimes") {
+  test("TIMESTAMP AS OF: pre-15 logs without in-commit stamps fall back to mtimes") {
     val t = tmp("txlog_tsasof")
     TxLog.write(Seq(1L).toDF("id"), t, "overwrite") // v0
     TxLog.write(Seq(2L).toDF("id"), t, "append")    // v1
     TxLog.write(Seq(9L).toDF("id"), t, "overwrite") // v2
-    // controlled clock: stamp the commit files an hour apart
+    // simulate a log written before in-commit timestamps existed:
+    // strip the ts= lines, then control the clock via mtimes (the
+    // fallback the old resolution scheme used exclusively)
+    (0 to 2).foreach { v =>
+      val p = Paths.get(t, "_txlog", f"$v%010d.txt")
+      val txt = new String(Files.readAllBytes(p), "UTF-8")
+        .linesIterator.filterNot(_.startsWith("ts=")).mkString("\n") + "\n"
+      Files.write(p, txt.getBytes("UTF-8")); ()
+    }
+    TxLog.clearParseCache()
     val t0 = 1700000000000L
     (0 to 2).foreach(v => Paths.get(t, "_txlog", f"$v%010d.txt")
       .toFile.setLastModified(t0 + v * 3600000L))
@@ -694,6 +703,31 @@ class TxLogSpec extends SparkSpec {
       .awaitTermination()
     assert(TxLog.snapshot(spark, s"$base/table").count() == n1,
       "restart must not duplicate rows")
+  }
+
+  test("in-commit timestamps: TIMESTAMP AS OF survives mtime disturbance") {
+    val t = tmp("txlog_icts")
+    TxLog.write(Seq(1L).toDF("id"), t, "append")      // v0
+    TxLog.write(Seq(2L).toDF("id"), t, "append")      // v1
+    val cs = TxLog.commits(t)
+    val (ts0, ts1) = (cs(0).ts, cs(1).ts)
+    assert(ts0 > 0)
+    assert(ts1 > ts0, "strictly monotonic even within one clock ms")
+    // a backup restore / file copy disturbs every mtime — resolution
+    // must not care (the pre-15 mtime scheme broke exactly here)
+    Seq(0L, 1L).foreach { v =>
+      Paths.get(t, "_txlog", f"$v%010d.txt").toFile.setLastModified(7777777L)
+    }
+    TxLog.clearParseCache()
+    assert(TxLog.versionAt(t, ts0).contains(0L))
+    assert(TxLog.versionAt(t, ts1 - 1).contains(0L))
+    assert(TxLog.versionAt(t, ts1).contains(1L))
+    assert(TxLog.versionAt(t, ts0 - 1).isEmpty)
+    assert(ids(TxLog.snapshotAsOf(spark, t, ts0)) == Seq(1L))
+    // history reports the same in-commit clock
+    val h = TxLog.history(spark, t).collect().sortBy(_.getLong(0))
+    assert(h(0).getAs[Long]("commit_ts_ms") == ts0 &&
+      h(1).getAs[Long]("commit_ts_ms") == ts1)
   }
 
   test("detail, vacuum dry run, size-targeted compaction") {
