@@ -102,6 +102,7 @@ object SparkEntry {
         k != "txlog_incremental_curation" && // builds tables per call: IO class
         k != "txlog_dv" && // builds a table per call: IO class
         k != "txlog_catalog_dml" && // builds a table per call: IO class
+        k != "txlog_optimize_range" && // builds a table per call: IO class
         k != "medallion_pin_q1" && // full streaming medallion per call: IO class
         // same results as ngram_jaccard via the hot-key-free candidate
         // path; its freq-agg + prefix overhead only pays off on corpora
@@ -1489,6 +1490,25 @@ object SparkEntry {
         FROM txsql_v1 GROUP BY lang
         ORDER BY at, lang""")
     }),
+    // range-scoped OPTIMIZE (round 15, Delta's OPTIMIZE ... WHERE): a
+    // deletion-vector point delete followed by a compactRange over the
+    // affected key range — only stats-proven in-scope files rewrite
+    // (out-of-scope files survive by name, TxLogDvSpec pins it), the
+    // in-range mask materializes away, and the visible table is
+    // content-neutral: the oracle is plain set algebra on the source
+    "txlog_optimize_range" -> prep((s, d) => {
+      val t = tmpDir("graft_txoptrange")
+      val docs = s.read.parquet(s"$d/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+      graft.ingest.TxLog.write(
+        docs.repartitionByRange(8, col("doc_id")), t, "overwrite")
+      graft.ingest.TxLog.deleteVectored(s, t,
+        col("doc_id") >= 100L && col("doc_id") <= 199L)
+      graft.ingest.TxLog.compactRange(s, t, "doc_id",
+        Some(0L), Some(2500L), targetFiles = 2)
+      Engine.canonical(graft.ingest.TxLog.snapshot(s, t)
+        .select("doc_id", "lang", "source", "n_chars"))
+    }),
     // the DSv2 catalog as the pure-SQL DML surface (round 15): the
     // whole lifecycle — DELETE FROM, INSERT INTO ... SELECT, reads,
     // and VERSION AS OF time travel — runs through `graft.` SQL
@@ -2322,6 +2342,7 @@ object SparkEntry {
     "txlog_time_travel" -> ExtOracle.txlogTimeTravel,
     "txlog_sql_snapshot" -> ExtOracle.txlogSqlSnapshot,
     "txlog_catalog_dml" -> ExtOracle.txlogCatalogDml,
+    "txlog_optimize_range" -> ExtOracle.txlogOptimizeRange,
     "txlog_restore" -> ExtOracle.txlogRestore,
     "txlog_multi_prune" -> ExtOracle.txlogMultiPrune,
     "txlog_expectations" -> ExtOracle.txlogExpectations,

@@ -224,8 +224,78 @@ object StreamBench {
     // and quarantined in-line rather than killing micro-batches)
     val decodeRow = measure("multimodal_decode_stream", (_, out, ckpt) =>
       graft.streaming.CorpusStream.runDecodeStats(spark, docIn, out, ckpt))
+
+    // ---- CDC upsert replay: COW vs MERGE-ON-READ sink ---------------
+    // the write-amplification contrast in one artifact: a base wave
+    // plus 8 revision waves, each touching keys spread across EVERY
+    // table file (doc_id % 5 — the adversarial-but-typical CDC shape).
+    // The COW sink re-copies every touched file per micro-batch; the
+    // MoR sink masks contested rows and lands only the winners. Both
+    // converge to the identical table (oracle + ScaleVerify pinned);
+    // `table_bytes_written` — every byte ever landed under the table
+    // dir, tombstones and dv sets included — is the 100 TB claim as a
+    // number.
+    val cdcIn = s"$base/cdc_in"
+    val cdcDocs = docs0.select(col("doc_id"), col("lang"), col("source"),
+      lit(0L).as("n_chars"))
+      .crossJoin(spark.range(10).toDF("__c"))
+      .select((col("doc_id") + col("__c") * 1000000000L).as("doc_id"),
+        col("lang"), col("source"), col("n_chars"))
+    def emitCdcWave(df: DataFrame, idx: Int): Unit = {
+      val stage = s"$cdcIn-stage$idx"
+      df.coalesce(1).write.mode("overwrite")
+        .json(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".json")).head
+      val dst = java.nio.file.Paths.get(cdcIn, f"w$idx%02d.json")
+      java.nio.file.Files.createDirectories(dst.getParent)
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + idx * 60000L); ()
+    }
+    emitCdcWave(cdcDocs.withColumn("rev", lit(0L)), 0)
+    (1 to 8).foreach { w =>
+      emitCdcWave(cdcDocs.where(pmod(col("doc_id"), lit(5)) === (w % 5))
+        .withColumn("n_chars", lit(w.toLong))
+        .withColumn("rev", lit(w.toLong)), w)
+    }
+    def dirBytes(p: java.nio.file.Path): Long = {
+      if (!java.nio.file.Files.isDirectory(p)) return 0L
+      val w = java.nio.file.Files.walk(p)
+      try w.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(f => java.nio.file.Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".parquet"))
+        .map(java.nio.file.Files.size).sum
+      finally w.close()
+    }
+    def measureCdc(name: String, mergeOnRead: Boolean): String = {
+      val tbl = s"$base/$name/table"; val ckpt = s"$base/$name/ckpt"
+      val t0 = System.nanoTime()
+      val q = graft.ingest.TxLog.streamUpsertSink(
+        spark.readStream
+          .schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT, rev BIGINT")
+          .option("maxFilesPerTrigger", "1").json(cdcIn),
+        tbl, Seq("doc_id"), "rev", ckpt, mergeOnRead = mergeOnRead)
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val progs = q.recentProgress.toSeq
+      val inputRows = progs.map(_.numInputRows).sum
+      val batches = progs.count(_.numInputRows > 0)
+      val bytes = dirBytes(java.nio.file.Paths.get(tbl))
+      val outRows = graft.ingest.TxLog.snapshot(spark, tbl).count()
+      println(s"[streambench] $name: ${r2(inputRows / wall)} rows/s " +
+        s"($inputRows rows, $batches batches, wall ${r2(wall)}s, " +
+        s"table_bytes_written $bytes, out $outRows)")
+      s""""$name":{"rows_per_sec":${r2(inputRows / wall)},""" +
+        s""""input_rows":$inputRows,"out_rows":$outRows,""" +
+        s""""n_batches":$batches,"wall_s":${r2(wall)},""" +
+        s""""table_bytes_written":$bytes}"""
+    }
+    val cdcCowRow = measureCdc("cdc_upsert_cow", mergeOnRead = false)
+    val cdcMorRow = measureCdc("cdc_upsert_mor", mergeOnRead = true)
+
     val allResults =
-      results :+ ivfRow :+ nearDupRow :+ fullIngestRow :+ cmsRow :+ decodeRow
+      results :+ ivfRow :+ nearDupRow :+ fullIngestRow :+ cmsRow :+
+        decodeRow :+ cdcCowRow :+ cdcMorRow
 
     val loadEnd = loadAvg()
     def arr(xs: Seq[Double]) = xs.map(r2).mkString("[", ",", "]")

@@ -1076,6 +1076,15 @@ UNION ALL
 SELECT doc_id, lang, source, n_chars, 'v0' AS at FROM documents
 ${ord("doc_id", "lang", "source", "n_chars", "at")}""".trim
 
+  /** Twin of `txlog_optimize_range`: a deletion-vector delete of
+    * [100, 199] followed by a range-scoped compaction — both are
+    * invisible in the data, so the twin is the source table minus the
+    * deleted range. */
+  val txlogOptimizeRange: String = s"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE NOT COALESCE(doc_id BETWEEN 100 AND 199, FALSE)
+${ord("doc_id", "lang", "source", "n_chars")}""".trim
+
   /** Box-filter cell chain over the DECODED synthetic image's luma
     * pixels (the real-codec analogue of `resizeCellChain`): width 32,
     * height ceil(len/32), pixel value = integer ITU-601 luma of the

@@ -55,6 +55,11 @@ object TxLog {
 
   private def logDir(table: String): Path = Paths.get(table, "_txlog")
 
+  /** Log format this engine writes and the highest it reads. Bumped
+    * only for changes an old reader would misread (new line KINDS are
+    * additive and need no bump; re-encoding the live set would). */
+  val formatVersion: Long = 1L
+
   /** Per-file column statistics recorded in the commit — the data-
     * skipping half of the format (Delta records the same per-file
     * min/max in its commit json). `kind` ∈ long | double | string |
@@ -188,6 +193,18 @@ object TxLog {
       // (the same hazard ls() guards against), and platform-default
       // decoding would mojibake non-ASCII column names in schema=
       new String(Files.readAllBytes(f), "UTF-8").linesIterator.foreach {
+        // forward-compat guard (Delta's reader-protocol-version role):
+        // unknown LINE kinds are tolerable (additive metadata), but a
+        // declared format bump means the live set itself may be
+        // encoded in ways this reader cannot see — reading on would
+        // return silently WRONG data, so refuse loudly instead
+        case l if l.startsWith("format=") =>
+          val n = l.stripPrefix("format=").toLong
+          if (n > formatVersion)
+            throw new IllegalStateException(
+              s"commit $f declares log format $n; this engine reads " +
+                s"format <= $formatVersion — upgrade before reading " +
+                s"this table")
         case l if l.startsWith("mode=") => mode = l.stripPrefix("mode=")
         case l if l.startsWith("batch=") => batch = l.stripPrefix("batch=").toLong
         case l if l.startsWith("ts=") => ts = l.stripPrefix("ts=").toLong
@@ -263,8 +280,9 @@ object TxLog {
         if (v == 0L) -1L
         else commitAt(table, v - 1).map(effectiveTs(table, _)).getOrElse(-1L)
       val ts = math.max(System.currentTimeMillis(), prevTs + 1)
-      val body = (s"mode=$mode" +: s"batch=$batchId" +: s"ts=$ts" +:
-        s"schema=$schema" +: tail).mkString("", "\n", "\n")
+      val body = (s"format=$formatVersion" +: s"mode=$mode" +:
+        s"batch=$batchId" +: s"ts=$ts" +: s"schema=$schema" +: tail)
+        .mkString("", "\n", "\n")
       // exactly-once must hold across CONCURRENT replayers too (zombie
       // driver + failover both replaying one micro-batch): re-check
       // the batch ledger on every claim attempt, not just at write()

@@ -730,6 +730,18 @@ class TxLogSpec extends SparkSpec {
       h(1).getAs[Long]("commit_ts_ms") == ts1)
   }
 
+  test("a commit declaring a newer log format is refused, not misread") {
+    val t = tmp("txlog_format")
+    TxLog.write(Seq(1L).toDF("id"), t, "append")
+    assert(TxLog.commits(t).nonEmpty) // format=1 reads fine
+    Files.write(Paths.get(t, "_txlog", f"${1L}%010d.txt"),
+      "format=2\nmode=append\nbatch=-1\nadd=future.parquet\n"
+        .getBytes("UTF-8"))
+    TxLog.clearParseCache()
+    val e = intercept[IllegalStateException] { TxLog.commits(t) }
+    assert(e.getMessage.contains("format 2"))
+  }
+
   test("detail, vacuum dry run, size-targeted compaction") {
     val t = tmp("txlog_detail")
     TxLog.write(spark.range(0, 1000).select(col("id"))
