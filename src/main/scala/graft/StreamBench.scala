@@ -228,19 +228,21 @@ object StreamBench {
     // ---- CDC upsert replay: COW vs MERGE-ON-READ sink ---------------
     // the write-amplification contrast in one artifact: a base wave
     // plus 8 revision waves, each touching keys spread across EVERY
-    // table file (doc_id % 5 — the adversarial-but-typical CDC shape).
-    // The COW sink re-copies every touched file per micro-batch; the
-    // MoR sink masks contested rows and lands only the winners. Both
-    // converge to the identical table (oracle + ScaleVerify pinned);
-    // `table_bytes_written` — every byte ever landed under the table
-    // dir, tombstones and dv sets included — is the 100 TB claim as a
-    // number.
+    // table file (doc_id % 5 — the adversarial-but-typical CDC shape),
+    // over FULL-WIDTH document rows (text kept: a CDC update is a
+    // metadata bump, but COW re-lands the whole row — the payload is
+    // where the amplification lives; masks are (file, row_index)
+    // whatever the row width). The COW sink re-copies every touched
+    // file per micro-batch; the MoR sink masks contested rows and
+    // lands only the winners. Both converge to the identical table
+    // (oracle + ScaleVerify pinned); `table_bytes_written` — every
+    // byte ever landed under the table dir, tombstones and dv sets
+    // included — is the 100 TB claim as a number.
     val cdcIn = s"$base/cdc_in"
-    val cdcDocs = docs0.select(col("doc_id"), col("lang"), col("source"),
-      lit(0L).as("n_chars"))
+    val cdcDocs = docs0
       .crossJoin(spark.range(10).toDF("__c"))
       .select((col("doc_id") + col("__c") * 1000000000L).as("doc_id"),
-        col("lang"), col("source"), col("n_chars"))
+        col("text"), col("lang"), col("source"))
     def emitCdcWave(df: DataFrame, idx: Int): Unit = {
       val stage = s"$cdcIn-stage$idx"
       df.coalesce(1).write.mode("overwrite")
@@ -255,7 +257,7 @@ object StreamBench {
     emitCdcWave(cdcDocs.withColumn("rev", lit(0L)), 0)
     (1 to 8).foreach { w =>
       emitCdcWave(cdcDocs.where(pmod(col("doc_id"), lit(5)) === (w % 5))
-        .withColumn("n_chars", lit(w.toLong))
+        .withColumn("source", lit(s"rev$w"))
         .withColumn("rev", lit(w.toLong)), w)
     }
     def dirBytes(p: java.nio.file.Path): Long = {
@@ -272,7 +274,7 @@ object StreamBench {
       val t0 = System.nanoTime()
       val q = graft.ingest.TxLog.streamUpsertSink(
         spark.readStream
-          .schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT, rev BIGINT")
+          .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, rev BIGINT")
           .option("maxFilesPerTrigger", "1").json(cdcIn),
         tbl, Seq("doc_id"), "rev", ckpt, mergeOnRead = mergeOnRead)
       q.awaitTermination()
