@@ -1663,6 +1663,36 @@ object SparkEntry {
       Engine.canonical(graft.ingest.TxLog.snapshot(s, silver)
         .select("doc_id", "lang", "source", "n_chars", "lang_up"))
     }),
+    // streaming FAN-IN (round 15, Delta's per-stream txn appId): two
+    // independent streams — their own checkpoints, batch ids BOTH
+    // restarting at 0 — feed ONE bronze table under distinct appIds;
+    // the (appId, batchId) ledger keeps each exactly-once (without the
+    // scoping, stream B's every batch would be skipped as stream A's
+    // replays). Both are drained TWICE (restart replays nothing). The
+    // oracle is the plain union of what the two streams carried.
+    "stream_txlog_fanin" -> prep((s, d) => {
+      val base = tmpDir("graft_txfanin")
+      val t = s"$base/table"
+      val docsDf = s.read.parquet(s"$d/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+      def land(df: DataFrame, dir: String): Unit = {
+        df.coalesce(2).write.json(dir); ()
+      }
+      land(docsDf.where(col("doc_id") % 2 === 0), s"$base/inA")
+      land(docsDf.where(col("doc_id") % 2 =!= 0), s"$base/inB")
+      def drain(in: String, ck: String, app: String): Unit =
+        graft.ingest.TxLog.streamSink(
+          s.readStream
+            .schema("doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT")
+            .option("maxFilesPerTrigger", "1").json(in),
+          t, s"$base/$ck", appId = app).awaitTermination()
+      drain(s"$base/inA", "ckA", "ingest-even")
+      drain(s"$base/inB", "ckB", "ingest-odd")
+      drain(s"$base/inA", "ckA", "ingest-even") // restarts: no dupes
+      drain(s"$base/inB", "ckB", "ingest-odd")
+      Engine.canonical(graft.ingest.TxLog.snapshot(s, t)
+        .select("doc_id", "lang", "source", "n_chars"))
+    }),
     // THE FULL REFERENCE PIPELINE as one medallion composition on the
     // jar-free Delta stand-in (STREAM:33-232 + BATCH:165-484 end to
     // end): Kinesis-envelope landing → streaming bytes→string →
@@ -2343,6 +2373,7 @@ object SparkEntry {
     "txlog_sql_snapshot" -> ExtOracle.txlogSqlSnapshot,
     "txlog_catalog_dml" -> ExtOracle.txlogCatalogDml,
     "txlog_optimize_range" -> ExtOracle.txlogOptimizeRange,
+    "stream_txlog_fanin" -> ExtOracle.txlogFanin,
     "txlog_restore" -> ExtOracle.txlogRestore,
     "txlog_multi_prune" -> ExtOracle.txlogMultiPrune,
     "txlog_expectations" -> ExtOracle.txlogExpectations,

@@ -1076,6 +1076,13 @@ UNION ALL
 SELECT doc_id, lang, source, n_chars, 'v0' AS at FROM documents
 ${ord("doc_id", "lang", "source", "n_chars", "at")}""".trim
 
+  /** Twin of `stream_txlog_fanin`: two exactly-once streams carrying
+    * the even and odd halves into one table, each drained twice —
+    * the union must hold exactly one copy of every source row. */
+  val txlogFanin: String = s"""
+SELECT doc_id, lang, source, n_chars FROM documents
+${ord("doc_id", "lang", "source", "n_chars")}""".trim
+
   /** Twin of `txlog_optimize_range`: a deletion-vector delete of
     * [100, 199] followed by a range-scoped compaction — both are
     * invisible in the data, so the twin is the source table minus the

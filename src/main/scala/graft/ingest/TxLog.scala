@@ -82,12 +82,19 @@ object TxLog {
     * tooling — the fragility that made Delta itself move from
     * file-modification times to in-commit timestamps. -1 = a pre-15
     * commit without one (readers fall back to the file mtime). */
+  /** `appId` — the writer-application id scoping `batchId` (round 15,
+    * Delta's `txn` appId/version): the exactly-once ledger keys on
+    * (appId, batchId), so SEVERAL streaming writers — each with its
+    * own checkpoint, ids independently restarting at 0 — can fan IN
+    * to one table without one stream's early batches being skipped as
+    * another's replays. "" = the legacy single-stream ledger. */
   final case class Commit(version: Long, mode: String, batchId: Long,
     adds: Seq[String], schema: String = "",
     stats: Map[String, Map[String, ColStat]] = Map.empty,
     removes: Seq[String] = Nil,
     dvs: Map[String, (String, Long)] = Map.empty,
-    ts: Long = -1L)
+    ts: Long = -1L,
+    appId: String = "")
 
   private def commitFile(table: String, v: Long): Path =
     logDir(table).resolve(f"$v%010d.txt")
@@ -181,7 +188,7 @@ object TxLog {
   private def parseCommit(f: Path): Commit = {
       val v = f.getFileName.toString.stripSuffix(".txt").toLong
       var mode = "append"; var batch = -1L; var schema = ""
-      var ts = -1L
+      var ts = -1L; var app = ""
       val adds = Seq.newBuilder[String]
       val removes = Seq.newBuilder[String]
       val dvs = Map.newBuilder[String, (String, Long)]
@@ -208,6 +215,7 @@ object TxLog {
         case l if l.startsWith("mode=") => mode = l.stripPrefix("mode=")
         case l if l.startsWith("batch=") => batch = l.stripPrefix("batch=").toLong
         case l if l.startsWith("ts=") => ts = l.stripPrefix("ts=").toLong
+        case l if l.startsWith("app=") => app = hexDec(l.stripPrefix("app="))
         case l if l.startsWith("schema=") => schema = l.stripPrefix("schema=")
         case l if l.startsWith("add=") => adds += l.stripPrefix("add=")
         case l if l.startsWith("remove=") => removes += l.stripPrefix("remove=")
@@ -229,7 +237,7 @@ object TxLog {
         case _ => ()
       }
       Commit(v, mode, batch, adds.result(), schema, stats.toMap,
-        removes.result(), dvs.result(), ts)
+        removes.result(), dvs.result(), ts, app)
   }
 
   /** Claim the next version atomically; returns the version landed.
@@ -246,7 +254,8 @@ object TxLog {
       stats: Map[String, Map[String, ColStat]] = Map.empty,
       removes: Seq[String] = Nil,
       dvs: Map[String, (String, Long)] = Map.empty,
-      dvBase: Map[String, Option[String]] = Map.empty): Long = {
+      dvBase: Map[String, Option[String]] = Map.empty,
+      appId: String = ""): Long = {
     Files.createDirectories(logDir(table))
     // append-only contract for tables serving as streaming sources: a
     // file-source consumer cannot un-see rows, so the shapes that
@@ -280,15 +289,17 @@ object TxLog {
         if (v == 0L) -1L
         else commitAt(table, v - 1).map(effectiveTs(table, _)).getOrElse(-1L)
       val ts = math.max(System.currentTimeMillis(), prevTs + 1)
-      val body = (s"format=$formatVersion" +: s"mode=$mode" +:
-        s"batch=$batchId" +: s"ts=$ts" +: s"schema=$schema" +: tail)
-        .mkString("", "\n", "\n")
+      val appLine =
+        if (appId.isEmpty) Nil else Seq(s"app=${hexEnc(appId)}")
+      val body = (Seq(s"format=$formatVersion", s"mode=$mode",
+        s"batch=$batchId", s"ts=$ts") ++ appLine ++
+        Seq(s"schema=$schema") ++ tail).mkString("", "\n", "\n")
       // exactly-once must hold across CONCURRENT replayers too (zombie
       // driver + failover both replaying one micro-batch): re-check
       // the batch ledger on every claim attempt, not just at write()
       // entry — the loser of the version race sees the winner's commit
       // here and backs off instead of double-landing the batch
-      if (batchId >= 0 && isBatchCommitted(table, batchId))
+      if (batchId >= 0 && isBatchCommitted(table, batchId, appId))
         return -1L
       // stream-source overwrite guard INSIDE the retry loop: the live
       // set is re-read on every claim attempt, so an append landing
@@ -370,11 +381,13 @@ object TxLog {
     v
   }
 
-  /** Batch ids already committed (the exactly-once ledger). NOTE:
-    * scans the full log; the hot-path skip check is
-    * `isBatchCommitted`, which resolves from the checkpoint tail. */
-  def committedBatches(table: String): Set[Long] =
-    commits(table).map(_.batchId).filter(_ >= 0).toSet
+  /** Batch ids already committed for `appId` (the exactly-once
+    * ledger; "" = the legacy single-stream app). NOTE: scans the full
+    * log; the hot-path skip check is `isBatchCommitted`, which
+    * resolves from the checkpoint tail. */
+  def committedBatches(table: String, appId: String = ""): Set[Long] =
+    commits(table).filter(c => c.batchId >= 0 && c.appId == appId)
+      .map(_.batchId).toSet
 
   /** `_txlog/_last_checkpoint` — Delta's last-checkpoint pointer,
     * reshaped: names the latest overwrite (checkpoint) version plus
@@ -391,21 +404,41 @@ object TxLog {
 
   def lastCheckpoint(table: String): Option[(Long, Long)] =
     try {
-      val txt = new String(Files.readAllBytes(pointerFile(table)), "UTF-8")
-      val kv = txt.linesIterator.flatMap { l =>
-        l.split("=", 2) match {
-          case Array(k, v) => Some(k -> v.toLong)
-          case _ => None
-        }
-      }.toMap
+      val kv = pointerKv(table)
       kv.get("version").map(v => (v, kv.getOrElse("max_batch", -1L)))
     } catch { case _: Exception => None }
 
+  private def pointerKv(table: String): Map[String, Long] =
+    try {
+      new String(Files.readAllBytes(pointerFile(table)), "UTF-8")
+        .linesIterator.flatMap { l =>
+          l.split("=", 2) match {
+            case Array(k, v) => Some(k -> v.toLong)
+            case _ => None
+          }
+        }.toMap
+    } catch { case _: Exception => Map.empty }
+
+  /** Per-app max committed batch id absorbed by the checkpoint
+    * pointer: `max_batch` carries the legacy "" app, `app_<hex>` lines
+    * the named writers — each app's ledger keeps its own "ids ≤ max
+    * are committed" guarantee across history drops. */
+  private def checkpointAppMax(table: String): Map[String, Long] =
+    pointerKv(table).collect {
+      case ("max_batch", m) if m >= 0 => "" -> m
+      case (k, m) if k.startsWith("app_") && m >= 0 => hexDec(k.drop(4)) -> m
+    }
+
   private def writePointer(table: String, version: Long,
-      maxBatch: Long): Unit =
+      appMax: Map[String, Long]): Unit =
     try {
       val tmp = logDir(table).resolve(s".ptr-${java.util.UUID.randomUUID()}")
-      Files.write(tmp, s"version=$version\nmax_batch=$maxBatch\n".getBytes("UTF-8"))
+      val appLines = appMax.toSeq.filter(_._1.nonEmpty).sortBy(_._1)
+        .map { case (a, m) => s"app_${hexEnc(a)}=$m" }
+      val body = (s"version=$version" +:
+        s"max_batch=${appMax.getOrElse("", -1L)}" +: appLines)
+        .mkString("", "\n", "\n")
+      Files.write(tmp, body.getBytes("UTF-8"))
       Files.move(tmp, pointerFile(table), StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
     } catch { case _: Exception => () } // advisory: next checkpoint retries
@@ -420,18 +453,22 @@ object TxLog {
       case _ => 0L
     }
 
-  /** Has micro-batch `id` already committed? The exactly-once skip
-    * check, resolved from the checkpoint tail: ids at or below the
-    * pointer's max_batch are committed by construction (FileStream
-    * batch ids are consecutive and every batch lands before the next
-    * starts), newer ids are searched in the tail commits only. */
-  def isBatchCommitted(table: String, id: Long): Boolean = {
-    val (fromV, maxB) = lastCheckpoint(table) match {
-      case Some((v, b)) if Files.exists(commitFile(table, v)) => (v, b)
-      case _ => (0L, -1L)
+  /** Has micro-batch `id` (scoped to `appId`) already committed? The
+    * exactly-once skip check, resolved from the checkpoint tail: ids
+    * at or below the pointer's per-app max are committed by
+    * construction (FileStream batch ids are consecutive per stream and
+    * every batch lands before the next starts), newer ids are searched
+    * in the tail commits only. */
+  def isBatchCommitted(table: String, id: Long,
+      appId: String = ""): Boolean = {
+    val fromV = lastCheckpoint(table) match {
+      case Some((v, _)) if Files.exists(commitFile(table, v)) => v
+      case _ => 0L
     }
+    val maxB = checkpointAppMax(table).getOrElse(appId, -1L)
     id <= maxB ||
-      commitsFrom(table, fromV).exists(_.batchId == id)
+      commitsFrom(table, fromV).exists(c =>
+        c.batchId == id && c.appId == appId)
   }
 
   /** Unsigned-byte lexicographic `<` over UTF-8 — BOTH parquet binary
@@ -688,7 +725,8 @@ object TxLog {
     * visible only with the log rename. Returns the committed version;
     * a replayed `batchId` commits nothing and returns -1. */
   def write(df: DataFrame, table: String, mode: String = "append",
-      batchId: Long = -1L, evolve: Boolean = false): Long = {
+      batchId: Long = -1L, evolve: Boolean = false,
+      appId: String = ""): Long = {
     require(mode == "append" || mode == "overwrite", s"bad mode $mode")
     // fail fast (writeCommit re-checks as the backstop): an overwrite
     // through here always stages FRESH files, which can never equal
@@ -697,7 +735,7 @@ object TxLog {
         liveFiles(table).nonEmpty),
       s"$table serves as a streaming source (append-only): " +
         s"overwrite would replace rows consumers already saw")
-    if (batchId >= 0 && isBatchCommitted(table, batchId)) return -1L
+    if (batchId >= 0 && isBatchCommitted(table, batchId, appId)) return -1L
     // schema guard: an append whose schema differs from the table's
     // current one must fail at COMMIT time with the diff in hand —
     // letting it land would poison every later snapshot read with a
@@ -727,7 +765,7 @@ object TxLog {
           s"append schema mismatch:\n  table: ${last.schema}\n  batch: $ddl")
       }
     val (adds, stats) = stageWithStats(df, table)
-    writeCommit(table, mode, batchId, adds, ddl, stats)
+    writeCommit(table, mode, batchId, adds, ddl, stats, appId = appId)
   }
 
   /** Expectation write (the Delta Live Tables `expect_or_drop` +
@@ -1784,13 +1822,16 @@ object TxLog {
     val v = writeCommit(table, "overwrite", -1L, live, currentSchema(table),
       stats, dvs = dvm, dvBase = dvBaseFor(dvm, live))
     // advance the replay pointer: the ledger guarantee "ids ≤ max are
-    // committed" needs the max over ALL history ≤ v — surviving log
-    // files plus whatever a previous pointer already absorbed before
-    // its history was vacuumed
-    val prevMax = lastCheckpoint(table).map(_._2).getOrElse(-1L)
-    val maxBatch = commits(table).takeWhile(_.version <= v)
-      .map(_.batchId).foldLeft(prevMax)(math.max)
-    writePointer(table, v, maxBatch)
+    // committed" needs, PER APP, the max over ALL history ≤ v —
+    // surviving log files plus whatever a previous pointer already
+    // absorbed before its history was vacuumed
+    val appMax = scala.collection.mutable.Map.empty[String, Long]
+    checkpointAppMax(table).foreach { case (a, m) => appMax(a) = m }
+    commits(table).takeWhile(_.version <= v)
+      .filter(_.batchId >= 0).foreach { c =>
+        appMax(c.appId) = math.max(appMax.getOrElse(c.appId, -1L), c.batchId)
+      }
+    writePointer(table, v, appMax.toMap)
     v
   }
 
@@ -2300,13 +2341,17 @@ object TxLog {
     * by id. Stateless on the stream side — the ledger is the log.
     * `autoCheckpointEvery` bounds log replay (0 disables).
     *
-    * ONE stream per table: the ledger keys on the raw batch id, so
-    * pointing a second stream (fresh checkpoint dir, ids restart at 0)
-    * at a table another stream already fed would skip its early
-    * batches as "already committed". Delta disambiguates with a per-
-    * stream txn appId; here the deployment contract is one streaming
-    * writer per table (parallel PRODUCERS belong upstream of the one
-    * sink, and batch writers are unaffected — their batchId is -1).
+    * Multiple streams fan IN to one table by giving each its own
+    * `appId` (round 15 — Delta's per-stream txn appId): the ledger
+    * keys on (appId, batchId), so a second stream's ids — fresh
+    * checkpoint dir, restarting at 0 — are never skipped as another
+    * stream's replays, and each app's replay skip-check stays O(tail)
+    * through per-app maxes in the checkpoint pointer. The legacy
+    * default "" keeps the original one-stream-per-table contract for
+    * existing tables; batch writers are unaffected either way (their
+    * batchId is -1). Give every concurrent stream a DISTINCT appId;
+    * reusing one across two live streams recreates the collision the
+    * scoping exists to prevent.
     *
     * `autoCompactFiles` (0 = off) bounds the LIVE file count: past the
     * threshold a content-neutral compactToSize overwrite lands after
@@ -2314,10 +2359,10 @@ object TxLog {
     * interaction — published tables are never auto-compacted). */
   def streamSink(df: DataFrame, table: String,
       checkpointDir: String, autoCheckpointEvery: Int = 64,
-      autoCompactFiles: Int = 0): StreamingQuery =
+      autoCompactFiles: Int = 0, appId: String = ""): StreamingQuery =
     df.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        write(batch, table, "append", batchId = id)
+        write(batch, table, "append", batchId = id, appId = appId)
         maybeCheckpoint(table, autoCheckpointEvery)
         maybeCompact(batch.sparkSession, table, autoCompactFiles); ()
       }

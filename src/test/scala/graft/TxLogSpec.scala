@@ -730,6 +730,47 @@ class TxLogSpec extends SparkSpec {
       h(1).getAs[Long]("commit_ts_ms") == ts1)
   }
 
+  test("fan-in: two streams with distinct appIds share one table exactly-once") {
+    val base = tmp("txlog_fanin")
+    val t = s"$base/table"
+    def land(dir: String, lo: Int, hi: Int): Unit = {
+      Files.createDirectories(Paths.get(dir))
+      (lo until hi).foreach(i => Files.write(Paths.get(dir, f"f$i%03d.json"),
+        s"""{"id":$i}""".getBytes("UTF-8")))
+      ()
+    }
+    land(s"$base/inA", 0, 8); land(s"$base/inB", 100, 108)
+    def drain(in: String, ckpt: String, app: String): Unit =
+      TxLog.streamSink(spark.readStream.schema("id LONG")
+        .option("maxFilesPerTrigger", "1").json(in), t, s"$base/$ckpt",
+        appId = app).awaitTermination()
+    drain(s"$base/inA", "ckA", "streamA") // batch ids 0..7 under app A
+    // stream B's ids ALSO start at 0 — without app scoping every one
+    // of them would be skipped as A's replays
+    drain(s"$base/inB", "ckB", "streamB")
+    assert(ids(TxLog.snapshot(spark, t)) == ((0L to 7L) ++ (100L to 107L)))
+    // restarts drain nothing (each app's own ledger)
+    drain(s"$base/inA", "ckA", "streamA")
+    drain(s"$base/inB", "ckB", "streamB")
+    assert(TxLog.snapshot(spark, t).count() == 16L)
+    assert(TxLog.committedBatches(t, "streamA") == (0L to 7L).toSet)
+    assert(TxLog.committedBatches(t, "streamB") == (0L to 7L).toSet)
+    assert(TxLog.committedBatches(t).isEmpty, "the legacy ledger is its own app")
+    // the checkpoint pointer absorbs PER-APP maxes: after a history
+    // drop, a zombie replay of either app's old batch is still skipped
+    val cp = TxLog.checkpointLog(t)
+    TxLog.vacuum(t, dropHistoryBefore = cp, retainMs = 0L)
+    assert(TxLog.write(Seq(999L).toDF("id"), t, "append",
+      batchId = 5L, appId = "streamA") == -1L)
+    assert(TxLog.write(Seq(998L).toDF("id"), t, "append",
+      batchId = 5L, appId = "streamB") == -1L)
+    // a NEW app's id 5 is a different transaction and lands
+    assert(TxLog.write(Seq(997L).toDF("id"), t, "append",
+      batchId = 5L, appId = "streamC") >= 0L)
+    assert(ids(TxLog.snapshot(spark, t)).contains(997L))
+    assert(!ids(TxLog.snapshot(spark, t)).contains(999L))
+  }
+
   test("a commit declaring a newer log format is refused, not misread") {
     val t = tmp("txlog_format")
     TxLog.write(Seq(1L).toDF("id"), t, "append")
