@@ -102,6 +102,7 @@ object SparkEntry {
         k != "txlog_incremental_curation" && // builds tables per call: IO class
         k != "txlog_dv" && // builds a table per call: IO class
         k != "txlog_catalog_dml" && // builds a table per call: IO class
+        k != "txlog_catalog_rowlevel" && // builds a table per call: IO class
         k != "txlog_optimize_range" && // builds a table per call: IO class
         k != "medallion_pin_q1" && // full streaming medallion per call: IO class
         // same results as ngram_jaccard via the hot-key-free candidate
@@ -1533,6 +1534,41 @@ object SparkEntry {
         SELECT doc_id, lang, source, n_chars, 'v0' AS at
         FROM graft.`$t` VERSION AS OF 0"""))
     }),
+    // SQL row-level DML (round 15): UPDATE and MERGE INTO rewrite
+    // through the DSv2 row-level-operation path — group-based
+    // copy-on-write with Spark's runtime group filter bounding the
+    // rewrite to files that hold matches (RowLevelSqlSpec pins the
+    // bounded file set, `_file` provenance, the subquery-DELETE
+    // fallback, constraint gating and pin immutability); the oracle
+    // replays UPDATE → MERGE (update/delete/insert arms) → subquery
+    // DELETE as set algebra on the source table
+    "txlog_catalog_rowlevel" -> prep((s, d) => {
+      val t = tmpDir("graft_txrl")
+      val base = s.read.parquet(s"$d/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+      graft.ingest.TxLog.write(
+        base.repartitionByRange(8, col("doc_id")), t, "overwrite")
+      base.createOrReplaceTempView("catalog_rl_src")
+      s.sql(s"""UPDATE graft.`$t` SET n_chars = n_chars + 1000000
+        WHERE doc_id BETWEEN 100 AND 199""")
+      s.sql(s"""MERGE INTO graft.`$t` tgt
+        USING (SELECT doc_id, lang, source, n_chars
+                 FROM catalog_rl_src WHERE doc_id < 80
+               UNION ALL
+               SELECT doc_id + 900000, lang, 'merge-insert', n_chars
+                 FROM catalog_rl_src WHERE doc_id < 20) src
+        ON tgt.doc_id = src.doc_id
+        WHEN MATCHED AND src.doc_id % 2 = 1 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET lang = 'merged'
+        WHEN NOT MATCHED THEN INSERT *""")
+      s.sql(s"""DELETE FROM graft.`$t` WHERE doc_id IN
+        (SELECT doc_id FROM catalog_rl_src WHERE doc_id BETWEEN 300 AND 349)""")
+      Engine.canonical(s.sql(s"""
+        SELECT doc_id, lang, source, n_chars, 'now' AS at FROM graft.`$t`
+        UNION ALL
+        SELECT doc_id, lang, source, n_chars, 'v0' AS at
+        FROM graft.`$t` VERSION AS OF 0"""))
+    }),
     // conjunctive data skipping (round 14): the z-ordered table
     // answers a three-predicate lookup — user range AND time range AND
     // type IN-set — through snapshotWhere, which drops every file some
@@ -2372,6 +2408,7 @@ object SparkEntry {
     "txlog_time_travel" -> ExtOracle.txlogTimeTravel,
     "txlog_sql_snapshot" -> ExtOracle.txlogSqlSnapshot,
     "txlog_catalog_dml" -> ExtOracle.txlogCatalogDml,
+    "txlog_catalog_rowlevel" -> ExtOracle.txlogCatalogRowLevel,
     "txlog_optimize_range" -> ExtOracle.txlogOptimizeRange,
     "stream_txlog_fanin" -> ExtOracle.txlogFanin,
     "txlog_restore" -> ExtOracle.txlogRestore,

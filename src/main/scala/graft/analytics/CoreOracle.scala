@@ -1076,6 +1076,38 @@ UNION ALL
 SELECT doc_id, lang, source, n_chars, 'v0' AS at FROM documents
 ${ord("doc_id", "lang", "source", "n_chars", "at")}""".trim
 
+  /** Twin of `txlog_catalog_rowlevel`: the SQL row-level DML
+    * lifecycle — UPDATE a doc_id band, MERGE (matched-odd delete,
+    * matched update, not-matched insert of +900000-shifted copies),
+    * then a subquery DELETE — replayed as set algebra on the source
+    * table. MERGE matched-ness is join-based (NULL keys never match);
+    * DELETE keeps NULL-predicate rows; both mirrored with COALESCE. */
+  val txlogCatalogRowLevel: String = s"""
+WITH upd AS (
+  SELECT doc_id, lang, source,
+    CASE WHEN COALESCE(doc_id BETWEEN 100 AND 199, FALSE)
+         THEN n_chars + 1000000 ELSE n_chars END AS n_chars
+  FROM documents),
+merged AS (
+  SELECT doc_id,
+    CASE WHEN COALESCE(doc_id < 80, FALSE) THEN 'merged' ELSE lang END
+      AS lang,
+    source, n_chars
+  FROM upd
+  WHERE NOT COALESCE(doc_id < 80 AND doc_id % 2 = 1, FALSE)
+  UNION ALL
+  SELECT doc_id + 900000, lang, 'merge-insert', n_chars
+  FROM documents WHERE doc_id < 20),
+final_t AS (
+  SELECT * FROM merged
+  WHERE NOT COALESCE(doc_id IN
+    (SELECT doc_id FROM documents WHERE doc_id BETWEEN 300 AND 349),
+    FALSE))
+SELECT doc_id, lang, source, n_chars, 'now' AS at FROM final_t
+UNION ALL
+SELECT doc_id, lang, source, n_chars, 'v0' AS at FROM documents
+${ord("doc_id", "lang", "source", "n_chars", "at")}""".trim
+
   /** Twin of `stream_txlog_fanin`: two exactly-once streams carrying
     * the even and odd halves into one table, each drained twice —
     * the union must hold exactly one copy of every source row. */

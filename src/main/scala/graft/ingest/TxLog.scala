@@ -1158,6 +1158,47 @@ object TxLog {
       dvBase = dvBaseFor(mapping, removes))
   }
 
+  /** The COMMIT half of an external copy-on-write writer — the DSv2
+    * row-level path (SQL UPDATE / MERGE INTO through the `graft`
+    * catalog), where Spark's executors have already written the
+    * replacement parquet under `_staging/` and only the transactional
+    * promotion remains. Promotes `staged` into the table root under
+    * UUID-unique names, censuses them exactly like every internal
+    * write path (zero-row parts dropped, footer stats collected,
+    * CHECK constraints enforced — violations delete the promoted
+    * files and abort before the log rename), guards the schema shape,
+    * and lands ONE atomic rewrite commit removing `removes`. The
+    * usual rewrite conflict checks apply at the claimed version: a
+    * concurrent writer that rewrote or re-masked any of `removes`
+    * fails this commit loudly instead of losing its update. */
+  def replaceFiles(spark: SparkSession, table: String,
+      removes: Seq[String], staged: Seq[Path], ddl: String): Long = {
+    require(!isStreamSource(table),
+      s"$table serves as a streaming source (append-only): row-level " +
+        s"delete/update are not allowed")
+    val tbl = currentSchema(table)
+    require(tbl.isEmpty || ddlShape(tbl) == ddlShape(ddl),
+      s"rewrite must preserve the table schema:\n  table: $tbl\n  " +
+        s"rewrite: $ddl")
+    val mapping = dvAt(table)
+    val uuid = java.util.UUID.randomUUID().toString
+    val promoted = staged.sortBy(_.getFileName.toString).zipWithIndex
+      .map { case (p, i) =>
+        val name = s"$uuid-$i.parquet"
+        Files.move(p, Paths.get(table, name), StandardCopyOption.ATOMIC_MOVE)
+        name
+      }
+    val infos = promoted.map(f => f -> footerInfo(table, f))
+    val (empty, keep) = infos.partition(_._2._1 == 0L)
+    empty.foreach { case (f, _) => Files.deleteIfExists(Paths.get(table, f)) }
+    val adds = keep.map(_._1)
+    val stats =
+      keep.collect { case (f, (_, st)) if st.nonEmpty => f -> st }.toMap
+    enforceConstraints(spark, table, adds, stats)
+    writeCommit(table, "rewrite", -1L, adds, tbl, stats, removes,
+      dvBase = dvBaseFor(mapping, removes))
+  }
+
   /** Files in `searchSpace` that hold at least one VISIBLE row
     * matching `cond` (deletion-vector masks applied — an already-
     * masked row must not drag its file into a rewrite) — one

@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.functions.{col, lit}
@@ -142,7 +142,8 @@ class GraftCatalog extends TableCatalog {
   * history is immutable). */
 private[graftx] class GraftTxTable(path: String, asOf: Option[Long])
     extends Table with SupportsRead with SupportsWrite
-    with SupportsDeleteV2 {
+    with SupportsDeleteV2 with SupportsMetadataColumns
+    with SupportsRowLevelOperations {
 
   // pinned at load: one SQL statement = one consistent snapshot
   private val pinnedFiles: Seq[String] = TxLog.liveFiles(path, asOf)
@@ -182,7 +183,39 @@ private[graftx] class GraftTxTable(path: String, asOf: Option[Long])
     Some(schema()), classOf[ParquetFileFormat])
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    delegate.newScanBuilder(options)
+    new GraftDelegatingScanBuilder(delegate.newScanBuilder(options),
+      path, pinnedFiles, pinnedDdl)
+
+  /** Per-row provenance: `SELECT _file, ... FROM graft.`t`` names the
+    * table file each row lives in — and it is the group handle the
+    * row-level SQL DML path (UPDATE / MERGE INTO) prunes rewrites
+    * with. */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(new MetadataColumn {
+      override def name(): String = GraftRowLevel.FileCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "name of the table file the row lives in"
+    })
+
+  /** SQL UPDATE / MERGE INTO / non-translatable DELETE rewrite
+    * through the group-based COW path ([[GraftRowLevelOperation]]).
+    * Refused on time-travel pins (history is immutable) and on
+    * stream-source tables (append-only contract) — loudly, before any
+    * work runs. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(asOf.isEmpty,
+      s"cannot run ${info.command} against a time-travel pin of $path " +
+        s"— history is immutable")
+    require(!TxLog.isStreamSource(path),
+      s"$path serves as a streaming source (append-only): row-level " +
+        s"${info.command} is not allowed")
+    () => new GraftRowLevelOperation(path, pinnedFiles, pinnedDdl,
+      info.command)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty,

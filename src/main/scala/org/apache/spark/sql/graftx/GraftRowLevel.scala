@@ -1,0 +1,412 @@
+package org.apache.spark.sql.graftx
+
+import java.nio.file.{Files, Paths}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.mapreduce.{Job, JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnsafeProjection}
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.internal.connector.{PredicateUtils, SupportsPushDownCatalystFilters}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.ingest.TxLog
+
+/** Group-based (copy-on-write) row-level SQL DML for TxLog tables —
+  * the piece that makes `UPDATE graft.`t` SET ...` and
+  * `MERGE INTO graft.`t` USING ...` first-class `spark.sql`
+  * statements (the reference maintains its Delta tables with exactly
+  * these shapes; REF STREAM:199-220). Spark's own rewrite rules
+  * (`RewriteUpdateTable` / `RewriteMergeIntoTable` /
+  * `RewriteDeleteFromTable`) turn the statement into a `ReplaceData`
+  * plan over this operation:
+  *
+  *   - the SCAN ([[GraftFileScan]]) reads the pinned snapshot one
+  *     file per task and exposes a per-row `_file` metadata column;
+  *   - `RowLevelOperationRuntimeGroupFiltering` plans a dynamic
+  *     subquery over a SECOND scan (the matching-rows plan) and hands
+  *     the matched `_file` set back via
+  *     [[SupportsRuntimeV2Filtering.filter]], so the group scan — and
+  *     therefore the rewrite — touches ONLY files holding matches
+  *     (Iceberg's COW shape; at 100 TB a selective UPDATE moves
+  *     O(matched files), never the table);
+  *   - the WRITE ([[GraftReplaceWrite]]) is a real distributed DSv2
+  *     `BatchWrite`: executors stream replacement rows straight into
+  *     staged parquet under `_staging/` (no driver materialization),
+  *     and the driver-side `commit` promotes them through
+  *     [[TxLog.replaceFiles]] — one atomic rewrite commit with footer
+  *     stats, CHECK-constraint enforcement and the standard
+  *     concurrent-rewrite conflict checks.
+  *
+  * The invariant the commit leans on: `replacedFiles` is exactly the
+  * file set the group scan ENUMERATED (post runtime filter) — every
+  * row of those files flowed through the replacement projection, so
+  * removing them and adding the written files is a lossless swap. If
+  * the runtime filter never fires (filter disabled, or a condition
+  * Spark cannot build a subquery for), the scan read every pinned
+  * file and the commit conservatively replaces them all — correct,
+  * just unpruned. */
+private[graftx] object GraftRowLevel {
+  /** Name of the per-row provenance metadata column. */
+  val FileCol = "_file"
+
+  /** Log-recorded DDL → read schema, nullability relaxed exactly as
+    * `TxLog.snapshot` reads it (schema evolution null-fills files
+    * written before a column existed). */
+  def relaxed(ddl: String): StructType =
+    if (ddl.isEmpty) new StructType()
+    else StructType(StructType.fromDDL(ddl).fields.map(_.copy(nullable = true)))
+}
+
+/** One SQL statement's row-level operation: shared by its scans and
+  * its write, which is what lets the commit know the scanned file
+  * set. */
+private[graftx] class GraftRowLevelOperation(path: String,
+    pinnedFiles: Seq[String], ddl: String,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  // the scan that received the runtime group filter: its post-filter
+  // file list is the set the replacement data was computed from
+  @volatile private var groupScan: GraftFileScan = null
+  private[graftx] def groupScanIs(s: GraftFileScan): Unit = groupScan = s
+  private[graftx] def replacedFiles: Seq[String] =
+    Option(groupScan).map(_.currentFiles).getOrElse(pinnedFiles)
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftFileScanBuilder(path, pinnedFiles, ddl, Some(this))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new GraftReplaceWrite(path, GraftRowLevelOperation.this, info.schema())
+    }
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(GraftRowLevel.FileCol))
+
+  override def description(): String = s"GraftTxCow[$cmd] $path"
+}
+
+/** Scan builder over a pinned TxLog file list. Filters push to the
+  * parquet reader BEST-EFFORT (row-group stats skipping) and are all
+  * reported residual, so Spark re-evaluates them post-scan — the same
+  * contract as its own parquet source. */
+private[graftx] class GraftFileScanBuilder(path: String,
+    files: Seq[String], ddl: String, op: Option[GraftRowLevelOperation])
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  private val dataSchema: StructType = GraftRowLevel.relaxed(ddl)
+  private var required: StructType = dataSchema
+  private var pushed: Array[sources.Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    val names = dataSchema.fieldNames.toSet
+    pushed = filters.filter(_.references.forall(names))
+    filters // every filter stays post-scan; parquet skipping is advisory
+  }
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def build(): Scan = {
+    val scan = new GraftFileScan(path, files, ddl, required, pushed, op)
+    scan
+  }
+}
+
+private[graftx] case class GraftFilePartition(name: String,
+    absPath: String, length: Long, mtime: Long) extends InputPartition
+
+/** One TxLog snapshot as a DSv2 batch: one input partition per table
+  * file (a COW rewrite swaps whole files, so file = group = task),
+  * each row optionally carrying its `_file` provenance. Runtime group
+  * filtering narrows the file list in place — `planInputPartitions`
+  * and the committing write both read the narrowed list. */
+private[graftx] class GraftFileScan(path: String, files0: Seq[String],
+    ddl: String, required: StructType, pushed: Array[sources.Filter],
+    op: Option[GraftRowLevelOperation]) extends Scan with Batch
+    with SupportsRuntimeV2Filtering {
+
+  @volatile private var files: Seq[String] = files0
+  private[graftx] def currentFiles: Seq[String] = files
+
+  private val dataSchema = GraftRowLevel.relaxed(ddl)
+  private val readDataSchema =
+    StructType(required.filterNot(_.name == GraftRowLevel.FileCol))
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftTxScan $path [${files.size}/${files0.size} files] " +
+      s"PushedFilters: ${pushed.mkString("[", ", ", "]")}"
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(GraftRowLevel.FileCol))
+
+  /** Runtime group filter: `_file IN (...)` from the matching-rows
+    * subquery. Unrecognized predicate shapes are ignored — that only
+    * widens the scanned (and therefore replaced) set, never narrows
+    * it, so correctness is preserved. */
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val sets = predicates.toSeq.flatMap(p => PredicateUtils.toV1(p)).collect {
+      case sources.In(c, vs) if c == GraftRowLevel.FileCol =>
+        vs.map(String.valueOf(_: Any)).toSet
+      case sources.EqualTo(c, v) if c == GraftRowLevel.FileCol =>
+        Set(String.valueOf(v))
+    }
+    if (sets.nonEmpty) {
+      val allowed = sets.reduce(_ intersect _)
+      files = files.filter(allowed)
+    }
+    // filter() only ever lands on the group scan; record it even when
+    // no predicate parsed (replaced = scanned either way)
+    op.foreach(_.groupScanIs(this))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map { f =>
+      val p = Paths.get(path, f)
+      GraftFilePartition(f, p.toAbsolutePath.toString, Files.size(p),
+        Files.getLastModifiedTime(p).toMillis)
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // Spark's own parquet reader closure: vectorized, schema-clipped
+    // (evolution null-fills), broadcast conf — built once on the
+    // driver, serialized to tasks (the FileSourceScanExec pattern)
+    val readerFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
+      spark, dataSchema, new StructType(), readDataSchema,
+      pushed.toIndexedSeq,
+      Map(org.apache.spark.sql.execution.datasources.FileFormat
+        .OPTION_RETURNING_BATCH -> "false"),
+      spark.sessionState.newHadoopConf())
+    new GraftFileReaderFactory(readerFunc, readDataSchema, required)
+  }
+}
+
+private[graftx] class GraftFileReaderFactory(
+    readerFunc: PartitionedFile => Iterator[InternalRow],
+    inputSchema: StructType, outputSchema: StructType)
+    extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val fp = p.asInstanceOf[GraftFilePartition]
+    val pf = PartitionedFile(InternalRow.empty,
+      SparkPath.fromPathString(fp.absPath), 0L, fp.length,
+      Array.empty, fp.mtime, fp.length, Map.empty)
+    val base = readerFunc(pf)
+    // the reader yields rows, or ColumnarBatches typed as rows when
+    // the vectorized path engages — flatten both shapes
+    val rows: Iterator[InternalRow] =
+      base.asInstanceOf[Iterator[Any]].flatMap {
+        case b: ColumnarBatch => b.rowIterator().asScala
+        case r: InternalRow => Iterator.single(r)
+      }
+    val inAttrs = DataTypeUtils.toAttributes(inputSchema)
+    val exprs: Seq[Expression] = outputSchema.map { f =>
+      if (f.name == GraftRowLevel.FileCol)
+        Literal(UTF8String.fromString(fp.name), StringType)
+      else
+        inAttrs.find(_.name == f.name).getOrElse(throw new IllegalStateException(
+          s"scan output column ${f.name} missing from read schema"))
+    }.toSeq
+    val proj = UnsafeProjection.create(exprs, inAttrs)
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { cur = proj(rows.next()); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}
+
+private[graftx] case class GraftStagedFile(path: Option[String])
+    extends WriterCommitMessage
+
+/** The distributed COW write: executors stream replacement rows into
+  * staged parquet files (lazily — an empty partition stages nothing),
+  * the driver commit promotes them and removes the replaced group
+  * files in one atomic TxLog rewrite commit. A statement that matched
+  * nothing (empty group set, zero replacement rows) commits nothing
+  * at all. */
+private[graftx] class GraftReplaceWrite(path: String,
+    op: GraftRowLevelOperation, writeSchema: StructType)
+    extends Write with BatchWrite {
+
+  private val dataSchema = StructType(
+    writeSchema.filterNot(_.name == GraftRowLevel.FileCol))
+  private val stagingDir =
+    Paths.get(path, "_staging", UUID.randomUUID().toString)
+
+  override def toBatch: BatchWrite = this
+  override def description(): String = s"GraftTxCowWrite $path"
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val spark = SparkSession.active
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    Files.createDirectories(stagingDir)
+    val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    // INT64-micros timestamps inside the transactional path, exactly
+    // like TxLog.stage: INT96 carries no column statistics, which
+    // would silently disable skipping on every time column
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    val owf =
+      try new ParquetFileFormat().prepareWrite(spark, job, Map.empty, dataSchema)
+      finally spark.conf.set(tsKey, prev)
+    GraftCowWriterFactory(owf,
+      new SerializableConfiguration(job.getConfiguration),
+      stagingDir.toAbsolutePath.toString, dataSchema, writeSchema)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val staged = messages.toSeq
+      .collect { case GraftStagedFile(Some(p)) => Paths.get(p) }
+    val removes = op.replacedFiles
+    if (staged.nonEmpty || removes.nonEmpty)
+      TxLog.replaceFiles(SparkSession.active, path, removes, staged,
+        dataSchema.toDDL.replace("\n", " "))
+    cleanup()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = cleanup()
+
+  private def cleanup(): Unit =
+    try {
+      Files.list(stagingDir).iterator().asScala
+        .foreach(f => Files.deleteIfExists(f))
+      Files.deleteIfExists(stagingDir)
+      ()
+    } catch { case _: Exception => () }
+}
+
+private[graftx] case class GraftCowWriterFactory(owf: OutputWriterFactory,
+    conf: SerializableConfiguration, stagingDir: String,
+    dataSchema: StructType, writeSchema: StructType)
+    extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private var out: OutputWriter = null
+      private var file: String = null
+      // the plan may carry metadata (_file) alongside the data
+      // columns; strip to the table shape
+      private val proj: UnsafeProjection =
+        if (writeSchema == dataSchema) null
+        else {
+          val in = DataTypeUtils.toAttributes(writeSchema)
+          UnsafeProjection.create(
+            dataSchema.map(f =>
+              in.find(_.name == f.name).getOrElse(
+                throw new IllegalStateException(
+                  s"write column ${f.name} missing")): Expression).toSeq,
+            in)
+        }
+
+      override def write(row: InternalRow): Unit = {
+        if (out == null) {
+          Files.createDirectories(Paths.get(stagingDir))
+          file = s"$stagingDir/w-$partitionId-$taskId-${UUID.randomUUID()}.parquet"
+          // conf copied per writer: Configuration mutation is not
+          // thread-safe across an executor's task threads
+          val ctx = new TaskAttemptContextImpl(new Configuration(conf.value),
+            new TaskAttemptID(new TaskID(new JobID("graft", 0),
+              TaskType.MAP, partitionId), (taskId % Int.MaxValue).toInt))
+          out = owf.newInstance(file, dataSchema, ctx)
+        }
+        out.write(if (proj == null) row else proj(row))
+      }
+
+      override def commit(): WriterCommitMessage = {
+        if (out != null) out.close()
+        GraftStagedFile(Option(file))
+      }
+
+      override def abort(): Unit = {
+        if (out != null) { try out.close() catch { case _: Exception => () } }
+        if (file != null) { Files.deleteIfExists(Paths.get(file)); () }
+      }
+
+      override def close(): Unit = ()
+    }
+}
+
+/** Plain-read scan builder for [[GraftTxTable]]: delegates everything
+  * to Spark's parquet builder (full pushdown, vectorization, file
+  * splitting), EXCEPT when the query references the `_file` metadata
+  * column — provenance reads route to [[GraftFileScan]], the only
+  * scan that can produce it. Safe to swap at build time because the
+  * parquet delegate reports every data filter as residual (Spark
+  * re-evaluates them post-scan regardless of which scan serves). */
+private[graftx] class GraftDelegatingScanBuilder(delegate: ScanBuilder,
+    path: String, files: Seq[String], ddl: String) extends ScanBuilder
+    with SupportsPushDownCatalystFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+
+  private var wantsFile = false
+  private var pruned: StructType = GraftRowLevel.relaxed(ddl)
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+    delegate match {
+      case d: SupportsPushDownCatalystFilters => d.pushFilters(filters)
+      case _ => filters
+    }
+
+  override def pushedFilters(): Array[Predicate] = delegate match {
+    case d: SupportsPushDownCatalystFilters => d.pushedFilters
+    case _ => Array.empty
+  }
+
+  override def pushAggregation(agg: Aggregation): Boolean = delegate match {
+    case d: SupportsPushDownAggregates => d.pushAggregation(agg)
+    case _ => false
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    delegate match {
+      case d: SupportsPushDownAggregates => d.supportCompletePushDown(agg)
+      case _ => false
+    }
+
+  override def pruneColumns(s: StructType): Unit = {
+    wantsFile = s.fieldNames.contains(GraftRowLevel.FileCol)
+    pruned = s
+    delegate match {
+      case d: SupportsPushDownRequiredColumns =>
+        d.pruneColumns(StructType(
+          s.filterNot(_.name == GraftRowLevel.FileCol)))
+      case _ => ()
+    }
+  }
+
+  override def build(): Scan =
+    if (wantsFile) new GraftFileScan(path, files, ddl, pruned, Array.empty, None)
+    else delegate.build()
+}

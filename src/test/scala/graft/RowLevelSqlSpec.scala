@@ -1,0 +1,184 @@
+package graft
+
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.functions._
+import graft.ingest.TxLog
+
+/** SQL row-level DML over TxLog through the DSv2 row-level-operation
+  * path: UPDATE and MERGE INTO as group-based copy-on-write rewrites,
+  * runtime group filtering bounding the rewrite to matched files,
+  * subquery DELETE falling back from the metadata path, `_file`
+  * provenance reads, and the immutability refusals. */
+class RowLevelSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+
+  private def seed(t: String): Unit = {
+    // 4 range-clustered files over id, so a selective statement has
+    // non-matching files that MUST survive untouched
+    TxLog.write(
+      spark.range(100).select(col("id"), (col("id") % 10).as("grp"),
+        (col("id") * 10).as("v")).repartitionByRange(4, col("id")),
+      t, "overwrite")
+    ()
+  }
+
+  private def rows(t: String): Map[Long, (Long, Long)] =
+    spark.sql(s"SELECT id, grp, v FROM graft.`$t`").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("SQL UPDATE rewrites only the files holding matches") {
+    val t = tmp("rl_upd")
+    seed(t)
+    val live0 = TxLog.liveFiles(t).toSet
+    assert(live0.size == 4)
+    spark.sql(s"UPDATE graft.`$t` SET v = v + 1000000 WHERE id >= 90")
+    val got = rows(t)
+    assert(got.size == 100)
+    (0L to 99L).foreach { i =>
+      assert(got(i) == ((i % 10, if (i >= 90) i * 10 + 1000000 else i * 10)),
+        s"row $i")
+    }
+    // COW bounded by the runtime group filter: the three files with no
+    // id >= 90 pass through untouched
+    val live1 = TxLog.liveFiles(t).toSet
+    assert(live1.intersect(live0).size == 3,
+      s"expected 3 untouched files, was ${live1.intersect(live0).size}")
+    val c = TxLog.commits(t).last
+    assert(c.mode == "rewrite" && c.removes.size == 1,
+      s"expected a 1-file rewrite commit, was ${c.mode}/${c.removes.size}")
+    // history is intact
+    assert(spark.sql(s"SELECT sum(v) FROM graft.`$t` VERSION AS OF 0")
+      .head().getLong(0) == (0L to 99L).map(_ * 10).sum)
+  }
+
+  test("SQL UPDATE with no matches leaves the table version unchanged") {
+    val t = tmp("rl_upd_none")
+    seed(t)
+    val v0 = TxLog.latestVersion(t)
+    spark.sql(s"UPDATE graft.`$t` SET v = 0 WHERE id > 100000")
+    assert(TxLog.latestVersion(t) == v0, "no-match UPDATE must not commit")
+    assert(rows(t).size == 100)
+  }
+
+  test("MERGE INTO: matched update, matched delete, not-matched insert") {
+    val t = tmp("rl_merge")
+    seed(t)
+    Seq((5L, 1L, 555L), (17L, 2L, 777L), (200L, 3L, 2000L))
+      .toDF("id", "grp", "v").createOrReplaceTempView("rl_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$t` tgt USING rl_src src ON tgt.id = src.id
+         |WHEN MATCHED AND src.v = 777 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = src.v
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = rows(t)
+    assert(got.size == 100, s"100 - 1 delete + 1 insert, was ${got.size}")
+    assert(got(5L) == ((5L, 555L)), "matched update (grp untouched)")
+    assert(!got.contains(17L), "matched delete")
+    assert(got(200L) == ((3L, 2000L)), "not-matched insert")
+    assert(got(3L) == ((3L, 30L)), "unmatched rows pass through")
+    assert(TxLog.commits(t).last.mode == "rewrite")
+  }
+
+  test("MERGE rewrite is bounded to matched files") {
+    val t = tmp("rl_merge_bound")
+    seed(t)
+    val live0 = TxLog.liveFiles(t).toSet
+    Seq((99L, 0L, 1L)).toDF("id", "grp", "v")
+      .createOrReplaceTempView("rl_src_one")
+    spark.sql(
+      s"""MERGE INTO graft.`$t` tgt USING rl_src_one src ON tgt.id = src.id
+         |WHEN MATCHED THEN UPDATE SET v = src.v""".stripMargin)
+    assert(rows(t)(99L) == ((9L, 1L)))
+    assert(TxLog.liveFiles(t).toSet.intersect(live0).size == 3,
+      "only the one matched file may rewrite")
+  }
+
+  test("DELETE with a subquery predicate takes the row-level COW path") {
+    val t = tmp("rl_del_sub")
+    seed(t)
+    spark.range(95, 120).toDF("id").createOrReplaceTempView("rl_del_ids")
+    spark.sql(
+      s"DELETE FROM graft.`$t` WHERE id IN (SELECT id FROM rl_del_ids)")
+    assert(rows(t).keySet == (0L to 94L).toSet)
+    assert(TxLog.commits(t).last.mode == "rewrite")
+  }
+
+  test("_file provenance reads: rows group by their table file") {
+    val t = tmp("rl_file")
+    seed(t)
+    val perFile = spark.sql(
+      s"SELECT _file, count(*) AS n FROM graft.`$t` GROUP BY _file")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perFile.keySet == TxLog.liveFiles(t).toSet)
+    assert(perFile.values.sum == 100L)
+    // provenance agrees with the row-level path: updating one id
+    // rewrites exactly the file provenance named for it
+    val target = spark.sql(
+      s"SELECT _file FROM graft.`$t` WHERE id = 0").head().getString(0)
+    spark.sql(s"UPDATE graft.`$t` SET v = 1 WHERE id = 0")
+    assert(TxLog.commits(t).last.removes == Seq(target))
+  }
+
+  test("row-level operations against a time-travel pin are refused") {
+    // SQL cannot even express `UPDATE ... VERSION AS OF` (parse
+    // error), so the guard is pinned at the catalog API level
+    val t = tmp("rl_pin")
+    seed(t)
+    val cat = new org.apache.spark.sql.graftx.GraftCatalog()
+    val tbl = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array.empty[String], t), "0")
+      .asInstanceOf[
+        org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations]
+    val info = new org.apache.spark.sql.connector.write.RowLevelOperationInfo {
+      override def options() =
+        org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()
+      override def command() =
+        org.apache.spark.sql.connector.write.RowLevelOperation.Command.UPDATE
+    }
+    val e = intercept[IllegalArgumentException] {
+      tbl.newRowLevelOperationBuilder(info)
+    }
+    assert(e.getMessage.contains("immutable"))
+  }
+
+  test("a conflicting rewrite fails the replace commit loudly") {
+    // the SQL statement pins its snapshot at loadTable; if a
+    // concurrent writer rewrites a pinned file before the statement's
+    // commit, the rewrite conflict check must refuse — exercised at
+    // the commit entry the SQL path uses
+    val t = tmp("rl_conflict")
+    seed(t)
+    val victim = TxLog.liveFiles(t).head
+    TxLog.compact(spark, t, targetFiles = 1) // files no longer live
+    val staged = java.nio.file.Paths.get(t, "_staging", "x.parquet")
+    java.nio.file.Files.createDirectories(staged.getParent)
+    spark.range(1).select(col("id"), col("id").as("grp"),
+      col("id").as("v")).coalesce(1).write.mode("overwrite")
+      .parquet(staged.getParent.resolve("stage_df").toString)
+    val part = java.nio.file.Files.list(staged.getParent.resolve("stage_df"))
+      .iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq.head
+    val e = intercept[IllegalArgumentException] {
+      TxLog.replaceFiles(spark, t, Seq(victim), Seq(part),
+        "id BIGINT, grp BIGINT, v BIGINT")
+    }
+    assert(e.getMessage.contains("concurrent modification"))
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$t`").head().getLong(0)
+      == 100, "the conflicting replace must not land")
+  }
+
+  test("CHECK constraints gate the SQL UPDATE commit") {
+    val t = tmp("rl_check")
+    seed(t)
+    TxLog.addConstraint(spark, t, "v_nonneg", "v >= 0")
+    intercept[Exception] {
+      spark.sql(s"UPDATE graft.`$t` SET v = -1 WHERE id = 3")
+    }
+    assert(rows(t)(3L) == ((3L, 30L)), "violating UPDATE must not land")
+    spark.sql(s"UPDATE graft.`$t` SET v = 7 WHERE id = 3")
+    assert(rows(t)(3L) == ((3L, 7L)))
+  }
+}
