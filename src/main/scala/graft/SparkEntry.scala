@@ -103,6 +103,8 @@ object SparkEntry {
         k != "txlog_dv" && // builds a table per call: IO class
         k != "txlog_catalog_dml" && // builds a table per call: IO class
         k != "txlog_catalog_rowlevel" && // builds a table per call: IO class
+        k != "txlog_column_mapping" && // builds a table per call: IO class
+        k != "txlog_clone" && // builds two tables per call: IO class
         k != "txlog_optimize_range" && // builds a table per call: IO class
         k != "medallion_pin_q1" && // full streaming medallion per call: IO class
         // same results as ngram_jaccard via the hot-key-free candidate
@@ -1569,6 +1571,78 @@ object SparkEntry {
         SELECT doc_id, lang, source, n_chars, 'v0' AS at
         FROM graft.`$t` VERSION AS OF 0"""))
     }),
+    // column mapping (round 15, Delta's columnMapping.mode=name):
+    // RENAME and DROP COLUMN as metadata-only commits — zero files
+    // rewritten (ColumnMappingSpec pins mtimes), physical-name
+    // indirection on every read/write, and the no-resurrection rule:
+    // a dropped column re-added via evolve binds a FRESH physical
+    // name, so old files read NULL instead of their stale bytes. The
+    // arms: rename n_chars→chars, drop source, append THROUGH the
+    // mapping, evolve-re-add source, a stats-pruned range read on
+    // the surviving identity column, and a v0 time-travel read
+    // serving the ORIGINAL names
+    "txlog_column_mapping" -> prep((s, d) => {
+      val t = tmpDir("graft_txcm")
+      val base = s.read.parquet(s"$d/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+      graft.ingest.TxLog.write(
+        base.repartitionByRange(8, col("doc_id")), t, "overwrite")
+      graft.ingest.TxLog.renameColumn(t, "n_chars", "chars")
+      graft.ingest.TxLog.dropColumn(t, "source")
+      graft.ingest.TxLog.write(
+        base.where(col("doc_id") < 30).select(
+          (col("doc_id") + 700000).as("doc_id"), col("lang"),
+          (col("n_chars") + 1).as("chars")),
+        t, "append")
+      graft.ingest.TxLog.write(
+        base.where(col("doc_id") < 10).select(
+          (col("doc_id") + 800000).as("doc_id"), col("lang"),
+          col("n_chars").as("chars"), lit("readd").as("source")),
+        t, "append", evolve = true)
+      val now = graft.ingest.TxLog.snapshot(s, t)
+        .select("doc_id", "lang", "chars", "source")
+      val pruned = graft.ingest.TxLog
+        .snapshotRange(s, t, "doc_id", Some(700000L), None)
+        .select("doc_id", "lang", "chars", "source")
+      val v0 = graft.ingest.TxLog.snapshot(s, t, Some(0L))
+        .select(col("doc_id"), col("lang"),
+          col("n_chars").as("chars"), col("source"))
+      Engine.canonical(now.withColumn("at", lit("now"))
+        .unionByName(pruned.withColumn("at", lit("pruned")))
+        .unionByName(v0.withColumn("at", lit("v0"))))
+    }),
+    // zero-copy clone (round 15, Delta's SHALLOW CLONE strengthened):
+    // the clone's live files are HARD LINKS — O(files) metadata work,
+    // no data bytes copied (CloneSpec pins inode equality), and the
+    // link keeps the inode alive so the SOURCE's vacuum can never
+    // break the clone. After cloning, the two logs diverge
+    // independently: the source takes an append, the clone a COW
+    // delete; the clone's v0 time-travel still serves the cloned
+    // snapshot. Twin: the three arms as set algebra
+    "txlog_clone" -> prep((s, d) => {
+      val src = tmpDir("graft_txclone_src")
+      val dst = tmpDir("graft_txclone_dst")
+      val base = s.read.parquet(s"$d/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+      graft.ingest.TxLog.write(
+        base.repartitionByRange(8, col("doc_id")), src, "overwrite")
+      graft.ingest.TxLog.cloneTable(s, src, dst)
+      graft.ingest.TxLog.write(
+        base.where(col("doc_id") < 20).select(
+          (col("doc_id") + 700000).as("doc_id"), col("lang"),
+          lit("post-clone").as("source"), col("n_chars")),
+        src, "append")
+      graft.ingest.TxLog.deleteRange(s, dst, "doc_id",
+        Some(100L), Some(199L))
+      val cols = Seq("doc_id", "lang", "source", "n_chars")
+      Engine.canonical(
+        graft.ingest.TxLog.snapshot(s, src).select(cols.head, cols.tail: _*)
+          .withColumn("at", lit("src"))
+        .unionByName(graft.ingest.TxLog.snapshot(s, dst)
+          .select(cols.head, cols.tail: _*).withColumn("at", lit("dst")))
+        .unionByName(graft.ingest.TxLog.snapshot(s, dst, Some(0L))
+          .select(cols.head, cols.tail: _*).withColumn("at", lit("dst_v0"))))
+    }),
     // conjunctive data skipping (round 14): the z-ordered table
     // answers a three-predicate lookup — user range AND time range AND
     // type IN-set — through snapshotWhere, which drops every file some
@@ -2409,6 +2483,8 @@ object SparkEntry {
     "txlog_sql_snapshot" -> ExtOracle.txlogSqlSnapshot,
     "txlog_catalog_dml" -> ExtOracle.txlogCatalogDml,
     "txlog_catalog_rowlevel" -> ExtOracle.txlogCatalogRowLevel,
+    "txlog_column_mapping" -> ExtOracle.txlogColumnMapping,
+    "txlog_clone" -> ExtOracle.txlogClone,
     "txlog_optimize_range" -> ExtOracle.txlogOptimizeRange,
     "stream_txlog_fanin" -> ExtOracle.txlogFanin,
     "txlog_restore" -> ExtOracle.txlogRestore,

@@ -1108,6 +1108,49 @@ UNION ALL
 SELECT doc_id, lang, source, n_chars, 'v0' AS at FROM documents
 ${ord("doc_id", "lang", "source", "n_chars", "at")}""".trim
 
+  /** Twin of `txlog_column_mapping`: rename n_chars→chars + drop
+    * source are metadata-only, so 'now' = the original rows under the
+    * new names with source NULL; the post-mapping append carries
+    * +700000-shifted rows (chars+1, source NULL — written before the
+    * re-add); the evolve re-add carries +800000-shifted rows with
+    * source='readd' while every OLDER file reads the re-added column
+    * as NULL (fresh physical name — no resurrection); 'pruned' = the
+    * shifted range; 'v0' time-travels to the original names. */
+  val txlogColumnMapping: String = s"""
+WITH now_t AS (
+  SELECT doc_id, lang, n_chars AS chars, CAST(NULL AS VARCHAR) AS source
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 700000, lang, n_chars + 1, CAST(NULL AS VARCHAR)
+  FROM documents WHERE doc_id < 30
+  UNION ALL
+  SELECT doc_id + 800000, lang, n_chars, 'readd'
+  FROM documents WHERE doc_id < 10)
+SELECT doc_id, lang, chars, source, 'now' AS at FROM now_t
+UNION ALL
+SELECT doc_id, lang, chars, source, 'pruned' AS at FROM now_t
+WHERE doc_id >= 700000
+UNION ALL
+SELECT doc_id, lang, n_chars AS chars, source, 'v0' AS at FROM documents
+${ord("doc_id", "lang", "chars", "source", "at")}""".trim
+
+  /** Twin of `txlog_clone`: after the zero-copy clone the two tables
+    * diverge — the source appends +700000-shifted copies, the clone
+    * range-deletes [100,199]; the clone's v0 still serves the cloned
+    * snapshot. The clone machinery (hard links, carried stats) must
+    * be invisible in the data. */
+  val txlogClone: String = s"""
+SELECT doc_id, lang, source, n_chars, 'src' AS at FROM documents
+UNION ALL
+SELECT doc_id + 700000, lang, 'post-clone', n_chars, 'src' AS at
+FROM documents WHERE doc_id < 20
+UNION ALL
+SELECT doc_id, lang, source, n_chars, 'dst' AS at FROM documents
+WHERE NOT COALESCE(doc_id BETWEEN 100 AND 199, FALSE)
+UNION ALL
+SELECT doc_id, lang, source, n_chars, 'dst_v0' AS at FROM documents
+${ord("doc_id", "lang", "source", "n_chars", "at")}""".trim
+
   /** Twin of `stream_txlog_fanin`: two exactly-once streams carrying
     * the even and odd halves into one table, each drained twice —
     * the union must hold exactly one copy of every source row. */

@@ -58,7 +58,14 @@ object TxLog {
   /** Log format this engine writes and the highest it reads. Bumped
     * only for changes an old reader would misread (new line KINDS are
     * additive and need no bump; re-encoding the live set would). */
-  val formatVersion: Long = 1L
+  /** Highest log format this engine reads. Commits DECLARE the format
+    * their own features need: plain tables write format=1 (readable
+    * by any engine version); tables in column-mapping mode (any
+    * `map=`/`burn=` state — see `renameColumn`/`dropColumn`) write
+    * format=2, so a format-1 reader refuses loudly instead of
+    * resolving logical names against physical parquet columns they no
+    * longer denote. */
+  val formatVersion: Long = 2L
 
   /** Per-file column statistics recorded in the commit — the data-
     * skipping half of the format (Delta records the same per-file
@@ -94,7 +101,14 @@ object TxLog {
     removes: Seq[String] = Nil,
     dvs: Map[String, (String, Long)] = Map.empty,
     ts: Long = -1L,
-    appId: String = "")
+    appId: String = "",
+    // column mapping state, carried FORWARD IN FULL by every commit
+    // once mapping mode starts (like schema=): logical→physical
+    // non-identity entries, plus logical names burned for identity
+    // reuse (renamed-away or dropped — a later re-add must get a
+    // FRESH physical name, never resurrect old file bytes)
+    colmap: Seq[(String, String)] = Nil,
+    burned: Seq[String] = Nil)
 
   private def commitFile(table: String, v: Long): Path =
     logDir(table).resolve(f"$v%010d.txt")
@@ -191,6 +205,8 @@ object TxLog {
       var ts = -1L; var app = ""
       val adds = Seq.newBuilder[String]
       val removes = Seq.newBuilder[String]
+      val colmap = Seq.newBuilder[(String, String)]
+      val burned = Seq.newBuilder[String]
       val dvs = Map.newBuilder[String, (String, Long)]
       val stats = scala.collection.mutable.Map
         .empty[String, Map[String, ColStat]]
@@ -219,6 +235,17 @@ object TxLog {
         case l if l.startsWith("schema=") => schema = l.stripPrefix("schema=")
         case l if l.startsWith("add=") => adds += l.stripPrefix("add=")
         case l if l.startsWith("remove=") => removes += l.stripPrefix("remove=")
+        case l if l.startsWith("map=") =>
+          l.stripPrefix("map=").split('|') match {
+            case Array(lh, ph) => colmap += (hexDec(lh) -> hexDec(ph))
+            // a mapping entry this reader cannot decode means logical
+            // names no longer denote the physical columns it would
+            // read — skipping would be a SILENT misread, so refuse
+            case _ => throw new IllegalStateException(
+              s"commit $f carries a malformed column-mapping line: $l")
+          }
+        case l if l.startsWith("burn=") =>
+          burned += hexDec(l.stripPrefix("burn="))
         case l if l.startsWith("dv=") =>
           l.stripPrefix("dv=").split('|') match {
             case Array(file, set, card) => dvs += (file -> (set, card.toLong))
@@ -237,7 +264,8 @@ object TxLog {
         case _ => ()
       }
       Commit(v, mode, batch, adds.result(), schema, stats.toMap,
-        removes.result(), dvs.result(), ts, app)
+        removes.result(), dvs.result(), ts, app,
+        colmap.result(), burned.result())
   }
 
   /** Claim the next version atomically; returns the version landed.
@@ -255,7 +283,16 @@ object TxLog {
       removes: Seq[String] = Nil,
       dvs: Map[String, (String, Long)] = Map.empty,
       dvBase: Map[String, Option[String]] = Map.empty,
-      appId: String = ""): Long = {
+      appId: String = "",
+      // column mapping: None carries the table's current state
+      // forward (re-resolved per claim attempt — a racing rename must
+      // not be erased by a stale carry); Some sets the new state
+      // (rename/drop/evolve). `colmapBase` is the state the caller
+      // PLANNED against: checked per attempt so two concurrent
+      // mapping mutations conflict loudly instead of last-wins.
+      colmapOverride: Option[(Map[String, String], Set[String])] = None,
+      colmapBase: Option[(Map[String, String], Set[String])] = None):
+      Long = {
     Files.createDirectories(logDir(table))
     // append-only contract for tables serving as streaming sources: a
     // file-source consumer cannot un-see rows, so the shapes that
@@ -291,9 +328,25 @@ object TxLog {
       val ts = math.max(System.currentTimeMillis(), prevTs + 1)
       val appLine =
         if (appId.isEmpty) Nil else Seq(s"app=${hexEnc(appId)}")
-      val body = (Seq(s"format=$formatVersion", s"mode=$mode",
+      // column-mapping state, re-resolved per attempt (see params);
+      // a mapping mutation validates its planned-against base here,
+      // at the version the commit actually lands on
+      colmapBase.foreach { base =>
+        require(colMapAt(table) == base,
+          s"concurrent schema change: $table's column mapping moved " +
+            s"under this commit")
+      }
+      val (cm, bn) = colmapOverride.getOrElse(colMapAt(table))
+      val mapLines = cm.toSeq.sortBy(_._1).map { case (l, p) =>
+        s"map=${hexEnc(l)}|${hexEnc(p)}"
+      } ++ bn.toSeq.sorted.map(l => s"burn=${hexEnc(l)}")
+      // commits declare the format their own features need: a
+      // mapping-free table stays readable by format-1 engines
+      val fmt = if (mapLines.nonEmpty) formatVersion else 1L
+      val body = (Seq(s"format=$fmt", s"mode=$mode",
         s"batch=$batchId", s"ts=$ts") ++ appLine ++
-        Seq(s"schema=$schema") ++ tail).mkString("", "\n", "\n")
+        Seq(s"schema=$schema") ++ mapLines ++ tail)
+        .mkString("", "\n", "\n")
       // exactly-once must hold across CONCURRENT replayers too (zombie
       // driver + failover both replaying one micro-batch): re-check
       // the batch ledger on every claim attempt, not just at write()
@@ -612,9 +665,14 @@ object TxLog {
     * (a 0-row file carries no stats, so it could never prune — and a
     * delete that empties a file should shrink the table, not leave an
     * unprunable husk) and collect the survivors' footer stats. */
-  private def stageWithStats(df: DataFrame, table: String):
+  private def stageWithStats(df: DataFrame, table: String,
+      cmOverride: Option[Map[String, String]] = None):
       (Seq[String], Map[String, Map[String, ColStat]]) = {
-    val infos = stage(df, table).map(f => f -> footerInfo(table, f))
+    // column mapping: files are written under PHYSICAL names (stats
+    // follow from the footers); the override carries fresh
+    // assignments an evolving write is about to commit
+    val cm = cmOverride.getOrElse(colMapAt(table)._1)
+    val infos = stage(df, table, cm).map(f => f -> footerInfo(table, f))
     val (empty, keep) = infos.partition(_._2._1 == 0L)
     empty.foreach { case (f, _) => Files.deleteIfExists(Paths.get(table, f)) }
     val files = keep.map(_._1)
@@ -622,7 +680,7 @@ object TxLog {
       keep.collect { case (f, (_, st)) if st.nonEmpty => f -> st }.toMap
     // every write path (append, overwrite, COW rewrite, upsert) stages
     // through here — one enforcement choke point, like Delta's
-    enforceConstraints(df.sparkSession, table, files, stats)
+    enforceConstraints(df.sparkSession, table, files, stats, cm)
     (files, stats)
   }
 
@@ -694,19 +752,132 @@ object TxLog {
     * stats alone (metadata-only) when every staged file carries usable
     * stats for X. On violation the staged files are deleted and the
     * write aborts — the table is untouched. */
+  // ------------------------------------------------------------------
+  // Column mapping (Delta's columnMapping.mode=name): RENAME and DROP
+  // COLUMN as METADATA-ONLY commits — no file is read or rewritten.
+  // The log carries logical→physical entries; files keep their
+  // physical names forever, readers request physical and restore
+  // logical, writers map logical back to physical at stage time.
+  // Burned logical names guarantee Delta's no-resurrection rule: a
+  // column dropped (or renamed away) and later re-added reads NULL
+  // from old files, never their stale bytes, because the re-add binds
+  // a FRESH physical name. Any mapping state bumps the table's
+  // declared log format to 2, so a format-1 reader refuses loudly
+  // instead of resolving logical names against parquet columns they
+  // no longer denote.
+  // ------------------------------------------------------------------
+
+  private def requireSimpleName(n: String): Unit =
+    require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"column mapping needs simple identifiers; got '$n'")
+
+  private def requireUnreferenced(table: String, colName: String): Unit = {
+    val re = ("(?i)(^|[^A-Za-z0-9_`])`?" +
+      java.util.regex.Pattern.quote(colName) + "`?($|[^A-Za-z0-9_`])").r
+    val hits = constraints(table).collect {
+      case (n, e) if re.findFirstIn(e).nonEmpty => n
+    }
+    require(hits.isEmpty,
+      s"column $colName is referenced by CHECK constraint(s) " +
+        s"${hits.mkString(", ")} — drop them first")
+  }
+
+  private def requireMappable(table: String): Unit = {
+    require(!isStreamSource(table),
+      s"$table serves as a streaming source: consumers read its " +
+        s"published files under the recorded schema — column mapping " +
+        s"is not allowed")
+    require(schemaAt(table).nonEmpty,
+      s"$table has no recorded schema to alter")
+  }
+
+  /** RENAME COLUMN as one metadata-only commit: O(1), no data moved —
+    * the defining column-mapping operation (without it a rename is a
+    * full-table rewrite at 100 TB). The physical column keeps its
+    * name; the logical slot re-binds. Constraints referencing the
+    * column must be dropped first; concurrent mapping mutations
+    * conflict loudly. */
+  def renameColumn(table: String, from: String, to: String): Long = {
+    requireMappable(table); requireSimpleName(to)
+    requireUnreferenced(table, from)
+    val st = org.apache.spark.sql.types.StructType
+      .fromDDL(schemaAt(table))
+    require(st.fieldNames.contains(from), s"no column $from in $table")
+    require(!st.fieldNames.contains(to),
+      s"column $to already exists in $table")
+    val base @ (cm, bn) = colMapAt(table)
+    val p = physicalOf(from, cm)
+    val cm1 = (cm - from) ++ (if (p == to) Nil else Seq(to -> p))
+    // the logical slot `from` may never identity-read physical
+    // `from` again — that physical column now belongs to `to`
+    val bn1 = bn + from
+    val ddl = org.apache.spark.sql.types.StructType(st.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+      .toDDL.replace("\n", " ")
+    writeCommit(table, "append", -1L, Nil, ddl,
+      colmapOverride = Some((cm1, bn1)), colmapBase = Some(base))
+  }
+
+  /** DROP COLUMN as one metadata-only commit: the physical column
+    * stays in every existing file (time travel still serves it) but
+    * leaves the schema; the logical name burns so a later re-add
+    * (evolve) binds a fresh physical name and reads NULL from old
+    * files instead of resurrecting their bytes. */
+  def dropColumn(table: String, colName: String): Long = {
+    requireMappable(table)
+    requireUnreferenced(table, colName)
+    val st = org.apache.spark.sql.types.StructType
+      .fromDDL(schemaAt(table))
+    require(st.fieldNames.contains(colName),
+      s"no column $colName in $table")
+    require(st.fields.length > 1,
+      s"cannot drop the only column of $table")
+    val base @ (cm, bn) = colMapAt(table)
+    val ddl = org.apache.spark.sql.types.StructType(
+      st.fields.filterNot(_.name == colName)).toDDL.replace("\n", " ")
+    writeCommit(table, "append", -1L, Nil, ddl,
+      colmapOverride = Some((cm - colName, bn + colName)),
+      colmapBase = Some(base))
+  }
+
+  /** Fresh physical bindings for `logical` columns entering the
+    * schema while their names are burned (re-add after drop/rename):
+    * `<name>_r<hex>` cannot collide with user identifiers already in
+    * files because every staged file's columns come from this very
+    * mapping. */
+  private def freshAssignments(newCols: Seq[String],
+      cm: Map[String, String],
+      bn: Set[String]): Map[String, String] =
+    newCols.collect {
+      case c if bn.contains(c) && !cm.contains(c) =>
+        c -> s"${c}_r${java.util.UUID.randomUUID().toString.take(8)}"
+    }.toMap
+
   private def enforceConstraints(spark: SparkSession, table: String,
-      files: Seq[String], stats: Map[String, Map[String, ColStat]]): Unit = {
+      files: Seq[String], stats: Map[String, Map[String, ColStat]],
+      cm: Map[String, String] = Map.empty): Unit = {
     val cs = constraints(table)
     if (cs.isEmpty || files.isEmpty) return
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     val notNullRe = "(?i)^\\s*`?([^`\\s]+)`?\\s+IS\\s+NOT\\s+NULL\\s*$".r
     def byStats(e: String): Option[Boolean] = e match { // Some(violated)
-      case notNullRe(c)
-          if files.forall(f => stats.get(f).exists(_.contains(c))) =>
-        Some(files.exists(f => stats(f)(c).nulls > 0))
+      // constraints speak LOGICAL names; footer stats are keyed by
+      // the staged files' physical columns
+      case notNullRe(c0) =>
+        val c = physicalOf(c0, cm)
+        if (files.forall(f => stats.get(f).exists(_.contains(c))))
+          Some(files.exists(f => stats(f)(c).nulls > 0))
+        else None
       case _ => None
     }
-    lazy val staged = spark.read.parquet(files.map(f => s"$table/$f"): _*)
+    lazy val staged = {
+      val raw = spark.read.parquet(files.map(f => s"$table/$f"): _*)
+      if (cm.isEmpty) raw
+      else { // physical → logical, so constraint exprs resolve
+        val back = cm.map(_.swap)
+        raw.toDF(raw.columns.map(c => back.getOrElse(c, c)).toIndexedSeq: _*)
+      }
+    }
     val violated = cs.toSeq.sortBy(_._1).filter { case (_, e) =>
       byStats(e).getOrElse(
         !staged.where(not(coalesce(expr(e), lit(false)))).isEmpty)
@@ -764,8 +935,27 @@ object TxLog {
           // streaming-sink + periodic-compaction sequence
           s"append schema mismatch:\n  table: ${last.schema}\n  batch: $ddl")
       }
-    val (adds, stats) = stageWithStats(df, table)
-    writeCommit(table, mode, batchId, adds, ddl, stats, appId = appId)
+    // column mapping: a column entering the schema (evolve, or an
+    // overwrite's fresh shape) while its logical name is BURNED must
+    // bind a fresh physical name — identity would resurrect old file
+    // bytes the drop/rename hid. An overwrite also sheds mapping
+    // entries for columns leaving the schema (its live set is fresh;
+    // time travel resolves old mappings as of their versions).
+    val base = colMapAt(table)
+    val (cm0, bn0) = base
+    val incoming = df.schema.fieldNames.toSet
+    val cm1 = {
+      val withFresh =
+        cm0 ++ freshAssignments(df.schema.fieldNames.toSeq, cm0, bn0)
+      if (mode == "overwrite") withFresh.filter(kv => incoming(kv._1))
+      else withFresh
+    }
+    val (adds, stats) = stageWithStats(df, table, Some(cm1))
+    if (cm1 == cm0)
+      writeCommit(table, mode, batchId, adds, ddl, stats, appId = appId)
+    else
+      writeCommit(table, mode, batchId, adds, ddl, stats, appId = appId,
+        colmapOverride = Some((cm1, bn0)), colmapBase = Some(base))
   }
 
   /** Expectation write (the Delta Live Tables `expect_or_drop` +
@@ -820,7 +1010,14 @@ object TxLog {
     * — invisible to readers until a commit references them. Returns
     * the new file names (possibly empty: a fully-filtered rewrite
     * produces no part files). */
-  private def stage(df: DataFrame, table: String): Seq[String] = {
+  private def stage(df0: DataFrame, table: String,
+      cm: Map[String, String] = Map.empty): Seq[String] = {
+    // column mapping: callers stage LOGICAL frames; files land under
+    // the physical names every file of the table shares
+    val df =
+      if (cm.isEmpty) df0
+      else df0.toDF(
+        df0.columns.map(c => physicalOf(c, cm)).toIndexedSeq: _*)
     val staging = Paths.get(table, "_staging",
       java.util.UUID.randomUUID().toString)
     // LTZ timestamps default to deprecated INT96 in parquet — a
@@ -861,6 +1058,33 @@ object TxLog {
       .map(_.schema).filter(_.nonEmpty)
       .foldLeft("")((_, s) => s)
 
+  /** Column-mapping state as of `asOf` (default: latest): logical →
+    * physical NON-IDENTITY entries, plus logical names BURNED for
+    * identity reuse. Every commit in mapping mode carries the full
+    * state (like schema=), so resolution is O(tail) from the
+    * checkpoint and survives history drops. An untouched table is
+    * `(empty, empty)` — the identity fast path every read/write takes
+    * today. */
+  def colMapAt(table: String,
+      asOf: Option[Long] = None): (Map[String, String], Set[String]) =
+    commitsFrom(table, replayFrom(table, asOf)).iterator
+      .takeWhile(c => asOf.forall(c.version <= _))
+      .foldLeft((Map.empty[String, String], Set.empty[String])) {
+        case (acc, c) =>
+          if (c.colmap.isEmpty && c.burned.isEmpty) acc
+          else (c.colmap.toMap, c.burned.toSet)
+      }
+
+  /** The parquet column name `logical` reads from / writes to. */
+  private def physicalOf(logical: String,
+      cm: Map[String, String]): String = cm.getOrElse(logical, logical)
+
+  /** True when the table has any column-mapping state (format 2). */
+  def isColumnMapped(table: String): Boolean = {
+    val (cm, bn) = colMapAt(table)
+    cm.nonEmpty || bn.nonEmpty
+  }
+
   /** Read table files under the schema the LOG records at `asOf` —
     * the piece that makes additive schema evolution scale: the reader
     * never merges footers (at 100 TB, a planning-time read of every
@@ -872,10 +1096,23 @@ object TxLog {
   private def readFiles(spark: SparkSession, table: String,
       files: Seq[String], asOf: Option[Long] = None): DataFrame = {
     val ddl = schemaAt(table, asOf)
-    val r =
-      if (ddl.isEmpty) spark.read
-      else spark.read.schema(relaxed(ddl))
-    r.parquet(files.map(f => s"$table/$f"): _*)
+    if (ddl.isEmpty)
+      return spark.read.parquet(files.map(f => s"$table/$f"): _*)
+    val logical = relaxed(ddl)
+    val (cm, _) = colMapAt(table, asOf)
+    if (cm.isEmpty)
+      spark.read.schema(logical).parquet(files.map(f => s"$table/$f"): _*)
+    else {
+      // mapped table: request the PHYSICAL parquet columns, then
+      // restore logical names positionally — one Project over the
+      // scan (pushdown passes through it; `_metadata` still resolves,
+      // metadata output propagates through Project)
+      val physical = org.apache.spark.sql.types.StructType(
+        logical.fields.map(f => f.copy(name = physicalOf(f.name, cm))))
+      spark.read.schema(physical)
+        .parquet(files.map(f => s"$table/$f"): _*)
+        .toDF(logical.fieldNames.toIndexedSeq: _*)
+    }
   }
 
   private def relaxed(ddl: String): org.apache.spark.sql.types.StructType = {
@@ -941,8 +1178,10 @@ object TxLog {
       hi: Option[Any], asOf: Option[Long] = None): (Seq[String], Int) = {
     val live = liveFiles(table, asOf)
     val stats = fileStats(table)
+    // stats are keyed by PHYSICAL column; callers speak logical
+    val pc = physicalOf(column, colMapAt(table, asOf)._1)
     val kept = live.filter { f =>
-      stats.get(f).flatMap(_.get(column)) match {
+      stats.get(f).flatMap(_.get(pc)) match {
         case Some(cs) => overlaps(cs, lo, hi)
         case None => true
       }
@@ -1055,9 +1294,10 @@ object TxLog {
     }
     val live = liveFiles(table, asOf)
     val stats = fileStats(table)
+    val (cm, _) = colMapAt(table, asOf) // stats keyed physical
     val kept = live.filter { f =>
       preds.forall { p =>
-        stats.get(f).flatMap(_.get(p.column)) match {
+        stats.get(f).flatMap(_.get(physicalOf(p.column, cm))) match {
           case Some(cs) => admits(cs, p)
           case None => true
         }
@@ -1180,6 +1420,30 @@ object TxLog {
     require(tbl.isEmpty || ddlShape(tbl) == ddlShape(ddl),
       s"rewrite must preserve the table schema:\n  table: $tbl\n  " +
         s"rewrite: $ddl")
+    // column mapping: staged files MUST already carry physical names
+    // (the DSv2 writer physicalizes its file schema) — verified
+    // against the first staged footer, because a logical-named file
+    // slipping in would silently null-fill every renamed column on
+    // read
+    val (cm, _) = colMapAt(table)
+    if (cm.nonEmpty && staged.nonEmpty) {
+      val expected = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        .fieldNames.map(physicalOf(_, cm)).toSet
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(staged.head.toString),
+          new org.apache.hadoop.conf.Configuration()))
+      val names =
+        try {
+          import scala.jdk.CollectionConverters._
+          reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+            .map(_.getName).toSet
+        } finally reader.close()
+      val bad = names.diff(expected)
+      require(bad.isEmpty,
+        s"$table is in column-mapping mode: staged files must carry " +
+          s"PHYSICAL column names; unexpected: ${bad.mkString(", ")}")
+    }
     val mapping = dvAt(table)
     val uuid = java.util.UUID.randomUUID().toString
     val promoted = staged.sortBy(_.getFileName.toString).zipWithIndex
@@ -1194,7 +1458,7 @@ object TxLog {
     val adds = keep.map(_._1)
     val stats =
       keep.collect { case (f, (_, st)) if st.nonEmpty => f -> st }.toMap
-    enforceConstraints(spark, table, adds, stats)
+    enforceConstraints(spark, table, adds, stats, cm)
     writeCommit(table, "rewrite", -1L, adds, tbl, stats, removes,
       dvBase = dvBaseFor(mapping, removes))
   }
@@ -1312,7 +1576,8 @@ object TxLog {
     val live = liveFiles(table)
     if (keys.length != 1 || live.isEmpty) return live
     val k = keys.head
-    val hasStats = fileStats(table).values.exists(_.contains(k))
+    val hasStats = fileStats(table).values
+      .exists(_.contains(physicalOf(k, colMapAt(table)._1)))
     if (!hasStats) return live
     val mm = src.agg(min(col(k)).as("lo"), max(col(k)).as("hi")).head()
     if (mm.isNullAt(0)) return live // all-NULL keys: nothing matches,
@@ -1901,9 +2166,69 @@ object TxLog {
     val stats = fileStats(table).filter(kv => fileSet(kv._1))
     // restore re-establishes v's dv mapping too (rolling back past a
     // dv commit must resurrect the rows it masked); no dvBase — the
-    // whole point is to override whatever masks exist now
+    // whole point is to override whatever masks exist now. The column
+    // mapping likewise restores AS OF v (v's files carry v's physical
+    // names) — but burned names stay CUMULATIVE: physical columns in
+    // post-v files don't un-burn by rolling the live set back
+    val (cmV, bnV) = colMapAt(table, Some(v))
+    val bnNow = colMapAt(table)._2
+    val cmo =
+      if (cmV.isEmpty && bnV.isEmpty && bnNow.isEmpty) None
+      else Some((cmV, bnV ++ bnNow))
     writeCommit(table, "overwrite", -1L, files, schemaAt(table, Some(v)),
-      stats, dvs = dvAt(table, Some(v)))
+      stats, dvs = dvAt(table, Some(v)), colmapOverride = cmo)
+  }
+
+  /** Zero-copy table clone — Delta's SHALLOW CLONE, strengthened: the
+    * clone's live files are HARD LINKS to the source's bytes, so the
+    * clone is O(live files) metadata work with ZERO data copied — and
+    * unlike a path-sharing shallow clone, the link keeps the inode
+    * alive: the SOURCE's vacuum (or even deleting the source table
+    * wholesale) can never break the clone. Carries the source's
+    * schema, per-file stats, deletion-vector masks, column mapping
+    * and CHECK constraints; after the clone the two logs diverge
+    * independently (the clone starts its history at version 0 with
+    * one overwrite commit). `asOf` clones a time-travel snapshot.
+    * Cross-filesystem targets fall back to a real copy per file. The
+    * dev/test/experiment shape at 100 TB: branch the table, mutate
+    * the branch, throw it away — without touching a byte of the
+    * source. */
+  def cloneTable(spark: SparkSession, src: String, dst: String,
+      asOf: Option[Long] = None): Long = {
+    require(latestVersion(src).nonEmpty, s"no table at $src")
+    require(latestVersion(dst).isEmpty,
+      s"clone target $dst already has a transaction log")
+    def linkOrCopy(from: Path, to: Path): Unit = {
+      Files.createDirectories(to.getParent)
+      try { Files.createLink(to, from); () }
+      catch { // cross-device (or FS without links): copy the bytes
+        case _: UnsupportedOperationException |
+             _: java.nio.file.FileSystemException =>
+          Files.copy(from, to,
+            StandardCopyOption.COPY_ATTRIBUTES); ()
+      }
+    }
+    val files = liveFiles(src, asOf)
+    require(files.nonEmpty,
+      s"nothing to clone: no live files in $src" +
+        asOf.fold("")(v => s" as of v$v"))
+    Files.createDirectories(Paths.get(dst))
+    files.foreach(f => linkOrCopy(Paths.get(src, f), Paths.get(dst, f)))
+    val dvm = dvAt(src, asOf)
+    dvm.values.map(_._1).toSeq.distinct.foreach { set =>
+      val from = dvDir(src).resolve(set)
+      ls(from).filter(p => Files.isRegularFile(p)).foreach(p =>
+        linkOrCopy(p, dvDir(dst).resolve(set).resolve(p.getFileName)))
+    }
+    val cs = constraints(src)
+    if (cs.nonEmpty) writeConstraintsFile(dst, cs)
+    val fileSet = files.toSet
+    val stats = fileStats(src).filter(kv => fileSet(kv._1))
+    val (cm, bn) = colMapAt(src, asOf)
+    val cmo =
+      if (cm.isEmpty && bn.isEmpty) None else Some((cm, bn))
+    writeCommit(dst, "overwrite", -1L, files, schemaAt(src, asOf),
+      stats, dvs = dvm, colmapOverride = cmo)
   }
 
   /** Live data files at `asOf` (default: latest). Replay starts at the
@@ -2558,6 +2883,12 @@ object TxLog {
     * else fails loudly. O(tail) per call via the watermark. Returns
     * newly published file count. */
   def publishAppends(table: String): Int = {
+    // a mapped table's published files carry PHYSICAL column names
+    // the file-stream reader would misresolve against the logical
+    // schema — refused here AND at mutation time (requireMappable)
+    require(!isColumnMapped(table),
+      s"$table is in column-mapping mode: it cannot serve as a " +
+        s"streaming source")
     Files.createDirectories(publishedDir(table))
     var linked = 0
     val wm = pubWatermark(table)

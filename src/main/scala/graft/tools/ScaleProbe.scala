@@ -415,6 +415,46 @@ object ScaleProbe {
           TxLog.compactZOrdered(spark, tdir, "doc_id", "n_chars", 16)
           TxLog.liveFiles(tdir).size.toLong
         }
+        // SQL row-level UPDATE through the DSv2 catalog (round 15):
+        // fixed-selectivity statement against the growing table — the
+        // runtime group filter bounds the rewrite to matched files,
+        // so the wall must stay ~flat like the Scala upsert (runs
+        // post-OPTIMIZE: the catalog serves mask-free snapshots).
+        // rows = files removed by the rewrite commit (the bounded set)
+        var su = 0L
+        t("txlogSqlUpdate", n) {
+          su += 1
+          spark.sql(s"UPDATE graft.`$tdir` SET source = 'sqlupd' " +
+            s"WHERE doc_id BETWEEN ${500L + 40L * su} AND ${509L + 40L * su}")
+          TxLog.commits(tdir).last.removes.size.toLong
+        }
+        // zero-copy clone (round 15): hard-linked live files — O(live
+        // files) METADATA work, so the wall must stay ~flat while the
+        // table bytes behind it grow 64× (the zero-copy claim
+        // measured). Fresh target per iteration.
+        val cloneNonce = System.nanoTime()
+        var cl = 0L
+        t("txlogClone", n) {
+          cl += 1
+          val dst = s"$out/txclone_${cloneNonce}_${n}_$cl"
+          TxLog.cloneTable(spark, tdir, dst)
+          TxLog.liveFiles(dst).size.toLong
+        }
+        // metadata-only RENAME + a stats-pruned read THROUGH the
+        // mapping on the clone: both must stay ~flat (the rename
+        // touches zero data bytes at any scale; the mapped read pays
+        // one extra Project)
+        locally {
+          val dst = s"$out/txclone_${cloneNonce}_${n}_1"
+          var rn = 0L
+          t("txlogRenameColumn", n) {
+            rn += 1
+            if (rn % 2 == 1) TxLog.renameColumn(dst, "source", "origin")
+            else TxLog.renameColumn(dst, "origin", "source")
+          }
+          t("txlogMappedRead", n)(TxLog.snapshotRange(
+            spark, dst, "doc_id", Some(4500L), Some(4599L)).count())
+        }
         // streaming-sink auto-compaction (round 15): a 12-append burst
         // with autoCompactFiles = 8. The triggered compactToSize
         // rewrite is ∝ live bytes BY DESIGN (the maxFiles threshold is

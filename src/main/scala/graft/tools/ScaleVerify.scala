@@ -64,7 +64,13 @@ object ScaleVerify {
     // produce different file groupings, hence different MASK sets —
     // the visible snapshot must be identical anyway: merge-on-read is
     // invisible) and the SQL-DML lifecycle through the DSv2 catalog
-    "txlog_dv", "txlog_catalog_dml")
+    "txlog_dv", "txlog_catalog_dml",
+    // round-15 continuation: SQL UPDATE/MERGE through the row-level
+    // path (different layouts → different matched-file sets and
+    // replacement groupings — the final table must be identical),
+    // column mapping (rename/drop/re-add metadata must be invisible
+    // however the files are cut) and the zero-copy clone divergence
+    "txlog_catalog_rowlevel", "txlog_column_mapping", "txlog_clone")
 
   def main(args: Array[String]): Unit = {
     val d = "/root/testdata/sf0.1"

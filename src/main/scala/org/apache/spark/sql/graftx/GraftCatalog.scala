@@ -158,6 +158,11 @@ private[graftx] class GraftTxTable(path: String, asOf: Option[Long])
           s"TxLog.compact/compactToSize (OPTIMIZE) to materialize the " +
           s"masks, or read via TxLog.snapshot")
   }
+  // column mapping: reads route through GraftFileScan with the
+  // logical→physical indirection; INSERT/DELETE go through TxLog
+  // (which maps at stage time). Only the row-level SQL rewrite path
+  // is refused (its executors stage raw files).
+  private val colMap: Map[String, String] = TxLog.colMapAt(path, asOf)._1
 
   override def name(): String =
     s"graft.`$path`" + asOf.fold("")(v => s" VERSION AS OF $v")
@@ -184,7 +189,7 @@ private[graftx] class GraftTxTable(path: String, asOf: Option[Long])
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftDelegatingScanBuilder(delegate.newScanBuilder(options),
-      path, pinnedFiles, pinnedDdl)
+      path, pinnedFiles, pinnedDdl, colMap)
 
   /** Per-row provenance: `SELECT _file, ... FROM graft.`t`` names the
     * table file each row lives in — and it is the group handle the
@@ -214,7 +219,7 @@ private[graftx] class GraftTxTable(path: String, asOf: Option[Long])
       s"$path serves as a streaming source (append-only): row-level " +
         s"${info.command} is not allowed")
     () => new GraftRowLevelOperation(path, pinnedFiles, pinnedDdl,
-      info.command)
+      info.command, colMap)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

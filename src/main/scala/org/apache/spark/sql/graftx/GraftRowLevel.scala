@@ -80,7 +80,8 @@ private[graftx] object GraftRowLevel {
   * set. */
 private[graftx] class GraftRowLevelOperation(path: String,
     pinnedFiles: Seq[String], ddl: String,
-    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+    cmd: RowLevelOperation.Command,
+    cm: Map[String, String] = Map.empty) extends RowLevelOperation {
 
   // the scan that received the runtime group filter: its post-filter
   // file list is the set the replacement data was computed from
@@ -92,12 +93,13 @@ private[graftx] class GraftRowLevelOperation(path: String,
   override def command(): RowLevelOperation.Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftFileScanBuilder(path, pinnedFiles, ddl, Some(this))
+    new GraftFileScanBuilder(path, pinnedFiles, ddl, Some(this), cm)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write =
-        new GraftReplaceWrite(path, GraftRowLevelOperation.this, info.schema())
+        new GraftReplaceWrite(path, GraftRowLevelOperation.this,
+          info.schema(), cm)
     }
 
   override def requiredMetadataAttributes(): Array[NamedReference] =
@@ -111,7 +113,8 @@ private[graftx] class GraftRowLevelOperation(path: String,
   * reported residual, so Spark re-evaluates them post-scan — the same
   * contract as its own parquet source. */
 private[graftx] class GraftFileScanBuilder(path: String,
-    files: Seq[String], ddl: String, op: Option[GraftRowLevelOperation])
+    files: Seq[String], ddl: String, op: Option[GraftRowLevelOperation],
+    cm: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
@@ -129,10 +132,8 @@ private[graftx] class GraftFileScanBuilder(path: String,
   }
   override def pushedFilters(): Array[sources.Filter] = pushed
 
-  override def build(): Scan = {
-    val scan = new GraftFileScan(path, files, ddl, required, pushed, op)
-    scan
-  }
+  override def build(): Scan =
+    new GraftFileScan(path, files, ddl, required, pushed, op, cm)
 }
 
 private[graftx] case class GraftFilePartition(name: String,
@@ -145,15 +146,22 @@ private[graftx] case class GraftFilePartition(name: String,
   * and the committing write both read the narrowed list. */
 private[graftx] class GraftFileScan(path: String, files0: Seq[String],
     ddl: String, required: StructType, pushed: Array[sources.Filter],
-    op: Option[GraftRowLevelOperation]) extends Scan with Batch
+    op: Option[GraftRowLevelOperation],
+    cm: Map[String, String] = Map.empty) extends Scan with Batch
     with SupportsRuntimeV2Filtering {
 
   @volatile private var files: Seq[String] = files0
   private[graftx] def currentFiles: Seq[String] = files
 
-  private val dataSchema = GraftRowLevel.relaxed(ddl)
+  // column mapping: the files carry PHYSICAL names; this scan's
+  // exterior (readSchema) stays logical and the reader projection
+  // restores names positionally
+  private def phys(s: StructType): StructType =
+    if (cm.isEmpty) s
+    else StructType(s.fields.map(f => f.copy(name = cm.getOrElse(f.name, f.name))))
+  private val dataSchema = phys(GraftRowLevel.relaxed(ddl))
   private val readDataSchema =
-    StructType(required.filterNot(_.name == GraftRowLevel.FileCol))
+    phys(StructType(required.filterNot(_.name == GraftRowLevel.FileCol)))
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -199,7 +207,9 @@ private[graftx] class GraftFileScan(path: String, files0: Seq[String],
     // driver, serialized to tasks (the FileSourceScanExec pattern)
     val readerFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
       spark, dataSchema, new StructType(), readDataSchema,
-      pushed.toIndexedSeq,
+      // pushed filters speak logical names — advisory only, so on a
+      // mapped table (physical file schema) they are simply dropped
+      if (cm.isEmpty) pushed.toIndexedSeq else Nil,
       Map(org.apache.spark.sql.execution.datasources.FileFormat
         .OPTION_RETURNING_BATCH -> "false"),
       spark.sessionState.newHadoopConf())
@@ -225,13 +235,15 @@ private[graftx] class GraftFileReaderFactory(
         case b: ColumnarBatch => b.rowIterator().asScala
         case r: InternalRow => Iterator.single(r)
       }
+    // POSITIONAL binding: inputSchema is outputSchema minus _file,
+    // possibly under physical (column-mapping) names — order is
+    // preserved, names may differ
     val inAttrs = DataTypeUtils.toAttributes(inputSchema)
+    var di = 0
     val exprs: Seq[Expression] = outputSchema.map { f =>
       if (f.name == GraftRowLevel.FileCol)
         Literal(UTF8String.fromString(fp.name), StringType)
-      else
-        inAttrs.find(_.name == f.name).getOrElse(throw new IllegalStateException(
-          s"scan output column ${f.name} missing from read schema"))
+      else { val a = inAttrs(di); di += 1; a }
     }.toSeq
     val proj = UnsafeProjection.create(exprs, inAttrs)
     new PartitionReader[InternalRow] {
@@ -254,11 +266,19 @@ private[graftx] case class GraftStagedFile(path: Option[String])
   * nothing (empty group set, zero replacement rows) commits nothing
   * at all. */
 private[graftx] class GraftReplaceWrite(path: String,
-    op: GraftRowLevelOperation, writeSchema: StructType)
+    op: GraftRowLevelOperation, writeSchema: StructType,
+    cm: Map[String, String] = Map.empty)
     extends Write with BatchWrite {
 
   private val dataSchema = StructType(
     writeSchema.filterNot(_.name == GraftRowLevel.FileCol))
+  // column mapping: the FILE schema carries physical names (row
+  // values bind positionally; only the footer names change), so the
+  // staged parquet lines up with every other file of the table
+  private val fileSchema =
+    if (cm.isEmpty) dataSchema
+    else StructType(dataSchema.fields.map(f =>
+      f.copy(name = cm.getOrElse(f.name, f.name))))
   private val stagingDir =
     Paths.get(path, "_staging", UUID.randomUUID().toString)
 
@@ -278,11 +298,11 @@ private[graftx] class GraftReplaceWrite(path: String,
     val prev = spark.conf.get(tsKey)
     spark.conf.set(tsKey, "TIMESTAMP_MICROS")
     val owf =
-      try new ParquetFileFormat().prepareWrite(spark, job, Map.empty, dataSchema)
+      try new ParquetFileFormat().prepareWrite(spark, job, Map.empty, fileSchema)
       finally spark.conf.set(tsKey, prev)
     GraftCowWriterFactory(owf,
       new SerializableConfiguration(job.getConfiguration),
-      stagingDir.toAbsolutePath.toString, dataSchema, writeSchema)
+      stagingDir.toAbsolutePath.toString, fileSchema, writeSchema)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -308,7 +328,7 @@ private[graftx] class GraftReplaceWrite(path: String,
 
 private[graftx] case class GraftCowWriterFactory(owf: OutputWriterFactory,
     conf: SerializableConfiguration, stagingDir: String,
-    dataSchema: StructType, writeSchema: StructType)
+    fileSchema: StructType, writeSchema: StructType)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int,
@@ -317,17 +337,18 @@ private[graftx] case class GraftCowWriterFactory(owf: OutputWriterFactory,
       private var out: OutputWriter = null
       private var file: String = null
       // the plan may carry metadata (_file) alongside the data
-      // columns; strip to the table shape
+      // columns; strip to the table shape. POSITIONAL: dataSchema is
+      // writeSchema minus _file (order preserved, names may be
+      // physical under column mapping)
       private val proj: UnsafeProjection =
-        if (writeSchema == dataSchema) null
+        if (!writeSchema.fieldNames.contains(GraftRowLevel.FileCol)) null
         else {
           val in = DataTypeUtils.toAttributes(writeSchema)
           UnsafeProjection.create(
-            dataSchema.map(f =>
-              in.find(_.name == f.name).getOrElse(
-                throw new IllegalStateException(
-                  s"write column ${f.name} missing")): Expression).toSeq,
-            in)
+            in.zip(writeSchema.fields).collect {
+              case (a, f) if f.name != GraftRowLevel.FileCol =>
+                a: Expression
+            }.toSeq, in)
         }
 
       override def write(row: InternalRow): Unit = {
@@ -339,7 +360,7 @@ private[graftx] case class GraftCowWriterFactory(owf: OutputWriterFactory,
           val ctx = new TaskAttemptContextImpl(new Configuration(conf.value),
             new TaskAttemptID(new TaskID(new JobID("graft", 0),
               TaskType.MAP, partitionId), (taskId % Int.MaxValue).toInt))
-          out = owf.newInstance(file, dataSchema, ctx)
+          out = owf.newInstance(file, fileSchema, ctx)
         }
         out.write(if (proj == null) row else proj(row))
       }
@@ -366,32 +387,39 @@ private[graftx] case class GraftCowWriterFactory(owf: OutputWriterFactory,
   * parquet delegate reports every data filter as residual (Spark
   * re-evaluates them post-scan regardless of which scan serves). */
 private[graftx] class GraftDelegatingScanBuilder(delegate: ScanBuilder,
-    path: String, files: Seq[String], ddl: String) extends ScanBuilder
+    path: String, files: Seq[String], ddl: String,
+    cm: Map[String, String] = Map.empty) extends ScanBuilder
     with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+
+  // a column-mapped table can never use the parquet delegate (it
+  // would resolve LOGICAL names against physical file columns)
+  private def mustOwn: Boolean = cm.nonEmpty
 
   private var wantsFile = false
   private var pruned: StructType = GraftRowLevel.relaxed(ddl)
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
     delegate match {
-      case d: SupportsPushDownCatalystFilters => d.pushFilters(filters)
-      case _ => filters
+      case d: SupportsPushDownCatalystFilters if !mustOwn =>
+        d.pushFilters(filters)
+      case _ => filters // all residual; Spark re-evaluates post-scan
     }
 
   override def pushedFilters(): Array[Predicate] = delegate match {
-    case d: SupportsPushDownCatalystFilters => d.pushedFilters
+    case d: SupportsPushDownCatalystFilters if !mustOwn => d.pushedFilters
     case _ => Array.empty
   }
 
   override def pushAggregation(agg: Aggregation): Boolean = delegate match {
-    case d: SupportsPushDownAggregates => d.pushAggregation(agg)
+    case d: SupportsPushDownAggregates if !mustOwn => d.pushAggregation(agg)
     case _ => false
   }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     delegate match {
-      case d: SupportsPushDownAggregates => d.supportCompletePushDown(agg)
+      case d: SupportsPushDownAggregates if !mustOwn =>
+        d.supportCompletePushDown(agg)
       case _ => false
     }
 
@@ -407,6 +435,7 @@ private[graftx] class GraftDelegatingScanBuilder(delegate: ScanBuilder,
   }
 
   override def build(): Scan =
-    if (wantsFile) new GraftFileScan(path, files, ddl, pruned, Array.empty, None)
+    if (wantsFile || mustOwn)
+      new GraftFileScan(path, files, ddl, pruned, Array.empty, None, cm)
     else delegate.build()
 }

@@ -776,11 +776,11 @@ class TxLogSpec extends SparkSpec {
     TxLog.write(Seq(1L).toDF("id"), t, "append")
     assert(TxLog.commits(t).nonEmpty) // format=1 reads fine
     Files.write(Paths.get(t, "_txlog", f"${1L}%010d.txt"),
-      "format=2\nmode=append\nbatch=-1\nadd=future.parquet\n"
+      "format=3\nmode=append\nbatch=-1\nadd=future.parquet\n"
         .getBytes("UTF-8"))
     TxLog.clearParseCache()
     val e = intercept[IllegalStateException] { TxLog.commits(t) }
-    assert(e.getMessage.contains("format 2"))
+    assert(e.getMessage.contains("format 3"))
   }
 
   test("detail, vacuum dry run, size-targeted compaction") {
