@@ -105,6 +105,7 @@ object SparkEntry {
         k != "txlog_catalog_rowlevel" && // builds a table per call: IO class
         k != "txlog_column_mapping" && // builds a table per call: IO class
         k != "txlog_clone" && // builds two tables per call: IO class
+        k != "txlog_sql_maintenance" && // builds two tables per call: IO class
         k != "txlog_optimize_range" && // builds a table per call: IO class
         k != "medallion_pin_q1" && // full streaming medallion per call: IO class
         // same results as ngram_jaccard via the hot-key-free candidate
@@ -1643,6 +1644,38 @@ object SparkEntry {
         .unionByName(graft.ingest.TxLog.snapshot(s, dst, Some(0L))
           .select(cols.head, cols.tail: _*).withColumn("at", lit("dst_v0"))))
     }),
+    // SQL maintenance surface (round 15): the full table-maintenance
+    // lifecycle through `CALL graft.system.*` DSv2 stored procedures
+    // ONLY — zorder, zero-copy clone, metadata-only rename/drop,
+    // catalog DELETE on the now-MAPPED clone, optimize, checkpoint,
+    // vacuum. Every op must be invisible in the data: the source arm
+    // unchanged, the clone arm = renamed/narrowed minus the deleted
+    // band (SqlProcedureSpec pins each procedure's summary row)
+    "txlog_sql_maintenance" -> prep((s, d) => {
+      val t = tmpDir("graft_txproc")
+      val dst = tmpDir("graft_txproc_clone")
+      val base = s.read.parquet(s"$d/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+      graft.ingest.TxLog.write(
+        base.repartitionByRange(8, col("doc_id")), t, "overwrite")
+      s.sql(s"CALL graft.system.zorder('$t', 'doc_id', 'n_chars', 4)")
+      s.sql(s"CALL graft.system.clone_table('$t', '$dst')")
+      s.sql(s"CALL graft.system.rename_column('$dst', 'n_chars', 'chars')")
+      s.sql(s"CALL graft.system.drop_column('$dst', 'source')")
+      s.sql(s"DELETE FROM graft.`$dst` WHERE doc_id BETWEEN 100 AND 199")
+      s.sql(s"CALL graft.system.optimize('$dst', 2)")
+      s.sql(s"CALL graft.system.checkpoint('$dst')")
+      s.sql(s"CALL graft.system.vacuum('$dst', 0)")
+      Engine.canonical(
+        graft.ingest.TxLog.snapshot(s, t)
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("n_chars").as("chars"))
+          .withColumn("at", lit("src"))
+        .unionByName(graft.ingest.TxLog.snapshot(s, dst)
+          .select(col("doc_id"), col("lang"),
+            lit(null: String).cast("string").as("source"), col("chars"))
+          .withColumn("at", lit("dst"))))
+    }),
     // conjunctive data skipping (round 14): the z-ordered table
     // answers a three-predicate lookup — user range AND time range AND
     // type IN-set — through snapshotWhere, which drops every file some
@@ -2485,6 +2518,7 @@ object SparkEntry {
     "txlog_catalog_rowlevel" -> ExtOracle.txlogCatalogRowLevel,
     "txlog_column_mapping" -> ExtOracle.txlogColumnMapping,
     "txlog_clone" -> ExtOracle.txlogClone,
+    "txlog_sql_maintenance" -> ExtOracle.txlogSqlMaintenance,
     "txlog_optimize_range" -> ExtOracle.txlogOptimizeRange,
     "stream_txlog_fanin" -> ExtOracle.txlogFanin,
     "txlog_restore" -> ExtOracle.txlogRestore,

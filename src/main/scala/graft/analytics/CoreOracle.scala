@@ -1151,6 +1151,21 @@ UNION ALL
 SELECT doc_id, lang, source, n_chars, 'dst_v0' AS at FROM documents
 ${ord("doc_id", "lang", "source", "n_chars", "at")}""".trim
 
+  /** Twin of `txlog_sql_maintenance`: the CALL-procedure lifecycle
+    * (zorder → clone → rename n_chars→chars → drop source → catalog
+    * DELETE on the mapped clone → optimize → checkpoint → vacuum)
+    * must be invisible — the source arm unchanged, the clone arm
+    * renamed/narrowed minus the deleted band. */
+  val txlogSqlMaintenance: String = s"""
+SELECT doc_id, lang, source, n_chars AS chars, 'src' AS at
+FROM documents
+UNION ALL
+SELECT doc_id, lang, CAST(NULL AS VARCHAR) AS source,
+  n_chars AS chars, 'dst' AS at
+FROM documents
+WHERE NOT COALESCE(doc_id BETWEEN 100 AND 199, FALSE)
+${ord("doc_id", "lang", "source", "chars", "at")}""".trim
+
   /** Twin of `stream_txlog_fanin`: two exactly-once streams carrying
     * the even and odd halves into one table, each drained twice —
     * the union must hold exactly one copy of every source row. */

@@ -70,7 +70,8 @@ object ScaleVerify {
     // replacement groupings — the final table must be identical),
     // column mapping (rename/drop/re-add metadata must be invisible
     // however the files are cut) and the zero-copy clone divergence
-    "txlog_catalog_rowlevel", "txlog_column_mapping", "txlog_clone")
+    "txlog_catalog_rowlevel", "txlog_column_mapping", "txlog_clone",
+    "txlog_sql_maintenance")
 
   def main(args: Array[String]): Unit = {
     val d = "/root/testdata/sf0.1"

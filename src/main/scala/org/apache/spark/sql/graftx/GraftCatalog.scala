@@ -59,9 +59,17 @@ import graft.ingest.TxLog
   * `org.apache.spark.sql` subpackage to reach `ParquetTable` /
   * `PredicateUtils` (the `graftx/Bridge.scala` pattern — only this
   * package touches Spark internals). */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName = "graft"
+
+  /** `CALL graft.system.<proc>(...)` — see [[GraftProcedures]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list()
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = { catalogName = name }

@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ingest.TxLog
+
+/** `CALL graft.system.<proc>(...)` — the DSv2 stored-procedure
+  * maintenance surface: every TxLog maintenance op drivable from pure
+  * SQL, each returning its summary row. */
+class SqlProcedureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+  private def freshDir(p: String) = {
+    val d = Files.createTempDirectory(p); Files.delete(d); d.toString
+  }
+
+  private def seed(t: String): Unit = {
+    TxLog.write(
+      spark.range(100).select(col("id"), (col("id") % 10).as("grp"),
+        (col("id") * 10).as("v")).repartitionByRange(4, col("id")),
+      t, "overwrite")
+    ()
+  }
+
+  test("CALL optimize compacts to the target and reports the new state") {
+    val t = tmp("proc_opt")
+    seed(t)
+    assert(TxLog.liveFiles(t).size == 4)
+    val row = spark.sql(s"CALL graft.system.optimize('$t', 2)").head()
+    assert(row.getLong(1) <= 2, "files after optimize")
+    assert(TxLog.liveFiles(t).size <= 2)
+    assert(TxLog.snapshot(spark, t).count() == 100)
+  }
+
+  test("CALL zorder clusters on two dimensions") {
+    val t = tmp("proc_z")
+    seed(t)
+    spark.sql(s"CALL graft.system.zorder('$t', 'id', 'v', 4)")
+    assert(TxLog.commits(t).last.mode == "overwrite")
+    assert(TxLog.snapshot(spark, t).count() == 100)
+  }
+
+  test("CALL checkpoint + restore + vacuum round trip") {
+    val t = tmp("proc_cv")
+    seed(t)                                       // v0
+    TxLog.delete(spark, t, col("id") < 50L)       // v1
+    val restored = spark.sql(
+      s"CALL graft.system.restore('$t', 0)").head().getLong(0)
+    assert(restored == 2L)
+    assert(TxLog.snapshot(spark, t).count() == 100)
+    val cp = spark.sql(s"CALL graft.system.checkpoint('$t')")
+      .head().getLong(0)
+    assert(cp == TxLog.latestVersion(t).get)
+    val reclaimed = spark.sql(
+      s"CALL graft.system.vacuum('$t', 0)").head().getLong(0)
+    assert(reclaimed >= 0L)
+    assert(TxLog.snapshot(spark, t).count() == 100)
+  }
+
+  test("CALL clone_table + rename_column + drop_column, read back via SQL") {
+    val s = tmp("proc_clone_src"); val d = freshDir("proc_clone_dst")
+    seed(s)
+    val files = spark.sql(
+      s"CALL graft.system.clone_table('$s', '$d')").head().getLong(1)
+    assert(files == 4L)
+    spark.sql(s"CALL graft.system.rename_column('$d', 'v', 'val')")
+    spark.sql(s"CALL graft.system.drop_column('$d', 'grp')")
+    assert(spark.sql(s"SELECT sum(val) FROM graft.`$d`")
+      .head().getLong(0) == (0L to 99L).map(_ * 10).sum)
+    assert(spark.sql(s"SELECT * FROM graft.`$d`").columns.toSeq ==
+      Seq("id", "val"))
+    // the source never noticed
+    assert(TxLog.snapshot(spark, s).columns.toSeq == Seq("id", "grp", "v"))
+  }
+
+  test("CALL history and describe_detail return real row sets") {
+    val t = tmp("proc_hist")
+    seed(t)
+    TxLog.delete(spark, t, col("id") < 10L)
+    val hist = spark.sql(s"CALL graft.system.history('$t')").collect()
+    assert(hist.length == 2)
+    val modes = hist.map(_.getAs[String]("mode")).toSet
+    assert(modes == Set("overwrite", "rewrite"))
+    val detail = spark.sql(s"CALL graft.system.describe_detail('$t')")
+    assert(detail.count() == 1)
+    assert(detail.columns.contains("n_live_files"))
+  }
+
+  test("CALL add_constraint gates writes until dropped") {
+    val t = tmp("proc_cons")
+    seed(t)
+    spark.sql(s"CALL graft.system.add_constraint('$t', 'v_pos', 'v >= 0')")
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$t` VALUES (1, 1, -5)")
+    }
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$t`")
+      .head().getLong(0) == 100)
+    val left = spark.sql(
+      s"CALL graft.system.drop_constraint('$t', 'v_pos')")
+      .head().getLong(0)
+    assert(left == 0L)
+    spark.sql(s"INSERT INTO graft.`$t` VALUES (1, 1, -5)")
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$t`")
+      .head().getLong(0) == 101)
+  }
+
+  test("unknown procedures fail loudly with the available list") {
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.explode_table('/tmp/x')").collect()
+    }
+    // Spark wraps the catalog error (FAILED_TO_LOAD_ROUTINE); the
+    // available-list message rides the cause
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msgs.contains("explode_table") &&
+      msgs.contains("no such procedure") && msgs.contains("optimize"))
+  }
+
+  test("SHOW PROCEDURES lists the maintenance surface") {
+    val names = spark.sql("SHOW PROCEDURES IN graft.system").collect()
+      .map(_.toString).mkString(",")
+    assert(names.contains("optimize") && names.contains("vacuum") &&
+      names.contains("rename_column"))
+  }
+}
