@@ -106,6 +106,7 @@ object SparkEntry {
         k != "txlog_column_mapping" && // builds a table per call: IO class
         k != "txlog_clone" && // builds two tables per call: IO class
         k != "txlog_sql_maintenance" && // builds two tables per call: IO class
+        k != "txlog_generated" && // builds a table per call: IO class
         k != "txlog_optimize_range" && // builds a table per call: IO class
         k != "medallion_pin_q1" && // full streaming medallion per call: IO class
         // same results as ngram_jaccard via the hot-key-free candidate
@@ -1676,6 +1677,34 @@ object SparkEntry {
             lit(null: String).cast("string").as("source"), col("chars"))
           .withColumn("at", lit("dst"))))
     }),
+    // generated columns (round 15, GENERATED ALWAYS AS): chars_h is
+    // registered as n_chars div 100 — the append OMITS it and the
+    // write computes it; a range read then prunes on the generated
+    // column (the classic derive-the-skipping-column shape, correct
+    // by construction: GeneratedColumnSpec pins that a disagreeing
+    // supplied value aborts the commit). Twin recomputes the column
+    "txlog_generated" -> prep((s, d) => {
+      val t = tmpDir("graft_txgen")
+      val base = s.read.parquet(s"$d/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+      graft.ingest.TxLog.write(
+        base.withColumn("chars_h", expr("n_chars div 100"))
+          .repartitionByRange(8, col("chars_h")), t, "overwrite")
+      graft.ingest.TxLog.addGeneratedColumn(s, t, "chars_h",
+        "n_chars div 100")
+      graft.ingest.TxLog.write(
+        base.where(col("doc_id") < 40).select(
+          (col("doc_id") + 600000).as("doc_id"), col("lang"),
+          col("n_chars")),
+        t, "append")
+      val all = graft.ingest.TxLog.snapshot(s, t)
+        .select("doc_id", "lang", "n_chars", "chars_h")
+      val sel = graft.ingest.TxLog
+        .snapshotRange(s, t, "chars_h", Some(3L), Some(5L))
+        .select("doc_id", "lang", "n_chars", "chars_h")
+      Engine.canonical(all.withColumn("at", lit("all"))
+        .unionByName(sel.withColumn("at", lit("sel"))))
+    }),
     // conjunctive data skipping (round 14): the z-ordered table
     // answers a three-predicate lookup — user range AND time range AND
     // type IN-set — through snapshotWhere, which drops every file some
@@ -2519,6 +2548,7 @@ object SparkEntry {
     "txlog_column_mapping" -> ExtOracle.txlogColumnMapping,
     "txlog_clone" -> ExtOracle.txlogClone,
     "txlog_sql_maintenance" -> ExtOracle.txlogSqlMaintenance,
+    "txlog_generated" -> ExtOracle.txlogGenerated,
     "txlog_optimize_range" -> ExtOracle.txlogOptimizeRange,
     "stream_txlog_fanin" -> ExtOracle.txlogFanin,
     "txlog_restore" -> ExtOracle.txlogRestore,

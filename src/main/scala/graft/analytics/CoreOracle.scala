@@ -1166,6 +1166,21 @@ FROM documents
 WHERE NOT COALESCE(doc_id BETWEEN 100 AND 199, FALSE)
 ${ord("doc_id", "lang", "source", "chars", "at")}""".trim
 
+  /** Twin of `txlog_generated`: the write computed the omitted
+    * generated column, so every row carries n_chars // 100; the 'sel'
+    * arm is the pruned range read on it. */
+  val txlogGenerated: String = s"""
+WITH now_t AS (
+  SELECT doc_id, lang, n_chars, n_chars // 100 AS chars_h FROM documents
+  UNION ALL
+  SELECT doc_id + 600000, lang, n_chars, n_chars // 100
+  FROM documents WHERE doc_id < 40)
+SELECT doc_id, lang, n_chars, chars_h, 'all' AS at FROM now_t
+UNION ALL
+SELECT doc_id, lang, n_chars, chars_h, 'sel' AS at FROM now_t
+WHERE chars_h BETWEEN 3 AND 5
+${ord("doc_id", "lang", "n_chars", "chars_h", "at")}""".trim
+
   /** Twin of `stream_txlog_fanin`: two exactly-once streams carrying
     * the even and odd halves into one table, each drained twice —
     * the union must hold exactly one copy of every source row. */

@@ -745,6 +745,86 @@ object TxLog {
   def dropConstraint(table: String, name: String): Unit =
     writeConstraintsFile(table, constraints(table) - name)
 
+  // ------------------------------------------------------------------
+  // Generated columns (Delta's GENERATED ALWAYS AS): a registered
+  // column is COMPUTED from its expression when a write omits it, and
+  // VALIDATED (null-safe equality, enforced at the same staging choke
+  // point as CHECK constraints) when a write supplies it — so the
+  // column is trustworthy for data skipping: the classic shape is a
+  // coarse date/bucket derived from a fine timestamp, kept correct by
+  // construction so range pruning on it never lies. Stored beside the
+  // constraints in `_txlog/_generated` (atomic replace; write-time
+  // metadata, not versioned data).
+  // ------------------------------------------------------------------
+
+  private def generatedFile(table: String): Path =
+    logDir(table).resolve("_generated")
+
+  /** Registered generated columns: name → source SQL expression. */
+  def generatedCols(table: String): Map[String, String] =
+    try {
+      new String(Files.readAllBytes(generatedFile(table)), "UTF-8")
+        .linesIterator.flatMap { l =>
+          l.split("\\|", 2) match {
+            case Array(n, h) if n.nonEmpty => Some(n -> hexDec(h))
+            case _ => None
+          }
+        }.toMap
+    } catch { case _: Exception => Map.empty }
+
+  private def writeGeneratedFile(table: String,
+      gs: Map[String, String]): Unit = {
+    Files.createDirectories(logDir(table))
+    val tmp = logDir(table).resolve(s".gen-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, gs.toSeq.sortBy(_._1)
+      .map { case (n, e) => s"$n|${hexEnc(e)}" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    Files.move(tmp, generatedFile(table),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** Register `name` as GENERATED ALWAYS AS (`exprSql`). The column
+    * must already exist in the table schema, and every existing row
+    * must already satisfy the generation (otherwise a reader could
+    * never trust the column for pruning). */
+  def addGeneratedColumn(spark: SparkSession, table: String, name: String,
+      exprSql: String): Unit = {
+    import org.apache.spark.sql.functions.{col, expr, not}
+    require(name.nonEmpty && !name.contains('|') && !name.contains('\n'),
+      s"generated column name must be non-empty without '|' or newline")
+    val ddl = schemaAt(table)
+    require(ddl.nonEmpty &&
+      org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        .fieldNames.contains(name),
+      s"generated column $name must exist in $table's schema first")
+    if (liveFiles(table).nonEmpty) {
+      val ok = snapshot(spark, table)
+        .where(not(col(name) <=> expr(exprSql))).isEmpty
+      require(ok,
+        s"cannot mark $name GENERATED ALWAYS AS ($exprSql) in $table: " +
+          s"existing rows disagree with the generation")
+    }
+    writeGeneratedFile(table, generatedCols(table) + (name -> exprSql))
+  }
+
+  def dropGeneratedColumn(table: String, name: String): Unit =
+    writeGeneratedFile(table, generatedCols(table) - name)
+
+  /** Fill generated columns a write omitted; supplied ones pass
+    * through and get VALIDATED at the staging choke point. */
+  private def fillGenerated(df: DataFrame, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val gs = generatedCols(table)
+    if (gs.isEmpty) df
+    else {
+      val have = df.columns.toSet
+      gs.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, e)) =>
+        if (have(n)) d else d.withColumn(n, expr(e))
+      }
+    }
+  }
+
   /** Validate freshly staged files against the table's constraints —
     * called from the single staging choke point, before any commit
     * rename. The scan reads only the STAGED files (work ∝ batch, never
@@ -780,6 +860,12 @@ object TxLog {
     require(hits.isEmpty,
       s"column $colName is referenced by CHECK constraint(s) " +
         s"${hits.mkString(", ")} — drop them first")
+    val genHits = generatedCols(table).collect {
+      case (n, e) if n == colName || re.findFirstIn(e).nonEmpty => n
+    }
+    require(genHits.isEmpty,
+      s"column $colName is a generated column or referenced by " +
+        s"generation(s) ${genHits.mkString(", ")} — drop them first")
   }
 
   private def requireMappable(table: String): Unit = {
@@ -856,7 +942,13 @@ object TxLog {
   private def enforceConstraints(spark: SparkSession, table: String,
       files: Seq[String], stats: Map[String, Map[String, ColStat]],
       cm: Map[String, String] = Map.empty): Unit = {
-    val cs = constraints(table)
+    // generated columns validate as implicit null-safe-equality
+    // constraints: a supplied value disagreeing with its generation
+    // aborts the commit (the column must stay prune-trustworthy)
+    val gen = generatedCols(table).map { case (n, e) =>
+      s"generated:$n" -> s"$n <=> ($e)"
+    }
+    val cs = constraints(table) ++ gen
     if (cs.isEmpty || files.isEmpty) return
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
     val notNullRe = "(?i)^\\s*`?([^`\\s]+)`?\\s+IS\\s+NOT\\s+NULL\\s*$".r
@@ -907,6 +999,9 @@ object TxLog {
       s"$table serves as a streaming source (append-only): " +
         s"overwrite would replace rows consumers already saw")
     if (batchId >= 0 && isBatchCommitted(table, batchId, appId)) return -1L
+    // generated columns: compute the ones this write omitted (the
+    // supplied ones are validated at the staging choke point below)
+    val dfG = fillGenerated(df, table)
     // schema guard: an append whose schema differs from the table's
     // current one must fail at COMMIT time with the diff in hand —
     // letting it land would poison every later snapshot read with a
@@ -918,7 +1013,7 @@ object TxLog {
     // resolves the schema from the LOG, never from footers). The DDL
     // lives in the log, so the check costs string compares, no file
     // footer reads.
-    val ddl = df.schema.toDDL.replace("\n", " ")
+    val ddl = dfG.schema.toDDL.replace("\n", " ")
     if (mode == "append")
       commits(table).lastOption.filter(_.schema.nonEmpty).foreach { last =>
         if (evolve) {
@@ -943,14 +1038,14 @@ object TxLog {
     // time travel resolves old mappings as of their versions).
     val base = colMapAt(table)
     val (cm0, bn0) = base
-    val incoming = df.schema.fieldNames.toSet
+    val incoming = dfG.schema.fieldNames.toSet
     val cm1 = {
       val withFresh =
-        cm0 ++ freshAssignments(df.schema.fieldNames.toSeq, cm0, bn0)
+        cm0 ++ freshAssignments(dfG.schema.fieldNames.toSeq, cm0, bn0)
       if (mode == "overwrite") withFresh.filter(kv => incoming(kv._1))
       else withFresh
     }
-    val (adds, stats) = stageWithStats(df, table, Some(cm1))
+    val (adds, stats) = stageWithStats(dfG, table, Some(cm1))
     if (cm1 == cm0)
       writeCommit(table, mode, batchId, adds, ddl, stats, appId = appId)
     else
@@ -2222,6 +2317,8 @@ object TxLog {
     }
     val cs = constraints(src)
     if (cs.nonEmpty) writeConstraintsFile(dst, cs)
+    val gs = generatedCols(src)
+    if (gs.nonEmpty) writeGeneratedFile(dst, gs)
     val fileSet = files.toSet
     val stats = fileStats(src).filter(kv => fileSet(kv._1))
     val (cm, bn) = colMapAt(src, asOf)

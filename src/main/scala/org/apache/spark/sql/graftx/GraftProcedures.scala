@@ -186,6 +186,28 @@ private[graftx] object GraftProcedures {
         TxLog.dropConstraint(t, str(in, 1))
         Seq(TxLog.constraints(t).size.toLong)
       }
+    },
+    new Proc("add_generated_column",
+      "mark an existing column GENERATED ALWAYS AS (expr): computed " +
+        "when a write omits it, validated when supplied",
+      Seq(p("table", StringType), p("name", StringType),
+        p("expr", StringType)),
+      Seq("generated" -> LongType)) {
+      def run(in: InternalRow): Seq[Any] = {
+        val t = str(in, 0)
+        TxLog.addGeneratedColumn(spark, t, str(in, 1), str(in, 2))
+        Seq(TxLog.generatedCols(t).size.toLong)
+      }
+    },
+    new Proc("drop_generated_column",
+      "unregister a generated column (the data column stays)",
+      Seq(p("table", StringType), p("name", StringType)),
+      Seq("generated" -> LongType)) {
+      def run(in: InternalRow): Seq[Any] = {
+        val t = str(in, 0)
+        TxLog.dropGeneratedColumn(t, str(in, 1))
+        Seq(TxLog.generatedCols(t).size.toLong)
+      }
     }
   ).map(x => x.name() -> (x: UnboundProcedure)).toMap ++ Seq[DfProc](
     new DfProc("history",
