@@ -107,6 +107,7 @@ object SparkEntry {
         k != "txlog_clone" && // builds two tables per call: IO class
         k != "txlog_sql_maintenance" && // builds two tables per call: IO class
         k != "txlog_generated" && // builds a table per call: IO class
+        k != "txlog_bloom_prune" && // builds a table per call: IO class
         k != "txlog_optimize_range" && // builds a table per call: IO class
         k != "medallion_pin_q1" && // full streaming medallion per call: IO class
         // same results as ngram_jaccard via the hot-key-free candidate
@@ -1705,6 +1706,34 @@ object SparkEntry {
       Engine.canonical(all.withColumn("at", lit("all"))
         .unionByName(sel.withColumn("at", lit("sel"))))
     }),
+    // per-file bloom index (round 15, Delta's bloom filter index):
+    // the table clusters on n_chars, so doc_id lands SCATTERED and
+    // min/max stats can never prune an id point lookup — the bloom
+    // sidecars can (BloomIndexSpec pins kept<total on exactly this
+    // shape, plus write-maintenance/vacuum/clone/drop). The entry
+    // exercises backfill + per-write maintenance + an IN-lookup
+    // spanning both; the twin answers the same lookup as plain SQL —
+    // the index must be invisible in the data
+    "txlog_bloom_prune" -> prep((s, d) => {
+      val t = tmpDir("graft_txbloom")
+      val base = s.read.parquet(s"$d/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+      graft.ingest.TxLog.write(
+        base.repartitionByRange(8, col("n_chars")), t, "overwrite")
+      graft.ingest.TxLog.addBloomIndex(s, t, "doc_id",
+        expectedItems = 10000L)
+      graft.ingest.TxLog.write(
+        base.where(col("doc_id") < 10).select(
+          (col("doc_id") + 900000).as("doc_id"), col("lang"),
+          col("source"), col("n_chars")),
+        t, "append")
+      import graft.ingest.TxLog.Pred
+      val hit = graft.ingest.TxLog.snapshotWhere(s, t,
+        Seq(Pred.In("doc_id", Seq(7L, 111L, 900003L))))
+      Engine.canonical(
+        graft.ingest.TxLog.snapshot(s, t).withColumn("at", lit("all"))
+          .unionByName(hit.withColumn("at", lit("hit"))))
+    }),
     // conjunctive data skipping (round 14): the z-ordered table
     // answers a three-predicate lookup — user range AND time range AND
     // type IN-set — through snapshotWhere, which drops every file some
@@ -2549,6 +2578,7 @@ object SparkEntry {
     "txlog_clone" -> ExtOracle.txlogClone,
     "txlog_sql_maintenance" -> ExtOracle.txlogSqlMaintenance,
     "txlog_generated" -> ExtOracle.txlogGenerated,
+    "txlog_bloom_prune" -> ExtOracle.txlogBloomPrune,
     "txlog_optimize_range" -> ExtOracle.txlogOptimizeRange,
     "stream_txlog_fanin" -> ExtOracle.txlogFanin,
     "txlog_restore" -> ExtOracle.txlogRestore,

@@ -1181,6 +1181,21 @@ SELECT doc_id, lang, n_chars, chars_h, 'sel' AS at FROM now_t
 WHERE chars_h BETWEEN 3 AND 5
 ${ord("doc_id", "lang", "n_chars", "chars_h", "at")}""".trim
 
+  /** Twin of `txlog_bloom_prune`: the bloom-pruned point lookup must
+    * equal the plain set-algebra answer — the index is an
+    * optimization, never a filter. */
+  val txlogBloomPrune: String = s"""
+WITH now_t AS (
+  SELECT doc_id, lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 900000, lang, source, n_chars
+  FROM documents WHERE doc_id < 10)
+SELECT doc_id, lang, source, n_chars, 'all' AS at FROM now_t
+UNION ALL
+SELECT doc_id, lang, source, n_chars, 'hit' AS at FROM now_t
+WHERE doc_id IN (7, 111, 900003)
+${ord("doc_id", "lang", "source", "n_chars", "at")}""".trim
+
   /** Twin of `stream_txlog_fanin`: two exactly-once streams carrying
     * the even and odd halves into one table, each drained twice —
     * the union must hold exactly one copy of every source row. */

@@ -681,6 +681,9 @@ object TxLog {
     // every write path (append, overwrite, COW rewrite, upsert) stages
     // through here — one enforcement choke point, like Delta's
     enforceConstraints(df.sparkSession, table, files, stats, cm)
+    // bloom indexes maintained per write: one pass over the NEW files
+    // only (write amplification ∝ batch, like stats)
+    buildBlooms(df.sparkSession, table, files, bloomCols(table))
     (files, stats)
   }
 
@@ -811,6 +814,169 @@ object TxLog {
   def dropGeneratedColumn(table: String, name: String): Unit =
     writeGeneratedFile(table, generatedCols(table) - name)
 
+  // ------------------------------------------------------------------
+  // Per-file BLOOM FILTER indexes (Delta's bloom filter index): point
+  // -lookup pruning for HIGH-CARDINALITY columns the table is NOT
+  // clustered on — min/max stats are useless when every file spans
+  // the whole value range, but a per-file bloom answers "definitely
+  // not in this file" and drops it at planning time. Sidecars live
+  // under `<table>/_bloomidx/<col-hex>/<file>.bf` (driver state is
+  // one ~KB filter per candidate file — the same bound as stats);
+  // blooms hash xxhash64(value) (seed 42, Spark's own), computed
+  // distributed via one groupByKey over (file, hash) pairs. A file
+  // without a sidecar is always KEPT — pruning is an optimization,
+  // never a filter, so results are identical with or without the
+  // index.
+  // ------------------------------------------------------------------
+
+  private def bloomColsFile(table: String): Path =
+    logDir(table).resolve("_bloomcols")
+  private def bloomDir(table: String): Path =
+    Paths.get(table, "_bloomidx")
+  private def bloomSidecar(table: String, col: String, file: String): Path =
+    bloomDir(table).resolve(hexEnc(col)).resolve(s"$file.bf")
+
+  /** Registered bloom columns: name → (expectedItemsPerFile, fpp). */
+  def bloomCols(table: String): Map[String, (Long, Double)] =
+    try {
+      new String(Files.readAllBytes(bloomColsFile(table)), "UTF-8")
+        .linesIterator.flatMap { l =>
+          l.split("\\|") match {
+            case Array(h, n, f) => Some(hexDec(h) -> (n.toLong, f.toDouble))
+            case _ => None
+          }
+        }.toMap
+    } catch { case _: Exception => Map.empty }
+
+  private def writeBloomColsFile(table: String,
+      bs: Map[String, (Long, Double)]): Unit = {
+    Files.createDirectories(logDir(table))
+    val tmp = logDir(table).resolve(s".bl-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, bs.toSeq.sortBy(_._1)
+      .map { case (c, (n, f)) => s"${hexEnc(c)}|$n|$f" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    Files.move(tmp, bloomColsFile(table),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** One distributed pass building per-file blooms for `files` ×
+    * `cols`, sidecars written on the driver (|files|·|cols| filters,
+    * ~KB each). Reads the files' PHYSICAL columns (mapping-aware). */
+  private def buildBlooms(spark: SparkSession, table: String,
+      files: Seq[String], cols: Map[String, (Long, Double)]): Unit = {
+    if (files.isEmpty || cols.isEmpty) return
+    import org.apache.spark.sql.functions.{col, input_file_name, xxhash64}
+    import org.apache.spark.util.sketch.BloomFilter
+    val (cm, _) = colMapAt(table)
+    for ((c, (items, fpp)) <- cols.toSeq.sortBy(_._1)) {
+      val pc = physicalOf(c, cm)
+      val pairs = spark.read
+        .parquet(files.map(f => s"$table/$f"): _*)
+        .select(input_file_name().as("_bf_file"),
+          xxhash64(col(pc)).as("_bf_h"))
+        .where(col("_bf_h").isNotNull)
+      import spark.implicits._
+      val blooms = pairs.as[(String, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (f, rows) =>
+          val bf = BloomFilter.create(items, fpp)
+          rows.foreach(r => bf.putLong(r._2))
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          (f, bos.toByteArray)
+        }.collect()
+      blooms.foreach { case (uri, bytes) =>
+        val sc = bloomSidecar(table, c, baseName(uri))
+        Files.createDirectories(sc.getParent)
+        val tmp = sc.getParent.resolve(s".${java.util.UUID.randomUUID()}")
+        Files.write(tmp, bytes)
+        Files.move(tmp, sc, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
+  /** Register a bloom index on `column` and BACKFILL the current live
+    * set (one distributed pass). Every future write maintains the
+    * index for its new files. `expectedItems` sizes each per-file
+    * filter (rows per file, not per table); `fpp` is the per-file
+    * false-positive rate — the knobs trade sidecar bytes for pruning
+    * power exactly as Delta's `numItems`/`fpp` do. */
+  def addBloomIndex(spark: SparkSession, table: String, column: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): Unit = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1,
+      s"bad bloom parameters: items=$expectedItems fpp=$fpp")
+    val ddl = schemaAt(table)
+    require(ddl.nonEmpty,
+      s"no committed schema in $table")
+    val field = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      .fields.find(_.name == column)
+    require(field.nonEmpty, s"no column $column in $table to index")
+    // the probe side hashes Long/String literals; any other type
+    // would hash DIFFERENTLY than the build pass and prune wrong
+    // files — refuse at registration, never corrupt at read
+    require(field.get.dataType ==
+        org.apache.spark.sql.types.LongType ||
+      field.get.dataType == org.apache.spark.sql.types.StringType,
+      s"bloom indexes support BIGINT and STRING columns; $column is " +
+        s"${field.get.dataType.sql}")
+    writeBloomColsFile(table,
+      bloomCols(table) + (column -> (expectedItems, fpp)))
+    buildBlooms(spark, table, liveFiles(table),
+      Map(column -> (expectedItems, fpp)))
+  }
+
+  /** Unregister the index and reclaim its sidecars. */
+  def dropBloomIndex(table: String, column: String): Unit = {
+    writeBloomColsFile(table, bloomCols(table) - column)
+    val dir = bloomDir(table).resolve(hexEnc(column))
+    if (Files.isDirectory(dir)) {
+      ls(dir).foreach(Files.deleteIfExists(_))
+      Files.deleteIfExists(dir)
+      ()
+    }
+  }
+
+  /** Driver-side xxhash64 matching the build side (seed 42). Returns
+    * None when the value's runtime type cannot be hashed EXACTLY as
+    * the column was — a mismatched hash would prune wrong files, so
+    * the caller falls back to keep. */
+  private def bloomHash(v: Any): Option[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val lit = v match {
+      case l: Long => Literal(l)
+      case i: Int => Literal(i.toLong) // normalized like boundLong
+      case s: String => Literal(org.apache.spark.unsafe.types.UTF8String
+        .fromString(s), org.apache.spark.sql.types.StringType)
+      case _ => return None
+    }
+    Some(XxHash64(Seq(lit), 42L).eval(null).asInstanceOf[Long])
+  }
+
+  /** Files among `kept` whose bloom sidecar DEFINITELY excludes every
+    * value in `vs` for `column` — conservative: files without a
+    * sidecar (or unhashable values) are kept. NOTE the Int→Long
+    * normalization: a bloom column must be BIGINT or STRING to prune
+    * (the build hashes the native column type). */
+  private def bloomPrune(table: String, column: String, vs: Seq[Any],
+      kept: Seq[String]): Seq[String] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    if (!bloomCols(table).contains(column)) return kept
+    val hashes = vs.map(bloomHash)
+    if (hashes.exists(_.isEmpty)) return kept
+    val hs = hashes.flatten
+    kept.filter { f =>
+      val sc = bloomSidecar(table, column, f)
+      if (!Files.isRegularFile(sc)) true
+      else {
+        val in = new java.io.ByteArrayInputStream(Files.readAllBytes(sc))
+        val bf = BloomFilter.readFrom(in)
+        hs.exists(bf.mightContainLong)
+      }
+    }
+  }
+
   /** Fill generated columns a write omitted; supplied ones pass
     * through and get VALIDATED at the staging choke point. */
   private def fillGenerated(df: DataFrame, table: String): DataFrame = {
@@ -866,6 +1032,9 @@ object TxLog {
     require(genHits.isEmpty,
       s"column $colName is a generated column or referenced by " +
         s"generation(s) ${genHits.mkString(", ")} — drop them first")
+    require(!bloomCols(table).contains(colName),
+      s"column $colName has a bloom index (sidecars keyed by this " +
+        s"name) — drop the index first")
   }
 
   private def requireMappable(table: String): Unit = {
@@ -1398,7 +1567,17 @@ object TxLog {
         }
       }
     }
-    (kept, live.size)
+    // bloom tier: point predicates on indexed columns drop files the
+    // sidecar DEFINITELY excludes — the pruning dimension min/max
+    // stats cannot give on a non-clustered high-cardinality column
+    val keptB = preds.foldLeft(kept) { (ks, p) =>
+      p match {
+        case Pred.Eq(c, v) => bloomPrune(table, c, Seq(v), ks)
+        case Pred.In(c, vs) => bloomPrune(table, c, vs, ks)
+        case _ => ks
+      }
+    }
+    (keptB, live.size)
   }
 
   /** The exact row-level filter for one predicate — applied to the
@@ -2319,6 +2498,15 @@ object TxLog {
     if (cs.nonEmpty) writeConstraintsFile(dst, cs)
     val gs = generatedCols(src)
     if (gs.nonEmpty) writeGeneratedFile(dst, gs)
+    val bs = bloomCols(src)
+    if (bs.nonEmpty) {
+      writeBloomColsFile(dst, bs)
+      for (c <- bs.keys.toSeq.sorted; f <- files) {
+        val from = bloomSidecar(src, c, f)
+        if (Files.isRegularFile(from))
+          linkOrCopy(from, bloomSidecar(dst, c, f))
+      }
+    }
     val fileSet = files.toSet
     val stats = fileStats(src).filter(kv => fileSet(kv._1))
     val (cm, bn) = colMapAt(src, asOf)
@@ -2557,11 +2745,16 @@ object TxLog {
       retainMs <= 0L || Files.getLastModifiedTime(p).toMillis <= cutoff
     var n = 0
     val root = Paths.get(table)
+    val bloomColNames = bloomCols(table).keys.toSeq
     ls(root).foreach { p =>
       val name = p.getFileName.toString
       if (name.endsWith(".parquet") && !referenced.contains(name) &&
         oldEnough(p)) {
         Files.delete(p); n += 1
+        // a reclaimed data file's bloom sidecars go with it
+        bloomColNames.foreach { c =>
+          if (Files.deleteIfExists(bloomSidecar(table, c, name))) n += 1
+        }
       }
     }
     val staging = root.resolve("_staging")

@@ -71,7 +71,7 @@ object ScaleVerify {
     // column mapping (rename/drop/re-add metadata must be invisible
     // however the files are cut) and the zero-copy clone divergence
     "txlog_catalog_rowlevel", "txlog_column_mapping", "txlog_clone",
-    "txlog_sql_maintenance", "txlog_generated")
+    "txlog_sql_maintenance", "txlog_generated", "txlog_bloom_prune")
 
   def main(args: Array[String]): Unit = {
     val d = "/root/testdata/sf0.1"

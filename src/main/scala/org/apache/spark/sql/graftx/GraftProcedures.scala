@@ -208,6 +208,45 @@ private[graftx] object GraftProcedures {
         TxLog.dropGeneratedColumn(t, str(in, 1))
         Seq(TxLog.generatedCols(t).size.toLong)
       }
+    },
+    new Proc("add_bloom_index",
+      "register + backfill a per-file bloom index on a BIGINT/STRING " +
+        "column: point-lookup pruning where min/max stats cannot help",
+      Seq(p("table", StringType), p("column", StringType),
+        pd("expected_items", LongType, "1000000"),
+        pd("fpp", org.apache.spark.sql.types.DoubleType, "0.01")),
+      Seq("indexed_columns" -> LongType)) {
+      def run(in: InternalRow): Seq[Any] = {
+        val t = str(in, 0)
+        TxLog.addBloomIndex(spark, t, str(in, 1), in.getLong(2),
+          in.getDouble(3))
+        Seq(TxLog.bloomCols(t).size.toLong)
+      }
+    },
+    new Proc("drop_bloom_index",
+      "unregister a bloom index and reclaim its sidecars",
+      Seq(p("table", StringType), p("column", StringType)),
+      Seq("indexed_columns" -> LongType)) {
+      def run(in: InternalRow): Seq[Any] = {
+        val t = str(in, 0)
+        TxLog.dropBloomIndex(t, str(in, 1))
+        Seq(TxLog.bloomCols(t).size.toLong)
+      }
+    },
+    new Proc("changes_view",
+      "register the change data feed over (from_version, to_version] " +
+        "as a temp view — the rows stay DISTRIBUTED (a CDF window is " +
+        "data-proportional; a procedure result would collect it)",
+      Seq(p("table", StringType), p("view", StringType),
+        p("from_version", LongType), pd("to_version", LongType, "-1")),
+      Seq("rows" -> LongType)) {
+      def run(in: InternalRow): Seq[Any] = {
+        val to = in.getLong(3)
+        val df = TxLog.changes(spark, str(in, 0), in.getLong(2),
+          if (to < 0) None else Some(to))
+        df.createOrReplaceTempView(str(in, 1))
+        Seq(df.count())
+      }
     }
   ).map(x => x.name() -> (x: UnboundProcedure)).toMap ++ Seq[DfProc](
     new DfProc("history",
@@ -220,6 +259,16 @@ private[graftx] object GraftProcedures {
         "constraint count, stream-source flag (log + file metadata)",
       Seq(p("table", StringType))) {
       def run(in: InternalRow) = TxLog.detail(spark, str(in, 0))
+    },
+    new DfProc("vacuum_dry_run",
+      "the files vacuum WOULD reclaim — audit before the " +
+        "irreversible maintenance, deletes nothing",
+      Seq(p("table", StringType))) {
+      def run(in: InternalRow) = {
+        val s = spark
+        import s.implicits._
+        TxLog.vacuumDryRun(str(in, 0)).toDF("file")
+      }
     }
   ).map(x => x.name() -> (x: UnboundProcedure)).toMap
 

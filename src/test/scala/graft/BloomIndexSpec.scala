@@ -1,0 +1,150 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ingest.TxLog
+
+/** Per-file bloom filter indexes: point-lookup pruning on
+  * high-cardinality NON-clustered columns (where min/max stats are
+  * useless), maintained per write, conservative by construction. */
+class BloomIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString
+  private def freshDir(p: String) = {
+    val d = Files.createTempDirectory(p); Files.delete(d); d.toString
+  }
+
+  /** 8 files clustered on v — ids land hash-scattered, so every file
+    * spans the whole id range and stats can never prune an id
+    * lookup. */
+  private def seed(t: String): Unit = {
+    TxLog.write(
+      spark.range(4000)
+        .select(col("id"), (col("id") * 37 % 1000).as("v"),
+          concat(lit("k"), col("id")).as("key"))
+        .repartitionByRange(8, col("v")),
+      t, "overwrite")
+    ()
+  }
+
+  test("the index prunes a point lookup stats cannot, exactly") {
+    val t = tmp("bf_prune")
+    seed(t)
+    // without the index: stats keep everything (scattered ids)
+    val (kept0, total) =
+      TxLog.pruneFilesWhere(t, Seq(TxLog.Pred.Eq("id", 42L)))
+    assert(total == 8 && kept0.size == 8,
+      "min/max stats must be useless on the scattered column")
+    TxLog.addBloomIndex(spark, t, "id", expectedItems = 1000L)
+    val (kept1, _) =
+      TxLog.pruneFilesWhere(t, Seq(TxLog.Pred.Eq("id", 42L)))
+    assert(kept1.size < 8, s"bloom must prune, kept ${kept1.size}")
+    val got = TxLog.snapshotWhere(spark, t, Seq(TxLog.Pred.Eq("id", 42L)))
+    assert(got.count() == 1 && got.head().getLong(0) == 42L)
+    // absent value: possibly zero files — still exact (empty)
+    assert(TxLog.snapshotWhere(spark, t,
+      Seq(TxLog.Pred.Eq("id", 999999L))).count() == 0)
+    // IN-set across files
+    val in = TxLog.snapshotWhere(spark, t,
+      Seq(TxLog.Pred.In("id", Seq(1L, 2000L, 3999L))))
+    assert(in.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2000L, 3999L))
+  }
+
+  test("string columns index too; other types are refused") {
+    val t = tmp("bf_types")
+    seed(t)
+    TxLog.addBloomIndex(spark, t, "key", expectedItems = 1000L)
+    val got = TxLog.snapshotWhere(spark, t,
+      Seq(TxLog.Pred.Eq("key", "k777")))
+    assert(got.count() == 1 && got.head().getLong(0) == 777L)
+    val (kept, total) =
+      TxLog.pruneFilesWhere(t, Seq(TxLog.Pred.Eq("key", "k777")))
+    assert(kept.size < total)
+    val e = intercept[IllegalArgumentException] {
+      TxLog.addBloomIndex(spark, t, "nope")
+    }
+    assert(e.getMessage.contains("no column"))
+    // an int-typed column would hash differently than the Long probe
+    val t2 = tmp("bf_int")
+    TxLog.write(spark.range(10).select(col("id").cast("int").as("i")),
+      t2, "overwrite")
+    val e2 = intercept[IllegalArgumentException] {
+      TxLog.addBloomIndex(spark, t2, "i")
+    }
+    assert(e2.getMessage.contains("BIGINT"))
+  }
+
+  test("writes maintain the index; new values are findable and pruned") {
+    val t = tmp("bf_maint")
+    seed(t)
+    TxLog.addBloomIndex(spark, t, "id", expectedItems = 1000L)
+    TxLog.write(Seq((900000L, 1L, "knew")).toDF("id", "v", "key"),
+      t, "append")
+    val (kept, total) =
+      TxLog.pruneFilesWhere(t, Seq(TxLog.Pred.Eq("id", 900000L)))
+    assert(total == 9 && kept.size < 9,
+      s"the append's own sidecar must serve, kept ${kept.size}")
+    assert(TxLog.snapshotWhere(spark, t,
+      Seq(TxLog.Pred.Eq("id", 900000L))).count() == 1)
+  }
+
+  test("drop index stops pruning and reclaims sidecars; vacuum cleans with files") {
+    val t = tmp("bf_drop")
+    seed(t)
+    TxLog.addBloomIndex(spark, t, "id", expectedItems = 1000L)
+    assert(TxLog.pruneFilesWhere(t,
+      Seq(TxLog.Pred.Eq("id", 42L)))._1.size < 8)
+    TxLog.dropBloomIndex(t, "id")
+    assert(TxLog.pruneFilesWhere(t,
+      Seq(TxLog.Pred.Eq("id", 42L)))._1.size == 8)
+    assert(!Files.isDirectory(
+      java.nio.file.Paths.get(t, "_bloomidx").resolve(
+        "id".getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString)))
+    // vacuum: rewritten files take their sidecars along
+    TxLog.addBloomIndex(spark, t, "id", expectedItems = 1000L)
+    val before = Files.walk(java.nio.file.Paths.get(t, "_bloomidx"))
+      .filter(Files.isRegularFile(_)).count()
+    TxLog.write(Seq((1L, 1L, "x")).toDF("id", "v", "key"), t, "overwrite")
+    TxLog.checkpointLog(t)
+    TxLog.vacuum(t, dropHistoryBefore = TxLog.latestVersion(t).get,
+      retainMs = 0L)
+    val after = Files.walk(java.nio.file.Paths.get(t, "_bloomidx"))
+      .filter(Files.isRegularFile(_)).count()
+    assert(after < before, s"sidecars must vacuum with their files " +
+      s"($before -> $after)")
+  }
+
+  test("clones carry the index; rename of an indexed column is refused") {
+    val s = tmp("bf_clone"); val d = freshDir("bf_clone_dst")
+    seed(s)
+    TxLog.addBloomIndex(spark, s, "id", expectedItems = 1000L)
+    TxLog.cloneTable(spark, s, d)
+    assert(TxLog.bloomCols(d).contains("id"))
+    assert(TxLog.pruneFilesWhere(d,
+      Seq(TxLog.Pred.Eq("id", 42L)))._1.size < 8,
+      "the linked sidecars must prune in the clone")
+    val e = intercept[IllegalArgumentException] {
+      TxLog.renameColumn(d, "id", "doc")
+    }
+    assert(e.getMessage.contains("bloom"))
+    TxLog.dropBloomIndex(d, "id")
+    TxLog.renameColumn(d, "id", "doc")
+    assert(TxLog.snapshot(spark, d).columns.head == "doc")
+  }
+
+  test("the SQL procedures manage the index") {
+    val t = tmp("bf_sql")
+    seed(t)
+    val n = spark.sql(
+      s"CALL graft.system.add_bloom_index('$t', 'id', 1000, 0.01)")
+      .head().getLong(0)
+    assert(n == 1L)
+    assert(TxLog.pruneFilesWhere(t,
+      Seq(TxLog.Pred.Eq("id", 42L)))._1.size < 8)
+    assert(spark.sql(
+      s"CALL graft.system.drop_bloom_index('$t', 'id')")
+      .head().getLong(0) == 0L)
+  }
+}

@@ -105,6 +105,36 @@ class SqlProcedureSpec extends SparkSpec {
       .head().getLong(0) == 101)
   }
 
+  test("CALL changes_view serves the CDF through SQL without collecting") {
+    val t = tmp("proc_cdf")
+    seed(t)                                   // v0
+    TxLog.delete(spark, t, col("id") === 7L)  // v1 rewrite
+    val n = spark.sql(
+      s"CALL graft.system.changes_view('$t', 'proc_cdf_v', 0)")
+      .head().getLong(0)
+    assert(n > 0)
+    val deleted = spark.sql(
+      "SELECT id FROM proc_cdf_v WHERE _change_type = 'delete'")
+      .collect().map(_.getLong(0)).toSet
+    val inserted = spark.sql(
+      "SELECT id FROM proc_cdf_v WHERE _change_type = 'insert'")
+      .collect().map(_.getLong(0)).toSet
+    assert(deleted.diff(inserted) == Set(7L),
+      "net effect of the COW delete must be exactly id=7 leaving")
+  }
+
+  test("CALL vacuum_dry_run lists without deleting") {
+    val t = tmp("proc_dry")
+    seed(t)
+    TxLog.write(Seq((1L, 1L, 1L)).toDF("id", "grp", "v"), t, "overwrite")
+    TxLog.checkpointLog(t)
+    val listed = spark.sql(
+      s"CALL graft.system.vacuum_dry_run('$t')").count()
+    assert(listed >= 4, "the replaced seed files must be listed")
+    assert(TxLog.snapshot(spark, t, Some(0L)).count() == 100,
+      "dry run must delete nothing — v0 still serves")
+  }
+
   test("unknown procedures fail loudly with the available list") {
     val e = intercept[Exception] {
       spark.sql("CALL graft.system.explode_table('/tmp/x')").collect()
