@@ -1733,6 +1733,10 @@ object TxLog {
     val stats =
       keep.collect { case (f, (_, st)) if st.nonEmpty => f -> st }.toMap
     enforceConstraints(spark, table, adds, stats, cm)
+    // bloom parity with the internal write paths: the SQL rewrite's
+    // replacement files index too, or point-lookup pruning would
+    // silently degrade on every SQL-updated table
+    buildBlooms(spark, table, adds, bloomCols(table))
     writeCommit(table, "rewrite", -1L, adds, tbl, stats, removes,
       dvBase = dvBaseFor(mapping, removes))
   }

@@ -90,6 +90,20 @@ class BloomIndexSpec extends SparkSpec {
       Seq(TxLog.Pred.Eq("id", 900000L))).count() == 1)
   }
 
+  test("the SQL UPDATE rewrite maintains the index for its new files") {
+    val t = tmp("bf_sqlupd")
+    seed(t)
+    TxLog.addBloomIndex(spark, t, "id", expectedItems = 1000L)
+    spark.sql(s"UPDATE graft.`$t` SET v = 0 WHERE id = 42")
+    // every live file (incl. the rewrite's replacement) has a sidecar,
+    // so the lookup still prunes AND still finds the updated row
+    val (kept, total) =
+      TxLog.pruneFilesWhere(t, Seq(TxLog.Pred.Eq("id", 42L)))
+    assert(kept.size < total, s"kept ${kept.size}/$total")
+    val got = TxLog.snapshotWhere(spark, t, Seq(TxLog.Pred.Eq("id", 42L)))
+    assert(got.head().getLong(1) == 0L)
+  }
+
   test("drop index stops pruning and reclaims sidecars; vacuum cleans with files") {
     val t = tmp("bf_drop")
     seed(t)
