@@ -2821,15 +2821,25 @@ object TxLog {
     // masked-row count means reads pay the anti-join and a compact
     // would reclaim it). Log metadata only.
     val dvm = dvAt(table).filter(kv => liveSet(kv._1))
+    // round-15 posture fields: column-mapping state (non-identity
+    // entries + burned names, implying declared log format 2),
+    // generated columns and bloom indexes — the metadata a maintainer
+    // reads before touching an unfamiliar table
+    val (cm, bn) = colMapAt(table)
     Seq((live.size.toLong, bytes(live), tomb.size.toLong, bytes(tomb),
       latestVersion(table).getOrElse(-1L), all.size.toLong,
       lastCheckpoint(table).map(_._1).getOrElse(-1L),
       schemaAt(table), constraints(table).size.toLong,
-      isStreamSource(table), dvm.size.toLong, dvm.values.map(_._2).sum))
+      isStreamSource(table), dvm.size.toLong, dvm.values.map(_._2).sum,
+      cm.size.toLong, bn.size.toLong,
+      if (cm.nonEmpty || bn.nonEmpty) 2L else 1L,
+      generatedCols(table).size.toLong, bloomCols(table).size.toLong))
       .toDF("n_live_files", "live_bytes", "n_tombstoned_files",
         "tombstoned_bytes", "latest_version", "n_commits",
         "checkpoint_version", "schema_ddl", "n_constraints",
-        "is_stream_source", "n_dv_masked_files", "dv_masked_rows")
+        "is_stream_source", "n_dv_masked_files", "dv_masked_rows",
+        "n_mapped_columns", "n_burned_names", "log_format",
+        "n_generated_columns", "n_bloom_indexes")
   }
 
   /** VACUUM dry run — the files a `vacuum(table, retainMs = 0)` would

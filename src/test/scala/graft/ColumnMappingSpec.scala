@@ -177,6 +177,11 @@ class ColumnMappingSpec extends SparkSpec {
     val raw2 = new String(Files.readAllBytes(
       Paths.get(t, "_txlog", f"$v2%010d.txt")), "UTF-8")
     assert(raw2.startsWith("format=2\n") && raw2.contains("map="))
+    // DESCRIBE DETAIL surfaces the posture
+    val d = TxLog.detail(spark, t).head()
+    assert(d.getAs[Long]("n_mapped_columns") == 1L &&
+      d.getAs[Long]("n_burned_names") == 1L &&
+      d.getAs[Long]("log_format") == 2L)
   }
 
   test("SQL reads serve mapped tables; stream + row-level DML refuse loudly") {
