@@ -170,6 +170,67 @@ class RowLevelSqlSpec extends SparkSpec {
       == 100, "the conflicting replace must not land")
   }
 
+  test("concurrent SQL UPDATEs: disjoint both land; overlapping loses loudly, never silently") {
+    val t = tmp("rl_race")
+    seed(t) // 4 range-clustered files on id
+    // DISJOINT arm: two threads update ranges living in different
+    // files, barrier-released — the rewrite commits touch disjoint
+    // remove sets, so BOTH must land (no false conflicts)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def upd(lo: Int, hi: Int): () => Unit = () => {
+      barrier.await()
+      spark.sql(
+        s"UPDATE graft.`$t` SET v = v + 1000000 WHERE id BETWEEN $lo AND $hi")
+      ()
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val a = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = upd(0, 5)()
+      })
+      val b = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = upd(90, 95)()
+      })
+      a.get(); b.get()
+      val got = rows(t)
+      (0 to 5) ++ (90 to 95) foreach { i =>
+        assert(got(i.toLong)._2 == i * 10 + 1000000, s"row $i must update")
+      }
+      assert(got(50L)._2 == 500L)
+    } finally pool.shutdown()
+    // OVERLAPPING arm: both threads hit the SAME file; whoever
+    // commits second must fail the rewrite conflict check LOUDLY (the
+    // winner's update survives; nothing is silently lost)
+    val barrier2 = new java.util.concurrent.CyclicBarrier(2)
+    val pool2 = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val outcomes = try {
+      val fs = Seq(7, 8).map { i =>
+        pool2.submit(new java.util.concurrent.Callable[Either[Throwable, Unit]] {
+          def call(): Either[Throwable, Unit] = {
+            barrier2.await()
+            try Right {
+              spark.sql(
+                s"UPDATE graft.`$t` SET v = ${i * 111} WHERE id = $i")
+              ()
+            } catch { case e: Throwable => Left(e) }
+          }
+        })
+      }
+      fs.map(_.get())
+    } finally pool2.shutdown()
+    val wins = outcomes.count(_.isRight)
+    assert(wins >= 1, "at least one overlapping UPDATE must land")
+    val got2 = rows(t)
+    // every SUCCESSFUL statement's effect is present — a reported
+    // success whose write vanished would be the lost update
+    outcomes.zip(Seq(7L, 8L)).foreach {
+      case (Right(_), id) => assert(got2(id)._2 == id * 111,
+        s"UPDATE of id=$id reported success; its write must be visible")
+      case (Left(e), _) =>
+        assert(e.getMessage != null, "loser must fail loudly")
+    }
+  }
+
   test("CHECK constraints gate the SQL UPDATE commit") {
     val t = tmp("rl_check")
     seed(t)
