@@ -291,7 +291,13 @@ object TxLog {
       // PLANNED against: checked per attempt so two concurrent
       // mapping mutations conflict loudly instead of last-wins.
       colmapOverride: Option[(Map[String, String], Set[String])] = None,
-      colmapBase: Option[(Map[String, String], Set[String])] = None):
+      colmapBase: Option[(Map[String, String], Set[String])] = None,
+      // re-validated per claim attempt (like the conflict checks): a
+      // guard the CALLER evaluated before its (long) staging job must
+      // hold at the version the commit actually lands on, or a
+      // concurrent schema change is silently reverted by this commit's
+      // schema= line. Throws to refuse.
+      reguard: () => Unit = () => ()):
       Long = {
     Files.createDirectories(logDir(table))
     // append-only contract for tables serving as streaming sources: a
@@ -336,6 +342,7 @@ object TxLog {
           s"concurrent schema change: $table's column mapping moved " +
             s"under this commit")
       }
+      reguard()
       val (cm, bn) = colmapOverride.getOrElse(colMapAt(table))
       val mapLines = cm.toSeq.sortBy(_._1).map { case (l, p) =>
         s"map=${hexEnc(l)}|${hexEnc(p)}"
@@ -938,17 +945,34 @@ object TxLog {
     }
   }
 
-  /** Driver-side xxhash64 matching the build side (seed 42). Returns
-    * None when the value's runtime type cannot be hashed EXACTLY as
-    * the column was — a mismatched hash would prune wrong files, so
-    * the caller falls back to keep. */
-  private def bloomHash(v: Any): Option[Long] = {
+  /** Driver-side xxhash64 matching the build side (seed 42) — the
+    * probe value is normalized to the column's DECLARED type first,
+    * because the build pass hashed the NATIVE column type while the
+    * surrounding Pred contract accepts cross-typed values (boundLong
+    * takes "5" against BIGINT, exactCol casts). Hashing the probe's
+    * runtime type instead would prune files that actually hold
+    * matches — silent missing rows. Returns None when the value
+    * cannot be normalized to the declared type exactly — the caller
+    * then keeps everything (pruning is an optimization, never a
+    * filter). */
+  private def bloomHash(v: Any,
+      dt: org.apache.spark.sql.types.DataType): Option[Long] = {
     import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
-    val lit = v match {
-      case l: Long => Literal(l)
-      case i: Int => Literal(i.toLong) // normalized like boundLong
-      case s: String => Literal(org.apache.spark.unsafe.types.UTF8String
-        .fromString(s), org.apache.spark.sql.types.StringType)
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val lit = (dt, v) match {
+      case (LongType, l: Long) => Literal(l)
+      case (LongType, i: Int) => Literal(i.toLong) // like boundLong
+      case (LongType, s: String) =>
+        // boundLong's numeric-string normalization; a non-numeric
+        // string can never equal a BIGINT value, but refusing to
+        // prune (keep) is the conservative contract here
+        try Literal(s.trim.toLong)
+        catch { case _: NumberFormatException => return None }
+      case (StringType, s: String) =>
+        Literal(org.apache.spark.unsafe.types.UTF8String
+          .fromString(s), StringType)
+      // a Long/Int probe against a STRING column: exactCol's cast
+      // semantics are Spark's, not toString's — don't guess, keep
       case _ => return None
     }
     Some(XxHash64(Seq(lit), 42L).eval(null).asInstanceOf[Long])
@@ -956,14 +980,23 @@ object TxLog {
 
   /** Files among `kept` whose bloom sidecar DEFINITELY excludes every
     * value in `vs` for `column` — conservative: files without a
-    * sidecar (or unhashable values) are kept. NOTE the Int→Long
-    * normalization: a bloom column must be BIGINT or STRING to prune
-    * (the build hashes the native column type). */
+    * sidecar (or unhashable values) are kept. Probes normalize to the
+    * column's DECLARED type (BIGINT or STRING — enforced at
+    * registration) so a cross-typed Pred value hashes exactly as the
+    * build pass did. */
   private def bloomPrune(table: String, column: String, vs: Seq[Any],
       kept: Seq[String]): Seq[String] = {
     import org.apache.spark.util.sketch.BloomFilter
     if (!bloomCols(table).contains(column)) return kept
-    val hashes = vs.map(bloomHash)
+    val declared = schemaAt(table) match {
+      case "" => return kept
+      case ddl => org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        .fields.find(_.name == column) match {
+          case Some(f) => f.dataType
+          case None => return kept
+        }
+    }
+    val hashes = vs.map(bloomHash(_, declared))
     if (hashes.exists(_.isEmpty)) return kept
     val hs = hashes.flatten
     kept.filter { f =>
@@ -1183,22 +1216,28 @@ object TxLog {
     // lives in the log, so the check costs string compares, no file
     // footer reads.
     val ddl = dfG.schema.toDDL.replace("\n", " ")
-    if (mode == "append")
-      commits(table).lastOption.filter(_.schema.nonEmpty).foreach { last =>
-        if (evolve) {
-          val oldShape = ddlShape(last.schema)
-          val newShape = ddlShape(ddl).toSet
-          require(oldShape.forall(newShape),
-            s"evolve append must keep every existing column:\n" +
-              s"  table: ${last.schema}\n  batch: $ddl")
-        } else require(ddlShape(last.schema) == ddlShape(ddl),
-          // shape (names + types), NOT the raw DDL: compaction records
-          // the parquet-read (all-nullable) DDL, and a strict string
-          // compare would permanently reject the original NOT-NULL
-          // source's next append — deadlocking the advertised
-          // streaming-sink + periodic-compaction sequence
-          s"append schema mismatch:\n  table: ${last.schema}\n  batch: $ddl")
-      }
+    // evaluated BEFORE staging (fail fast) and re-evaluated inside the
+    // commit claim loop (via `reguard`): an evolve/append landing
+    // DURING this write's staging would otherwise be silently reverted
+    // by our stale schema= line
+    def guardAppendSchema(): Unit =
+      if (mode == "append")
+        commits(table).lastOption.filter(_.schema.nonEmpty).foreach { last =>
+          if (evolve) {
+            val oldShape = ddlShape(last.schema)
+            val newShape = ddlShape(ddl).toSet
+            require(oldShape.forall(newShape),
+              s"evolve append must keep every existing column:\n" +
+                s"  table: ${last.schema}\n  batch: $ddl")
+          } else require(ddlShape(last.schema) == ddlShape(ddl),
+            // shape (names + types), NOT the raw DDL: compaction records
+            // the parquet-read (all-nullable) DDL, and a strict string
+            // compare would permanently reject the original NOT-NULL
+            // source's next append — deadlocking the advertised
+            // streaming-sink + periodic-compaction sequence
+            s"append schema mismatch:\n  table: ${last.schema}\n  batch: $ddl")
+        }
+    guardAppendSchema()
     // column mapping: a column entering the schema (evolve, or an
     // overwrite's fresh shape) while its logical name is BURNED must
     // bind a fresh physical name — identity would resurrect old file
@@ -1215,11 +1254,19 @@ object TxLog {
       else withFresh
     }
     val (adds, stats) = stageWithStats(dfG, table, Some(cm1))
+    // colmapBase is passed EVEN when this write mutates no mapping: a
+    // rename/drop landing during the staging job above must fail this
+    // commit loudly — its stale schema= line would otherwise revert
+    // the rename in the logical schema while the burned name persists,
+    // and the next evolve would bind a fresh physical name that reads
+    // every older file (including the original data) as NULL
     if (cm1 == cm0)
-      writeCommit(table, mode, batchId, adds, ddl, stats, appId = appId)
+      writeCommit(table, mode, batchId, adds, ddl, stats, appId = appId,
+        colmapBase = Some(base), reguard = () => guardAppendSchema())
     else
       writeCommit(table, mode, batchId, adds, ddl, stats, appId = appId,
-        colmapOverride = Some((cm1, bn0)), colmapBase = Some(base))
+        colmapOverride = Some((cm1, bn0)), colmapBase = Some(base),
+        reguard = () => guardAppendSchema())
   }
 
   /** Expectation write (the Delta Live Tables `expect_or_drop` +
@@ -1424,13 +1471,26 @@ object TxLog {
     cs.kind match {
       case "allnull" => false // a range predicate never matches NULL
       case "long" | "tsmicros" =>
-        lo.forall(v => cs.max.toLong >= boundLong(cs.kind, v)) &&
+        // a bound that cannot be normalized into the stat's value
+        // space (e.g. a non-numeric string against BIGINT — the exact
+        // filter casts it to NULL and matches nothing) keeps the
+        // file: pruning is an optimization, never a filter or a crash
+        try lo.forall(v => cs.max.toLong >= boundLong(cs.kind, v)) &&
           hi.forall(v => cs.min.toLong <= boundLong(cs.kind, v))
+        catch { case _: IllegalArgumentException |
+          _: java.time.format.DateTimeParseException => true }
       case "double" =>
-        lo.forall(v => cs.max.toDouble >= v.toString.toDouble) &&
+        try lo.forall(v => cs.max.toDouble >= v.toString.toDouble) &&
           hi.forall(v => cs.min.toDouble <= v.toString.toDouble)
+        catch { case _: NumberFormatException => true }
       case "string" =>
-        lo.forall(v => !bytesLt(cs.max, v.toString)) &&
+        // a non-String probe against a STRING column compares under
+        // Spark's numeric cast in the exact filter ("0777" matches
+        // 777L yet sorts below "777") — lexical pruning would drop
+        // files holding matches, so prune only String probes
+        if (lo.exists(v => !v.isInstanceOf[String]) ||
+            hi.exists(v => !v.isInstanceOf[String])) true
+        else lo.forall(v => !bytesLt(cs.max, v.toString)) &&
           hi.forall(v => !bytesLt(v.toString, cs.min))
       case _ => true // unknown kind (future log version): keep
     }
@@ -1696,27 +1756,31 @@ object TxLog {
         s"rewrite: $ddl")
     // column mapping: staged files MUST already carry physical names
     // (the DSv2 writer physicalizes its file schema) — verified
-    // against the first staged footer, because a logical-named file
-    // slipping in would silently null-fill every renamed column on
-    // read
+    // against EVERY staged footer (cheap driver-side metadata reads,
+    // O(staged)), because a single logical-named file slipping into a
+    // heterogeneous staged set would be promoted and silently
+    // null-fill every renamed column on read
     val (cm, _) = colMapAt(table)
     if (cm.nonEmpty && staged.nonEmpty) {
       val expected = org.apache.spark.sql.types.StructType.fromDDL(ddl)
         .fieldNames.map(physicalOf(_, cm)).toSet
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(staged.head.toString),
-          new org.apache.hadoop.conf.Configuration()))
-      val names =
-        try {
-          import scala.jdk.CollectionConverters._
-          reader.getFooter.getFileMetaData.getSchema.getFields.asScala
-            .map(_.getName).toSet
-        } finally reader.close()
-      val bad = names.diff(expected)
-      require(bad.isEmpty,
-        s"$table is in column-mapping mode: staged files must carry " +
-          s"PHYSICAL column names; unexpected: ${bad.mkString(", ")}")
+      val conf = new org.apache.hadoop.conf.Configuration()
+      staged.foreach { p =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p.toString), conf))
+        val names =
+          try {
+            import scala.jdk.CollectionConverters._
+            reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+              .map(_.getName).toSet
+          } finally reader.close()
+        val bad = names.diff(expected)
+        require(bad.isEmpty,
+          s"$table is in column-mapping mode: staged files must carry " +
+            s"PHYSICAL column names; unexpected in ${p.getFileName}: " +
+            s"${bad.mkString(", ")}")
+      }
     }
     val mapping = dvAt(table)
     val uuid = java.util.UUID.randomUUID().toString

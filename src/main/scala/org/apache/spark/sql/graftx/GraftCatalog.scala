@@ -208,7 +208,11 @@ private[graftx] class GraftTxTable(path: String, asOf: Option[Long])
       override def name(): String = GraftRowLevel.FileCol
       override def dataType(): org.apache.spark.sql.types.DataType =
         org.apache.spark.sql.types.StringType
-      override def isNullable: Boolean = false
+      // nullable: MERGE NOT MATCHED (insert) rows flow through the
+      // ReplaceData plan with NULL _file — a non-nullable declaration
+      // invites optimizer null-check elimination on the metadata
+      // attribute (Iceberg declares its file column nullable too)
+      override def isNullable: Boolean = true
       override def comment(): String =
         "name of the table file the row lives in"
     })

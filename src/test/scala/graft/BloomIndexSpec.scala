@@ -148,6 +148,39 @@ class BloomIndexSpec extends SparkSpec {
     assert(TxLog.snapshot(spark, d).columns.head == "doc")
   }
 
+  test("a cross-typed probe value never prunes a file that matches") {
+    val t = tmp("bf_xtyped")
+    seed(t)
+    TxLog.addBloomIndex(spark, t, "id", expectedItems = 1000L)
+    TxLog.addBloomIndex(spark, t, "key", expectedItems = 1000L)
+    // STRING probe against the BIGINT column: the Pred contract
+    // accepts it (exactCol casts, boundLong parses) — the bloom tier
+    // must normalize to the DECLARED type before hashing, or it
+    // hashes the string and drops the file that holds id=42
+    val got = TxLog.snapshotWhere(spark, t,
+      Seq(TxLog.Pred.Eq("id", "42")))
+    assert(got.count() == 1 && got.head().getLong(0) == 42L,
+      "string probe against BIGINT must still find the row")
+    // and it still PRUNES (normalized "42" hashes like 42L did)
+    assert(TxLog.pruneFilesWhere(t,
+      Seq(TxLog.Pred.Eq("id", "42")))._1.size < 8,
+      "normalized probe must keep the bloom pruning power")
+    // Int probe (boundLong's other normalization) prunes identically
+    assert(TxLog.pruneFilesWhere(t, Seq(TxLog.Pred.Eq("id", 42)))._1 ==
+      TxLog.pruneFilesWhere(t, Seq(TxLog.Pred.Eq("id", 42L)))._1)
+    // a LONG probe against the STRING column cannot be normalized by
+    // toString-guessing — BOTH tiers must keep everything: the exact
+    // filter compares under Spark's numeric cast ("0777" would match
+    // 777L), which neither lexical stats nor a toString bloom hash
+    // can reproduce
+    assert(TxLog.pruneFilesWhere(t,
+      Seq(TxLog.Pred.Eq("key", 777L)))._1.size == 8,
+      "unnormalizable probe must disable pruning, never guess")
+    // a non-numeric string against BIGINT likewise keeps everything
+    assert(TxLog.pruneFilesWhere(t,
+      Seq(TxLog.Pred.Eq("id", "not-a-number")))._1.size == 8)
+  }
+
   test("the SQL procedures manage the index") {
     val t = tmp("bf_sql")
     seed(t)

@@ -234,6 +234,38 @@ class ColumnMappingSpec extends SparkSpec {
       .head().getLong(0) == (0L to 99L).map(_ * 10).sum - 30 + 777 + 888)
   }
 
+  test("an append staged against a pre-rename mapping cannot revert it") {
+    val t = tmp("cm_stage_race")
+    seed(t)
+    CmRaceHook.fired.set(false)
+    // the rename lands WHILE the append's staging job runs (injected
+    // through an expression evaluated during staging — local-mode
+    // executors share the JVM, so the hook object is truly global):
+    // letting the append commit anyway would revert the rename in the
+    // logical schema via its stale schema= line while the burned name
+    // persists, and a later evolve re-adding 'v' would bind a fresh
+    // physical name that reads every older file as NULL — silent data
+    // loss from a legal concurrent sequence
+    val evil = udf { (x: Long) =>
+      if (CmRaceHook.fired.compareAndSet(false, true))
+        TxLog.renameColumn(t, "v", "val")
+      x
+    }
+    val e = intercept[IllegalArgumentException] {
+      TxLog.write(spark.range(5).toDF("id")
+        .select(col("id"), (col("id") % 10).as("grp"),
+          evil(col("id") * 10).as("v")), t)
+    }
+    assert(e.getMessage.contains("concurrent schema change") ||
+      e.getMessage.contains("append schema mismatch"),
+      s"got: ${e.getMessage}")
+    // the rename survives intact — nothing reverted, data still served
+    val snap = TxLog.snapshot(spark, t)
+    assert(snap.columns.toSeq == Seq("id", "grp", "val"))
+    assert(snap.agg(sum("val")).head().getLong(0) ==
+      (0L until 100L).map(_ * 10).sum)
+  }
+
   test("a concurrent mapping mutation conflicts loudly, not last-wins") {
     val t = tmp("cm_race")
     seed(t)
@@ -279,4 +311,12 @@ class ColumnMappingSpec extends SparkSpec {
     TxLog.publishAppends(s) // becomes a stream source
     intercept[IllegalArgumentException] { TxLog.renameColumn(s, "v", "x") }
   }
+}
+
+/** JVM-global race-injection latch for the staging-race test — a
+  * top-level object so the udf closure reaches it by static access
+  * (a per-task deserialized copy would fire the rename once per
+  * task). */
+object CmRaceHook {
+  val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
 }

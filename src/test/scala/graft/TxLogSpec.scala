@@ -1051,4 +1051,36 @@ class TxLogSpec extends SparkSpec {
     drain()
     assert(ids(spark.read.parquet(s"$base/out")) == Seq(1L, 3L, 4L))
   }
+
+  test("an append staged while an evolve landed cannot revert the schema") {
+    val t = tmp("evolve_race")
+    TxLog.write(spark.range(10).select(col("id"), (col("id") * 2).as("v")),
+      t, "overwrite")
+    TxRaceHook.fired.set(false)
+    // a concurrent evolve append (metadata-only: zero files, widened
+    // schema=) lands WHILE this append's staging job runs — letting
+    // the append commit anyway would silently revert the widened
+    // schema with its stale schema= line
+    val evil = udf { (x: Long) =>
+      if (TxRaceHook.fired.compareAndSet(false, true))
+        TxLog.writeCommit(t, "append", -1L, Nil,
+          "id BIGINT, v BIGINT, extra BIGINT")
+      x
+    }
+    val e = intercept[IllegalArgumentException] {
+      TxLog.write(spark.range(5).toDF("id")
+        .select(col("id"), evil(col("id") * 2).as("v")), t)
+    }
+    assert(e.getMessage.contains("append schema mismatch"),
+      s"got: ${e.getMessage}")
+    // the widened schema survives — nothing reverted
+    assert(TxLog.schemaAt(t).contains("extra"))
+    assert(TxLog.snapshot(spark, t).columns.toSeq == Seq("id", "v", "extra"))
+  }
+}
+
+/** JVM-global race-injection latch (top-level: static access from the
+  * udf closure — a per-task copy would fire once per task). */
+object TxRaceHook {
+  val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
