@@ -103,6 +103,7 @@ object SparkEntry {
         k != "txlog_dv" && // builds a table per call: IO class
         k != "txlog_catalog_dml" && // builds a table per call: IO class
         k != "txlog_catalog_rowlevel" && // builds a table per call: IO class
+        k != "txlog_catalog_masked_read" && // builds a table per call: IO class
         k != "txlog_column_mapping" && // builds a table per call: IO class
         k != "txlog_clone" && // builds two tables per call: IO class
         k != "txlog_sql_maintenance" && // builds two tables per call: IO class
@@ -1574,6 +1575,33 @@ object SparkEntry {
         SELECT doc_id, lang, source, n_chars, 'v0' AS at
         FROM graft.`$t` VERSION AS OF 0"""))
     }),
+    // merge-on-read snapshots served straight through the SQL catalog
+    // (round 16): deletion-vector masks from a point DELETE and a
+    // vectored UPDATE are applied by the DSv2 scan itself — one file
+    // per task, masked row positions skipped with a sorted
+    // executor-side cursor, NO OPTIMIZE materialization anywhere
+    // (SqlCatalogSpec pins the owned-scan plan, surviving pushdown,
+    // pre-mask _pos provenance, and mask-respecting SQL DML); the
+    // oracle replays delete+update as set algebra on the source
+    "txlog_catalog_masked_read" -> prep((s, d) => {
+      val t = tmpDir("graft_txcmr")
+      val base = s.read.parquet(s"$d/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+      graft.ingest.TxLog.write(
+        base.repartitionByRange(8, col("doc_id")), t, "overwrite")
+      graft.ingest.TxLog.deleteVectored(s, t,
+        col("doc_id").between(100L, 299L))
+      graft.ingest.TxLog.updateVectored(s, t, col("doc_id") < 50L,
+        Map("source" -> lit("mor-upd")))
+      Engine.canonical(s.sql(s"""
+        SELECT doc_id, lang, source, n_chars, 'now' AS at FROM graft.`$t`
+        UNION ALL
+        SELECT doc_id, lang, source, n_chars, 'rng' AS at FROM graft.`$t`
+        WHERE doc_id BETWEEN 300 AND 399
+        UNION ALL
+        SELECT doc_id, lang, source, n_chars, 'v1' AS at
+        FROM graft.`$t` VERSION AS OF 1"""))
+    }),
     // column mapping (round 15, Delta's columnMapping.mode=name):
     // RENAME and DROP COLUMN as metadata-only commits — zero files
     // rewritten (ColumnMappingSpec pins mtimes), physical-name
@@ -2574,6 +2602,7 @@ object SparkEntry {
     "txlog_sql_snapshot" -> ExtOracle.txlogSqlSnapshot,
     "txlog_catalog_dml" -> ExtOracle.txlogCatalogDml,
     "txlog_catalog_rowlevel" -> ExtOracle.txlogCatalogRowLevel,
+    "txlog_catalog_masked_read" -> ExtOracle.txlogCatalogMaskedRead,
     "txlog_column_mapping" -> ExtOracle.txlogColumnMapping,
     "txlog_clone" -> ExtOracle.txlogClone,
     "txlog_sql_maintenance" -> ExtOracle.txlogSqlMaintenance,

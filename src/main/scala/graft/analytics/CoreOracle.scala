@@ -1108,6 +1108,32 @@ UNION ALL
 SELECT doc_id, lang, source, n_chars, 'v0' AS at FROM documents
 ${ord("doc_id", "lang", "source", "n_chars", "at")}""".trim
 
+  /** Twin of `txlog_catalog_masked_read`: a vectored DELETE of a
+    * doc_id band + a vectored UPDATE (source→'mor-upd' below 50)
+    * leave the table merge-on-read masked; the SQL catalog serves it
+    * straight through (now + a range slice + VERSION AS OF 1 between
+    * the two dv commits) — masks, the per-file skip cursor, and the
+    * update's re-landed rows must all be invisible next to plain set
+    * algebra on the source. */
+  val txlogCatalogMaskedRead: String = s"""
+WITH masked AS (
+  SELECT doc_id, lang,
+    CASE WHEN COALESCE(doc_id < 50, FALSE) THEN 'mor-upd' ELSE source END
+      AS source,
+    n_chars
+  FROM documents
+  WHERE NOT COALESCE(doc_id BETWEEN 100 AND 299, FALSE)),
+v1 AS (
+  SELECT doc_id, lang, source, n_chars FROM documents
+  WHERE NOT COALESCE(doc_id BETWEEN 100 AND 299, FALSE))
+SELECT doc_id, lang, source, n_chars, 'now' AS at FROM masked
+UNION ALL
+SELECT doc_id, lang, source, n_chars, 'rng' AS at FROM masked
+WHERE COALESCE(doc_id BETWEEN 300 AND 399, FALSE)
+UNION ALL
+SELECT doc_id, lang, source, n_chars, 'v1' AS at FROM v1
+${ord("doc_id", "lang", "source", "n_chars", "at")}""".trim
+
   /** Twin of `txlog_column_mapping`: rename n_chars→chars + drop
     * source are metadata-only, so 'now' = the original rows under the
     * new names with source NULL; the post-mapping append carries

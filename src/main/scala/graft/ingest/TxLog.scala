@@ -1746,7 +1746,13 @@ object TxLog {
     * concurrent writer that rewrote or re-masked any of `removes`
     * fails this commit loudly instead of losing its update. */
   def replaceFiles(spark: SparkSession, table: String,
-      removes: Seq[String], staged: Seq[Path], ddl: String): Long = {
+      removes: Seq[String], staged: Seq[Path], ddl: String,
+      // the dv mapping the caller's scan PLANNED against — REQUIRED
+      // when the scan read through masks: resolving dvAt at commit
+      // time instead would let a dv commit landing between pin and
+      // commit pass the conflict check while our replacement rows
+      // resurrect its deletes
+      plannedDv: Option[Map[String, (String, Long)]] = None): Long = {
     require(!isStreamSource(table),
       s"$table serves as a streaming source (append-only): row-level " +
         s"delete/update are not allowed")
@@ -1782,7 +1788,7 @@ object TxLog {
             s"${bad.mkString(", ")}")
       }
     }
-    val mapping = dvAt(table)
+    val mapping = plannedDv.getOrElse(dvAt(table))
     val uuid = java.util.UUID.randomUUID().toString
     val promoted = staged.sortBy(_.getFileName.toString).zipWithIndex
       .map { case (p, i) =>
@@ -2640,6 +2646,18 @@ object TxLog {
   }
 
   private def dvDir(table: String): Path = Paths.get(table, "_dv")
+
+  /** The parquet part files of one dv set — (absolute path, length,
+    * mtime) per part. Used by the DSv2 catalog scan to load a file's
+    * mask ON THE EXECUTOR (one partition = one table file; the
+    * reader skips masked row positions with a sorted cursor). */
+  def dvSetParts(table: String, set: String): Seq[(String, Long, Long)] = {
+    val dir = dvDir(table).resolve(set)
+    if (!Files.isDirectory(dir)) Nil
+    else ls(dir).filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => (p.toAbsolutePath.toString, Files.size(p),
+        Files.getLastModifiedTime(p).toMillis))
+  }
 
   /** The dv rows masking `files` under `mapping`, as one DataFrame
     * (file, row_index) — None when nothing is masked. Each referenced

@@ -50,12 +50,12 @@ import graft.ingest.TxLog
   * (work ∝ matching files; predicates outside the translatable set
   * are refused at analysis via `canDeleteWhere`, never half-applied).
   *
-  * Boundary (documented, loud): snapshots carrying DELETION-VECTOR
-  * masks can't be served as a plain parquet scan — `loadTable` throws
-  * with the materialization hint (`TxLog.compact*` lands a mask-free
-  * overwrite). SQL DML itself keeps tables DV-free (DELETE FROM is
-  * COW), so pure-SQL users never hit it; mixed Scala-DV + SQL
-  * deployments materialize on their OPTIMIZE cadence. Lives in an
+  * Snapshots carrying DELETION-VECTOR masks are served natively:
+  * masked files route through [[GraftFileScan]], one file per task,
+  * and each reader skips its file's masked row positions with a
+  * sorted executor-side cursor (mask bytes never leave the task — no
+  * shuffle, no driver state). Unmasked files in the same snapshot
+  * keep the full parquet-delegate pushdown. Lives in an
   * `org.apache.spark.sql` subpackage to reach `ParquetTable` /
   * `PredicateUtils` (the `graftx/Bridge.scala` pattern — only this
   * package touches Spark internals). */
@@ -156,20 +156,19 @@ private[graftx] class GraftTxTable(path: String, asOf: Option[Long])
   // pinned at load: one SQL statement = one consistent snapshot
   private val pinnedFiles: Seq[String] = TxLog.liveFiles(path, asOf)
   private val pinnedDdl: String = TxLog.schemaAt(path, asOf)
-  locally {
-    val masked = TxLog.dvAt(path, asOf).keySet.intersect(pinnedFiles.toSet)
-    if (masked.nonEmpty)
-      throw new UnsupportedOperationException(
-        s"graft.`$path`${asOf.fold("")(v => s" VERSION AS OF $v")} " +
-          s"carries deletion-vector masks on ${masked.size} file(s); " +
-          s"SQL reads serve plain parquet snapshots — run " +
-          s"TxLog.compact/compactToSize (OPTIMIZE) to materialize the " +
-          s"masks, or read via TxLog.snapshot")
+  // deletion-vector masks pinned WITH the snapshot: masked files
+  // route through GraftFileScan, whose one-file-per-task readers skip
+  // masked row positions executor-side (mask bytes never leave the
+  // task) — SQL serves merge-on-read tables directly, no OPTIMIZE
+  // materialization required
+  private val pinnedDv: Map[String, (String, Long)] = {
+    val m = TxLog.dvAt(path, asOf)
+    val live = pinnedFiles.toSet
+    m.filter(kv => live(kv._1))
   }
   // column mapping: reads route through GraftFileScan with the
   // logical→physical indirection; INSERT/DELETE go through TxLog
-  // (which maps at stage time). Only the row-level SQL rewrite path
-  // is refused (its executors stage raw files).
+  // (which maps at stage time).
   private val colMap: Map[String, String] = TxLog.colMapAt(path, asOf)._1
 
   override def name(): String =
@@ -197,25 +196,35 @@ private[graftx] class GraftTxTable(path: String, asOf: Option[Long])
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftDelegatingScanBuilder(delegate.newScanBuilder(options),
-      path, pinnedFiles, pinnedDdl, colMap)
+      path, pinnedFiles, pinnedDdl, colMap, pinnedDv)
 
-  /** Per-row provenance: `SELECT _file, ... FROM graft.`t`` names the
-    * table file each row lives in — and it is the group handle the
-    * row-level SQL DML path (UPDATE / MERGE INTO) prunes rewrites
-    * with. */
+  /** Per-row provenance: `SELECT _file, _pos, ... FROM graft.`t``
+    * names the table file each row lives in and its original
+    * within-file row index — `_file` is the group handle the COW SQL
+    * DML path prunes rewrites with; (`_file`, `_pos`) is the row id
+    * the merge-on-read delta path addresses deletion vectors with. */
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(new MetadataColumn {
-      override def name(): String = GraftRowLevel.FileCol
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        org.apache.spark.sql.types.StringType
-      // nullable: MERGE NOT MATCHED (insert) rows flow through the
-      // ReplaceData plan with NULL _file — a non-nullable declaration
-      // invites optimizer null-check elimination on the metadata
-      // attribute (Iceberg declares its file column nullable too)
-      override def isNullable: Boolean = true
-      override def comment(): String =
-        "name of the table file the row lives in"
-    })
+    Array(
+      new MetadataColumn {
+        override def name(): String = GraftRowLevel.FileCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        // nullable: MERGE NOT MATCHED (insert) rows flow through the
+        // ReplaceData plan with NULL _file — a non-nullable declaration
+        // invites optimizer null-check elimination on the metadata
+        // attribute (Iceberg declares its file column nullable too)
+        override def isNullable: Boolean = true
+        override def comment(): String =
+          "name of the table file the row lives in"
+      },
+      new MetadataColumn {
+        override def name(): String = GraftRowLevel.PosCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = true
+        override def comment(): String =
+          "original (pre-mask) row index within the row's file"
+      })
 
   /** SQL UPDATE / MERGE INTO / non-translatable DELETE rewrite
     * through the group-based COW path ([[GraftRowLevelOperation]]).
@@ -231,7 +240,7 @@ private[graftx] class GraftTxTable(path: String, asOf: Option[Long])
       s"$path serves as a streaming source (append-only): row-level " +
         s"${info.command} is not allowed")
     () => new GraftRowLevelOperation(path, pinnedFiles, pinnedDdl,
-      info.command, colMap)
+      info.command, colMap, pinnedDv)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

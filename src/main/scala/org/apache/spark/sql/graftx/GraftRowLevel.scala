@@ -67,6 +67,12 @@ private[graftx] object GraftRowLevel {
   /** Name of the per-row provenance metadata column. */
   val FileCol = "_file"
 
+  /** Name of the per-row within-file ORIGINAL row-index metadata
+    * column (pre-mask position — what a deletion vector addresses).
+    * Together (_file, _pos) is a stable row id: files are immutable
+    * between rewrites, so it survives for the life of the file. */
+  val PosCol = "_pos"
+
   /** Log-recorded DDL → read schema, nullability relaxed exactly as
     * `TxLog.snapshot` reads it (schema evolution null-fills files
     * written before a column existed). */
@@ -81,7 +87,8 @@ private[graftx] object GraftRowLevel {
 private[graftx] class GraftRowLevelOperation(path: String,
     pinnedFiles: Seq[String], ddl: String,
     cmd: RowLevelOperation.Command,
-    cm: Map[String, String] = Map.empty) extends RowLevelOperation {
+    cm: Map[String, String] = Map.empty,
+    dv: Map[String, (String, Long)] = Map.empty) extends RowLevelOperation {
 
   // the scan that received the runtime group filter: its post-filter
   // file list is the set the replacement data was computed from
@@ -89,11 +96,14 @@ private[graftx] class GraftRowLevelOperation(path: String,
   private[graftx] def groupScanIs(s: GraftFileScan): Unit = groupScan = s
   private[graftx] def replacedFiles: Seq[String] =
     Option(groupScan).map(_.currentFiles).getOrElse(pinnedFiles)
+  // the dv mapping every scan of this statement read through — the
+  // commit hands it to replaceFiles as the planned-against base
+  private[graftx] def plannedDv: Map[String, (String, Long)] = dv
 
   override def command(): RowLevelOperation.Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftFileScanBuilder(path, pinnedFiles, ddl, Some(this), cm)
+    new GraftFileScanBuilder(path, pinnedFiles, ddl, Some(this), cm, dv)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -114,7 +124,8 @@ private[graftx] class GraftRowLevelOperation(path: String,
   * contract as its own parquet source. */
 private[graftx] class GraftFileScanBuilder(path: String,
     files: Seq[String], ddl: String, op: Option[GraftRowLevelOperation],
-    cm: Map[String, String] = Map.empty)
+    cm: Map[String, String] = Map.empty,
+    dv: Map[String, (String, Long)] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
@@ -133,11 +144,15 @@ private[graftx] class GraftFileScanBuilder(path: String,
   override def pushedFilters(): Array[sources.Filter] = pushed
 
   override def build(): Scan =
-    new GraftFileScan(path, files, ddl, required, pushed, op, cm)
+    new GraftFileScan(path, files, ddl, required, pushed, op, cm, dv)
 }
 
 private[graftx] case class GraftFilePartition(name: String,
-    absPath: String, length: Long, mtime: Long) extends InputPartition
+    absPath: String, length: Long, mtime: Long,
+    // the file's deletion-vector set parts (absPath, length, mtime);
+    // empty = unmasked. The reader loads them executor-side and skips
+    // masked positions with a sorted cursor.
+    dvParts: Seq[(String, Long, Long)] = Nil) extends InputPartition
 
 /** One TxLog snapshot as a DSv2 batch: one input partition per table
   * file (a COW rewrite swaps whole files, so file = group = task),
@@ -147,7 +162,8 @@ private[graftx] case class GraftFilePartition(name: String,
 private[graftx] class GraftFileScan(path: String, files0: Seq[String],
     ddl: String, required: StructType, pushed: Array[sources.Filter],
     op: Option[GraftRowLevelOperation],
-    cm: Map[String, String] = Map.empty) extends Scan with Batch
+    cm: Map[String, String] = Map.empty,
+    dv: Map[String, (String, Long)] = Map.empty) extends Scan with Batch
     with SupportsRuntimeV2Filtering {
 
   @volatile private var files: Seq[String] = files0
@@ -159,14 +175,17 @@ private[graftx] class GraftFileScan(path: String, files0: Seq[String],
   private def phys(s: StructType): StructType =
     if (cm.isEmpty) s
     else StructType(s.fields.map(f => f.copy(name = cm.getOrElse(f.name, f.name))))
+  private def isMeta(n: String): Boolean =
+    n == GraftRowLevel.FileCol || n == GraftRowLevel.PosCol
   private val dataSchema = phys(GraftRowLevel.relaxed(ddl))
   private val readDataSchema =
-    phys(StructType(required.filterNot(_.name == GraftRowLevel.FileCol)))
+    phys(StructType(required.filterNot(f => isMeta(f.name))))
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"GraftTxScan $path [${files.size}/${files0.size} files] " +
+    s"GraftTxScan $path [${files.size}/${files0.size} files, " +
+      s"${files.count(dv.contains)} masked] " +
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}"
 
   override def filterAttributes(): Array[NamedReference] =
@@ -196,12 +215,21 @@ private[graftx] class GraftFileScan(path: String, files0: Seq[String],
     files.map { f =>
       val p = Paths.get(path, f)
       GraftFilePartition(f, p.toAbsolutePath.toString, Files.size(p),
-        Files.getLastModifiedTime(p).toMillis)
+        Files.getLastModifiedTime(p).toMillis,
+        dv.get(f).map(s => TxLog.dvSetParts(path, s._1)).getOrElse(Nil))
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val opts = Map(org.apache.spark.sql.execution.datasources.FileFormat
+      .OPTION_RETURNING_BATCH -> "false")
+    // ONE FRESH CONF PER READER: buildReaderWithPartitionValues
+    // mutates the conf it is handed (requested parquet schema et al)
+    // and local-mode broadcast shares the object — a conf reused
+    // across builds would serve every reader the LAST builder's
+    // schema, null-filling all data columns
+    def freshConf() = spark.sessionState.newHadoopConf()
     // Spark's own parquet reader closure: vectorized, schema-clipped
     // (evolution null-fills), broadcast conf — built once on the
     // driver, serialized to tasks (the FileSourceScanExec pattern)
@@ -210,46 +238,130 @@ private[graftx] class GraftFileScan(path: String, files0: Seq[String],
       // pushed filters speak logical names — advisory only, so on a
       // mapped table (physical file schema) they are simply dropped
       if (cm.isEmpty) pushed.toIndexedSeq else Nil,
-      Map(org.apache.spark.sql.execution.datasources.FileFormat
-        .OPTION_RETURNING_BATCH -> "false"),
-      spark.sessionState.newHadoopConf())
-    new GraftFileReaderFactory(readerFunc, readDataSchema, required)
+      opts, freshConf())
+    val anyMasked = files.exists(dv.contains)
+    val needPos = required.fieldNames.contains(GraftRowLevel.PosCol)
+    // masked files (and _pos projections) need POSITIONAL integrity:
+    // the within-file row index is the iteration position, so their
+    // reader must not row-group-skip — built with NO pushed filters
+    // (every filter is residual anyway; Spark re-evaluates post-scan)
+    val unfilteredFunc =
+      if (!anyMasked && !needPos) null
+      else new ParquetFileFormat().buildReaderWithPartitionValues(
+        spark, dataSchema, new StructType(), readDataSchema,
+        Nil, opts, freshConf())
+    // the dv-set reader: (file STRING, row_index BIGINT) sidecar parts
+    val dvFunc =
+      if (!anyMasked) null
+      else new ParquetFileFormat().buildReaderWithPartitionValues(
+        spark, GraftFileReaderFactory.DvSchema, new StructType(),
+        GraftFileReaderFactory.DvSchema, Nil, opts, freshConf())
+    new GraftFileReaderFactory(readerFunc, unfilteredFunc, dvFunc,
+      readDataSchema, required)
   }
+}
+
+private[graftx] object GraftFileReaderFactory {
+  /** Schema of a deletion-vector sidecar dataset. */
+  val DvSchema: StructType =
+    StructType.fromDDL("file STRING, row_index BIGINT")
 }
 
 private[graftx] class GraftFileReaderFactory(
     readerFunc: PartitionedFile => Iterator[InternalRow],
+    // no-pushed-filters variant (null when never needed): serves
+    // masked files and _pos projections, where the within-file row
+    // index is the iteration position and row-group skipping would
+    // corrupt it
+    unfilteredFunc: PartitionedFile => Iterator[InternalRow],
+    dvFunc: PartitionedFile => Iterator[InternalRow],
     inputSchema: StructType, outputSchema: StructType)
     extends PartitionReaderFactory {
+
+  private def flatten(base: Iterator[InternalRow]): Iterator[InternalRow] =
+    // the reader yields rows, or ColumnarBatches typed as rows when
+    // the vectorized path engages — flatten both shapes
+    base.asInstanceOf[Iterator[Any]].flatMap {
+      case b: ColumnarBatch => b.rowIterator().asScala
+      case r: InternalRow => Iterator.single(r)
+    }
+
+  /** This file's masked row positions, sorted ascending — read from
+    * the dv sidecar parts on the executor (cost ∝ mask size, the same
+    * rows the anti-join path shuffles; here they never leave the
+    * task). */
+  private def maskedPositions(fp: GraftFilePartition): Array[Long] = {
+    val name = UTF8String.fromString(fp.name)
+    val out = Array.newBuilder[Long]
+    fp.dvParts.foreach { case (p, len, mtime) =>
+      val pf = PartitionedFile(InternalRow.empty,
+        SparkPath.fromPathString(p), 0L, len, Array.empty, mtime, len,
+        Map.empty)
+      flatten(dvFunc(pf)).foreach { r =>
+        if (!r.isNullAt(0) && r.getUTF8String(0) == name)
+          out += r.getLong(1)
+      }
+    }
+    val arr = out.result()
+    java.util.Arrays.sort(arr)
+    arr
+  }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val fp = p.asInstanceOf[GraftFilePartition]
     val pf = PartitionedFile(InternalRow.empty,
       SparkPath.fromPathString(fp.absPath), 0L, fp.length,
       Array.empty, fp.mtime, fp.length, Map.empty)
-    val base = readerFunc(pf)
-    // the reader yields rows, or ColumnarBatches typed as rows when
-    // the vectorized path engages — flatten both shapes
-    val rows: Iterator[InternalRow] =
-      base.asInstanceOf[Iterator[Any]].flatMap {
-        case b: ColumnarBatch => b.rowIterator().asScala
-        case r: InternalRow => Iterator.single(r)
-      }
-    // POSITIONAL binding: inputSchema is outputSchema minus _file,
-    // possibly under physical (column-mapping) names — order is
-    // preserved, names may differ
+    val masked = fp.dvParts.nonEmpty
+    val needPos = outputSchema.fieldNames.contains(GraftRowLevel.PosCol)
+    val rows = flatten(
+      if (masked || needPos) unfilteredFunc(pf) else readerFunc(pf))
+    val mask: Array[Long] = if (masked) maskedPositions(fp) else null
+    // POSITIONAL binding: inputSchema is outputSchema minus the
+    // metadata columns, possibly under physical (column-mapping)
+    // names — order is preserved, names may differ. _pos rides a
+    // one-slot row joined to the data row.
     val inAttrs = DataTypeUtils.toAttributes(inputSchema)
+    val posAttr = org.apache.spark.sql.catalyst.expressions
+      .AttributeReference(GraftRowLevel.PosCol,
+        org.apache.spark.sql.types.LongType, nullable = false)()
     var di = 0
     val exprs: Seq[Expression] = outputSchema.map { f =>
       if (f.name == GraftRowLevel.FileCol)
         Literal(UTF8String.fromString(fp.name), StringType)
+      else if (f.name == GraftRowLevel.PosCol) posAttr
       else { val a = inAttrs(di); di += 1; a }
     }.toSeq
-    val proj = UnsafeProjection.create(exprs, inAttrs)
+    val proj = UnsafeProjection.create(exprs, inAttrs :+ posAttr)
+    val posRow = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(1)
+    val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
-      override def next(): Boolean =
-        if (rows.hasNext) { cur = proj(rows.next()); true } else false
+      private var pos = -1L  // original (pre-mask) row index
+      private var mi = 0     // cursor into the sorted mask
+      override def next(): Boolean = {
+        while (rows.hasNext) {
+          val r = rows.next()
+          pos += 1
+          // positions arrive ascending: advance the cursor, skip hits
+          if (mask != null) {
+            while (mi < mask.length && mask(mi) < pos) mi += 1
+            if (mi < mask.length && mask(mi) == pos) {
+              mi += 1
+            } else {
+              posRow.setLong(0, pos)
+              cur = proj(joined(r, posRow))
+              return true
+            }
+          } else {
+            posRow.setLong(0, pos)
+            cur = proj(joined(r, posRow))
+            return true
+          }
+        }
+        false
+      }
       override def get(): InternalRow = cur
       override def close(): Unit = ()
     }
@@ -311,7 +423,11 @@ private[graftx] class GraftReplaceWrite(path: String,
     val removes = op.replacedFiles
     if (staged.nonEmpty || removes.nonEmpty)
       TxLog.replaceFiles(SparkSession.active, path, removes, staged,
-        dataSchema.toDDL.replace("\n", " "))
+        dataSchema.toDDL.replace("\n", " "),
+        // the dv mapping the statement's scans read through: a dv
+        // commit racing between pin and here must conflict loudly,
+        // not be resurrected by our mask-applied replacement rows
+        plannedDv = Some(op.plannedDv))
     cleanup()
   }
 
@@ -388,22 +504,35 @@ private[graftx] case class GraftCowWriterFactory(owf: OutputWriterFactory,
   * re-evaluates them post-scan regardless of which scan serves). */
 private[graftx] class GraftDelegatingScanBuilder(delegate: ScanBuilder,
     path: String, files: Seq[String], ddl: String,
-    cm: Map[String, String] = Map.empty) extends ScanBuilder
+    cm: Map[String, String] = Map.empty,
+    dv: Map[String, (String, Long)] = Map.empty) extends ScanBuilder
     with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   // a column-mapped table can never use the parquet delegate (it
-  // would resolve LOGICAL names against physical file columns)
-  private def mustOwn: Boolean = cm.nonEmpty
+  // would resolve LOGICAL names against physical file columns);
+  // neither can a deletion-vector-masked snapshot (the delegate
+  // would serve masked rows)
+  private def mustOwn: Boolean = cm.nonEmpty || dv.nonEmpty
 
   private var wantsFile = false
   private var pruned: StructType = GraftRowLevel.relaxed(ddl)
+  // advisory filters for the owned scan's parquet readers (row-group
+  // skipping on UNMASKED files of a masked snapshot) — still reported
+  // residual, so Spark re-evaluates them post-scan
+  private var ownPushed: Array[sources.Filter] = Array.empty
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
     delegate match {
       case d: SupportsPushDownCatalystFilters if !mustOwn =>
         d.pushFilters(filters)
-      case _ => filters // all residual; Spark re-evaluates post-scan
+      case _ =>
+        if (cm.isEmpty)
+          ownPushed = filters.flatMap(
+            org.apache.spark.sql.execution.datasources.DataSourceStrategy
+              .translateFilter(_, supportNestedPredicatePushdown = true))
+            .toArray
+        filters // all residual; Spark re-evaluates post-scan
     }
 
   override def pushedFilters(): Array[Predicate] = delegate match {
@@ -424,18 +553,20 @@ private[graftx] class GraftDelegatingScanBuilder(delegate: ScanBuilder,
     }
 
   override def pruneColumns(s: StructType): Unit = {
-    wantsFile = s.fieldNames.contains(GraftRowLevel.FileCol)
+    wantsFile = s.fieldNames.exists(n =>
+      n == GraftRowLevel.FileCol || n == GraftRowLevel.PosCol)
     pruned = s
     delegate match {
       case d: SupportsPushDownRequiredColumns =>
-        d.pruneColumns(StructType(
-          s.filterNot(_.name == GraftRowLevel.FileCol)))
+        d.pruneColumns(StructType(s.filterNot(f =>
+          f.name == GraftRowLevel.FileCol ||
+            f.name == GraftRowLevel.PosCol)))
       case _ => ()
     }
   }
 
   override def build(): Scan =
     if (wantsFile || mustOwn)
-      new GraftFileScan(path, files, ddl, pruned, Array.empty, None, cm)
+      new GraftFileScan(path, files, ddl, pruned, ownPushed, None, cm, dv)
     else delegate.build()
 }

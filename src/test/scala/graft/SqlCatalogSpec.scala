@@ -87,21 +87,64 @@ class SqlCatalogSpec extends SparkSpec {
     assert(TxLog.liveFiles(t).isEmpty)
   }
 
-  test("a deletion-vector-masked snapshot is refused loudly with the hint") {
+  test("a deletion-vector-masked snapshot serves through SQL, masks applied") {
     val t = tmp("cat_dv")
     seed(t)
     TxLog.deleteVectored(spark, t, col("id") === 7L)
-    val e = intercept[UnsupportedOperationException] {
-      spark.sql(s"SELECT * FROM graft.`$t`").collect()
-    }
-    assert(e.getMessage.contains("deletion-vector") &&
-      e.getMessage.contains("compact"))
-    // pre-mask versions still serve
+    TxLog.deleteVectored(spark, t, col("id") === 50L) // mask stacking
+    // the masked snapshot is served directly — no OPTIMIZE needed —
+    // and equals the Scala read and the set algebra
+    val got = spark.sql(s"SELECT id, grp FROM graft.`$t`")
+    assert(ids(got) == (0L to 99L).filterNot(i => i == 7L || i == 50L))
+    assert(ids(got) == ids(TxLog.snapshot(spark, t)))
+    // the owned scan serves it (masked files can't use the parquet
+    // delegate), with the filter still pushed to unmasked readers
+    val filtered = spark.sql(
+      s"SELECT id FROM graft.`$t` WHERE id >= 40")
+    assert(ids(filtered) ==
+      (40L to 99L).filterNot(_ == 50L))
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftTxScan") && plan.contains("masked"),
+      s"masked snapshots must route through the owned scan:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(id,40)"),
+      s"advisory pushdown must survive on the owned scan:\n$plan")
+    // time travel: pre-mask version serves ALL rows, the mid-mask
+    // version applies exactly its own mask
     assert(spark.sql(s"SELECT * FROM graft.`$t` VERSION AS OF 0").count() == 100)
-    // OPTIMIZE materializes; SQL works again, masked row gone
+    assert(ids(spark.sql(s"SELECT id, grp FROM graft.`$t` VERSION AS OF 1")) ==
+      (0L to 99L).filterNot(_ == 7L))
+    // _file/_pos provenance: the masked positions are absent, the
+    // survivors carry their ORIGINAL row index
+    val pos = spark.sql(
+      s"SELECT id, _pos FROM graft.`$t` WHERE id IN (6, 7, 8)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!pos.contains(7L) && pos.contains(6L) && pos.contains(8L))
+    assert(pos(8L) == pos(6L) + 2,
+      s"survivors must keep PRE-mask positions, got $pos")
+    // OPTIMIZE still materializes to a mask-free layout; same rows
     TxLog.compact(spark, t, targetFiles = 2)
     assert(ids(spark.sql(s"SELECT id, grp FROM graft.`$t`")) ==
-      (0L to 99L).filterNot(_ == 7L))
+      (0L to 99L).filterNot(i => i == 7L || i == 50L))
+  }
+
+  test("SQL row-level DML on a masked table: masks respected, conflicts caught") {
+    val t = tmp("cat_dv_dml")
+    seed(t)
+    TxLog.deleteVectored(spark, t, col("id") === 7L)
+    // UPDATE through the COW path must NOT resurrect the masked row
+    spark.sql(s"UPDATE graft.`$t` SET grp = 99 WHERE id IN (6, 7)")
+    val got = spark.sql(s"SELECT id, grp FROM graft.`$t`").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!got.contains(7L), "the masked row must stay deleted")
+    assert(got(6L) == 99L && got.size == 99)
+    // the rewrite dropped the replaced file's mask entry with it
+    assert(TxLog.dvAt(t).isEmpty ||
+      TxLog.dvAt(t).keySet.subsetOf(TxLog.liveFiles(t).toSet))
+    // and DELETE FROM on a masked table sees only visible rows
+    TxLog.deleteVectored(spark, t, col("id") === 20L)
+    spark.sql(s"DELETE FROM graft.`$t` WHERE id >= 20 AND id < 25")
+    assert(ids(spark.sql(s"SELECT id, grp FROM graft.`$t`")) ==
+      (0L to 99L).filterNot(i => i == 7L || (i >= 20 && i < 25)))
   }
 
   test("writes and deletes against a time-travel pin are refused") {
