@@ -68,9 +68,34 @@ object Bench {
     }.getOrElse(Map.empty)
 
   private[graft] def calAvg(json: String): Option[Double] =
-    "\"cal\":\\{\"pre\":([0-9.]+),\"post\":([0-9.]+)\\}".r
+    // no closing-brace anchor: the cal object also carries the
+    // par_pre/par_post stamps since round 16
+    "\"cal\":\\{\"pre\":([0-9.]+),\"post\":([0-9.]+)".r
       .findFirstMatchIn(json)
       .map(m => (m.group(1).toDouble + m.group(2).toDouble) / 2.0)
+
+  private[graft] def calParAvg(json: String): Option[Double] =
+    "\"par_pre\":([0-9.]+),\"par_post\":([0-9.]+)".r
+      .findFirstMatchIn(json)
+      .map(m => (m.group(1).toDouble + m.group(2).toDouble) / 2.0)
+
+  /** The host-shift signature that cost rounds 14-15 manual
+    * cross-commit forensics, made mechanical (round 16): single-
+    * thread cal ~flat vs the previous artifact while the parallel
+    * fixed-work probe inflated ≥1.25× = the box lost PARALLEL
+    * throughput (hypervisor steal / sibling contention), which
+    * inflates every multi-core entry uniformly without any code
+    * change. Under that bracket, tripwire flags are load evidence,
+    * not regression evidence — all demoted to unconfirmed. Previous
+    * artifacts without par stamps (pre-16) never trigger it. */
+  private[graft] def hostParallelShift(prevJson: String, curCal: Double,
+      curCalPar: Double): Boolean =
+    (calAvg(prevJson), calParAvg(prevJson)) match {
+      case (Some(c), Some(p)) if c > 0 && p > 0 &&
+          curCal > 0 && curCalPar > 0 =>
+        curCal / c < 1.15 && curCalPar / p > 1.25
+      case _ => false
+    }
 
   /** Entries regressed vs the previous artifact: name →
     * (wall, prevWall·calRatio, cpu, prevCpu·calRatio). Fires when the
@@ -184,6 +209,13 @@ object Bench {
     // box, which loadavg stamps cannot explain). Bracketed: once here
     // before any Spark thread exists, once after the timed section.
     val calPre = JvmStamp.calibrate()
+    // Parallel twin of the probe (round 16): min(8, cores) concurrent
+    // copies of the same fixed work. The r15 host degradation halved
+    // parallel throughput while the single-thread cal got FASTER —
+    // cal-normalization alone "confirmed" a phantom regression; this
+    // stamp makes the (cal flat, cal_par inflated) signature
+    // mechanical instead of forensic.
+    val calParPre = JvmStamp.calibratePar()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
@@ -299,6 +331,7 @@ object Bench {
       }.getOrElse(results)
     val jvmEnd = JvmStamp.json()
     val calPost = JvmStamp.calibrate()
+    val calParPost = JvmStamp.calibratePar()
     def r4(v: Double): String = BigDecimal(v)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val best = resampled.map { case (k, v) => k -> v.minBy(_._1) }
@@ -317,7 +350,8 @@ object Bench {
     val loadJson =
       s""""load_avg":{"ambient_premain":${arr(loadAmbient)},"pre_warmup":${arr(loadPre)},"start":${arr(loadStart)},"end":${arr(loadEnd)}}"""
     val jvmJson =
-      s""""cal":{"pre":${r4(calPre)},"post":${r4(calPost)}},""" +
+      s""""cal":{"pre":${r4(calPre)},"post":${r4(calPost)},""" +
+        s""""par_pre":${r4(calParPre)},"par_post":${r4(calParPost)}},""" +
         s""""jvm":{"post_warmup":$jvmPostWarm,"end":$jvmEnd}"""
     // Tripwire: cal-normalized per-entry regression diff vs the
     // previous committed artifact (empty block = quiet rerun). Only
@@ -331,7 +365,15 @@ object Bench {
       .getOrElse(Seq.empty)
     // a cal that drifted >10% during the confirmation pass voids it:
     // those flags are load evidence, not regression evidence
-    val (warns, unconfirmed) = splitConfirmed(rawWarns, calPre, confCal)
+    val (warns0, unconfirmed0) = splitConfirmed(rawWarns, calPre, confCal)
+    // the parallel-throughput bracket (round 16): single-thread cal
+    // flat + cal_par inflated vs the previous artifact = host state —
+    // every flag demoted, stamped host_parallel_shift for the reader
+    val parShift = prevDetail.exists(pj => hostParallelShift(pj,
+      (calPre + calPost) / 2.0, (calParPre + calParPost) / 2.0))
+    val (warns, unconfirmed) =
+      if (parShift) (Seq.empty, unconfirmed0 ++ warns0)
+      else (warns0, unconfirmed0)
     def warnJson(ws: Seq[(String, (Double, Double, Double, Double))]) =
       ws.map { case (k, (w, pw, c, pc)) =>
         "\"" + k + s"""\":{"wall":${r4(w)},"prev_wall":${r4(pw)},"cpu":${r4(c)},"prev_cpu":${r4(pc)}}"""
@@ -341,7 +383,8 @@ object Bench {
     }.getOrElse("")
     val full = s"""{"metric":"total","value":${r4(total)},"unit":"sec",""" +
       s""""cpu_total":${r4(totalCpu)},$loadJson,$jvmJson,"sf":"$sfDir",""" +
-      s"""$confJson"perf_warn":${warnJson(warns)},""" +
+      s"""$confJson"host_parallel_shift":$parShift,""" +
+      s""""perf_warn":${warnJson(warns)},""" +
       s""""perf_warn_unconfirmed":${warnJson(unconfirmed)},""" +
       s""""queries":$qs,"cpu":$cpu,"gc_ms":$gc,"samples":$raw}"""
     // 1. Durable copy: the full artifact as a file in the working tree

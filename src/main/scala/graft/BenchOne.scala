@@ -21,7 +21,8 @@ object BenchOne {
         .split("\\s+").take(1).mkString
       catch { case _: Exception => "?" }
     val calPre = JvmStamp.calibrate()
-    println(f"[benchone] ambient_premain load1m=$ambient cal_pre=$calPre%.3f s")
+    val calParPre = JvmStamp.calibratePar()
+    println(f"[benchone] ambient_premain load1m=$ambient cal_pre=$calPre%.3f s cal_par_pre=$calParPre%.3f s")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
@@ -52,6 +53,7 @@ object BenchOne {
     val prevW = prevDetail.map(Bench.numMap(_, "queries")).getOrElse(Map.empty)
     val prevC = prevDetail.map(Bench.numMap(_, "cpu")).getOrElse(Map.empty)
     val prevCal = prevDetail.flatMap(Bench.calAvg)
+    val prevCalPar = prevDetail.flatMap(Bench.calParAvg)
     // registry/native-codec init must not land inside the "cold" pass
     // of an ImageIO entry (the r14 0.245→0.43s floor-band drift)
     Bench.warmImageIO()
@@ -70,16 +72,25 @@ object BenchOne {
         (wall, cpu, gc, jit)
       }
       val (w, c, g, j) = samples.minBy(_._1)
+      val parNote = (prevCal, prevCalPar) match {
+        // the r15 host mode, surfaced per-floor: single-thread cal
+        // flat while the parallel probe inflated = host state
+        case (Some(pc), Some(pp)) if pc > 0 && pp > 0 &&
+            calPre / pc < 1.15 && calParPre / pp > 1.25 =>
+          f" HOST_PARALLEL_SHIFT par_ratio=${calParPre / pp}%.2f"
+        case _ => ""
+      }
       val vsPrev = (prevW.get(name), prevC.get(name), prevCal) match {
         case (Some(pw), Some(pc), Some(pcal)) if pw > 0 && pc > 0 && pcal > 0 =>
           val r = calPre / pcal
-          f" vs_prev wall_ratio=${w / (pw * r)}%.2f cpu_ratio=${c / (pc * r)}%.2f cal_ratio=$r%.2f"
+          f" vs_prev wall_ratio=${w / (pw * r)}%.2f cpu_ratio=${c / (pc * r)}%.2f cal_ratio=$r%.2f$parNote"
         case _ => ""
       }
       println(f"[benchone] $name FLOOR wall=$w%.3f cpu=$c%.2f gc_ms=$g jit_ms=$j passes=$passes codecache_mb=${JvmStamp.codeCacheUsed() >> 20}$vsPrev")
     }
     val calPost = JvmStamp.calibrate()
-    println(f"[benchone] done cal_post=$calPost%.3f s jvm=${JvmStamp.json()}")
+    val calParPost = JvmStamp.calibratePar()
+    println(f"[benchone] done cal_post=$calPost%.3f s cal_par_post=$calParPost%.3f s jvm=${JvmStamp.json()}")
     spark.stop()
   }
 }

@@ -45,6 +45,40 @@ object JvmStamp {
     if (x == 0) secs + 1e-12 else secs
   }
 
+  /** Parallel fixed-work calibration: `threads` concurrent copies of
+    * the single-thread probe loop; returns wall seconds for ALL to
+    * finish. On a healthy host with threads ≤ free cores this ≈ the
+    * single-thread probe; under parallel-throughput degradation
+    * (hypervisor steal, sibling contention) it inflates while the
+    * single-thread probe stays flat — exactly the host mode that cost
+    * rounds 14-15 manual cross-commit forensics. The (cal, cal_par)
+    * pair makes that signature mechanical: cal flat + cal_par
+    * inflated = host state, not code. */
+  def calibratePar(threads: Int =
+        math.min(8, Runtime.getRuntime.availableProcessors()),
+      iters: Long = 800_000_000L): Double = {
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { k =>
+      val th = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + k
+        var i = 0L
+        while (i < iters) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          i += 1
+        }
+        sink.addAndGet(x) // defeat dead-code elimination
+        ()
+      })
+      th.setDaemon(true)
+      th.start()
+      th
+    }
+    ts.foreach(_.join())
+    val secs = (System.nanoTime() - t0) / 1e9
+    if (sink.get() == Long.MinValue) secs + 1e-12 else secs
+  }
+
   def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans

@@ -1108,6 +1108,31 @@ UNION ALL
 SELECT doc_id, lang, source, n_chars, 'v0' AS at FROM documents
 ${ord("doc_id", "lang", "source", "n_chars", "at")}""".trim
 
+  /** Twin of `txlog_catalog_ctas`: CTAS of doc_id < 400, ALTER ADD
+    * note (NULL-filled), an INSERT of +100000-shifted rows carrying
+    * note='ins', then MERGE WITH SCHEMA EVOLUTION updating the
+    * [50,59] band with note='m' AND auto-adding tag='tagged' (NULL
+    * everywhere else); 'v1' time-travels to the original
+    * three-column CTAS shape (note/tag padded NULL by the entry). */
+  val txlogCatalogCtas: String = s"""
+WITH ctas AS (
+  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id < 400),
+now_t AS (
+  SELECT doc_id, lang, n_chars,
+    CASE WHEN COALESCE(doc_id BETWEEN 50 AND 59, FALSE)
+         THEN 'm' ELSE NULL END AS note,
+    CASE WHEN COALESCE(doc_id BETWEEN 50 AND 59, FALSE)
+         THEN 'tagged' ELSE NULL END AS tag
+  FROM ctas
+  UNION ALL
+  SELECT doc_id + 100000, lang, n_chars, 'ins', NULL
+  FROM documents WHERE doc_id < 30)
+SELECT doc_id, lang, n_chars, note, tag, 'now' AS at FROM now_t
+UNION ALL
+SELECT doc_id, lang, n_chars, CAST(NULL AS VARCHAR) AS note,
+  CAST(NULL AS VARCHAR) AS tag, 'v1' AS at FROM ctas
+${ord("doc_id", "lang", "n_chars", "note", "tag", "at")}""".trim
+
   /** Twin of `txlog_catalog_masked_read`: a vectored DELETE of a
     * doc_id band + a vectored UPDATE (source→'mor-upd' below 50)
     * leave the table merge-on-read masked; the SQL catalog serves it

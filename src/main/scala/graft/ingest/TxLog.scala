@@ -836,6 +836,66 @@ object TxLog {
   // index.
   // ------------------------------------------------------------------
 
+  // ------------------------------------------------------------------
+  // Table properties (the TBLPROPERTIES analogue) — advisory key/value
+  // configuration that routes ENGINE behavior (e.g. which write path
+  // SQL DML takes), never data semantics: a reader ignoring them sees
+  // the same rows. Stored as a log-dir sidecar like the bloom/
+  // generated-column registries.
+  // ------------------------------------------------------------------
+
+  private def propsFile(table: String): Path =
+    logDir(table).resolve("_props")
+
+  /** All table properties (empty for an untouched table). */
+  def tableProps(table: String): Map[String, String] =
+    try {
+      new String(Files.readAllBytes(propsFile(table)), "UTF-8")
+        .linesIterator.flatMap { l =>
+          l.split("\\|", 2) match {
+            case Array(k, v) if k.nonEmpty => Some(hexDec(k) -> hexDec(v))
+            case _ => None
+          }
+        }.toMap
+    } catch { case _: Exception => Map.empty }
+
+  /** Set (or overwrite) one property; atomic sidecar swap. */
+  def setTableProperty(table: String, key: String, value: String): Unit = {
+    require(key.nonEmpty, "property key must be non-empty")
+    Files.createDirectories(logDir(table))
+    val tmp = logDir(table).resolve(s".pr-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, (tableProps(table) + (key -> value)).toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${hexEnc(k)}|${hexEnc(v)}" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    Files.move(tmp, propsFile(table),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** Remove one property (no-op if absent). */
+  def unsetTableProperty(table: String, key: String): Unit = {
+    val rest = tableProps(table) - key
+    Files.createDirectories(logDir(table))
+    val tmp = logDir(table).resolve(s".pr-${java.util.UUID.randomUUID()}")
+    Files.write(tmp, rest.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${hexEnc(k)}|${hexEnc(v)}" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    Files.move(tmp, propsFile(table),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** The `write.dml.mode` property key and its merge-on-read value —
+    * Delta's `enableDeletionVectors` analogue: when set, SQL
+    * UPDATE/MERGE/DELETE route through the deletion-vector delta
+    * write instead of the copy-on-write rewrite. */
+  val DmlModeProp = "write.dml.mode"
+  val DmlModeMor = "merge-on-read"
+
+  /** Does SQL row-level DML on this table run merge-on-read? */
+  def isMorDml(table: String): Boolean =
+    tableProps(table).get(DmlModeProp).contains(DmlModeMor)
+
   private def bloomColsFile(table: String): Path =
     logDir(table).resolve("_bloomcols")
   private def bloomDir(table: String): Path =
@@ -1071,12 +1131,49 @@ object TxLog {
   }
 
   private def requireMappable(table: String): Unit = {
-    require(!isStreamSource(table),
-      s"$table serves as a streaming source: consumers read its " +
-        s"published files under the recorded schema — column mapping " +
-        s"is not allowed")
+    // stream-source tables are mappable (round 16): physical file
+    // names never change across renames, the file-stream consumer
+    // reads the physical schema, and `streamSource`'s Project
+    // restores whatever the logical names are at (re)start time
     require(schemaAt(table).nonEmpty,
       s"$table has no recorded schema to alter")
+  }
+
+  /** CREATE TABLE: land version 0 as an empty overwrite that records
+    * the schema — the table exists (readable as zero rows under the
+    * DDL) before any data lands, which is what SQL `CREATE TABLE` and
+    * atomic CTAS need. Refuses an existing table. */
+  def createTable(table: String, ddl: String): Long = {
+    require(latestVersion(table).isEmpty,
+      s"$table already exists (v${latestVersion(table).get})")
+    require(ddl.nonEmpty, "CREATE TABLE needs at least one column")
+    // validate the DDL parses before the commit records it forever
+    org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    writeCommit(table, "overwrite", -1L, Nil, ddl)
+  }
+
+  /** ALTER TABLE ADD COLUMN as one metadata-only commit: the widened
+    * DDL becomes the table schema and every existing file reads the
+    * new column as NULL (the additive-evolve contract — no footer is
+    * touched). A BURNED logical name (dropped/renamed away earlier)
+    * re-binds a fresh physical name, so old bytes never resurrect. */
+  def addColumn(table: String, name: String, sqlType: String): Long = {
+    requireSimpleName(name)
+    val tbl = currentSchema(table)
+    require(tbl.nonEmpty, s"$table has no recorded schema to alter")
+    // parse the type through a one-column DDL (rejects junk loudly)
+    org.apache.spark.sql.types.StructType.fromDDL(s"$name $sqlType")
+    require(!ddlShape(tbl).exists(_._1 == name),
+      s"column $name already exists in $table")
+    val ddl = s"$tbl, $name $sqlType"
+    val base = colMapAt(table)
+    val (cm0, bn0) = base
+    val cm1 = cm0 ++ freshAssignments(Seq(name), cm0, bn0)
+    if (cm1 == cm0)
+      writeCommit(table, "append", -1L, Nil, ddl, colmapBase = Some(base))
+    else
+      writeCommit(table, "append", -1L, Nil, ddl,
+        colmapOverride = Some((cm1, bn0)), colmapBase = Some(base))
   }
 
   /** RENAME COLUMN as one metadata-only commit: O(1), no data moved —
@@ -1760,12 +1857,22 @@ object TxLog {
     require(tbl.isEmpty || ddlShape(tbl) == ddlShape(ddl),
       s"rewrite must preserve the table schema:\n  table: $tbl\n  " +
         s"rewrite: $ddl")
-    // column mapping: staged files MUST already carry physical names
-    // (the DSv2 writer physicalizes its file schema) — verified
-    // against EVERY staged footer (cheap driver-side metadata reads,
-    // O(staged)), because a single logical-named file slipping into a
-    // heterogeneous staged set would be promoted and silently
-    // null-fill every renamed column on read
+    val mapping = plannedDv.getOrElse(dvAt(table))
+    val (adds, stats) = promoteStaged(spark, table, staged, ddl)
+    writeCommit(table, "rewrite", -1L, adds, tbl, stats, removes,
+      dvBase = dvBaseFor(mapping, removes))
+  }
+
+  /** Promote externally staged parquet into the table: validates
+    * physical names on mapped tables (EVERY footer — one logical-named
+    * file slipping in would null-fill renamed columns on read), moves
+    * under UUID-unique names, censuses exactly like internal writes
+    * (zero-row parts dropped, footer stats collected, CHECK
+    * constraints enforced with abort-on-violation), and indexes
+    * blooms. Returns (adds, stats) for the caller's commit. */
+  private def promoteStaged(spark: SparkSession, table: String,
+      staged: Seq[Path], ddl: String):
+      (Seq[String], Map[String, Map[String, ColStat]]) = {
     val (cm, _) = colMapAt(table)
     if (cm.nonEmpty && staged.nonEmpty) {
       val expected = org.apache.spark.sql.types.StructType.fromDDL(ddl)
@@ -1788,7 +1895,6 @@ object TxLog {
             s"${bad.mkString(", ")}")
       }
     }
-    val mapping = plannedDv.getOrElse(dvAt(table))
     val uuid = java.util.UUID.randomUUID().toString
     val promoted = staged.sortBy(_.getFileName.toString).zipWithIndex
       .map { case (p, i) =>
@@ -1807,8 +1913,57 @@ object TxLog {
     // replacement files index too, or point-lookup pruning would
     // silently degrade on every SQL-updated table
     buildBlooms(spark, table, adds, bloomCols(table))
-    writeCommit(table, "rewrite", -1L, adds, tbl, stats, removes,
-      dvBase = dvBaseFor(mapping, removes))
+    (adds, stats)
+  }
+
+  /** Land one merge-on-read SQL DML statement as ONE atomic dv
+    * commit: `stagedDv` parquet parts hold (file, row_index) deletes
+    * addressed at ORIGINAL row positions (exactly the dv dataset
+    * shape), `stagedData` are the statement's new data files
+    * (update-after rows + inserts). Write cost ∝ touched rows, never
+    * touched-file bytes — the SQL surface of `deleteVectored` /
+    * `updateVectored`. The dv conflict checks run against `plannedDv`
+    * (the mapping the statement's scans read through), so a racing
+    * dv/rewrite on a touched file fails loudly. */
+  def commitDeltaDml(spark: SparkSession, table: String,
+      stagedDv: Seq[Path], stagedData: Seq[Path], ddl: String,
+      plannedDv: Map[String, (String, Long)]): Long = {
+    import org.apache.spark.sql.functions.col
+    require(!isStreamSource(table),
+      s"$table serves as a streaming source (append-only): row-level " +
+        s"delete/update are not allowed")
+    val tbl = currentSchema(table)
+    // the statement's data schema is EMPTY for a delete-only plan —
+    // only guard (and promote against) it when new rows landed
+    if (stagedData.nonEmpty)
+      require(tbl.isEmpty || ddlShape(tbl) == ddlShape(ddl),
+        s"merge-on-read DML must preserve the table schema:\n" +
+          s"  table: $tbl\n  statement: $ddl")
+    if (stagedDv.isEmpty && stagedData.isEmpty)
+      return latestVersion(table).getOrElse(-1L)
+    val schemaLine = if (tbl.nonEmpty) tbl else ddl
+    val (adds, stats) = promoteStaged(spark, table, stagedData, schemaLine)
+    if (stagedDv.isEmpty)
+      // insert-only statement (e.g. MERGE with only NOT MATCHED):
+      // a plain append commit, no mask touched
+      return writeCommit(table, "append", -1L, adds, schemaLine, stats)
+    val newMask = spark.read
+      .schema("file STRING, row_index BIGINT")
+      .parquet(stagedDv.map(_.toAbsolutePath.toString): _*)
+    // the touched-file set: bounded by file count (the same driver
+    // state every dv planning path holds)
+    val hit = newMask.select("file").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val live = liveFiles(table).toSet
+    val gone = hit.filterNot(live)
+    require(gone.isEmpty,
+      s"merge-on-read DML addresses files no longer live: " +
+        s"${gone.mkString(", ")}")
+    val (dvSet, cards) = stageDvSet(spark, table, plannedDv, hit,
+      newMask.where(col("file").isNotNull))
+    writeCommit(table, "dv", -1L, adds, schemaLine, stats,
+      dvs = cards.map { case (f, n) => f -> (dvSet, n) },
+      dvBase = dvBaseFor(plannedDv, hit))
   }
 
   /** Files in `searchSpace` that hold at least one VISIBLE row
@@ -3269,12 +3424,9 @@ object TxLog {
     * else fails loudly. O(tail) per call via the watermark. Returns
     * newly published file count. */
   def publishAppends(table: String): Int = {
-    // a mapped table's published files carry PHYSICAL column names
-    // the file-stream reader would misresolve against the logical
-    // schema — refused here AND at mutation time (requireMappable)
-    require(!isColumnMapped(table),
-      s"$table is in column-mapping mode: it cannot serve as a " +
-        s"streaming source")
+    // mapped tables publish like any other (round 16): published
+    // files carry PHYSICAL column names, and `streamSource` reads
+    // them under the physical schema + one logical-restoring Project
     Files.createDirectories(publishedDir(table))
     var linked = 0
     val wm = pubWatermark(table)
@@ -3334,10 +3486,29 @@ object TxLog {
     val ddl = schemaAt(table)
     require(ddl.nonEmpty, s"streamSource: no committed schema in $table")
     publishAppends(table)
+    val logical = relaxed(ddl)
+    val (cm, _) = colMapAt(table)
     // options pass straight to the file source — maxFilesPerTrigger
     // for rate limiting is the usual one (Delta's maxFilesPerTrigger)
-    spark.readStream.schema(relaxed(ddl)).options(options)
-      .parquet(publishedDir(table).toString)
+    if (cm.isEmpty)
+      spark.readStream.schema(logical).options(options)
+        .parquet(publishedDir(table).toString)
+    else {
+      // column-mapped table: published files carry PHYSICAL footer
+      // names (which never change across renames — writes keep the
+      // original physical name), so the file source requests the
+      // physical schema and ONE streaming-safe Project restores the
+      // logical names positionally — the same indirection the batch
+      // read path uses. A consumer started before a rename keeps the
+      // names its query was built against; a (re)start picks up the
+      // current logical names. Exactly-once is untouched: same files,
+      // same file-source tracking.
+      val physical = org.apache.spark.sql.types.StructType(
+        logical.fields.map(f => f.copy(name = physicalOf(f.name, cm))))
+      spark.readStream.schema(physical).options(options)
+        .parquet(publishedDir(table).toString)
+        .toDF(logical.fieldNames.toIndexedSeq: _*)
+    }
   }
 
   /** Docs-stream → transactional table, end to end. */

@@ -503,6 +503,28 @@ object ScaleProbe {
               .where(col("doc_id") === (500L + q)).count()
           }
         }
+        // SQL point-UPDATE in MERGE-ON-READ mode (round 16): the same
+        // fixed-selectivity statement as txlogSqlUpdate against a
+        // `write.dml.mode = merge-on-read` table — cost ∝ matched
+        // rows + mask bytes, never file bytes, so the wall must stay
+        // ~flat while the table grows 64×. rows = files removed by
+        // the commit: 0 at EVERY scale (the no-rewrite invariant).
+        locally {
+          val tm = s"$out/txmor_$n"
+          if (TxLog.latestVersion(tm).isEmpty) {
+            TxLog.write(docs.select("doc_id", "lang", "source", "n_chars")
+              .repartitionByRange(16, col("doc_id")), tm, "overwrite")
+            TxLog.setTableProperty(tm, TxLog.DmlModeProp, TxLog.DmlModeMor)
+          }
+          var mu = 0L
+          t("txlogSqlUpdateMor", n) {
+            mu += 1
+            spark.sql(s"UPDATE graft.`$tm` SET source = 'morupd' " +
+              s"WHERE doc_id BETWEEN ${2600L + 40L * mu} " +
+              s"AND ${2609L + 40L * mu}")
+            TxLog.commits(tm).last.removes.size.toLong
+          }
+        }
         // Log-replay cost vs commit COUNT (round 14, the r13 verdict's
         // 500k-commits concern): a synthetic metadata-only log of
         // 250·n single-file commits (written directly — the replay

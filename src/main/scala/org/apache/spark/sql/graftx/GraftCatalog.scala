@@ -121,18 +121,58 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty
 
+  /** `CREATE TABLE graft.`t` (...)` and CTAS: version 0 lands as an
+    * empty schema-recording commit, then CTAS's write appends into it
+    * — each step its own atomic commit. Partitioning transforms are
+    * refused (TxLog tables cluster by layout, not hive partitions);
+    * TBLPROPERTIES pass through to the property sidecar. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft tables are created by the first TxLog.write / INSERT " +
-        "into an existing table; CREATE TABLE is not supported")
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft tables do not support PARTITIONED BY — cluster with " +
+        "CALL graft.system.zorder / optimize instead")
+    val t = tablePath(ident)
+    TxLog.createTable(t, schema.toDDL.replace("\n", " "))
+    properties.asScala.foreach { case (k, v) =>
+      // Spark stuffs reserved entries (owner, provider) into the map;
+      // keep only user-addressable keys
+      if (!k.startsWith("option.") && k != "owner" && k != "provider" &&
+        k != "location" && k != "external")
+        TxLog.setTableProperty(t, k, v)
+    }
+    new GraftTxTable(t, None)
+  }
 
+  /** `ALTER TABLE graft.`t` ...`: ADD COLUMN (metadata-only additive
+    * evolve), RENAME/DROP COLUMN (column-mapping commits), SET/UNSET
+    * TBLPROPERTIES. Anything else is refused loudly. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported; schema evolution goes through " +
-        "TxLog.write(evolve = true)")
+      changes: TableChange*): Table = {
+    val t = tablePath(ident)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "ADD COLUMN supports top-level columns only")
+        TxLog.addColumn(t, a.fieldNames()(0), a.dataType().sql)
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1,
+          "RENAME COLUMN supports top-level columns only")
+        TxLog.renameColumn(t, r.fieldNames()(0), r.newName())
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          "DROP COLUMN supports top-level columns only")
+        TxLog.dropColumn(t, d.fieldNames()(0))
+      case p: TableChange.SetProperty =>
+        TxLog.setTableProperty(t, p.property(), p.value())
+      case p: TableChange.RemoveProperty =>
+        TxLog.unsetTableProperty(t, p.property())
+      case other =>
+        throw new UnsupportedOperationException(
+          s"unsupported ALTER TABLE change: $other")
+    }
+    new GraftTxTable(t, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(
@@ -182,8 +222,13 @@ private[graftx] class GraftTxTable(path: String, asOf: Option[Long])
       .fields.map(_.copy(nullable = true)))
 
   override def capabilities(): util.Set[TableCapability] =
+    // AUTOMATIC_SCHEMA_EVOLUTION backs `MERGE WITH SCHEMA EVOLUTION`:
+    // the analyzer computes the AddColumn changes from the source
+    // schema and lands them through alterTable (the metadata-only
+    // additive evolve), then re-resolves against the widened table
     Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   private def spark: SparkSession = SparkSession.active
 
@@ -209,11 +254,13 @@ private[graftx] class GraftTxTable(path: String, asOf: Option[Long])
         override def name(): String = GraftRowLevel.FileCol
         override def dataType(): org.apache.spark.sql.types.DataType =
           org.apache.spark.sql.types.StringType
-        // nullable: MERGE NOT MATCHED (insert) rows flow through the
-        // ReplaceData plan with NULL _file — a non-nullable declaration
-        // invites optimizer null-check elimination on the metadata
-        // attribute (Iceberg declares its file column nullable too)
-        override def isNullable: Boolean = true
+        // NON-nullable, deliberately: Spark's RewriteRowLevelCommand
+        // REFUSES nullable row-id attributes, and (_file, _pos) is
+        // the merge-on-read row id. MERGE NOT MATCHED rows carry NULL
+        // _file only inside the rewrite plan, where Spark handles the
+        // metadata attribute's nullability itself (same posture as
+        // Iceberg's required _file/_pos columns).
+        override def isNullable: Boolean = false
         override def comment(): String =
           "name of the table file the row lives in"
       },
@@ -221,16 +268,18 @@ private[graftx] class GraftTxTable(path: String, asOf: Option[Long])
         override def name(): String = GraftRowLevel.PosCol
         override def dataType(): org.apache.spark.sql.types.DataType =
           org.apache.spark.sql.types.LongType
-        override def isNullable: Boolean = true
+        override def isNullable: Boolean = false
         override def comment(): String =
           "original (pre-mask) row index within the row's file"
       })
 
-  /** SQL UPDATE / MERGE INTO / non-translatable DELETE rewrite
-    * through the group-based COW path ([[GraftRowLevelOperation]]).
-    * Refused on time-travel pins (history is immutable) and on
-    * stream-source tables (append-only contract) — loudly, before any
-    * work runs. */
+  /** SQL UPDATE / MERGE INTO / non-translatable DELETE: group-based
+    * copy-on-write by default ([[GraftRowLevelOperation]]), or the
+    * deletion-vector delta path ([[GraftMorOperation]]) when the
+    * table sets `write.dml.mode = merge-on-read` — same statements,
+    * same results, different write-amplification class. Refused on
+    * time-travel pins (history is immutable) and on stream-source
+    * tables (append-only contract) — loudly, before any work runs. */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(asOf.isEmpty,
@@ -239,8 +288,12 @@ private[graftx] class GraftTxTable(path: String, asOf: Option[Long])
     require(!TxLog.isStreamSource(path),
       s"$path serves as a streaming source (append-only): row-level " +
         s"${info.command} is not allowed")
-    () => new GraftRowLevelOperation(path, pinnedFiles, pinnedDdl,
-      info.command, colMap, pinnedDv)
+    if (TxLog.isMorDml(path))
+      () => new GraftMorOperation(path, pinnedFiles, pinnedDdl,
+        info.command, colMap, pinnedDv)
+    else
+      () => new GraftRowLevelOperation(path, pinnedFiles, pinnedDdl,
+        info.command, colMap, pinnedDv)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -279,7 +332,10 @@ private[graftx] class GraftTxTable(path: String, asOf: Option[Long])
         throw new UnsupportedOperationException(
           s"untranslatable DELETE predicate: $p")))
       .reduceOption(_ && _).getOrElse(lit(true))
-    TxLog.delete(spark, path, cond)
+    // COW by default; the merge-on-read table property routes the
+    // translatable DELETE through deletion vectors too
+    if (TxLog.isMorDml(path)) TxLog.deleteVectored(spark, path, cond)
+    else TxLog.delete(spark, path, cond)
     ()
   }
 

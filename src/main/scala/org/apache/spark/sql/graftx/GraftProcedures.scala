@@ -233,6 +233,27 @@ private[graftx] object GraftProcedures {
         Seq(TxLog.bloomCols(t).size.toLong)
       }
     },
+    new Proc("set_table_property",
+      "set one table property (e.g. write.dml.mode = merge-on-read)",
+      Seq(p("table", StringType), p("key", StringType),
+        p("value", StringType)),
+      Seq("properties" -> LongType)) {
+      def run(in: InternalRow): Seq[Any] = {
+        val t = str(in, 0)
+        TxLog.setTableProperty(t, str(in, 1), str(in, 2))
+        Seq(TxLog.tableProps(t).size.toLong)
+      }
+    },
+    new Proc("unset_table_property",
+      "remove one table property",
+      Seq(p("table", StringType), p("key", StringType)),
+      Seq("properties" -> LongType)) {
+      def run(in: InternalRow): Seq[Any] = {
+        val t = str(in, 0)
+        TxLog.unsetTableProperty(t, str(in, 1))
+        Seq(TxLog.tableProps(t).size.toLong)
+      }
+    },
     new Proc("changes_view",
       "register the change data feed over (from_version, to_version] " +
         "as a temp view — the rows stay DISTRIBUTED (a CDF window is " +

@@ -189,7 +189,12 @@ private[graftx] class GraftFileScan(path: String, files0: Seq[String],
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}"
 
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column(GraftRowLevel.FileCol))
+    // only when the projection actually carries _file: advertising it
+    // on a scan that pruned _file away (e.g. a subquery's plain read)
+    // makes PartitionPruning's resolveRefs fail at planning
+    if (required.fieldNames.contains(GraftRowLevel.FileCol))
+      Array(Expressions.column(GraftRowLevel.FileCol))
+    else Array.empty
 
   /** Runtime group filter: `_file IN (...)` from the matching-rows
     * subquery. Unrecognized predicate shapes are ignored — that only
@@ -569,4 +574,241 @@ private[graftx] class GraftDelegatingScanBuilder(delegate: ScanBuilder,
     if (wantsFile || mustOwn)
       new GraftFileScan(path, files, ddl, pruned, ownPushed, None, cm, dv)
     else delegate.build()
+}
+
+/** Delta-based (merge-on-read) row-level SQL DML — the deletion-
+  * vector write path behind `UPDATE/MERGE/DELETE graft.`t`` when the
+  * table sets `write.dml.mode = merge-on-read` (Delta's
+  * `enableDeletionVectors` analogue; Iceberg's position-delete MoR
+  * shape). Spark's rewrite rules see [[SupportsDelta]] and plan a
+  * `WriteDelta` instead of `ReplaceData`:
+  *
+  *   - the SCAN is the same [[GraftFileScan]], masks applied, with
+  *     the (`_file`, `_pos`) row id;
+  *   - DELETEs arrive per row as (file, original row index) — each
+  *     task streams them into a staged dv parquet part;
+  *   - updates are represented as DELETE + INSERT
+  *     ([[SupportsDelta.representUpdateAsDeleteAndInsert]]); INSERT
+  *     rows stream into staged data parquet;
+  *   - the driver commit lands ONE atomic `dv` commit via
+  *     [[TxLog.commitDeltaDml]]: cumulative per-file masks (old ∪
+  *     new, deduped distributed), new data files censused like every
+  *     internal write.
+  *
+  * Write cost ∝ touched rows — a selective UPDATE on a 100 TB table
+  * moves its matched rows and mask bytes, never whole files (the COW
+  * path re-copies every matched FILE). */
+private[graftx] class GraftMorOperation(path: String,
+    pinnedFiles: Seq[String], ddl: String,
+    cmd: RowLevelOperation.Command,
+    cm: Map[String, String] = Map.empty,
+    dv: Map[String, (String, Long)] = Map.empty)
+    extends RowLevelOperation with SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column(GraftRowLevel.FileCol),
+      Expressions.column(GraftRowLevel.PosCol))
+
+  // updates = delete + reinsert: one writer shape serves all three
+  // commands, and the commit stays a pure (masks, new files) pair
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftFileScanBuilder(path, pinnedFiles, ddl, None, cm, dv)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite =
+        new GraftDeltaWrite(path, info.schema(),
+          info.rowIdSchema().orElse(null), cm, dv)
+    }
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(GraftRowLevel.FileCol))
+
+  override def description(): String = s"GraftTxMor[$cmd] $path"
+}
+
+private[graftx] case class GraftDeltaStaged(dataPath: Option[String],
+    dvPath: Option[String]) extends WriterCommitMessage
+
+/** The distributed merge-on-read write: each task lazily streams
+  * DELETE row ids into a staged dv parquet part and INSERT rows into
+  * a staged data part; the driver commit promotes both through ONE
+  * atomic TxLog dv commit. A statement that matched nothing commits
+  * nothing at all. */
+private[graftx] class GraftDeltaWrite(path: String,
+    writeSchema: StructType, rowIdSchema: StructType,
+    cm: Map[String, String], plannedDv: Map[String, (String, Long)])
+    extends DeltaWrite with DeltaBatchWrite {
+
+  private val dataSchema = StructType(
+    writeSchema.filterNot(f => f.name == GraftRowLevel.FileCol ||
+      f.name == GraftRowLevel.PosCol))
+  // column mapping: staged data files carry PHYSICAL footer names
+  private val fileSchema =
+    if (cm.isEmpty) dataSchema
+    else StructType(dataSchema.fields.map(f =>
+      f.copy(name = cm.getOrElse(f.name, f.name))))
+  private val stagingDir =
+    Paths.get(path, "_staging", UUID.randomUUID().toString)
+
+  override def toBatch: DeltaBatchWrite = this
+  override def description(): String = s"GraftTxMorWrite $path"
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DeltaWriterFactory = {
+    val spark = SparkSession.active
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    Files.createDirectories(stagingDir)
+    // INT64-micros timestamps, like every transactional write path
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    val (dataOwf, dvOwf) =
+      try {
+        val job1 = Job.getInstance(spark.sessionState.newHadoopConf())
+        val d = new ParquetFileFormat().prepareWrite(
+          spark, job1, Map.empty, fileSchema)
+        val job2 = Job.getInstance(spark.sessionState.newHadoopConf())
+        val v = new ParquetFileFormat().prepareWrite(
+          spark, job2, Map.empty, GraftFileReaderFactory.DvSchema)
+        (SerializableOwf(d,
+          new SerializableConfiguration(job1.getConfiguration)),
+          SerializableOwf(v,
+            new SerializableConfiguration(job2.getConfiguration)))
+      } finally spark.conf.set(tsKey, prev)
+    // the row-id columns' positions inside the id row handed to
+    // delete(): resolved from the ACTUAL rowIdSchema (projection
+    // order is Spark's, not ours)
+    val ids = Option(rowIdSchema).getOrElse(new StructType())
+    val fileIdx = ids.fieldNames.indexOf(GraftRowLevel.FileCol)
+    val posIdx = ids.fieldNames.indexOf(GraftRowLevel.PosCol)
+    require(fileIdx >= 0 && posIdx >= 0,
+      s"merge-on-read DML needs the (_file, _pos) row id; got " +
+        s"${ids.fieldNames.mkString(", ")}")
+    GraftMorWriterFactory(dataOwf, dvOwf,
+      stagingDir.toAbsolutePath.toString, fileSchema, writeSchema,
+      fileIdx, posIdx)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.toSeq.collect { case m: GraftDeltaStaged => m }
+    val data = msgs.flatMap(_.dataPath).map(Paths.get(_))
+    val dvs = msgs.flatMap(_.dvPath).map(Paths.get(_))
+    if (data.nonEmpty || dvs.nonEmpty)
+      TxLog.commitDeltaDml(SparkSession.active, path, dvs, data,
+        dataSchema.toDDL.replace("\n", " "), plannedDv)
+    cleanup()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = cleanup()
+
+  private def cleanup(): Unit =
+    try {
+      Files.list(stagingDir).iterator().asScala
+        .foreach(f => Files.deleteIfExists(f))
+      Files.deleteIfExists(stagingDir)
+      ()
+    } catch { case _: Exception => () }
+}
+
+/** An OutputWriterFactory + the hadoop conf it needs, serializable as
+  * a unit (conf copied per writer — Configuration mutation is not
+  * thread-safe across an executor's task threads). */
+private[graftx] case class SerializableOwf(owf: OutputWriterFactory,
+    conf: SerializableConfiguration) {
+  def open(file: String, schema: StructType, partitionId: Int,
+      taskId: Long): OutputWriter = {
+    val ctx = new TaskAttemptContextImpl(new Configuration(conf.value),
+      new TaskAttemptID(new TaskID(new JobID("graft", 0),
+        TaskType.MAP, partitionId), (taskId % Int.MaxValue).toInt))
+    owf.newInstance(file, schema, ctx)
+  }
+}
+
+private[graftx] case class GraftMorWriterFactory(dataOwf: SerializableOwf,
+    dvOwf: SerializableOwf, stagingDir: String, fileSchema: StructType,
+    writeSchema: StructType, fileIdx: Int, posIdx: Int)
+    extends DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int,
+      taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      private var dataOut: OutputWriter = null
+      private var dataFile: String = null
+      private var dvOut: OutputWriter = null
+      private var dvFile: String = null
+      // insert rows may carry metadata columns alongside the data
+      // shape; strip positionally (order preserved)
+      private val proj: UnsafeProjection = {
+        val metaFree = writeSchema.fieldNames.forall(n =>
+          n != GraftRowLevel.FileCol && n != GraftRowLevel.PosCol)
+        if (metaFree) null
+        else {
+          val in = DataTypeUtils.toAttributes(writeSchema)
+          UnsafeProjection.create(
+            in.zip(writeSchema.fields).collect {
+              case (a, f) if f.name != GraftRowLevel.FileCol &&
+                  f.name != GraftRowLevel.PosCol => a: Expression
+            }.toSeq, in)
+        }
+      }
+      private val dvRow = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(2)
+
+      override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+        if (dvOut == null) {
+          Files.createDirectories(Paths.get(stagingDir))
+          dvFile =
+            s"$stagingDir/dv-$partitionId-$taskId-${UUID.randomUUID()}.parquet"
+          dvOut = dvOwf.open(dvFile, GraftFileReaderFactory.DvSchema,
+            partitionId, taskId)
+        }
+        require(!id.isNullAt(fileIdx) && !id.isNullAt(posIdx),
+          "merge-on-read DELETE row id carries NULL _file/_pos")
+        dvRow.update(0, id.getUTF8String(fileIdx).copy())
+        dvRow.setLong(1, id.getLong(posIdx))
+        dvOut.write(dvRow)
+      }
+
+      override def update(metadata: InternalRow, id: InternalRow,
+          row: InternalRow): Unit = {
+        // unreachable with representUpdateAsDeleteAndInsert = true;
+        // kept semantically correct anyway
+        delete(metadata, id)
+        insert(row)
+      }
+
+      override def insert(row: InternalRow): Unit = {
+        if (dataOut == null) {
+          Files.createDirectories(Paths.get(stagingDir))
+          dataFile =
+            s"$stagingDir/w-$partitionId-$taskId-${UUID.randomUUID()}.parquet"
+          dataOut = dataOwf.open(dataFile, fileSchema, partitionId, taskId)
+        }
+        dataOut.write(if (proj == null) row else proj(row))
+      }
+
+      override def commit(): WriterCommitMessage = {
+        if (dataOut != null) dataOut.close()
+        if (dvOut != null) dvOut.close()
+        GraftDeltaStaged(Option(dataFile), Option(dvFile))
+      }
+
+      override def abort(): Unit = {
+        if (dataOut != null) {
+          try dataOut.close() catch { case _: Exception => () }
+        }
+        if (dvOut != null) {
+          try dvOut.close() catch { case _: Exception => () }
+        }
+        if (dataFile != null) { Files.deleteIfExists(Paths.get(dataFile)); () }
+        if (dvFile != null) { Files.deleteIfExists(Paths.get(dvFile)); () }
+      }
+
+      override def close(): Unit = ()
+    }
 }

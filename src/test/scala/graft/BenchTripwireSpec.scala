@@ -120,4 +120,31 @@ class BenchTripwireSpec extends AnyFunSuite {
     // confirmation ran, cal within 10% → still fires
     assert(Bench.splitConfirmed(ws, 1.70, Some((1.75, 1.66)))._1.nonEmpty)
   }
+
+  // a round-16 artifact: the cal object carries the parallel stamps
+  private val prevPar =
+    """{"metric":"total","value":10.0,"unit":"sec","cpu_total":50.0,""" +
+      """"cal":{"pre":1.70,"post":1.74,"par_pre":1.80,"par_post":1.84},""" +
+      """"sf":"/root/testdata/sf0.1",""" +
+      """"queries":{"q_heavy":0.43},"cpu":{"q_heavy":1.90}}"""
+
+  test("cal parsing tolerates and reads the round-16 par stamps") {
+    assert(Bench.calAvg(prevPar).exists(c => math.abs(c - 1.72) < 1e-9))
+    assert(Bench.calParAvg(prevPar).exists(c => math.abs(c - 1.82) < 1e-9))
+    assert(Bench.calParAvg(prev).isEmpty) // pre-16 artifact: no stamps
+  }
+
+  test("single-thread-flat + parallel-inflated = host shift, flags demoted") {
+    // the r15 box: cal got FASTER (1.72 -> 1.55) while parallel
+    // throughput halved (1.82 -> 3.9) — every entry inflates ~uniformly
+    // with zero code change. The signature must be recognized...
+    assert(Bench.hostParallelShift(prevPar, curCal = 1.55, curCalPar = 3.9))
+    // ...and must NOT fire when parallel moved with single-thread
+    // (uniform host drift — cal normalization handles that instead)
+    assert(!Bench.hostParallelShift(prevPar, curCal = 2.2, curCalPar = 2.4))
+    // ...nor on a genuinely quiet box
+    assert(!Bench.hostParallelShift(prevPar, curCal = 1.71, curCalPar = 1.85))
+    // ...nor against a pre-16 artifact without par stamps
+    assert(!Bench.hostParallelShift(prev, curCal = 1.55, curCalPar = 3.9))
+  }
 }

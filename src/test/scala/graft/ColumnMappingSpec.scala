@@ -223,10 +223,6 @@ class ColumnMappingSpec extends SparkSpec {
          |WHEN MATCHED THEN UPDATE SET val = src.val""".stripMargin)
     assert(spark.sql(s"SELECT val FROM graft.`$t` WHERE id = 2")
       .head().getLong(0) == 888L)
-    val e2 = intercept[IllegalArgumentException] {
-      TxLog.streamSource(spark, t)
-    }
-    assert(e2.getMessage.contains("column-mapping"))
     // and registerView (snapshot-backed) serves SQL as well
     // (base 49500, then UPDATE 10→777 and MERGE 20→888)
     TxLog.registerView(spark, t, "cm_bound_view")
@@ -299,17 +295,51 @@ class ColumnMappingSpec extends SparkSpec {
       "restored-then-re-added column must read NULL from old files")
   }
 
-  test("rename validation: missing/duplicate names and stream sources refused") {
+  test("rename validation: missing/duplicate/bad names refused") {
     val t = tmp("cm_valid")
     seed(t)
     intercept[IllegalArgumentException] { TxLog.renameColumn(t, "nope", "x") }
     intercept[IllegalArgumentException] { TxLog.renameColumn(t, "v", "grp") }
     intercept[IllegalArgumentException] { TxLog.renameColumn(t, "v", "bad name") }
     intercept[IllegalArgumentException] { TxLog.dropColumn(t, "nope") }
+  }
+
+  test("a mapped table serves as a streaming source with logical names") {
     val s = tmp("cm_stream_src")
-    TxLog.write(Seq((1L, 1L, 1L)).toDF("id", "grp", "v"), s, "append")
+    TxLog.write(Seq((1L, 1L, 10L), (2L, 2L, 20L)).toDF("id", "grp", "v"),
+      s, "append")
     TxLog.publishAppends(s) // becomes a stream source
-    intercept[IllegalArgumentException] { TxLog.renameColumn(s, "v", "x") }
+    // rename mid-life is allowed: physical file names never change
+    TxLog.renameColumn(s, "v", "val")
+    TxLog.write(Seq((3L, 3L, 30L)).toDF("id", "grp", "val"), s, "append")
+    val base = java.nio.file.Files.createTempDirectory("cm_stream_out")
+    val q = TxLog.streamSource(spark, s)
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.columns.toSeq == Seq("id", "grp", "val"),
+      "the consumer must see LOGICAL names")
+    assert(out.select("val").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(10L, 20L, 30L))
+    // exactly-once across a restart that spans ANOTHER rename
+    TxLog.renameColumn(s, "val", "metric")
+    TxLog.write(Seq((4L, 4L, 40L)).toDF("id", "grp", "metric"), s, "append")
+    val q2 = TxLog.streamSource(spark, s)
+      .toDF("id", "grp", "val") // keep the sink's column contract
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(120000)
+    val out2 = spark.read.parquet(s"$base/out")
+    assert(out2.count() == 4, "each row exactly once across renames")
+    assert(out2.select("val").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(10L, 20L, 30L, 40L))
   }
 }
 

@@ -242,4 +242,135 @@ class RowLevelSqlSpec extends SparkSpec {
     spark.sql(s"UPDATE graft.`$t` SET v = 7 WHERE id = 3")
     assert(rows(t)(3L) == ((3L, 7L)))
   }
+
+  test("merge-on-read mode: SQL DML lands dv commits, zero files rewritten") {
+    val t = tmp("rl_mor")
+    seed(t)
+    TxLog.setTableProperty(t, TxLog.DmlModeProp, TxLog.DmlModeMor)
+    val files0 = TxLog.liveFiles(t)
+    val mtimes0 = files0.map(f =>
+      Files.getLastModifiedTime(java.nio.file.Paths.get(t, f)).toMillis)
+    // the full statement family: UPDATE, translatable DELETE,
+    // subquery DELETE, MERGE with all three arms
+    spark.sql(s"UPDATE graft.`$t` SET v = v + 1000 WHERE id BETWEEN 10 AND 19")
+    spark.sql(s"DELETE FROM graft.`$t` WHERE id = 7")
+    spark.sql(
+      s"DELETE FROM graft.`$t` WHERE id IN (SELECT id FROM graft.`$t` WHERE id = 98)")
+    spark.sql(s"""MERGE INTO graft.`$t` tgt
+      USING (SELECT 3 AS id, 0 AS grp, 1L AS v
+             UNION ALL SELECT 4, 0, 2L
+             UNION ALL SELECT 2000, 0, 3L) src
+      ON tgt.id = src.id
+      WHEN MATCHED AND src.id = 3 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = src.v
+      WHEN NOT MATCHED THEN INSERT *""")
+    // no original file rewritten or removed — masks + new files only
+    assert(TxLog.liveFiles(t).toSet.intersect(files0.toSet) == files0.toSet,
+      "merge-on-read DML must never remove the original files")
+    assert(files0.map(f => Files.getLastModifiedTime(
+      java.nio.file.Paths.get(t, f)).toMillis) == mtimes0,
+      "merge-on-read DML must never rewrite original file bytes")
+    assert(TxLog.commits(t).count(_.mode == "dv") == 4,
+      s"every statement lands one dv commit: " +
+        s"${TxLog.commits(t).map(c => c.version -> c.mode)}")
+    // semantics identical to the COW path on a twin table
+    val c = tmp("rl_mor_twin")
+    seed(c)
+    spark.sql(s"UPDATE graft.`$c` SET v = v + 1000 WHERE id BETWEEN 10 AND 19")
+    spark.sql(s"DELETE FROM graft.`$c` WHERE id = 7")
+    spark.sql(
+      s"DELETE FROM graft.`$c` WHERE id IN (SELECT id FROM graft.`$c` WHERE id = 98)")
+    spark.sql(s"""MERGE INTO graft.`$c` tgt
+      USING (SELECT 3 AS id, 0 AS grp, 1L AS v
+             UNION ALL SELECT 4, 0, 2L
+             UNION ALL SELECT 2000, 0, 3L) src
+      ON tgt.id = src.id
+      WHEN MATCHED AND src.id = 3 THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = src.v
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(rows(t) == rows(c),
+      "merge-on-read and copy-on-write must converge to the same table")
+    assert(TxLog.commits(c).exists(_.mode == "rewrite") &&
+      !TxLog.commits(t).exists(_.mode == "rewrite"))
+    // masks accumulate until OPTIMIZE materializes them away
+    assert(TxLog.dvAt(t).nonEmpty)
+    TxLog.compact(spark, t, targetFiles = 2)
+    assert(TxLog.dvAt(t).isEmpty && rows(t) == rows(c))
+  }
+
+  test("merge-on-read update stacks on an existing mask; CDF sees the delta") {
+    val t = tmp("rl_mor_stack")
+    seed(t)
+    TxLog.setTableProperty(t, TxLog.DmlModeProp, TxLog.DmlModeMor)
+    TxLog.deleteVectored(spark, t, col("id") === 12L) // pre-existing mask
+    val v = spark.sql(
+      s"UPDATE graft.`$t` SET v = 0 WHERE id BETWEEN 10 AND 14")
+    val got = rows(t)
+    assert(!got.contains(12L), "the old mask must survive the update")
+    assert(Seq(10L, 11L, 13L, 14L).forall(got(_)._2 == 0L))
+    assert(got.size == 99)
+    // the change feed shows exactly the updated rows as delete+insert
+    val latest = TxLog.latestVersion(t).get
+    val ch = TxLog.changes(spark, t, latest - 1, Some(latest))
+    val dels = ch.where(col("_change_type") === "delete")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val ins = ch.where(col("_change_type") === "insert")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(dels == Seq(10L, 11L, 13L, 14L), s"got deletes $dels")
+    assert(ins == Seq(10L, 11L, 13L, 14L), s"got inserts $ins")
+  }
+
+  test("merge-on-read DML conflicts loudly with a racing mask") {
+    val t = tmp("rl_mor_race")
+    seed(t)
+    TxLog.setTableProperty(t, TxLog.DmlModeProp, TxLog.DmlModeMor)
+    // plan a statement against the unmasked state, then let a dv land
+    // first: commitDeltaDml must refuse the stale-planned commit
+    val e = intercept[IllegalArgumentException] {
+      TxLog.commitDeltaDml(spark, t,
+        stagedDv = { // a fake staged dv addressing file 0 row 0
+          val f = TxLog.liveFiles(t).head
+          val p = java.nio.file.Files.createTempDirectory("mor_dv")
+          Seq((f, 0L)).toDF("file", "row_index")
+            .coalesce(1).write.mode("overwrite").parquet(p.toString)
+          java.nio.file.Files.list(p).iterator().asScala
+            .filter(_.toString.endsWith(".parquet")).toSeq
+        },
+        stagedData = Nil, ddl = "",
+        plannedDv = { // the mapping we planned against...
+          val planned = TxLog.dvAt(t)
+          // ...before this commit landed:
+          TxLog.deleteVectored(spark, t, col("id") === 1L)
+          planned
+        })
+    }
+    assert(e.getMessage.contains("concurrent modification") ||
+      e.getMessage.contains("no longer live"), e.getMessage)
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION auto-adds source columns, both modes") {
+    for (mor <- Seq(false, true)) {
+      val t = tmp(s"rl_evo_$mor")
+      seed(t)
+      if (mor) TxLog.setTableProperty(t, TxLog.DmlModeProp, TxLog.DmlModeMor)
+      spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$t` tgt
+        USING (SELECT 5L AS id, 0L AS grp, 1L AS v, 'new' AS tag
+               UNION ALL SELECT 2000L, 0L, 2L, 'ins') src
+        ON tgt.id = src.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *""")
+      // the widened schema landed as a metadata-only evolve: old rows
+      // NULL, matched row updated with the new column, insert typed
+      val got = spark.sql(s"SELECT id, tag FROM graft.`$t`").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got.size == 101)
+      assert(got(5L).contains("new") && got(2000L).contains("ins"))
+      assert(got(6L).isEmpty, "pre-evolution rows must read NULL")
+      assert(TxLog.schemaAt(t).contains("tag"),
+        "the widened DDL must be the table schema")
+      if (mor)
+        assert(!TxLog.commits(t).exists(_.mode == "rewrite"),
+          "MoR evolution merge must not rewrite files")
+    }
+  }
 }

@@ -170,4 +170,50 @@ class SqlCatalogSpec extends SparkSpec {
       spark.sql(s"SELECT * FROM graft.`$t` VERSION AS OF 'abc'").collect()
     }
   }
+
+  test("CREATE TABLE / CTAS / ALTER TABLE run end-to-end through SQL") {
+    val base = tmp("cat_ddl")
+    val t = s"$base/t"
+    // CREATE TABLE with TBLPROPERTIES: v0 records the schema, zero rows
+    spark.sql(s"""CREATE TABLE graft.`$t` (id BIGINT, grp BIGINT)
+      TBLPROPERTIES ('write.dml.mode'='merge-on-read')""")
+    assert(TxLog.latestVersion(t).contains(0L))
+    assert(spark.sql(s"SELECT * FROM graft.`$t`").count() == 0)
+    assert(TxLog.tableProps(t) == Map("write.dml.mode" -> "merge-on-read"))
+    intercept[Exception] { // double create refused
+      spark.sql(s"CREATE TABLE graft.`$t` (x BIGINT)")
+    }
+    spark.sql(s"INSERT INTO graft.`$t` VALUES (1, 10), (2, 20)")
+    // ALTER ADD COLUMN: metadata-only evolve, old rows read NULL
+    val mtime0 = TxLog.liveFiles(t).map(f =>
+      Files.getLastModifiedTime(java.nio.file.Paths.get(t, f)).toMillis)
+    spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMN note STRING")
+    assert(TxLog.liveFiles(t).map(f => Files.getLastModifiedTime(
+      java.nio.file.Paths.get(t, f)).toMillis) == mtime0,
+      "ADD COLUMN must be metadata-only")
+    spark.sql(s"INSERT INTO graft.`$t` VALUES (3, 30, 'x')")
+    val got = spark.sql(s"SELECT id, note FROM graft.`$t`").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> None, 2L -> None, 3L -> Some("x")))
+    // ALTER RENAME / SET / UNSET properties
+    spark.sql(s"ALTER TABLE graft.`$t` RENAME COLUMN grp TO grp2")
+    assert(TxLog.snapshot(spark, t).columns.toSeq == Seq("id", "grp2", "note"))
+    spark.sql(s"ALTER TABLE graft.`$t` SET TBLPROPERTIES ('a'='1')")
+    assert(TxLog.tableProps(t).get("a").contains("1"))
+    spark.sql(s"ALTER TABLE graft.`$t` UNSET TBLPROPERTIES ('a')")
+    assert(!TxLog.tableProps(t).contains("a"))
+    // CTAS: v0 empty schema commit + one append; time travel works
+    val c = s"$base/ctas"
+    spark.sql(
+      s"CREATE TABLE graft.`$c` AS SELECT id, grp2 FROM graft.`$t` WHERE id <= 2")
+    assert(spark.sql(s"SELECT * FROM graft.`$c`").count() == 2)
+    assert(spark.sql(s"SELECT * FROM graft.`$c` VERSION AS OF 0").count() == 0)
+    assert(TxLog.commits(c).map(_.mode) == Seq("overwrite", "append"))
+    // PARTITIONED BY is refused loudly
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$base/p` (id BIGINT) PARTITIONED BY (id)")
+    }
+    assert(e.getMessage.contains("PARTITIONED BY") ||
+      e.getMessage.contains("zorder"))
+  }
 }

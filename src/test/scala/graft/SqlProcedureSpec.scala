@@ -153,4 +153,15 @@ class SqlProcedureSpec extends SparkSpec {
     assert(names.contains("optimize") && names.contains("vacuum") &&
       names.contains("rename_column"))
   }
+
+  test("set/unset_table_property manage the property sidecar via SQL") {
+    val t = tmp("proc_props")
+    seed(t)
+    assert(spark.sql(s"""CALL graft.system.set_table_property(
+      '$t', 'write.dml.mode', 'merge-on-read')""").head().getLong(0) == 1L)
+    assert(TxLog.isMorDml(t))
+    assert(spark.sql(s"""CALL graft.system.unset_table_property(
+      '$t', 'write.dml.mode')""").head().getLong(0) == 0L)
+    assert(!TxLog.isMorDml(t))
+  }
 }
