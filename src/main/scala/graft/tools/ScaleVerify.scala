@@ -71,7 +71,15 @@ object ScaleVerify {
     // column mapping (rename/drop/re-add metadata must be invisible
     // however the files are cut) and the zero-copy clone divergence
     "txlog_catalog_rowlevel", "txlog_column_mapping", "txlog_clone",
-    "txlog_sql_maintenance", "txlog_generated", "txlog_bloom_prune")
+    "txlog_sql_maintenance", "txlog_generated", "txlog_bloom_prune",
+    // round-16: DV-masked snapshots SERVED through the SQL catalog
+    // (different layouts → different mask sets and per-file skip
+    // cursors — the served rows must be identical), the merge-on-read
+    // SQL DML lifecycle (same statements as the COW row-level entry,
+    // dv commits instead of rewrites — same final table), and the
+    // SQL DDL lifecycle (CTAS + evolve + schema-evolution MERGE)
+    "txlog_catalog_masked_read", "txlog_catalog_rowlevel_mor",
+    "txlog_catalog_ctas")
 
   def main(args: Array[String]): Unit = {
     val d = "/root/testdata/sf0.1"
