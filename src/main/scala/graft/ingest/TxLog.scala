@@ -3063,6 +3063,9 @@ object TxLog {
     // generated columns and bloom indexes — the metadata a maintainer
     // reads before touching an unfamiliar table
     val (cm, bn) = colMapAt(table)
+    // round-16 posture: the SQL DML write path (copy-on-write vs
+    // merge-on-read) and the property map, rendered as 'k=v' pairs
+    val props = tableProps(table)
     Seq((live.size.toLong, bytes(live), tomb.size.toLong, bytes(tomb),
       latestVersion(table).getOrElse(-1L), all.size.toLong,
       lastCheckpoint(table).map(_._1).getOrElse(-1L),
@@ -3070,13 +3073,16 @@ object TxLog {
       isStreamSource(table), dvm.size.toLong, dvm.values.map(_._2).sum,
       cm.size.toLong, bn.size.toLong,
       if (cm.nonEmpty || bn.nonEmpty) 2L else 1L,
-      generatedCols(table).size.toLong, bloomCols(table).size.toLong))
+      generatedCols(table).size.toLong, bloomCols(table).size.toLong,
+      if (isMorDml(table)) DmlModeMor else "copy-on-write",
+      props.toSeq.sorted.map { case (k, v) => s"$k=$v" }))
       .toDF("n_live_files", "live_bytes", "n_tombstoned_files",
         "tombstoned_bytes", "latest_version", "n_commits",
         "checkpoint_version", "schema_ddl", "n_constraints",
         "is_stream_source", "n_dv_masked_files", "dv_masked_rows",
         "n_mapped_columns", "n_burned_names", "log_format",
-        "n_generated_columns", "n_bloom_indexes")
+        "n_generated_columns", "n_bloom_indexes",
+        "dml_mode", "properties")
   }
 
   /** VACUUM dry run — the files a `vacuum(table, retainMs = 0)` would

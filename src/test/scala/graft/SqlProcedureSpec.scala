@@ -160,8 +160,15 @@ class SqlProcedureSpec extends SparkSpec {
     assert(spark.sql(s"""CALL graft.system.set_table_property(
       '$t', 'write.dml.mode', 'merge-on-read')""").head().getLong(0) == 1L)
     assert(TxLog.isMorDml(t))
+    // DESCRIBE DETAIL surfaces the mode and the property map
+    val d = TxLog.detail(spark, t).head()
+    assert(d.getAs[String]("dml_mode") == "merge-on-read")
+    assert(d.getSeq[String](d.fieldIndex("properties")).toSeq ==
+      Seq("write.dml.mode=merge-on-read"))
     assert(spark.sql(s"""CALL graft.system.unset_table_property(
       '$t', 'write.dml.mode')""").head().getLong(0) == 0L)
     assert(!TxLog.isMorDml(t))
+    assert(TxLog.detail(spark, t).head()
+      .getAs[String]("dml_mode") == "copy-on-write")
   }
 }
