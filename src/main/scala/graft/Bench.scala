@@ -79,6 +79,11 @@ object Bench {
       .findFirstMatchIn(json)
       .map(m => (m.group(1).toDouble + m.group(2).toDouble) / 2.0)
 
+  private[graft] def calSatAvg(json: String): Option[Double] =
+    "\"sat_pre\":([0-9.]+),\"sat_post\":([0-9.]+)".r
+      .findFirstMatchIn(json)
+      .map(m => (m.group(1).toDouble + m.group(2).toDouble) / 2.0)
+
   /** The host-shift signature that cost rounds 14-15 manual
     * cross-commit forensics, made mechanical (round 16): single-
     * thread cal ~flat vs the previous artifact while the parallel
@@ -89,13 +94,26 @@ object Bench {
     * not regression evidence — all demoted to unconfirmed. Previous
     * artifacts without par stamps (pre-16) never trigger it. */
   private[graft] def hostParallelShift(prevJson: String, curCal: Double,
-      curCalPar: Double): Boolean =
-    (calAvg(prevJson), calParAvg(prevJson)) match {
-      case (Some(c), Some(p)) if c > 0 && p > 0 &&
-          curCal > 0 && curCalPar > 0 =>
-        curCal / c < 1.15 && curCalPar / p > 1.25
+      curCalPar: Double, curCalSat: Double = -1.0): Boolean = {
+    val calFlat = calAvg(prevJson) match {
+      case Some(c) if c > 0 && curCal > 0 => curCal / c < 1.15
       case _ => false
     }
+    val parShift = calParAvg(prevJson) match {
+      case Some(p) if p > 0 && curCalPar > 0 => curCalPar / p > 1.25
+      case _ => false
+    }
+    // the SATURATION probe (all cores) sees the throttling mode the
+    // 8-thread probe provably missed in the round-16 measurement:
+    // wall 1.28x, cpu 1.10x, cal and cal_par both FLAT — only a
+    // full-width fixed-work run exposes reduced effective parallel
+    // width (frequency capping / hypervisor width throttling)
+    val satShift = calSatAvg(prevJson) match {
+      case Some(q) if q > 0 && curCalSat > 0 => curCalSat / q > 1.25
+      case _ => false
+    }
+    calFlat && (parShift || satShift)
+  }
 
   /** Entries regressed vs the previous artifact: name →
     * (wall, prevWall·calRatio, cpu, prevCpu·calRatio). Fires when the
@@ -216,6 +234,10 @@ object Bench {
     // stamp makes the (cal flat, cal_par inflated) signature
     // mechanical instead of forensic.
     val calParPre = JvmStamp.calibratePar()
+    // full-width saturation probe: every core runs the fixed loop —
+    // the only probe that sees width/frequency throttling under load
+    val calSatPre = JvmStamp.calibratePar(
+      Runtime.getRuntime.availableProcessors())
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
@@ -332,6 +354,8 @@ object Bench {
     val jvmEnd = JvmStamp.json()
     val calPost = JvmStamp.calibrate()
     val calParPost = JvmStamp.calibratePar()
+    val calSatPost = JvmStamp.calibratePar(
+      Runtime.getRuntime.availableProcessors())
     def r4(v: Double): String = BigDecimal(v)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val best = resampled.map { case (k, v) => k -> v.minBy(_._1) }
@@ -351,7 +375,8 @@ object Bench {
       s""""load_avg":{"ambient_premain":${arr(loadAmbient)},"pre_warmup":${arr(loadPre)},"start":${arr(loadStart)},"end":${arr(loadEnd)}}"""
     val jvmJson =
       s""""cal":{"pre":${r4(calPre)},"post":${r4(calPost)},""" +
-        s""""par_pre":${r4(calParPre)},"par_post":${r4(calParPost)}},""" +
+        s""""par_pre":${r4(calParPre)},"par_post":${r4(calParPost)},""" +
+        s""""sat_pre":${r4(calSatPre)},"sat_post":${r4(calSatPost)}},""" +
         s""""jvm":{"post_warmup":$jvmPostWarm,"end":$jvmEnd}"""
     // Tripwire: cal-normalized per-entry regression diff vs the
     // previous committed artifact (empty block = quiet rerun). Only
@@ -370,7 +395,8 @@ object Bench {
     // flat + cal_par inflated vs the previous artifact = host state —
     // every flag demoted, stamped host_parallel_shift for the reader
     val parShift = prevDetail.exists(pj => hostParallelShift(pj,
-      (calPre + calPost) / 2.0, (calParPre + calParPost) / 2.0))
+      (calPre + calPost) / 2.0, (calParPre + calParPost) / 2.0,
+      (calSatPre + calSatPost) / 2.0))
     val (warns, unconfirmed) =
       if (parShift) (Seq.empty, unconfirmed0 ++ warns0)
       else (warns0, unconfirmed0)

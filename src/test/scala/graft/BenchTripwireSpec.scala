@@ -134,6 +134,27 @@ class BenchTripwireSpec extends AnyFunSuite {
     assert(Bench.calParAvg(prev).isEmpty) // pre-16 artifact: no stamps
   }
 
+  // a round-16 artifact carrying the saturation stamp as well
+  private val prevSat =
+    """{"metric":"total","value":10.0,"unit":"sec","cpu_total":50.0,""" +
+      """"cal":{"pre":1.70,"post":1.74,"par_pre":1.80,"par_post":1.84,""" +
+      """"sat_pre":2.10,"sat_post":2.14},"sf":"/root/testdata/sf0.1",""" +
+      """"queries":{"q_heavy":0.43},"cpu":{"q_heavy":1.90}}"""
+
+  test("saturation-only throttling is caught by the full-width probe") {
+    assert(Bench.calSatAvg(prevSat).exists(c => math.abs(c - 2.12) < 1e-9))
+    // the round-16 measured mode: cal flat, 8-thread par flat, but the
+    // 32-thread saturation probe inflated — host width throttling
+    assert(Bench.hostParallelShift(prevSat,
+      curCal = 1.68, curCalPar = 1.85, curCalSat = 3.2))
+    // healthy box: nothing fires
+    assert(!Bench.hostParallelShift(prevSat,
+      curCal = 1.71, curCalPar = 1.83, curCalSat = 2.15))
+    // no sat stamp in prev (r16 par-only artifact): sat arm inert
+    assert(!Bench.hostParallelShift(prevPar,
+      curCal = 1.68, curCalPar = 1.85, curCalSat = 3.2))
+  }
+
   test("single-thread-flat + parallel-inflated = host shift, flags demoted") {
     // the r15 box: cal got FASTER (1.72 -> 1.55) while parallel
     // throughput halved (1.82 -> 3.9) — every entry inflates ~uniformly
