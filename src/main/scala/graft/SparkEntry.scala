@@ -1991,6 +1991,42 @@ object SparkEntry {
       Engine.canonical(s.read.parquet(s"$base/out")
         .select("doc_id", "lang", "source", "n_chars"))
     }),
+    // COLUMN-MAPPED streaming source (round 16): a table renamed
+    // mid-life (n_chars→chars, metadata-only) keeps serving as a
+    // streaming source — the file stream reads the PHYSICAL footer
+    // schema (which never changes across renames) and one Project
+    // restores the logical names; the consumer is drained twice
+    // across an append landing THROUGH the mapping, so exactly-once
+    // and the indirection are proven together. Twin = set algebra
+    // under the renamed column name: the mapping machinery must be
+    // invisible in the consumed rows.
+    "stream_mapped_source" -> prep((s, d) => {
+      val base = tmpDir("graft_cmsource")
+      val t = s"$base/table"
+      val docsDf = docs(s, d).select("doc_id", "lang", "source", "n_chars")
+      graft.ingest.TxLog.write(docsDf.where(col("doc_id") % 3 === 0)
+        .repartitionByRange(4, col("doc_id")), t, "overwrite")
+      graft.ingest.TxLog.renameColumn(t, "n_chars", "chars")
+      def drain(): Unit = {
+        val q = graft.ingest.TxLog.streamSource(s, t)
+          .where(col("chars") >= 100)
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain()
+      // an append THROUGH the mapping (stages under physical n_chars)
+      graft.ingest.TxLog.write(docsDf.where(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars").as("chars"))
+        .repartitionByRange(2, col("doc_id")), t, "append")
+      drain()
+      Engine.canonical(s.read.parquet(s"$base/out")
+        .select("doc_id", "lang", "source", "chars"))
+    }),
     // multi-hop pipeline (round 14, the bronze→silver medallion
     // shape): a TxLog table streams THROUGH a transform INTO another
     // TxLog table — streamSource's published tail on one end,
@@ -2755,6 +2791,7 @@ object SparkEntry {
     "txlog_multi_prune" -> ExtOracle.txlogMultiPrune,
     "txlog_expectations" -> ExtOracle.txlogExpectations,
     "stream_txlog_source" -> ExtOracle.streamTxlogSource,
+    "stream_mapped_source" -> ExtOracle.streamMappedSource,
     "stream_txlog_multihop" -> ExtOracle.streamTxlogMultihop,
     // same verdict contract as the batch writeExpect — stream chopping
     // must be invisible in the split

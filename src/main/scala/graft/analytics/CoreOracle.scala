@@ -764,6 +764,15 @@ SELECT doc_id, lang, source, n_chars FROM documents
 WHERE n_chars >= 100
 ${ord("doc_id")}""".trim
 
+  /** Twin of `stream_mapped_source`: the consumer of a RENAMED
+    * (column-mapped) stream-source table sees the logical name and
+    * exactly one copy of every qualifying row across two drains —
+    * the physical-name indirection is invisible. */
+  val streamMappedSource: String = s"""
+SELECT doc_id, lang, source, n_chars AS chars FROM documents
+WHERE n_chars >= 100 AND doc_id % 3 IN (0, 1)
+${ord("doc_id")}""".trim
+
   /** Twin of `stream_txlog_multihop`: the bronze→silver hop run twice
     * over a growing bronze table — the silver snapshot must be exactly
     * one transformed copy of every qualifying row. */
