@@ -79,7 +79,7 @@ object ScaleVerify {
     // dv commits instead of rewrites — same final table), and the
     // SQL DDL lifecycle (CTAS + evolve + schema-evolution MERGE)
     "txlog_catalog_masked_read", "txlog_catalog_rowlevel_mor",
-    "txlog_catalog_ctas")
+    "txlog_catalog_ctas", "stream_mapped_source")
 
   def main(args: Array[String]): Unit = {
     val d = "/root/testdata/sf0.1"

@@ -320,6 +320,35 @@ class RowLevelSqlSpec extends SparkSpec {
     assert(ins == Seq(10L, 11L, 13L, 14L), s"got inserts $ins")
   }
 
+
+  test("merge-on-read SQL DML composes with column mapping") {
+    val t = tmp("rl_mor_cm")
+    seed(t)
+    TxLog.renameColumn(t, "v", "val") // physical stays 'v'
+    TxLog.setTableProperty(t, TxLog.DmlModeProp, TxLog.DmlModeMor)
+    val files0 = TxLog.liveFiles(t)
+    spark.sql(s"UPDATE graft.`$t` SET val = 0 WHERE id BETWEEN 10 AND 14")
+    spark.sql(s"""MERGE INTO graft.`$t` tgt
+      USING (SELECT 3L AS id, 0L AS grp, 333L AS val
+             UNION ALL SELECT 3000L, 0L, 444L) src
+      ON tgt.id = src.id
+      WHEN MATCHED THEN UPDATE SET val = src.val
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(TxLog.liveFiles(t).toSet.intersect(files0.toSet) == files0.toSet,
+      "MoR on a mapped table must not rewrite files")
+    assert(TxLog.commits(t).count(_.mode == "dv") == 2)
+    // the update's re-landed rows staged under the PHYSICAL name
+    val newest = TxLog.commits(t).last.adds.head
+    assert(spark.read.parquet(s"$t/$newest").columns.toSeq ==
+      Seq("id", "grp", "v"),
+      "MoR staged data must carry physical footer names")
+    val got = spark.sql(s"SELECT id, val FROM graft.`$t`").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((10L to 14L).forall(got(_) == 0L))
+    assert(got(3L) == 333L && got(3000L) == 444L && got(20L) == 200L)
+    assert(got.size == 101)
+  }
+
   test("merge-on-read DML conflicts loudly with a racing mask") {
     val t = tmp("rl_mor_race")
     seed(t)
