@@ -214,6 +214,10 @@ private[graftx] class GraftTxTable(path: String, asOf: Option[Long])
   override def name(): String =
     s"graft.`$path`" + asOf.fold("")(v => s" VERSION AS OF $v")
 
+  /** `SHOW TBLPROPERTIES graft.`t`` serves the property sidecar. */
+  override def properties(): util.Map[String, String] =
+    TxLog.tableProps(path).asJava
+
   // the LOG-recorded schema, nullability relaxed exactly as
   // TxLog.snapshot reads it (evolution null-fills old files)
   override def schema(): StructType =

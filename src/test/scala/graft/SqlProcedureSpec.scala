@@ -165,6 +165,10 @@ class SqlProcedureSpec extends SparkSpec {
     assert(d.getAs[String]("dml_mode") == "merge-on-read")
     assert(d.getSeq[String](d.fieldIndex("properties")).toSeq ==
       Seq("write.dml.mode=merge-on-read"))
+    // SHOW TBLPROPERTIES serves the sidecar through the table
+    val shown = spark.sql(s"SHOW TBLPROPERTIES graft.`$t`").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("write.dml.mode").contains("merge-on-read"))
     assert(spark.sql(s"""CALL graft.system.unset_table_property(
       '$t', 'write.dml.mode')""").head().getLong(0) == 0L)
     assert(!TxLog.isMorDml(t))
