@@ -162,8 +162,7 @@ object SparkEntry {
         k != "txlog_generated" && // builds a table per call: IO class
         k != "txlog_bloom_prune" && // builds a table per call: IO class
         k != "txlog_optimize_range" && // builds a table per call: IO class
-        k != "medallion_pin_q1" && // full streaming medallion per call: IO class
-        !k.startsWith("medallion_pin_q") && // shared medallion: IO class
+        !k.startsWith("medallion_pin_q") && // shared streaming medallion: IO class
         // same results as ngram_jaccard via the hot-key-free candidate
         // path; its freq-agg + prefix overhead only pays off on corpora
         // with skewed shingle frequencies — redundant as a throughput
@@ -2092,9 +2091,11 @@ object SparkEntry {
     // gated elsewhere; this entry proves the COMPOSITION — its twin is
     // pin_q1's own oracle, so the whole streaming+table machinery must
     // be invisible in the analytics result.
-    // the flagship medallion entry still exercises the SQL-surface
-    // registerView hop q1 historically used; q2-q9 read the shared
-    // cached snapshots directly (see medallionTables)
+    // the flagship medallion entry keeps a temp-view + SQL-name hop
+    // in front of q1 (the registerView-equivalent surface; the
+    // snapshot-backed registerView path itself is gated by
+    // txlog_sql_snapshot); q2-q9 read the shared cached snapshots
+    // directly (see medallionTables)
     "medallion_pin_q1" -> prep((s, d) => {
       val (pin, geo, _) = medallionTables(s, d)
       pin.createOrReplaceTempView("medallion_pin")

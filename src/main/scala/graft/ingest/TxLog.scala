@@ -859,31 +859,36 @@ object TxLog {
         }.toMap
     } catch { case _: Exception => Map.empty }
 
+  // property mutations are read-modify-write over the whole sidecar:
+  // serialized in-JVM (the one-driver common case) so two concurrent
+  // procedure calls can't last-writer-wins each other's keys; the
+  // atomic tmp+move keeps cross-process readers consistent (a
+  // cross-process mutation race keeps the lost-update caveat — same
+  // posture as Delta's table-property updates outside a transaction)
+  private val propsLock = new Object
+
+  private def writeProps(table: String,
+      update: Map[String, String] => Map[String, String]): Unit =
+    propsLock.synchronized {
+      Files.createDirectories(logDir(table))
+      val tmp = logDir(table).resolve(s".pr-${java.util.UUID.randomUUID()}")
+      Files.write(tmp, update(tableProps(table)).toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${hexEnc(k)}|${hexEnc(v)}" }
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+      Files.move(tmp, propsFile(table),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+
   /** Set (or overwrite) one property; atomic sidecar swap. */
   def setTableProperty(table: String, key: String, value: String): Unit = {
     require(key.nonEmpty, "property key must be non-empty")
-    Files.createDirectories(logDir(table))
-    val tmp = logDir(table).resolve(s".pr-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, (tableProps(table) + (key -> value)).toSeq.sortBy(_._1)
-      .map { case (k, v) => s"${hexEnc(k)}|${hexEnc(v)}" }
-      .mkString("", "\n", "\n").getBytes("UTF-8"))
-    Files.move(tmp, propsFile(table),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    ()
+    writeProps(table, _ + (key -> value))
   }
 
   /** Remove one property (no-op if absent). */
-  def unsetTableProperty(table: String, key: String): Unit = {
-    val rest = tableProps(table) - key
-    Files.createDirectories(logDir(table))
-    val tmp = logDir(table).resolve(s".pr-${java.util.UUID.randomUUID()}")
-    Files.write(tmp, rest.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"${hexEnc(k)}|${hexEnc(v)}" }
-      .mkString("", "\n", "\n").getBytes("UTF-8"))
-    Files.move(tmp, propsFile(table),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    ()
-  }
+  def unsetTableProperty(table: String, key: String): Unit =
+    writeProps(table, _ - key)
 
   /** The `write.dml.mode` property key and its merge-on-read value —
     * Delta's `enableDeletionVectors` analogue: when set, SQL
@@ -1149,7 +1154,39 @@ object TxLog {
     require(ddl.nonEmpty, "CREATE TABLE needs at least one column")
     // validate the DDL parses before the commit records it forever
     org.apache.spark.sql.types.StructType.fromDDL(ddl)
-    writeCommit(table, "overwrite", -1L, Nil, ddl)
+    // existence re-checked per claim attempt: a lost CREATE race must
+    // fail loudly, never land an empty overwrite over the winner's
+    // table (which would silently erase its rows from the live set)
+    writeCommit(table, "overwrite", -1L, Nil, ddl,
+      reguard = () => require(latestVersion(table).isEmpty,
+        s"$table already exists (concurrent CREATE TABLE won)"))
+  }
+
+  /** DROP TABLE: delete the table's ENGINE-OWNED artifacts — the
+    * commit log (with every registry sidecar inside it), the dv /
+    * bloom / published / staging directories, and every data file any
+    * commit ever referenced. Refuses a directory WITHOUT a commit log
+    * (this must never become an arbitrary-path delete), leaves
+    * foreign files alone, and removes the directory itself only if
+    * empty afterwards. Also the failure-cleanup hook Spark's
+    * non-atomic CTAS calls — without it a failed CTAS bricks the
+    * table name behind its empty v0 commit. */
+  def dropTable(table: String): Unit = {
+    require(latestVersion(table).nonEmpty,
+      s"$table is not a table (no commit log) — refusing to delete")
+    def rmTree(p: Path): Unit =
+      if (Files.isDirectory(p)) {
+        val w = Files.walk(p)
+        val all = try w.toArray.map(_.asInstanceOf[Path]) finally w.close()
+        all.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+      }
+    commits(table).flatMap(_.adds).distinct
+      .foreach(f => Files.deleteIfExists(Paths.get(table, f)))
+    Seq("_txlog", "_dv", "_bloomidx", "_published", "_staging")
+      .foreach(d => rmTree(Paths.get(table, d)))
+    try { Files.delete(Paths.get(table)); () }
+    catch { case _: java.nio.file.DirectoryNotEmptyException => ()
+            case _: java.nio.file.NoSuchFileException => () }
   }
 
   /** ALTER TABLE ADD COLUMN as one metadata-only commit: the widened
@@ -1169,11 +1206,14 @@ object TxLog {
     val base = colMapAt(table)
     val (cm0, bn0) = base
     val cm1 = cm0 ++ freshAssignments(Seq(name), cm0, bn0)
+    val guard = schemaUnmovedGuard(table, tbl)
     if (cm1 == cm0)
-      writeCommit(table, "append", -1L, Nil, ddl, colmapBase = Some(base))
+      writeCommit(table, "append", -1L, Nil, ddl, colmapBase = Some(base),
+        reguard = guard)
     else
       writeCommit(table, "append", -1L, Nil, ddl,
-        colmapOverride = Some((cm1, bn0)), colmapBase = Some(base))
+        colmapOverride = Some((cm1, bn0)), colmapBase = Some(base),
+        reguard = guard)
   }
 
   /** RENAME COLUMN as one metadata-only commit: O(1), no data moved —
@@ -1726,14 +1766,23 @@ object TxLog {
     }
     // bloom tier: point predicates on indexed columns drop files the
     // sidecar DEFINITELY excludes — the pruning dimension min/max
-    // stats cannot give on a non-clustered high-cardinality column
-    val keptB = preds.foldLeft(kept) { (ks, p) =>
-      p match {
-        case Pred.Eq(c, v) => bloomPrune(table, c, Seq(v), ks)
-        case Pred.In(c, vs) => bloomPrune(table, c, vs, ks)
-        case _ => ks
+    // stats cannot give on a non-clustered high-cardinality column.
+    // CURRENT-version reads only: the registry, sidecars and declared
+    // column type are present-day state (an index dropped/rebuilt
+    // after a column drop/re-add describes the FRESH physical column),
+    // so consulting them for a time-travel read could prune files the
+    // pinned version's rows actually live in — skip the tier, keep
+    // the stats-tier result (pruning is an optimization, never a
+    // filter).
+    val keptB =
+      if (asOf.nonEmpty) kept
+      else preds.foldLeft(kept) { (ks, p) =>
+        p match {
+          case Pred.Eq(c, v) => bloomPrune(table, c, Seq(v), ks)
+          case Pred.In(c, vs) => bloomPrune(table, c, vs, ks)
+          case _ => ks
+        }
       }
-    }
     (keptB, live.size)
   }
 
@@ -1806,6 +1855,21 @@ object TxLog {
       files: Seq[String]): Map[String, Option[String]] =
     files.map(f => f -> mapping.get(f).map(_._1)).toMap
 
+  /** Per-claim-attempt guard for commits that RE-RECORD a previously
+    * read schema (rewrite/dv/metadata commits): a concurrent schema
+    * change landing after the read would be silently reverted by the
+    * stale schema= line — the same data-loss class the append path's
+    * reguard closes. Shape-compared (names + types), like every other
+    * schema guard. */
+  private def schemaUnmovedGuard(table: String,
+      read: String): () => Unit = () => {
+    val now = currentSchema(table)
+    require((read.isEmpty && now.isEmpty) ||
+      (read.nonEmpty && now.nonEmpty && ddlShape(now) == ddlShape(read)),
+      s"concurrent schema change: $table's schema moved under this " +
+        s"commit\n  planned: $read\n  now: $now")
+  }
+
   /** Rewrite `removes` (already-identified candidate files) into
     * `transform`-ed replacements as one atomic commit. The transform
     * must preserve the table's column names and types. The source read
@@ -1818,6 +1882,7 @@ object TxLog {
       s"$table serves as a streaming source (append-only): row-level " +
         s"delete/update are not allowed")
     val mapping = dvAt(table)
+    val base = colMapAt(table)
     val src = readVisible(spark, table, removes)
     val out = transform(src)
     val ddl = out.schema.toDDL.replace("\n", " ")
@@ -1826,7 +1891,8 @@ object TxLog {
       s"rewrite must preserve the table schema:\n  table: $tbl\n  rewrite: $ddl")
     val (adds, stats) = stageWithStats(out, table)
     writeCommit(table, "rewrite", -1L, adds, tbl, stats, removes,
-      dvBase = dvBaseFor(mapping, removes))
+      dvBase = dvBaseFor(mapping, removes),
+      colmapBase = Some(base), reguard = schemaUnmovedGuard(table, tbl))
   }
 
   /** The COMMIT half of an external copy-on-write writer — the DSv2
@@ -1858,9 +1924,11 @@ object TxLog {
       s"rewrite must preserve the table schema:\n  table: $tbl\n  " +
         s"rewrite: $ddl")
     val mapping = plannedDv.getOrElse(dvAt(table))
+    val base = colMapAt(table)
     val (adds, stats) = promoteStaged(spark, table, staged, ddl)
     writeCommit(table, "rewrite", -1L, adds, tbl, stats, removes,
-      dvBase = dvBaseFor(mapping, removes))
+      dvBase = dvBaseFor(mapping, removes),
+      colmapBase = Some(base), reguard = schemaUnmovedGuard(table, tbl))
   }
 
   /** Promote externally staged parquet into the table: validates
@@ -1942,11 +2010,14 @@ object TxLog {
     if (stagedDv.isEmpty && stagedData.isEmpty)
       return latestVersion(table).getOrElse(-1L)
     val schemaLine = if (tbl.nonEmpty) tbl else ddl
+    val base = colMapAt(table)
+    val guard = schemaUnmovedGuard(table, tbl)
     val (adds, stats) = promoteStaged(spark, table, stagedData, schemaLine)
     if (stagedDv.isEmpty)
       // insert-only statement (e.g. MERGE with only NOT MATCHED):
       // a plain append commit, no mask touched
-      return writeCommit(table, "append", -1L, adds, schemaLine, stats)
+      return writeCommit(table, "append", -1L, adds, schemaLine, stats,
+        colmapBase = Some(base), reguard = guard)
     val newMask = spark.read
       .schema("file STRING, row_index BIGINT")
       .parquet(stagedDv.map(_.toAbsolutePath.toString): _*)
@@ -1963,7 +2034,8 @@ object TxLog {
       newMask.where(col("file").isNotNull))
     writeCommit(table, "dv", -1L, adds, schemaLine, stats,
       dvs = cards.map { case (f, n) => f -> (dvSet, n) },
-      dvBase = dvBaseFor(plannedDv, hit))
+      dvBase = dvBaseFor(plannedDv, hit),
+      colmapBase = Some(base), reguard = guard)
   }
 
   /** Files in `searchSpace` that hold at least one VISIBLE row
@@ -2272,6 +2344,7 @@ object TxLog {
   private def stageDvSet(spark: SparkSession, table: String,
       mapping: Map[String, (String, Long)], hit: Seq[String],
       newMask: DataFrame): (String, Map[String, Long]) = {
+    import org.apache.spark.sql.functions.col
     val full = dvRows(spark, table, mapping, hit) match {
       case None => newMask
       case Some(old) => old.unionByName(newMask)
@@ -2284,11 +2357,14 @@ object TxLog {
     // columnar) dataset back for the per-file log-line cardinalities —
     // recomputing the upstream scan+join for the count agg would
     // double the op's cost.
-    // coalesce, don't repartition: masks are tiny next to data (the
-    // dedup shuffle would otherwise leave ~32 mostly-empty part files
-    // per set), and 8 partitions keep even a multi-M-row mask write
-    // parallel enough
-    val dedup = full.dropDuplicates("file", "row_index").coalesce(8)
+    // range-cluster the set on `file` (8 parts keep a multi-M-row
+    // mask write parallel enough): each masked FILE then lands in 1-2
+    // parts whose footer `file` ranges the catalog scan prunes by, so
+    // a one-file read task loads ~its own mask instead of the whole
+    // commit's. The extra shuffle is of mask rows (tiny next to data).
+    val dedup = full.dropDuplicates("file", "row_index")
+      .repartitionByRange(8, col("file"), col("row_index"))
+      .sortWithinPartitions("file", "row_index")
     val set = java.util.UUID.randomUUID().toString
     val dir = dvDir(table).resolve(set).toString
     dedup.write.parquet(dir)
@@ -2803,15 +2879,48 @@ object TxLog {
   private def dvDir(table: String): Path = Paths.get(table, "_dv")
 
   /** The parquet part files of one dv set — (absolute path, length,
-    * mtime) per part. Used by the DSv2 catalog scan to load a file's
-    * mask ON THE EXECUTOR (one partition = one table file; the
-    * reader skips masked row positions with a sorted cursor). */
-  def dvSetParts(table: String, set: String): Seq[(String, Long, Long)] = {
+    * mtime, fileMin, fileMax) per part, where fileMin/fileMax are the
+    * part's `file`-column footer range (null when footer stats are
+    * unavailable — treated as covering everything). Used by the DSv2
+    * catalog scan to hand each one-file task ONLY the parts that can
+    * hold its mask rows: dv sets are range-clustered on `file` at
+    * write (stageDvSet), so a file maps to 1-2 parts instead of the
+    * whole set — per-task mask-read cost stays ∝ the FILE's mask, not
+    * the commit's. */
+  def dvSetParts(table: String,
+      set: String): Seq[(String, Long, Long, String, String)] = {
     val dir = dvDir(table).resolve(set)
     if (!Files.isDirectory(dir)) Nil
     else ls(dir).filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(p => (p.toAbsolutePath.toString, Files.size(p),
-        Files.getLastModifiedTime(p).toMillis))
+      .map { p =>
+        val (mn, mx) =
+          try {
+            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(p.toString),
+                new org.apache.hadoop.conf.Configuration()))
+            try {
+              import scala.jdk.CollectionConverters._
+              val blocks = reader.getFooter.getBlocks.asScala
+              val stats = blocks.flatMap(b => b.getColumns.asScala
+                .find(_.getPath.toDotString == "file").map(_.getStatistics))
+              if (stats.isEmpty || stats.exists(st => st == null ||
+                  !st.hasNonNullValue))
+                (null: String, null: String)
+              else {
+                val mins = stats.map(_.genericGetMin
+                  .asInstanceOf[org.apache.parquet.io.api.Binary]
+                  .toStringUsingUTF8)
+                val maxs = stats.map(_.genericGetMax
+                  .asInstanceOf[org.apache.parquet.io.api.Binary]
+                  .toStringUsingUTF8)
+                (mins.min, maxs.max)
+              }
+            } finally reader.close()
+          } catch { case _: Exception => (null: String, null: String) }
+        (p.toAbsolutePath.toString, Files.size(p),
+          Files.getLastModifiedTime(p).toMillis, mn, mx)
+      }
   }
 
   /** The dv rows masking `files` under `mapping`, as one DataFrame

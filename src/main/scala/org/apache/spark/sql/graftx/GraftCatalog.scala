@@ -154,6 +154,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           "ADD COLUMN supports top-level columns only")
+        // refuse what the additive evolve cannot honor, loudly: a
+        // position (columns append at the end) and NOT NULL (every
+        // pre-evolution file reads the new column as NULL)
+        require(a.position() == null,
+          "ADD COLUMN ... FIRST/AFTER is not supported: additive " +
+            "evolution appends at the end of the schema")
+        require(a.isNullable,
+          "ADD COLUMN ... NOT NULL is not supported: rows written " +
+            "before the evolution read the new column as NULL")
         TxLog.addColumn(t, a.fieldNames()(0), a.dataType().sql)
       case r: TableChange.RenameColumn =>
         require(r.fieldNames().length == 1,
@@ -174,9 +183,16 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     new GraftTxTable(t, None)
   }
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "DROP TABLE is not supported; delete the table directory")
+  /** `DROP TABLE graft.`t`` — deletes the table's engine-owned
+    * artifacts (log, sidecars, referenced data files) and nothing
+    * else; also Spark's failure-cleanup hook for non-atomic CTAS
+    * (without it a failed CTAS would brick the name behind its empty
+    * v0 commit). Returns false for a nonexistent table. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val t = tablePath(ident)
+    if (TxLog.latestVersion(t).isEmpty) false
+    else { TxLog.dropTable(t); true }
+  }
 
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit =

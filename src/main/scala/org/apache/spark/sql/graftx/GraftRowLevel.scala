@@ -216,13 +216,33 @@ private[graftx] class GraftFileScan(path: String, files0: Seq[String],
     op.foreach(_.groupScanIs(this))
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    // dv-set parts listed (with footer `file` ranges) ONCE per set,
+    // then pruned per table file: sets are range-clustered on `file`
+    // at write, so each one-file task gets 1-2 parts, not the whole
+    // commit's mask (per-task mask read stays ∝ the file's mask)
+    val partsOf = scala.collection.mutable.Map
+      .empty[String, Seq[(String, Long, Long, String, String)]]
     files.map { f =>
       val p = Paths.get(path, f)
+      val dvParts = dv.get(f).map { case (set, _) =>
+        val all = partsOf.getOrElseUpdate(set, TxLog.dvSetParts(path, set))
+        val pruned = all.collect {
+          case (ap, len, mt, mn, mx)
+              if (mn == null || mx == null) ||
+                (mn <= f && f <= mx) =>
+            (ap, len, mt)
+        }
+        // the mapping says this set masks f, so SOME part must hold
+        // its rows — an empty pruned list means untrustworthy stats:
+        // fall back to every part (a masked row must never be served)
+        if (pruned.nonEmpty) pruned
+        else all.map { case (ap, len, mt, _, _) => (ap, len, mt) }
+      }.getOrElse(Nil)
       GraftFilePartition(f, p.toAbsolutePath.toString, Files.size(p),
-        Files.getLastModifiedTime(p).toMillis,
-        dv.get(f).map(s => TxLog.dvSetParts(path, s._1)).getOrElse(Nil))
+        Files.getLastModifiedTime(p).toMillis, dvParts)
     }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = SparkSession.active

@@ -194,4 +194,21 @@ class BloomIndexSpec extends SparkSpec {
       s"CALL graft.system.drop_bloom_index('$t', 'id')")
       .head().getLong(0) == 0L)
   }
+
+  test("the bloom tier never prunes a time-travel read") {
+    val t = tmp("bf_asof")
+    seed(t)                                     // v0
+    TxLog.addBloomIndex(spark, t, "id", expectedItems = 1000L)
+    // current-version read: the index prunes
+    assert(TxLog.pruneFilesWhere(t,
+      Seq(TxLog.Pred.Eq("id", 42L)))._1.size < 8)
+    // time-travel read of the SAME content: the registry, sidecars
+    // and declared type are present-day state — the tier must stand
+    // down (stats only), never consult them for a pinned version
+    assert(TxLog.pruneFilesWhere(t,
+      Seq(TxLog.Pred.Eq("id", 42L)), asOf = Some(0L))._1.size == 8,
+      "bloom pruning must not engage on asOf reads")
+    assert(TxLog.snapshotWhere(spark, t,
+      Seq(TxLog.Pred.Eq("id", 42L)), asOf = Some(0L)).count() == 1)
+  }
 }

@@ -216,4 +216,93 @@ class SqlCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("PARTITIONED BY") ||
       e.getMessage.contains("zorder"))
   }
+
+  test("DROP TABLE deletes engine artifacts; failed CTAS cleans itself up") {
+    val base = tmp("cat_drop_ddl")
+    val t = s"$base/t"
+    spark.sql(s"CREATE TABLE graft.`$t` (id BIGINT)")
+    spark.sql(s"INSERT INTO graft.`$t` VALUES (1), (2)")
+    spark.sql(s"DROP TABLE graft.`$t`")
+    assert(TxLog.latestVersion(t).isEmpty, "the log must be gone")
+    // the name is reusable
+    spark.sql(s"CREATE TABLE graft.`$t` (id BIGINT, v BIGINT)")
+    assert(spark.sql(s"SELECT * FROM graft.`$t`").columns.length == 2)
+    spark.sql(s"DROP TABLE graft.`$t`")
+    // a failed CTAS must not brick the name: Spark's cleanup path
+    // drops the empty v0 table, so the retry succeeds
+    val c = s"$base/ctas_fail"
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$c` AS SELECT raise_error('boom') AS x")
+    }
+    assert(TxLog.latestVersion(c).isEmpty,
+      "a failed CTAS must leave no table behind")
+    spark.sql(s"CREATE TABLE graft.`$c` AS SELECT 1L AS x")
+    assert(spark.sql(s"SELECT * FROM graft.`$c`").count() == 1)
+    // refusal posture: a directory without a commit log is never
+    // deleted through this path
+    val e = intercept[IllegalArgumentException] {
+      TxLog.dropTable(tmp("cat_not_a_table"))
+    }
+    assert(e.getMessage.contains("no commit log"))
+  }
+
+  test("ADD COLUMN refuses positions and NOT NULL loudly") {
+    val base = tmp("cat_addcol_refuse")
+    val t = s"$base/t"
+    spark.sql(s"CREATE TABLE graft.`$t` (id BIGINT, v BIGINT)")
+    val e1 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMN x BIGINT FIRST")
+    }
+    assert(e1.getMessage.contains("FIRST/AFTER"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMN x BIGINT NOT NULL")
+    }
+    assert(e2.getMessage.contains("NOT NULL"))
+    spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMN x BIGINT")
+    assert(TxLog.schemaAt(t).contains("x"))
+  }
+
+  test("concurrent DDL never loses a column or a table silently") {
+    // two ALTER ADDs racing from a shared base: either both columns
+    // land, or the loser fails loudly — never a silently dropped
+    // column (the schema-unmoved reguard, verified as a property)
+    val base = tmp("cat_ddl_race")
+    val t = s"$base/t"
+    spark.sql(s"CREATE TABLE graft.`$t` (id BIGINT)")
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = Seq("c1", "c2").map { c =>
+      val th = new Thread(() => {
+        barrier.await()
+        try TxLog.addColumn(t, c, "BIGINT")
+        catch { case e: Throwable => errs.add(e); () }
+      })
+      th.start(); th
+    }
+    ts.foreach(_.join())
+    val shape = TxLog.schemaAt(t)
+    val have = Seq("c1", "c2").count(shape.contains)
+    assert(have == 2 - errs.size,
+      s"every successful ADD must be in the schema: $shape, errs=${errs.size}")
+    errs.forEach(e => assert(
+      e.getMessage.contains("concurrent schema change") ||
+        e.getMessage.contains("append schema mismatch"), e.getMessage))
+    // racing CREATEs: one wins, the loser errors — and the winner's
+    // rows survive (no empty overwrite lands on top)
+    val t2 = s"$base/t2"
+    val barrier2 = new java.util.concurrent.CyclicBarrier(2)
+    val errs2 = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val mk = (0 until 2).map { _ =>
+      val th = new Thread(() => {
+        barrier2.await()
+        try TxLog.createTable(t2, "id BIGINT")
+        catch { case e: Throwable => errs2.add(e); () }
+      })
+      th.start(); th
+    }
+    mk.foreach(_.join())
+    assert(errs2.size == 1,
+      s"exactly one CREATE must win, got ${errs2.size} errors")
+    assert(TxLog.latestVersion(t2).contains(0L))
+  }
 }
