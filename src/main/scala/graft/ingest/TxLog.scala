@@ -1194,18 +1194,37 @@ object TxLog {
     * new column as NULL (the additive-evolve contract — no footer is
     * touched). A BURNED logical name (dropped/renamed away earlier)
     * re-binds a fresh physical name, so old bytes never resurrect. */
-  def addColumn(table: String, name: String, sqlType: String): Long = {
-    requireSimpleName(name)
+  def addColumn(table: String, name: String, sqlType: String): Long =
+    addColumns(table, Seq((name, sqlType)))
+
+  /** ALTER TABLE ADD COLUMNS — every column of the statement lands in
+    * ONE metadata-only commit, so a failure adds nothing (Spark
+    * presents `ADD COLUMNS (a INT, b INT)` as one operation; applying
+    * them as separate commits would leave the table half-altered on a
+    * mid-statement failure). Duplicate checks are CASE-INSENSITIVE,
+    * matching Spark's default resolution — `Note` landing next to
+    * `note` would make every later `SELECT note` fail with an
+    * ambiguous-reference analysis error. */
+  def addColumns(table: String, cols: Seq[(String, String)]): Long = {
+    require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
+    cols.foreach { case (n, _) => requireSimpleName(n) }
     val tbl = currentSchema(table)
     require(tbl.nonEmpty, s"$table has no recorded schema to alter")
-    // parse the type through a one-column DDL (rejects junk loudly)
-    org.apache.spark.sql.types.StructType.fromDDL(s"$name $sqlType")
-    require(!ddlShape(tbl).exists(_._1 == name),
-      s"column $name already exists in $table")
-    val ddl = s"$tbl, $name $sqlType"
+    // parse each type through a one-column DDL (rejects junk loudly)
+    cols.foreach { case (n, t) =>
+      org.apache.spark.sql.types.StructType.fromDDL(s"$n $t") }
+    val existing = ddlShape(tbl).map(_._1)
+    cols.foreach { case (n, _) =>
+      require(!existing.exists(_.equalsIgnoreCase(n)),
+        s"column $n already exists in $table") }
+    cols.map(_._1).combinations(2).foreach { pair =>
+      require(!pair.head.equalsIgnoreCase(pair(1)),
+        s"ADD COLUMNS names collide: ${pair.head} / ${pair(1)}") }
+    val ddl =
+      (Seq(tbl) ++ cols.map { case (n, t) => s"$n $t" }).mkString(", ")
     val base = colMapAt(table)
     val (cm0, bn0) = base
-    val cm1 = cm0 ++ freshAssignments(Seq(name), cm0, bn0)
+    val cm1 = cm0 ++ freshAssignments(cols.map(_._1), cm0, bn0)
     val guard = schemaUnmovedGuard(table, tbl)
     if (cm1 == cm0)
       writeCommit(table, "append", -1L, Nil, ddl, colmapBase = Some(base),
@@ -1228,7 +1247,11 @@ object TxLog {
     val st = org.apache.spark.sql.types.StructType
       .fromDDL(schemaAt(table))
     require(st.fieldNames.contains(from), s"no column $from in $table")
-    require(!st.fieldNames.contains(to),
+    require(to != from, s"RENAME COLUMN $from TO $to is a no-op")
+    // case-insensitive (Spark's default resolution), EXCEPT the
+    // renamed column itself — a pure case change (note → Note) is a
+    // legitimate metadata-only rename
+    require(!st.fieldNames.exists(n => n != from && n.equalsIgnoreCase(to)),
       s"column $to already exists in $table")
     val base @ (cm, bn) = colMapAt(table)
     val p = physicalOf(from, cm)

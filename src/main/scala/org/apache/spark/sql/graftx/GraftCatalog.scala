@@ -133,23 +133,37 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       "graft tables do not support PARTITIONED BY — cluster with " +
         "CALL graft.system.zorder / optimize instead")
     val t = tablePath(ident)
+    // LOCATION/EXTERNAL would be silently wrong to accept: a graft
+    // table LIVES at its identifier path. Refuse loudly (the catalog's
+    // refuse-don't-half-apply posture) instead of landing the table
+    // at the identifier path with the clause ignored.
+    require(!properties.containsKey("location") &&
+        !properties.containsKey("external"),
+      "CREATE TABLE ... LOCATION/EXTERNAL is not supported: a graft " +
+        "table lives at its identifier path — name it graft.`/the/dir`")
     TxLog.createTable(t, schema.toDDL.replace("\n", " "))
     properties.asScala.foreach { case (k, v) =>
       // Spark stuffs reserved entries (owner, provider) into the map;
       // keep only user-addressable keys
-      if (!k.startsWith("option.") && k != "owner" && k != "provider" &&
-        k != "location" && k != "external")
+      if (!k.startsWith("option.") && k != "owner" && k != "provider")
         TxLog.setTableProperty(t, k, v)
     }
     new GraftTxTable(t, None)
   }
 
-  /** `ALTER TABLE graft.`t` ...`: ADD COLUMN (metadata-only additive
-    * evolve), RENAME/DROP COLUMN (column-mapping commits), SET/UNSET
-    * TBLPROPERTIES. Anything else is refused loudly. */
+  /** `ALTER TABLE graft.`t` ...`: ADD COLUMNS (metadata-only additive
+    * evolve — every column of the statement in ONE commit, all-or-
+    * nothing), RENAME/DROP COLUMN (column-mapping commits), SET/UNSET
+    * TBLPROPERTIES. Anything else is refused loudly. Every change is
+    * VALIDATED before the first one applies, so a statement that will
+    * be refused refuses whole; the rare mixed statement (Spark's SQL
+    * grammar sends one change kind per ALTER, but the API allows
+    * mixes) applies non-add changes as separate commits — each commit
+    * is individually atomic. */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val t = tablePath(ident)
+    // pure validation first — nothing applied yet
     changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
@@ -163,14 +177,29 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         require(a.isNullable,
           "ADD COLUMN ... NOT NULL is not supported: rows written " +
             "before the evolution read the new column as NULL")
-        TxLog.addColumn(t, a.fieldNames()(0), a.dataType().sql)
       case r: TableChange.RenameColumn =>
         require(r.fieldNames().length == 1,
           "RENAME COLUMN supports top-level columns only")
-        TxLog.renameColumn(t, r.fieldNames()(0), r.newName())
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames().length == 1,
           "DROP COLUMN supports top-level columns only")
+      case _: TableChange.SetProperty => ()
+      case _: TableChange.RemoveProperty => ()
+      case other =>
+        throw new UnsupportedOperationException(
+          s"unsupported ALTER TABLE change: $other")
+    }
+    // ADD COLUMNS (a INT, b INT) arrives as N AddColumn changes but is
+    // ONE statement: land all of them in one commit (r16 ADVICE)
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    if (adds.nonEmpty)
+      TxLog.addColumns(t,
+        adds.map(a => (a.fieldNames()(0), a.dataType().sql)).toSeq)
+    changes.foreach {
+      case _: TableChange.AddColumn => () // landed above
+      case r: TableChange.RenameColumn =>
+        TxLog.renameColumn(t, r.fieldNames()(0), r.newName())
+      case d: TableChange.DeleteColumn =>
         TxLog.dropColumn(t, d.fieldNames()(0))
       case p: TableChange.SetProperty =>
         TxLog.setTableProperty(t, p.property(), p.value())
@@ -209,30 +238,47 @@ private[graftx] class GraftTxTable(path: String, asOf: Option[Long])
     with SupportsDeleteV2 with SupportsMetadataColumns
     with SupportsRowLevelOperations {
 
-  // pinned at load: one SQL statement = one consistent snapshot
-  private val pinnedFiles: Seq[String] = TxLog.liveFiles(path, asOf)
-  private val pinnedDdl: String = TxLog.schemaAt(path, asOf)
+  // pinned at load: one SQL statement = one consistent snapshot.
+  // Resolve ONE version first and read files/schema/dv/mapping all AS
+  // OF that version (r16 ADVICE): they are four separate log replays,
+  // and a rewrite landing between a current-state liveFiles and a
+  // current-state dvAt would leave a tombstoned file in the pin with
+  // its mask gone — dv-deleted rows served back to the query.
+  private val pinVersion: Option[Long] =
+    asOf.orElse(TxLog.latestVersion(path))
+  private val pinnedFiles: Seq[String] = TxLog.liveFiles(path, pinVersion)
+  private val pinnedDdl: String = TxLog.schemaAt(path, pinVersion)
   // deletion-vector masks pinned WITH the snapshot: masked files
   // route through GraftFileScan, whose one-file-per-task readers skip
   // masked row positions executor-side (mask bytes never leave the
   // task) — SQL serves merge-on-read tables directly, no OPTIMIZE
   // materialization required
   private val pinnedDv: Map[String, (String, Long)] = {
-    val m = TxLog.dvAt(path, asOf)
+    val m = TxLog.dvAt(path, pinVersion)
     val live = pinnedFiles.toSet
     m.filter(kv => live(kv._1))
   }
   // column mapping: reads route through GraftFileScan with the
   // logical→physical indirection; INSERT/DELETE go through TxLog
   // (which maps at stage time).
-  private val colMap: Map[String, String] = TxLog.colMapAt(path, asOf)._1
+  private val colMap: Map[String, String] =
+    TxLog.colMapAt(path, pinVersion)._1
 
   override def name(): String =
     s"graft.`$path`" + asOf.fold("")(v => s" VERSION AS OF $v")
 
-  /** `SHOW TBLPROPERTIES graft.`t`` serves the property sidecar. */
-  override def properties(): util.Map[String, String] =
-    TxLog.tableProps(path).asJava
+  /** `SHOW TBLPROPERTIES graft.`t`` serves the property sidecar.
+    * Properties are the one UN-versioned piece of table state (a
+    * sidecar, not a commit), so a time-travel pin still shows the
+    * CURRENT values — said in-band via a note entry rather than
+    * implying the sidecar is part of the versioned snapshot. */
+  override def properties(): util.Map[String, String] = {
+    val cur = TxLog.tableProps(path)
+    (if (asOf.isEmpty) cur
+     else cur + ("graft.properties.note" ->
+       ("table properties are unversioned; values shown are current, " +
+         "not as-of the pinned version"))).asJava
+  }
 
   // the LOG-recorded schema, nullability relaxed exactly as
   // TxLog.snapshot reads it (evolution null-fills old files)

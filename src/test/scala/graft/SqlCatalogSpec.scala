@@ -262,6 +262,76 @@ class SqlCatalogSpec extends SparkSpec {
     assert(TxLog.schemaAt(t).contains("x"))
   }
 
+  test("duplicate-column checks are case-insensitive, like Spark resolution") {
+    // r16 ADVICE: `Note` landing next to `note` would make every later
+    // `SELECT note` an ambiguous-reference analysis error — refuse at
+    // DDL time, the way Delta does
+    val base = tmp("cat_ci_dup")
+    val t = s"$base/t"
+    spark.sql(s"CREATE TABLE graft.`$t` (id BIGINT, note STRING)")
+    val e1 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMN Note STRING")
+    }
+    assert(e1.getMessage.contains("already exists"))
+    // a pure case change of the SAME column is a legitimate rename
+    // (Spark's analyzer blocks it at the SQL surface under
+    // case-insensitive resolution; the Scala API honors it)
+    TxLog.renameColumn(t, "note", "Note")
+    assert(spark.sql(s"SELECT * FROM graft.`$t`").columns.toSeq ==
+      Seq("id", "Note"))
+    // renaming ANOTHER column onto a case-colliding name is refused
+    val e2 = intercept[Exception] { TxLog.renameColumn(t, "id", "NOTE") }
+    assert(e2.getMessage.contains("already exists"))
+    // the exact self-rename no-op is refused too
+    intercept[Exception] { TxLog.renameColumn(t, "Note", "Note") }
+  }
+
+  test("ADD COLUMNS lands every column in ONE commit, all-or-nothing") {
+    val base = tmp("cat_addcols")
+    val t = s"$base/t"
+    spark.sql(s"CREATE TABLE graft.`$t` (id BIGINT)")
+    spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMNS (a BIGINT, b STRING)")
+    assert(TxLog.latestVersion(t).contains(1L),
+      "two added columns must be one metadata commit, not two")
+    assert(spark.sql(s"SELECT * FROM graft.`$t`").columns.toSeq ==
+      Seq("id", "a", "b"))
+    // a statement with one bad column adds NOTHING (validated whole)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMNS (ok BIGINT, id BIGINT)")
+    }
+    assert(TxLog.latestVersion(t).contains(1L) &&
+      !TxLog.schemaAt(t).contains("ok"),
+      "a refused ADD COLUMNS must leave the table untouched")
+  }
+
+  test("CREATE TABLE ... LOCATION is refused loudly, never half-applied") {
+    val base = tmp("cat_loc")
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$base/t` (id BIGINT) LOCATION '$base/elsewhere'")
+    }
+    assert(e.getMessage.contains("LOCATION"))
+    assert(TxLog.latestVersion(s"$base/t").isEmpty,
+      "a refused CREATE must leave nothing behind")
+  }
+
+  test("properties on a time-travel pin carry the unversioned-state note") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    val t = tmp("cat_props_pin")
+    seed(t)
+    TxLog.write(Seq((1000L, 0L)).toDF("id", "grp"), t, "append")
+    TxLog.setTableProperty(t, "k", "v")
+    val cat = spark.sessionState.catalogManager.catalog("graft")
+      .asInstanceOf[TableCatalog]
+    val ident = Identifier.of(Array.empty, t)
+    assert(cat.loadTable(ident).properties().get("k") == "v")
+    assert(!cat.loadTable(ident).properties()
+      .containsKey("graft.properties.note"))
+    val pinned = cat.loadTable(ident, "0").properties()
+    assert(pinned.get("k") == "v")
+    assert(pinned.get("graft.properties.note") != null,
+      "an asOf pin must say in-band that properties are unversioned")
+  }
+
   test("concurrent DDL never loses a column or a table silently") {
     // two ALTER ADDs racing from a shared base: either both columns
     // land, or the loser fails loudly — never a silently dropped
