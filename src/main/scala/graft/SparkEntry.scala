@@ -2026,6 +2026,64 @@ object SparkEntry {
       Engine.canonical(s.read.parquet(s"$base/out")
         .select("doc_id", "lang", "source", "chars"))
     }),
+    // the catalog micro-batch SOURCE (round 17, Delta's
+    // spark.readStream.table analogue — the read twin of the
+    // reference's .table() sink, REF STREAM:199-220): the SAME
+    // snapshot-then-tail consumption as stream_txlog_source, but
+    // expressed ENTIRELY through the SQL catalog — offsets are commit
+    // versions, the immutable log is the only source-side state (no
+    // publication dir). Shares stream_txlog_source's oracle: the
+    // catalog machinery must be invisible in the consumed rows.
+    "stream_catalog_source" -> prep((s, d) => {
+      val base = tmpDir("graft_catsource")
+      val t = s"$base/table"
+      val docsDf = docs(s, d).select("doc_id", "lang", "source", "n_chars")
+      graft.ingest.TxLog.write(docsDf.where(col("doc_id") % 3 === 0)
+        .repartitionByRange(4, col("doc_id")), t, "overwrite")
+      graft.ingest.TxLog.write(docsDf.where(col("doc_id") % 3 === 1)
+        .repartitionByRange(2, col("doc_id")), t, "append")
+      def drain(): Unit = {
+        val q = s.readStream.table(s"graft.`$t`")
+          .where(col("n_chars") >= 100)
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain()
+      graft.ingest.TxLog.write(docsDf.where(col("doc_id") % 3 === 2)
+        .repartitionByRange(2, col("doc_id")), t, "append")
+      drain()
+      Engine.canonical(s.read.parquet(s"$base/out")
+        .select("doc_id", "lang", "source", "n_chars"))
+    }),
+    // the catalog medallion hop (round 17): bronze streams through a
+    // transform into silver with the SOURCE side pure
+    // `readStream.table` — the reference's Delta readStream/.table
+    // pair with zero engine-specific reader code on the consumer; the
+    // exactly-once sink ledger and the growing-bronze re-drain match
+    // stream_txlog_multihop, whose oracle this shares
+    "stream_catalog_multihop" -> prep((s, d) => {
+      val base = tmpDir("graft_cathop")
+      val bronze = s"$base/bronze"; val silver = s"$base/silver"
+      val docsDf = docs(s, d).select("doc_id", "lang", "source", "n_chars")
+      graft.ingest.TxLog.write(docsDf.where(col("doc_id") % 2 === 0)
+        .repartitionByRange(4, col("doc_id")), bronze, "overwrite")
+      def hop(): Unit =
+        graft.ingest.TxLog.streamSink(
+          s.readStream.table(s"graft.`$bronze`")
+            .where(col("n_chars") >= 100)
+            .withColumn("lang_up", upper(col("lang"))),
+          silver, s"$base/ckpt").awaitTermination()
+      hop()
+      graft.ingest.TxLog.write(docsDf.where(col("doc_id") % 2 === 1)
+        .repartitionByRange(2, col("doc_id")), bronze, "append")
+      hop()
+      Engine.canonical(graft.ingest.TxLog.snapshot(s, silver)
+        .select("doc_id", "lang", "source", "n_chars", "lang_up"))
+    }),
     // multi-hop pipeline (round 14, the bronze→silver medallion
     // shape): a TxLog table streams THROUGH a transform INTO another
     // TxLog table — streamSource's published tail on one end,
@@ -2792,6 +2850,8 @@ object SparkEntry {
     "txlog_multi_prune" -> ExtOracle.txlogMultiPrune,
     "txlog_expectations" -> ExtOracle.txlogExpectations,
     "stream_txlog_source" -> ExtOracle.streamTxlogSource,
+    "stream_catalog_source" -> ExtOracle.streamTxlogSource,
+    "stream_catalog_multihop" -> ExtOracle.streamTxlogMultihop,
     "stream_mapped_source" -> ExtOracle.streamMappedSource,
     "stream_txlog_multihop" -> ExtOracle.streamTxlogMultihop,
     // same verdict contract as the batch writeExpect — stream chopping

@@ -933,8 +933,18 @@ object TxLog {
   }
 
   /** One distributed pass building per-file blooms for `files` ×
-    * `cols`, sidecars written on the driver (|files|·|cols| filters,
-    * ~KB each). Reads the files' PHYSICAL columns (mapping-aware). */
+    * `cols`. Each `mapGroups` TASK writes its own file's sidecar
+    * (tmp + ATOMIC_MOVE — the sidecar store is plain-FS-atomic), so
+    * filter bytes never funnel through the driver: the r16 review
+    * measured the old collect-then-write-on-the-driver shape at
+    * multi-GB driver state for a 100 TB backfill (~10⁶ files × KB
+    * filters × columns). The driver collects only a
+    * (file, byte-count) census — O(files) metadata, and the action
+    * that forces the distributed write. Filter bytes are identical to
+    * the old path by construction (bloom insertion is bit-OR:
+    * order-independent for a fixed (items, fpp) sizing — spec-pinned
+    * against a driver-built filter). Reads the files' PHYSICAL
+    * columns (mapping-aware). */
   private def buildBlooms(spark: SparkSession, table: String,
       files: Seq[String], cols: Map[String, (Long, Double)]): Unit = {
     if (files.isEmpty || cols.isEmpty) return
@@ -943,29 +953,36 @@ object TxLog {
     val (cm, _) = colMapAt(table)
     for ((c, (items, fpp)) <- cols.toSeq.sortBy(_._1)) {
       val pc = physicalOf(c, cm)
+      // plain strings into the closure (executors share the table FS
+      // — the posture every TxLog write path already assumes)
+      val dirStr = bloomSidecar(table, c, "x").getParent
+        .toAbsolutePath.toString
       val pairs = spark.read
         .parquet(files.map(f => s"$table/$f"): _*)
         .select(input_file_name().as("_bf_file"),
           xxhash64(col(pc)).as("_bf_h"))
         .where(col("_bf_h").isNotNull)
       import spark.implicits._
-      val blooms = pairs.as[(String, Long)]
+      val census = pairs.as[(String, Long)]
         .groupByKey(_._1)
         .mapGroups { (f, rows) =>
           val bf = BloomFilter.create(items, fpp)
           rows.foreach(r => bf.putLong(r._2))
           val bos = new java.io.ByteArrayOutputStream()
           bf.writeTo(bos)
-          (f, bos.toByteArray)
+          val bytes = bos.toByteArray
+          val dir = Paths.get(dirStr)
+          Files.createDirectories(dir)
+          val tmp = dir.resolve(s".${java.util.UUID.randomUUID()}")
+          Files.write(tmp, bytes)
+          Files.move(tmp, dir.resolve(s"${baseName(f)}.bf"),
+            StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+          (baseName(f), bytes.length)
         }.collect()
-      blooms.foreach { case (uri, bytes) =>
-        val sc = bloomSidecar(table, c, baseName(uri))
-        Files.createDirectories(sc.getParent)
-        val tmp = sc.getParent.resolve(s".${java.util.UUID.randomUUID()}")
-        Files.write(tmp, bytes)
-        Files.move(tmp, sc, StandardCopyOption.ATOMIC_MOVE,
-          StandardCopyOption.REPLACE_EXISTING)
-      }
+      require(census.length <= files.size,
+        s"bloom backfill wrote ${census.length} sidecars for " +
+          s"${files.size} files in $table/$c")
     }
   }
 
@@ -3610,6 +3627,42 @@ object TxLog {
     }
     setPubWatermark(table, last)
     linked
+  }
+
+  /** Data files a catalog micro-batch stream serves for commits in
+    * `(fromV, toV]` — the tail-replay half of the
+    * `spark.readStream.table("graft.`t`")` source (the offsets are
+    * commit versions; no publication dir, the immutable log IS the
+    * state). Appends contribute their adds; an overwrite passes only
+    * when it re-references exactly the prior live set (a
+    * `checkpointLog` — zero row change, nothing new to serve) or
+    * lands on an empty live set; anything else (delete/update/dv/
+    * rewrite/compact) breaks the append-only contract a streaming
+    * source requires and fails LOUDLY at read time — Delta's source
+    * errors on the same shapes without ignoreChanges. O(tail) via the
+    * version-named log files. */
+  def streamTailFiles(table: String, fromV: Long, toV: Long): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    commitsFrom(table, fromV + 1).withFilter(_.version <= toV).foreach { c =>
+      c.mode match {
+        case "append" => out ++= c.adds
+        case "overwrite" =>
+          val liveBefore =
+            if (c.version == 0) Set.empty[String]
+            else liveFiles(table, Some(c.version - 1)).toSet
+          if (liveBefore.isEmpty) out ++= c.adds
+          else require(c.adds.toSet == liveBefore,
+            s"streaming read of $table broken at v${c.version}: " +
+              s"overwrite replaced the live set (append-only required; " +
+              s"checkpointLog is the only allowed overwrite)")
+        case other =>
+          throw new IllegalStateException(
+            s"streaming read of $table broken at v${c.version}: '$other' " +
+              s"commit — delete/update/upsert/compact/dv are not " +
+              s"append-only")
+      }
+    }
+    out.result()
   }
 
   /** Read a TxLog table as a Structured Streaming source: the initial

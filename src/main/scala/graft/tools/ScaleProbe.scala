@@ -502,6 +502,17 @@ object ScaleProbe {
             TxLog.snapshot(spark, tb)
               .where(col("doc_id") === (500L + q)).count()
           }
+          // bloom BACKFILL over the live set (round 17): tasks write
+          // their own sidecars (the r16 driver-funnel fix) — driver
+          // state is a (file, byte-count) census at every scale; wall
+          // grows ∝ bytes scanned (one distributed pass), never ∝
+          // filters held. rows = sidecars written (= live files).
+          t("txlogBloomBackfill", n) {
+            TxLog.dropBloomIndex(tb, "source")
+            TxLog.addBloomIndex(spark, tb, "source",
+              expectedItems = 20000L)
+            TxLog.liveFiles(tb).size.toLong
+          }
         }
         // SQL point-UPDATE in MERGE-ON-READ mode (round 16): the same
         // fixed-selectivity statement as txlogSqlUpdate against a

@@ -291,9 +291,12 @@ private[graftx] class GraftTxTable(path: String, asOf: Option[Long])
     // AUTOMATIC_SCHEMA_EVOLUTION backs `MERGE WITH SCHEMA EVOLUTION`:
     // the analyzer computes the AddColumn changes from the source
     // schema and lands them through alterTable (the metadata-only
-    // additive evolve), then re-resolves against the widened table
-    Set(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE,
+    // additive evolve), then re-resolves against the widened table.
+    // MICRO_BATCH_READ backs `spark.readStream.table("graft.`t`")` —
+    // the read twin of the reference's Delta `.table()` sink (REF
+    // STREAM:199-220); see GraftMicroBatchStream.
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   private def spark: SparkSession = SparkSession.active
@@ -307,7 +310,8 @@ private[graftx] class GraftTxTable(path: String, asOf: Option[Long])
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftDelegatingScanBuilder(delegate.newScanBuilder(options),
-      path, pinnedFiles, pinnedDdl, colMap, pinnedDv)
+      path, pinnedFiles, pinnedDdl, colMap, pinnedDv,
+      canStream = asOf.isEmpty)
 
   /** Per-row provenance: `SELECT _file, _pos, ... FROM graft.`t``
     * names the table file each row lives in and its original

@@ -1,0 +1,213 @@
+package org.apache.spark.sql.graftx
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomTaskMetric}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, Statistics, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.datasources.FileFormat
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.internal.connector.SupportsMetadata
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types.StructType
+
+import graft.ingest.TxLog
+
+/** A catalog stream offset IS a TxLog commit version — the log is the
+  * single source of truth, so the stream needs no side state at all
+  * (no publication dir, no watermark file): Spark checkpoints the
+  * version, and replay against the immutable log is deterministic. */
+private[graftx] case class GraftStreamOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+/** TxLog tables as Structured Streaming micro-batch sources THROUGH
+  * THE SQL CATALOG — `spark.readStream.table("graft.`t`")`, the read
+  * twin of the reference's Delta `.table()` streaming sink (REF
+  * STREAM:199-220; Delta users express the medallion bronze→silver
+  * hop as exactly this pair). Semantics match [[TxLog.streamSource]]
+  * (and Delta's source): the FIRST batch serves the live snapshot as
+  * of its end offset — deletion-vector masks applied, one file per
+  * task — and every later batch serves exactly the files appended by
+  * commits in `(start, end]` ([[TxLog.streamTailFiles]]). Restart
+  * replays from Spark's checkpointed version against the immutable
+  * log, so exactly-once holds with ZERO source-side state. The table
+  * must stay append-only past the first served offset: a
+  * delete/update/rewrite/dv commit inside a batch's range fails that
+  * batch loudly at planning time (Delta's posture without
+  * ignoreChanges), never silently skips rows.
+  *
+  * 100 TB shape: `latestOffset` is a directory listing of version
+  * FILE NAMES (no commit parsed), a batch plans O(its own commits)
+  * via the parse cache, and each task reads one data file — the
+  * driver never touches rows. Column-mapped tables stream under the
+  * load-time logical names (physical footer names never change, so
+  * the one positional restore the batch reader does is equally valid
+  * on every file the stream will ever serve). */
+private[graftx] class GraftMicroBatchStream(path: String, ddl: String,
+    required: StructType, cm: Map[String, String])
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private def latestV: Long = TxLog.latestVersion(path).getOrElse(-1L)
+
+  // Trigger.AvailableNow: pin the target version at start, serve up
+  // to it, stop — commits landing mid-run wait for the next run
+  @volatile private var availableTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableTarget = Some(latestV)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    GraftStreamOffset(availableTarget.getOrElse(latestV))
+
+  override def reportLatestOffset(): Offset = GraftStreamOffset(latestV)
+
+  override def latestOffset(): Offset =
+    // the SupportsAdmissionControl overload above is the one Spark
+    // calls once that interface is implemented
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) serves this source")
+
+  override def initialOffset(): Offset = GraftStreamOffset(-1L)
+
+  override def deserializeOffset(json: String): Offset =
+    GraftStreamOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = () // the log IS the state
+
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftStreamOffset].version
+    val e = end.asInstanceOf[GraftStreamOffset].version
+    if (e < 0 || e <= s) return Array.empty
+    val (files, dvm) =
+      if (s < 0) {
+        // initial batch = the snapshot AS OF the end offset, masks
+        // pinned at the same version (the one place dv is legal —
+        // every later commit must be append-only)
+        val fs = TxLog.liveFiles(path, Some(e))
+        val live = fs.toSet
+        (fs, TxLog.dvAt(path, Some(e)).filter(kv => live(kv._1)))
+      } else (TxLog.streamTailFiles(path, s, e),
+        Map.empty[String, (String, Long)])
+    if (files.isEmpty) Array.empty
+    // one file per task, dv parts pruned per file — the same planner
+    // the batch scan uses
+    else new GraftFileScan(path, files, ddl, required, Array.empty,
+      None, cm, dvm).planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    // anyMasked=true: the initial snapshot may carry masks; the extra
+    // reader closures are a driver-side allocation, nothing per-task
+    GraftReaders.factory(ddl, required, Array.empty, cm, anyMasked = true)
+
+  override def toString: String = s"GraftTxStream $path"
+}
+
+/** Thin streamable veneer over the delegated parquet scan: batch
+  * behavior — pushdown, vectorization, statistics, explain metadata,
+  * exchange-reuse equality — stays the delegate's verbatim, and
+  * `toMicroBatchStream` serves the table through
+  * [[GraftMicroBatchStream]]. Only the plain-read delegate path needs
+  * the veneer; the owned [[GraftFileScan]] (column-mapped / masked /
+  * provenance reads) implements toMicroBatchStream itself. */
+private[graftx] class GraftStreamableScan(val inner: Scan, path: String,
+    ddl: String, cm: Map[String, String]) extends Scan
+    with SupportsReportStatistics with SupportsMetadata {
+
+  override def readSchema(): StructType = inner.readSchema()
+  override def toBatch: Batch = inner.toBatch
+  override def description(): String = inner.description()
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    inner.columnarSupportMode()
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    inner.supportedCustomMetrics()
+  override def reportDriverMetrics(): Array[CustomTaskMetric] =
+    inner.reportDriverMetrics()
+
+  override def estimateStatistics(): Statistics = inner match {
+    case s: SupportsReportStatistics => s.estimateStatistics()
+    case _ => new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+
+  override def getMetaData(): Map[String, String] = inner match {
+    case s: SupportsMetadata => s.getMetaData()
+    case _ => Map.empty
+  }
+
+  override def toMicroBatchStream(
+      checkpointLocation: String): MicroBatchStream =
+    new GraftMicroBatchStream(path, ddl, inner.readSchema(), cm)
+
+  // exchange/scan reuse must keep working across the veneer
+  override def equals(o: Any): Boolean = o match {
+    case g: GraftStreamableScan => inner == g.inner
+    case _ => false
+  }
+  override def hashCode(): Int = inner.hashCode()
+}
+
+/** One-file-per-task parquet reader factory shared by the batch
+  * [[GraftFileScan]] and the catalog micro-batch stream: Spark's own
+  * vectorized reader closures, built once on the driver and
+  * serialized to tasks (the FileSourceScanExec pattern), with the
+  * mask/_pos-aware variants built only when they can be needed. */
+private[graftx] object GraftReaders {
+
+  def factory(ddl: String, required: StructType,
+      pushed: Array[sources.Filter], cm: Map[String, String],
+      anyMasked: Boolean): PartitionReaderFactory = {
+    // column mapping: files carry PHYSICAL names; the exterior stays
+    // logical and the reader projection restores names positionally
+    def phys(s: StructType): StructType =
+      if (cm.isEmpty) s
+      else StructType(s.fields.map(f =>
+        f.copy(name = cm.getOrElse(f.name, f.name))))
+    def isMeta(n: String): Boolean =
+      n == GraftRowLevel.FileCol || n == GraftRowLevel.PosCol
+    val dataSchema = phys(GraftRowLevel.relaxed(ddl))
+    val readDataSchema = phys(StructType(required.filterNot(f => isMeta(f.name))))
+    val spark = SparkSession.active
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val opts = Map(FileFormat.OPTION_RETURNING_BATCH -> "false")
+    // ONE FRESH CONF PER READER: buildReaderWithPartitionValues
+    // mutates the conf it is handed (requested parquet schema et al)
+    // and local-mode broadcast shares the object — a conf reused
+    // across builds would serve every reader the LAST builder's
+    // schema, null-filling all data columns
+    def freshConf() = spark.sessionState.newHadoopConf()
+    val readerFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
+      spark, dataSchema, new StructType(), readDataSchema,
+      // pushed filters speak logical names — advisory only, so on a
+      // mapped table (physical file schema) they are simply dropped
+      if (cm.isEmpty) pushed.toIndexedSeq else Nil,
+      opts, freshConf())
+    val needPos = required.fieldNames.contains(GraftRowLevel.PosCol)
+    // masked files (and _pos projections) need POSITIONAL integrity:
+    // the within-file row index is the iteration position, so their
+    // reader must not row-group-skip — built with NO pushed filters
+    // (every filter is residual anyway; Spark re-evaluates post-scan)
+    val unfilteredFunc =
+      if (!anyMasked && !needPos) null
+      else new ParquetFileFormat().buildReaderWithPartitionValues(
+        spark, dataSchema, new StructType(), readDataSchema,
+        Nil, opts, freshConf())
+    // the dv-set reader: (file STRING, row_index BIGINT) sidecar parts
+    val dvFunc =
+      if (!anyMasked) null
+      else new ParquetFileFormat().buildReaderWithPartitionValues(
+        spark, GraftFileReaderFactory.DvSchema, new StructType(),
+        GraftFileReaderFactory.DvSchema, Nil, opts, freshConf())
+    new GraftFileReaderFactory(readerFunc, unfilteredFunc, dvFunc,
+      readDataSchema, required)
+  }
+}

@@ -163,7 +163,8 @@ private[graftx] class GraftFileScan(path: String, files0: Seq[String],
     ddl: String, required: StructType, pushed: Array[sources.Filter],
     op: Option[GraftRowLevelOperation],
     cm: Map[String, String] = Map.empty,
-    dv: Map[String, (String, Long)] = Map.empty) extends Scan with Batch
+    dv: Map[String, (String, Long)] = Map.empty,
+    canStream: Boolean = false) extends Scan with Batch
     with SupportsRuntimeV2Filtering {
 
   @volatile private var files: Seq[String] = files0
@@ -244,45 +245,21 @@ private[graftx] class GraftFileScan(path: String, files0: Seq[String],
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val spark = SparkSession.active
-      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    val opts = Map(org.apache.spark.sql.execution.datasources.FileFormat
-      .OPTION_RETURNING_BATCH -> "false")
-    // ONE FRESH CONF PER READER: buildReaderWithPartitionValues
-    // mutates the conf it is handed (requested parquet schema et al)
-    // and local-mode broadcast shares the object — a conf reused
-    // across builds would serve every reader the LAST builder's
-    // schema, null-filling all data columns
-    def freshConf() = spark.sessionState.newHadoopConf()
-    // Spark's own parquet reader closure: vectorized, schema-clipped
-    // (evolution null-fills), broadcast conf — built once on the
-    // driver, serialized to tasks (the FileSourceScanExec pattern)
-    val readerFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
-      spark, dataSchema, new StructType(), readDataSchema,
-      // pushed filters speak logical names — advisory only, so on a
-      // mapped table (physical file schema) they are simply dropped
-      if (cm.isEmpty) pushed.toIndexedSeq else Nil,
-      opts, freshConf())
-    val anyMasked = files.exists(dv.contains)
-    val needPos = required.fieldNames.contains(GraftRowLevel.PosCol)
-    // masked files (and _pos projections) need POSITIONAL integrity:
-    // the within-file row index is the iteration position, so their
-    // reader must not row-group-skip — built with NO pushed filters
-    // (every filter is residual anyway; Spark re-evaluates post-scan)
-    val unfilteredFunc =
-      if (!anyMasked && !needPos) null
-      else new ParquetFileFormat().buildReaderWithPartitionValues(
-        spark, dataSchema, new StructType(), readDataSchema,
-        Nil, opts, freshConf())
-    // the dv-set reader: (file STRING, row_index BIGINT) sidecar parts
-    val dvFunc =
-      if (!anyMasked) null
-      else new ParquetFileFormat().buildReaderWithPartitionValues(
-        spark, GraftFileReaderFactory.DvSchema, new StructType(),
-        GraftFileReaderFactory.DvSchema, Nil, opts, freshConf())
-    new GraftFileReaderFactory(readerFunc, unfilteredFunc, dvFunc,
-      readDataSchema, required)
+  override def createReaderFactory(): PartitionReaderFactory =
+    // shared with the catalog micro-batch stream — see GraftReaders
+    GraftReaders.factory(ddl, required, pushed, cm,
+      anyMasked = files.exists(dv.contains))
+
+  /** `spark.readStream.table("graft.`t`")` on an owned-scan table
+    * (column-mapped / masked / provenance projections) — the plain
+    * delegate path streams through [[GraftStreamableScan]]. */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read
+      .streaming.MicroBatchStream = {
+    require(canStream,
+      s"cannot stream $path from this scan (time-travel pins and " +
+        s"row-level-operation scans are batch-only)")
+    new GraftMicroBatchStream(path, ddl, required, cm)
   }
 }
 
@@ -530,7 +507,8 @@ private[graftx] case class GraftCowWriterFactory(owf: OutputWriterFactory,
 private[graftx] class GraftDelegatingScanBuilder(delegate: ScanBuilder,
     path: String, files: Seq[String], ddl: String,
     cm: Map[String, String] = Map.empty,
-    dv: Map[String, (String, Long)] = Map.empty) extends ScanBuilder
+    dv: Map[String, (String, Long)] = Map.empty,
+    canStream: Boolean = false) extends ScanBuilder
     with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -592,8 +570,14 @@ private[graftx] class GraftDelegatingScanBuilder(delegate: ScanBuilder,
 
   override def build(): Scan =
     if (wantsFile || mustOwn)
-      new GraftFileScan(path, files, ddl, pruned, ownPushed, None, cm, dv)
-    else delegate.build()
+      new GraftFileScan(path, files, ddl, pruned, ownPushed, None, cm, dv,
+        canStream)
+    else {
+      val b = delegate.build()
+      // the streamable veneer only where streaming is legal (not on
+      // time-travel pins); batch behavior delegates verbatim
+      if (canStream) new GraftStreamableScan(b, path, ddl, cm) else b
+    }
 }
 
 /** Delta-based (merge-on-read) row-level SQL DML — the deletion-

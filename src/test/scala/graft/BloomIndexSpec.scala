@@ -76,6 +76,44 @@ class BloomIndexSpec extends SparkSpec {
     assert(e2.getMessage.contains("BIGINT"))
   }
 
+  test("executor-written sidecars are byte-identical to a driver-built filter") {
+    // r16 review: the backfill used to collect every filter's bytes to
+    // the driver (multi-GB at 100 TB — ~10⁶ files × KB filters ×
+    // columns); tasks now write their own sidecars and the driver sees
+    // a (file, byte-count) census. Bloom insertion is bit-OR —
+    // order-independent for a fixed (items, fpp) sizing — so the bytes
+    // must equal a filter built locally over the same values.
+    val t = tmp("bf_bytes")
+    seed(t)
+    TxLog.addBloomIndex(spark, t, "id", expectedItems = 1000L)
+    val hexCol = "id".getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+    val dir = java.nio.file.Paths.get(t, "_bloomidx", hexCol)
+    val files = TxLog.liveFiles(t)
+    assert(files.nonEmpty && files.forall(f =>
+      Files.isRegularFile(dir.resolve(s"$f.bf"))),
+      "every live file must carry a sidecar after backfill")
+    import org.apache.spark.util.sketch.BloomFilter
+    val f0 = files.head
+    val hashes = spark.read.parquet(s"$t/$f0")
+      .select(xxhash64(col("id"))).collect().map(_.getLong(0))
+    val expect = BloomFilter.create(1000L, 0.01)
+    hashes.foreach(expect.putLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    expect.writeTo(bos)
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(dir.resolve(s"$f0.bf")), bos.toByteArray),
+      "task-written sidecar bytes must equal the driver-built filter")
+    // the tmp+ATOMIC_MOVE protocol leaves no strays behind
+    val names = {
+      val s = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).toSeq
+      } finally s.close()
+    }
+    assert(names.forall(_.endsWith(".bf")), s"stray files: $names")
+  }
+
   test("writes maintain the index; new values are findable and pruned") {
     val t = tmp("bf_maint")
     seed(t)

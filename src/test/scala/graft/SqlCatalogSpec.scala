@@ -332,6 +332,85 @@ class SqlCatalogSpec extends SparkSpec {
       "an asOf pin must say in-band that properties are unversioned")
   }
 
+  test("readStream.table serves the snapshot, then exactly the appended tail") {
+    // the catalog micro-batch source (Delta's readStream.table twin):
+    // offsets are commit versions, the immutable log is the only state
+    val base = tmp("cat_stream")
+    val t = s"$base/t"
+    seed(t)                                                    // v0
+    def drain(): Unit = {
+      val q = spark.readStream.table(s"graft.`$t`")
+        .where(col("id") % 2 === 0)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    def got(): Seq[Long] = ids(spark.read.parquet(s"$base/out"))
+    assert(got() == (0L until 100L by 2))
+    TxLog.write(Seq((1000L, 0L), (1001L, 1L), (1002L, 2L))
+      .toDF("id", "grp"), t, "append")                         // v1
+    drain() // consumes EXACTLY the tail
+    assert(got() == ((0L until 100L by 2) ++ Seq(1000L, 1002L)))
+    drain() // restart replays nothing (exactly-once)
+    assert(got() == ((0L until 100L by 2) ++ Seq(1000L, 1002L)))
+  }
+
+  test("readStream.table applies dv masks in the snapshot; breaks loudly after") {
+    val base = tmp("cat_stream_dv")
+    val t = s"$base/t"
+    seed(t)
+    TxLog.deleteVectored(spark, t, col("id") === 4L) // pre-stream mask
+    def drain(): Unit = {
+      val q = spark.readStream.table(s"graft.`$t`")
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(ids(spark.read.parquet(s"$base/out")) ==
+      (0L to 99L).filterNot(_ == 4L),
+      "the initial snapshot must serve the MASKED live set")
+    // any non-append commit past the served offset fails the NEXT
+    // batch loudly — never a silent skip (Delta without ignoreChanges)
+    TxLog.delete(spark, t, col("id") === 10L)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    assert(e.getMessage.contains("append-only") ||
+      Option(e.getCause).exists(_.getMessage.contains("append-only")))
+  }
+
+  test("readStream.table on a column-mapped table serves logical names") {
+    val base = tmp("cat_stream_cm")
+    val t = s"$base/t"
+    seed(t)
+    TxLog.renameColumn(t, "grp", "bucket") // metadata-only
+    def drain(): Unit = {
+      val q = spark.readStream.table(s"graft.`$t`")
+        .where(col("bucket") === 3)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    // an append THROUGH the mapping streams in on the second drain
+    TxLog.write(Seq((1003L, 3L)).toDF("id", "bucket"), t, "append")
+    drain()
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.columns.toSeq == Seq("id", "bucket"))
+    assert(ids(out) == ((3L until 100L by 10) :+ 1003L))
+  }
+
   test("concurrent DDL never loses a column or a table silently") {
     // two ALTER ADDs racing from a shared base: either both columns
     // land, or the loser fails loudly — never a silently dropped
