@@ -162,6 +162,7 @@ object SparkEntry {
         k != "txlog_generated" && // builds a table per call: IO class
         k != "txlog_bloom_prune" && // builds a table per call: IO class
         k != "txlog_optimize_range" && // builds a table per call: IO class
+        k != "txlog_catalog_clustered" && // builds a table per call: IO class
         !k.startsWith("medallion_pin_q") && // shared streaming medallion: IO class
         // same results as ngram_jaccard via the hot-key-free candidate
         // path; its freq-agg + prefix overhead only pays off on corpora
@@ -971,6 +972,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           (sum(round(col("value") * 100).cast("long")).cast("double") / 100)
             .as("sum_value")))
+    }),
+    // DDL-declared clustering realized by OPTIMIZE (round 17): CREATE
+    // TABLE ... CLUSTER BY records the layout property (TxLog tables
+    // cluster by layout, never hive directories — Delta's liquid-
+    // clustering posture), a scattered INSERT lands, and the default
+    // CALL graft.system.optimize z-orders on the RECORDED columns; the
+    // same two-dimensional predicate rollup as zorder_scan (whose
+    // oracle this shares) answers off the clustered catalog table.
+    "txlog_catalog_clustered" -> prep((s, d) => {
+      val base = tmpDir("graft_catclust")
+      val t = s"$base/events"
+      s.sql(s"CREATE TABLE graft.`$t` (user_id BIGINT, ts_s BIGINT, " +
+        s"event_type STRING, value DOUBLE) CLUSTER BY (user_id, ts_s)")
+      s.read.parquet(s"$d/events.parquet")
+        .withColumn("ts_s",
+          expr("unix_micros(cast(ts as timestamp)) div 1000000"))
+        .select("user_id", "ts_s", "event_type", "value")
+        .createOrReplaceTempView("catclust_src")
+      s.sql(s"INSERT INTO graft.`$t` SELECT * FROM catclust_src")
+      s.sql(s"CALL graft.system.optimize('$t', 16)")
+      Engine.canonical(s.sql(
+        s"""SELECT event_type, count(1) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+             AS sum_value
+           FROM graft.`$t`
+           WHERE user_id BETWEEN 3 AND 11
+             AND ts_s BETWEEN 1704499200 AND 1705103999
+           GROUP BY event_type"""))
     }),
     // ---- source/sink surface: JSON landing scan + streaming path -----
     // Same oracles as the batch *_clean entries: the JSON round-trip and
@@ -2818,6 +2847,7 @@ object SparkEntry {
     "top_customers" -> ExtOracle.topCustomers,
     "events_hourly" -> ExtOracle.eventsHourly,
     "zorder_scan" -> ExtOracle.zorderScan,
+    "txlog_catalog_clustered" -> ExtOracle.zorderScan,
     "bucketed_join_revenue" -> ExtOracle.saltedJoinRevenue, // same result, bucketed path
     "date_partition_scan" -> ExtOracle.datePartitionScan,
     "sessionize_batch" -> ExtOracle.sessionizeBatch,

@@ -901,6 +901,40 @@ object TxLog {
   def isMorDml(table: String): Boolean =
     tableProps(table).get(DmlModeProp).contains(DmlModeMor)
 
+  /** The layout-clustering property key: `CREATE TABLE ... PARTITIONED
+    * BY (c)` / `CLUSTER BY (c1, c2)` records its columns here instead
+    * of refusing — TxLog tables cluster by LAYOUT (range / z-order +
+    * per-file stats pruning), never hive directories, which is the
+    * right 100 TB posture (no small-file explosion, no
+    * partition-column cardinality ceiling; Delta's liquid clustering
+    * takes the same position: CLUSTER BY records intent, OPTIMIZE
+    * realizes it). Consumed by [[optimizeClustered]] — the default
+    * `CALL graft.system.optimize` — and kept current across
+    * RENAME/DROP COLUMN. */
+  val LayoutClusterProp = "graft.layout.cluster"
+
+  /** The recorded layout-clustering columns (empty = none). */
+  def clusterColsOf(table: String): Seq[String] =
+    tableProps(table).get(LayoutClusterProp)
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Nil)
+
+  /** OPTIMIZE honoring the table's recorded clustering columns: plain
+    * compaction when none, range clustering on one, z-order interleave
+    * on several — each one content-neutral, history-preserving
+    * overwrite commit whose per-file stats then prune reads on the
+    * clustered dimensions. */
+  def optimizeClustered(spark: SparkSession, table: String,
+      targetFiles: Int = 8): Long =
+    clusterColsOf(table) match {
+      case Nil => compact(spark, table, targetFiles)
+      case Seq(c) => write(snapshot(spark, table)
+        .repartitionByRange(targetFiles,
+          org.apache.spark.sql.functions.col(c)), table, "overwrite")
+      case Seq(a, b) => compactZOrdered(spark, table, a, b, targetFiles)
+      case dims => compactZOrderedN(spark, table, dims, targetFiles)
+    }
+
   private def bloomColsFile(table: String): Path =
     logDir(table).resolve("_bloomcols")
   private def bloomDir(table: String): Path =
@@ -1279,8 +1313,15 @@ object TxLog {
     val ddl = org.apache.spark.sql.types.StructType(st.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f))
       .toDDL.replace("\n", " ")
-    writeCommit(table, "append", -1L, Nil, ddl,
+    val v = writeCommit(table, "append", -1L, Nil, ddl,
       colmapOverride = Some((cm1, bn1)), colmapBase = Some(base))
+    // the layout-clustering property names LOGICAL columns — carry it
+    // across the rename so the next OPTIMIZE clusters the same data
+    val cc = clusterColsOf(table)
+    if (cc.contains(from))
+      setTableProperty(table, LayoutClusterProp,
+        cc.map(c => if (c == from) to else c).mkString(","))
+    v
   }
 
   /** DROP COLUMN as one metadata-only commit: the physical column
@@ -1300,9 +1341,17 @@ object TxLog {
     val base @ (cm, bn) = colMapAt(table)
     val ddl = org.apache.spark.sql.types.StructType(
       st.fields.filterNot(_.name == colName)).toDDL.replace("\n", " ")
-    writeCommit(table, "append", -1L, Nil, ddl,
+    val v = writeCommit(table, "append", -1L, Nil, ddl,
       colmapOverride = Some((cm - colName, bn + colName)),
       colmapBase = Some(base))
+    // a dropped column leaves the clustering spec (empty spec → unset)
+    val cc = clusterColsOf(table)
+    if (cc.contains(colName)) {
+      val rest = cc.filterNot(_ == colName)
+      if (rest.isEmpty) unsetTableProperty(table, LayoutClusterProp)
+      else setTableProperty(table, LayoutClusterProp, rest.mkString(","))
+    }
+    v
   }
 
   /** Fresh physical bindings for `logical` columns entering the

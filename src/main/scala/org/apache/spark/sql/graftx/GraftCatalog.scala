@@ -123,15 +123,32 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   /** `CREATE TABLE graft.`t` (...)` and CTAS: version 0 lands as an
     * empty schema-recording commit, then CTAS's write appends into it
-    * — each step its own atomic commit. Partitioning transforms are
-    * refused (TxLog tables cluster by layout, not hive partitions);
+    * — each step its own atomic commit. `PARTITIONED BY (cols)` and
+    * `CLUSTER BY (cols)` both record the LAYOUT-clustering property
+    * (TxLog tables cluster by range/z-order layout + stats pruning,
+    * never hive directories — Delta's liquid-clustering posture:
+    * CLUSTER BY records intent, OPTIMIZE realizes it); non-identity
+    * partition transforms (bucket/years/...) are refused loudly.
     * TBLPROPERTIES pass through to the property sidecar. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft tables do not support PARTITIONED BY — cluster with " +
-        "CALL graft.system.zorder / optimize instead")
+    val clusterCols: Seq[String] = partitions.toSeq.flatMap {
+      case c: org.apache.spark.sql.connector.expressions.ClusterByTransform =>
+        c.columnNames.map(_.fieldNames().mkString("."))
+      case t if t.name() == "identity" =>
+        t.references().map(_.fieldNames().mkString("."))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported partition transform '$other': graft tables " +
+          "cluster by layout — use PARTITIONED BY (cols) / CLUSTER BY " +
+          "(cols), realized by CALL graft.system.optimize")
+    }
+    clusterCols.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"clustering column $c is not in the table schema")
+      require(!c.contains("."),
+        s"clustering supports top-level columns only; got $c")
+    }
     val t = tablePath(ident)
     // LOCATION/EXTERNAL would be silently wrong to accept: a graft
     // table LIVES at its identifier path. Refuse loudly (the catalog's
@@ -142,10 +159,15 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       "CREATE TABLE ... LOCATION/EXTERNAL is not supported: a graft " +
         "table lives at its identifier path — name it graft.`/the/dir`")
     TxLog.createTable(t, schema.toDDL.replace("\n", " "))
+    if (clusterCols.nonEmpty)
+      TxLog.setTableProperty(t, TxLog.LayoutClusterProp,
+        clusterCols.mkString(","))
     properties.asScala.foreach { case (k, v) =>
       // Spark stuffs reserved entries (owner, provider) into the map;
-      // keep only user-addressable keys
-      if (!k.startsWith("option.") && k != "owner" && k != "provider")
+      // keep only user-addressable keys. CLUSTER BY also arrives as a
+      // reserved "clusteringColumns" property — already recorded above
+      if (!k.startsWith("option.") && k != "owner" && k != "provider" &&
+        k != "clusteringColumns")
         TxLog.setTableProperty(t, k, v)
     }
     new GraftTxTable(t, None)

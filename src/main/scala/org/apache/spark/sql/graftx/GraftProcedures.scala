@@ -96,12 +96,15 @@ private[graftx] object GraftProcedures {
 
   val all: Map[String, UnboundProcedure] = Seq[Proc](
     new Proc("optimize",
-      "compact the live set to ~target_files as one overwrite commit",
+      "compact the live set to ~target_files as one overwrite commit, " +
+        "clustered on the table's recorded PARTITIONED BY / CLUSTER BY " +
+        "columns when present",
       Seq(p("table", StringType), pd("target_files", IntegerType, "8")),
       Seq("version" -> LongType, "files" -> LongType)) {
       def run(in: InternalRow): Seq[Any] = {
         val t = str(in, 0)
-        val v = TxLog.compact(spark, t, targetFiles = in.getInt(1))
+        val v = TxLog.optimizeClustered(spark, t,
+          targetFiles = in.getInt(1))
         Seq(v, TxLog.liveFiles(t).size.toLong)
       }
     },

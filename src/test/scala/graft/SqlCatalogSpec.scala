@@ -209,12 +209,51 @@ class SqlCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM graft.`$c`").count() == 2)
     assert(spark.sql(s"SELECT * FROM graft.`$c` VERSION AS OF 0").count() == 0)
     assert(TxLog.commits(c).map(_.mode) == Seq("overwrite", "append"))
-    // PARTITIONED BY is refused loudly
+    // non-identity partition transforms are refused loudly
     val e = intercept[Exception] {
-      spark.sql(s"CREATE TABLE graft.`$base/p` (id BIGINT) PARTITIONED BY (id)")
+      spark.sql(
+        s"CREATE TABLE graft.`$base/p` (id BIGINT) PARTITIONED BY (bucket(4, id))")
     }
-    assert(e.getMessage.contains("PARTITIONED BY") ||
-      e.getMessage.contains("zorder"))
+    assert(e.getMessage.contains("transform") ||
+      e.getMessage.contains("cluster"))
+  }
+
+  test("PARTITIONED BY / CLUSTER BY record layout clustering; OPTIMIZE realizes it") {
+    val base = tmp("cat_cluster")
+    val t = s"$base/t"
+    // PARTITIONED BY maps onto the layout property — never hive dirs
+    spark.sql(
+      s"CREATE TABLE graft.`$t` (id BIGINT, grp BIGINT) PARTITIONED BY (grp)")
+    assert(TxLog.clusterColsOf(t) == Seq("grp"))
+    // and round-trips through SHOW TBLPROPERTIES
+    val props = spark.sql(s"SHOW TBLPROPERTIES graft.`$t`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.layout.cluster").contains("grp"))
+    // a scattered insert prunes nothing; the default OPTIMIZE clusters
+    // on the RECORDED column and the same lookup prunes
+    spark.sql(s"INSERT INTO graft.`$t` SELECT id, id % 16 FROM range(1600)")
+    spark.sql(s"CALL graft.system.optimize('$t', 8)")
+    val (kept, total) =
+      TxLog.pruneFilesWhere(t, Seq(TxLog.Pred.Eq("grp", 3L)))
+    assert(total == 8 && kept.size < total,
+      s"clustered layout must prune: ${kept.size}/$total")
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$t` WHERE grp = 3")
+      .head().getLong(0) == 100L)
+    // CLUSTER BY on CTAS records multiple dimensions
+    val c = s"$base/c"
+    spark.sql(s"CREATE TABLE graft.`$c` CLUSTER BY (id, grp) AS " +
+      s"SELECT id, grp FROM graft.`$t`")
+    assert(TxLog.clusterColsOf(c) == Seq("id", "grp"))
+    // RENAME carries the spec; DROP removes the column from it
+    spark.sql(s"ALTER TABLE graft.`$c` RENAME COLUMN grp TO g2")
+    assert(TxLog.clusterColsOf(c) == Seq("id", "g2"))
+    spark.sql(s"ALTER TABLE graft.`$c` DROP COLUMN g2")
+    assert(TxLog.clusterColsOf(c) == Seq("id"))
+    // a clustering column missing from the schema is refused at CREATE
+    intercept[Exception] {
+      spark.sql(
+        s"CREATE TABLE graft.`$base/bad` (id BIGINT) PARTITIONED BY (nope)")
+    }
   }
 
   test("DROP TABLE deletes engine artifacts; failed CTAS cleans itself up") {
