@@ -163,6 +163,7 @@ object SparkEntry {
         k != "txlog_bloom_prune" && // builds a table per call: IO class
         k != "txlog_optimize_range" && // builds a table per call: IO class
         k != "txlog_catalog_clustered" && // builds a table per call: IO class
+        k != "txlog_catalog_history" && // builds a table per call: IO class
         !k.startsWith("medallion_pin_q") && // shared streaming medallion: IO class
         // same results as ngram_jaccard via the hot-key-free candidate
         // path; its freq-agg + prefix overhead only pays off on corpora
@@ -972,6 +973,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           (sum(round(col("value") * 100).cast("long")).cast("double") / 100)
             .as("sum_value")))
+    }),
+    // the DESCRIBE HISTORY surface as a catalog METADATA TABLE (round
+    // 17, Iceberg's `table.history` shape): a scripted commit sequence
+    // — overwrite, append, metadata-only DDL, checkpoint — read back
+    // with plain `SELECT ... FROM graft.`t`.history`; versions,
+    // operations and file counts are deterministic (the twin is the
+    // hand-computed sequence) and the in-commit timestamps gate as
+    // strictly positive + non-decreasing (wall clocks are not
+    // replayable; their ORDER is the TIMESTAMP AS OF contract).
+    "txlog_catalog_history" -> prep((s, d) => {
+      val base = tmpDir("graft_cathist")
+      val t = s"$base/t"
+      val docsDf = docs(s, d).select("doc_id", "lang", "source", "n_chars")
+      graft.ingest.TxLog.write(docsDf.repartition(4), t, "overwrite") // v0
+      graft.ingest.TxLog.write(docsDf.where(col("doc_id") % 5 === 0)
+        .repartition(2), t, "append")                                 // v1
+      s.sql(s"ALTER TABLE graft.`$t` ADD COLUMN note STRING")         // v2
+      graft.ingest.TxLog.checkpointLog(t)                             // v3
+      Engine.canonical(s.sql(
+        s"""SELECT version, mode, batch_id, n_adds, n_removes,
+           schema_recorded,
+           commit_ts_ms > 0 AND commit_ts_ms >=
+             lag(commit_ts_ms, 1, 0) OVER (ORDER BY version)
+             AS ts_monotone
+           FROM graft.`$t`.history"""))
     }),
     // DDL-declared clustering realized by OPTIMIZE (round 17): CREATE
     // TABLE ... CLUSTER BY records the layout property (TxLog tables
@@ -2113,6 +2139,38 @@ object SparkEntry {
       Engine.canonical(graft.ingest.TxLog.snapshot(s, silver)
         .select("doc_id", "lang", "source", "n_chars", "lang_up"))
     }),
+    // the PURE-CATALOG medallion hop (round 17): readStream.table on
+    // one end, writeStream.toTable on the other — the reference's
+    // Delta streaming pair (REF STREAM:199-220) with ZERO
+    // engine-specific code on either side; per-epoch atomic append
+    // commits carry the (queryId, epochId) exactly-once ledger, and
+    // the growing-bronze re-drain matches stream_txlog_multihop,
+    // whose oracle this shares
+    "stream_catalog_sink" -> prep((s, d) => {
+      val base = tmpDir("graft_catsink")
+      val bronze = s"$base/bronze"; val silver = s"$base/silver"
+      val docsDf = docs(s, d).select("doc_id", "lang", "source", "n_chars")
+      graft.ingest.TxLog.write(docsDf.where(col("doc_id") % 2 === 0)
+        .repartitionByRange(4, col("doc_id")), bronze, "overwrite")
+      s.sql(s"CREATE TABLE graft.`$silver` (doc_id BIGINT, lang STRING, " +
+        s"source STRING, n_chars BIGINT, lang_up STRING)")
+      def hop(): Unit = {
+        val q = s.readStream.table(s"graft.`$bronze`")
+          .where(col("n_chars") >= 100)
+          .withColumn("lang_up", upper(col("lang")))
+          .writeStream
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(s"graft.`$silver`")
+        q.awaitTermination()
+      }
+      hop()
+      graft.ingest.TxLog.write(docsDf.where(col("doc_id") % 2 === 1)
+        .repartitionByRange(2, col("doc_id")), bronze, "append")
+      hop()
+      Engine.canonical(s.sql(
+        s"SELECT doc_id, lang, source, n_chars, lang_up FROM graft.`$silver`"))
+    }),
     // multi-hop pipeline (round 14, the bronze→silver medallion
     // shape): a TxLog table streams THROUGH a transform INTO another
     // TxLog table — streamSource's published tail on one end,
@@ -2848,6 +2906,7 @@ object SparkEntry {
     "events_hourly" -> ExtOracle.eventsHourly,
     "zorder_scan" -> ExtOracle.zorderScan,
     "txlog_catalog_clustered" -> ExtOracle.zorderScan,
+    "txlog_catalog_history" -> ExtOracle.txlogCatalogHistory,
     "bucketed_join_revenue" -> ExtOracle.saltedJoinRevenue, // same result, bucketed path
     "date_partition_scan" -> ExtOracle.datePartitionScan,
     "sessionize_batch" -> ExtOracle.sessionizeBatch,
@@ -2882,6 +2941,7 @@ object SparkEntry {
     "stream_txlog_source" -> ExtOracle.streamTxlogSource,
     "stream_catalog_source" -> ExtOracle.streamTxlogSource,
     "stream_catalog_multihop" -> ExtOracle.streamTxlogMultihop,
+    "stream_catalog_sink" -> ExtOracle.streamTxlogMultihop,
     "stream_mapped_source" -> ExtOracle.streamMappedSource,
     "stream_txlog_multihop" -> ExtOracle.streamTxlogMultihop,
     // same verdict contract as the batch writeExpect — stream chopping

@@ -773,6 +773,25 @@ SELECT doc_id, lang, source, n_chars AS chars FROM documents
 WHERE n_chars >= 100 AND doc_id % 3 IN (0, 1)
 ${ord("doc_id")}""".trim
 
+  /** Twin of `txlog_catalog_history`: the scripted commit sequence —
+    * overwrite (4 files), append (2), metadata-only DDL (0),
+    * checkpoint re-referencing the 6 live files — as hand-computed
+    * constants; every commit records a schema, and the in-commit
+    * timestamps gate as positive + monotone. */
+  val txlogCatalogHistory: String = s"""
+SELECT * FROM (VALUES
+  (CAST(0 AS BIGINT), 'overwrite', CAST(-1 AS BIGINT),
+   CAST(4 AS BIGINT), CAST(0 AS BIGINT), true, true),
+  (CAST(1 AS BIGINT), 'append', CAST(-1 AS BIGINT),
+   CAST(2 AS BIGINT), CAST(0 AS BIGINT), true, true),
+  (CAST(2 AS BIGINT), 'append', CAST(-1 AS BIGINT),
+   CAST(0 AS BIGINT), CAST(0 AS BIGINT), true, true),
+  (CAST(3 AS BIGINT), 'overwrite', CAST(-1 AS BIGINT),
+   CAST(6 AS BIGINT), CAST(0 AS BIGINT), true, true))
+  AS h(version, mode, batch_id, n_adds, n_removes, schema_recorded,
+       ts_monotone)
+${ord("version")}""".trim
+
   /** Twin of `stream_txlog_multihop`: the bronze→silver hop run twice
     * over a growing bronze table — the silver snapshot must be exactly
     * one transformed copy of every qualifying row. */

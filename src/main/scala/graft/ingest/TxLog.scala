@@ -1248,6 +1248,19 @@ object TxLog {
   def addColumn(table: String, name: String, sqlType: String): Long =
     addColumns(table, Seq((name, sqlType)))
 
+  /** Where an added column lands in the schema: the end (default),
+    * FIRST, or AFTER a named column — `ALTER TABLE ADD COLUMN x FIRST/
+    * AFTER y`. Pure DDL-order metadata: parquet readers resolve
+    * requested columns BY NAME, so the position never touches a file
+    * (old files null-fill the new column wherever it sits, stats and
+    * column mapping stay name-keyed). */
+  sealed trait AddPos
+  object AddPos {
+    case object Last extends AddPos
+    case object First extends AddPos
+    final case class After(col: String) extends AddPos
+  }
+
   /** ALTER TABLE ADD COLUMNS — every column of the statement lands in
     * ONE metadata-only commit, so a failure adds nothing (Spark
     * presents `ADD COLUMNS (a INT, b INT)` as one operation; applying
@@ -1255,8 +1268,11 @@ object TxLog {
     * mid-statement failure). Duplicate checks are CASE-INSENSITIVE,
     * matching Spark's default resolution — `Note` landing next to
     * `note` would make every later `SELECT note` fail with an
-    * ambiguous-reference analysis error. */
-  def addColumns(table: String, cols: Seq[(String, String)]): Long = {
+    * ambiguous-reference analysis error. `pos` places columns
+    * FIRST/AFTER (metadata-only — see [[AddPos]]); AFTER may name a
+    * column added earlier in the same statement. */
+  def addColumns(table: String, cols: Seq[(String, String)],
+      pos: Map[String, AddPos] = Map.empty): Long = {
     require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
     cols.foreach { case (n, _) => requireSimpleName(n) }
     val tbl = currentSchema(table)
@@ -1271,8 +1287,24 @@ object TxLog {
     cols.map(_._1).combinations(2).foreach { pair =>
       require(!pair.head.equalsIgnoreCase(pair(1)),
         s"ADD COLUMNS names collide: ${pair.head} / ${pair(1)}") }
-    val ddl =
-      (Seq(tbl) ++ cols.map { case (n, t) => s"$n $t" }).mkString(", ")
+    // place each column: a pure reorder of the DDL string — every
+    // read/write path is name-keyed, so position is free metadata
+    var fields = org.apache.spark.sql.types.StructType.fromDDL(tbl)
+      .fields.toVector
+    cols.foreach { case (n, t) =>
+      val nf = org.apache.spark.sql.types.StructType.fromDDL(s"$n $t")
+        .fields(0).copy(nullable = true)
+      pos.getOrElse(n, AddPos.Last) match {
+        case AddPos.Last => fields = fields :+ nf
+        case AddPos.First => fields = nf +: fields
+        case AddPos.After(c) =>
+          val i = fields.indexWhere(_.name.equalsIgnoreCase(c))
+          require(i >= 0, s"ADD COLUMN $n AFTER $c: no column $c")
+          fields = (fields.take(i + 1) :+ nf) ++ fields.drop(i + 1)
+      }
+    }
+    val ddl = org.apache.spark.sql.types.StructType(fields)
+      .toDDL.replace("\n", " ")
     val base = colMapAt(table)
     val (cm0, bn0) = base
     val cm1 = cm0 ++ freshAssignments(cols.map(_._1), cm0, bn0)
@@ -2071,6 +2103,38 @@ object TxLog {
     // silently degrade on every SQL-updated table
     buildBlooms(spark, table, adds, bloomCols(table))
     (adds, stats)
+  }
+
+  /** The COMMIT half of the catalog streaming SINK
+    * (`df.writeStream.toTable("graft.`t`")`): Spark's epoch executors
+    * have already written parquet under `_staging/`; promote it
+    * exactly like every external write (physical-name validation on
+    * mapped tables, UUID adoption, zero-row drop, footer census,
+    * CHECK constraints with abort-on-violation, bloom maintenance)
+    * and land ONE atomic append commit carrying the (appId, batchId)
+    * exactly-once ledger — a replayed epoch deletes its staged files
+    * and commits NOTHING. The append schema guard matches `write`'s,
+    * re-evaluated inside the commit claim loop. Generated-column
+    * tables must be supplied their generated values (a streaming
+    * epoch is executor-written — there is no driver frame to fill;
+    * omissions fail loudly at the constraint choke point). */
+  def commitStreamingAppend(spark: SparkSession, table: String,
+      staged: Seq[Path], ddl: String, batchId: Long,
+      appId: String): Long = {
+    if (batchId >= 0 && isBatchCommitted(table, batchId, appId)) {
+      staged.foreach(p => Files.deleteIfExists(p))
+      return -1L
+    }
+    def guardAppendSchema(): Unit =
+      commits(table).lastOption.filter(_.schema.nonEmpty).foreach { last =>
+        require(ddlShape(last.schema) == ddlShape(ddl),
+          s"append schema mismatch:\n  table: ${last.schema}\n  batch: $ddl")
+      }
+    guardAppendSchema()
+    val base = colMapAt(table)
+    val (adds, stats) = promoteStaged(spark, table, staged, ddl)
+    writeCommit(table, "append", batchId, adds, ddl, stats, appId = appId,
+      colmapBase = Some(base), reguard = () => guardAppendSchema())
   }
 
   /** Land one merge-on-read SQL DML statement as ONE atomic dv
@@ -3133,6 +3197,22 @@ object TxLog {
         c.removes.size.toLong, c.schema.nonEmpty, effectiveTs(table, c))
     }.toDF("version", "mode", "batch_id", "n_adds", "n_removes",
       "schema_recorded", "commit_ts_ms")
+  }
+
+  /** Schema of [[history]] — the catalog's `graft.`t`.history`
+    * metadata table declares it without building the frame (exact
+    * nullability of the tuple encoder above, or analysis flags a
+    * table/scan schema mismatch). */
+  val historySchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    new StructType()
+      .add("version", LongType, nullable = false)
+      .add("mode", StringType, nullable = true)
+      .add("batch_id", LongType, nullable = false)
+      .add("n_adds", LongType, nullable = false)
+      .add("n_removes", LongType, nullable = false)
+      .add("schema_recorded", BooleanType, nullable = false)
+      .add("commit_ts_ms", LongType, nullable = false)
   }
 
   /** Latest committed version, if any — from the file NAMES alone (the

@@ -81,7 +81,24 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   private def load(ident: Identifier, asOf: Option[Long]): Table = {
     val t = tablePath(ident)
-    if (TxLog.latestVersion(t).isEmpty) throw new NoSuchTableException(ident)
+    if (TxLog.latestVersion(t).isEmpty) {
+      // metadata-table fallback (Iceberg's `db.table.history` shape):
+      // `SELECT * FROM graft.`/path/t`.history` parses as
+      // namespace=[/path/t], name=history — when the FULL path is not
+      // a table but the namespace prefix is, serve the read-only
+      // metadata table. A real table literally named .../history wins
+      // (checked first), so nothing existing changes meaning.
+      if (ident.name() == "history" && ident.namespace().nonEmpty) {
+        val baseT = ident.namespace().mkString("/")
+        if (TxLog.latestVersion(baseT).nonEmpty) {
+          require(asOf.isEmpty,
+            "time travel over the history metadata table is not " +
+              "supported — it already spans every version")
+          return new GraftHistoryTable(baseT)
+        }
+      }
+      throw new NoSuchTableException(ident)
+    }
     asOf.foreach { v =>
       if (!TxLog.latestVersion(t).exists(_ >= v))
         throw new NoSuchTableException(ident)
@@ -190,12 +207,10 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       case a: TableChange.AddColumn =>
         require(a.fieldNames().length == 1,
           "ADD COLUMN supports top-level columns only")
-        // refuse what the additive evolve cannot honor, loudly: a
-        // position (columns append at the end) and NOT NULL (every
-        // pre-evolution file reads the new column as NULL)
-        require(a.position() == null,
-          "ADD COLUMN ... FIRST/AFTER is not supported: additive " +
-            "evolution appends at the end of the schema")
+        // refuse what the additive evolve cannot honor, loudly:
+        // NOT NULL (every pre-evolution file reads the new column as
+        // NULL). FIRST/AFTER is honored — parquet readers resolve
+        // columns by name, so schema position is pure DDL metadata.
         require(a.isNullable,
           "ADD COLUMN ... NOT NULL is not supported: rows written " +
             "before the evolution read the new column as NULL")
@@ -216,7 +231,18 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     if (adds.nonEmpty)
       TxLog.addColumns(t,
-        adds.map(a => (a.fieldNames()(0), a.dataType().sql)).toSeq)
+        adds.map(a => (a.fieldNames()(0), a.dataType().sql)).toSeq,
+        adds.flatMap { a =>
+          a.position() match {
+            case null => None
+            case _: TableChange.First =>
+              Some(a.fieldNames()(0) -> TxLog.AddPos.First)
+            case af: TableChange.After =>
+              Some(a.fieldNames()(0) -> TxLog.AddPos.After(af.column()))
+            case other => throw new UnsupportedOperationException(
+              s"unsupported column position: $other")
+          }
+        }.toMap)
     changes.foreach {
       case _: TableChange.AddColumn => () // landed above
       case r: TableChange.RenameColumn =>
@@ -249,6 +275,31 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "RENAME TABLE is not supported; move the table directory")
+}
+
+/** The DESCRIBE HISTORY surface as a catalog-queryable METADATA TABLE
+  * — `SELECT * FROM graft.`/path/t`.history` (Iceberg's `table.history`
+  * shape): one row per commit with its mode, micro-batch id, add/remove
+  * file counts, whether it recorded a schema, and the in-commit
+  * timestamp (the clock `TIMESTAMP AS OF` resolves against). Read-only;
+  * audit tooling needs no `CALL`. Log metadata only — O(commits) rows
+  * collected through the same bounded [[GraftProcedures.scanOf]] the
+  * procedure surface uses (never data-proportional). */
+private[graftx] class GraftHistoryTable(table: String)
+    extends Table with SupportsRead {
+
+  override def name(): String = s"graft.`$table`.history"
+
+  override def schema(): StructType =
+    TxLog.historySchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    () => GraftProcedures.scanOf(
+      TxLog.history(SparkSession.active, table))
 }
 
 /** One pinned TxLog snapshot as a DSv2 table: reads delegate to
@@ -314,11 +365,13 @@ private[graftx] class GraftTxTable(path: String, asOf: Option[Long])
     // the analyzer computes the AddColumn changes from the source
     // schema and lands them through alterTable (the metadata-only
     // additive evolve), then re-resolves against the widened table.
-    // MICRO_BATCH_READ backs `spark.readStream.table("graft.`t`")` —
-    // the read twin of the reference's Delta `.table()` sink (REF
-    // STREAM:199-220); see GraftMicroBatchStream.
+    // MICRO_BATCH_READ backs `spark.readStream.table("graft.`t`")` and
+    // STREAMING_WRITE backs `df.writeStream.toTable("graft.`t`")` —
+    // the reference's Delta streaming pair (REF STREAM:199-220); see
+    // GraftMicroBatchStream / GraftStreamingWrite.
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE,
       TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   private def spark: SparkSession = SparkSession.active
@@ -401,6 +454,18 @@ private[graftx] class GraftTxTable(path: String, asOf: Option[Long])
               if (overwrite) "overwrite" else "append")
             ()
           }
+        /** `df.writeStream.toTable("graft.`t`")` — per-epoch atomic
+          * append commits with the (queryId, epochId) exactly-once
+          * ledger; see [[GraftStreamingWrite]]. */
+        override def toStreaming: org.apache.spark.sql.connector.write
+            .streaming.StreamingWrite = {
+          require(!overwrite,
+            s"streaming into graft.`$path` supports the APPEND output " +
+              s"mode only — complete/update would replace rows " +
+              s"consumers already saw")
+          new GraftStreamingWrite(path, info.schema(), info.queryId(),
+            colMap)
+        }
       }
     }
   }

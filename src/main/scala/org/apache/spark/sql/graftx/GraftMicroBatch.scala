@@ -156,6 +156,109 @@ private[graftx] class GraftStreamableScan(val inner: Scan, path: String,
   override def hashCode(): Int = inner.hashCode()
 }
 
+/** The catalog streaming SINK — `df.writeStream.toTable("graft.`t`")`,
+  * the reference's own Delta sink shape (REF STREAM:199-220), closing
+  * the pure-catalog medallion pair with [[GraftMicroBatchStream]]:
+  * per-epoch executor writers stream rows into staged parquet (the
+  * COW writer factory, reused verbatim — no driver materialization),
+  * and the driver's epoch commit promotes them through
+  * [[TxLog.commitStreamingAppend]] — ONE atomic append commit per
+  * micro-batch carrying the (appId = queryId, batchId = epochId)
+  * ledger, so restarts replay nothing and independent queries fan in
+  * under their own ledgers (the same exactly-once contract
+  * `TxLog.streamSink` gives the Scala surface). Append output mode
+  * only: complete/update would replace rows a downstream streaming
+  * read of the same table already served. */
+private[graftx] class GraftStreamingWrite(path: String,
+    writeSchema: StructType, queryId: String, cm: Map[String, String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  // column mapping: staged files carry PHYSICAL footer names (values
+  // bind positionally), like every external write path
+  private val fileSchema =
+    if (cm.isEmpty) writeSchema
+    else StructType(writeSchema.fields.map(f =>
+      f.copy(name = cm.getOrElse(f.name, f.name))))
+  private val ddl = writeSchema.toDDL.replace("\n", " ")
+  private val appId = s"catalog-sink-$queryId"
+  private val stagingDir = java.nio.file.Paths.get(path, "_staging",
+    java.util.UUID.randomUUID().toString)
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming
+        .StreamingDataWriterFactory = {
+    val spark = SparkSession.active
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    java.nio.file.Files.createDirectories(stagingDir)
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      spark.sessionState.newHadoopConf())
+    // INT64-micros timestamps inside the transactional path, exactly
+    // like TxLog.stage (INT96 carries no column statistics)
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.get(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    val owf =
+      try new ParquetFileFormat().prepareWrite(spark, job, Map.empty,
+        fileSchema)
+      finally spark.conf.set(tsKey, prev)
+    GraftStreamingWriterFactory(GraftCowWriterFactory(owf,
+      new org.apache.spark.util.SerializableConfiguration(
+        job.getConfiguration),
+      stagingDir.toAbsolutePath.toString, fileSchema, writeSchema))
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write
+        .WriterCommitMessage]): Unit = {
+    val staged = messages.toSeq.collect {
+      case GraftStagedFile(Some(p)) => java.nio.file.Paths.get(p)
+    }
+    TxLog.commitStreamingAppend(SparkSession.active, path, staged, ddl,
+      epochId, appId)
+    cleanup()
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write
+        .WriterCommitMessage]): Unit = {
+    messages.toSeq.foreach {
+      case GraftStagedFile(Some(p)) =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p)); ()
+      case _ => ()
+    }
+    cleanup()
+  }
+
+  /** Drop the epoch's (now promoted) staging dir — the next epoch's
+    * writers recreate it lazily; epochs are serial, so nothing is
+    * in-flight here. */
+  private def cleanup(): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.isDirectory(stagingDir)) {
+        val s = java.nio.file.Files.list(stagingDir)
+        try s.iterator().asScala
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        finally s.close()
+        java.nio.file.Files.deleteIfExists(stagingDir)
+      }
+      ()
+    } catch { case _: Exception => () }
+}
+
+/** Epoch-agnostic veneer: each epoch's writers are the COW factory's
+  * (UUID-named staged parts — no cross-epoch collision). */
+private[graftx] case class GraftStreamingWriterFactory(
+    inner: GraftCowWriterFactory)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): org.apache.spark.sql.connector.write
+        .DataWriter[org.apache.spark.sql.catalyst.InternalRow] =
+    inner.createWriter(partitionId, taskId)
+}
+
 /** One-file-per-task parquet reader factory shared by the batch
   * [[GraftFileScan]] and the catalog micro-batch stream: Spark's own
   * vectorized reader closures, built once on the driver and

@@ -67,8 +67,9 @@ private[graftx] object GraftProcedures {
     in.getUTF8String(i).toString
 
   /** A bounded DataFrame (history / detail — O(commits) rows, log
-    * metadata only) as the procedure's result scan. */
-  private def scanOf(df: org.apache.spark.sql.DataFrame): Scan = {
+    * metadata only) as a LocalScan — shared by the `DfProc` procedures
+    * and the `graft.`t`.history` metadata table. */
+  private[graftx] def scanOf(df: org.apache.spark.sql.DataFrame): Scan = {
     val schema = df.schema
     val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
       .createToCatalystConverter(schema)

@@ -285,20 +285,47 @@ class SqlCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("no commit log"))
   }
 
-  test("ADD COLUMN refuses positions and NOT NULL loudly") {
-    val base = tmp("cat_addcol_refuse")
+  test("ADD COLUMN FIRST/AFTER is a metadata-only reorder; NOT NULL stays refused") {
+    val base = tmp("cat_addcol_pos")
     val t = s"$base/t"
     spark.sql(s"CREATE TABLE graft.`$t` (id BIGINT, v BIGINT)")
-    val e1 = intercept[Exception] {
-      spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMN x BIGINT FIRST")
-    }
-    assert(e1.getMessage.contains("FIRST/AFTER"))
+    spark.sql(s"INSERT INTO graft.`$t` VALUES (1, 10)")
+    def mtimes() = TxLog.liveFiles(t).map(f => Files.getLastModifiedTime(
+      java.nio.file.Paths.get(t, f)).toMillis)
+    val m0 = mtimes()
+    // position is pure DDL metadata: parquet readers resolve columns
+    // by NAME, so no file is touched wherever the column lands
+    spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMN x BIGINT FIRST")
+    spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMN y BIGINT AFTER id")
+    assert(mtimes() == m0, "FIRST/AFTER must be metadata-only")
+    assert(spark.sql(s"SELECT * FROM graft.`$t`").columns.toSeq ==
+      Seq("x", "id", "y", "v"))
+    // old rows null-fill wherever the column sits; new writes land
+    // under the new order
+    spark.sql(s"INSERT INTO graft.`$t` VALUES (5, 2, 6, 20)")
+    val rows = spark.sql(s"SELECT x, id, y, v FROM graft.`$t` ORDER BY id")
+      .collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(0) && rows(0).getLong(1) == 1L &&
+      rows(0).isNullAt(2) && rows(0).getLong(3) == 10L)
+    assert(rows(1).getLong(0) == 5L && rows(1).getLong(1) == 2L &&
+      rows(1).getLong(2) == 6L && rows(1).getLong(3) == 20L)
+    // NOT NULL is the one thing additive evolution cannot honor
     val e2 = intercept[Exception] {
-      spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMN x BIGINT NOT NULL")
+      spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMN z BIGINT NOT NULL")
     }
     assert(e2.getMessage.contains("NOT NULL"))
-    spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMN x BIGINT")
-    assert(TxLog.schemaAt(t).contains("x"))
+    // AFTER a missing column is refused (analyzer or log — loudly)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMN w BIGINT AFTER nope")
+    }
+    // one statement, several positioned columns, ONE commit
+    val v0 = TxLog.latestVersion(t).get
+    spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMNS (a BIGINT FIRST, " +
+      s"b BIGINT AFTER a)")
+    assert(TxLog.latestVersion(t).contains(v0 + 1))
+    assert(spark.sql(s"SELECT * FROM graft.`$t`").columns.toSeq ==
+      Seq("a", "b", "x", "id", "y", "v"))
   }
 
   test("duplicate-column checks are case-insensitive, like Spark resolution") {
@@ -448,6 +475,113 @@ class SqlCatalogSpec extends SparkSpec {
     val out = spark.read.parquet(s"$base/out")
     assert(out.columns.toSeq == Seq("id", "bucket"))
     assert(ids(out) == ((3L until 100L by 10) :+ 1003L))
+  }
+
+  test("writeStream.toTable lands per-epoch atomic commits, exactly once") {
+    val base = tmp("cat_sink")
+    val t = s"$base/t"
+    spark.sql(s"CREATE TABLE graft.`$t` (id BIGINT, grp BIGINT)")
+    spark.range(100).select(col("id"), (col("id") % 10).as("grp"))
+      .coalesce(2).write.parquet(s"$base/in")
+    def drain(): Unit = {
+      val q = spark.readStream
+        .schema("id BIGINT, grp BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$base/in")
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"graft.`$t`")
+      q.awaitTermination()
+    }
+    drain()
+    assert(ids(spark.sql(s"SELECT id, grp FROM graft.`$t`")) == (0L to 99L))
+    // one atomic append commit per micro-batch, the ledger riding each
+    val cs = TxLog.commits(t)
+    assert(cs.count(_.batchId >= 0) >= 2,
+      s"per-epoch commits expected, got ${cs.map(_.batchId)}")
+    drain() // restart: the (queryId, epochId) ledger replays nothing
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$t`")
+      .head().getLong(0) == 100L)
+    // no staging leftovers after the drains
+    val stg = java.nio.file.Paths.get(t, "_staging")
+    assert(!Files.isDirectory(stg) || {
+      val s = Files.list(stg); try !s.iterator().hasNext finally s.close()
+    }, "staged files must be promoted or cleaned")
+    // THE PURE-CATALOG MEDALLION HOP: readStream.table → toTable,
+    // zero engine-specific code on either end
+    val silver = s"$base/silver"
+    spark.sql(s"CREATE TABLE graft.`$silver` (id BIGINT, grp BIGINT)")
+    def hop(): Unit = {
+      val q = spark.readStream.table(s"graft.`$t`")
+        .where(col("grp") === 3)
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt2")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"graft.`$silver`")
+      q.awaitTermination()
+    }
+    hop()
+    hop() // nothing new streamed: no duplicates
+    assert(ids(spark.sql(s"SELECT id, grp FROM graft.`$silver`")) ==
+      (3L until 100L by 10))
+    // complete output mode is refused loudly (append-only contract)
+    val t3 = s"$base/t3"
+    spark.sql(s"CREATE TABLE graft.`$t3` (grp BIGINT, cnt BIGINT)")
+    val e = intercept[Exception] {
+      val q = spark.readStream.schema("id BIGINT, grp BIGINT")
+        .parquet(s"$base/in")
+        .groupBy(col("grp")).agg(count(lit(1)).as("cnt"))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", s"$base/ckpt3")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"graft.`$t3`")
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("APPEND") ||
+      Option(e.getCause).exists(_.getMessage.contains("APPEND")))
+  }
+
+  test("the history metadata table serves DESCRIBE HISTORY from plain SQL") {
+    val base = tmp("cat_hist")
+    val t = s"$base/t"
+    seed(t)                                                        // v0
+    TxLog.write(spark.range(5).select(col("id"), col("id").as("grp"))
+      .repartition(2), t, "append")                                // v1
+    spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMN note STRING")    // v2
+    TxLog.checkpointLog(t)                                         // v3
+    val got = spark.sql(
+      s"SELECT version, mode, n_adds, n_removes, schema_recorded " +
+        s"FROM graft.`$t`.history ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    assert(got.map(x => (x._1, x._2)) ==
+      Seq((0L, "overwrite"), (1L, "append"), (2L, "append"),
+        (3L, "overwrite")))
+    assert(got(1)._3 == 2L, "the v1 append must record 2 adds")
+    assert(got(2)._3 == 0L && got(2)._5,
+      "the DDL commit is metadata-only and schema-recording")
+    // equals the Scala API row-for-row
+    assert(spark.sql(s"SELECT * FROM graft.`$t`.history").collect()
+      .toSeq.map(_.toString).sorted ==
+      TxLog.history(spark, t).collect().toSeq.map(_.toString).sorted)
+    // timestamps ride the same clock TIMESTAMP AS OF resolves on:
+    // strictly positive and non-decreasing across versions
+    val ts = spark.sql(
+      s"SELECT commit_ts_ms FROM graft.`$t`.history ORDER BY version")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ts.forall(_ > 0) && ts == ts.sorted)
+    // filters and aggregation compose like any table
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$t`.history " +
+      s"WHERE mode = 'append'").head().getLong(0) == 2L)
+    // a missing base table still errors
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$base/nope`.history").collect()
+    }
+    // a REAL table named .../history wins over the metadata fallback
+    val h = s"$base/t2/history"
+    TxLog.write(spark.range(3).toDF("id"), h, "overwrite")
+    assert(spark.sql(s"SELECT * FROM graft.`$h`").count() == 3)
   }
 
   test("concurrent DDL never loses a column or a table silently") {
