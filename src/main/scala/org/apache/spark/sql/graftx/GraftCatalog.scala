@@ -386,7 +386,10 @@ private[graftx] class GraftTxTable(path: String, asOf: Option[Long])
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftDelegatingScanBuilder(delegate.newScanBuilder(options),
       path, pinnedFiles, pinnedDdl, colMap, pinnedDv,
-      canStream = asOf.isEmpty)
+      canStream = asOf.isEmpty,
+      // streaming rate limit (reader option): commits per micro-batch
+      maxVersionsPerTrigger =
+        Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
 
   /** Per-row provenance: `SELECT _file, _pos, ... FROM graft.`t``
     * names the table file each row lives in and its original

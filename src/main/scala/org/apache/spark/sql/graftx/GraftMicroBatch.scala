@@ -44,8 +44,18 @@ private[graftx] case class GraftStreamOffset(version: Long) extends Offset {
   * the one positional restore the batch reader does is equally valid
   * on every file the stream will ever serve). */
 private[graftx] class GraftMicroBatchStream(path: String, ddl: String,
-    required: StructType, cm: Map[String, String])
+    required: StructType, cm: Map[String, String],
+    // reader option `maxVersionsPerTrigger` (Delta's maxFilesPerTrigger
+    // analogue at this source's natural granularity): cap how many
+    // commits one micro-batch absorbs, bounding batch size on a table
+    // with a deep unconsumed tail. The INITIAL snapshot always lands
+    // whole — splitting pre-stream history across versions could serve
+    // files a later (pre-snapshot) rewrite tombstoned.
+    maxVersionsPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  require(maxVersionsPerTrigger.forall(_ > 0),
+    s"maxVersionsPerTrigger must be positive; got $maxVersionsPerTrigger")
 
   private def latestV: Long = TxLog.latestVersion(path).getOrElse(-1L)
 
@@ -58,8 +68,14 @@ private[graftx] class GraftMicroBatchStream(path: String, ddl: String,
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    GraftStreamOffset(availableTarget.getOrElse(latestV))
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val target = availableTarget.getOrElse(latestV)
+    val s = start.asInstanceOf[GraftStreamOffset].version
+    GraftStreamOffset(maxVersionsPerTrigger match {
+      case Some(m) if s >= 0 => math.min(target, s + m)
+      case _ => target
+    })
+  }
 
   override def reportLatestOffset(): Offset = GraftStreamOffset(latestV)
 
@@ -116,7 +132,8 @@ private[graftx] class GraftMicroBatchStream(path: String, ddl: String,
   * the veneer; the owned [[GraftFileScan]] (column-mapped / masked /
   * provenance reads) implements toMicroBatchStream itself. */
 private[graftx] class GraftStreamableScan(val inner: Scan, path: String,
-    ddl: String, cm: Map[String, String]) extends Scan
+    ddl: String, cm: Map[String, String],
+    maxVersionsPerTrigger: Option[Long] = None) extends Scan
     with SupportsReportStatistics with SupportsMetadata {
 
   override def readSchema(): StructType = inner.readSchema()
@@ -146,7 +163,8 @@ private[graftx] class GraftStreamableScan(val inner: Scan, path: String,
 
   override def toMicroBatchStream(
       checkpointLocation: String): MicroBatchStream =
-    new GraftMicroBatchStream(path, ddl, inner.readSchema(), cm)
+    new GraftMicroBatchStream(path, ddl, inner.readSchema(), cm,
+      maxVersionsPerTrigger)
 
   // exchange/scan reuse must keep working across the veneer
   override def equals(o: Any): Boolean = o match {

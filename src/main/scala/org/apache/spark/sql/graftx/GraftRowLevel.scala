@@ -164,7 +164,8 @@ private[graftx] class GraftFileScan(path: String, files0: Seq[String],
     op: Option[GraftRowLevelOperation],
     cm: Map[String, String] = Map.empty,
     dv: Map[String, (String, Long)] = Map.empty,
-    canStream: Boolean = false) extends Scan with Batch
+    canStream: Boolean = false,
+    maxVersionsPerTrigger: Option[Long] = None) extends Scan with Batch
     with SupportsRuntimeV2Filtering {
 
   @volatile private var files: Seq[String] = files0
@@ -259,7 +260,8 @@ private[graftx] class GraftFileScan(path: String, files0: Seq[String],
     require(canStream,
       s"cannot stream $path from this scan (time-travel pins and " +
         s"row-level-operation scans are batch-only)")
-    new GraftMicroBatchStream(path, ddl, required, cm)
+    new GraftMicroBatchStream(path, ddl, required, cm,
+      maxVersionsPerTrigger)
   }
 }
 
@@ -508,7 +510,8 @@ private[graftx] class GraftDelegatingScanBuilder(delegate: ScanBuilder,
     path: String, files: Seq[String], ddl: String,
     cm: Map[String, String] = Map.empty,
     dv: Map[String, (String, Long)] = Map.empty,
-    canStream: Boolean = false) extends ScanBuilder
+    canStream: Boolean = false,
+    maxVersionsPerTrigger: Option[Long] = None) extends ScanBuilder
     with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -571,12 +574,14 @@ private[graftx] class GraftDelegatingScanBuilder(delegate: ScanBuilder,
   override def build(): Scan =
     if (wantsFile || mustOwn)
       new GraftFileScan(path, files, ddl, pruned, ownPushed, None, cm, dv,
-        canStream)
+        canStream, maxVersionsPerTrigger)
     else {
       val b = delegate.build()
       // the streamable veneer only where streaming is legal (not on
       // time-travel pins); batch behavior delegates verbatim
-      if (canStream) new GraftStreamableScan(b, path, ddl, cm) else b
+      if (canStream)
+        new GraftStreamableScan(b, path, ddl, cm, maxVersionsPerTrigger)
+      else b
     }
 }
 

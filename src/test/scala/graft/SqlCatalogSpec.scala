@@ -542,6 +542,34 @@ class SqlCatalogSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("APPEND")))
   }
 
+  test("maxVersionsPerTrigger bounds each micro-batch to N commits") {
+    val base = tmp("cat_rate")
+    val t = s"$base/t"
+    seed(t)                                                       // v0
+    val silver = s"$base/silver"
+    spark.sql(s"CREATE TABLE graft.`$silver` (id BIGINT, grp BIGINT)")
+    def drain(): Unit = {
+      val q = spark.readStream
+        .option("maxVersionsPerTrigger", "1")
+        .table(s"graft.`$t`")
+        .writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"graft.`$silver`")
+      q.awaitTermination()
+    }
+    drain() // the initial snapshot always lands whole (1 batch)
+    (1 to 3).foreach { i =>
+      TxLog.write(Seq((200L + i, 0L)).toDF("id", "grp"), t, "append")
+    }
+    drain() // the tail rate-limits to ONE COMMIT PER BATCH
+    val sinkBatches = TxLog.commits(silver).count(_.batchId >= 0)
+    assert(sinkBatches == 4,
+      s"snapshot + 3 rate-limited tail batches expected, got $sinkBatches")
+    assert(ids(spark.sql(s"SELECT id, grp FROM graft.`$silver`")) ==
+      ((0L to 99L) ++ Seq(201L, 202L, 203L)))
+  }
+
   test("the history metadata table serves DESCRIBE HISTORY from plain SQL") {
     val base = tmp("cat_hist")
     val t = s"$base/t"
