@@ -79,7 +79,18 @@ object ScaleVerify {
     // dv commits instead of rewrites — same final table), and the
     // SQL DDL lifecycle (CTAS + evolve + schema-evolution MERGE)
     "txlog_catalog_masked_read", "txlog_catalog_rowlevel_mor",
-    "txlog_catalog_ctas", "stream_mapped_source")
+    "txlog_catalog_ctas", "stream_mapped_source",
+    // round-17: the catalog streaming pair (snapshot-then-tail reads
+    // and per-epoch sink commits over tables whose file sets DIFFER
+    // between the layouts — the consumed/landed rows must be
+    // identical), the pure-catalog hop, DDL-declared clustering
+    // (different input layouts → different pre-OPTIMIZE file sets;
+    // the clustered read must answer identically) and the history
+    // metadata table (a fully scripted sequence — constant by
+    // construction under any layout)
+    "stream_catalog_source", "stream_catalog_multihop",
+    "stream_catalog_sink", "txlog_catalog_clustered",
+    "txlog_catalog_history")
 
   def main(args: Array[String]): Unit = {
     val d = "/root/testdata/sf0.1"
@@ -124,6 +135,13 @@ object ScaleVerify {
     stage("b", Replicas.embPath(probeOut, 4), "embeddings",
       _.repartitionByRange(13, col("vec_id").desc)
         .sortWithinPartitions(col("vec_id").desc))
+    // events at source scale (not replicated — the clustered-DDL entry
+    // is layout-sensitive on its INPUT file cut, which is exactly the
+    // degree of freedom the two stagings vary)
+    stage("a", s"$d/events.parquet", "events", _.repartition(32))
+    stage("b", s"$d/events.parquet", "events",
+      _.repartitionByRange(13, col("event_id").desc)
+        .sortWithinPartitions(col("event_id").desc))
     stage("ap", Replicas.plainDocsPath(probeOut, 4), "documents",
       _.repartition(32))
     stage("ap", Replicas.embPath(probeOut, 4), "embeddings",
