@@ -164,6 +164,9 @@ object SparkEntry {
         k != "txlog_optimize_range" && // builds a table per call: IO class
         k != "txlog_catalog_clustered" && // builds a table per call: IO class
         k != "txlog_catalog_history" && // builds a table per call: IO class
+        k != "cdf_catalog_batch" && // builds a table per call: IO class
+        k != "txlog_catalog_skipping" && // builds a table per call: IO class
+        k != "txlog_catalog_replace" && // builds a table per call: IO class
         !k.startsWith("medallion_pin_q") && // shared streaming medallion: IO class
         // same results as ngram_jaccard via the hot-key-free candidate
         // path; its freq-agg + prefix overhead only pays off on corpora
@@ -2171,6 +2174,142 @@ object SparkEntry {
       Engine.canonical(s.sql(
         s"SELECT doc_id, lang, source, n_chars, lang_up FROM graft.`$silver`"))
     }),
+    // atomic REPLACE TABLE AS SELECT through the staging catalog
+    // (round 17): Spark plans the Atomic*Exec because the catalog
+    // stages — the statement's schema AND data land as ONE
+    // history-preserving overwrite commit (the non-atomic fallback
+    // drops the table, nuking its log). The result unions the
+    // replaced table with the time-traveled PRE-replace version,
+    // proving the swap and the preserved history in one hash; twin =
+    // set algebra over the source table
+    "txlog_catalog_replace" -> prep((s, d) => {
+      val t = tmpDir("graft_txreplace")
+      val docsDf = s.read.parquet(s"$d/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+      graft.ingest.TxLog.write(docsDf.where(col("doc_id") < 200)
+        .repartitionByRange(4, col("doc_id")), t, "overwrite") // v0
+      docsDf.createOrReplaceTempView("replace_src")
+      s.sql(s"""REPLACE TABLE graft.`$t` AS
+        SELECT doc_id, upper(lang) AS lang_up, n_chars
+        FROM replace_src WHERE doc_id BETWEEN 300 AND 499""") // v1
+      Engine.canonical(s.sql(s"""
+        SELECT doc_id, lang_up, n_chars, 'now' AS at FROM graft.`$t`
+        UNION ALL
+        SELECT doc_id, upper(lang) AS lang_up, n_chars, 'v0' AS at
+        FROM graft.`$t` VERSION AS OF 0"""))
+    }),
+    // automatic data skipping on catalog reads (round 17, Delta's
+    // planning-time file pruning): the pushed WHERE translates to the
+    // engine's stats predicate vocabulary and drops non-overlapping
+    // files BEFORE the scan is built — a range lookup on a
+    // range-clustered table schedules O(matching) tasks, not one per
+    // live file (DataSkippingSpec pins the scanned-file counts; this
+    // entry pins the results stay exact)
+    "txlog_catalog_skipping" -> prep((s, d) => {
+      val t = tmpDir("graft_catskip")
+      val docsDf = s.read.parquet(s"$d/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+      graft.ingest.TxLog.write(docsDf.repartitionByRange(8, col("doc_id")),
+        t, "overwrite")
+      Engine.canonical(s.sql(
+        s"SELECT doc_id, lang, source, n_chars FROM graft.`$t` " +
+          s"WHERE doc_id BETWEEN 100 AND 199 AND lang IS NOT NULL"))
+    }),
+    // the change data feed THROUGH THE SQL CATALOG (round 17, Delta's
+    // readChangeFeed surface as the `.changes` metadata table — the
+    // `.history` shape applied to CDF so the window options never
+    // change the relation's schema): the same scripted sequence as
+    // txlog_changes, consumed via spark.read.option("startingVersion",
+    // ...).table("graft.`t`.changes") and netted client-side — the
+    // DSv2 one-file-per-task feed must carry the identical multiset,
+    // so it shares txlog_changes' oracle
+    "cdf_catalog_batch" -> prep((s, d) => {
+      val t = tmpDir("graft_catcdf")
+      val docsDf = s.read.parquet(s"$d/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+      graft.ingest.TxLog.write(docsDf.where(col("doc_id") < 300)
+        .repartitionByRange(4, col("doc_id")), t, "overwrite")
+      graft.ingest.TxLog.update(s, t, col("source") === "src2",
+        Map("source" -> lit("patched")))
+      val mark = graft.ingest.TxLog.latestVersion(t).get
+      graft.ingest.TxLog.write(docsDf.where(col("doc_id") >= 300)
+        .repartitionByRange(2, col("doc_id")), t, "append")
+      graft.ingest.TxLog.deleteRange(s, t, "doc_id", Some(50L), Some(99L))
+      val ch = s.read.option("startingVersion", mark + 1)
+        .table(s"graft.`$t`.changes")
+        .drop("_commit_version")
+      val ins = ch.where(col("_change_type") === "insert")
+        .drop("_change_type")
+      val del = ch.where(col("_change_type") === "delete")
+        .drop("_change_type")
+      val net = ins.exceptAll(del).withColumn("_change_type", lit("insert"))
+        .unionByName(
+          del.exceptAll(ins).withColumn("_change_type", lit("delete")))
+      Engine.canonical(net
+        .select("doc_id", "lang", "source", "n_chars", "_change_type"))
+    }),
+    // the STREAMING change feed (round 17): readStream.table on
+    // `.changes` serves the snapshot as inserts, then the
+    // merge-on-read DELETE/UPDATE commits — which the plain source
+    // refuses loudly as non-append-only — as exact row-level change
+    // rows with their commit versions, exactly once across drains;
+    // the oracle rebuilds every arm from the source table with
+    // literal versions (the script is deterministic)
+    "stream_cdf_catalog" -> prep((s, d) => {
+      val base = tmpDir("graft_cdfstream")
+      val t = s"$base/table"
+      val docsDf = s.read.parquet(s"$d/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+      graft.ingest.TxLog.write(docsDf.where(col("doc_id") < 300)
+        .repartitionByRange(4, col("doc_id")), t, "overwrite") // v0
+      s.sql(s"ALTER TABLE graft.`$t` SET TBLPROPERTIES(" +
+        s"'${graft.ingest.TxLog.DmlModeProp}'=" +
+        s"'${graft.ingest.TxLog.DmlModeMor}')")
+      def drain(): Unit = {
+        val q = s.readStream.table(s"graft.`$t`.changes")
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain() // the snapshot lands as inserts stamped v0
+      s.sql(s"DELETE FROM graft.`$t` WHERE doc_id BETWEEN 50 AND 99") // v1
+      s.sql(s"UPDATE graft.`$t` SET source = 'patched' " +
+        s"WHERE source = 'src2'") // v2
+      graft.ingest.TxLog.write(docsDf.where(col("doc_id") >= 300)
+        .repartitionByRange(2, col("doc_id")), t, "append") // v3
+      drain()
+      Engine.canonical(s.read.parquet(s"$base/out")
+        .select("doc_id", "lang", "source", "n_chars", "_change_type",
+          "_commit_version"))
+    }),
+    // tail-only streaming start (round 17, Delta's startingVersion
+    // reader option on the PLAIN source): the consumer that already
+    // holds the table's past skips the snapshot and consumes appends
+    // from the named version on
+    "stream_catalog_tail" -> prep((s, d) => {
+      val base = tmpDir("graft_cattail")
+      val t = s"$base/table"
+      val docsDf = docs(s, d).select("doc_id", "lang", "source", "n_chars")
+      graft.ingest.TxLog.write(docsDf.where(col("doc_id") % 3 === 0)
+        .repartitionByRange(4, col("doc_id")), t, "overwrite") // v0
+      graft.ingest.TxLog.write(docsDf.where(col("doc_id") % 3 === 1)
+        .repartitionByRange(2, col("doc_id")), t, "append") // v1
+      graft.ingest.TxLog.write(docsDf.where(col("doc_id") % 3 === 2)
+        .repartitionByRange(2, col("doc_id")), t, "append") // v2
+      val q = s.readStream.option("startingVersion", 2)
+        .table(s"graft.`$t`")
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Engine.canonical(s.read.parquet(s"$base/out")
+        .select("doc_id", "lang", "source", "n_chars"))
+    }),
     // multi-hop pipeline (round 14, the bronze→silver medallion
     // shape): a TxLog table streams THROUGH a transform INTO another
     // TxLog table — streamSource's published tail on one end,
@@ -2943,6 +3082,11 @@ object SparkEntry {
     "stream_catalog_multihop" -> ExtOracle.streamTxlogMultihop,
     "stream_catalog_sink" -> ExtOracle.streamTxlogMultihop,
     "stream_mapped_source" -> ExtOracle.streamMappedSource,
+    "txlog_catalog_skipping" -> ExtOracle.catalogSkipping,
+    "txlog_catalog_replace" -> ExtOracle.catalogReplace,
+    "cdf_catalog_batch" -> ExtOracle.txlogChanges,
+    "stream_cdf_catalog" -> ExtOracle.streamCdfCatalog,
+    "stream_catalog_tail" -> ExtOracle.streamCatalogTail,
     "stream_txlog_multihop" -> ExtOracle.streamTxlogMultihop,
     // same verdict contract as the batch writeExpect — stream chopping
     // must be invisible in the split

@@ -660,6 +660,65 @@ SELECT doc_id, lang,
 FROM documents WHERE doc_id BETWEEN 50 AND 99
 ${ord("doc_id", "lang", "source", "n_chars", "_change_type")}""".trim
 
+  /** Twin of `txlog_catalog_skipping`: the pruned catalog read must
+    * equal the plain filter — data skipping is an optimization, never
+    * a filter. */
+  val catalogSkipping: String = s"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id BETWEEN 100 AND 199 AND lang IS NOT NULL
+${ord("doc_id", "lang", "source", "n_chars")}""".trim
+
+  /** Twin of `txlog_catalog_replace`: the replaced table ('now' arm,
+    * doc_id ∈ [300, 499] under the new shape) beside its
+    * time-traveled pre-replace version ('v0' arm, doc_id < 200) —
+    * both rebuilt straight off the source table. */
+  val catalogReplace: String = s"""
+SELECT doc_id, upper(lang) AS lang_up, n_chars, 'now' AS at
+FROM documents WHERE doc_id BETWEEN 300 AND 499
+UNION ALL
+SELECT doc_id, upper(lang) AS lang_up, n_chars, 'v0' AS at
+FROM documents WHERE doc_id < 200
+${ord("doc_id", "lang_up", "n_chars", "at")}""".trim
+
+  /** Twin of `stream_cdf_catalog`: the CDF stream over a scripted
+    * merge-on-read sequence — snapshot-as-inserts at v0 (doc_id <
+    * 300, pre-DML values), the dv DELETE's exact pre-image rows at
+    * v1 ([50, 99]), the dv UPDATE's delete+insert pair at v2 (src2
+    * rows NOT already deleted — the scan reads through v1's mask),
+    * and the plain append at v3 — every arm reconstructed straight
+    * off the source table with its literal commit version. */
+  val streamCdfCatalog: String = s"""
+SELECT doc_id, lang, source, n_chars,
+  'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version
+FROM documents WHERE doc_id < 300
+UNION ALL
+SELECT doc_id, lang, source, n_chars,
+  'delete' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+FROM documents WHERE doc_id BETWEEN 50 AND 99
+UNION ALL
+SELECT doc_id, lang, source, n_chars,
+  'delete' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+FROM documents
+WHERE doc_id < 300 AND source = 'src2' AND doc_id NOT BETWEEN 50 AND 99
+UNION ALL
+SELECT doc_id, lang, 'patched' AS source, n_chars,
+  'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+FROM documents
+WHERE doc_id < 300 AND source = 'src2' AND doc_id NOT BETWEEN 50 AND 99
+UNION ALL
+SELECT doc_id, lang, source, n_chars,
+  'insert' AS _change_type, CAST(3 AS BIGINT) AS _commit_version
+FROM documents WHERE doc_id >= 300
+${ord("doc_id", "lang", "source", "n_chars", "_change_type",
+      "_commit_version")}""".trim
+
+  /** Twin of `stream_catalog_tail`: a startingVersion=2 stream over
+    * (v0: doc_id%3=0, v1: %3=1, v2: %3=2) consumes EXACTLY the v2
+    * slice — no snapshot, no v1. */
+  val streamCatalogTail: String = s"""
+SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id % 3 = 2
+${ord("doc_id")}""".trim
+
   /** Twin of `stream_txlog_upsert`: the CDC convergence contract —
     * after three revision waves (rev 1 re-emits every 5th doc with
     * n_chars+1000, rev 2 every 25th with n_chars+2000, both bumping

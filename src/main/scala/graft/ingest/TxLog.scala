@@ -1222,6 +1222,27 @@ object TxLog {
     * empty afterwards. Also the failure-cleanup hook Spark's
     * non-atomic CTAS calls — without it a failed CTAS bricks the
     * table name behind its empty v0 commit. */
+  /** REPLACE TABLE metadata reset: the unversioned sidecars — table
+    * properties, CHECK constraints, generated columns, the bloom
+    * registry and its per-file filters — describe the table being
+    * REPLACED, so the staged replace discards them before its own
+    * data lands (the old constraints must not gate, nor the old
+    * generation rules rewrite, the new table's rows; Delta's REPLACE
+    * resets metadata the same way). Versioned state — commits, data
+    * files, dv sets — is untouched: the replace itself is one
+    * overwrite commit and history stays time-travelable. */
+  def resetTableMetadata(table: String): Unit = {
+    Seq(propsFile(table), constraintsFile(table), generatedFile(table),
+      bloomColsFile(table)).foreach(Files.deleteIfExists(_))
+    val bd = bloomDir(table)
+    if (Files.isDirectory(bd)) {
+      val w = Files.walk(bd)
+      val all = try w.toArray.map(_.asInstanceOf[Path]) finally w.close()
+      all.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+    }
+    ()
+  }
+
   def dropTable(table: String): Unit = {
     require(latestVersion(table).nonEmpty,
       s"$table is not a table (no commit log) — refusing to delete")
@@ -1864,6 +1885,18 @@ object TxLog {
     * multi-column data skipping. Returns (kept, totalLive). */
   def pruneFilesWhere(table: String, preds: Seq[Pred],
       asOf: Option[Long] = None): (Seq[String], Int) = {
+    val live = liveFiles(table, asOf)
+    (pruneGiven(table, live, preds, asOf), live.size)
+  }
+
+  /** `pruneFilesWhere` over a CALLER-PINNED file list — the DSv2
+    * catalog scan path, which already holds its snapshot's live set
+    * and must not replay the log a second time. Same tiers, same
+    * conservatism: a file is dropped only when its recorded stats (or
+    * a bloom sidecar, current-version reads only) PROVE it holds no
+    * admitted row. */
+  def pruneGiven(table: String, live: Seq[String], preds: Seq[Pred],
+      asOf: Option[Long] = None): Seq[String] = {
     preds.collect {
       case Pred.Eq(c, v) if v == null => c
       case Pred.In(c, vs) if vs.isEmpty || vs.contains(null) => c
@@ -1874,7 +1907,6 @@ object TxLog {
         s"Eq/In need non-null, non-empty values (SQL equality never " +
           s"matches NULL — use Pred.IsNull): ${bad.mkString(", ")}")
     }
-    val live = liveFiles(table, asOf)
     val stats = fileStats(table)
     val (cm, _) = colMapAt(table, asOf) // stats keyed physical
     val kept = live.filter { f =>
@@ -1904,7 +1936,7 @@ object TxLog {
           case _ => ks
         }
       }
-    (keptB, live.size)
+    keptB
   }
 
   /** The exact row-level filter for one predicate — applied to the
@@ -2786,6 +2818,72 @@ object TxLog {
         .withColumn("_commit_version", lit(0L)))
   }
 
+  /** One partition-plannable arm of the change feed: read `files` as
+    * `changeType` rows stamped `version`. With `keep = false` the
+    * files are served MINUS their `dv` masks (insert arms, and the
+    * delete arms of rewrites/overwrites — removed files under their
+    * pre-commit masks). With `keep = true` (a dv commit's delete arm)
+    * ONLY the positions NEWLY masked by the commit are served: `dv`
+    * holds the cumulative masks after it, `dvBefore` the same files'
+    * masks before it, and the reader emits `dv` minus `dvBefore` per
+    * file. */
+  final case class CdfArm(version: Long, changeType: String,
+    files: Seq[String], dv: Map[String, (String, Long)],
+    keep: Boolean = false,
+    dvBefore: Map[String, (String, Long)] = Map.empty)
+
+  /** The change feed over `(fromV, toV]` as partition-plannable arms —
+    * the same single replay pass (and the same overwrite / dv /
+    * checkpoint-noop cases) as [[changes]], returning file lists +
+    * mask state instead of DataFrames, so the DSv2 `.changes`
+    * metadata table can serve the feed ONE FILE PER TASK, batch and
+    * micro-batch streaming alike, with no nested driver-side query
+    * planning. Pure log metadata: cost is O(commits in the window),
+    * never data-proportional. */
+  def cdfArms(table: String, fromV: Long, toV: Long): Seq[CdfArm] = {
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    var dvm = Map.empty[String, (String, Long)]
+    val arms = Seq.newBuilder[CdfArm]
+    commitsFrom(table, replayFrom(table, Some(fromV)))
+      .takeWhile(_.version <= toV).foreach { c =>
+      val before = if (c.mode == "overwrite") live.toSeq else Seq.empty
+      val dvmBefore = dvm
+      if (c.mode == "overwrite") { live.clear(); dvm = Map.empty }
+      live --= c.removes
+      dvm --= c.removes
+      live ++= c.adds
+      dvm ++= c.dvs
+      if (c.version > fromV) {
+        val dels = if (c.mode == "overwrite") before else c.removes
+        val delSet = dels.toSet
+        val checkpointNoop = c.mode == "overwrite" &&
+          delSet == c.adds.toSet && dvmBefore == c.dvs
+        if (c.mode == "dv") {
+          // merge-on-read commit: newly-masked rows leave (exact —
+          // the reader diffs new-minus-old per file), re-landed rows
+          // (an update's post-images) enter unmasked
+          val dvFiles = c.dvs.keys.toSeq.sorted
+          if (dvFiles.nonEmpty)
+            arms += CdfArm(c.version, "delete", dvFiles, c.dvs,
+              keep = true,
+              dvBefore = dvmBefore.filter(kv => c.dvs.contains(kv._1)))
+          if (c.adds.nonEmpty)
+            arms += CdfArm(c.version, "insert", c.adds, Map.empty)
+        } else if (!checkpointNoop) {
+          if (dels.nonEmpty)
+            arms += CdfArm(c.version, "delete", dels,
+              dvmBefore.filter(kv => delSet(kv._1)))
+          if (c.adds.nonEmpty) {
+            val addSet = c.adds.toSet
+            arms += CdfArm(c.version, "insert", c.adds,
+              dvm.filter(kv => addSet(kv._1)))
+          }
+        }
+      }
+    }
+    arms.result()
+  }
+
   /** Exact row-level diff over (`fromV`, `toV`]: `changes` with the
     * pass-through rows of rewritten files cancelled out (multiset
     * EXCEPT in both directions), leaving only rows that truly entered
@@ -3161,6 +3259,25 @@ object TxLog {
     * at or before the target — O(commits newer than the target), which
     * for the common "recent timestamp" query is a handful. None if
     * the table has no commit that old. */
+  /** Earliest version whose in-commit timestamp is AT OR AFTER
+    * `tsMillis` — the `startingTimestamp` reader option's resolution
+    * (Delta's contract: consume from the first commit at or after the
+    * timestamp; [[versionAt]] is the dual, serving TIMESTAMP AS OF).
+    * None when no commit qualifies. */
+  def versionAtOrAfter(table: String, tsMillis: Long): Option[Long] = {
+    val dir = logDir(table)
+    if (!Files.isDirectory(dir)) return None
+    ls(dir).map(_.getFileName.toString)
+      .filter(_.matches("\\d{10}\\.txt"))
+      .map(_.stripSuffix(".txt").toLong)
+      .sorted
+      .find { v =>
+        commitAt(table, v)
+          .map(effectiveTs(table, _))
+          .exists(_ >= tsMillis)
+      }
+  }
+
   def versionAt(table: String, tsMillis: Long): Option[Long] = {
     val dir = logDir(table)
     if (!Files.isDirectory(dir)) return None

@@ -90,7 +90,22 @@ object ScaleVerify {
     // construction under any layout)
     "stream_catalog_source", "stream_catalog_multihop",
     "stream_catalog_sink", "txlog_catalog_clustered",
-    "txlog_catalog_history")
+    "txlog_catalog_history",
+    // round-17 continuation: the change feed through the catalog —
+    // different layouts produce DIFFERENT file groupings, rewrite
+    // sets and dv masks, so the raw feeds differ file-granularly; the
+    // NETTED batch feed and the merge-on-read streaming feed (exact
+    // by construction) must be identical anyway — and the tail-only
+    // stream must serve exactly its commit regardless of layout
+    "cdf_catalog_batch", "stream_cdf_catalog", "stream_catalog_tail",
+    // automatic data skipping: the two layouts record DIFFERENT
+    // per-file stats (range-clustered vs scattered), so the pruned
+    // file sets differ wildly — the answered rows must be identical
+    "txlog_catalog_skipping",
+    // atomic RTAS: the two layouts stage different file sets into the
+    // replace commit — the replaced table + its time-traveled past
+    // must hash identically anyway
+    "txlog_catalog_replace")
 
   def main(args: Array[String]): Unit = {
     val d = "/root/testdata/sf0.1"

@@ -59,7 +59,8 @@ import graft.ingest.TxLog
   * `org.apache.spark.sql` subpackage to reach `ParquetTable` /
   * `PredicateUtils` (the `graftx/Bridge.scala` pattern — only this
   * package touches Spark internals). */
-class GraftCatalog extends TableCatalog with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog
+    with StagingTableCatalog {
 
   private var catalogName = "graft"
 
@@ -95,6 +96,20 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
             "time travel over the history metadata table is not " +
               "supported — it already spans every version")
           return new GraftHistoryTable(baseT)
+        }
+      }
+      // the change data feed, same metadata-table shape: batch reads
+      // window with startingVersion/endingVersion reader options,
+      // `readStream.table` serves snapshot-then-changes — including
+      // the dv/rewrite commits the plain stream source refuses
+      if (ident.name() == "changes" && ident.namespace().nonEmpty) {
+        val baseT = ident.namespace().mkString("/")
+        if (TxLog.latestVersion(baseT).nonEmpty) {
+          require(asOf.isEmpty,
+            "time travel over the changes metadata table is not " +
+              "supported — pin the window with the startingVersion/" +
+              "endingVersion reader options instead")
+          return new GraftChangesTable(baseT)
         }
       }
       throw new NoSuchTableException(ident)
@@ -150,44 +165,44 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val clusterCols: Seq[String] = partitions.toSeq.flatMap {
-      case c: org.apache.spark.sql.connector.expressions.ClusterByTransform =>
-        c.columnNames.map(_.fieldNames().mkString("."))
-      case t if t.name() == "identity" =>
-        t.references().map(_.fieldNames().mkString("."))
-      case other => throw new UnsupportedOperationException(
-        s"unsupported partition transform '$other': graft tables " +
-          "cluster by layout — use PARTITIONED BY (cols) / CLUSTER BY " +
-          "(cols), realized by CALL graft.system.optimize")
-    }
-    clusterCols.foreach { c =>
-      require(schema.fieldNames.contains(c),
-        s"clustering column $c is not in the table schema")
-      require(!c.contains("."),
-        s"clustering supports top-level columns only; got $c")
-    }
+    val clusterCols = GraftCatalog.clusterColsOf(schema, partitions)
     val t = tablePath(ident)
-    // LOCATION/EXTERNAL would be silently wrong to accept: a graft
-    // table LIVES at its identifier path. Refuse loudly (the catalog's
-    // refuse-don't-half-apply posture) instead of landing the table
-    // at the identifier path with the clause ignored.
-    require(!properties.containsKey("location") &&
-        !properties.containsKey("external"),
-      "CREATE TABLE ... LOCATION/EXTERNAL is not supported: a graft " +
-        "table lives at its identifier path — name it graft.`/the/dir`")
+    GraftCatalog.refuseLocation(properties)
     TxLog.createTable(t, schema.toDDL.replace("\n", " "))
-    if (clusterCols.nonEmpty)
-      TxLog.setTableProperty(t, TxLog.LayoutClusterProp,
-        clusterCols.mkString(","))
-    properties.asScala.foreach { case (k, v) =>
-      // Spark stuffs reserved entries (owner, provider) into the map;
-      // keep only user-addressable keys. CLUSTER BY also arrives as a
-      // reserved "clusteringColumns" property — already recorded above
-      if (!k.startsWith("option.") && k != "owner" && k != "provider" &&
-        k != "clusteringColumns")
-        TxLog.setTableProperty(t, k, v)
-    }
+    GraftCatalog.applyTableMeta(t, clusterCols, properties)
     new GraftTxTable(t, None)
+  }
+
+  /** Atomic CTAS / RTAS / `[CREATE OR] REPLACE TABLE` — Spark plans
+    * the Atomic*Exec variants when the catalog stages: the statement's
+    * data lands as ONE overwrite commit (schema + files together, the
+    * same `TxLog.write` commit every internal overwrite uses), so the
+    * table is never visible half-created — and a REPLACE preserves
+    * HISTORY (time travel to the pre-replace table keeps working),
+    * where Spark's non-atomic fallback would drop the table and nuke
+    * its log. See [[GraftStagedTable]]. */
+  override def stageCreate(ident: Identifier, info: TableInfo): StagedTable = {
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    staged(ident, info, replace = false)
+  }
+
+  override def stageReplace(ident: Identifier, info: TableInfo): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    staged(ident, info, replace = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: TableInfo): StagedTable =
+    staged(ident, info, replace = tableExists(ident))
+
+  private def staged(ident: Identifier, info: TableInfo,
+      replace: Boolean): StagedTable = {
+    GraftCatalog.refuseLocation(info.properties())
+    new GraftStagedTable(tablePath(ident), info.schema(),
+      GraftCatalog.clusterColsOf(info.schema(), info.partitions()),
+      info.properties(), replace)
   }
 
   /** `ALTER TABLE graft.`t` ...`: ADD COLUMNS (metadata-only additive
@@ -275,6 +290,155 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "RENAME TABLE is not supported; move the table directory")
+}
+
+private[graftx] object GraftCatalog {
+
+  /** `PARTITIONED BY` / `CLUSTER BY` → the layout-clustering columns
+    * (TxLog tables cluster by range/z-order layout realized by
+    * OPTIMIZE, never hive directories); non-identity transforms
+    * refuse loudly. */
+  def clusterColsOf(schema: StructType,
+      partitions: Array[Transform]): Seq[String] = {
+    val cols: Seq[String] = partitions.toSeq.flatMap {
+      case c: org.apache.spark.sql.connector.expressions.ClusterByTransform =>
+        c.columnNames.map(_.fieldNames().mkString("."))
+      case t if t.name() == "identity" =>
+        t.references().map(_.fieldNames().mkString("."))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported partition transform '$other': graft tables " +
+          "cluster by layout — use PARTITIONED BY (cols) / CLUSTER BY " +
+          "(cols), realized by CALL graft.system.optimize")
+    }
+    cols.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"clustering column $c is not in the table schema")
+      require(!c.contains("."),
+        s"clustering supports top-level columns only; got $c")
+    }
+    cols
+  }
+
+  /** LOCATION/EXTERNAL would be silently wrong to accept: a graft
+    * table LIVES at its identifier path. Refuse loudly (the catalog's
+    * refuse-don't-half-apply posture) instead of landing the table at
+    * the identifier path with the clause ignored. */
+  def refuseLocation(properties: util.Map[String, String]): Unit =
+    require(!properties.containsKey("location") &&
+        !properties.containsKey("external"),
+      "CREATE TABLE ... LOCATION/EXTERNAL is not supported: a graft " +
+        "table lives at its identifier path — name it graft.`/the/dir`")
+
+  /** The `startingVersion` / `startingTimestamp` reader options
+    * resolved to ONE starting commit version (Delta's pair: a
+    * timestamp resolves to the first commit AT OR AFTER it, in the
+    * engine's UTC wall-clock contract). Both set at once refuses
+    * loudly; a timestamp past the log's end likewise. */
+  def startVersionOf(path: String,
+      options: CaseInsensitiveStringMap): Option[Long] = {
+    val sv = Option(options.get("startingVersion")).map(_.toLong)
+    val st = Option(options.get("startingTimestamp"))
+    require(sv.isEmpty || st.isEmpty,
+      "set either startingVersion or startingTimestamp, not both")
+    sv.orElse(st.map { s =>
+      val ms = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      TxLog.versionAtOrAfter(path, ms).getOrElse(
+        throw new IllegalArgumentException(
+          s"startingTimestamp $s is after the last commit of $path"))
+    })
+  }
+
+  /** Record the clustering property and the statement's
+    * user-addressable TBLPROPERTIES (Spark stuffs reserved entries —
+    * owner, provider, clusteringColumns — into the map). */
+  def applyTableMeta(t: String, clusterCols: Seq[String],
+      properties: util.Map[String, String]): Unit = {
+    if (clusterCols.nonEmpty)
+      TxLog.setTableProperty(t, TxLog.LayoutClusterProp,
+        clusterCols.mkString(","))
+    properties.asScala.foreach { case (k, v) =>
+      if (!k.startsWith("option.") && k != "owner" && k != "provider" &&
+        k != "clusteringColumns")
+        TxLog.setTableProperty(t, k, v)
+    }
+  }
+}
+
+/** One staged `[CREATE OR] REPLACE TABLE [AS SELECT]` statement
+  * (returned by [[GraftCatalog.stageCreate]] and friends): the
+  * query's rows flow through the standard `TxLog.write(…,
+  * "overwrite")` — executors stage, the driver lands ONE commit
+  * carrying the new schema AND the new files, so visibility is
+  * atomic by the log's own contract (a fresh table's v0, or version
+  * n+1 of a replaced table with every prior version still
+  * time-travelable). A plain REPLACE (no AS) commits an EMPTY
+  * overwrite with the declared schema at `commitStagedChanges`.
+  *
+  * REPLACE resets the unversioned metadata sidecars (properties,
+  * CHECK constraints, generated columns, bloom registry+sidecars) —
+  * Delta's REPLACE resets metadata the same way — and it must happen
+  * BEFORE the data write: the OLD table's constraints and generation
+  * rules must not gate or rewrite the NEW table's rows. Sidecars are
+  * documented-unversioned state, so a replace that fails mid-query
+  * may have reset them already (the data, schema and history are
+  * untouched in that case — the commit never landed).
+  *
+  * `abortStagedChanges` is a no-op by construction: either the single
+  * commit landed (a complete, consistent table) or nothing did. */
+private[graftx] class GraftStagedTable(path: String, declared: StructType,
+    clusterCols: Seq[String], props: util.Map[String, String],
+    replace: Boolean) extends StagedTable with SupportsWrite {
+
+  @volatile private var wrote = false
+  @volatile private var metaReset = false
+
+  private def resetOnce(): Unit =
+    if (replace && !metaReset) { TxLog.resetTableMetadata(path); metaReset = true }
+
+  // must stay a parseable identifier: Spark's overwrite analysis runs
+  // the name through its attribute parser for error rendering
+  override def name(): String = s"graft.`$path`"
+
+  override def schema(): StructType = declared
+
+  override def capabilities(): util.Set[TableCapability] =
+    // TRUNCATE: an RTAS write arrives as OverwriteByExpression(true)
+    Set(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // the staged write IS the replace — truncate-vs-append carries
+      // no extra signal, every staged statement lands one overwrite
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: sources.InsertableRelation =
+          (data, _) => {
+            resetOnce()
+            TxLog.write(data, path, "overwrite")
+            wrote = true
+            ()
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    if (!wrote) {
+      // plain [CREATE OR] REPLACE TABLE: an empty overwrite commit
+      // carrying the declared schema — history preserved
+      resetOnce()
+      val spark = SparkSession.active
+      TxLog.write(
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          declared),
+        path, "overwrite")
+      ()
+    }
+    GraftCatalog.applyTableMeta(path, clusterCols, props)
+  }
+
+  override def abortStagedChanges(): Unit = ()
 }
 
 /** The DESCRIBE HISTORY surface as a catalog-queryable METADATA TABLE
@@ -376,12 +540,14 @@ private[graftx] class GraftTxTable(path: String, asOf: Option[Long])
 
   private def spark: SparkSession = SparkSession.active
 
-  private lazy val delegate = ParquetTable(
+  private def delegateOver(fs: Seq[String]) = ParquetTable(
     name(), spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
     CaseInsensitiveStringMap.empty(),
-    pinnedFiles.map(f =>
+    fs.map(f =>
       java.nio.file.Paths.get(path, f).toAbsolutePath.toString),
     Some(schema()), classOf[ParquetFileFormat])
+
+  private lazy val delegate = delegateOver(pinnedFiles)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftDelegatingScanBuilder(delegate.newScanBuilder(options),
@@ -389,7 +555,15 @@ private[graftx] class GraftTxTable(path: String, asOf: Option[Long])
       canStream = asOf.isEmpty,
       // streaming rate limit (reader option): commits per micro-batch
       maxVersionsPerTrigger =
-        Option(options.get("maxVersionsPerTrigger")).map(_.toLong))
+        Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
+      // streaming tail-only start (reader options, Delta's names):
+      // skip the initial snapshot, consume appends from this version
+      // (or the first commit at/after this timestamp) on
+      startingVersion = GraftCatalog.startVersionOf(path, options),
+      // data skipping (round 17): the user's pin gates the bloom tier;
+      // the rebuild hook serves a stats-narrowed parquet delegate
+      asOf = asOf,
+      delegateFor = fs => delegateOver(fs).newScanBuilder(options))
 
   /** Per-row provenance: `SELECT _file, _pos, ... FROM graft.`t``
     * names the table file each row lives in and its original

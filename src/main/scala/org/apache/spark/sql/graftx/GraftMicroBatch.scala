@@ -51,13 +51,28 @@ private[graftx] class GraftMicroBatchStream(path: String, ddl: String,
     // with a deep unconsumed tail. The INITIAL snapshot always lands
     // whole — splitting pre-stream history across versions could serve
     // files a later (pre-snapshot) rewrite tombstoned.
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    // reader option `startingVersion` (Delta's option of the same
+    // name): SKIP the initial snapshot and tail append commits from
+    // this version INCLUSIVE — the consumer that already holds the
+    // table's past (a restarted pipeline with external state, a
+    // backfill handled elsewhere) and wants only the live tail
+    startingVersion: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   require(maxVersionsPerTrigger.forall(_ > 0),
     s"maxVersionsPerTrigger must be positive; got $maxVersionsPerTrigger")
 
   private def latestV: Long = TxLog.latestVersion(path).getOrElse(-1L)
+
+  require(startingVersion.forall(v => v >= 0 && v <= latestV + 1),
+    s"startingVersion must be in [0, ${latestV + 1}] " +
+      s"(latest committed version + 1); got $startingVersion")
+
+  // offset -1 is ambiguous between "snapshot pending" (no
+  // startingVersion) and "tail from version 0" (startingVersion=0) —
+  // the flag, fixed per query start/restart, disambiguates
+  private val snapshotAtStart = startingVersion.isEmpty
 
   // Trigger.AvailableNow: pin the target version at start, serve up
   // to it, stop — commits landing mid-run wait for the next run
@@ -72,7 +87,10 @@ private[graftx] class GraftMicroBatchStream(path: String, ddl: String,
     val target = availableTarget.getOrElse(latestV)
     val s = start.asInstanceOf[GraftStreamOffset].version
     GraftStreamOffset(maxVersionsPerTrigger match {
-      case Some(m) if s >= 0 => math.min(target, s + m)
+      // the initial snapshot (s = -1 under snapshotAtStart) always
+      // lands whole; a pure tail (startingVersion) rate-limits from
+      // its very first batch
+      case Some(m) if s >= 0 || !snapshotAtStart => math.min(target, s + m)
       case _ => target
     })
   }
@@ -85,7 +103,8 @@ private[graftx] class GraftMicroBatchStream(path: String, ddl: String,
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) serves this source")
 
-  override def initialOffset(): Offset = GraftStreamOffset(-1L)
+  override def initialOffset(): Offset =
+    GraftStreamOffset(startingVersion.map(_ - 1).getOrElse(-1L))
 
   override def deserializeOffset(json: String): Offset =
     GraftStreamOffset(json.trim.toLong)
@@ -100,7 +119,7 @@ private[graftx] class GraftMicroBatchStream(path: String, ddl: String,
     val e = end.asInstanceOf[GraftStreamOffset].version
     if (e < 0 || e <= s) return Array.empty
     val (files, dvm) =
-      if (s < 0) {
+      if (s < 0 && snapshotAtStart) {
         // initial batch = the snapshot AS OF the end offset, masks
         // pinned at the same version (the one place dv is legal —
         // every later commit must be append-only)
@@ -133,7 +152,8 @@ private[graftx] class GraftMicroBatchStream(path: String, ddl: String,
   * provenance reads) implements toMicroBatchStream itself. */
 private[graftx] class GraftStreamableScan(val inner: Scan, path: String,
     ddl: String, cm: Map[String, String],
-    maxVersionsPerTrigger: Option[Long] = None) extends Scan
+    maxVersionsPerTrigger: Option[Long] = None,
+    startingVersion: Option[Long] = None) extends Scan
     with SupportsReportStatistics with SupportsMetadata {
 
   override def readSchema(): StructType = inner.readSchema()
@@ -164,7 +184,7 @@ private[graftx] class GraftStreamableScan(val inner: Scan, path: String,
   override def toMicroBatchStream(
       checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(path, ddl, inner.readSchema(), cm,
-      maxVersionsPerTrigger)
+      maxVersionsPerTrigger, startingVersion)
 
   // exchange/scan reuse must keep working across the veneer
   override def equals(o: Any): Boolean = o match {
@@ -286,15 +306,20 @@ private[graftx] object GraftReaders {
 
   def factory(ddl: String, required: StructType,
       pushed: Array[sources.Filter], cm: Map[String, String],
-      anyMasked: Boolean): PartitionReaderFactory = {
+      anyMasked: Boolean, cdf: Boolean = false): PartitionReaderFactory = {
     // column mapping: files carry PHYSICAL names; the exterior stays
     // logical and the reader projection restores names positionally
     def phys(s: StructType): StructType =
       if (cm.isEmpty) s
       else StructType(s.fields.map(f =>
         f.copy(name = cm.getOrElse(f.name, f.name))))
+    // CDF columns are reader-stamped constants, never file data — but
+    // only a `.changes` scan treats them so (a user column sharing
+    // the name stays data on plain scans)
     def isMeta(n: String): Boolean =
-      n == GraftRowLevel.FileCol || n == GraftRowLevel.PosCol
+      n == GraftRowLevel.FileCol || n == GraftRowLevel.PosCol ||
+        (cdf && (n == GraftRowLevel.CdfTypeCol ||
+          n == GraftRowLevel.CdfVerCol))
     val dataSchema = phys(GraftRowLevel.relaxed(ddl))
     val readDataSchema = phys(StructType(required.filterNot(f => isMeta(f.name))))
     val spark = SparkSession.active

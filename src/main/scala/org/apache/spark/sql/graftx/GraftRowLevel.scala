@@ -73,12 +73,84 @@ private[graftx] object GraftRowLevel {
     * between rewrites, so it survives for the life of the file. */
   val PosCol = "_pos"
 
+  /** Change-feed columns served by the `.changes` metadata table —
+    * per-partition constants stamped by the reader (Delta's CDF
+    * column names, so consumers port unchanged). */
+  val CdfTypeCol = "_change_type"
+  val CdfVerCol = "_commit_version"
+
   /** Log-recorded DDL → read schema, nullability relaxed exactly as
     * `TxLog.snapshot` reads it (schema evolution null-fills files
     * written before a column existed). */
   def relaxed(ddl: String): StructType =
     if (ddl.isEmpty) new StructType()
     else StructType(StructType.fromDDL(ddl).fields.map(_.copy(nullable = true)))
+
+  /** Pushed V1 filters → the engine's data-skipping predicate
+    * vocabulary ([[TxLog.Pred]]) for PLANNING-TIME file pruning on
+    * catalog reads — the automatic twin of `TxLog.snapshotWhere`'s
+    * explicit surface (Delta prunes its SQL scans from commit stats
+    * the same way). Conjuncts that don't translate simply don't
+    * prune; the stats/bloom tiers are themselves conservative
+    * (un-normalizable bounds keep the file), so a translated
+    * predicate can only ever DROP files that provably hold no
+    * admitted row. Strict inequalities translate to their inclusive
+    * hulls (a file whose max equals the strict bound is kept — rows
+    * inside it just fail the post-scan filter). Nested fields and
+    * dotted names are excluded: stats are keyed by top-level column. */
+  def skippingPreds(fs: Seq[sources.Filter]): Seq[TxLog.Pred] = {
+    def top(n: String): Boolean = !n.contains(".")
+    fs.flatMap {
+      case sources.EqualTo(a, v) if top(a) && v != null =>
+        Seq(TxLog.Pred.Eq(a, v))
+      case sources.EqualNullSafe(a, null) if top(a) =>
+        Seq(TxLog.Pred.IsNull(a))
+      case sources.EqualNullSafe(a, v) if top(a) =>
+        Seq(TxLog.Pred.Eq(a, v))
+      case sources.In(a, vs) if top(a) && vs.nonEmpty && !vs.contains(null) =>
+        Seq(TxLog.Pred.In(a, vs.toIndexedSeq))
+      case sources.GreaterThan(a, v) if top(a) && v != null =>
+        Seq(TxLog.Pred.Range(a, Some(v), None))
+      case sources.GreaterThanOrEqual(a, v) if top(a) && v != null =>
+        Seq(TxLog.Pred.Range(a, Some(v), None))
+      case sources.LessThan(a, v) if top(a) && v != null =>
+        Seq(TxLog.Pred.Range(a, None, Some(v)))
+      case sources.LessThanOrEqual(a, v) if top(a) && v != null =>
+        Seq(TxLog.Pred.Range(a, None, Some(v)))
+      case sources.IsNull(a) if top(a) => Seq(TxLog.Pred.IsNull(a))
+      case sources.IsNotNull(a) if top(a) => Seq(TxLog.Pred.NotNull(a))
+      // any string with prefix p sorts at or above p — a sound lower
+      // bound for the lexical string tier
+      case sources.StringStartsWith(a, p) if top(a) && p != null =>
+        Seq(TxLog.Pred.Range(a, Some(p), None))
+      case sources.And(l, r) => skippingPreds(Seq(l)) ++ skippingPreds(Seq(r))
+      case _ => Nil // Or/Not/untranslatable: no pruning from this conjunct
+    }
+  }
+
+  /** The dv-set parts that can hold table file `f`'s mask rows, via
+    * the parts' `file`-column footer ranges (`memo` caches one listing
+    * per set across the files of one planning pass): dv sets are
+    * range-clustered on `file` at write, so each one-file task gets
+    * 1-2 parts, not the whole commit's mask. An empty pruned list
+    * under a mapping that SAYS `f` is masked means untrustworthy
+    * stats — fall back to every part (a masked row must never be
+    * served). */
+  def prunedDvParts(path: String, f: String,
+      dv: Map[String, (String, Long)],
+      memo: scala.collection.mutable.Map[String,
+        Seq[(String, Long, Long, String, String)]])
+      : Seq[(String, Long, Long)] =
+    dv.get(f).map { case (set, _) =>
+      val all = memo.getOrElseUpdate(set, TxLog.dvSetParts(path, set))
+      val pruned = all.collect {
+        case (ap, len, mt, mn, mx)
+            if (mn == null || mx == null) || (mn <= f && f <= mx) =>
+          (ap, len, mt)
+      }
+      if (pruned.nonEmpty) pruned
+      else all.map { case (ap, len, mt, _, _) => (ap, len, mt) }
+    }.getOrElse(Nil)
 }
 
 /** One SQL statement's row-level operation: shared by its scans and
@@ -152,7 +224,16 @@ private[graftx] case class GraftFilePartition(name: String,
     // the file's deletion-vector set parts (absPath, length, mtime);
     // empty = unmasked. The reader loads them executor-side and skips
     // masked positions with a sorted cursor.
-    dvParts: Seq[(String, Long, Long)] = Nil) extends InputPartition
+    dvParts: Seq[(String, Long, Long)] = Nil,
+    // change-feed stamps: when `changeType` is non-null the projection
+    // serves `_change_type`/`_commit_version` as per-partition
+    // constants (the `.changes` metadata table's arms)
+    changeType: String = null, commitVersion: Long = -1L,
+    // keep-list mode (a dv commit's CDF delete arm): emit ONLY the
+    // positions in `dvParts` MINUS `oldDvParts` — the rows the commit
+    // newly masked, exact row-level deletes with no diffing scan
+    dvKeep: Boolean = false,
+    oldDvParts: Seq[(String, Long, Long)] = Nil) extends InputPartition
 
 /** One TxLog snapshot as a DSv2 batch: one input partition per table
   * file (a COW rewrite swaps whole files, so file = group = task),
@@ -165,7 +246,8 @@ private[graftx] class GraftFileScan(path: String, files0: Seq[String],
     cm: Map[String, String] = Map.empty,
     dv: Map[String, (String, Long)] = Map.empty,
     canStream: Boolean = false,
-    maxVersionsPerTrigger: Option[Long] = None) extends Scan with Batch
+    maxVersionsPerTrigger: Option[Long] = None,
+    startingVersion: Option[Long] = None) extends Scan with Batch
     with SupportsRuntimeV2Filtering {
 
   @volatile private var files: Seq[String] = files0
@@ -220,29 +302,15 @@ private[graftx] class GraftFileScan(path: String, files0: Seq[String],
 
   override def planInputPartitions(): Array[InputPartition] = {
     // dv-set parts listed (with footer `file` ranges) ONCE per set,
-    // then pruned per table file: sets are range-clustered on `file`
-    // at write, so each one-file task gets 1-2 parts, not the whole
-    // commit's mask (per-task mask read stays ∝ the file's mask)
+    // then pruned per table file: per-task mask read stays ∝ the
+    // file's mask (see GraftRowLevel.prunedDvParts)
     val partsOf = scala.collection.mutable.Map
       .empty[String, Seq[(String, Long, Long, String, String)]]
     files.map { f =>
       val p = Paths.get(path, f)
-      val dvParts = dv.get(f).map { case (set, _) =>
-        val all = partsOf.getOrElseUpdate(set, TxLog.dvSetParts(path, set))
-        val pruned = all.collect {
-          case (ap, len, mt, mn, mx)
-              if (mn == null || mx == null) ||
-                (mn <= f && f <= mx) =>
-            (ap, len, mt)
-        }
-        // the mapping says this set masks f, so SOME part must hold
-        // its rows — an empty pruned list means untrustworthy stats:
-        // fall back to every part (a masked row must never be served)
-        if (pruned.nonEmpty) pruned
-        else all.map { case (ap, len, mt, _, _) => (ap, len, mt) }
-      }.getOrElse(Nil)
       GraftFilePartition(f, p.toAbsolutePath.toString, Files.size(p),
-        Files.getLastModifiedTime(p).toMillis, dvParts)
+        Files.getLastModifiedTime(p).toMillis,
+        GraftRowLevel.prunedDvParts(path, f, dv, partsOf))
     }.toArray
   }
 
@@ -261,7 +329,7 @@ private[graftx] class GraftFileScan(path: String, files0: Seq[String],
       s"cannot stream $path from this scan (time-travel pins and " +
         s"row-level-operation scans are batch-only)")
     new GraftMicroBatchStream(path, ddl, required, cm,
-      maxVersionsPerTrigger)
+      maxVersionsPerTrigger, startingVersion)
   }
 }
 
@@ -290,14 +358,15 @@ private[graftx] class GraftFileReaderFactory(
       case r: InternalRow => Iterator.single(r)
     }
 
-  /** This file's masked row positions, sorted ascending — read from
-    * the dv sidecar parts on the executor (cost ∝ mask size, the same
-    * rows the anti-join path shuffles; here they never leave the
-    * task). */
-  private def maskedPositions(fp: GraftFilePartition): Array[Long] = {
-    val name = UTF8String.fromString(fp.name)
+  /** The row positions `parts` mask for file `name`, sorted ascending
+    * — read from the dv sidecar parts on the executor (cost ∝ mask
+    * size, the same rows the anti-join path shuffles; here they never
+    * leave the task). */
+  private def positionsOf(name0: String,
+      parts: Seq[(String, Long, Long)]): Array[Long] = {
+    val name = UTF8String.fromString(name0)
     val out = Array.newBuilder[Long]
-    fp.dvParts.foreach { case (p, len, mtime) =>
+    parts.foreach { case (p, len, mtime) =>
       val pf = PartitionedFile(InternalRow.empty,
         SparkPath.fromPathString(p), 0L, len, Array.empty, mtime, len,
         Map.empty)
@@ -316,11 +385,21 @@ private[graftx] class GraftFileReaderFactory(
     val pf = PartitionedFile(InternalRow.empty,
       SparkPath.fromPathString(fp.absPath), 0L, fp.length,
       Array.empty, fp.mtime, fp.length, Map.empty)
-    val masked = fp.dvParts.nonEmpty
+    val masked = fp.dvParts.nonEmpty || fp.dvKeep
     val needPos = outputSchema.fieldNames.contains(GraftRowLevel.PosCol)
     val rows = flatten(
       if (masked || needPos) unfilteredFunc(pf) else readerFunc(pf))
-    val mask: Array[Long] = if (masked) maskedPositions(fp) else null
+    // skip-list by default; keep-list (emit ONLY these positions) for
+    // a change feed's dv-delete arm: new mask minus old mask = the
+    // rows the commit newly deleted
+    val keepMode = fp.dvKeep
+    val mask: Array[Long] =
+      if (fp.dvKeep) {
+        val nw = positionsOf(fp.name, fp.dvParts)
+        val old = positionsOf(fp.name, fp.oldDvParts)
+        nw.filter(p => java.util.Arrays.binarySearch(old, p) < 0)
+      } else if (masked) positionsOf(fp.name, fp.dvParts)
+      else null
     // POSITIONAL binding: inputSchema is outputSchema minus the
     // metadata columns, possibly under physical (column-mapping)
     // names — order is preserved, names may differ. _pos rides a
@@ -334,6 +413,14 @@ private[graftx] class GraftFileReaderFactory(
       if (f.name == GraftRowLevel.FileCol)
         Literal(UTF8String.fromString(fp.name), StringType)
       else if (f.name == GraftRowLevel.PosCol) posAttr
+      // change-feed stamps — per-partition constants; the null guard
+      // keeps a USER column that happens to share the name bound as
+      // data on plain (non-CDF) scans
+      else if (f.name == GraftRowLevel.CdfTypeCol && fp.changeType != null)
+        Literal(UTF8String.fromString(fp.changeType), StringType)
+      else if (f.name == GraftRowLevel.CdfVerCol && fp.changeType != null)
+        Literal(fp.commitVersion,
+          org.apache.spark.sql.types.LongType)
       else { val a = inAttrs(di); di += 1; a }
     }.toSeq
     val proj = UnsafeProjection.create(exprs, inAttrs :+ posAttr)
@@ -348,12 +435,13 @@ private[graftx] class GraftFileReaderFactory(
         while (rows.hasNext) {
           val r = rows.next()
           pos += 1
-          // positions arrive ascending: advance the cursor, skip hits
+          // positions arrive ascending: advance the cursor; skip hits
+          // (skip-list) or emit ONLY hits (keep-list)
           if (mask != null) {
             while (mi < mask.length && mask(mi) < pos) mi += 1
-            if (mi < mask.length && mask(mi) == pos) {
-              mi += 1
-            } else {
+            val hit = mi < mask.length && mask(mi) == pos
+            if (hit) mi += 1
+            if (hit == keepMode) {
               posRow.setLong(0, pos)
               cur = proj(joined(r, posRow))
               return true
@@ -511,7 +599,15 @@ private[graftx] class GraftDelegatingScanBuilder(delegate: ScanBuilder,
     cm: Map[String, String] = Map.empty,
     dv: Map[String, (String, Long)] = Map.empty,
     canStream: Boolean = false,
-    maxVersionsPerTrigger: Option[Long] = None) extends ScanBuilder
+    maxVersionsPerTrigger: Option[Long] = None,
+    startingVersion: Option[Long] = None,
+    // the USER's time-travel pin (None on a current read) — gates the
+    // bloom pruning tier, whose sidecars are present-day state
+    asOf: Option[Long] = None,
+    // rebuild the parquet delegate over a NARROWED file list when
+    // stats pruning drops files (the prebuilt delegate is pinned to
+    // the full snapshot); null = no pruning on the delegate path
+    delegateFor: Seq[String] => ScanBuilder = null) extends ScanBuilder
     with SupportsPushDownCatalystFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -527,19 +623,32 @@ private[graftx] class GraftDelegatingScanBuilder(delegate: ScanBuilder,
   // skipping on UNMASKED files of a masked snapshot) — still reported
   // residual, so Spark re-evaluates them post-scan
   private var ownPushed: Array[sources.Filter] = Array.empty
+  // planning-time data skipping (round 17): the pushed conjunction
+  // translated to the engine's stats/bloom predicate vocabulary — the
+  // snapshot's file list narrows BEFORE any scan is built, so a
+  // selective read on a clustered 100 TB table schedules O(matching)
+  // tasks instead of one per live file (filters stay post-scan
+  // regardless: pruning only drops files that provably hold no match)
+  private var skipPreds: Seq[TxLog.Pred] = Nil
+  private var pushedExprs: Seq[Expression] = Nil
+  private var aggPushed = false
 
-  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    pushedExprs = filters
+    val v1 = filters.flatMap(
+      org.apache.spark.sql.execution.datasources.DataSourceStrategy
+        .translateFilter(_, supportNestedPredicatePushdown = true))
+    // skipping predicates speak LOGICAL names (pruneGiven maps to the
+    // physical stats keys itself), so column mapping composes here
+    skipPreds = GraftRowLevel.skippingPreds(v1)
     delegate match {
       case d: SupportsPushDownCatalystFilters if !mustOwn =>
         d.pushFilters(filters)
       case _ =>
-        if (cm.isEmpty)
-          ownPushed = filters.flatMap(
-            org.apache.spark.sql.execution.datasources.DataSourceStrategy
-              .translateFilter(_, supportNestedPredicatePushdown = true))
-            .toArray
+        if (cm.isEmpty) ownPushed = v1.toArray
         filters // all residual; Spark re-evaluates post-scan
     }
+  }
 
   override def pushedFilters(): Array[Predicate] = delegate match {
     case d: SupportsPushDownCatalystFilters if !mustOwn => d.pushedFilters
@@ -547,7 +656,9 @@ private[graftx] class GraftDelegatingScanBuilder(delegate: ScanBuilder,
   }
 
   override def pushAggregation(agg: Aggregation): Boolean = delegate match {
-    case d: SupportsPushDownAggregates if !mustOwn => d.pushAggregation(agg)
+    case d: SupportsPushDownAggregates if !mustOwn =>
+      aggPushed = d.pushAggregation(agg)
+      aggPushed
     case _ => false
   }
 
@@ -571,18 +682,47 @@ private[graftx] class GraftDelegatingScanBuilder(delegate: ScanBuilder,
     }
   }
 
-  override def build(): Scan =
+  override def build(): Scan = {
+    // data skipping runs once, at build: stats + bloom tiers over the
+    // pinned list (driver-side log metadata only). Aggregate pushdown
+    // answers from FULL-snapshot footers, so a pruned twin must never
+    // serve it (parquet only pushes aggregates when no data filter is
+    // pushed, so the flag co-occurring with skipPreds is defensive).
+    val kept =
+      if (skipPreds.isEmpty || aggPushed) files
+      else TxLog.pruneGiven(path, files, skipPreds, asOf)
     if (wantsFile || mustOwn)
-      new GraftFileScan(path, files, ddl, pruned, ownPushed, None, cm, dv,
-        canStream, maxVersionsPerTrigger)
+      new GraftFileScan(path, kept, ddl, pruned, ownPushed, None, cm, dv,
+        canStream, maxVersionsPerTrigger, startingVersion)
     else {
-      val b = delegate.build()
+      val b =
+        if (kept.size < files.size && delegateFor != null) {
+          // rebuild the parquet delegate over the narrowed list and
+          // replay the pushdown dialogue — responses are schema-based
+          // and deterministic, so the twin answers identically
+          val b2 = delegateFor(kept)
+          b2 match {
+            case d: SupportsPushDownCatalystFilters =>
+              d.pushFilters(pushedExprs); ()
+            case _ => ()
+          }
+          b2 match {
+            case d: SupportsPushDownRequiredColumns =>
+              d.pruneColumns(StructType(pruned.filterNot(f =>
+                f.name == GraftRowLevel.FileCol ||
+                  f.name == GraftRowLevel.PosCol)))
+            case _ => ()
+          }
+          b2.build()
+        } else delegate.build()
       // the streamable veneer only where streaming is legal (not on
       // time-travel pins); batch behavior delegates verbatim
       if (canStream)
-        new GraftStreamableScan(b, path, ddl, cm, maxVersionsPerTrigger)
+        new GraftStreamableScan(b, path, ddl, cm, maxVersionsPerTrigger,
+          startingVersion)
       else b
     }
+  }
 }
 
 /** Delta-based (merge-on-read) row-level SQL DML — the deletion-

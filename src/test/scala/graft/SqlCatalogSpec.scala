@@ -202,13 +202,15 @@ class SqlCatalogSpec extends SparkSpec {
     assert(TxLog.tableProps(t).get("a").contains("1"))
     spark.sql(s"ALTER TABLE graft.`$t` UNSET TBLPROPERTIES ('a')")
     assert(!TxLog.tableProps(t).contains("a"))
-    // CTAS: v0 empty schema commit + one append; time travel works
+    // CTAS — ATOMIC via the staging catalog (round 17): schema and
+    // data land as ONE overwrite commit, so v0 IS the data and the
+    // table is never visible half-created
     val c = s"$base/ctas"
     spark.sql(
       s"CREATE TABLE graft.`$c` AS SELECT id, grp2 FROM graft.`$t` WHERE id <= 2")
     assert(spark.sql(s"SELECT * FROM graft.`$c`").count() == 2)
-    assert(spark.sql(s"SELECT * FROM graft.`$c` VERSION AS OF 0").count() == 0)
-    assert(TxLog.commits(c).map(_.mode) == Seq("overwrite", "append"))
+    assert(spark.sql(s"SELECT * FROM graft.`$c` VERSION AS OF 0").count() == 2)
+    assert(TxLog.commits(c).map(_.mode) == Seq("overwrite"))
     // non-identity partition transforms are refused loudly
     val e = intercept[Exception] {
       spark.sql(
