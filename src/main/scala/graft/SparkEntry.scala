@@ -2285,6 +2285,60 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars", "_change_type",
           "_commit_version"))
     }),
+    // the consumer the change feed EXISTS for, end-to-end through the
+    // catalog (round 17): a STREAMING MATERIALIZED VIEW — a per-lang
+    // count+sum state table maintained from `readStream` over
+    // `.changes` via foreachBatch + TxLog.incrementalAgg, work ∝
+    // changed rows per trigger, never a base-table rescan. Count and
+    // sum are self-inverting, so the RAW feed maintains the state
+    // exactly (an update's delete+insert pair nets inside the
+    // aggregation); each batch lands with its epoch id in the
+    // exactly-once ledger, so restarts replay nothing. The merge-on-
+    // read DELETE and UPDATE mid-stream are exactly the commits the
+    // plain source refuses. The oracle recomputes the aggregate from
+    // the FINAL logical table state — the MV must equal a full
+    // recompute while never having performed one.
+    "stream_cdf_mv" -> prep((s, d) => {
+      val base = tmpDir("graft_cdfmv")
+      val t = s"$base/table"; val m = s"$base/mv"
+      val docsDf = s.read.parquet(s"$d/documents.parquet")
+        .select("doc_id", "lang", "source", "n_chars")
+      graft.ingest.TxLog.write(docsDf.where(col("doc_id") < 300)
+        .repartitionByRange(4, col("doc_id")), t, "overwrite") // v0
+      s.sql(s"ALTER TABLE graft.`$t` SET TBLPROPERTIES(" +
+        s"'${graft.ingest.TxLog.DmlModeProp}'=" +
+        s"'${graft.ingest.TxLog.DmlModeMor}')")
+      // materialize the state ONCE at v0; the stream maintains it
+      graft.ingest.TxLog.write(
+        graft.ingest.TxLog.aggState(graft.ingest.TxLog.snapshot(s, t),
+          Seq("lang"), Seq("n_chars")), m, "overwrite")
+      def maintain(): Unit = {
+        val q = s.readStream.option("startingVersion", 1)
+          .table(s"graft.`$t`.changes")
+          .writeStream
+          .option("checkpointLocation", s"$base/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val state = graft.ingest.TxLog.snapshot(s, m)
+            graft.ingest.TxLog.write(
+              graft.ingest.TxLog.incrementalAgg(state,
+                batch.drop("_commit_version"), Seq("lang"), Seq("n_chars")),
+              m, "overwrite", batchId = id)
+            ()
+          }.start()
+        q.awaitTermination()
+      }
+      s.sql(s"DELETE FROM graft.`$t` WHERE doc_id BETWEEN 50 AND 99") // v1
+      maintain()
+      s.sql(s"UPDATE graft.`$t` SET source = 'patched' " +
+        s"WHERE source = 'src2'") // v2: nets to zero per group
+      graft.ingest.TxLog.write(docsDf.where(col("doc_id") >= 300)
+        .repartitionByRange(2, col("doc_id")), t, "append") // v3
+      maintain()
+      Engine.canonical(graft.ingest.TxLog.snapshot(s, m)
+        .select(col("lang"), col("n_rows"),
+          col("sum_n_chars").as("sum_chars")))
+    }),
     // tail-only streaming start (round 17, Delta's startingVersion
     // reader option on the PLAIN source): the consumer that already
     // holds the table's past skips the snapshot and consumes appends
@@ -3086,6 +3140,7 @@ object SparkEntry {
     "txlog_catalog_replace" -> ExtOracle.catalogReplace,
     "cdf_catalog_batch" -> ExtOracle.txlogChanges,
     "stream_cdf_catalog" -> ExtOracle.streamCdfCatalog,
+    "stream_cdf_mv" -> ExtOracle.streamCdfMv,
     "stream_catalog_tail" -> ExtOracle.streamCatalogTail,
     "stream_txlog_multihop" -> ExtOracle.streamTxlogMultihop,
     // same verdict contract as the batch writeExpect — stream chopping

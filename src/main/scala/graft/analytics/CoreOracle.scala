@@ -712,6 +712,20 @@ FROM documents WHERE doc_id >= 300
 ${ord("doc_id", "lang", "source", "n_chars", "_change_type",
       "_commit_version")}""".trim
 
+  /** Twin of `stream_cdf_mv`: the streaming materialized view —
+    * maintained incrementally from the catalog change feed, never
+    * recomputed — must equal this full recompute over the final
+    * logical table state (v0 docs < 300, minus the dv-deleted
+    * [50, 99], plus the appended doc_id >= 300; the mid-stream
+    * source-patch UPDATE nets to zero inside every group). */
+  val streamCdfMv: String = s"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE (doc_id < 300 AND doc_id NOT BETWEEN 50 AND 99) OR doc_id >= 300
+GROUP BY lang
+${ord("lang", "n_rows", "sum_chars")}""".trim
+
   /** Twin of `stream_catalog_tail`: a startingVersion=2 stream over
     * (v0: doc_id%3=0, v1: %3=1, v2: %3=2) consumes EXACTLY the v2
     * slice — no snapshot, no v1. */

@@ -105,7 +105,11 @@ object ScaleVerify {
     // atomic RTAS: the two layouts stage different file sets into the
     // replace commit — the replaced table + its time-traveled past
     // must hash identically anyway
-    "txlog_catalog_replace")
+    "txlog_catalog_replace",
+    // the streaming materialized view: different layouts → different
+    // files, masks and feed batching; the incrementally-maintained
+    // state must equal the same full recompute regardless
+    "stream_cdf_mv")
 
   def main(args: Array[String]): Unit = {
     val d = "/root/testdata/sf0.1"
