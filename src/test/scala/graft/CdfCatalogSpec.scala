@@ -254,6 +254,34 @@ class CdfCatalogSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("startingVersion")))
   }
 
+  test("maxVersionsPerTrigger rate-limits the CDF tail per micro-batch") {
+    val base = tmp("cdf_rate")
+    val t = s"$base/table"
+    seed(t) // v0
+    (1 to 4).foreach { i =>
+      TxLog.write(spark.range(i * 1000L, i * 1000L + 5).select(col("id"),
+        (col("id") % 10).as("grp"), (col("id") * 2).as("v")), t, "append")
+    } // v1..v4
+    val q = spark.readStream
+      .option("startingVersion", 1)
+      .option("maxVersionsPerTrigger", 1)
+      .table(s"graft.`$t`.changes")
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() == 20, "all four tail commits must drain")
+    assert(out.select("_commit_version").distinct().count() == 4)
+    // the rate limit shows in the checkpoint: four micro-batches, one
+    // tail version each (unlimited would drain all four in one)
+    val batches = new java.io.File(s"$base/ckpt/offsets").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    assert(batches >= 4, s"expected >=4 rate-limited batches, got $batches")
+  }
+
   test("startingTimestamp resolves to the first commit at or after it") {
     val t = tmp("cdf_ts")
     seed(t) // v0
