@@ -657,4 +657,46 @@ class SqlCatalogSpec extends SparkSpec {
       s"exactly one CREATE must win, got ${errs2.size} errors")
     assert(TxLog.latestVersion(t2).contains(0L))
   }
+
+  test("SHOW CREATE TABLE round-trips schema, clustering and dml mode") {
+    val base = tmp("cat_sct")
+    spark.sql(s"CREATE TABLE graft.`$base/t` (id BIGINT, v STRING) " +
+      "CLUSTER BY (id) TBLPROPERTIES ('write.dml.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO graft.`$base/t` VALUES (1,'a'),(2,'b')")
+    val stmt = spark.sql(s"SHOW CREATE TABLE graft.`$base/t`")
+      .head().getString(0)
+    // clustering surfaces as the layout property (the catalog's CLUSTER
+    // BY spelling — realized by OPTIMIZE, not hive dirs), and the dml
+    // mode carries; both must survive EXECUTING the emitted statement
+    assert(stmt.contains("id BIGINT") && stmt.contains("v STRING"))
+    assert(stmt.contains("'graft.layout.cluster' = 'id'"), stmt)
+    assert(stmt.contains("'write.dml.mode' = 'merge-on-read'"), stmt)
+    val stmt2 = stmt.replace(s"graft.`$base/t`", s"graft.`$base/t2`")
+    spark.sql(stmt2)
+    val shown = spark.sql(s"SHOW TBLPROPERTIES graft.`$base/t2`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("graft.layout.cluster").contains("id"))
+    assert(shown.get("write.dml.mode").contains("merge-on-read"))
+    // the re-created table is a real table: writes land, dml mode holds
+    spark.sql(s"INSERT INTO graft.`$base/t2` VALUES (3,'c')")
+    spark.sql(s"DELETE FROM graft.`$base/t2` WHERE id = 3")
+    assert(spark.sql(s"SELECT * FROM graft.`$base/t2`").count() == 0)
+    assert(graft.ingest.TxLog.liveFiles(s"$base/t2").size == 1,
+      "merge-on-read DELETE must not rewrite the data file")
+  }
+
+  test("DESCRIBE TABLE EXTENDED lists metadata columns and properties") {
+    val t = tmp("cat_dte")
+    seed(t)
+    TxLog.setTableProperty(t, "write.dml.mode", "merge-on-read")
+    val rows = spark.sql(s"DESCRIBE TABLE EXTENDED graft.`$t`")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val byName = rows.toMap
+    assert(byName.get("id").contains("bigint"))
+    assert(byName.get("grp").contains("bigint"))
+    // the provenance/position metadata columns surface with their types
+    assert(byName.get("_file").contains("string"))
+    assert(byName.get("_pos").contains("bigint"))
+    assert(byName("Table Properties").contains("write.dml.mode=merge-on-read"))
+  }
 }
