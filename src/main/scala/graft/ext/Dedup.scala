@@ -308,14 +308,18 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, bands: Int = 8, rows: Int = 4,
       minEstJaccard: Double = 0.5, w: Int = 3): DataFrame = {
     val k = bands * rows
-    // persist: the signature table is consumed three times (band
-    // explode + the two candidate join-backs) with incompatible
-    // partitionings, so exchange reuse can't help — cache the few MB
-    // instead of recomputing the shingle+hash pipeline 3x.
+    // The signature table is consumed four times (the band explode's
+    // two join sides + the two candidate join-backs) with incompatible
+    // partitionings, so exchange reuse can't help. It must be pinned
+    // EAGERLY (r18): a lazy persist() did not dedup — AQE submits the
+    // two band-side shuffle stages concurrently, both race the cold
+    // cache and each re-ran the shingle+hash pipeline (2 × ~8 s
+    // executor time at sf0.1, measured). The signatures are the
+    // lightweight proxy (k longs per doc, linear), never the text.
     val sigs = hashedShingled(docs, w)
       .select(col("doc_id"),
         graft.functions.MinHashSig.minhashSig(col("sh"), k).as("sig"))
-      .persist()
+      .localCheckpoint()
     // Bucket rows stay NARROW (id, band, bucket) — the 32-hash
     // signatures never ride the candidate shuffle; they are joined back
     // only for the (distinct, much smaller) candidate set. This is the
@@ -366,7 +370,10 @@ object Dedup {
         transform(col("sh"), s => graft.functions.PolyHash64.polyhash64(s)).as("hs"))
       .select(col("doc_id"),
         graft.functions.MinHashSig.minhashSig(col("hs"), k).as("sig"))
-      .persist()
+      // eager pin, same rationale as minhashLshPairs' sigs (r18): the
+      // lazy persist raced AQE's concurrent band-side stages and the
+      // shingle+polyhash+minhash pipeline ran 2× per invocation.
+      .localCheckpoint()
     val banded = sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0L), lit(bands - 1L)), bi =>
         aggregate(slice(col("sig"), (bi * rows + 1).cast("int"), lit(rows)),

@@ -226,6 +226,14 @@ object Multimodal {
     val groups = hashed.groupBy(col("ahash"))
       .agg(min(col("asset_id")).as("rep_id"),
         count(lit(1)).as("n_members"))
+      // materialized ONCE (r18): the collapsed groups table has 4
+      // consumers (the chunk-blocked pair join's two sides + the two
+      // size joins) and Catalyst plans each as an independent
+      // resize→hash→agg chain — the decode pass (the operator's whole
+      // cost) ran 4× per invocation (4 × ~19 s executor time at sf0.1,
+      // measured). The collapse output is the SMALL side by design
+      // (one row per distinct hash), so pinning it is scale-safe.
+      .localCheckpoint()
     val pairs = Dedup.simhashPairsFrom(
       groups.select(col("rep_id").as("doc_id"), col("ahash").as("simhash")),
       maxHamming)
@@ -268,16 +276,28 @@ object Multimodal {
   def imageDupVerified(spark: SparkSession, assets: DataFrame,
       maxHamming: Int = 3, maxSumDiff: Long = 1024L): DataFrame = {
     import spark.implicits._
+    // The three shared frames are each materialized ONCE, eagerly
+    // (r18): a lazy .cache() did NOT dedup the decode — AQE
+    // materializes the px/groups/audit branches concurrently, the
+    // branches race before any cache partition lands, and the
+    // decode+hash pass ran 4× per invocation (4 × ~20 s executor time
+    // at sf0.1, measured; 12× cold-wall win from pinning). All three
+    // are lightweight proxies of the corpus (64-byte thumbnail + hash
+    // per asset; 64 ints per asset; one row per distinct hash), so
+    // pinning is scale-safe — the heavy media bytes are never
+    // materialized.
     val rs = resize(spark, assets).toDF()
       .select(col("asset_id"), col("media"),
         graft.functions.AHash64.ahash64(col("media")).as("ahash"))
-      .cache()
+      .localCheckpoint()
     val px = rs.select(col("asset_id"), col("media"))
       .as[(Long, Array[Byte])]
       .map { case (id, m) => (id, m.map(b => b & 0xff)) }
       .toDF("asset_id", "px")
+      .localCheckpoint()
     val groups = rs.groupBy(col("ahash"))
       .agg(min(col("asset_id")).as("rep_id"), count(lit(1)).as("n_members"))
+      .localCheckpoint()
     def mad(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => abs(x - y)),
         lit(0L), (acc, v) => acc + v.cast("long"))
@@ -305,7 +325,6 @@ object Multimodal {
         col("sum_abs_diff"), col("n_a"), col("n_a_verified"),
         col("n_b"), col("n_b_verified"))
       .localCheckpoint()
-    rs.unpersist(blocking = false)
     out
   }
 

@@ -1001,7 +1001,19 @@ object TextAnalysis {
     * Σ_distinct cnt·q in exact int64 arithmetic. */
   def lmQuality(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    // The collapsed counts are materialized ONCE (eager, lineage-cut):
+    // the three consumers below (frequency model, corpus total, score
+    // join) are agg-over-agg chains that Catalyst MERGES into three
+    // independent tokenize→aggregate plans — canonical-equality reuse
+    // never fires across them (r18 measurement: the tokenize exchange
+    // ran 3× per invocation, 25 s → 6 s executor time once pinned, and
+    // at corpus scale the duplicate passes triple the operator's scan
+    // cost). localCheckpoint rather than cache: eager by default, no
+    // unpersist bookkeeping on a returned-lazy plan, and the truncated
+    // lineage keeps downstream Catalyst analysis off the whole
+    // tokenize subtree.
     val cnts = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val freqs = cnts.groupBy(col("tok")).agg(sum(col("cnt")).as("tf"))
     val total = freqs.agg(sum(col("tf")).as("total"))
     val scored = cnts.join(freqs, "tok")
@@ -1041,8 +1053,13 @@ object TextAnalysis {
     val cnts = score
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    // train-side frequency table materialized once: its two consumers
+    // (the 1-row stats rollup and the score join) otherwise each
+    // re-run the train tokenize — same merged-aggregate non-reuse as
+    // lmQuality's cnts (r18)
     val tf = train.select(explode(tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val stats = tf.agg(sum(col("tf")).as("total"), count(lit(1)).as("vocab"))
     val scored = cnts.join(tf, Seq("tok"), "left")
       .crossJoin(broadcast(stats))
@@ -1092,6 +1109,11 @@ object TextAnalysis {
           / col("n_tokens").cast("double")).cast("long"))
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .cache()
+    // eager fill (r18): the cuts branch and the bucket join otherwise
+    // race the cache under AQE's concurrent materialization and each
+    // re-run the lq chain — cache() alone only dedups AFTER a
+    // partition lands
+    lq.count()
     val stats = lq.groupBy(col("source"), col("q_doc"))
       .agg(count(lit(1)).as("__f"))
       .groupBy(col("source"))
@@ -1140,8 +1162,14 @@ object TextAnalysis {
   def tfidfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    // tf materialized once; df derives FROM tf (one row per (doc, tok)
+    // already — count per tok ≡ the old toks.distinct() rollup), so the
+    // corpus is tokenized ONCE instead of twice and the join + rollup
+    // both read the pinned counts (r18: the second tokenize+distinct
+    // exchange was the operator's single largest stage)
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfreq = toks.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("q_tfidf").desc, col("tok").asc)
@@ -2018,6 +2046,13 @@ object TextAnalysis {
   def sourceHealthReport(docs: DataFrame,
       materialize: Boolean = true): DataFrame = {
     val sc = sourceTokenCounts(docs).cache()
+    // eager fill (r18): a lazily-filled cache does NOT dedup under
+    // AQE's concurrent stage materialization — the token branches race
+    // before any partition lands and each re-runs the tokenize (3
+    // duplicate count-exchange map stages measured); one count() makes
+    // every branch a cache read. Skipped on the materialize=false
+    // plan-inspection hook, which never executes.
+    if (materialize) sc.count()
     val lazyOut = lexicalDiversityFromCounts(sc)
       .join(klDivergenceFromCounts(sc)
         .select(col("source"), col("kl_divergence")), "source")
