@@ -316,10 +316,9 @@ object Dedup {
     // cache and each re-ran the shingle+hash pipeline (2 × ~8 s
     // executor time at sf0.1, measured). The signatures are the
     // lightweight proxy (k longs per doc, linear), never the text.
-    val sigs = hashedShingled(docs, w)
+    val sigs = Pin.eager(hashedShingled(docs, w)
       .select(col("doc_id"),
-        graft.functions.MinHashSig.minhashSig(col("sh"), k).as("sig"))
-      .localCheckpoint()
+        graft.functions.MinHashSig.minhashSig(col("sh"), k).as("sig")))
     // Bucket rows stay NARROW (id, band, bucket) — the 32-hash
     // signatures never ride the candidate shuffle; they are joined back
     // only for the (distinct, much smaller) candidate set. This is the
@@ -365,15 +364,14 @@ object Dedup {
   def minhashLshPairsPortable(docs: DataFrame, bands: Int = 8, rows: Int = 4,
       minEstJaccard: Double = 0.5, w: Int = 3): DataFrame = {
     val k = bands * rows
-    val sigs = shingled(docs, w)
+    // eager pin, same rationale as minhashLshPairs' sigs (r18): the
+    // lazy persist raced AQE's concurrent band-side stages and the
+    // shingle+polyhash+minhash pipeline ran 2× per invocation.
+    val sigs = Pin.eager(shingled(docs, w)
       .select(col("doc_id"),
         transform(col("sh"), s => graft.functions.PolyHash64.polyhash64(s)).as("hs"))
       .select(col("doc_id"),
-        graft.functions.MinHashSig.minhashSig(col("hs"), k).as("sig"))
-      // eager pin, same rationale as minhashLshPairs' sigs (r18): the
-      // lazy persist raced AQE's concurrent band-side stages and the
-      // shingle+polyhash+minhash pipeline ran 2× per invocation.
-      .localCheckpoint()
+        graft.functions.MinHashSig.minhashSig(col("hs"), k).as("sig")))
     val banded = sigs.select(col("doc_id"),
       posexplode(transform(sequence(lit(0L), lit(bands - 1L)), bi =>
         aggregate(slice(col("sig"), (bi * rows + 1).cast("int"), lit(rows)),

@@ -223,17 +223,16 @@ object Multimodal {
     val hashed = resize(spark, assets).toDF()
       .select(col("asset_id"),
         graft.functions.AHash64.ahash64(col("media")).as("ahash"))
-    val groups = hashed.groupBy(col("ahash"))
+    // materialized ONCE (r18): the collapsed groups table has 4
+    // consumers (the chunk-blocked pair join's two sides + the two
+    // size joins) and Catalyst plans each as an independent
+    // resize→hash→agg chain — the decode pass (the operator's whole
+    // cost) ran 4× per invocation (4 × ~19 s executor time at sf0.1,
+    // measured). The collapse output is the SMALL side by design
+    // (one row per distinct hash), so pinning it is scale-safe.
+    val groups = Pin.eager(hashed.groupBy(col("ahash"))
       .agg(min(col("asset_id")).as("rep_id"),
-        count(lit(1)).as("n_members"))
-      // materialized ONCE (r18): the collapsed groups table has 4
-      // consumers (the chunk-blocked pair join's two sides + the two
-      // size joins) and Catalyst plans each as an independent
-      // resize→hash→agg chain — the decode pass (the operator's whole
-      // cost) ran 4× per invocation (4 × ~19 s executor time at sf0.1,
-      // measured). The collapse output is the SMALL side by design
-      // (one row per distinct hash), so pinning it is scale-safe.
-      .localCheckpoint()
+        count(lit(1)).as("n_members")))
     val pairs = Dedup.simhashPairsFrom(
       groups.select(col("rep_id").as("doc_id"), col("ahash").as("simhash")),
       maxHamming)
@@ -286,18 +285,15 @@ object Multimodal {
     // per asset; 64 ints per asset; one row per distinct hash), so
     // pinning is scale-safe — the heavy media bytes are never
     // materialized.
-    val rs = resize(spark, assets).toDF()
+    val rs = Pin.eager(resize(spark, assets).toDF()
       .select(col("asset_id"), col("media"),
-        graft.functions.AHash64.ahash64(col("media")).as("ahash"))
-      .localCheckpoint()
-    val px = rs.select(col("asset_id"), col("media"))
+        graft.functions.AHash64.ahash64(col("media")).as("ahash")))
+    val px = Pin.eager(rs.select(col("asset_id"), col("media"))
       .as[(Long, Array[Byte])]
       .map { case (id, m) => (id, m.map(b => b & 0xff)) }
-      .toDF("asset_id", "px")
-      .localCheckpoint()
-    val groups = rs.groupBy(col("ahash"))
-      .agg(min(col("asset_id")).as("rep_id"), count(lit(1)).as("n_members"))
-      .localCheckpoint()
+      .toDF("asset_id", "px"))
+    val groups = Pin.eager(rs.groupBy(col("ahash"))
+      .agg(min(col("asset_id")).as("rep_id"), count(lit(1)).as("n_members")))
     def mad(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => abs(x - y)),
         lit(0L), (acc, v) => acc + v.cast("long"))

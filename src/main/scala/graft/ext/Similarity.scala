@@ -535,7 +535,15 @@ object Similarity {
     * sort. */
   def knnGraph(emb: DataFrame, k: Int = 5, centroidMod: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val assigned = ivfAssign(emb, centroidMod)
+    // pinned eagerly (r18): the cell self-join references the assigned
+    // table on both sides and Catalyst plans each side as its own
+    // quantize+assign chain (exchange reuse does not fire across the
+    // renamed sides under AQE) — with a downstream consumer that also
+    // references the graph twice (pageRank's edges⋈outdeg), the
+    // assignment pipeline ran 4× per invocation. The pin is the
+    // quantized (cell, id, q, nq) proxy — linear, the same narrow
+    // index shape the ANN tiers materialize.
+    val assigned = Pin.eager(ivfAssign(emb, centroidMod))
     val a = assigned.select(col("cell"), col("vec_id"), col("q"), col("nq"))
       .hint("merge")
     val b = assigned.select(col("cell"), col("vec_id").as("nbr_id"),
@@ -645,7 +653,11 @@ object Similarity {
     * run on the mutual sliver via dupClusters' superstep loop (driver
     * fast path below the threshold, distributed above). */
   def knnCommunitiesFromEdges(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("vec_id"), col("nbr_id"))
+    // pinned eagerly (r18): the mutual-filter intersect references the
+    // edge table on both sides; un-pinned, each side re-ran the whole
+    // upstream kNN build (2× the window-rank stage per invocation).
+    // Narrow (vec_id, nbr_id) rows, corpus·k of them.
+    val e = Pin.eager(edges.select(col("vec_id"), col("nbr_id")))
     val mutual = e.intersect(
         e.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
       .where(col("vec_id") < col("nbr_id"))
@@ -671,28 +683,30 @@ object Similarity {
       checkpointEvery: Int = 8): DataFrame = {
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val SCALE = 1000000000000L
-    val edges = edgesIn
-      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    // pinned eagerly (r18): `edges` is referenced twice below (the
+    // out-degree aggregate AND the join's probe side) — un-pinned,
+    // each reference re-ran the caller's whole graph build.
+    val edges = Pin.eager(edgesIn
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst")))
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // The edge table is pinned EAGERLY (r18): with a lazy cache(), the
+    // very first action (nodes.count below) materializes e's two union
+    // branches CONCURRENTLY under AQE — both race the cold cache and
+    // each re-ran the whole kNN build (the build's exchange appeared 3×
+    // per invocation in the stage log: fill + the two branches). The
+    // pinned table is the narrow (src, dst, deg) proxy, corpus·k rows.
     val e = edges.join(outdeg, "src")
-      .select(col("src"), col("dst"), col("deg")).cache()
-    // nodes derive FROM the cached edge table, so the whole kNN build
-    // runs ONCE per invocation: nodes.count() materializes e first and
-    // the distinct reads the cache (deriving nodes from `outdeg`
-    // directly re-executed the graph pipeline a second time — measured
-    // as a ~2× op cost once the round-8 unpersist removed the
-    // accidental cross-invocation cache reuse that had hidden it)
+      .select(col("src"), col("dst"), col("deg")).localCheckpoint()
     // src ∪ dst: unfiltered kNN output has every node as a src, but
     // the documented contract is only the (vec_id, nbr_id) schema — a
     // caller that filters weak edges first leaves dst-only nodes,
     // which a src-only node set would silently drop from the ranking
     // (and from n, skewing the teleport base)
     val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().cache()
+      .union(e.select(col("dst").as("id"))).distinct().persist()
     val n = nodes.count()
     if (n == 0) {
       // empty graph (no vector shares a cell): nothing to rank
-      e.unpersist(); nodes.unpersist()
       return edgesIn.sparkSession.emptyDataFrame
         .withColumn("vec_id", lit(0L)).withColumn("q_rank", lit(0L))
         .withColumn("pagerank", lit(0.0)).limit(0)
@@ -711,12 +725,9 @@ object Similarity {
       if (i % checkpointEvery == 0 && i < iters)
         scores = scores.localCheckpoint()
     }
-    val out = scores.select(col("id").as("vec_id"), col("sc").as("q_rank"),
+    scores.select(col("id").as("vec_id"), col("sc").as("q_rank"),
       (col("sc").cast("double") / SCALE).as("pagerank"))
       .localCheckpoint()
-    e.unpersist()
-    nodes.unpersist()
-    out
   }
 
   /** Residual IVF-PQ (IVFADC proper) — the composition FAISS ships as
@@ -1063,8 +1074,15 @@ object Similarity {
     * iters+2 times (init + each pass); cache the quantized input when
     * iterating more deeply. */
   def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
-    val e = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
-      .select(col("vec_id"), col("q"), dotL(col("q"), col("q")).as("qq"))
+    // quantized input pinned eagerly (r18): the Lloyd loop scans `e`
+    // iters+2 times (init + one assignment per pass + the final
+    // assignment), and each scan re-ran the quantize+self-dot
+    // projection over the raw embeddings (3 × ~10 s executor time at
+    // sf0.1 for iters=2). The pin is the linear quantized proxy — the
+    // same narrow shape the ANN index tiers materialize.
+    val e = Pin.eager(
+      emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+        .select(col("vec_id"), col("q"), dotL(col("q"), col("q")).as("qq")))
     // Assignment is a pure projection (see ivfAssign's comment): the
     // k centroids collect into ONE broadcast array row and the native
     // NearestCentroidL2 computes the (d, cluster)-argmin per vector
@@ -1332,13 +1350,15 @@ object Similarity {
   def embeddingOutliers(emb: DataFrame, k: Int = 8, iters: Int = 2,
       threshold: Double = 3.0): DataFrame = {
     val dec = "decimal(38,0)"
-    // cache: the moment branch and the score join would otherwise each
-    // re-execute the full Lloyd chain (the clusterTopTerms/knnPageRank
-    // double-build shape — measured 2× op cost); output materialized
-    // eagerly so the cache drops before returning. At production scale
-    // keep the assignment persisted (or written) instead — it feeds
-    // every downstream cluster consumer anyway.
-    val assigned = kmeansAssign(emb, k, iters).cache()
+    // eager pin (r18): the moment branch and the score join would
+    // otherwise each re-execute the full Lloyd chain (the
+    // clusterTopTerms/knnPageRank double-build shape — measured 2× op
+    // cost), and a LAZY cache still raced AQE's concurrent stages on
+    // first evaluation. Kept persisted (no unpersist) so repeated
+    // invocations substitute the materialized assignment — at
+    // production scale the assignment is persisted/written anyway; it
+    // feeds every downstream cluster consumer.
+    val assigned = Pin.eager(kmeansAssign(emb, k, iters))
     val stats = assigned.groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_members"),
         sum(col("dist").cast(dec)).as("s1"),
@@ -1361,7 +1381,6 @@ object Similarity {
         col("mean_dist"), col("var_dist"), col("z"),
         coalesce(col("z") > threshold, lit(false)).as("is_outlier"))
       .localCheckpoint()
-    assigned.unpersist()
     out
   }
 }

@@ -1008,12 +1008,11 @@ object TextAnalysis {
     // never fires across them (r18 measurement: the tokenize exchange
     // ran 3× per invocation, 25 s → 6 s executor time once pinned, and
     // at corpus scale the duplicate passes triple the operator's scan
-    // cost). localCheckpoint rather than cache: eager by default, no
-    // unpersist bookkeeping on a returned-lazy plan, and the truncated
-    // lineage keeps downstream Catalyst analysis off the whole
-    // tokenize subtree.
-    val cnts = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+    // cost). Pin.eager rather than a lazy cache: the consumers race a
+    // cold cache under AQE's concurrent materialization, so the fill
+    // must complete before the fan-out.
+    val cnts = Pin.eager(
+      toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt")))
     val freqs = cnts.groupBy(col("tok")).agg(sum(col("cnt")).as("tf"))
     val total = freqs.agg(sum(col("tf")).as("total"))
     val scored = cnts.join(freqs, "tok")
@@ -1053,13 +1052,15 @@ object TextAnalysis {
     val cnts = score
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
-    // train-side frequency table materialized once: its two consumers
-    // (the 1-row stats rollup and the score join) otherwise each
-    // re-run the train tokenize — same merged-aggregate non-reuse as
-    // lmQuality's cnts (r18)
+    // NOT pinned (r18, measured): tf's two consumers (the 1-row stats
+    // rollup and the score join) do re-run the train tokenize, but the
+    // duplicate runs OVERLAP inside one job while an eager pin is a
+    // serializing barrier — BenchOne floor 0.87 s pinned vs 0.28 s
+    // unpinned. The pin template pays off only when the duplicated
+    // subtree is expensive relative to the idle cores it could overlap
+    // on (see lmQuality's cnts, where it is).
     val tf = train.select(explode(tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
     val stats = tf.agg(sum(col("tf")).as("total"), count(lit(1)).as("vocab"))
     val scored = cnts.join(tf, Seq("tok"), "left")
       .crossJoin(broadcast(stats))
@@ -1144,7 +1145,9 @@ object TextAnalysis {
           .when(col("q_doc").cast("double") >= col("cut_lo"), "middle")
           .otherwise("tail").as("ccnet_bucket"))
       .localCheckpoint()
-    lq.unpersist()
+    // lq stays persisted (r18): unpersisting here forfeited the
+    // plan-keyed reuse a repeated invocation gets from the
+    // CacheManager; the frame is the narrow per-doc quality proxy.
     out
   }
 
@@ -1167,8 +1170,8 @@ object TextAnalysis {
     // corpus is tokenized ONCE instead of twice and the join + rollup
     // both read the pinned counts (r18: the second tokenize+distinct
     // exchange was the operator's single largest stage)
-    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+    val tf = Pin.eager(
+      toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
@@ -1212,10 +1215,18 @@ object TextAnalysis {
   def clusterTopTerms(docs: DataFrame, assign: DataFrame,
       m: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val a = assign.select(col("vec_id").as("doc_id"), col("cluster")).cache()
-    val tf = docs.join(a, "doc_id")
+    // eager pins (r18): the lazy assignment cache raced AQE's
+    // concurrent branches (the K rollup and the count join each
+    // re-ran the upstream kmeans pipeline — 2 duplicate assignment
+    // exchanges measured), and `tf` has two consumers (df rollup +
+    // scored join) that otherwise each re-run the doc⋈assign tokenize.
+    // Pins are the 2-col assignment and the (cluster, tok) counts —
+    // K·vocab-bounded, never corpus rows.
+    val a = Pin.eager(
+      assign.select(col("vec_id").as("doc_id"), col("cluster")))
+    val tf = Pin.eager(docs.join(a, "doc_id")
       .select(col("cluster"), explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("cluster"), col("tok")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("cluster"), col("tok")).agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val kCnt = a.agg(countDistinct(col("cluster")).as("n_clusters"))
     val w = Window.partitionBy(col("cluster"))
@@ -1229,7 +1240,6 @@ object TextAnalysis {
       .where(col("rk") <= m)
       .drop("rk")
       .localCheckpoint()
-    a.unpersist()
     out
   }
 
@@ -1726,10 +1736,18 @@ object TextAnalysis {
     * TakeOrderedAndProject. Nothing pairwise, nothing driver-side. */
   def bigramPmi(docs: DataFrame, minCount: Long = 5,
       k: Int = 50): DataFrame = {
-    val bi = bigramCounts(docs)
-      .groupBy(col("tok"), col("next")).agg(sum(col("cnt")).as("c_ab"))
-    val uni = docs.select(explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    // both collapsed count tables pinned eagerly (r18): `bi` has two
+    // consumers (the n_bi total + the scored join) and `uni` three
+    // (n_uni + the c_a/c_b join sides); Catalyst plans each consumer
+    // as its own tokenize/bigram-explode chain, so the corpus was
+    // tokenized 3× and bigram-exploded 2× per invocation (measured:
+    // 2 × 5.2 MB bigram exchanges + 3 duplicate tokenize map stages).
+    // Both pins are counts-collapsed (vocab- / vocab²-bounded), never
+    // token instances.
+    val bi = Pin.eager(bigramCounts(docs)
+      .groupBy(col("tok"), col("next")).agg(sum(col("cnt")).as("c_ab")))
+    val uni = Pin.eager(docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c")))
     val nBi = bi.agg(sum(col("c_ab")).as("n_bi"))
     val nUni = uni.agg(sum(col("c")).as("n_uni"))
     bi.where(col("c_ab") >= minCount)
@@ -2063,9 +2081,9 @@ object TextAnalysis {
       .join(lengthQuantiles(docs).select(col("source"), col("n_docs"),
         col("p50_tokens"), col("p90_tokens"), col("p99_tokens")), "source")
     if (!materialize) return lazyOut
-    val out = lazyOut.localCheckpoint()
-    sc.unpersist()
-    out
+    // sc stays persisted (r18): same plan-keyed-reuse rationale as
+    // lmQualityBuckets' lq — the counts table is vocabulary-bounded.
+    lazyOut.localCheckpoint()
   }
 
   /** Per-source Zipf fit — least-squares slope of ln(freq) on ln(rank)

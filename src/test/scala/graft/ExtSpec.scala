@@ -645,9 +645,14 @@ class ExtSpec extends SparkSpec {
     assert(pr20.length == cut.length)
     val total = pr20.map(_.getLong(1)).sum
     assert(total <= 1000000000000L && total >= 1000000000000L - 100L * pr20.length)
-    // caches released: the three runs above leave no new cache() entries
-    assert(cachedCount == cachedBefore,
-      s"unpersist must release pagerank edge/node caches: $cachedBefore -> $cachedCount")
+    // r18 contract change: the edge/node/assignment pins now STAY
+    // persisted (Pin.eager) so a repeated invocation substitutes the
+    // materialized frames via the CacheManager instead of re-running
+    // the kNN build. The three structurally distinct pinned frames
+    // (assigned, edges, nodes) register once each — canonically equal
+    // plans across the three runs above must NOT add further entries.
+    assert(cachedCount <= cachedBefore + 3,
+      s"pins must stay plan-keyed (no per-invocation growth): $cachedBefore -> $cachedCount")
   }
 
   test("dsirSelect/tokenizerFertility/contrastiveCrops: structure and determinism") {
