@@ -13,20 +13,49 @@ import org.apache.spark.sql.DataFrame
   *
   * `Pin.eager` persists and immediately materializes, so every
   * consumer — including concurrently-submitted AQE stages — reads the
-  * one materialized copy. Unlike `localCheckpoint()` it stays
-  * plan-keyed in the CacheManager: a later invocation that builds the
-  * canonically-equal frame (same fixture, same operator) substitutes
-  * the already-materialized relation instead of recomputing — the
-  * warm-path behavior the lazy persists already had, now with the
-  * cold path fixed too.
+  * one materialized copy. The persist stays plan-keyed in the
+  * CacheManager: a later invocation that builds the canonically-equal
+  * frame (same fixture, same operator) substitutes the
+  * already-materialized relation instead of recomputing.
+  *
+  * On top of the persist, the returned frame is `sized`: lineage
+  * truncated (localCheckpoint) and partitions derived from the
+  * materialized row count. Profiling this round (jstack sampling of
+  * the executor pool) attributed the dominant CPU of every post-pin
+  * stage to `ObjectInputStream.readObject` — task-binary
+  * deserialization: a persisted frame keeps its FULL upstream plan in
+  * the serialized RDD graph, so each downstream task paid ~0.2 s just
+  * deserializing the pipeline it never runs, multiplied by every task
+  * of every consumer stage (32-128 tasks each on KB-sized proxies).
+  * The checkpoint cut + row-derived partition count removed ~75% of
+  * the pageRank loop's CPU in the isolated A/B. Partition sizing is
+  * scale-adaptive (rows / rowsPerPart), never a core-count constant:
+  * at 100 TB a billion-row proxy still fans out to hundreds of
+  * partitions, while a KB-sized one stops paying 32 tasks of fixed
+  * deserialization cost per consumer stage.
   *
   * Use ONLY on lightweight proxies (counts-collapsed tables,
   * signatures, thumbnails, assignments — guide §8 "decide with small
-  * rows"), never on corpus payloads. */
+  * rows"), never on corpus payloads. Batch only (localCheckpoint is
+  * illegal in streaming plans). */
 object Pin {
+  /** Narrow proxy rows per checkpoint partition: ~2M rows of a few
+    * longs ≈ tens of MB — the same band AQE's 64 MB advisory targets. */
+  private val RowsPerPart = 2L * 1000 * 1000
+
   def eager(df: DataFrame): DataFrame = {
     df.persist()
-    df.count()
-    df
+    sized(df, df.count())
+  }
+
+  /** Truncate lineage and right-size partitions of an
+    * already-materialized proxy: downstream task binaries then carry a
+    * checkpoint-scan stub instead of the full upstream plan. */
+  def sized(df: DataFrame, rows: Long,
+      rowsPerPart: Long = RowsPerPart): DataFrame = {
+    val cur = math.max(df.rdd.getNumPartitions, 1)
+    val parts = math.max(1L,
+      math.min(cur.toLong, (rows + rowsPerPart - 1) / rowsPerPart)).toInt
+    (if (parts < cur) df.coalesce(parts) else df).localCheckpoint()
   }
 }

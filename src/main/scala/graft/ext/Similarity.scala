@@ -702,9 +702,14 @@ object Similarity {
     // caller that filters weak edges first leaves dst-only nodes,
     // which a src-only node set would silently drop from the ranking
     // (and from n, skewing the teleport base)
-    val nodes = e.select(col("src").as("id"))
+    val nodes0 = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().persist()
-    val n = nodes.count()
+    val n = nodes0.count()
+    // sized like every pin (r18): the loop below references `nodes`
+    // once per iteration — a persisted-only node set ships its full
+    // lineage in every iteration task's binary (the measured ~0.2 s/task
+    // deserialization floor); the checkpoint stub doesn't.
+    val nodes = Pin.sized(nodes0, n)
     if (n == 0) {
       // empty graph (no vector shares a cell): nothing to rank
       return edgesIn.sparkSession.emptyDataFrame
@@ -1184,13 +1189,17 @@ object Similarity {
     * loser sliver against their own frame without re-deriving it. */
   def semanticDupLosers(emb: DataFrame, threshold: Double = 0.4,
       centroidMod: Int = 50): DataFrame = {
-    val assigned = ivfAssign(emb, centroidMod)
+    // pinned eagerly (r18): the cell self-join references the assigned
+    // table on both sides and each side planned its own quantize+assign
+    // chain (2 × the full pipeline per invocation, measured as two
+    // identical 64-task map stages in pretraining_corpus) — the same
+    // duplicate-sides fix knnGraph got. The pin is the narrow (cell,
+    // id, q, nq) proxy.
+    val assigned = Pin.eager(ivfAssign(emb, centroidMod))
     // Shuffle-merge, not the stats-suggested broadcast: the assigned
     // frame is corpus-proportional (one row per vector, carrying the
     // quantized embedding), so a broadcast side is a driver OOM at
-    // scale; with identical shuffled sides the whole ivfAssign
-    // pipeline (centroid dot products + argmax agg) materializes once
-    // into one exchange read by both sides instead of running twice.
+    // scale.
     val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
       col("q").as("qa"), col("nq").as("na")).hint("merge")
     val b = assigned.select(col("cell"), col("vec_id").as("b_id"),

@@ -707,7 +707,12 @@ object TextAnalysis {
   def curriculumOrder(docs: DataFrame, phases: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(phases >= 2, "need at least 2 phases")
-    val scored = withQuality(docs)
+    // pinned eagerly (r18): three consumers (the percentile cuts, the
+    // offset counts, the final rank join) each planned their own
+    // quality projection (tokenize + distinct + regex per doc, the
+    // operator's whole cost). The pin is (doc_id, quality) plus the
+    // carried doc columns — quality is 2 cols of the narrow docs frame.
+    val scored = Pin.eager(withQuality(docs).select(col("doc_id"), col("quality")))
     val fracs = (1 until phases).map(i => i.toDouble / phases)
       .mkString("array(", ", ", ")")
     val cuts = scored.agg(expr(s"percentile(quality, $fracs)").as("__cuts"))
@@ -1272,21 +1277,18 @@ object TextAnalysis {
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val base = docs.select(col("doc_id"), tokens(col("text")).as("ws"))
-    val dlen = base.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+    // both proxies pinned eagerly (r18): dlen has two consumers (the
+    // corpus stats + the score join) and qcnts two (dfreq + the score
+    // join); un-pinned, each consumer planned its own corpus tokenize —
+    // 4 tokenize passes per invocation (the dfreq branch additionally
+    // defeated ReuseExchange by being pruned to a distinct aggregate).
+    // dlen is 2 longs/doc; qcnts is query-proportional.
+    val dlen = Pin.eager(base.select(col("doc_id"),
+      size(col("ws")).cast("long").as("dl")))
     val stats = dlen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-    val qcnts = base.select(col("doc_id"), explode(col("ws")).as("tok"))
+    val qcnts = Pin.eager(base.select(col("doc_id"), explode(col("ws")).as("tok"))
       .where(col("tok").isin(queryTerms.distinct: _*))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    // The df branch re-plans the query-filtered explode rather than
-    // reusing qcnts' exchange: Catalyst prunes this branch to a
-    // distinct-(doc, tok) aggregate (functions=[] vs [count]), so the
-    // canonicalized children differ and ReuseExchange can't match —
-    // verified empirically; keeping tf referenced (count(tf)) is
-    // rewritten back to the pruned form. Accepted: both derivations
-    // filter to query terms SCAN-SIDE (the duplicated work is
-    // query-proportional after the scan, plus one extra corpus read),
-    // and the alternative — df via a tok-partitioned window — funnels
-    // a stopword term's entire posting list through one reducer.
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
     val dfreq = qcnts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val scored = qcnts.join(broadcast(dfreq), "tok")
       .join(dlen, "doc_id")
@@ -1335,14 +1337,14 @@ object TextAnalysis {
     val qterms = queries.select(col("query_id"), col("term")).distinct()
     val qvocab = qterms.select(col("term").as("tok")).distinct()
     val base = docs.select(col("doc_id"), tokens(col("text")).as("ws"))
-    val dlen = base.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+    // both proxies pinned eagerly (r18) — same 4-tokenize-pass shape
+    // and fix as bm25TopK above
+    val dlen = Pin.eager(base.select(col("doc_id"),
+      size(col("ws")).cast("long").as("dl")))
     val stats = dlen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
-    val qcnts = base.select(col("doc_id"), explode(col("ws")).as("tok"))
+    val qcnts = Pin.eager(base.select(col("doc_id"), explode(col("ws")).as("tok"))
       .join(broadcast(qvocab), "tok")
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    // same accepted dual-derivation as bm25TopK (see the comment
-    // there): the pruned df branch defeats exchange reuse, but both
-    // derivations are query-term-filtered scan-side
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
     val dfreq = qcnts.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // per-(doc, term) contribution — identical double association and
     // ·10⁶ quantization as bm25TopK (the oracle parity contract)
@@ -1570,8 +1572,10 @@ object TextAnalysis {
   def dsirWeights(docs: DataFrame, targetPred: Column): DataFrame = {
     val toks = docs.select(col("doc_id"), targetPred.as("is_t"),
       explode(tokens(col("text"))).as("tok"))
-    val cnts = toks.groupBy(col("doc_id"), col("is_t"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
+    // pinned eagerly (r18): two consumers (the freqs model + the score
+    // join) each planned their own tokenize+explode chain
+    val cnts = Pin.eager(toks.groupBy(col("doc_id"), col("is_t"), col("tok"))
+      .agg(count(lit(1)).as("cnt")))
     val freqs = cnts.groupBy(col("tok"))
       .agg(sum(col("cnt")).as("tf_raw"),
         sum(when(col("is_t"), col("cnt")).otherwise(0L)).as("tf_t"))
@@ -1613,7 +1617,11 @@ object TextAnalysis {
     * time. Documents with fewer than 2 tokens have no bigrams and
     * drop out. */
   def bigramLmQuality(docs: DataFrame): DataFrame = {
-    val cnts = bigramCounts(docs)
+    // pinned eagerly (r18): three consumers (bf, cf, the score join)
+    // each planned their own tokenize+bigram-explode chain — the same
+    // duplicate-subtree fix as bigramPmi. Counts-collapsed, never
+    // token instances.
+    val cnts = Pin.eager(bigramCounts(docs))
     val bf = cnts.groupBy(col("tok"), col("next")).agg(sum(col("cnt")).as("bf"))
     val cf = cnts.groupBy(col("tok")).agg(sum(col("cnt")).as("cf"))
     val scored = cnts.join(bf, Seq("tok", "next")).join(cf, Seq("tok"))
@@ -1648,7 +1656,8 @@ object TextAnalysis {
     * `bigramLmQuality` (the gate entry + TextSpec pin exactly this),
     * so the scale knob costs nothing until it is actually turned. */
   def bigramLmQualityPruned(docs: DataFrame, minCount: Long = 2): DataFrame = {
-    val cnts = bigramCounts(docs)
+    // pinned eagerly (r18): same three-consumer shape as bigramLmQuality
+    val cnts = Pin.eager(bigramCounts(docs))
     val bf = cnts.groupBy(col("tok"), col("next")).agg(sum(col("cnt")).as("bf"))
       .where(col("bf") >= minCount)
     val cf = cnts.groupBy(col("tok")).agg(sum(col("cnt")).as("cf"))
@@ -1680,7 +1689,8 @@ object TextAnalysis {
     * broadcast. Per-(doc,pair) contributions quantize ·10⁶ before the
     * exact Σ cnt·q rollup. */
   def bigramLmQualityInterp(docs: DataFrame, lambda: Double = 0.75): DataFrame = {
-    val cnts = bigramCounts(docs)
+    // pinned eagerly (r18): same three-consumer shape as bigramLmQuality
+    val cnts = Pin.eager(bigramCounts(docs))
     val bf = cnts.groupBy(col("tok"), col("next")).agg(sum(col("cnt")).as("bf"))
     val cf = cnts.groupBy(col("tok")).agg(sum(col("cnt")).as("cf"))
     val toks = docs.select(explode(tokens(col("text"))).as("u"))
