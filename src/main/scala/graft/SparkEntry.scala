@@ -48,10 +48,17 @@ object SparkEntry {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
-      Seq(t._1, t._2, t._3)
+      val counts = Seq(t._1, t._2, t._3)
         .map(df => Future(df.count()))
-        .foreach(Await.result(_, Duration.Inf))
-      t
+        .map(Await.result(_, Duration.Inf))
+      // sized like the operator pins (r18): a cached-only table keeps
+      // the full derive+clean plan in every consumer task's binary —
+      // the measured per-task deserialization floor, paid by all nine
+      // pin queries per invocation. The checkpoint stub cuts it;
+      // partition count derives from the row count, not the core count.
+      (graft.ext.Pin.sized(t._1, counts(0)),
+        graft.ext.Pin.sized(t._2, counts(1)),
+        graft.ext.Pin.sized(t._3, counts(2)))
     })
   }
 

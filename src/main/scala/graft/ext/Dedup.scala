@@ -68,7 +68,13 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
     * |A∩B| from the shingle join, |A∪B| = |A|+|B|−|A∩B|. */
   def ngramJaccardPairs(docs: DataFrame, w: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val sized = hashedShingled(docs, w).withColumn("n_sh", size(col("sh")))
+    // pinned eagerly (r18): the self-join's two sides each planned
+    // their own tokenize+shingle+hash chain (the claimed exchange
+    // reuse between the identical hinted sides does NOT fire under
+    // AQE — two identical heavy map stages, measured). The pin is the
+    // per-doc hash-array table (8 bytes/shingle), never document text.
+    val sized = Pin.eager(
+      hashedShingled(docs, w).withColumn("n_sh", size(col("sh"))))
     val exploded = sized.select(col("doc_id"), col("n_sh"),
       explode(col("sh")).as("s"))
     // Force the shuffle-merge join: Spark's size estimate for the
@@ -76,11 +82,8 @@ object Dedup {
     // but the stream is corpus-proportional — a broadcast side here is
     // exactly the shape that dies first at 100 TB, and even at sf0.1
     // building the hash relation costs ~3× the shuffle (measured).
-    // With both sides shuffled, the two sub-plans are identical, so
-    // the shingle projection + exchange materializes once and the
-    // second side reads the reused exchange; AQE's skew-join split
-    // also only applies to shuffle joins, which is what hot shingles
-    // need.
+    // AQE's skew-join split also only applies to shuffle joins, which
+    // is what hot shingles need.
     val a = exploded.toDF("a_id", "a_n", "s").hint("merge")
     val b = exploded.toDF("b_id", "b_n", "s").hint("merge")
     a.join(b, "s")
@@ -106,7 +109,9 @@ object Dedup {
     * exchange. */
   def containmentPairs(docs: DataFrame, w: Int = 3,
       minContainment: Double = 0.8): DataFrame = {
-    val sized = hashedShingled(docs, w).withColumn("n_sh", size(col("sh")))
+    // pinned eagerly (r18): same duplicate-sides fix as ngramJaccardPairs
+    val sized = Pin.eager(
+      hashedShingled(docs, w).withColumn("n_sh", size(col("sh"))))
     val exploded = sized.select(col("doc_id"), col("n_sh"),
       explode(col("sh")).as("s"))
     val a = exploded.toDF("a_id", "a_n", "s").hint("merge")
@@ -220,7 +225,10 @@ object Dedup {
     * rollup is a narrow (a, b) count. */
   def winnowCandidates(docs: DataFrame, w: Int = 3, window: Int = 4,
       minShared: Int = 2): DataFrame = {
-    val f = winnowFingerprints(docs, w, window)
+    // pinned eagerly (r18): the fp self-join's sides each re-ran the
+    // whole winnowing chain (positional hash + per-doc window min) —
+    // the pin is the (doc_id, fp) value set, 16 bytes/fingerprint
+    val f = Pin.eager(winnowFingerprints(docs, w, window))
     val a = f.toDF("a_id", "fp").hint("merge")
     val b = f.toDF("b_id", "fp").hint("merge")
     a.join(b, "fp")
@@ -591,7 +599,10 @@ object Dedup {
     * key, the join back on the same key (exchange reuse), one doc_id
     * rollup. */
   def noveltyScore(corpus: DataFrame, w: Int = 8): DataFrame = {
-    val sized = hashedShingled(corpus, w).withColumn("n_sh", size(col("sh")))
+    // pinned eagerly (r18): `ex` has two consumers (the first-doc model
+    // + the join back) — each planned its own shingling chain
+    val sized = Pin.eager(
+      hashedShingled(corpus, w).withColumn("n_sh", size(col("sh"))))
     val ex = sized.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
     val firsts = ex.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
     ex.join(firsts, "s")
@@ -634,12 +645,15 @@ object Dedup {
   def substringDedup(docs: DataFrame, w: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"), words(col("text")).as("ws"))
-    val starts = toks
+    // pinned eagerly (r18): `starts` has two consumers (the
+    // first-occurrence model + the join back) — each planned its own
+    // tokenize + per-window hash chain. 16 bytes/window-start.
+    val starts = Pin.eager(toks
       .select(col("doc_id"),
         posexplode(transform(
           sequence(lit(0), greatest(size(col("ws")) - w, lit(0))),
           s => xxhash64(concat_ws(" ", slice(col("ws"), s + 1, lit(w))))))
-          .as(Seq("pos", "sh")))
+          .as(Seq("pos", "sh"))))
     val firsts = starts.groupBy(col("sh"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("f"),
         count(lit(1)).as("occ"))
@@ -681,7 +695,10 @@ object Dedup {
     * precomputed index this join probes. */
   def incrementalDedup(corpus: DataFrame, batch: DataFrame, w: Int = 3,
       minJaccard: Double = 0.5): DataFrame = {
-    val bSized = hashedShingled(batch, w).withColumn("n_sh", size(col("sh")))
+    // pinned eagerly (r18): the batch side is referenced twice (probe
+    // side + the pool's intra-batch branch) — batch-proportional pin
+    val bSized = Pin.eager(
+      hashedShingled(batch, w).withColumn("n_sh", size(col("sh"))))
     val bEx = bSized.select(col("doc_id").as("a_id"), col("n_sh").as("a_n"),
       explode(col("sh")).as("s"))
     val poolEx = hashedShingled(corpus, w).withColumn("n_sh", size(col("sh")))
@@ -1016,7 +1033,9 @@ object Dedup {
     * the count already shuffled on → exchange reuse), and the per-doc
     * rollup combines map-side on doc_id. No driver state. */
   def spanDupScore(corpus: DataFrame, w: Int = 8): DataFrame = {
-    val sized = hashedShingled(corpus, w).withColumn("n_sh", size(col("sh")))
+    // pinned eagerly (r18): same two-consumer shape as noveltyScore
+    val sized = Pin.eager(
+      hashedShingled(corpus, w).withColumn("n_sh", size(col("sh"))))
     val ex = sized.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
     val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
     ex.join(dfreq, "s")

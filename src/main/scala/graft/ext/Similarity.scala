@@ -923,7 +923,11 @@ object Similarity {
     require(k >= 1, "k must be positive")
     val spark = emb.sparkSession
     import spark.implicits._
-    val e = emb.select(col("vec_id"), quantize(col("embedding")).as("q")).cache()
+    // sized pin (r18): the k selection passes each scan this frame —
+    // cached-only, every pass's tasks re-deserialized the quantize
+    // lineage (6 × 64-task collect jobs for KB-scale picks)
+    val e0 = emb.select(col("vec_id"), quantize(col("embedding")).as("q")).cache()
+    val e = Pin.sized(e0, e0.count())
     try {
       val seedRows = e.orderBy(col("vec_id").asc).limit(1).collect()
       if (seedRows.isEmpty)
@@ -953,7 +957,7 @@ object Similarity {
       sel.toSeq.zipWithIndex
         .map { case ((id, _, d), i) => (i + 1L, id, d) }
         .toDF("sel_rank", "vec_id", "dist")
-    } finally { e.unpersist(); () }
+    } finally { e0.unpersist(); () }
   }
 
   /** Two-stage retrieval — the production ANN serving composition:

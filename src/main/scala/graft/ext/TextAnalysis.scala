@@ -1109,7 +1109,7 @@ object TextAnalysis {
     // otherwise each re-execute the whole lmQuality chain (measured
     // 2× op cost — the clusterTopTerms double-build shape); output
     // materialized eagerly so the cache drops before returning
-    val lq = lmQuality(docs)
+    val lq0 = lmQuality(docs)
       .withColumn("q_doc",
         round(col("sum_q_logprob").cast("double")
           / col("n_tokens").cast("double")).cast("long"))
@@ -1118,8 +1118,10 @@ object TextAnalysis {
     // eager fill (r18): the cuts branch and the bucket join otherwise
     // race the cache under AQE's concurrent materialization and each
     // re-run the lq chain — cache() alone only dedups AFTER a
-    // partition lands
-    lq.count()
+    // partition lands. Sized (checkpoint stub + row-derived partition
+    // count) like every pin, cutting the per-task plan deserialization
+    // of the lq chain from both consumers.
+    val lq = Pin.sized(lq0, lq0.count())
     val stats = lq.groupBy(col("source"), col("q_doc"))
       .agg(count(lit(1)).as("__f"))
       .groupBy(col("source"))
@@ -2073,14 +2075,16 @@ object TextAnalysis {
     * hook PlanSpec uses to pin this shape. */
   def sourceHealthReport(docs: DataFrame,
       materialize: Boolean = true): DataFrame = {
-    val sc = sourceTokenCounts(docs).cache()
+    val sc0 = sourceTokenCounts(docs).cache()
     // eager fill (r18): a lazily-filled cache does NOT dedup under
     // AQE's concurrent stage materialization — the token branches race
     // before any partition lands and each re-runs the tokenize (3
     // duplicate count-exchange map stages measured); one count() makes
-    // every branch a cache read. Skipped on the materialize=false
-    // plan-inspection hook, which never executes.
-    if (materialize) sc.count()
+    // every branch a cache read, and the sized checkpoint stub stops
+    // each of the three consumers' tasks from deserializing the whole
+    // tokenize chain. Skipped on the materialize=false plan-inspection
+    // hook, which never executes.
+    val sc = if (materialize) Pin.sized(sc0, sc0.count()) else sc0
     val lazyOut = lexicalDiversityFromCounts(sc)
       .join(klDivergenceFromCounts(sc)
         .select(col("source"), col("kl_divergence")), "source")
