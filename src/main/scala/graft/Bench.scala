@@ -294,6 +294,14 @@ object Bench {
     // min-WALL sample's two numbers — cpu of a different sample would
     // pair a cold cpu with a warm wall and the ratio would lie.
     val results = SparkEntry.benchQueries.map { case (name, fn) =>
+      // Standalone-entry honesty (r18 verdict item 2): drop pins
+      // memoised by EARLIER entries before this entry's first sample,
+      // outside the timed region — sample 1 then pays this entry's own
+      // pin builds and min-of-2 measures standalone entry cost rather
+      // than inheriting intermediates from a family sibling. (Sample 2
+      // staying warm within the entry is the same behavior the pre-r18
+      // lazy caches had.)
+      graft.ext.Pin.reset()
       val samples = (1 to 2).map { _ =>
         val g0 = JvmStamp.gcMillis()
         val c0 = processCpuNs()
@@ -334,7 +342,10 @@ object Bench {
           val cPre = JvmStamp.calibrate()
           val out = results.map { case (name, samples) =>
             if (!candidates(name)) name -> samples
-            else name -> (samples ++ (1 to 2).map { _ =>
+            else name -> (samples ++ (1 to 2).map { i =>
+              // same standalone-entry discipline as the first screen:
+              // the confirmation pair starts from a cold pin registry
+              if (i == 1) graft.ext.Pin.reset()
               val g0 = JvmStamp.gcMillis()
               val c0 = processCpuNs()
               val t0 = System.nanoTime()

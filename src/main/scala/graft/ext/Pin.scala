@@ -44,24 +44,70 @@ object Pin {
   private val RowsPerPart = 2L * 1000 * 1000
 
   /** Session-scoped registry of built pins, keyed by the canonicalized
-    * analyzed plan — the same plan-keyed reuse the CacheManager gave
-    * the persist-only pins (a later invocation building the
-    * canonically-equal frame gets the materialized proxy instead of
-    * recomputing), now serving the sized CHECKPOINT so the reuse and
-    * the lineage truncation compose. Without it, every invocation
-    * re-ran the count+coalesce+checkpoint build (two jobs per pin),
-    * a measured +0.3–0.5 s on pin-dense cheap entries
-    * (cluster_top_terms 0.63 → 1.07 s). Entries die with the session;
-    * memory is one sized proxy per distinct pin plan — the same
-    * footprint the CacheManager previously held, which the build now
-    * releases (unpersist after the checkpoint materializes). */
+    * analyzed plan AND the output field names — the same plan-keyed
+    * reuse the CacheManager gave the persist-only pins (a later
+    * invocation building the canonically-equal frame gets the
+    * materialized proxy instead of recomputing), now serving the sized
+    * CHECKPOINT so the reuse and the lineage truncation compose.
+    * Without it, every invocation re-ran the count+coalesce+checkpoint
+    * build (two jobs per pin), a measured +0.3–0.5 s on pin-dense
+    * cheap entries (cluster_top_terms 0.63 → 1.07 s).
+    *
+    * The field names are part of the key because canonicalization
+    * normalizes attribute NAMES away: two pins that differ only in
+    * output aliases (lmQuality's `(doc_id,tok,cnt)` counts vs
+    * tfidfTopTerms' `(doc_id,tok,tf)`) canonicalize identically, and
+    * a plan-only key hands one operator the other's frame — `col("tf")`
+    * then fails to resolve (the r18 regression that dropped
+    * tfidf_top_terms). Same canonical plan + same names ⇒ same frame,
+    * so the composite key is sound.
+    *
+    * Bounded (MaxEntries): pins are small proxies, but a long-lived
+    * session (a 100 TB campaign driving thousands of operator
+    * invocations over changing inputs) must not accumulate checkpoint
+    * storage without limit — on overflow the registry is cleared and
+    * the dropped frames' checkpoint RDDs are released to the
+    * ContextCleaner (correctness is unaffected; the next use rebuilds).
+    * Entries die with the session; memory is one sized proxy per
+    * distinct pin plan — the same footprint the CacheManager previously
+    * held, which the build now releases (unpersist after the
+    * checkpoint materializes). */
+  private val MaxEntries = 512
   private val reg = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession,
-      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), DataFrame]
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      Seq[String]), DataFrame]
+
+  /** Plan-shape test support: run `f` with `eager` as the identity, so
+    * a PlanSpec assertion sees the FULL logical tree — including the
+    * subtree a pin build would otherwise hide behind a checkpoint-scan
+    * stub. The pinned shape and the full shape compute identically;
+    * the tests assert properties of the real dataflow (map-side
+    * partial aggregation, scan-side filters) that the pin build runs
+    * verbatim. Thread-local so a concurrent bench/verify session is
+    * unaffected. Never used outside tests. */
+  private val disabled = new ThreadLocal[Boolean] {
+    override def initialValue: Boolean = false
+  }
+  def withDisabled[A](f: => A): A = {
+    disabled.set(true)
+    try f finally disabled.set(false)
+  }
+
+  /** Drop every memoised pin. Called by the bench harness BETWEEN
+    * entries (never inside a timed region) so each entry's first
+    * sample pays its own pin builds — min-of-2 then measures
+    * standalone entry cost instead of inheriting intermediates built
+    * by an earlier entry in the same family (r18 verdict item 2).
+    * Also the overflow action for the MaxEntries bound. */
+  def reset(): Unit = reg.clear()
 
   def eager(df: DataFrame): DataFrame = {
-    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
+    if (disabled.get) return df
+    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized,
+      df.schema.fieldNames.toSeq)
     reg.getOrElseUpdate(key, {
+      if (reg.size >= MaxEntries) reset()
       df.persist()
       val out = sized(df, df.count())
       df.unpersist()

@@ -237,7 +237,12 @@ class PlanSpec extends SparkSpec {
 
   test("bigramLmQuality: model aggs combine map-side, no cartesian scoring join") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val p = plan(graft.ext.TextAnalysis.bigramLmQuality(docs))
+    // Pin disabled: the r18 pin serves the bigram counts from a
+    // checkpoint-scan stub, hiding the subtree the assertion is about;
+    // the pin BUILD runs exactly this full tree, so the shape contract
+    // is asserted on it directly.
+    val p = graft.ext.Pin.withDisabled(
+      plan(graft.ext.TextAnalysis.bigramLmQuality(docs)))
     assert(p.contains("partial_count"), s"map-side model counts expected:\n$p")
     assert(!p.contains("CartesianProduct"), "score join must be keyed")
   }
@@ -301,7 +306,10 @@ class PlanSpec extends SparkSpec {
 
   test("bm25TopK: no vocabulary-wide aggregation; query filter sits scan-side") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val p = plan(graft.ext.TextAnalysis.bm25TopK(docs, Seq("spark", "merge")))
+    // Pin disabled: assert the full dataflow shape the pin build runs
+    // (the checkpoint stub would hide the query-term filter subtree)
+    val p = graft.ext.Pin.withDisabled(
+      plan(graft.ext.TextAnalysis.bm25TopK(docs, Seq("spark", "merge"))))
     // the round-7 contract: the only (doc, tok) aggregation runs over
     // query-term-filtered tokens — the filter must appear, and the
     // top-k must be TakeOrderedAndProject, not a global sort
