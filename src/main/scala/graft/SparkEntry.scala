@@ -489,12 +489,22 @@ object SparkEntry {
         .orderBy("split_x", "split_y")),
     // ...cluster-keyed assignment provably does not (every row
     // same-split by construction; the oracle pins zero leaky rows)
-    "split_leakage_audit_safe" -> prep((s, d) =>
-      Sampling.splitLeakageAudit(
-        Sampling.leakageSafeSplit(docs(s, d),
-          Dedup.minhashLshPairsPortable(docs(s, d))).select("doc_id", "split"),
+    "split_leakage_audit_safe" -> prep((s, d) => {
+      // pinned (r19): the entry referenced the LSH pair pipeline twice
+      // (split keying + audit) and the assignment twice (the audit's
+      // two id joins) — each reference re-ran everything downstream of
+      // the r18 signature pin (band join, candidate verify, the
+      // iterative dupClusters loop; 16 jobs per re-evaluation
+      // measured). Both pins are sliver-sized proxies: pairs = the
+      // near-dup pair set, assignment = (doc_id, split).
+      val pairs = graft.ext.Pin.eager(
         Dedup.minhashLshPairsPortable(docs(s, d)))
-        .orderBy("split_x", "split_y")),
+      val assign = graft.ext.Pin.eager(
+        Sampling.leakageSafeSplit(docs(s, d), pairs)
+          .select("doc_id", "split"))
+      Sampling.splitLeakageAudit(assign, pairs)
+        .orderBy("split_x", "split_y")
+    }),
     // split keyed on near-dup cluster ids: whole clusters move between
     // splits atomically (no train/test leakage through near-copies).
     // Round 6: the pair graph comes from the MinHash/LSH sketch tier —

@@ -256,7 +256,18 @@ object ImageCodec {
     * deterministic only (same JRE → same pixels), so JPEG consumers
     * gate on tolerance bands, not exact sums. */
   def decodeImageIo(bytes: Array[Byte]): Image = {
-    val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    // memory-cached stream, NOT ImageIO.read(InputStream): the
+    // InputStream overload wraps the payload in a FileCache stream
+    // (ImageIO's default), which spools every decode through a temp
+    // FILE on executor disk — measured as the dominant non-CPU task
+    // time of every ImageIO entry (r19: video_frame_luma stage run
+    // 32.4 s vs 6.7 s CPU on a 64-task stage, gc 10 ms). The payload
+    // is already an in-memory byte array; cache in memory.
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    // no explicit close: ImageIO.read(ImageInputStream) closes the
+    // stream itself (a second close throws "closed")
+    val bi = javax.imageio.ImageIO.read(iis)
     require(bi != null, "no ImageIO reader claims this payload")
     val w = bi.getWidth; val h = bi.getHeight
     require(w > 0 && h > 0 && w.toLong * h <= Int.MaxValue,
@@ -278,8 +289,12 @@ object ImageCodec {
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     bi.setRGB(0, 0, img.width, img.height, img.argb, 0, img.width)
     val out = new java.io.ByteArrayOutputStream()
-    require(javax.imageio.ImageIO.write(bi, format, out),
+    // memory-cached stream for the same reason as decodeImageIo: the
+    // OutputStream overload of ImageIO.write spools through a temp file
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    try require(javax.imageio.ImageIO.write(bi, format, ios),
       s"no ImageIO writer for $format")
+    finally ios.close()
     out.toByteArray
   }
 
@@ -294,7 +309,9 @@ object ImageCodec {
   def encodeGifAnim(frames: Seq[Image]): Array[Byte] = {
     require(frames.nonEmpty, "need at least one frame")
     val out = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    // memory-cached: createImageOutputStream defaults to a temp-FILE
+    // cache — one spool file per encoded clip (see decodeImageIo)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
     val writers = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
     require(writers.hasNext, "no GIF writer")
     val w = writers.next()
@@ -322,7 +339,9 @@ object ImageCodec {
     * (g → (g,g,g), the `decodePgm` convention — luma statistics
     * survive unchanged). */
   def decodeGifFrames(bytes: Array[Byte]): Seq[Image] = {
-    val iis = javax.imageio.ImageIO.createImageInputStream(
+    // memory-cached: createImageInputStream defaults to a temp-FILE
+    // cache — one spool file per decoded clip (see decodeImageIo)
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     val readers = javax.imageio.ImageIO.getImageReaders(iis)
     require(readers.hasNext, "no reader claims this payload")

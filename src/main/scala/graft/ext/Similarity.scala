@@ -66,6 +66,24 @@ object Similarity {
     emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
       .select(col("vec_id"), col("q"), normQ(col("q")).as("nq"))
 
+  /** Pinned quantized corpus proxy for the BATCH ANN tiers (r19): each
+    * ANN operator references the quantized corpus 2–4× (index build,
+    * codebook training, candidate projection, exact re-rank) and
+    * Catalyst plans every reference as its own scan+quantize chain —
+    * the r19 stage profile showed 2–3 identical 64-task quantize
+    * stages per entry (ann_sq_topk 2 × ~15 s run, ann_ivfpq_residual
+    * 3 × ~2 s). One eager pin makes every consumer a checkpoint-scan
+    * read; because the pin is plan-keyed, composed operators
+    * (ivfPqRerank = ivfPqTopK + exact re-rank) share ONE build within
+    * an invocation. The proxy is the narrow (vec_id, q, nq) index
+    * shape — linear in the corpus with a small constant, the same
+    * class as knnGraph's r18 assignment pin; media/text payloads are
+    * never pinned. Batch-only call sites (localCheckpoint is illegal
+    * in streaming plans; the streaming assignment path keeps the
+    * unpinned `quantizedWithNorm`). */
+  private def quantizedPinned(emb: DataFrame): DataFrame =
+    Pin.eager(quantizedWithNorm(emb))
+
   /** Brute-force top-k by cosine against one stored query vector.
     * Plan: broadcast 1-row query → scan → projection → top-k. */
   def bruteForceTopK(emb: DataFrame, queryVecId: Long, k: Int = 10): DataFrame = {
@@ -403,7 +421,9 @@ object Similarity {
   def pqTopK(emb: DataFrame, probes: DataFrame, k: Int = 5, m: Int = 4,
       centroidMod: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    // pinned (r19): `e` feeds codebook training AND the encode
+    // projection — two full scan+quantize chains before
+    val e = quantizedPinned(emb).select(col("vec_id"), col("q"))
     val books = pqCodebooks(e, m, centroidMod)
     // per-probe ADC tables, subspace-major, entries ordered by dense
     // code (array_sort on the struct array orders by its first field =
@@ -466,13 +486,18 @@ object Similarity {
   def ivfPqTopK(emb: DataFrame, probes: DataFrame, k: Int = 5,
       nprobe: Int = 3, m: Int = 4, centroidMod: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = quantizedWithNorm(emb)
+    // pinned (r19): before, the corpus was scan+quantized THREE times
+    // per invocation (centroid pack, codebook training, index
+    // projection); every consumer now reads the one pinned proxy —
+    // the codebook input derives FROM the pin (same q column) instead
+    // of re-quantizing the raw embeddings
+    val e = quantizedPinned(emb)
     val cents = e.where(col("vec_id") % centroidMod === 0)
       .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nq").as("ncq"))
     val centPack = cents.agg(collect_list(
       struct(col("cent_id"), col("cq"), col("ncq"))).as("ivf_cs"))
     val books = pqCodebooks(
-      emb.select(col("vec_id"), quantize(col("embedding")).as("q")), m, centroidMod)
+      e.select(col("vec_id"), col("q")), m, centroidMod)
     val indexed = e.crossJoin(broadcast(centPack)).crossJoin(broadcast(books))
       .select(col("vec_id"),
         graft.functions.NearestCentroidCosine
@@ -702,14 +727,16 @@ object Similarity {
     // caller that filters weak edges first leaves dst-only nodes,
     // which a src-only node set would silently drop from the ranking
     // (and from n, skewing the teleport base)
-    val nodes0 = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().persist()
-    val n = nodes0.count()
-    // sized like every pin (r18): the loop below references `nodes`
-    // once per iteration — a persisted-only node set ships its full
-    // lineage in every iteration task's binary (the measured ~0.2 s/task
-    // deserialization floor); the checkpoint stub doesn't.
-    val nodes = Pin.sized(nodes0, n)
+    // eager pin (r18, registry-keyed r19): the loop below references
+    // `nodes` once per iteration — a persisted-only node set ships its
+    // full lineage in every iteration task's binary (the measured
+    // ~0.2 s/task deserialization floor); the checkpoint stub doesn't.
+    // The r18 persist+count+Pin.sized build also leaked the persist
+    // and re-ran on every invocation; the count below reads the
+    // checkpointed stub (single narrow partition at proxy scale).
+    val nodes = Pin.eager(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
+    val n = nodes.count()
     if (n == 0) {
       // empty graph (no vector shares a cell): nothing to rank
       return edgesIn.sparkSession.emptyDataFrame
@@ -762,7 +789,13 @@ object Similarity {
       nprobe: Int = 3, m: Int = 4, centroidMod: Int = 50,
       codebookMod: Int = 37): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = quantizedWithNorm(emb)
+    // pinned (r19): `e` fed the centroid pack and the residual
+    // projection, and `resid` fed both codebook training and the index
+    // projection — the full assignment+residual chain ran TWICE per
+    // invocation (two identical 64-task stages in the r19 profile).
+    // Both pins are the narrow linear index shape ((id,q,nq) and
+    // (id,cell,r)); the heavy raw embeddings are scanned once.
+    val e = quantizedPinned(emb)
     val cents = e.where(col("vec_id") % centroidMod === 0)
       .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nq").as("ncq"))
     val centPack = cents.agg(collect_list(
@@ -772,11 +805,11 @@ object Similarity {
     def cellCq(cellCol: Column) = element_at(
       filter(col("ivf_cs"), c => c.getField("cent_id") === cellCol), 1)
       .getField("cq")
-    val resid = e.crossJoin(broadcast(centPack))
+    val resid = Pin.eager(e.crossJoin(broadcast(centPack))
       .withColumn("cell", graft.functions.NearestCentroidCosine
         .nearestCos(col("q"), col("nq"), col("ivf_cs")))
       .select(col("vec_id"), col("cell"),
-        zip_with(col("q"), cellCq(col("cell")), (x, y) => x - y).as("r"))
+        zip_with(col("q"), cellCq(col("cell")), (x, y) => x - y).as("r")))
     val books = subspaceBooks(
       resid.where(col("vec_id") % codebookMod === 0)
         .agg(array_sort(collect_list(struct(
@@ -869,7 +902,9 @@ object Similarity {
     * rather than hides. */
   def sqTopK(emb: DataFrame, probes: DataFrame, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = emb.select(col("vec_id"), quantize(col("embedding")).as("q"))
+    // pinned (r19): `e` feeds both the dim-pack aggregate and the
+    // encode projection — two full scan+quantize chains before
+    val e = quantizedPinned(emb).select(col("vec_id"), col("q"))
     val pack = sqDimPack(e)
     val enc = e.crossJoin(broadcast(pack))
       .select(col("vec_id"), sqCodes(col("q"), col("dims")).as("codes"))
@@ -923,11 +958,13 @@ object Similarity {
     require(k >= 1, "k must be positive")
     val spark = emb.sparkSession
     import spark.implicits._
-    // sized pin (r18): the k selection passes each scan this frame —
-    // cached-only, every pass's tasks re-deserialized the quantize
-    // lineage (6 × 64-task collect jobs for KB-scale picks)
-    val e0 = emb.select(col("vec_id"), quantize(col("embedding")).as("q")).cache()
-    val e = Pin.sized(e0, e0.count())
+    // eager pin (r18, registry-keyed r19): the k selection passes each
+    // scan this frame — cached-only, every pass's tasks
+    // re-deserialized the quantize lineage (6 × 64-task collect jobs
+    // for KB-scale picks); the r18 cache+Pin.sized build additionally
+    // re-ran on every invocation
+    val e = Pin.eager(
+      emb.select(col("vec_id"), quantize(col("embedding")).as("q")))
     try {
       val seedRows = e.orderBy(col("vec_id").asc).limit(1).collect()
       if (seedRows.isEmpty)
@@ -957,7 +994,7 @@ object Similarity {
       sel.toSeq.zipWithIndex
         .map { case ((id, _, d), i) => (i + 1L, id, d) }
         .toDF("sel_rank", "vec_id", "dist")
-    } finally { e0.unpersist(); () }
+    } finally { () } // pin lifetime is registry-managed
   }
 
   /** Two-stage retrieval — the production ANN serving composition:
@@ -986,7 +1023,10 @@ object Similarity {
     require(r >= k, "shortlist depth r must be >= k")
     val shortlist = ivfPqTopK(emb, probes, k = r, nprobe, m, centroidMod)
       .select(col("probe_id"), col("vec_id"))
-    val e = quantizedWithNorm(emb)
+    // pinned (r19): plan-keyed, so this is the SAME registry entry
+    // ivfPqTopK just built — the exact re-rank reads the one proxy
+    // instead of re-quantizing the corpus a second time
+    val e = quantizedPinned(emb)
     val p = quantizedWithNorm(probes)
       .select(col("vec_id").as("probe_id"), col("q").as("pq"),
         col("nq").as("npq"))

@@ -1105,23 +1105,17 @@ object TextAnalysis {
     * counts-collapsed chain does the heavy lifting once. */
   def lmQualityBuckets(docs: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
-    // cache: the cuts/moments branch and the bucket join would
-    // otherwise each re-execute the whole lmQuality chain (measured
-    // 2× op cost — the clusterTopTerms double-build shape); output
-    // materialized eagerly so the cache drops before returning
-    val lq0 = lmQuality(docs)
+    // eager pin (r18, registry-keyed r19): the cuts/moments branch and
+    // the bucket join would otherwise each re-execute the whole
+    // lmQuality chain (measured 2× op cost — the clusterTopTerms
+    // double-build shape), and a lazy cache is raced by AQE's
+    // concurrent stage materialization. Pin.eager replaces the r18
+    // cache+count+Pin.sized build, which re-ran on every invocation.
+    val lq = Pin.eager(lmQuality(docs)
       .withColumn("q_doc",
         round(col("sum_q_logprob").cast("double")
           / col("n_tokens").cast("double")).cast("long"))
-      .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      .cache()
-    // eager fill (r18): the cuts branch and the bucket join otherwise
-    // race the cache under AQE's concurrent materialization and each
-    // re-run the lq chain — cache() alone only dedups AFTER a
-    // partition lands. Sized (checkpoint stub + row-derived partition
-    // count) like every pin, cutting the per-task plan deserialization
-    // of the lq chain from both consumers.
-    val lq = Pin.sized(lq0, lq0.count())
+      .join(docs.select(col("doc_id"), col("source")), "doc_id"))
     val stats = lq.groupBy(col("source"), col("q_doc"))
       .agg(count(lit(1)).as("__f"))
       .groupBy(col("source"))
@@ -1954,9 +1948,16 @@ object TextAnalysis {
     // split emits no trailing "" (probed), so the filter is a no-op
     // here — kept because older engines differ and a phantom empty
     // char would silently enter the entropy table
-    val cc = docs.select(col("source"), explode(split(col("text"), "")).as("c"))
-      .where(length(col("c")) > 0)
-      .groupBy(col("source"), col("c")).agg(count(lit(1)).as("cnt"))
+    // pinned (r19): `cc` feeds both the per-source totals rollup and
+    // the entropy join — Catalyst planned each as an independent
+    // char-explode chain (two identical 64-task stages, ~20 s summed
+    // run each, in the r19 source_health profile; the char explode is
+    // the heaviest pass of this operator). The counts table is
+    // |sources|·|alphabet|-bounded — the canonical collapsed proxy.
+    val cc = Pin.eager(
+      docs.select(col("source"), explode(split(col("text"), "")).as("c"))
+        .where(length(col("c")) > 0)
+        .groupBy(col("source"), col("c")).agg(count(lit(1)).as("cnt")))
     val tot = cc.groupBy(col("source")).agg(sum(col("cnt")).as("total"))
     cc.join(broadcast(tot), "source")
       .select(col("source"), col("cnt"), col("total"),
@@ -2028,8 +2029,15 @@ object TextAnalysis {
     * vocabulary-sized table); per-source vocab sizes broadcast back at
     * |sources| rows; union = |A|+|B|−|A∩B| in exact int64. */
   def vocabOverlapMatrix(docs: DataFrame): DataFrame = {
-    val st = docs.select(col("source"), explode(tokens(col("text"))).as("tok"))
-      .distinct()
+    // pinned (r19): the distinct (source, tok) table has THREE
+    // consumers (per-source sizes + both self-join sides) and Catalyst
+    // plans each as an independent tokenize+distinct chain — the r19
+    // stage profile showed three identical 64-task explode stages per
+    // invocation (~38 s summed run). The table is vocabulary-bounded
+    // (× |sources|), the canonical counts-collapsed proxy class.
+    val st = Pin.eager(
+      docs.select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .distinct())
     val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n_types"))
     val a = st.toDF("source_a", "tok").hint("merge")
     val b = st.toDF("source_b", "tok").hint("merge")
@@ -2075,16 +2083,19 @@ object TextAnalysis {
     * hook PlanSpec uses to pin this shape. */
   def sourceHealthReport(docs: DataFrame,
       materialize: Boolean = true): DataFrame = {
-    val sc0 = sourceTokenCounts(docs).cache()
-    // eager fill (r18): a lazily-filled cache does NOT dedup under
-    // AQE's concurrent stage materialization — the token branches race
-    // before any partition lands and each re-runs the tokenize (3
-    // duplicate count-exchange map stages measured); one count() makes
-    // every branch a cache read, and the sized checkpoint stub stops
-    // each of the three consumers' tasks from deserializing the whole
-    // tokenize chain. Skipped on the materialize=false plan-inspection
-    // hook, which never executes.
-    val sc = if (materialize) Pin.sized(sc0, sc0.count()) else sc0
+    // eager pin (r18, upgraded r19): a lazily-filled cache does NOT
+    // dedup under AQE's concurrent stage materialization — the token
+    // branches race before any partition lands and each re-runs the
+    // tokenize (3 duplicate count-exchange map stages measured); the
+    // eager build makes every branch a checkpoint-stub read. r19 moved
+    // it from Pin.sized (per-invocation rebuild: the tokenize+count
+    // build re-ran on every invocation, the operator's dominant
+    // remaining stage) to the registry-keyed Pin.eager. The
+    // materialize=false plan-inspection hook keeps the r17
+    // cache-then-derive shape PlanSpec pins (a checkpoint stub would
+    // hide the branches' shared read from the plan).
+    val sc = if (materialize) Pin.eager(sourceTokenCounts(docs))
+      else sourceTokenCounts(docs).cache()
     val lazyOut = lexicalDiversityFromCounts(sc)
       .join(klDivergenceFromCounts(sc)
         .select(col("source"), col("kl_divergence")), "source")
@@ -2095,8 +2106,9 @@ object TextAnalysis {
       .join(lengthQuantiles(docs).select(col("source"), col("n_docs"),
         col("p50_tokens"), col("p90_tokens"), col("p99_tokens")), "source")
     if (!materialize) return lazyOut
-    // sc stays persisted (r18): same plan-keyed-reuse rationale as
-    // lmQualityBuckets' lq — the counts table is vocabulary-bounded.
+    // the sc proxy lives in the pin registry (vocabulary-bounded);
+    // the RESULT is checkpointed but never memoised — every invocation
+    // recomputes the report from the pinned counts
     lazyOut.localCheckpoint()
   }
 
