@@ -3056,9 +3056,31 @@ object SparkEntry {
     * this collapses to a plain cached scan. */
   private val readCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  /** Fixture-scan parallelism, SIZE-adaptive (r19): ceil(rows/32)
+    * partitions, capped at one wave of the session's cores. The r18
+    * constant (defaultParallelism × 2) was a core-count fan tuned for
+    * straggler coverage, but per-row work over the fixture is uniform
+    * and the per-task fixed cost (scheduler launch + shuffle-writer
+    * setup + task (de)serialization, ~20–50 ms CPU each on this box)
+    * dominated KB-scale stages: the r19 A/B at 32 cores measured
+    * 64 → 16 partitions as bpe_apply_count 2.09 → 0.87 s wall
+    * (CPU 21.7 → 5.3 s), curated_corpus 1.23 → 0.55, systematic_sample
+    * 1.18 → 0.53, with no entry slower. ≥32 rows per task amortizes
+    * the fixed cost; the cap keeps one wave (a second wave buys
+    * nothing on uniform work); bigger inputs widen toward full
+    * parallelism automatically (the rows count is a parquet
+    * footer-metadata job, paid once per (session, file)).
+    * Env-overridable for experiments. */
+  private def fixtureParts(s: SparkSession, rows: Long): Int =
+    sys.env.get("SPARK_GRAFT_FIXTURE_PARTS").map(_.toInt).getOrElse {
+      val p = s.sparkContext.defaultParallelism.toLong
+      math.max(1L, math.min(p, (rows + 31) / 32)).toInt
+    }
   private def sharedRead(s: SparkSession, path: String): DataFrame =
-    readCache.getOrElseUpdate((s, path),
-      s.read.parquet(path).repartition(s.sparkContext.defaultParallelism * 2).cache())
+    readCache.getOrElseUpdate((s, path), {
+      val raw = s.read.parquet(path)
+      raw.repartition(fixtureParts(s, raw.count())).cache()
+    })
   private def docs(s: SparkSession, dir: String): DataFrame =
     sharedRead(s, s"$dir/documents.parquet")
   private def emb(s: SparkSession, dir: String): DataFrame =

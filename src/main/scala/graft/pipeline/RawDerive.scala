@@ -111,8 +111,13 @@ object RawDerive {
     // input split: without redistribution the ~20-expression derive
     // projection runs on a single task. Round-robin to the session's
     // parallelism first (cheap: rows are narrow pre-derive).
+    // one wave of the session's cores (r19): the derive is uniform
+    // per-row work, and the ×2 straggler fan only doubled the per-task
+    // fixed cost of every consumer stage (the withDups union runs TWO
+    // branches over this scan, so ×2 here meant 128-task stages on
+    // 15000-row fixtures — measured strictly slower at 32 cores)
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
-      .repartition(spark.sparkContext.defaultParallelism * 2)
+      .repartition(spark.sparkContext.defaultParallelism)
     val customer = spark.read.parquet(s"$sfDir/customer.parquet")
     val nation = spark.read.parquet(s"$sfDir/nation.parquet")
     (rawPin(orders), rawGeo(orders, customer, nation), rawUser(orders))
