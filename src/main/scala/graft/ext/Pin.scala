@@ -37,7 +37,20 @@ import org.apache.spark.sql.DataFrame
   * Use ONLY on lightweight proxies (counts-collapsed tables,
   * signatures, thumbnails, assignments — guide §8 "decide with small
   * rows"), never on corpus payloads. Batch only (localCheckpoint is
-  * illegal in streaming plans). */
+  * illegal in streaming plans).
+  *
+  * Fault-tolerance tradeoff, stated for the 100 TB posture:
+  * `localCheckpoint` stores blocks in executor memory/disk and CUTS
+  * lineage, so on a real cluster an executor loss makes downstream
+  * consumers of the lost blocks unrecoverable (the job fails and must
+  * re-run, instead of recomputing the lost partitions). That is the
+  * price of the truncation that removes the per-task plan
+  * deserialization floor. It is the right trade here because every
+  * pin is a cheap-to-rebuild proxy inside one job; a deployment that
+  * needs mid-job executor-loss recovery should swap `localCheckpoint`
+  * for a reliable `checkpoint` (requires `setCheckpointDir` on
+  * durable storage — one-line change in `sized`), paying a
+  * write-to-storage per pin build. */
 object Pin {
   /** Narrow proxy rows per checkpoint partition: ~2M rows of a few
     * longs ≈ tens of MB — the same band AQE's 64 MB advisory targets. */
