@@ -28,7 +28,8 @@ object Prof {
     spark.sparkContext.setLogLevel("ERROR")
 
     case class St(id: Int, name: String, wallMs: Long, tasks: Int,
-        runMs: Long, cpuMs: Long, shRead: Long, shWrite: Long, outRows: Long)
+        runMs: Long, cpuMs: Long, deserMs: Long, deserCpuMs: Long,
+        shRead: Long, shWrite: Long, outRows: Long)
     val stages = ArrayBuffer.empty[St]
     var jobs = 0
     val listener = new SparkListener {
@@ -45,6 +46,8 @@ object Prof {
             wall, si.numTasks,
             if (tm == null) -1 else tm.executorRunTime,
             if (tm == null) -1 else tm.executorCpuTime / 1000000,
+            if (tm == null) -1 else tm.executorDeserializeTime,
+            if (tm == null) -1 else tm.executorDeserializeCpuTime / 1000000,
             if (tm == null) -1 else tm.shuffleReadMetrics.totalBytesRead,
             if (tm == null) -1 else tm.shuffleWriteMetrics.bytesWritten,
             if (tm == null) -1 else tm.outputMetrics.recordsWritten)
@@ -66,7 +69,7 @@ object Prof {
       val snap = synchronized { (stages.toVector, jobs) }
       println(f"==== $name wall=$wall%.3f s jobs=${snap._2} stages=${snap._1.size} stageWallSum=${snap._1.map(_.wallMs).sum / 1000.0}%.3f s")
       snap._1.sortBy(-_.wallMs).take(30).foreach { s =>
-        println(f"  [${s.id}%4d] ${s.wallMs}%6d ms tasks=${s.tasks}%3d run=${s.runMs}%6d cpu=${s.cpuMs}%6d shR=${s.shRead}%9d shW=${s.shWrite}%9d ${s.name}")
+        println(f"  [${s.id}%4d] ${s.wallMs}%6d ms tasks=${s.tasks}%3d run=${s.runMs}%6d cpu=${s.cpuMs}%6d deser=${s.deserMs}%6d dcpu=${s.deserCpuMs}%6d shR=${s.shRead}%9d shW=${s.shWrite}%9d ${s.name}")
       }
       // the executed plan's exchange census for the same execution
       val plan = df.queryExecution.executedPlan.toString

@@ -3056,17 +3056,22 @@ object SparkEntry {
     * this collapses to a plain cached scan. */
   private val readCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  /** Fixture-scan parallelism, SIZE-adaptive (r19): ceil(rows/32)
+  /** Fixture-scan parallelism, SIZE-adaptive (r19): ceil(rows/512)
     * partitions, capped at one wave of the session's cores. The r18
     * constant (defaultParallelism × 2) was a core-count fan tuned for
     * straggler coverage, but per-row work over the fixture is uniform
-    * and the per-task fixed cost (scheduler launch + shuffle-writer
-    * setup + task (de)serialization, ~20–50 ms CPU each on this box)
-    * dominated KB-scale stages: the r19 A/B at 32 cores measured
-    * 64 → 16 partitions as bpe_apply_count 2.09 → 0.87 s wall
-    * (CPU 21.7 → 5.3 s), curated_corpus 1.23 → 0.55, systematic_sample
-    * 1.18 → 0.53, with no entry slower. ≥32 rows per task amortizes
-    * the fixed cost; the cap keeps one wave (a second wave buys
+    * and the per-task fixed cost dominated KB-scale stages — and that
+    * fixed cost is mostly COLD-CODE execution of the per-task
+    * machinery (the same entry's floor falls 8.4 → 1.4 s CPU between
+    * invocation 60 and 200 of a single-entry loop as tiered
+    * compilation settles; a 2-sample bench never gets there), so it
+    * scales with task count, not bytes. The r19 A/B at 32 cores
+    * measured 64 → 16 → 8 partitions as bpe_apply_count 2.09 → 0.87 →
+    * 0.75 s wall (CPU 21.7 → 5.3 → 3.8 s), curated_corpus
+    * 1.23 → 0.55 → 0.66, systematic_sample 1.18 → 0.53 → 0.41, with
+    * no entry slower — wall flattens at 8–16 while CPU keeps falling.
+    * ≥512 rows per task amortizes the fixed cost (5000-row fixtures →
+    * 10 partitions); the cap keeps one wave (a second wave buys
     * nothing on uniform work); bigger inputs widen toward full
     * parallelism automatically (the rows count is a parquet
     * footer-metadata job, paid once per (session, file)).
@@ -3074,12 +3079,19 @@ object SparkEntry {
   private def fixtureParts(s: SparkSession, rows: Long): Int =
     sys.env.get("SPARK_GRAFT_FIXTURE_PARTS").map(_.toInt).getOrElse {
       val p = s.sparkContext.defaultParallelism.toLong
-      math.max(1L, math.min(p, (rows + 31) / 32)).toInt
+      math.max(1L, math.min(p, (rows + 511) / 512)).toInt
     }
   private def sharedRead(s: SparkSession, path: String): DataFrame =
     readCache.getOrElseUpdate((s, path), {
+      // localCheckpoint, not cache (r19): a cached fixture ships the
+      // full pre-cache plan (parquet scan + repartition) inside EVERY
+      // consumer task's binary — the per-task plan-deserialization
+      // floor r18 measured (~0.1-0.2 s CPU/task) — while a checkpoint
+      // stub serializes as a scan over materialized partitions. Same
+      // storage class (executor memory-and-disk), same one-time
+      // materialization, smaller task binaries for ~150 entries.
       val raw = s.read.parquet(path)
-      raw.repartition(fixtureParts(s, raw.count())).cache()
+      raw.repartition(fixtureParts(s, raw.count())).localCheckpoint()
     })
   private def docs(s: SparkSession, dir: String): DataFrame =
     sharedRead(s, s"$dir/documents.parquet")

@@ -1991,8 +1991,12 @@ object TextAnalysis {
   def vocabCoverage(docs: DataFrame,
       cuts: Seq[Int] = Seq(100, 1000, 10000)): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val freqs = docs.select(explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // pinned (r19): `freqs` feeds both the grand total and the top-V
+    // head — two independent tokenize+count chains before (the
+    // operator's whole cost is the tokenize). Vocabulary-bounded.
+    val freqs = Pin.eager(
+      docs.select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt")))
     val total = freqs.agg(sum(col("cnt")).as("total"))
     // global rank is computed ONLY on the ≤ max(cuts)-row head sliver
     // (the single-partition window is constant-bounded by design); all
